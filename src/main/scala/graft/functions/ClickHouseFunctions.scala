@@ -1,0 +1,209 @@
+package graft.functions
+
+import java.util.Locale
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.trees.{TreePattern, UnaryLike}
+import org.apache.spark.sql.catalyst.trees.TreePattern.TreePattern
+import org.apache.spark.sql.types._
+
+/** ClickHouse scalar-function pack — SURVEY.md §2.7.
+  *
+  * The reference forks DataFusion to add these names
+  * (crates/datafusion/src/physical_plan/clickhouse.rs:37-136; e2e tests
+  * crates/tests_integ/tests/sanity_checks.rs:981-1262). Here each is a thin
+  * builder over codegen'd Catalyst built-ins — no UDFs — registered either
+  * at runtime ([[register]]) or through `spark.sql.extensions`
+  * ([[GraftExtensions]]). Spark's FunctionRegistry is case-insensitive,
+  * which matches the reference planner's lowercasing of unquoted names
+  * (sql/planner.rs:1520-1528).
+  */
+object ClickHouseFunctions {
+
+  /** toDate: polymorphic like the reference's kernels
+    * (timestamp32_to_date / int64_to_date / utf8_to_date,
+    * crates/datafusion_tests/tests/clickhouse.rs:15-80): timestamps and
+    * strings cast to DATE; integers are days-since-epoch with negatives
+    * clamped to 0 (int64_to_date maps -1 → 1970-01-01).
+    */
+  case class ChToDate(child: Expression, timeZoneId: Option[String] = None)
+      extends RuntimeReplaceable with UnaryLike[Expression]
+      with TimeZoneAwareExpression {
+    override lazy val replacement: Expression = child.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val days = Cast(child, IntegerType)
+        DateFromUnixDate(If(LessThan(days, Literal(0)), Literal(0), days))
+      case _ => Cast(child, DateType, timeZoneId)
+    }
+    // TimeZoneAwareExpression makes nodePatterns final (TIME_ZONE_AWARE +
+    // nodePatternsInternal) and clobbers RuntimeReplaceable's pattern —
+    // without this the pruned ReplaceExpressions rule never sees the node.
+    override def nodePatternsInternal(): Seq[TreePattern] =
+      Seq(TreePattern.RUNTIME_REPLACEABLE)
+    override def withTimeZone(tz: String): ChToDate = copy(timeZoneId = Some(tz))
+    override protected def withNewChildInternal(c: Expression): ChToDate =
+      copy(child = c)
+  }
+
+  /** toDateTime: date/string cast to TIMESTAMP; integers are epoch seconds
+    * with negatives clamped to 0 (int64_to_datetime semantics).
+    */
+  case class ChToDateTime(child: Expression, timeZoneId: Option[String] = None)
+      extends RuntimeReplaceable with UnaryLike[Expression]
+      with TimeZoneAwareExpression {
+    override lazy val replacement: Expression = child.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val secs = Cast(child, LongType)
+        SecondsToTimestamp(If(LessThan(secs, Literal(0L)), Literal(0L), secs))
+      case _ => Cast(child, TimestampType, timeZoneId)
+    }
+    override def nodePatternsInternal(): Seq[TreePattern] =
+      Seq(TreePattern.RUNTIME_REPLACEABLE)
+    override def withTimeZone(tz: String): ChToDateTime = copy(timeZoneId = Some(tz))
+    override protected def withNewChildInternal(c: Expression): ChToDateTime =
+      copy(child = c)
+  }
+
+  /** How toUUID treats an unparseable input — mirrors the reference's
+    * TreatNonUUIDAs (clickhouse.rs:74-82).
+    */
+  sealed trait NonUuidMode
+  case object UuidError extends NonUuidMode
+  case object UuidNull extends NonUuidMode
+  case object UuidZero extends NonUuidMode
+
+  /** Parse a canonical 8-4-4-4-12 UUID string to its 16 raw bytes —
+    * the reference returns FixedSizeBinary(16)
+    * (utf8_to_uuid_or_{error,null,zero}, datafusion_tests/tests/
+    * clickhouse.rs:84-130). Interpreted eval with CodegenFallback: UUID
+    * parsing is never a hot scan path.
+    */
+  case class UuidParse(child: Expression, mode: NonUuidMode)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = mode != UuidZero || child.nullable
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.toString
+      UuidBytes.parse(s) match {
+        case Some(bytes) => bytes
+        case None => mode match {
+          case UuidError =>
+            throw new IllegalArgumentException(s"Cannot parse UUID: '$s'")
+          case UuidNull => null
+          case UuidZero => new Array[Byte](16)
+        }
+      }
+    }
+    override protected def withNewChildInternal(c: Expression): UuidParse =
+      copy(child = c)
+  }
+
+  /** Format 16 UUID bytes back to the canonical string (uuid_to_large_utf). */
+  case class UuidFormat(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any = {
+      val b = v.asInstanceOf[Array[Byte]]
+      if (b.length != 16) null
+      else org.apache.spark.unsafe.types.UTF8String.fromString(UuidBytes.format(b))
+    }
+    override protected def withNewChildInternal(c: Expression): UuidFormat =
+      copy(child = c)
+  }
+
+  private type Builder = Seq[Expression] => Expression
+
+  private def one(name: String)(f: Expression => Expression): Builder = {
+    case Seq(e) => f(e)
+    case exprs => throw new IllegalArgumentException(
+      s"$name expects 1 argument, got ${exprs.length}")
+  }
+
+  private def two(name: String)(f: (Expression, Expression) => Expression): Builder = {
+    case Seq(a, b) => f(a, b)
+    case exprs => throw new IllegalArgumentException(
+      s"$name expects 2 arguments, got ${exprs.length}")
+  }
+
+  /** name → expression builder; every entry is a Catalyst built-in
+    * composition (SURVEY §2.7 table).
+    */
+  val functions: Seq[(String, Builder)] = Seq(
+    "toYear" -> one("toYear")(e => Year(e)),
+    "toYYYY" -> one("toYYYY")(e => Year(e)),
+    "toQuarter" -> one("toQuarter")(e => Quarter(e)),
+    "toMonth" -> one("toMonth")(e => Month(e)),
+    "toDayOfYear" -> one("toDayOfYear")(e => DayOfYear(e)),
+    "toDayOfMonth" -> one("toDayOfMonth")(e => DayOfMonth(e)),
+    // CH: Mon=1..Sun=7; Spark WeekDay: Mon=0..Sun=6.
+    "toDayOfWeek" -> one("toDayOfWeek")(e => Add(WeekDay(e), Literal(1))),
+    "toHour" -> one("toHour")(e => Hour(e)),
+    "toMinute" -> one("toMinute")(e => Minute(e)),
+    "toSecond" -> one("toSecond")(e => Second(e)),
+    "toDate" -> one("toDate")(e => ChToDate(e)),
+    "toDateTime" -> one("toDateTime")(e => ChToDateTime(e)),
+    "endsWith" -> two("endsWith")((l, r) => EndsWith(l, r)),
+    "generateUUIDv4" -> { exprs =>
+      require(exprs.isEmpty, "generateUUIDv4 takes no arguments")
+      UuidParse(new Uuid(), UuidError)
+    },
+    "toUUID" -> one("toUUID")(e => UuidParse(e, UuidError)),
+    "toUUIDOrNull" -> one("toUUIDOrNull")(e => UuidParse(e, UuidNull)),
+    "toUUIDOrZero" -> one("toUUIDOrZero")(e => UuidParse(e, UuidZero)),
+    "UUIDStringToNum" -> one("UUIDStringToNum")(e => UuidParse(e, UuidError)),
+    "UUIDNumToString" -> one("UUIDNumToString")(UuidFormat)
+  )
+
+  /** Runtime registration on an existing session. */
+  def register(spark: SparkSession): Unit = functions.foreach {
+    case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+  }
+}
+
+/** Raw-byte UUID codec shared by the expressions and tests. */
+object UuidBytes {
+  def parse(s: String): Option[Array[Byte]] = {
+    val t = s.trim
+    val canonical = t.length == 36 &&
+      t.charAt(8) == '-' && t.charAt(13) == '-' &&
+      t.charAt(18) == '-' && t.charAt(23) == '-'
+    if (!canonical) return None
+    val hex = t.replace("-", "").toLowerCase(Locale.ROOT)
+    if (hex.length != 32 || !hex.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')))
+      return None
+    val out = new Array[Byte](16)
+    var i = 0
+    while (i < 16) {
+      out(i) = Integer.parseInt(hex.substring(2 * i, 2 * i + 2), 16).toByte
+      i += 1
+    }
+    Some(out)
+  }
+
+  def format(b: Array[Byte]): String = {
+    val hex = b.map(x => f"${x & 0xff}%02x").mkString
+    s"${hex.substring(0, 8)}-${hex.substring(8, 12)}-${hex.substring(12, 16)}-" +
+      s"${hex.substring(16, 20)}-${hex.substring(20, 32)}"
+  }
+}
+
+/** SparkSessionExtensions installer: enable with
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ClickHouseFunctions.functions.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.ClickHouseFunctions", name),
+        builder))
+    }
+  }
+}

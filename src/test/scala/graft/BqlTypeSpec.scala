@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalatestplus.scalacheck.ScalaCheckPropertyChecks
+
+import graft.types.BqlType
+import graft.types.BqlType._
+
+/** Type parsing round-trips, ported from the reference's in-crate tests
+  * (crates/meta/src/types.rs:555-782) plus ScalaCheck round-trip property.
+  */
+class BqlTypeSpec extends AnyFunSuite with ScalaCheckPropertyChecks {
+
+  test("primitive type names parse") {
+    assert(parse("Int8") === Right(Int8))
+    assert(parse("UInt64") === Right(UInt64))
+    assert(parse("Float64") === Right(Float64))
+    assert(parse("String") === Right(Str))
+    assert(parse("Date") === Right(Date))
+    assert(parse("UUID") === Right(Uuid))
+  }
+
+  test("parameterized types parse (types.rs:604-741)") {
+    assert(parse("Decimal(9, 2)") === Right(Decimal(9, 2)))
+    assert(parse("Decimal(18,4)") === Right(Decimal(18, 4)))
+    assert(parse("Decimal32(2)") === Right(Decimal(9, 2)))
+    assert(parse("Decimal64(4)") === Right(Decimal(18, 4)))
+    assert(parse("FixedString(3)") === Right(FixedString(3)))
+    assert(parse("LowCardinality(String)") === Right(LowCardinality(Str)))
+    assert(parse("Nullable(Int32)") === Right(Nullable(Int32)))
+    assert(parse("Nullable(Decimal(9, 2))") === Right(Nullable(Decimal(9, 2))))
+    assert(parse("DateTime") === Right(DateTime(None)))
+    assert(parse("DateTime('Etc/GMT+5')") === Right(DateTime(Some("Etc/GMT+5"))))
+  }
+
+  test("storage limits are enforced like the reference") {
+    // grammar admits P≤76 but storage rejects >18 (types.rs:145-153)
+    assert(parse("Decimal(19, 2)").isLeft)
+    assert(parse("Decimal(76, 0)").isLeft)
+    assert(parse("FixedString(0)").isLeft)
+    assert(parse("FixedString(256)").isLeft)
+    assert(parse("NotAType").isLeft)
+  }
+
+  test("spark mapping per SURVEY §1.2") {
+    assert(Int8.sparkType === ByteType)
+    assert(UInt8.sparkType === ShortType)
+    assert(UInt16.sparkType === IntegerType)
+    assert(UInt32.sparkType === LongType)
+    assert(UInt64.sparkType === DecimalType(20, 0))
+    assert(Decimal(9, 2).sparkType === DecimalType(9, 2))
+    assert(Date.sparkType === DateType)
+    assert(DateTime(None).sparkType === TimestampType)
+    assert(FixedString(3).sparkType === BinaryType)
+    assert(LowCardinality(Str).sparkType === StringType)
+    assert(Nullable(Int64).sparkType === LongType)
+  }
+
+  private val genType: Gen[BqlType] = {
+    val prim = Gen.oneOf[BqlType](Int8, Int16, Int32, Int64, UInt8, UInt16,
+      UInt32, UInt64, Float32, Float64, Str, Date, DateTime(None), Uuid)
+    val dec = for {
+      p <- Gen.choose(1, 18); s <- Gen.choose(0, p)
+    } yield Decimal(p, s): BqlType
+    val fs = Gen.choose(1, 255).map(FixedString(_): BqlType)
+    val base = Gen.oneOf(prim, dec, fs)
+    Gen.oneOf(base, base.map(Nullable(_)), Gen.const(LowCardinality(Str): BqlType))
+  }
+
+  test("chName round-trips through parse (property)") {
+    forAll(genType) { t => assert(parse(t.chName) === Right(t)) }
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{ClickHouseFunctions, UuidBytes}
+
+/** Golden-vector tests for the ClickHouse function pack, ported from the
+  * reference's crates/datafusion_tests/tests/clickhouse.rs:15-166 and
+  * crates/tests_integ/tests/sanity_checks.rs:981-1262 (FIXTURES.md §4).
+  */
+class ChFunctionsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val ready = { ClickHouseFunctions.register(spark); true }
+
+  private def sql1(q: String): Any = { ready; spark.sql(q).head().get(0) }
+
+  test("toDate golden vectors (clickhouse.rs:15-80)") {
+    assert(sql1("SELECT toDate('1987-01-01')") === Date.valueOf("1987-01-01"))
+    assert(sql1("SELECT toDate('2021-01-01')") === Date.valueOf("2021-01-01"))
+    // int input = days since epoch; negative clamps to epoch
+    assert(sql1("SELECT toDate(6209)") === Date.valueOf("1987-01-01"))
+    assert(sql1("SELECT toDate(18628)") === Date.valueOf("2021-01-01"))
+    assert(sql1("SELECT toDate(-1)") === Date.valueOf("1970-01-01"))
+    assert(sql1("SELECT toDate(0)") === Date.valueOf("1970-01-01"))
+    // timestamp input truncates
+    assert(sql1("SELECT toDate(TIMESTAMP '2021-01-01 15:59:05')") ===
+      Date.valueOf("2021-01-01"))
+    // null propagation
+    assert(sql1("SELECT toDate(CAST(NULL AS STRING))") === null)
+  }
+
+  test("toDateTime golden vectors (clickhouse.rs:150-166)") {
+    assert(sql1("SELECT CAST(toDateTime('2021-01-01') AS LONG)") === 1609459200L)
+    assert(sql1("SELECT CAST(toDateTime('1987-01-01') AS LONG)") === 536457600L)
+    // int input = epoch seconds; negative clamps to 0
+    assert(sql1("SELECT CAST(toDateTime(536474361) AS LONG)") === 536474361L)
+    assert(sql1("SELECT CAST(toDateTime(-1) AS LONG)") === 0L)
+    // date input
+    assert(sql1("SELECT CAST(toDateTime(DATE '2021-01-01') AS LONG)") === 1609459200L)
+    assert(sql1("SELECT toDateTime(CAST(NULL AS STRING))") === null)
+  }
+
+  test("date part extraction (sanity_checks.rs:981-1203)") {
+    val ts = "TIMESTAMP '2021-03-15 12:34:56'"
+    assert(sql1(s"SELECT toYear($ts)") === 2021)
+    assert(sql1(s"SELECT toYYYY($ts)") === 2021)
+    assert(sql1(s"SELECT toQuarter($ts)") === 1)
+    assert(sql1(s"SELECT toMonth($ts)") === 3)
+    assert(sql1(s"SELECT toDayOfYear($ts)") === 74)
+    assert(sql1(s"SELECT toDayOfMonth($ts)") === 15)
+    assert(sql1(s"SELECT toHour($ts)") === 12)
+    assert(sql1(s"SELECT toMinute($ts)") === 34)
+    assert(sql1(s"SELECT toSecond($ts)") === 56)
+  }
+
+  test("toDayOfWeek is Monday=1..Sunday=7 (CH convention)") {
+    assert(sql1("SELECT toDayOfWeek(DATE '2021-03-15')") === 1) // Monday
+    assert(sql1("SELECT toDayOfWeek(DATE '2021-03-17')") === 3) // Wednesday
+    assert(sql1("SELECT toDayOfWeek(DATE '2021-03-21')") === 7) // Sunday
+  }
+
+  test("function names are case-insensitive like the reference planner") {
+    assert(sql1("SELECT TOYEAR(DATE '2021-01-01')") === 2021)
+    assert(sql1("SELECT todayofweek(DATE '2021-03-15')") === 1)
+  }
+
+  test("endsWith") {
+    assert(sql1("SELECT endsWith('hello', 'lo')") === true)
+    assert(sql1("SELECT endsWith('hello', 'he')") === false)
+  }
+
+  test("UUID parse/format round trip (clickhouse.rs:84-130)") {
+    val u = "612f3c40-5d3b-217e-707b-6a546a3d7b29"
+    // the reference asserts the raw bytes equal b"a/<@];!~p{jTj={)"
+    val expected = "a/<@];!~p{jTj={)".getBytes("US-ASCII")
+    val got = sql1(s"SELECT toUUID('$u')").asInstanceOf[Array[Byte]]
+    assert(got.sameElements(expected))
+    assert(sql1(s"SELECT UUIDNumToString(toUUID('$u'))") === u)
+    assert(sql1(s"SELECT UUIDNumToString(UUIDStringToNum('$u'))") === u)
+  }
+
+  test("toUUIDOrNull / toUUIDOrZero error handling") {
+    assert(sql1("SELECT toUUIDOrNull('err')") === null)
+    val zero = sql1("SELECT toUUIDOrZero('err')").asInstanceOf[Array[Byte]]
+    assert(zero.length === 16 && zero.forall(_ == 0))
+    val ex = intercept[Exception] { sql1("SELECT toUUID('err')") }
+    assert(ex.getMessage != null)
+  }
+
+  test("generateUUIDv4 produces a valid v4 UUID") {
+    val s = sql1("SELECT UUIDNumToString(generateUUIDv4())").toString
+    assert(s.matches("[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[0-9a-f]{4}-[0-9a-f]{12}"))
+    assert(UuidBytes.parse(s).isDefined)
+  }
+}
