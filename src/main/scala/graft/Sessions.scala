@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place that builds a correctly-configured local SparkSession.
+  *
+  * Every setting here is load-bearing for the oracle gate or for scale
+  * posture:
+  *   - UTC session timezone: timestamp literals must resolve identically to
+  *     the DuckDB oracle's naive TIMESTAMP literals regardless of host TZ.
+  *   - nanosAsLong: events.parquet carries timestamp[ns], which Spark's
+  *     vectorized reader otherwise rejects (see [[Tables.events]]).
+  *   - shuffle.partitions sized to the local core count (not the 200
+  *     default); on a real cluster this would be set per-job or left to AQE.
+  *   - AQE on: runtime coalescing + skew-join handling is part of the
+  *     100 TB design (SURVEY §4.1 — the reference's static repartition rule
+  *     is strictly weaker).
+  */
+object Sessions {
+  def build(appName: String,
+            cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

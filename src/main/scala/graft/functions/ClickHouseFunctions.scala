@@ -107,6 +107,10 @@ object ClickHouseFunctions {
   case class UuidFormat(child: Expression)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = StringType
+    // eval returns null for any non-16-byte input regardless of child
+    // nullability — inheriting child.nullable would let IsNotNull pruning
+    // assume nulls cannot occur (ADVICE r1).
+    override def nullable: Boolean = true
     override def nullSafeEval(v: Any): Any = {
       val b = v.asInstanceOf[Array[Byte]]
       if (b.length != 16) null

@@ -4,17 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 object SparkTestSession {
-  lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  lazy val spark: SparkSession = Sessions.build("graft-test")
   val sf: String = "/root/testdata/sf0.001"
 }
 
@@ -27,10 +17,19 @@ class SparkEntrySpec extends AnyFunSuite {
 
   test("every query with an oracle has matching column names") {
     // The driver's compare sorts columns by name before hashing — a query
-    // whose aliases drift from its oracle silently fails the gate, so catch
-    // name drift here (full value parity is scripts/check_oracle.py).
-    SparkEntry.oracleSql.keys.foreach { name =>
+    // whose aliases drift from its oracle silently fails the gate. Catch
+    // drift lexically: every Spark output column name must appear as an
+    // identifier token in its oracle SQL (an unaliased oracle aggregate like
+    // `sum(l_quantity)` never contains the Spark-side alias `sum_qty`).
+    // Full value parity is the driver's DuckDB run (scripts/check_oracle.py).
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
       assert(SparkEntry.queries.contains(name), s"oracle without query: $name")
+      val tokens = sql.toLowerCase.split("[^a-z0-9_]+").toSet
+      val cols = SparkEntry.queries(name)(spark, sf).columns
+      cols.foreach { c =>
+        assert(tokens.contains(c.toLowerCase),
+          s"$name: Spark column '$c' does not appear in oracle SQL — alias drift")
+      }
     }
   }
 
