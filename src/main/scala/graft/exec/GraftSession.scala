@@ -1,0 +1,315 @@
+package graft.exec
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.ClickHouseFunctions
+import graft.parser.{ChParser, ChStatement}
+import graft.types.BqlType
+
+/** The `run_commands` analog (reference dispatcher:
+  * crates/runtime/src/mgmt.rs:984-1057): accepts ClickHouse-dialect
+  * statements, routes commands to Spark catalog operations / parquet writes,
+  * and passes SELECTs through to Spark SQL.
+  *
+  * Storage model (vs the reference's mmap CoPa part store,
+  * crates/meta/src/store/parts.rs:17-46): managed parquet tables in the
+  * Spark warehouse. `PARTITION BY expr` (bql.pest:49-51) becomes a generated
+  * `__ptk` column written through `partitionBy` — Catalyst codegen computes
+  * the expression (the reference needs a cranelift JIT for this,
+  * mgmt.rs:408-469; Spark gets it for free) and the parquet directory layout
+  * gives partition pruning. Declared column order is preserved on SELECT *
+  * because `__ptk` is appended last.
+  *
+  * At 100 TB this layout is the standard Spark warehouse shape: writes are
+  * append-only parquet per partition directory, reads prune directories then
+  * row groups; no single-writer bottleneck beyond the catalog commit.
+  */
+class GraftSession(val spark: SparkSession) {
+  import ChStatement._
+
+  ClickHouseFunctions.register(spark)
+
+  // Partition-prune derivation (the reference's one custom rewrite,
+  // parse.rs:539-893) as a Catalyst optimizer rule.
+  if (!spark.experimental.extraOptimizations
+      .exists(_.isInstanceOf[graft.plans.PartitionPruneDerivation]))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+
+        graft.plans.PartitionPruneDerivation(spark)
+
+  /** Hidden partition-key column name (not shown by DESC; reference keeps
+    * the ptk entirely out of the table schema, crates/meta/src/types.rs:55-63).
+    */
+  val PtkCol = "__ptk"
+
+  def sql(statement: String): DataFrame = sql(statement, "")
+
+  /** Run one statement; `payload` feeds INSERT ... FORMAT CSV when the data
+    * is not inline (the wire protocol streams it in the reference,
+    * mgmt.rs:724-730).
+    */
+  def sql(statement: String, payload: String): DataFrame =
+    ChParser.parse(statement) match {
+      case Left(err) => throw new IllegalArgumentException(s"parse error: $err")
+      case Right(stmt) => run(stmt, payload)
+    }
+
+  /** Run a blank-line-separated script (sql_test_runner.rs:50-95 analog),
+    * returning the last statement's result.
+    */
+  def script(text: String): DataFrame =
+    ChParser.splitScript(text).map(sql(_)).lastOption
+      .getOrElse(spark.emptyDataFrame)
+
+  private def run(stmt: ChStatement, payload: String): DataFrame = stmt match {
+    case CreateDatabase(name, ine) =>
+      spark.sql(s"CREATE DATABASE ${if (ine) "IF NOT EXISTS " else ""}`$name`")
+    case DropDatabase(name, ie) =>
+      spark.sql(s"DROP DATABASE ${if (ie) "IF EXISTS " else ""}`$name` CASCADE")
+    case UseDb(name) =>
+      spark.catalog.setCurrentDatabase(name); emptyOk
+    case ShowDatabases =>
+      spark.sql("SHOW DATABASES").select(col("namespace").as("name"))
+    case ShowTables(db) =>
+      val base = db.fold(spark.sql("SHOW TABLES"))(d => spark.sql(s"SHOW TABLES IN `$d`"))
+      base.filter(!col("tableName").startsWith("graft_tmp_"))
+        .select(col("tableName").as("name"))
+    case ct: CreateTable => createTable(ct)
+    case DropTable(db, name, ie) =>
+      spark.sql(s"DROP TABLE ${if (ie) "IF EXISTS " else ""}${fullName(db, name)}")
+    case TruncateTable(db, name) =>
+      spark.sql(s"TRUNCATE TABLE ${fullName(db, name)}")
+    case ShowCreateTable(db, name) =>
+      val script = tableProp(db, name, "graft.create_script")
+        .getOrElse(sys.error(s"no create script recorded for ${fullName(db, name)}"))
+      spark.createDataFrame(
+        Seq(Row(script)).asJava,
+        StructType(Seq(StructField("statement", StringType))))
+    case DescTable(db, name) =>
+      // Reference DESC wraps nullable columns in Nullable(...) and hides
+      // nothing else (mgmt.rs:532-629); __ptk is internal metadata here.
+      val types = chTypes(db, name)
+      val rows = spark.table(fullName(db, name)).schema.fields.toSeq
+        .filter(_.name != PtkCol)
+        .map { f =>
+          val ch = types.get(f.name)
+            .getOrElse(BqlType.fromSpark(f.dataType, f.nullable).chName)
+          Row(f.name, ch)
+        }
+      spark.createDataFrame(rows.asJava,
+        StructType(Seq(StructField("name", StringType), StructField("type", StringType))))
+    case OptimizeTable(db, name) =>
+      // The reference's OPTIMIZE is a part-store flush stub
+      // (mgmt.rs:923-941); here parquet writes are already durable, so this
+      // is a catalog refresh.
+      spark.catalog.refreshTable(fullName(db, name)); emptyOk
+    case iv: InsertValues => insertValues(iv)
+    case is: InsertSelect => insertSelect(is)
+    case f: InsertFormat => insertFormat(f, payload)
+    case Explain(sel) =>
+      val plan = spark.sql(sel).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      spark.createDataFrame(
+        plan.split("\n").toSeq.map(Row(_)).asJava,
+        StructType(Seq(StructField("plan", StringType))))
+    case Select(raw) => spark.sql(raw)
+  }
+
+  private def emptyOk: DataFrame = spark.emptyDataFrame
+
+  private def fullName(db: Option[String], name: String): String =
+    db.fold(s"`$name`")(d => s"`$d`.`$name`")
+
+  private def tableProp(db: Option[String], name: String, key: String): Option[String] = {
+    val ident = spark.sessionState.sqlParser.parseMultipartIdentifier(
+      db.map(d => s"`$d`.`$name`").getOrElse(s"`$name`"))
+    val cat = spark.sessionState.catalog
+    val tid = org.apache.spark.sql.catalyst.TableIdentifier(
+      ident.last, if (ident.length > 1) Some(ident(ident.length - 2)) else None)
+    val meta = cat.getTableMetadata(tid)
+    meta.properties.get(key)
+  }
+
+  /** Declared CH types per column, recorded at CREATE time. */
+  private def chTypes(db: Option[String], name: String): Map[String, String] =
+    tableProp(db, name, "graft.ch.types").map {
+      _.split("\u0001").filter(_.nonEmpty).map { kv =>
+        val Array(k, v) = kv.split("\u0002", 2)
+        k -> v
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  private def isNullable(t: BqlType): Boolean = t match {
+    case BqlType.Nullable(_) => true
+    case _ => false
+  }
+
+  private def createTable(ct: CreateTable): DataFrame = {
+    val full = fullName(ct.db, ct.name)
+    if (ct.ifNotExists && spark.catalog.tableExists(full.replace("`", ""))) return emptyOk
+    // The in-memory catalog forgets tables across sessions but their files
+    // persist in the warehouse; clear a stale managed location so CREATE
+    // TABLE doesn't fail on leftovers from a previous process.
+    if (!spark.catalog.tableExists(full.replace("`", ""))) {
+      val tid = org.apache.spark.sql.catalyst.TableIdentifier(
+        ct.name, ct.db.orElse(Some(spark.catalog.currentDatabase)))
+      val loc = new java.io.File(
+        new java.net.URI(spark.sessionState.catalog.defaultTablePath(tid).toString).getPath)
+      if (loc.exists) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(loc)
+      }
+    }
+
+    val colDdl = ct.cols.map { c =>
+      val sparkT = c.tpe.sparkType.sql
+      val nn = if (c.notNull || (!isNullable(c.tpe) && c.primaryKey)) " NOT NULL" else ""
+      s"`${c.name}` $sparkT$nn"
+    }
+    val ptkDdl = ct.partitionBy.map(_ => s", `$PtkCol` STRING").getOrElse("")
+    val partClause = ct.partitionBy.map(_ => s" PARTITIONED BY (`$PtkCol`)").getOrElse("")
+    val chTypesProp = ct.cols.map(c => s"${c.name}\u0002${c.tpe.chName}").mkString("\u0001")
+    val props = Seq(
+      "graft.create_script" -> ct.createScript,
+      "graft.engine" -> ct.engine.getOrElse("BaseStorage"),
+      "graft.ch.types" -> chTypesProp) ++
+      ct.partitionBy.map("graft.ptk.expr" -> _) ++
+      ct.settings.map { case (k, v) => s"graft.setting.$k" -> v }
+    val propsDdl = props.map { case (k, v) =>
+      s"'${k.replace("'", "''")}'='${v.replace("'", "''")}'"
+    }.mkString(", ")
+
+    spark.sql(
+      s"""CREATE TABLE ${if (ct.ifNotExists) "IF NOT EXISTS " else ""}$full
+         |(${colDdl.mkString(", ")}$ptkDdl)
+         |USING parquet$partClause
+         |TBLPROPERTIES ($propsDdl)""".stripMargin)
+  }
+
+  /** Literal → typed column coercion, mirroring the reference's insert
+    * literal codecs (mgmt.rs:1127-1269): date/datetime accept both native
+    * string forms and epoch integers; FixedString zero-pads to N
+    * (mgmt.rs:1258-1263); decimals rescale to declared scale.
+    */
+  private def coerce(raw: org.apache.spark.sql.Column, t: BqlType): org.apache.spark.sql.Column = {
+    val isIntLiteral = raw.rlike("^-?[0-9]+$")
+    def base(bt: BqlType): org.apache.spark.sql.Column = bt match {
+      case BqlType.Nullable(inner) => base(inner)
+      case BqlType.LowCardinality(inner) => base(inner)
+      case BqlType.Date =>
+        // epoch-day integers and 'YYYY-MM-DD' strings both accepted
+        when(isIntLiteral, date_from_unix_date(raw.cast(IntegerType)))
+          .otherwise(raw.cast(DateType))
+      case BqlType.DateTime(_) =>
+        // epoch-second integers and native datetime strings
+        when(isIntLiteral, timestamp_seconds(raw.cast(LongType)))
+          .otherwise(raw.cast(TimestampType))
+      case BqlType.FixedString(n) =>
+        // zero-pad to N bytes like the reference (mgmt.rs:1258-1263)
+        rpad(raw.cast(BinaryType), n, Array[Byte](0))
+      case other => raw.cast(other.sparkType)
+    }
+    base(t)
+  }
+
+  private def tableMeta(db: Option[String], name: String):
+      (StructType, Map[String, String], Option[String]) = {
+    val schema = spark.table(fullName(db, name)).schema
+    (schema, chTypes(db, name), tableProp(db, name, "graft.ptk.expr"))
+  }
+
+  /** Align a DataFrame of source values (any types) to the table's declared
+    * schema + computed __ptk, then append. The partition expression is
+    * evaluated by Catalyst codegen over the CH function pack — the Spark
+    * replacement for the reference's cranelift JIT (write.rs:146-179).
+    */
+  private def appendToTable(db: Option[String], name: String, src: DataFrame,
+                            srcIsRaw: Boolean): Unit = {
+    val (schema, types, ptkExpr) = tableMeta(db, name)
+    val dataCols = schema.fields.filter(_.name != PtkCol)
+    require(src.columns.length == dataCols.length,
+      s"INSERT column count ${src.columns.length} != table arity ${dataCols.length}")
+    val renamed = src.toDF(dataCols.map(_.name): _*)
+    val typed = renamed.select(dataCols.map { f =>
+      val declared = types.get(f.name).flatMap(s => BqlType.parse(s).toOption)
+      val c = col(s"`${f.name}`")
+      val coerced = declared match {
+        case Some(bt) if srcIsRaw => coerce(c, bt)
+        case _ => c.cast(f.dataType)
+      }
+      coerced.as(f.name)
+    }: _*)
+    val withPtk = ptkExpr match {
+      case Some(e) => typed.withColumn(PtkCol, expr(e).cast(StringType))
+      case None => typed
+    }
+    withPtk.write.mode("append").insertInto(fullName(db, name).replace("`", ""))
+  }
+
+  /** Expand an explicit column list to full arity with NULL fills. */
+  private def expand(db: Option[String], name: String,
+                     cols: Option[Seq[String]], src: DataFrame): DataFrame =
+    cols match {
+      case None => src
+      case Some(given) =>
+        val (schema, _, _) = tableMeta(db, name)
+        val dataCols = schema.fields.filter(_.name != PtkCol).map(_.name)
+        require(given.length == src.columns.length,
+          s"INSERT column list arity ${given.length} != source arity ${src.columns.length}")
+        val bySrc = given.map(_.toLowerCase).zip(src.columns).toMap
+        src.select(dataCols.map { dc =>
+          bySrc.get(dc.toLowerCase) match {
+            case Some(srcCol) => col(s"`$srcCol`").as(dc)
+            case None => lit(null).as(dc)
+          }
+        }.toIndexedSeq: _*)
+    }
+
+  private def insertValues(iv: InsertValues): DataFrame = {
+    val arity = iv.rows.headOption.map(_.length).getOrElse(0)
+    require(iv.rows.forall(_.length == arity), "ragged VALUES rows")
+    // Rows arrive as raw literal text; build an all-string local relation
+    // and let coerce() cast per declared CH type (reference codec:
+    // mgmt.rs:1127-1269).
+    val fields = (0 until arity).map(i => StructField(s"_c$i", StringType))
+    val rows = iv.rows.map { r =>
+      Row(r.map(_.map(stripQuotes).orNull): _*)
+    }
+    val src = spark.createDataFrame(rows.asJava, StructType(fields))
+    appendToTable(iv.db, iv.name, expand(iv.db, iv.name, iv.cols, src), srcIsRaw = true)
+    emptyOk
+  }
+
+  private def stripQuotes(s: String): String =
+    if (s.length >= 2 && s.head == '\'' && s.last == '\'')
+      s.substring(1, s.length - 1).replace("''", "'")
+    else s
+
+  private def insertSelect(is: InsertSelect): DataFrame = {
+    val result = spark.sql(is.selectSql)
+    appendToTable(is.db, is.name, expand(is.db, is.name, is.cols, result),
+      srcIsRaw = false)
+    emptyOk
+  }
+
+  private def insertFormat(f: InsertFormat, payload: String): DataFrame = {
+    require(f.format == "CSV" || f.format == "CSVWITHNAMES",
+      s"unsupported INSERT format: ${f.format}")
+    val text = if (f.inlinePayload.trim.nonEmpty) f.inlinePayload else payload
+    import spark.implicits._
+    val lines = text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+    val ds = spark.createDataset(lines)
+    val src = spark.read
+      .option("header", f.format == "CSVWITHNAMES")
+      .csv(ds)
+    appendToTable(f.db, f.name, expand(f.db, f.name, f.cols, src), srcIsRaw = true)
+    emptyOk
+  }
+}

@@ -140,6 +140,10 @@ object ClickHouseFunctions {
   val functions: Seq[(String, Builder)] = Seq(
     "toYear" -> one("toYear")(e => Year(e)),
     "toYYYY" -> one("toYYYY")(e => Year(e)),
+    // toYYYYMM(d) = year*100 + month — the canonical CH partition-key
+    // expression (PARTITION BY toYYYYMM(date), docs/lang.md).
+    "toYYYYMM" -> one("toYYYYMM")(e =>
+      Add(Multiply(Year(e), Literal(100)), Month(e))),
     "toQuarter" -> one("toQuarter")(e => Quarter(e)),
     "toMonth" -> one("toMonth")(e => Month(e)),
     "toDayOfYear" -> one("toDayOfYear")(e => DayOfYear(e)),

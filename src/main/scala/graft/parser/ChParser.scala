@@ -1,0 +1,369 @@
+package graft.parser
+
+import scala.collection.mutable.ArrayBuffer
+
+import graft.types.BqlType
+
+/** ClickHouse-dialect statement surface — SURVEY.md §2.1.
+  *
+  * Mirrors the reference's command grammar (crates/lang/src/bql.pest:8-23)
+  * as a hand-rolled tokenizer + recursive-descent parser. Commands (DDL,
+  * INSERT, management) are parsed fully; SELECT/EXPLAIN pass through as raw
+  * SQL — exactly the reference's split, where its own parser only shallowly
+  * scans queries and DataFusion re-parses them
+  * (crates/engine/src/datafusions.rs:180-187). Here the "second parser" is
+  * Spark SQL itself.
+  */
+sealed trait ChStatement
+
+object ChStatement {
+  final case class ColDef(name: String, tpe: BqlType, primaryKey: Boolean,
+                          notNull: Boolean, default: Option[String])
+  final case class CreateDatabase(name: String, ifNotExists: Boolean) extends ChStatement
+  final case class CreateTable(db: Option[String], name: String,
+                               cols: Seq[ColDef], engine: Option[String],
+                               partitionBy: Option[String],
+                               settings: Map[String, String],
+                               ifNotExists: Boolean,
+                               createScript: String) extends ChStatement
+  final case class DropDatabase(name: String, ifExists: Boolean) extends ChStatement
+  final case class DropTable(db: Option[String], name: String, ifExists: Boolean) extends ChStatement
+  final case class TruncateTable(db: Option[String], name: String) extends ChStatement
+  case object ShowDatabases extends ChStatement
+  final case class ShowTables(db: Option[String]) extends ChStatement
+  final case class ShowCreateTable(db: Option[String], name: String) extends ChStatement
+  final case class DescTable(db: Option[String], name: String) extends ChStatement
+  final case class UseDb(name: String) extends ChStatement
+  final case class OptimizeTable(db: Option[String], name: String) extends ChStatement
+  /** One VALUES literal: None = NULL, Some(text) = raw literal text. */
+  final case class InsertValues(db: Option[String], name: String,
+                                cols: Option[Seq[String]],
+                                rows: Seq[Seq[Option[String]]]) extends ChStatement
+  final case class InsertSelect(db: Option[String], name: String,
+                                cols: Option[Seq[String]],
+                                selectSql: String) extends ChStatement
+  /** INSERT INTO t FORMAT CSV — payload is the inline remainder (the wire
+    * protocol streams it; a library caller passes it inline or via the
+    * payload argument of GraftSession.sql).
+    */
+  final case class InsertFormat(db: Option[String], name: String,
+                                cols: Option[Seq[String]], format: String,
+                                inlinePayload: String) extends ChStatement
+  final case class Explain(selectSql: String) extends ChStatement
+  /** Raw SELECT/WITH passthrough for Spark SQL. */
+  final case class Select(sql: String) extends ChStatement
+}
+
+object ChParser {
+  import ChStatement._
+
+  // ---- tokenizer -----------------------------------------------------
+  sealed trait Tok { def pos: Int; def text: String }
+  private final case class Ident(text: String, pos: Int) extends Tok
+  private final case class StrLit(text: String, pos: Int) extends Tok // unquoted value
+  private final case class NumLit(text: String, pos: Int) extends Tok
+  private final case class Punct(text: String, pos: Int) extends Tok
+
+  def tokenize(sql: String): Either[String, Vector[Tok]] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        while (i < n && sql.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        val end = sql.indexOf("*/", i + 2)
+        if (end < 0) return Left(s"unterminated block comment at $i")
+        i = end + 2
+      } else if (c == '\'') {
+        val sb = new StringBuilder
+        var j = i + 1
+        var closed = false
+        while (j < n && !closed) {
+          val ch = sql.charAt(j)
+          if (ch == '\\' && j + 1 < n) { sb.append(sql.charAt(j + 1)); j += 2 }
+          else if (ch == '\'' && j + 1 < n && sql.charAt(j + 1) == '\'') { sb.append('\''); j += 2 }
+          else if (ch == '\'') { closed = true; j += 1 }
+          else { sb.append(ch); j += 1 }
+        }
+        if (!closed) return Left(s"unterminated string literal at $i")
+        out += StrLit(sb.toString, i)
+        i = j
+      } else if (c == '`') {
+        val end = sql.indexOf('`', i + 1)
+        if (end < 0) return Left(s"unterminated quoted identifier at $i")
+        out += Ident(sql.substring(i + 1, end), i)
+        i = end + 1
+      } else if (c.isDigit || (c == '.' && i + 1 < n && sql.charAt(i + 1).isDigit)) {
+        var j = i
+        while (j < n && (sql.charAt(j).isLetterOrDigit || sql.charAt(j) == '.' ||
+          ((sql.charAt(j) == '+' || sql.charAt(j) == '-') && j > i &&
+            (sql.charAt(j - 1) == 'e' || sql.charAt(j - 1) == 'E')))) j += 1
+        out += NumLit(sql.substring(i, j), i)
+        i = j
+      } else if (c.isLetter || c == '_') {
+        var j = i
+        while (j < n && (sql.charAt(j).isLetterOrDigit || sql.charAt(j) == '_')) j += 1
+        out += Ident(sql.substring(i, j), i)
+        i = j
+      } else {
+        out += Punct(c.toString, i)
+        i += 1
+      }
+    }
+    Right(out.result())
+  }
+
+  // ---- parser --------------------------------------------------------
+  private final class P(toks: Vector[Tok], val sql: String) {
+    var i = 0
+    def peek: Option[Tok] = if (i < toks.length) Some(toks(i)) else None
+    def next(): Tok = { val t = toks(i); i += 1; t }
+    def done: Boolean = i >= toks.length || isPunct(";") // trailing ';'
+    def isKw(kw: String): Boolean = peek.exists {
+      case Ident(t, _) => t.equalsIgnoreCase(kw)
+      case _ => false
+    }
+    def isPunct(p: String): Boolean = peek.exists {
+      case Punct(t, _) => t == p
+      case _ => false
+    }
+    def eatKw(kw: String): Boolean = if (isKw(kw)) { i += 1; true } else false
+    def expectKw(kw: String): Either[String, Unit] =
+      if (eatKw(kw)) Right(()) else Left(s"expected $kw at ${posText}")
+    def eatPunct(p: String): Boolean = if (isPunct(p)) { i += 1; true } else false
+    def expectPunct(p: String): Either[String, Unit] =
+      if (eatPunct(p)) Right(()) else Left(s"expected '$p' at ${posText}")
+    def ident(): Either[String, String] = peek match {
+      case Some(Ident(t, _)) => i += 1; Right(t)
+      case other => Left(s"expected identifier, got ${other.map(_.text)}")
+    }
+    def posText: String = peek.map(t => s"'${t.text}' (pos ${t.pos})").getOrElse("<end>")
+    /** Raw SQL from the current token to the end (for passthrough tails). */
+    def rest: String = peek.map(t => sql.substring(t.pos)).getOrElse("")
+    /** Raw SQL between current token and (exclusive) a stop condition. */
+    def sliceUntil(stop: P => Boolean): String = {
+      val from = peek.map(_.pos).getOrElse(sql.length)
+      while (peek.isDefined && !stop(this)) i += 1
+      val to = peek.map(_.pos).getOrElse(sql.length)
+      sql.substring(from, to).trim
+    }
+  }
+
+  /** IF NOT EXISTS / IF EXISTS. */
+  private def parseIfNotExists(p: P): Boolean =
+    if (p.isKw("if")) { p.next(); p.eatKw("not"); p.eatKw("exists"); true } else false
+
+  private def qualifiedName(p: P): Either[String, (Option[String], String)] =
+    p.ident().flatMap { a =>
+      if (p.eatPunct(".")) p.ident().map(b => (Some(a), b)) else Right((None, a))
+    }
+
+  /** Capture a CH type name: identifier plus a balanced parenthesized
+    * argument list if present (Decimal(9, 2), DateTime('UTC'), nested
+    * Nullable(...) etc. — reconstructed textually for BqlType.parse).
+    */
+  private def typeName(p: P): Either[String, BqlType] = p.ident().flatMap { head =>
+    val sb = new StringBuilder(head)
+    if (p.isPunct("(")) {
+      var depth = 0
+      var go = true
+      while (go && p.peek.isDefined) {
+        val t = p.next()
+        t match {
+          case Punct("(", _) => depth += 1; sb.append('(')
+          case Punct(")", _) => depth -= 1; sb.append(')'); if (depth == 0) go = false
+          case Punct(",", _) => sb.append(", ")
+          case StrLit(s, _) => sb.append('\'').append(s).append('\'')
+          case other => sb.append(other.text)
+        }
+      }
+      if (depth != 0) return Left(s"unbalanced type arguments after $head")
+    }
+    BqlType.parse(sb.toString)
+  }
+
+  private def columnDef(p: P): Either[String, ColDef] =
+    for {
+      name <- p.ident()
+      tpe <- typeName(p)
+    } yield {
+      var pk = false; var nn = false; var dflt: Option[String] = None
+      var go = true
+      while (go) {
+        if (p.isKw("primary")) { p.next(); p.eatKw("key"); p.eatKw("asc"); p.eatKw("desc"); pk = true }
+        else if (p.isKw("not")) { p.next(); p.eatKw("null"); nn = true }
+        else if (p.isKw("default")) {
+          p.next()
+          dflt = p.peek.map {
+            case StrLit(s, _) => s"'$s'"
+            case t => t.text
+          }
+          p.next()
+        } else go = false
+      }
+      ColDef(name, tpe, pk, nn, dflt)
+    }
+
+  private def parseCreateTable(p: P): Either[String, CreateTable] = {
+    val ine = parseIfNotExists(p)
+    for {
+      dbTab <- qualifiedName(p)
+      _ <- p.expectPunct("(")
+      cols <- {
+        val buf = ArrayBuffer.empty[ColDef]
+        var err: Option[String] = None
+        var go = true
+        while (go && err.isEmpty) {
+          columnDef(p) match {
+            case Right(cd) =>
+              buf += cd
+              if (p.eatPunct(",")) () else { go = false }
+            case Left(e) => err = Some(e)
+          }
+        }
+        err.toLeft(buf.toSeq)
+      }
+      _ <- p.expectPunct(")")
+    } yield {
+      val engine = if (p.eatKw("engine")) {
+        p.eatPunct("=")
+        p.ident().toOption
+      } else None
+      val partBy = if (p.isKw("partition")) {
+        p.next(); p.eatKw("by")
+        Some(p.sliceUntil(q => q.isKw("settings") || q.isPunct(";")))
+      } else None
+      var settings = Map.empty[String, String]
+      if (p.eatKw("settings")) {
+        var go = true
+        while (go) {
+          (for {
+            k <- p.ident()
+            _ <- p.expectPunct("=")
+          } yield {
+            val v = p.peek.map(_.text).getOrElse("")
+            p.next()
+            settings += (k -> v)
+          }) match {
+            case Left(_) => go = false
+            case Right(_) => go = p.eatPunct(",")
+          }
+        }
+      }
+      CreateTable(dbTab._1, dbTab._2, cols, engine, partBy, settings, ine, p.sql.trim)
+    }
+  }
+
+  private def parseInsert(p: P): Either[String, ChStatement] =
+    for {
+      _ <- p.expectKw("into")
+      dbTab <- qualifiedName(p)
+      stmt <- {
+        // optional (col, col, ...) list — only if followed by VALUES/SELECT/FORMAT
+        val cols: Option[Seq[String]] =
+          if (p.isPunct("(")) {
+            p.next()
+            val names = ArrayBuffer.empty[String]
+            var go = true
+            while (go) {
+              p.ident() match {
+                case Right(nm) => names += nm; go = p.eatPunct(",")
+                case Left(_) => go = false
+              }
+            }
+            p.eatPunct(")")
+            Some(names.toSeq)
+          } else None
+        if (p.eatKw("values")) parseValuesRows(p).map(rows =>
+          InsertValues(dbTab._1, dbTab._2, cols, rows))
+        else if (p.isKw("select") || p.isKw("with"))
+          Right(InsertSelect(dbTab._1, dbTab._2, cols, p.rest))
+        else if (p.eatKw("format"))
+          p.ident().map { fmt =>
+            // remainder of the raw text = inline payload (wire-streamed in
+            // the reference, crates/runtime/src/mgmt.rs:724-730)
+            InsertFormat(dbTab._1, dbTab._2, cols, fmt.toUpperCase, p.rest)
+          }
+        else Left(s"INSERT: expected VALUES, SELECT or FORMAT at ${p.posText}")
+      }
+    } yield stmt
+
+  private def parseValuesRows(p: P): Either[String, Seq[Seq[Option[String]]]] = {
+    val rows = ArrayBuffer.empty[Seq[Option[String]]]
+    var go = true
+    while (go) {
+      if (!p.eatPunct("(")) return Left(s"expected '(' at ${p.posText}")
+      val row = ArrayBuffer.empty[Option[String]]
+      var more = true
+      while (more) {
+        val neg = p.eatPunct("-")
+        p.peek match {
+          case Some(StrLit(s, _)) => p.next(); row += Some("'" + s.replace("'", "''") + "'")
+          case Some(NumLit(s, _)) => p.next(); row += Some((if (neg) "-" else "") + s)
+          case Some(Ident(s, _)) if s.equalsIgnoreCase("null") => p.next(); row += None
+          case Some(Ident(s, _)) if s.equalsIgnoreCase("true") => p.next(); row += Some("1")
+          case Some(Ident(s, _)) if s.equalsIgnoreCase("false") => p.next(); row += Some("0")
+          case other => return Left(s"bad literal in VALUES: ${other.map(_.text)}")
+        }
+        more = p.eatPunct(",")
+      }
+      if (!p.eatPunct(")")) return Left(s"expected ')' at ${p.posText}")
+      rows += row.toSeq
+      go = p.eatPunct(",")
+    }
+    Right(rows.toSeq)
+  }
+
+  /** Parse one statement. */
+  def parse(sql: String): Either[String, ChStatement] = tokenize(sql).flatMap { toks =>
+    val p = new P(toks, sql)
+    if (p.isKw("select") || p.isKw("with")) Right(Select(sql))
+    else if (p.isKw("explain")) { p.next(); Right(Explain(p.rest)) }
+    else if (p.eatKw("create")) {
+      if (p.eatKw("database")) {
+        val ine = parseIfNotExists(p)
+        p.ident().map(CreateDatabase(_, ine))
+      } else if (p.eatKw("table")) parseCreateTable(p)
+      else Left(s"CREATE: expected DATABASE or TABLE at ${p.posText}")
+    } else if (p.eatKw("drop")) {
+      if (p.eatKw("database")) {
+        val ie = parseIfNotExists(p)
+        p.ident().map(DropDatabase(_, ie))
+      } else if (p.eatKw("table")) {
+        val ie = parseIfNotExists(p)
+        qualifiedName(p).map { case (db, t) => DropTable(db, t, ie) }
+      } else Left(s"DROP: expected DATABASE or TABLE at ${p.posText}")
+    } else if (p.eatKw("truncate")) {
+      p.eatKw("table")
+      qualifiedName(p).map { case (db, t) => TruncateTable(db, t) }
+    } else if (p.eatKw("show")) {
+      if (p.eatKw("databases")) Right(ShowDatabases)
+      else if (p.eatKw("tables")) {
+        val db = if (p.eatKw("from") || p.eatKw("in")) p.ident().toOption else None
+        Right(ShowTables(db))
+      } else if (p.eatKw("create")) {
+        p.eatKw("table")
+        qualifiedName(p).map { case (db, t) => ShowCreateTable(db, t) }
+      } else Left(s"SHOW: expected DATABASES, TABLES or CREATE TABLE at ${p.posText}")
+    } else if (p.eatKw("desc") || p.eatKw("describe")) {
+      p.eatKw("table")
+      qualifiedName(p).map { case (db, t) => DescTable(db, t) }
+    } else if (p.eatKw("use")) {
+      p.ident().map(UseDb(_))
+    } else if (p.eatKw("optimize")) {
+      p.eatKw("table")
+      qualifiedName(p).map { case (db, t) => OptimizeTable(db, t) }
+    } else if (p.eatKw("insert")) {
+      parseInsert(p)
+    } else Left(s"unrecognized statement at ${p.posText}")
+  }
+
+  /** Split a multi-statement script on blank lines + ';' like the
+    * reference's script runner (crates/tests_integ/src/sql_test_runner.rs:50-95).
+    */
+  def splitScript(script: String): Seq[String] =
+    script.split("\n\\s*\n").map(_.trim).filter(s => s.nonEmpty && !s.startsWith(":"))
+}

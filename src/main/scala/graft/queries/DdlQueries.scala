@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.exec.GraftSession
+
+/** CORRECTNESS entries that exercise the engine's own command front-end
+  * (SURVEY.md §2.1): the data flows CREATE TABLE → INSERT → SELECT through
+  * [[GraftSession]] (managed partitioned parquet), and the DuckDB oracle
+  * recomputes the same result from first principles (a VALUES relation, or
+  * the original source table for INSERT…SELECT).
+  */
+object DdlQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // DDL + INSERT VALUES + typed literals + partitioned write + group-by
+    // readback (reference t1 slice, sql_test_scripts/basic_checks.sql:1-7,
+    // widened with the partition path write.rs:26-67).
+    "d01_ddl_insert_values" -> { (s, dir) =>
+      val g = new GraftSession(s)
+      g.sql("DROP TABLE IF EXISTS graft_d01")
+      g.sql("CREATE TABLE graft_d01(a UInt64, b String, d Date) " +
+        "ENGINE=BaseStorage PARTITION BY toYear(d)")
+      g.sql("INSERT INTO graft_d01 VALUES " +
+        "(1, 'x', '2021-01-05'), (2, 'y', '2021-03-05'), " +
+        "(3, 'z', '2022-07-01'), (4, 'x', '2022-11-11')")
+      g.sql("SELECT CAST(year(d) AS INT) AS yr, CAST(sum(a) AS BIGINT) AS total, " +
+        "count(*) AS n FROM graft_d01 GROUP BY 1 ORDER BY 1")
+    },
+
+    // INSERT INTO … SELECT from an existing source into an engine table
+    // (mgmt.rs:772-800), then aggregate the engine table; oracle recomputes
+    // from the source directly.
+    "d02_insert_select" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("DROP TABLE IF EXISTS graft_d02")
+      g.sql("CREATE TABLE graft_d02(ok Int64, qty Float64, flag String)")
+      g.sql("INSERT INTO graft_d02 SELECT l_orderkey, l_quantity, l_returnflag " +
+        "FROM lineitem WHERE l_orderkey < 500")
+      g.sql("SELECT flag, CAST(sum(CAST(qty AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, " +
+        "count(*) AS n FROM graft_d02 GROUP BY flag ORDER BY flag")
+    },
+
+    // INSERT … FORMAT CSV ingestion (mgmt.rs:724-730) — inline payload.
+    "d03_insert_csv" -> { (s, dir) =>
+      val g = new GraftSession(s)
+      g.sql("DROP TABLE IF EXISTS graft_d03")
+      g.sql("CREATE TABLE graft_d03(k Int32, v Decimal(9, 2))")
+      g.sql("INSERT INTO graft_d03 FORMAT CSV\n1,1.50\n2,2.25\n1,0.25\n3,9.00")
+      g.sql("SELECT k, CAST(sum(v) AS DOUBLE) AS total FROM graft_d03 " +
+        "GROUP BY k ORDER BY k")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d01_ddl_insert_values" ->
+      """SELECT CAST(year(d) AS INT) AS yr, CAST(sum(a) AS BIGINT) AS total,
+        |  count(*) AS n
+        |FROM (VALUES (1, 'x', DATE '2021-01-05'), (2, 'y', DATE '2021-03-05'),
+        |             (3, 'z', DATE '2022-07-01'), (4, 'x', DATE '2022-11-11'))
+        |  AS t(a, b, d)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d02_insert_select" ->
+      """SELECT l_returnflag AS flag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem WHERE l_orderkey < 500
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d03_insert_csv" ->
+      """SELECT k, CAST(sum(v) AS DOUBLE) AS total
+        |FROM (VALUES (1, CAST(1.50 AS DECIMAL(9,2))), (2, CAST(2.25 AS DECIMAL(9,2))),
+        |             (1, CAST(0.25 AS DECIMAL(9,2))), (3, CAST(9.00 AS DECIMAL(9,2))))
+        |  AS t(k, v)
+        |GROUP BY k ORDER BY k""".stripMargin
+  )
+}

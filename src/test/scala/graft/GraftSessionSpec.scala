@@ -1,0 +1,228 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.exec.GraftSession
+
+/** End-to-end DDL/INSERT/management round-trips, ported from the
+  * reference's wire-level integration suite
+  * (crates/tests_integ/tests/sanity_checks.rs:74-560 and the
+  * sql_test_scripts runner) onto the library API — no wire protocol, same
+  * statements and expected results.
+  */
+class GraftSessionSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  lazy val g = new GraftSession(spark)
+
+  test("t1 smoke: basic_checks.sql slice (create/insert/select sum = 6)") {
+    // crates/tests_integ/sql_test_scripts/basic_checks.sql:1-7
+    g.sql("DROP TABLE IF EXISTS test_tab")
+    g.sql("CREATE TABLE test_tab(a UInt64)")
+    g.sql("INSERT INTO test_tab VALUES (1), (2), (3)")
+    val sum = g.sql("select sum(a) from test_tab").collect()(0).getDecimal(0)
+    assert(sum.longValueExact === 6L)
+  }
+
+  test("script runner executes blank-line-separated statements") {
+    val df = g.script(
+      """DROP TABLE IF EXISTS script_tab
+        |
+        |CREATE TABLE script_tab(a UInt64)
+        |
+        |INSERT INTO script_tab VALUES (1), (2), (3)
+        |
+        |select sum(a) from script_tab""".stripMargin)
+    assert(df.collect()(0).getDecimal(0).longValueExact === 6L)
+  }
+
+  test("create database / use / show databases / drop database") {
+    g.sql("DROP DATABASE IF EXISTS graft_db2")
+    g.sql("CREATE DATABASE graft_db2")
+    val dbs = g.sql("SHOW DATABASES").collect().map(_.getString(0))
+    assert(dbs.contains("graft_db2"))
+    g.sql("USE graft_db2")
+    g.sql("CREATE TABLE t_in_db2(x Int32)")
+    g.sql("INSERT INTO t_in_db2 VALUES (7)")
+    assert(g.sql("SELECT x FROM t_in_db2").collect()(0).getInt(0) === 7)
+    val tabs = g.sql("SHOW TABLES").collect().map(_.getString(0))
+    assert(tabs.contains("t_in_db2"))
+    g.sql("USE default")
+    g.sql("DROP DATABASE graft_db2")
+    assert(!g.sql("SHOW DATABASES").collect().map(_.getString(0)).contains("graft_db2"))
+  }
+
+  test("create database if not exists is idempotent; bare create throws") {
+    g.sql("CREATE DATABASE IF NOT EXISTS graft_db3")
+    g.sql("CREATE DATABASE IF NOT EXISTS graft_db3")
+    intercept[Exception] { g.sql("CREATE DATABASE graft_db3") }
+    g.sql("DROP DATABASE graft_db3")
+  }
+
+  test("DESC wraps CH types; SHOW CREATE TABLE replays the script (sanity_checks.rs:562)") {
+    g.sql("DROP TABLE IF EXISTS desc_tab")
+    val script = "CREATE TABLE desc_tab(a UInt64, b Nullable(String), " +
+      "c Decimal(9, 2), d Date, e FixedString(3))"
+    g.sql(script)
+    val desc = g.sql("DESC desc_tab").collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(desc("a") === "UInt64")
+    assert(desc("b") === "Nullable(String)")
+    assert(desc("c") === "Decimal(9, 2)")
+    assert(desc("d") === "Date")
+    assert(desc("e") === "FixedString(3)")
+    val shown = g.sql("SHOW CREATE TABLE desc_tab").collect()(0).getString(0)
+    assert(shown === script)
+  }
+
+  test("insert/select round-trips per type (sanity_checks.rs:196-443)") {
+    g.sql("DROP TABLE IF EXISTS typed_tab")
+    g.sql("CREATE TABLE typed_tab(i8 Int8, u16 UInt16, f64 Float64, " +
+      "dec Decimal(9, 2), d Date, dt DateTime, s String, ns Nullable(Int32))")
+    g.sql("INSERT INTO typed_tab VALUES " +
+      "(-128, 65535, 1.5, 12.34, '2021-01-05', '2021-01-05 10:30:00', 'hi', NULL), " +
+      "(127, 0, -2.25, -0.01, 18628, 1609843800, 'yo', 42)")
+    val rows = g.sql("SELECT * FROM typed_tab ORDER BY i8").collect()
+    assert(rows.length === 2)
+    val r0 = rows(0)
+    assert(r0.getByte(0) === -128)
+    assert(r0.getInt(1) === 65535)
+    assert(r0.getDouble(2) === 1.5)
+    assert(r0.getDecimal(3).toPlainString === "12.34")
+    assert(r0.getDate(4).toString === "2021-01-05")
+    assert(r0.getString(6) === "hi")
+    assert(r0.isNullAt(7))
+    val r1 = rows(1)
+    // epoch-day 18628 = 2021-01-01; epoch-second 1609843800 = 2021-01-05 10:50 UTC
+    assert(r1.getDate(4).toString === "2021-01-01")
+    assert(r1.getTimestamp(5).toInstant.getEpochSecond === 1609843800L)
+    assert(r1.getInt(7) === 42)
+  }
+
+  test("truncate keeps schema, drops rows (sanity_checks.rs:494)") {
+    g.sql("DROP TABLE IF EXISTS trunc_tab")
+    g.sql("CREATE TABLE trunc_tab(a Int32)")
+    g.sql("INSERT INTO trunc_tab VALUES (1), (2)")
+    assert(g.sql("SELECT count(*) AS n FROM trunc_tab").collect()(0).getLong(0) === 2L)
+    g.sql("TRUNCATE TABLE trunc_tab")
+    assert(g.sql("SELECT count(*) AS n FROM trunc_tab").collect()(0).getLong(0) === 0L)
+    g.sql("INSERT INTO trunc_tab VALUES (3)")
+    assert(g.sql("SELECT a FROM trunc_tab").collect()(0).getInt(0) === 3)
+  }
+
+  test("insert with explicit column list fills the rest with NULL") {
+    g.sql("DROP TABLE IF EXISTS partial_tab")
+    g.sql("CREATE TABLE partial_tab(a Int32, b Nullable(String), c Nullable(Int64))")
+    g.sql("INSERT INTO partial_tab (a) VALUES (5)")
+    val r = g.sql("SELECT * FROM partial_tab").collect()(0)
+    assert(r.getInt(0) === 5 && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("INSERT INTO ... SELECT (mgmt.rs:772-800)") {
+    g.sql("DROP TABLE IF EXISTS sel_src")
+    g.sql("DROP TABLE IF EXISTS sel_dst")
+    g.sql("CREATE TABLE sel_src(a Int64)")
+    g.sql("CREATE TABLE sel_dst(a Int64)")
+    g.sql("INSERT INTO sel_src VALUES (10), (20), (30)")
+    g.sql("INSERT INTO sel_dst SELECT a FROM sel_src WHERE a > 10")
+    assert(g.sql("SELECT sum(a) AS s FROM sel_dst").collect()(0).getLong(0) === 50L)
+  }
+
+  test("INSERT INTO ... FORMAT CSV with inline and payload data") {
+    g.sql("DROP TABLE IF EXISTS csv_tab")
+    g.sql("CREATE TABLE csv_tab(a Int32, b String)")
+    g.sql("INSERT INTO csv_tab FORMAT CSV\n1,x\n2,y")
+    g.sql("INSERT INTO csv_tab FORMAT CSV", "3,z")
+    val rows = g.sql("SELECT a, b FROM csv_tab ORDER BY a").collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq ===
+      Seq((1, "x"), (2, "y"), (3, "z")))
+  }
+
+  test("PARTITION BY expr writes partitioned layout and queries correctly " +
+    "(write.rs:26-67, sanity_checks.rs:1294-1343)") {
+    g.sql("DROP TABLE IF EXISTS part_tab")
+    g.sql("CREATE TABLE part_tab(id Int64, d Date) ENGINE=BaseStorage " +
+      "PARTITION BY toYYYYMM(d)")
+    g.sql("INSERT INTO part_tab VALUES (1, '2021-01-05'), (2, '2021-01-20'), " +
+      "(3, '2021-02-03'), (4, '2022-07-01')")
+    // partition dirs exist per distinct toYYYYMM value
+    val loc = new java.io.File(new java.net.URI(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("part_tab", Some("default"))
+      ).location.toString).getPath)
+    val dirs = loc.listFiles.filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq === Seq("__ptk=202101", "__ptk=202102", "__ptk=202207"))
+    // SELECT * preserves declared columns only at the front; full content ok
+    val rows = g.sql("SELECT id, d FROM part_tab ORDER BY id").collect()
+    assert(rows.length === 4)
+    assert(rows(0).getDate(1).toString === "2021-01-05")
+    // filtering on the partition key prunes directories
+    val pruned = g.spark.sql("SELECT id FROM part_tab WHERE __ptk = '202101'")
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("filters on the partition SOURCE column prune partitions " +
+    "(PartitionPruneDerivation; reference rewrite parse.rs:539-893)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    g.sql("DROP TABLE IF EXISTS prune_tab")
+    g.sql("CREATE TABLE prune_tab(id Int64, d Date) PARTITION BY toYYYYMM(d)")
+    g.sql("INSERT INTO prune_tab VALUES (1, '2021-01-05'), (2, '2021-02-20'), " +
+      "(3, '2021-03-03'), (4, '2022-07-01')")
+
+    def scanOf(sql: String) = {
+      val df = g.sql(sql)
+      val scans = df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s
+      }
+      (df, scans.head)
+    }
+
+    // equality on d → exactly one partition directory read
+    val (dfEq, scanEq) = scanOf("SELECT id FROM prune_tab WHERE d = '2021-02-20'")
+    assert(dfEq.collect().map(_.getLong(0)).toSeq === Seq(2L))
+    assert(scanEq.partitionFilters.nonEmpty, "derived __ptk filter missing")
+    assert(scanEq.relation.location.listFiles(
+      scanEq.partitionFilters, scanEq.dataFilters).length === 1)
+
+    // range on d (monotone toYYYYMM) → only matching months read
+    val (dfRange, scanRange) = scanOf(
+      "SELECT id FROM prune_tab WHERE d >= '2021-02-01' AND d < '2021-04-01'")
+    assert(dfRange.collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L))
+    assert(scanRange.partitionFilters.nonEmpty)
+    assert(scanRange.relation.location.listFiles(
+      scanRange.partitionFilters, scanRange.dataFilters).length === 2)
+  }
+
+  test("OPTIMIZE TABLE runs (stub parity, mgmt.rs:923-941)") {
+    g.sql("DROP TABLE IF EXISTS opt_tab")
+    g.sql("CREATE TABLE opt_tab(a Int32)")
+    g.sql("INSERT INTO opt_tab VALUES (1)")
+    g.sql("OPTIMIZE TABLE opt_tab")
+    assert(g.sql("SELECT count(*) AS n FROM opt_tab").collect()(0).getLong(0) === 1L)
+  }
+
+  test("EXPLAIN returns a formatted plan (bql.pest:10)") {
+    g.sql("DROP TABLE IF EXISTS exp_tab")
+    g.sql("CREATE TABLE exp_tab(a Int32)")
+    val plan = g.sql("EXPLAIN SELECT sum(a) FROM exp_tab").collect()
+      .map(_.getString(0)).mkString("\n")
+    assert(plan.contains("HashAggregate"))
+  }
+
+  test("FixedString pads to declared length (mgmt.rs:1258-1263)") {
+    g.sql("DROP TABLE IF EXISTS fs_tab")
+    g.sql("CREATE TABLE fs_tab(f FixedString(4))")
+    g.sql("INSERT INTO fs_tab VALUES ('ab')")
+    val b = g.sql("SELECT f FROM fs_tab").collect()(0).getAs[Array[Byte]](0)
+    assert(b.length === 4)
+    assert(b.toSeq === Seq('a'.toByte, 'b'.toByte, 0.toByte, 0.toByte))
+  }
+
+  test("decimal literals rescale to declared scale (mgmt.rs:1229-1251)") {
+    g.sql("DROP TABLE IF EXISTS dec_tab")
+    g.sql("CREATE TABLE dec_tab(d Decimal(9, 3))")
+    g.sql("INSERT INTO dec_tab VALUES (1.5), (2), (-0.125)")
+    val vals = g.sql("SELECT d FROM dec_tab ORDER BY d").collect()
+      .map(_.getDecimal(0).toPlainString)
+    assert(vals.toSeq === Seq("-0.125", "1.500", "2.000"))
+  }
+}
