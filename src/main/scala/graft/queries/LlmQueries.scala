@@ -1,0 +1,399 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** LLM-training-data pipeline operators over `documents` / `embeddings` —
+  * the beyond-reference north-star surface (BASELINE.json): dedup,
+  * near-dup LSH, similarity search, text analysis. Every query is
+  * oracle-checked: hashing uses md5 (identical hex in Spark and DuckDB) and
+  * floating-point reductions use an explicit left fold so both engines
+  * produce bit-identical doubles.
+  *
+  * 100 TB design notes (per operator, see each entry):
+  *   - nothing here is all-pairs: candidate generation is always a
+  *     bucket/band equi-join, which shuffles on the band key and scales
+  *     linearly in input + output-pair count;
+  *   - per-doc work (shingling, minhashing, fingerprints) is map-side only;
+  *   - the brute-force cosine scan exists as the correctness baseline for
+  *     the LSH-bucketed variant, and broadcasts the query vector (never
+  *     shuffles the embedding table).
+  */
+object LlmQueries {
+
+  // ---- cross-dialect helpers ------------------------------------------
+  /** Left-fold dot product over 64-dim float vectors, bit-identical in both
+    * engines: same element order, same double promotion, same IEEE ops.
+    */
+  private def dotSpark(a: String, b: String): String =
+    s"aggregate(transform(sequence(1, 64), i -> CAST(element_at($a, i) AS DOUBLE) * " +
+      s"CAST(element_at($b, i) AS DOUBLE)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+  private def dotDuck(a: String, b: String): String =
+    s"list_reduce(list_transform(range(64), i -> $a[i+1]::DOUBLE * $b[i+1]::DOUBLE), " +
+      s"(x, y) -> x + y)"
+
+  /** 4-bit sign-LSH bucket: sign bits of components 1, 17, 33, 49 — four
+    * axis-aligned hyperplanes. Deterministic (no RNG in either engine).
+    */
+  private def bucketSpark(e: String): String =
+    Seq(1, 17, 33, 49).map(i =>
+      s"(CASE WHEN element_at($e, $i) >= 0 THEN '1' ELSE '0' END)")
+      .mkString("concat(", ", ", ")")
+  private def bucketDuck(e: String): String =
+    Seq(1, 17, 33, 49).map(i =>
+      s"(CASE WHEN $e[$i] >= 0 THEN '1' ELSE '0' END)")
+      .mkString("concat(", ", ", ")")
+
+  /** Hex nibble value of md5(x) char at `pos` (1-based): position-in-alphabet
+    * arithmetic (no hex-cast differences between engines). Spark spells the
+    * position function `instr`, DuckDB `strpos` — same 1-based semantics.
+    */
+  private def nibSpark(md5expr: String, pos: Int): String =
+    s"(instr('0123456789abcdef', substr($md5expr, $pos, 1)) - 1)"
+  private def nib(md5expr: String, pos: Int): String =
+    s"(strpos('0123456789abcdef', substr($md5expr, $pos, 1)) - 1)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- l01: exact dedup by content hash -----------------------------
+    // 100 TB: groupBy(md5(text)) is a single hash shuffle on a uniformly
+    // distributed 128-bit key — no skew by construction; the kept-doc
+    // choice (min doc_id) is a deterministic tie-break.
+    "l01_exact_dedup" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """WITH keyed AS (
+          |  SELECT doc_id, md5(lower(text)) AS k FROM documents
+          |), groups AS (
+          |  SELECT k, count(*) AS sz, min(doc_id) AS keeper FROM keyed GROUP BY k
+          |)
+          |SELECT count(*) AS n_unique,
+          |  CAST(sum(sz) AS BIGINT) AS n_docs,
+          |  CAST(sum(sz - 1) AS BIGINT) AS n_removed,
+          |  CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
+          |FROM groups""".stripMargin)
+    },
+
+    // ---- l02: minhash-LSH near-dup candidate generation ---------------
+    // Shingle (token 3-grams) → 4 minhashes → 2 bands of 2 → band-bucket
+    // self-join. 100 TB: the join key is (band, sig); candidate pairs are
+    // produced per bucket, never all-pairs. Skewed mega-buckets (boiler-
+    // plate docs) would be capped with a bucket-size limit before the join.
+    "l02_minhash_lsh" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """WITH toks AS (
+          |  SELECT doc_id, split(text, ' ') AS t FROM documents WHERE size(split(text, ' ')) >= 3
+          |), sh AS (
+          |  SELECT doc_id, explode(transform(sequence(0, size(t) - 3),
+          |    i -> array_join(slice(t, i + 1, 3), ' '))) AS s
+          |  FROM toks
+          |), mh AS (
+          |  SELECT doc_id,
+          |    min(substr(md5(concat(s, '#0')), 1, 8)) AS h0,
+          |    min(substr(md5(concat(s, '#1')), 1, 8)) AS h1,
+          |    min(substr(md5(concat(s, '#2')), 1, 8)) AS h2,
+          |    min(substr(md5(concat(s, '#3')), 1, 8)) AS h3
+          |  FROM sh GROUP BY doc_id
+          |), bands AS (
+          |  SELECT doc_id, 0 AS band, concat(h0, h1) AS sig FROM mh
+          |  UNION ALL
+          |  SELECT doc_id, 1 AS band, concat(h2, h3) AS sig FROM mh
+          |), buckets AS (
+          |  SELECT band, sig, count(*) AS n FROM bands GROUP BY band, sig
+          |), pairs AS (
+          |  SELECT a.doc_id AS d1, b.doc_id AS d2
+          |  FROM bands a JOIN bands b
+          |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+          |)
+          |SELECT count(*) AS n_candidate_pairs,
+          |  count(DISTINCT concat(d1, '_', d2)) AS n_distinct_pairs,
+          |  (SELECT count(*) FROM buckets WHERE n > 1) AS n_multi_buckets
+          |FROM pairs""".stripMargin)
+    },
+
+    // ---- l03: brute-force top-k cosine (ANN correctness baseline) -----
+    // 100 TB: one scan of embeddings with the query vector broadcast; the
+    // top-k is a TakeOrderedAndProject (per-partition heap + driver merge),
+    // no shuffle of the full similarity column.
+    "l03_ann_bruteforce" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |sims AS (
+           |  SELECT e.vec_id,
+           |    ${dotSpark("e.embedding", "q.qe")} AS dot,
+           |    sqrt(${dotSpark("e.embedding", "e.embedding")}) AS ne,
+           |    sqrt(${dotSpark("q.qe", "q.qe")}) AS nq
+           |  FROM embeddings e CROSS JOIN q
+           |  WHERE e.vec_id <> 0
+           |)
+           |SELECT vec_id, round(dot / (ne * nq), 6) AS sim
+           |FROM sims ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)
+    },
+
+    // ---- l04: LSH-bucketed ANN (the scale path) -----------------------
+    // 100 TB: bucket the table once by the 4-bit sign-LSH key (in practice
+    // 16-24 bits → millions of buckets, stored bucketed/partitioned), then
+    // probe only the query's bucket — a partition-pruned scan instead of a
+    // full sweep; recall is tuned by multi-probe over neighboring buckets.
+    "l04_ann_lsh_bucketed" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        s"""WITH b AS (
+           |  SELECT vec_id, embedding, ${bucketSpark("embedding")} AS bucket
+           |  FROM embeddings
+           |), q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0),
+           |sims AS (
+           |  SELECT b.vec_id,
+           |    ${dotSpark("b.embedding", "q.qe")} AS dot,
+           |    sqrt(${dotSpark("b.embedding", "b.embedding")}) AS ne,
+           |    sqrt(${dotSpark("q.qe", "q.qe")}) AS nq
+           |  FROM b JOIN q ON b.bucket = q.qb
+           |  WHERE b.vec_id <> 0
+           |)
+           |SELECT vec_id, round(dot / (ne * nq), 6) AS sim
+           |FROM sims ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin)
+    },
+
+    // ---- l05: token/char stats per language (quality scoring inputs) --
+    // Integer sums only → exact cross-engine equality. 100 TB: one
+    // map-side-combined aggregation over a low-cardinality key.
+    "l05_text_stats" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT lang,
+          |  count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |  CAST(sum(size(split(text, ' '))) AS BIGINT) AS sum_tokens,
+          |  CAST(max(size(split(text, ' '))) AS BIGINT) AS max_tokens,
+          |  CAST(min(size(split(text, ' '))) AS BIGINT) AS min_tokens
+          |FROM documents
+          |GROUP BY lang ORDER BY lang""".stripMargin)
+    },
+
+    // ---- l06: language-ID heuristic vs labeled lang -------------------
+    // A stopword-presence heuristic (the real thing is an n-gram profile;
+    // same plan shape: map-side classify + small aggregate).
+    "l06_langid_heuristic" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT lang,
+          |  CASE WHEN instr(concat(' ', text, ' '), ' the ') > 0
+          |       THEN 'en-like' ELSE 'other' END AS predicted,
+          |  count(*) AS n
+          |FROM documents
+          |GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin)
+    },
+
+    // ---- l07: simhash document fingerprint ----------------------------
+    // 8-bit simhash from per-token md5 bytes: per-bit signed vote, sign →
+    // bit. 100 TB: explode+groupBy(doc_id) is map-heavy but linear; the
+    // fingerprint then joins near-dups by hamming-ball probing (here:
+    // fingerprint histogram as the verifiable output).
+    "l07_simhash" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val byte = s"(${nibSpark("h", 1)} * 16 + ${nibSpark("h", 2)})"
+      val votes = (0 until 8).map { b =>
+        s"sum(2 * ((byte DIV ${1 << b}) % 2) - 1) AS s$b"
+      }.mkString(", ")
+      val hash = (0 until 8).map { b =>
+        s"(CASE WHEN s$b > 0 THEN ${1 << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s.sql(
+        s"""WITH tok AS (
+           |  SELECT doc_id, explode(split(text, ' ')) AS w FROM documents
+           |), tb AS (
+           |  SELECT doc_id, $byte AS byte FROM (SELECT doc_id, md5(w) AS h FROM tok)
+           |), v AS (
+           |  SELECT doc_id, $votes FROM tb GROUP BY doc_id
+           |), f AS (
+           |  SELECT doc_id, CAST($hash AS INT) AS simhash FROM v
+           |)
+           |SELECT simhash, count(*) AS n FROM f GROUP BY simhash
+           |ORDER BY simhash""".stripMargin)
+    },
+
+    // ---- l08: n-gram Jaccard similarity on blocked pairs --------------
+    // Token-bigram Jaccard over a deterministic candidate block (adjacent
+    // doc ids within a language). 100 TB: the blocking key replaces
+    // all-pairs; set ops are per-pair map work.
+    "l08_ngram_jaccard" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """WITH g AS (
+          |  SELECT doc_id, lang,
+          |    array_distinct(transform(sequence(0, size(split(text, ' ')) - 2),
+          |      i -> array_join(slice(split(text, ' '), i + 1, 2), ' '))) AS grams
+          |  FROM documents WHERE size(split(text, ' ')) >= 2
+          |), pairs AS (
+          |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+          |    size(array_intersect(a.grams, b.grams)) AS inter,
+          |    size(a.grams) + size(b.grams)
+          |      - size(array_intersect(a.grams, b.grams)) AS uni
+          |  FROM g a JOIN g b ON a.lang = b.lang AND b.doc_id = a.doc_id + 1
+          |)
+          |SELECT d1, d2, round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+          |FROM pairs
+          |ORDER BY jaccard DESC, d1 LIMIT 20""".stripMargin)
+    },
+
+    // ---- m01: multimodal decode plumbing ------------------------------
+    // Typed mapPartitions decode over an opaque binary column (stubbed
+    // codec, real Spark plumbing — graft.operators.MultimodalOps). The
+    // oracle recomputes the deterministic fake decode arithmetically.
+    "m01_multimodal_decode" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      import org.apache.spark.sql.functions.{col, count, expr, lit, sum}
+      graft.operators.MultimodalOps
+        .decodeDocuments(s, s.table("documents"))
+        .toDF()
+        .groupBy(expr("width DIV 32").cast("int").as("w_bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("n_pixels")).cast("long").as("sum_pixels"))
+        .orderBy(col("w_bucket"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "l01_exact_dedup" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, md5(lower(text)) AS k FROM documents
+        |), groups AS (
+        |  SELECT k, count(*) AS sz, min(doc_id) AS keeper FROM keyed GROUP BY k
+        |)
+        |SELECT count(*) AS n_unique,
+        |  CAST(sum(sz) AS BIGINT) AS n_docs,
+        |  CAST(sum(sz - 1) AS BIGINT) AS n_removed,
+        |  CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
+        |FROM groups""".stripMargin,
+
+    "l02_minhash_lsh" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 3
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_transform(range(len(t) - 2),
+        |    i -> array_to_string(t[i+1:i+3], ' '))) AS s
+        |  FROM toks
+        |), mh AS (
+        |  SELECT doc_id,
+        |    min(substr(md5(s || '#0'), 1, 8)) AS h0,
+        |    min(substr(md5(s || '#1'), 1, 8)) AS h1,
+        |    min(substr(md5(s || '#2'), 1, 8)) AS h2,
+        |    min(substr(md5(s || '#3'), 1, 8)) AS h3
+        |  FROM sh GROUP BY doc_id
+        |), bands AS (
+        |  SELECT doc_id, 0 AS band, h0 || h1 AS sig FROM mh
+        |  UNION ALL
+        |  SELECT doc_id, 1 AS band, h2 || h3 AS sig FROM mh
+        |), buckets AS (
+        |  SELECT band, sig, count(*) AS n FROM bands GROUP BY band, sig
+        |), pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |)
+        |SELECT count(*) AS n_candidate_pairs,
+        |  count(DISTINCT concat(d1, '_', d2)) AS n_distinct_pairs,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM buckets WHERE n > 1) AS n_multi_buckets
+        |FROM pairs""".stripMargin,
+
+    "l03_ann_bruteforce" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |sims AS (
+         |  SELECT e.vec_id,
+         |    ${dotDuck("e.embedding", "q.qe")} AS dot,
+         |    sqrt(${dotDuck("e.embedding", "e.embedding")}) AS ne,
+         |    sqrt(${dotDuck("q.qe", "q.qe")}) AS nq
+         |  FROM embeddings e CROSS JOIN q
+         |  WHERE e.vec_id <> 0
+         |)
+         |SELECT vec_id, round(dot / (ne * nq), 6) AS sim
+         |FROM sims ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "l04_ann_lsh_bucketed" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, ${bucketDuck("embedding")} AS bucket
+         |  FROM embeddings
+         |), q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0),
+         |sims AS (
+         |  SELECT b.vec_id,
+         |    ${dotDuck("b.embedding", "q.qe")} AS dot,
+         |    sqrt(${dotDuck("b.embedding", "b.embedding")}) AS ne,
+         |    sqrt(${dotDuck("q.qe", "q.qe")}) AS nq
+         |  FROM b JOIN q ON b.bucket = q.qb
+         |  WHERE b.vec_id <> 0
+         |)
+         |SELECT vec_id, round(dot / (ne * nq), 6) AS sim
+         |FROM sims ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
+
+    "l05_text_stats" ->
+      """SELECT lang,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+        |  CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens,
+        |  CAST(min(len(string_split(text, ' '))) AS BIGINT) AS min_tokens
+        |FROM documents
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "l06_langid_heuristic" ->
+      """SELECT lang,
+        |  CASE WHEN strpos(' ' || text || ' ', ' the ') > 0
+        |       THEN 'en-like' ELSE 'other' END AS predicted,
+        |  count(*) AS n
+        |FROM documents
+        |GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
+
+    "l07_simhash" -> {
+      val nibD1 = "(strpos('0123456789abcdef', substr(h, 1, 1)) - 1)"
+      val nibD2 = "(strpos('0123456789abcdef', substr(h, 2, 1)) - 1)"
+      val votes = (0 until 8).map { b =>
+        s"sum(2 * ((byte // ${1 << b}) % 2) - 1) AS s$b"
+      }.mkString(", ")
+      val hash = (0 until 8).map { b =>
+        s"(CASE WHEN s$b > 0 THEN ${1 << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+         |), tb AS (
+         |  SELECT doc_id, ($nibD1 * 16 + $nibD2) AS byte
+         |  FROM (SELECT doc_id, md5(w) AS h FROM tok)
+         |), v AS (
+         |  SELECT doc_id, $votes FROM tb GROUP BY doc_id
+         |), f AS (
+         |  SELECT doc_id, CAST($hash AS INT) AS simhash FROM v
+         |)
+         |SELECT simhash, count(*) AS n FROM f GROUP BY simhash
+         |ORDER BY simhash""".stripMargin
+    },
+
+    "l08_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_transform(range(len(string_split(text, ' ')) - 1),
+        |      i -> array_to_string((string_split(text, ' '))[i+1:i+2], ' '))) AS grams
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2
+        |), pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |    len(list_intersect(a.grams, b.grams)) AS inter,
+        |    len(a.grams) + len(b.grams)
+        |      - len(list_intersect(a.grams, b.grams)) AS uni
+        |  FROM g a JOIN g b ON a.lang = b.lang AND b.doc_id = a.doc_id + 1
+        |)
+        |SELECT d1, d2, round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+        |FROM pairs
+        |ORDER BY jaccard DESC, d1 LIMIT 20""".stripMargin,
+
+    "m01_multimodal_decode" -> {
+      val w = s"(${nib("md5(text)", 1)} * 16 + ${nib("md5(text)", 2)})"
+      val h = s"(${nib("md5(text)", 3)} * 16 + ${nib("md5(text)", 4)})"
+      s"""WITH m AS (
+         |  SELECT doc_id, $w AS width, $h AS height, $w * $h AS n_pixels
+         |  FROM documents
+         |)
+         |SELECT CAST(width // 32 AS INT) AS w_bucket, count(*) AS n,
+         |  CAST(sum(n_pixels) AS BIGINT) AS sum_pixels
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+    }
+  )
+}
