@@ -19,12 +19,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ JoinQueries.queries ++ WindowQueries.queries ++
-      SetQueries.queries ++ DdlQueries.queries ++ LlmQueries.queries
+      SetQueries.queries ++ DdlQueries.queries ++ LlmQueries.queries ++
+      FuncQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ JoinQueries.oracles ++ WindowQueries.oracles ++
-      SetQueries.oracles ++ DdlQueries.oracles ++ LlmQueries.oracles
+      SetQueries.oracles ++ DdlQueries.oracles ++ LlmQueries.oracles ++
+      FuncQueries.oracles
 }

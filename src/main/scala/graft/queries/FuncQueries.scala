@@ -1,0 +1,365 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.functions.ClickHouseFunctions
+
+/** Coverage for the reference's scalar-function packs and the aggregate /
+  * window / set-op gaps flagged in round 1 (VERDICT §2.5-2.7): the CH
+  * datetime pack under the oracle gate, LIKE, date_part/date_trunc, avg,
+  * sum(DISTINCT), approx_count_distinct, collect_list, NULLIF, TRY_CAST,
+  * RANGE window frames, INTERSECT/EXCEPT ALL, math/string/regex/crypto
+  * packs, and the first queries over `events`.
+  */
+object FuncQueries {
+  import Q._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CH datetime pack under CORRECTNESS (not just unit tests) — reference
+    // kernels crates/datafusion/src/physical_plan/clickhouse.rs:260-822.
+    "f01_ch_datetime" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      ClickHouseFunctions.register(s)
+      s.sql(
+        """SELECT CAST(toYear(ts) AS INT) AS yr,
+          |  CAST(toQuarter(ts) AS INT) AS qtr,
+          |  CAST(toMonth(ts) AS INT) AS mth,
+          |  CAST(toDayOfWeek(ts) AS INT) AS dow,
+          |  count(*) AS n,
+          |  CAST(min(toDayOfMonth(ts)) AS INT) AS min_dom,
+          |  CAST(max(toHour(ts)) AS INT) AS max_hr
+          |FROM events
+          |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin)
+    },
+
+    // LIKE / NOT LIKE (TPC-H Q9/Q14/Q16 shapes,
+    // tpch/01095_tpch_like_smoke.sql:374,504,562).
+    "f02_like" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        s"""SELECT
+           |  CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END) AS BIGINT) AS n_promo,
+           |  CAST(sum(CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END) AS BIGINT) AS n_green,
+           |  CAST(sum(CASE WHEN p_name NOT LIKE '%o%' THEN 1 ELSE 0 END) AS BIGINT) AS n_no_o,
+           |  CAST(sum(CASE WHEN p_brand LIKE 'Brand#1_' THEN 1 ELSE 0 END) AS BIGINT) AS n_brand1x
+           |FROM part""".stripMargin)
+    },
+
+    // Generic datetime pack: date_part + date_trunc (reference
+    // datetime_expressions.rs; the baseline group-by anchor is date_part).
+    "f03_date_part_trunc" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT CAST(date_part('year', o_orderdate) AS INT) AS yr,
+          |  date_trunc('quarter', o_orderdate) AS qstart,
+          |  count(*) AS n
+          |FROM orders
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    },
+
+    // avg / sum(DISTINCT) / count(DISTINCT) (reference average.rs,
+    // distinct_expressions.rs). avg is exact: decimal sum cast to double
+    // divided by the long count — identical IEEE ops in both engines.
+    "f04_agg_pack" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        s"""SELECT l_returnflag,
+           |  CAST(ROUND(CAST(sum(${decSql("l_quantity")}) AS DOUBLE) / count(*), 4) AS DOUBLE) AS avg_qty,
+           |  CAST(ROUND(avg(CAST(l_discount AS DOUBLE)), 4) AS DOUBLE) AS avg_disc,
+           |  CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_dist_qty,
+           |  count(DISTINCT l_suppkey) AS n_supp
+           |FROM lineitem
+           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+
+    // approx_count_distinct (HLL++ here, the reference ships its own HLL:
+    // expressions/approx_distinct.rs). The estimators differ across
+    // engines, so the oracle-stable output is the error-bound check plus
+    // the exact count.
+    "f05_approx_distinct" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT count(DISTINCT l_partkey) AS exact_parts,
+          |  CAST(abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+          |    <= 0.05 * count(DISTINCT l_partkey) AS INT) AS approx_within_5pct
+          |FROM lineitem""".stripMargin)
+    },
+
+    // array_agg / collect_list (reference array_agg.rs) — deterministic via
+    // distinct + sort + join to string.
+    "f06_collect_list" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderstatus,
+          |  array_join(array_sort(array_distinct(collect_list(o_orderpriority))), ',') AS prios,
+          |  count(*) AS n
+          |FROM orders
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    },
+
+    // NULLIF + TRY_CAST (reference nullif.rs, try_cast.rs).
+    "f07_nullif_trycast" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT
+          |  CAST(sum(CASE WHEN NULLIF(o_orderstatus, 'F') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+          |  CAST(sum(TRY_CAST(substr(o_orderpriority, 1, 1) AS INT)) AS BIGINT) AS prio_sum,
+          |  CAST(sum(CASE WHEN TRY_CAST(o_orderstatus AS INT) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_uncastable
+          |FROM orders""".stripMargin)
+    },
+
+    // RANGE window frames (reference parses but barely executes them,
+    // logical_plan/window_frames.rs:130-226; Spark runs them natively).
+    "f08_range_frames" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        s"""SELECT o_orderkey, o_custkey,
+           |  CAST(ROUND(sum(${decSql("o_totalprice")}) OVER (
+           |    PARTITION BY o_custkey ORDER BY ${decSql("o_totalprice")}
+           |    RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS near_sum,
+           |  CAST(ROUND(sum(${decSql("o_totalprice")}) OVER (
+           |    PARTITION BY o_custkey ORDER BY ${decSql("o_totalprice")}
+           |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS cum_sum
+           |FROM orders WHERE o_custkey < 20""".stripMargin)
+    },
+
+    // INTERSECT ALL / EXCEPT ALL (bag semantics; reference rewrites the
+    // DISTINCT forms only, sql/planner.rs:260-271).
+    "f09_intersect_except_all" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT nationkey, count(*) AS n FROM (
+          |  SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+          |  INTERSECT ALL
+          |  SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 1000
+          |) t GROUP BY nationkey
+          |UNION ALL
+          |SELECT -1 - nationkey AS nationkey, count(*) AS n FROM (
+          |  SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+          |  EXCEPT ALL
+          |  SELECT s_nationkey AS nationkey FROM supplier
+          |) t GROUP BY nationkey
+          |ORDER BY nationkey""".stripMargin)
+    },
+
+    // String/regex/crypto packs (reference string_expressions.rs,
+    // unicode_expressions.rs, regex_expressions.rs, crypto_expressions.rs).
+    "f10_string_pack" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT n_name,
+          |  upper(n_name) AS up, lower(n_name) AS lo,
+          |  length(n_name) AS len,
+          |  substr(n_name, 2, 3) AS sub,
+          |  lpad(n_name, 12, '.') AS pad_l, rpad(n_name, 12, '.') AS pad_r,
+          |  reverse(n_name) AS rev,
+          |  replace(n_name, 'A', '@') AS repl,
+          |  concat(n_name, '-', CAST(n_nationkey AS STRING)) AS cat,
+          |  trim('  x  ') AS trimmed,
+          |  repeat('ab', 3) AS rep,
+          |  translate(n_name, 'AEI', 'aei') AS tran,
+          |  left(n_name, 3) AS l3, right(n_name, 3) AS r3,
+          |  split_part(n_name, 'A', 1) AS sp1,
+          |  instr(n_name, 'AN') AS pos_an,
+          |  regexp_replace(n_name, '[AEIOU]', '*') AS re_repl,
+          |  regexp_extract(n_name, '([A-Z]+)', 1) AS re_ext,
+          |  md5(n_name) AS h_md5,
+          |  sha2(n_name, 256) AS h_sha
+          |FROM nation ORDER BY n_name""".stripMargin)
+    },
+
+    // Math pack (reference math_expressions.rs). Transcendentals rounded
+    // (libm vs StrictMath can differ 1 ulp); sqrt/abs/sign/floor/ceil are
+    // exact IEEE.
+    "f11_math_pack" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT n_nationkey AS k,
+          |  abs(n_nationkey - 12) AS a,
+          |  CAST(ceil(n_nationkey / 4.0) AS BIGINT) AS ce,
+          |  CAST(floor(n_nationkey / 4.0) AS BIGINT) AS fl,
+          |  round(CAST(n_nationkey AS DOUBLE) / CAST(7 AS DOUBLE), 3) AS rd,
+          |  sqrt(CAST(n_nationkey AS DOUBLE)) AS sq,
+          |  CAST(sign(n_nationkey - 12) AS INT) AS sg,
+          |  round(exp(n_nationkey / 10.0), 6) AS ex,
+          |  round(ln(n_nationkey + 1.0), 6) AS l_n,
+          |  round(log10(n_nationkey + 1.0), 6) AS l10,
+          |  round(power(n_nationkey, 2.0), 1) AS pw,
+          |  pmod(n_nationkey, 7) AS md
+          |FROM nation ORDER BY k""".stripMargin)
+    },
+
+    // First event-table queries (time-series shape): daily rollup with
+    // exact decimal sums.
+    "e01_events_daily" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           |  count(*) AS n,
+           |  CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value,
+           |  count(DISTINCT user_id) AS n_users
+           |FROM events
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    },
+
+    // Per-user event gaps via lag over event time (exact integer micros).
+    "e02_event_gaps" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """WITH g AS (
+          |  SELECT user_id, event_type,
+          |    unix_micros(ts) - lag(unix_micros(ts)) OVER (
+          |      PARTITION BY user_id ORDER BY unix_micros(ts), event_id) AS gap_us
+          |  FROM events
+          |)
+          |SELECT event_type,
+          |  count(*) AS n,
+          |  CAST(min(gap_us) AS BIGINT) AS min_gap,
+          |  CAST(max(gap_us) AS BIGINT) AS max_gap,
+          |  CAST(sum(gap_us) AS BIGINT) AS sum_gap
+          |FROM g WHERE gap_us IS NOT NULL
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "f01_ch_datetime" ->
+      """SELECT CAST(year(ts) AS INT) AS yr,
+        |  CAST(quarter(ts) AS INT) AS qtr,
+        |  CAST(month(ts) AS INT) AS mth,
+        |  CAST(isodow(ts) AS INT) AS dow,
+        |  count(*) AS n,
+        |  CAST(min(dayofmonth(ts)) AS INT) AS min_dom,
+        |  CAST(max(hour(ts)) AS INT) AS max_hr
+        |FROM events
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
+
+    "f02_like" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END) AS BIGINT) AS n_promo,
+        |  CAST(sum(CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END) AS BIGINT) AS n_green,
+        |  CAST(sum(CASE WHEN p_name NOT LIKE '%o%' THEN 1 ELSE 0 END) AS BIGINT) AS n_no_o,
+        |  CAST(sum(CASE WHEN p_brand LIKE 'Brand#1_' THEN 1 ELSE 0 END) AS BIGINT) AS n_brand1x
+        |FROM part""".stripMargin,
+
+    "f03_date_part_trunc" ->
+      """SELECT CAST(date_part('year', o_orderdate) AS INT) AS yr,
+        |  date_trunc('quarter', o_orderdate) AS qstart,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "f04_agg_pack" ->
+      s"""SELECT l_returnflag,
+         |  CAST(ROUND(CAST(sum(${decSql("l_quantity")}) AS DOUBLE) / count(*), 4) AS DOUBLE) AS avg_qty,
+         |  CAST(ROUND(avg(CAST(l_discount AS DOUBLE)), 4) AS DOUBLE) AS avg_disc,
+         |  CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_dist_qty,
+         |  count(DISTINCT l_suppkey) AS n_supp
+         |FROM lineitem
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "f05_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+        |  CAST(abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+        |    <= 0.05 * count(DISTINCT l_partkey) AS INT) AS approx_within_5pct
+        |FROM lineitem""".stripMargin,
+
+    "f06_collect_list" ->
+      """SELECT o_orderstatus,
+        |  array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS prios,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "f07_nullif_trycast" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN NULLIF(o_orderstatus, 'F') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(sum(TRY_CAST(substr(o_orderpriority, 1, 1) AS INT)) AS BIGINT) AS prio_sum,
+        |  CAST(sum(CASE WHEN TRY_CAST(o_orderstatus AS INT) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_uncastable
+        |FROM orders""".stripMargin,
+
+    "f08_range_frames" ->
+      s"""SELECT o_orderkey, o_custkey,
+         |  CAST(ROUND(sum(${decSql("o_totalprice")}) OVER (
+         |    PARTITION BY o_custkey ORDER BY ${decSql("o_totalprice")}
+         |    RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS near_sum,
+         |  CAST(ROUND(sum(${decSql("o_totalprice")}) OVER (
+         |    PARTITION BY o_custkey ORDER BY ${decSql("o_totalprice")}
+         |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS cum_sum
+         |FROM orders WHERE o_custkey < 20""".stripMargin,
+
+    "f09_intersect_except_all" ->
+      """SELECT nationkey, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+        |  INTERSECT ALL
+        |  SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 1000
+        |) t GROUP BY nationkey
+        |UNION ALL
+        |SELECT -1 - nationkey AS nationkey, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+        |  EXCEPT ALL
+        |  SELECT s_nationkey AS nationkey FROM supplier
+        |) t GROUP BY nationkey
+        |ORDER BY nationkey""".stripMargin,
+
+    "f10_string_pack" ->
+      """SELECT n_name,
+        |  upper(n_name) AS up, lower(n_name) AS lo,
+        |  length(n_name) AS len,
+        |  substr(n_name, 2, 3) AS sub,
+        |  lpad(n_name, 12, '.') AS pad_l, rpad(n_name, 12, '.') AS pad_r,
+        |  reverse(n_name) AS rev,
+        |  replace(n_name, 'A', '@') AS repl,
+        |  concat(n_name, '-', CAST(n_nationkey AS VARCHAR)) AS cat,
+        |  trim('  x  ') AS trimmed,
+        |  repeat('ab', 3) AS rep,
+        |  translate(n_name, 'AEI', 'aei') AS tran,
+        |  left(n_name, 3) AS l3, right(n_name, 3) AS r3,
+        |  split_part(n_name, 'A', 1) AS sp1,
+        |  strpos(n_name, 'AN') AS pos_an,
+        |  regexp_replace(n_name, '[AEIOU]', '*', 'g') AS re_repl,
+        |  regexp_extract(n_name, '([A-Z]+)', 1) AS re_ext,
+        |  md5(n_name) AS h_md5,
+        |  sha256(n_name) AS h_sha
+        |FROM nation ORDER BY n_name""".stripMargin,
+
+    "f11_math_pack" ->
+      """SELECT n_nationkey AS k,
+        |  abs(n_nationkey - 12) AS a,
+        |  CAST(ceil(n_nationkey / 4.0) AS BIGINT) AS ce,
+        |  CAST(floor(n_nationkey / 4.0) AS BIGINT) AS fl,
+        |  round(CAST(n_nationkey AS DOUBLE) / CAST(7 AS DOUBLE), 3) AS rd,
+        |  sqrt(CAST(n_nationkey AS DOUBLE)) AS sq,
+        |  CAST(sign(n_nationkey - 12) AS INT) AS sg,
+        |  round(exp(n_nationkey / 10.0), 6) AS ex,
+        |  round(ln(n_nationkey + 1.0), 6) AS l_n,
+        |  round(log10(n_nationkey + 1.0), 6) AS l10,
+        |  round(power(n_nationkey, 2.0), 1) AS pw,
+        |  n_nationkey % 7 AS md
+        |FROM nation ORDER BY k""".stripMargin,
+
+    "e01_events_daily" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |  count(*) AS n,
+        |  CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "e02_event_gaps" ->
+      """WITH g AS (
+        |  SELECT user_id, event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+        |  FROM events
+        |)
+        |SELECT event_type,
+        |  count(*) AS n,
+        |  CAST(min(gap_us) AS BIGINT) AS min_gap,
+        |  CAST(max(gap_us) AS BIGINT) AS max_gap,
+        |  CAST(sum(gap_us) AS BIGINT) AS sum_gap
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}
