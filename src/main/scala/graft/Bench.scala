@@ -1,24 +1,72 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-round benchmark main. Emits ONE machine-readable JSON line on stdout
+  * and to `$BENCH_OUT` (sbt log noise made round 1's stdout-only output
+  * unparseable — VERDICT defect #5).
+  *
+  * Timing evaluates every projected column through the `noop` sink: a bare
+  * `count()` lets Catalyst prune the very projections being timed
+  * (VERDICT defect #4). Failures are recorded per query and fail the run.
+  *
+  * Anchors mirror BASELINE.md's published measurements (warm in-memory,
+  * best of 3 — docs/benchmarks.md:1-14): a simple column sum and a
+  * date_part('year') group-by over the cached fact table.
+  */
 object Bench {
+  private def timeIt(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  private def evalAll(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val spark = Sessions.build("graft-bench",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    Tables.registerAll(spark, sfDir)
+
+    var failed = List.empty[String]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t = try timeIt(evalAll(fn(spark, sfDir)))
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          failed ::= name
+          -1.0
+      }
+      name -> t
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // BASELINE.md anchors: warm cached fact table, best of 3.
+    def best3(f: => Unit): Double = (1 to 3).map(_ => timeIt(f)).min
+    val sumCold = timeIt(evalAll(
+      spark.read.parquet(s"$sfDir/lineitem.parquet").agg(sum(col("l_orderkey")))))
+    val li = spark.table("lineitem").select("l_orderkey", "l_shipdate").cache()
+    li.count() // materialize the cache
+    val sumWarm = best3(evalAll(li.agg(sum(col("l_orderkey")))))
+    val gbWarm = best3(evalAll(
+      li.groupBy(expr("date_part('year', l_shipdate)").as("yr"))
+        .agg(count(lit(1)).as("n"))))
+    li.unpersist()
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val anchors =
+      f"""{"sum_cold":$sumCold%.4f,"sum_warm":$sumWarm%.4f,"groupby_warm":$gbWarm%.4f}"""
+    val json =
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir","anchors":$anchors,"failed":${failed.size}}"""
+    println(json)
+    val outPath = sys.env.getOrElse("BENCH_OUT", "target/bench_out.json")
+    Files.createDirectories(Paths.get(outPath).toAbsolutePath.getParent)
+    Files.writeString(Paths.get(outPath), json + "\n")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

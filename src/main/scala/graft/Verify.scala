@@ -8,10 +8,17 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = Sessions.build("graft-verify")
     new java.io.File(outDir).mkdirs()
+    val plansDir = Paths.get("target/plans")
+    Files.createDirectories(plansDir)
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // plan snapshot for shuffle/pushdown audits without re-deriving
+        Files.writeString(plansDir.resolve(s"$name.txt"),
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -146,6 +146,20 @@ object SetQueries {
     "s12_numbers_range" -> { (s, dir) =>
       s.range(1, 1001)
         .agg(sum(col("id")).as("total"), count(lit(1)).as("n"))
+    },
+
+    // Single-scan conditional aggregation: the same result as
+    // j05_full_outer_join's two-scan + FULL JOIN plan from ONE pass over
+    // orders (j05 stays as the full-outer coverage row; this is the shape
+    // a 100 TB plan should prefer when both branches scan the same table).
+    "s13_single_scan_pivot" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(
+          sum(when(col("o_totalprice") > 400000, 1L).otherwise(0L)).as("n_hi"),
+          sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("n_urgent"))
+        .filter(col("n_hi") > 0 || col("n_urgent") > 0)
+        .orderBy(col("custkey"))
     }
   )
 
@@ -234,6 +248,16 @@ object SetQueries {
 
     "s12_numbers_range" ->
       """SELECT CAST(sum(range) AS BIGINT) AS total, count(*) AS n
-        |FROM range(1, 1001)""".stripMargin
+        |FROM range(1, 1001)""".stripMargin,
+
+    "s13_single_scan_pivot" ->
+      """SELECT o_custkey AS custkey,
+        |  CAST(sum(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING sum(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END) > 0
+        |    OR sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) > 0
+        |ORDER BY custkey""".stripMargin
   )
 }
