@@ -40,7 +40,7 @@ object FuncQueries {
       s.sql(
         s"""SELECT
            |  CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END) AS BIGINT) AS n_promo,
-           |  CAST(sum(CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END) AS BIGINT) AS n_green,
+           |  CAST(sum(CASE WHEN p_name LIKE '%red%' THEN 1 ELSE 0 END) AS BIGINT) AS n_red,
            |  CAST(sum(CASE WHEN p_name NOT LIKE '%o%' THEN 1 ELSE 0 END) AS BIGINT) AS n_no_o,
            |  CAST(sum(CASE WHEN p_brand LIKE 'Brand#1_' THEN 1 ELSE 0 END) AS BIGINT) AS n_brand1x
            |FROM part""".stripMargin)
@@ -238,7 +238,7 @@ object FuncQueries {
     "f02_like" ->
       """SELECT
         |  CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END) AS BIGINT) AS n_promo,
-        |  CAST(sum(CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END) AS BIGINT) AS n_green,
+        |  CAST(sum(CASE WHEN p_name LIKE '%red%' THEN 1 ELSE 0 END) AS BIGINT) AS n_red,
         |  CAST(sum(CASE WHEN p_name NOT LIKE '%o%' THEN 1 ELSE 0 END) AS BIGINT) AS n_no_o,
         |  CAST(sum(CASE WHEN p_brand LIKE 'Brand#1_' THEN 1 ELSE 0 END) AS BIGINT) AS n_brand1x
         |FROM part""".stripMargin,
