@@ -54,12 +54,19 @@ object Bench {
       li.groupBy(expr("date_part('year', l_shipdate)").as("yr"))
         .agg(count(lit(1)).as("n"))))
     li.unpersist()
+    // The baseline's own anchor scale: sum over 1.47B longs. spark.range is
+    // whole-stage-codegen'd straight arithmetic — the closest local analog
+    // to the reference's warm mmap column sum (docs/benchmarks.md:1-14).
+    // Spark's ~50-100 ms job-launch floor is included; at cluster scale it
+    // amortizes over far larger inputs.
+    val rangeSum = best3(evalAll(
+      spark.range(1470000000L).agg(sum(col("id")))))
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val anchors =
-      f"""{"sum_cold":$sumCold%.4f,"sum_warm":$sumWarm%.4f,"groupby_warm":$gbWarm%.4f}"""
+      f"""{"sum_cold":$sumCold%.4f,"sum_warm":$sumWarm%.4f,"groupby_warm":$gbWarm%.4f,"range_sum_1b47":$rangeSum%.4f}"""
     val json =
       f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir","anchors":$anchors,"failed":${failed.size}}"""
     println(json)

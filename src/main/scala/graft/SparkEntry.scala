@@ -20,7 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ JoinQueries.queries ++ WindowQueries.queries ++
       SetQueries.queries ++ DdlQueries.queries ++ LlmQueries.queries ++
-      FuncQueries.queries ++ TpchQueries.queries
+      FuncQueries.queries ++ TpchQueries.queries ++ SourceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a weaker rows-only check.
@@ -28,5 +28,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ JoinQueries.oracles ++ WindowQueries.oracles ++
       SetQueries.oracles ++ DdlQueries.oracles ++ LlmQueries.oracles ++
-      FuncQueries.oracles ++ TpchQueries.oracles
+      FuncQueries.oracles ++ TpchQueries.oracles ++ SourceQueries.oracles
 }

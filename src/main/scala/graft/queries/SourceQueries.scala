@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftUdafs
+
+/** Non-parquet source coverage (SURVEY.md §2.2: the reference bundles CSV /
+  * JSON / Avro readers in its DataFusion fork — file_format/{csv,json}.rs —
+  * though its own server only ever reads its part store) plus the UDF/UDAF
+  * surface (§2.8). Avro stays unavailable here: /opt/spark/jars ships no
+  * spark-avro connector (mirrors the reference, whose server never wires
+  * its avro reader either).
+  *
+  * The CSV/JSON entries round-trip engine data through the format on local
+  * disk and aggregate the read-back — the oracle reads the same files with
+  * DuckDB's readers, so the scan itself is what's being verified.
+  */
+object SourceQueries {
+  private val exportRoot = "/root/repo/target/export"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CSV scan (file_format/csv.rs) — schema-explicit read, header on.
+    "c01_csv_scan" -> { (s, dir) =>
+      val out = s"$exportRoot/nation_csv"
+      Tables(s, dir, "nation").coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(out)
+      s.read.option("header", "true")
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .csv(out)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"),
+          max(col("n_name")).as("max_name"))
+        .orderBy(col("n_regionkey"))
+    },
+
+    // JSON scan (file_format/json.rs) — line-delimited JSON round-trip.
+    "c02_json_scan" -> { (s, dir) =>
+      val out = s"$exportRoot/supplier_json"
+      Tables(s, dir, "supplier").coalesce(1).write.mode("overwrite").json(out)
+      s.read
+        .schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
+        .json(out)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("s_acctbal").cast("decimal(12,2)")), 2).cast("double").as("total_bal"))
+        .orderBy(col("s_nationkey"))
+    },
+
+    // Scalar UDF + typed Aggregator UDAF (§2.8) in one aggregation.
+    "u01_udf_udaf" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      GraftUdafs.register(s)
+      s.sql(
+        """SELECT graft_decade(o_totalprice / 10000.0) AS bucket,
+          |  count(*) AS n,
+          |  CAST(graft_sumsq(CAST(o_orderkey % 100 AS DOUBLE)) AS BIGINT) AS sumsq
+          |FROM orders
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "c01_csv_scan" ->
+      s"""SELECT n_regionkey, count(*) AS n, max(n_name) AS max_name
+         |FROM read_csv('$exportRoot/nation_csv/*.csv', header=true)
+         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "c02_json_scan" ->
+      s"""SELECT s_nationkey, count(*) AS n,
+         |  CAST(ROUND(sum(CAST(s_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_bal
+         |FROM read_json('$exportRoot/supplier_json/*.json',
+         |  columns = {s_suppkey: 'BIGINT', s_name: 'VARCHAR',
+         |             s_nationkey: 'INT', s_acctbal: 'DOUBLE'})
+         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "u01_udf_udaf" ->
+      """SELECT CAST(floor((o_totalprice / 10000.0) / 10.0) AS INT) AS bucket,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_orderkey % 100 AS DOUBLE) * CAST(o_orderkey % 100 AS DOUBLE)) AS BIGINT) AS sumsq
+        |FROM orders
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

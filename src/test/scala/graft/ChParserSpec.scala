@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.parser.{ChParser, ChStatement}
+import graft.types.BqlType
+
+/** Statement-parser unit tests mirroring the reference grammar's command
+  * set (crates/lang/src/bql.pest:8-23) and its parse tests
+  * (crates/lang/src/parse.rs).
+  */
+class ChParserSpec extends AnyFunSuite {
+  import ChStatement._
+
+  private def p(sql: String): ChStatement =
+    ChParser.parse(sql).fold(e => fail(s"parse failed: $e"), identity)
+
+  test("create database forms") {
+    assert(p("CREATE DATABASE db1") === CreateDatabase("db1", ifNotExists = false))
+    assert(p("create database if not exists db1") === CreateDatabase("db1", ifNotExists = true))
+  }
+
+  test("create table with types, constraints and attributes") {
+    val ct = p("CREATE TABLE IF NOT EXISTS db1.t (a UInt64, b Nullable(String), " +
+      "c Decimal(9, 2) NOT NULL, d Date PRIMARY KEY) ENGINE=BaseStorage " +
+      "PARTITION BY toYYYYMM(d) SETTINGS x=1, y=2").asInstanceOf[CreateTable]
+    assert(ct.db === Some("db1") && ct.name === "t" && ct.ifNotExists)
+    assert(ct.cols.map(_.name) === Seq("a", "b", "c", "d"))
+    assert(ct.cols(0).tpe === BqlType.UInt64)
+    assert(ct.cols(1).tpe === BqlType.Nullable(BqlType.Str))
+    assert(ct.cols(2).tpe === BqlType.Decimal(9, 2) && ct.cols(2).notNull)
+    assert(ct.cols(3).primaryKey)
+    assert(ct.engine === Some("BaseStorage"))
+    assert(ct.partitionBy === Some("toYYYYMM(d)"))
+    assert(ct.settings === Map("x" -> "1", "y" -> "2"))
+  }
+
+  test("drop / truncate / use / optimize") {
+    assert(p("DROP TABLE IF EXISTS db.t") === DropTable(Some("db"), "t", ifExists = true))
+    assert(p("DROP DATABASE d") === DropDatabase("d", ifExists = false))
+    assert(p("TRUNCATE TABLE t") === TruncateTable(None, "t"))
+    assert(p("USE mydb") === UseDb("mydb"))
+    assert(p("OPTIMIZE TABLE t") === OptimizeTable(None, "t"))
+  }
+
+  test("show statements") {
+    assert(p("SHOW DATABASES") === ShowDatabases)
+    assert(p("SHOW TABLES") === ShowTables(None))
+    assert(p("SHOW TABLES FROM db2") === ShowTables(Some("db2")))
+    assert(p("SHOW CREATE TABLE db.t") === ShowCreateTable(Some("db"), "t"))
+    assert(p("DESC t") === DescTable(None, "t"))
+    assert(p("DESCRIBE TABLE db.t") === DescTable(Some("db"), "t"))
+  }
+
+  test("insert values: literals, negatives, NULL, strings with escapes") {
+    val iv = p("INSERT INTO t VALUES (1, 'a''b', NULL), (-2, 'x', 3.5)")
+      .asInstanceOf[InsertValues]
+    assert(iv.rows === Seq(
+      Seq(Some("1"), Some("'a''b'"), None),
+      Seq(Some("-2"), Some("'x'"), Some("3.5"))))
+  }
+
+  test("insert with column list and insert-select") {
+    val iv = p("INSERT INTO t (a, b) VALUES (1, 2)").asInstanceOf[InsertValues]
+    assert(iv.cols === Some(Seq("a", "b")))
+    val is = p("INSERT INTO t SELECT x FROM s WHERE x > 3").asInstanceOf[InsertSelect]
+    assert(is.selectSql.trim === "SELECT x FROM s WHERE x > 3")
+  }
+
+  test("insert format csv captures inline payload") {
+    val f = p("INSERT INTO t FORMAT CSV\n1,a\n2,b").asInstanceOf[InsertFormat]
+    assert(f.format === "CSV")
+    assert(f.inlinePayload.trim === "1,a\n2,b")
+  }
+
+  test("select and explain pass through untouched") {
+    assert(p("SELECT a FROM t -- c") === Select("SELECT a FROM t -- c"))
+    assert(p("WITH x AS (SELECT 1) SELECT * FROM x").isInstanceOf[Select])
+    val e = p("EXPLAIN SELECT sum(a) FROM t").asInstanceOf[Explain]
+    assert(e.selectSql.trim === "SELECT sum(a) FROM t")
+  }
+
+  test("parse errors are reported, not swallowed") {
+    assert(ChParser.parse("FROB TABLE t").isLeft)
+    assert(ChParser.parse("CREATE TABLE t (a NotAType)").isLeft)
+    assert(ChParser.parse("INSERT INTO t VALUES (1,)").isLeft)
+  }
+
+  test("script splitter matches the reference runner's blank-line rule") {
+    val stmts = ChParser.splitScript(
+      "DROP TABLE IF EXISTS t\n\nCREATE TABLE t(a UInt64)\n\n:6\nselect 1")
+    assert(stmts === Seq("DROP TABLE IF EXISTS t", "CREATE TABLE t(a UInt64)"))
+  }
+}
