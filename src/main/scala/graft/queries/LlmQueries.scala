@@ -75,10 +75,13 @@ object LlmQueries {
     },
 
     // ---- l02: minhash-LSH near-dup candidate generation ---------------
-    // Shingle (token 3-grams) → 4 minhashes → 2 bands of 2 → band-bucket
-    // self-join. 100 TB: the join key is (band, sig); candidate pairs are
-    // produced per bucket, never all-pairs. Skewed mega-buckets (boiler-
-    // plate docs) would be capped with a bucket-size limit before the join.
+    // Shingle (token 3-grams) → 4 minhashes → 2 bands of 2 → bucket-local
+    // pair expansion. 100 TB: one shingle pipeline, one shuffle to
+    // (band, sig) buckets, then pairs explode WITHIN each bucket — never
+    // all-pairs, and no self-join that would recompute the minhash
+    // pipeline per reference (a naive bands⋈bands CTE self-join re-ran the
+    // whole pipeline 6×). Skewed mega-buckets (boilerplate docs) would be
+    // capped with a bucket-size limit before the explode.
     "l02_minhash_lsh" -> { (s, dir) =>
       Tables.registerAll(s, dir)
       s.sql(
@@ -96,19 +99,21 @@ object LlmQueries {
           |    min(substr(md5(concat(s, '#3')), 1, 8)) AS h3
           |  FROM sh GROUP BY doc_id
           |), bands AS (
-          |  SELECT doc_id, 0 AS band, concat(h0, h1) AS sig FROM mh
-          |  UNION ALL
-          |  SELECT doc_id, 1 AS band, concat(h2, h3) AS sig FROM mh
+          |  SELECT doc_id, posexplode(array(concat(h0, h1), concat(h2, h3))) AS (band, sig)
+          |  FROM mh
           |), buckets AS (
-          |  SELECT band, sig, count(*) AS n FROM bands GROUP BY band, sig
+          |  SELECT band, sig, sort_array(collect_list(doc_id)) AS ids
+          |  FROM bands GROUP BY band, sig
           |), pairs AS (
-          |  SELECT a.doc_id AS d1, b.doc_id AS d2
-          |  FROM bands a JOIN bands b
-          |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+          |  SELECT band, sig, p.d1, p.d2
+          |  FROM buckets
+          |  LATERAL VIEW explode(flatten(transform(ids, (x, i) ->
+          |    transform(slice(ids, i + 2, size(ids)),
+          |      y -> named_struct('d1', x, 'd2', y))))) t AS p
           |)
           |SELECT count(*) AS n_candidate_pairs,
           |  count(DISTINCT concat(d1, '_', d2)) AS n_distinct_pairs,
-          |  (SELECT count(*) FROM buckets WHERE n > 1) AS n_multi_buckets
+          |  count(DISTINCT concat(band, ':', sig)) AS n_multi_buckets
           |FROM pairs""".stripMargin)
     },
 
@@ -236,6 +241,50 @@ object LlmQueries {
           |SELECT d1, d2, round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
           |FROM pairs
           |ORDER BY jaccard DESC, d1 LIMIT 20""".stripMargin)
+    },
+
+    // ---- l09: embedding-cosine near-duplicate pairs -------------------
+    // The dedup-by-embedding path: LSH bucket first (never all-pairs),
+    // exact cosine within the bucket, threshold filter. 100 TB: bucket
+    // join + per-bucket pair work, same shape as l02 but in vector space.
+    "l09_embedding_neardup" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        s"""WITH b AS (
+           |  SELECT vec_id, embedding, ${bucketSpark("embedding")} AS bucket
+           |  FROM embeddings
+           |), pairs AS (
+           |  SELECT a.vec_id AS v1, c.vec_id AS v2,
+           |    ${dotSpark("a.embedding", "c.embedding")} /
+           |      (sqrt(${dotSpark("a.embedding", "a.embedding")}) *
+           |       sqrt(${dotSpark("c.embedding", "c.embedding")})) AS sim
+           |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+           |)
+           |SELECT v1, v2, round(sim, 6) AS sim
+           |FROM pairs WHERE sim > 0.4
+           |ORDER BY sim DESC, v1, v2""".stripMargin)
+    },
+
+    // ---- l10: regex tokenization + quality scoring --------------------
+    // BPE-ish regex token extraction (alnum runs) + stopword-ratio and
+    // chars-per-token quality inputs, exact integer outputs per source.
+    "l10_regex_tokens" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """WITH tk AS (
+          |  SELECT source,
+          |    size(regexp_extract_all(text, '[a-z0-9]+', 0)) AS n_tok,
+          |    size(filter(regexp_extract_all(text, '[a-z0-9]+', 0),
+          |      t -> array_contains(array('the', 'a', 'of'), t))) AS n_stop,
+          |    n_chars
+          |  FROM documents
+          |)
+          |SELECT source,
+          |  count(*) AS n_docs,
+          |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+          |  CAST(sum(n_stop) AS BIGINT) AS sum_stopwords,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM tk GROUP BY source ORDER BY source""".stripMargin)
     },
 
     // ---- m01: multimodal decode plumbing ------------------------------
@@ -383,6 +432,37 @@ object LlmQueries {
         |SELECT d1, d2, round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
         |FROM pairs
         |ORDER BY jaccard DESC, d1 LIMIT 20""".stripMargin,
+
+    "l09_embedding_neardup" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, ${bucketDuck("embedding")} AS bucket
+         |  FROM embeddings
+         |), pairs AS (
+         |  SELECT a.vec_id AS v1, c.vec_id AS v2,
+         |    ${dotDuck("a.embedding", "c.embedding")} /
+         |      (sqrt(${dotDuck("a.embedding", "a.embedding")}) *
+         |       sqrt(${dotDuck("c.embedding", "c.embedding")})) AS sim
+         |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+         |)
+         |SELECT v1, v2, round(sim, 6) AS sim
+         |FROM pairs WHERE sim > 0.4
+         |ORDER BY sim DESC, v1, v2""".stripMargin,
+
+    "l10_regex_tokens" ->
+      """WITH tk AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(text, '[a-z0-9]+', 0)) AS n_tok,
+        |    len(list_filter(regexp_extract_all(text, '[a-z0-9]+', 0),
+        |      t -> list_contains(['the', 'a', 'of'], t))) AS n_stop,
+        |    n_chars
+        |  FROM documents
+        |)
+        |SELECT source,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(n_stop) AS BIGINT) AS sum_stopwords,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM tk GROUP BY source ORDER BY source""".stripMargin,
 
     "m01_multimodal_decode" -> {
       val w = s"(${nib("md5(text)", 1)} * 16 + ${nib("md5(text)", 2)})"
