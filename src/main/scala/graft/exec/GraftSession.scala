@@ -175,11 +175,26 @@ class GraftSession(val spark: SparkSession) {
     }
     val ptkDdl = ct.partitionBy.map(_ => s", `$PtkCol` STRING").getOrElse("")
     val partClause = ct.partitionBy.map(_ => s" PARTITIONED BY (`$PtkCol`)").getOrElse("")
+    // SETTINGS buckets=N + a PRIMARY KEY column -> hash-bucketed, sorted
+    // layout: two tables bucketed the same way join WITHOUT a shuffle
+    // (the 100 TB co-located-join path; reference primary keys are
+    // metadata-only, crates/meta/src/types.rs:55-63 -- here they buy a
+    // physical layout).
+    val bucketClause =
+      (ct.settings.get("buckets"), ct.cols.find(_.primaryKey)) match {
+        case (Some(n), Some(pk)) =>
+          s" CLUSTERED BY (`${pk.name}`) SORTED BY (`${pk.name}`) INTO $n BUCKETS"
+        case _ => ""
+      }
     val chTypesProp = ct.cols.map(c => s"${c.name}\u0002${c.tpe.chName}").mkString("\u0001")
+    val defaultsProp = ct.cols.collect {
+      case c if c.default.isDefined => s"${c.name}\u0002${c.default.get}"
+    }.mkString("\u0001")
     val props = Seq(
       "graft.create_script" -> ct.createScript,
       "graft.engine" -> ct.engine.getOrElse("BaseStorage"),
       "graft.ch.types" -> chTypesProp) ++
+      (if (defaultsProp.nonEmpty) Seq("graft.defaults" -> defaultsProp) else Nil) ++
       ct.partitionBy.map("graft.ptk.expr" -> _) ++
       ct.settings.map { case (k, v) => s"graft.setting.$k" -> v }
     val propsDdl = props.map { case (k, v) =>
@@ -189,7 +204,7 @@ class GraftSession(val spark: SparkSession) {
     spark.sql(
       s"""CREATE TABLE ${if (ct.ifNotExists) "IF NOT EXISTS " else ""}$full
          |(${colDdl.mkString(", ")}$ptkDdl)
-         |USING parquet$partClause
+         |USING parquet$partClause$bucketClause
          |TBLPROPERTIES ($propsDdl)""".stripMargin)
   }
 
@@ -253,13 +268,25 @@ class GraftSession(val spark: SparkSession) {
     withPtk.write.mode("append").insertInto(fullName(db, name).replace("`", ""))
   }
 
-  /** Expand an explicit column list to full arity with NULL fills. */
+  /** Declared DEFAULT literals per column (bql.pest column_constraint). */
+  private def defaults(db: Option[String], name: String): Map[String, String] =
+    tableProp(db, name, "graft.defaults").map {
+      _.split("").filter(_.nonEmpty).map { kv =>
+        val Array(k, v) = kv.split("", 2)
+        k -> v
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  /** Expand an explicit column list to full arity: missing columns take
+    * their declared DEFAULT literal, else NULL.
+    */
   private def expand(db: Option[String], name: String,
                      cols: Option[Seq[String]], src: DataFrame): DataFrame =
     cols match {
       case None => src
       case Some(given) =>
         val (schema, _, _) = tableMeta(db, name)
+        val dfts = defaults(db, name)
         val dataCols = schema.fields.filter(_.name != PtkCol).map(_.name)
         require(given.length == src.columns.length,
           s"INSERT column list arity ${given.length} != source arity ${src.columns.length}")
@@ -267,7 +294,10 @@ class GraftSession(val spark: SparkSession) {
         src.select(dataCols.map { dc =>
           bySrc.get(dc.toLowerCase) match {
             case Some(srcCol) => col(s"`$srcCol`").as(dc)
-            case None => lit(null).as(dc)
+            case None => dfts.get(dc) match {
+              case Some(d) => expr(d).cast(StringType).as(dc)
+              case None => lit(null).as(dc)
+            }
           }
         }.toIndexedSeq: _*)
     }

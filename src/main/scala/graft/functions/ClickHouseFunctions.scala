@@ -203,7 +203,9 @@ object UuidBytes {
 }
 
 /** SparkSessionExtensions installer: enable with
-  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  * `spark.sql.extensions=graft.functions.GraftExtensions`. Injects the CH
+  * function pack and the partition-prune derivation rule (the same pair
+  * GraftSession registers at runtime).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -213,5 +215,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.functions.ClickHouseFunctions", name),
         builder))
     }
+    ext.injectOptimizerRule(graft.plans.PartitionPruneDerivation(_))
   }
 }

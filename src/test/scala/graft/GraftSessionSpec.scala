@@ -217,6 +217,47 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(b.toSeq === Seq('a'.toByte, 'b'.toByte, 0.toByte, 0.toByte))
   }
 
+  test("bucketed tables join without a shuffle (SETTINGS buckets + PRIMARY KEY)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    g.sql("DROP TABLE IF EXISTS bk_orders")
+    g.sql("DROP TABLE IF EXISTS bk_cust")
+    g.sql("CREATE TABLE bk_orders(ok Int64 PRIMARY KEY, ck Int64) SETTINGS buckets=4")
+    g.sql("CREATE TABLE bk_cust(ok Int64 PRIMARY KEY, name String) SETTINGS buckets=4")
+    g.sql("INSERT INTO bk_orders VALUES (1, 10), (2, 20), (3, 30), (4, 40)")
+    g.sql("INSERT INTO bk_cust VALUES (1, 'a'), (2, 'b'), (3, 'c'), (5, 'e')")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = g.sql(
+        "SELECT a.ok, a.ck, b.name FROM bk_orders a JOIN bk_cust b ON a.ok = b.ok")
+      assert(joined.collect().length === 3)
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeLike => s
+      }
+      assert(shuffles.isEmpty,
+        s"bucketed join should be shuffle-free, found: $shuffles")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("DEFAULT column constraint fills omitted columns") {
+    g.sql("DROP TABLE IF EXISTS dflt_tab")
+    g.sql("CREATE TABLE dflt_tab(a Int32, b Int32 DEFAULT 7, c String DEFAULT 'zz')")
+    g.sql("INSERT INTO dflt_tab (a) VALUES (1)")
+    val r = g.sql("SELECT a, b, c FROM dflt_tab").collect()(0)
+    assert((r.getInt(0), r.getInt(1), r.getString(2)) === ((1, 7, "zz")))
+  }
+
+  test("UUID and LowCardinality columns round-trip") {
+    g.sql("DROP TABLE IF EXISTS uuid_tab")
+    g.sql("CREATE TABLE uuid_tab(u UUID, lc LowCardinality(String))")
+    g.sql("INSERT INTO uuid_tab VALUES ('61f0c404-5cb3-11e7-907b-a6006ad3dba0', 'x')")
+    val r = g.sql("SELECT u, lc FROM uuid_tab").collect()(0)
+    assert(r.getString(0) === "61f0c404-5cb3-11e7-907b-a6006ad3dba0")
+    assert(r.getString(1) === "x")
+    val desc = g.sql("DESC uuid_tab").collect().map(r2 => (r2.getString(0), r2.getString(1))).toMap
+    assert(desc("u") === "UUID" && desc("lc") === "LowCardinality(String)")
+  }
+
   test("decimal literals rescale to declared scale (mgmt.rs:1229-1251)") {
     g.sql("DROP TABLE IF EXISTS dec_tab")
     g.sql("CREATE TABLE dec_tab(d Decimal(9, 3))")
