@@ -111,13 +111,20 @@ class GraftSession(val spark: SparkSession) {
     case is: InsertSelect => insertSelect(is)
     case f: InsertFormat => insertFormat(f, payload)
     case Explain(sel) =>
-      val plan = spark.sql(sel).queryExecution.explainString(
+      val plan = spark.sql(rewriteSelect(sel)).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       spark.createDataFrame(
         plan.split("\n").toSeq.map(Row(_)).asJava,
         StructType(Seq(StructField("plan", StringType))))
-    case Select(raw) => spark.sql(raw)
+    case Select(raw) => spark.sql(rewriteSelect(raw))
   }
+
+  // CH `numbers(N)` table function (parsed-but-unwired in the reference,
+  // bql.pest:349-353) → Spark's range(N), aliased to CH's `number` column.
+  private val NumbersRe = "(?i)\\bnumbers\\s*\\(\\s*(\\d+)\\s*\\)".r
+  private def rewriteSelect(sql: String): String =
+    NumbersRe.replaceAllIn(sql,
+      m => s"(SELECT id AS number FROM range(${m.group(1)}))")
 
   private def emptyOk: DataFrame = spark.emptyDataFrame
 
@@ -323,7 +330,7 @@ class GraftSession(val spark: SparkSession) {
     else s
 
   private def insertSelect(is: InsertSelect): DataFrame = {
-    val result = spark.sql(is.selectSql)
+    val result = spark.sql(rewriteSelect(is.selectSql))
     appendToTable(is.db, is.name, expand(is.db, is.name, is.cols, result),
       srcIsRaw = false)
     emptyOk

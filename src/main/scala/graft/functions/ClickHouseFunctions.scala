@@ -134,6 +134,14 @@ object ClickHouseFunctions {
       s"$name expects 2 arguments, got ${exprs.length}")
   }
 
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Byte, ByteType) => v.toInt
+    case Literal(v: Short, ShortType) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn scale must be an integer literal, got $other")
+  }
+
   /** name → expression builder; every entry is a Catalyst built-in
     * composition (SURVEY §2.7 table).
     */
@@ -156,6 +164,13 @@ object ClickHouseFunctions {
     "toDate" -> one("toDate")(e => ChToDate(e)),
     "toDateTime" -> one("toDateTime")(e => ChToDateTime(e)),
     "endsWith" -> two("endsWith")((l, r) => EndsWith(l, r)),
+    // toDecimal32/64(x, s) → CAST(x AS DECIMAL(9|18, s)). The reference
+    // leaves this rewrite TODO in its own TPC-H port
+    // (tpch/01095_tpch_like_smoke.sql:417); scale must be a literal.
+    "toDecimal32" -> two("toDecimal32")((x, s) =>
+      Cast(x, DecimalType(9, litInt(s, "toDecimal32")))),
+    "toDecimal64" -> two("toDecimal64")((x, s) =>
+      Cast(x, DecimalType(18, litInt(s, "toDecimal64")))),
     "generateUUIDv4" -> { exprs =>
       require(exprs.isEmpty, "generateUUIDv4 takes no arguments")
       UuidParse(new Uuid(), UuidError)

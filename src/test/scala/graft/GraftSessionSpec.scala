@@ -258,6 +258,31 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(desc("u") === "UUID" && desc("lc") === "LowCardinality(String)")
   }
 
+  test("numbers(N) table function maps to range with CH column name") {
+    val r = g.sql("SELECT CAST(sum(number) AS BIGINT) AS s, count(*) AS n FROM numbers(10)")
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1)) === ((45L, 10L)))
+  }
+
+  test("toDecimal32/64 rewrite (reference TODO, tpch smoke :417)") {
+    val r = g.sql("SELECT toDecimal32(1.555, 2) AS a, toDecimal64('12.3', 1) AS b")
+      .collect()(0)
+    assert(r.getDecimal(0).toPlainString === "1.56")
+    assert(r.getDecimal(1).toPlainString === "12.3")
+  }
+
+  test("cast round-trips through engine tables (sanity_checks.rs:623-800)") {
+    g.sql("DROP TABLE IF EXISTS cast_tab")
+    g.sql("CREATE TABLE cast_tab(i Int32, f Float64, s String, d Decimal(9, 2))")
+    g.sql("INSERT INTO cast_tab VALUES (42, 3.9, '7', 1.25)")
+    val r = g.sql("SELECT CAST(i AS STRING) AS a, CAST(f AS INT) AS b, " +
+      "CAST(s AS INT) AS c, CAST(d AS DOUBLE) AS e FROM cast_tab").collect()(0)
+    assert(r.getString(0) === "42")
+    assert(r.getInt(1) === 3) // Spark double→int truncates like the reference
+    assert(r.getInt(2) === 7)
+    assert(r.getDouble(3) === 1.25)
+  }
+
   test("decimal literals rescale to declared scale (mgmt.rs:1229-1251)") {
     g.sql("DROP TABLE IF EXISTS dec_tab")
     g.sql("CREATE TABLE dec_tab(d Decimal(9, 3))")
