@@ -116,15 +116,67 @@ class GraftSession(val spark: SparkSession) {
       spark.createDataFrame(
         plan.split("\n").toSeq.map(Row(_)).asJava,
         StructType(Seq(StructField("plan", StringType))))
+    case ir: InsertRemote => insertRemote(ir)
     case Select(raw) => spark.sql(rewriteSelect(raw))
   }
 
   // CH `numbers(N)` table function (parsed-but-unwired in the reference,
   // bql.pest:349-353) → Spark's range(N), aliased to CH's `number` column.
   private val NumbersRe = "(?i)\\bnumbers\\s*\\(\\s*(\\d+)\\s*\\)".r
-  private def rewriteSelect(sql: String): String =
-    NumbersRe.replaceAllIn(sql,
+  // remote('url', 'table'[, 'user', 'pwd']) table function in query
+  // position (reference rewrites remote queries to local form and fans
+  // out over the wire, crates/runtime/src/read.rs:151-228; here the
+  // transport is a JDBC scan registered as a temp view).
+  private val RemoteRe =
+    ("(?i)\\bremote\\s*\\(\\s*'([^']*)'\\s*,\\s*'([^']*)'\\s*" +
+      "(?:,\\s*'([^']*)'\\s*,\\s*'([^']*)'\\s*)?\\)").r
+
+  private def jdbcReader(url: String, table: String,
+                         auth: Option[(String, String)]) = {
+    val r = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+    auth.fold(r) { case (u, w) => r.option("user", u).option("password", w) }
+  }
+
+  private def rewriteSelect(sql: String): String = {
+    val withRemote = RemoteRe.replaceAllIn(sql, m => {
+      val (url, table) = (m.group(1), m.group(2))
+      val auth = Option(m.group(3)).map(u => (u, m.group(4)))
+      val view = s"graft_remote_${Integer.toHexString((url + "|" + table).hashCode)}"
+      jdbcReader(url, table, auth).load().createOrReplaceTempView(view)
+      view
+    })
+    NumbersRe.replaceAllIn(withRemote,
       m => s"(SELECT id AS number FROM range(${m.group(1)}))")
+  }
+
+  /** INSERT INTO FUNCTION remote(...) — append rows to a remote table over
+    * JDBC (mgmt.rs:744-770 writes over the CH wire; same contract).
+    */
+  private def insertRemote(ir: ChStatement.InsertRemote): DataFrame = {
+    val src: DataFrame = (ir.values, ir.selectSql) match {
+      case (Some(rows), _) =>
+        // cast raw literals to the remote table's schema, positionally
+        val target = jdbcReader(ir.url, ir.table, ir.auth).load().schema
+        val arity = rows.headOption.map(_.length).getOrElse(0)
+        require(arity == target.fields.length,
+          s"remote INSERT arity $arity != remote table arity ${target.fields.length}")
+        val fields = (0 until arity).map(i => StructField(s"_c$i", StringType))
+        val raw = spark.createDataFrame(
+          rows.map(r => Row(r.map(_.map(stripQuotes).orNull): _*)).asJava,
+          StructType(fields))
+        raw.select(target.fields.zipWithIndex.map { case (f, i) =>
+          col(s"_c$i").cast(f.dataType).as(f.name)
+        }.toIndexedSeq: _*)
+      case (None, Some(sel)) => spark.sql(rewriteSelect(sel))
+      case _ => throw new IllegalArgumentException("remote INSERT needs VALUES or SELECT")
+    }
+    val w = src.write.format("jdbc").mode("append")
+      .option("url", ir.url).option("dbtable", ir.table)
+    ir.auth.fold(w) { case (u, p) => w.option("user", u).option("password", p) }
+      .save()
+    emptyOk
+  }
 
   private def emptyOk: DataFrame = spark.emptyDataFrame
 

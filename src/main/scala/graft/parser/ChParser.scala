@@ -52,6 +52,14 @@ object ChStatement {
   final case class Explain(selectSql: String) extends ChStatement
   /** Raw SELECT/WITH passthrough for Spark SQL. */
   final case class Select(sql: String) extends ChStatement
+  /** INSERT INTO FUNCTION remote('url', 'table' [, 'user', 'pwd']) …
+    * (reference: crates/runtime/src/mgmt.rs:744-770; addr is a JDBC url
+    * here — the Spark-native federation transport).
+    */
+  final case class InsertRemote(url: String, table: String,
+                                auth: Option[(String, String)],
+                                values: Option[Seq[Seq[Option[String]]]],
+                                selectSql: Option[String]) extends ChStatement
 }
 
 object ChParser {
@@ -257,8 +265,44 @@ object ChParser {
     }
   }
 
-  private def parseInsert(p: P): Either[String, ChStatement] =
+  /** remote('url', 'table' [, 'user', 'pwd']) argument list. */
+  private def parseRemoteArgs(p: P): Either[String, (String, String, Option[(String, String)])] = {
+    if (!p.eatPunct("(")) return Left(s"remote: expected '(' at ${p.posText}")
+    def str(): Either[String, String] = p.peek match {
+      case Some(StrLit(s, _)) => p.next(); Right(s)
+      case other => Left(s"remote: expected string literal, got ${other.map(_.text)}")
+    }
     for {
+      url <- str()
+      _ <- p.expectPunct(",")
+      tab <- str()
+      auth <- if (p.eatPunct(",")) for {
+        u <- str(); _ <- p.expectPunct(","); w <- str()
+      } yield Some((u, w))
+      else Right(None)
+      _ <- p.expectPunct(")")
+    } yield (url, tab, auth)
+  }
+
+  private def parseInsert(p: P): Either[String, ChStatement] =
+    if (p.isKw("into") && {
+      val save = p.i; p.next()
+      val isFn = p.isKw("function"); p.i = save; isFn
+    }) {
+      p.next(); p.next() // INTO FUNCTION
+      for {
+        _ <- p.expectKw("remote")
+        args <- parseRemoteArgs(p)
+        stmt <- {
+          if (p.eatKw("values"))
+            parseValuesRows(p).map(rows =>
+              InsertRemote(args._1, args._2, args._3, Some(rows), None))
+          else if (p.isKw("select") || p.isKw("with"))
+            Right(InsertRemote(args._1, args._2, args._3, None, Some(p.rest)))
+          else Left(s"INSERT INTO FUNCTION remote: expected VALUES or SELECT at ${p.posText}")
+        }
+      } yield stmt
+    } else for {
       _ <- p.expectKw("into")
       dbTab <- qualifiedName(p)
       stmt <- {

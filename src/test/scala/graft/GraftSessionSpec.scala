@@ -283,6 +283,33 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(r.getDouble(3) === 1.25)
   }
 
+  test("remote() federated read/write over JDBC (read.rs:151-228, mgmt.rs:744-770)") {
+    // an embedded Derby DB plays the remote server (zero-egress env)
+    val dbDir = java.nio.file.Files.createTempDirectory("graft-derby")
+    val url = s"jdbc:derby:$dbDir/remotedb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE RTAB (K INT, V VARCHAR(20))")
+    st.execute("INSERT INTO RTAB VALUES (1, 'one'), (2, 'two'), (3, 'three')")
+    st.close(); conn.close()
+
+    // federated read: remote() in table position
+    val rows = g.sql(
+      s"SELECT k, v FROM remote('$url', 'RTAB') WHERE k >= 2 ORDER BY k")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(rows.toSeq === Seq((2, "two"), (3, "three")))
+
+    // federated write: INSERT INTO FUNCTION remote(...) VALUES / SELECT
+    g.sql(s"INSERT INTO FUNCTION remote('$url', 'RTAB') VALUES (4, 'four')")
+    g.sql("DROP TABLE IF EXISTS rsrc")
+    g.sql("CREATE TABLE rsrc(k Int32, v String)")
+    g.sql("INSERT INTO rsrc VALUES (5, 'five')")
+    g.sql(s"INSERT INTO FUNCTION remote('$url', 'RTAB') SELECT k, v FROM rsrc")
+    val n = g.sql(s"SELECT count(*) AS n FROM remote('$url', 'RTAB')")
+      .collect()(0).getLong(0)
+    assert(n === 5L)
+  }
+
   test("decimal literals rescale to declared scale (mgmt.rs:1229-1251)") {
     g.sql("DROP TABLE IF EXISTS dec_tab")
     g.sql("CREATE TABLE dec_tab(d Decimal(9, 3))")
