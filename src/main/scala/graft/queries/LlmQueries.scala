@@ -27,8 +27,7 @@ object LlmQueries {
     * engines: same element order, same double promotion, same IEEE ops.
     */
   private def dotSpark(a: String, b: String): String =
-    s"aggregate(transform(sequence(1, 64), i -> CAST(element_at($a, i) AS DOUBLE) * " +
-      s"CAST(element_at($b, i) AS DOUBLE)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    s"vec_dot($a, $b)"  // graft.functions.VectorDot — codegen'd, same fold
   private def dotDuck(a: String, b: String): String =
     s"list_reduce(list_transform(range(64), i -> $a[i+1]::DOUBLE * $b[i+1]::DOUBLE), " +
       s"(x, y) -> x + y)"
@@ -123,6 +122,7 @@ object LlmQueries {
     // no shuffle of the full similarity column.
     "l03_ann_bruteforce" -> { (s, dir) =>
       Tables.registerAll(s, dir)
+      graft.functions.VectorFunctions.register(s)
       s.sql(
         s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
            |sims AS (
@@ -144,6 +144,7 @@ object LlmQueries {
     // full sweep; recall is tuned by multi-probe over neighboring buckets.
     "l04_ann_lsh_bucketed" -> { (s, dir) =>
       Tables.registerAll(s, dir)
+      graft.functions.VectorFunctions.register(s)
       s.sql(
         s"""WITH b AS (
            |  SELECT vec_id, embedding, ${bucketSpark("embedding")} AS bucket
@@ -245,19 +246,21 @@ object LlmQueries {
 
     // ---- l09: embedding-cosine near-duplicate pairs -------------------
     // The dedup-by-embedding path: LSH bucket first (never all-pairs),
-    // exact cosine within the bucket, threshold filter. 100 TB: bucket
-    // join + per-bucket pair work, same shape as l02 but in vector space.
+    // exact cosine within the bucket, threshold filter. Norms are
+    // precomputed per vector (per-pair work is one dot product, not
+    // three). 100 TB: bucket join + per-bucket pair work, same shape as
+    // l02 but in vector space; more LSH bits shrink buckets further.
     "l09_embedding_neardup" -> { (s, dir) =>
       Tables.registerAll(s, dir)
+      graft.functions.VectorFunctions.register(s)
       s.sql(
         s"""WITH b AS (
-           |  SELECT vec_id, embedding, ${bucketSpark("embedding")} AS bucket
+           |  SELECT vec_id, embedding, ${bucketSpark("embedding")} AS bucket,
+           |    sqrt(${dotSpark("embedding", "embedding")}) AS nrm
            |  FROM embeddings
            |), pairs AS (
            |  SELECT a.vec_id AS v1, c.vec_id AS v2,
-           |    ${dotSpark("a.embedding", "c.embedding")} /
-           |      (sqrt(${dotSpark("a.embedding", "a.embedding")}) *
-           |       sqrt(${dotSpark("c.embedding", "c.embedding")})) AS sim
+           |    ${dotSpark("a.embedding", "c.embedding")} / (a.nrm * c.nrm) AS sim
            |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
            |)
            |SELECT v1, v2, round(sim, 6) AS sim
@@ -435,13 +438,12 @@ object LlmQueries {
 
     "l09_embedding_neardup" ->
       s"""WITH b AS (
-         |  SELECT vec_id, embedding, ${bucketDuck("embedding")} AS bucket
+         |  SELECT vec_id, embedding, ${bucketDuck("embedding")} AS bucket,
+         |    sqrt(${dotDuck("embedding", "embedding")}) AS nrm
          |  FROM embeddings
          |), pairs AS (
          |  SELECT a.vec_id AS v1, c.vec_id AS v2,
-         |    ${dotDuck("a.embedding", "c.embedding")} /
-         |      (sqrt(${dotDuck("a.embedding", "a.embedding")}) *
-         |       sqrt(${dotDuck("c.embedding", "c.embedding")})) AS sim
+         |    ${dotDuck("a.embedding", "c.embedding")} / (a.nrm * c.nrm) AS sim
          |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
          |)
          |SELECT v1, v2, round(sim, 6) AS sim
