@@ -46,17 +46,28 @@ class GraftSession(val spark: SparkSession) {
     */
   val PtkCol = "__ptk"
 
+  // Reference boot: `system` and `default` databases pre-created
+  // (mgmt.rs:233-267); Spark's catalog ships `default`, so only `system`
+  // needs creating.
+  spark.sql("CREATE DATABASE IF NOT EXISTS `system`")
+
   def sql(statement: String): DataFrame = sql(statement, "")
 
-  /** Run one statement; `payload` feeds INSERT ... FORMAT CSV when the data
-    * is not inline (the wire protocol streams it in the reference,
-    * mgmt.rs:724-730).
+  /** Run one or more ';'-separated statements (cmd_list, bql.pest:8),
+    * returning the last result; `payload` feeds INSERT ... FORMAT CSV when
+    * the data is not inline (the wire protocol streams it in the
+    * reference, mgmt.rs:724-730).
     */
-  def sql(statement: String, payload: String): DataFrame =
-    ChParser.parse(statement) match {
-      case Left(err) => throw new IllegalArgumentException(s"parse error: $err")
-      case Right(stmt) => run(stmt, payload)
-    }
+  def sql(statement: String, payload: String): DataFrame = {
+    val parts = ChParser.splitStatements(statement).getOrElse(Seq(statement))
+    require(parts.nonEmpty, "empty statement")
+    parts.map { part =>
+      ChParser.parse(part) match {
+        case Left(err) => throw new IllegalArgumentException(s"parse error: $err")
+        case Right(stmt) => run(stmt, payload)
+      }
+    }.last
+  }
 
   /** Run a blank-line-separated script (sql_test_runner.rs:50-95 analog),
     * returning the last statement's result.

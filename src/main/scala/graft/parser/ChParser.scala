@@ -410,4 +410,17 @@ object ChParser {
     */
   def splitScript(script: String): Seq[String] =
     script.split("\n\\s*\n").map(_.trim).filter(s => s.nonEmpty && !s.startsWith(":"))
+      .flatMap(stmt => splitStatements(stmt).getOrElse(Seq(stmt))).toSeq
+
+  /** Split on top-level ';' (string/comment-aware via the tokenizer) —
+    * the grammar's `cmd_list = cmd+ (";" cmd)*` (bql.pest:8).
+    */
+  def splitStatements(sql: String): Either[String, Seq[String]] =
+    tokenize(sql).map { toks =>
+      val cuts = toks.collect { case Punct(";", pos) => pos }
+      val bounds = (-1 +: cuts) :+ sql.length
+      bounds.sliding(2).map { case Seq(a, b) =>
+        sql.substring(a + 1, b).trim
+      }.filter(_.nonEmpty).toSeq
+    }
 }

@@ -258,6 +258,20 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(desc("u") === "UUID" && desc("lc") === "LowCardinality(String)")
   }
 
+  test("multi-statement cmd_list with ';' separators (bql.pest:8)") {
+    val df = g.sql("DROP TABLE IF EXISTS ml_t; CREATE TABLE ml_t(a Int32); " +
+      "INSERT INTO ml_t VALUES (2), (3); SELECT CAST(sum(a) AS BIGINT) AS s FROM ml_t")
+    assert(df.collect()(0).getLong(0) === 5L)
+    // ';' inside a string literal must not split
+    g.sql("DROP TABLE IF EXISTS ml_s; CREATE TABLE ml_s(v String); " +
+      "INSERT INTO ml_s VALUES ('a;b')")
+    assert(g.sql("SELECT v FROM ml_s").collect()(0).getString(0) === "a;b")
+  }
+
+  test("system database exists at boot (mgmt.rs:233-267)") {
+    assert(g.sql("SHOW DATABASES").collect().map(_.getString(0)).contains("system"))
+  }
+
   test("numbers(N) table function maps to range with CH column name") {
     val r = g.sql("SELECT CAST(sum(number) AS BIGINT) AS s, count(*) AS n FROM numbers(10)")
       .collect()(0)
