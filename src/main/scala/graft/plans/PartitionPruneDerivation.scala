@@ -65,9 +65,21 @@ case class PartitionPruneDerivation(spark: SparkSession) extends Rule[LogicalPla
             FunctionIdentifier(uf.nameParts.last), uf.arguments)
       }
       // Minimal implicit-cast pass: the analyzer never sees this expression,
-      // so date-part functions over a TIMESTAMP source need the cast added
-      // here (TypeCoercion would do it in a full analysis run).
+      // so date-part functions over a TIMESTAMP source and mixed-width
+      // arithmetic (id % 3 → long % int) need the casts added here
+      // (TypeCoercion would do both in a full analysis run).
       val coerced = resolved.transformUp {
+        // NB: BinaryArithmetic also extends ExpectsInputTypes — this case
+        // must come first or the generic case swallows it unchanged.
+        case b: BinaryArithmetic
+            if b.left.resolved && b.right.resolved &&
+              b.left.dataType != b.right.dataType =>
+          widen(b.left.dataType, b.right.dataType) match {
+            case Some(t) =>
+              def up(c: Expression) = if (c.dataType == t) c else Cast(c, t)
+              b.withNewChildren(Seq(up(b.left), up(b.right)))
+            case None => b
+          }
         case e: ExpectsInputTypes if e.children.nonEmpty =>
           val fixed = e.children.zip(e.inputTypes).map {
             case (c, DateType) if c.dataType == TimestampType => Cast(c, DateType)
@@ -77,6 +89,22 @@ case class PartitionPruneDerivation(spark: SparkSession) extends Rule[LogicalPla
       }
       if (coerced.resolved) Some(coerced) else None
     } catch { case _: Exception => None }
+
+  /** Tightest common numeric type (integral/fractional widening only —
+    * enough for the reference's arith-over-one-column partition exprs).
+    */
+  private def widen(a: DataType, b: DataType): Option[DataType] = {
+    val order: Seq[DataType] = Seq(org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType,
+      org.apache.spark.sql.types.FloatType,
+      org.apache.spark.sql.types.DoubleType)
+    (order.indexOf(a), order.indexOf(b)) match {
+      case (i, j) if i >= 0 && j >= 0 => Some(order(i max j))
+      case _ => None
+    }
+  }
 
   /** The single column the ptk expression depends on (reference model:
     * exactly one partition column, crates/runtime/src/mgmt.rs:666-671).

@@ -192,6 +192,38 @@ class GraftSessionSpec extends AnyFunSuite {
       scanRange.partitionFilters, scanRange.dataFilters).length === 2)
   }
 
+  test("non-monotonic partition exprs derive equality pruning only (safety)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    g.sql("DROP TABLE IF EXISTS mod_tab")
+    // id % 3 is NOT monotone: range filters must not derive __ptk bounds
+    g.sql("CREATE TABLE mod_tab(id Int64, d Date) PARTITION BY id % 3")
+    g.sql("INSERT INTO mod_tab VALUES (1, '2021-01-01'), (2, '2021-01-02'), " +
+      "(3, '2021-01-03'), (4, '2021-01-04'), (5, '2021-01-05'), (6, '2021-01-06')")
+
+    def filesRead(sql: String): Int = {
+      val scan = g.sql(sql).queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s
+      }.head
+      scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters).length
+    }
+
+    // equality derives __ptk = f(v): one partition read, correct rows
+    val eq = g.sql("SELECT id FROM mod_tab WHERE id = 4")
+    assert(eq.collect().map(_.getLong(0)).toSeq === Seq(4L))
+    assert(filesRead("SELECT id FROM mod_tab WHERE id = 4") === 1)
+
+    // range must NOT prune (f non-monotone) — and must stay correct
+    val range = g.sql("SELECT id FROM mod_tab WHERE id >= 4")
+    assert(range.collect().map(_.getLong(0)).sorted.toSeq === Seq(4L, 5L, 6L))
+    assert(filesRead("SELECT id FROM mod_tab WHERE id >= 4") === 3,
+      "range filter over a non-monotone ptk expr must scan all partitions")
+
+    // IN derives bucket membership: ids 1 and 4 share __ptk=1 → one dir
+    assert(filesRead("SELECT id FROM mod_tab WHERE id IN (1, 4)") === 1)
+    val in = g.sql("SELECT id FROM mod_tab WHERE id IN (1, 4)")
+    assert(in.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 4L))
+  }
+
   test("OPTIMIZE TABLE runs (stub parity, mgmt.rs:923-941)") {
     g.sql("DROP TABLE IF EXISTS opt_tab")
     g.sql("CREATE TABLE opt_tab(a Int32)")
