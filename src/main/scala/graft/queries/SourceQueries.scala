@@ -20,12 +20,30 @@ import graft.functions.GraftUdafs
 object SourceQueries {
   private val exportRoot = "/root/repo/target/export"
 
+  // Export fixtures once per (session, dir): the round-2 bench timed these
+  // file WRITES inside the query closure, so c01/c02's numbers measured
+  // export + warm-up, not the scan under test (VERDICT r2 defect #3).
+  private val exported = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
+  /** Write the CSV/JSON round-trip fixtures if this (session, dir) hasn't
+    * yet. Bench calls this before its timing loop; the query entries call
+    * it too so Verify stays self-contained.
+    */
+  def ensureExports(s: SparkSession, dir: String): Unit = {
+    val key = System.identityHashCode(s) + "|" + dir
+    if (exported.putIfAbsent(key, true) == null) {
+      Tables(s, dir, "nation").coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(s"$exportRoot/nation_csv")
+      Tables(s, dir, "supplier").coalesce(1).write.mode("overwrite")
+        .json(s"$exportRoot/supplier_json")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // CSV scan (file_format/csv.rs) — schema-explicit read, header on.
     "c01_csv_scan" -> { (s, dir) =>
       val out = s"$exportRoot/nation_csv"
-      Tables(s, dir, "nation").coalesce(1).write.mode("overwrite")
-        .option("header", "true").csv(out)
+      ensureExports(s, dir)
       s.read.option("header", "true")
         .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
         .csv(out)
@@ -38,7 +56,7 @@ object SourceQueries {
     // JSON scan (file_format/json.rs) — line-delimited JSON round-trip.
     "c02_json_scan" -> { (s, dir) =>
       val out = s"$exportRoot/supplier_json"
-      Tables(s, dir, "supplier").coalesce(1).write.mode("overwrite").json(out)
+      ensureExports(s, dir)
       s.read
         .schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
         .json(out)
