@@ -53,6 +53,54 @@ object LlmQueries {
   private def nib(md5expr: String, pos: Int): String =
     s"(strpos('0123456789abcdef', substr($md5expr, $pos, 1)) - 1)"
 
+  /** Max docs per LSH bucket before its pair explosion is skipped: a
+    * bucket of n docs emits C(n,2) candidate pairs, so one boilerplate
+    * bucket of 100k docs would be 5×10⁹ pairs in a single task. Dropped
+    * buckets are counted in the query output (the production recourse is
+    * more bands/longer signatures, not silently exploding).
+    */
+  val LshBucketCap = 64
+
+  /** The l02 pipeline, parameterized by the bucket cap and source view so
+    * the skew spec can drive it against a synthetic boilerplate corpus.
+    */
+  def minhashLshSql(cap: Int, table: String = "documents"): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, split(text, ' ') AS t FROM $table WHERE size(split(text, ' ')) >= 3
+       |), sh AS (
+       |  SELECT doc_id, explode(transform(sequence(0, size(t) - 3),
+       |    i -> array_join(slice(t, i + 1, 3), ' '))) AS s
+       |  FROM toks
+       |), mh AS (
+       |  SELECT doc_id,
+       |    min(substr(md5(concat(s, '#0')), 1, 8)) AS h0,
+       |    min(substr(md5(concat(s, '#1')), 1, 8)) AS h1,
+       |    min(substr(md5(concat(s, '#2')), 1, 8)) AS h2,
+       |    min(substr(md5(concat(s, '#3')), 1, 8)) AS h3
+       |  FROM sh GROUP BY doc_id
+       |), bands AS (
+       |  SELECT doc_id, posexplode(array(concat(h0, h1), concat(h2, h3))) AS (band, sig)
+       |  FROM mh
+       |), buckets AS (
+       |  SELECT band, sig, sort_array(collect_list(doc_id)) AS ids
+       |  FROM bands GROUP BY band, sig
+       |), pairs AS (
+       |  -- capped buckets contribute ONE sentinel row (d1 = -1) instead of
+       |  -- O(n²) pairs; the sentinel is counted, never joined
+       |  SELECT band, sig, p.d1, p.d2
+       |  FROM buckets
+       |  LATERAL VIEW explode(CASE WHEN size(ids) <= $cap THEN
+       |    flatten(transform(ids, (x, i) ->
+       |      transform(slice(ids, i + 2, size(ids)),
+       |        y -> named_struct('d1', x, 'd2', y))))
+       |    ELSE array(named_struct('d1', CAST(-1 AS BIGINT), 'd2', CAST(-1 AS BIGINT))) END) t AS p
+       |)
+       |SELECT count(CASE WHEN d1 >= 0 THEN 1 END) AS n_candidate_pairs,
+       |  count(DISTINCT CASE WHEN d1 >= 0 THEN concat(d1, '_', d2) END) AS n_distinct_pairs,
+       |  count(DISTINCT CASE WHEN d1 >= 0 THEN concat(band, ':', sig) END) AS n_multi_buckets,
+       |  CAST(count(CASE WHEN d1 < 0 THEN 1 END) AS BIGINT) AS n_dropped_buckets
+       |FROM pairs""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- l01: exact dedup by content hash -----------------------------
     // 100 TB: groupBy(md5(text)) is a single hash shuffle on a uniformly
@@ -79,41 +127,14 @@ object LlmQueries {
     // (band, sig) buckets, then pairs explode WITHIN each bucket — never
     // all-pairs, and no self-join that would recompute the minhash
     // pipeline per reference (a naive bands⋈bands CTE self-join re-ran the
-    // whole pipeline 6×). Skewed mega-buckets (boilerplate docs) would be
-    // capped with a bucket-size limit before the explode.
+    // whole pipeline 6×). Skewed mega-buckets (boilerplate corpora) are
+    // CAPPED before the explode: a bucket larger than LshBucketCap emits a
+    // single sentinel row instead of its O(n²) pairs, and the dropped
+    // count ships in the output (`n_dropped_buckets`) so the cap is
+    // observable, not silent — same single pass, no recompute.
     "l02_minhash_lsh" -> { (s, dir) =>
       Tables.registerAll(s, dir)
-      s.sql(
-        """WITH toks AS (
-          |  SELECT doc_id, split(text, ' ') AS t FROM documents WHERE size(split(text, ' ')) >= 3
-          |), sh AS (
-          |  SELECT doc_id, explode(transform(sequence(0, size(t) - 3),
-          |    i -> array_join(slice(t, i + 1, 3), ' '))) AS s
-          |  FROM toks
-          |), mh AS (
-          |  SELECT doc_id,
-          |    min(substr(md5(concat(s, '#0')), 1, 8)) AS h0,
-          |    min(substr(md5(concat(s, '#1')), 1, 8)) AS h1,
-          |    min(substr(md5(concat(s, '#2')), 1, 8)) AS h2,
-          |    min(substr(md5(concat(s, '#3')), 1, 8)) AS h3
-          |  FROM sh GROUP BY doc_id
-          |), bands AS (
-          |  SELECT doc_id, posexplode(array(concat(h0, h1), concat(h2, h3))) AS (band, sig)
-          |  FROM mh
-          |), buckets AS (
-          |  SELECT band, sig, sort_array(collect_list(doc_id)) AS ids
-          |  FROM bands GROUP BY band, sig
-          |), pairs AS (
-          |  SELECT band, sig, p.d1, p.d2
-          |  FROM buckets
-          |  LATERAL VIEW explode(flatten(transform(ids, (x, i) ->
-          |    transform(slice(ids, i + 2, size(ids)),
-          |      y -> named_struct('d1', x, 'd2', y))))) t AS p
-          |)
-          |SELECT count(*) AS n_candidate_pairs,
-          |  count(DISTINCT concat(d1, '_', d2)) AS n_distinct_pairs,
-          |  count(DISTINCT concat(band, ':', sig)) AS n_multi_buckets
-          |FROM pairs""".stripMargin)
+      s.sql(minhashLshSql(LshBucketCap))
     },
 
     // ---- l03: brute-force top-k cosine (ANN correctness baseline) -----
@@ -223,21 +244,28 @@ object LlmQueries {
     // ---- l08: n-gram Jaccard similarity on blocked pairs --------------
     // Token-bigram Jaccard over a deterministic candidate block (adjacent
     // doc ids within a language). 100 TB: the blocking key replaces
-    // all-pairs; set ops are per-pair map work.
+    // all-pairs; set ops are per-pair map work. The gram pipeline (split +
+    // shingle + array_distinct, the dominant cost) is materialized ONCE —
+    // r2 inlined the CTE into both self-join sides and shingled the corpus
+    // twice; at scale the materialization is a checkpoint/temp table, here
+    // an in-memory persist the join's two scans share.
     "l08_ngram_jaccard" -> { (s, dir) =>
       Tables.registerAll(s, dir)
+      val g = s.sql(
+        """SELECT doc_id, lang,
+          |  array_distinct(transform(sequence(0, size(split(text, ' ')) - 2),
+          |    i -> array_join(slice(split(text, ' '), i + 1, 2), ' '))) AS grams
+          |FROM documents WHERE size(split(text, ' ')) >= 2""".stripMargin)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      g.createOrReplaceTempView("l08_grams")
       s.sql(
-        """WITH g AS (
-          |  SELECT doc_id, lang,
-          |    array_distinct(transform(sequence(0, size(split(text, ' ')) - 2),
-          |      i -> array_join(slice(split(text, ' '), i + 1, 2), ' '))) AS grams
-          |  FROM documents WHERE size(split(text, ' ')) >= 2
-          |), pairs AS (
+        """WITH pairs AS (
           |  SELECT a.doc_id AS d1, b.doc_id AS d2,
           |    size(array_intersect(a.grams, b.grams)) AS inter,
           |    size(a.grams) + size(b.grams)
           |      - size(array_intersect(a.grams, b.grams)) AS uni
-          |  FROM g a JOIN g b ON a.lang = b.lang AND b.doc_id = a.doc_id + 1
+          |  FROM l08_grams a JOIN l08_grams b
+          |    ON a.lang = b.lang AND b.doc_id = a.doc_id + 1
           |)
           |SELECT d1, d2, round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
           |FROM pairs
@@ -290,10 +318,12 @@ object LlmQueries {
           |FROM tk GROUP BY source ORDER BY source""".stripMargin)
     },
 
-    // ---- m01: multimodal decode plumbing ------------------------------
-    // Typed mapPartitions decode over an opaque binary column (stubbed
-    // codec, real Spark plumbing — graft.operators.MultimodalOps). The
-    // oracle recomputes the deterministic fake decode arithmetically.
+    // ---- m01: multimodal decode -------------------------------------
+    // Typed mapPartitions decode over an opaque binary column of REAL PNG
+    // payloads (graft.operators.MultimodalOps — javax.imageio both ways).
+    // Dimensions are content-hash-derived (1..256), so the oracle
+    // recomputes them arithmetically while Spark actually renders and
+    // re-parses the containers.
     "m01_multimodal_decode" -> { (s, dir) =>
       Tables.registerAll(s, dir)
       import org.apache.spark.sql.functions.{col, count, expr, lit, sum}
@@ -320,34 +350,39 @@ object LlmQueries {
         |FROM groups""".stripMargin,
 
     "l02_minhash_lsh" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 3
-        |), sh AS (
-        |  SELECT doc_id, unnest(list_transform(range(len(t) - 2),
-        |    i -> array_to_string(t[i+1:i+3], ' '))) AS s
-        |  FROM toks
-        |), mh AS (
-        |  SELECT doc_id,
-        |    min(substr(md5(s || '#0'), 1, 8)) AS h0,
-        |    min(substr(md5(s || '#1'), 1, 8)) AS h1,
-        |    min(substr(md5(s || '#2'), 1, 8)) AS h2,
-        |    min(substr(md5(s || '#3'), 1, 8)) AS h3
-        |  FROM sh GROUP BY doc_id
-        |), bands AS (
-        |  SELECT doc_id, 0 AS band, h0 || h1 AS sig FROM mh
-        |  UNION ALL
-        |  SELECT doc_id, 1 AS band, h2 || h3 AS sig FROM mh
-        |), buckets AS (
-        |  SELECT band, sig, count(*) AS n FROM bands GROUP BY band, sig
-        |), pairs AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2
-        |  FROM bands a JOIN bands b
-        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-        |)
-        |SELECT count(*) AS n_candidate_pairs,
-        |  count(DISTINCT concat(d1, '_', d2)) AS n_distinct_pairs,
-        |  (SELECT CAST(count(*) AS BIGINT) FROM buckets WHERE n > 1) AS n_multi_buckets
-        |FROM pairs""".stripMargin,
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 3
+         |), sh AS (
+         |  SELECT doc_id, unnest(list_transform(range(len(t) - 2),
+         |    i -> array_to_string(t[i+1:i+3], ' '))) AS s
+         |  FROM toks
+         |), mh AS (
+         |  SELECT doc_id,
+         |    min(substr(md5(s || '#0'), 1, 8)) AS h0,
+         |    min(substr(md5(s || '#1'), 1, 8)) AS h1,
+         |    min(substr(md5(s || '#2'), 1, 8)) AS h2,
+         |    min(substr(md5(s || '#3'), 1, 8)) AS h3
+         |  FROM sh GROUP BY doc_id
+         |), bands AS (
+         |  SELECT doc_id, 0 AS band, h0 || h1 AS sig FROM mh
+         |  UNION ALL
+         |  SELECT doc_id, 1 AS band, h2 || h3 AS sig FROM mh
+         |), buckets AS (
+         |  SELECT band, sig, count(*) AS n FROM bands GROUP BY band, sig
+         |), pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |  JOIN buckets k ON k.band = a.band AND k.sig = a.sig
+         |    AND k.n <= $LshBucketCap
+         |)
+         |SELECT count(*) AS n_candidate_pairs,
+         |  count(DISTINCT concat(d1, '_', d2)) AS n_distinct_pairs,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM buckets
+         |     WHERE n > 1 AND n <= $LshBucketCap) AS n_multi_buckets,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM buckets
+         |     WHERE n > $LshBucketCap) AS n_dropped_buckets
+         |FROM pairs""".stripMargin,
 
     "l03_ann_bruteforce" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -467,8 +502,8 @@ object LlmQueries {
         |FROM tk GROUP BY source ORDER BY source""".stripMargin,
 
     "m01_multimodal_decode" -> {
-      val w = s"(${nib("md5(text)", 1)} * 16 + ${nib("md5(text)", 2)})"
-      val h = s"(${nib("md5(text)", 3)} * 16 + ${nib("md5(text)", 4)})"
+      val w = s"(${nib("md5(text)", 1)} * 16 + ${nib("md5(text)", 2)} + 1)"
+      val h = s"(${nib("md5(text)", 3)} * 16 + ${nib("md5(text)", 4)} + 1)"
       s"""WITH m AS (
          |  SELECT doc_id, $w AS width, $h AS height, $w * $h AS n_pixels
          |  FROM documents

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.LlmQueries
+
+/** Skew-safety checks for the LSH dedup path: a boilerplate-heavy corpus
+  * (many byte-identical documents) lands in one (band, sig) bucket whose
+  * pair explosion is O(n²); the bucket cap must bound the explode and
+  * surface the dropped buckets in the output instead of silently running
+  * them.
+  */
+class LlmQueriesSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  private def registerCorpus(): Unit = {
+    import spark.implicits._
+    val boiler = (0L until 100L).map(i =>
+      (i, "spam spam spam boilerplate text here we go again", "en", "web", 48L))
+    val near = Seq(
+      (200L, "unique text alpha beta gamma delta epsilon", "en", "web", 42L),
+      (201L, "unique text alpha beta gamma delta epsilon", "en", "web", 42L))
+    (boiler ++ near).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .createOrReplaceTempView("l02_spec_docs")
+  }
+
+  test("l02 bucket cap drops mega-buckets and bounds the pair explosion") {
+    registerCorpus()
+    val capped = spark.sql(LlmQueries.minhashLshSql(16, "l02_spec_docs"))
+      .collect()(0)
+    // 100 identical docs -> one bucket of 100 per band, both dropped; the
+    // two near-dup docs share a bucket of 2 per band -> 2 pairs, 1 distinct.
+    assert(capped.getAs[Long]("n_dropped_buckets") === 2L)
+    assert(capped.getAs[Long]("n_candidate_pairs") === 2L)
+    assert(capped.getAs[Long]("n_distinct_pairs") === 1L)
+    assert(capped.getAs[Long]("n_multi_buckets") === 2L)
+  }
+
+  test("without the cap the same corpus explodes quadratically") {
+    registerCorpus()
+    val uncapped = spark.sql(LlmQueries.minhashLshSql(1000, "l02_spec_docs"))
+      .collect()(0)
+    // 2 bands x C(100,2) mega-bucket pairs + 2 near-dup pairs.
+    assert(uncapped.getAs[Long]("n_candidate_pairs") === 2L * 4950L + 2L)
+    assert(uncapped.getAs[Long]("n_dropped_buckets") === 0L)
+  }
+
+  test("production cap leaves the real sf0.001 corpus untouched") {
+    val df = SparkEntry.queries("l02_minhash_lsh")(spark, SparkTestSession.sf)
+    val row = df.collect()(0)
+    // the driver testdata has no boilerplate mega-bucket at this SF
+    assert(row.getAs[Long]("n_dropped_buckets") === 0L)
+    assert(row.getAs[Long]("n_candidate_pairs") > 0L)
+  }
+}
