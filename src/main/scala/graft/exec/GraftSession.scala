@@ -131,17 +131,6 @@ class GraftSession(val spark: SparkSession) {
     case Select(raw) => spark.sql(rewriteSelect(raw))
   }
 
-  // CH `numbers(N)` table function (parsed-but-unwired in the reference,
-  // bql.pest:349-353) → Spark's range(N), aliased to CH's `number` column.
-  private val NumbersRe = "(?i)\\bnumbers\\s*\\(\\s*(\\d+)\\s*\\)".r
-  // remote('url', 'table'[, 'user', 'pwd']) table function in query
-  // position (reference rewrites remote queries to local form and fans
-  // out over the wire, crates/runtime/src/read.rs:151-228; here the
-  // transport is a JDBC scan registered as a temp view).
-  private val RemoteRe =
-    ("(?i)\\bremote\\s*\\(\\s*'([^']*)'\\s*,\\s*'([^']*)'\\s*" +
-      "(?:,\\s*'([^']*)'\\s*,\\s*'([^']*)'\\s*)?\\)").r
-
   private def jdbcReader(url: String, table: String,
                          auth: Option[(String, String)]) = {
     val r = spark.read.format("jdbc")
@@ -149,16 +138,35 @@ class GraftSession(val spark: SparkSession) {
     auth.fold(r) { case (u, w) => r.option("user", u).option("password", w) }
   }
 
+  /** SELECT-passthrough rewrites, driven by the tokenizer (r2 used raw-text
+    * regexes, which also fired inside string literals and comments — the
+    * same shallow-scan trap the reference's own parser has):
+    *   - `numbers(N)` (parsed-but-unwired in the reference, bql.pest:349-353)
+    *     → Spark `range(N)` aliased to CH's `number` column;
+    *   - `remote('url', 'table'[, 'user', 'pwd'])` (reference fans out over
+    *     the wire, crates/runtime/src/read.rs:151-228) → a JDBC scan
+    *     registered as a temp view. Views are registered BEFORE splicing
+    *     (no side effects inside a replacement callback) and the view name
+    *     hashes url|table|user|pwd, so two calls differing only in
+    *     credentials get distinct views.
+    */
   private def rewriteSelect(sql: String): String = {
-    val withRemote = RemoteRe.replaceAllIn(sql, m => {
-      val (url, table) = (m.group(1), m.group(2))
-      val auth = Option(m.group(3)).map(u => (u, m.group(4)))
-      val view = s"graft_remote_${Integer.toHexString((url + "|" + table).hashCode)}"
-      jdbcReader(url, table, auth).load().createOrReplaceTempView(view)
-      view
-    })
-    NumbersRe.replaceAllIn(withRemote,
-      m => s"(SELECT id AS number FROM range(${m.group(1)}))")
+    val remotes = ChParser.tableFnCalls(sql, "remote")
+      .filter(c => c._3.length == 2 || c._3.length == 4)
+    val numbers = ChParser.tableFnCalls(sql, "numbers")
+      .filter(c => c._3.length == 1 && c._3.head.nonEmpty && c._3.head.forall(_.isDigit))
+    if (remotes.isEmpty && numbers.isEmpty) return sql
+    val splices = remotes.map { case (from, to, args) =>
+      val auth = if (args.length == 4) Some((args(2), args(3))) else None
+      val view = s"graft_remote_${Integer.toHexString(args.mkString("|").hashCode)}"
+      jdbcReader(args(0), args(1), auth).load().createOrReplaceTempView(view)
+      (from, to, view)
+    } ++ numbers.map { case (from, to, args) =>
+      (from, to, s"(SELECT id AS number FROM range(${args.head}))")
+    }
+    splices.sortBy(-_._1).foldLeft(sql) { case (acc, (from, to, text)) =>
+      acc.substring(0, from) + text + acc.substring(to)
+    }
   }
 
   /** INSERT INTO FUNCTION remote(...) — append rows to a remote table over

@@ -91,7 +91,21 @@ object ChParser {
         var closed = false
         while (j < n && !closed) {
           val ch = sql.charAt(j)
-          if (ch == '\\' && j + 1 < n) { sb.append(sql.charAt(j + 1)); j += 2 }
+          if (ch == '\\' && j + 1 < n) {
+            // ClickHouse escape semantics (the reference codec decodes
+            // these on insert): recognized escapes become their control
+            // character; any other \x is x verbatim.
+            sb.append(sql.charAt(j + 1) match {
+              case 'n' => '\n'
+              case 't' => '\t'
+              case 'r' => '\r'
+              case '0' => '\u0000'
+              case 'b' => '\b'
+              case 'f' => '\f'
+              case other => other
+            })
+            j += 2
+          }
           else if (ch == '\'' && j + 1 < n && sql.charAt(j + 1) == '\'') { sb.append('\''); j += 2 }
           else if (ch == '\'') { closed = true; j += 1 }
           else { sb.append(ch); j += 1 }
@@ -235,34 +249,48 @@ object ChParser {
         err.toLeft(buf.toSeq)
       }
       _ <- p.expectPunct(")")
-    } yield {
-      val engine = if (p.eatKw("engine")) {
-        p.eatPunct("=")
-        p.ident().toOption
-      } else None
-      val partBy = if (p.isKw("partition")) {
-        p.next(); p.eatKw("by")
-        Some(p.sliceUntil(q => q.isKw("settings") || q.isPunct(";")))
-      } else None
-      var settings = Map.empty[String, String]
-      if (p.eatKw("settings")) {
-        var go = true
-        while (go) {
-          (for {
-            k <- p.ident()
-            _ <- p.expectPunct("=")
-          } yield {
-            val v = p.peek.map(_.text).getOrElse("")
-            p.next()
-            settings += (k -> v)
-          }) match {
-            case Left(_) => go = false
-            case Right(_) => go = p.eatPunct(",")
+      tail <- {
+        val engine = if (p.eatKw("engine")) {
+          p.eatPunct("=")
+          p.ident().toOption
+        } else None
+        val partBy = if (p.isKw("partition")) {
+          p.next(); p.eatKw("by")
+          Some(p.sliceUntil(q => q.isKw("settings") || q.isPunct(";")))
+        } else None
+        parseSettings(p).map(settings => (engine, partBy, settings))
+      }
+    } yield CreateTable(dbTab._1, dbTab._2, cols, tail._1, tail._2, tail._3,
+      ine, p.sql.trim)
+  }
+
+  /** SETTINGS k=v [, k=v ...] — values admit a leading sign
+    * (signed_number in the reference grammar, bql.pest); a dangling
+    * `k=` is a parse error, not an IndexOutOfBounds.
+    */
+  private def parseSettings(p: P): Either[String, Map[String, String]] = {
+    var settings = Map.empty[String, String]
+    if (p.eatKw("settings")) {
+      var go = true
+      while (go) {
+        val one = for {
+          k <- p.ident()
+          _ <- p.expectPunct("=")
+          v <- {
+            val sign = if (p.eatPunct("-")) "-" else { p.eatPunct("+"); "" }
+            p.peek match {
+              case Some(t) => p.next(); Right(sign + t.text)
+              case None => Left(s"SETTINGS $k=: expected a value, got <end>")
+            }
           }
+        } yield settings += (k -> v)
+        one match {
+          case Left(e) => return Left(e)
+          case Right(_) => go = p.eatPunct(",")
         }
       }
-      CreateTable(dbTab._1, dbTab._2, cols, engine, partBy, settings, ine, p.sql.trim)
     }
+    Right(settings)
   }
 
   /** remote('url', 'table' [, 'user', 'pwd']) argument list. */
@@ -405,6 +433,46 @@ object ChParser {
     } else Left(s"unrecognized statement at ${p.posText}")
   }
 
+  /** Lexical occurrences of `fn(lit, lit, ...)` with only string/number
+    * literal arguments, OUTSIDE string literals and comments (the
+    * tokenizer skips both). Returns (startOffset, endOffsetExclusive,
+    * unquoted argument texts) per call — the SELECT-passthrough rewrites
+    * (`numbers()`, `remote()`) splice on these spans instead of regexing
+    * raw text, so `SELECT 'numbers(5)'` survives untouched.
+    */
+  def tableFnCalls(sql: String, fn: String): Seq[(Int, Int, Seq[String])] =
+    tokenize(sql) match {
+      case Left(_) => Nil // let the real parser produce the error
+      case Right(toks) =>
+        val out = ArrayBuffer.empty[(Int, Int, Seq[String])]
+        var i = 0
+        while (i < toks.length) {
+          toks(i) match {
+            case Ident(t, p0) if t.equalsIgnoreCase(fn) && i + 1 < toks.length &&
+                (toks(i + 1) match { case Punct("(", _) => true; case _ => false }) =>
+              val args = ArrayBuffer.empty[String]
+              var j = i + 2
+              var endPos = -1
+              var ok = true
+              var expectArg = true
+              while (endPos < 0 && ok && j < toks.length) {
+                toks(j) match {
+                  case StrLit(s, _) if expectArg => args += s; expectArg = false
+                  case NumLit(s, _) if expectArg => args += s; expectArg = false
+                  case Punct(",", _) if !expectArg => expectArg = true
+                  case Punct(")", p) if !expectArg => endPos = p + 1
+                  case _ => ok = false
+                }
+                j += 1
+              }
+              if (ok && endPos > 0) { out += ((p0, endPos, args.toSeq)); i = j - 1 }
+            case _ => ()
+          }
+          i += 1
+        }
+        out.toSeq
+    }
+
   /** Split a multi-statement script on blank lines + ';' like the
     * reference's script runner (crates/tests_integ/src/sql_test_runner.rs:50-95).
     */
@@ -413,14 +481,36 @@ object ChParser {
       .flatMap(stmt => splitStatements(stmt).getOrElse(Seq(stmt))).toSeq
 
   /** Split on top-level ';' (string/comment-aware via the tokenizer) —
-    * the grammar's `cmd_list = cmd+ (";" cmd)*` (bql.pest:8).
+    * the grammar's `cmd_list = cmd+ (";" cmd)*` (bql.pest:8). Once an
+    * INSERT … FORMAT statement begins, splitting STOPS: the remainder is
+    * that statement's opaque payload (legal CSV data contains ';', and the
+    * reference streams the payload outside the statement text entirely,
+    * mgmt.rs:724-730).
     */
   def splitStatements(sql: String): Either[String, Seq[String]] =
     tokenize(sql).map { toks =>
-      val cuts = toks.collect { case Punct(";", pos) => pos }
-      val bounds = (-1 +: cuts) :+ sql.length
-      bounds.sliding(2).map { case Seq(a, b) =>
-        sql.substring(a + 1, b).trim
-      }.filter(_.nonEmpty).toSeq
+      val out = ArrayBuffer.empty[String]
+      var start = 0 // char offset where the current statement begins
+      var first: Option[String] = None // first keyword of current statement
+      var depth = 0 // paren depth (FORMAT inside a column list isn't the clause)
+      var opaque = false
+      var ti = 0
+      while (ti < toks.length && !opaque) {
+        toks(ti) match {
+          case Punct(";", pos) if depth == 0 =>
+            out += sql.substring(start, pos)
+            start = pos + 1
+            first = None
+          case Punct("(", _) => depth += 1
+          case Punct(")", _) => depth = math.max(0, depth - 1)
+          case Ident(t, _) =>
+            if (first.isEmpty) first = Some(t.toLowerCase)
+            else if (depth == 0 && first.contains("insert") &&
+              t.equalsIgnoreCase("format")) opaque = true
+          case _ => ()
+        }
+        ti += 1
+      }
+      (out += sql.substring(start)).map(_.trim).filter(_.nonEmpty).toSeq
     }
 }

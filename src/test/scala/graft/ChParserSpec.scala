@@ -91,4 +91,51 @@ class ChParserSpec extends AnyFunSuite {
       "DROP TABLE IF EXISTS t\n\nCREATE TABLE t(a UInt64)\n\n:6\nselect 1")
     assert(stmts === Seq("DROP TABLE IF EXISTS t", "CREATE TABLE t(a UInt64)"))
   }
+
+  test("string-literal escapes decode to CH control characters") {
+    // ADVICE r2: 'a\nb' must round-trip as a-newline-b, not "anb"
+    val iv = p("INSERT INTO t VALUES ('a\\nb'), ('t\\tab'), ('back\\\\slash'), ('q\\'uote'), ('un\\known')")
+      .asInstanceOf[InsertValues]
+    val vals = iv.rows.map(_.head.get)
+    assert(vals(0) === "'a\nb'")
+    assert(vals(1) === "'t\tab'")
+    assert(vals(2) === "'back\\slash'")
+    assert(vals(3) === "'q''uote'") // re-quoted for the literal codec
+    assert(vals(4) === "'unknown'") // unknown escape: char verbatim
+  }
+
+  test("SETTINGS admits signed values and rejects dangling '='") {
+    val ct = p("CREATE TABLE t(a Int32) SETTINGS x=-1, y=+2, z=3")
+      .asInstanceOf[CreateTable]
+    assert(ct.settings === Map("x" -> "-1", "y" -> "2", "z" -> "3"))
+    assert(ChParser.parse("CREATE TABLE t(a Int32) SETTINGS x=").isLeft)
+  }
+
+  test("splitStatements treats INSERT ... FORMAT payload as opaque") {
+    // ADVICE r2: a ';' inside CSV payload must not split the statement
+    val r = ChParser.splitStatements(
+      "CREATE TABLE t(a Int32, b String); INSERT INTO t FORMAT CSV\n1,a;b\n2,c;d")
+    assert(r === Right(Seq(
+      "CREATE TABLE t(a Int32, b String)",
+      "INSERT INTO t FORMAT CSV\n1,a;b\n2,c;d")))
+    // FORMAT as a column name inside parens does not trigger opaque mode
+    val r2 = ChParser.splitStatements(
+      "INSERT INTO t (format, x) VALUES (1, 2); SELECT 1")
+    assert(r2 === Right(Seq("INSERT INTO t (format, x) VALUES (1, 2)", "SELECT 1")))
+  }
+
+  test("tableFnCalls skips string literals and comments") {
+    assert(ChParser.tableFnCalls("SELECT count(*) FROM numbers(5)", "numbers")
+      .map(_._3) === Seq(Seq("5")))
+    assert(ChParser.tableFnCalls("SELECT 'numbers(5)' AS s", "numbers") === Nil)
+    assert(ChParser.tableFnCalls(
+      "SELECT 1 -- remote('u','t')\n", "remote") === Nil)
+    assert(ChParser.tableFnCalls(
+      "SELECT 1 /* remote('u','t') */", "remote") === Nil)
+    val calls = ChParser.tableFnCalls(
+      "SELECT * FROM remote('jdbc:x', 'tab', 'user', 'pw')", "remote")
+    assert(calls.map(_._3) === Seq(Seq("jdbc:x", "tab", "user", "pw")))
+    // non-literal args are left for Spark to reject
+    assert(ChParser.tableFnCalls("SELECT numbers(x)", "numbers") === Nil)
+  }
 }

@@ -310,6 +310,15 @@ class GraftSessionSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1)) === ((45L, 10L)))
   }
 
+  test("numbers()/remote() inside string literals and comments survive untouched") {
+    // ADVICE r2: the r2 regex rewrite fired inside literals; the tokenizer
+    // rewrite must not.
+    val lit = g.sql("SELECT 'numbers(5)' AS s").collect()(0).getString(0)
+    assert(lit === "numbers(5)")
+    val c = g.sql("SELECT 1 AS one -- remote('jdbc:nowhere', 'x')").collect()(0)
+    assert(c.getInt(0) === 1)
+  }
+
   test("toDecimal32/64 rewrite (reference TODO, tpch smoke :417)") {
     val r = g.sql("SELECT toDecimal32(1.555, 2) AS a, toDecimal64('12.3', 1) AS b")
       .collect()(0)
