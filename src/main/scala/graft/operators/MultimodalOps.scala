@@ -1,22 +1,25 @@
 package graft.operators
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.awt.image.BufferedImage
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video payloads ride as opaque
   * `binary` columns with typed metadata extracted by a per-partition decode
-  * pass. The Spark-side shape is the real thing — typed Dataset,
-  * mapPartitions batching, schema, and partition-preserving execution —
-  * while the codec itself is STUBBED (no image/audio libraries in this
-  * container): [[decodePartition]] derives deterministic fake dimensions
-  * from the payload's first bytes where a real deployment would invoke
-  * libjpeg/ffmpeg per partition.
+  * pass. Both sides are REAL here: payloads are actual PNG containers
+  * (rendered per row via `javax.imageio`, in the JDK — no external codec
+  * jar needed) and the decode pass parses them back with `ImageIO.read`,
+  * yielding the true pixel dimensions.
   *
-  * 100 TB design: decode is embarrassingly parallel map work; the binary
-  * column stays columnar in parquet (no base64 inflation), partitions are
-  * sized by `spark.sql.files.maxPartitionBytes` so a partition's payloads
-  * fit executor memory, and the expensive codec is amortized per partition
-  * (library init once per task, not per row).
+  * 100 TB design: encode/decode are embarrassingly parallel map work; the
+  * binary column stays columnar in parquet (no base64 inflation),
+  * partitions are sized by `spark.sql.files.maxPartitionBytes` so a
+  * partition's payloads fit executor memory, and codec state is amortized
+  * per partition via `mapPartitions` (one reader/writer setup per task,
+  * not per row — the correct Spark shape for libjpeg/ffmpeg-class codecs).
   */
 object MultimodalOps {
 
@@ -26,26 +29,47 @@ object MultimodalOps {
   /** Typed metadata the decode pass extracts. */
   final case class MediaMeta(doc_id: Long, width: Int, height: Int, n_pixels: Int)
 
-  /** STUB decode: real codec init + per-row decode would live here.
-    * Deterministic fake: width/height from the first two payload bytes.
+  /** Render each (doc_id, w, h) as a real PNG payload. The single pixel
+    * write keeps the encode cheap; the container still carries true
+    * dimensions for the decoder to recover.
     */
-  def decodePartition(it: Iterator[Blob]): Iterator[MediaMeta] = {
-    // real impl: val codec = ImageCodec.open()  — once per partition
-    it.map { b =>
-      val w = b.payload(0) & 0xff
-      val h = b.payload(1) & 0xff
-      MediaMeta(b.doc_id, w, h, w * h)
+  def encodePartition(it: Iterator[(Long, Int, Int)]): Iterator[Blob] =
+    it.map { case (id, w, h) =>
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, (id & 0xffffff).toInt)
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      Blob(id, bos.toByteArray)
     }
+
+  /** Real decode: parse the PNG container, return actual dimensions. */
+  def decodePartition(it: Iterator[Blob]): Iterator[MediaMeta] =
+    it.map { b =>
+      val img = ImageIO.read(new ByteArrayInputStream(b.payload))
+      require(img != null, s"undecodable image payload for doc ${b.doc_id}")
+      MediaMeta(b.doc_id, img.getWidth, img.getHeight,
+        img.getWidth * img.getHeight)
+    }
+
+  /** Dimension a document deterministically from its content hash
+    * (1..256 on each axis) — the stand-in for "documents reference image
+    * assets"; the oracle recomputes the same arithmetic.
+    */
+  private def dimExpr(firstNibble: Int) = {
+    def nib(pos: Int) =
+      expr(s"instr('0123456789abcdef', substr(md5(text), $pos, 1)) - 1")
+    (nib(firstNibble) * lit(16) + nib(firstNibble + 1) + lit(1)).cast("int")
   }
 
-  /** Full pipeline over `documents`: payload column (here a deterministic
-    * md5-derived stand-in for real image bytes) → typed decode →
-    * metadata DataFrame.
+  /** Full pipeline over `documents`: derive dimensions → render real PNG
+    * payloads → binary column → per-partition `ImageIO` decode → typed
+    * metadata.
     */
   def decodeDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
-    docs.select(col("doc_id"), unhex(md5(col("text"))).as("payload"))
-      .as[Blob]
+    docs.select(col("doc_id"), dimExpr(1).as("w"), dimExpr(3).as("h"))
+      .as[(Long, Int, Int)]
+      .mapPartitions(encodePartition)
       .mapPartitions(decodePartition)
   }
 }
