@@ -48,31 +48,68 @@ object EventStreams {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("total_value"))
 
-  final case class SessionStats(user_id: Long, n_sessions: Int, n_events: Long)
+  /** One CLOSED session: emitted exactly once, when the 30-minute
+    * inactivity gap ends it (either a later event past the gap, or the
+    * event-time watermark passing the gap deadline).
+    */
+  final case class Session(user_id: Long, start_us: Long, end_us: Long,
+                           n_events: Long)
 
   /** Per-user sessionization (30-minute inactivity gap) through the
-    * arbitrary-stateful API. State carries only (last ts, counters) per
-    * user between batches.
+    * arbitrary-stateful API, production-shaped:
+    *   - a watermark bounds both late data and state lifetime;
+    *   - state holds ONE open session per user — (start, end, count) —
+    *     and is `remove()`d when the session closes, so state size is
+    *     O(active users in the last gap window), not O(all users ever;
+    *     the r2 version grew without bound and re-emitted cumulative
+    *     rows every batch);
+    *   - sessions are emitted only on close (gap exceeded inline, or
+    *     `EventTimeTimeout` once the watermark passes end + gap), which is
+    *     what Append-mode output semantically requires.
     */
-  def sessionStats(spark: SparkSession, events: DataFrame): Dataset[SessionStats] = {
+  /** Exact epoch micros from a Timestamp (getTime alone truncates to ms). */
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  def sessionize(spark: SparkSession, events: DataFrame): Dataset[Session] = {
     import spark.implicits._
     val gapUs = 30L * 60 * 1000 * 1000
-    events.select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
-      .as[(Long, Long)]
+    events
+      // the watermark column itself must reach the stateful operator for
+      // EventTimeTimeout; micros are extracted inside the lambda
+      .withWatermark("ts", "30 minutes")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Int, Long), SessionStats](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (uid, rows, state: GroupState[(Long, Int, Long)]) =>
-          val sorted = rows.map(_._2).toSeq.sorted
-          var (lastTs, nSessions, nEvents) =
-            state.getOption.getOrElse((Long.MinValue, 0, 0L))
-          sorted.foreach { t =>
-            if (lastTs == Long.MinValue || t - lastTs > gapUs) nSessions += 1
-            nEvents += 1
-            lastTs = t
+      .flatMapGroupsWithState[(Long, Long, Long), Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            // watermark passed end + gap: the open session is final
+            val (start, end, n) = state.get
+            state.remove()
+            Iterator.single(Session(uid, start, end, n))
+          } else {
+            val sorted = rows.map(r => tsMicros(r._2)).toSeq.sorted
+            val closed = List.newBuilder[Session]
+            var open = state.getOption
+            sorted.foreach { t =>
+              open = open match {
+                case Some((start, end, n)) if t - end <= gapUs =>
+                  Some((start, math.max(t, end), n + 1))
+                case Some((start, end, n)) =>
+                  closed += Session(uid, start, end, n)
+                  Some((t, t, 1L))
+                case None => Some((t, t, 1L))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // fire once the watermark passes the session's gap deadline
+              state.setTimeoutTimestamp(s._2 / 1000 + gapUs / 1000)
+            }
+            closed.result().iterator
           }
-          state.update((lastTs, nSessions, nEvents))
-          Iterator.single(SessionStats(uid, nSessions, nEvents))
       }
   }
 }

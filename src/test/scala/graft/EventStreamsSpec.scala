@@ -41,34 +41,45 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streaming.map(_.toString).toSeq === batch.map(_.toString).toSeq)
   }
 
-  test("sessionization: streaming state == batch lag-based sessions") {
-    val q = EventStreams.sessionStats(spark,
-        EventStreams.readEvents(spark, inputDir))
-      .toDF()
+  test("sessionization: emit on close only, state dropped after the gap") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    def us(min: Long): Long = min * 60L * 1000 * 1000
+    val events = mem.toDF().toDF("user_id", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+
+    val q = EventStreams.sessionize(spark, events).toDF()
       .writeStream.format("memory").queryName("sessions")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+      .outputMode("append").start()
+    try {
+      def emitted(): Seq[(Long, Long, Long, Long)] =
+        spark.table("sessions").orderBy("user_id", "start_us").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
 
-    val streaming = spark.table("sessions")
-      .orderBy("user_id").collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      // batch 1: u1 has two events 10 min apart (one open session),
+      // u2 one event — nothing closes, nothing is emitted.
+      mem.addData((1L, us(600)), (1L, us(610)), (2L, us(600)))
+      q.processAllAvailable()
+      assert(emitted() === Seq.empty)
 
-    // batch oracle: session starts where the gap to the previous event of
-    // the same user exceeds 30 minutes
-    val batch = Tables.events(spark, sf)
-      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
-      .withColumn("prev", lag(col("ts_us"), 1).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("user_id").orderBy("ts_us")))
-      .withColumn("new_session",
-        when(col("prev").isNull || col("ts_us") - col("prev") > 30L * 60 * 1000 * 1000, 1)
-          .otherwise(0))
-      .groupBy("user_id")
-      .agg(sum("new_session").cast("int").as("n_sessions"),
-        count(lit(1)).as("n_events"))
-      .orderBy("user_id").collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      // batch 2: u1 comes back 110 min later — past the gap, so u1's
+      // first session closes INLINE and a new one opens. The watermark
+      // advance (720 - 30 = 690) then fires u2's EventTimeTimeout
+      // (deadline 600 + 30 = 630): its session is emitted and its state
+      // removed (processAllAvailable drains the timeout batch too).
+      mem.addData((1L, us(720)))
+      q.processAllAvailable()
+      assert(emitted() === Seq(
+        (1L, us(600), us(610), 2L),
+        (2L, us(600), us(600), 1L)))
 
-    assert(streaming.toSeq === batch.toSeq)
+      // batch 3: more data, further watermark advance — u2 must NOT be
+      // re-emitted (state gone), u1's new session and u3's stay open.
+      mem.addData((3L, us(721)))
+      q.processAllAvailable()
+      assert(emitted().count(_._1 == 2L) === 1)
+      assert(emitted().count(_._1 == 3L) === 0)
+    } finally q.stop()
   }
 }
