@@ -51,6 +51,60 @@ class GraftSession(val spark: SparkSession) {
   // needs creating.
   spark.sql("CREATE DATABASE IF NOT EXISTS `system`")
 
+  // Catalog persistence (the reference persists tables in sled,
+  // crates/meta/src/store/sys.rs:624-642): every CREATE TABLE records its
+  // CH create script under <warehouse>/_graft_meta/<db>/<table>.sql and
+  // the table itself is created WITH an explicit LOCATION, so a fresh
+  // process against the same warehouse replays the scripts and reattaches
+  // the surviving parquet data — SHOW CREATE / DESC / INSERT / SELECT all
+  // work after a restart.
+  restoreCatalog()
+
+  private def warehousePath: java.nio.file.Path = {
+    val w = spark.conf.get("spark.sql.warehouse.dir")
+    val uri = new java.net.URI(w)
+    java.nio.file.Paths.get(
+      if (uri.getScheme != null) uri.getPath else w)
+  }
+
+  private def metaRoot: java.nio.file.Path = warehousePath.resolve("_graft_meta")
+
+  private def metaFile(db: String, table: String): java.nio.file.Path =
+    metaRoot.resolve(db).resolve(s"$table.sql")
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(): Unit
+  }
+
+  /** Replay recorded create scripts for tables the (in-memory) catalog has
+    * forgotten but whose data survives in the warehouse.
+    */
+  private def restoreCatalog(): Unit = {
+    val root = metaRoot.toFile
+    if (!root.exists) return
+    for (dbDir <- Option(root.listFiles).getOrElse(Array.empty[java.io.File])
+         if dbDir.isDirectory) {
+      val db = dbDir.getName
+      if (!spark.catalog.databaseExists(db))
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+      for (f <- Option(dbDir.listFiles).getOrElse(Array.empty[java.io.File])
+           if f.getName.endsWith(".sql")) {
+        val table = f.getName.stripSuffix(".sql")
+        if (!spark.catalog.tableExists(s"$db.$table")) {
+          ChParser.parse(java.nio.file.Files.readString(f.toPath)) match {
+            case Right(ct: CreateTable) =>
+              createTable(ct.copy(db = Some(db), ifNotExists = true))
+              // reload surviving partition directories into the catalog
+              if (ct.partitionBy.isDefined)
+                spark.sql(s"ALTER TABLE `$db`.`$table` RECOVER PARTITIONS")
+            case _ => () // damaged meta entry: leave the files alone
+          }
+        }
+      }
+    }
+  }
+
   def sql(statement: String): DataFrame = sql(statement, "")
 
   /** Run one or more ';'-separated statements (cmd_list, bql.pest:8),
@@ -80,7 +134,13 @@ class GraftSession(val spark: SparkSession) {
     case CreateDatabase(name, ine) =>
       spark.sql(s"CREATE DATABASE ${if (ine) "IF NOT EXISTS " else ""}`$name`")
     case DropDatabase(name, ie) =>
-      spark.sql(s"DROP DATABASE ${if (ie) "IF EXISTS " else ""}`$name` CASCADE")
+      // External-location tables leave files behind on CASCADE; remove the
+      // db's warehouse dir and its recorded create scripts (the reference
+      // deletes data files with the meta, mgmt.rs:802-854).
+      val r = spark.sql(s"DROP DATABASE ${if (ie) "IF EXISTS " else ""}`$name` CASCADE")
+      rmTree(warehousePath.resolve(s"$name.db").toFile)
+      rmTree(metaRoot.resolve(name).toFile)
+      r
     case UseDb(name) =>
       spark.catalog.setCurrentDatabase(name); emptyOk
     case ShowDatabases =>
@@ -91,9 +151,28 @@ class GraftSession(val spark: SparkSession) {
         .select(col("tableName").as("name"))
     case ct: CreateTable => createTable(ct)
     case DropTable(db, name, ie) =>
-      spark.sql(s"DROP TABLE ${if (ie) "IF EXISTS " else ""}${fullName(db, name)}")
+      val rdb = db.getOrElse(spark.catalog.currentDatabase)
+      val loc =
+        if (spark.catalog.tableExists(s"$rdb.$name")) Some(tableLocation(rdb, name))
+        else None
+      val r = spark.sql(s"DROP TABLE ${if (ie) "IF EXISTS " else ""}${fullName(db, name)}")
+      // DROP removes data in the reference (mgmt.rs:802-854); external
+      // tables need the file delete done here.
+      loc.foreach(p => rmTree(p.toFile))
+      java.nio.file.Files.deleteIfExists(metaFile(rdb, name))
+      r
     case TruncateTable(db, name) =>
-      spark.sql(s"TRUNCATE TABLE ${fullName(db, name)}")
+      // Spark disallows TRUNCATE on external-location tables; the
+      // reference's semantics are "drop data, keep meta" (mgmt.rs:856-905)
+      // — replay the recorded create script around a full drop.
+      val rdb = db.getOrElse(spark.catalog.currentDatabase)
+      tableProp(db, name, "graft.create_script")
+        .flatMap(s => ChParser.parse(s).toOption) match {
+        case Some(ct: CreateTable) =>
+          run(DropTable(db, name, ifExists = false), "")
+          createTable(ct.copy(db = Some(rdb), ifNotExists = false))
+        case _ => spark.sql(s"TRUNCATE TABLE ${fullName(db, name)}")
+      }
     case ShowCreateTable(db, name) =>
       val script = tableProp(db, name, "graft.create_script")
         .getOrElse(sys.error(s"no create script recorded for ${fullName(db, name)}"))
@@ -226,25 +305,26 @@ class GraftSession(val spark: SparkSession) {
     case _ => false
   }
 
+  private def tableLocation(db: String, name: String): java.nio.file.Path = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(name, Some(db)))
+    java.nio.file.Paths.get(meta.location.getPath)
+  }
+
   private def createTable(ct: CreateTable): DataFrame = {
     val full = fullName(ct.db, ct.name)
     if (ct.ifNotExists && spark.catalog.tableExists(full.replace("`", ""))) return emptyOk
-    // The in-memory catalog forgets tables across sessions but their files
-    // persist in the warehouse; clear a stale managed location so CREATE
-    // TABLE doesn't fail on leftovers from a previous process.
-    if (!spark.catalog.tableExists(full.replace("`", ""))) {
-      val tid = org.apache.spark.sql.catalyst.TableIdentifier(
-        ct.name, ct.db.orElse(Some(spark.catalog.currentDatabase)))
-      val loc = new java.io.File(
-        new java.net.URI(spark.sessionState.catalog.defaultTablePath(tid).toString).getPath)
-      if (loc.exists) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles.foreach(rm)
-          f.delete(): Unit
-        }
-        rm(loc)
-      }
-    }
+    val rdb = ct.db.getOrElse(spark.catalog.currentDatabase)
+    val tid = org.apache.spark.sql.catalyst.TableIdentifier(ct.name, Some(rdb))
+    val loc = new java.io.File(
+      new java.net.URI(spark.sessionState.catalog.defaultTablePath(tid).toString).getPath)
+    // A location with files but NO recorded create script is an orphan (a
+    // crash between write and meta record): clear it. A location WITH a
+    // script is live restored data — restoreCatalog reattaches it, so a
+    // plain CREATE over it correctly fails with TableAlreadyExists above.
+    if (!spark.catalog.tableExists(full.replace("`", "")) && loc.exists &&
+        !java.nio.file.Files.exists(metaFile(rdb, ct.name)))
+      rmTree(loc)
 
     val colDdl = ct.cols.map { c =>
       val sparkT = c.tpe.sparkType.sql
@@ -279,11 +359,19 @@ class GraftSession(val spark: SparkSession) {
       s"'${k.replace("'", "''")}'='${v.replace("'", "''")}'"
     }.mkString(", ")
 
-    spark.sql(
+    // an explicit LOCATION is not auto-created the way a managed path is
+    java.nio.file.Files.createDirectories(loc.toPath)
+    val r = spark.sql(
       s"""CREATE TABLE ${if (ct.ifNotExists) "IF NOT EXISTS " else ""}$full
          |(${colDdl.mkString(", ")}$ptkDdl)
          |USING parquet$partClause$bucketClause
+         |LOCATION '${loc.getAbsolutePath.replace("'", "''")}'
          |TBLPROPERTIES ($propsDdl)""".stripMargin)
+    // record the create script for restart replay (sled-store analog,
+    // sys.rs:624-642) — written after the catalog accepts the table
+    java.nio.file.Files.createDirectories(metaFile(rdb, ct.name).getParent)
+    java.nio.file.Files.writeString(metaFile(rdb, ct.name), ct.createScript)
+    r
   }
 
   /** Literal → typed column coercion, mirroring the reference's insert

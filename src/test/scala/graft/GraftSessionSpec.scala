@@ -310,6 +310,72 @@ class GraftSessionSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1)) === ((45L, 10L)))
   }
 
+  test("catalog persists across process restarts (sled-store analog, sys.rs:624-642)") {
+    g.sql("DROP TABLE IF EXISTS persist_tab")
+    g.sql("CREATE TABLE persist_tab(a UInt64, d Date) " +
+      "ENGINE=BaseStorage PARTITION BY toYear(d)")
+    g.sql("INSERT INTO persist_tab VALUES (1, '2021-01-05'), (2, '2022-07-01')")
+    // Simulate a restart: the in-memory catalog forgets the table, the
+    // warehouse files survive (external location, purge = false).
+    spark.sharedState.externalCatalog.dropTable(
+      spark.catalog.currentDatabase, "persist_tab",
+      ignoreIfNotExists = false, purge = false)
+    assert(!spark.catalog.tableExists("persist_tab"))
+
+    val g2 = new GraftSession(spark) // fresh session boots -> replay meta
+    assert(spark.catalog.tableExists("persist_tab"))
+    val show = g2.sql("SHOW CREATE TABLE persist_tab").collect()(0).getString(0)
+    assert(show.toUpperCase.contains("PARTITION BY"))
+    val desc = g2.sql("DESC persist_tab").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(desc.contains(("a", "UInt64")))
+    assert(g2.sql("SELECT CAST(sum(a) AS BIGINT) AS s FROM persist_tab")
+      .collect()(0).getLong(0) === 3L)
+    // writes keep working against the restored table
+    g2.sql("INSERT INTO persist_tab VALUES (4, '2023-03-03')")
+    assert(g2.sql("SELECT CAST(sum(a) AS BIGINT) AS s FROM persist_tab")
+      .collect()(0).getLong(0) === 7L)
+    g2.sql("DROP TABLE persist_tab")
+  }
+
+  test("DROP TABLE removes data files; TRUNCATE keeps meta, drops data") {
+    g.sql("DROP TABLE IF EXISTS lifecycle_tab")
+    g.sql("CREATE TABLE lifecycle_tab(a Int32)")
+    g.sql("INSERT INTO lifecycle_tab VALUES (1), (2)")
+    g.sql("TRUNCATE TABLE lifecycle_tab")
+    assert(g.sql("SELECT count(*) AS n FROM lifecycle_tab")
+      .collect()(0).getLong(0) === 0L)
+    // meta survived the truncate: DESC still reports CH types
+    assert(g.sql("DESC lifecycle_tab").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+      .contains(("a", "Int32")))
+    g.sql("INSERT INTO lifecycle_tab VALUES (7)")
+    assert(g.sql("SELECT CAST(sum(a) AS BIGINT) AS s FROM lifecycle_tab")
+      .collect()(0).getLong(0) === 7L)
+    g.sql("DROP TABLE lifecycle_tab")
+    // dropped: nothing to restore on a fresh boot
+    val g3 = new GraftSession(spark)
+    assert(!spark.catalog.tableExists("lifecycle_tab"))
+  }
+
+  test("UInt64 full range: 2^64-1 round-trips exactly through Decimal(20,0)") {
+    g.sql("DROP TABLE IF EXISTS u64_tab")
+    g.sql("CREATE TABLE u64_tab(u UInt64)")
+    g.sql("INSERT INTO u64_tab VALUES (18446744073709551615), (1)")
+    // DESC reports the declared CH type, not the Spark widening
+    assert(g.sql("DESC u64_tab").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq === Seq(("u", "UInt64")))
+    val rows = g.sql("SELECT CAST(u AS STRING) AS s FROM u64_tab ORDER BY u")
+      .collect().map(_.getString(0)).toSeq
+    assert(rows === Seq("1", "18446744073709551615"))
+    // sum widens to Decimal(30,0) (Spark adds 10 digits of headroom), so
+    // aggregating max-range values does NOT overflow
+    val sum = g.sql("SELECT CAST(sum(u) AS STRING) AS s FROM u64_tab")
+      .collect()(0).getString(0)
+    assert(sum === "18446744073709551616")
+    g.sql("DROP TABLE u64_tab")
+  }
+
   test("numbers()/remote() inside string literals and comments survive untouched") {
     // ADVICE r2: the r2 regex rewrite fired inside literals; the tokenizer
     // rewrite must not.
