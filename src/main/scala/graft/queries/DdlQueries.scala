@@ -43,6 +43,22 @@ object DdlQueries {
         "count(*) AS n FROM graft_d02 GROUP BY flag ORDER BY flag")
     },
 
+    // UInt64 full-range round-trip: Spark has no unsigned 64-bit type, so
+    // UInt64 maps to Decimal(20,0) (SURVEY §1.2) — prove the max value
+    // 2^64-1 survives insert, aggregation and readback exactly (string
+    // outputs: decimal-to-double casts would round above 2^53).
+    "d04_uint64_range" -> { (s, dir) =>
+      val g = new GraftSession(s)
+      g.sql("DROP TABLE IF EXISTS graft_d04")
+      g.sql("CREATE TABLE graft_d04(id Int32, u UInt64)")
+      g.sql("INSERT INTO graft_d04 VALUES (1, 18446744073709551615), " +
+        "(2, 0), (3, 9223372036854775808), (4, 42)")
+      g.sql("SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(CAST(sum(u) AS DECIMAL(38,0)) AS STRING) AS total, " +
+        "CAST(max(u) AS STRING) AS max_u, " +
+        "CAST(min(u) AS STRING) AS min_u FROM graft_d04")
+    },
+
     // INSERT … FORMAT CSV ingestion (mgmt.rs:724-730) — inline payload.
     "d03_insert_csv" -> { (s, dir) =>
       val g = new GraftSession(s)
@@ -69,6 +85,16 @@ object DdlQueries {
         |  count(*) AS n
         |FROM lineitem WHERE l_orderkey < 500
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d04_uint64_range" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(CAST(sum(u) AS DECIMAL(38,0)) AS VARCHAR) AS total,
+        |  CAST(max(u) AS VARCHAR) AS max_u,
+        |  CAST(min(u) AS VARCHAR) AS min_u
+        |FROM (VALUES (1, CAST('18446744073709551615' AS DECIMAL(20,0))),
+        |             (2, CAST('0' AS DECIMAL(20,0))),
+        |             (3, CAST('9223372036854775808' AS DECIMAL(20,0))),
+        |             (4, CAST('42' AS DECIMAL(20,0)))) AS t(id, u)""".stripMargin,
 
     "d03_insert_csv" ->
       """SELECT k, CAST(sum(v) AS DOUBLE) AS total
