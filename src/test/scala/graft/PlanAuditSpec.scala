@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression net over the committed plan snapshots in `plans/` (written by
+  * Verify into `target/plans/`, blessed by committing them): regenerating
+  * every query's formatted plan at the snapshot SF must not introduce a
+  * CartesianProduct or increase the shuffle-exchange count. Intentional
+  * plan changes are re-blessed by copying `target/plans/` over `plans/` in
+  * the same commit (`scripts/bless_plans.sh`).
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  private val snapDir = Paths.get("plans")
+  // snapshots are produced by the sf0.01 Verify run — regenerate at the
+  // same SF so file-size-driven choices (broadcast thresholds) compare
+  // apples to apples
+  private val sfDir = "/root/testdata/sf0.01"
+
+  private val ShuffleEx = """(?m)^\(\d+\) Exchange""".r
+  private def shuffles(plan: String): Int = ShuffleEx.findAllIn(plan).length
+  private def cartesian(plan: String): Boolean = plan.contains("CartesianProduct")
+
+  test("no query plan grew a cartesian product or extra shuffles vs plans/") {
+    assume(Files.isDirectory(snapDir), "no committed snapshots to audit")
+    val outDir = Paths.get("target/plans-audit")
+    Files.createDirectories(outDir)
+    val regressions = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val snap = snapDir.resolve(s"$name.txt")
+        if (!Files.exists(snap)) Nil
+        else {
+          val old = Files.readString(snap)
+          val now = fn(spark, sfDir).queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          Files.writeString(outDir.resolve(s"$name.txt"), now)
+          val cart =
+            if (cartesian(now) && !cartesian(old))
+              Seq(s"$name: NEW CartesianProduct") else Nil
+          val ex =
+            if (shuffles(now) > shuffles(old))
+              Seq(s"$name: shuffle exchanges ${shuffles(old)} -> ${shuffles(now)}")
+            else Nil
+          cart ++ ex
+        }
+    }
+    assert(regressions.isEmpty,
+      s"\nplan regressions (re-bless via scripts/bless_plans.sh if intended):\n  ${regressions.mkString("\n  ")}")
+  }
+}
