@@ -11,6 +11,7 @@ import graft.exec.GraftSession
   * Usage:
   *   runMain graft.GraftCli script.sql [script2.sql …]   # run scripts
   *   runMain graft.GraftCli -e "SELECT 1"                # one statement
+  *   runMain graft.GraftCli --serve [port]               # CH native TCP server
   *   runMain graft.GraftCli                              # REPL on stdin
   */
 object GraftCli {
@@ -23,6 +24,11 @@ object GraftCli {
 
     args.toList match {
       case "-e" :: stmt :: Nil => show(g.sql(stmt))
+      case "--serve" :: rest =>
+        val port = rest.headOption.map(_.toInt).getOrElse(9000)
+        val server = new graft.server.ChWireServer(spark, port).start()
+        println(s"graft: ClickHouse-native server listening on ${server.boundPort}")
+        Thread.currentThread.join() // serve until killed
       case Nil =>
         println("graft> one statement per line; 'exit' quits")
         Iterator.continually(scala.io.StdIn.readLine("graft> "))

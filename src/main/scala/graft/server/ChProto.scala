@@ -1,0 +1,254 @@
+package graft.server
+
+import java.io.{ByteArrayOutputStream, EOFException, InputStream, OutputStream}
+import java.math.BigInteger
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.StructType
+
+import graft.types.BqlType
+
+/** ClickHouse native-protocol wire codec (uncompressed), mirroring the
+  * reference's framing:
+  *   - packet codes: crates/runtime/src/ch/protocol.rs:12-21 (client) and
+  *     :143-156 (server);
+  *   - varint/length-prefixed strings: crates/runtime/src/ch/codecs.rs:86-88;
+  *   - block layout (block info field pairs, ncols/nrows, per-column
+  *     name + type + body; Nullable null-map before values; String as
+  *     varint-length values; Date u16 days; DateTime u32 seconds):
+  *     crates/runtime/src/ch/blocks.rs:15-120,193-210,394-410;
+  *   - exception packet: crates/runtime/src/ch/codecs.rs:91-98;
+  *   - handshake constants: crates/runtime/src/ch/messages.rs:17-21.
+  */
+object ChProto {
+
+  // packet codes (protocol.rs:12-21, :143-156)
+  object Client {
+    val Hello = 0L; val Query = 1L; val Data = 2L; val Cancel = 3L; val Ping = 4L
+  }
+  object Server {
+    val Hello = 0L; val Data = 1L; val Exception = 2L; val Pong = 4L
+    val EndOfStream = 5L
+  }
+
+  val ServerName = "GraftSpark"
+  val VersionMajor = 2026L
+  val VersionMinor = 8L
+  val Revision = 54405L // the reference's pinned revision (messages.rs:21)
+  val VersionPatch = 0L
+
+  // ---- primitive codecs ----------------------------------------------
+  def readVarint(in: InputStream): Long = {
+    var shift = 0
+    var v = 0L
+    while (shift < 64) {
+      val b = in.read()
+      if (b < 0) throw new EOFException("varint")
+      v |= (b & 0x7fL) << shift
+      if ((b & 0x80) == 0) return v
+      shift += 7
+    }
+    v
+  }
+
+  def writeVarint(out: OutputStream, value: Long): Unit = {
+    var v = value
+    var go = true
+    while (go) {
+      val b = (v & 0x7f).toInt
+      v = v >>> 7
+      if (v == 0) { out.write(b); go = false }
+      else out.write(b | 0x80)
+    }
+  }
+
+  def readBytes(in: InputStream, n: Int): Array[Byte] = {
+    val buf = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val r = in.read(buf, off, n - off)
+      if (r < 0) throw new EOFException(s"expected $n bytes")
+      off += r
+    }
+    buf
+  }
+
+  def readStr(in: InputStream): String = {
+    val n = readVarint(in).toInt
+    new String(readBytes(in, n), "UTF-8")
+  }
+
+  def writeStr(out: OutputStream, s: String): Unit = {
+    val b = s.getBytes("UTF-8")
+    writeVarint(out, b.length.toLong)
+    out.write(b)
+  }
+
+  private def writeIntLe(out: OutputStream, v: Int, nBytes: Int): Unit = {
+    var i = 0
+    while (i < nBytes) { out.write((v >>> (8 * i)) & 0xff); i += 1 }
+  }
+
+  private def writeLongLe(out: OutputStream, v: Long, nBytes: Int): Unit = {
+    var i = 0
+    while (i < nBytes) { out.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
+  }
+
+  private def readLongLe(in: InputStream, nBytes: Int): Long = {
+    val b = readBytes(in, nBytes)
+    var v = 0L
+    var i = nBytes - 1
+    while (i >= 0) { v = (v << 8) | (b(i) & 0xffL); i -= 1 }
+    v
+  }
+
+  // ---- block encode ---------------------------------------------------
+  /** Wire CH type for an output column (unsigned widenings reverse-map to
+    * signed CH types by design — fromSpark, SURVEY §1.2).
+    */
+  def wireType(schema: StructType, i: Int): BqlType =
+    BqlType.fromSpark(schema.fields(i).dataType, schema.fields(i).nullable)
+
+  private def baseOf(t: BqlType): BqlType = t match {
+    case BqlType.Nullable(inner) => baseOf(inner)
+    case BqlType.LowCardinality(inner) => baseOf(inner)
+    case other => other
+  }
+
+  /** Encode one server Data packet: PKID, temp-table name, block info,
+    * ncols/nrows, columns (blocks.rs:193-210,246-310 uncompressed path).
+    */
+  def writeDataBlock(out: OutputStream, schema: StructType, rows: Seq[Row]): Unit = {
+    writeVarint(out, Server.Data)
+    writeStr(out, "") // temporary table name
+    // block info: (1, overflow=0), (2, bucket=-1), terminator 0
+    writeVarint(out, 1); out.write(0)
+    writeVarint(out, 2); writeIntLe(out, -1, 4)
+    writeVarint(out, 0)
+    writeVarint(out, schema.fields.length.toLong)
+    writeVarint(out, rows.length.toLong)
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      val t = wireType(schema, i)
+      writeStr(out, f.name)
+      writeStr(out, t.chName)
+      if (f.nullable) rows.foreach(r => out.write(if (r.isNullAt(i)) 1 else 0))
+      rows.foreach(r => writeValue(out, baseOf(t), r, i))
+    }
+    out.flush()
+  }
+
+  private def writeValue(out: OutputStream, t: BqlType, r: Row, i: Int): Unit = {
+    import BqlType._
+    val isNull = r.isNullAt(i)
+    t match {
+      case Int8 => out.write(if (isNull) 0 else r.getByte(i).toInt & 0xff)
+      case Int16 => writeIntLe(out, if (isNull) 0 else r.getShort(i).toInt, 2)
+      case Int32 => writeIntLe(out, if (isNull) 0 else r.getInt(i), 4)
+      case Int64 => writeLongLe(out, if (isNull) 0L else r.getLong(i), 8)
+      case UInt8 => out.write(if (isNull) 0 else r.getShort(i).toInt & 0xff)
+      case UInt16 => writeIntLe(out, if (isNull) 0 else r.getInt(i), 2)
+      case UInt32 => writeLongLe(out, if (isNull) 0L else r.getLong(i), 4)
+      case UInt64 =>
+        val v = if (isNull) BigInteger.ZERO else r.getDecimal(i).toBigInteger
+        writeLongLe(out, v.longValue(), 8) // low 64 bits = full unsigned range
+      case Float32 =>
+        writeIntLe(out, java.lang.Float.floatToIntBits(
+          if (isNull) 0f else r.getFloat(i)), 4)
+      case Float64 =>
+        writeLongLe(out, java.lang.Double.doubleToLongBits(
+          if (isNull) 0d else r.getDouble(i)), 8)
+      case Decimal(p, _) =>
+        val unscaled =
+          if (isNull) 0L else r.getDecimal(i).unscaledValue().longValueExact()
+        writeLongLe(out, unscaled, if (p <= 9) 4 else 8)
+      case Date =>
+        val days = if (isNull) 0L else r.getDate(i).toLocalDate.toEpochDay
+        writeLongLe(out, days, 2)
+      case DateTime(_) =>
+        val secs = if (isNull) 0L else r.getTimestamp(i).getTime / 1000L
+        writeLongLe(out, secs, 4)
+      case _ => // String / UUID / FixedString-as-binary: varbytes
+        val s = if (isNull) "" else String.valueOf(r.get(i))
+        writeStr(out, s)
+    }
+  }
+
+  def writeEndOfStream(out: OutputStream): Unit = {
+    writeVarint(out, Server.EndOfStream)
+    out.flush()
+  }
+
+  /** Exception packet (codecs.rs:91-98): code, name, message, stack trace,
+    * has_nested.
+    */
+  def writeException(out: OutputStream, code: Int, name: String, msg: String): Unit = {
+    writeVarint(out, Server.Exception)
+    writeIntLe(out, code, 4)
+    writeStr(out, name)
+    writeStr(out, msg)
+    writeStr(out, "")
+    writeVarint(out, 0)
+    out.flush()
+  }
+
+  // ---- block decode (used by clients / tests) -------------------------
+  final case class WireColumn(name: String, chType: String, values: Vector[Any])
+  final case class WireBlock(columns: Vector[WireColumn], nRows: Int)
+
+  def readDataBlock(in: InputStream): WireBlock = {
+    val _ = readStr(in) // temp table name
+    // block info field pairs until terminator 0
+    var field = readVarint(in)
+    while (field != 0) {
+      field match {
+        case 1 => in.read(): Unit
+        case 2 => readBytes(in, 4): Unit
+        case other => throw new IllegalStateException(s"unknown block-info field $other")
+      }
+      field = readVarint(in)
+    }
+    val nCols = readVarint(in).toInt
+    val nRows = readVarint(in).toInt
+    val cols = Vector.tabulate(nCols) { _ =>
+      val name = readStr(in)
+      val typeName = readStr(in)
+      val t = BqlType.parse(typeName).fold(e => sys.error(e), identity)
+      val (nullable, base) = t match {
+        case BqlType.Nullable(inner) => (true, inner)
+        case other => (false, other)
+      }
+      val nulls =
+        if (nullable) readBytes(in, nRows).map(_ != 0) else Array.fill(nRows)(false)
+      val values = Vector.tabulate(nRows) { r =>
+        val v = readValue(in, base)
+        if (nulls(r)) null else v
+      }
+      WireColumn(name, typeName, values)
+    }
+    WireBlock(cols, nRows)
+  }
+
+  private def readValue(in: InputStream, t: BqlType): Any = {
+    import BqlType._
+    t match {
+      case Int8 => readLongLe(in, 1).toByte
+      case Int16 => readLongLe(in, 2).toShort
+      case Int32 => readLongLe(in, 4).toInt
+      case Int64 => readLongLe(in, 8)
+      case UInt8 => readLongLe(in, 1).toShort
+      case UInt16 => readLongLe(in, 2).toInt
+      case UInt32 => readLongLe(in, 4)
+      case UInt64 =>
+        val lo = readLongLe(in, 8)
+        new BigInteger(java.lang.Long.toUnsignedString(lo))
+      case Float32 => java.lang.Float.intBitsToFloat(readLongLe(in, 4).toInt)
+      case Float64 => java.lang.Double.longBitsToDouble(readLongLe(in, 8))
+      case Decimal(p, s) =>
+        val unscaled = readLongLe(in, if (p <= 9) 4 else 8)
+        BigDecimal(BigInt(unscaled), s)
+      case Date => java.time.LocalDate.ofEpochDay(readLongLe(in, 2))
+      case DateTime(_) => java.time.Instant.ofEpochSecond(readLongLe(in, 4))
+      case _ => readStr(in)
+    }
+  }
+}

@@ -1,0 +1,168 @@
+package graft.server
+
+import java.io.{BufferedInputStream, BufferedOutputStream, InputStream, OutputStream}
+import java.net.{ServerSocket, Socket, SocketException}
+import java.util.concurrent.atomic.AtomicBoolean
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.SparkSession
+
+import graft.exec.GraftSession
+
+/** Minimal ClickHouse native TCP front-end over [[GraftSession]] — the
+  * reference's primary entry point (accept loop crates/server/src/server.rs:
+  * 94-107, per-connection state machine crates/runtime/src/ch/messages.rs:
+  * 28-202). Scope: uncompressed transport, Hello/Ping/Query packets;
+  * INSERT travels as query text (the reference's inline-VALUES path) —
+  * client-streamed Data blocks and LZ4 framing are not implemented
+  * (SURVEY §7 records the cut; `clickhouse-client` itself is not in this
+  * environment to interop against, so the spec drives both ends of the
+  * socket through the same framing).
+  *
+  * Concurrency: thread per connection, one statement at a time per
+  * connection — matching the reference's task-per-connection model. Result
+  * blocks are capped at [[BlockRows]] rows each so large results stream as
+  * multiple packets instead of one giant block.
+  */
+final class ChWireServer(spark: SparkSession, port: Int = 0) {
+  private val socket = new ServerSocket(port)
+  private val running = new AtomicBoolean(true)
+  @volatile private var threads = List.empty[Thread]
+
+  val BlockRows = 8192
+
+  def boundPort: Int = socket.getLocalPort
+
+  private val acceptor = new Thread(() => {
+    while (running.get) {
+      try {
+        val conn = socket.accept()
+        val t = new Thread(() => serve(conn), s"graft-ch-conn-${conn.getPort}")
+        t.setDaemon(true)
+        threads ::= t
+        t.start()
+      } catch {
+        case _: SocketException => () // closed during accept -> shutting down
+        case NonFatal(e) => if (running.get) System.err.println(s"[ch-wire] accept: $e")
+      }
+    }
+  }, "graft-ch-accept")
+  acceptor.setDaemon(true)
+
+  def start(): ChWireServer = { acceptor.start(); this }
+
+  def stop(): Unit = {
+    running.set(false)
+    socket.close()
+  }
+
+  private def serve(conn: Socket): Unit = {
+    val in = new BufferedInputStream(conn.getInputStream)
+    val out = new BufferedOutputStream(conn.getOutputStream)
+    // one GraftSession per connection: `USE db` is per-session state, like
+    // the reference's per-connection ConnCtx
+    val session = new GraftSession(spark)
+    try {
+      var open = true
+      while (open && running.get) {
+        val code =
+          try ChProto.readVarint(in)
+          catch { case _: java.io.EOFException => open = false; -1L }
+        code match {
+          case -1L => ()
+          case ChProto.Client.Hello => hello(in, out, session)
+          case ChProto.Client.Ping =>
+            ChProto.writeVarint(out, ChProto.Server.Pong); out.flush()
+          case ChProto.Client.Query => query(in, out, session)
+          case ChProto.Client.Cancel => () // nothing in flight to cancel
+          case other =>
+            ChProto.writeException(out, 1002, "UNSUPPORTED_PACKET",
+              s"unsupported client packet code $other")
+            open = false
+        }
+      }
+    } catch {
+      case _: SocketException | _: java.io.EOFException => ()
+      case NonFatal(e) =>
+        try ChProto.writeException(out, 1000, "INTERNAL", String.valueOf(e))
+        catch { case NonFatal(_) => () }
+    } finally conn.close()
+  }
+
+  /** Client hello (messages.rs:234-269): name, version, revision, default
+    * database, user, password; reply with server identity + timezone.
+    */
+  private def hello(in: InputStream, out: OutputStream, session: GraftSession): Unit = {
+    val _clientName = ChProto.readStr(in)
+    val _verMaj = ChProto.readVarint(in)
+    val _verMin = ChProto.readVarint(in)
+    val revision = ChProto.readVarint(in)
+    val database = ChProto.readStr(in)
+    val _user = ChProto.readStr(in)
+    val _password = ChProto.readStr(in)
+    if (revision < ChProto.Revision) {
+      ChProto.writeException(out, 1001, "UNSUPPORTED_CLIENT",
+        s"client revision $revision < ${ChProto.Revision}")
+      return
+    }
+    if (database.nonEmpty) session.sql(s"USE `$database`")
+    ChProto.writeVarint(out, ChProto.Server.Hello)
+    ChProto.writeStr(out, ChProto.ServerName)
+    ChProto.writeVarint(out, ChProto.VersionMajor)
+    ChProto.writeVarint(out, ChProto.VersionMinor)
+    ChProto.writeVarint(out, ChProto.Revision)
+    ChProto.writeStr(out, spark.conf.get("spark.sql.session.timeZone", "UTC"))
+    ChProto.writeStr(out, ChProto.ServerName)
+    ChProto.writeVarint(out, ChProto.VersionPatch)
+    out.flush()
+  }
+
+  /** Query packet (messages.rs:277-340): id, client info, settings, stage,
+    * compression, query text → run through the session, stream result
+    * blocks, end of stream.
+    */
+  private def query(in: InputStream, out: OutputStream, session: GraftSession): Unit = {
+    val _queryId = ChProto.readStr(in)
+    // client info (protocol.rs:170-186)
+    val _queryKind = ChProto.readVarint(in)
+    (1 to 3).foreach(_ => ChProto.readStr(in)) // initial user/query id/address
+    val _iface = ChProto.readVarint(in)
+    (1 to 3).foreach(_ => ChProto.readStr(in)) // os user, hostname, client name
+    val _cliVerMaj = ChProto.readVarint(in)
+    val _cliVerMin = ChProto.readVarint(in)
+    val _cliProto = ChProto.readVarint(in)
+    val _quotaKey = ChProto.readStr(in)
+    val _cliPatch = ChProto.readVarint(in)
+    // settings: (name, ...) pairs terminated by an empty name — only the
+    // empty set is accepted, like the reference (messages.rs:305-330)
+    val firstSetting = ChProto.readStr(in)
+    if (firstSetting.nonEmpty) {
+      ChProto.writeException(out, 1003, "UNSUPPORTED_SETTINGS",
+        s"per-query settings not supported: $firstSetting")
+      return
+    }
+    val _stage = ChProto.readVarint(in)
+    val compression = ChProto.readVarint(in)
+    val queryText = ChProto.readStr(in)
+    if (compression == 1L) {
+      ChProto.writeException(out, 1004, "UNSUPPORTED_COMPRESSION",
+        "compressed transport not supported; reconnect with compression=0")
+      return
+    }
+    try {
+      val df = session.sql(queryText)
+      if (df.schema.fields.nonEmpty) {
+        import scala.jdk.CollectionConverters._
+        val schema = df.schema
+        df.toLocalIterator().asScala.grouped(BlockRows)
+          .foreach(rows => ChProto.writeDataBlock(out, schema, rows.toSeq))
+      }
+      ChProto.writeEndOfStream(out)
+    } catch {
+      case NonFatal(e) =>
+        ChProto.writeException(out, 1000, e.getClass.getSimpleName,
+          String.valueOf(e.getMessage))
+    }
+  }
+}
