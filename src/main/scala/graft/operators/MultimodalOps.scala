@@ -52,13 +52,15 @@ object MultimodalOps {
     }
 
   /** Dimension a document deterministically from its content hash
-    * (1..256 on each axis) — the stand-in for "documents reference image
-    * assets"; the oracle recomputes the same arithmetic.
+    * (1..64 on each axis — small enough that the per-row PNG
+    * deflate/inflate stays cheap at bench scale) — the stand-in for
+    * "documents reference image assets"; the oracle recomputes the same
+    * arithmetic.
     */
   private def dimExpr(firstNibble: Int) = {
     def nib(pos: Int) =
       expr(s"instr('0123456789abcdef', substr(md5(text), $pos, 1)) - 1")
-    (nib(firstNibble) * lit(16) + nib(firstNibble + 1) + lit(1)).cast("int")
+    ((nib(firstNibble) * lit(16) + nib(firstNibble + 1)) % lit(64) + lit(1)).cast("int")
   }
 
   /** Full pipeline over `documents`: derive dimensions → render real PNG

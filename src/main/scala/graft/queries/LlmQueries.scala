@@ -318,6 +318,86 @@ object LlmQueries {
           |FROM tk GROUP BY source ORDER BY source""".stripMargin)
     },
 
+    // ---- l11: simhash near-dup pairs via hamming-ball probe join ------
+    // The fingerprint-join l07 leaves as future work: docs whose 8-bit
+    // simhash differs by <= 1 bit. Each doc emits 9 probe keys (its
+    // fingerprint + all single-bit flips); an equi-join probe->fingerprint
+    // finds every hamming<=1 pair WITHOUT an all-pairs comparison. 100 TB:
+    // probe fan-out is constant (1 + bits); production simhash is 64-bit
+    // split into 4x16-bit band keys so the join key has real cardinality —
+    // the 8-bit fingerprint here keeps the oracle tractable.
+    "l11_simhash_hamming_join" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val byte = s"(${nibSpark("h", 1)} * 16 + ${nibSpark("h", 2)})"
+      val votes = (0 until 8).map { b =>
+        s"sum(2 * ((byte DIV ${1 << b}) % 2) - 1) AS s$b"
+      }.mkString(", ")
+      val hash = (0 until 8).map { b =>
+        s"(CASE WHEN s$b > 0 THEN ${1 << b} ELSE 0 END)"
+      }.mkString(" + ")
+      val flips = (0 until 8).map(b => s"simhash ^ ${1 << b}").mkString(", ")
+      s.sql(
+        s"""WITH tok AS (
+           |  SELECT doc_id, explode(split(text, ' ')) AS w FROM documents
+           |), tb AS (
+           |  SELECT doc_id, $byte AS byte FROM (SELECT doc_id, md5(w) AS h FROM tok)
+           |), v AS (
+           |  SELECT doc_id, $votes FROM tb GROUP BY doc_id
+           |), f AS (
+           |  SELECT doc_id, CAST($hash AS INT) AS simhash FROM v
+           |), probes AS (
+           |  SELECT doc_id, simhash, explode(array(simhash, $flips)) AS probe
+           |  FROM f
+           |), pairs AS (
+           |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+           |    bit_count(a.simhash ^ b.simhash) AS hd
+           |  FROM probes a JOIN f b ON a.probe = b.simhash AND a.doc_id < b.doc_id
+           |)
+           |SELECT hd, count(*) AS n_pairs FROM pairs
+           |GROUP BY hd ORDER BY hd""".stripMargin)
+    },
+
+    // ---- l12: IVF-style ANN (coarse quantizer + probed exact search) --
+    // The scale path beyond sign-LSH (l04): assign every vector to its
+    // nearest coarse centroid (IVF cell), store bucketed by cell; a query
+    // probes only its nprobe=2 nearest cells and runs exact cosine inside
+    // them. Centroids here are the first 8 vectors (a deterministic stand-
+    // in for k-means training — same plan shape). 100 TB: the assignment
+    // is a broadcast join against K centroids (map-side), the probe reads
+    // 2/K of the corpus, and recall tunes with nprobe.
+    "l12_ann_ivf" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      graft.functions.VectorFunctions.register(s)
+      s.sql(
+        s"""WITH c AS (
+           |  SELECT vec_id AS cid,
+           |    embedding AS ce,
+           |    sqrt(${dotSpark("embedding", "embedding")}) AS nc
+           |  FROM embeddings WHERE vec_id < 8
+           |), sims AS (
+           |  SELECT e.vec_id, c.cid,
+           |    ${dotSpark("e.embedding", "c.ce")}
+           |      / (sqrt(${dotSpark("e.embedding", "e.embedding")}) * c.nc) AS sim
+           |  FROM embeddings e CROSS JOIN c
+           |), assigned AS (
+           |  SELECT vec_id, max_by(cid, sim) AS cell FROM sims GROUP BY vec_id
+           |), qcells AS (
+           |  SELECT cid FROM sims WHERE vec_id = 0 ORDER BY sim DESC LIMIT 2
+           |), cand AS (
+           |  SELECT a.vec_id FROM assigned a JOIN qcells q ON a.cell = q.cid
+           |  WHERE a.vec_id <> 0
+           |), q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |scored AS (
+           |  SELECT e.vec_id,
+           |    ${dotSpark("e.embedding", "q.qe")}
+           |      / (sqrt(${dotSpark("e.embedding", "e.embedding")})
+           |         * sqrt(${dotSpark("q.qe", "q.qe")})) AS sim
+           |  FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id CROSS JOIN q
+           |)
+           |SELECT vec_id, round(sim, 6) AS sim
+           |FROM scored ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin)
+    },
+
     // ---- m01: multimodal decode -------------------------------------
     // Typed mapPartitions decode over an opaque binary column of REAL PNG
     // payloads (graft.operators.MultimodalOps — javax.imageio both ways).
@@ -501,9 +581,69 @@ object LlmQueries {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM tk GROUP BY source ORDER BY source""".stripMargin,
 
+    "l11_simhash_hamming_join" -> {
+      // oracle recomputes fingerprints and checks hamming distance
+      // directly on the (small) fingerprint table — the probe join is the
+      // Spark-side scale structure under test, the pair set must match
+      val nibD1 = "(strpos('0123456789abcdef', substr(h, 1, 1)) - 1)"
+      val nibD2 = "(strpos('0123456789abcdef', substr(h, 2, 1)) - 1)"
+      val votes = (0 until 8).map { b =>
+        s"sum(2 * ((byte // ${1 << b}) % 2) - 1) AS s$b"
+      }.mkString(", ")
+      val hash = (0 until 8).map { b =>
+        s"(CASE WHEN s$b > 0 THEN ${1 << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+         |), tb AS (
+         |  SELECT doc_id, ($nibD1 * 16 + $nibD2) AS byte
+         |  FROM (SELECT doc_id, md5(w) AS h FROM tok)
+         |), v AS (
+         |  SELECT doc_id, $votes FROM tb GROUP BY doc_id
+         |), f AS (
+         |  SELECT doc_id, CAST($hash AS INT) AS simhash FROM v
+         |), pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hd
+         |  FROM f a JOIN f b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+         |)
+         |SELECT hd, count(*) AS n_pairs FROM pairs
+         |GROUP BY hd ORDER BY hd""".stripMargin
+    },
+
+    "l12_ann_ivf" ->
+      s"""WITH c AS (
+         |  SELECT vec_id AS cid,
+         |    embedding AS ce,
+         |    sqrt(${dotDuck("embedding", "embedding")}) AS nc
+         |  FROM embeddings WHERE vec_id < 8
+         |), sims AS (
+         |  SELECT e.vec_id, c.cid,
+         |    ${dotDuck("e.embedding", "c.ce")}
+         |      / (sqrt(${dotDuck("e.embedding", "e.embedding")}) * c.nc) AS sim
+         |  FROM embeddings e CROSS JOIN c
+         |), assigned AS (
+         |  SELECT vec_id, arg_max(cid, sim) AS cell FROM sims GROUP BY vec_id
+         |), qcells AS (
+         |  SELECT cid FROM sims WHERE vec_id = 0 ORDER BY sim DESC LIMIT 2
+         |), cand AS (
+         |  SELECT a.vec_id FROM assigned a JOIN qcells q ON a.cell = q.cid
+         |  WHERE a.vec_id <> 0
+         |), q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |scored AS (
+         |  SELECT e.vec_id,
+         |    ${dotDuck("e.embedding", "q.qe")}
+         |      / (sqrt(${dotDuck("e.embedding", "e.embedding")})
+         |         * sqrt(${dotDuck("q.qe", "q.qe")})) AS sim
+         |  FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id CROSS JOIN q
+         |)
+         |SELECT vec_id, round(sim, 6) AS sim
+         |FROM scored ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
+
     "m01_multimodal_decode" -> {
-      val w = s"(${nib("md5(text)", 1)} * 16 + ${nib("md5(text)", 2)} + 1)"
-      val h = s"(${nib("md5(text)", 3)} * 16 + ${nib("md5(text)", 4)} + 1)"
+      val w = s"((${nib("md5(text)", 1)} * 16 + ${nib("md5(text)", 2)}) % 64 + 1)"
+      val h = s"((${nib("md5(text)", 3)} * 16 + ${nib("md5(text)", 4)}) % 64 + 1)"
       s"""WITH m AS (
          |  SELECT doc_id, $w AS width, $h AS height, $w * $h AS n_pixels
          |  FROM documents

@@ -36,8 +36,8 @@ class MultimodalOpsSpec extends AnyFunSuite {
       .collect().sortBy(_.doc_id)
     // recompute the expected dims from the same md5-nibble arithmetic
     val exp = docs.selectExpr("doc_id",
-      "instr('0123456789abcdef', substr(md5(text), 1, 1)) * 16 + instr('0123456789abcdef', substr(md5(text), 2, 1)) - 16 AS w",
-      "instr('0123456789abcdef', substr(md5(text), 3, 1)) * 16 + instr('0123456789abcdef', substr(md5(text), 4, 1)) - 16 AS h")
+      "((instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1) % 64 + 1 AS w",
+      "((instr('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16 + instr('0123456789abcdef', substr(md5(text), 4, 1)) - 1) % 64 + 1 AS h")
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1)
     got.zip(exp).foreach { case (m, (id, w, h)) =>
       assert(m.doc_id === id)
