@@ -29,6 +29,11 @@ object GraftCli {
         val server = new graft.server.ChWireServer(spark, port).start()
         println(s"graft: ClickHouse-native server listening on ${server.boundPort}")
         Thread.currentThread.join() // serve until killed
+      case "--serve-mysql" :: rest =>
+        val port = rest.headOption.map(_.toInt).getOrElse(3306)
+        val server = new graft.server.MysqlWireServer(spark, port).start()
+        println(s"graft: MySQL server listening on ${server.boundPort}")
+        Thread.currentThread.join() // serve until killed
       case Nil =>
         println("graft> one statement per line; 'exit' quits")
         Iterator.continually(scala.io.StdIn.readLine("graft> "))

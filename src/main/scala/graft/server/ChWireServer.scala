@@ -60,9 +60,11 @@ final class ChWireServer(spark: SparkSession, port: Int = 0) {
   private def serve(conn: Socket): Unit = {
     val in = new BufferedInputStream(conn.getInputStream)
     val out = new BufferedOutputStream(conn.getOutputStream)
-    // one GraftSession per connection: `USE db` is per-session state, like
-    // the reference's per-connection ConnCtx
-    val session = new GraftSession(spark)
+    // one isolated Spark session per connection (shared context/catalog,
+    // private current-database and temp views): `USE db` is per-connection
+    // state like the reference's ConnCtx, and must not leak into other
+    // connections or the host session
+    val session = new GraftSession(spark.newSession())
     try {
       var open = true
       while (open && running.get) {

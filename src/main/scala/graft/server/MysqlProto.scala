@@ -1,0 +1,175 @@
+package graft.server
+
+import java.io.{EOFException, InputStream, OutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** MySQL client/server protocol primitives (text protocol, 4.1+), the
+  * transport behind the reference's second front-end
+  * (crates/runtime/src/mysql/mod.rs:102-360 over the crates/server_mysql
+  * shim): 3-byte-length+sequence packet framing, length-encoded integers
+  * and strings, HandshakeV10 / HandshakeResponse41, OK/ERR/EOF packets,
+  * ColumnDefinition41 and text resultset rows. Type mapping mirrors
+  * `arrow_type_to_mysql_type` (mysql/mod.rs:346-360).
+  */
+object MysqlProto {
+
+  // command codes
+  val ComQuit = 0x01
+  val ComInitDb = 0x02
+  val ComQuery = 0x03
+  val ComPing = 0x0e
+
+  // capability flags (the subset we speak)
+  val ClientLongPassword = 0x1L
+  val ClientConnectWithDb = 0x8L
+  val ClientProtocol41 = 0x200L
+  val ClientSecureConnection = 0x8000L
+  val ClientPluginAuth = 0x80000L
+
+  // MySQL column type codes (mysql/mod.rs:346-360 target set)
+  val TypeTiny = 0x01
+  val TypeShort = 0x02
+  val TypeLong = 0x03
+  val TypeFloat = 0x04
+  val TypeDouble = 0x05
+  val TypeLonglong = 0x08
+  val TypeDate = 0x0a
+  val TypeDatetime = 0x0c
+  val TypeVarchar = 0xfd
+  val TypeNewDecimal = 0xf6
+
+  // ---- packet framing -------------------------------------------------
+  def readPacket(in: InputStream): (Int, Array[Byte]) = {
+    val hdr = readN(in, 4)
+    val len = (hdr(0) & 0xff) | ((hdr(1) & 0xff) << 8) | ((hdr(2) & 0xff) << 16)
+    val seq = hdr(3) & 0xff
+    (seq, readN(in, len))
+  }
+
+  def writePacket(out: OutputStream, seq: Int, payload: Array[Byte]): Unit = {
+    out.write(payload.length & 0xff)
+    out.write((payload.length >>> 8) & 0xff)
+    out.write((payload.length >>> 16) & 0xff)
+    out.write(seq & 0xff)
+    out.write(payload)
+  }
+
+  def readN(in: InputStream, n: Int): Array[Byte] = {
+    val buf = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val r = in.read(buf, off, n - off)
+      if (r < 0) throw new EOFException(s"expected $n bytes")
+      off += r
+    }
+    buf
+  }
+
+  // ---- byte-buffer builders -------------------------------------------
+  final class Out {
+    private val buf = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Out = { buf.write(v & 0xff); this }
+    def u16(v: Int): Out = { u8(v); u8(v >>> 8) }
+    def u24(v: Int): Out = { u8(v); u8(v >>> 8); u8(v >>> 16) }
+    def u32(v: Long): Out = { u8(v.toInt); u8((v >>> 8).toInt); u8((v >>> 16).toInt); u8((v >>> 24).toInt) }
+    def bytes(b: Array[Byte]): Out = { buf.write(b); this }
+    def nulStr(s: String): Out = { bytes(s.getBytes(UTF_8)); u8(0) }
+    def lenencInt(v: Long): Out =
+      if (v < 251) u8(v.toInt)
+      else if (v < (1L << 16)) { u8(0xfc); u16(v.toInt) }
+      else if (v < (1L << 24)) { u8(0xfd); u24(v.toInt) }
+      else { u8(0xfe); u32(v); u32(v >>> 32) }
+    def lenencStr(s: String): Out = {
+      val b = s.getBytes(UTF_8); lenencInt(b.length.toLong); bytes(b)
+    }
+    def result(): Array[Byte] = buf.toByteArray
+  }
+
+  final class In(payload: Array[Byte]) {
+    var pos = 0
+    def u8(): Int = { val v = payload(pos) & 0xff; pos += 1; v }
+    def u16(): Int = u8() | (u8() << 8)
+    def u32(): Long = u16().toLong | (u16().toLong << 16)
+    def bytes(n: Int): Array[Byte] = {
+      val b = java.util.Arrays.copyOfRange(payload, pos, pos + n); pos += n; b
+    }
+    def nulStr(): String = {
+      val end = payload.indexOf(0.toByte, pos)
+      val s = new String(payload, pos, end - pos, UTF_8); pos = end + 1; s
+    }
+    def lenencInt(): Long = u8() match {
+      case 0xfb => -1 // NULL marker in row context
+      case 0xfc => u16().toLong
+      case 0xfd => u8().toLong | (u8().toLong << 8) | (u8().toLong << 16)
+      case 0xfe => u32() | (u32() << 32)
+      case v => v.toLong
+    }
+    def lenencStr(): String = {
+      val n = lenencInt()
+      if (n < 0) null else new String(bytes(n.toInt), UTF_8)
+    }
+    def remaining: Int = payload.length - pos
+    def rest(): Array[Byte] = bytes(remaining)
+  }
+
+  // ---- standard packets ----------------------------------------------
+  def okPacket(): Array[Byte] =
+    new Out().u8(0x00).lenencInt(0).lenencInt(0).u16(0x0002).u16(0).result()
+
+  def errPacket(errno: Int, msg: String): Array[Byte] =
+    new Out().u8(0xff).u16(errno).u8('#').bytes("HY000".getBytes(UTF_8))
+      .bytes(msg.getBytes(UTF_8)).result()
+
+  def eofPacket(): Array[Byte] =
+    new Out().u8(0xfe).u16(0).u16(0x0002).result()
+
+  def isEof(payload: Array[Byte]): Boolean =
+    payload.nonEmpty && (payload(0) & 0xff) == 0xfe && payload.length < 9
+
+  // ---- resultset encoding --------------------------------------------
+  /** (type code, binary charset) per Spark output type — the same target
+    * set as the reference (mysql/mod.rs:346-360; unsigned widenings land
+    * on the signed wire type of their widened representation).
+    */
+  def mysqlType(dt: DataType): Int = dt match {
+    case ByteType => TypeTiny
+    case ShortType => TypeShort
+    case IntegerType => TypeLong
+    case LongType => TypeLonglong
+    case FloatType => TypeFloat
+    case DoubleType => TypeDouble
+    case DateType => TypeDate
+    case TimestampType => TypeDatetime
+    case _: DecimalType => TypeNewDecimal
+    case _ => TypeVarchar
+  }
+
+  def columnDefinition(name: String, dt: DataType): Array[Byte] =
+    new Out()
+      .lenencStr("def").lenencStr("").lenencStr("").lenencStr("")
+      .lenencStr(name).lenencStr(name)
+      .lenencInt(0x0c) // fixed-length fields below
+      .u16(33) // utf8_general_ci
+      .u32(255L) // display length
+      .u8(mysqlType(dt))
+      .u16(0) // flags
+      .u8(if (dt.isInstanceOf[DecimalType]) 2 else 0) // decimals
+      .u16(0) // filler
+      .result()
+
+  /** Text-protocol value: lenenc string, NULL = 0xfb. */
+  def textValue(r: Row, i: Int): Array[Byte] =
+    if (r.isNullAt(i)) Array(0xfb.toByte)
+    else {
+      val s = r.schema.fields(i).dataType match {
+        case TimestampType =>
+          // "YYYY-MM-DD HH:MM:SS[.ffffff]" per the text protocol
+          r.getTimestamp(i).toString.stripSuffix(".0")
+        case _ => String.valueOf(r.get(i))
+      }
+      new Out().lenencStr(s).result()
+    }
+}

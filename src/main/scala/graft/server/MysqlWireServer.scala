@@ -1,0 +1,157 @@
+package graft.server
+
+import java.io.{BufferedInputStream, BufferedOutputStream, InputStream, OutputStream}
+import java.net.{ServerSocket, Socket, SocketException}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.atomic.AtomicBoolean
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.SparkSession
+
+import graft.exec.GraftSession
+
+/** Minimal MySQL text-protocol front-end over [[GraftSession]] — the
+  * reference's second wire entry point (crates/server/src/mysql_server.rs +
+  * crates/runtime/src/mysql/mod.rs:102-149 `on_query`). Scope: HandshakeV10
+  * / HandshakeResponse41 (any credentials accepted — the reference ignores
+  * them too), COM_QUERY with text resultsets, COM_INIT_DB, COM_PING,
+  * COM_QUIT. No TLS, no prepared statements, no auth verification —
+  * recorded in SURVEY §7 with the CH-native cuts.
+  */
+final class MysqlWireServer(spark: SparkSession, port: Int = 0) {
+  import MysqlProto._
+
+  private val socket = new ServerSocket(port)
+  private val running = new AtomicBoolean(true)
+
+  def boundPort: Int = socket.getLocalPort
+
+  private val acceptor = new Thread(() => {
+    while (running.get) {
+      try {
+        val conn = socket.accept()
+        val t = new Thread(() => serve(conn), s"graft-mysql-conn-${conn.getPort}")
+        t.setDaemon(true)
+        t.start()
+      } catch {
+        case _: SocketException => ()
+        case NonFatal(e) => if (running.get) System.err.println(s"[mysql-wire] accept: $e")
+      }
+    }
+  }, "graft-mysql-accept")
+  acceptor.setDaemon(true)
+
+  def start(): MysqlWireServer = { acceptor.start(); this }
+
+  def stop(): Unit = { running.set(false); socket.close() }
+
+  private def serve(conn: Socket): Unit = {
+    val in = new BufferedInputStream(conn.getInputStream)
+    val out = new BufferedOutputStream(conn.getOutputStream)
+    // isolated per-connection session: USE/current-database must not leak
+    // across connections or into the host session
+    val session = new GraftSession(spark.newSession())
+    try {
+      handshake(in, out, session)
+      var open = true
+      while (open && running.get) {
+        val (_, payload) =
+          try readPacket(in)
+          catch { case _: java.io.EOFException => open = false; (0, Array.empty[Byte]) }
+        if (open && payload.nonEmpty) {
+          val p = new In(payload)
+          p.u8() match {
+            case ComQuit => open = false
+            case ComPing =>
+              writePacket(out, 1, okPacket()); out.flush()
+            case ComInitDb =>
+              val db = new String(p.rest(), UTF_8)
+              respond(out, session, s"USE `$db`")
+            case ComQuery =>
+              respond(out, session, new String(p.rest(), UTF_8))
+            case other =>
+              writePacket(out, 1, errPacket(1047, s"unsupported command $other"))
+              out.flush()
+          }
+        }
+      }
+    } catch {
+      case _: SocketException | _: java.io.EOFException => ()
+      case NonFatal(e) =>
+        try { writePacket(out, 1, errPacket(1105, String.valueOf(e))); out.flush() }
+        catch { case NonFatal(_) => () }
+    } finally conn.close()
+  }
+
+  /** HandshakeV10 → HandshakeResponse41 → OK; credentials accepted as-is
+    * and an initial database becomes `USE`.
+    */
+  private def handshake(in: InputStream, out: OutputStream, session: GraftSession): Unit = {
+    val caps = ClientLongPassword | ClientConnectWithDb | ClientProtocol41 |
+      ClientSecureConnection | ClientPluginAuth
+    val greeting = new Out()
+      .u8(10) // protocol version
+      .nulStr("8.0.0-graft-spark")
+      .u32(1L) // thread id
+      .bytes(Array.fill[Byte](8)('g')).u8(0) // auth-plugin-data part 1
+      .u16((caps & 0xffff).toInt)
+      .u8(33) // utf8_general_ci
+      .u16(0x0002) // status: autocommit
+      .u16(((caps >>> 16) & 0xffff).toInt)
+      .u8(21) // auth plugin data length
+      .bytes(new Array[Byte](10)) // reserved
+      .bytes(Array.fill[Byte](12)('g')).u8(0) // auth-plugin-data part 2
+      .nulStr("mysql_native_password")
+      .result()
+    writePacket(out, 0, greeting)
+    out.flush()
+
+    val (_, payload) = readPacket(in)
+    val r = new In(payload)
+    val clientCaps = r.u32()
+    val _maxPacket = r.u32()
+    val _charset = r.u8()
+    r.bytes(23) // reserved
+    val _user = r.nulStr()
+    // auth response: lenenc if secure-connection, else NUL-terminated
+    if ((clientCaps & ClientSecureConnection) != 0) {
+      val n = r.lenencInt(); if (n > 0) r.bytes(n.toInt)
+    } else r.nulStr()
+    if ((clientCaps & ClientConnectWithDb) != 0 && r.remaining > 0) {
+      val db = r.nulStr()
+      if (db.nonEmpty) session.sql(s"USE `$db`")
+    }
+    writePacket(out, 2, okPacket())
+    out.flush()
+  }
+
+  /** Run one statement, write an OK (no result schema) or a text
+    * resultset: column count, ColumnDefinition41s, EOF, rows, EOF
+    * (`write_blks`, mysql/mod.rs:150-345).
+    */
+  private def respond(out: OutputStream, session: GraftSession, sql: String): Unit = {
+    var seq = 1
+    def send(payload: Array[Byte]): Unit = { writePacket(out, seq, payload); seq += 1 }
+    try {
+      val df = session.sql(sql)
+      if (df.schema.fields.isEmpty) send(okPacket())
+      else {
+        val schema = df.schema
+        send(new Out().lenencInt(schema.fields.length.toLong).result())
+        schema.fields.foreach(f => send(columnDefinition(f.name, f.dataType)))
+        send(eofPacket())
+        import scala.jdk.CollectionConverters._
+        df.toLocalIterator().asScala.foreach { row =>
+          val o = new java.io.ByteArrayOutputStream()
+          schema.fields.indices.foreach(i => o.write(textValue(row, i)))
+          send(o.toByteArray)
+        }
+        send(eofPacket())
+      }
+    } catch {
+      case NonFatal(e) => send(errPacket(1105, String.valueOf(e.getMessage)))
+    }
+    out.flush()
+  }
+}

@@ -1,0 +1,136 @@
+package graft
+
+import java.io.{BufferedInputStream, BufferedOutputStream}
+import java.net.Socket
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.server.{MysqlProto, MysqlWireServer}
+
+/** Drives the MySQL text protocol over a real socket: handshake, ping,
+  * and a CREATE/INSERT/SELECT round-trip — the shape of the reference's
+  * MySQL-side sanity suite (crates/tests_integ/tests/sanity_checks_mysql.rs)
+  * with the test client below implementing the client half of the framing.
+  */
+class MysqlWireSpec extends AnyFunSuite {
+  import MysqlProto._
+  import SparkTestSession.spark
+
+  private final class MysqlClient(port: Int, database: String = "") {
+    private val sock = new Socket("127.0.0.1", port)
+    private val in = new BufferedInputStream(sock.getInputStream)
+    private val out = new BufferedOutputStream(sock.getOutputStream)
+
+    // read HandshakeV10, answer HandshakeResponse41, expect OK
+    locally {
+      val (_, greeting) = readPacket(in)
+      val g = new In(greeting)
+      assert(g.u8() == 10, "protocol version")
+      val _serverVersion = g.nulStr()
+      val caps = ClientLongPassword | ClientProtocol41 | ClientSecureConnection |
+        (if (database.nonEmpty) ClientConnectWithDb else 0L)
+      val resp = new Out()
+        .u32(caps).u32(1L << 24).u8(33).bytes(new Array[Byte](23))
+        .nulStr("default").lenencInt(0)
+      if (database.nonEmpty) resp.nulStr(database)
+      writePacket(out, 1, resp.result())
+      out.flush()
+      val (_, ok) = readPacket(in)
+      assert((ok(0) & 0xff) == 0x00, s"expected OK after auth, got 0x${(ok(0) & 0xff).toHexString}")
+    }
+
+    def ping(): Boolean = {
+      writePacket(out, 0, new Out().u8(ComPing).result()); out.flush()
+      val (_, p) = readPacket(in)
+      (p(0) & 0xff) == 0x00
+    }
+
+    /** COM_QUERY; returns (column names, rows as string/null cells) or
+      * throws on ERR; OK-only responses return (Nil, Nil).
+      */
+    def query(sql: String): (Seq[String], Seq[Seq[String]]) = {
+      writePacket(out, 0,
+        new Out().u8(ComQuery).bytes(sql.getBytes(UTF_8)).result())
+      out.flush()
+      val (_, first) = readPacket(in)
+      (first(0) & 0xff) match {
+        case 0x00 => (Nil, Nil) // OK: statement without resultset
+        case 0xff =>
+          val e = new In(first); e.u8(); val errno = e.u16()
+          e.u8(); e.bytes(5) // '#' + sqlstate
+          fail(s"server error $errno: ${new String(e.rest(), UTF_8)}")
+        case _ =>
+          val nCols = new In(first).lenencInt().toInt
+          val names = (1 to nCols).map { _ =>
+            val (_, colDef) = readPacket(in)
+            val c = new In(colDef)
+            c.lenencStr(); c.lenencStr(); c.lenencStr(); c.lenencStr()
+            c.lenencStr() // name
+          }
+          val (_, eof1) = readPacket(in)
+          assert(isEof(eof1), "expected EOF after column definitions")
+          val rows = Vector.newBuilder[Seq[String]]
+          var done = false
+          while (!done) {
+            val (_, p) = readPacket(in)
+            if (isEof(p)) done = true
+            else {
+              val r = new In(p)
+              rows += (1 to nCols).map(_ => r.lenencStr())
+            }
+          }
+          (names, rows.result())
+      }
+    }
+
+    def close(): Unit = sock.close()
+  }
+
+  test("handshake, ping, and CREATE/INSERT/SELECT round-trip") {
+    val server = new MysqlWireServer(spark).start()
+    val client = new MysqlClient(server.boundPort)
+    try {
+      assert(client.ping())
+      client.query("DROP TABLE IF EXISTS mysql_tab")
+      client.query("CREATE TABLE mysql_tab(a Int32, s String, f Float64)")
+      client.query("INSERT INTO mysql_tab VALUES (1, 'x', 1.5), (2, 'y', -2.25)")
+
+      val (names, rows) = client.query(
+        "SELECT a, s, f, CAST(NULL AS INT) AS nn FROM mysql_tab ORDER BY a")
+      assert(names === Seq("a", "s", "f", "nn"))
+      assert(rows === Seq(
+        Seq("1", "x", "1.5", null),
+        Seq("2", "y", "-2.25", null)))
+
+      val (_, agg) = client.query(
+        "SELECT CAST(sum(a) AS BIGINT) AS s, count(*) AS n FROM mysql_tab")
+      assert(agg === Seq(Seq("3", "2")))
+
+      client.query("DROP TABLE mysql_tab")
+    } finally {
+      client.close()
+      server.stop()
+    }
+  }
+
+  test("connect-with-database selects the initial database") {
+    val server = new MysqlWireServer(spark).start()
+    val setup = new MysqlClient(server.boundPort)
+    try {
+      setup.query("CREATE DATABASE IF NOT EXISTS mysql_db")
+      setup.query("DROP TABLE IF EXISTS mysql_db.in_db")
+      setup.query("CREATE TABLE mysql_db.in_db(v Int64)")
+      setup.query("INSERT INTO mysql_db.in_db VALUES (7)")
+      val client = new MysqlClient(server.boundPort, database = "mysql_db")
+      try {
+        val (_, rows) = client.query("SELECT v FROM in_db")
+        assert(rows === Seq(Seq("7")))
+      } finally client.close()
+      setup.query("DROP DATABASE IF EXISTS mysql_db")
+    } finally {
+      setup.close()
+      server.stop()
+    }
+  }
+}
