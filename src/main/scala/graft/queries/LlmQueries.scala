@@ -213,6 +213,48 @@ object LlmQueries {
           |GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin)
     },
 
+    // ---- l13: trigram-profile language ID -----------------------------
+    // The real n-gram classifier behind l06's stopword heuristic: train a
+    // top-20 character-trigram profile per language from the labeled
+    // corpus (document-frequency based), score every doc by profile
+    // overlap, predict the best-scoring language, and emit the confusion
+    // matrix vs the labels. 100 TB: profiles are tiny (20 x n_langs) and
+    // broadcast; the per-doc work is one distinct-trigram explode and one
+    // broadcast join — no all-pairs, no big shuffle beyond the doc-id
+    // aggregation. All scores are integers and every ranking has a total
+    // deterministic order (count DESC, trigram/lang ASC), so the oracle
+    // matches exactly.
+    "l13_langid_trigram" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """WITH tri AS (
+          |  SELECT doc_id, lang,
+          |    explode(array_distinct(transform(sequence(1, length(text) - 2),
+          |      i -> substr(text, i, 3)))) AS g
+          |  FROM documents WHERE length(text) >= 3
+          |), counts AS (
+          |  SELECT lang AS plang, g, count(*) AS n FROM tri GROUP BY lang, g
+          |), profile AS (
+          |  SELECT plang, g FROM (
+          |    SELECT plang, g,
+          |      row_number() OVER (PARTITION BY plang ORDER BY n DESC, g) AS rn
+          |    FROM counts) WHERE rn <= 20
+          |), scores AS (
+          |  SELECT t.doc_id, p.plang, count(*) AS score
+          |  FROM tri t JOIN profile p ON t.g = p.g
+          |  GROUP BY t.doc_id, p.plang
+          |), best AS (
+          |  SELECT doc_id, plang AS predicted FROM (
+          |    SELECT doc_id, plang,
+          |      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
+          |    FROM scores) WHERE rn = 1
+          |)
+          |SELECT d.lang, coalesce(b.predicted, 'unknown') AS predicted,
+          |  count(*) AS n
+          |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    },
+
     // ---- l07: simhash document fingerprint ----------------------------
     // 8-bit simhash from per-token md5 bytes: per-bit signed vote, sign →
     // bit. 100 TB: explode+groupBy(doc_id) is map-heavy but linear; the
@@ -510,6 +552,34 @@ object LlmQueries {
         |  count(*) AS n
         |FROM documents
         |GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
+
+    "l13_langid_trigram" ->
+      """WITH tri AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_distinct(list_transform(range(length(text) - 2),
+        |      i -> substr(text, i + 1, 3)))) AS g
+        |  FROM documents WHERE length(text) >= 3
+        |), counts AS (
+        |  SELECT lang AS plang, g, count(*) AS n FROM tri GROUP BY lang, g
+        |), profile AS (
+        |  SELECT plang, g FROM (
+        |    SELECT plang, g,
+        |      row_number() OVER (PARTITION BY plang ORDER BY n DESC, g) AS rn
+        |    FROM counts) t WHERE rn <= 20
+        |), scores AS (
+        |  SELECT t.doc_id, p.plang, count(*) AS score
+        |  FROM tri t JOIN profile p ON t.g = p.g
+        |  GROUP BY t.doc_id, p.plang
+        |), best AS (
+        |  SELECT doc_id, plang AS predicted FROM (
+        |    SELECT doc_id, plang,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
+        |    FROM scores) t WHERE rn = 1
+        |)
+        |SELECT d.lang, coalesce(b.predicted, 'unknown') AS predicted,
+        |  count(*) AS n
+        |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "l07_simhash" -> {
       val nibD1 = "(strpos('0123456789abcdef', substr(h, 1, 1)) - 1)"

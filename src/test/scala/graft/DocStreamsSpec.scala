@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.DocStreams
+
+/** Streaming exact-dedup semantics: first observation of a content hash
+  * passes, re-observations within the watermark horizon are dropped, and
+  * state expires with the watermark.
+  */
+class DocStreamsSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  test("dropDuplicatesWithinWatermark dedups within the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
+    def us(min: Long): Long = min * 60L * 1000 * 1000
+    val docs = mem.toDF().toDF("doc_id", "text", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+
+    val q = DocStreams.dedupedDocs(docs, horizon = "60 minutes")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try {
+      def emitted(): Seq[Long] =
+        spark.table("deduped").select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+
+      // first batch: two distinct texts plus an in-batch duplicate
+      mem.addData((1L, "alpha text", us(0)), (2L, "beta text", us(1)),
+        (3L, "alpha text", us(2)))
+      q.processAllAvailable()
+      val first = emitted()
+      assert(first.length === 2)
+      assert(first.contains(2L))
+      assert(first.count(d => d == 1L || d == 3L) === 1)
+
+      // re-observation within the horizon: dropped
+      mem.addData((4L, "alpha text", us(10)))
+      q.processAllAvailable()
+      assert(emitted().length === 2)
+
+      // far past the horizon the hash state has been evicted, so the same
+      // content is (correctly, per the contract) admitted again
+      mem.addData((5L, "gamma text", us(240)))
+      q.processAllAvailable()
+      mem.addData((6L, "alpha text", us(241)))
+      q.processAllAvailable()
+      assert(emitted().contains(5L))
+      assert(emitted().contains(6L))
+    } finally q.stop()
+  }
+}
