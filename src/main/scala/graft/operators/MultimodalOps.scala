@@ -29,27 +29,48 @@ object MultimodalOps {
   /** Typed metadata the decode pass extracts. */
   final case class MediaMeta(doc_id: Long, width: Int, height: Int, n_pixels: Int)
 
-  /** Render each (doc_id, w, h) as a real PNG payload. The single pixel
-    * write keeps the encode cheap; the container still carries true
-    * dimensions for the decoder to recover.
+  // ImageIO defaults to a DISK-backed stream cache: every read/write
+  // creates and deletes a temp file, which dominates per-row cost on a
+  // slow filesystem. Memory-cache instead (process-wide, idempotent).
+  ImageIO.setUseCache(false)
+
+  /** Render each (doc_id, w, h) as a real PNG payload. Codec state (the
+    * PNG ImageWriter) is acquired ONCE per partition and reused per row —
+    * the amortization mapPartitions exists for; ImageIO.write would
+    * re-run the SPI writer lookup on every call.
     */
-  def encodePartition(it: Iterator[(Long, Int, Int)]): Iterator[Blob] =
+  def encodePartition(it: Iterator[(Long, Int, Int)]): Iterator[Blob] = {
+    if (!it.hasNext) return Iterator.empty
+    val writer = ImageIO.getImageWritersByFormatName("png").next()
     it.map { case (id, w, h) =>
       val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
       img.setRGB(0, 0, (id & 0xffffff).toInt)
       val bos = new ByteArrayOutputStream()
-      ImageIO.write(img, "png", bos)
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(img)
+      ios.close()
       Blob(id, bos.toByteArray)
     }
+  }
 
-  /** Real decode: parse the PNG container, return actual dimensions. */
-  def decodePartition(it: Iterator[Blob]): Iterator[MediaMeta] =
+  /** Real decode: parse the PNG container, return actual dimensions. The
+    * PNG ImageReader is likewise reused across the partition.
+    */
+  def decodePartition(it: Iterator[Blob]): Iterator[MediaMeta] = {
+    if (!it.hasNext) return Iterator.empty
+    val reader = ImageIO.getImageReadersByFormatName("png").next()
     it.map { b =>
-      val img = ImageIO.read(new ByteArrayInputStream(b.payload))
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new ByteArrayInputStream(b.payload))
+      reader.setInput(iis, true, true)
+      val img = reader.read(0) // full pixel decode, not just the header
       require(img != null, s"undecodable image payload for doc ${b.doc_id}")
+      iis.close()
       MediaMeta(b.doc_id, img.getWidth, img.getHeight,
         img.getWidth * img.getHeight)
     }
+  }
 
   /** Dimension a document deterministically from its content hash
     * (1..64 on each axis — small enough that the per-row PNG

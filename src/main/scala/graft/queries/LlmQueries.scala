@@ -226,12 +226,19 @@ object LlmQueries {
     // matches exactly.
     "l13_langid_trigram" -> { (s, dir) =>
       Tables.registerAll(s, dir)
+      // the trigram explode is the dominant cost and feeds BOTH the
+      // profile training and the scoring join — materialize it once
+      // (checkpoint/temp table at scale, in-memory persist here)
+      val tri = s.sql(
+        """SELECT doc_id, lang,
+          |  explode(array_distinct(transform(sequence(1, length(text) - 2),
+          |    i -> substr(text, i, 3)))) AS g
+          |FROM documents WHERE length(text) >= 3""".stripMargin)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      tri.createOrReplaceTempView("l13_tri")
       s.sql(
         """WITH tri AS (
-          |  SELECT doc_id, lang,
-          |    explode(array_distinct(transform(sequence(1, length(text) - 2),
-          |      i -> substr(text, i, 3)))) AS g
-          |  FROM documents WHERE length(text) >= 3
+          |  SELECT doc_id, lang, g FROM l13_tri
           |), counts AS (
           |  SELECT lang AS plang, g, count(*) AS n FROM tri GROUP BY lang, g
           |), profile AS (
