@@ -79,11 +79,26 @@ object Bench {
     val rangeSum = best3(sumDf.collect())
     spark.conf.set("spark.sql.adaptive.enabled", "true")
 
+    // BASELINE.md's third row is WRITE throughput (reference: ~2x
+    // ClickHouse over the wire, crates/tests_integ/benches/
+    // bench_ingestion.rs). Local analog: the engine's block-write path —
+    // INSERT ... SELECT through the partition-keyed parquet writer
+    // (__ptk computed by codegen, the reference's cranelift-JIT analog).
+    val g = new graft.exec.GraftSession(spark)
+    g.sql("DROP TABLE IF EXISTS bench_ingest")
+    g.sql("CREATE TABLE bench_ingest(ok Int64, qty Float64, d Date) " +
+      "ENGINE=BaseStorage PARTITION BY toYear(d)")
+    val nIngest = spark.table("lineitem").count()
+    val tIngest = timeIt(g.sql(
+      "INSERT INTO bench_ingest SELECT l_orderkey, l_quantity, l_shipdate FROM lineitem"))
+    val ingestRps = nIngest / math.max(tIngest, 1e-9)
+    g.sql("DROP TABLE bench_ingest")
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val anchors =
-      f"""{"sum_cold":$sumCold%.4f,"sum_warm":$sumWarm%.4f,"groupby_warm":$gbWarm%.4f,"range_sum_1b47":$rangeSum%.4f,"range_sum_1b47_oneshot":$rangeSumOneShot%.4f}"""
+      f"""{"sum_cold":$sumCold%.4f,"sum_warm":$sumWarm%.4f,"groupby_warm":$gbWarm%.4f,"range_sum_1b47":$rangeSum%.4f,"range_sum_1b47_oneshot":$rangeSumOneShot%.4f,"ingest_rows":$nIngest%d,"ingest_sec":$tIngest%.4f,"ingest_rows_per_s":$ingestRps%.0f}"""
     val json =
       f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir","anchors":$anchors,"failed":${failed.size}}"""
     println(json)
