@@ -434,6 +434,22 @@ class GraftSession(val spark: SparkSession) {
     withPtk.write.mode("append").insertInto(fullName(db, name).replace("`", ""))
   }
 
+  /** Append an already-typed block of rows to a table — the wire-ingest
+    * entry (client-streamed Data blocks over the CH native protocol; the
+    * reference's write-block path, write.rs:26-67).
+    */
+  def insertBlock(db: Option[String], name: String, rows: Seq[Row],
+                  schema: StructType): Unit = {
+    val src = spark.createDataFrame(rows.asJava, schema)
+    appendToTable(db, name, src, srcIsRaw = false)
+  }
+
+  /** The table's declared data schema (without the hidden partition key) —
+    * what a wire client's INSERT header block advertises.
+    */
+  def dataSchema(db: Option[String], name: String): StructType =
+    StructType(spark.table(fullName(db, name)).schema.fields.filter(_.name != PtkCol))
+
   /** Declared DEFAULT literals per column (bql.pest column_constraint). */
   private def defaults(db: Option[String], name: String): Map[String, String] =
     tableProp(db, name, "graft.defaults").map {

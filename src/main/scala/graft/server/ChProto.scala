@@ -104,10 +104,24 @@ object ChProto {
 
   // ---- block encode ---------------------------------------------------
   /** Wire CH type for an output column (unsigned widenings reverse-map to
-    * signed CH types by design — fromSpark, SURVEY §1.2).
+    * signed CH types by design — fromSpark, SURVEY §1.2), with two wire
+    * special cases: Decimal(20,0) is the UInt64 widening and goes back out
+    * as a true u64; wider decimals (aggregate headroom, e.g. sum →
+    * precision+10) exceed the reference's 8-byte decimal storage and ship
+    * as String — lossless as text where a 64-bit unscaled long would
+    * overflow.
     */
-  def wireType(schema: StructType, i: Int): BqlType =
-    BqlType.fromSpark(schema.fields(i).dataType, schema.fields(i).nullable)
+  def wireType(schema: StructType, i: Int): BqlType = {
+    val f = schema.fields(i)
+    val base = f.dataType match {
+      case d: org.apache.spark.sql.types.DecimalType
+          if d.precision == 20 && d.scale == 0 => BqlType.UInt64
+      case d: org.apache.spark.sql.types.DecimalType
+          if d.precision > BqlType.MaxDecimalPrecision => BqlType.Str
+      case _ => return BqlType.fromSpark(f.dataType, f.nullable)
+    }
+    if (f.nullable) BqlType.Nullable(base) else base
+  }
 
   private def baseOf(t: BqlType): BqlType = t match {
     case BqlType.Nullable(inner) => baseOf(inner)
@@ -118,8 +132,9 @@ object ChProto {
   /** Encode one server Data packet: PKID, temp-table name, block info,
     * ncols/nrows, columns (blocks.rs:193-210,246-310 uncompressed path).
     */
-  def writeDataBlock(out: OutputStream, schema: StructType, rows: Seq[Row]): Unit = {
-    writeVarint(out, Server.Data)
+  def writeDataBlock(out: OutputStream, schema: StructType, rows: Seq[Row],
+                     packetCode: Long = Server.Data): Unit = {
+    writeVarint(out, packetCode)
     writeStr(out, "") // temporary table name
     // block info: (1, overflow=0), (2, bucket=-1), terminator 0
     writeVarint(out, 1); out.write(0)
@@ -228,6 +243,31 @@ object ChProto {
     WireBlock(cols, nRows)
   }
 
+  /** Convert a decoded wire block to Spark rows conforming to `schema`
+    * (positional, full arity — the header block the server sent fixes the
+    * column order). Wire-native values (LocalDate, Instant, BigInteger)
+    * become their Spark external types.
+    */
+  def blockToRows(block: WireBlock,
+                  schema: org.apache.spark.sql.types.StructType): Seq[Row] = {
+    import org.apache.spark.sql.types._
+    require(block.columns.length == schema.fields.length,
+      s"wire block arity ${block.columns.length} != table arity ${schema.fields.length}")
+    (0 until block.nRows).map { r =>
+      Row.fromSeq(schema.fields.zipWithIndex.map { case (f, c) =>
+        (block.columns(c).values(r), f.dataType) match {
+          case (null, _) => null
+          case (v: java.time.LocalDate, DateType) => java.sql.Date.valueOf(v)
+          case (v: java.time.Instant, TimestampType) => java.sql.Timestamp.from(v)
+          case (v: scala.math.BigDecimal, _: DecimalType) => v.underlying()
+          case (v: java.math.BigInteger, _: DecimalType) => new java.math.BigDecimal(v)
+          case (v: String, _: DecimalType) => new java.math.BigDecimal(v) // wide-decimal wire form
+          case (v, _) => v
+        }
+      }.toIndexedSeq)
+    }
+  }
+
   private def readValue(in: InputStream, t: BqlType): Any = {
     import BqlType._
     t match {
@@ -244,7 +284,9 @@ object ChProto {
       case Float32 => java.lang.Float.intBitsToFloat(readLongLe(in, 4).toInt)
       case Float64 => java.lang.Double.longBitsToDouble(readLongLe(in, 8))
       case Decimal(p, s) =>
-        val unscaled = readLongLe(in, if (p <= 9) 4 else 8)
+        // 4-byte decimals need sign extension (readLongLe is unsigned)
+        val unscaled =
+          if (p <= 9) readLongLe(in, 4).toInt.toLong else readLongLe(in, 8)
         BigDecimal(BigInt(unscaled), s)
       case Date => java.time.LocalDate.ofEpochDay(readLongLe(in, 2))
       case DateTime(_) => java.time.Instant.ofEpochSecond(readLongLe(in, 4))

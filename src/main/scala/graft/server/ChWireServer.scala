@@ -153,14 +153,36 @@ final class ChWireServer(spark: SparkSession, port: Int = 0) {
       return
     }
     try {
-      val df = session.sql(queryText)
-      if (df.schema.fields.nonEmpty) {
-        import scala.jdk.CollectionConverters._
-        val schema = df.schema
-        df.toLocalIterator().asScala.grouped(BlockRows)
-          .foreach(rows => ChProto.writeDataBlock(out, schema, rows.toSeq))
+      graft.parser.ChParser.parse(queryText) match {
+        // INSERT with no inline payload: the client streams Data blocks
+        // (the reference's DataEODPInsertQuery stage, messages.rs:55-66,
+        // 180-203): reply with the table's header block, append each
+        // incoming block, finish on the empty block.
+        case Right(f: graft.parser.ChStatement.InsertFormat)
+            if f.inlinePayload.trim.isEmpty =>
+          val schema = session.dataSchema(f.db, f.name)
+          ChProto.writeDataBlock(out, schema, Seq.empty)
+          var open = true
+          while (open) {
+            val code = ChProto.readVarint(in)
+            require(code == ChProto.Client.Data,
+              s"expected client Data packet during INSERT, got $code")
+            val block = ChProto.readDataBlock(in)
+            if (block.nRows == 0) open = false
+            else session.insertBlock(f.db, f.name,
+              ChProto.blockToRows(block, schema), schema)
+          }
+          ChProto.writeEndOfStream(out)
+        case _ =>
+          val df = session.sql(queryText)
+          if (df.schema.fields.nonEmpty) {
+            import scala.jdk.CollectionConverters._
+            val schema = df.schema
+            df.toLocalIterator().asScala.grouped(BlockRows)
+              .foreach(rows => ChProto.writeDataBlock(out, schema, rows.toSeq))
+          }
+          ChProto.writeEndOfStream(out)
       }
-      ChProto.writeEndOfStream(out)
     } catch {
       case NonFatal(e) =>
         ChProto.writeException(out, 1000, e.getClass.getSimpleName,

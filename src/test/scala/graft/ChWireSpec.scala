@@ -83,6 +83,40 @@ class ChWireSpec extends AnyFunSuite {
       blocks.result()
     }
 
+    /** INSERT with client-streamed Data blocks: send the query, read the
+      * server's header block, stream row blocks, terminate with an empty
+      * block, expect EndOfStream.
+      */
+    def insertStream(sql: String,
+                     schema: org.apache.spark.sql.types.StructType,
+                     batches: Seq[Seq[org.apache.spark.sql.Row]]): ChProto.WireBlock = {
+      ChProto.writeVarint(out, ChProto.Client.Query)
+      ChProto.writeStr(out, "test-insert-id")
+      ChProto.writeVarint(out, 1)
+      ChProto.writeStr(out, ""); ChProto.writeStr(out, ""); ChProto.writeStr(out, "")
+      ChProto.writeVarint(out, 1)
+      ChProto.writeStr(out, ""); ChProto.writeStr(out, "")
+      ChProto.writeStr(out, "graft-test-client")
+      ChProto.writeVarint(out, 1); ChProto.writeVarint(out, 0)
+      ChProto.writeVarint(out, ChProto.Revision)
+      ChProto.writeStr(out, "")
+      ChProto.writeVarint(out, 0)
+      ChProto.writeStr(out, "")
+      ChProto.writeVarint(out, 2)
+      ChProto.writeVarint(out, 0)
+      ChProto.writeStr(out, sql)
+      out.flush()
+      // server replies with the table-structure header block
+      assert(ChProto.readVarint(in) === ChProto.Server.Data, "expected header block")
+      val header = ChProto.readDataBlock(in)
+      batches.foreach(rows =>
+        ChProto.writeDataBlock(out, schema, rows, ChProto.Client.Data))
+      ChProto.writeDataBlock(out, schema, Seq.empty, ChProto.Client.Data) // EODP
+      out.flush()
+      assert(ChProto.readVarint(in) === ChProto.Server.EndOfStream)
+      header
+    }
+
     def close(): Unit = sock.close()
   }
 
@@ -124,6 +158,35 @@ class ChWireSpec extends AnyFunSuite {
       assert(agg.head.columns(0).values === Vector(3L))
 
       client.query("DROP TABLE wire_tab")
+    } finally {
+      client.close()
+      server.stop()
+    }
+  }
+
+  test("client-streamed INSERT Data blocks (DataEODPInsertQuery stage)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val server = new ChWireServer(spark).start()
+    val client = new WireClient(server.boundPort)
+    try {
+      client.hello()
+      client.query("DROP TABLE IF EXISTS wire_stream_tab")
+      client.query("CREATE TABLE wire_stream_tab(a Int32, s String)")
+      val schema = StructType(Seq(
+        StructField("a", IntegerType), StructField("s", StringType)))
+      val header = client.insertStream(
+        "INSERT INTO wire_stream_tab FORMAT Native", schema,
+        Seq(Seq(Row(1, "x"), Row(2, "y")), Seq(Row(3, null))))
+      // the header block advertises the table structure, zero rows
+      assert(header.nRows === 0)
+      assert(header.columns.map(_.name) === Vector("a", "s"))
+
+      val got = client.query(
+        "SELECT a, s FROM wire_stream_tab ORDER BY a").filter(_.nRows > 0).head
+      assert(got.columns(0).values === Vector(1, 2, 3))
+      assert(got.columns(1).values === Vector("x", "y", null))
+      client.query("DROP TABLE wire_stream_tab")
     } finally {
       client.close()
       server.stop()
