@@ -207,7 +207,16 @@ class GraftSession(val spark: SparkSession) {
         plan.split("\n").toSeq.map(Row(_)).asJava,
         StructType(Seq(StructField("plan", StringType))))
     case ir: InsertRemote => insertRemote(ir)
-    case Select(raw) => spark.sql(rewriteSelect(raw))
+    case Select(raw) => runSelect(raw)
+  }
+
+  /** SELECT passthrough. The hidden partition key is storage metadata in
+    * the reference (never a column, crates/meta/src/types.rs:55-63), so a
+    * `SELECT *` over a partitioned table must not leak it.
+    */
+  private def runSelect(raw: String): DataFrame = {
+    val df = spark.sql(rewriteSelect(raw))
+    if (df.columns.contains(PtkCol)) df.drop(PtkCol) else df
   }
 
   private def jdbcReader(url: String, table: String,
@@ -505,7 +514,7 @@ class GraftSession(val spark: SparkSession) {
     else s
 
   private def insertSelect(is: InsertSelect): DataFrame = {
-    val result = spark.sql(rewriteSelect(is.selectSql))
+    val result = runSelect(is.selectSql)
     appendToTable(is.db, is.name, expand(is.db, is.name, is.cols, result),
       srcIsRaw = false)
     emptyOk

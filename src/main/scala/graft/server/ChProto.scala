@@ -183,8 +183,12 @@ object ChProto {
         val secs = if (isNull) 0L else r.getTimestamp(i).getTime / 1000L
         writeLongLe(out, secs, 4)
       case _ => // String / UUID / FixedString-as-binary: varbytes
-        val s = if (isNull) "" else String.valueOf(r.get(i))
-        writeStr(out, s)
+        if (isNull) writeStr(out, "")
+        else r.get(i) match {
+          case bytes: Array[Byte] => // binary columns ride raw, not toString'd
+            writeVarint(out, bytes.length.toLong); out.write(bytes)
+          case v => writeStr(out, String.valueOf(v))
+        }
     }
   }
 

@@ -1,0 +1,106 @@
+package graft
+
+import java.io.{BufferedInputStream, BufferedOutputStream}
+import java.net.Socket
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.StructType
+
+import graft.server.ChProto
+
+/** Shared minimal CH-native test client (the client half of the framing in
+  * crates/runtime/src/ch/messages.rs:234-340) used by the wire specs.
+  * Failures surface as exceptions, which the calling spec reports.
+  */
+final class WireTestClient(port: Int) {
+  private val sock = new Socket("127.0.0.1", port)
+  private val in = new BufferedInputStream(sock.getInputStream)
+  private val out = new BufferedOutputStream(sock.getOutputStream)
+
+  def hello(database: String = ""): (String, Long) = {
+    ChProto.writeVarint(out, ChProto.Client.Hello)
+    ChProto.writeStr(out, "graft-test-client")
+    ChProto.writeVarint(out, 1); ChProto.writeVarint(out, 0)
+    ChProto.writeVarint(out, ChProto.Revision)
+    ChProto.writeStr(out, database)
+    ChProto.writeStr(out, "default"); ChProto.writeStr(out, "")
+    out.flush()
+    val code = ChProto.readVarint(in)
+    require(code == ChProto.Server.Hello, s"expected server hello, got $code")
+    val name = ChProto.readStr(in)
+    ChProto.readVarint(in); ChProto.readVarint(in)
+    val rev = ChProto.readVarint(in)
+    ChProto.readStr(in); ChProto.readStr(in); ChProto.readVarint(in)
+    (name, rev)
+  }
+
+  def ping(): Boolean = {
+    ChProto.writeVarint(out, ChProto.Client.Ping); out.flush()
+    ChProto.readVarint(in) == ChProto.Server.Pong
+  }
+
+  private def sendQueryPacket(sql: String): Unit = {
+    ChProto.writeVarint(out, ChProto.Client.Query)
+    ChProto.writeStr(out, "test-query-id")
+    ChProto.writeVarint(out, 1) // query kind: initial
+    ChProto.writeStr(out, ""); ChProto.writeStr(out, ""); ChProto.writeStr(out, "")
+    ChProto.writeVarint(out, 1) // interface: tcp
+    ChProto.writeStr(out, ""); ChProto.writeStr(out, "")
+    ChProto.writeStr(out, "graft-test-client")
+    ChProto.writeVarint(out, 1); ChProto.writeVarint(out, 0)
+    ChProto.writeVarint(out, ChProto.Revision)
+    ChProto.writeStr(out, "") // quota key
+    ChProto.writeVarint(out, 0) // client patch
+    ChProto.writeStr(out, "") // settings: empty set
+    ChProto.writeVarint(out, 2) // stage: complete
+    ChProto.writeVarint(out, 0) // compression: off
+    ChProto.writeStr(out, sql)
+    out.flush()
+  }
+
+  /** Send a Query packet; gather data blocks until EndOfStream. */
+  def query(sql: String): Seq[ChProto.WireBlock] = {
+    sendQueryPacket(sql)
+    val blocks = Vector.newBuilder[ChProto.WireBlock]
+    var done = false
+    while (!done) {
+      ChProto.readVarint(in) match {
+        case ChProto.Server.Data => blocks += ChProto.readDataBlock(in)
+        case ChProto.Server.EndOfStream => done = true
+        case ChProto.Server.Exception =>
+          ChProto.readBytes(in, 4)
+          val name = ChProto.readStr(in)
+          val msg = ChProto.readStr(in)
+          ChProto.readStr(in); ChProto.readVarint(in)
+          sys.error(s"server exception $name: $msg")
+        case other => sys.error(s"unexpected server packet $other")
+      }
+    }
+    blocks.result()
+  }
+
+  /** First non-empty result block's column values, or empty. */
+  def rows(sql: String): Vector[ChProto.WireColumn] =
+    query(sql).find(_.nRows > 0).map(_.columns).getOrElse(Vector.empty)
+
+  /** Single scalar result cell. */
+  def scalar(sql: String): Any = rows(sql).head.values.head
+
+  /** INSERT with client-streamed Data blocks (DataEODPInsertQuery stage). */
+  def insertStream(sql: String, schema: StructType,
+                   batches: Seq[Seq[Row]]): ChProto.WireBlock = {
+    sendQueryPacket(sql)
+    val first = ChProto.readVarint(in)
+    require(first == ChProto.Server.Data, s"expected header block, got $first")
+    val header = ChProto.readDataBlock(in)
+    batches.foreach(rows =>
+      ChProto.writeDataBlock(out, schema, rows, ChProto.Client.Data))
+    ChProto.writeDataBlock(out, schema, Seq.empty, ChProto.Client.Data)
+    out.flush()
+    val eos = ChProto.readVarint(in)
+    require(eos == ChProto.Server.EndOfStream, s"expected EndOfStream, got $eos")
+    header
+  }
+
+  def close(): Unit = sock.close()
+}
