@@ -447,6 +447,59 @@ object LlmQueries {
            |FROM scored ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin)
     },
 
+    // ---- l14: duplicate-cluster resolution ---------------------------
+    // The step after candidate generation: union exact-dup edges with
+    // near-dup edges (adjacent-id bigram Jaccard, l08's blocking)
+    // and resolve clusters by min-label propagation so each group keeps
+    // exactly one representative (the min doc_id). 100 TB: this is the
+    // standard connected-components-on-Spark shape — each round is one
+    // self-join + aggregation (one shuffle); rounds are FIXED at 4 (both
+    // engines run the identical bounded algorithm, so the oracle matches
+    // by construction even for chains the bound doesn't fully merge).
+    "l14_dedup_clusters" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val labelRound = (k: Int) =>
+        s"""lab$k AS (
+           |  SELECT x.node, min(x.lbl) AS lbl FROM (
+           |    SELECT node, lbl FROM lab${k - 1}
+           |    UNION ALL
+           |    SELECT e.a AS node, l.lbl FROM bi e JOIN lab${k - 1} l ON l.node = e.b
+           |  ) x GROUP BY x.node
+           |)""".stripMargin
+      s.sql(
+        s"""WITH ex AS (
+           |  SELECT doc_id, md5(lower(text)) AS k FROM documents
+           |), exg AS (
+           |  SELECT k, min(doc_id) AS root, count(*) AS n FROM ex GROUP BY k
+           |), exedges AS (
+           |  SELECT e.doc_id AS a, g.root AS b FROM ex e JOIN exg g ON e.k = g.k
+           |  WHERE g.n > 1 AND e.doc_id <> g.root
+           |), grams AS (
+           |  SELECT doc_id, lang,
+           |    array_distinct(transform(sequence(0, size(split(text, ' ')) - 2),
+           |      i -> array_join(slice(split(text, ' '), i + 1, 2), ' '))) AS gr
+           |  FROM documents WHERE size(split(text, ' ')) >= 2
+           |), ndedges AS (
+           |  SELECT a.doc_id AS a, b.doc_id AS b
+           |  FROM grams a JOIN grams b ON a.lang = b.lang AND b.doc_id = a.doc_id + 1
+           |  WHERE CAST(size(array_intersect(a.gr, b.gr)) AS DOUBLE)
+           |    / (size(a.gr) + size(b.gr) - size(array_intersect(a.gr, b.gr))) > 0.05
+           |), edges AS (
+           |  SELECT a, b FROM exedges UNION SELECT a, b FROM ndedges
+           |), bi AS (
+           |  SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges
+           |), nodes AS (
+           |  SELECT DISTINCT a AS node FROM bi
+           |), lab0 AS (
+           |  SELECT node, node AS lbl FROM nodes
+           |), ${labelRound(1)}, ${labelRound(2)}, ${labelRound(3)}, ${labelRound(4)},
+           |cl AS (
+           |  SELECT lbl, count(*) AS sz FROM lab4 GROUP BY lbl
+           |)
+           |SELECT sz, count(*) AS n_clusters FROM cl
+           |GROUP BY sz ORDER BY sz""".stripMargin)
+    },
+
     // ---- m01: multimodal decode -------------------------------------
     // Typed mapPartitions decode over an opaque binary column of REAL PNG
     // payloads (graft.operators.MultimodalOps — javax.imageio both ways).
@@ -657,6 +710,48 @@ object LlmQueries {
         |  CAST(sum(n_stop) AS BIGINT) AS sum_stopwords,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM tk GROUP BY source ORDER BY source""".stripMargin,
+
+    "l14_dedup_clusters" -> {
+      val labelRound = (k: Int) =>
+        s"""lab$k AS (
+           |  SELECT x.node, min(x.lbl) AS lbl FROM (
+           |    SELECT node, lbl FROM lab${k - 1}
+           |    UNION ALL
+           |    SELECT e.a AS node, l.lbl FROM bi e JOIN lab${k - 1} l ON l.node = e.b
+           |  ) x GROUP BY x.node
+           |)""".stripMargin
+      s"""WITH ex AS (
+         |  SELECT doc_id, md5(lower(text)) AS k FROM documents
+         |), exg AS (
+         |  SELECT k, min(doc_id) AS root, count(*) AS n FROM ex GROUP BY k
+         |), exedges AS (
+         |  SELECT e.doc_id AS a, g.root AS b FROM ex e JOIN exg g ON e.k = g.k
+         |  WHERE g.n > 1 AND e.doc_id <> g.root
+         |), grams AS (
+         |  SELECT doc_id, lang,
+         |    list_distinct(list_transform(range(len(string_split(text, ' ')) - 1),
+         |      i -> array_to_string((string_split(text, ' '))[i+1:i+2], ' '))) AS gr
+         |  FROM documents WHERE len(string_split(text, ' ')) >= 2
+         |), ndedges AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM grams a JOIN grams b ON a.lang = b.lang AND b.doc_id = a.doc_id + 1
+         |  WHERE CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
+         |    / (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))) > 0.05
+         |), edges AS (
+         |  SELECT a, b FROM exedges UNION SELECT a, b FROM ndedges
+         |), bi AS (
+         |  SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges
+         |), nodes AS (
+         |  SELECT DISTINCT a AS node FROM bi
+         |), lab0 AS (
+         |  SELECT node, node AS lbl FROM nodes
+         |), ${labelRound(1)}, ${labelRound(2)}, ${labelRound(3)}, ${labelRound(4)},
+         |cl AS (
+         |  SELECT lbl, count(*) AS sz FROM lab4 GROUP BY lbl
+         |)
+         |SELECT sz, count(*) AS n_clusters FROM cl
+         |GROUP BY sz ORDER BY sz""".stripMargin
+    },
 
     "l11_simhash_hamming_join" -> {
       // oracle recomputes fingerprints and checks hamming distance

@@ -87,6 +87,30 @@ class ChWireSpec extends AnyFunSuite {
     }
   }
 
+  test("connections are isolated: USE on one does not move the other") {
+    val server = new ChWireServer(spark).start()
+    val c1 = new WireTestClient(server.boundPort)
+    val c2 = new WireTestClient(server.boundPort)
+    try {
+      c1.hello(); c2.hello()
+      c1.query("CREATE DATABASE IF NOT EXISTS wire_iso_db")
+      c1.query("USE wire_iso_db")
+      c1.query("DROP TABLE IF EXISTS iso_tab")
+      c1.query("CREATE TABLE iso_tab(v Int32)")
+      c1.query("INSERT INTO iso_tab VALUES (5)")
+      // c2 still resolves against default; the unqualified name must fail
+      val err = intercept[RuntimeException](c2.query("SELECT v FROM iso_tab"))
+      assert(err.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+        err.getMessage.toLowerCase.contains("cannot be found"))
+      // but the qualified name works from any connection
+      assert(c2.scalar("SELECT v FROM wire_iso_db.iso_tab") === 5)
+      c1.query("DROP DATABASE wire_iso_db")
+    } finally {
+      c1.close(); c2.close()
+      server.stop()
+    }
+  }
+
   test("old client revisions are rejected like the reference (messages.rs:255)") {
     val server = new ChWireServer(spark).start()
     val sock = new Socket("127.0.0.1", server.boundPort)
