@@ -338,6 +338,27 @@ class GraftSessionSpec extends AnyFunSuite {
     g2.sql("DROP TABLE persist_tab")
   }
 
+  test("bucketed tables restore with their layout intact") {
+    g.sql("DROP TABLE IF EXISTS persist_bkt")
+    g.sql("CREATE TABLE persist_bkt(k Int64 PRIMARY KEY, v String) " +
+      "ENGINE=BaseStorage SETTINGS buckets=4")
+    g.sql("INSERT INTO persist_bkt VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sharedState.externalCatalog.dropTable(
+      spark.catalog.currentDatabase, "persist_bkt",
+      ignoreIfNotExists = false, purge = false)
+    val g2 = new GraftSession(spark)
+    assert(spark.catalog.tableExists("persist_bkt"))
+    // the CLUSTERED BY layout survived the replay (bucketSpec in catalog)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("persist_bkt",
+        Some(spark.catalog.currentDatabase)))
+    assert(meta.bucketSpec.exists(b =>
+      b.numBuckets == 4 && b.bucketColumnNames == Seq("k")))
+    assert(g2.sql("SELECT CAST(sum(k) AS BIGINT) AS s FROM persist_bkt")
+      .collect()(0).getLong(0) === 6L)
+    g2.sql("DROP TABLE persist_bkt")
+  }
+
   test("DROP TABLE removes data files; TRUNCATE keeps meta, drops data") {
     g.sql("DROP TABLE IF EXISTS lifecycle_tab")
     g.sql("CREATE TABLE lifecycle_tab(a Int32)")

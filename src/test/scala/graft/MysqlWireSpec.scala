@@ -114,6 +114,35 @@ class MysqlWireSpec extends AnyFunSuite {
     }
   }
 
+  test("per-type round-trips over the MySQL text protocol (ref sanity_checks_mysql.rs)") {
+    val server = new MysqlWireServer(spark).start()
+    val c = new MysqlClient(server.boundPort)
+    try {
+      c.query("CREATE DATABASE IF NOT EXISTS mysql_types_db")
+      c.query("USE mysql_types_db")
+      c.query("DROP TABLE IF EXISTS t_types")
+      c.query("CREATE TABLE t_types(i Int64, f Float64, d Date, " +
+        "t DateTime, dec Decimal(9,2), s String)")
+      c.query("INSERT INTO t_types VALUES " +
+        "(42, 1.5, '2021-01-05', '2021-07-06 15:30:45', 12.34, 'héllo'), " +
+        "(-7, -0.25, '1970-01-01', '2024-02-29 00:00:00', -0.01, '')")
+      val (names, rows) = c.query(
+        "SELECT i, f, d, t, dec, s FROM t_types ORDER BY i")
+      assert(names === Seq("i", "f", "d", "t", "dec", "s"))
+      assert(rows === Seq(
+        Seq("-7", "-0.25", "1970-01-01", "2024-02-29 00:00:00", "-0.01", ""),
+        Seq("42", "1.5", "2021-01-05", "2021-07-06 15:30:45", "12.34", "héllo")))
+      // aggregates and CH functions flow through the same path
+      val (_, agg) = c.query(
+        "SELECT CAST(count(*) AS BIGINT) AS n, toYear(max(t)) AS y FROM t_types")
+      assert(agg === Seq(Seq("2", "2024")))
+      c.query("DROP DATABASE mysql_types_db")
+    } finally {
+      c.close()
+      server.stop()
+    }
+  }
+
   test("connect-with-database selects the initial database") {
     val server = new MysqlWireServer(spark).start()
     val setup = new MysqlClient(server.boundPort)
