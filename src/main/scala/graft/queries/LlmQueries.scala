@@ -158,25 +158,34 @@ object LlmQueries {
            |FROM sims ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)
     },
 
-    // ---- l04: LSH-bucketed ANN (the scale path) -----------------------
+    // ---- l04: LSH-bucketed ANN with multi-probe -----------------------
     // 100 TB: bucket the table once by the 4-bit sign-LSH key (in practice
     // 16-24 bits → millions of buckets, stored bucketed/partitioned), then
-    // probe only the query's bucket — a partition-pruned scan instead of a
-    // full sweep; recall is tuned by multi-probe over neighboring buckets.
+    // probe the query's own cell PLUS every 1-bit-flip neighbor — the
+    // standard multi-probe recall lever: 1+bits probed cells instead of a
+    // full sweep, still a partition-pruned equi-join, never all-pairs.
     "l04_ann_lsh_bucketed" -> { (s, dir) =>
       Tables.registerAll(s, dir)
       graft.functions.VectorFunctions.register(s)
+      val flips = (1 to 4).map { i =>
+        s"concat(substr(qb, 1, ${i - 1}), " +
+          s"CASE substr(qb, $i, 1) WHEN '1' THEN '0' ELSE '1' END, " +
+          s"substr(qb, ${i + 1}))"
+      }.mkString(", ")
       s.sql(
         s"""WITH b AS (
            |  SELECT vec_id, embedding, ${bucketSpark("embedding")} AS bucket
            |  FROM embeddings
            |), q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0),
+           |probes AS (
+           |  SELECT explode(array(qb, $flips)) AS pb FROM q
+           |),
            |sims AS (
            |  SELECT b.vec_id,
            |    ${dotSpark("b.embedding", "q.qe")} AS dot,
            |    sqrt(${dotSpark("b.embedding", "b.embedding")}) AS ne,
            |    sqrt(${dotSpark("q.qe", "q.qe")}) AS nq
-           |  FROM b JOIN q ON b.bucket = q.qb
+           |  FROM b JOIN probes p ON b.bucket = p.pb CROSS JOIN q
            |  WHERE b.vec_id <> 0
            |)
            |SELECT vec_id, round(dot / (ne * nq), 6) AS sim
@@ -500,6 +509,38 @@ object LlmQueries {
            |GROUP BY sz ORDER BY sz""".stripMargin)
     },
 
+    // ---- l15: end-to-end curation pipeline ---------------------------
+    // The composed shape a training-data run actually executes: one scan →
+    // exact dedup (keep min doc_id per content hash, one shuffle) →
+    // quality gates (token count window, chars-per-token band) →
+    // per-source yield report with an en-like language flag. 100 TB: a
+    // single dedup shuffle plus map-side filters; every downstream stat is
+    // an integer so the oracle is exact.
+    "l15_curation_pipeline" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """WITH keyed AS (
+          |  SELECT doc_id, source, lang, text, n_chars,
+          |    md5(lower(text)) AS k, size(split(text, ' ')) AS n_tok
+          |  FROM documents
+          |), keepers AS (
+          |  SELECT k, min(doc_id) AS keeper FROM keyed GROUP BY k
+          |), dedup AS (
+          |  SELECT d.* FROM keyed d
+          |  JOIN keepers kp ON d.k = kp.k AND d.doc_id = kp.keeper
+          |), curated AS (
+          |  SELECT * FROM dedup
+          |  WHERE n_tok BETWEEN 5 AND 1000
+          |    AND CAST(n_chars AS DOUBLE) / n_tok BETWEEN 2 AND 20
+          |)
+          |SELECT source,
+          |  count(*) AS n_kept,
+          |  CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+          |  CAST(sum(CASE WHEN instr(concat(' ', text, ' '), ' the ') > 0
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_en_like
+          |FROM curated GROUP BY source ORDER BY source""".stripMargin)
+    },
+
     // ---- m01: multimodal decode -------------------------------------
     // Typed mapPartitions decode over an opaque binary column of REAL PNG
     // payloads (graft.operators.MultimodalOps — javax.imageio both ways).
@@ -579,21 +620,30 @@ object LlmQueries {
          |SELECT vec_id, round(dot / (ne * nq), 6) AS sim
          |FROM sims ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
 
-    "l04_ann_lsh_bucketed" ->
+    "l04_ann_lsh_bucketed" -> {
+      val flips = (1 to 4).map { i =>
+        s"concat(substr(qb, 1, ${i - 1}), " +
+          s"CASE substr(qb, $i, 1) WHEN '1' THEN '0' ELSE '1' END, " +
+          s"substr(qb, ${i + 1}))"
+      }.mkString(", ")
       s"""WITH b AS (
          |  SELECT vec_id, embedding, ${bucketDuck("embedding")} AS bucket
          |  FROM embeddings
          |), q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT unnest([qb, $flips]) AS pb FROM q
+         |),
          |sims AS (
          |  SELECT b.vec_id,
          |    ${dotDuck("b.embedding", "q.qe")} AS dot,
          |    sqrt(${dotDuck("b.embedding", "b.embedding")}) AS ne,
          |    sqrt(${dotDuck("q.qe", "q.qe")}) AS nq
-         |  FROM b JOIN q ON b.bucket = q.qb
+         |  FROM b JOIN probes p ON b.bucket = p.pb CROSS JOIN q
          |  WHERE b.vec_id <> 0
          |)
          |SELECT vec_id, round(dot / (ne * nq), 6) AS sim
-         |FROM sims ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
+         |FROM sims ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
+    },
 
     "l05_text_stats" ->
       """SELECT lang,
@@ -710,6 +760,28 @@ object LlmQueries {
         |  CAST(sum(n_stop) AS BIGINT) AS sum_stopwords,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM tk GROUP BY source ORDER BY source""".stripMargin,
+
+    "l15_curation_pipeline" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, source, lang, text, n_chars,
+        |    md5(lower(text)) AS k, len(string_split(text, ' ')) AS n_tok
+        |  FROM documents
+        |), keepers AS (
+        |  SELECT k, min(doc_id) AS keeper FROM keyed GROUP BY k
+        |), dedup AS (
+        |  SELECT d.* FROM keyed d
+        |  JOIN keepers kp ON d.k = kp.k AND d.doc_id = kp.keeper
+        |), curated AS (
+        |  SELECT * FROM dedup
+        |  WHERE n_tok BETWEEN 5 AND 1000
+        |    AND CAST(n_chars AS DOUBLE) / n_tok BETWEEN 2 AND 20
+        |)
+        |SELECT source,
+        |  count(*) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+        |  CAST(sum(CASE WHEN strpos(' ' || text || ' ', ' the ') > 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_en_like
+        |FROM curated GROUP BY source ORDER BY source""".stripMargin,
 
     "l14_dedup_clusters" -> {
       val labelRound = (k: Int) =>
