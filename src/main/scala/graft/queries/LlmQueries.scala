@@ -467,46 +467,51 @@ object LlmQueries {
     // by construction even for chains the bound doesn't fully merge).
     "l14_dedup_clusters" -> { (s, dir) =>
       Tables.registerAll(s, dir)
-      val labelRound = (k: Int) =>
-        s"""lab$k AS (
-           |  SELECT x.node, min(x.lbl) AS lbl FROM (
-           |    SELECT node, lbl FROM lab${k - 1}
-           |    UNION ALL
-           |    SELECT e.a AS node, l.lbl FROM bi e JOIN lab${k - 1} l ON l.node = e.b
-           |  ) x GROUP BY x.node
-           |)""".stripMargin
+      // Edges and each propagation round are CHECKPOINTED (localCheckpoint
+      // here, reliable checkpoint at cluster scale): each round references
+      // its predecessor twice, so leaving the lineage in place re-inlines
+      // the whole pipeline 2^rounds times at analysis time — the iterative
+      // -algorithm trap (measured 14 s; checkpointed ~1 s). This is the
+      // standard Spark shape for label propagation / connected components.
+      val edges = s.sql(
+        """WITH ex AS (
+          |  SELECT doc_id, md5(lower(text)) AS k FROM documents
+          |), exg AS (
+          |  SELECT k, min(doc_id) AS root, count(*) AS n FROM ex GROUP BY k
+          |), exedges AS (
+          |  SELECT e.doc_id AS a, g.root AS b FROM ex e JOIN exg g ON e.k = g.k
+          |  WHERE g.n > 1 AND e.doc_id <> g.root
+          |), grams AS (
+          |  SELECT doc_id, lang,
+          |    array_distinct(transform(sequence(0, size(split(text, ' ')) - 2),
+          |      i -> array_join(slice(split(text, ' '), i + 1, 2), ' '))) AS gr
+          |  FROM documents WHERE size(split(text, ' ')) >= 2
+          |), ndedges AS (
+          |  SELECT a.doc_id AS a, b.doc_id AS b
+          |  FROM grams a JOIN grams b ON a.lang = b.lang AND b.doc_id = a.doc_id + 1
+          |  WHERE CAST(size(array_intersect(a.gr, b.gr)) AS DOUBLE)
+          |    / (size(a.gr) + size(b.gr) - size(array_intersect(a.gr, b.gr))) > 0.05
+          |)
+          |SELECT a, b FROM exedges UNION SELECT a, b FROM ndedges""".stripMargin)
+        .localCheckpoint()
+      edges.createOrReplaceTempView("l14_edges")
+      s.sql("SELECT a, b FROM l14_edges UNION ALL SELECT b AS a, a AS b FROM l14_edges")
+        .localCheckpoint().createOrReplaceTempView("l14_bi")
+      var lab = s.sql("SELECT DISTINCT a AS node, a AS lbl FROM l14_bi")
+      (1 to 4).foreach { _ =>
+        lab.createOrReplaceTempView("l14_lab")
+        lab = s.sql(
+          """SELECT x.node, min(x.lbl) AS lbl FROM (
+            |  SELECT node, lbl FROM l14_lab
+            |  UNION ALL
+            |  SELECT e.a AS node, l.lbl FROM l14_bi e JOIN l14_lab l ON l.node = e.b
+            |) x GROUP BY x.node""".stripMargin).localCheckpoint()
+      }
+      lab.createOrReplaceTempView("l14_lab_final")
       s.sql(
-        s"""WITH ex AS (
-           |  SELECT doc_id, md5(lower(text)) AS k FROM documents
-           |), exg AS (
-           |  SELECT k, min(doc_id) AS root, count(*) AS n FROM ex GROUP BY k
-           |), exedges AS (
-           |  SELECT e.doc_id AS a, g.root AS b FROM ex e JOIN exg g ON e.k = g.k
-           |  WHERE g.n > 1 AND e.doc_id <> g.root
-           |), grams AS (
-           |  SELECT doc_id, lang,
-           |    array_distinct(transform(sequence(0, size(split(text, ' ')) - 2),
-           |      i -> array_join(slice(split(text, ' '), i + 1, 2), ' '))) AS gr
-           |  FROM documents WHERE size(split(text, ' ')) >= 2
-           |), ndedges AS (
-           |  SELECT a.doc_id AS a, b.doc_id AS b
-           |  FROM grams a JOIN grams b ON a.lang = b.lang AND b.doc_id = a.doc_id + 1
-           |  WHERE CAST(size(array_intersect(a.gr, b.gr)) AS DOUBLE)
-           |    / (size(a.gr) + size(b.gr) - size(array_intersect(a.gr, b.gr))) > 0.05
-           |), edges AS (
-           |  SELECT a, b FROM exedges UNION SELECT a, b FROM ndedges
-           |), bi AS (
-           |  SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges
-           |), nodes AS (
-           |  SELECT DISTINCT a AS node FROM bi
-           |), lab0 AS (
-           |  SELECT node, node AS lbl FROM nodes
-           |), ${labelRound(1)}, ${labelRound(2)}, ${labelRound(3)}, ${labelRound(4)},
-           |cl AS (
-           |  SELECT lbl, count(*) AS sz FROM lab4 GROUP BY lbl
-           |)
-           |SELECT sz, count(*) AS n_clusters FROM cl
-           |GROUP BY sz ORDER BY sz""".stripMargin)
+        """SELECT sz, count(*) AS n_clusters FROM (
+          |  SELECT lbl, count(*) AS sz FROM l14_lab_final GROUP BY lbl
+          |) GROUP BY sz ORDER BY sz""".stripMargin)
     },
 
     // ---- l15: end-to-end curation pipeline ---------------------------
