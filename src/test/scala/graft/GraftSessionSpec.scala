@@ -338,6 +338,30 @@ class GraftSessionSpec extends AnyFunSuite {
     g2.sql("DROP TABLE persist_tab")
   }
 
+  test("partition pruning still fires on a restored table") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    g.sql("DROP TABLE IF EXISTS persist_prune")
+    g.sql("CREATE TABLE persist_prune(id Int64, d Date) PARTITION BY toYYYYMM(d)")
+    g.sql("INSERT INTO persist_prune VALUES (1, '2021-01-05'), " +
+      "(2, '2021-02-20'), (3, '2021-03-09')")
+    spark.sharedState.externalCatalog.dropTable(
+      spark.catalog.currentDatabase, "persist_prune",
+      ignoreIfNotExists = false, purge = false)
+    val g2 = new GraftSession(spark) // restore replays ptk expr + partitions
+    def filesRead(sql: String): Int = {
+      val scan = g2.sql(sql).queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s
+      }.head
+      scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters).length
+    }
+    // the prune derivation reads graft.ptk.expr from the replayed catalog
+    // entry: a filter on the SOURCE column must still cut to one directory
+    assert(filesRead("SELECT id FROM persist_prune WHERE d = '2021-02-20'") === 1)
+    assert(g2.sql("SELECT id FROM persist_prune WHERE d = '2021-02-20'")
+      .collect().map(_.getLong(0)).toSeq === Seq(2L))
+    g2.sql("DROP TABLE persist_prune")
+  }
+
   test("bucketed tables restore with their layout intact") {
     g.sql("DROP TABLE IF EXISTS persist_bkt")
     g.sql("CREATE TABLE persist_bkt(k Int64 PRIMARY KEY, v String) " +
