@@ -235,8 +235,9 @@ class GraftSession(val spark: SparkSession) {
     *     the wire, crates/runtime/src/read.rs:151-228) → a JDBC scan
     *     registered as a temp view. Views are registered BEFORE splicing
     *     (no side effects inside a replacement callback) and the view name
-    *     hashes url|table|user|pwd, so two calls differing only in
-    *     credentials get distinct views.
+    *     is an MD5 of url|table|user|pwd — collision-resistant, so two
+    *     calls differing only in credentials (or any other arg) can never
+    *     silently share a view the way a 32-bit hashCode could.
     */
   private def rewriteSelect(sql: String): String = {
     val remotes = ChParser.tableFnCalls(sql, "remote")
@@ -246,7 +247,8 @@ class GraftSession(val spark: SparkSession) {
     if (remotes.isEmpty && numbers.isEmpty) return sql
     val splices = remotes.map { case (from, to, args) =>
       val auth = if (args.length == 4) Some((args(2), args(3))) else None
-      val view = s"graft_remote_${Integer.toHexString(args.mkString("|").hashCode)}"
+      val view = s"graft_remote_${java.security.MessageDigest.getInstance("MD5")
+        .digest(args.mkString("|").getBytes("UTF-8")).map("%02x".format(_)).mkString}"
       jdbcReader(args(0), args(1), auth).load().createOrReplaceTempView(view)
       (from, to, view)
     } ++ numbers.map { case (from, to, args) =>

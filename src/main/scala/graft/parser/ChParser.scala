@@ -353,12 +353,17 @@ object ChParser {
           InsertValues(dbTab._1, dbTab._2, cols, rows))
         else if (p.isKw("select") || p.isKw("with"))
           Right(InsertSelect(dbTab._1, dbTab._2, cols, p.rest))
-        else if (p.eatKw("format"))
-          p.ident().map { fmt =>
+        else if (p.eatKw("format")) {
+          // FORMAT VALUES is VALUES-clause sugar in the reference grammar
+          // (bql.pest:86-91: `^"format" ~ ^"values" | ^"format" ~ format_name`)
+          if (p.eatKw("values")) parseValuesRows(p).map(rows =>
+            InsertValues(dbTab._1, dbTab._2, cols, rows))
+          else p.ident().map { fmt =>
             // remainder of the raw text = inline payload (wire-streamed in
             // the reference, crates/runtime/src/mgmt.rs:724-730)
             InsertFormat(dbTab._1, dbTab._2, cols, fmt.toUpperCase, p.rest)
           }
+        }
         else Left(s"INSERT: expected VALUES, SELECT or FORMAT at ${p.posText}")
       }
     } yield stmt

@@ -105,23 +105,37 @@ object ChProto {
   // ---- block encode ---------------------------------------------------
   /** Wire CH type for an output column (unsigned widenings reverse-map to
     * signed CH types by design — fromSpark, SURVEY §1.2), with two wire
-    * special cases: Decimal(20,0) is the UInt64 widening and goes back out
-    * as a true u64; wider decimals (aggregate headroom, e.g. sum →
-    * precision+10) exceed the reference's 8-byte decimal storage and ship
-    * as String — lossless as text where a 64-bit unscaled long would
-    * overflow.
+    * special cases: a column `isU64` proves to be the UInt64 widening goes
+    * back out as a true u64; every other decimal wider than the reference's
+    * 8-byte storage (aggregate headroom, e.g. sum → precision+10 — which
+    * also lands on Decimal(20,0), so SHAPE matching alone would misdeclare
+    * it and garble negatives) ships as String — lossless as text where a
+    * 64-bit unscaled long would overflow.
     */
-  def wireType(schema: StructType, i: Int): BqlType = {
+  def wireType(schema: StructType, i: Int, isU64: Int => Boolean): BqlType = {
     val f = schema.fields(i)
     val base = f.dataType match {
       case d: org.apache.spark.sql.types.DecimalType
-          if d.precision == 20 && d.scale == 0 => BqlType.UInt64
+          if d.precision == 20 && d.scale == 0 && isU64(i) => BqlType.UInt64
       case d: org.apache.spark.sql.types.DecimalType
           if d.precision > BqlType.MaxDecimalPrecision => BqlType.Str
       case _ => return BqlType.fromSpark(f.dataType, f.nullable)
     }
     if (f.nullable) BqlType.Nullable(base) else base
   }
+
+  /** Decimal(20,0)-shape hint — sound ONLY for a declared table's schema
+    * (INSERT header blocks, client-built insert blocks): BqlType caps
+    * declarable decimals at precision 18, so the UInt64 widening is the
+    * only way a TABLE column can be Decimal(20,0). Query results must use
+    * [[WireTypes.uint64Positions]] lineage instead.
+    */
+  def tableShapeU64(schema: StructType): Int => Boolean = i =>
+    schema.fields(i).dataType match {
+      case d: org.apache.spark.sql.types.DecimalType =>
+        d.precision == 20 && d.scale == 0
+      case _ => false
+    }
 
   private def baseOf(t: BqlType): BqlType = t match {
     case BqlType.Nullable(inner) => baseOf(inner)
@@ -131,9 +145,14 @@ object ChProto {
 
   /** Encode one server Data packet: PKID, temp-table name, block info,
     * ncols/nrows, columns (blocks.rs:193-210,246-310 uncompressed path).
+    * `isU64` says which columns are true UInt64 widenings: pass
+    * [[tableShapeU64]] when `schema` is a declared table's schema, or
+    * [[WireTypes.uint64Positions]] lineage for query results.
     */
   def writeDataBlock(out: OutputStream, schema: StructType, rows: Seq[Row],
-                     packetCode: Long = Server.Data): Unit = {
+                     packetCode: Long = Server.Data,
+                     isU64: Int => Boolean = null): Unit = {
+    val u64 = if (isU64 == null) tableShapeU64(schema) else isU64
     writeVarint(out, packetCode)
     writeStr(out, "") // temporary table name
     // block info: (1, overflow=0), (2, bucket=-1), terminator 0
@@ -143,7 +162,7 @@ object ChProto {
     writeVarint(out, schema.fields.length.toLong)
     writeVarint(out, rows.length.toLong)
     schema.fields.zipWithIndex.foreach { case (f, i) =>
-      val t = wireType(schema, i)
+      val t = wireType(schema, i, u64)
       writeStr(out, f.name)
       writeStr(out, t.chName)
       if (f.nullable) rows.foreach(r => out.write(if (r.isNullAt(i)) 1 else 0))

@@ -28,7 +28,6 @@ import graft.exec.GraftSession
 final class ChWireServer(spark: SparkSession, port: Int = 0) {
   private val socket = new ServerSocket(port)
   private val running = new AtomicBoolean(true)
-  @volatile private var threads = List.empty[Thread]
 
   val BlockRows = 8192
 
@@ -38,9 +37,10 @@ final class ChWireServer(spark: SparkSession, port: Int = 0) {
     while (running.get) {
       try {
         val conn = socket.accept()
+        // connection threads are daemon and unreferenced: they die with the
+        // socket on stop() and need no bookkeeping here
         val t = new Thread(() => serve(conn), s"graft-ch-conn-${conn.getPort}")
         t.setDaemon(true)
-        threads ::= t
         t.start()
       } catch {
         case _: SocketException => () // closed during accept -> shutting down
@@ -161,7 +161,10 @@ final class ChWireServer(spark: SparkSession, port: Int = 0) {
         case Right(f: graft.parser.ChStatement.InsertFormat)
             if f.inlinePayload.trim.isEmpty =>
           val schema = session.dataSchema(f.db, f.name)
-          ChProto.writeDataBlock(out, schema, Seq.empty)
+          // declared table schema: the Decimal(20,0) shape can only be the
+          // UInt64 widening here (BqlType caps declarable decimals at 18)
+          ChProto.writeDataBlock(out, schema, Seq.empty,
+            isU64 = ChProto.tableShapeU64(schema))
           var open = true
           while (open) {
             val code = ChProto.readVarint(in)
@@ -178,8 +181,13 @@ final class ChWireServer(spark: SparkSession, port: Int = 0) {
           if (df.schema.fields.nonEmpty) {
             import scala.jdk.CollectionConverters._
             val schema = df.schema
+            // query results carry derived Decimal(20,0)s (e.g. sum over a
+            // Decimal(10,0) column) — only lineage-proven UInt64 columns
+            // may take the u64 wire form
+            val u64 = WireTypes.uint64Positions(df)
             df.toLocalIterator().asScala.grouped(BlockRows)
-              .foreach(rows => ChProto.writeDataBlock(out, schema, rows.toSeq))
+              .foreach(rows => ChProto.writeDataBlock(out, schema, rows.toSeq,
+                isU64 = u64))
           }
           ChProto.writeEndOfStream(out)
       }

@@ -42,19 +42,49 @@ object MysqlProto {
   val TypeNewDecimal = 0xf6
 
   // ---- packet framing -------------------------------------------------
+  /** Largest single-packet payload; longer logical payloads travel as
+    * 0xffffff-byte packets plus a terminating short (possibly empty) one,
+    * per the protocol's packet-splitting rules.
+    */
+  val MaxPacket = 0xffffff
+
+  /** Read one logical payload, reassembling split packets: every
+    * exactly-0xffffff packet is followed by a continuation.
+    */
   def readPacket(in: InputStream): (Int, Array[Byte]) = {
-    val hdr = readN(in, 4)
-    val len = (hdr(0) & 0xff) | ((hdr(1) & 0xff) << 8) | ((hdr(2) & 0xff) << 16)
-    val seq = hdr(3) & 0xff
-    (seq, readN(in, len))
+    val buf = new java.io.ByteArrayOutputStream()
+    var seq = 0
+    var more = true
+    while (more) {
+      val hdr = readN(in, 4)
+      val len = (hdr(0) & 0xff) | ((hdr(1) & 0xff) << 8) | ((hdr(2) & 0xff) << 16)
+      seq = hdr(3) & 0xff
+      buf.write(readN(in, len))
+      more = len == MaxPacket
+    }
+    (seq, buf.toByteArray)
   }
 
-  def writePacket(out: OutputStream, seq: Int, payload: Array[Byte]): Unit = {
-    out.write(payload.length & 0xff)
-    out.write((payload.length >>> 8) & 0xff)
-    out.write((payload.length >>> 16) & 0xff)
-    out.write(seq & 0xff)
-    out.write(payload)
+  /** Write one logical payload, splitting at 0xffffff bytes (a large text
+    * document row overflows the 3-byte length field otherwise — the length
+    * must never be masked down silently). Returns the next sequence id.
+    */
+  def writePacket(out: OutputStream, seq: Int, payload: Array[Byte]): Int = {
+    var off = 0
+    var s = seq
+    var more = true
+    while (more) {
+      val n = math.min(MaxPacket, payload.length - off)
+      out.write(n & 0xff)
+      out.write((n >>> 8) & 0xff)
+      out.write((n >>> 16) & 0xff)
+      out.write(s & 0xff)
+      out.write(payload, off, n)
+      off += n
+      s += 1
+      more = n == MaxPacket // a full packet promises a continuation
+    }
+    s
   }
 
   def readN(in: InputStream, n: Int): Array[Byte] = {

@@ -132,7 +132,7 @@ final class MysqlWireServer(spark: SparkSession, port: Int = 0) {
     */
   private def respond(out: OutputStream, session: GraftSession, sql: String): Unit = {
     var seq = 1
-    def send(payload: Array[Byte]): Unit = { writePacket(out, seq, payload); seq += 1 }
+    def send(payload: Array[Byte]): Unit = seq = writePacket(out, seq, payload)
     try {
       val df = session.sql(sql)
       if (df.schema.fields.isEmpty) send(okPacket())

@@ -73,6 +73,17 @@ class ChParserSpec extends AnyFunSuite {
     assert(f.inlinePayload.trim === "1,a\n2,b")
   }
 
+  test("insert FORMAT VALUES is VALUES-clause sugar (bql.pest:86-91)") {
+    val iv = p("INSERT INTO t FORMAT VALUES (1, 'a'), (2, NULL)")
+      .asInstanceOf[InsertValues]
+    assert(iv.rows === Seq(
+      Seq(Some("1"), Some("'a'")),
+      Seq(Some("2"), None)))
+    val withCols = p("INSERT INTO t (a, b) FORMAT Values (3, 'z')")
+      .asInstanceOf[InsertValues]
+    assert(withCols.cols === Some(Seq("a", "b")))
+  }
+
   test("select and explain pass through untouched") {
     assert(p("SELECT a FROM t -- c") === Select("SELECT a FROM t -- c"))
     assert(p("WITH x AS (SELECT 1) SELECT * FROM x").isInstanceOf[Select])

@@ -87,6 +87,48 @@ class ChWireSpec extends AnyFunSuite {
     }
   }
 
+  test("true UInt64 keeps its wire form; derived Decimal(20,0) ships as text") {
+    val server = new ChWireServer(spark).start()
+    val client = new WireTestClient(server.boundPort)
+    try {
+      client.hello()
+      client.query("DROP TABLE IF EXISTS wire_u64_tab")
+      client.query("CREATE TABLE wire_u64_tab(u UInt64, d Decimal(10, 0))")
+      client.query(
+        "INSERT INTO wire_u64_tab VALUES (18446744073709551615, -5), (1, -6)")
+
+      // the declared UInt64 column takes the u64 wire form, full range intact
+      val u = client.rows("SELECT u FROM wire_u64_tab ORDER BY u")
+      assert(u(0).chType === "Nullable(UInt64)")
+      assert(u(0).values === Vector(
+        java.math.BigInteger.ONE,
+        new java.math.BigInteger("18446744073709551615")))
+
+      // identity lineage survives aliasing and subqueries
+      val al = client.rows(
+        "SELECT renamed FROM (SELECT u AS renamed FROM wire_u64_tab) WHERE renamed = 1")
+      assert(al(0).chType === "Nullable(UInt64)")
+
+      // sum over Decimal(10,0) is Decimal(20,0) by SHAPE but no UInt64: it
+      // must ship as text — as a u64 the negative total would arrive as
+      // huge unsigned garbage (the low 64 bits of the unscaled value)
+      val s = client.rows("SELECT sum(d) AS s FROM wire_u64_tab")
+      assert(s(0).chType === "Nullable(String)")
+      assert(s(0).values === Vector("-11"))
+
+      // sum over UInt64 gets overflow headroom past 2^64 and also rides as
+      // text (Decimal(30,0) exceeds the reference's 8-byte decimal storage)
+      val su = client.rows("SELECT sum(u) AS su FROM wire_u64_tab")
+      assert(su(0).chType === "Nullable(String)")
+      assert(su(0).values === Vector("18446744073709551616"))
+
+      client.query("DROP TABLE wire_u64_tab")
+    } finally {
+      client.close()
+      server.stop()
+    }
+  }
+
   test("connections are isolated: USE on one does not move the other") {
     val server = new ChWireServer(spark).start()
     val c1 = new WireTestClient(server.boundPort)

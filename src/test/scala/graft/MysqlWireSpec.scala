@@ -143,6 +143,46 @@ class MysqlWireSpec extends AnyFunSuite {
     }
   }
 
+  test("packet framing splits >=16MB payloads and reassembles them") {
+    // exact boundary: one full packet must be followed by an empty terminator
+    val exact = new Array[Byte](MaxPacket)
+    java.util.Arrays.fill(exact, 'a'.toByte)
+    val bos = new java.io.ByteArrayOutputStream()
+    val next = writePacket(bos, 3, exact)
+    assert(next === 5, "two packets consume two sequence ids")
+    val framed = bos.toByteArray
+    assert(framed.length === 4 + MaxPacket + 4, "full chunk + empty terminator")
+    val termHdr = framed.drop(4 + MaxPacket)
+    assert((termHdr(0) & 0xff) === 0 && (termHdr(1) & 0xff) === 0 &&
+      (termHdr(2) & 0xff) === 0, "terminator length is zero")
+    assert((termHdr(3) & 0xff) === 4, "terminator sequence increments")
+    val (seq, back) = readPacket(new java.io.ByteArrayInputStream(framed))
+    assert(seq === 4)
+    assert(java.util.Arrays.equals(back, exact))
+
+    // oversize: full packet + short tail round-trips bit-exactly
+    val big = new Array[Byte](MaxPacket + 5)
+    new scala.util.Random(7).nextBytes(big)
+    val bos2 = new java.io.ByteArrayOutputStream()
+    writePacket(bos2, 0, big)
+    val (_, back2) = readPacket(new java.io.ByteArrayInputStream(bos2.toByteArray))
+    assert(java.util.Arrays.equals(back2, big))
+  }
+
+  test("a >16MB text row survives the wire (length field is never masked)") {
+    val server = new MysqlWireServer(spark).start()
+    val c = new MysqlClient(server.boundPort)
+    try {
+      val n = MaxPacket + 1024 // one row packet longer than the 3-byte length field
+      val (_, rows) = c.query(s"SELECT repeat('d', $n) AS doc")
+      assert(rows.head.head.length === n)
+      assert(rows.head.head.forall(_ == 'd'))
+    } finally {
+      c.close()
+      server.stop()
+    }
+  }
+
   test("connect-with-database selects the initial database") {
     val server = new MysqlWireServer(spark).start()
     val setup = new MysqlClient(server.boundPort)
