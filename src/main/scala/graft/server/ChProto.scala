@@ -143,18 +143,31 @@ object ChProto {
     case other => other
   }
 
-  /** Encode one server Data packet: PKID, temp-table name, block info,
-    * ncols/nrows, columns (blocks.rs:193-210,246-310 uncompressed path).
+  /** Encode one server Data packet: PKID, temp-table name, then the block
+    * body — raw (blocks.rs:193-210) or as one LZ4+CityHash compressed frame
+    * (blocks.rs:246-310; the packet code and temp-table name always ride
+    * uncompressed, only the body is framed).
     * `isU64` says which columns are true UInt64 widenings: pass
     * [[tableShapeU64]] when `schema` is a declared table's schema, or
     * [[WireTypes.uint64Positions]] lineage for query results.
     */
   def writeDataBlock(out: OutputStream, schema: StructType, rows: Seq[Row],
                      packetCode: Long = Server.Data,
-                     isU64: Int => Boolean = null): Unit = {
+                     isU64: Int => Boolean = null,
+                     compress: Boolean = false): Unit = {
     val u64 = if (isU64 == null) tableShapeU64(schema) else isU64
     writeVarint(out, packetCode)
     writeStr(out, "") // temporary table name
+    if (compress) {
+      val buf = new ByteArrayOutputStream()
+      writeBlockBody(buf, schema, rows, u64)
+      Lz4Frames.writeFrame(out, buf.toByteArray)
+    } else writeBlockBody(out, schema, rows, u64)
+    out.flush()
+  }
+
+  private def writeBlockBody(out: OutputStream, schema: StructType,
+                             rows: Seq[Row], u64: Int => Boolean): Unit = {
     // block info: (1, overflow=0), (2, bucket=-1), terminator 0
     writeVarint(out, 1); out.write(0)
     writeVarint(out, 2); writeIntLe(out, -1, 4)
@@ -168,7 +181,6 @@ object ChProto {
       if (f.nullable) rows.foreach(r => out.write(if (r.isNullAt(i)) 1 else 0))
       rows.foreach(r => writeValue(out, baseOf(t), r, i))
     }
-    out.flush()
   }
 
   private def writeValue(out: OutputStream, t: BqlType, r: Row, i: Int): Unit = {
@@ -233,8 +245,15 @@ object ChProto {
   final case class WireColumn(name: String, chType: String, values: Vector[Any])
   final case class WireBlock(columns: Vector[WireColumn], nRows: Int)
 
-  def readDataBlock(in: InputStream): WireBlock = {
-    val _ = readStr(in) // temp table name
+  def readDataBlock(in: InputStream, compressed: Boolean = false): WireBlock = {
+    val _ = readStr(in) // temp table name (always uncompressed)
+    val body =
+      if (compressed) new java.io.ByteArrayInputStream(Lz4Frames.readFrame(in))
+      else in
+    readBlockBody(body)
+  }
+
+  private def readBlockBody(in: InputStream): WireBlock = {
     // block info field pairs until terminator 0
     var field = readVarint(in)
     while (field != 0) {

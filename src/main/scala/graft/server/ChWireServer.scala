@@ -13,12 +13,12 @@ import graft.exec.GraftSession
 /** Minimal ClickHouse native TCP front-end over [[GraftSession]] — the
   * reference's primary entry point (accept loop crates/server/src/server.rs:
   * 94-107, per-connection state machine crates/runtime/src/ch/messages.rs:
-  * 28-202). Scope: uncompressed transport, Hello/Ping/Query packets;
-  * INSERT travels as query text (the reference's inline-VALUES path) —
-  * client-streamed Data blocks and LZ4 framing are not implemented
-  * (SURVEY §7 records the cut; `clickhouse-client` itself is not in this
-  * environment to interop against, so the spec drives both ends of the
-  * socket through the same framing).
+  * 28-202). Scope: Hello/Ping/Query packets, client-streamed INSERT Data
+  * blocks, and — when the Query packet asks for compression=1 — the
+  * LZ4+CityHash128 compressed frame transport in both directions
+  * (blocks.rs:62-70; the CityHash implementation is validated against the
+  * reference's golden COMPRESSED_EMPTY_CLIENT_BLK_BYTES vector since no
+  * `clickhouse-client` ships in this environment to interop against).
   *
   * Concurrency: thread per connection, one statement at a time per
   * connection — matching the reference's task-per-connection model. Result
@@ -145,13 +145,10 @@ final class ChWireServer(spark: SparkSession, port: Int = 0) {
       return
     }
     val _stage = ChProto.readVarint(in)
-    val compression = ChProto.readVarint(in)
+    // compression=1 switches BOTH directions to LZ4+CityHash frames for the
+    // rest of this query (messages.rs:330-339 cctx.is_compressed)
+    val compress = ChProto.readVarint(in) == 1L
     val queryText = ChProto.readStr(in)
-    if (compression == 1L) {
-      ChProto.writeException(out, 1004, "UNSUPPORTED_COMPRESSION",
-        "compressed transport not supported; reconnect with compression=0")
-      return
-    }
     try {
       graft.parser.ChParser.parse(queryText) match {
         // INSERT with no inline payload: the client streams Data blocks
@@ -164,13 +161,13 @@ final class ChWireServer(spark: SparkSession, port: Int = 0) {
           // declared table schema: the Decimal(20,0) shape can only be the
           // UInt64 widening here (BqlType caps declarable decimals at 18)
           ChProto.writeDataBlock(out, schema, Seq.empty,
-            isU64 = ChProto.tableShapeU64(schema))
+            isU64 = ChProto.tableShapeU64(schema), compress = compress)
           var open = true
           while (open) {
             val code = ChProto.readVarint(in)
             require(code == ChProto.Client.Data,
               s"expected client Data packet during INSERT, got $code")
-            val block = ChProto.readDataBlock(in)
+            val block = ChProto.readDataBlock(in, compressed = compress)
             if (block.nRows == 0) open = false
             else session.insertBlock(f.db, f.name,
               ChProto.blockToRows(block, schema), schema)
@@ -187,7 +184,7 @@ final class ChWireServer(spark: SparkSession, port: Int = 0) {
             val u64 = WireTypes.uint64Positions(df)
             df.toLocalIterator().asScala.grouped(BlockRows)
               .foreach(rows => ChProto.writeDataBlock(out, schema, rows.toSeq,
-                isU64 = u64))
+                isU64 = u64, compress = compress))
           }
           ChProto.writeEndOfStream(out)
       }

@@ -11,8 +11,10 @@ import graft.server.ChProto
 /** Shared minimal CH-native test client (the client half of the framing in
   * crates/runtime/src/ch/messages.rs:234-340) used by the wire specs.
   * Failures surface as exceptions, which the calling spec reports.
+  * With `compression = true` every query asks for (and every data block
+  * travels as) LZ4+CityHash compressed frames, both directions.
   */
-final class WireTestClient(port: Int) {
+final class WireTestClient(port: Int, compression: Boolean = false) {
   private val sock = new Socket("127.0.0.1", port)
   private val in = new BufferedInputStream(sock.getInputStream)
   private val out = new BufferedOutputStream(sock.getOutputStream)
@@ -53,7 +55,7 @@ final class WireTestClient(port: Int) {
     ChProto.writeVarint(out, 0) // client patch
     ChProto.writeStr(out, "") // settings: empty set
     ChProto.writeVarint(out, 2) // stage: complete
-    ChProto.writeVarint(out, 0) // compression: off
+    ChProto.writeVarint(out, if (compression) 1 else 0)
     ChProto.writeStr(out, sql)
     out.flush()
   }
@@ -65,7 +67,8 @@ final class WireTestClient(port: Int) {
     var done = false
     while (!done) {
       ChProto.readVarint(in) match {
-        case ChProto.Server.Data => blocks += ChProto.readDataBlock(in)
+        case ChProto.Server.Data =>
+          blocks += ChProto.readDataBlock(in, compressed = compression)
         case ChProto.Server.EndOfStream => done = true
         case ChProto.Server.Exception =>
           ChProto.readBytes(in, 4)
@@ -92,10 +95,12 @@ final class WireTestClient(port: Int) {
     sendQueryPacket(sql)
     val first = ChProto.readVarint(in)
     require(first == ChProto.Server.Data, s"expected header block, got $first")
-    val header = ChProto.readDataBlock(in)
+    val header = ChProto.readDataBlock(in, compressed = compression)
     batches.foreach(rows =>
-      ChProto.writeDataBlock(out, schema, rows, ChProto.Client.Data))
-    ChProto.writeDataBlock(out, schema, Seq.empty, ChProto.Client.Data)
+      ChProto.writeDataBlock(out, schema, rows, ChProto.Client.Data,
+        compress = compression))
+    ChProto.writeDataBlock(out, schema, Seq.empty, ChProto.Client.Data,
+      compress = compression)
     out.flush()
     val eos = ChProto.readVarint(in)
     require(eos == ChProto.Server.EndOfStream, s"expected EndOfStream, got $eos")
