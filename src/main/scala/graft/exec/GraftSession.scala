@@ -226,14 +226,47 @@ class GraftSession(val spark: SparkSession) {
     auth.fold(r) { case (u, w) => r.option("user", u).option("password", w) }
   }
 
+  /** Federated read over the ClickHouse-native protocol (`ch://h1[:p1],h2…`
+    * addresses) — the reference's actual remote() transport
+    * (crates/runtime/src/read.rs:151-228): one pooled native connection per
+    * shard address, results unioned. Spark-native distribution: the driver
+    * probes the schema once (zero-row query through the pooled client),
+    * then one TASK per shard address streams that shard's rows — the
+    * fan-out runs on executors, not the driver, so shards scan in parallel
+    * and rows never collect at a single point.
+    */
+  private def chRemoteDf(url: String, table: String,
+                         auth: Option[(String, String)]): DataFrame = {
+    import graft.server.{ChNativeClient, ChProto}
+    val addrs = ChNativeClient.parseAddrs(url)
+    val (user, pwd) = auth.getOrElse(("default", ""))
+    val schema = ChNativeClient.withClient(addrs.head._1, addrs.head._2, user, pwd)(
+      _.schemaOf(s"SELECT * FROM $table WHERE 1=0"))
+    val rowRdd = spark.sparkContext
+      .parallelize(addrs, numSlices = addrs.length)
+      .flatMap { case (host, port) =>
+        // executor-side: stream this shard's blocks lazily off a dedicated
+        // connection (no whole-shard materialization); the task-completion
+        // hook closes the socket whether the scan finishes or the task dies
+        val client = new ChNativeClient(host, port, user, pwd)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => client.close()))
+        client.queryBlocks(s"SELECT * FROM $table")
+          .flatMap(b => ChProto.blockToRows(b, schema))
+      }
+    spark.createDataFrame(rowRdd, schema)
+  }
+
   /** SELECT-passthrough rewrites, driven by the tokenizer (r2 used raw-text
     * regexes, which also fired inside string literals and comments — the
     * same shallow-scan trap the reference's own parser has):
     *   - `numbers(N)` (parsed-but-unwired in the reference, bql.pest:349-353)
     *     → Spark `range(N)` aliased to CH's `number` column;
     *   - `remote('url', 'table'[, 'user', 'pwd'])` (reference fans out over
-    *     the wire, crates/runtime/src/read.rs:151-228) → a JDBC scan
-    *     registered as a temp view. Views are registered BEFORE splicing
+    *     the wire, crates/runtime/src/read.rs:151-228) → for `ch://`
+    *     addresses a native-protocol shard fan-out ([[chRemoteDf]]), else a
+    *     JDBC scan; either registered as a temp view. Views are registered
+    *     BEFORE splicing
     *     (no side effects inside a replacement callback) and the view name
     *     is an MD5 of url|table|user|pwd — collision-resistant, so two
     *     calls differing only in credentials (or any other arg) can never
@@ -249,7 +282,10 @@ class GraftSession(val spark: SparkSession) {
       val auth = if (args.length == 4) Some((args(2), args(3))) else None
       val view = s"graft_remote_${java.security.MessageDigest.getInstance("MD5")
         .digest(args.mkString("|").getBytes("UTF-8")).map("%02x".format(_)).mkString}"
-      jdbcReader(args(0), args(1), auth).load().createOrReplaceTempView(view)
+      val df =
+        if (args(0).startsWith("ch://")) chRemoteDf(args(0), args(1), auth)
+        else jdbcReader(args(0), args(1), auth).load()
+      df.createOrReplaceTempView(view)
       (from, to, view)
     } ++ numbers.map { case (from, to, args) =>
       (from, to, s"(SELECT id AS number FROM range(${args.head}))")
@@ -259,14 +295,25 @@ class GraftSession(val spark: SparkSession) {
     }
   }
 
-  /** INSERT INTO FUNCTION remote(...) — append rows to a remote table over
-    * JDBC (mgmt.rs:744-770 writes over the CH wire; same contract).
+  /** INSERT INTO FUNCTION remote(...) — append rows to a remote table:
+    * `ch://` addresses stream native client blocks over the wire, exactly
+    * the reference's path (mgmt.rs:744-770); any other URL appends over
+    * JDBC (same contract, Spark-native transport).
     */
   private def insertRemote(ir: ChStatement.InsertRemote): DataFrame = {
+    val isCh = ir.url.startsWith("ch://")
+    def targetSchema: StructType =
+      if (isCh) {
+        import graft.server.ChNativeClient
+        val addrs = ChNativeClient.parseAddrs(ir.url)
+        val (user, pwd) = ir.auth.getOrElse(("default", ""))
+        ChNativeClient.withClient(addrs.head._1, addrs.head._2, user, pwd)(
+          _.schemaOf(s"SELECT * FROM ${ir.table} WHERE 1=0"))
+      } else jdbcReader(ir.url, ir.table, ir.auth).load().schema
     val src: DataFrame = (ir.values, ir.selectSql) match {
       case (Some(rows), _) =>
         // cast raw literals to the remote table's schema, positionally
-        val target = jdbcReader(ir.url, ir.table, ir.auth).load().schema
+        val target = targetSchema
         val arity = rows.headOption.map(_.length).getOrElse(0)
         require(arity == target.fields.length,
           s"remote INSERT arity $arity != remote table arity ${target.fields.length}")
@@ -280,10 +327,31 @@ class GraftSession(val spark: SparkSession) {
       case (None, Some(sel)) => spark.sql(rewriteSelect(sel))
       case _ => throw new IllegalArgumentException("remote INSERT needs VALUES or SELECT")
     }
-    val w = src.write.format("jdbc").mode("append")
-      .option("url", ir.url).option("dbtable", ir.table)
-    ir.auth.fold(w) { case (u, p) => w.option("user", u).option("password", p) }
-      .save()
+    if (isCh) {
+      import graft.server.ChNativeClient
+      val addrs = ChNativeClient.parseAddrs(ir.url)
+      val (user, pwd) = ir.auth.getOrElse(("default", ""))
+      val table = ir.table
+      val schema = src.schema // captured by value: the closure must not drag the DataFrame in
+      // executor-side streaming append, partitions round-robined across
+      // shard addresses (the reference writes whole blocks to its pool's
+      // connections the same way); each partition streams its rows as
+      // native Data blocks without driver-side collection
+      src.rdd.foreachPartition { rows =>
+        if (rows.hasNext) {
+          val pid = Option(org.apache.spark.TaskContext.get())
+            .map(_.partitionId()).getOrElse(0)
+          val (host, port) = addrs(pid % addrs.length)
+          ChNativeClient.withClient(host, port, user, pwd)(
+            _.insertStream(s"INSERT INTO $table FORMAT Native", schema, rows))
+        }
+      }
+    } else {
+      val w = src.write.format("jdbc").mode("append")
+        .option("url", ir.url).option("dbtable", ir.table)
+      ir.auth.fold(w) { case (u, p) => w.option("user", u).option("password", p) }
+        .save()
+    }
     emptyOk
   }
 
@@ -442,7 +510,18 @@ class GraftSession(val spark: SparkSession) {
       case Some(e) => typed.withColumn(PtkCol, expr(e).cast(StringType))
       case None => typed
     }
-    withPtk.write.mode("append").insertInto(fullName(db, name).replace("`", ""))
+    // serialize appends per table: concurrent wire connections (or remote()
+    // shard streams) appending to one table would race in the Hadoop
+    // committer's shared _temporary dir — the reference takes a per-table
+    // CAS lock for exactly this (crates/meta/src/store/parts.rs:174-235;
+    // single-writer-per-table is all it supports)
+    val lockKey =
+      db.getOrElse(spark.sessionState.catalog.getCurrentDatabase) + "." + name
+    val lock = GraftSession.tableWriteLocks
+      .computeIfAbsent(lockKey, _ => new Object)
+    lock.synchronized {
+      withPtk.write.mode("append").insertInto(fullName(db, name).replace("`", ""))
+    }
   }
 
   /** Append an already-typed block of rows to a table — the wire-ingest
@@ -535,4 +614,10 @@ class GraftSession(val spark: SparkSession) {
     appendToTable(f.db, f.name, expand(f.db, f.name, f.cols, src), srcIsRaw = true)
     emptyOk
   }
+}
+
+object GraftSession {
+  /** JVM-wide per-table append locks (see appendToTable). */
+  private[exec] val tableWriteLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 }

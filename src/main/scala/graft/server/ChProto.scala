@@ -304,6 +304,7 @@ object ChProto {
           case (v: scala.math.BigDecimal, _: DecimalType) => v.underlying()
           case (v: java.math.BigInteger, _: DecimalType) => new java.math.BigDecimal(v)
           case (v: String, _: DecimalType) => new java.math.BigDecimal(v) // wide-decimal wire form
+          case (v: String, BinaryType) => v.getBytes("UTF-8") // FixedString rides as varbytes
           case (v, _) => v
         }
       }.toIndexedSeq)

@@ -182,6 +182,10 @@ final class ChWireServer(spark: SparkSession, port: Int = 0) {
             // Decimal(10,0) column) — only lineage-proven UInt64 columns
             // may take the u64 wire form
             val u64 = WireTypes.uint64Positions(df)
+            // leading zero-row header block: clients (incl. our remote())
+            // learn the result structure even when no rows come back
+            ChProto.writeDataBlock(out, schema, Seq.empty,
+              isU64 = u64, compress = compress)
             df.toLocalIterator().asScala.grouped(BlockRows)
               .foreach(rows => ChProto.writeDataBlock(out, schema, rows.toSeq,
                 isU64 = u64, compress = compress))
