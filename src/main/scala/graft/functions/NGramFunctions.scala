@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** N-gram extraction for the dedup / language-ID hot loops.
+  *
+  * The HOF form — `transform(sequence(1, length(text)-2), i -> substr(...))`
+  * — evaluates its lambda INTERPRETED per element (higher-order functions
+  * sit outside whole-stage codegen), which made gram extraction the
+  * dominant cost of l02/l08/l13/l14 (measured: ~2.7 s of l13's 4 s at
+  * sf0.1 was the gram build alone). These expressions keep the loop in
+  * compiled code (preference order (b) of the build brief, like
+  * [[VectorDot]]): codegen emits one static call per row into
+  * [[NGramOps]]'s tight loop.
+  *
+  * Semantics are IDENTICAL to the HOF forms they replace (and to the
+  * DuckDB oracle):
+  *  - `char_ngrams(s, n)`  ≡ `transform(sequence(1, length(s)-n+1), i -> substr(s, i, n))`
+  *  - `word_ngrams(s, n)`  ≡ `transform(sequence(0, size(split(s,' '))-n),
+  *                              i -> array_join(slice(split(s,' '), i+1, n), ' '))`
+  *    (split on a literal single space, trailing empties kept, exactly
+  *    Spark's `split` with limit -1).
+  */
+object NGramOps {
+
+  def charNGrams(s: UTF8String, n: Int): ArrayData = {
+    // UTF8String.substring seeks code points from the byte start, so a
+    // substring-per-position loop is O(len²) per document. Decode once and
+    // index chars directly; when surrogate pairs make UTF-16 length differ
+    // from the code-point count, fall back to the exact code-point walk
+    // (substr SQL semantics are code-point based).
+    val t = s.toString
+    if (t.length == s.numChars()) {
+      val count = t.length - n + 1
+      if (n <= 0 || count <= 0) return new GenericArrayData(Array.empty[Any])
+      val out = new Array[Any](count)
+      var i = 0
+      while (i < count) {
+        out(i) = UTF8String.fromString(t.substring(i, i + n))
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      val count = s.numChars() - n + 1
+      if (n <= 0 || count <= 0) return new GenericArrayData(Array.empty[Any])
+      val out = new Array[Any](count)
+      var i = 0
+      while (i < count) {
+        out(i) = s.substring(i, i + n)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  def wordNGrams(s: UTF8String, n: Int): ArrayData = {
+    val toks = s.toString.split(" ", -1)
+    val count = toks.length - n + 1
+    if (n <= 0 || count <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](count)
+    var i = 0
+    while (i < count) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+abstract class NGramExpression extends BinaryExpression {
+  def fnName: String
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$fnName expects (string, int), got ($l, $r)")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(s: Any, n: Any): Any =
+    compute(s.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  protected def compute(s: UTF8String, n: Int): ArrayData
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, n) =>
+      s"${ev.value} = graft.functions.NGramOps.${javaMethod}($s, $n);")
+
+  protected def javaMethod: String
+}
+
+/** Overlapping character n-grams of a string. */
+case class CharNGrams(left: Expression, right: Expression) extends NGramExpression {
+  val fnName = "char_ngrams"
+  protected val javaMethod = "charNGrams"
+  protected def compute(s: UTF8String, n: Int): ArrayData = NGramOps.charNGrams(s, n)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CharNGrams =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Overlapping token n-grams (single-space tokenization, space-joined). */
+case class WordNGrams(left: Expression, right: Expression) extends NGramExpression {
+  val fnName = "word_ngrams"
+  protected val javaMethod = "wordNGrams"
+  protected def compute(s: UTF8String, n: Int): ArrayData = NGramOps.wordNGrams(s, n)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordNGrams =
+    copy(left = newLeft, right = newRight)
+}
+
+object NGramFunctions {
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_ngrams",
+      { case Seq(s, n) => CharNGrams(s, n)
+        case e => throw new IllegalArgumentException(
+          s"char_ngrams expects 2 arguments, got ${e.length}") },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_ngrams",
+      { case Seq(s, n) => WordNGrams(s, n)
+        case e => throw new IllegalArgumentException(
+          s"word_ngrams expects 2 arguments, got ${e.length}") },
+      "built-in")
+  }
+}

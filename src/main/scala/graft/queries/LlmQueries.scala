@@ -65,12 +65,13 @@ object LlmQueries {
     * the skew spec can drive it against a synthetic boilerplate corpus.
     */
   def minhashLshSql(cap: Int, table: String = "documents"): String =
-    s"""WITH toks AS (
-       |  SELECT doc_id, split(text, ' ') AS t FROM $table WHERE size(split(text, ' ')) >= 3
-       |), sh AS (
-       |  SELECT doc_id, explode(transform(sequence(0, size(t) - 3),
-       |    i -> array_join(slice(t, i + 1, 3), ' '))) AS s
-       |  FROM toks
+    s"""WITH sh AS (
+       |  -- codegen'd word_ngrams (the transform/slice/array_join lambda it
+       |  -- replaces ran interpreted per element); REPARTITION spreads the
+       |  -- shingle+md5 map work off the unsplittable single-row-group scan
+       |  SELECT doc_id, explode(word_ngrams(text, 3)) AS s
+       |  FROM (SELECT /*+ REPARTITION */ doc_id, text FROM $table)
+       |  WHERE size(split(text, ' ')) >= 3
        |), mh AS (
        |  SELECT doc_id,
        |    min(substr(md5(concat(s, '#0')), 1, 8)) AS h0,
@@ -134,6 +135,7 @@ object LlmQueries {
     // observable, not silent — same single pass, no recompute.
     "l02_minhash_lsh" -> { (s, dir) =>
       Tables.registerAll(s, dir)
+      graft.functions.NGramFunctions.register(s)
       s.sql(minhashLshSql(LshBucketCap))
     },
 
@@ -235,35 +237,42 @@ object LlmQueries {
     // matches exactly.
     "l13_langid_trigram" -> { (s, dir) =>
       Tables.registerAll(s, dir)
-      // the trigram explode is the dominant cost and feeds BOTH the
-      // profile training and the scoring join — materialize it once
-      // (checkpoint/temp table at scale, in-memory persist here)
-      val tri = s.sql(
-        """SELECT doc_id, lang,
-          |  explode(array_distinct(transform(sequence(1, length(text) - 2),
-          |    i -> substr(text, i, 3)))) AS g
-          |FROM documents WHERE length(text) >= 3""".stripMargin)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      tri.createOrReplaceTempView("l13_tri")
+      graft.functions.NGramFunctions.register(s)
+      // Trigram extraction runs through the codegen'd char_ngrams (the HOF
+      // transform/substr lambda it replaces is interpreted per element and
+      // was the dominant cost). Training explodes the distinct-trigram
+      // array into the (lang,g) count; scoring does NOT re-join exploded
+      // rows (r3 shuffled ~30M of them into a (doc,lang) aggregate): each
+      // language's top-20 profile collapses to ONE array row, so scoring
+      // is a broadcast nested-loop over n_langs rows with
+      // size(array_intersect(gs, pgs)) counting overlap map-side. Nothing
+      // wide shuffles or persists.
+      // REPARTITION before the gram map work: the synthetic corpus is one
+      // parquet row group, which Spark cannot split — without the exchange
+      // the whole gram build fuses into a single-task scan stage. At real
+      // scale the input is already many splits and the hint is a no-op
+      // worth keeping only for skewed file layouts.
       s.sql(
-        """WITH tri AS (
-          |  SELECT doc_id, lang, g FROM l13_tri
+        """WITH dg AS (
+          |  SELECT doc_id, lang, array_distinct(char_ngrams(text, 3)) AS gs
+          |  FROM (SELECT /*+ REPARTITION */ doc_id, lang, text FROM documents)
+          |  WHERE length(text) >= 3
           |), counts AS (
-          |  SELECT lang AS plang, g, count(*) AS n FROM tri GROUP BY lang, g
+          |  SELECT lang AS plang, g, count(*) AS n
+          |  FROM dg LATERAL VIEW explode(gs) t AS g GROUP BY lang, g
           |), profile AS (
-          |  SELECT plang, g FROM (
+          |  SELECT plang, collect_list(g) AS pgs FROM (
           |    SELECT plang, g,
           |      row_number() OVER (PARTITION BY plang ORDER BY n DESC, g) AS rn
-          |    FROM counts) WHERE rn <= 20
+          |    FROM counts) WHERE rn <= 20 GROUP BY plang
           |), scores AS (
-          |  SELECT t.doc_id, p.plang, count(*) AS score
-          |  FROM tri t JOIN profile p ON t.g = p.g
-          |  GROUP BY t.doc_id, p.plang
+          |  SELECT d.doc_id, p.plang, size(array_intersect(d.gs, p.pgs)) AS score
+          |  FROM dg d CROSS JOIN profile p
           |), best AS (
           |  SELECT doc_id, plang AS predicted FROM (
           |    SELECT doc_id, plang,
           |      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
-          |    FROM scores) WHERE rn = 1
+          |    FROM scores WHERE score > 0) WHERE rn = 1
           |)
           |SELECT d.lang, coalesce(b.predicted, 'unknown') AS predicted,
           |  count(*) AS n
@@ -287,7 +296,8 @@ object LlmQueries {
       }.mkString(" + ")
       s.sql(
         s"""WITH tok AS (
-           |  SELECT doc_id, explode(split(text, ' ')) AS w FROM documents
+           |  SELECT doc_id, explode(split(text, ' ')) AS w
+           |  FROM (SELECT /*+ REPARTITION */ doc_id, text FROM documents)
            |), tb AS (
            |  SELECT doc_id, $byte AS byte FROM (SELECT doc_id, md5(w) AS h FROM tok)
            |), v AS (
@@ -309,10 +319,11 @@ object LlmQueries {
     // an in-memory persist the join's two scans share.
     "l08_ngram_jaccard" -> { (s, dir) =>
       Tables.registerAll(s, dir)
+      graft.functions.NGramFunctions.register(s)
+      // bigram extraction via the codegen'd word_ngrams (the transform/
+      // slice/array_join lambda it replaces ran interpreted per element)
       val g = s.sql(
-        """SELECT doc_id, lang,
-          |  array_distinct(transform(sequence(0, size(split(text, ' ')) - 2),
-          |    i -> array_join(slice(split(text, ' '), i + 1, 2), ' '))) AS grams
+        """SELECT doc_id, lang, array_distinct(word_ngrams(text, 2)) AS grams
           |FROM documents WHERE size(split(text, ' ')) >= 2""".stripMargin)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       g.createOrReplaceTempView("l08_grams")
@@ -396,7 +407,8 @@ object LlmQueries {
       val flips = (0 until 8).map(b => s"simhash ^ ${1 << b}").mkString(", ")
       s.sql(
         s"""WITH tok AS (
-           |  SELECT doc_id, explode(split(text, ' ')) AS w FROM documents
+           |  SELECT doc_id, explode(split(text, ' ')) AS w
+           |  FROM (SELECT /*+ REPARTITION */ doc_id, text FROM documents)
            |), tb AS (
            |  SELECT doc_id, $byte AS byte FROM (SELECT doc_id, md5(w) AS h FROM tok)
            |), v AS (
@@ -467,6 +479,7 @@ object LlmQueries {
     // by construction even for chains the bound doesn't fully merge).
     "l14_dedup_clusters" -> { (s, dir) =>
       Tables.registerAll(s, dir)
+      graft.functions.NGramFunctions.register(s)
       // Edges and each propagation round are CHECKPOINTED (localCheckpoint
       // here, reliable checkpoint at cluster scale): each round references
       // its predecessor twice, so leaving the lineage in place re-inlines
@@ -482,10 +495,9 @@ object LlmQueries {
           |  SELECT e.doc_id AS a, g.root AS b FROM ex e JOIN exg g ON e.k = g.k
           |  WHERE g.n > 1 AND e.doc_id <> g.root
           |), grams AS (
-          |  SELECT doc_id, lang,
-          |    array_distinct(transform(sequence(0, size(split(text, ' ')) - 2),
-          |      i -> array_join(slice(split(text, ' '), i + 1, 2), ' '))) AS gr
-          |  FROM documents WHERE size(split(text, ' ')) >= 2
+          |  SELECT doc_id, lang, array_distinct(word_ngrams(text, 2)) AS gr
+          |  FROM (SELECT /*+ REPARTITION */ doc_id, lang, text FROM documents)
+          |  WHERE size(split(text, ' ')) >= 2
           |), ndedges AS (
           |  SELECT a.doc_id AS a, b.doc_id AS b
           |  FROM grams a JOIN grams b ON a.lang = b.lang AND b.doc_id = a.doc_id + 1

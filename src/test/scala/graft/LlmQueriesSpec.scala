@@ -15,6 +15,7 @@ class LlmQueriesSpec extends AnyFunSuite {
 
   private def registerCorpus(): Unit = {
     import spark.implicits._
+    graft.functions.NGramFunctions.register(spark)
     val boiler = (0L until 100L).map(i =>
       (i, "spam spam spam boilerplate text here we go again", "en", "web", 48L))
     val near = Seq(
