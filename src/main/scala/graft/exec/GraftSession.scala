@@ -228,33 +228,20 @@ class GraftSession(val spark: SparkSession) {
 
   /** Federated read over the ClickHouse-native protocol (`ch://h1[:p1],h2…`
     * addresses) — the reference's actual remote() transport
-    * (crates/runtime/src/read.rs:151-228): one pooled native connection per
-    * shard address, results unioned. Spark-native distribution: the driver
-    * probes the schema once (zero-row query through the pooled client),
-    * then one TASK per shard address streams that shard's rows — the
-    * fan-out runs on executors, not the driver, so shards scan in parallel
-    * and rows never collect at a single point.
+    * (crates/runtime/src/read.rs:151-228), as a DataSource V2 scan
+    * ([[graft.sources.ChNativeSource]]): one executor task per shard
+    * address streams that shard's blocks, and Catalyst pushes column
+    * pruning + translatable WHERE predicates to the remote server as SQL
+    * (the reference's query-localization analog, engine/src/remote.rs) —
+    * a selective query over a large remote moves matching rows, not the
+    * table.
     */
   private def chRemoteDf(url: String, table: String,
                          auth: Option[(String, String)]): DataFrame = {
-    import graft.server.{ChNativeClient, ChProto}
-    val addrs = ChNativeClient.parseAddrs(url)
-    val (user, pwd) = auth.getOrElse(("default", ""))
-    val schema = ChNativeClient.withClient(addrs.head._1, addrs.head._2, user, pwd)(
-      _.schemaOf(s"SELECT * FROM $table WHERE 1=0"))
-    val rowRdd = spark.sparkContext
-      .parallelize(addrs, numSlices = addrs.length)
-      .flatMap { case (host, port) =>
-        // executor-side: stream this shard's blocks lazily off a dedicated
-        // connection (no whole-shard materialization); the task-completion
-        // hook closes the socket whether the scan finishes or the task dies
-        val client = new ChNativeClient(host, port, user, pwd)
-        Option(org.apache.spark.TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit](_ => client.close()))
-        client.queryBlocks(s"SELECT * FROM $table")
-          .flatMap(b => ChProto.blockToRows(b, schema))
-      }
-    spark.createDataFrame(rowRdd, schema)
+    val r = spark.read.format("chnative")
+      .option("url", url).option("table", table)
+    auth.fold(r) { case (u, p) => r.option("user", u).option("password", p) }
+      .load()
   }
 
   /** SELECT-passthrough rewrites, driven by the tokenizer (r2 used raw-text

@@ -51,6 +51,47 @@ class ChRemoteSpec extends AnyFunSuite {
     }
   }
 
+  test("column pruning and filters push down to the remote server") {
+    val server = new ChWireServer(spark).start()
+    val g = new GraftSession(spark)
+    try {
+      g.sql("DROP TABLE IF EXISTS rmt_push")
+      g.sql("CREATE TABLE rmt_push(k Int32, v String, d Date)")
+      g.sql("""INSERT INTO rmt_push VALUES
+        (1, 'aa', '2024-01-01'), (2, 'ab', '2024-02-01'),
+        (3, 'bb', '2024-03-01'), (4, 'bc', '2024-04-01')""")
+      val url = s"ch://127.0.0.1:${server.boundPort}"
+
+      val df = spark.read.format("chnative")
+        .option("url", url).option("table", "rmt_push").load()
+        .filter("k >= 2 AND v LIKE 'a%' AND d < DATE'2024-03-01'")
+        .select("k", "v")
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      // the scan node carries the translated remote WHERE (description());
+      // every predicate pushed — no local FilterExec remains in the plan
+      assert(plan.contains("chnative rmt_push where"))
+      assert(plan.contains("`k` >= 2"))
+      assert(plan.contains("`v` LIKE 'a%'"))
+      assert(plan.contains("`d` < DATE'2024-03-01'"))
+      assert(!plan.contains("(3) Filter"), "expected no residual local filter")
+      // column pruning: only k, v on the wire
+      assert(plan.contains("Output [2]"))
+      assert(df.collect().map(r => (r.getInt(0), r.getString(1))).toSeq ===
+        Seq((2, "ab")))
+
+      // untranslatable predicates stay local, results still correct
+      val residual = spark.read.format("chnative")
+        .option("url", url).option("table", "rmt_push").load()
+        .filter("length(v) = 2 AND k <= 3")
+      assert(residual.count() === 3)
+      g.sql("DROP TABLE rmt_push")
+    } finally {
+      ChNativeClient.clearPool()
+      server.stop()
+    }
+  }
+
   test("multi-address fan-out unions shards, one task per address") {
     val s1 = new ChWireServer(spark).start()
     val s2 = new ChWireServer(spark).start()
