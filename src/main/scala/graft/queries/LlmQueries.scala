@@ -573,6 +573,90 @@ object LlmQueries {
         .groupBy(expr("width DIV 32").cast("int").as("w_bucket"))
         .agg(count(lit(1)).as("n"), sum(col("n_pixels")).cast("long").as("sum_pixels"))
         .orderBy(col("w_bucket"))
+    },
+
+    // ---- m02: audio feature extraction --------------------------------
+    // The audio twin of m01: REAL WAV containers (RIFF + 16-bit mono PCM,
+    // graft.operators.AudioOps) synthesized per doc, re-parsed per
+    // partition, frame features (peak / zero crossings / energy)
+    // extracted from the decoded samples. Integer square-wave synthesis
+    // keeps every feature exact, so the oracle recomputes them in closed
+    // form while Spark exercises the container round-trip.
+    "m02_audio_features" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      import org.apache.spark.sql.functions.{col, count, expr, lit, max, sum}
+      graft.operators.AudioOps
+        .audioFeatures(s, s.table("documents"))
+        .toDF()
+        .groupBy(expr("n_samples DIV 100").cast("int").as("len_bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("zero_crossings")).cast("long").as("sum_zc"),
+          sum(col("energy")).cast("long").as("sum_energy"),
+          max(col("peak")).cast("int").as("max_peak"))
+        .orderBy(col("len_bucket"))
+    },
+
+    // ---- l16: winnowing fingerprints ---------------------------------
+    // The MOSS scheme (the rolling-hash fingerprinting standard for
+    // near-dup/plagiarism detection): hash every positional 5-gram, keep
+    // the MINIMUM hash of each sliding window of 4 — guaranteeing shared
+    // substrings of length >= 8 share a fingerprint. 100 TB: gram hashing
+    // is map work (codegen'd char_ngrams), the window min is a per-doc
+    // sort (bounded by doc length, no cross-doc data), and doc pairs meet
+    // only through the fingerprint GROUP BY — never all-pairs.
+    "l16_winnowing" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      graft.functions.NGramFunctions.register(s)
+      s.sql(
+        """WITH kg AS (
+          |  SELECT doc_id, pos, substr(md5(g), 1, 8) AS h
+          |  FROM (SELECT /*+ REPARTITION */ doc_id, text FROM documents
+          |        WHERE length(text) >= 5) d
+          |  LATERAL VIEW posexplode(char_ngrams(text, 5)) t AS pos, g
+          |), win AS (
+          |  SELECT doc_id, pos,
+          |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+          |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+          |    count(*) OVER (PARTITION BY doc_id) AS npos
+          |  FROM kg
+          |), fps AS (
+          |  SELECT DISTINCT doc_id, fp FROM win WHERE pos + 4 <= npos
+          |), shared AS (
+          |  SELECT fp, count(*) AS docs FROM fps GROUP BY fp
+          |)
+          |SELECT CAST(count(*) AS BIGINT) AS n_fingerprints,
+          |  CAST(count(CASE WHEN docs > 1 THEN 1 END) AS BIGINT) AS n_shared_fps,
+          |  CAST(max(docs) AS BIGINT) AS max_docs_per_fp,
+          |  CAST(sum(docs) AS BIGINT) AS n_doc_fps
+          |FROM shared""".stripMargin)
+    },
+
+    // ---- l17: stratified training-mix sampling ------------------------
+    // Deterministic per-language downsampling — the training-mix step of a
+    // curation pipeline: each doc hashes to a bucket in [0,100) and
+    // survives iff bucket < its language's rate (rates here derived from
+    // the language name hash; in production a config table). 100 TB: one
+    // scan, rate table broadcast, sampling is a map-side predicate —
+    // deterministic (re-runs keep the same sample) and skew-free.
+    "l17_stratified_sample" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val docBucket =
+        s"((${nibSpark("md5(CAST(doc_id AS STRING))", 1)} * 16 + " +
+          s"${nibSpark("md5(CAST(doc_id AS STRING))", 2)}) * 256 + " +
+          s"(${nibSpark("md5(CAST(doc_id AS STRING))", 3)} * 16 + " +
+          s"${nibSpark("md5(CAST(doc_id AS STRING))", 4)})) % 100"
+      s.sql(
+        s"""WITH rates AS (
+           |  SELECT lang, 20 + (${nibSpark("md5(lang)", 1)} % 8) * 10 AS pct
+           |  FROM (SELECT DISTINCT lang FROM documents)
+           |), keyed AS (
+           |  SELECT doc_id, lang, $docBucket AS bucket FROM documents
+           |)
+           |SELECT k.lang, CAST(max(r.pct) AS INT) AS pct,
+           |  CAST(count(*) AS BIGINT) AS n_total,
+           |  CAST(count(CASE WHEN k.bucket < r.pct THEN 1 END) AS BIGINT) AS n_sampled
+           |FROM keyed k JOIN rates r ON k.lang = r.lang
+           |GROUP BY k.lang ORDER BY k.lang""".stripMargin)
     }
   )
 
@@ -912,6 +996,69 @@ object LlmQueries {
          |SELECT CAST(width // 32 AS INT) AS w_bucket, count(*) AS n,
          |  CAST(sum(n_pixels) AS BIGINT) AS sum_pixels
          |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "m02_audio_features" -> {
+      // closed-form square-wave features: Spark round-trips real WAV
+      // containers; the oracle recomputes from the integer definition
+      val n = s"(200 + (${nib("md5(text)", 1)} * 16 + ${nib("md5(text)", 2)}) * 2)"
+      val p = s"(8 + (${nib("md5(text)", 3)} * 16 + ${nib("md5(text)", 4)}) % 50)"
+      val a = s"(500 + (${nib("md5(text)", 5)} * 16 + ${nib("md5(text)", 6)}) * 8)"
+      s"""WITH m AS (
+         |  SELECT doc_id, $n AS n_samples, $a AS peak,
+         |    len(list_filter(range(1, $n), i ->
+         |      ((((i - 1) % $p) * 2 < $p)) != (((i % $p) * 2 < $p)))) AS zero_crossings,
+         |    CAST($n AS BIGINT) * $a * $a AS energy
+         |  FROM documents
+         |)
+         |SELECT CAST(n_samples // 100 AS INT) AS len_bucket, count(*) AS n,
+         |  CAST(sum(zero_crossings) AS BIGINT) AS sum_zc,
+         |  CAST(sum(energy) AS BIGINT) AS sum_energy,
+         |  CAST(max(peak) AS INT) AS max_peak
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "l16_winnowing" ->
+      """WITH kg AS (
+        |  SELECT doc_id,
+        |    unnest(range(length(text) - 4)) AS pos,
+        |    unnest(list_transform(range(length(text) - 4),
+        |      i -> substr(md5(substr(text, i + 1, 5)), 1, 8))) AS h
+        |  FROM documents WHERE length(text) >= 5
+        |), win AS (
+        |  SELECT doc_id, pos,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |    count(*) OVER (PARTITION BY doc_id) AS npos
+        |  FROM kg
+        |), fps AS (
+        |  SELECT DISTINCT doc_id, fp FROM win WHERE pos + 4 <= npos
+        |), shared AS (
+        |  SELECT fp, count(*) AS docs FROM fps GROUP BY fp
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_fingerprints,
+        |  CAST(count(CASE WHEN docs > 1 THEN 1 END) AS BIGINT) AS n_shared_fps,
+        |  CAST(max(docs) AS BIGINT) AS max_docs_per_fp,
+        |  CAST(sum(docs) AS BIGINT) AS n_doc_fps
+        |FROM shared""".stripMargin,
+
+    "l17_stratified_sample" -> {
+      val docBucket =
+        s"((${nib("md5(CAST(doc_id AS VARCHAR))", 1)} * 16 + " +
+          s"${nib("md5(CAST(doc_id AS VARCHAR))", 2)}) * 256 + " +
+          s"(${nib("md5(CAST(doc_id AS VARCHAR))", 3)} * 16 + " +
+          s"${nib("md5(CAST(doc_id AS VARCHAR))", 4)})) % 100"
+      s"""WITH rates AS (
+         |  SELECT lang, 20 + (${nib("md5(lang)", 1)} % 8) * 10 AS pct
+         |  FROM (SELECT DISTINCT lang FROM documents) t
+         |), keyed AS (
+         |  SELECT doc_id, lang, $docBucket AS bucket FROM documents
+         |)
+         |SELECT k.lang, CAST(max(r.pct) AS INT) AS pct,
+         |  CAST(count(*) AS BIGINT) AS n_total,
+         |  CAST(count(CASE WHEN k.bucket < r.pct THEN 1 END) AS BIGINT) AS n_sampled
+         |FROM keyed k JOIN rates r ON k.lang = r.lang
+         |GROUP BY k.lang ORDER BY k.lang""".stripMargin
     }
   )
 }
