@@ -112,6 +112,17 @@ object Bench {
     val outPath = sys.env.getOrElse("BENCH_OUT", "target/bench_out.json")
     Files.createDirectories(Paths.get(outPath).toAbsolutePath.getParent)
     Files.writeString(Paths.get(outPath), json + "\n")
+    // The driver captures only the LAST 2000 chars of stdout (measured from
+    // BENCH_r0{1,2,3}.json: tail len == 2000, parsed == null every round
+    // because the ~2.9 KB full line never fits). Emit a second, compact
+    // summary line — slowest queries + anchors — sized to survive that
+    // window even with sbt's trailing "[success]" banner. Full per-query
+    // detail stays in the line above and in $BENCH_OUT.
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(24)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    println(
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$slowest,"n_queries":${results.size}%d,"queries_note":"24 slowest of ${results.size}%d; full set in BENCH_OUT","sf":"$sfDir","anchors":$anchors,"failed":${failed.size}}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -245,21 +245,27 @@ object LlmQueries {
       // rows (r3 shuffled ~30M of them into a (doc,lang) aggregate): each
       // language's top-20 profile collapses to ONE array row, so scoring
       // is a broadcast nested-loop over n_langs rows with
-      // size(array_intersect(gs, pgs)) counting overlap map-side. Nothing
-      // wide shuffles or persists.
+      // size(array_intersect(gs, pgs)) counting overlap map-side.
       // REPARTITION before the gram map work: the synthetic corpus is one
       // parquet row group, which Spark cannot split — without the exchange
       // the whole gram build fuses into a single-task scan stage. At real
       // scale the input is already many splits and the hint is a no-op
       // worth keeping only for skewed file layouts.
+      // dg is referenced twice (profile training AND scoring); Spark
+      // inlines CTEs, so without materialization the gram extraction — the
+      // dominant cost — runs twice. Persist it once and let both branches
+      // share the cached columnar batches (at cluster scale: a checkpoint
+      // or temp table).
+      val dg = s.sql(
+        """SELECT doc_id, lang, array_distinct(char_ngrams(text, 3)) AS gs
+          |FROM (SELECT /*+ REPARTITION */ doc_id, lang, text FROM documents)
+          |WHERE length(text) >= 3""".stripMargin)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      dg.createOrReplaceTempView("l13_dg")
       s.sql(
-        """WITH dg AS (
-          |  SELECT doc_id, lang, array_distinct(char_ngrams(text, 3)) AS gs
-          |  FROM (SELECT /*+ REPARTITION */ doc_id, lang, text FROM documents)
-          |  WHERE length(text) >= 3
-          |), counts AS (
+        """WITH counts AS (
           |  SELECT lang AS plang, g, count(*) AS n
-          |  FROM dg LATERAL VIEW explode(gs) t AS g GROUP BY lang, g
+          |  FROM l13_dg LATERAL VIEW explode(gs) t AS g GROUP BY lang, g
           |), profile AS (
           |  SELECT plang, collect_list(g) AS pgs FROM (
           |    SELECT plang, g,
@@ -267,7 +273,7 @@ object LlmQueries {
           |    FROM counts) WHERE rn <= 20 GROUP BY plang
           |), scores AS (
           |  SELECT d.doc_id, p.plang, size(array_intersect(d.gs, p.pgs)) AS score
-          |  FROM dg d CROSS JOIN profile p
+          |  FROM l13_dg d CROSS JOIN profile p
           |), best AS (
           |  SELECT doc_id, plang AS predicted FROM (
           |    SELECT doc_id, plang,
