@@ -663,6 +663,102 @@ object LlmQueries {
            |  CAST(count(CASE WHEN k.bucket < r.pct THEN 1 END) AS BIGINT) AS n_sampled
            |FROM keyed k JOIN rates r ON k.lang = r.lang
            |GROUP BY k.lang ORDER BY k.lang""".stripMargin)
+    },
+
+    // ---- l18: repetition-based quality filters ------------------------
+    // The Gopher-style repetition gates (Rae et al. 2021 §A1.1): flag
+    // documents whose duplicate-token share or top-bigram share exceeds a
+    // threshold. 100 TB: duplicate-token share is pure map work
+    // (array_distinct on the token array, no shuffle); the top-bigram
+    // count is explode → (doc,gram) count → per-doc max — two linear
+    // shuffles on uniform doc-keyed data (the HOF alternative that avoids
+    // the shuffle is O(n·distinct) per doc — quadratic on adversarially
+    // repetitive docs, exactly the ones this filter exists to catch).
+    "l18_repetition_quality" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      graft.functions.NGramFunctions.register(s)
+      s.sql(
+        """WITH base AS (
+          |  SELECT doc_id, source, size(split(text, ' ')) AS n_tok,
+          |    size(array_distinct(split(text, ' '))) AS n_uniq
+          |  FROM documents WHERE size(split(text, ' ')) >= 2
+          |), bg AS (
+          |  SELECT doc_id, g, count(*) AS c
+          |  FROM (SELECT /*+ REPARTITION */ doc_id, text FROM documents)
+          |  LATERAL VIEW explode(word_ngrams(text, 2)) t AS g
+          |  GROUP BY doc_id, g
+          |), topbg AS (
+          |  SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg FROM bg GROUP BY doc_id
+          |), scored AS (
+          |  SELECT b.source, b.n_tok, b.n_uniq, t.top_c, t.n_bg,
+          |    1.0 - CAST(b.n_uniq AS DOUBLE) / b.n_tok AS dup_frac,
+          |    CAST(t.top_c AS DOUBLE) / t.n_bg AS top_bigram_frac
+          |  FROM base b JOIN topbg t ON b.doc_id = t.doc_id
+          |)
+          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(count(CASE WHEN dup_frac > 0.8 OR top_bigram_frac > 0.1
+          |    THEN 1 END) AS BIGINT) AS n_flagged,
+          |  round(CAST(sum(n_tok - n_uniq) AS DOUBLE)
+          |    / CAST(sum(n_tok) AS DOUBLE), 6) AS dup_tok_share,
+          |  round(CAST(sum(top_c) AS DOUBLE)
+          |    / CAST(sum(n_bg) AS DOUBLE), 6) AS top_bigram_share
+          |FROM scored GROUP BY source ORDER BY source""".stripMargin)
+    },
+
+    // ---- l19: train/eval decontamination ------------------------------
+    // Benchmark-contamination sweep: find training documents sharing any
+    // word n-gram with the held-out eval sources. 100 TB: the eval side's
+    // distinct grams are small (eval sets are thousands of docs, not
+    // billions) → Spark broadcasts them; the training side streams
+    // map-side through the broadcast hash join, so nothing wide shuffles.
+    // The gram order (3) is fixture-sized — production decontamination
+    // uses 8-13-gram overlap, same plan shape.
+    "l19_decontamination" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      graft.functions.NGramFunctions.register(s)
+      s.sql(
+        """WITH ev AS (
+          |  SELECT DISTINCT g FROM documents
+          |  LATERAL VIEW explode(word_ngrams(text, 3)) t AS g
+          |  WHERE source IN ('src0', 'src1')
+          |), tr AS (
+          |  SELECT doc_id, source, g
+          |  FROM (SELECT /*+ REPARTITION */ doc_id, source, text FROM documents
+          |        WHERE source NOT IN ('src0', 'src1')) d
+          |  LATERAL VIEW explode(word_ngrams(text, 3)) t AS g
+          |), hits AS (
+          |  SELECT DISTINCT tr.doc_id, tr.source, tr.g
+          |  FROM tr JOIN ev ON tr.g = ev.g
+          |), per_doc AS (
+          |  SELECT doc_id, source, count(*) AS n_hit_grams
+          |  FROM hits GROUP BY doc_id, source
+          |)
+          |SELECT source, CAST(count(*) AS BIGINT) AS n_contaminated_docs,
+          |  CAST(sum(n_hit_grams) AS BIGINT) AS n_hit_grams,
+          |  CAST(max(n_hit_grams) AS BIGINT) AS max_hit_grams
+          |FROM per_doc GROUP BY source ORDER BY source""".stripMargin)
+    },
+
+    // ---- m03: video frame sampling ------------------------------------
+    // The video twin of m01/m02: REAL framed-PNG containers
+    // (graft.operators.VideoOps) synthesized per doc, then stride-sampled
+    // — sampled frames get a full pixel decode, skipped frames are hopped
+    // over by length index without touching their bytes. The extracted
+    // feature (sum of frame ids stamped in pixel (0,0)) can only come out
+    // of decoded pixels; the oracle recomputes every aggregate from the
+    // hash-derived clip geometry in closed form.
+    "m03_video_frames" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      graft.operators.VideoOps
+        .sampleDocuments(s, s.table("documents"))
+        .toDF()
+        .groupBy(col("n_frames"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_sampled")).cast("long").as("sum_sampled"),
+          sum(col("n_pixels_sampled")).cast("long").as("sum_pixels"),
+          sum(col("sum_frame_ids")).cast("long").as("sum_frame_ids"))
+        .orderBy(col("n_frames"))
     }
   )
 
@@ -1065,6 +1161,76 @@ object LlmQueries {
          |  CAST(count(CASE WHEN k.bucket < r.pct THEN 1 END) AS BIGINT) AS n_sampled
          |FROM keyed k JOIN rates r ON k.lang = r.lang
          |GROUP BY k.lang ORDER BY k.lang""".stripMargin
+    },
+
+    "l18_repetition_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,
+        |    len(list_distinct(string_split(text, ' '))) AS n_uniq
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2
+        |), bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(len(string_split(text, ' ')) - 1),
+        |      i -> array_to_string((string_split(text, ' '))[i+1:i+2], ' '))) AS g
+        |  FROM documents
+        |), bgc AS (
+        |  SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g
+        |), topbg AS (
+        |  SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg FROM bgc GROUP BY doc_id
+        |), scored AS (
+        |  SELECT b.source, b.n_tok, b.n_uniq, t.top_c, t.n_bg,
+        |    1.0 - CAST(b.n_uniq AS DOUBLE) / b.n_tok AS dup_frac,
+        |    CAST(t.top_c AS DOUBLE) / t.n_bg AS top_bigram_frac
+        |  FROM base b JOIN topbg t ON b.doc_id = t.doc_id
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(CASE WHEN dup_frac > 0.8 OR top_bigram_frac > 0.1
+        |    THEN 1 END) AS BIGINT) AS n_flagged,
+        |  round(CAST(sum(n_tok - n_uniq) AS DOUBLE)
+        |    / CAST(sum(n_tok) AS DOUBLE), 6) AS dup_tok_share,
+        |  round(CAST(sum(top_c) AS DOUBLE)
+        |    / CAST(sum(n_bg) AS DOUBLE), 6) AS top_bigram_share
+        |FROM scored GROUP BY source ORDER BY source""".stripMargin,
+
+    "l19_decontamination" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT g FROM (
+        |    SELECT unnest(list_transform(range(len(string_split(text, ' ')) - 2),
+        |      i -> array_to_string((string_split(text, ' '))[i+1:i+3], ' '))) AS g
+        |    FROM documents WHERE source IN ('src0', 'src1')) t
+        |), tr AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_transform(range(len(string_split(text, ' ')) - 2),
+        |      i -> array_to_string((string_split(text, ' '))[i+1:i+3], ' '))) AS g
+        |  FROM documents WHERE source NOT IN ('src0', 'src1')
+        |), hits AS (
+        |  SELECT DISTINCT tr.doc_id, tr.source, tr.g
+        |  FROM tr JOIN ev ON tr.g = ev.g
+        |), per_doc AS (
+        |  SELECT doc_id, source, count(*) AS n_hit_grams
+        |  FROM hits GROUP BY doc_id, source
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_contaminated_docs,
+        |  CAST(sum(n_hit_grams) AS BIGINT) AS n_hit_grams,
+        |  CAST(max(n_hit_grams) AS BIGINT) AS max_hit_grams
+        |FROM per_doc GROUP BY source ORDER BY source""".stripMargin,
+
+    "m03_video_frames" -> {
+      // closed-form clip geometry: Spark renders/frames/decodes real
+      // containers; the oracle recomputes from the integer definition
+      val nf = s"(3 + ((${nib("md5(text)", 1)} * 16 + ${nib("md5(text)", 2)}) % 10))"
+      val w = s"((${nib("md5(text)", 3)} % 8) + 2)"
+      val h = s"((${nib("md5(text)", 4)} % 8) + 2)"
+      s"""WITH m AS (
+         |  SELECT doc_id, $nf AS nf, $w AS w, $h AS h FROM documents
+         |), s AS (
+         |  SELECT nf, w, h, (nf + 2) // 3 AS ns FROM m
+         |)
+         |SELECT CAST(nf AS INT) AS n_frames, count(*) AS n,
+         |  CAST(sum(ns) AS BIGINT) AS sum_sampled,
+         |  CAST(sum(ns * w * h) AS BIGINT) AS sum_pixels,
+         |  CAST(sum(3 * (ns * (ns - 1) // 2)) AS BIGINT) AS sum_frame_ids
+         |FROM s GROUP BY nf ORDER BY nf""".stripMargin
     }
   )
 }
