@@ -55,6 +55,12 @@ object Bench {
           failed ::= name
           -1.0
       }
+      // Queries that persist an intermediate (l08/l13 share a gram build
+      // across two consumers) leave it cached after evaluation; dropping
+      // it OUTSIDE the timed region keeps each query's number isolated —
+      // measured: the leaked cache + GC pressure taxed the single-task
+      // codec queries that ran after them by >4x.
+      spark.catalog.clearCache()
       name -> t
     }
 

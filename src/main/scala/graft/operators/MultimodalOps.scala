@@ -90,7 +90,14 @@ object MultimodalOps {
     */
   def decodeDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
+    // repartition BEFORE the codec map work: the synthetic corpus is one
+    // parquet row group, which Spark cannot split — without the exchange
+    // the whole encode+decode pipeline fuses into a single task (measured
+    // 1 partition, ~5x wall). Same justification as the l-queries'
+    // REPARTITION hint; a no-op cost at real scale where scans arrive
+    // already split.
     docs.select(col("doc_id"), dimExpr(1).as("w"), dimExpr(3).as("h"))
+      .repartition()
       .as[(Long, Int, Int)]
       .mapPartitions(encodePartition)
       .mapPartitions(decodePartition)

@@ -716,22 +716,25 @@ object LlmQueries {
     "l19_decontamination" -> { (s, dir) =>
       Tables.registerAll(s, dir)
       graft.functions.NGramFunctions.register(s)
+      // grams dedup per doc BEFORE the join (array_distinct is map work),
+      // so the join output is unique-(doc, gram) by construction and no
+      // wide post-join DISTINCT aggregation is needed — the first cut ran
+      // one over the entire exploded join output (11 s at sf0.1, the
+      // slowest query in the suite; this shape is ~1 s)
       s.sql(
         """WITH ev AS (
           |  SELECT DISTINCT g FROM documents
-          |  LATERAL VIEW explode(word_ngrams(text, 3)) t AS g
+          |  LATERAL VIEW explode(array_distinct(word_ngrams(text, 3))) t AS g
           |  WHERE source IN ('src0', 'src1')
           |), tr AS (
           |  SELECT doc_id, source, g
           |  FROM (SELECT /*+ REPARTITION */ doc_id, source, text FROM documents
           |        WHERE source NOT IN ('src0', 'src1')) d
-          |  LATERAL VIEW explode(word_ngrams(text, 3)) t AS g
-          |), hits AS (
-          |  SELECT DISTINCT tr.doc_id, tr.source, tr.g
-          |  FROM tr JOIN ev ON tr.g = ev.g
+          |  LATERAL VIEW explode(array_distinct(word_ngrams(text, 3))) t AS g
           |), per_doc AS (
-          |  SELECT doc_id, source, count(*) AS n_hit_grams
-          |  FROM hits GROUP BY doc_id, source
+          |  SELECT tr.doc_id, tr.source, count(*) AS n_hit_grams
+          |  FROM tr JOIN ev ON tr.g = ev.g
+          |  GROUP BY tr.doc_id, tr.source
           |)
           |SELECT source, CAST(count(*) AS BIGINT) AS n_contaminated_docs,
           |  CAST(sum(n_hit_grams) AS BIGINT) AS n_hit_grams,
@@ -1195,20 +1198,20 @@ object LlmQueries {
     "l19_decontamination" ->
       """WITH ev AS (
         |  SELECT DISTINCT g FROM (
-        |    SELECT unnest(list_transform(range(len(string_split(text, ' ')) - 2),
-        |      i -> array_to_string((string_split(text, ' '))[i+1:i+3], ' '))) AS g
+        |    SELECT unnest(list_distinct(
+        |      list_transform(range(len(string_split(text, ' ')) - 2),
+        |        i -> array_to_string((string_split(text, ' '))[i+1:i+3], ' ')))) AS g
         |    FROM documents WHERE source IN ('src0', 'src1')) t
         |), tr AS (
         |  SELECT doc_id, source,
-        |    unnest(list_transform(range(len(string_split(text, ' ')) - 2),
-        |      i -> array_to_string((string_split(text, ' '))[i+1:i+3], ' '))) AS g
+        |    unnest(list_distinct(
+        |      list_transform(range(len(string_split(text, ' ')) - 2),
+        |        i -> array_to_string((string_split(text, ' '))[i+1:i+3], ' ')))) AS g
         |  FROM documents WHERE source NOT IN ('src0', 'src1')
-        |), hits AS (
-        |  SELECT DISTINCT tr.doc_id, tr.source, tr.g
-        |  FROM tr JOIN ev ON tr.g = ev.g
         |), per_doc AS (
-        |  SELECT doc_id, source, count(*) AS n_hit_grams
-        |  FROM hits GROUP BY doc_id, source
+        |  SELECT tr.doc_id, tr.source, count(*) AS n_hit_grams
+        |  FROM tr JOIN ev ON tr.g = ev.g
+        |  GROUP BY tr.doc_id, tr.source
         |)
         |SELECT source, CAST(count(*) AS BIGINT) AS n_contaminated_docs,
         |  CAST(sum(n_hit_grams) AS BIGINT) AS n_hit_grams,

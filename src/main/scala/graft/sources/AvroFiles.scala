@@ -381,6 +381,59 @@ object AvroFiles {
       encodeField(e, f, if (row.isNullAt(i)) null else row.get(i))
     }
 
+  // ---- record encode (Catalyst InternalRow -> avro binary) ------------
+  // The DSV2 write path hands us InternalRow; encoding straight off the
+  // specialized getters avoids a per-row external-Row conversion.
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.SpecializedGetters
+
+  def encodeInternal(e: Encoder, schema: StructType, row: InternalRow): Unit = {
+    var i = 0
+    while (i < schema.fields.length) {
+      val f = schema.fields(i)
+      if (f.nullable) {
+        if (row.isNullAt(i)) e.writeLong(0)
+        else { e.writeLong(1); encodeInternalValue(e, f.dataType, row, i) }
+      } else encodeInternalValue(e, f.dataType, row, i)
+      i += 1
+    }
+  }
+
+  private def encodeInternalValue(e: Encoder, dt: DataType,
+                                  g: SpecializedGetters, i: Int): Unit = dt match {
+    case BooleanType => e.writeBool(g.getBoolean(i))
+    case ByteType => e.writeInt(g.getByte(i).toInt)
+    case ShortType => e.writeInt(g.getShort(i).toInt)
+    case IntegerType | DateType => e.writeInt(g.getInt(i))
+    case LongType | TimestampType => e.writeLong(g.getLong(i))
+    case FloatType => e.writeFloat(g.getFloat(i))
+    case DoubleType => e.writeDouble(g.getDouble(i))
+    case StringType => e.writeBytes(g.getUTF8String(i).getBytes)
+    case BinaryType => e.writeBytes(g.getBinary(i))
+    case d: DecimalType =>
+      e.writeBytes(g.getDecimal(i, d.precision, d.scale)
+        .toJavaBigDecimal.setScale(d.scale).unscaledValue.toByteArray)
+    case ArrayType(et, containsNull) =>
+      val arr = g.getArray(i)
+      if (arr.numElements() > 0) {
+        e.writeLong(arr.numElements().toLong)
+        var j = 0
+        while (j < arr.numElements()) {
+          if (containsNull) {
+            if (arr.isNullAt(j)) e.writeLong(0)
+            else { e.writeLong(1); encodeInternalValue(e, et, arr, j) }
+          } else encodeInternalValue(e, et, arr, j)
+          j += 1
+        }
+      }
+      e.writeLong(0)
+    case st: StructType =>
+      encodeInternal(e, st, g.getStruct(i, st.fields.length))
+    case other =>
+      throw new UnsupportedOperationException(s"avro: unsupported write type $other")
+  }
+
   // ---- distributed writer ---------------------------------------------
 
   /** Writes `df` as one container file per partition under `dir`

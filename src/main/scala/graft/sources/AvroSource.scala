@@ -10,9 +10,10 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -52,6 +53,10 @@ final class AvroSource extends TableProvider with DataSourceRegister {
     } finally in.close()
   }
 
+  // writes pass the DataFrame's schema straight through (no files to
+  // infer from yet); reads without a user schema still call inferSchema
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new AvroTable(schema, AvroSource.pathOf(properties.asScala.toMap))
@@ -75,14 +80,101 @@ private object AvroSource {
 }
 
 private final class AvroTable(schema: StructType, path: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graftavro:$path"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroScanBuilder(schema, path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new AvroWriteBuilder(info.schema(), path,
+      Option(info.options.get("codec")).getOrElse("deflate"))
 }
+
+/** DSV2 write path: each task streams its partition into its own
+  * container file (task-attempt-unique name, renamed into place on task
+  * commit so speculative/retried attempts never collide); `truncate`
+  * (SaveMode.Overwrite) clears the directory on the driver first.
+  */
+private final class AvroWriteBuilder(schema: StructType, path: String,
+                                     codec: String)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new AvroBatchWrite(schema, path, codec, doTruncate)
+  }
+}
+
+private final class AvroBatchWrite(schema: StructType, path: String,
+                                   codec: String, truncate: Boolean)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(new Configuration())
+    if (truncate && fs.exists(p)) fs.delete(p, true)
+    fs.mkdirs(p)
+    new AvroWriterFactory(schema, path, codec)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private final class AvroWriterFactory(schema: StructType, path: String,
+                                      codec: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new AvroDataWriter(schema, path, codec, partitionId, taskId)
+}
+
+private final class AvroDataWriter(schema: StructType, path: String,
+                                   codec: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val rec = toAvro(schema)
+  private val json = schemaJson(rec)
+  private val sync = syncMarker(json, s"$partitionId-$taskId")
+  private val fs = new HPath(path).getFileSystem(new Configuration())
+  private val tmp = new HPath(path, f".part-$partitionId%05d-$taskId.avro.inprogress")
+  private val out = fs.create(tmp, true)
+  writeHeader(out, json, codec, sync)
+
+  private val buf = new java.io.ByteArrayOutputStream(1 << 16)
+  private val be = new Encoder(buf)
+  private var n = 0
+  private val RowsPerBlock = 4096
+
+  private def flush(): Unit = if (n > 0) {
+    val raw = buf.toByteArray
+    val payload = if (codec == "deflate") deflate(raw) else raw
+    val e = new Encoder(out)
+    e.writeLong(n.toLong); e.writeBytes(payload)
+    out.write(sync)
+    buf.reset(); n = 0
+  }
+
+  override def write(row: InternalRow): Unit = {
+    encodeInternal(be, schema, row)
+    n += 1
+    if (n >= RowsPerBlock) flush()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flush(); out.close()
+    fs.rename(tmp, new HPath(path, f"part-$partitionId%05d-$taskId.avro"))
+    AvroCommit(partitionId)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    fs.delete(tmp, false): Unit
+  }
+
+  override def close(): Unit = ()
+}
+
+private final case class AvroCommit(partitionId: Int) extends WriterCommitMessage
 
 private final class AvroScanBuilder(fullSchema: StructType, path: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns {

@@ -95,6 +95,20 @@ class AvroSpec extends AnyFunSuite {
     assert(back.agg(sum("id")).collect()(0).getLong(0) === 2016L)
   }
 
+  test("DSV2 write path: df.write.format(graftavro) round-trips") {
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    df.write.format("graftavro").mode("overwrite").save(s"$dir/v2write")
+    val back = spark.read.format("graftavro").load(s"$dir/v2write")
+    assert(sorted(back) === sorted(df))
+    // overwrite truncates: a second write must not accumulate files
+    df.write.format("graftavro").mode("overwrite").save(s"$dir/v2write")
+    assert(spark.read.format("graftavro").load(s"$dir/v2write").count() === rows.size)
+    // no in-progress temp files left behind
+    val leftovers = new java.io.File(s"$dir/v2write").listFiles()
+      .filter(_.getName.endsWith(".inprogress"))
+    assert(leftovers.isEmpty)
+  }
+
   test("c03 avro scan equals the same aggregate over the source parquet") {
     val sfDir = "/root/testdata/sf0.001"
     val avro = SparkEntry.queries("c03_avro_scan")(spark, sfDir)
