@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The per-round driver parses the LAST stdout line of `sbt "runMain
+// graft.Bench"` as JSON. Two pieces of sbt chrome defeated that in rounds
+// 1-4 (BENCH_r0*.json all show parsed:null): the logger's "[info] " prefix
+// on forked-run output, and the trailing "[success] Total time" banner.
+// Route the forked process's stdout straight through, and drop the banner.
+run / connectInput := false
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(run / connectInput, Global / showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,5 +35,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32 executor threads persisting columnar intermediates thrash an 8g
+  // heap (round-4 driver bench: the persist-heavy queries ran 9-13x their
+  // local times under memory pressure); the box has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-Xms4g",
 )

@@ -53,6 +53,23 @@ object LlmQueries {
   private def nib(md5expr: String, pos: Int): String =
     s"(strpos('0123456789abcdef', substr($md5expr, $pos, 1)) - 1)"
 
+  /** Persist AND materialize a shared intermediate before a query scans it
+    * twice. `.persist()` alone is lazy: when the FIRST job to touch the
+    * cache is the multi-consumer query itself, its two scans race on the
+    * still-empty cache and both compute every partition — the double-eval
+    * the persist exists to prevent (measured on l11: the "cached"
+    * fingerprint pipeline ran slower than the uncached double-eval). The
+    * count() is one cheap extra job that makes the cache real before any
+    * consumer plans against it; at cluster scale this is a checkpoint or
+    * temp-table write.
+    */
+  private def materialize(df: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    p
+  }
+
   /** Max docs per LSH bucket before its pair explosion is skipped: a
     * bucket of n docs emits C(n,2) candidate pairs, so one boilerplate
     * bucket of 100k docs would be 5×10⁹ pairs in a single task. Dropped
@@ -256,11 +273,10 @@ object LlmQueries {
       // dominant cost — runs twice. Persist it once and let both branches
       // share the cached columnar batches (at cluster scale: a checkpoint
       // or temp table).
-      val dg = s.sql(
+      val dg = materialize(s.sql(
         """SELECT doc_id, lang, array_distinct(char_ngrams(text, 3)) AS gs
           |FROM (SELECT /*+ REPARTITION */ doc_id, lang, text FROM documents)
-          |WHERE length(text) >= 3""".stripMargin)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          |WHERE length(text) >= 3""".stripMargin))
       dg.createOrReplaceTempView("l13_dg")
       s.sql(
         """WITH counts AS (
@@ -328,10 +344,9 @@ object LlmQueries {
       graft.functions.NGramFunctions.register(s)
       // bigram extraction via the codegen'd word_ngrams (the transform/
       // slice/array_join lambda it replaces ran interpreted per element)
-      val g = s.sql(
+      val g = materialize(s.sql(
         """SELECT doc_id, lang, array_distinct(word_ngrams(text, 2)) AS grams
-          |FROM documents WHERE size(split(text, ' ')) >= 2""".stripMargin)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          |FROM documents WHERE size(split(text, ' ')) >= 2""".stripMargin))
       g.createOrReplaceTempView("l08_grams")
       s.sql(
         """WITH pairs AS (
@@ -411,7 +426,12 @@ object LlmQueries {
         s"(CASE WHEN s$b > 0 THEN ${1 << b} ELSE 0 END)"
       }.mkString(" + ")
       val flips = (0 until 8).map(b => s"simhash ^ ${1 << b}").mkString(", ")
-      s.sql(
+      // The fingerprint table feeds BOTH sides of the probe join; Spark
+      // inlines CTEs, so without materialization the token explode +
+      // per-token md5 (the dominant cost) runs twice — the same
+      // double-eval trap l08/l13 hit in earlier rounds. Materialize the
+      // tiny (doc_id, simhash) result once; both join sides read the cache.
+      val f = materialize(s.sql(
         s"""WITH tok AS (
            |  SELECT doc_id, explode(split(text, ' ')) AS w
            |  FROM (SELECT /*+ REPARTITION */ doc_id, text FROM documents)
@@ -419,15 +439,17 @@ object LlmQueries {
            |  SELECT doc_id, $byte AS byte FROM (SELECT doc_id, md5(w) AS h FROM tok)
            |), v AS (
            |  SELECT doc_id, $votes FROM tb GROUP BY doc_id
-           |), f AS (
-           |  SELECT doc_id, CAST($hash AS INT) AS simhash FROM v
-           |), probes AS (
+           |)
+           |SELECT doc_id, CAST($hash AS INT) AS simhash FROM v""".stripMargin))
+      f.createOrReplaceTempView("l11_f")
+      s.sql(
+        s"""WITH probes AS (
            |  SELECT doc_id, simhash, explode(array(simhash, $flips)) AS probe
-           |  FROM f
+           |  FROM l11_f
            |), pairs AS (
            |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
            |    bit_count(a.simhash ^ b.simhash) AS hd
-           |  FROM probes a JOIN f b ON a.probe = b.simhash AND a.doc_id < b.doc_id
+           |  FROM probes a JOIN l11_f b ON a.probe = b.simhash AND a.doc_id < b.doc_id
            |)
            |SELECT hd, count(*) AS n_pairs FROM pairs
            |GROUP BY hd ORDER BY hd""".stripMargin)
@@ -606,27 +628,30 @@ object LlmQueries {
     // The MOSS scheme (the rolling-hash fingerprinting standard for
     // near-dup/plagiarism detection): hash every positional 5-gram, keep
     // the MINIMUM hash of each sliding window of 4 — guaranteeing shared
-    // substrings of length >= 8 share a fingerprint. 100 TB: gram hashing
-    // is map work (codegen'd char_ngrams), the window min is a per-doc
-    // sort (bounded by doc length, no cross-doc data), and doc pairs meet
-    // only through the fingerprint GROUP BY — never all-pairs.
+    // substrings of length >= 8 share a fingerprint. 100 TB: the whole
+    // winnow (gram hash → window min → per-doc distinct) runs INSIDE each
+    // document row via array functions — zero rows leave the map stage
+    // until the per-doc distinct fingerprints explode, so no cross-doc
+    // sort or shuffle ever sees the ~N-per-char positional grams (the r4
+    // shape exploded every position into a window sort + DISTINCT: 3 wide
+    // shuffles of length(text) rows per doc, and the suite's slowest
+    // query). Doc pairs still meet only through the fingerprint GROUP BY
+    // — never all-pairs.
     "l16_winnowing" -> { (s, dir) =>
       Tables.registerAll(s, dir)
       graft.functions.NGramFunctions.register(s)
       s.sql(
-        """WITH kg AS (
-          |  SELECT doc_id, pos, substr(md5(g), 1, 8) AS h
+        """WITH hs AS (
+          |  SELECT doc_id,
+          |    transform(char_ngrams(text, 5), g -> substr(md5(g), 1, 8)) AS h
           |  FROM (SELECT /*+ REPARTITION */ doc_id, text FROM documents
-          |        WHERE length(text) >= 5) d
-          |  LATERAL VIEW posexplode(char_ngrams(text, 5)) t AS pos, g
-          |), win AS (
-          |  SELECT doc_id, pos,
-          |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
-          |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
-          |    count(*) OVER (PARTITION BY doc_id) AS npos
-          |  FROM kg
+          |        WHERE length(text) >= 8) d
           |), fps AS (
-          |  SELECT DISTINCT doc_id, fp FROM win WHERE pos + 4 <= npos
+          |  SELECT doc_id, fp
+          |  FROM hs
+          |  LATERAL VIEW explode(array_distinct(transform(
+          |    sequence(0, size(h) - 4), i -> array_min(slice(h, i + 1, 4))
+          |  ))) t AS fp
           |), shared AS (
           |  SELECT fp, count(*) AS docs FROM fps GROUP BY fp
           |)
