@@ -13,9 +13,17 @@ import org.apache.spark.sql.functions._
   * `count()` lets Catalyst prune the very projections being timed
   * (VERDICT defect #4). Failures are recorded per query and fail the run.
   *
+  * Each query is timed `--reps` times (default 3) with the cache cleared
+  * between runs, and the JSON reports the MEDIAN plus min/max per query:
+  * single-shot numbers on this box swing up to 10x run-to-run (VERDICT r5
+  * "What's wrong" #2), so only medians are comparable across rounds.
+  * `--queries a,b` restricts the loop for A/B work; `--anchors-only` skips
+  * it entirely.
+  *
   * Anchors mirror BASELINE.md's published measurements (warm in-memory,
   * best of 3 — docs/benchmarks.md:1-14): a simple column sum and a
-  * date_part('year') group-by over the cached fact table.
+  * date_part('year') group-by over the cached fact table, plus same-scale
+  * (1.47B-row) range-backed variants of both.
   */
 object Bench {
   private def timeIt(f: => Unit): Double = {
@@ -25,8 +33,21 @@ object Bench {
   private def evalAll(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Median of the successful samples; -1 if all failed. */
+  private def median(xs: Seq[Double]): Double = {
+    val ok = xs.filter(_ >= 0).sorted
+    if (ok.isEmpty) -1.0
+    else if (ok.size % 2 == 1) ok(ok.size / 2)
+    else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
+  }
+
+  private def argValue(args: Array[String], flag: String): Option[String] =
+    args.sliding(2).collectFirst { case Array(`flag`, v) => v }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = argValue(args, "--reps").map(_.toInt).getOrElse(3)
+    val only = argValue(args, "--queries").map(_.split(",").toSet)
     val spark = Sessions.build("graft-bench",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     Tables.registerAll(spark, sfDir)
@@ -42,39 +63,47 @@ object Bench {
     evalAll(spark.table("lineitem").limit(64).select(col("l_orderkey")))
 
     var failed = List.empty[String]
-    // `--anchors-only`: skip the per-query loop (fast local iteration on
-    // the BASELINE anchors).
     val queriesToRun =
       if (args.contains("--anchors-only")) Map.empty[String, (org.apache.spark.sql.SparkSession, String) => DataFrame]
-      else SparkEntry.queries
+      else only.fold(SparkEntry.queries)(sel =>
+        SparkEntry.queries.filter { case (k, _) => sel(k) })
     val results = queriesToRun.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t = try timeIt(evalAll(fn(spark, sfDir)))
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          failed ::= name
-          -1.0
+      val samples = (1 to reps).map { _ =>
+        val t = try timeIt(evalAll(fn(spark, sfDir)))
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            if (!failed.contains(name)) failed ::= name
+            -1.0
+        }
+        // Queries that persist an intermediate (l08/l11/l13 share a gram/
+        // fingerprint build across two consumers) leave it cached after
+        // evaluation; dropping it OUTSIDE the timed region keeps each run
+        // isolated — measured: the leaked cache + GC pressure taxed the
+        // single-task codec queries that ran after them by >4x.
+        graft.queries.LlmQueries.releaseShared()
+        spark.catalog.clearCache()
+        t
       }
-      // Queries that persist an intermediate (l08/l13 share a gram build
-      // across two consumers) leave it cached after evaluation; dropping
-      // it OUTSIDE the timed region keeps each query's number isolated —
-      // measured: the leaked cache + GC pressure taxed the single-task
-      // codec queries that ran after them by >4x.
-      spark.catalog.clearCache()
-      name -> t
+      name -> samples
     }
 
     // BASELINE.md anchors: warm cached fact table, best of 3.
-    def best3(f: => Unit): Double = (1 to 3).map(_ => timeIt(f)).min
-    val sumCold = timeIt(evalAll(
+    // `--no-anchors` zeroes them out for cheap A/B iteration on the
+    // per-query loop.
+    val runAnchors = !args.contains("--no-anchors")
+    def best3(f: => Unit): Double =
+      if (!runAnchors) -1.0 else (1 to 3).map(_ => timeIt(f)).min
+    def anchorTime(f: => Unit): Double = if (!runAnchors) -1.0 else timeIt(f)
+    val sumCold = anchorTime(evalAll(
       spark.read.parquet(s"$sfDir/lineitem.parquet").agg(sum(col("l_orderkey")))))
-    val li = spark.table("lineitem").select("l_orderkey", "l_shipdate").cache()
-    li.count() // materialize the cache
+    val li = spark.table("lineitem").select("l_orderkey", "l_shipdate")
+    if (runAnchors) { li.cache(); li.count() } // materialize the cache
     val sumWarm = best3(evalAll(li.agg(sum(col("l_orderkey")))))
     val gbWarm = best3(evalAll(
       li.groupBy(expr("date_part('year', l_shipdate)").as("yr"))
         .agg(count(lit(1)).as("n"))))
-    li.unpersist()
+    if (runAnchors) li.unpersist()
     // The baseline's sum anchor: 1.47B-row warm in-memory long column, best
     // of 3 (docs/benchmarks.md:1-14). Measured as a PREPARED query — one
     // analyzed/codegen'd plan, re-executed per run, scalar collected —
@@ -82,14 +111,27 @@ object Bench {
     // sqlparser pass, ~µs) is Catalyst analysis + codegen compile here
     // (~130 ms, measured): including it per run would benchmark the
     // planner, not the sum. The one-shot number (plan + codegen + run) is
-    // reported alongside as range_sum_1b47_oneshot. AQE is off for this
-    // anchor only: its shuffle-stage materialization adds a fixed re-plan
+    // reported alongside as range_sum_1b47_oneshot. AQE is off for these
+    // anchors only: its shuffle-stage materialization adds a fixed re-plan
     // pause that no single-node engine in the comparison pays.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val sumDf = spark.range(0L, 1470000000L, 1L, 32).agg(sum(col("id")))
-    val rangeSumOneShot = timeIt(sumDf.collect()) // plan + codegen + run
-    (1 to 4).foreach(_ => sumDf.collect()) // JIT warm-up ("warm" in the baseline)
+    val nBase = 1464781690L // trips_lite row count, docs/benchmarks.md:1-14
+    val sumDf = spark.range(0L, nBase, 1L, 32).agg(sum(col("id")))
+    val rangeSumOneShot = anchorTime(sumDf.collect()) // plan + codegen + run
+    if (runAnchors) (1 to 4).foreach(_ => sumDf.collect()) // JIT warm-up ("warm" in the baseline)
     val rangeSum = best3(sumDf.collect())
+    // Same-scale analog of the baseline's SECOND row: date_part('year')
+    // group-by over 1.47B timestamps (reference: 3.375 s, docs/
+    // benchmarks.md:7-9). ids map to 1970–2016 epoch seconds → 47 groups,
+    // same cardinality class as 10y of taxi data; per-row work is the
+    // timestamp year extraction + hash agg, all inside one
+    // WholeStageCodegen pass with map-side partial aggregation.
+    val gbDf = spark.range(0L, nBase, 1L, 32)
+      .groupBy(expr("date_part('year', timestamp_seconds(id))").as("yr"))
+      .agg(count(lit(1)).as("n"))
+    val rangeGbOneShot = anchorTime(gbDf.collect())
+    if (runAnchors) (1 to 2).foreach(_ => gbDf.collect())
+    val rangeGb = best3(gbDf.collect())
     spark.conf.set("spark.sql.adaptive.enabled", "true")
 
     // BASELINE.md's third row is WRITE throughput (reference: ~2x
@@ -97,23 +139,34 @@ object Bench {
     // bench_ingestion.rs). Local analog: the engine's block-write path —
     // INSERT ... SELECT through the partition-keyed parquet writer
     // (__ptk computed by codegen, the reference's cranelift-JIT analog).
-    val g = new graft.exec.GraftSession(spark)
-    g.sql("DROP TABLE IF EXISTS bench_ingest")
-    g.sql("CREATE TABLE bench_ingest(ok Int64, qty Float64, d Date) " +
-      "ENGINE=BaseStorage PARTITION BY toYear(d)")
-    val nIngest = spark.table("lineitem").count()
-    val tIngest = timeIt(g.sql(
-      "INSERT INTO bench_ingest SELECT l_orderkey, l_quantity, l_shipdate FROM lineitem"))
-    val ingestRps = nIngest / math.max(tIngest, 1e-9)
-    g.sql("DROP TABLE bench_ingest")
+    val (nIngest, tIngest) = if (!runAnchors) (0L, -1.0) else {
+      val g = new graft.exec.GraftSession(spark)
+      g.sql("DROP TABLE IF EXISTS bench_ingest")
+      g.sql("CREATE TABLE bench_ingest(ok Int64, qty Float64, d Date) " +
+        "ENGINE=BaseStorage PARTITION BY toYear(d)")
+      val n = spark.table("lineitem").count()
+      val t = timeIt(g.sql(
+        "INSERT INTO bench_ingest SELECT l_orderkey, l_quantity, l_shipdate FROM lineitem"))
+      g.sql("DROP TABLE bench_ingest")
+      (n, t)
+    }
+    val ingestRps = if (tIngest <= 0) 0.0 else nIngest / tIngest
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+    val meds = results.map { case (k, xs) => k -> median(xs) }
+    val qs = meds.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val samplesJson = results.map { case (k, xs) =>
+      val ok = xs.filter(_ >= 0)
+      val mn = if (ok.isEmpty) -1.0 else ok.min
+      val mx = if (ok.isEmpty) -1.0 else ok.max
+      "\"" + k + "\":" +
+        f"""{"med":${median(xs)}%.4f,"min":$mn%.4f,"max":$mx%.4f}"""
+    }.mkString("{", ",", "}")
+    val total = meds.map(_._2).filter(_ >= 0).sum
     val anchors =
-      f"""{"sum_cold":$sumCold%.4f,"sum_warm":$sumWarm%.4f,"groupby_warm":$gbWarm%.4f,"range_sum_1b47":$rangeSum%.4f,"range_sum_1b47_oneshot":$rangeSumOneShot%.4f,"ingest_rows":$nIngest%d,"ingest_sec":$tIngest%.4f,"ingest_rows_per_s":$ingestRps%.0f}"""
+      f"""{"sum_cold":$sumCold%.4f,"sum_warm":$sumWarm%.4f,"groupby_warm":$gbWarm%.4f,"range_sum_1b47":$rangeSum%.4f,"range_sum_1b47_oneshot":$rangeSumOneShot%.4f,"range_gb_year_1b47":$rangeGb%.4f,"range_gb_year_1b47_oneshot":$rangeGbOneShot%.4f,"ingest_rows":$nIngest%d,"ingest_sec":$tIngest%.4f,"ingest_rows_per_s":$ingestRps%.0f}"""
     val json =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir","anchors":$anchors,"failed":${failed.size}}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","reps":$reps%d,"queries":$qs,"query_samples":$samplesJson,"sf":"$sfDir","anchors":$anchors,"failed":${failed.size}}"""
     println(json)
     val outPath = sys.env.getOrElse("BENCH_OUT", "target/bench_out.json")
     Files.createDirectories(Paths.get(outPath).toAbsolutePath.getParent)
@@ -123,12 +176,12 @@ object Bench {
     // because the ~2.9 KB full line never fits). Emit a second, compact
     // summary line — slowest queries + anchors — sized to survive that
     // window even with sbt's trailing "[success]" banner. Full per-query
-    // detail stays in the line above and in $BENCH_OUT.
-    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(24)
+    // detail (incl. min/max samples) stays in the line above and $BENCH_OUT.
+    val slowest = meds.filter(_._2 >= 0).sortBy(-_._2).take(20)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     println(
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$slowest,"n_queries":${results.size}%d,"queries_note":"24 slowest of ${results.size}%d; full set in BENCH_OUT","sf":"$sfDir","anchors":$anchors,"failed":${failed.size}}""")
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","reps":$reps%d,"queries":$slowest,"n_queries":${results.size}%d,"queries_note":"median of $reps%d; 20 slowest of ${results.size}%d; min/max in BENCH_OUT","sf":"$sfDir","anchors":$anchors,"failed":${failed.size}}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

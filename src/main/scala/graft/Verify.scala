@@ -20,7 +20,10 @@ object Verify {
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      } finally
+        // queries that pin a shared intermediate (l13's materialize) hand
+        // cache ownership to their caller once the result is written
+        graft.queries.LlmQueries.releaseShared()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

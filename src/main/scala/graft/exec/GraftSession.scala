@@ -193,10 +193,7 @@ class GraftSession(val spark: SparkSession) {
       spark.createDataFrame(rows.asJava,
         StructType(Seq(StructField("name", StringType), StructField("type", StringType))))
     case OptimizeTable(db, name) =>
-      // The reference's OPTIMIZE is a part-store flush stub
-      // (mgmt.rs:923-941); here parquet writes are already durable, so this
-      // is a catalog refresh.
-      spark.catalog.refreshTable(fullName(db, name)); emptyOk
+      optimizeTable(db, name); emptyOk
     case iv: InsertValues => insertValues(iv)
     case is: InsertSelect => insertSelect(is)
     case f: InsertFormat => insertFormat(f, payload)
@@ -375,6 +372,115 @@ class GraftSession(val spark: SparkSession) {
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(name, Some(db)))
     java.nio.file.Paths.get(meta.location.getPath)
+  }
+
+  /** Inverse of Spark's partition-dir escaping (`%XX` hex escapes only —
+    * unlike URLDecoder it must NOT turn '+' into a space).
+    */
+  private def unescapePartValue(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** OPTIMIZE TABLE = small-file compaction. The reference's OPTIMIZE is a
+    * part-store flush stub (mgmt.rs:923-941, parts.rs:453-455); here every
+    * INSERT statement commits its own file set, so a 100 TB ingest stream
+    * accumulates per-statement small files whose open/footer cost comes to
+    * dominate scans. Rewrite each over-fragmented partition directory into
+    * ~`graft.optimize.targetFileBytes` files (default 128 MB, the
+    * maxPartitionBytes-aligned scan unit):
+    *
+    *   - only directories with more files than their byte size warrants
+    *     are rewritten — OPTIMIZE on a compact table is a no-op;
+    *   - oversized partitions split across ceil(bytes/target) files via a
+    *     per-row salt (no single giant file per partition: a file is the
+    *     scan-parallelism unit on a cluster);
+    *   - crash-safe without a lock on readers: the compacted files are
+    *     APPENDED first (unique part names, atomically published by the
+    *     Hadoop committer's _SUCCESS protocol), and the replaced originals
+    *     are deleted only after the write commits. A failure mid-OPTIMIZE
+    *     leaves the original files untouched and no duplicate rows
+    *     visible (uncommitted output never leaves _temporary);
+    *   - bucketed tables (CLUSTERED BY) keep their co-located-join layout
+    *     and are left alone — their file count is fixed by the bucket
+    *     spec, not by insert history.
+    *
+    * Local-FS file listing here; on a real cluster the identical walk goes
+    * through the Hadoop FileSystem API.
+    */
+  private def optimizeTable(db: Option[String], name: String): Unit = {
+    val rdb = db.getOrElse(spark.catalog.currentDatabase)
+    val full = fullName(db, name)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(name, Some(rdb)))
+    if (meta.bucketSpec.isDefined) { spark.catalog.refreshTable(full); return }
+    val loc = tableLocation(rdb, name)
+    val lock = GraftSession.tableWriteLocks
+      .computeIfAbsent(s"$rdb.$name", _ => new Object)
+    lock.synchronized {
+      val target = spark.conf.getOption("graft.optimize.targetFileBytes")
+        .map(_.toLong).getOrElse(128L * 1024 * 1024)
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(loc)
+      val dataFiles =
+        try walk.iterator.asScala.filter(p =>
+          java.nio.file.Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet") &&
+            !p.getFileName.toString.startsWith(".")).toVector
+        finally walk.close()
+      def filesNeeded(fs: Seq[java.nio.file.Path]): Int = math.max(1,
+        math.ceil(fs.map(java.nio.file.Files.size(_)).sum.toDouble / target).toInt)
+      val needs = dataFiles.groupBy(_.getParent)
+        .filter { case (dir, fs) =>
+          // null partition values land in the Hive default dir; its name
+          // does not round-trip through a column equality, so skip it
+          dir.getFileName.toString != "__HIVE_DEFAULT_PARTITION__" &&
+            fs.size > filesNeeded(fs)
+        }
+      if (needs.isEmpty) { spark.catalog.refreshTable(full); return }
+      val schema = spark.table(full).schema
+      val partitioned = schema.fieldNames.contains(PtkCol)
+      val ident = full.replace("`", "")
+      val outCols = schema.fieldNames.map(f => col(s"`$f`")).toSeq
+      if (partitioned) {
+        // one job over all fragmented dirs: read them with the table's
+        // basePath so __ptk survives, broadcast each dir's target file
+        // count, salt rows into that many write groups, and shuffle on
+        // (__ptk, salt) so each group becomes one output file
+        val nfRows = needs.toSeq.map { case (dir, fs) =>
+          Row(unescapePartValue(
+            dir.getFileName.toString.stripPrefix(s"$PtkCol=")),
+            filesNeeded(fs))
+        }
+        val nfDf = spark.createDataFrame(nfRows.asJava, StructType(Seq(
+          StructField(PtkCol, StringType), StructField("__nf", IntegerType))))
+        val src = spark.read.schema(schema)
+          .option("basePath", loc.toString)
+          .parquet(needs.keys.map(_.toString).toSeq: _*)
+        src.join(broadcast(nfDf), PtkCol)
+          .withColumn("__salt", pmod(monotonically_increasing_id(), col("__nf")))
+          .repartition(col(s"`$PtkCol`"), col("__salt"))
+          .select(outCols: _*)
+          .write.mode("append").insertInto(ident)
+      } else {
+        val nf = filesNeeded(needs.values.flatten.toSeq)
+        spark.read.schema(schema).parquet(loc.toString)
+          .repartition(nf)
+          .select(outCols: _*)
+          .write.mode("append").insertInto(ident)
+      }
+      // the compacted files are committed; retire the originals
+      needs.values.flatten.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      spark.catalog.refreshTable(full)
+    }
   }
 
   private def createTable(ct: CreateTable): DataFrame = {

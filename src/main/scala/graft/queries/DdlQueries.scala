@@ -59,6 +59,27 @@ object DdlQueries {
         "CAST(min(u) AS STRING) AS min_u FROM graft_d04")
     },
 
+    // OPTIMIZE TABLE as real small-file compaction (the reference's is a
+    // flush stub, mgmt.rs:923-941): three INSERT...SELECT statements leave
+    // three file sets per partition; OPTIMIZE rewrites each partition dir
+    // to its target file count, and the readback proves data identity —
+    // the oracle recomputes the same aggregate from the source table.
+    "o01_optimize_compaction" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("DROP TABLE IF EXISTS graft_o01")
+      g.sql("CREATE TABLE graft_o01(ok Int64, qty Float64, d Date) " +
+        "ENGINE=BaseStorage PARTITION BY toYear(d)")
+      (0 until 3).foreach(i =>
+        g.sql("INSERT INTO graft_o01 SELECT l_orderkey, l_quantity, l_shipdate " +
+          s"FROM lineitem WHERE l_orderkey % 3 = $i"))
+      g.sql("OPTIMIZE TABLE graft_o01")
+      g.sql("SELECT CAST(year(d) AS INT) AS yr, count(*) AS n, " +
+        "CAST(sum(ok) AS BIGINT) AS sum_ok, " +
+        "CAST(sum(CAST(qty AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty " +
+        "FROM graft_o01 GROUP BY 1 ORDER BY 1")
+    },
+
     // INSERT … FORMAT CSV ingestion (mgmt.rs:724-730) — inline payload.
     "d03_insert_csv" -> { (s, dir) =>
       val g = new GraftSession(s)
@@ -95,6 +116,12 @@ object DdlQueries {
         |             (2, CAST('0' AS DECIMAL(20,0))),
         |             (3, CAST('9223372036854775808' AS DECIMAL(20,0))),
         |             (4, CAST('42' AS DECIMAL(20,0)))) AS t(id, u)""".stripMargin,
+
+    "o01_optimize_compaction" ->
+      """SELECT CAST(year(l_shipdate) AS INT) AS yr, count(*) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d03_insert_csv" ->
       """SELECT k, CAST(sum(v) AS DOUBLE) AS total

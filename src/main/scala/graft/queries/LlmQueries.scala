@@ -57,17 +57,43 @@ object LlmQueries {
     * twice. `.persist()` alone is lazy: when the FIRST job to touch the
     * cache is the multi-consumer query itself, its two scans race on the
     * still-empty cache and both compute every partition — the double-eval
-    * the persist exists to prevent (measured on l11: the "cached"
-    * fingerprint pipeline ran slower than the uncached double-eval). The
-    * count() is one cheap extra job that makes the cache real before any
-    * consumer plans against it; at cluster scale this is a checkpoint or
-    * temp-table write.
+    * the persist exists to prevent. The count() is one cheap extra job that
+    * makes the cache real before any consumer plans against it; at cluster
+    * scale this is a checkpoint or temp-table write.
+    *
+    * WHEN to use it — decided by a median-of-5 A/B at sf0.1 (r6, PERF.md):
+    * persist only when the shared subtree's compute cost clearly exceeds
+    * the cost of writing+reading its output through the cache. l13's gram
+    * extraction (char_ngrams over the corpus) wins 3x with the persist
+    * (1.50s vs 4.28s); l11's fingerprint build LOSES 2x with it (4.53s vs
+    * 2.36s) because the extra cache job costs more than the map passes it
+    * saves — Spark's ReusedExchange already de-duplicates the shuffle work
+    * between a self-join's two sides; l08 is noise-level either way. So:
+    * l13 persists, l08/l11 do not. GRAFT_MATERIALIZE=off disables all
+    * persists for future A/Bs.
     */
+  private val sharedCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.DataFrame]()
+
   private def materialize(df: org.apache.spark.sql.DataFrame)
-  : org.apache.spark.sql.DataFrame = {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    p.count()
-    p
+  : org.apache.spark.sql.DataFrame =
+    if (sys.env.get("GRAFT_MATERIALIZE").contains("off")) df
+    else {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      sharedCaches.add(p)
+      p
+    }
+
+  /** Cache contract for `queries` entries that pin a shared intermediate
+    * (currently l13): the persist lives until the caller either evaluates
+    * the returned DataFrame and calls this, or clears the whole Spark
+    * cache. Verify and Bench both do so after each query; library users
+    * composing `queries` directly own the same responsibility.
+    */
+  def releaseShared(): Unit = {
+    var df = sharedCaches.poll()
+    while (df != null) { df.unpersist(blocking = false); df = sharedCaches.poll() }
   }
 
   /** Max docs per LSH bucket before its pair explosion is skipped: a
@@ -334,19 +360,21 @@ object LlmQueries {
     // ---- l08: n-gram Jaccard similarity on blocked pairs --------------
     // Token-bigram Jaccard over a deterministic candidate block (adjacent
     // doc ids within a language). 100 TB: the blocking key replaces
-    // all-pairs; set ops are per-pair map work. The gram pipeline (split +
-    // shingle + array_distinct, the dominant cost) is materialized ONCE —
-    // r2 inlined the CTE into both self-join sides and shingled the corpus
-    // twice; at scale the materialization is a checkpoint/temp table, here
-    // an in-memory persist the join's two scans share.
+    // all-pairs; set ops are per-pair map work. The gram pipeline feeds
+    // both self-join sides UNCACHED: the r6 median-of-5 A/B showed the
+    // persist costs as much as it saves here (2.48s uncached vs 2.67s
+    // cached at sf0.1) — the sort-merge self-join shuffles both sides
+    // identically, so Spark's ReusedExchange computes the gram pipeline
+    // once anyway, and the cache write/read of the big gram arrays is pure
+    // overhead on top.
     "l08_ngram_jaccard" -> { (s, dir) =>
       Tables.registerAll(s, dir)
       graft.functions.NGramFunctions.register(s)
       // bigram extraction via the codegen'd word_ngrams (the transform/
       // slice/array_join lambda it replaces ran interpreted per element)
-      val g = materialize(s.sql(
+      val g = s.sql(
         """SELECT doc_id, lang, array_distinct(word_ngrams(text, 2)) AS grams
-          |FROM documents WHERE size(split(text, ' ')) >= 2""".stripMargin))
+          |FROM documents WHERE size(split(text, ' ')) >= 2""".stripMargin)
       g.createOrReplaceTempView("l08_grams")
       s.sql(
         """WITH pairs AS (
@@ -426,12 +454,13 @@ object LlmQueries {
         s"(CASE WHEN s$b > 0 THEN ${1 << b} ELSE 0 END)"
       }.mkString(" + ")
       val flips = (0 until 8).map(b => s"simhash ^ ${1 << b}").mkString(", ")
-      // The fingerprint table feeds BOTH sides of the probe join; Spark
-      // inlines CTEs, so without materialization the token explode +
-      // per-token md5 (the dominant cost) runs twice — the same
-      // double-eval trap l08/l13 hit in earlier rounds. Materialize the
-      // tiny (doc_id, simhash) result once; both join sides read the cache.
-      val f = materialize(s.sql(
+      // The fingerprint table feeds BOTH sides of the probe join UNCACHED:
+      // the r5 materialize() was a measured pessimization (r6 median-of-5
+      // A/B at sf0.1: 2.36s uncached vs 4.53s cached) — the persist's
+      // extra job + cache traffic costs more than the second fingerprint
+      // evaluation, and the probe side's explode shares the build's
+      // aggregation exchange via ReusedExchange regardless.
+      val f = s.sql(
         s"""WITH tok AS (
            |  SELECT doc_id, explode(split(text, ' ')) AS w
            |  FROM (SELECT /*+ REPARTITION */ doc_id, text FROM documents)
@@ -440,7 +469,7 @@ object LlmQueries {
            |), v AS (
            |  SELECT doc_id, $votes FROM tb GROUP BY doc_id
            |)
-           |SELECT doc_id, CAST($hash AS INT) AS simhash FROM v""".stripMargin))
+           |SELECT doc_id, CAST($hash AS INT) AS simhash FROM v""".stripMargin)
       f.createOrReplaceTempView("l11_f")
       s.sql(
         s"""WITH probes AS (

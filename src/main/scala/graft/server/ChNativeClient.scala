@@ -96,6 +96,8 @@ final class ChNativeClient(host: String, port: Int,
           ChProto.readVarint(in) match {
             case ChProto.Server.Data =>
               nextBlock = ChProto.readDataBlock(in, compressed = compression)
+            case ChProto.Server.Progress =>
+              ChProto.readProgress(in) // informational; keep draining
             case ChProto.Server.EndOfStream => done = true; broken = false
             case ChProto.Server.Exception => throw readException()
             case other => sys.error(s"unexpected server packet $other")

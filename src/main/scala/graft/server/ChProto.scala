@@ -27,8 +27,32 @@ object ChProto {
     val Hello = 0L; val Query = 1L; val Data = 2L; val Cancel = 3L; val Ping = 4L
   }
   object Server {
-    val Hello = 0L; val Data = 1L; val Exception = 2L; val Pong = 4L
-    val EndOfStream = 5L
+    val Hello = 0L; val Data = 1L; val Exception = 2L; val Progress = 3L
+    val Pong = 4L; val EndOfStream = 5L
+  }
+
+  /** Progress packet body (protocol.rs:147-152 lists the code; the field
+    * layout is the CH wire's: read rows/bytes, total-rows estimate, and —
+    * revision >= 54372 — written rows/bytes, all varints). The reference
+    * never emits these; we do, so long streamed results are observably
+    * alive instead of silent until EndOfStream.
+    */
+  def writeProgress(out: OutputStream, readRows: Long, readBytes: Long,
+                    totalRows: Long = 0L): Unit = {
+    writeVarint(out, Server.Progress)
+    writeVarint(out, readRows)
+    writeVarint(out, readBytes)
+    writeVarint(out, totalRows)
+    writeVarint(out, 0L) // written rows
+    writeVarint(out, 0L) // written bytes
+  }
+
+  /** Skip a Progress packet body already identified by its code. */
+  def readProgress(in: InputStream): (Long, Long) = {
+    val rows = readVarint(in)
+    val bytes = readVarint(in)
+    readVarint(in); readVarint(in); readVarint(in)
+    (rows, bytes)
   }
 
   val ServerName = "GraftSpark"

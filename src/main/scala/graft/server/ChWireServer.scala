@@ -136,13 +136,25 @@ final class ChWireServer(spark: SparkSession, port: Int = 0) {
     val _cliProto = ChProto.readVarint(in)
     val _quotaKey = ChProto.readStr(in)
     val _cliPatch = ChProto.readVarint(in)
-    // settings: (name, ...) pairs terminated by an empty name — only the
-    // empty set is accepted, like the reference (messages.rs:305-330)
-    val firstSetting = ChProto.readStr(in)
-    if (firstSetting.nonEmpty) {
-      ChProto.writeException(out, 1003, "UNSUPPORTED_SETTINGS",
-        s"per-query settings not supported: $firstSetting")
-      return
+    // settings: (name, flags varint, value string) triples terminated by an
+    // empty name — the STRINGS_WITH_FLAGS serialization every current
+    // client sends (and the only shape the reference's format_csv_delimiter
+    // carve-out survives: its two read_str calls parse flags=0 as an empty
+    // string, messages.rs:305-330). The reference rejects any other
+    // setting; real clients send max_threads/max_block_size on every
+    // query, so here recognized names are APPLIED and the rest read and
+    // ignored. max_block_size overrides the result-block row cap for this
+    // query only.
+    var blockRows = BlockRows
+    var settingName = ChProto.readStr(in)
+    while (settingName.nonEmpty) {
+      val _flags = ChProto.readVarint(in)
+      val value = ChProto.readStr(in)
+      if (settingName == "max_block_size")
+        scala.util.Try(value.toLong).toOption
+          .filter(n => n >= 1L && n <= (1L << 20))
+          .foreach(n => blockRows = n.toInt)
+      settingName = ChProto.readStr(in)
     }
     val _stage = ChProto.readVarint(in)
     // compression=1 switches BOTH directions to LZ4+CityHash frames for the
@@ -186,9 +198,17 @@ final class ChWireServer(spark: SparkSession, port: Int = 0) {
             // learn the result structure even when no rows come back
             ChProto.writeDataBlock(out, schema, Seq.empty,
               isU64 = u64, compress = compress)
-            df.toLocalIterator().asScala.grouped(BlockRows)
-              .foreach(rows => ChProto.writeDataBlock(out, schema, rows.toSeq,
-                isU64 = u64, compress = compress))
+            // a Progress packet precedes every data block so long results
+            // are observably alive; Progress bodies are never compressed
+            // (only Data blocks go through the LZ4 frame transport)
+            var rowsSent = 0L
+            df.toLocalIterator().asScala.grouped(blockRows)
+              .foreach { rows =>
+                rowsSent += rows.size
+                ChProto.writeProgress(out, rowsSent, 0L)
+                ChProto.writeDataBlock(out, schema, rows.toSeq,
+                  isU64 = u64, compress = compress)
+              }
           }
           ChProto.writeEndOfStream(out)
       }

@@ -153,6 +153,33 @@ class ChWireSpec extends AnyFunSuite {
     }
   }
 
+  test("per-query settings are applied (max_block_size) or ignored (unknown)") {
+    val server = new ChWireServer(spark).start()
+    val client = new WireTestClient(server.boundPort)
+    try {
+      client.hello()
+      // max_block_size=3 over a 10-row result: blocks are capped at 3 rows
+      // (header + 4 data blocks), and the data still round-trips intact.
+      // max_threads — which every real client sends — is read and ignored
+      // rather than rejected (the reference throws, messages.rs:305-330).
+      val (blocks, progress) = client.queryWithProgress(
+        "SELECT number AS id FROM numbers(10) ORDER BY id",
+        settings = Seq("max_block_size" -> "3", "max_threads" -> "8"))
+      val data = blocks.filter(_.nRows > 0)
+      assert(data.map(_.nRows) === Seq(3, 3, 3, 1))
+      assert(data.flatMap(_.columns.head.values) === (0L until 10L))
+      // a Progress packet precedes each data block, cumulative rows
+      assert(progress === Seq(3L, 6L, 9L, 10L))
+      // malformed values fall back to the default block size
+      val ok = client.query("SELECT 1 AS x",
+        settings = Seq("max_block_size" -> "not-a-number"))
+      assert(ok.exists(_.nRows === 1))
+    } finally {
+      client.close()
+      server.stop()
+    }
+  }
+
   test("old client revisions are rejected like the reference (messages.rs:255)") {
     val server = new ChWireServer(spark).start()
     val sock = new Socket("127.0.0.1", server.boundPort)

@@ -232,6 +232,59 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(g.sql("SELECT count(*) AS n FROM opt_tab").collect()(0).getLong(0) === 1L)
   }
 
+  test("OPTIMIZE TABLE compacts small files per partition, data identical " +
+    "(exceeds the reference's flush stub, mgmt.rs:923-941)") {
+    def parquetFiles(table: String): Map[String, Int] = {
+      val loc = new java.io.File(new java.net.URI(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table, Some("default"))
+        ).location.toString).getPath)
+      loc.listFiles.filter(_.isDirectory).map { d =>
+        d.getName -> d.listFiles.count(_.getName.endsWith(".parquet"))
+      }.toMap
+    }
+    g.sql("DROP TABLE IF EXISTS opt_frag")
+    g.sql("CREATE TABLE opt_frag(id Int64, d Date) ENGINE=BaseStorage " +
+      "PARTITION BY toYear(d)")
+    // 4 INSERT statements x 2 years -> 4 files in each partition dir
+    (1 to 4).foreach(i => g.sql(
+      s"INSERT INTO opt_frag VALUES ($i, '2021-03-0$i'), (${i + 10}, '2022-07-0$i')"))
+    val before = parquetFiles("opt_frag")
+    assert(before === Map("__ptk=2021" -> 4, "__ptk=2022" -> 4))
+    val rowsBefore = g.sql("SELECT id, d FROM opt_frag ORDER BY id")
+      .collect().map(_.toString).toSeq
+
+    g.sql("OPTIMIZE TABLE opt_frag")
+    // each dir collapses to its target file count (1 at this size)
+    assert(parquetFiles("opt_frag") === Map("__ptk=2021" -> 1, "__ptk=2022" -> 1))
+    val rowsAfter = g.sql("SELECT id, d FROM opt_frag ORDER BY id")
+      .collect().map(_.toString).toSeq
+    assert(rowsAfter === rowsBefore)
+
+    // idempotent: a second OPTIMIZE finds nothing fragmented and rewrites
+    // nothing (same single file per dir)
+    g.sql("OPTIMIZE TABLE opt_frag")
+    assert(parquetFiles("opt_frag") === Map("__ptk=2021" -> 1, "__ptk=2022" -> 1))
+    g.sql("DROP TABLE opt_frag")
+  }
+
+  test("OPTIMIZE TABLE compacts unpartitioned tables too") {
+    g.sql("DROP TABLE IF EXISTS opt_flat")
+    g.sql("CREATE TABLE opt_flat(a Int64)")
+    (1 to 3).foreach(i => g.sql(s"INSERT INTO opt_flat VALUES ($i), (${i * 10})"))
+    val loc = new java.io.File(new java.net.URI(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("opt_flat", Some("default"))
+      ).location.toString).getPath)
+    def nFiles = loc.listFiles.count(_.getName.endsWith(".parquet"))
+    assert(nFiles >= 3) // one-plus file per INSERT statement
+    g.sql("OPTIMIZE TABLE opt_flat")
+    assert(nFiles === 1)
+    assert(g.sql("SELECT CAST(sum(a) AS BIGINT) AS s FROM opt_flat")
+      .collect()(0).getLong(0) === 66L)
+    g.sql("DROP TABLE opt_flat")
+  }
+
   test("EXPLAIN returns a formatted plan (bql.pest:10)") {
     g.sql("DROP TABLE IF EXISTS exp_tab")
     g.sql("CREATE TABLE exp_tab(a Int32)")

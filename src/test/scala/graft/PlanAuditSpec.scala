@@ -20,8 +20,35 @@ class PlanAuditSpec extends AnyFunSuite {
   // apples to apples
   private val sfDir = "/root/testdata/sf0.01"
 
-  private val ShuffleEx = """(?m)^\(\d+\) Exchange""".r
-  private def shuffles(plan: String): Int = ShuffleEx.findAllIn(plan).length
+  /** Distinct shuffle exchanges in the plan TREE. Counting raw
+    * `(N) Exchange` lines in the operator body (the r1-r5 counter)
+    * double-counts cached subtrees: a formatted plan renders an
+    * InMemoryRelation's AQE plan once per InMemoryTableScan consumer, and
+    * each rendering repeats the same exchange under `== Final Plan ==`
+    * (same id) AND `== Initial Plan ==` (a different id) — l13's r5
+    * "7 -> 8 regression" was exactly that artifact, while its real
+    * at-execution shuffle count went DOWN. So: walk only the tree section,
+    * skip `== Initial Plan ==` regions (indentation-delimited), and dedupe
+    * by operator id so a reused/cached exchange counts once.
+    */
+  private def shuffles(plan: String): Int = {
+    val tree = plan.linesIterator
+      .takeWhile(l => !l.matches("""^\(\d+\) .*""")).toVector
+    val ex = """(?<![A-Za-z])Exchange \((\d+)\)""".r
+    val ids = scala.collection.mutable.Set.empty[String]
+    var skipIndent = -1
+    tree.foreach { l =>
+      val indent = l.indexWhere(!_.isWhitespace) match {
+        case -1 => Int.MaxValue; case i => i
+      }
+      if (skipIndent >= 0 && indent < skipIndent) skipIndent = -1
+      if (skipIndent < 0) {
+        if (l.contains("== Initial Plan ==")) skipIndent = indent
+        else ex.findAllMatchIn(l).foreach(m => ids += m.group(1))
+      }
+    }
+    ids.size
+  }
   private def cartesian(plan: String): Boolean = plan.contains("CartesianProduct")
 
   test("no query plan grew a cartesian product or extra shuffles vs plans/") {

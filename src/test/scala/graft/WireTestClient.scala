@@ -41,7 +41,8 @@ final class WireTestClient(port: Int, compression: Boolean = false) {
     ChProto.readVarint(in) == ChProto.Server.Pong
   }
 
-  private def sendQueryPacket(sql: String): Unit = {
+  private def sendQueryPacket(sql: String,
+                              settings: Seq[(String, String)] = Nil): Unit = {
     ChProto.writeVarint(out, ChProto.Client.Query)
     ChProto.writeStr(out, "test-query-id")
     ChProto.writeVarint(out, 1) // query kind: initial
@@ -53,7 +54,13 @@ final class WireTestClient(port: Int, compression: Boolean = false) {
     ChProto.writeVarint(out, ChProto.Revision)
     ChProto.writeStr(out, "") // quota key
     ChProto.writeVarint(out, 0) // client patch
-    ChProto.writeStr(out, "") // settings: empty set
+    // settings as STRINGS_WITH_FLAGS triples, empty-name terminated
+    settings.foreach { case (name, value) =>
+      ChProto.writeStr(out, name)
+      ChProto.writeVarint(out, 0) // flags
+      ChProto.writeStr(out, value)
+    }
+    ChProto.writeStr(out, "") // settings terminator
     ChProto.writeVarint(out, 2) // stage: complete
     ChProto.writeVarint(out, if (compression) 1 else 0)
     ChProto.writeStr(out, sql)
@@ -61,14 +68,25 @@ final class WireTestClient(port: Int, compression: Boolean = false) {
   }
 
   /** Send a Query packet; gather data blocks until EndOfStream. */
-  def query(sql: String): Seq[ChProto.WireBlock] = {
-    sendQueryPacket(sql)
+  def query(sql: String,
+            settings: Seq[(String, String)] = Nil): Seq[ChProto.WireBlock] =
+    queryWithProgress(sql, settings)._1
+
+  /** Like [[query]] but also returns the cumulative row counts carried by
+    * the server's Progress packets, in arrival order.
+    */
+  def queryWithProgress(sql: String, settings: Seq[(String, String)] = Nil)
+  : (Seq[ChProto.WireBlock], Seq[Long]) = {
+    sendQueryPacket(sql, settings)
     val blocks = Vector.newBuilder[ChProto.WireBlock]
+    val progress = Vector.newBuilder[Long]
     var done = false
     while (!done) {
       ChProto.readVarint(in) match {
         case ChProto.Server.Data =>
           blocks += ChProto.readDataBlock(in, compressed = compression)
+        case ChProto.Server.Progress =>
+          progress += ChProto.readProgress(in)._1
         case ChProto.Server.EndOfStream => done = true
         case ChProto.Server.Exception =>
           ChProto.readBytes(in, 4)
@@ -79,7 +97,7 @@ final class WireTestClient(port: Int, compression: Boolean = false) {
         case other => sys.error(s"unexpected server packet $other")
       }
     }
-    blocks.result()
+    (blocks.result(), progress.result())
   }
 
   /** First non-empty result block's column values, or empty. */
