@@ -20,7 +20,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ JoinQueries.queries ++ WindowQueries.queries ++
       SetQueries.queries ++ DdlQueries.queries ++ LlmQueries.queries ++
-      FuncQueries.queries ++ TpchQueries.queries ++ SourceQueries.queries
+      FuncQueries.queries ++ TpchQueries.queries ++ SourceQueries.queries ++
+      AsofRangeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a weaker rows-only check.
@@ -28,5 +29,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ JoinQueries.oracles ++ WindowQueries.oracles ++
       SetQueries.oracles ++ DdlQueries.oracles ++ LlmQueries.oracles ++
-      FuncQueries.oracles ++ TpchQueries.oracles ++ SourceQueries.oracles
+      FuncQueries.oracles ++ TpchQueries.oracles ++ SourceQueries.oracles ++
+      AsofRangeQueries.oracles
 }

@@ -816,6 +816,69 @@ object LlmQueries {
           sum(col("n_pixels_sampled")).cast("long").as("sum_pixels"),
           sum(col("sum_frame_ids")).cast("long").as("sum_frame_ids"))
         .orderBy(col("n_frames"))
+    },
+
+    // ---- l20: corpus TF-IDF term scoring -------------------------------
+    // Top terms by tf·idf (idf = ln(N/df)) — the keyword/vocabulary stats
+    // pass of a curation pipeline. 100 TB: one shuffle on term for the
+    // (tf, df) aggregate; the corpus size N is a scalar broadcast. The
+    // double product is rounded to 4 places on both engines (same
+    // convention as f11's transcendental pack).
+    "l20_tfidf_terms" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """WITH tok AS (
+          |  SELECT doc_id, w
+          |  FROM (SELECT /*+ REPARTITION */ doc_id, text FROM documents)
+          |  LATERAL VIEW explode(split(text, ' ')) t AS w
+          |  WHERE w <> ''
+          |), stats AS (
+          |  SELECT w AS term, count(*) AS tf, count(DISTINCT doc_id) AS df
+          |  FROM tok GROUP BY w
+          |), n AS (SELECT count(*) AS n_docs FROM documents)
+          |SELECT term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+          |  round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+          |FROM stats CROSS JOIN n
+          |ORDER BY tfidf DESC, term
+          |LIMIT 25""".stripMargin)
+    },
+
+    // ---- l21: PII scan + redaction accounting --------------------------
+    // Regex PII detection (emails, SSN-shaped ids) and redaction length
+    // accounting per source. The corpus is synthetic, so deterministic PII
+    // is INJECTED first (doc_id-derived, identically in both engines) and
+    // then found again — the scan/redact machinery under test is real:
+    // regexp_extract_all + global regexp_replace, pure map work (one small
+    // per-source aggregate at the end; no shuffle touches full texts).
+    // Patterns use [.]/[0-9] classes — no backslash, so Spark (Java regex)
+    // and DuckDB (RE2) parse the identical pattern string.
+    "l21_pii_scan" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
+      val ssn = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+      s.sql(
+        s"""WITH aug AS (
+           |  SELECT doc_id, source,
+           |    CASE
+           |      WHEN doc_id % 7 = 0 THEN concat(text, ' contact user',
+           |        CAST(doc_id AS STRING), '@example.com now')
+           |      WHEN doc_id % 11 = 0 THEN concat(text, ' id ',
+           |        lpad(CAST(doc_id % 1000 AS STRING), 3, '0'), '-45-6789 on file')
+           |      ELSE text END AS text
+           |  FROM documents
+           |), scanned AS (
+           |  SELECT source,
+           |    size(regexp_extract_all(text, '$email', 0)) AS n_email,
+           |    size(regexp_extract_all(text, '$ssn', 0)) AS n_ssn,
+           |    length(text) - length(regexp_replace(text, '$email|$ssn', '[PII]'))
+           |      AS chars_redacted
+           |  FROM aug
+           |)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_email) AS BIGINT) AS n_emails,
+           |  CAST(sum(n_ssn) AS BIGINT) AS n_ssn,
+           |  CAST(sum(chars_redacted) AS BIGINT) AS chars_redacted
+           |FROM scanned GROUP BY source ORDER BY source""".stripMargin)
     }
   )
 
@@ -1288,6 +1351,48 @@ object LlmQueries {
          |  CAST(sum(ns * w * h) AS BIGINT) AS sum_pixels,
          |  CAST(sum(3 * (ns * (ns - 1) // 2)) AS BIGINT) AS sum_frame_ids
          |FROM s GROUP BY nf ORDER BY nf""".stripMargin
+    },
+
+    "l20_tfidf_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |), tok2 AS (
+        |  SELECT doc_id, w FROM tok WHERE w <> ''
+        |), stats AS (
+        |  SELECT w AS term, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |  FROM tok2 GROUP BY w
+        |), n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |  round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+        |FROM stats CROSS JOIN n
+        |ORDER BY tfidf DESC, term
+        |LIMIT 25""".stripMargin,
+
+    "l21_pii_scan" -> {
+      val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
+      val ssn = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+      s"""WITH aug AS (
+         |  SELECT doc_id, source,
+         |    CASE
+         |      WHEN doc_id % 7 = 0 THEN concat(text, ' contact user',
+         |        CAST(doc_id AS VARCHAR), '@example.com now')
+         |      WHEN doc_id % 11 = 0 THEN concat(text, ' id ',
+         |        lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-45-6789 on file')
+         |      ELSE text END AS text
+         |  FROM documents
+         |), scanned AS (
+         |  SELECT source,
+         |    len(regexp_extract_all(text, '$email')) AS n_email,
+         |    len(regexp_extract_all(text, '$ssn')) AS n_ssn,
+         |    length(text) - length(regexp_replace(text, '$email|$ssn', '[PII]', 'g'))
+         |      AS chars_redacted
+         |  FROM aug
+         |)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_email) AS BIGINT) AS n_emails,
+         |  CAST(sum(n_ssn) AS BIGINT) AS n_ssn,
+         |  CAST(sum(chars_redacted) AS BIGINT) AS chars_redacted
+         |FROM scanned GROUP BY source ORDER BY source""".stripMargin
     }
   )
 }

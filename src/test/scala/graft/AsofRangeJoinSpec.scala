@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AsofJoin, RangeJoin}
+
+/** Semantics of the temporal join operators (graft.operators.{AsofJoin,
+  * RangeJoin}) on hand-built edge cases, plus an equivalence check of each
+  * scalable shape against the naive quadratic definition on the sf0.001
+  * events fixture. Full-scale oracle parity is the a01/a02 DuckDB gate.
+  */
+class AsofRangeJoinSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("asof: latest at-or-before match per key, inclusive at equal time") {
+    val left = Seq(
+      (1, ts("2024-01-01 10:00:00"), "l1"),
+      (1, ts("2024-01-01 12:00:00"), "l2"),
+      (2, ts("2024-01-01 10:30:00"), "l3"))
+      .toDF("k", "t", "name")
+    val right = Seq(
+      (1, ts("2024-01-01 09:00:00"), 9.0),
+      (1, ts("2024-01-01 10:00:00"), 10.0), // equal time: must match l1
+      (1, ts("2024-01-01 11:00:00"), 11.0),
+      (2, ts("2024-01-01 11:00:00"), 99.0)) // after l3: no match
+      .toDF("k", "rt", "v")
+    val out = AsofJoin.backward(left, right, "k", "t", "rt", Seq("v"))
+      .orderBy("name")
+      .select("name", "v").as[(String, Option[Double])].collect()
+    assert(out === Seq(("l1", Some(10.0)), ("l2", Some(11.0)), ("l3", None)))
+  }
+
+  test("asof: equals the per-row naive definition on real events") {
+    val ev = Tables(spark, SparkTestSession.sf, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("v"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val fast = AsofJoin.backward(clicks, views, "user_id", "ts", "ts", Seq("v"))
+      .select(col("event_id"), col("v"))
+    // naive: join all pairs with rt <= t, keep the max-rt row per click
+    val naive = clicks.join(
+        views.select(col("user_id").as("vu"), col("ts").as("rt"), col("v")),
+        col("user_id") === col("vu") && col("rt") <= col("ts"), "left")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_id")).orderBy(col("rt").desc_nulls_last)))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("v"))
+    assert(fast.count() === clicks.count())
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+
+  test("range: bin straddling and [start, end) bounds are exact") {
+    // bin = 60s; interval straddles two bins; end is exclusive
+    val intervals = Seq((1, ts("2024-01-01 10:00:30"), ts("2024-01-01 10:01:30")))
+      .toDF("iid", "s", "e")
+    val points = Seq(
+      (10, ts("2024-01-01 10:00:29")), // before start
+      (11, ts("2024-01-01 10:00:30")), // == start: in
+      (12, ts("2024-01-01 10:00:59")), // bin 1: in
+      (13, ts("2024-01-01 10:01:29")), // bin 2: in
+      (14, ts("2024-01-01 10:01:30"))) // == end: out (exclusive)
+      .toDF("pid", "t")
+    val got = RangeJoin.pointInInterval(intervals, "s", "e", points, "t", 60L)
+      .select("pid").as[Int].collect().sorted
+    assert(got === Seq(11, 12, 13))
+  }
+
+  test("range: equals the naive inequality join on real events, no dup pairs") {
+    val ev = Tables(spark, SparkTestSession.sf, "events")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("ts").as("err_ts"),
+        (col("ts") + expr("INTERVAL 15 MINUTES")).as("err_end"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val fast = RangeJoin.pointInInterval(errors, "err_ts", "err_end",
+        clicks, "click_ts", 900L)
+      .select(col("err_id"), col("click_id"))
+    val naive = errors.join(clicks,
+        col("click_ts") >= col("err_ts") && col("click_ts") < col("err_end"))
+      .select(col("err_id"), col("click_id"))
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+    // each true pair meets in exactly one bin — no dedup hidden anywhere
+    assert(fast.count() === fast.distinct().count())
+  }
+}
