@@ -90,4 +90,54 @@ class AsofRangeJoinSpec extends AnyFunSuite {
     // each true pair meets in exactly one bin — no dedup hidden anywhere
     assert(fast.count() === fast.distinct().count())
   }
+
+  test("asof: random datasets match the naive definition (seeded property)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { _ =>
+      // small key/time domains force collisions: equal times across sides,
+      // keys with only-left or only-right rows
+      val left = (0 until (150 + rnd.nextInt(100)))
+        .map(i => (rnd.nextInt(8), rnd.nextInt(500).toLong, i.toLong))
+        .toDF("k", "t", "lid")
+      val right = (0 until 120)
+        .map(_ => (rnd.nextInt(10), rnd.nextInt(500).toLong, rnd.nextDouble()))
+        .toDF("k", "rt", "v")
+        .groupBy("k", "rt").agg(max(col("v")).as("v")) // unique per (k, rt)
+      val fast = AsofJoin.backward(left, right, "k", "t", "rt", Seq("v"))
+        .select(col("lid"), col("v"))
+      val naive = left.join(
+          right.withColumnRenamed("k", "rk"),
+          col("k") === col("rk") && col("rt") <= col("t"), "left")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lid")).orderBy(col("rt").desc_nulls_last)))
+        .filter(col("rn") === 1)
+        .select(col("lid"), col("v"))
+      assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+    }
+  }
+
+  test("range: random intervals match the naive join across bin widths") {
+    val rnd = new scala.util.Random(7)
+    Seq(7L, 60L, 900L).foreach { bin =>
+      // spans from 0 (degenerate, matches nothing) to many-bin straddles
+      val intervals = (0 until 60).map { i =>
+        val s0 = rnd.nextInt(50000)
+        (i.toLong, s0.toLong, (s0 + rnd.nextInt(4) * rnd.nextInt(1500)).toLong)
+      }.toDF("iid", "su", "eu")
+        .select(col("iid"), timestamp_seconds(col("su")).as("s"),
+          timestamp_seconds(col("eu")).as("e"))
+      val points = (0 until 250)
+        .map(i => (i.toLong, rnd.nextInt(55000).toLong))
+        .toDF("pid", "pu")
+        .select(col("pid"), timestamp_seconds(col("pu")).as("t"))
+      val fast = RangeJoin.pointInInterval(intervals, "s", "e", points, "t", bin)
+        .select(col("iid"), col("pid"))
+      val naive = intervals.join(points,
+          col("t") >= col("s") && col("t") < col("e"))
+        .select(col("iid"), col("pid"))
+      assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty,
+        s"bin=$bin")
+    }
+  }
 }
