@@ -13,10 +13,12 @@ import org.apache.spark.sql.functions._
   * `count()` lets Catalyst prune the very projections being timed
   * (VERDICT defect #4). Failures are recorded per query and fail the run.
   *
-  * Each query is timed `--reps` times (default 3) with the cache cleared
+  * Each query is timed `--reps` times (default 5) with the cache cleared
   * between runs, and the JSON reports the MEDIAN plus min/max per query:
   * single-shot numbers on this box swing up to 10x run-to-run (VERDICT r5
-  * "What's wrong" #2), so only medians are comparable across rounds.
+  * "What's wrong" #2), and ambient stalls hit multi-second even on
+  * trivial queries (PERF.md r6 caveat) — a median of 5 tolerates two
+  * stalled samples where a median of 3 tolerates one.
   * `--queries a,b` restricts the loop for A/B work; `--anchors-only` skips
   * it entirely.
   *
@@ -46,7 +48,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val reps = argValue(args, "--reps").map(_.toInt).getOrElse(3)
+    val reps = argValue(args, "--reps").map(_.toInt).getOrElse(5)
     val only = argValue(args, "--queries").map(_.split(",").toSet)
     val spark = Sessions.build("graft-bench",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
