@@ -32,7 +32,10 @@ object RangeJoin {
     * `start`/`end`/`time` must be TIMESTAMP columns; `binSeconds` is the
     * bucket width (choose ≈ the typical interval length).
     * Output: all interval columns + all point columns (names must not
-    * collide; rename beforehand).
+    * collide; rename beforehand). Empty and inverted intervals
+    * (`end <= start`) contain no point under the exclusive-end predicate
+    * and are dropped up front — without the guard, `sequence(a, b)` on an
+    * inverted interval would DESCEND through wrong bins.
     */
   def pointInInterval(intervals: DataFrame, start: String, end: String,
                       points: DataFrame, time: String,
@@ -45,7 +48,7 @@ object RangeJoin {
     // Intervals cover bins floor(start/bin) .. floor(end/bin); `end` is
     // exclusive but a point in end's bin can still precede it, so that bin
     // is included and the exact predicate decides.
-    val i = intervals.withColumn(BinCol,
+    val i = intervals.filter(col(end) > col(start)).withColumn(BinCol,
       explode(sequence(floor(unix_micros(col(start)) / binUs),
         floor(unix_micros(col(end)) / binUs))))
     val p = points.withColumn(BinCol,

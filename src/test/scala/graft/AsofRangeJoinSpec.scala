@@ -120,10 +120,12 @@ class AsofRangeJoinSpec extends AnyFunSuite {
   test("range: random intervals match the naive join across bin widths") {
     val rnd = new scala.util.Random(7)
     Seq(7L, 60L, 900L).foreach { bin =>
-      // spans from 0 (degenerate, matches nothing) to many-bin straddles
+      // spans from inverted (end < start: must match nothing, not descend
+      // through wrong bins) through 0 (degenerate) to many-bin straddles
       val intervals = (0 until 60).map { i =>
         val s0 = rnd.nextInt(50000)
-        (i.toLong, s0.toLong, (s0 + rnd.nextInt(4) * rnd.nextInt(1500)).toLong)
+        (i.toLong, s0.toLong,
+          (s0 + (rnd.nextInt(5) - 1) * rnd.nextInt(1500)).toLong)
       }.toDF("iid", "su", "eu")
         .select(col("iid"), timestamp_seconds(col("su")).as("s"),
           timestamp_seconds(col("eu")).as("e"))
