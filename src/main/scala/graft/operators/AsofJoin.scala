@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** As-of (temporal backward) join — an operator the reference engine lacks
   * entirely (no sort-merge/range/as-of machinery anywhere in its DataFusion
@@ -17,8 +18,15 @@ import org.apache.spark.sql.functions._
   *
   *   union(right(key, t, payload...), left(key, t, cols...))
   *     → Window.partitionBy(key).orderBy(t, side).rowsBetween(-inf, 0)
-  *     → last(payload, ignoreNulls) over the window
+  *     → last(payload-struct, ignoreNulls) over the window
   *     → keep left rows
+  *
+  * The payload travels as ONE struct column, not per-column carries: a
+  * per-column `last(_, ignoreNulls)` would backfill a null field of the
+  * latest right row from an OLDER right row, emitting a payload combination
+  * that never existed. The struct is non-null exactly when a right row
+  * exists, so the whole row wins or loses atomically — matching ASOF
+  * semantics even when payload fields are null.
   *
   * Cost: ONE shuffle of |L|+|R| rows on the key (the window sort), linear
   * work per row, no candidate-pair blowup — the same plan holds at 100 TB,
@@ -35,6 +43,7 @@ object AsofJoin {
 
   private val SideTag = "__asof_side"
   private val TimeCol = "__asof_t"
+  private val PayloadCol = "__asof_p"
 
   /** Backward as-of join, left-outer semantics (unmatched left rows keep
     * null payloads).
@@ -53,14 +62,18 @@ object AsofJoin {
     require(!payload.contains(key), s"payload must not repeat the key '$key'")
     require(payload.toSet.intersect(leftCols.toSet).isEmpty,
       s"payload ${payload.mkString(",")} collides with left columns")
+    val reserved = Set(SideTag, TimeCol, PayloadCol)
+    require(reserved.intersect((leftCols ++ payload :+ key).toSet).isEmpty,
+      s"column names ${reserved.mkString(",")} are reserved by AsofJoin")
 
+    val payloadType = StructType(payload.map(c => right.schema(c)))
     val r = right.select(
       col(key) +: (col(rightTime).as(TimeCol) +: lit(0).as(SideTag) +:
-        (payload.map(col) ++
+        (struct(payload.map(col): _*).as(PayloadCol) +:
           leftCols.filterNot(_ == key).map(c => lit(null).as(c)))): _*)
     val l = left.select(
       col(key) +: (col(leftTime).as(TimeCol) +: lit(1).as(SideTag) +:
-        (payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+        (lit(null).cast(payloadType).as(PayloadCol) +:
           leftCols.filterNot(_ == key).map(col))): _*)
 
     val w = Window.partitionBy(col(key))
@@ -68,10 +81,11 @@ object AsofJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     r.unionByName(l)
-      .select((leftCols.map(col) ++
-        payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)) :+
+      .select((leftCols.map(col) :+
+        last(col(PayloadCol), ignoreNulls = true).over(w).as(PayloadCol) :+
         col(SideTag)): _*)
       .filter(col(SideTag) === 1)
-      .drop(SideTag)
+      .select((leftCols.map(col) ++
+        payload.map(p => col(s"$PayloadCol.$p").as(p))): _*)
   }
 }

@@ -17,13 +17,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * is final and identical to the batch operator's. Until then the click
   * waits in per-user state.
   *
-  * State is bounded on both sides, which is what makes this run at
-  * 100 TB/day ingest: buffered clicks live only until the watermark
-  * passes them (≤ horizon), and the view history is pruned to the single
-  * latest view at-or-below the watermark (the "floor" — every older view
-  * is dominated by it for any future click) plus the in-horizon tail.
-  * Idle users' state is dropped by an event-time timeout one horizon
-  * after their last activity.
+  * State bounds, explicitly: buffered clicks live only until the
+  * watermark passes them (≤ one horizon), and view history is pruned to
+  * the single latest view at-or-below the watermark (the "floor" — every
+  * older view is dominated by it for any future click) plus the
+  * in-horizon tail. What remains is ONE floor row per user ever seen.
+  * By default that floor is kept forever (`retainIdleUs = Long.MaxValue`),
+  * which is what exact batch parity requires: a click arriving after a
+  * year of idleness still matches the old view, so the state cost of
+  * exactness is O(distinct users), a few dozen bytes each, with no timer
+  * churn (no timeout is armed for idle users). Pipelines that prefer
+  * bounded state over long-gap matches pass a finite `retainIdleUs`:
+  * a user idle past it has their state removed by event-time timeout, and
+  * a click after the gap reports no match.
   */
 object AsofStreams {
 
@@ -32,9 +38,11 @@ object AsofStreams {
 
   /** views: ascending (ts, value), unique by ts (max value wins — the same
     * determinism rule the batch operator requires of its build side);
-    * clicks: unmatured click timestamps, unordered.
+    * clicks: unmatured click timestamps, unordered; lastUs: max event time
+    * seen for this user (drives idle retention).
     */
-  final case class AsofState(views: List[(Long, Double)], clicks: List[Long])
+  final case class AsofState(views: List[(Long, Double)], clicks: List[Long],
+                             lastUs: Long)
 
   /** Exact epoch micros from a Timestamp (getTime alone truncates to ms). */
   private def tsMicros(t: java.sql.Timestamp): Long =
@@ -52,15 +60,16 @@ object AsofStreams {
 
   /** Enrich the `click` rows of an interleaved event stream with the
     * latest same-user `view` at-or-before each (inclusive at equal time,
-    * matching `AsofJoin.backward`). `horizonUs` must equal the watermark
-    * delay: it bounds both lateness and state lifetime.
+    * matching `AsofJoin.backward`). `horizonUs` is both the watermark
+    * delay and the lateness bound; `retainIdleUs` is the idle-state
+    * retention policy described above.
     */
   def asofEnrich(spark: SparkSession, events: DataFrame,
-                 watermark: String = "30 minutes",
-                 horizonUs: Long = 30L * 60 * 1000 * 1000): Dataset[Enriched] = {
+                 horizonUs: Long = 30L * 60 * 1000 * 1000,
+                 retainIdleUs: Long = Long.MaxValue): Dataset[Enriched] = {
     import spark.implicits._
     events
-      .withWatermark("ts", watermark)
+      .withWatermark("ts", s"$horizonUs microseconds")
       .filter(col("event_type").isin("view", "click"))
       .select(col("user_id"), col("ts"), col("event_type"), col("value"))
       .as[(Long, java.sql.Timestamp, String, Double)]
@@ -69,11 +78,13 @@ object AsofStreams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (uid, rows, state: GroupState[AsofState]) =>
           val wmUs = state.getCurrentWatermarkMs() * 1000L
-          val prev = state.getOption.getOrElse(AsofState(Nil, Nil))
+          val prev = state.getOption.getOrElse(AsofState(Nil, Nil, Long.MinValue))
           var views = prev.views
           var clicks = prev.clicks
+          var lastUs = prev.lastUs
           rows.foreach { case (_, t, typ, v) =>
             val us = tsMicros(t)
+            lastUs = math.max(lastUs, us)
             if (typ == "view") views = insertView(views, us, v)
             else clicks = us :: clicks
           }
@@ -92,13 +103,21 @@ object AsofStreams {
           // older views for it.
           val floor = views.takeWhile(_._1 <= wmUs).lastOption
           val kept = floor.toList ::: views.dropWhile(_._1 <= wmUs)
-          if (waiting.isEmpty && kept.isEmpty) state.remove()
+          val idleExpired = retainIdleUs != Long.MaxValue &&
+            lastUs != Long.MinValue && wmUs >= lastUs + retainIdleUs
+          if ((waiting.isEmpty && kept.isEmpty) ||
+              (waiting.isEmpty && idleExpired)) state.remove()
           else {
-            state.update(AsofState(kept, waiting))
-            // wake when the earliest waiting click matures; an idle user
-            // with only a floor view expires one horizon later instead
-            val nextUs = waiting.minOption.getOrElse(wmUs + horizonUs)
-            state.setTimeoutTimestamp(nextUs / 1000L + 1L)
+            state.update(AsofState(kept, waiting, lastUs))
+            // Arm a wake-up only when something is scheduled to happen:
+            // the earliest waiting click maturing, or — under finite
+            // retention — the idle deadline. An exact-mode idle user
+            // keeps state with NO armed timeout (zero timer churn).
+            val nextUs = waiting.minOption.orElse(
+              if (retainIdleUs != Long.MaxValue) Some(lastUs + retainIdleUs)
+              else None)
+            nextUs.foreach(n =>
+              state.setTimeoutTimestamp(math.max(n, wmUs) / 1000L + 1L))
           }
           out.iterator
       }

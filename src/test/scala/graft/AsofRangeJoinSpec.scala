@@ -18,6 +18,25 @@ class AsofRangeJoinSpec extends AnyFunSuite {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  /** The quadratic reference definition: all (left, right) pairs with
+    * rt <= t per key, keep the max-rt row per left id. Shared by both
+    * naive-equivalence tests so the spec can't silently fork.
+    */
+  private def naiveAsof(left: org.apache.spark.sql.DataFrame,
+                        right: org.apache.spark.sql.DataFrame,
+                        key: String, leftTime: String, rightTime: String,
+                        leftId: String,
+                        payload: String): org.apache.spark.sql.DataFrame =
+    left.join(
+        right.withColumnRenamed(key, "__rk")
+          .withColumnRenamed(rightTime, "__rt"),
+        col(key) === col("__rk") && col("__rt") <= col(leftTime), "left")
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(leftId)).orderBy(col("__rt").desc_nulls_last)))
+      .filter(col("__rn") === 1)
+      .select(col(leftId), col(payload))
+
   test("asof: latest at-or-before match per key, inclusive at equal time") {
     val left = Seq(
       (1, ts("2024-01-01 10:00:00"), "l1"),
@@ -44,17 +63,23 @@ class AsofRangeJoinSpec extends AnyFunSuite {
       .select(col("event_id"), col("user_id"), col("ts"))
     val fast = AsofJoin.backward(clicks, views, "user_id", "ts", "ts", Seq("v"))
       .select(col("event_id"), col("v"))
-    // naive: join all pairs with rt <= t, keep the max-rt row per click
-    val naive = clicks.join(
-        views.select(col("user_id").as("vu"), col("ts").as("rt"), col("v")),
-        col("user_id") === col("vu") && col("rt") <= col("ts"), "left")
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("event_id")).orderBy(col("rt").desc_nulls_last)))
-      .filter(col("rn") === 1)
-      .select(col("event_id"), col("v"))
+    val naive = naiveAsof(clicks, views, "user_id", "ts", "ts", "event_id", "v")
     assert(fast.count() === clicks.count())
     assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+
+  test("asof: null payload fields stay atomic — no cross-row backfill") {
+    // Right rows: (t=1, p1=5, p2=null) then (t=2, p1=null, p2=7). The
+    // as-of match for a left row at t=3 is the t=2 ROW — (null, 7). A
+    // per-column carry-forward would invent (5, 7), a row that never
+    // existed; the payload struct must win or lose atomically.
+    val left = Seq((1, 3L, 10L)).toDF("k", "t", "lid")
+    val right = Seq((1, 1L, Some(5.0), Option.empty[Double]),
+        (1, 2L, Option.empty[Double], Some(7.0)))
+      .toDF("k", "rt", "p1", "p2")
+    val out = AsofJoin.backward(left, right, "k", "t", "rt", Seq("p1", "p2"))
+      .select("p1", "p2").as[(Option[Double], Option[Double])].collect()
+    assert(out === Seq((None, Some(7.0))))
   }
 
   test("range: bin straddling and [start, end) bounds are exact") {
@@ -105,14 +130,7 @@ class AsofRangeJoinSpec extends AnyFunSuite {
         .groupBy("k", "rt").agg(max(col("v")).as("v")) // unique per (k, rt)
       val fast = AsofJoin.backward(left, right, "k", "t", "rt", Seq("v"))
         .select(col("lid"), col("v"))
-      val naive = left.join(
-          right.withColumnRenamed("k", "rk"),
-          col("k") === col("rk") && col("rt") <= col("t"), "left")
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("lid")).orderBy(col("rt").desc_nulls_last)))
-        .filter(col("rn") === 1)
-        .select(col("lid"), col("v"))
+      val naive = naiveAsof(left, right, "k", "t", "rt", "lid", "v")
       assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
     }
   }

@@ -18,10 +18,11 @@ class AsofStreamsSpec extends AnyFunSuite {
   private def us(min: Long): Long = min * 60L * 1000 * 1000
 
   private def startQuery(mem: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String, Double)],
-                         name: String) = {
+                         name: String,
+                         retainIdleUs: Long = Long.MaxValue) = {
     val events = mem.toDF().toDF("user_id", "ts_us", "event_type", "value")
       .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
-    AsofStreams.asofEnrich(spark, events).toDF()
+    AsofStreams.asofEnrich(spark, events, retainIdleUs = retainIdleUs).toDF()
       .writeStream.format("memory").queryName(name)
       .outputMode("append").start()
   }
@@ -65,6 +66,29 @@ class AsofStreamsSpec extends AnyFunSuite {
       assert(emitted().count(_._1 == 1L) === 2)
       assert(emitted().filter(_._1 == 1L).last ===
         ((1L, us(272), Some(us(108)), Some(9.9))))
+    } finally q.stop()
+  }
+
+  test("finite retainIdleUs drops an idle user's floor view") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String, Double)]
+    val q = startQuery(mem, "asof_stream_ret", retainIdleUs = us(10))
+    try {
+      // u1 views at t=100 then idles; wm advances to 170, far past the
+      // 10-minute retention deadline (110) — the timeout removes u1's state.
+      mem.addData((1L, us(100), "view", 5.0), (9L, us(200), "view", 0.0))
+      q.processAllAvailable()
+      // u1 clicks at 180 (≥ wm, accepted); mature it past wm=185.
+      mem.addData((1L, us(180), "click", 0.0))
+      q.processAllAvailable()
+      mem.addData((9L, us(215), "view", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("asof_stream_ret")
+        .filter(col("user_id") === 1L).collect()
+      assert(got.length === 1)
+      // the view would have matched under exact (infinite) retention, but
+      // the bounded policy traded the long-gap match for bounded state
+      assert(got.head.isNullAt(2) && got.head.isNullAt(3))
     } finally q.stop()
   }
 
