@@ -65,6 +65,13 @@ object Bench {
     evalAll(spark.table("lineitem").limit(64).select(col("l_orderkey")))
 
     var failed = List.empty[String]
+    // an unknown --queries name must fail loudly: silently filtering to an
+    // empty set would print a success JSON with total 0.0 — a bogus A/B arm
+    only.foreach { sel =>
+      val unknown = sel.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"unknown --queries name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val queriesToRun =
       if (args.contains("--anchors-only")) Map.empty[String, (org.apache.spark.sql.SparkSession, String) => DataFrame]
       else only.fold(SparkEntry.queries)(sel =>

@@ -374,20 +374,29 @@ class GraftSession(val spark: SparkSession) {
     java.nio.file.Paths.get(meta.location.getPath)
   }
 
-  /** Inverse of Spark's partition-dir escaping (`%XX` hex escapes only —
-    * unlike URLDecoder it must NOT turn '+' into a space).
+  /** Spark's own inverse of its partition-dir escaping — a hand-rolled
+    * copy here would have to stay bit-for-bit in sync with the writer (and
+    * an earlier one already diverged: it threw NumberFormatException on a
+    * bare '%' that Spark's helper passes through).
     */
-  private def unescapePartValue(s: String): String = {
-    val sb = new StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length) {
-        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-        i += 3
-      } else { sb.append(c); i += 1 }
+  private def unescapePartValue(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
+
+  /** The directory name Spark writes for a null/empty partition value. */
+  private def defaultPartDir: String =
+    s"$PtkCol=" + org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+
+  /** Spark's data-file listing rule: a path is data only if NO component is
+    * hidden — starts with '.' or with '_' (partition dirs like `__ptk=...`
+    * are exempt via the '=' test). Without this, leftovers under
+    * `_temporary/` from a crashed write would be swept into a compaction.
+    */
+  private def isHiddenPath(rel: java.nio.file.Path): Boolean = {
+    import scala.jdk.CollectionConverters._
+    rel.iterator.asScala.exists { seg =>
+      val n = seg.toString
+      n.startsWith(".") || (n.startsWith("_") && !n.contains("="))
     }
-    sb.toString
   }
 
   /** OPTIMIZE TABLE = small-file compaction. The reference's OPTIMIZE is a
@@ -406,9 +415,17 @@ class GraftSession(val spark: SparkSession) {
     *   - crash-safe without a lock on readers: the compacted files are
     *     APPENDED first (unique part names, atomically published by the
     *     Hadoop committer's _SUCCESS protocol), and the replaced originals
-    *     are deleted only after the write commits. A failure mid-OPTIMIZE
-    *     leaves the original files untouched and no duplicate rows
-    *     visible (uncommitted output never leaves _temporary);
+    *     are deleted only after the write commits. A failure BEFORE the
+    *     commit leaves the original files untouched and no duplicate rows
+    *     visible (uncommitted output never leaves _temporary). A failure
+    *     AFTER the commit is covered by a retire marker written right
+    *     after it (`_graft_retire`, listing the originals): until the
+    *     deletes finish, readers may see duplicate rows, and the next
+    *     OPTIMIZE replays the marker's deletes before doing anything else
+    *     — so the duplicate window is bounded, never compounded (a
+    *     re-OPTIMIZE without the marker would merge the duplicates
+    *     permanently). The only unprotected instant is between the write
+    *     commit and the marker creation, one small file write;
     *   - bucketed tables (CLUSTERED BY) keep their co-located-join layout
     *     and are left alone — their file count is fixed by the bucket
     *     spec, not by insert history.
@@ -429,20 +446,34 @@ class GraftSession(val spark: SparkSession) {
       val target = spark.conf.getOption("graft.optimize.targetFileBytes")
         .map(_.toLong).getOrElse(128L * 1024 * 1024)
       import scala.jdk.CollectionConverters._
+      // replay an interrupted predecessor's retirement first: the marker
+      // exists only AFTER its compacted files committed, so deleting the
+      // listed originals (idempotently) is always safe and removes any
+      // duplicate rows a post-commit crash left visible
+      val marker = loc.resolve("_graft_retire")
+      if (java.nio.file.Files.exists(marker)) {
+        java.nio.file.Files.readAllLines(marker).asScala
+          .filter(_.nonEmpty)
+          .foreach(p => java.nio.file.Files.deleteIfExists(loc.resolve(p)))
+        java.nio.file.Files.delete(marker)
+      }
       val walk = java.nio.file.Files.walk(loc)
       val dataFiles =
         try walk.iterator.asScala.filter(p =>
           java.nio.file.Files.isRegularFile(p) &&
             p.getFileName.toString.endsWith(".parquet") &&
-            !p.getFileName.toString.startsWith(".")).toVector
+            !isHiddenPath(loc.relativize(p))).toVector
         finally walk.close()
       def filesNeeded(fs: Seq[java.nio.file.Path]): Int = math.max(1,
         math.ceil(fs.map(java.nio.file.Files.size(_)).sum.toDouble / target).toInt)
       val needs = dataFiles.groupBy(_.getParent)
         .filter { case (dir, fs) =>
-          // null partition values land in the Hive default dir; its name
-          // does not round-trip through a column equality, so skip it
-          dir.getFileName.toString != "__HIVE_DEFAULT_PARTITION__" &&
+          // null partition values land in the Hive default dir
+          // (__ptk=__HIVE_DEFAULT_PARTITION__); its value does not
+          // round-trip through the __ptk string equality below (it reads
+          // back as NULL, which equals nothing), so compacting it would
+          // write zero rows and then delete the originals — skip it
+          dir.getFileName.toString != defaultPartDir &&
             fs.size > filesNeeded(fs)
         }
       if (needs.isEmpty) { spark.catalog.refreshTable(full); return }
@@ -477,8 +508,14 @@ class GraftSession(val spark: SparkSession) {
           .select(outCols: _*)
           .write.mode("append").insertInto(ident)
       }
-      // the compacted files are committed; retire the originals
-      needs.values.flatten.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      // the compacted files are committed; record what to retire, then
+      // delete — a crash mid-retirement is replayed from the marker by
+      // the next OPTIMIZE (see scaladoc)
+      val retired = needs.values.flatten.toSeq
+      java.nio.file.Files.write(marker,
+        retired.map(p => loc.relativize(p).toString).asJava)
+      retired.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      java.nio.file.Files.delete(marker)
       spark.catalog.refreshTable(full)
     }
   }

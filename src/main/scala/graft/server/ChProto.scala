@@ -58,7 +58,22 @@ object ChProto {
   val ServerName = "GraftSpark"
   val VersionMajor = 2026L
   val VersionMinor = 8L
-  val Revision = 54405L // the reference's pinned revision (messages.rs:21)
+  /** The reference pins 54405 (messages.rs:21) but then parses settings in
+    * the strings format with a FIXME admitting it supports only that shape
+    * (messages.rs:307-309: "client_tcp_protocol_version > 54429 ...
+    * STRINGS_WITH_FLAGS : BINARY"). Real clients choose the settings
+    * serialization by the SERVER's advertised revision, so advertising
+    * 54405 while reading STRINGS_WITH_FLAGS would desync any conforming
+    * client. 54429 is the lowest revision at which both wire shapes this
+    * server implements are the spec shapes: settings as (name, flags,
+    * value-string) triples (54429) and the 5-field Progress with written
+    * rows/bytes (54420). Like the reference, clients older than the server
+    * revision are rejected at Hello, so every accepted client speaks these
+    * formats; nothing else in the Hello/Query/Data framing changed between
+    * 54405 and 54429 (next client-info addition is opentelemetry at 54442,
+    * interserver secret at 54441).
+    */
+  val Revision = 54429L
   val VersionPatch = 0L
 
   // ---- primitive codecs ----------------------------------------------

@@ -81,13 +81,16 @@ final class ChWireServer(spark: SparkSession, port: Int = 0) {
           case other =>
             ChProto.writeException(out, 1002, "UNSUPPORTED_PACKET",
               s"unsupported client packet code $other")
+            out.flush()
             open = false
         }
       }
     } catch {
       case _: SocketException | _: java.io.EOFException => ()
       case NonFatal(e) =>
-        try ChProto.writeException(out, 1000, "INTERNAL", String.valueOf(e))
+        // flush explicitly: conn.close() closes the raw socket without
+        // draining the BufferedOutputStream, silently eating the exception
+        try { ChProto.writeException(out, 1000, "INTERNAL", String.valueOf(e)); out.flush() }
         catch { case NonFatal(_) => () }
     } finally conn.close()
   }
@@ -137,14 +140,15 @@ final class ChWireServer(spark: SparkSession, port: Int = 0) {
     val _quotaKey = ChProto.readStr(in)
     val _cliPatch = ChProto.readVarint(in)
     // settings: (name, flags varint, value string) triples terminated by an
-    // empty name — the STRINGS_WITH_FLAGS serialization every current
-    // client sends (and the only shape the reference's format_csv_delimiter
-    // carve-out survives: its two read_str calls parse flags=0 as an empty
-    // string, messages.rs:305-330). The reference rejects any other
-    // setting; real clients send max_threads/max_block_size on every
-    // query, so here recognized names are APPLIED and the rest read and
-    // ignored. max_block_size overrides the result-block row cap for this
-    // query only.
+    // empty name — STRINGS_WITH_FLAGS. Clients pick this serialization
+    // because our advertised revision is >= 54429 (see ChProto.Revision;
+    // older clients, which would send typed-binary settings this parser
+    // cannot read, are rejected at Hello exactly as the reference rejects
+    // them, messages.rs:255). The reference instead throws on any setting
+    // but format_csv_delimiter (messages.rs:305-330); real clients send
+    // max_threads/max_block_size on every query, so here recognized names
+    // are APPLIED and the rest read and ignored. max_block_size overrides
+    // the result-block row cap for this query only.
     var blockRows = BlockRows
     var settingName = ChProto.readStr(in)
     while (settingName.nonEmpty) {
@@ -174,6 +178,9 @@ final class ChWireServer(spark: SparkSession, port: Int = 0) {
           // UInt64 widening here (BqlType caps declarable decimals at 18)
           ChProto.writeDataBlock(out, schema, Seq.empty,
             isU64 = ChProto.tableShapeU64(schema), compress = compress)
+          // the client waits for this header before streaming its blocks —
+          // unflushed, both sides deadlock on a real (waiting) client
+          out.flush()
           var open = true
           while (open) {
             val code = ChProto.readVarint(in)
@@ -184,7 +191,7 @@ final class ChWireServer(spark: SparkSession, port: Int = 0) {
             else session.insertBlock(f.db, f.name,
               ChProto.blockToRows(block, schema), schema)
           }
-          ChProto.writeEndOfStream(out)
+          ChProto.writeEndOfStream(out); out.flush()
         case _ =>
           val df = session.sql(queryText)
           if (df.schema.fields.nonEmpty) {
@@ -199,23 +206,29 @@ final class ChWireServer(spark: SparkSession, port: Int = 0) {
             ChProto.writeDataBlock(out, schema, Seq.empty,
               isU64 = u64, compress = compress)
             // a Progress packet precedes every data block so long results
-            // are observably alive; Progress bodies are never compressed
-            // (only Data blocks go through the LZ4 frame transport)
+            // are observably alive; it must FLUSH on its own — batched
+            // into the same TCP flush as the following data block it
+            // delivers no liveness at all (the silent period is exactly
+            // while the next block is being computed). Progress bodies are
+            // never compressed (only Data blocks go through the LZ4 frame
+            // transport)
             var rowsSent = 0L
             df.toLocalIterator().asScala.grouped(blockRows)
               .foreach { rows =>
                 rowsSent += rows.size
                 ChProto.writeProgress(out, rowsSent, 0L)
+                out.flush()
                 ChProto.writeDataBlock(out, schema, rows.toSeq,
                   isU64 = u64, compress = compress)
               }
           }
-          ChProto.writeEndOfStream(out)
+          ChProto.writeEndOfStream(out); out.flush()
       }
     } catch {
       case NonFatal(e) =>
         ChProto.writeException(out, 1000, e.getClass.getSimpleName,
           String.valueOf(e.getMessage))
+        out.flush()
     }
   }
 }

@@ -14,6 +14,11 @@ class CacheDisciplineSpec extends AnyFunSuite {
   private val sfDir = "/root/testdata/sf0.001"
 
   test("no dangling persisted RDDs after evaluate + releaseShared") {
+    // materialize() is deliberately a no-op under GRAFT_MATERIALIZE=off
+    // (the bench A/B switch) — there is no cache to assert on then, and a
+    // leftover export from an A/B shell must not fail the suite
+    assume(!sys.env.get("GRAFT_MATERIALIZE").contains("off"),
+      "GRAFT_MATERIALIZE=off disables the persists under test")
     // other suites may leave RDD-level persists that are not ours to drop
     // (l14's localCheckpoint pins its RDDs by design — unpersisting a
     // checkpoint would sever truncated lineage), so assert on the DELTA

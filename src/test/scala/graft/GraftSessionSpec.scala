@@ -285,6 +285,55 @@ class GraftSessionSpec extends AnyFunSuite {
     g.sql("DROP TABLE opt_flat")
   }
 
+  test("OPTIMIZE TABLE preserves null-partition rows (skips the Hive " +
+    "default dir whose value does not round-trip a string equality)") {
+    g.sql("DROP TABLE IF EXISTS opt_null")
+    g.sql("CREATE TABLE opt_null(id Int64, d Nullable(Date)) " +
+      "ENGINE=BaseStorage PARTITION BY toYear(d)")
+    // fragment BOTH a real partition and the null partition
+    (1 to 4).foreach(i => g.sql(
+      s"INSERT INTO opt_null VALUES ($i, '2021-03-0$i'), (${i + 10}, NULL)"))
+    val before = g.sql("SELECT id FROM opt_null ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(before.size === 8 && before.count(_ > 10) === 4)
+    g.sql("OPTIMIZE TABLE opt_null")
+    val after = g.sql("SELECT id FROM opt_null ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(after === before,
+      "null-partition rows must survive OPTIMIZE untouched")
+    g.sql("DROP TABLE opt_null")
+  }
+
+  test("OPTIMIZE TABLE replays an interrupted retirement from the marker") {
+    g.sql("DROP TABLE IF EXISTS opt_crash")
+    g.sql("CREATE TABLE opt_crash(a Int64)")
+    g.sql("INSERT INTO opt_crash VALUES (1), (2), (3)")
+    val loc = java.nio.file.Paths.get(new java.net.URI(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("opt_crash", Some("default"))
+      ).location.toString).getPath)
+    // simulate a predecessor that committed its compacted copy but crashed
+    // before deleting the original: duplicate one data file, write the
+    // retire marker naming the original
+    val dataFiles = java.nio.file.Files.list(loc)
+    val f = try dataFiles.filter(p =>
+        p.getFileName.toString.endsWith(".parquet")).findFirst.get
+      finally dataFiles.close()
+    val copy = f.getParent.resolve(
+      f.getFileName.toString.stripSuffix(".parquet") + "-compacted.parquet")
+    java.nio.file.Files.copy(f, copy)
+    spark.catalog.refreshTable("default.opt_crash")
+    assert(g.sql("SELECT count(*) AS n FROM opt_crash").collect()(0).getLong(0) > 3L,
+      "the simulated crash window should show duplicate rows")
+    java.nio.file.Files.write(loc.resolve("_graft_retire"),
+      java.util.List.of(loc.relativize(f).toString))
+    g.sql("OPTIMIZE TABLE opt_crash")
+    assert(g.sql("SELECT count(*) AS n FROM opt_crash").collect()(0).getLong(0) === 3L,
+      "the marker replay must delete the retired original and end the duplicate window")
+    assert(!java.nio.file.Files.exists(loc.resolve("_graft_retire")))
+    g.sql("DROP TABLE opt_crash")
+  }
+
   test("EXPLAIN returns a formatted plan (bql.pest:10)") {
     g.sql("DROP TABLE IF EXISTS exp_tab")
     g.sql("CREATE TABLE exp_tab(a Int32)")

@@ -20,24 +20,26 @@ class PlanAuditSpec extends AnyFunSuite {
   // apples to apples
   private val sfDir = "/root/testdata/sf0.01"
 
-  /** Distinct shuffle exchanges in the plan TREE. Counting raw
-    * `(N) Exchange` lines in the operator body (the r1-r5 counter)
-    * double-counts cached subtrees: a formatted plan renders an
-    * InMemoryRelation's AQE plan once per InMemoryTableScan consumer, and
-    * each rendering repeats the same exchange under `== Final Plan ==`
-    * (same id) AND `== Initial Plan ==` (a different id) — l13's r5
-    * "7 -> 8 regression" was exactly that artifact, while its real
-    * at-execution shuffle count went DOWN. So: walk only the tree section,
-    * skip `== Initial Plan ==` regions (indentation-delimited), and dedupe
-    * by operator id so a reused/cached exchange counts once.
+  /** Distinct shuffle exchanges across ALL plan trees in the snapshot —
+    * the main tree AND every `===== Subqueries =====` tree after the
+    * operator-detail section (scalar-subquery plans have their own
+    * exchanges; stopping at the first detail line missed them). Counting
+    * raw `(N) Exchange` detail lines (the r1-r5 counter) double-counts
+    * cached subtrees: a formatted plan renders an InMemoryRelation's AQE
+    * plan once per InMemoryTableScan consumer, and each rendering repeats
+    * the same exchange under `== Final Plan ==` (same id) AND
+    * `== Initial Plan ==` (a different id) — l13's r5 "7 -> 8 regression"
+    * was exactly that artifact, while its real at-execution shuffle count
+    * went DOWN. So: match only tree-form `Exchange (id)` nodes (detail
+    * headers are `(id) Exchange`, which the pattern does not match), skip
+    * `== Initial Plan ==` regions (indentation-delimited), and dedupe by
+    * operator id so a reused/cached exchange counts once.
     */
   private def shuffles(plan: String): Int = {
-    val tree = plan.linesIterator
-      .takeWhile(l => !l.matches("""^\(\d+\) .*""")).toVector
     val ex = """(?<![A-Za-z])Exchange \((\d+)\)""".r
     val ids = scala.collection.mutable.Set.empty[String]
     var skipIndent = -1
-    tree.foreach { l =>
+    plan.linesIterator.foreach { l =>
       val indent = l.indexWhere(!_.isWhitespace) match {
         case -1 => Int.MaxValue; case i => i
       }
