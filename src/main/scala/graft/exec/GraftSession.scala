@@ -424,8 +424,11 @@ class GraftSession(val spark: SparkSession) {
     *     OPTIMIZE replays the marker's deletes before doing anything else
     *     — so the duplicate window is bounded, never compounded (a
     *     re-OPTIMIZE without the marker would merge the duplicates
-    *     permanently). The only unprotected instant is between the write
-    *     commit and the marker creation, one small file write;
+    *     permanently). The marker itself is published atomically (temp
+    *     write + ATOMIC_MOVE) so a crash can never leave a torn marker
+    *     whose partial replay would bake duplicates in; the only
+    *     unprotected instant is between the write commit and the marker
+    *     publish, one rename;
     *   - bucketed tables (CLUSTERED BY) keep their co-located-join layout
     *     and are left alone — their file count is fixed by the bucket
     *     spec, not by insert history.
@@ -449,8 +452,10 @@ class GraftSession(val spark: SparkSession) {
       // replay an interrupted predecessor's retirement first: the marker
       // exists only AFTER its compacted files committed, so deleting the
       // listed originals (idempotently) is always safe and removes any
-      // duplicate rows a post-commit crash left visible
+      // duplicate rows a post-commit crash left visible. A stale .tmp is a
+      // crash BEFORE the atomic publish — no retirement happened, discard
       val marker = loc.resolve("_graft_retire")
+      java.nio.file.Files.deleteIfExists(loc.resolve("_graft_retire.tmp"))
       if (java.nio.file.Files.exists(marker)) {
         java.nio.file.Files.readAllLines(marker).asScala
           .filter(_.nonEmpty)
@@ -467,15 +472,7 @@ class GraftSession(val spark: SparkSession) {
       def filesNeeded(fs: Seq[java.nio.file.Path]): Int = math.max(1,
         math.ceil(fs.map(java.nio.file.Files.size(_)).sum.toDouble / target).toInt)
       val needs = dataFiles.groupBy(_.getParent)
-        .filter { case (dir, fs) =>
-          // null partition values land in the Hive default dir
-          // (__ptk=__HIVE_DEFAULT_PARTITION__); its value does not
-          // round-trip through the __ptk string equality below (it reads
-          // back as NULL, which equals nothing), so compacting it would
-          // write zero rows and then delete the originals — skip it
-          dir.getFileName.toString != defaultPartDir &&
-            fs.size > filesNeeded(fs)
-        }
+        .filter { case (_, fs) => fs.size > filesNeeded(fs) }
       if (needs.isEmpty) { spark.catalog.refreshTable(full); return }
       val schema = spark.table(full).schema
       val partitioned = schema.fieldNames.contains(PtkCol)
@@ -487,16 +484,22 @@ class GraftSession(val spark: SparkSession) {
         // count, salt rows into that many write groups, and shuffle on
         // (__ptk, salt) so each group becomes one output file
         val nfRows = needs.toSeq.map { case (dir, fs) =>
-          Row(unescapePartValue(
-            dir.getFileName.toString.stripPrefix(s"$PtkCol=")),
+          val dn = dir.getFileName.toString
+          // the Hive default dir (__ptk=__HIVE_DEFAULT_PARTITION__) holds
+          // the NULL partition value: reading with basePath yields
+          // __ptk = NULL there, so its per-dir file count must join back
+          // null-safely (<=>) — a string-equality join would match zero
+          // rows and the "compaction" would silently drop the partition
+          Row(if (dn == defaultPartDir) null
+              else unescapePartValue(dn.stripPrefix(s"$PtkCol=")),
             filesNeeded(fs))
         }
         val nfDf = spark.createDataFrame(nfRows.asJava, StructType(Seq(
-          StructField(PtkCol, StringType), StructField("__nf", IntegerType))))
+          StructField("__nfptk", StringType), StructField("__nf", IntegerType))))
         val src = spark.read.schema(schema)
           .option("basePath", loc.toString)
           .parquet(needs.keys.map(_.toString).toSeq: _*)
-        src.join(broadcast(nfDf), PtkCol)
+        src.join(broadcast(nfDf), col(s"`$PtkCol`") <=> col("__nfptk"))
           .withColumn("__salt", pmod(monotonically_increasing_id(), col("__nf")))
           .repartition(col(s"`$PtkCol`"), col("__salt"))
           .select(outCols: _*)
@@ -512,8 +515,15 @@ class GraftSession(val spark: SparkSession) {
       // delete — a crash mid-retirement is replayed from the marker by
       // the next OPTIMIZE (see scaladoc)
       val retired = needs.values.flatten.toSeq
-      java.nio.file.Files.write(marker,
+      // publish the marker atomically: a torn (partially written) marker
+      // would replay only SOME retirements, and the follow-up compaction
+      // would merge the survivors with their compacted copies — baking
+      // duplicates in permanently, the one failure the marker must prevent
+      val markerTmp = loc.resolve("_graft_retire.tmp")
+      java.nio.file.Files.write(markerTmp,
         retired.map(p => loc.relativize(p).toString).asJava)
+      java.nio.file.Files.move(markerTmp, marker,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       retired.foreach(p => java.nio.file.Files.deleteIfExists(p))
       java.nio.file.Files.delete(marker)
       spark.catalog.refreshTable(full)

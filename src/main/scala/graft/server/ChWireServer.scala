@@ -81,16 +81,13 @@ final class ChWireServer(spark: SparkSession, port: Int = 0) {
           case other =>
             ChProto.writeException(out, 1002, "UNSUPPORTED_PACKET",
               s"unsupported client packet code $other")
-            out.flush()
             open = false
         }
       }
     } catch {
       case _: SocketException | _: java.io.EOFException => ()
       case NonFatal(e) =>
-        // flush explicitly: conn.close() closes the raw socket without
-        // draining the BufferedOutputStream, silently eating the exception
-        try { ChProto.writeException(out, 1000, "INTERNAL", String.valueOf(e)); out.flush() }
+        try ChProto.writeException(out, 1000, "INTERNAL", String.valueOf(e))
         catch { case NonFatal(_) => () }
     } finally conn.close()
   }
@@ -176,22 +173,34 @@ final class ChWireServer(spark: SparkSession, port: Int = 0) {
           val schema = session.dataSchema(f.db, f.name)
           // declared table schema: the Decimal(20,0) shape can only be the
           // UInt64 widening here (BqlType caps declarable decimals at 18)
+          // the client waits for this header before streaming its blocks;
+          // writeDataBlock flushes internally, so the turnaround is safe
           ChProto.writeDataBlock(out, schema, Seq.empty,
             isU64 = ChProto.tableShapeU64(schema), compress = compress)
-          // the client waits for this header before streaming its blocks —
-          // unflushed, both sides deadlock on a real (waiting) client
-          out.flush()
           var open = true
           while (open) {
-            val code = ChProto.readVarint(in)
-            require(code == ChProto.Client.Data,
-              s"expected client Data packet during INSERT, got $code")
-            val block = ChProto.readDataBlock(in, compressed = compress)
-            if (block.nRows == 0) open = false
-            else session.insertBlock(f.db, f.name,
-              ChProto.blockToRows(block, schema), schema)
+            ChProto.readVarint(in) match {
+              case ChProto.Client.Data =>
+                val block = ChProto.readDataBlock(in, compressed = compress)
+                if (block.nRows == 0) open = false
+                else session.insertBlock(f.db, f.name,
+                  ChProto.blockToRows(block, schema), schema)
+              case ChProto.Client.Cancel =>
+                // client aborted the stream (Ctrl+C). Blocks already
+                // appended stay applied — the reference applies each block
+                // on arrival too (messages.rs:180-203) — and the client
+                // sends nothing further for this query, so acknowledging
+                // with EndOfStream leaves the connection in sync
+                open = false
+              case other =>
+                // any other packet mid-stream means the framing is lost;
+                // answering with an Exception and continuing would misread
+                // the client's buffered blocks as packet codes — sever
+                throw new ChWireServer.ProtocolDesync(
+                  s"expected Data/Cancel during INSERT, got $other")
+            }
           }
-          ChProto.writeEndOfStream(out); out.flush()
+          ChProto.writeEndOfStream(out)
         case _ =>
           val df = session.sql(queryText)
           if (df.schema.fields.nonEmpty) {
@@ -205,30 +214,38 @@ final class ChWireServer(spark: SparkSession, port: Int = 0) {
             // learn the result structure even when no rows come back
             ChProto.writeDataBlock(out, schema, Seq.empty,
               isU64 = u64, compress = compress)
-            // a Progress packet precedes every data block so long results
-            // are observably alive; it must FLUSH on its own — batched
-            // into the same TCP flush as the following data block it
-            // delivers no liveness at all (the silent period is exactly
-            // while the next block is being computed). Progress bodies are
-            // never compressed (only Data blocks go through the LZ4 frame
-            // transport)
+            // a flushed Progress packet goes out BEFORE each group is
+            // pulled from the iterator — the silent period is exactly
+            // while the next group's partitions are being computed, so a
+            // progress written after the fetch (or batched into the data
+            // block's flush) delivers no liveness at all. Progress bodies
+            // are never compressed (only Data blocks ride the LZ4 frames)
             var rowsSent = 0L
+            ChProto.writeProgress(out, 0L, 0L); out.flush()
             df.toLocalIterator().asScala.grouped(blockRows)
               .foreach { rows =>
                 rowsSent += rows.size
-                ChProto.writeProgress(out, rowsSent, 0L)
-                out.flush()
                 ChProto.writeDataBlock(out, schema, rows.toSeq,
                   isU64 = u64, compress = compress)
+                // covers the computation of the NEXT group (or the EOS)
+                ChProto.writeProgress(out, rowsSent, 0L); out.flush()
               }
           }
-          ChProto.writeEndOfStream(out); out.flush()
+          ChProto.writeEndOfStream(out)
       }
     } catch {
+      // a desync is unrecoverable per-connection: let it propagate so the
+      // serve loop closes the socket instead of keeping a misframed stream
+      case d: ChWireServer.ProtocolDesync => throw d
       case NonFatal(e) =>
         ChProto.writeException(out, 1000, e.getClass.getSimpleName,
           String.valueOf(e.getMessage))
-        out.flush()
     }
   }
+}
+
+object ChWireServer {
+  /** The connection's packet framing is lost — close, don't answer. */
+  private[server] final class ProtocolDesync(msg: String)
+    extends RuntimeException(msg)
 }

@@ -30,6 +30,11 @@ object RangeStreams {
                        windowMinutes: Int = 15,
                        binSeconds: Long = 900L,
                        watermark: String = "30 minutes"): DataFrame = {
+    // same guards as the batch twin (RangeJoin.pointInInterval): a zero
+    // bin divides to Infinity -> null bins -> a silently empty join, and a
+    // negative window makes sequence() descend through wrong bins
+    require(binSeconds > 0, s"binSeconds must be > 0, got $binSeconds")
+    require(windowMinutes > 0, s"windowMinutes must be > 0, got $windowMinutes")
     val binUs = binSeconds * 1000000L
     val errors = events.filter(col("event_type") === "error")
       .select(col("event_id").as("err_id"), col("ts").as("err_ts"))

@@ -168,12 +168,40 @@ class ChWireSpec extends AnyFunSuite {
       val data = blocks.filter(_.nRows > 0)
       assert(data.map(_.nRows) === Seq(3, 3, 3, 1))
       assert(data.flatMap(_.columns.head.values) === (0L until 10L))
-      // a Progress packet precedes each data block, cumulative rows
-      assert(progress === Seq(3L, 6L, 9L, 10L))
+      // a flushed Progress packet brackets every computation window: one
+      // before the first fetch, then one after each block (covering the
+      // next group's computation), cumulative rows
+      assert(progress === Seq(0L, 3L, 6L, 9L, 10L))
       // malformed values fall back to the default block size
       val ok = client.query("SELECT 1 AS x",
         settings = Seq("max_block_size" -> "not-a-number"))
       assert(ok.exists(_.nRows === 1))
+    } finally {
+      client.close()
+      server.stop()
+    }
+  }
+
+  test("Cancel mid-INSERT stops the stream cleanly; connection stays usable") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val server = new ChWireServer(spark).start()
+    val client = new WireTestClient(server.boundPort)
+    try {
+      client.hello()
+      client.query("DROP TABLE IF EXISTS wire_cancel_tab")
+      client.query("CREATE TABLE wire_cancel_tab(a Int32)")
+      val schema = StructType(Seq(StructField("a", IntegerType)))
+      // one block lands, then the client aborts with Cancel (Ctrl+C):
+      // the server must answer EndOfStream, keep the applied block
+      // (blocks apply on arrival, messages.rs:180-203), and keep the
+      // connection's packet framing intact for the next statement
+      client.insertStreamCancel("INSERT INTO wire_cancel_tab FORMAT Native",
+        schema, Seq(Seq(Row(7), Row(8))))
+      assert(client.ping())
+      assert(client.rows("SELECT a FROM wire_cancel_tab ORDER BY a")
+        .head.values === Vector(7, 8))
+      client.query("DROP TABLE wire_cancel_tab")
     } finally {
       client.close()
       server.stop()

@@ -285,22 +285,35 @@ class GraftSessionSpec extends AnyFunSuite {
     g.sql("DROP TABLE opt_flat")
   }
 
-  test("OPTIMIZE TABLE preserves null-partition rows (skips the Hive " +
-    "default dir whose value does not round-trip a string equality)") {
+  test("OPTIMIZE TABLE compacts the null partition (Hive default dir) " +
+    "via the null-safe file-count join, preserving its rows") {
     g.sql("DROP TABLE IF EXISTS opt_null")
     g.sql("CREATE TABLE opt_null(id Int64, d Nullable(Date)) " +
       "ENGINE=BaseStorage PARTITION BY toYear(d)")
     // fragment BOTH a real partition and the null partition
     (1 to 4).foreach(i => g.sql(
       s"INSERT INTO opt_null VALUES ($i, '2021-03-0$i'), (${i + 10}, NULL)"))
+    val loc = java.nio.file.Paths.get(new java.net.URI(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("opt_null", Some("default"))
+      ).location.toString).getPath)
+    val nullDir = loc.resolve("__ptk=__HIVE_DEFAULT_PARTITION__")
+    def nullFiles = {
+      val s = java.nio.file.Files.list(nullDir)
+      try s.filter(_.getFileName.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
     val before = g.sql("SELECT id FROM opt_null ORDER BY id")
       .collect().map(_.getLong(0)).toSeq
     assert(before.size === 8 && before.count(_ > 10) === 4)
+    assert(nullFiles >= 4) // one-plus file per INSERT statement
     g.sql("OPTIMIZE TABLE opt_null")
     val after = g.sql("SELECT id FROM opt_null ORDER BY id")
       .collect().map(_.getLong(0)).toSeq
     assert(after === before,
-      "null-partition rows must survive OPTIMIZE untouched")
+      "null-partition rows must survive OPTIMIZE byte-identical")
+    assert(nullFiles === 1L,
+      "the Hive default dir must compact like any other partition")
     g.sql("DROP TABLE opt_null")
   }
 

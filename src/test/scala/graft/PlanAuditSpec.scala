@@ -43,7 +43,13 @@ class PlanAuditSpec extends AnyFunSuite {
       val indent = l.indexWhere(!_.isWhitespace) match {
         case -1 => Int.MaxValue; case i => i
       }
-      if (skipIndent >= 0 && indent < skipIndent) skipIndent = -1
+      // the Initial-Plan subtree's lines are all indented DEEPER than its
+      // `+- == Initial Plan ==` marker, so the first line back at (or
+      // above) the marker's own indent ends the region. `<` alone never
+      // fires for a marker at indent 0 (an executed top-level
+      // AdaptiveSparkPlan) and would silently skip the rest of the file,
+      // Subqueries section included
+      if (skipIndent >= 0 && indent <= skipIndent) skipIndent = -1
       if (skipIndent < 0) {
         if (l.contains("== Initial Plan ==")) skipIndent = indent
         else ex.findAllMatchIn(l).foreach(m => ids += m.group(1))

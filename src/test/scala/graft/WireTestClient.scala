@@ -125,5 +125,25 @@ final class WireTestClient(port: Int, compression: Boolean = false) {
     header
   }
 
+  /** Streamed INSERT aborted with a Cancel packet instead of the empty
+    * terminator block — the Ctrl+C path. The server must acknowledge with
+    * EndOfStream and keep the connection's framing intact.
+    */
+  def insertStreamCancel(sql: String, schema: StructType,
+                         batches: Seq[Seq[Row]]): Unit = {
+    sendQueryPacket(sql)
+    val first = ChProto.readVarint(in)
+    require(first == ChProto.Server.Data, s"expected header block, got $first")
+    ChProto.readDataBlock(in, compressed = compression)
+    batches.foreach(rows =>
+      ChProto.writeDataBlock(out, schema, rows, ChProto.Client.Data,
+        compress = compression))
+    ChProto.writeVarint(out, ChProto.Client.Cancel)
+    out.flush()
+    val eos = ChProto.readVarint(in)
+    require(eos == ChProto.Server.EndOfStream,
+      s"expected EndOfStream after Cancel, got $eos")
+  }
+
   def close(): Unit = sock.close()
 }
