@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+
+/** SQL surface over Spark's own runtime-filter bloom machinery
+  * (`BloomFilterAggregate` / `BloomFilterMightContain`, the codegen'd
+  * expressions behind `spark.sql.optimizer.runtime.bloomFilter.*`) — the
+  * scale path for membership prefilters when the member set is too large
+  * to broadcast raw but its bloom fits in a few MB.
+  *
+  *  - `bloom_build(xxhash64(x) [, est_items, num_bits])`: aggregate; the
+  *    partial per-partition blooms OR-merge, so the build is one normal
+  *    aggregation, no driver loop. Defaults: 1M items / 8M bits (1 MB
+  *    blob, <1% fpp at capacity — both within Spark's runtime-filter
+  *    caps, so the same sizing discipline applies).
+  *  - `bloom_probe(bloom, xxhash64(x))`: membership test; the bloom side
+  *    must be a constant or a scalar subquery (the expression's own
+  *    rule), which is exactly the declarative shape — build once in a
+  *    subquery, probe map-side everywhere with no join.
+  *
+  * The reference has no bloom surface; this exists for the
+  * decontamination/dedup pipelines (l22), where probes prefilter the
+  * corpus before a small exact-confirm join removes false positives.
+  */
+object BloomFunctions {
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_build",
+      { case Seq(h) =>
+          new BloomFilterAggregate(h, Literal(1000000L), Literal(8388608L))
+        case Seq(h, n, b) => new BloomFilterAggregate(h, n, b)
+        case e => throw new IllegalArgumentException(
+          s"bloom_build expects 1 or 3 arguments, got ${e.length}") },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_probe",
+      { case Seq(bloom, h) => BloomFilterMightContain(bloom, h)
+        case e => throw new IllegalArgumentException(
+          s"bloom_probe expects 2 arguments, got ${e.length}") },
+      "built-in")
+  }
+}

@@ -879,6 +879,48 @@ object LlmQueries {
            |  CAST(sum(n_ssn) AS BIGINT) AS n_ssn,
            |  CAST(sum(chars_redacted) AS BIGINT) AS chars_redacted
            |FROM scanned GROUP BY source ORDER BY source""".stripMargin)
+    },
+
+    // ---- l22: bloom-prefiltered decontamination -------------------------
+    // l19's scale path for when the eval gram set is too large to
+    // broadcast raw but its bloom fits in a few MB: build the bloom as a
+    // normal distributed aggregate (partial blooms OR-merge), hand it to
+    // every probe as a scalar subquery (Spark plants it as a constant —
+    // no join, no broadcast exchange), drop ~all clean grams map-side
+    // inside codegen, then exact-confirm the tiny survivor set against the
+    // eval grams so bloom false positives never reach the output. Result
+    // is bit-identical to exact decontamination — the oracle below is the
+    // plain exact SQL with no bloom anywhere. 100 TB: the corpus-side
+    // shuffle shrinks from every (doc, gram) pair to true-hits +
+    // fpp·grams; fpp is the num_bits knob (same sizing discipline as
+    // Spark's own runtime bloom-join filters, which this reuses).
+    "l22_bloom_decontamination" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      graft.functions.NGramFunctions.register(s)
+      graft.functions.BloomFunctions.register(s)
+      s.sql(
+        """WITH ev AS (
+          |  SELECT DISTINCT g FROM documents
+          |  LATERAL VIEW explode(array_distinct(word_ngrams(text, 4))) t AS g
+          |  WHERE source IN ('src0', 'src1')
+          |), tr AS (
+          |  SELECT doc_id, source, g
+          |  FROM (SELECT /*+ REPARTITION */ doc_id, source, text FROM documents
+          |        WHERE source NOT IN ('src0', 'src1')) d
+          |  LATERAL VIEW explode(array_distinct(word_ngrams(text, 4))) t AS g
+          |), survivors AS (
+          |  SELECT doc_id, source, g FROM tr
+          |  WHERE bloom_probe((SELECT bloom_build(xxhash64(g)) FROM ev),
+          |                    xxhash64(g))
+          |), per_doc AS (
+          |  SELECT sv.doc_id, sv.source, count(*) AS n_hit_grams
+          |  FROM survivors sv JOIN ev ON sv.g = ev.g
+          |  GROUP BY sv.doc_id, sv.source
+          |)
+          |SELECT source, CAST(count(*) AS BIGINT) AS n_contaminated_docs,
+          |  CAST(sum(n_hit_grams) AS BIGINT) AS n_hit_grams,
+          |  CAST(max(n_hit_grams) AS BIGINT) AS max_hit_grams
+          |FROM per_doc GROUP BY source ORDER BY source""".stripMargin)
     }
   )
 
@@ -1393,6 +1435,31 @@ object LlmQueries {
          |  CAST(sum(n_ssn) AS BIGINT) AS n_ssn,
          |  CAST(sum(chars_redacted) AS BIGINT) AS chars_redacted
          |FROM scanned GROUP BY source ORDER BY source""".stripMargin
-    }
+    },
+
+    // the oracle is the EXACT computation with no bloom anywhere: the
+    // prefilter+confirm pipeline must be indistinguishable from it
+    "l22_bloom_decontamination" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT g FROM (
+        |    SELECT unnest(list_distinct(
+        |      list_transform(range(len(string_split(text, ' ')) - 3),
+        |        i -> array_to_string((string_split(text, ' '))[i+1:i+4], ' ')))) AS g
+        |    FROM documents WHERE source IN ('src0', 'src1')) t
+        |), tr AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_distinct(
+        |      list_transform(range(len(string_split(text, ' ')) - 3),
+        |        i -> array_to_string((string_split(text, ' '))[i+1:i+4], ' ')))) AS g
+        |  FROM documents WHERE source NOT IN ('src0', 'src1')
+        |), per_doc AS (
+        |  SELECT tr.doc_id, tr.source, count(*) AS n_hit_grams
+        |  FROM tr JOIN ev ON tr.g = ev.g
+        |  GROUP BY tr.doc_id, tr.source
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_contaminated_docs,
+        |  CAST(sum(n_hit_grams) AS BIGINT) AS n_hit_grams,
+        |  CAST(max(n_hit_grams) AS BIGINT) AS max_hit_grams
+        |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
   )
 }
