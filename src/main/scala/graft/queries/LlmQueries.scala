@@ -898,23 +898,28 @@ object LlmQueries {
       Tables.registerAll(s, dir)
       graft.functions.NGramFunctions.register(s)
       graft.functions.BloomFunctions.register(s)
+      // the distinct eval gram set feeds BOTH the bloom build and the
+      // exact-confirm join; Spark inlines CTEs, so unpersisted the eval
+      // scan+explode+distinct runs twice. Expensive-and-small — the
+      // persist side of the materialize() decision rule
+      val ev = materialize(s.sql(
+        """SELECT DISTINCT g FROM documents
+          |LATERAL VIEW explode(array_distinct(word_ngrams(text, 4))) t AS g
+          |WHERE source IN ('src0', 'src1')""".stripMargin))
+      ev.createOrReplaceTempView("l22_ev")
       s.sql(
-        """WITH ev AS (
-          |  SELECT DISTINCT g FROM documents
-          |  LATERAL VIEW explode(array_distinct(word_ngrams(text, 4))) t AS g
-          |  WHERE source IN ('src0', 'src1')
-          |), tr AS (
+        """WITH tr AS (
           |  SELECT doc_id, source, g
           |  FROM (SELECT /*+ REPARTITION */ doc_id, source, text FROM documents
           |        WHERE source NOT IN ('src0', 'src1')) d
           |  LATERAL VIEW explode(array_distinct(word_ngrams(text, 4))) t AS g
           |), survivors AS (
           |  SELECT doc_id, source, g FROM tr
-          |  WHERE bloom_probe((SELECT bloom_build(xxhash64(g)) FROM ev),
+          |  WHERE bloom_probe((SELECT bloom_build(xxhash64(g)) FROM l22_ev),
           |                    xxhash64(g))
           |), per_doc AS (
           |  SELECT sv.doc_id, sv.source, count(*) AS n_hit_grams
-          |  FROM survivors sv JOIN ev ON sv.g = ev.g
+          |  FROM survivors sv JOIN l22_ev ev ON sv.g = ev.g
           |  GROUP BY sv.doc_id, sv.source
           |)
           |SELECT source, CAST(count(*) AS BIGINT) AS n_contaminated_docs,

@@ -86,6 +86,9 @@ final class ChWireServer(spark: SparkSession, port: Int = 0) {
       }
     } catch {
       case _: SocketException | _: java.io.EOFException => ()
+      // misframed connection: close without answering — a reply could
+      // block on a full peer buffer, and the peer's reader is lost anyway
+      case _: ChWireServer.ProtocolDesync => ()
       case NonFatal(e) =>
         try ChProto.writeException(out, 1000, "INTERNAL", String.valueOf(e))
         catch { case NonFatal(_) => () }
@@ -177,14 +180,31 @@ final class ChWireServer(spark: SparkSession, port: Int = 0) {
           // writeDataBlock flushes internally, so the turnaround is safe
           ChProto.writeDataBlock(out, schema, Seq.empty,
             isU64 = ChProto.tableShapeU64(schema), compress = compress)
+          // error handling splits by where the stream position is known:
+          //  - a DECODE failure (unparseable block body, bad frame
+          //    checksum) leaves the inbound stream mid-block — no resync
+          //    is possible, sever via ProtocolDesync;
+          //  - an APPLY failure (insertBlock rejects a well-formed block)
+          //    leaves the stream at a packet boundary — drain the
+          //    client's remaining blocks to the terminator, then answer
+          //    with a normal Exception on an in-sync connection.
           var open = true
+          var applyError: Throwable = null
           while (open) {
             ChProto.readVarint(in) match {
               case ChProto.Client.Data =>
-                val block = ChProto.readDataBlock(in, compressed = compress)
+                val block =
+                  try ChProto.readDataBlock(in, compressed = compress)
+                  catch { case NonFatal(e) =>
+                    throw new ChWireServer.ProtocolDesync(
+                      s"undecodable Data block during INSERT: $e")
+                  }
                 if (block.nRows == 0) open = false
-                else session.insertBlock(f.db, f.name,
-                  ChProto.blockToRows(block, schema), schema)
+                else if (applyError == null) {
+                  try session.insertBlock(f.db, f.name,
+                    ChProto.blockToRows(block, schema), schema)
+                  catch { case NonFatal(e) => applyError = e }
+                }
               case ChProto.Client.Cancel =>
                 // client aborted the stream (Ctrl+C). Blocks already
                 // appended stay applied — the reference applies each block
@@ -200,6 +220,7 @@ final class ChWireServer(spark: SparkSession, port: Int = 0) {
                   s"expected Data/Cancel during INSERT, got $other")
             }
           }
+          if (applyError != null) throw applyError
           ChProto.writeEndOfStream(out)
         case _ =>
           val df = session.sql(queryText)

@@ -208,6 +208,35 @@ class ChWireSpec extends AnyFunSuite {
     }
   }
 
+  test("a rejected INSERT block drains the stream and answers in sync") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val server = new ChWireServer(spark).start()
+    val client = new WireTestClient(server.boundPort)
+    try {
+      client.hello()
+      client.query("DROP TABLE IF EXISTS wire_badins_tab")
+      client.query("CREATE TABLE wire_badins_tab(a Int32)")
+      // client streams 2-column blocks into a 1-column table: every block
+      // is wire-decodable but fails the apply-side arity check. The
+      // server must drain BOTH blocks plus the terminator (the client has
+      // already buffered them), then answer one Exception on a connection
+      // whose framing still works for the next statement
+      val wrong = StructType(Seq(
+        StructField("a", IntegerType), StructField("b", IntegerType)))
+      val err = client.insertStreamExpectError(
+        "INSERT INTO wire_badins_tab FORMAT Native", wrong,
+        Seq(Seq(Row(1, 2)), Seq(Row(3, 4))))
+      assert(err.toLowerCase.contains("arity"))
+      assert(client.ping())
+      assert(client.scalar("SELECT count(*) AS n FROM wire_badins_tab") === 0L)
+      client.query("DROP TABLE wire_badins_tab")
+    } finally {
+      client.close()
+      server.stop()
+    }
+  }
+
   test("old client revisions are rejected like the reference (messages.rs:255)") {
     val server = new ChWireServer(spark).start()
     val sock = new Socket("127.0.0.1", server.boundPort)

@@ -15,6 +15,13 @@ class GraftSessionSpec extends AnyFunSuite {
 
   lazy val g = new GraftSession(spark)
 
+  /** Filesystem location of a table in the default database. */
+  private def tableLoc(table: String): java.nio.file.Path =
+    java.nio.file.Paths.get(new java.net.URI(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table, Some("default"))
+      ).location.toString).getPath)
+
   test("t1 smoke: basic_checks.sql slice (create/insert/select sum = 6)") {
     // crates/tests_integ/sql_test_scripts/basic_checks.sql:1-7
     g.sql("DROP TABLE IF EXISTS test_tab")
@@ -145,10 +152,7 @@ class GraftSessionSpec extends AnyFunSuite {
     g.sql("INSERT INTO part_tab VALUES (1, '2021-01-05'), (2, '2021-01-20'), " +
       "(3, '2021-02-03'), (4, '2022-07-01')")
     // partition dirs exist per distinct toYYYYMM value
-    val loc = new java.io.File(new java.net.URI(
-      spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier("part_tab", Some("default"))
-      ).location.toString).getPath)
+    val loc = tableLoc("part_tab").toFile
     val dirs = loc.listFiles.filter(_.isDirectory).map(_.getName).sorted
     assert(dirs.toSeq === Seq("__ptk=202101", "__ptk=202102", "__ptk=202207"))
     // SELECT * preserves declared columns only at the front; full content ok
@@ -235,10 +239,7 @@ class GraftSessionSpec extends AnyFunSuite {
   test("OPTIMIZE TABLE compacts small files per partition, data identical " +
     "(exceeds the reference's flush stub, mgmt.rs:923-941)") {
     def parquetFiles(table: String): Map[String, Int] = {
-      val loc = new java.io.File(new java.net.URI(
-        spark.sessionState.catalog.getTableMetadata(
-          org.apache.spark.sql.catalyst.TableIdentifier(table, Some("default"))
-        ).location.toString).getPath)
+      val loc = tableLoc(table).toFile
       loc.listFiles.filter(_.isDirectory).map { d =>
         d.getName -> d.listFiles.count(_.getName.endsWith(".parquet"))
       }.toMap
@@ -272,10 +273,7 @@ class GraftSessionSpec extends AnyFunSuite {
     g.sql("DROP TABLE IF EXISTS opt_flat")
     g.sql("CREATE TABLE opt_flat(a Int64)")
     (1 to 3).foreach(i => g.sql(s"INSERT INTO opt_flat VALUES ($i), (${i * 10})"))
-    val loc = new java.io.File(new java.net.URI(
-      spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier("opt_flat", Some("default"))
-      ).location.toString).getPath)
+    val loc = tableLoc("opt_flat").toFile
     def nFiles = loc.listFiles.count(_.getName.endsWith(".parquet"))
     assert(nFiles >= 3) // one-plus file per INSERT statement
     g.sql("OPTIMIZE TABLE opt_flat")
@@ -293,11 +291,7 @@ class GraftSessionSpec extends AnyFunSuite {
     // fragment BOTH a real partition and the null partition
     (1 to 4).foreach(i => g.sql(
       s"INSERT INTO opt_null VALUES ($i, '2021-03-0$i'), (${i + 10}, NULL)"))
-    val loc = java.nio.file.Paths.get(new java.net.URI(
-      spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier("opt_null", Some("default"))
-      ).location.toString).getPath)
-    val nullDir = loc.resolve("__ptk=__HIVE_DEFAULT_PARTITION__")
+    val nullDir = tableLoc("opt_null").resolve("__ptk=__HIVE_DEFAULT_PARTITION__")
     def nullFiles = {
       val s = java.nio.file.Files.list(nullDir)
       try s.filter(_.getFileName.toString.endsWith(".parquet")).count()
@@ -321,10 +315,7 @@ class GraftSessionSpec extends AnyFunSuite {
     g.sql("DROP TABLE IF EXISTS opt_crash")
     g.sql("CREATE TABLE opt_crash(a Int64)")
     g.sql("INSERT INTO opt_crash VALUES (1), (2), (3)")
-    val loc = java.nio.file.Paths.get(new java.net.URI(
-      spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier("opt_crash", Some("default"))
-      ).location.toString).getPath)
+    val loc = tableLoc("opt_crash")
     // simulate a predecessor that committed its compacted copy but crashed
     // before deleting the original: duplicate one data file, write the
     // retire marker naming the original

@@ -145,5 +145,32 @@ final class WireTestClient(port: Int, compression: Boolean = false) {
       s"expected EndOfStream after Cancel, got $eos")
   }
 
+  /** Streamed INSERT whose blocks the server is expected to REJECT at
+    * apply time (well-formed wire data, bad content): streams everything
+    * incl. the terminator, then returns the server's Exception message.
+    * The connection must stay in sync afterwards.
+    */
+  def insertStreamExpectError(sql: String, schema: StructType,
+                              batches: Seq[Seq[Row]]): String = {
+    sendQueryPacket(sql)
+    val first = ChProto.readVarint(in)
+    require(first == ChProto.Server.Data, s"expected header block, got $first")
+    ChProto.readDataBlock(in, compressed = compression)
+    batches.foreach(rows =>
+      ChProto.writeDataBlock(out, schema, rows, ChProto.Client.Data,
+        compress = compression))
+    ChProto.writeDataBlock(out, schema, Seq.empty, ChProto.Client.Data,
+      compress = compression)
+    out.flush()
+    val code = ChProto.readVarint(in)
+    require(code == ChProto.Server.Exception,
+      s"expected Exception after rejected INSERT, got $code")
+    ChProto.readBytes(in, 4)
+    val name = ChProto.readStr(in)
+    val msg = ChProto.readStr(in)
+    ChProto.readStr(in); ChProto.readVarint(in)
+    s"$name: $msg"
+  }
+
   def close(): Unit = sock.close()
 }
