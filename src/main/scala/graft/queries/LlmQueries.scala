@@ -899,14 +899,18 @@ object LlmQueries {
       graft.functions.NGramFunctions.register(s)
       graft.functions.BloomFunctions.register(s)
       // the distinct eval gram set feeds BOTH the bloom build and the
-      // exact-confirm join; Spark inlines CTEs, so unpersisted the eval
-      // scan+explode+distinct runs twice. Expensive-and-small — the
-      // persist side of the materialize() decision rule
-      val ev = materialize(s.sql(
+      // exact-confirm join; Spark inlines the view, so it computes twice.
+      // Measured A/B at sf0.1 (median of 5, quiet box): persist 1.51 s vs
+      // recompute 1.25 s — the eval subtree (scan 10% of docs + explode +
+      // distinct) is on the cheap side of the materialize() rule, like
+      // l11, so it recomputes. At cluster scale with a multi-TB eval
+      // corpus the trade flips: land the gram set in a temp table once
+      // and point both consumers at it.
+      s.sql(
         """SELECT DISTINCT g FROM documents
           |LATERAL VIEW explode(array_distinct(word_ngrams(text, 4))) t AS g
-          |WHERE source IN ('src0', 'src1')""".stripMargin))
-      ev.createOrReplaceTempView("l22_ev")
+          |WHERE source IN ('src0', 'src1')""".stripMargin)
+        .createOrReplaceTempView("l22_ev")
       s.sql(
         """WITH tr AS (
           |  SELECT doc_id, source, g
