@@ -898,8 +898,8 @@ object LlmQueries {
       Tables.registerAll(s, dir)
       graft.functions.NGramFunctions.register(s)
       graft.functions.BloomFunctions.register(s)
-      // the distinct eval gram set feeds BOTH the bloom build and the
-      // exact-confirm join; Spark inlines the view, so it computes twice.
+      // the distinct eval gram set (ev) feeds BOTH the bloom build and the
+      // exact-confirm join; Spark inlines the CTE, so it computes twice.
       // Measured A/B at sf0.1 (median of 5, quiet box): persist 1.51 s vs
       // recompute 1.25 s — the eval subtree (scan 10% of docs + explode +
       // distinct) is on the cheap side of the materialize() rule, like
@@ -907,23 +907,22 @@ object LlmQueries {
       // corpus the trade flips: land the gram set in a temp table once
       // and point both consumers at it.
       s.sql(
-        """SELECT DISTINCT g FROM documents
-          |LATERAL VIEW explode(array_distinct(word_ngrams(text, 4))) t AS g
-          |WHERE source IN ('src0', 'src1')""".stripMargin)
-        .createOrReplaceTempView("l22_ev")
-      s.sql(
-        """WITH tr AS (
+        """WITH ev AS (
+          |  SELECT DISTINCT g FROM documents
+          |  LATERAL VIEW explode(array_distinct(word_ngrams(text, 4))) t AS g
+          |  WHERE source IN ('src0', 'src1')
+          |), tr AS (
           |  SELECT doc_id, source, g
           |  FROM (SELECT /*+ REPARTITION */ doc_id, source, text FROM documents
           |        WHERE source NOT IN ('src0', 'src1')) d
           |  LATERAL VIEW explode(array_distinct(word_ngrams(text, 4))) t AS g
           |), survivors AS (
           |  SELECT doc_id, source, g FROM tr
-          |  WHERE bloom_probe((SELECT bloom_build(xxhash64(g)) FROM l22_ev),
+          |  WHERE bloom_probe((SELECT bloom_build(xxhash64(g)) FROM ev),
           |                    xxhash64(g))
           |), per_doc AS (
           |  SELECT sv.doc_id, sv.source, count(*) AS n_hit_grams
-          |  FROM survivors sv JOIN l22_ev ev ON sv.g = ev.g
+          |  FROM survivors sv JOIN ev ON sv.g = ev.g
           |  GROUP BY sv.doc_id, sv.source
           |)
           |SELECT source, CAST(count(*) AS BIGINT) AS n_contaminated_docs,

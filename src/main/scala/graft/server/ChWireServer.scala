@@ -189,6 +189,7 @@ final class ChWireServer(spark: SparkSession, port: Int = 0) {
           //    client's remaining blocks to the terminator, then answer
           //    with a normal Exception on an in-sync connection.
           var open = true
+          var cancelled = false
           var applyError: Throwable = null
           while (open) {
             ChProto.readVarint(in) match {
@@ -210,7 +211,9 @@ final class ChWireServer(spark: SparkSession, port: Int = 0) {
                 // appended stay applied — the reference applies each block
                 // on arrival too (messages.rs:180-203) — and the client
                 // sends nothing further for this query, so acknowledging
-                // with EndOfStream leaves the connection in sync
+                // with EndOfStream leaves the connection in sync — even if
+                // an earlier block was rejected: the abort moots the error
+                cancelled = true
                 open = false
               case other =>
                 // any other packet mid-stream means the framing is lost;
@@ -220,7 +223,7 @@ final class ChWireServer(spark: SparkSession, port: Int = 0) {
                   s"expected Data/Cancel during INSERT, got $other")
             }
           }
-          if (applyError != null) throw applyError
+          if (!cancelled && applyError != null) throw applyError
           ChProto.writeEndOfStream(out)
         case _ =>
           val df = session.sql(queryText)

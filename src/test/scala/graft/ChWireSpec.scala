@@ -201,6 +201,13 @@ class ChWireSpec extends AnyFunSuite {
       assert(client.ping())
       assert(client.rows("SELECT a FROM wire_cancel_tab ORDER BY a")
         .head.values === Vector(7, 8))
+      // a rejected block followed by Cancel still acknowledges with
+      // EndOfStream — the abort moots the pending apply error
+      val wrong = StructType(Seq(
+        StructField("a", IntegerType), StructField("b", IntegerType)))
+      client.insertStreamCancel("INSERT INTO wire_cancel_tab FORMAT Native",
+        wrong, Seq(Seq(Row(1, 2))))
+      assert(client.ping())
       client.query("DROP TABLE wire_cancel_tab")
     } finally {
       client.close()
@@ -233,6 +240,30 @@ class ChWireSpec extends AnyFunSuite {
       client.query("DROP TABLE wire_badins_tab")
     } finally {
       client.close()
+      server.stop()
+    }
+  }
+
+  test("an undecodable INSERT block severs the connection without a reply") {
+    import org.apache.spark.sql.types._
+    val server = new ChWireServer(spark).start()
+    val client = new WireTestClient(server.boundPort)
+    val witness = new WireTestClient(server.boundPort)
+    try {
+      client.hello(); witness.hello()
+      client.query("DROP TABLE IF EXISTS wire_garbage_tab")
+      client.query("CREATE TABLE wire_garbage_tab(a Int32)")
+      val schema = StructType(Seq(StructField("a", IntegerType)))
+      // mid-block decode failure: the inbound stream cannot be resynced,
+      // so the server must close this connection (EOF, no Exception
+      // packet whose followers would be misframed) and leave others alone
+      assert(client.insertStreamGarbage(
+        "INSERT INTO wire_garbage_tab FORMAT Native", schema),
+        "expected a clean EOF, not a server reply on a misframed stream")
+      assert(witness.ping(), "other connections must be unaffected")
+      witness.query("DROP TABLE wire_garbage_tab")
+    } finally {
+      client.close(); witness.close()
       server.stop()
     }
   }

@@ -89,11 +89,7 @@ final class WireTestClient(port: Int, compression: Boolean = false) {
           progress += ChProto.readProgress(in)._1
         case ChProto.Server.EndOfStream => done = true
         case ChProto.Server.Exception =>
-          ChProto.readBytes(in, 4)
-          val name = ChProto.readStr(in)
-          val msg = ChProto.readStr(in)
-          ChProto.readStr(in); ChProto.readVarint(in)
-          sys.error(s"server exception $name: $msg")
+          sys.error(s"server exception ${readExceptionBody()}")
         case other => sys.error(s"unexpected server packet $other")
       }
     }
@@ -107,9 +103,20 @@ final class WireTestClient(port: Int, compression: Boolean = false) {
   /** Single scalar result cell. */
   def scalar(sql: String): Any = rows(sql).head.values.head
 
-  /** INSERT with client-streamed Data blocks (DataEODPInsertQuery stage). */
-  def insertStream(sql: String, schema: StructType,
-                   batches: Seq[Seq[Row]]): ChProto.WireBlock = {
+  /** Decode an Exception packet body (code already consumed). */
+  private def readExceptionBody(): String = {
+    ChProto.readBytes(in, 4)
+    val name = ChProto.readStr(in)
+    val msg = ChProto.readStr(in)
+    ChProto.readStr(in); ChProto.readVarint(in)
+    s"$name: $msg"
+  }
+
+  /** Shared INSERT preamble: send the query, read the table-structure
+    * header block, stream the row batches (no terminator).
+    */
+  private def streamBlocks(sql: String, schema: StructType,
+                           batches: Seq[Seq[Row]]): ChProto.WireBlock = {
     sendQueryPacket(sql)
     val first = ChProto.readVarint(in)
     require(first == ChProto.Server.Data, s"expected header block, got $first")
@@ -117,6 +124,13 @@ final class WireTestClient(port: Int, compression: Boolean = false) {
     batches.foreach(rows =>
       ChProto.writeDataBlock(out, schema, rows, ChProto.Client.Data,
         compress = compression))
+    header
+  }
+
+  /** INSERT with client-streamed Data blocks (DataEODPInsertQuery stage). */
+  def insertStream(sql: String, schema: StructType,
+                   batches: Seq[Seq[Row]]): ChProto.WireBlock = {
+    val header = streamBlocks(sql, schema, batches)
     ChProto.writeDataBlock(out, schema, Seq.empty, ChProto.Client.Data,
       compress = compression)
     out.flush()
@@ -131,13 +145,7 @@ final class WireTestClient(port: Int, compression: Boolean = false) {
     */
   def insertStreamCancel(sql: String, schema: StructType,
                          batches: Seq[Seq[Row]]): Unit = {
-    sendQueryPacket(sql)
-    val first = ChProto.readVarint(in)
-    require(first == ChProto.Server.Data, s"expected header block, got $first")
-    ChProto.readDataBlock(in, compressed = compression)
-    batches.foreach(rows =>
-      ChProto.writeDataBlock(out, schema, rows, ChProto.Client.Data,
-        compress = compression))
+    streamBlocks(sql, schema, batches)
     ChProto.writeVarint(out, ChProto.Client.Cancel)
     out.flush()
     val eos = ChProto.readVarint(in)
@@ -152,24 +160,29 @@ final class WireTestClient(port: Int, compression: Boolean = false) {
     */
   def insertStreamExpectError(sql: String, schema: StructType,
                               batches: Seq[Seq[Row]]): String = {
-    sendQueryPacket(sql)
-    val first = ChProto.readVarint(in)
-    require(first == ChProto.Server.Data, s"expected header block, got $first")
-    ChProto.readDataBlock(in, compressed = compression)
-    batches.foreach(rows =>
-      ChProto.writeDataBlock(out, schema, rows, ChProto.Client.Data,
-        compress = compression))
+    streamBlocks(sql, schema, batches)
     ChProto.writeDataBlock(out, schema, Seq.empty, ChProto.Client.Data,
       compress = compression)
     out.flush()
     val code = ChProto.readVarint(in)
     require(code == ChProto.Server.Exception,
       s"expected Exception after rejected INSERT, got $code")
-    ChProto.readBytes(in, 4)
-    val name = ChProto.readStr(in)
-    val msg = ChProto.readStr(in)
-    ChProto.readStr(in); ChProto.readVarint(in)
-    s"$name: $msg"
+    readExceptionBody()
+  }
+
+  /** Streamed INSERT followed by an UNDECODABLE Data block (a block-info
+    * field code no decoder accepts). The server cannot resync mid-block
+    * and must sever the connection without answering; returns true if the
+    * next read hit EOF (clean close, no Exception packet).
+    */
+  def insertStreamGarbage(sql: String, schema: StructType): Boolean = {
+    streamBlocks(sql, schema, Nil)
+    ChProto.writeVarint(out, ChProto.Client.Data)
+    ChProto.writeStr(out, "") // temporary table name
+    ChProto.writeVarint(out, 99L) // unknown block-info field -> decode error
+    out.flush()
+    try { ChProto.readVarint(in); false }
+    catch { case _: java.io.EOFException => true }
   }
 
   def close(): Unit = sock.close()
