@@ -25,6 +25,16 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
   * corpus before a small exact-confirm join removes false positives.
   */
 object BloomFunctions {
+  /** Column form of `bloom_probe` for DataFrame/streaming pipelines,
+    * where a serialized bloom rides as a binary literal (`lit(blob)`) —
+    * streaming plans cannot host the scalar subquery the SQL form uses.
+    * Resolved through the session registry (so `register` must have run),
+    * which is the public bridge from Column-land to a catalyst builder.
+    */
+  def bloomProbe(bloom: org.apache.spark.sql.Column,
+                 hash: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.call_function("bloom_probe", bloom, hash)
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_build",

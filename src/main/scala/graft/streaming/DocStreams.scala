@@ -26,4 +26,32 @@ object DocStreams {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("k")
       .drop("k")
+
+  /** Streaming decontamination gate (l22's incremental face): drop every
+    * arriving document sharing an `n`-gram with the static eval corpus.
+    * The eval grams are distilled ONCE into a bloom blob (a few MB —
+    * collected like a broadcast dim) that rides the plan as a binary
+    * literal; each doc's grams probe it inside a stateless per-row
+    * filter — no stream-static join, no shuffle, no state to bound.
+    *
+    * The gate is CONSERVATIVE: a bloom has no false negatives, so no
+    * truly contaminated document ever passes; a clean document is
+    * over-dropped at the bloom's false-positive rate (sized here ~0 for
+    * eval sets up to 1M grams; scale `bloom_build`'s num_bits with the
+    * eval corpus). That asymmetry is the one decontamination wants —
+    * letting eval data leak into training is the unrecoverable failure.
+    */
+  def decontaminationGate(docs: DataFrame, evalDocs: DataFrame,
+                          n: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.NGramFunctions.register(spark)
+    graft.functions.BloomFunctions.register(spark)
+    val blob = evalDocs
+      .selectExpr(s"explode(array_distinct(word_ngrams(text, $n))) AS g")
+      .selectExpr("bloom_build(xxhash64(g)) AS b")
+      .head().getAs[Array[Byte]](0)
+    docs.filter(!exists(
+      expr(s"array_distinct(word_ngrams(text, $n))"),
+      g => graft.functions.BloomFunctions.bloomProbe(lit(blob), xxhash64(g))))
+  }
 }

@@ -51,4 +51,44 @@ class DocStreamsSpec extends AnyFunSuite {
       assert(emitted().contains(6L))
     } finally q.stop()
   }
+
+  test("decontamination gate: no contaminated doc passes, streaming " +
+    "replay equals the batch gate") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val evalDocs = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "pack my box with five dozen liquor jugs")
+    ).toDF("doc_id", "text")
+    // 1,3 share a 4-gram with eval; 2,4 are clean
+    val train = Seq(
+      (1L, "sentence with the quick brown fox inside it"),
+      (2L, "a completely unrelated clean training sentence"),
+      (3L, "pack my box with something else entirely"),
+      (4L, "another clean doc about spark plans"))
+
+    // batch semantics first: exactly the clean docs pass (the bloom is
+    // sized so fpp ~ 0 here; the guarantee direction is no false negatives)
+    val batchPassed = DocStreams
+      .decontaminationGate(train.toDF("doc_id", "text"), evalDocs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchPassed.intersect(Set(1L, 3L)).isEmpty,
+      "no doc sharing an eval 4-gram may ever pass the gate")
+    assert(batchPassed === Set(2L, 4L))
+
+    // the same gate over a stream: stateless filter, same survivors
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = DocStreams
+      .decontaminationGate(mem.toDF().toDF("doc_id", "text"), evalDocs)
+      .writeStream.format("memory").queryName("decon_gate")
+      .outputMode("append").start()
+    try {
+      mem.addData(train: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("decon_gate").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(streamed === batchPassed)
+    } finally q.stop()
+  }
 }
