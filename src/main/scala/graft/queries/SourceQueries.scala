@@ -48,6 +48,8 @@ object SourceQueries {
       // the container codec (deflate) — read back by c03's DSV2 scan
       graft.sources.AvroFiles.write(
         Tables(s, dir, "customer"), s"$exportRoot/customer_avro")
+      Tables(s, dir, "part").coalesce(1).write.mode("overwrite")
+        .orc(s"$exportRoot/part_orc")
     }
   }
 
@@ -91,6 +93,21 @@ object SourceQueries {
         .orderBy(col("c_nationkey"))
     },
 
+    // ORC scan — beyond the reference (its DataFusion fork bundles no ORC
+    // reader); Spark ships one natively so the engine inherits it, with
+    // the same pushdown/pruning as parquet. DuckDB cannot read ORC
+    // offline either, so like c03 the oracle aggregates the ORIGINAL
+    // parquet table: the ORC write+read must be value-exact to hash-match.
+    "c04_orc_scan" -> { (s, dir) =>
+      ensureExports(s, dir)
+      s.read.orc(s"$exportRoot/part_orc")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          max(col("p_size")).as("max_size"),
+          round(sum(col("p_retailprice").cast("decimal(12,2)")), 2).cast("double").as("total_price"))
+        .orderBy(col("p_brand"))
+    },
+
     // Scalar UDF + typed Aggregator UDAF (§2.8) in one aggregation.
     "u01_udf_udaf" -> { (s, dir) =>
       Tables.registerAll(s, dir)
@@ -126,6 +143,12 @@ object SourceQueries {
         |  CAST(ROUND(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_bal
         |FROM customer
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "c04_orc_scan" ->
+      """SELECT p_brand, count(*) AS n, max(p_size) AS max_size,
+        |  CAST(ROUND(sum(CAST(p_retailprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_price
+        |FROM part
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "u01_udf_udaf" ->
       """SELECT CAST(floor((o_totalprice / 10000.0) / 10.0) AS INT) AS bucket,
