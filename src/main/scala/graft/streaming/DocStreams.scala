@@ -50,8 +50,18 @@ object DocStreams {
       .selectExpr(s"explode(array_distinct(word_ngrams(text, $n))) AS g")
       .selectExpr("bloom_build(xxhash64(g)) AS b")
       .head().getAs[Array[Byte]](0)
-    docs.filter(!exists(
-      expr(s"array_distinct(word_ngrams(text, $n))"),
-      g => graft.functions.BloomFunctions.bloomProbe(lit(blob), xxhash64(g))))
+    // an empty eval corpus aggregates to a NULL blob: nothing can be
+    // contaminated, so the gate is a no-op (a null literal would instead
+    // NULL the whole predicate and silently drop every doc)
+    if (blob == null) return docs
+    // no array_distinct on the probe side: exists() short-circuits on the
+    // first hit, so dedup would be pure per-row waste. coalesce keeps
+    // NULL-text docs (zero grams -> never contaminated), matching the
+    // batch l22 semantics where explode simply emits nothing for them
+    docs.filter(coalesce(
+      !exists(
+        expr(s"word_ngrams(text, $n)"),
+        g => graft.functions.BloomFunctions.bloomProbe(lit(blob), xxhash64(g))),
+      lit(true)))
   }
 }

@@ -91,4 +91,21 @@ class DocStreamsSpec extends AnyFunSuite {
       assert(streamed === batchPassed)
     } finally q.stop()
   }
+
+  test("decontamination gate edge cases: empty eval corpus and NULL text " +
+    "both pass (match the batch semantics, no silent drops)") {
+    import spark.implicits._
+    // empty eval corpus -> NULL bloom blob -> nothing is contaminated;
+    // the gate must be a no-op, not a drop-everything NULL predicate
+    val docs = Seq((1L, "some training text here okay fine"), (2L, null))
+      .toDF("doc_id", "text")
+    val noEval = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(DocStreams.decontaminationGate(docs, noEval)
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    // NULL text has zero grams -> never contaminated -> passes, exactly
+    // as batch l22's explode emits nothing for it
+    val eval = Seq((9L, "some training text here okay fine")).toDF("doc_id", "text")
+    assert(DocStreams.decontaminationGate(docs, eval)
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(2L))
+  }
 }
