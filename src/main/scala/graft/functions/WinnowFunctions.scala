@@ -1,0 +1,125 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The winnowing/MOSS fingerprint loop as one codegen'd expression.
+  *
+  * `winnow_fingerprints(text, k, w)` is semantically IDENTICAL (and
+  * spec-asserted equal) to the array-function chain it replaces in l16:
+  *
+  *   array_distinct(transform(sequence(0, size(h) - w),
+  *     i -> array_min(slice(h, i + 1, w))))
+  *   where h = transform(char_ngrams(text, k), g -> substr(md5(g), 1, 8))
+  *
+  * i.e. hash every positional k-gram (first 8 lowercase-hex chars of its
+  * md5), take the minimum hash of each sliding window of w, distinct in
+  * first-occurrence order. The HOF form pays an interpreted lambda + an
+  * md5 expression allocation per position and a slice allocation per
+  * window (~2·length(text) interpreted calls per document — the dominant
+  * cost of l16); this loop hashes into a reused MessageDigest and
+  * compares window bytes in place, the same preference-order-(b) move as
+  * [[NGramOps]]. Inputs shorter than k+w-1 code points yield an empty
+  * array (the SQL form is only defined there under l16's length guard).
+  */
+object WinnowOps {
+  private val Hex = "0123456789abcdef".getBytes(StandardCharsets.US_ASCII)
+
+  private def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < 8) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    0
+  }
+
+  def winnow(s: UTF8String, k: Int, w: Int): ArrayData = {
+    if (k <= 0 || w <= 0) return new GenericArrayData(Array.empty[Any])
+    val cps = s.numChars()
+    val n = cps - k + 1
+    if (n < w) return new GenericArrayData(Array.empty[Any])
+    val t = s.toString
+    val ascii = t.length == cps
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hashes = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      val gram =
+        if (ascii) t.substring(i, i + k).getBytes(StandardCharsets.UTF_8)
+        else s.substring(i, i + k).getBytes
+      val dig = md.digest(gram) // digest() resets for the next round
+      val hex = new Array[Byte](8)
+      var b = 0
+      while (b < 4) {
+        val v = dig(b) & 0xff
+        hex(2 * b) = Hex(v >>> 4)
+        hex(2 * b + 1) = Hex(v & 0xf)
+        b += 1
+      }
+      hashes(i) = hex
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var start = 0
+    while (start + w <= n) {
+      var min = hashes(start)
+      var j = 1
+      while (j < w) {
+        if (cmp(hashes(start + j), min) < 0) min = hashes(start + j)
+        j += 1
+      }
+      seen.add(UTF8String.fromBytes(min))
+      start += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** winnow_fingerprints(text, k, w) — see [[WinnowOps.winnow]]. */
+case class WinnowFingerprints(first: Expression, second: Expression,
+                              third: Expression) extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, IntegerType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"winnow_fingerprints expects (string, int, int), got ($a, $b, $c)")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(s: Any, k: Any, w: Any): Any =
+    WinnowOps.winnow(s.asInstanceOf[UTF8String],
+      k.asInstanceOf[Int], w.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, k, w) =>
+      s"${ev.value} = graft.functions.WinnowOps.winnow($s, $k, $w);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): WinnowFingerprints =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object WinnowFunctions {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_fingerprints",
+      { case Seq(s, k, w) => WinnowFingerprints(s, k, w)
+        case e => throw new IllegalArgumentException(
+          s"winnow_fingerprints expects 3 arguments, got ${e.length}") },
+      "built-in")
+}

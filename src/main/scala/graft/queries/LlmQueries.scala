@@ -668,19 +668,17 @@ object LlmQueries {
     // — never all-pairs.
     "l16_winnowing" -> { (s, dir) =>
       Tables.registerAll(s, dir)
-      graft.functions.NGramFunctions.register(s)
+      graft.functions.WinnowFunctions.register(s)
+      // the whole winnow (gram md5 -> window min -> per-doc distinct) is
+      // one codegen'd expression (WinnowOps, spec-asserted equal to the
+      // r5 array-function chain it replaces, which paid ~2·length(text)
+      // interpreted lambda calls per doc)
       s.sql(
-        """WITH hs AS (
-          |  SELECT doc_id,
-          |    transform(char_ngrams(text, 5), g -> substr(md5(g), 1, 8)) AS h
+        """WITH fps AS (
+          |  SELECT doc_id, fp
           |  FROM (SELECT /*+ REPARTITION */ doc_id, text FROM documents
           |        WHERE length(text) >= 8) d
-          |), fps AS (
-          |  SELECT doc_id, fp
-          |  FROM hs
-          |  LATERAL VIEW explode(array_distinct(transform(
-          |    sequence(0, size(h) - 4), i -> array_min(slice(h, i + 1, 4))
-          |  ))) t AS fp
+          |  LATERAL VIEW explode(winnow_fingerprints(text, 5, 4)) t AS fp
           |), shared AS (
           |  SELECT fp, count(*) AS docs FROM fps GROUP BY fp
           |)
