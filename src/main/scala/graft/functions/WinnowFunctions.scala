@@ -48,13 +48,15 @@ object WinnowOps {
     val n = cps - k + 1
     if (n < w) return new GenericArrayData(Array.empty[Any])
     val t = s.toString
-    val ascii = t.length == cps
+    // char index == code-point index (no surrogate pairs) -> fast path;
+    // NOT an ASCII test: 'é' passes here and re-encodes through UTF-8
+    val noSurrogates = t.length == cps
     val md = java.security.MessageDigest.getInstance("MD5")
     val hashes = new Array[Array[Byte]](n)
     var i = 0
     while (i < n) {
       val gram =
-        if (ascii) t.substring(i, i + k).getBytes(StandardCharsets.UTF_8)
+        if (noSurrogates) t.substring(i, i + k).getBytes(StandardCharsets.UTF_8)
         else s.substring(i, i + k).getBytes
       val dig = md.digest(gram) // digest() resets for the next round
       val hex = new Array[Byte](8)

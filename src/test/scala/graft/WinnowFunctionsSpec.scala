@@ -40,16 +40,25 @@ class WinnowFunctionsSpec extends AnyFunSuite {
     }
   }
 
-  test("null input yields null; the expression stays inside codegen") {
+  test("null input yields null; the GENERATED code runs and agrees") {
     assert(one("SELECT winnow_fingerprints(CAST(NULL AS STRING), 5, 4)") == null)
-    // range, not VALUES: a literal row constant-folds to LocalTableScan
-    // with no codegen stage to inspect
-    val plan = spark.sql(
-      "SELECT winnow_fingerprints(concat('abcdefghij', CAST(id AS STRING)), 5, 4) FROM range(2)")
-      .queryExecution.executedPlan.toString
+    // range-derived (non-literal) input: ConstantFolding cannot evaluate
+    // it on the driver, so collecting actually RUNS the Janino-compiled
+    // doGenCode output — a generated call with a bad signature would fall
+    // back to interpreted mode and the plan/value asserts below catch it
+    val df = spark.sql(
+      """SELECT winnow_fingerprints(t, 5, 4) AS got,
+        |  array_distinct(transform(
+        |    sequence(0, size(h) - 4), i -> array_min(slice(h, i + 1, 4)))) AS want
+        |FROM (SELECT t, transform(char_ngrams(t, 5),
+        |             g -> substr(md5(g), 1, 8)) AS h
+        |      FROM (SELECT concat('spark row batch value ',
+        |                   CAST(id * 37 AS STRING)) AS t FROM range(8)))""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
     // the '*(n)' operator prefix is executedPlan.toString's marker for a
     // whole-stage-codegen'd span
     assert(plan.contains("*(1) Project"),
       s"winnow_fingerprints must not break whole-stage codegen:\n$plan")
+    df.collect().foreach(r => assert(r.get(0) === r.get(1)))
   }
 }
