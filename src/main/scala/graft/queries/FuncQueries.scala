@@ -101,6 +101,12 @@ object FuncQueries {
     // NULLIF + TRY_CAST (reference nullif.rs, try_cast.rs).
     "f07_nullif_trycast" -> { (s, dir) =>
       Tables.registerAll(s, dir)
+      // perf note (measured, PERF.md r6): the n_uncastable branch is
+      // ~10 µs/row because EVERY o_orderstatus fails the int cast and
+      // Spark's TRY path throws-and-catches per failure (stack-trace
+      // fill). This entry keeps the TRY_CAST coverage semantics; bulk
+      // parsing of a mostly-dirty column at scale should prefilter with
+      // a cheap regex so only plausible rows reach the cast
       s.sql(
         """SELECT
           |  CAST(sum(CASE WHEN NULLIF(o_orderstatus, 'F') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
