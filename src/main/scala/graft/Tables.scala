@@ -41,11 +41,82 @@ object Tables {
   // re-read ten parquet footers (VERDICT r1 defect #7).
   private val registeredDir =
     new java.util.concurrent.ConcurrentHashMap[Integer, String]()
+  // Layout probe result per session (computed once at registerAll): true
+  // when the documents scan cannot parallelize on its own.
+  private val probedClumped =
+    new java.util.concurrent.ConcurrentHashMap[Integer, java.lang.Boolean]()
 
   /** Register every test table as a temp view (for spark.sql-based entries). */
   def registerAll(spark: SparkSession, dir: String): Unit = {
     val key = Integer.valueOf(System.identityHashCode(spark))
-    if (registeredDir.put(key, dir) != dir)
+    if (registeredDir.put(key, dir) != dir) {
       all.foreach { n => apply(spark, dir, n).createOrReplaceTempView(n) }
+      probedClumped.put(key,
+        java.lang.Boolean.valueOf(clumped(spark, s"$dir/documents.parquet")))
+    }
   }
+
+  /** Total parquet row groups under `path` (file or directory of part
+    * files) — footer metadata only, no data read. A parquet scan's
+    * effective parallelism is its row-group count: Spark plans byte-range
+    * splits, but each row group is consumed whole by the split holding its
+    * midpoint, so extra splits of a one-row-group file read nothing.
+    */
+  def rowGroupCount(spark: SparkSession, path: String): Int = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+      else Array(fs.getFileStatus(p))
+    files.map { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+      try r.getRowGroups.size finally r.close()
+    }.sum
+  }
+
+  /** True when the layout starves the session of scan parallelism: fewer
+    * row groups than half the cores. The driver-generated fixtures are a
+    * single row group at every SF (TESTDATA.md), so this fires there; a
+    * production 100 TB corpus arrives as tens of thousands of row groups
+    * and the probe turns the spread exchange OFF — the full-corpus
+    * round-robin shuffle must not survive a 100× scale-up (VERDICT r6 #1).
+    */
+  private def clumped(spark: SparkSession, path: String): Boolean =
+    try rowGroupCount(spark, path) < spark.sparkContext.defaultParallelism / 2
+    catch { case _: java.io.IOException => false }
+
+  /** Should map-heavy pipelines over `documents` insert a spreading
+    * exchange before their per-row work? Decision order: session conf
+    * `graft.spread` (on/off — runtime-settable, used by specs and plan
+    * A/Bs), env `GRAFT_SPREAD` (on/off — driver/bench runs), else the
+    * registration-time row-group probe. Unknown session (operator invoked
+    * without registerAll, e.g. on a spec's in-memory frame): spread — the
+    * exchange is harmless on small inputs, fusing a whole codec pipeline
+    * into one task is not.
+    */
+  def spreadOn(spark: SparkSession): Boolean =
+    spark.conf.getOption("graft.spread")
+      .orElse(sys.env.get("GRAFT_SPREAD"))
+      .filter(v => v == "on" || v == "off") match {
+      case Some(v) => v == "on"
+      case None =>
+        val key = Integer.valueOf(System.identityHashCode(spark))
+        Option(probedClumped.get(key)).forall(_.booleanValue)
+    }
+
+  /** The SQL hint fragment the l-queries interpolate before their gram/
+    * token/codec map stages: a round-robin exchange when the layout needs
+    * one, empty otherwise (so the 100× plan has NO full-corpus shuffle).
+    */
+  def spreadHint(spark: SparkSession): String =
+    if (spreadOn(spark)) "/*+ REPARTITION */" else ""
+
+  /** DataFrame-side twin of [[spreadHint]] for the multimodal operators. */
+  def maybeSpread(df: DataFrame): DataFrame =
+    if (spreadOn(df.sparkSession)) df.repartition() else df
 }

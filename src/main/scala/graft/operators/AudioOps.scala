@@ -109,14 +109,15 @@ object AudioOps {
     */
   def audioFeatures(spark: SparkSession, docs: DataFrame): Dataset[AudioMeta] = {
     import spark.implicits._
-    // repartition BEFORE the codec map work: the synthetic corpus is one
-    // unsplittable parquet row group — without the exchange the whole
-    // synth+decode pipeline fuses into a single task (see MultimodalOps)
-    docs.select(col("doc_id"),
-        (byteAt(1) * lit(2) + lit(200)).cast("int").as("n"),
-        (byteAt(3) % lit(50) + lit(8)).cast("int").as("period"),
-        (byteAt(5) * lit(8) + lit(500)).cast("int").as("amp"))
-      .repartition()
+    // Layout-conditional spread BEFORE the codec map work: the synthetic
+    // corpus is one unsplittable parquet row group — without the exchange
+    // the whole synth+decode pipeline fuses into a single task; a
+    // well-split production scan gets NO exchange (see MultimodalOps)
+    graft.Tables.maybeSpread(
+        docs.select(col("doc_id"),
+          (byteAt(1) * lit(2) + lit(200)).cast("int").as("n"),
+          (byteAt(3) % lit(50) + lit(8)).cast("int").as("period"),
+          (byteAt(5) * lit(8) + lit(500)).cast("int").as("amp")))
       .as[(Long, Int, Int, Int)]
       .mapPartitions(synthPartition)
       .mapPartitions(featuresPartition)

@@ -90,14 +90,14 @@ object MultimodalOps {
     */
   def decodeDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
-    // repartition BEFORE the codec map work: the synthetic corpus is one
+    // Spread BEFORE the codec map work: the synthetic corpus is one
     // parquet row group, which Spark cannot split — without the exchange
     // the whole encode+decode pipeline fuses into a single task (measured
-    // 1 partition, ~5x wall). Same justification as the l-queries'
-    // REPARTITION hint; a no-op cost at real scale where scans arrive
-    // already split.
-    docs.select(col("doc_id"), dimExpr(1).as("w"), dimExpr(3).as("h"))
-      .repartition()
+    // 1 partition, ~5x wall). Layout-conditional (Tables.maybeSpread):
+    // a well-split production scan gets NO exchange — an unconditional
+    // repartition would round-robin the whole binary corpus.
+    graft.Tables.maybeSpread(
+        docs.select(col("doc_id"), dimExpr(1).as("w"), dimExpr(3).as("h")))
       .as[(Long, Int, Int)]
       .mapPartitions(encodePartition)
       .mapPartitions(decodePartition)

@@ -119,14 +119,15 @@ object VideoOps {
   def sampleDocuments(spark: SparkSession, docs: DataFrame,
                       stride: Int = 3): Dataset[ClipSample] = {
     import spark.implicits._
-    // repartition BEFORE the codec map work: the synthetic corpus is one
-    // unsplittable parquet row group — without the exchange the whole
-    // encode+sample pipeline fuses into a single task (see MultimodalOps)
-    docs.select(col("doc_id"),
-        ((nib(1) * lit(16) + nib(2)) % lit(10) + lit(3)).cast("int").as("nf"),
-        (nib(3) % lit(8) + lit(2)).cast("int").as("w"),
-        (nib(4) % lit(8) + lit(2)).cast("int").as("h"))
-      .repartition()
+    // Layout-conditional spread BEFORE the codec map work: the synthetic
+    // corpus is one unsplittable parquet row group — without the exchange
+    // the whole encode+sample pipeline fuses into a single task; a
+    // well-split production scan gets NO exchange (see MultimodalOps)
+    graft.Tables.maybeSpread(
+        docs.select(col("doc_id"),
+          ((nib(1) * lit(16) + nib(2)) % lit(10) + lit(3)).cast("int").as("nf"),
+          (nib(3) % lit(8) + lit(2)).cast("int").as("w"),
+          (nib(4) % lit(8) + lit(2)).cast("int").as("h")))
       .as[(Long, Int, Int, Int)]
       .mapPartitions(encodePartition)
       .mapPartitions(samplePartition(stride))

@@ -107,13 +107,14 @@ object LlmQueries {
   /** The l02 pipeline, parameterized by the bucket cap and source view so
     * the skew spec can drive it against a synthetic boilerplate corpus.
     */
-  def minhashLshSql(cap: Int, table: String = "documents"): String =
+  def minhashLshSql(cap: Int, table: String = "documents",
+                    hint: String = ""): String =
     s"""WITH sh AS (
        |  -- codegen'd word_ngrams (the transform/slice/array_join lambda it
-       |  -- replaces ran interpreted per element); REPARTITION spreads the
-       |  -- shingle+md5 map work off the unsplittable single-row-group scan
+       |  -- replaces ran interpreted per element); `hint` spreads the
+       |  -- shingle+md5 map work when the scan layout can't (Tables.spreadHint)
        |  SELECT doc_id, explode(word_ngrams(text, 3)) AS s
-       |  FROM (SELECT /*+ REPARTITION */ doc_id, text FROM $table)
+       |  FROM (SELECT $hint doc_id, text FROM $table)
        |  WHERE size(split(text, ' ')) >= 3
        |), mh AS (
        |  SELECT doc_id,
@@ -179,7 +180,7 @@ object LlmQueries {
     "l02_minhash_lsh" -> { (s, dir) =>
       Tables.registerAll(s, dir)
       graft.functions.NGramFunctions.register(s)
-      s.sql(minhashLshSql(LshBucketCap))
+      s.sql(minhashLshSql(LshBucketCap, hint = Tables.spreadHint(s)))
     },
 
     // ---- l03: brute-force top-k cosine (ANN correctness baseline) -----
@@ -289,19 +290,21 @@ object LlmQueries {
       // language's top-20 profile collapses to ONE array row, so scoring
       // is a broadcast nested-loop over n_langs rows with
       // size(array_intersect(gs, pgs)) counting overlap map-side.
-      // REPARTITION before the gram map work: the synthetic corpus is one
-      // parquet row group, which Spark cannot split — without the exchange
-      // the whole gram build fuses into a single-task scan stage. At real
-      // scale the input is already many splits and the hint is a no-op
-      // worth keeping only for skewed file layouts.
+      // Tables.spreadHint before the gram map work: the synthetic corpus
+      // is one parquet row group, which Spark cannot split — without the
+      // exchange the whole gram build fuses into a single-task scan
+      // stage. The hint is layout-CONDITIONAL (row-group probe at
+      // registerAll): a well-laid-out 100 TB corpus gets no exchange,
+      // because a round-robin hint is a full-corpus shuffle, never a
+      // no-op (VERDICT r6 #1). Same contract at every spreadHint site.
       // dg is referenced twice (profile training AND scoring); Spark
       // inlines CTEs, so without materialization the gram extraction — the
       // dominant cost — runs twice. Persist it once and let both branches
       // share the cached columnar batches (at cluster scale: a checkpoint
       // or temp table).
       val dg = materialize(s.sql(
-        """SELECT doc_id, lang, array_distinct(char_ngrams(text, 3)) AS gs
-          |FROM (SELECT /*+ REPARTITION */ doc_id, lang, text FROM documents)
+        s"""SELECT doc_id, lang, array_distinct(char_ngrams(text, 3)) AS gs
+          |FROM (SELECT ${Tables.spreadHint(s)} doc_id, lang, text FROM documents)
           |WHERE length(text) >= 3""".stripMargin))
       dg.createOrReplaceTempView("l13_dg")
       s.sql(
@@ -345,7 +348,7 @@ object LlmQueries {
       s.sql(
         s"""WITH tok AS (
            |  SELECT doc_id, explode(split(text, ' ')) AS w
-           |  FROM (SELECT /*+ REPARTITION */ doc_id, text FROM documents)
+           |  FROM (SELECT ${Tables.spreadHint(s)} doc_id, text FROM documents)
            |), tb AS (
            |  SELECT doc_id, $byte AS byte FROM (SELECT doc_id, md5(w) AS h FROM tok)
            |), v AS (
@@ -463,7 +466,7 @@ object LlmQueries {
       val f = s.sql(
         s"""WITH tok AS (
            |  SELECT doc_id, explode(split(text, ' ')) AS w
-           |  FROM (SELECT /*+ REPARTITION */ doc_id, text FROM documents)
+           |  FROM (SELECT ${Tables.spreadHint(s)} doc_id, text FROM documents)
            |), tb AS (
            |  SELECT doc_id, $byte AS byte FROM (SELECT doc_id, md5(w) AS h FROM tok)
            |), v AS (
@@ -544,7 +547,7 @@ object LlmQueries {
       // -algorithm trap (measured 14 s; checkpointed ~1 s). This is the
       // standard Spark shape for label propagation / connected components.
       val edges = s.sql(
-        """WITH ex AS (
+        s"""WITH ex AS (
           |  SELECT doc_id, md5(lower(text)) AS k FROM documents
           |), exg AS (
           |  SELECT k, min(doc_id) AS root, count(*) AS n FROM ex GROUP BY k
@@ -553,7 +556,7 @@ object LlmQueries {
           |  WHERE g.n > 1 AND e.doc_id <> g.root
           |), grams AS (
           |  SELECT doc_id, lang, array_distinct(word_ngrams(text, 2)) AS gr
-          |  FROM (SELECT /*+ REPARTITION */ doc_id, lang, text FROM documents)
+          |  FROM (SELECT ${Tables.spreadHint(s)} doc_id, lang, text FROM documents)
           |  WHERE size(split(text, ' ')) >= 2
           |), ndedges AS (
           |  SELECT a.doc_id AS a, b.doc_id AS b
@@ -674,9 +677,9 @@ object LlmQueries {
       // r5 array-function chain it replaces, which paid ~2·length(text)
       // interpreted lambda calls per doc)
       s.sql(
-        """WITH fps AS (
+        s"""WITH fps AS (
           |  SELECT doc_id, fp
-          |  FROM (SELECT /*+ REPARTITION */ doc_id, text FROM documents
+          |  FROM (SELECT ${Tables.spreadHint(s)} doc_id, text FROM documents
           |        WHERE length(text) >= 8) d
           |  LATERAL VIEW explode(winnow_fingerprints(text, 5, 4)) t AS fp
           |), shared AS (
@@ -730,13 +733,13 @@ object LlmQueries {
       Tables.registerAll(s, dir)
       graft.functions.NGramFunctions.register(s)
       s.sql(
-        """WITH base AS (
+        s"""WITH base AS (
           |  SELECT doc_id, source, size(split(text, ' ')) AS n_tok,
           |    size(array_distinct(split(text, ' '))) AS n_uniq
           |  FROM documents WHERE size(split(text, ' ')) >= 2
           |), bg AS (
           |  SELECT doc_id, g, count(*) AS c
-          |  FROM (SELECT /*+ REPARTITION */ doc_id, text FROM documents)
+          |  FROM (SELECT ${Tables.spreadHint(s)} doc_id, text FROM documents)
           |  LATERAL VIEW explode(word_ngrams(text, 2)) t AS g
           |  GROUP BY doc_id, g
           |), topbg AS (
@@ -774,13 +777,13 @@ object LlmQueries {
       // one over the entire exploded join output (11 s at sf0.1, the
       // slowest query in the suite; this shape is ~1 s)
       s.sql(
-        """WITH ev AS (
+        s"""WITH ev AS (
           |  SELECT DISTINCT g FROM documents
           |  LATERAL VIEW explode(array_distinct(word_ngrams(text, 3))) t AS g
           |  WHERE source IN ('src0', 'src1')
           |), tr AS (
           |  SELECT doc_id, source, g
-          |  FROM (SELECT /*+ REPARTITION */ doc_id, source, text FROM documents
+          |  FROM (SELECT ${Tables.spreadHint(s)} doc_id, source, text FROM documents
           |        WHERE source NOT IN ('src0', 'src1')) d
           |  LATERAL VIEW explode(array_distinct(word_ngrams(text, 3))) t AS g
           |), per_doc AS (
@@ -825,9 +828,9 @@ object LlmQueries {
     "l20_tfidf_terms" -> { (s, dir) =>
       Tables.registerAll(s, dir)
       s.sql(
-        """WITH tok AS (
+        s"""WITH tok AS (
           |  SELECT doc_id, w
-          |  FROM (SELECT /*+ REPARTITION */ doc_id, text FROM documents)
+          |  FROM (SELECT ${Tables.spreadHint(s)} doc_id, text FROM documents)
           |  LATERAL VIEW explode(split(text, ' ')) t AS w
           |  WHERE w <> ''
           |), stats AS (
@@ -905,13 +908,13 @@ object LlmQueries {
       // corpus the trade flips: land the gram set in a temp table once
       // and point both consumers at it.
       s.sql(
-        """WITH ev AS (
+        s"""WITH ev AS (
           |  SELECT DISTINCT g FROM documents
           |  LATERAL VIEW explode(array_distinct(word_ngrams(text, 4))) t AS g
           |  WHERE source IN ('src0', 'src1')
           |), tr AS (
           |  SELECT doc_id, source, g
-          |  FROM (SELECT /*+ REPARTITION */ doc_id, source, text FROM documents
+          |  FROM (SELECT ${Tables.spreadHint(s)} doc_id, source, text FROM documents
           |        WHERE source NOT IN ('src0', 'src1')) d
           |  LATERAL VIEW explode(array_distinct(word_ngrams(text, 4))) t AS g
           |), survivors AS (

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The layout-conditional spread contract (VERDICT r6 #1): the round-robin
+  * exchange the l-queries and multimodal operators place before their map
+  * work must be decided by the INPUT LAYOUT, not baked into the query text
+  * — an unconditional REPARTITION hint is a full-corpus shuffle at 100 TB.
+  * Decision order: conf `graft.spread` > env `GRAFT_SPREAD` > row-group
+  * probe at registerAll.
+  */
+class SpreadDecisionSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def withSpread[A](mode: String)(body: => A): A = {
+    spark.conf.set("graft.spread", mode)
+    try body finally spark.conf.unset("graft.spread")
+  }
+
+  private def repartitions(name: String): Int = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    val n = df.queryExecution.optimizedPlan.collect {
+      case r: RepartitionOperation => r
+    }.size
+    queries.LlmQueries.releaseShared()
+    n
+  }
+
+  test("fixture documents.parquet probes as clumped (single row group)") {
+    val rg = Tables.rowGroupCount(spark, s"$sf/documents.parquet")
+    assert(rg >= 1)
+    assert(rg < spark.sparkContext.defaultParallelism / 2,
+      s"fixture unexpectedly well-split ($rg row groups) — probe coverage gone")
+    Tables.registerAll(spark, sf)
+    assert(Tables.spreadOn(spark), "probe should spread a clumped layout")
+  }
+
+  test("conf graft.spread=off removes the exchange from hinted plans") {
+    val hinted = withSpread("on")(repartitions("l20_tfidf_terms"))
+    val plain  = withSpread("off")(repartitions("l20_tfidf_terms"))
+    assert(hinted >= 1, "spread=on should plan a Repartition")
+    assert(plain == 0,
+      "spread=off must leave NO round-robin repartition — this is the 100 TB plan")
+  }
+
+  test("spread=off keeps l20 result identical (both modes oracle-equivalent)") {
+    val on  = withSpread("on")(
+      SparkEntry.queries("l20_tfidf_terms")(spark, sf).collect().toSet)
+    val off = withSpread("off")(
+      SparkEntry.queries("l20_tfidf_terms")(spark, sf).collect().toSet)
+    assert(on == off)
+  }
+
+  test("maybeSpread follows the same decision") {
+    val df = spark.range(10).toDF("doc_id")
+    val on = withSpread("on")(Tables.maybeSpread(df))
+    val off = withSpread("off")(Tables.maybeSpread(df))
+    assert(on.queryExecution.logical.collect { case r: RepartitionOperation => r }.nonEmpty)
+    assert(off.queryExecution.logical.collect { case r: RepartitionOperation => r }.isEmpty)
+  }
+}
