@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -38,12 +38,30 @@ import org.apache.spark.sql.types.StructType
   * Determinism contract: callers must ensure the right side is unique per
   * (key, time) — duplicate equal-time right rows make "the latest row"
   * ill-defined in ANY as-of engine. Aggregate the right side first.
+  *
+  * SKEW contract: `backward` sorts each key's ENTIRE merged history inside
+  * one task — `Window.partitionBy(key)` partitions cannot be split by AQE,
+  * so one pathological key (a single user/symbol holding a billion events)
+  * serializes into one executor (VERDICT r6 #2). When key skew is possible,
+  * use [[backwardBinned]]: the two-level (key, time-bin) shape bounds every
+  * window partition by the bin's row count, at the price of two extra small
+  * shuffles (per-bin closings + carry-in). Residual limit: a burst inside
+  * ONE bin of one key still lands in one task — size bins below the
+  * acceptable per-task row count.
   */
 object AsofJoin {
 
   private val SideTag = "__asof_side"
   private val TimeCol = "__asof_t"
   private val PayloadCol = "__asof_p"
+  private val BinCol = "__asof_bin"
+  private val CarryCol = "__asof_carry"
+
+  /** Reference a USER-named column literally: backtick-quoted so names
+    * containing dots (legal in DataFrame schemas) resolve as one column,
+    * never as a nested path (ADVICE r6 #3).
+    */
+  private def q(n: String): Column = col("`" + n.replace("`", "``") + "`")
 
   /** Backward as-of join, left-outer semantics (unmatched left rows keep
     * null payloads).
@@ -59,33 +77,102 @@ object AsofJoin {
                leftTime: String, rightTime: String,
                payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val (r, l) = tagged(left, right, key, leftTime, rightTime, payload)
+
+    val w = Window.partitionBy(q(key))
+      .orderBy(col(TimeCol), col(SideTag))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    r.unionByName(l)
+      .select((leftCols.map(q) :+
+        last(col(PayloadCol), ignoreNulls = true).over(w).as(PayloadCol) :+
+        col(SideTag)): _*)
+      .filter(col(SideTag) === 1)
+      // getField, not a dot-path col(): a payload name containing '.'
+      // must resolve as a literal struct field, not a nested path
+      .select((leftCols.map(q) ++
+        payload.map(p => col(PayloadCol).getField(p).as(p))): _*)
+  }
+
+  /** Skew-proof two-level variant of [[backward]] for hot keys: windows run
+    * per (key, bin) instead of per key, so no single key serializes its
+    * whole history into one task.
+    *
+    *   closings(key, bin) = payload of the LAST right row in the bin
+    *     (one aggregation of R keyed (key, bin) — small output)
+    *   carry(key, bin)    = latest closing from any EARLIER bin
+    *     (window over one row per (key, bin) — tiny)
+    *   detail             = backward's union+window, partitioned (key, bin)
+    *   result             = coalesce(within-bin match, carry-in)
+    *
+    * `bin` must be monotone non-decreasing in the time column and applied
+    * identically to both sides (e.g. `c => floor(unix_micros(c) / 3.6e9)`
+    * for hourly bins on a timestamp). Result is EXACTLY `backward`'s —
+    * spec-asserted — because a left row's best match is either inside its
+    * own bin (detail window) or the closing row of the latest earlier
+    * non-empty bin (carry-in).
+    */
+  def backwardBinned(left: DataFrame, right: DataFrame, key: String,
+                     leftTime: String, rightTime: String,
+                     payload: Seq[String], bin: Column => Column): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val (r0, l0) = tagged(left, right, key, leftTime, rightTime, payload)
+    val r = r0.withColumn(BinCol, bin(col(TimeCol)))
+    val l = l0.withColumn(BinCol, bin(col(TimeCol)))
+
+    // Level 1: per-bin closing payloads (right side only) + per-bin
+    // carry-in over ONE row per (key, bin) — the only per-key-ordered
+    // window left, and it is bounded by the bin count, not the row count.
+    val closings = r.groupBy(q(key), col(BinCol))
+      .agg(max_by(col(PayloadCol), col(TimeCol)).as(CarryCol))
+    val bins = r.select(q(key), col(BinCol))
+      .unionByName(l.select(q(key), col(BinCol))).distinct()
+    val wCarry = Window.partitionBy(q(key)).orderBy(col(BinCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = bins.join(closings, Seq(key, BinCol), "left")
+      .select(q(key), col(BinCol),
+        last(col(CarryCol), ignoreNulls = true).over(wCarry).as(CarryCol))
+
+    // Level 2: the detailed window, partition-bounded by (key, bin).
+    val wBin = Window.partitionBy(q(key), col(BinCol))
+      .orderBy(col(TimeCol), col(SideTag))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    r.unionByName(l)
+      .select((q(key) +: col(BinCol) +: col(SideTag) +:
+        last(col(PayloadCol), ignoreNulls = true).over(wBin).as(PayloadCol) +:
+        leftCols.filterNot(_ == key).map(q)): _*)
+      .filter(col(SideTag) === 1)
+      .join(carries, Seq(key, BinCol), "left")
+      .select((leftCols.map(q) ++
+        payload.map(p =>
+          coalesce(col(PayloadCol), col(CarryCol)).getField(p).as(p))): _*)
+  }
+
+  /** Shared side-tagging: right rows carry the payload struct and null left
+    * columns; left rows carry their columns and a null payload. Right sorts
+    * before left at equal timestamps (side 0 < 1) for inclusive `>=` match.
+    */
+  private def tagged(left: DataFrame, right: DataFrame, key: String,
+                     leftTime: String, rightTime: String,
+                     payload: Seq[String]): (DataFrame, DataFrame) = {
+    val leftCols = left.columns.toSeq
     require(!payload.contains(key), s"payload must not repeat the key '$key'")
     require(payload.toSet.intersect(leftCols.toSet).isEmpty,
       s"payload ${payload.mkString(",")} collides with left columns")
-    val reserved = Set(SideTag, TimeCol, PayloadCol)
+    val reserved = Set(SideTag, TimeCol, PayloadCol, BinCol, CarryCol)
     require(reserved.intersect((leftCols ++ payload :+ key).toSet).isEmpty,
       s"column names ${reserved.mkString(",")} are reserved by AsofJoin")
 
     val payloadType = StructType(payload.map(c => right.schema(c)))
     val r = right.select(
-      col(key) +: (col(rightTime).as(TimeCol) +: lit(0).as(SideTag) +:
-        (struct(payload.map(col): _*).as(PayloadCol) +:
+      q(key) +: (q(rightTime).as(TimeCol) +: lit(0).as(SideTag) +:
+        (struct(payload.map(q): _*).as(PayloadCol) +:
           leftCols.filterNot(_ == key).map(c => lit(null).as(c)))): _*)
     val l = left.select(
-      col(key) +: (col(leftTime).as(TimeCol) +: lit(1).as(SideTag) +:
+      q(key) +: (q(leftTime).as(TimeCol) +: lit(1).as(SideTag) +:
         (lit(null).cast(payloadType).as(PayloadCol) +:
-          leftCols.filterNot(_ == key).map(col))): _*)
-
-    val w = Window.partitionBy(col(key))
-      .orderBy(col(TimeCol), col(SideTag))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    r.unionByName(l)
-      .select((leftCols.map(col) :+
-        last(col(PayloadCol), ignoreNulls = true).over(w).as(PayloadCol) :+
-        col(SideTag)): _*)
-      .filter(col(SideTag) === 1)
-      .select((leftCols.map(col) ++
-        payload.map(p => col(s"$PayloadCol.$p").as(p))): _*)
+          leftCols.filterNot(_ == key).map(q))): _*)
+    (r, l)
   }
 }

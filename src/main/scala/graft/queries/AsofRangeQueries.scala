@@ -46,6 +46,31 @@ object AsofRangeQueries {
         .orderBy(col("event_id"))
     },
 
+    // ---- a03: as-of join, skew-proof two-level shape ------------------
+    // Same query as a01 through AsofJoin.backwardBinned with hourly time
+    // bins: the detailed window partitions by (user, hour) instead of
+    // (user), so one hot user's history never serializes into one task.
+    // Oracled against the SAME DuckDB ASOF JOIN as a01 — the gate proves
+    // the two-level rewrite exact, not approximately equal.
+    "a03_asof_join_binned" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("view_value"))
+        .select(col("user_id"), col("ts"),
+          unix_micros(col("ts")).as("view_us"), col("view_value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          unix_micros(col("ts")).as("click_us"))
+      AsofJoin.backwardBinned(clicks, views, key = "user_id",
+          leftTime = "ts", rightTime = "ts",
+          payload = Seq("view_us", "view_value"),
+          bin = c => floor(unix_micros(c) / lit(3600000000L)))
+        .select(col("event_id"), col("user_id"), col("click_us"),
+          col("view_us"), col("view_value"))
+        .orderBy(col("event_id"))
+    },
+
     // ---- a02: interval × point range join -----------------------------
     // Clicks landing inside the 15-minute window after each error event —
     // a pure range join (no equi key), which the bin-bucketed RangeJoin
@@ -71,6 +96,19 @@ object AsofRangeQueries {
 
   val oracles: Map[String, String] = Map(
     "a01_asof_join" ->
+      """SELECT c.event_id, c.user_id, epoch_us(c.ts) AS click_us,
+        |  epoch_us(v.ts) AS view_us, v.view_value
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, max(value) AS view_value
+        |  FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |        FROM events WHERE event_type = 'view')
+        |  GROUP BY user_id, ts) v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "a03_asof_join_binned" ->
       """SELECT c.event_id, c.user_id, epoch_us(c.ts) AS click_us,
         |  epoch_us(v.ts) AS view_us, v.view_value
         |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
