@@ -12,9 +12,20 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
   *
   *  - `bloom_build(xxhash64(x) [, est_items, num_bits])`: aggregate; the
   *    partial per-partition blooms OR-merge, so the build is one normal
-  *    aggregation, no driver loop. Defaults: 1M items / 8M bits (1 MB
-  *    blob, <1% fpp at capacity — both within Spark's runtime-filter
-  *    caps, so the same sizing discipline applies).
+  *    aggregation, no driver loop. Defaults: 1M items / 16M bits (2 MB
+  *    blob; 16 bits/item at the optimal hash count is ~0.05% per-probe
+  *    fpp at capacity — 8 bits/item would be ~2.1%, which an any-gram
+  *    gate amplifies ruinously, see below; both defaults sit within
+  *    Spark's runtime-filter caps, so the same sizing discipline
+  *    applies).
+  *
+  * Sizing rule for ANY-match gates (l22, the streaming gate): a document
+  * is dropped if ANY of its G grams false-positives, so the per-DOC
+  * false-drop rate is ~1-(1-fpp)^G ≈ G·fpp. A 100-gram doc against a
+  * 2.1% bloom is ~88% false-drop; against 0.05% it is ~4.5%. When the
+  * gate has no exact-confirm join to recover clean docs (streaming),
+  * size num_bits to corpus-gram count × typical doc-gram count, not to
+  * the corpus alone.
   *  - `bloom_probe(bloom, xxhash64(x))`: membership test; the bloom side
   *    must be a constant or a scalar subquery (the expression's own
   *    rule), which is exactly the declarative shape — build once in a
@@ -39,7 +50,7 @@ object BloomFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_build",
       { case Seq(h) =>
-          new BloomFilterAggregate(h, Literal(1000000L), Literal(8388608L))
+          new BloomFilterAggregate(h, Literal(1000000L), Literal(16777216L))
         case Seq(h, n, b) => new BloomFilterAggregate(h, n, b)
         case e => throw new IllegalArgumentException(
           s"bloom_build expects 1 or 3 arguments, got ${e.length}") },

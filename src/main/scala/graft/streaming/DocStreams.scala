@@ -36,10 +36,16 @@ object DocStreams {
     *
     * The gate is CONSERVATIVE: a bloom has no false negatives, so no
     * truly contaminated document ever passes; a clean document is
-    * over-dropped at the bloom's false-positive rate (sized here ~0 for
-    * eval sets up to 1M grams; scale `bloom_build`'s num_bits with the
-    * eval corpus). That asymmetry is the one decontamination wants —
-    * letting eval data leak into training is the unrecoverable failure.
+    * over-dropped when ANY of its G grams false-positives — the per-doc
+    * false-drop rate is ~G·fpp, NOT the per-probe fpp (a 100-gram doc
+    * against a 2.1%-fpp bloom would be ~88% false-drop). Unlike batch
+    * l22 there is no exact-confirm join here to recover over-dropped
+    * docs, so size `bloom_build`'s num_bits to eval-gram count × typical
+    * doc-gram count (the 16M-bit default holds per-doc false-drop to a
+    * few percent for ≤1M eval grams and ~100-gram docs; see
+    * BloomFunctions' sizing rule). The asymmetry itself is the one
+    * decontamination wants — letting eval data leak into training is
+    * the unrecoverable failure.
     */
   def decontaminationGate(docs: DataFrame, evalDocs: DataFrame,
                           n: Int = 4): DataFrame = {

@@ -311,31 +311,78 @@ class GraftSessionSpec extends AnyFunSuite {
     g.sql("DROP TABLE opt_null")
   }
 
-  test("OPTIMIZE TABLE replays an interrupted retirement from the marker") {
+  private def listParquet(d: java.nio.file.Path): Vector[java.nio.file.Path] = {
+    val s = java.nio.file.Files.list(d)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator.asScala.filter(_.getFileName.toString.endsWith(".parquet")).toVector
+    } finally s.close()
+  }
+
+  test("OPTIMIZE intent replay: a committed write finishes its retirement") {
     g.sql("DROP TABLE IF EXISTS opt_crash")
     g.sql("CREATE TABLE opt_crash(a Int64)")
     g.sql("INSERT INTO opt_crash VALUES (1), (2), (3)")
     val loc = tableLoc("opt_crash")
-    // simulate a predecessor that committed its compacted copy but crashed
-    // before deleting the original: duplicate one data file, write the
-    // retire marker naming the original
-    val dataFiles = java.nio.file.Files.list(loc)
-    val f = try dataFiles.filter(p =>
-        p.getFileName.toString.endsWith(".parquet")).findFirst.get
-      finally dataFiles.close()
-    val copy = f.getParent.resolve(
-      f.getFileName.toString.stripSuffix(".parquet") + "-compacted.parquet")
-    java.nio.file.Files.copy(f, copy)
+    // simulate a predecessor that published its intent over ALL current
+    // data files, committed its compacted output (same rows ⇒ the
+    // row-count witness matches), then crashed before deleting the
+    // originals — the window a post-commit retire marker cannot cover
+    // (ADVICE r6)
+    val originals = listParquet(loc)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_opt_commit")
+    spark.table("default.opt_crash").repartition(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val compacted = loc.resolve("part-00000-intent-compacted.parquet")
+    java.nio.file.Files.copy(listParquet(tmp).head, compacted)
     spark.catalog.refreshTable("default.opt_crash")
     assert(g.sql("SELECT count(*) AS n FROM opt_crash").collect()(0).getLong(0) > 3L,
       "the simulated crash window should show duplicate rows")
-    java.nio.file.Files.write(loc.resolve("_graft_retire"),
-      java.util.List.of(loc.relativize(f).toString))
+    val intentLines = ("3" +: originals.map(p => loc.relativize(p).toString))
+    java.nio.file.Files.write(loc.resolve("_graft_intent"),
+      { import scala.jdk.CollectionConverters._; intentLines.asJava })
     g.sql("OPTIMIZE TABLE opt_crash")
     assert(g.sql("SELECT count(*) AS n FROM opt_crash").collect()(0).getLong(0) === 3L,
-      "the marker replay must delete the retired original and end the duplicate window")
-    assert(!java.nio.file.Files.exists(loc.resolve("_graft_retire")))
+      "the intent replay must retire the originals and end the duplicate window")
+    assert(!java.nio.file.Files.exists(loc.resolve("_graft_intent")))
+    assert(originals.forall(p => !java.nio.file.Files.exists(p)),
+      "every original retires")
+    assert(java.nio.file.Files.exists(compacted),
+      "the committed compacted file survives")
     g.sql("DROP TABLE opt_crash")
+  }
+
+  test("OPTIMIZE intent replay: an uncommitted write rolls back, originals intact") {
+    g.sql("DROP TABLE IF EXISTS opt_crash2")
+    g.sql("CREATE TABLE opt_crash2(a Int64)")
+    g.sql("INSERT INTO opt_crash2 VALUES (1), (2), (3)")
+    val loc = tableLoc("opt_crash2")
+    val originals = listParquet(loc)
+    // simulate a crash MID-JOB-COMMIT: only PART of the compacted output
+    // was published (one row of three — always fewer than the intent
+    // expects), so the witness counts short and the replay must delete
+    // the partial file, never the originals
+    val tmp = java.nio.file.Files.createTempDirectory("graft_opt_partial")
+    spark.sql("SELECT CAST(7 AS BIGINT) AS a").repartition(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val partial = loc.resolve("part-partial-intent-compacted.parquet")
+    java.nio.file.Files.copy(listParquet(tmp).head, partial)
+    val intentLines = ("3" +: originals.map(p => loc.relativize(p).toString))
+    java.nio.file.Files.write(loc.resolve("_graft_intent"),
+      { import scala.jdk.CollectionConverters._; intentLines.asJava })
+    spark.catalog.refreshTable("default.opt_crash2")
+    // a 1-byte target makes the post-replay compaction itself a no-op, so
+    // the assertions observe the ROLLBACK alone
+    spark.conf.set("graft.optimize.targetFileBytes", "1")
+    try g.sql("OPTIMIZE TABLE opt_crash2")
+    finally spark.conf.unset("graft.optimize.targetFileBytes")
+    assert(!java.nio.file.Files.exists(partial),
+      "the witness shortfall must roll the partial output back")
+    assert(originals.forall(java.nio.file.Files.exists(_)),
+      "originals must survive a rollback")
+    assert(g.sql("SELECT count(*) AS n FROM opt_crash2").collect()(0).getLong(0) === 3L)
+    assert(!java.nio.file.Files.exists(loc.resolve("_graft_intent")))
+    g.sql("DROP TABLE opt_crash2")
   }
 
   test("EXPLAIN returns a formatted plan (bql.pest:10)") {
