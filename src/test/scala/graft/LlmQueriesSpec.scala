@@ -53,4 +53,30 @@ class LlmQueriesSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_dropped_buckets") === 0L)
     assert(row.getAs[Long]("n_candidate_pairs") > 0L)
   }
+
+  test("l12 quantizer training converges: assignments settle round over round") {
+    Tables.registerAll(spark, SparkTestSession.sf)
+    graft.functions.VectorFunctions.register(spark)
+    val row = spark.sql(LlmQueries.ivfSql(spark = true, finalSelect =
+      """SELECT
+        |  (SELECT count(*) FROM a0 x JOIN a1 y
+        |     ON x.vec_id = y.vec_id AND x.cell <> y.cell) AS moved01,
+        |  (SELECT count(*) FROM a1 x JOIN assigned y
+        |     ON x.vec_id = y.vec_id AND x.cell <> y.cell) AS moved12,
+        |  (SELECT count(*) FROM embeddings) AS n,
+        |  (SELECT count(*) FROM c2) AS k,
+        |  (SELECT count(*) FROM c0 JOIN c2 USING (cid)
+        |     WHERE c0.ce <> c2.ce) AS trained_cells""".stripMargin)).head()
+    val (moved01, moved12) =
+      (row.getAs[Long]("moved01"), row.getAs[Long]("moved12"))
+    val n = row.getAs[Long]("n")
+    // Lloyd's on a fixed corpus: each round moves fewer vectors than the
+    // last, and round 2 only touches a small tail
+    assert(moved12 <= moved01,
+      s"assignment churn must not grow: round1 moved $moved01, round2 moved $moved12")
+    assert(moved12 < n / 4, s"round 2 still moved $moved12 of $n vectors")
+    assert(row.getAs[Long]("k") === 8L, "all 8 cells must survive training")
+    assert(row.getAs[Long]("trained_cells") > 0L,
+      "training must actually move centroids off their seeds")
+  }
 }
