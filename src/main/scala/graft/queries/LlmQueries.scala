@@ -148,6 +148,162 @@ object LlmQueries {
   private def nib(md5expr: String, pos: Int): String =
     s"(strpos('0123456789abcdef', substr($md5expr, $pos, 1)) - 1)"
 
+  /** The l11b production-width simhash query, one template for both
+    * dialects (VERDICT r6 #4: the 8-bit fingerprint is an oracle toy; the
+    * production shape is 64-bit banded 4×16).
+    *
+    * 64-bit simhash from md5's first 16 nibbles (integer-only arithmetic,
+    * so both engines agree bit-exactly), carried as FOUR 16-bit band
+    * values — which sidesteps signed-64-bit hex-cast differences AND is
+    * the production join structure: two docs are candidates iff some band
+    * matches (pigeonhole: any pair with hamming ≤ 3 shares at least one
+    * of 4 bands), so the equi-join key has 4×65536 cardinality instead of
+    * l11's 256, and the probe fan-out stays 4 rows/doc instead of 65
+    * single-bit flips. Candidates then confirm with the exact 64-bit
+    * hamming distance and the ≤3 threshold the banding guarantees
+    * complete. 100 TB: one linear fingerprint pass, a 4-key band
+    * self-join (never all-pairs), constant per-candidate confirm work.
+    */
+  private[graft] def simhash64Sql(spark: Boolean, hint: String = "",
+                                  finalSelect: String = ""): String = {
+    def nibOf(h: String, pos: Int) =
+      if (spark) nibSpark(h, pos) else nib(h, pos)
+    def idiv = if (spark) "DIV" else "//"
+    def bxor(a: String, b: String) = if (spark) s"($a ^ $b)" else s"xor($a, $b)"
+    // vote for bit b: nibble 1 + b/4 of md5, bit b%4 within it
+    val votes = (0 until 64).map { b =>
+      s"sum(2 * ((nib${1 + b / 4} $idiv ${1 << (b % 4)}) % 2) - 1) AS s$b"
+    }.mkString(",\n    ")
+    val nibs = (1 to 16).map(i => s"${nibOf("h", i)} AS nib$i").mkString(",\n    ")
+    val bands = (0 until 4).map { j =>
+      val bits = (0 until 16).map(t =>
+        s"(CASE WHEN s${16 * j + t} > 0 THEN ${1 << t} ELSE 0 END)").mkString(" + ")
+      s"CAST($bits AS INT) AS b$j"
+    }.mkString(",\n    ")
+    val bandRows = (0 until 4).map(j =>
+      s"SELECT doc_id, $j AS band, b$j AS sig FROM f").mkString("\n  UNION ALL\n  ")
+    val hd = (0 until 4).map(j =>
+      s"bit_count(${bxor(s"fa.b$j", s"fb.b$j")})").mkString(" + ")
+    val tok =
+      if (spark)
+        s"""SELECT doc_id, explode(split(text, ' ')) AS w
+           |  FROM (SELECT $hint doc_id, text FROM documents)""".stripMargin
+      else "SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents"
+    s"""WITH tok AS (
+       |  $tok
+       |), nb AS (
+       |  SELECT doc_id,
+       |    $nibs
+       |  FROM (SELECT doc_id, md5(w) AS h FROM tok) t
+       |), v AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM nb GROUP BY doc_id
+       |), f AS (
+       |  SELECT doc_id,
+       |    $bands
+       |  FROM v
+       |), bands AS (
+       |  $bandRows
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |), pairs AS (
+       |  SELECT c.d1, c.d2, CAST($hd AS INT) AS hd
+       |  FROM cand c
+       |  JOIN f fa ON fa.doc_id = c.d1
+       |  JOIN f fb ON fb.doc_id = c.d2
+       |)
+       |${if (finalSelect.nonEmpty) finalSelect
+         else """SELECT hd, count(*) AS n_pairs FROM pairs WHERE hd <= 3
+                |GROUP BY hd ORDER BY hd""".stripMargin}""".stripMargin
+  }
+
+  /** Parameterized minhash-LSH (l02b): `nHashes` min-hashes banded into
+    * groups of `bandSize` — the production lever VERDICT r6 #4 asks for
+    * (l02's fixed 4×2 is the oracle-cheap toy point of the same family).
+    * More hashes/narrower bands trade recall against bucket selectivity;
+    * the bucket cap and its observable drop count work unchanged.
+    */
+  private[graft] def minhashLshSqlN(spark: Boolean, nHashes: Int,
+                                    bandSize: Int, cap: Int,
+                                    hint: String = ""): String = {
+    require(nHashes % bandSize == 0, "bands must tile the signature")
+    val nBands = nHashes / bandSize
+    val concatOp = if (spark) (xs: Seq[String]) => xs.mkString("concat(", ", ", ")")
+                   else (xs: Seq[String]) => xs.mkString(" || ")
+    val mh = (0 until nHashes).map { i =>
+      val hashed = if (spark) s"md5(concat(s, '#$i'))" else s"md5(s || '#$i')"
+      s"min(substr($hashed, 1, 8)) AS h$i"
+    }.mkString(",\n    ")
+    def bandSig(j: Int) =
+      concatOp((0 until bandSize).map(t => s"h${j * bandSize + t}"))
+    if (spark) {
+      val bandPairs = (0 until nBands).map(bandSig).mkString(", ")
+      s"""WITH sh AS (
+         |  SELECT doc_id, explode(word_ngrams(text, 3)) AS s
+         |  FROM (SELECT $hint doc_id, text FROM documents)
+         |  WHERE size(split(text, ' ')) >= 3
+         |), mh AS (
+         |  SELECT doc_id,
+         |    $mh
+         |  FROM sh GROUP BY doc_id
+         |), bands AS (
+         |  SELECT doc_id, posexplode(array($bandPairs)) AS (band, sig)
+         |  FROM mh
+         |), buckets AS (
+         |  SELECT band, sig, sort_array(collect_list(doc_id)) AS ids
+         |  FROM bands GROUP BY band, sig
+         |), pairs AS (
+         |  SELECT band, sig, p.d1, p.d2
+         |  FROM buckets
+         |  LATERAL VIEW explode(CASE WHEN size(ids) <= $cap THEN
+         |    flatten(transform(ids, (x, i) ->
+         |      transform(slice(ids, i + 2, size(ids)),
+         |        y -> named_struct('d1', x, 'd2', y))))
+         |    ELSE array(named_struct('d1', CAST(-1 AS BIGINT), 'd2', CAST(-1 AS BIGINT))) END) t AS p
+         |)
+         |SELECT count(CASE WHEN d1 >= 0 THEN 1 END) AS n_candidate_pairs,
+         |  count(DISTINCT CASE WHEN d1 >= 0 THEN concat(d1, '_', d2) END) AS n_distinct_pairs,
+         |  count(DISTINCT CASE WHEN d1 >= 0 THEN concat(band, ':', sig) END) AS n_multi_buckets,
+         |  CAST(count(CASE WHEN d1 < 0 THEN 1 END) AS BIGINT) AS n_dropped_buckets
+         |FROM pairs""".stripMargin
+    } else {
+      val bandRows = (0 until nBands).map(j =>
+        s"SELECT doc_id, $j AS band, ${bandSig(j)} AS sig FROM mh")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 3
+         |), sh AS (
+         |  SELECT doc_id, unnest(list_transform(range(len(t) - 2),
+         |    i -> array_to_string(t[i+1:i+3], ' '))) AS s
+         |  FROM toks
+         |), mh AS (
+         |  SELECT doc_id,
+         |    $mh
+         |  FROM sh GROUP BY doc_id
+         |), bands AS (
+         |  $bandRows
+         |), buckets AS (
+         |  SELECT band, sig, count(*) AS n FROM bands GROUP BY band, sig
+         |), pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |  JOIN buckets k ON k.band = a.band AND k.sig = a.sig
+         |    AND k.n <= $cap
+         |)
+         |SELECT count(*) AS n_candidate_pairs,
+         |  count(DISTINCT concat(d1, '_', d2)) AS n_distinct_pairs,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM buckets
+         |     WHERE n > 1 AND n <= $cap) AS n_multi_buckets,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM buckets
+         |     WHERE n > $cap) AS n_dropped_buckets
+         |FROM pairs""".stripMargin
+    }
+  }
+
   /** Persist AND materialize a shared intermediate before a query scans it
     * twice. `.persist()` alone is lazy: when the FIRST job to touch the
     * cache is the multi-consumer query itself, its two scans race on the
@@ -276,6 +432,19 @@ object LlmQueries {
       Tables.registerAll(s, dir)
       graft.functions.NGramFunctions.register(s)
       s.sql(minhashLshSql(LshBucketCap, hint = Tables.spreadHint(s)))
+    },
+
+    // ---- l02b: minhash-LSH at production signature width --------------
+    // Same family as l02 with the production lever exposed: 8 min-hashes
+    // banded 4×2 (vs l02's toy 2×2). Recall rises with more bands while
+    // each band's sig stays selective; the cap/drop-count machinery is
+    // shared. 100 TB: identical single-pass shape — the signature width
+    // only changes map-side work and band-key cardinality.
+    "l02b_minhash_lsh_wide" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      graft.functions.NGramFunctions.register(s)
+      s.sql(minhashLshSqlN(spark = true, nHashes = 8, bandSize = 2,
+        cap = LshBucketCap, hint = Tables.spreadHint(s)))
     },
 
     // ---- l03: brute-force top-k cosine (ANN correctness baseline) -----
@@ -580,6 +749,16 @@ object LlmQueries {
            |)
            |SELECT hd, count(*) AS n_pairs FROM pairs
            |GROUP BY hd ORDER BY hd""".stripMargin)
+    },
+
+    // ---- l11b: 64-bit simhash, 4×16-bit banded join (production width)
+    // The shape l11's scaladoc promised as future work, now real: see
+    // simhash64Sql. The band join replaces l11's 65-way single-bit-flip
+    // probe fan-out AND lifts the join-key cardinality from 256 to
+    // 4×65536 — at 100 TB the band key is what keeps bucket sizes sane.
+    "l11b_simhash64_banded" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(simhash64Sql(spark = true, hint = Tables.spreadHint(s)))
     },
 
     // ---- l12: IVF ANN (TRAINED coarse quantizer + probed exact search)
@@ -1297,6 +1476,12 @@ object LlmQueries {
          |SELECT hd, count(*) AS n_pairs FROM pairs
          |GROUP BY hd ORDER BY hd""".stripMargin
     },
+
+    "l02b_minhash_lsh_wide" ->
+      minhashLshSqlN(spark = false, nHashes = 8, bandSize = 2,
+        cap = LshBucketCap),
+
+    "l11b_simhash64_banded" -> simhash64Sql(spark = false),
 
     "l12_ann_ivf" -> ivfSql(spark = false),
 

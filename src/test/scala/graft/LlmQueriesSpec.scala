@@ -54,6 +54,23 @@ class LlmQueriesSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_candidate_pairs") > 0L)
   }
 
+  test("l11b band keys scale: 4×16-bit cardinality dwarfs the 8-bit toy") {
+    // the production claim under test: the banded 64-bit fingerprint's
+    // join key space must be orders of magnitude larger than l11's
+    // 256-value 8-bit simhash, or mega-buckets return at scale
+    Tables.registerAll(spark, SparkTestSession.sf)
+    // reuse the template's CTE chain, swap the final select
+    val row = spark.sql(LlmQueries.simhash64Sql(spark = true, finalSelect =
+      """SELECT count(DISTINCT concat(band, ':', sig)) AS band_keys,
+        |  count(DISTINCT CASE WHEN band = 0 THEN sig END) AS b0_sigs
+        |FROM bands""".stripMargin)).head()
+    val bandKeys = row.getAs[Long]("band_keys")
+    assert(bandKeys > 256L * 4,
+      s"only $bandKeys distinct band keys — no better than the 8-bit toy")
+    assert(row.getAs[Long]("b0_sigs") > 256L,
+      "a single band alone must exceed the whole 8-bit key space")
+  }
+
   test("l12 quantizer training converges: assignments settle round over round") {
     Tables.registerAll(spark, SparkTestSession.sf)
     graft.functions.VectorFunctions.register(spark)
