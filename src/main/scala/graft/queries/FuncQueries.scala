@@ -104,14 +104,33 @@ object FuncQueries {
       // perf note (measured, PERF.md r6): the n_uncastable branch is
       // ~10 µs/row because EVERY o_orderstatus fails the int cast and
       // Spark's TRY path throws-and-catches per failure (stack-trace
-      // fill). This entry keeps the TRY_CAST coverage semantics; bulk
-      // parsing of a mostly-dirty column at scale should prefilter with
-      // a cheap regex so only plausible rows reach the cast
+      // fill). This entry keeps the TRY_CAST coverage semantics; the
+      // scale shape is f07b below (RLIKE prefilter, measured 9× at
+      // sf0.1 — PERF.md r7)
       s.sql(
         """SELECT
           |  CAST(sum(CASE WHEN NULLIF(o_orderstatus, 'F') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
           |  CAST(sum(TRY_CAST(substr(o_orderpriority, 1, 1) AS INT)) AS BIGINT) AS prio_sum,
           |  CAST(sum(CASE WHEN TRY_CAST(o_orderstatus AS INT) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_uncastable
+          |FROM orders""".stripMargin)
+    },
+
+    // The scale shape PERF.md's f07 note prescribes, as executable code
+    // (VERDICT r6 #5): prefilter with a cheap codegen'd regex so only
+    // plausible rows reach TRY_CAST — Spark's TRY path throws-and-catches
+    // per FAILING row (~10 µs each, stack-trace fill), so on a
+    // mostly-dirty 100 TB column the naive form pays that on every row
+    // while this one pays it ~never. Same outputs as f07's TRY_CAST
+    // columns; the measured A/B lives in PERF.md.
+    "f07b_trycast_prefiltered" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT
+          |  CAST(sum(TRY_CAST(CASE WHEN substr(o_orderpriority, 1, 1) RLIKE '^-?[0-9]+$'
+          |    THEN substr(o_orderpriority, 1, 1) END AS INT)) AS BIGINT) AS prio_sum,
+          |  CAST(sum(CASE WHEN o_orderstatus RLIKE '^-?[0-9]+$'
+          |      AND TRY_CAST(o_orderstatus AS INT) IS NOT NULL
+          |    THEN 0 ELSE 1 END) AS BIGINT) AS n_uncastable
           |FROM orders""".stripMargin)
     },
 
@@ -283,6 +302,15 @@ object FuncQueries {
         |  CAST(sum(CASE WHEN NULLIF(o_orderstatus, 'F') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
         |  CAST(sum(TRY_CAST(substr(o_orderpriority, 1, 1) AS INT)) AS BIGINT) AS prio_sum,
         |  CAST(sum(CASE WHEN TRY_CAST(o_orderstatus AS INT) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_uncastable
+        |FROM orders""".stripMargin,
+
+    "f07b_trycast_prefiltered" ->
+      """SELECT
+        |  CAST(sum(TRY_CAST(CASE WHEN regexp_matches(substr(o_orderpriority, 1, 1), '^-?[0-9]+$')
+        |    THEN substr(o_orderpriority, 1, 1) END AS INT)) AS BIGINT) AS prio_sum,
+        |  CAST(sum(CASE WHEN regexp_matches(o_orderstatus, '^-?[0-9]+$')
+        |      AND TRY_CAST(o_orderstatus AS INT) IS NOT NULL
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS n_uncastable
         |FROM orders""".stripMargin,
 
     "f08_range_frames" ->
