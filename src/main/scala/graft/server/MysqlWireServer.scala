@@ -142,10 +142,18 @@ final class MysqlWireServer(spark: SparkSession, port: Int = 0) {
         schema.fields.foreach(f => send(columnDefinition(f.name, f.dataType)))
         send(eofPacket())
         import scala.jdk.CollectionConverters._
+        // Liveness on long results: MySQL's text protocol has no Progress
+        // packet (the CH side interleaves real ones — ChWireServer), so
+        // the protocol-legal equivalent is flushing completed row packets
+        // periodically while later partitions are still computing, instead
+        // of buffering the whole resultset to the final flush.
+        var n = 0L
         df.toLocalIterator().asScala.foreach { row =>
           val o = new java.io.ByteArrayOutputStream()
           schema.fields.indices.foreach(i => o.write(textValue(row, i)))
           send(o.toByteArray)
+          n += 1
+          if ((n & 0x3ff) == 0L) out.flush()
         }
         send(eofPacket())
       }
