@@ -165,7 +165,8 @@ object LlmQueries {
     * self-join (never all-pairs), constant per-candidate confirm work.
     */
   private[graft] def simhash64Sql(spark: Boolean, hint: String = "",
-                                  finalSelect: String = ""): String = {
+                                  finalSelect: String = "",
+                                  table: String = "documents"): String = {
     def nibOf(h: String, pos: Int) =
       if (spark) nibSpark(h, pos) else nib(h, pos)
     def idiv = if (spark) "DIV" else "//"
@@ -187,8 +188,8 @@ object LlmQueries {
     val tok =
       if (spark)
         s"""SELECT doc_id, explode(split(text, ' ')) AS w
-           |  FROM (SELECT $hint doc_id, text FROM documents)""".stripMargin
-      else "SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents"
+           |  FROM (SELECT $hint doc_id, text FROM $table)""".stripMargin
+      else s"SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM $table"
     s"""WITH tok AS (
        |  $tok
        |), nb AS (
@@ -218,6 +219,37 @@ object LlmQueries {
        |${if (finalSelect.nonEmpty) finalSelect
          else """SELECT hd, count(*) AS n_pairs FROM pairs WHERE hd <= 3
                 |GROUP BY hd ORDER BY hd""".stripMargin}""".stripMargin
+  }
+
+  /** The l11b Spark-side plan: the whole 64-bit vote loop runs inside the
+    * scan as the codegen'd `simhash64_bands` expression (spec-asserted
+    * equal to [[simhash64Sql]]'s explode+aggregate pipeline, which remains
+    * the DuckDB oracle). The SQL form shuffles EVERY token into a 64-sum
+    * aggregation; this one produces the fingerprint table map-side, so the
+    * first shuffle in the plan is the band self-join itself — the 100 TB
+    * shape, and measured 2.3× faster at sf0.1 (PERF.md r7).
+    */
+  private def simhash64ExprSql(hint: String): String = {
+    val hd = (0 until 4).map(j =>
+      s"bit_count(fa.bs[$j] ^ fb.bs[$j])").mkString(" + ")
+    s"""WITH f AS (
+       |  SELECT doc_id, simhash64_bands(text) AS bs
+       |  FROM (SELECT $hint doc_id, text FROM documents)
+       |  WHERE text IS NOT NULL
+       |), bands AS (
+       |  SELECT doc_id, posexplode(bs) AS (band, sig) FROM f
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |), pairs AS (
+       |  SELECT c.d1, c.d2, CAST($hd AS INT) AS hd
+       |  FROM cand c
+       |  JOIN f fa ON fa.doc_id = c.d1
+       |  JOIN f fb ON fb.doc_id = c.d2
+       |)
+       |SELECT hd, count(*) AS n_pairs FROM pairs WHERE hd <= 3
+       |GROUP BY hd ORDER BY hd""".stripMargin
   }
 
   /** Parameterized minhash-LSH (l02b): `nHashes` min-hashes banded into
@@ -758,7 +790,8 @@ object LlmQueries {
     // 4×65536 — at 100 TB the band key is what keeps bucket sizes sane.
     "l11b_simhash64_banded" -> { (s, dir) =>
       Tables.registerAll(s, dir)
-      s.sql(simhash64Sql(spark = true, hint = Tables.spreadHint(s)))
+      graft.functions.SimhashFunctions.register(s)
+      s.sql(simhash64ExprSql(Tables.spreadHint(s)))
     },
 
     // ---- l12: IVF ANN (TRAINED coarse quantizer + probed exact search)
