@@ -120,6 +120,92 @@ case class WordNGrams(left: Expression, right: Expression) extends NGramExpressi
     copy(left = newLeft, right = newRight)
 }
 
+/** The minhash signature loop as one codegen'd expression.
+  *
+  * `minhash_sigs(text, n, nHashes)` ≡ the l02 pipeline's
+  *   `min(substr(md5(concat(s, '#i')), 1, 8))` per i over the exploded
+  * `word_ngrams(text, n)` shingles — but computed inside the scan with a
+  * reused MessageDigest, so NO shingle row ever exists: the SQL form
+  * explodes every shingle and shuffles them all into the min-aggregation,
+  * which at 100 TB is a full shuffle of the shingled corpus. Minima
+  * compare byte-wise, identical to UTF8String/lexicographic order on the
+  * ASCII hex prefixes.
+  */
+object MinhashOps {
+  private val Hex = "0123456789abcdef".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  def sigs(s: UTF8String, n: Int, nHashes: Int): ArrayData = {
+    val toks = s.toString.split(" ", -1)
+    val count = toks.length - n + 1
+    if (n <= 0 || nHashes <= 0 || count <= 0)
+      return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val mins = new Array[Array[Byte]](nHashes)
+    var i = 0
+    while (i < count) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      val gramLen = sb.length
+      var h = 0
+      while (h < nHashes) {
+        sb.setLength(gramLen)
+        sb.append('#').append(h)
+        val dig = md.digest(
+          sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val hex = new Array[Byte](8)
+        var b = 0
+        while (b < 4) {
+          val v = dig(b) & 0xff
+          hex(2 * b) = Hex(v >>> 4)
+          hex(2 * b + 1) = Hex(v & 0xf)
+          b += 1
+        }
+        if (mins(h) == null || cmp(hex, mins(h)) < 0) mins(h) = hex
+        h += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(UTF8String.fromBytes(_): Any))
+  }
+
+  private def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < 8) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    0
+  }
+}
+
+/** minhash_sigs(text, n, nHashes) — see [[MinhashOps.sigs]]. */
+case class MinhashSigs(first: Expression, second: Expression,
+                       third: Expression) extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, IntegerType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"minhash_sigs expects (string, int, int), got ($a, $b, $c)")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(s: Any, n: Any, k: Any): Any =
+    MinhashOps.sigs(s.asInstanceOf[UTF8String],
+      n.asInstanceOf[Int], k.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, n, k) =>
+      s"${ev.value} = graft.functions.MinhashOps.sigs($s, $n, $k);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): MinhashSigs =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object NGramFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -133,6 +219,12 @@ object NGramFunctions {
       { case Seq(s, n) => WordNGrams(s, n)
         case e => throw new IllegalArgumentException(
           s"word_ngrams expects 2 arguments, got ${e.length}") },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sigs",
+      { case Seq(s, n, k) => MinhashSigs(s, n, k)
+        case e => throw new IllegalArgumentException(
+          s"minhash_sigs expects 3 arguments, got ${e.length}") },
       "built-in")
   }
 }

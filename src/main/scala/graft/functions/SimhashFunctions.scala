@@ -21,14 +21,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *   has bit (b%4) set, else -1; fingerprint bit b = (vote sum > 0);
   *   band j = bits 16j..16j+15, little-endian within the band.
   *
-  * The SQL form explodes EVERY token into a row and shuffles them all
-  * into a 64-sum aggregation — at 100 TB that is a full shuffle of the
-  * tokenized corpus. This expression folds the whole vote loop into the
-  * scan (reused MessageDigest, one int[64] of votes per document), so
-  * the fingerprint table is produced map-side with ZERO pre-join
-  * shuffle — the same preference-order-(b) move as [[WinnowOps]], and
-  * the reason l11b's plan starts at the band self-join instead of a
-  * token aggregation.
+  * What it saves — stated precisely, because partial aggregation already
+  * kept the OLD form's shuffle small (one combined row per doc, tokens
+  * never crossed the wire): the explode+aggregate materializes every
+  * token as a row and pushes it through the hash-agg machinery with 64
+  * sum slots, per token. This expression folds the whole vote loop into
+  * the scan (reused MessageDigest, one int[64] of votes per document),
+  * removing the per-token row + agg-map work entirely — measured 2.0×
+  * at sf0.1 (PERF.md r7), and the win GROWS with fingerprint width
+  * (parity at 4 minhash slots, 1.5× at 8, 2× at 64), which is exactly
+  * the production direction. Same preference-order-(b) move as
+  * [[WinnowOps]].
   */
 object SimhashOps {
   def bands(s: UTF8String): ArrayData = {

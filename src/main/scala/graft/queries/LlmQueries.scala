@@ -224,10 +224,9 @@ object LlmQueries {
   /** The l11b Spark-side plan: the whole 64-bit vote loop runs inside the
     * scan as the codegen'd `simhash64_bands` expression (spec-asserted
     * equal to [[simhash64Sql]]'s explode+aggregate pipeline, which remains
-    * the DuckDB oracle). The SQL form shuffles EVERY token into a 64-sum
-    * aggregation; this one produces the fingerprint table map-side, so the
-    * first shuffle in the plan is the band self-join itself — the 100 TB
-    * shape, and measured 2.3× faster at sf0.1 (PERF.md r7).
+    * the DuckDB oracle). See [[graft.functions.SimhashOps]] for the honest
+    * cost accounting — measured 2.0× at sf0.1 (PERF.md r7); the plan's
+    * first exchange is the band self-join itself.
     */
   private def simhash64ExprSql(hint: String): String = {
     val hd = (0 until 4).map(j =>
@@ -272,15 +271,16 @@ object LlmQueries {
     def bandSig(j: Int) =
       concatOp((0 until bandSize).map(t => s"h${j * bandSize + t}"))
     if (spark) {
-      val bandPairs = (0 until nBands).map(bandSig).mkString(", ")
-      s"""WITH sh AS (
-         |  SELECT doc_id, explode(word_ngrams(text, 3)) AS s
+      // band sigs come straight off the codegen'd per-doc signature
+      // (minhash_sigs — see minhashLshSql's note; no shingle shuffle)
+      val bandPairs = (0 until nBands).map { j =>
+        (0 until bandSize).map(t => s"hs[${j * bandSize + t}]")
+          .mkString("concat(", ", ", ")")
+      }.mkString(", ")
+      s"""WITH mh AS (
+         |  SELECT doc_id, minhash_sigs(text, 3, $nHashes) AS hs
          |  FROM (SELECT $hint doc_id, text FROM documents)
          |  WHERE size(split(text, ' ')) >= 3
-         |), mh AS (
-         |  SELECT doc_id,
-         |    $mh
-         |  FROM sh GROUP BY doc_id
          |), bands AS (
          |  SELECT doc_id, posexplode(array($bandPairs)) AS (band, sig)
          |  FROM mh
@@ -392,22 +392,21 @@ object LlmQueries {
     */
   def minhashLshSql(cap: Int, table: String = "documents",
                     hint: String = ""): String =
-    s"""WITH sh AS (
-       |  -- codegen'd word_ngrams (the transform/slice/array_join lambda it
-       |  -- replaces ran interpreted per element); `hint` spreads the
-       |  -- shingle+md5 map work when the scan layout can't (Tables.spreadHint)
-       |  SELECT doc_id, explode(word_ngrams(text, 3)) AS s
+    s"""WITH mh AS (
+       |  -- the whole shingle+minhash loop runs inside the scan as the
+       |  -- codegen'd minhash_sigs (spec-asserted equal to the exploded
+       |  -- word_ngrams + min-aggregation pipeline, which remains the
+       |  -- DuckDB oracle). Partial agg already kept the old shuffle at
+       |  -- one row per doc; what the expression removes is the per-
+       |  -- shingle row + agg-map work — parity here at 4 hash slots,
+       |  -- 1.5x at l02b's 8, 2x at l11b's 64 (PERF.md r7): the win
+       |  -- grows with signature width, the production direction.
+       |  -- `hint` spreads the map work when the scan layout can't split
+       |  SELECT doc_id, minhash_sigs(text, 3, 4) AS hs
        |  FROM (SELECT $hint doc_id, text FROM $table)
        |  WHERE size(split(text, ' ')) >= 3
-       |), mh AS (
-       |  SELECT doc_id,
-       |    min(substr(md5(concat(s, '#0')), 1, 8)) AS h0,
-       |    min(substr(md5(concat(s, '#1')), 1, 8)) AS h1,
-       |    min(substr(md5(concat(s, '#2')), 1, 8)) AS h2,
-       |    min(substr(md5(concat(s, '#3')), 1, 8)) AS h3
-       |  FROM sh GROUP BY doc_id
        |), bands AS (
-       |  SELECT doc_id, posexplode(array(concat(h0, h1), concat(h2, h3))) AS (band, sig)
+       |  SELECT doc_id, posexplode(array(concat(hs[0], hs[1]), concat(hs[2], hs[3]))) AS (band, sig)
        |  FROM mh
        |), buckets AS (
        |  SELECT band, sig, sort_array(collect_list(doc_id)) AS ids

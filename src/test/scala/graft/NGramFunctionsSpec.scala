@@ -46,6 +46,33 @@ class NGramFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash_sigs equals the exploded word_ngrams + min pipeline") {
+    // The l02/l02b Spark plans now compute signatures inside the scan —
+    // this equality (over the whole fixture corpus AND adversarial edge
+    // texts) is the bridge that keeps them matching the DuckDB oracle,
+    // which still runs the exploded pipeline.
+    Tables.registerAll(spark, SparkTestSession.sf)
+    import spark.implicits._
+    Seq((900L, "a  b c"), (901L, " x y z "), (902L, "héllo wörld tokens"),
+        (903L, "t1 t2 t3 t4 t5"), (904L, "a b c"))
+      .toDF("doc_id", "text").createOrReplaceTempView("mh_edge")
+    Seq("documents", "mh_edge").foreach { table =>
+      val hs = (0 until 4).map(i =>
+        s"min(substr(md5(concat(s, '#$i')), 1, 8)) AS h$i").mkString(", ")
+      val sql = spark.sql(
+        s"""SELECT doc_id, $hs FROM (
+           |  SELECT doc_id, explode(word_ngrams(text, 3)) AS s
+           |  FROM $table WHERE size(split(text, ' ')) >= 3)
+           |GROUP BY doc_id""".stripMargin)
+      val expr = spark.sql(
+        s"""SELECT doc_id, hs[0] AS h0, hs[1] AS h1, hs[2] AS h2, hs[3] AS h3
+           |FROM (SELECT doc_id, minhash_sigs(text, 3, 4) AS hs FROM $table
+           |      WHERE size(split(text, ' ')) >= 3)""".stripMargin)
+      assert(expr.count() === sql.count(), table)
+      assert(expr.exceptAll(sql).isEmpty && sql.exceptAll(expr).isEmpty, table)
+    }
+  }
+
   test("null input yields null; both stay inside whole-stage codegen") {
     assert(one("SELECT char_ngrams(CAST(NULL AS STRING), 3)") === null)
     assert(one("SELECT word_ngrams(CAST(NULL AS STRING), 2)") === null)
