@@ -180,6 +180,66 @@ object MinhashOps {
   }
 }
 
+/** The Gopher-repetition statistics as one codegen'd expression.
+  *
+  * `ngram_rep_stats(text, n)` ≡ the l18 pipeline's
+  *   `max(c), sum(c)` over `GROUP BY doc_id, g` of the exploded
+  * `word_ngrams(text, n)` — i.e. (multiplicity of the most repeated
+  * n-gram, total n-gram occurrences) — computed per document with a
+  * local hash map: O(grams) time and O(distinct grams) space per doc,
+  * which is the complexity the old in-code note wished for but believed
+  * impossible (the HOF alternative it correctly rejected was
+  * O(n·distinct); a hash map is not). Removes BOTH the (doc, gram)
+  * aggregation shuffle and the base⋈topbg join from l18's plan — the
+  * only exchange left is the tiny per-source rollup.
+  */
+object RepStatsOps {
+  def stats(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = s.toString.split(" ", -1)
+    val count = toks.length - n + 1
+    if (n <= 0 || count <= 0)
+      return org.apache.spark.sql.catalyst.InternalRow(0L, 0L)
+    val m = new java.util.HashMap[String, Int](math.min(count, 1 << 16))
+    var top = 0
+    var i = 0
+    while (i < count) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      val c = m.merge(sb.toString, 1, (a, b) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(top.toLong, count.toLong)
+  }
+}
+
+/** ngram_rep_stats(text, n) — see [[RepStatsOps.stats]]. */
+case class NGramRepStats(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"ngram_rep_stats expects (string, int), got ($l, $r)")
+    }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("top_c", LongType, nullable = false),
+    StructField("n_bg", LongType, nullable = false)))
+
+  override def nullSafeEval(s: Any, n: Any): Any =
+    RepStatsOps.stats(s.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, n) =>
+      s"${ev.value} = graft.functions.RepStatsOps.stats($s, $n);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NGramRepStats =
+    copy(left = newLeft, right = newRight)
+}
+
 /** minhash_sigs(text, n, nHashes) — see [[MinhashOps.sigs]]. */
 case class MinhashSigs(first: Expression, second: Expression,
                        third: Expression) extends TernaryExpression {
@@ -219,6 +279,12 @@ object NGramFunctions {
       { case Seq(s, n) => WordNGrams(s, n)
         case e => throw new IllegalArgumentException(
           s"word_ngrams expects 2 arguments, got ${e.length}") },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ngram_rep_stats",
+      { case Seq(s, n) => NGramRepStats(s, n)
+        case e => throw new IllegalArgumentException(
+          s"ngram_rep_stats expects 2 arguments, got ${e.length}") },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sigs",

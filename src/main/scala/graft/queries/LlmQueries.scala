@@ -1002,32 +1002,27 @@ object LlmQueries {
     // ---- l18: repetition-based quality filters ------------------------
     // The Gopher-style repetition gates (Rae et al. 2021 §A1.1): flag
     // documents whose duplicate-token share or top-bigram share exceeds a
-    // threshold. 100 TB: duplicate-token share is pure map work
-    // (array_distinct on the token array, no shuffle); the top-bigram
-    // count is explode → (doc,gram) count → per-doc max — two linear
-    // shuffles on uniform doc-keyed data (the HOF alternative that avoids
-    // the shuffle is O(n·distinct) per doc — quadratic on adversarially
-    // repetitive docs, exactly the ones this filter exists to catch).
+    // threshold. 100 TB: EVERYTHING is map work — duplicate-token share
+    // via array_distinct on the token array, and the top-bigram stats via
+    // the codegen'd ngram_rep_stats (per-doc hash map, O(grams) time —
+    // linear even on the adversarially repetitive docs this filter
+    // exists to catch, unlike the O(n·distinct) HOF form; spec-asserted
+    // equal to the exploded (doc,g) aggregation, which remains the
+    // oracle). The only exchange in the plan is the per-source rollup.
     "l18_repetition_quality" -> { (s, dir) =>
       Tables.registerAll(s, dir)
       graft.functions.NGramFunctions.register(s)
       s.sql(
-        s"""WITH base AS (
-          |  SELECT doc_id, source, size(split(text, ' ')) AS n_tok,
-          |    size(array_distinct(split(text, ' '))) AS n_uniq
-          |  FROM documents WHERE size(split(text, ' ')) >= 2
-          |), bg AS (
-          |  SELECT doc_id, g, count(*) AS c
-          |  FROM (SELECT ${Tables.spreadHint(s)} doc_id, text FROM documents)
-          |  LATERAL VIEW explode(word_ngrams(text, 2)) t AS g
-          |  GROUP BY doc_id, g
-          |), topbg AS (
-          |  SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg FROM bg GROUP BY doc_id
-          |), scored AS (
-          |  SELECT b.source, b.n_tok, b.n_uniq, t.top_c, t.n_bg,
-          |    1.0 - CAST(b.n_uniq AS DOUBLE) / b.n_tok AS dup_frac,
-          |    CAST(t.top_c AS DOUBLE) / t.n_bg AS top_bigram_frac
-          |  FROM base b JOIN topbg t ON b.doc_id = t.doc_id
+        s"""WITH scored AS (
+          |  SELECT source, n_tok, n_uniq, st.top_c AS top_c, st.n_bg AS n_bg,
+          |    1.0 - CAST(n_uniq AS DOUBLE) / n_tok AS dup_frac,
+          |    CAST(st.top_c AS DOUBLE) / st.n_bg AS top_bigram_frac
+          |  FROM (
+          |    SELECT source, size(split(text, ' ')) AS n_tok,
+          |      size(array_distinct(split(text, ' '))) AS n_uniq,
+          |      ngram_rep_stats(text, 2) AS st
+          |    FROM (SELECT ${Tables.spreadHint(s)} source, text FROM documents)
+          |    WHERE size(split(text, ' ')) >= 2) d
           |)
           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
           |  CAST(count(CASE WHEN dup_frac > 0.8 OR top_bigram_frac > 0.1

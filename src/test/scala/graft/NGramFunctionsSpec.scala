@@ -73,6 +73,32 @@ class NGramFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram_rep_stats equals the exploded (doc, gram) aggregation") {
+    Tables.registerAll(spark, SparkTestSession.sf)
+    import spark.implicits._
+    // includes the adversarial case the filter exists for: one gram
+    // repeated thousands of times (the rejected HOF form went quadratic
+    // here; the hash-map expression must stay linear AND exact)
+    Seq((950L, Array.fill(5000)("spam").mkString(" ")),
+        (951L, "a b a b a c"), (952L, "x  y  x"), (953L, "t1 t2"))
+      .toDF("doc_id", "text").createOrReplaceTempView("rep_edge")
+    Seq("documents", "rep_edge").foreach { table =>
+      val sql = spark.sql(
+        s"""SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg FROM (
+           |  SELECT doc_id, g, count(*) AS c
+           |  FROM $table LATERAL VIEW explode(word_ngrams(text, 2)) t AS g
+           |  WHERE size(split(text, ' ')) >= 2
+           |  GROUP BY doc_id, g) u
+           |GROUP BY doc_id""".stripMargin)
+      val expr = spark.sql(
+        s"""SELECT doc_id, st.top_c AS top_c, st.n_bg AS n_bg
+           |FROM (SELECT doc_id, ngram_rep_stats(text, 2) AS st FROM $table
+           |      WHERE size(split(text, ' ')) >= 2)""".stripMargin)
+      assert(expr.count() === sql.count(), table)
+      assert(expr.exceptAll(sql).isEmpty && sql.exceptAll(expr).isEmpty, table)
+    }
+  }
+
   test("null input yields null; both stay inside whole-stage codegen") {
     assert(one("SELECT char_ngrams(CAST(NULL AS STRING), 3)") === null)
     assert(one("SELECT word_ngrams(CAST(NULL AS STRING), 2)") === null)
