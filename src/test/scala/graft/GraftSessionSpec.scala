@@ -333,12 +333,14 @@ class GraftSessionSpec extends AnyFunSuite {
     val tmp = java.nio.file.Files.createTempDirectory("graft_opt_commit")
     spark.table("default.opt_crash").repartition(1)
       .write.mode("overwrite").parquet(tmp.toString)
-    val compacted = loc.resolve("part-00000-intent-compacted.parquet")
+    // the crashed job's output carries its tag prefix — that's what makes
+    // it attributable on replay
+    val compacted = loc.resolve("opt-test1-part-00000-compacted.parquet")
     java.nio.file.Files.copy(listParquet(tmp).head, compacted)
     spark.catalog.refreshTable("default.opt_crash")
     assert(g.sql("SELECT count(*) AS n FROM opt_crash").collect()(0).getLong(0) > 3L,
       "the simulated crash window should show duplicate rows")
-    val intentLines = ("3" +: originals.map(p => loc.relativize(p).toString))
+    val intentLines = ("opt-test1" +: "3" +: originals.map(p => loc.relativize(p).toString))
     java.nio.file.Files.write(loc.resolve("_graft_intent"),
       { import scala.jdk.CollectionConverters._; intentLines.asJava })
     g.sql("OPTIMIZE TABLE opt_crash")
@@ -365,9 +367,9 @@ class GraftSessionSpec extends AnyFunSuite {
     val tmp = java.nio.file.Files.createTempDirectory("graft_opt_partial")
     spark.sql("SELECT CAST(7 AS BIGINT) AS a").repartition(1)
       .write.mode("overwrite").parquet(tmp.toString)
-    val partial = loc.resolve("part-partial-intent-compacted.parquet")
+    val partial = loc.resolve("opt-test2-part-partial-compacted.parquet")
     java.nio.file.Files.copy(listParquet(tmp).head, partial)
-    val intentLines = ("3" +: originals.map(p => loc.relativize(p).toString))
+    val intentLines = ("opt-test2" +: "3" +: originals.map(p => loc.relativize(p).toString))
     java.nio.file.Files.write(loc.resolve("_graft_intent"),
       { import scala.jdk.CollectionConverters._; intentLines.asJava })
     spark.catalog.refreshTable("default.opt_crash2")
@@ -383,6 +385,89 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(g.sql("SELECT count(*) AS n FROM opt_crash2").collect()(0).getLong(0) === 3L)
     assert(!java.nio.file.Files.exists(loc.resolve("_graft_intent")))
     g.sql("DROP TABLE opt_crash2")
+  }
+
+  test("OPTIMIZE intent replay never deletes a foreign INSERT's files " +
+    "(output attribution, ADVICE r7 high)") {
+    g.sql("DROP TABLE IF EXISTS opt_crash3")
+    g.sql("CREATE TABLE opt_crash3(a Int64)")
+    g.sql("INSERT INTO opt_crash3 VALUES (1), (2), (3)")
+    val loc = tableLoc("opt_crash3")
+    val originals = listParquet(loc)
+    // a predecessor crashed after publishing its intent but before its
+    // write committed (no tag-attributed output exists at all) …
+    val intentLines = ("opt-test3" +: "3" +:
+      originals.map(p => loc.relativize(p).toString))
+    java.nio.file.Files.write(loc.resolve("_graft_intent"),
+      { import scala.jdk.CollectionConverters._; intentLines.asJava })
+    // … and then a foreign INSERT commits BEFORE the replay runs. Under a
+    // files-minus-originals attribution this commit would be mistaken for
+    // the crashed job's output and deleted by the rollback.
+    g.sql("INSERT INTO opt_crash3 VALUES (9)")
+    val foreign = listParquet(loc).filterNot(originals.contains)
+    assert(foreign.nonEmpty)
+    spark.conf.set("graft.optimize.targetFileBytes", "1")
+    try g.sql("OPTIMIZE TABLE opt_crash3")
+    finally spark.conf.unset("graft.optimize.targetFileBytes")
+    assert(foreign.forall(java.nio.file.Files.exists(_)),
+      "a foreign INSERT's committed files must survive the replay rollback")
+    assert(originals.forall(java.nio.file.Files.exists(_)),
+      "originals must survive a rollback")
+    assert(!java.nio.file.Files.exists(loc.resolve("_graft_intent")))
+    assert(g.sql("SELECT count(*) AS n FROM opt_crash3").collect()(0).getLong(0) === 4L,
+      "all four committed rows must survive")
+    g.sql("DROP TABLE opt_crash3")
+  }
+
+  test("OPTIMIZE write failure rolls back inline and withdraws the intent " +
+    "(ADVICE r7 medium)") {
+    g.sql("DROP TABLE IF EXISTS opt_fail")
+    g.sql("CREATE TABLE opt_fail(a Int64)")
+    (1 to 3).foreach(i => g.sql(s"INSERT INTO opt_fail VALUES ($i)"))
+    val loc = tableLoc("opt_fail")
+    val before = listParquet(loc)
+    spark.conf.set("graft.optimize.failpoint", "write")
+    try {
+      intercept[RuntimeException](g.sql("OPTIMIZE TABLE opt_fail"))
+    } finally spark.conf.unset("graft.optimize.failpoint")
+    assert(!java.nio.file.Files.exists(loc.resolve("_graft_intent")),
+      "a non-crash failure must withdraw the intent — a lingering intent " +
+        "only ever means a process crash")
+    assert(listParquet(loc).toSet === before.toSet,
+      "the failed job must leave the table's file set untouched")
+    // with the intent gone, normal operation resumes safely
+    g.sql("INSERT INTO opt_fail VALUES (4)")
+    g.sql("OPTIMIZE TABLE opt_fail")
+    assert(g.sql("SELECT CAST(sum(a) AS BIGINT) AS s FROM opt_fail")
+      .collect()(0).getLong(0) === 10L)
+    g.sql("DROP TABLE opt_fail")
+  }
+
+  test("OPTIMIZE failure after commit rolls FORWARD on the next run, " +
+    "foreign inserts intact") {
+    g.sql("DROP TABLE IF EXISTS opt_fwd")
+    g.sql("CREATE TABLE opt_fwd(a Int64)")
+    (1 to 3).foreach(i => g.sql(s"INSERT INTO opt_fwd VALUES ($i)"))
+    val loc = tableLoc("opt_fwd")
+    val originals = listParquet(loc)
+    // die between the publish moves and the retirement: the job is
+    // committed, the intent remains, readers see bounded duplicates
+    spark.conf.set("graft.optimize.failpoint", "retire")
+    try {
+      intercept[RuntimeException](g.sql("OPTIMIZE TABLE opt_fwd"))
+    } finally spark.conf.unset("graft.optimize.failpoint")
+    assert(java.nio.file.Files.exists(loc.resolve("_graft_intent")),
+      "a post-commit failure must leave the intent for roll-forward")
+    // a foreign INSERT lands before the replay
+    g.sql("INSERT INTO opt_fwd VALUES (4)")
+    g.sql("OPTIMIZE TABLE opt_fwd")
+    assert(!java.nio.file.Files.exists(loc.resolve("_graft_intent")))
+    assert(originals.forall(p => !java.nio.file.Files.exists(p)),
+      "the replay must finish the crashed job's retirement")
+    assert(g.sql("SELECT CAST(sum(a) AS BIGINT) AS s FROM opt_fwd")
+      .collect()(0).getLong(0) === 10L,
+      "compacted rows once and the foreign insert intact")
+    g.sql("DROP TABLE opt_fwd")
   }
 
   test("EXPLAIN returns a formatted plan (bql.pest:10)") {
