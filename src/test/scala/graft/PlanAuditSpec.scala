@@ -85,4 +85,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(regressions.isEmpty,
       s"\nplan regressions (re-bless via scripts/bless_plans.sh if intended):\n  ${regressions.mkString("\n  ")}")
   }
+
+  test("l12b serves from stored centroids: ONE corpus scan, no training " +
+    "subtree, no vec_id shuffle (VERDICT r7 weak #1)") {
+    val now = SparkEntry.queries("l12b_ann_ivf_served")(spark, sfDir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    val scanBlocks = now.split("\n\\(\\d+\\) ").filter(_.startsWith("Scan parquet"))
+    val embScans = scanBlocks.filter(_.contains("embeddings.parquet"))
+    // the corpus scan carries the pushed vec_id<>0 exclusion; the only
+    // other embeddings scans allowed are pushed vec_id=0 point lookups
+    // for the query vector
+    val corpus = embScans.filter(_.contains("Not(EqualTo(vec_id,0))"))
+    assert(corpus.size === 1,
+      s"expected exactly one full-corpus embeddings scan, got ${corpus.size}")
+    assert(embScans.filterNot(_.contains("Not(EqualTo(vec_id,0))"))
+      .forall(_.contains("EqualTo(vec_id,0)")),
+      "every other embeddings scan must be a pushed query-vector point lookup")
+    assert(now.contains("graft-ivf-centroids"),
+      "serving must read the persisted centroid table")
+    assert(shuffles(now) <= 1,
+      "the only exchange allowed is the 8-row centroid pivot — the corpus " +
+        "path must be shuffle-free")
+  }
 }
