@@ -120,16 +120,24 @@ object FuncQueries {
     // plausible rows reach TRY_CAST — Spark's TRY path throws-and-catches
     // per FAILING row (~10 µs each, stack-trace fill), so on a
     // mostly-dirty 100 TB column the naive form pays that on every row
-    // while this one pays it ~never. Same outputs as f07's TRY_CAST
-    // columns; the measured A/B lives in PERF.md.
+    // while this one pays it ~never. The prefilter admits exactly the
+    // integer forms BOTH engines' casts accept identically: optional
+    // space padding and an optional +/- sign (ADVICE r7). It deliberately
+    // REJECTS decimal forms like '3.5' even though each engine's cast
+    // accepts them, because they disagree on the value (Spark truncates
+    // toward zero -> 3, DuckDB rounds half away -> 4) — admitting them
+    // would be a cross-engine wrong answer, not a perf choice. So f07b
+    // equals f07 on space-padded/signed/plain integer data and diverges
+    // by design on decimal-form or exotic-whitespace strings; the
+    // measured 9x A/B lives in PERF.md.
     "f07b_trycast_prefiltered" -> { (s, dir) =>
       Tables.registerAll(s, dir)
       s.sql(
         """SELECT
-          |  CAST(sum(TRY_CAST(CASE WHEN substr(o_orderpriority, 1, 1) RLIKE '^-?[0-9]+$'
-          |    THEN substr(o_orderpriority, 1, 1) END AS INT)) AS BIGINT) AS prio_sum,
-          |  CAST(sum(CASE WHEN o_orderstatus RLIKE '^-?[0-9]+$'
-          |      AND TRY_CAST(o_orderstatus AS INT) IS NOT NULL
+          |  CAST(sum(TRY_CAST(CASE WHEN substr(o_orderpriority, 1, 1) RLIKE '^ *[+-]?[0-9]+ *$'
+          |    THEN trim(substr(o_orderpriority, 1, 1)) END AS INT)) AS BIGINT) AS prio_sum,
+          |  CAST(sum(CASE WHEN o_orderstatus RLIKE '^ *[+-]?[0-9]+ *$'
+          |      AND TRY_CAST(trim(o_orderstatus) AS INT) IS NOT NULL
           |    THEN 0 ELSE 1 END) AS BIGINT) AS n_uncastable
           |FROM orders""".stripMargin)
     },
@@ -306,10 +314,10 @@ object FuncQueries {
 
     "f07b_trycast_prefiltered" ->
       """SELECT
-        |  CAST(sum(TRY_CAST(CASE WHEN regexp_matches(substr(o_orderpriority, 1, 1), '^-?[0-9]+$')
-        |    THEN substr(o_orderpriority, 1, 1) END AS INT)) AS BIGINT) AS prio_sum,
-        |  CAST(sum(CASE WHEN regexp_matches(o_orderstatus, '^-?[0-9]+$')
-        |      AND TRY_CAST(o_orderstatus AS INT) IS NOT NULL
+        |  CAST(sum(TRY_CAST(CASE WHEN regexp_matches(substr(o_orderpriority, 1, 1), '^ *[+-]?[0-9]+ *$')
+        |    THEN trim(substr(o_orderpriority, 1, 1)) END AS INT)) AS BIGINT) AS prio_sum,
+        |  CAST(sum(CASE WHEN regexp_matches(o_orderstatus, '^ *[+-]?[0-9]+ *$')
+        |      AND TRY_CAST(trim(o_orderstatus) AS INT) IS NOT NULL
         |    THEN 0 ELSE 1 END) AS BIGINT) AS n_uncastable
         |FROM orders""".stripMargin,
 
