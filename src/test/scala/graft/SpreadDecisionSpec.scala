@@ -52,6 +52,23 @@ class SpreadDecisionSpec extends AnyFunSuite {
     assert(on == off)
   }
 
+  test("unprobed session: many-partition input gets NO exchange, a starved " +
+    "one still spreads (VERDICT r7 wrong #2)") {
+    // a fresh session never ran registerAll, so the row-group probe never
+    // ran — the old default ON would hand this caller a full-corpus
+    // round-robin; the fix reads the input's own planned parallelism
+    val s2 = spark.newSession()
+    def exchanges(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.logical.collect { case r: RepartitionOperation => r }
+    val cores = s2.sparkContext.defaultParallelism
+    val wide = s2.range(0, 1000, 1, cores).toDF("doc_id")
+    assert(exchanges(Tables.maybeSpread(wide)).isEmpty,
+      "many-partition input on an unprobed session must NOT be round-robined")
+    val narrow = s2.range(0, 10, 1, 1).toDF("doc_id")
+    assert(exchanges(Tables.maybeSpread(narrow)).nonEmpty,
+      "a one-partition input still starves the cores and should spread")
+  }
+
   test("maybeSpread follows the same decision") {
     val df = spark.range(10).toDF("doc_id")
     val on = withSpread("on")(Tables.maybeSpread(df))
