@@ -260,6 +260,74 @@ object LlmQueries {
     s.read.parquet(store.toString)
   }
 
+  /** One Spark SQL template for the decontamination sweep (l19 exact /
+    * l22 bloom / l23 auto): find training documents sharing any word
+    * n-gram with the held-out eval sources. Both shapes are
+    * answer-identical — the bloom arm exact-confirms its survivors, so
+    * false positives never reach the output — which is what lets a
+    * chooser pick between them without an oracle split.
+    */
+  private[graft] def decontaminationSql(s: SparkSession, n: Int,
+                                        bloom: Boolean): String = {
+    val survivors =
+      if (bloom)
+        """, survivors AS (
+          |  SELECT doc_id, source, g FROM tr
+          |  WHERE bloom_probe((SELECT bloom_build(xxhash64(g)) FROM ev),
+          |                    xxhash64(g))
+          |)""".stripMargin
+      else ""
+    val probeSrc = if (bloom) "survivors sv" else "tr sv"
+    s"""WITH ev AS (
+       |  SELECT DISTINCT g FROM documents
+       |  LATERAL VIEW explode(array_distinct(word_ngrams(text, $n))) t AS g
+       |  WHERE source IN ('src0', 'src1')
+       |), tr AS (
+       |  SELECT doc_id, source, g
+       |  FROM (SELECT ${Tables.spreadHint(s)} doc_id, source, text FROM documents
+       |        WHERE source NOT IN ('src0', 'src1')) d
+       |  LATERAL VIEW explode(array_distinct(word_ngrams(text, $n))) t AS g
+       |)$survivors, per_doc AS (
+       |  SELECT sv.doc_id, sv.source, count(*) AS n_hit_grams
+       |  FROM $probeSrc JOIN ev ON sv.g = ev.g
+       |  GROUP BY sv.doc_id, sv.source
+       |)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_contaminated_docs,
+       |  CAST(sum(n_hit_grams) AS BIGINT) AS n_hit_grams,
+       |  CAST(max(n_hit_grams) AS BIGINT) AS max_hit_grams
+       |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** Upper bound on the bytes the exact shape would broadcast: every word
+    * position in the eval texts starts one n-gram spanning ~n words, so
+    * total gram characters are at most n × eval text characters — and the
+    * DISTINCT set the join broadcasts is at most that. One cheap pushed-
+    * filter aggregate over the eval side, which is small by definition
+    * (eval sets are thousands of docs, not billions).
+    */
+  private[graft] def estimatedEvalGramBytes(s: SparkSession, n: Int): Long =
+    s.sql(
+      """SELECT CAST(coalesce(sum(length(text)), 0) AS BIGINT) FROM documents
+        |WHERE source IN ('src0', 'src1')""".stripMargin)
+      .head.getLong(0) * n
+
+  /** Pick the decontamination shape the way [[Tables.spreadOn]] picks the
+    * spread exchange (VERDICT r7 next #4 — the measured l19/l22 crossover
+    * as an automatic decision, not written guidance): session conf
+    * `graft.decontamination` (exact/bloom — the forced arms specs and
+    * plan A/Bs use), else compare the gram-set estimate against the
+    * session's own broadcast threshold. Below it the eval grams broadcast
+    * and the exact hash join wins; beyond it Spark would fall back to a
+    * full corpus-side shuffle join, so the bloom prefilter (a few MB
+    * riding as a scalar-subquery constant) is the scale shape.
+    */
+  private[graft] def decontaminationShape(s: SparkSession, n: Int): String =
+    s.conf.getOption("graft.decontamination")
+      .filter(v => v == "exact" || v == "bloom").getOrElse {
+        val thr = s.sessionState.conf.autoBroadcastJoinThreshold
+        if (thr > 0 && estimatedEvalGramBytes(s, n) <= thr) "exact" else "bloom"
+      }
+
   /** Min-label propagation over an undirected edge list, run TO
     * CONVERGENCE (the l14 resolution step). Each round is one self-join +
     * aggregation (one shuffle) and is checkpointed — each round
@@ -1234,26 +1302,10 @@ object LlmQueries {
       // so the join output is unique-(doc, gram) by construction and no
       // wide post-join DISTINCT aggregation is needed — the first cut ran
       // one over the entire exploded join output (11 s at sf0.1, the
-      // slowest query in the suite; this shape is ~1 s)
-      s.sql(
-        s"""WITH ev AS (
-          |  SELECT DISTINCT g FROM documents
-          |  LATERAL VIEW explode(array_distinct(word_ngrams(text, 3))) t AS g
-          |  WHERE source IN ('src0', 'src1')
-          |), tr AS (
-          |  SELECT doc_id, source, g
-          |  FROM (SELECT ${Tables.spreadHint(s)} doc_id, source, text FROM documents
-          |        WHERE source NOT IN ('src0', 'src1')) d
-          |  LATERAL VIEW explode(array_distinct(word_ngrams(text, 3))) t AS g
-          |), per_doc AS (
-          |  SELECT tr.doc_id, tr.source, count(*) AS n_hit_grams
-          |  FROM tr JOIN ev ON tr.g = ev.g
-          |  GROUP BY tr.doc_id, tr.source
-          |)
-          |SELECT source, CAST(count(*) AS BIGINT) AS n_contaminated_docs,
-          |  CAST(sum(n_hit_grams) AS BIGINT) AS n_hit_grams,
-          |  CAST(max(n_hit_grams) AS BIGINT) AS max_hit_grams
-          |FROM per_doc GROUP BY source ORDER BY source""".stripMargin)
+      // slowest query in the suite; this shape is ~1 s). This entry is the
+      // FORCED exact arm of decontaminationSql; l23 below is the chosen
+      // shape.
+      s.sql(decontaminationSql(s, n = 3, bloom = false))
     },
 
     // ---- m03: video frame sampling ------------------------------------
@@ -1365,30 +1417,26 @@ object LlmQueries {
       // distinct) is on the cheap side of the materialize() rule, like
       // l11, so it recomputes. At cluster scale with a multi-TB eval
       // corpus the trade flips: land the gram set in a temp table once
-      // and point both consumers at it.
-      s.sql(
-        s"""WITH ev AS (
-          |  SELECT DISTINCT g FROM documents
-          |  LATERAL VIEW explode(array_distinct(word_ngrams(text, 4))) t AS g
-          |  WHERE source IN ('src0', 'src1')
-          |), tr AS (
-          |  SELECT doc_id, source, g
-          |  FROM (SELECT ${Tables.spreadHint(s)} doc_id, source, text FROM documents
-          |        WHERE source NOT IN ('src0', 'src1')) d
-          |  LATERAL VIEW explode(array_distinct(word_ngrams(text, 4))) t AS g
-          |), survivors AS (
-          |  SELECT doc_id, source, g FROM tr
-          |  WHERE bloom_probe((SELECT bloom_build(xxhash64(g)) FROM ev),
-          |                    xxhash64(g))
-          |), per_doc AS (
-          |  SELECT sv.doc_id, sv.source, count(*) AS n_hit_grams
-          |  FROM survivors sv JOIN ev ON sv.g = ev.g
-          |  GROUP BY sv.doc_id, sv.source
-          |)
-          |SELECT source, CAST(count(*) AS BIGINT) AS n_contaminated_docs,
-          |  CAST(sum(n_hit_grams) AS BIGINT) AS n_hit_grams,
-          |  CAST(max(n_hit_grams) AS BIGINT) AS max_hit_grams
-          |FROM per_doc GROUP BY source ORDER BY source""".stripMargin)
+      // and point both consumers at it. This entry is the FORCED bloom
+      // arm of decontaminationSql; l23 below is the chosen shape.
+      s.sql(decontaminationSql(s, n = 4, bloom = true))
+    },
+
+    // ---- l23: decontamination, shape chosen automatically ---------------
+    // The l19/l22 crossover codified (VERDICT r7 next #4): the chooser
+    // probes the eval gram-set size against the session's broadcast
+    // threshold at query build and picks the exact broadcast-join shape
+    // or the bloom-prefiltered shape. Both arms are answer-identical
+    // (l22's bloom exact-confirms its survivors), so ONE exact oracle
+    // gates this entry no matter which arm the chooser picks — on the
+    // fixtures that's the exact arm; a production eval corpus beyond the
+    // broadcast threshold flips it to bloom with no code change.
+    "l23_decontamination_auto" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      graft.functions.NGramFunctions.register(s)
+      graft.functions.BloomFunctions.register(s)
+      s.sql(decontaminationSql(s, n = 3,
+        bloom = decontaminationShape(s, n = 3) == "bloom"))
     }
   )
 
@@ -1883,6 +1931,31 @@ object LlmQueries {
          |  CAST(sum(chars_redacted) AS BIGINT) AS chars_redacted
          |FROM scanned GROUP BY source ORDER BY source""".stripMargin
     },
+
+    // whichever arm the chooser picks, the answer must equal the EXACT
+    // computation — one oracle covers both regimes by construction
+    "l23_decontamination_auto" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT g FROM (
+        |    SELECT unnest(list_distinct(
+        |      list_transform(range(len(string_split(text, ' ')) - 2),
+        |        i -> array_to_string((string_split(text, ' '))[i+1:i+3], ' ')))) AS g
+        |    FROM documents WHERE source IN ('src0', 'src1')) t
+        |), tr AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_distinct(
+        |      list_transform(range(len(string_split(text, ' ')) - 2),
+        |        i -> array_to_string((string_split(text, ' '))[i+1:i+3], ' ')))) AS g
+        |  FROM documents WHERE source NOT IN ('src0', 'src1')
+        |), per_doc AS (
+        |  SELECT tr.doc_id, tr.source, count(*) AS n_hit_grams
+        |  FROM tr JOIN ev ON tr.g = ev.g
+        |  GROUP BY tr.doc_id, tr.source
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_contaminated_docs,
+        |  CAST(sum(n_hit_grams) AS BIGINT) AS n_hit_grams,
+        |  CAST(max(n_hit_grams) AS BIGINT) AS max_hit_grams
+        |FROM per_doc GROUP BY source ORDER BY source""".stripMargin,
 
     // the oracle is the EXACT computation with no bloom anywhere: the
     // prefilter+confirm pipeline must be indistinguishable from it

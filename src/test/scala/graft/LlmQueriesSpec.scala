@@ -129,4 +129,43 @@ class LlmQueriesSpec extends AnyFunSuite {
     assert(hist.head.getAs[Long]("sz") === 2L)
     assert(hist.head.getAs[Long]("n_clusters") === 3L)
   }
+
+  test("decontamination chooser picks exact below the broadcast threshold, " +
+    "bloom beyond it, and obeys the forced-arm conf (VERDICT r7 next #4)") {
+    Tables.registerAll(spark, SparkTestSession.sf)
+    graft.functions.NGramFunctions.register(spark)
+    val est = LlmQueries.estimatedEvalGramBytes(spark, 3)
+    assert(est > 0L, "fixture eval side must be non-empty")
+    // fixture gram estimate is far below the default 10 MB threshold
+    assert(LlmQueries.decontaminationShape(spark, 3) === "exact")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // a threshold below the estimate models the production regime where
+      // the eval corpus can't broadcast — the chooser must flip to bloom
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (est - 1).toString)
+      assert(LlmQueries.decontaminationShape(spark, 3) === "bloom")
+      // forced arms override the probe in BOTH directions
+      spark.conf.set("graft.decontamination", "exact")
+      assert(LlmQueries.decontaminationShape(spark, 3) === "exact")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.conf.set("graft.decontamination", "bloom")
+      assert(LlmQueries.decontaminationShape(spark, 3) === "bloom")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.conf.unset("graft.decontamination")
+    }
+  }
+
+  test("both decontamination arms return identical results — the chooser " +
+    "can never change the answer") {
+    Tables.registerAll(spark, SparkTestSession.sf)
+    graft.functions.NGramFunctions.register(spark)
+    graft.functions.BloomFunctions.register(spark)
+    val exact = spark.sql(LlmQueries.decontaminationSql(spark, 3, bloom = false))
+      .collect().toSeq
+    val bloom = spark.sql(LlmQueries.decontaminationSql(spark, 3, bloom = true))
+      .collect().toSeq
+    assert(exact === bloom)
+    assert(exact.nonEmpty)
+  }
 }
