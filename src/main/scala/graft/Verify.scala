@@ -5,13 +5,20 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query names to skip (scale probes
+    // exclude a known-quadratic entry without forking the contract — the
+    // driver's 2-arg invocation is unchanged)
+    val (sfDir, outDir, skip) = args match {
+      case Array(s, o)     => (s, o, Set.empty[String])
+      case Array(s, o, sk) => (s, o, sk.split(",").map(_.trim).toSet)
+    }
     val spark = Sessions.build("graft-verify")
     new java.io.File(outDir).mkdirs()
     val plansDir = Paths.get("target/plans")
     Files.createDirectories(plansDir)
     SparkEntry.queries.foreach { case (name, fn) =>
-      try {
+      try if (!skip(name)) {
+        System.err.println(s"[verify] start $name")
         val df = fn(spark, sfDir)
         // plan snapshot for shuffle/pushdown audits without re-deriving
         Files.writeString(plansDir.resolve(s"$name.txt"),

@@ -419,10 +419,24 @@ object LlmQueries {
     * hamming distance and the ≤3 threshold the banding guarantees
     * complete. 100 TB: one linear fingerprint pass, a 4-key band
     * self-join (never all-pairs), constant per-candidate confirm work.
+    *
+    * Mega-bucket cap (round-8 scale probe): banding bounds the KEY space,
+    * not the bucket size — a boilerplate-heavy corpus concentrates one
+    * band sig and the pair expansion goes quadratic in it (measured on
+    * the 30× replicated corpus: the largest band bucket grew 291 → 8730
+    * docs and raw in-bucket pairs 191k → 181M, a 900× blowup for 30×
+    * data that OOM'd a 24 GB local run). Same remedy as l02: buckets
+    * beyond `cap` docs are dropped from candidate generation and the
+    * drop is OBSERVABLE — the result carries a sentinel (hd = -1) row
+    * counting dropped buckets, so a silent-recall gap cannot masquerade
+    * as a clean run. A true hd≤3 pair can still surface via its other
+    * untouched bands. cap=512 leaves every driver fixture untouched
+    * (sf0.1 max bucket: 291) and caps only pathological concentration.
     */
   private[graft] def simhash64Sql(spark: Boolean, hint: String = "",
                                   finalSelect: String = "",
-                                  table: String = "documents"): String = {
+                                  table: String = "documents",
+                                  cap: Int = 512): String = {
     def nibOf(h: String, pos: Int) =
       if (spark) nibSpark(h, pos) else nib(h, pos)
     def idiv = if (spark) "DIV" else "//"
@@ -446,6 +460,79 @@ object LlmQueries {
         s"""SELECT doc_id, explode(split(text, ' ')) AS w
            |  FROM (SELECT $hint doc_id, text FROM $table)""".stripMargin
       else s"SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM $table"
+    // Candidate generation differs per engine in SHAPE only (the kept/
+    // dropped semantics are identical, which the oracle proves): Spark
+    // uses l02b's bucket-local pair expansion — ONE (band,sig)
+    // aggregation, pairs exploded inside each kept bucket row. A dropped
+    // mega bucket reduces to ONE sentinel struct whose d2 encodes the
+    // bucket identity (-(band·65536+sig)-1, unique and negative), so
+    // sentinels survive the pair DISTINCT, ride the normal pair pipeline
+    // (the fingerprint LEFT JOINs find no doc and the CASE pins hd=-1),
+    // and are counted by the same final rollup — no second reference to
+    // the corpus subtree anywhere (a bands⋈counts join form re-inlined
+    // it per CTE reference: measured 7 → 14 exchanges; a scalar-subquery
+    // dropped-count still re-ran the whole fingerprint pipeline because
+    // column pruning makes the two subtrees non-identical, defeating
+    // exchange reuse). The constant (-1, 0) row keeps the sentinel
+    // OBSERVABLE — present with n_pairs=0 — when nothing was dropped.
+    // DuckDB materializes CTEs, so the plain join form is fine there.
+    val candSection =
+      if (spark)
+        s"""), buckets AS (
+           |  SELECT band, sig, sort_array(collect_list(doc_id)) AS ids
+           |  FROM bands GROUP BY band, sig
+           |), cand AS (
+           |  SELECT DISTINCT p.d1, p.d2 FROM buckets
+           |  LATERAL VIEW explode(CASE WHEN size(ids) <= $cap THEN
+           |    flatten(transform(ids, (x, i) ->
+           |      transform(slice(ids, i + 2, size(ids)),
+           |        y -> named_struct('d1', x, 'd2', y))))
+           |    ELSE array(named_struct('d1', CAST(-1 AS BIGINT),
+           |      'd2', -(CAST(band AS BIGINT) * 65536 + sig) - 1)) END) t AS p
+           |)""".stripMargin
+      else
+        s"""), bc AS (
+           |  SELECT band, sig, count(*) AS c FROM bands GROUP BY band, sig
+           |), bkept AS (
+           |  SELECT bands.doc_id, bands.band, bands.sig
+           |  FROM bands JOIN bc ON bands.band = bc.band AND bands.sig = bc.sig
+           |  WHERE bc.c <= $cap
+           |), cand AS (
+           |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |  FROM bkept a JOIN bkept b
+           |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+           |)""".stripMargin
+    val pairsSection =
+      if (spark)
+        s""", pairs AS (
+           |  SELECT c.d1, c.d2,
+           |    CASE WHEN c.d1 < 0 THEN -1 ELSE CAST($hd AS INT) END AS hd
+           |  FROM cand c
+           |  LEFT JOIN f fa ON fa.doc_id = c.d1
+           |  LEFT JOIN f fb ON fb.doc_id = c.d2
+           |)""".stripMargin
+      else
+        s""", pairs AS (
+           |  SELECT c.d1, c.d2, CAST($hd AS INT) AS hd
+           |  FROM cand c
+           |  JOIN f fa ON fa.doc_id = c.d1
+           |  JOIN f fb ON fb.doc_id = c.d2
+           |)""".stripMargin
+    val finalDefault =
+      if (spark)
+        s"""SELECT hd, CAST(sum(n) AS BIGINT) AS n_pairs FROM (
+           |  SELECT hd, count(*) AS n FROM pairs WHERE hd <= 3 GROUP BY hd
+           |  UNION ALL
+           |  SELECT CAST(-1 AS INT) AS hd, CAST(0 AS BIGINT) AS n
+           |) u GROUP BY hd ORDER BY hd""".stripMargin
+      else
+        s"""SELECT hd, n_pairs FROM (
+           |  SELECT CAST(hd AS INT) AS hd, count(*) AS n_pairs
+           |  FROM pairs WHERE hd <= 3 GROUP BY hd
+           |  UNION ALL
+           |  SELECT CAST(-1 AS INT) AS hd, count(*) AS n_pairs
+           |  FROM bc WHERE c > $cap
+           |) u ORDER BY hd""".stripMargin
     s"""WITH tok AS (
        |  $tok
        |), nb AS (
@@ -462,19 +549,8 @@ object LlmQueries {
        |  FROM v
        |), bands AS (
        |  $bandRows
-       |), cand AS (
-       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-       |), pairs AS (
-       |  SELECT c.d1, c.d2, CAST($hd AS INT) AS hd
-       |  FROM cand c
-       |  JOIN f fa ON fa.doc_id = c.d1
-       |  JOIN f fb ON fb.doc_id = c.d2
-       |)
-       |${if (finalSelect.nonEmpty) finalSelect
-         else """SELECT hd, count(*) AS n_pairs FROM pairs WHERE hd <= 3
-                |GROUP BY hd ORDER BY hd""".stripMargin}""".stripMargin
+       |$candSection$pairsSection
+       |${if (finalSelect.nonEmpty) finalSelect else finalDefault}""".stripMargin
   }
 
   /** The l11b Spark-side plan: the whole 64-bit vote loop runs inside the
@@ -484,27 +560,43 @@ object LlmQueries {
     * cost accounting — measured 2.0× at sf0.1 (PERF.md r7); the plan's
     * first exchange is the band self-join itself.
     */
-  private def simhash64ExprSql(hint: String): String = {
+  private def simhash64ExprSql(hint: String, cap: Int = 512): String = {
     val hd = (0 until 4).map(j =>
       s"bit_count(fa.bs[$j] ^ fb.bs[$j])").mkString(" + ")
+    // same bucket-local cap shape as the SQL template's Spark arm — one
+    // (band,sig) aggregation, in-bucket pair expansion, dropped mega
+    // buckets reduced to bucket-unique sentinel structs that ride the
+    // pair pipeline to the hd=-1 output row (see simhash64Sql's note on
+    // why every alternative re-ran the corpus subtree)
     s"""WITH f AS (
        |  SELECT doc_id, simhash64_bands(text) AS bs
        |  FROM (SELECT $hint doc_id, text FROM documents)
        |  WHERE text IS NOT NULL
        |), bands AS (
        |  SELECT doc_id, posexplode(bs) AS (band, sig) FROM f
+       |), buckets AS (
+       |  SELECT band, sig, sort_array(collect_list(doc_id)) AS ids
+       |  FROM bands GROUP BY band, sig
        |), cand AS (
-       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |  SELECT DISTINCT p.d1, p.d2 FROM buckets
+       |  LATERAL VIEW explode(CASE WHEN size(ids) <= $cap THEN
+       |    flatten(transform(ids, (x, i) ->
+       |      transform(slice(ids, i + 2, size(ids)),
+       |        y -> named_struct('d1', x, 'd2', y))))
+       |    ELSE array(named_struct('d1', CAST(-1 AS BIGINT),
+       |      'd2', -(CAST(band AS BIGINT) * 65536 + sig) - 1)) END) t AS p
        |), pairs AS (
-       |  SELECT c.d1, c.d2, CAST($hd AS INT) AS hd
+       |  SELECT c.d1, c.d2,
+       |    CASE WHEN c.d1 < 0 THEN -1 ELSE CAST($hd AS INT) END AS hd
        |  FROM cand c
-       |  JOIN f fa ON fa.doc_id = c.d1
-       |  JOIN f fb ON fb.doc_id = c.d2
+       |  LEFT JOIN f fa ON fa.doc_id = c.d1
+       |  LEFT JOIN f fb ON fb.doc_id = c.d2
        |)
-       |SELECT hd, count(*) AS n_pairs FROM pairs WHERE hd <= 3
-       |GROUP BY hd ORDER BY hd""".stripMargin
+       |SELECT hd, CAST(sum(n) AS BIGINT) AS n_pairs FROM (
+       |  SELECT hd, count(*) AS n FROM pairs WHERE hd <= 3 GROUP BY hd
+       |  UNION ALL
+       |  SELECT CAST(-1 AS INT) AS hd, CAST(0 AS BIGINT) AS n
+       |) u GROUP BY hd ORDER BY hd""".stripMargin
   }
 
   /** Parameterized minhash-LSH (l02b): `nHashes` min-hashes banded into
@@ -868,7 +960,15 @@ object LlmQueries {
           |      row_number() OVER (PARTITION BY plang ORDER BY n DESC, g) AS rn
           |    FROM counts) WHERE rn <= 20 GROUP BY plang
           |), scores AS (
-          |  SELECT d.doc_id, p.plang, size(array_intersect(d.gs, p.pgs)) AS score
+          |  -- the BROADCAST hint is a correctness-of-scale guarantee, not
+          |  -- an optimization: profile is bounded by n_langs rows (a
+          |  -- data-independent constant), but Spark's size ESTIMATE for it
+          |  -- derives from the corpus-sized input, so on a 30x corpus the
+          |  -- planner pushed it past the broadcast threshold and degraded
+          |  -- this join to a CartesianProduct (round-8 scale probe). The
+          |  -- hint pins the only sane physical shape at any corpus size.
+          |  SELECT /*+ BROADCAST(p) */
+          |    d.doc_id, p.plang, size(array_intersect(d.gs, p.pgs)) AS score
           |  FROM l13_dg d CROSS JOIN profile p
           |), best AS (
           |  SELECT doc_id, plang AS predicted FROM (

@@ -130,6 +130,31 @@ class LlmQueriesSpec extends AnyFunSuite {
     assert(hist.head.getAs[Long]("n_clusters") === 3L)
   }
 
+  test("l11b mega-bucket cap bounds the band-join explosion and reports " +
+    "drops in the sentinel row (round-8 scale probe)") {
+    registerCorpus()
+    // 100 byte-identical boilerplate docs share all four band sigs: at
+    // cap 16 those four buckets are dropped and REPORTED; the two
+    // near-dup docs sit in buckets of 2, stay, and still pair at hd=0
+    val rows = spark.sql(LlmQueries.simhash64Sql(
+      spark = true, table = "l02_spec_docs", cap = 16)).collect()
+    val dropped = rows.find(_.getInt(0) == -1).map(_.getLong(1))
+    assert(dropped === Some(4L), s"got ${rows.toSeq}")
+    val hd0 = rows.find(_.getInt(0) == 0).map(_.getLong(1))
+    assert(hd0 === Some(1L),
+      "the kept 2-doc bucket must still produce its hd=0 pair")
+  }
+
+  test("l11b default cap leaves the fixture corpus untouched — sentinel " +
+    "row reports zero drops") {
+    Tables.registerAll(spark, SparkTestSession.sf)
+    graft.functions.SimhashFunctions.register(spark)
+    val rows = SparkEntry.queries("l11b_simhash64_banded")(
+      spark, SparkTestSession.sf).collect()
+    assert(rows.find(_.getInt(0) == -1).map(_.getLong(1)) === Some(0L),
+      s"fixture should drop no buckets at cap 512: ${rows.toSeq}")
+  }
+
   test("decontamination chooser picks exact below the broadcast threshold, " +
     "bloom beyond it, and obeys the forced-arm conf (VERDICT r7 next #4)") {
     Tables.registerAll(spark, SparkTestSession.sf)
