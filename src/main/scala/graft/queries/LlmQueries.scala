@@ -343,9 +343,9 @@ object LlmQueries {
     * DECIMAL(38,0) so 100 TB-scale id sums cannot wrap. Rounds stop at
     * the first fixpoint; propagation needs diameter+1 rounds, and real
     * near-dup graphs have tiny diameters. A graph still moving at the
-    * 64-round cap fails loudly (under-merging silently is the one wrong
-    * answer) — at that diameter switch to large-star/small-star
-    * contraction, which converges in O(log n) rounds.
+    * cap (diameter beyond the linear-propagation regime) hands off to
+    * [[starContract]] — O(log n) rounds for ANY diameter — instead of
+    * failing or silently under-merging.
     */
   private[graft] def resolveClusters(s: SparkSession, edges: DataFrame,
                                      cap: Int = 64): DataFrame = {
@@ -372,15 +372,96 @@ object LlmQueries {
       lastSum = sum
       round += 1
     }
-    if (!converged)
-      throw new IllegalStateException(
-        s"label propagation still moving after $cap rounds — graph diameter " +
-          "exceeds the linear-propagation regime; use star-contraction")
-    lab.createOrReplaceTempView("l14_lab_final")
+    val labels =
+      if (converged) lab
+      else starContract(s, edges) // high-diameter regime: O(log n) rounds
+    labels.createOrReplaceTempView("l14_lab_final")
     s.sql(
       """SELECT sz, count(*) AS n_clusters FROM (
         |  SELECT lbl, count(*) AS sz FROM l14_lab_final GROUP BY lbl
         |) GROUP BY sz ORDER BY sz""".stripMargin)
+  }
+
+  /** Connected components by alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the doubling algorithm linear min-label propagation hands
+    * off to when the graph's diameter exceeds its round cap. Each round is
+    * two grouped-min passes over the edge list (shuffles on node id, one
+    * small join each, never all-pairs):
+    *
+    *   large-star(u): m = min(N(u) + u); emit (v, m) for v in N(u), v > u
+    *   small-star(u): m = min(N(u) + u); emit (v, m) for v in N(u)+u, v <= u
+    *
+    * Both preserve connectivity; the fixpoint is a forest of stars whose
+    * centers are the component minima — labels drop out as (leaf, center)
+    * plus (center, center). Rounds are O(log² n) worst case / O(log n) in
+    * practice, so a billion-hop chain at 100 TB costs ~30 rounds where
+    * propagation would need a billion. Same checkpoint-per-round
+    * discipline as the propagation loop. The fixpoint witness is a
+    * content hash of the edge multiset — sum of a 48-bit md5 prefix per
+    * edge in DECIMAL(38,0) (unlike propagation's label sum, the edge sum
+    * is not monotone, so a raw sum could alias two different sets; the
+    * hash sum makes a collision astronomically unlikely and stays one
+    * cheap aggregate per round). A generous cap still fails loudly if
+    * the fixpoint somehow never lands.
+    */
+  private[graft] def starContract(s: SparkSession, edges: DataFrame,
+                                  maxRounds: Int = 50): DataFrame = {
+    var e = edges.selectExpr("a", "b").where("a <> b").localCheckpoint()
+    var lastSum: java.math.BigDecimal = null
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      e.createOrReplaceTempView("l14_sc_e")
+      // large-star: neighbors larger than u re-point at u's min
+      val large = s.sql(
+        """WITH bi AS (
+          |  SELECT a AS u, b AS v FROM l14_sc_e
+          |  UNION ALL
+          |  SELECT b AS u, a AS v FROM l14_sc_e
+          |), mins AS (
+          |  SELECT u, least(u, min(v)) AS m FROM bi GROUP BY u
+          |)
+          |SELECT DISTINCT bi.v AS a, mins.m AS b
+          |FROM bi JOIN mins ON bi.u = mins.u
+          |WHERE bi.v > bi.u AND bi.v <> mins.m""".stripMargin).localCheckpoint()
+      large.createOrReplaceTempView("l14_sc_l")
+      // small-star: u and its not-larger neighbors all point at the min
+      e = s.sql(
+        """WITH bi AS (
+          |  SELECT a AS u, b AS v FROM l14_sc_l
+          |  UNION ALL
+          |  SELECT b AS u, a AS v FROM l14_sc_l
+          |), mins AS (
+          |  SELECT u, least(u, min(v)) AS m FROM bi GROUP BY u
+          |)
+          |SELECT DISTINCT a, b FROM (
+          |  SELECT bi.v AS a, mins.m AS b
+          |  FROM bi JOIN mins ON bi.u = mins.u
+          |  WHERE bi.v <= bi.u
+          |  UNION ALL
+          |  SELECT mins.u AS a, mins.m AS m FROM mins
+          |) x WHERE a <> b""".stripMargin).localCheckpoint()
+      val sum = e.selectExpr(
+        """CAST(coalesce(sum(CAST(conv(substr(md5(concat(a, ':', b)), 1, 12),
+          |16, 10) AS DECIMAL(38,0))), 0) AS DECIMAL(38,0)) AS s""".stripMargin)
+        .head.getDecimal(0)
+      converged = lastSum != null && sum.compareTo(lastSum) == 0
+      lastSum = sum
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"star contraction not at fixpoint after $maxRounds rounds")
+    e.createOrReplaceTempView("l14_sc_final")
+    // stars: every remaining edge is (leaf, center); centers label
+    // themselves (anti-join picks out roots that never appear as a leaf)
+    s.sql(
+      """SELECT a AS node, min(b) AS lbl FROM l14_sc_final GROUP BY a
+        |UNION ALL
+        |SELECT DISTINCT b AS node, b AS lbl FROM l14_sc_final f
+        |WHERE NOT EXISTS (SELECT 1 FROM l14_sc_final g WHERE g.a = f.b)"""
+        .stripMargin)
   }
 
   /** 4-bit sign-LSH bucket: sign bits of components 1, 17, 33, 49 — four

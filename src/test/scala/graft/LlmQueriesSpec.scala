@@ -109,12 +109,13 @@ class LlmQueriesSpec extends AnyFunSuite {
     assert(hist.length === 1, s"expected one cluster size, got ${hist.toSeq}")
     assert(hist.head.getAs[Long]("sz") === 13L)
     assert(hist.head.getAs[Long]("n_clusters") === 1L)
-    // the same chain must FAIL LOUDLY when capped below its diameter —
-    // silently under-merging is the one wrong answer
-    intercept[IllegalStateException] {
-      import spark.implicits._
-      LlmQueries.resolveClusters(spark, chain.toDF("a", "b"), cap = 4)
-    }
+    // the same chain capped below its diameter must hand off to star
+    // contraction and still return the EXACT answer — never under-merge
+    val handed = LlmQueries.resolveClusters(spark, chain.toDF("a", "b"), cap = 4)
+      .collect()
+    assert(handed.length === 1)
+    assert(handed.head.getAs[Long]("sz") === 13L)
+    assert(handed.head.getAs[Long]("n_clusters") === 1L)
   }
 
   test("l14 propagation early-stops: disjoint pairs converge in 2 rounds, " +
@@ -128,6 +129,49 @@ class LlmQueriesSpec extends AnyFunSuite {
     assert(hist.length === 1)
     assert(hist.head.getAs[Long]("sz") === 2L)
     assert(hist.head.getAs[Long]("n_clusters") === 3L)
+  }
+
+  test("l14 high-diameter handoff: a 200-link chain under a cap of 8 " +
+    "resolves exactly via star contraction, not a thrown error") {
+    import spark.implicits._
+    // propagation would need 201 rounds; the cap hands off to
+    // large-star/small-star which needs O(log n)
+    val chain = (0L until 200L).map(i => (i, i + 1))
+    val hist = LlmQueries.resolveClusters(spark, chain.toDF("a", "b"), cap = 8)
+      .collect()
+    assert(hist.length === 1, s"got ${hist.toSeq}")
+    assert(hist.head.getAs[Long]("sz") === 201L)
+    assert(hist.head.getAs[Long]("n_clusters") === 1L)
+  }
+
+  test("starContract labels equal propagation labels on a mixed graph " +
+    "(chain + clique + pairs + shared-min star)") {
+    import spark.implicits._
+    val chain = (100L to 110L).map(i => (i, i + 1))
+    val clique = for (i <- 0L until 5L; j <- i + 1 until 5L) yield (i, j)
+    val pairs = Seq((300L, 301L), (400L, 401L))
+    val star = (1L to 4L).map(i => (500L, 500L + i))
+    val edges = (chain ++ clique ++ pairs ++ star).toDF("a", "b")
+    val viaStar = LlmQueries.starContract(spark, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaProp = {
+      edges.createOrReplaceTempView("sc_spec_edges")
+      spark.sql(
+        """WITH bi AS (SELECT a, b FROM sc_spec_edges
+          |  UNION ALL SELECT b, a FROM sc_spec_edges)
+          |SELECT DISTINCT a AS node FROM bi""".stripMargin)
+        .collect().map(_.getLong(0))
+        .map { n =>
+          // brute-force component min on the small fixture
+          n -> Iterator.iterate(Set(n)) { s =>
+            s ++ (chain ++ clique ++ pairs ++ star).collect {
+              case (x, y) if s(x) => y
+              case (x, y) if s(y) => x
+            }
+          }.drop(12).next().min
+        }.toMap
+    }
+    assert(viaStar === viaProp)
   }
 
   test("l11b mega-bucket cap bounds the band-join explosion and reports " +
