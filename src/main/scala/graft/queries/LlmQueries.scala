@@ -476,6 +476,101 @@ object LlmQueries {
       s"(CASE WHEN $e[$i] >= 0 THEN '1' ELSE '0' END)")
       .mkString("concat(", ", ", ")")
 
+  /** l09b template: the production-width sibling of l09's single 4-bit
+    * sign-LSH cell (round-8's scale lesson applied ahead of failure —
+    * l09's key space is a CONSTANT 16 cells, so its in-cell pair
+    * expansion is all-pairs/16 at any production corpus). 16 sign-bit
+    * hyperplanes in 4 bands of 4, OR-banding like l02/l11b (a pair is a
+    * candidate iff SOME band matches — recall rises with corpus
+    * concentration instead of work going quadratic), the observable
+    * mega-bucket cap (n_dropped_buckets in the output row, never a
+    * silent recall gap), and an exact-cosine confirm on candidates.
+    * Spark uses bucket-local pair expansion with bucket-unique sentinel
+    * structs riding the pair pipeline (see simhash64Sql's note on why
+    * every alternative re-runs the corpus subtree); DuckDB materializes
+    * CTEs, so it keeps the plain join form. One template, both engines.
+    */
+  private[graft] def signLshBandedSql(spark: Boolean,
+                                      table: String = "embeddings",
+                                      cap: Int = 512): String = {
+    def sgn(d: Int) =
+      if (spark) s"(CASE WHEN element_at(embedding, $d) >= 0 THEN '1' ELSE '0' END)"
+      else s"(CASE WHEN embedding[$d] >= 0 THEN '1' ELSE '0' END)"
+    // band j reads planes 1+16j, 5+16j, 9+16j, 13+16j (all within 64 dims)
+    def band(j: Int) =
+      (0 until 4).map(k => sgn(1 + 16 * j + 4 * k)).mkString("concat(", ", ", ")")
+    val bandCols = (0 until 4).map(j => s"${band(j)} AS b$j").mkString(",\n    ")
+    val dot =
+      if (spark) dotSpark("fa.embedding", "fb.embedding")
+      else dotDuck("fa.embedding", "fb.embedding")
+    val nrm =
+      if (spark) dotSpark("embedding", "embedding")
+      else dotDuck("embedding", "embedding")
+    if (spark)
+      s"""WITH f AS (
+         |  SELECT vec_id, embedding, sqrt($nrm) AS nrm,
+         |    $bandCols
+         |  FROM $table
+         |), bands AS (
+         |  SELECT vec_id, posexplode(array(b0, b1, b2, b3)) AS (band, sig)
+         |  FROM f
+         |), buckets AS (
+         |  SELECT band, sig, sort_array(collect_list(vec_id)) AS ids
+         |  FROM bands GROUP BY band, sig
+         |), cand AS (
+         |  SELECT DISTINCT p.d1, p.d2 FROM buckets
+         |  LATERAL VIEW explode(CASE WHEN size(ids) <= $cap THEN
+         |    flatten(transform(ids, (x, i) ->
+         |      transform(slice(ids, i + 2, size(ids)),
+         |        y -> named_struct('d1', x, 'd2', y))))
+         |    ELSE array(named_struct('d1', CAST(-1 AS BIGINT),
+         |      'd2', -(CAST(band AS BIGINT) * 16 + conv(sig, 2, 10)) - 1)) END) t AS p
+         |), pairs AS (
+         |  SELECT c.d1, c.d2,
+         |    CASE WHEN c.d1 < 0 THEN CAST(-2 AS DOUBLE)
+         |         ELSE round($dot / (fa.nrm * fb.nrm), 6) END AS sim
+         |  FROM cand c
+         |  LEFT JOIN f fa ON fa.vec_id = c.d1
+         |  LEFT JOIN f fb ON fb.vec_id = c.d2
+         |)
+         |SELECT CAST(count(CASE WHEN sim >= -1 THEN 1 END) AS BIGINT) AS n_cand_pairs,
+         |  CAST(count(CASE WHEN sim > 0.4 THEN 1 END) AS BIGINT) AS n_neardup_pairs,
+         |  round(coalesce(max(CASE WHEN sim >= -1 THEN sim END), -1), 6) AS max_sim,
+         |  CAST(count(CASE WHEN sim < -1 THEN 1 END) AS BIGINT) AS n_dropped_buckets
+         |FROM pairs""".stripMargin
+    else
+      s"""WITH f AS (
+         |  SELECT vec_id, embedding, sqrt($nrm) AS nrm,
+         |    $bandCols
+         |  FROM $table
+         |), bands AS (
+         |  SELECT vec_id, 0 AS band, b0 AS sig FROM f
+         |  UNION ALL SELECT vec_id, 1, b1 FROM f
+         |  UNION ALL SELECT vec_id, 2, b2 FROM f
+         |  UNION ALL SELECT vec_id, 3, b3 FROM f
+         |), bc AS (
+         |  SELECT band, sig, count(*) AS c FROM bands GROUP BY band, sig
+         |), bkept AS (
+         |  SELECT bands.vec_id, bands.band, bands.sig
+         |  FROM bands JOIN bc ON bands.band = bc.band AND bands.sig = bc.sig
+         |  WHERE bc.c <= $cap
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+         |  FROM bkept a JOIN bkept b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+         |), pairs AS (
+         |  SELECT c.d1, c.d2, round($dot / (fa.nrm * fb.nrm), 6) AS sim
+         |  FROM cand c
+         |  JOIN f fa ON fa.vec_id = c.d1
+         |  JOIN f fb ON fb.vec_id = c.d2
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_cand_pairs,
+         |  CAST(count(CASE WHEN sim > 0.4 THEN 1 END) AS BIGINT) AS n_neardup_pairs,
+         |  round(coalesce(max(sim), -1), 6) AS max_sim,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM bc WHERE c > $cap) AS n_dropped_buckets
+         |FROM pairs""".stripMargin
+  }
+
   /** Hex nibble value of md5(x) char at `pos` (1-based): position-in-alphabet
     * arithmetic (no hex-cast differences between engines). Spark spells the
     * position function `instr`, DuckDB `strpos` — same 1-based semantics.
@@ -1511,6 +1606,16 @@ object LlmQueries {
         .orderBy(col("n_frames"))
     },
 
+    // ---- l09b: banded sign-LSH near-dup (production width) --------------
+    // l09's scale sibling, per the l02b/l11b precedent: see
+    // signLshBandedSql for the full shape (16 hyperplanes, 4 OR-bands,
+    // observable mega-bucket cap, exact-cosine confirm).
+    "l09b_signlsh_banded" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      graft.functions.VectorFunctions.register(s)
+      s.sql(signLshBandedSql(spark = true))
+    },
+
     // ---- l20: corpus TF-IDF term scoring -------------------------------
     // Top terms by tf·idf (idf = ln(N/df)) — the keyword/vocabulary stats
     // pass of a curation pipeline. 100 TB: one shuffle on term for the
@@ -1806,6 +1911,8 @@ object LlmQueries {
          |SELECT v1, v2, round(sim, 6) AS sim
          |FROM pairs WHERE sim > 0.4
          |ORDER BY sim DESC, v1, v2""".stripMargin,
+
+    "l09b_signlsh_banded" -> signLshBandedSql(spark = false),
 
     "l10_regex_tokens" ->
       """WITH tk AS (

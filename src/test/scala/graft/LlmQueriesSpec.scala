@@ -199,6 +199,28 @@ class LlmQueriesSpec extends AnyFunSuite {
       s"fixture should drop no buckets at cap 512: ${rows.toSeq}")
   }
 
+  test("l09b mega-bucket cap drops concentrated sign-LSH buckets and " +
+    "reports them; near-dups in small buckets still pair") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    // 100 identical vectors concentrate all 4 band buckets (dropped at
+    // cap 16); two other near-identical vectors (opposite sign pattern,
+    // so different buckets from the clump) stay and pair at sim ~1
+    val clump = (0L until 100L).map(i => (i, Array.fill(64)(1.0f)))
+    val near = Seq(
+      (200L, Array.tabulate(64)(d => if (d % 2 == 0) -1.0f else -0.9f)),
+      (201L, Array.tabulate(64)(d => if (d % 2 == 0) -1.0f else -0.95f)))
+    (clump ++ near).toDF("vec_id", "embedding")
+      .createOrReplaceTempView("l09b_spec_vecs")
+    val row = spark.sql(LlmQueries.signLshBandedSql(
+      spark = true, table = "l09b_spec_vecs", cap = 16)).head()
+    assert(row.getAs[Long]("n_dropped_buckets") === 4L,
+      s"the 100-vector clump should drop one bucket per band: $row")
+    assert(row.getAs[Long]("n_neardup_pairs") === 1L,
+      s"the kept near-dup pair must survive the cap: $row")
+    assert(row.getAs[Double]("max_sim") > 0.99)
+  }
+
   test("decontamination chooser picks exact below the broadcast threshold, " +
     "bloom beyond it, and obeys the forced-arm conf (VERDICT r7 next #4)") {
     Tables.registerAll(spark, SparkTestSession.sf)
