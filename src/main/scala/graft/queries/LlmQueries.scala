@@ -489,16 +489,27 @@ object LlmQueries {
     * structs riding the pair pipeline (see simhash64Sql's note on why
     * every alternative re-runs the corpus subtree); DuckDB materializes
     * CTEs, so it keeps the plain join form. One template, both engines.
+    *
+    * `bitsPerBand` is the recall/selectivity dial (the l02-vs-l02b width
+    * lever): 4 bits/band = 16 cells/band finds moderate-sim pairs and
+    * leans on the cap under concentration; 16 bits/band = 65536
+    * cells/band (the l11b-equivalent maximum for 64-dim sign-LSH — 4×16
+    * planes uses every dimension) targets high-sim near-dups with tiny
+    * buckets at billion-vector scale. The cap is the safety net at every
+    * width; the width is the tuning.
     */
   private[graft] def signLshBandedSql(spark: Boolean,
                                       table: String = "embeddings",
-                                      cap: Int = 512): String = {
+                                      cap: Int = 512,
+                                      bitsPerBand: Int = 4): String = {
+    require(bitsPerBand >= 1 && bitsPerBand <= 16, "4 bands over <= 64 dims")
     def sgn(d: Int) =
       if (spark) s"(CASE WHEN element_at(embedding, $d) >= 0 THEN '1' ELSE '0' END)"
       else s"(CASE WHEN embedding[$d] >= 0 THEN '1' ELSE '0' END)"
-    // band j reads planes 1+16j, 5+16j, 9+16j, 13+16j (all within 64 dims)
+    // band j reads `bitsPerBand` consecutive planes starting at 1 + j*bits
     def band(j: Int) =
-      (0 until 4).map(k => sgn(1 + 16 * j + 4 * k)).mkString("concat(", ", ", ")")
+      (0 until bitsPerBand).map(k => sgn(1 + j * bitsPerBand + k))
+        .mkString("concat(", ", ", ")")
     val bandCols = (0 until 4).map(j => s"${band(j)} AS b$j").mkString(",\n    ")
     val dot =
       if (spark) dotSpark("fa.embedding", "fb.embedding")
@@ -524,7 +535,7 @@ object LlmQueries {
          |      transform(slice(ids, i + 2, size(ids)),
          |        y -> named_struct('d1', x, 'd2', y))))
          |    ELSE array(named_struct('d1', CAST(-1 AS BIGINT),
-         |      'd2', -(CAST(band AS BIGINT) * 16 + conv(sig, 2, 10)) - 1)) END) t AS p
+         |      'd2', -(CAST(band AS BIGINT) * 65536 + conv(sig, 2, 10)) - 1)) END) t AS p
          |), pairs AS (
          |  SELECT c.d1, c.d2,
          |    CASE WHEN c.d1 < 0 THEN CAST(-2 AS DOUBLE)

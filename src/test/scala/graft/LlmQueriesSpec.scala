@@ -212,13 +212,18 @@ class LlmQueriesSpec extends AnyFunSuite {
       (201L, Array.tabulate(64)(d => if (d % 2 == 0) -1.0f else -0.95f)))
     (clump ++ near).toDF("vec_id", "embedding")
       .createOrReplaceTempView("l09b_spec_vecs")
-    val row = spark.sql(LlmQueries.signLshBandedSql(
-      spark = true, table = "l09b_spec_vecs", cap = 16)).head()
-    assert(row.getAs[Long]("n_dropped_buckets") === 4L,
-      s"the 100-vector clump should drop one bucket per band: $row")
-    assert(row.getAs[Long]("n_neardup_pairs") === 1L,
-      s"the kept near-dup pair must survive the cap: $row")
-    assert(row.getAs[Double]("max_sim") > 0.99)
+    // the cap contract must hold at BOTH ends of the width dial: the
+    // fixture 4-bit bands and the 16-bit production width (all 64 dims)
+    for (bits <- Seq(4, 16)) {
+      val row = spark.sql(LlmQueries.signLshBandedSql(
+        spark = true, table = "l09b_spec_vecs", cap = 16,
+        bitsPerBand = bits)).head()
+      assert(row.getAs[Long]("n_dropped_buckets") === 4L,
+        s"bits=$bits: the 100-vector clump should drop one bucket per band: $row")
+      assert(row.getAs[Long]("n_neardup_pairs") === 1L,
+        s"bits=$bits: the kept near-dup pair must survive the cap: $row")
+      assert(row.getAs[Double]("max_sim") > 0.99)
+    }
   }
 
   test("decontamination chooser picks exact below the broadcast threshold, " +
