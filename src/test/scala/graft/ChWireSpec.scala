@@ -18,6 +18,38 @@ import graft.server.{ChProto, ChWireServer}
 class ChWireSpec extends AnyFunSuite {
   import SparkTestSession.spark
 
+  test("an INDEPENDENT python-stdlib client speaks the native framing " +
+    "(no shared code with the server; uncompressed mode — the LZ4 frames " +
+    "are pinned against reference golden bytes in ChCompressionSpec)") {
+    val server = new ChWireServer(spark).start()
+    try {
+      val cmd = Seq("python3", "scripts/ch_wire_probe.py",
+        server.boundPort.toString,
+        "DROP TABLE IF EXISTS py_ch_probe",
+        "CREATE TABLE py_ch_probe(a Int32, s Nullable(String), f Float64)",
+        "INSERT INTO py_ch_probe VALUES (1, 'x', 1.5), (2, NULL, -0.25)",
+        "SELECT a, s, f FROM py_ch_probe ORDER BY a",
+        "SELECT CAST(sum(a) AS BIGINT) AS total FROM py_ch_probe",
+        "DROP TABLE py_ch_probe")
+      val proc = new ProcessBuilder(cmd: _*)
+        .redirectErrorStream(true).start()
+      val out = new String(proc.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(proc.waitFor() === 0, s"probe failed:\n$out")
+      val json = out.linesIterator.find(_.startsWith("{"))
+        .getOrElse(fail(s"no JSON line in:\n$out"))
+      assert(json.contains(""""columns": ["a", "s", "f"]"""), json)
+      // query results surface Nullable-wrapped on the wire (Spark SELECT
+      // output columns are nullable regardless of the stored schema)
+      assert(json.contains(
+        """["Nullable(Int32)", "Nullable(String)", "Nullable(Float64)"]"""),
+        json)
+      assert(json.contains("""[1, "x", 1.5]"""), json)
+      assert(json.contains("""[2, null, -0.25]"""), json)
+      assert(json.contains(""""rows": [[3]]"""), json)
+    } finally server.stop()
+  }
+
   test("hello, ping, and CREATE/INSERT/SELECT round-trip over the socket") {
     val server = new ChWireServer(spark).start()
     val client = new WireTestClient(server.boundPort)

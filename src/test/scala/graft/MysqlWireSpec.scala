@@ -87,6 +87,37 @@ class MysqlWireSpec extends AnyFunSuite {
     def close(): Unit = sock.close()
   }
 
+  test("an INDEPENDENT python-stdlib client speaks the wire format " +
+    "(no shared code with the server — closest interop proof the " +
+    "sandbox allows, no real mysql binary ships here)") {
+    val server = new MysqlWireServer(spark).start()
+    try {
+      val cmd = Seq("python3", "scripts/mysql_wire_probe.py",
+        server.boundPort.toString,
+        "DROP TABLE IF EXISTS py_probe_tab",
+        "CREATE TABLE py_probe_tab(a Int32, s String)",
+        "INSERT INTO py_probe_tab VALUES (1, 'x'), (2, NULL)",
+        "SELECT a, s FROM py_probe_tab ORDER BY a",
+        "DROP TABLE py_probe_tab")
+      val out = new StringBuilder
+      val proc = new ProcessBuilder(cmd: _*)
+        .directory(new java.io.File(".").getAbsoluteFile.getParentFile)
+        .redirectErrorStream(true).start()
+      val rd = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream, UTF_8))
+      Iterator.continually(rd.readLine()).takeWhile(_ != null)
+        .foreach(l => out.append(l).append('\n'))
+      assert(proc.waitFor() === 0, s"probe failed:\n$out")
+      val json = out.toString.linesIterator
+        .find(_.startsWith("{")).getOrElse(fail(s"no JSON line in:\n$out"))
+      // assert on the raw JSON text — rows arrive as lenenc strings, NULL
+      // as the 0xfb marker the probe decodes to JSON null
+      assert(json.contains(""""columns": ["a", "s"]"""), json)
+      assert(json.contains("""["1", "x"]"""), json)
+      assert(json.contains("""["2", null]"""), json)
+    } finally server.stop()
+  }
+
   test("handshake, ping, and CREATE/INSERT/SELECT round-trip") {
     val server = new MysqlWireServer(spark).start()
     val client = new MysqlClient(server.boundPort)
