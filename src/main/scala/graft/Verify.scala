@@ -26,7 +26,14 @@ object Verify {
             org.apache.spark.sql.execution.FormattedMode))
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A query over a table that failed to REGISTER dies with a generic
+        // TABLE_OR_VIEW_NOT_FOUND; report the real registration cause once
+        // per query instead (VERDICT r9 wrong #2).
+        val regCause = Tables.registrationErrors(spark).collectFirst {
+          case (t, c) if Option(e.getMessage).exists(_.contains(s"`$t`")) =>
+            s" (table '$t' failed to register: ${c.getMessage})"
+        }.getOrElse("")
+        System.err.println(s"[verify] $name failed: ${e.getMessage}$regCause")
       } finally
         // queries that pin a shared intermediate (l13's materialize) hand
         // cache ownership to their caller once the result is written

@@ -86,6 +86,29 @@ class PlanAuditSpec extends AnyFunSuite {
       s"\nplan regressions (re-bless via scripts/bless_plans.sh if intended):\n  ${regressions.mkString("\n  ")}")
   }
 
+  test("l13 scoring join broadcasts the n_langs profile side, never SMJ/" +
+    "Cartesian (VERDICT r9 next #5)") {
+    val now = SparkEntry.queries("l13_langid_trigram")(spark, sfDir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    queries.LlmQueries.releaseShared()
+    // The doc-grams × language-profile cross join: the profile side is
+    // bounded by n_langs rows (data-independent), so the only sane shape
+    // at ANY corpus size is a broadcast nested-loop — a shuffle of the
+    // corpus-sized gram side against a ~dozen-row relation is the
+    // 100×-scale killer, and a CartesianProduct (what the planner picked
+    // unhinted on the 30x probe) is worse.
+    assert(now.contains("BroadcastNestedLoopJoin Cross BuildRight"),
+      "profile scoring join must be BroadcastNestedLoopJoin BuildRight")
+    assert(!cartesian(now), "l13 must never plan a CartesianProduct")
+    // The final documents ⋈ best join is corpus × corpus on doc_id — SMJ
+    // is the correct scale shape THERE, but it must be the only one.
+    val smj = "SortMergeJoin".r.findAllIn(
+      now.split("===== Subqueries =====")(0).linesIterator
+        .filter(_.contains("SortMergeJoin (")).mkString("\n")).size
+    assert(smj <= 1, s"expected at most the doc_id LEFT JOIN as SMJ, got $smj")
+  }
+
   test("l12b serves from stored centroids: ONE corpus scan, no training " +
     "subtree, no vec_id shuffle (VERDICT r7 weak #1)") {
     val now = SparkEntry.queries("l12b_ann_ivf_served")(spark, sfDir)
