@@ -8,7 +8,14 @@ spread exchange OFF — the 100TB-direction layout. Every other table is
 symlinked from sf0.1 so the DuckDB oracle and the Spark suite read the
 exact same data.
 
-Usage: python3 scripts/build_scale30.py [outdir]   (default /tmp/sf_scale30)
+With --events, events is ALSO replicated 30x (event_id and user_id both
+offset per replica, timestamps unchanged): 3M events over 45k users —
+the "more users" scale direction for the as-of/range/window family,
+whose per-user history density stays constant while shuffle volume and
+key cardinality grow 30x.
+
+Usage: python3 scripts/build_scale30.py [outdir] [--events]
+       (default outdir /tmp/sf_scale30)
 Then:  sbt "runMain graft.Verify <outdir> /tmp/verify_s30 l11_simhash_hamming_join"
        python3 scripts/check_oracle.py <outdir> /tmp/verify_s30
 (l11 is skipped by design: its 8-bit toy fingerprint key space is
@@ -25,27 +32,37 @@ SRC = "/root/testdata/sf0.1"
 REPL = 30
 
 
-def main() -> None:
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf_scale30"
-    os.makedirs(out, exist_ok=True)
-    t = pq.read_table(f"{SRC}/documents.parquet")
-    off = pc.max(t["doc_id"]).as_py() + 1
+def replicate(name: str, id_cols: list, out: str) -> str:
+    t = pq.read_table(f"{SRC}/{name}.parquet")
+    offs = {c: pc.max(t[c]).as_py() + 1 for c in id_cols}
     parts = []
     for i in range(REPL):
-        parts.append(t.set_column(
-            t.schema.get_field_index("doc_id"), "doc_id",
-            pc.add(t["doc_id"], i * off)))
+        p = t
+        for c in id_cols:
+            p = p.set_column(p.schema.get_field_index(c), c,
+                             pc.add(p[c], i * offs[c]))
+        parts.append(p)
     big = pa.concat_tables(parts)
-    pq.write_table(big, f"{out}/documents.parquet",
+    pq.write_table(big, f"{out}/{name}.parquet",
                    row_group_size=(big.num_rows + 9) // 10)
+    meta = pq.ParquetFile(f"{out}/{name}.parquet")
+    return f"{name}: {big.num_rows} rows in {meta.num_row_groups} row groups"
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if a != "--events"]
+    with_events = "--events" in sys.argv[1:]
+    out = args[0] if args else "/tmp/sf_scale30"
+    os.makedirs(out, exist_ok=True)
+    done = [replicate("documents", ["doc_id"], out)]
+    if with_events:
+        done.append(replicate("events", ["event_id", "user_id"], out))
     for name in ("region", "nation", "customer", "supplier", "part",
                  "orders", "lineitem", "events", "embeddings"):
         dst = f"{out}/{name}.parquet"
         if not os.path.exists(dst):
             os.symlink(f"{SRC}/{name}.parquet", dst)
-    meta = pq.ParquetFile(f"{out}/documents.parquet")
-    print(f"wrote {big.num_rows} docs in {meta.num_row_groups} row groups "
-          f"-> {out}")
+    print(f"-> {out}: " + "; ".join(done))
 
 
 if __name__ == "__main__":

@@ -58,6 +58,16 @@ class RuntimeAssumptionsSpec extends AnyFunSuite {
       s"bloom probe hit-count $hits — BloomFilterAggregate semantics shifted")
   }
 
+  test("embeddings vector column arrives as array<float> (VectorDot codegen input)") {
+    val t = spark.read.parquet(s"$sf/embeddings.parquet").schema("embedding")
+    assert(t.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }, s"embeddings.embedding arrived as ${t.dataType} — the vector " +
+        "expressions assume array<float>; a parquet list-encoding change " +
+        "would silently break every ANN/similarity entry")
+  }
+
   test("noop sink format still resolves (Bench timing path)") {
     spark.range(0, 10).write.format("noop").mode("overwrite").save()
   }
