@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.functions.BehaviorFunctions
+
+/** ClickHouse behavioral-analytics surface over `events` — retention,
+  * sequenceCount, windowFunnel, uniqUpTo. The reference's dialect defines
+  * all four as parametric aggregates, but its bundled DataFusion-6 fork
+  * ships none (its CH pack is scalar-only, reference:
+  * crates/datafusion/src/physical_plan/clickhouse.rs), so these extend the
+  * reference surface in its own dialect. retention composes from `bool_or`
+  * (no custom code — the Spark-first answer); the other three run as typed
+  * Aggregators ([[graft.functions.BehaviorFunctions]]) with map-side
+  * partial aggregation and a single shuffle on `user_id`.
+  *
+  * Every oracle is an independent RELATIONAL formulation in DuckDB (joins /
+  * LAG / capped DISTINCT) of the same semantics the Spark side computes
+  * procedurally — the gate proves the aggregate's scan equal to the
+  * declarative definition, not the same code run twice.
+  *
+  * Timestamps compare at µs via `unix_micros` / `epoch_us(CAST(ts AS
+  * TIMESTAMP))`, the e02/a01 convention.
+  */
+object BehaviorQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- b01: retention(view, click, purchase) ------------------------
+    // CH retention semantics: r1 = base condition happened; rK = base AND
+    // condK happened (no time ordering). Output = per-cohort user counts.
+    // Scale: bool_or partials are 3 bits per user — map-side combined,
+    // one shuffle on user_id, then a scalar roll-up.
+    "b01_retention" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """WITH per_user AS (
+          |  SELECT user_id,
+          |    bool_or(event_type = 'view')     AS r1,
+          |    bool_or(event_type = 'click')    AS c2,
+          |    bool_or(event_type = 'purchase') AS c3
+          |  FROM events GROUP BY user_id
+          |)
+          |SELECT
+          |  CAST(sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+          |  CAST(sum(CASE WHEN r1 AND c2 THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+          |  CAST(sum(CASE WHEN r1 AND c3 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+          |FROM per_user""".stripMargin)
+    },
+
+    // ---- b02: sequenceCount('(?1).*(?2)') signup → purchase -----------
+    // Greedy non-overlapping signup…purchase chains per user (custom
+    // Aggregator, state = tagged events only), rolled up to total chains
+    // and converting-user count. Oracle: the equivalent declarative form —
+    // count A→B adjacencies in the A/B-filtered per-user sequence.
+    "b02_sequence_count" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      BehaviorFunctions.register(s)
+      s.sql(
+        """WITH per_user AS (
+          |  SELECT user_id,
+          |    sequence_count_12(unix_micros(ts),
+          |      CASE event_type WHEN 'signup' THEN 1
+          |                      WHEN 'purchase' THEN 2 ELSE 0 END) AS chains
+          |  FROM events
+          |  WHERE event_type IN ('signup', 'purchase')
+          |  GROUP BY user_id
+          |)
+          |SELECT CAST(sum(chains) AS BIGINT) AS total_chains,
+          |  CAST(sum(CASE WHEN chains > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_converting_users
+          |FROM per_user""".stripMargin)
+    },
+
+    // ---- b03: windowFunnel(24h)(view → click → purchase) --------------
+    // Max funnel depth per user within a 24-hour window of the chain's
+    // first event; output = users per depth. Oracle: the join formulation
+    // of chain existence (greedy-latest is existence-optimal, see
+    // BehaviorFunctions.WindowFunnel).
+    "b03_window_funnel" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      BehaviorFunctions.register(s)
+      s.sql(
+        """WITH per_user AS (
+          |  SELECT user_id,
+          |    window_funnel_24h_3(unix_micros(ts),
+          |      CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+          |                      WHEN 'purchase' THEN 3 ELSE 0 END) AS lvl
+          |  FROM events
+          |  WHERE event_type IN ('view', 'click', 'purchase')
+          |  GROUP BY user_id
+          |)
+          |SELECT CAST(lvl AS INT) AS funnel_level,
+          |  CAST(count(*) AS BIGINT) AS n_users
+          |FROM per_user GROUP BY lvl ORDER BY lvl""".stripMargin)
+    },
+
+    // ---- b04: uniqUpTo(10)(user_id) per (event_type, day) -------------
+    // Exact distinct users while ≤ 10, saturating at 11 — state capped at
+    // 11 ids per group no matter the corpus size (the scale contract vs
+    // count(DISTINCT)'s unbounded set).
+    "b04_uniq_upto" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      BehaviorFunctions.register(s)
+      s.sql(
+        """SELECT CAST(date_trunc('DAY', ts) AS DATE) AS day, event_type,
+          |  CAST(uniq_upto_10(user_id) AS BIGINT) AS u10
+          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "b01_retention" ->
+      """WITH per_user AS (
+        |  SELECT user_id,
+        |    bool_or(event_type = 'view')     AS r1,
+        |    bool_or(event_type = 'click')    AS c2,
+        |    bool_or(event_type = 'purchase') AS c3
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT
+        |  CAST(sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+        |  CAST(sum(CASE WHEN r1 AND c2 THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN r1 AND c3 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+        |FROM per_user""".stripMargin,
+
+    // Greedy non-overlapping A…B chain count == number of A→B adjacencies
+    // in the A/B-filtered per-user sequence (ties ordered by tag: at equal
+    // ts the A precedes the B, same as the aggregate's (ts, tag) sort).
+    "b02_sequence_count" ->
+      """WITH tagged AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CASE event_type WHEN 'signup' THEN 1 ELSE 2 END AS tag
+        |  FROM events WHERE event_type IN ('signup', 'purchase')
+        |), seq AS (
+        |  SELECT user_id, tag,
+        |    lag(tag) OVER (PARTITION BY user_id ORDER BY us, tag) AS prev
+        |  FROM tagged
+        |), per_user AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN tag = 2 AND prev = 1 THEN 1 ELSE 0 END) AS chains
+        |  FROM seq GROUP BY user_id
+        |)
+        |SELECT CAST(sum(chains) AS BIGINT) AS total_chains,
+        |  CAST(sum(CASE WHEN chains > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_converting_users
+        |FROM per_user""".stripMargin,
+
+    // Chain existence per depth via joins: depth 2 needs a view≤click
+    // within 24h; depth 3 needs view ≤ click ≤ purchase with the purchase
+    // within 24h of the view (which bounds the click too).
+    "b03_window_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+        |                    WHEN 'purchase' THEN 3 END AS step
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        |), l1 AS (SELECT DISTINCT user_id FROM e WHERE step = 1),
+        |l2 AS (
+        |  SELECT DISTINCT a.user_id
+        |  FROM e a JOIN e b ON a.user_id = b.user_id
+        |  WHERE a.step = 1 AND b.step = 2
+        |    AND b.us >= a.us AND b.us - a.us <= 86400000000
+        |), l3 AS (
+        |  SELECT DISTINCT a.user_id
+        |  FROM e a JOIN e b ON a.user_id = b.user_id
+        |           JOIN e c ON a.user_id = c.user_id
+        |  WHERE a.step = 1 AND b.step = 2 AND c.step = 3
+        |    AND b.us >= a.us AND c.us >= b.us
+        |    AND c.us - a.us <= 86400000000
+        |), lvl AS (
+        |  SELECT u.user_id,
+        |    CASE WHEN l3.user_id IS NOT NULL THEN 3
+        |         WHEN l2.user_id IS NOT NULL THEN 2
+        |         WHEN l1.user_id IS NOT NULL THEN 1 ELSE 0 END AS lvl
+        |  FROM (SELECT DISTINCT user_id FROM e) u
+        |  LEFT JOIN l1 ON u.user_id = l1.user_id
+        |  LEFT JOIN l2 ON u.user_id = l2.user_id
+        |  LEFT JOIN l3 ON u.user_id = l3.user_id
+        |)
+        |SELECT CAST(lvl AS INT) AS funnel_level,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM lvl GROUP BY lvl ORDER BY lvl""".stripMargin,
+
+    "b04_uniq_upto" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |  CAST(CASE WHEN count(DISTINCT user_id) <= 10
+        |            THEN count(DISTINCT user_id) ELSE 11 END AS BIGINT) AS u10
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}
