@@ -151,6 +151,44 @@ object LlmQueries {
                 |FROM scored ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin}""".stripMargin
   }
 
+  /** The l24 cluster assignment alone (specs brute-force the dedup rule
+    * in Scala from these assignments plus raw embeddings).
+    */
+  private[graft] def semDedupAssignSql(spark: Boolean): String =
+    s"""WITH ${ivfTrainCtes(spark, "embeddings")},
+       |${ivfAssign(spark, "assigned", "embeddings", "c2")}
+       |SELECT vec_id, cell FROM assigned""".stripMargin
+
+  /** l24 SemDeDup, one emitter for both dialects: cluster with the SAME
+    * trained quantizer as l12 (ivfTrainCtes — identical Lloyd's math in
+    * both engines), then within-cell pairwise cosine with the id-ordered
+    * pair join, drop rule = exists lower-id neighbor at round(sim,6) ≥ τ.
+    * Output is the per-cell keep/drop census — small, stable, and
+    * sensitive to any clustering or similarity drift.
+    */
+  private[graft] def semDedupSql(spark: Boolean, tau: Double = 0.4): String = {
+    def dot(a: String, b: String) =
+      if (spark) dotSpark(a, b) else dotDuck(a, b)
+    s"""WITH ${ivfTrainCtes(spark, "embeddings")},
+       |${ivfAssign(spark, "assigned", "embeddings", "c2")},
+       |v AS (
+       |  SELECT a.cell, e.vec_id, e.embedding,
+       |    sqrt(${dot("e.embedding", "e.embedding")}) AS nrm
+       |  FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
+       |), dropped AS (
+       |  SELECT y.cell, y.vec_id
+       |  FROM v x JOIN v y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  WHERE round(${dot("x.embedding", "y.embedding")}
+       |          / (x.nrm * y.nrm), 6) >= $tau
+       |  GROUP BY y.cell, y.vec_id
+       |)
+       |SELECT v.cell, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(count(d.vec_id) AS BIGINT) AS n_dropped
+       |FROM v LEFT JOIN dropped d
+       |  ON v.cell = d.cell AND v.vec_id = d.vec_id
+       |GROUP BY v.cell ORDER BY v.cell""".stripMargin
+  }
+
   /** l12b's OFFLINE index build: train the shared Lloyd's template on a
     * deterministic 1-in-4 sample (`vec_id % 4 = 0` — no RNG, same rows in
     * both engines) and emit the 8 centroids. At 100 TB the sample keeps
@@ -1365,6 +1403,24 @@ object LlmQueries {
       s.sql(ivfServeSparkSql)
     },
 
+    // ---- l24: SemDeDup — cluster-scoped semantic dedup ----------------
+    // SemDeDup (Abbas et al. 2023): k-means the embedding space, then
+    // search for semantic duplicates ONLY within each cluster — the
+    // cluster scoping is what kills the O(n²) global pair space. Reuses
+    // the l12 trained quantizer (shared Lloyd's template, so Spark and
+    // DuckDB cluster identically); within a cell, a vector is dropped
+    // when a LOWER-id vector with cosine ≥ 0.4 exists (keep-lowest-id is
+    // our deterministic representative rule; 6-dp rounding collapses
+    // cross-engine ulp noise at the threshold). 100 TB: pair work is
+    // Σ|cell|² with K ∝ corpus size keeping cells bounded — the paper's
+    // own cost model; the pair join is a plain equi-join on cell (K
+    // distinct keys — sized to the fleet in production, AQE-splittable).
+    "l24_semdedup" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      graft.functions.VectorFunctions.register(s)
+      s.sql(semDedupSql(spark = true))
+    },
+
     // ---- l14: duplicate-cluster resolution ---------------------------
     // The step after candidate generation: union exact-dup edges with
     // near-dup edges (adjacent-id bigram Jaccard, l08's blocking)
@@ -2043,6 +2099,7 @@ object LlmQueries {
 
     "l12_ann_ivf" -> ivfSql(spark = false),
     "l12b_ann_ivf_served" -> ivfServeOracleSql,
+    "l24_semdedup" -> semDedupSql(spark = false),
 
     "m01_multimodal_decode" -> {
       val w = s"((${nib("md5(text)", 1)} * 16 + ${nib("md5(text)", 2)}) % 64 + 1)"

@@ -264,4 +264,41 @@ class LlmQueriesSpec extends AnyFunSuite {
     assert(exact === bloom)
     assert(exact.nonEmpty)
   }
+
+  test("l24 SemDeDup census equals a brute-force in-Scala dedup over the " +
+    "same assignments — and dropping is genuinely cluster-scoped") {
+    Tables.registerAll(spark, SparkTestSession.sf)
+    graft.functions.VectorFunctions.register(spark)
+    val cells = spark.sql(LlmQueries.semDedupAssignSql(spark = true))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = spark.table("embeddings")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.indices.foldLeft(0.0)((acc, i) => acc + x(i).toDouble * y(i).toDouble)
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    def simOk(i: Long, j: Long): Boolean =
+      BigDecimal(cos(vecs(i), vecs(j)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP) >= BigDecimal("0.4")
+    val ids = vecs.keys.toSeq.sorted
+    val droppedBrute = ids.filter(j =>
+      ids.exists(i => i < j && cells(i) == cells(j) && simOk(i, j)))
+    val census = spark.sql(LlmQueries.semDedupSql(spark = true))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = ids.groupBy(cells).toSeq.sortBy(_._1).map { case (c, vs) =>
+      (c, vs.size.toLong, vs.count(droppedBrute.contains).toLong)
+    }
+    assert(census.toSeq === expect)
+    assert(droppedBrute.nonEmpty, "fixture must exercise the drop rule")
+    // cluster scoping is load-bearing: at least one cross-cell pair sits
+    // above the threshold yet neither side is dropped for it
+    val crossPair = ids.combinations(2).map { case Seq(i, j) => (i, j) }
+      .find { case (i, j) =>
+        cells(i) != cells(j) && simOk(i, j) &&
+          !droppedBrute.contains(j) && !droppedBrute.contains(i)
+      }
+    assert(crossPair.nonEmpty,
+      "expected an undropped above-threshold cross-cell pair")
+  }
 }
