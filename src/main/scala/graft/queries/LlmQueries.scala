@@ -189,6 +189,80 @@ object LlmQueries {
        |GROUP BY v.cell ORDER BY v.cell""".stripMargin
   }
 
+  /** l25 exact substring-span dedup, one emitter for both dialects
+    * (Lee et al. 2021's suffix-array exact dedup, re-expressed as the
+    * distributed fixed-window form): W=40-char windows at stride S=10 are
+    * hashed per doc; cross-doc equal windows join on the hash; within a
+    * doc pair, matches on the SAME diagonal (o2 − o1 constant — the two
+    * texts advancing together) with consecutive o1 merge into one
+    * duplicated span of count·S + (W−S) chars; pairs report their longest
+    * span and span count at ≥ 80 chars. Boilerplate windows appearing in
+    * more than `capDocs` docs are excluded from pair generation and
+    * COUNTED in the (-1, -1) sentinel row — the l02b/l11b no-silent-caps
+    * contract. 100 TB: one shuffle on the window hash, pair fan-out
+    * bounded by the cap, the run-merge is a per-pair-diagonal window
+    * function — never a global sort, never all-pairs.
+    *
+    * Known approximation (spec-pinned): both docs window at absolute
+    * stride-S offsets, so a shared region is detected iff its
+    * displacement between the two docs is ≡ 0 (mod S) — the fixture's
+    * near-dup corpus is (shared prefixes), and exact-duplicate docs
+    * always are (displacement 0). The exact-at-any-displacement
+    * production path is content-defined sampling — winnowing, which l16
+    * implements — feeding the same diagonal merge.
+    */
+  private[graft] def substringSpanSql(spark: Boolean, hint: String = "",
+                                      capDocs: Int = 50,
+                                      src: String = "documents"): String = {
+    val w =
+      if (spark)
+        s"""w AS (
+           |  SELECT doc_id, wnd.off AS off, wnd.h AS h
+           |  FROM (SELECT $hint doc_id, text FROM $src
+           |        WHERE length(text) >= 40) d
+           |  LATERAL VIEW explode(transform(
+           |    sequence(0, CAST(floor((length(text) - 40) / 10) AS INT)),
+           |    i -> named_struct('off', i * 10,
+           |                      'h', md5(substr(text, 1 + i * 10, 40))))) t AS wnd
+           |)""".stripMargin
+      else
+        s"""w AS (
+           |  SELECT doc_id, i * 10 AS off, md5(substr(text, 1 + i * 10, 40)) AS h
+           |  FROM (
+           |    SELECT doc_id, text,
+           |      unnest(range(0, CAST(floor((length(text) - 40) / 10) AS BIGINT) + 1)) AS i
+           |    FROM $src WHERE length(text) >= 40) d
+           |)""".stripMargin
+    s"""WITH $w, eligible AS (
+       |  SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) <= $capDocs
+       |), capped AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) > $capDocs) c
+       |), m AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       |    b.off - a.off AS diag, a.off AS o1
+       |  FROM w a JOIN eligible g ON a.h = g.h
+       |           JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id
+       |), runs AS (
+       |  SELECT d1, d2, diag,
+       |    o1 - 10 * row_number() OVER (
+       |      PARTITION BY d1, d2, diag ORDER BY o1) AS grp
+       |  FROM m
+       |), spans AS (
+       |  SELECT d1, d2, count(*) * 10 + 30 AS span_chars
+       |  FROM runs GROUP BY d1, d2, diag, grp
+       |), pairs AS (
+       |  SELECT d1, d2, CAST(max(span_chars) AS BIGINT) AS max_span_chars,
+       |    CAST(count(*) AS BIGINT) AS n_spans
+       |  FROM spans WHERE span_chars >= 80 GROUP BY d1, d2
+       |)
+       |SELECT d1, d2, max_span_chars, n_spans FROM pairs
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       |  CAST(0 AS BIGINT), n FROM capped
+       |ORDER BY d1, d2""".stripMargin
+  }
+
   /** l12b's OFFLINE index build: train the shared Lloyd's template on a
     * deterministic 1-in-4 sample (`vec_id % 4 = 0` — no RNG, same rows in
     * both engines) and emit the 8 centroids. At 100 TB the sample keeps
@@ -1421,6 +1495,17 @@ object LlmQueries {
       s.sql(semDedupSql(spark = true))
     },
 
+    // ---- l25: exact substring-span dedup ------------------------------
+    // Lee et al. 2021 exact dedup as the distributed fixed-window form:
+    // hashed 40-char windows at stride 10, cross-doc matches merged into
+    // contiguous duplicated spans along the (o2 − o1) diagonal, pairs
+    // reported at ≥ 80 duplicated chars, boilerplate windows capped with
+    // the (-1, -1) sentinel (see substringSpanSql for the 100 TB shape).
+    "l25_substring_span_dedup" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(substringSpanSql(spark = true, hint = Tables.spreadHint(s)))
+    },
+
     // ---- l14: duplicate-cluster resolution ---------------------------
     // The step after candidate generation: union exact-dup edges with
     // near-dup edges (adjacent-id bigram Jaccard, l08's blocking)
@@ -2100,6 +2185,7 @@ object LlmQueries {
     "l12_ann_ivf" -> ivfSql(spark = false),
     "l12b_ann_ivf_served" -> ivfServeOracleSql,
     "l24_semdedup" -> semDedupSql(spark = false),
+    "l25_substring_span_dedup" -> substringSpanSql(spark = false),
 
     "m01_multimodal_decode" -> {
       val w = s"((${nib("md5(text)", 1)} * 16 + ${nib("md5(text)", 2)}) % 64 + 1)"

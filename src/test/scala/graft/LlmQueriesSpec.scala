@@ -301,4 +301,47 @@ class LlmQueriesSpec extends AnyFunSuite {
     assert(crossPair.nonEmpty,
       "expected an undropped above-threshold cross-cell pair")
   }
+
+  test("l25 span dedup: exact span lengths on a constructed corpus, " +
+    "mod-stride displacement caveat, and the boilerplate cap sentinel") {
+    import spark.implicits._
+    // one distinct repeated letter per doc: two different docs' fillers
+    // can never share a 40-char window (a sequence-generator filler can —
+    // shifted arithmetic sequences coincide)
+    def filler(c: Char, n: Int) = c.toString * n
+    val region = ('A' to 'Z').mkString * 7 // 182 chars, take 160
+    val shared = region.take(160)
+    // A@20 and B@50: displacement 30 ≡ 0 (mod 10) → detected, span 160
+    val a = filler('q', 20) + shared + filler('r', 60)
+    val b = filler('s', 50) + shared + filler('t', 30)
+    // C@20 and D@27: displacement 7 → undetectable by stride-10 windows
+    val c = filler('u', 20) + shared + filler('v', 60)
+    val d = filler('w', 27) + shared + filler('x', 30)
+    Seq((1L, a), (2L, b), (3L, c), (4L, d))
+      .toDF("doc_id", "text").createOrReplaceTempView("l25_spec_docs")
+    val rows = spark.sql(LlmQueries.substringSpanSql(
+        spark = true, src = "l25_spec_docs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // sentinel clean; exactly the aligned pair, at exactly the region size
+    assert(rows.contains((-1L, -1L, 0L, 0L)))
+    val pairs = rows.filter(_._1 >= 0)
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L), (1L, 3L),
+      (2L, 3L)),
+      s"aligned pairs only (A,B,C share the region at mod-10 offsets): " +
+        s"${pairs.mkString(",")}")
+    assert(pairs.forall(_._3 === 160L), "span must equal the region length")
+    assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L),
+      "displacement 7 must be invisible to stride-10 windows (documented)")
+
+    // cap: the same 40-char window in 5 docs with capDocs=3 → dropped,
+    // counted once in the sentinel, and no pairs survive
+    val boiler = "Z" * 40
+    (10L to 14L).map(i => (i, boiler + filler(('a' + i).toChar, 60).toString))
+      .toDF("doc_id", "text").createOrReplaceTempView("l25_cap_docs")
+    val capped = spark.sql(LlmQueries.substringSpanSql(
+        spark = true, capDocs = 3, src = "l25_cap_docs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(capped.toSeq === Seq((-1L, -1L, 0L, 1L)),
+      "only the sentinel survives, counting the one dropped window hash")
+  }
 }
