@@ -21,7 +21,8 @@ object SparkEntry {
     CoreQueries.queries ++ JoinQueries.queries ++ WindowQueries.queries ++
       SetQueries.queries ++ DdlQueries.queries ++ LlmQueries.queries ++
       FuncQueries.queries ++ TpchQueries.queries ++ SourceQueries.queries ++
-      AsofRangeQueries.queries ++ BehaviorQueries.queries
+      AsofRangeQueries.queries ++ BehaviorQueries.queries ++
+      AggPackQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a weaker rows-only check.
@@ -30,5 +31,6 @@ object SparkEntry {
     CoreQueries.oracles ++ JoinQueries.oracles ++ WindowQueries.oracles ++
       SetQueries.oracles ++ DdlQueries.oracles ++ LlmQueries.oracles ++
       FuncQueries.oracles ++ TpchQueries.oracles ++ SourceQueries.oracles ++
-      AsofRangeQueries.oracles ++ BehaviorQueries.oracles
+      AsofRangeQueries.oracles ++ BehaviorQueries.oracles ++
+      AggPackQueries.oracles
 }

@@ -1,0 +1,154 @@
+package graft
+
+import org.scalacheck.{Gen, Prop}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.ChAggregates
+import graft.functions.ChAggregates.TopK
+
+/** The parametric-aggregate pack #2: SpaceSaving topK against its formal
+  * guarantees and brute force in the exact regime, plus the registered
+  * builder family (quantileExactInclusive / argMin / argMax / -If) against
+  * independent SQL formulations on a constructed frame.
+  */
+class AggPackSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  private def check(prop: Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** Run SpaceSaving over a stream split into `cuts` partitions, merging
+    * partials in the given order — the distributed execution shape.
+    */
+  private def run(agg: TopK, xs: Seq[String], cuts: Seq[Int]): Seq[(String, Long)] = {
+    val parts = {
+      val bounds = (0 +: cuts.sorted :+ xs.length).distinct.sorted
+      bounds.zip(bounds.tail).map { case (a, b) => xs.slice(a, b) }
+    }
+    val partials = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+    agg.finish(partials.foldLeft(agg.zero)(agg.merge))
+  }
+
+  private val streamGen: Gen[(List[String], List[Int])] = for {
+    domain <- Gen.choose(1, 12)
+    n <- Gen.choose(0, 120)
+    xs <- Gen.listOfN(n, Gen.choose(0, domain - 1).map(i => s"v$i"))
+    nCuts <- Gen.choose(0, 4)
+    cuts <- Gen.listOfN(nCuts, Gen.choose(0, math.max(n, 1)))
+  } yield (xs, cuts)
+
+  test("exact regime (domain <= capacity): equals exact top-k, any split") {
+    // domain max 12 < capacity 16 -> no partial ever fills -> exact.
+    check(Prop.forAll(streamGen) { case (xs, cuts) =>
+      val agg = new TopK(3, 16)
+      val got = run(agg, xs, cuts)
+      val want = xs.groupBy(identity).map { case (v, g) => (v, g.size.toLong) }
+        .toSeq.sortBy { case (v, c) => (-c, v) }.take(3)
+      got == want
+    })
+  }
+
+  test("overflow regime: heavy hitters present, counts are bounded overestimates") {
+    val gen = for {
+      n <- Gen.choose(50, 200)
+      xs <- Gen.listOfN(n, Gen.choose(0, 19).map(i => s"v$i"))
+      nCuts <- Gen.choose(0, 3)
+      cuts <- Gen.listOfN(nCuts, Gen.choose(0, n))
+    } yield (xs, cuts)
+    check(Prop.forAll(gen) { case (xs, cuts) =>
+      val cap = 8
+      val agg = new TopK(cap, cap)
+      val truth = xs.groupBy(identity).map { case (v, g) => (v, g.size.toLong) }
+      val got = run(agg, xs, cuts)
+      val gotMap = got.toMap
+      // (1) any value with true count > N/cap is in the summary output
+      //     (k == cap here so finish returns the whole summary);
+      // (2) reported count >= true count (upper bound), and
+      //     reported - true <= N (sanity: error never exceeds stream).
+      val hh = truth.filter(_._2 > xs.length.toLong / cap)
+      hh.forall { case (v, _) => gotMap.contains(v) } &&
+        got.forall { case (v, c) =>
+          c >= truth.getOrElse(v, 0L) && c - truth.getOrElse(v, 0L) <= xs.length
+        }
+    })
+  }
+
+  test("merge is order-insensitive in the exact regime") {
+    check(Prop.forAll(streamGen) { case (xs, cuts) =>
+      val agg = new TopK(3, 16)
+      val bounds = (0 +: cuts.sorted :+ xs.length).distinct.sorted
+      val parts = bounds.zip(bounds.tail).map { case (a, b) => xs.slice(a, b) }
+      val partials = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+      val fwd = agg.finish(partials.foldLeft(agg.zero)(agg.merge))
+      val rev = agg.finish(partials.reverse.foldLeft(agg.zero)(agg.merge))
+      fwd == rev
+    })
+  }
+
+  test("registered builders match independent SQL formulations") {
+    ChAggregates.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 10.0, 100L), ("a", 2L, 20.0, 101L), ("a", 3L, 5.0, 102L),
+      ("b", 4L, 7.5, 103L), ("b", 5L, 2.5, 104L), ("c", 6L, 9.0, 105L)
+    ).toDF("k", "uid", "v", "seq")
+    df.createOrReplaceTempView("agg_pack_t")
+
+    val got = spark.sql(
+      """SELECT k,
+        |  quantileExactInclusive(v, 0.5d) AS med,
+        |  medianExact(v) AS med2,
+        |  argMax(uid, struct(v, seq)) AS amax,
+        |  argMin(uid, struct(v, seq)) AS amin,
+        |  countIf(v > 6) AS nbig,
+        |  sumIf(v, v > 6) AS sbig,
+        |  avgIf(uid, v > 6) AS abig,
+        |  maxIf(v, v > 6) AS mxbig,
+        |  minIf(v, v > 6) AS mnbig
+        |FROM agg_pack_t GROUP BY k ORDER BY k""".stripMargin).collect()
+
+    val want = spark.sql(
+      """SELECT k,
+        |  percentile(v, 0.5d) AS med,
+        |  percentile(v, 0.5d) AS med2,
+        |  max_by(uid, struct(v, seq)) AS amax,
+        |  min_by(uid, struct(v, seq)) AS amin,
+        |  count(CASE WHEN v > 6 THEN 1 END) AS nbig,
+        |  sum(CASE WHEN v > 6 THEN v END) AS sbig,
+        |  avg(CASE WHEN v > 6 THEN uid END) AS abig,
+        |  max(CASE WHEN v > 6 THEN v END) AS mxbig,
+        |  min(CASE WHEN v > 6 THEN v END) AS mnbig
+        |FROM agg_pack_t GROUP BY k ORDER BY k""".stripMargin).collect()
+
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("-If combinators stay in hash aggregation (no UDF boundary)") {
+    ChAggregates.register(spark)
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v")
+    df.createOrReplaceTempView("agg_pack_plan_t")
+    val plan = spark.sql(
+      "SELECT k, sumIf(v, v > 1), countIf(v > 1) FROM agg_pack_plan_t GROUP BY k")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("ScalaUDF") && !plan.contains("ScalaAggregator"), plan)
+  }
+
+  test("topK SQL shape: bounded state, deterministic ranks at sf0.001") {
+    val df = SparkEntry.queries("b05_topk")(spark, SparkTestSession.sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // ranks are 0..2 and counts non-increasing within each day
+    val byDay = rows.groupBy(_.getDate(0))
+    byDay.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == sorted.indices.toSeq)
+      val cnts = sorted.map(_.getLong(3)).toSeq
+      assert(cnts == cnts.sorted.reverse)
+    }
+  }
+}
