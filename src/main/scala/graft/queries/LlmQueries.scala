@@ -1075,7 +1075,244 @@ object LlmQueries {
        |  CAST(count(CASE WHEN d1 < 0 THEN 1 END) AS BIGINT) AS n_dropped_buckets
        |FROM pairs""".stripMargin
 
+  /** l26 product-quantization ANN (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search") — ONE emitter for both
+    * dialects, the l12/l24 discipline, so the training math cannot drift.
+    *
+    * The 64-dim space splits into M=4 16-dim subspaces; each trains its
+    * own K=4-centroid codebook with the same deterministic bounded Lloyd's
+    * recipe as l12 (stratified `vec_id % 4` seeding, 2 update rounds,
+    * round(mean, 6) → float32 — the rounding collapses cross-engine
+    * sum-order ulp noise), except under L2 on the subvector, PQ's native
+    * objective. A vector's code is its per-subspace nearest centroid →
+    * 4 small ints ≈ 4 bytes replacing 256 bytes of float32: the 64×
+    * compression is why PQ is the 100 TB ANN memory plan.
+    *
+    * Serving is ADC (asymmetric distance computation): the query builds a
+    * 16-entry LUT of subspace partial dot products, the corpus scan is a
+    * codes⨝LUT equi-join + per-vector reduction — map-side, broadcast-LUT,
+    * no vector math per row. The ADC top-20 then RERANKS exactly (full
+    * cosine on 20 rows) — the standard two-stage production shape.
+    * Decimal-typed LUT partials make the per-vector sum exact and
+    * order-independent (the l10/e01 decimal-sum convention, here because
+    * Catalyst may reduce the 4 subspace partials in any order).
+    */
+  /** The l26 training+encode chain alone (specs assert code-table shape
+    * without re-deriving the serving query — the semDedupAssignSql
+    * pattern).
+    */
+  private[graft] def pqCodesSql(spark: Boolean): String =
+    pqSql(spark, codesOnly = true)
+
+  private[graft] def pqSql(spark: Boolean, codesOnly: Boolean = false): String = {
+    def dot(a: String, b: String) =
+      if (spark) dotSpark(a, b) else dotDuck(a, b)
+    // 16-dim subvector folds — explicit left fold in index order, the
+    // same promotion and IEEE op sequence in both engines.
+    def dot16(a: String, b: String) =
+      if (spark)
+        s"aggregate(zip_with(CAST($a AS ARRAY<DOUBLE>), CAST($b AS ARRAY<DOUBLE>), " +
+          s"(x, y) -> x * y), 0d, (acc, v) -> acc + v)"
+      else
+        s"list_reduce(list_transform(range(16), i -> $a[i+1]::DOUBLE * $b[i+1]::DOUBLE), " +
+          s"(x, y) -> x + y)"
+    def l216(a: String, b: String) =
+      if (spark)
+        s"aggregate(zip_with(CAST($a AS ARRAY<DOUBLE>), CAST($b AS ARRAY<DOUBLE>), " +
+          s"(x, y) -> (x - y) * (x - y)), 0d, (acc, v) -> acc + v)"
+      else
+        s"list_reduce(list_transform(range(16), i -> " +
+          s"($a[i+1]::DOUBLE - $b[i+1]::DOUBLE) * ($a[i+1]::DOUBLE - $b[i+1]::DOUBLE)), " +
+          s"(x, y) -> x + y)"
+    // One L2 assignment pass: (vec_id, sub) -> nearest codebook entry,
+    // ties broken deterministically by lowest cid (the ivfAssign rule).
+    def assign(name: String, cFrom: String) =
+      s"""$name AS (
+         |  SELECT vec_id, sub, cid AS code FROM (
+         |    SELECT t.vec_id, t.sub, t.cid, row_number() OVER (
+         |      PARTITION BY t.vec_id, t.sub ORDER BY t.d ASC, t.cid) AS rn
+         |    FROM (
+         |      SELECT s.vec_id, s.sub, c.cid, ${l216("s.sv", "c.ce")} AS d
+         |      FROM sub s JOIN $cFrom c ON s.sub = c.sub) t) r
+         |  WHERE rn = 1
+         |)""".stripMargin
+    // One update pass: (sub, code) -> rounded float32 mean subvector.
+    def update(name: String, aFrom: String) =
+      if (spark)
+        s"""$name AS (
+           |  SELECT sub, code AS cid,
+           |    CAST(transform(array_sort(collect_list(struct(i, m))),
+           |      x -> x.m) AS ARRAY<FLOAT>) AS ce
+           |  FROM (
+           |    SELECT a.sub, a.code, pos + 1 AS i, round(avg(CAST(v AS DOUBLE)), 6) AS m
+           |    FROM $aFrom a JOIN sub s ON a.vec_id = s.vec_id AND a.sub = s.sub
+           |    LATERAL VIEW posexplode(s.sv) t AS pos, v
+           |    GROUP BY a.sub, a.code, pos) u
+           |  GROUP BY sub, code
+           |)""".stripMargin
+      else
+        s"""$name AS (
+           |  SELECT sub, code AS cid, CAST(list(m ORDER BY i) AS FLOAT[]) AS ce
+           |  FROM (
+           |    SELECT a.sub, a.code, t.i, round(avg(s.sv[t.i]::DOUBLE), 6) AS m
+           |    FROM $aFrom a JOIN sub s ON a.vec_id = s.vec_id AND a.sub = s.sub,
+           |      range(1, 17) t(i)
+           |    GROUP BY a.sub, a.code, t.i) u
+           |  GROUP BY sub, code
+           |)""".stripMargin
+    val subCte =
+      if (spark)
+        s"""sub AS (
+           |  SELECT vec_id, t.s AS sub, slice(embedding, t.s * 16 + 1, 16) AS sv
+           |  FROM embeddings LATERAL VIEW explode(sequence(0, 3)) t AS s
+           |)""".stripMargin
+      else
+        s"""sub AS (
+           |  SELECT vec_id, t.s AS sub,
+           |    embedding[(t.s * 16 + 1):(t.s * 16 + 16)] AS sv
+           |  FROM embeddings CROSS JOIN (SELECT unnest(range(4)) AS s) t
+           |)""".stripMargin
+    s"""WITH $subCte,
+       |pseeds AS (
+       |  SELECT CAST(vec_id % 4 AS INT) AS cid, min(vec_id) AS sv_id
+       |  FROM embeddings GROUP BY vec_id % 4
+       |), pc0 AS (
+       |  SELECT s.sub, p.cid, s.sv AS ce
+       |  FROM pseeds p JOIN sub s ON s.vec_id = p.sv_id
+       |),
+       |${assign("pa0", "pc0")},
+       |${update("pc1", "pa0")},
+       |${assign("pa1", "pc1")},
+       |${update("pc2", "pa1")},
+       |${assign("codes", "pc2")}${
+      if (codesOnly) "\nSELECT vec_id, sub, code FROM codes"
+      else pqServeCtes(dot, dot16)}""".stripMargin
+  }
+
+  /** The l26 ADC serving tail (LUT build → code-join scan → exact
+    * rerank), shared by both dialects.
+    */
+  private def pqServeCtes(dot: (String, String) => String,
+                          dot16: (String, String) => String): String =
+    s""",
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |qsub AS (SELECT sub, sv AS qv FROM sub WHERE vec_id = 0),
+       |lut AS (
+       |  SELECT c.sub, c.cid,
+       |    CAST(round(${dot16("qs.qv", "c.ce")}, 6) AS DECIMAL(20, 10)) AS pd,
+       |    CAST(round(${dot16("c.ce", "c.ce")}, 6) AS DECIMAL(20, 10)) AS cn2
+       |  FROM pc2 c JOIN qsub qs ON qs.sub = c.sub
+       |), adc AS (
+       |  SELECT k.vec_id,
+       |    CAST(sum(l.pd) AS DOUBLE) AS num,
+       |    CAST(sum(l.cn2) AS DOUBLE) AS vnorm2
+       |  FROM codes k JOIN lut l ON k.sub = l.sub AND k.code = l.cid
+       |  WHERE k.vec_id <> 0
+       |  GROUP BY k.vec_id
+       |), cand AS (
+       |  SELECT a.vec_id,
+       |    a.num / (sqrt(${dot("q.qe", "q.qe")}) * sqrt(a.vnorm2)) AS adc_sim
+       |  FROM adc a CROSS JOIN q
+       |  ORDER BY adc_sim DESC, a.vec_id
+       |  LIMIT 20
+       |), rerank AS (
+       |  SELECT c.vec_id, c.adc_sim,
+       |    ${dot("e.embedding", "q.qe")}
+       |      / (sqrt(${dot("e.embedding", "e.embedding")})
+       |         * sqrt(${dot("q.qe", "q.qe")})) AS sim
+       |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id CROSS JOIN q
+       |)
+       |SELECT vec_id, round(adc_sim, 6) AS adc_sim, round(sim, 6) AS sim
+       |FROM rerank ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
+
+  /** l27 training-sequence packing — the GPT-style concatenate-and-chunk
+    * step: documents tokenize, concatenate in doc_id order, and split
+    * into fixed 512-token context windows; a document spans every window
+    * its token range overlaps. Output is the per-window census (doc
+    * count, doc-id range, token total) — every window except the last
+    * must hold exactly 512 tokens, the invariant the spec pins.
+    *
+    * The two sides are INDEPENDENT formulations of the same prefix-sum:
+    * the oracle uses one global window (fine in DuckDB), while the Spark
+    * side computes the prefix in two phases — per-bucket window + a
+    * bucket-base broadcast join — because a single `ORDER BY doc_id`
+    * window over the corpus is a one-partition bottleneck at scale. The
+    * oracle match proves the bucketed decomposition exact. 100 TB: phase
+    * 1 partitions by bucket (corpus-parallel), the bucket-offset relation
+    * is |corpus|/B rows (small side of a broadcast join; B sizes it), and
+    * the span explode is map-side.
+    */
+  private[graft] def packSparkSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    CAST(size(regexp_extract_all(text, '[a-z0-9]+', 0)) AS BIGINT) AS n_tok,
+       |    doc_id DIV 1024 AS bkt
+       |  FROM documents
+       |), bsum AS (
+       |  SELECT bkt, sum(n_tok) AS tot FROM tok GROUP BY bkt
+       |), boff AS (
+       |  SELECT bkt, coalesce(sum(tot) OVER (ORDER BY bkt
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+       |  FROM bsum
+       |), doc AS (
+       |  SELECT t.doc_id, t.n_tok,
+       |    b.base + coalesce(sum(t.n_tok) OVER (PARTITION BY t.bkt
+       |      ORDER BY t.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM tok t JOIN boff b ON t.bkt = b.bkt
+       |), spans AS (
+       |  SELECT doc_id, n_tok, off, w.ch,
+       |    least((w.ch + 1) * 512, off + n_tok) - greatest(w.ch * 512, off) AS tik
+       |  FROM (SELECT * FROM doc WHERE n_tok > 0) d
+       |  LATERAL VIEW explode(sequence(off DIV 512,
+       |    (off + n_tok - 1) DIV 512)) w AS ch
+       |)
+       |SELECT CAST(ch AS BIGINT) AS window_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       |  CAST(sum(tik) AS BIGINT) AS n_tokens
+       |FROM spans GROUP BY ch ORDER BY window_id""".stripMargin
+
+  private[graft] def packDuckSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tok
+       |  FROM documents
+       |), doc AS (
+       |  -- sum(BIGINT) OVER is HUGEINT in DuckDB; range() needs BIGINT
+       |  SELECT doc_id, n_tok,
+       |    CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+       |  FROM tok
+       |), spans AS (
+       |  SELECT doc_id, n_tok, off,
+       |    unnest(range(off // 512, (off + n_tok - 1) // 512 + 1)) AS ch
+       |  FROM doc WHERE n_tok > 0
+       |), tiks AS (
+       |  SELECT doc_id, ch,
+       |    least((ch + 1) * 512, off + n_tok) - greatest(ch * 512, off) AS tik
+       |  FROM spans
+       |)
+       |SELECT CAST(ch AS BIGINT) AS window_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       |  CAST(sum(tik) AS BIGINT) AS n_tokens
+       |FROM tiks GROUP BY ch ORDER BY window_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- l26: product-quantization ANN (ADC + exact rerank) -----------
+    "l26_ann_pq" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      graft.functions.VectorFunctions.register(s)
+      s.sql(pqSql(spark = true))
+    },
+
+    // ---- l27: training-sequence packing (concatenate-and-chunk) -------
+    "l27_sequence_packing" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(packSparkSql)
+    },
+
     // ---- l01: exact dedup by content hash -----------------------------
     // 100 TB: groupBy(md5(text)) is a single hash shuffle on a uniformly
     // distributed 128-bit key — no skew by construction; the kept-doc
@@ -2186,6 +2423,8 @@ object LlmQueries {
     "l12b_ann_ivf_served" -> ivfServeOracleSql,
     "l24_semdedup" -> semDedupSql(spark = false),
     "l25_substring_span_dedup" -> substringSpanSql(spark = false),
+    "l26_ann_pq" -> pqSql(spark = false),
+    "l27_sequence_packing" -> packDuckSql,
 
     "m01_multimodal_decode" -> {
       val w = s"((${nib("md5(text)", 1)} * 16 + ${nib("md5(text)", 2)}) % 64 + 1)"

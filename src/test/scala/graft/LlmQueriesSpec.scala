@@ -344,4 +344,43 @@ class LlmQueriesSpec extends AnyFunSuite {
     assert(capped.toSeq === Seq((-1L, -1L, 0L, 1L)),
       "only the sentinel survives, counting the one dropped window hash")
   }
+
+  test("l26 PQ: codes bounded, duplicates share codes, ADC result sane") {
+    graft.Tables.registerAll(spark, SparkTestSession.sf)
+    graft.functions.VectorFunctions.register(spark)
+    // the code table: every vector gets exactly M=4 codes, each in 0..3
+    val codes = spark.sql(LlmQueries.pqCodesSql(spark = true))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val perVec = codes.groupBy(_._1)
+    assert(perVec.values.forall(_.map(_._2).sorted.toSeq == Seq(0, 1, 2, 3)),
+      "every vector must carry one code per subspace")
+    assert(codes.forall(c => c._3 >= 0 && c._3 <= 3), "codes are 2-bit")
+
+    // the served result: 5 rows, sims in [-1,1], exact-rerank descending
+    val res = SparkEntry.queries("l26_ann_pq")(spark, SparkTestSession.sf).collect()
+    assert(res.length == 5)
+    val sims = res.map(_.getDouble(2)).toSeq
+    assert(sims == sims.sorted.reverse)
+    assert(sims.forall(s => s >= -1.0001 && s <= 1.0001))
+  }
+
+  test("l27 packing: every window except the last holds exactly 512 tokens " +
+       "and totals are conserved") {
+    graft.Tables.registerAll(spark, SparkTestSession.sf)
+    val rows = SparkEntry.queries("l27_sequence_packing")(spark, SparkTestSession.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // window ids are contiguous from 0
+    assert(rows.map(_._1).toSeq == rows.indices.map(_.toLong))
+    // contiguous fill ⇒ all windows full except possibly the final one
+    rows.init.foreach { case (id, _, toks) =>
+      assert(toks == 512L, s"window $id must be full, had $toks")
+    }
+    assert(rows.last._3 >= 1L && rows.last._3 <= 512L)
+    // conservation: window totals == corpus token count
+    val total = spark.sql(
+      """SELECT CAST(sum(size(regexp_extract_all(text, '[a-z0-9]+', 0))) AS BIGINT)
+        |FROM documents""".stripMargin).head().getLong(0)
+    assert(rows.map(_._3).sum == total)
+  }
 }
