@@ -256,7 +256,8 @@ class GraftSession(val spark: SparkSession) {
     *     calls differing only in credentials (or any other arg) can never
     *     silently share a view the way a 32-bit hashCode could.
     */
-  private def rewriteSelect(sql: String): String = {
+  private def rewriteSelect(sqlIn: String): String = {
+    val sql = rewriteLimitBy(sqlIn)
     val remotes = ChParser.tableFnCalls(sql, "remote")
       .filter(c => c._3.length == 2 || c._3.length == 4)
     val numbers = ChParser.tableFnCalls(sql, "numbers")
@@ -278,6 +279,35 @@ class GraftSession(val spark: SparkSession) {
       acc.substring(0, from) + text + acc.substring(to)
     }
   }
+
+  /** ClickHouse `LIMIT [m,]n BY exprs` — the per-group LIMIT clause —
+    * rewritten to the Spark-native two-phase form: a `row_number()` window
+    * partitioned by the BY expressions (ordered by the statement's own
+    * ORDER BY, as CH defines the clause) filtered to rows m+1..m+n, with
+    * the outer ORDER BY / LIMIT re-applied on top. One shuffle on the BY
+    * keys — the same cost CH pays — and Catalyst's WindowGroupLimit
+    * pushes the per-group cap below the sort at scale.
+    *
+    * Scope: top-level clause of a single SELECT (set operations are left
+    * untouched — the clause scope would be ambiguous); the outer ORDER BY
+    * must reference selected columns, the subquery form's one restriction.
+    */
+  private def rewriteLimitBy(sql: String): String =
+    ChParser.splitLimitBy(sql) match {
+      case None => sql
+      case Some(p) =>
+        // without ORDER BY, CH's pick is arbitrary; partition exprs are a
+        // deterministic stand-in ordering (constant within each group)
+        val ord = p.orderBy.getOrElse(p.by)
+        val lo = p.offset + 1
+        val hi = p.offset + p.n
+        s"SELECT * EXCEPT (__graft_rn) FROM (" +
+          s"SELECT *, row_number() OVER (PARTITION BY ${p.by} ORDER BY $ord) AS __graft_rn " +
+          s"FROM (${p.core}) __graft_lb) __graft_lbq " +
+          s"WHERE __graft_rn BETWEEN $lo AND $hi" +
+          p.orderBy.map(o => s" ORDER BY $o").getOrElse("") +
+          p.outer.map(k => s" LIMIT $k").getOrElse("")
+    }
 
   /** INSERT INTO FUNCTION remote(...) — append rows to a remote table:
     * `ch://` addresses stream native client blocks over the wire, exactly

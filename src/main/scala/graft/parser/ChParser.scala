@@ -518,4 +518,88 @@ object ChParser {
       }
       (out += sql.substring(start)).map(_.trim).filter(_.nonEmpty).toSeq
     }
+
+  /** The pieces of a `SELECT … [ORDER BY o] LIMIT [m,]n BY exprs [LIMIT k]`
+    * statement — ClickHouse's per-group LIMIT BY clause
+    * (docs/lang.md lists the dialect family; the clause itself is CH
+    * grammar the reference's planner does not reach). `core` is the text
+    * before ORDER BY / LIMIT BY, `orderBy`/`outer` the optional clause
+    * texts, `offset`+`n` the per-group window.
+    */
+  final case class LimitByParts(core: String, orderBy: Option[String],
+                                offset: Long, n: Long, by: String,
+                                outer: Option[String])
+
+  /** Find a TOP-LEVEL `LIMIT [m,]n BY …` clause (string/comment-aware,
+    * paren-depth 0 — a LIMIT inside a subquery or window never matches).
+    * Returns None for statements without the clause, set operations
+    * (UNION/INTERSECT/EXCEPT at top level — scope would be ambiguous),
+    * or untokenizable input (the real parser reports those).
+    */
+  def splitLimitBy(sql: String): Option[LimitByParts] =
+    tokenize(sql).toOption.flatMap { toks =>
+      // per-token depth AFTER processing the token's own paren
+      val depth = new Array[Int](toks.length)
+      var d = 0
+      var unionish = false
+      toks.zipWithIndex.foreach { case (t, i) =>
+        t match {
+          case Punct("(", _) => depth(i) = d; d += 1
+          case Punct(")", _) => d = math.max(0, d - 1); depth(i) = d
+          case Ident(w, _) if d == 0 &&
+              Seq("union", "intersect", "except").contains(w.toLowerCase) =>
+            unionish = true; depth(i) = d
+          case _ => depth(i) = d
+        }
+      }
+      def kw(i: Int, k: String) = i < toks.length && (toks(i) match {
+        case Ident(w, _) => w.equalsIgnoreCase(k)
+        case _ => false
+      })
+      def num(i: Int): Option[Long] =
+        if (i < toks.length) toks(i) match {
+          case NumLit(s, _) => s.toLongOption
+          case _ => None
+        } else None
+      // locate LIMIT [m,]n BY at depth 0
+      val lb = toks.indices.find { i =>
+        depth(i) == 0 && kw(i, "LIMIT") && num(i + 1).isDefined &&
+          (kw(i + 2, "BY") ||
+            (i + 2 < toks.length && toks(i + 2).text == "," &&
+              num(i + 3).isDefined && kw(i + 4, "BY")))
+      }
+      lb match {
+        case None => None
+        case Some(_) if unionish => None
+        case Some(li) =>
+          val twoArg = !kw(li + 2, "BY")
+          val (off, n, byTokIdx) =
+            if (twoArg) (num(li + 1).get, num(li + 3).get, li + 5)
+            else (0L, num(li + 1).get, li + 3)
+          if (byTokIdx >= toks.length) None
+          else {
+            // ORDER BY before the clause (depth 0)
+            val ord = toks.indices.find(i =>
+              depth(i) == 0 && i < li && kw(i, "ORDER") && kw(i + 1, "BY"))
+            // outer LIMIT after the BY exprs (depth 0)
+            val outerIdx = (byTokIdx until toks.length).find(i =>
+              depth(i) == 0 && kw(i, "LIMIT"))
+            val stopIdx = (byTokIdx until toks.length).find(i =>
+              depth(i) == 0 && (kw(i, "LIMIT") || toks(i).text == ";"))
+            val byEndPos = stopIdx.map(toks(_).pos).getOrElse(sql.length)
+            val byText = sql.substring(toks(byTokIdx).pos, byEndPos).trim
+            val corePos = ord.map(toks(_).pos).getOrElse(toks(li).pos)
+            val orderText = ord.map(i =>
+              sql.substring(toks(i + 2).pos, toks(li).pos).trim)
+            val outerText = outerIdx.flatMap { i =>
+              if (i + 1 < toks.length)
+                Some(sql.substring(toks(i + 1).pos).replaceAll(";\\s*$", "").trim)
+              else None
+            }
+            if (byText.isEmpty) None
+            else Some(LimitByParts(sql.substring(0, corePos).trim, orderText,
+              off, n, byText, outerText))
+          }
+      }
+    }
 }

@@ -88,6 +88,18 @@ object DdlQueries {
       g.sql("INSERT INTO graft_d03 FORMAT CSV\n1,1.50\n2,2.25\n1,0.25\n3,9.00")
       g.sql("SELECT k, CAST(sum(v) AS DOUBLE) AS total FROM graft_d03 " +
         "GROUP BY k ORDER BY k")
+    },
+
+    // ClickHouse LIMIT BY through the engine front-end: top-2 events per
+    // event_type in (value DESC, event_id) order, then the statement's own
+    // ORDER BY + outer LIMIT — GraftSession.rewriteLimitBy turns the CH
+    // clause into a row_number window (one shuffle on the BY keys); the
+    // oracle is DuckDB's independent window formulation.
+    "d05_limit_by" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS v " +
+        "FROM events ORDER BY v DESC, event_id LIMIT 2 BY event_type LIMIT 7")
     }
   )
 
@@ -128,6 +140,16 @@ object DdlQueries {
         |FROM (VALUES (1, CAST(1.50 AS DECIMAL(9,2))), (2, CAST(2.25 AS DECIMAL(9,2))),
         |             (1, CAST(0.25 AS DECIMAL(9,2))), (3, CAST(9.00 AS DECIMAL(9,2))))
         |  AS t(k, v)
-        |GROUP BY k ORDER BY k""".stripMargin
+        |GROUP BY k ORDER BY k""".stripMargin,
+
+    "d05_limit_by" ->
+      """WITH r AS (
+        |  SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS v,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(value AS DOUBLE) DESC, event_id) AS rn
+        |  FROM events
+        |)
+        |SELECT event_id, user_id, event_type, v
+        |FROM r WHERE rn <= 2 ORDER BY v DESC, event_id LIMIT 7""".stripMargin
   )
 }

@@ -149,4 +149,36 @@ class ChParserSpec extends AnyFunSuite {
     // non-literal args are left for Spark to reject
     assert(ChParser.tableFnCalls("SELECT numbers(x)", "numbers") === Nil)
   }
+
+  test("splitLimitBy finds the top-level CH LIMIT BY clause") {
+    val p = ChParser.splitLimitBy(
+      "SELECT a, b FROM t ORDER BY b DESC, a LIMIT 2 BY a LIMIT 7").get
+    assert(p.core === "SELECT a, b FROM t")
+    assert(p.orderBy === Some("b DESC, a"))
+    assert((p.offset, p.n) === (0L, 2L))
+    assert(p.by === "a")
+    assert(p.outer === Some("7"))
+
+    // two-arg (offset) form; no ORDER BY; no outer LIMIT; multi-expr BY
+    val q = ChParser.splitLimitBy(
+      "SELECT a, b, c FROM t LIMIT 1, 3 BY a, c").get
+    assert(q.core === "SELECT a, b, c FROM t")
+    assert(q.orderBy === None)
+    assert((q.offset, q.n) === (1L, 3L))
+    assert(q.by === "a, c")
+    assert(q.outer === None)
+  }
+
+  test("splitLimitBy ignores nested/ambiguous and plain LIMIT") {
+    // plain LIMIT is not LIMIT BY
+    assert(ChParser.splitLimitBy("SELECT a FROM t LIMIT 5") === None)
+    // a LIMIT BY inside a subquery is not top-level
+    assert(ChParser.splitLimitBy(
+      "SELECT * FROM (SELECT a FROM t LIMIT 2 BY a) u") === None)
+    // set operations leave the clause scope ambiguous -> untouched
+    assert(ChParser.splitLimitBy(
+      "SELECT a FROM t UNION ALL SELECT a FROM u LIMIT 2 BY a") === None)
+    // string literals cannot fake a clause
+    assert(ChParser.splitLimitBy("SELECT ' LIMIT 2 BY a' AS s FROM t") === None)
+  }
 }

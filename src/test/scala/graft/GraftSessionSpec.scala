@@ -722,4 +722,24 @@ class GraftSessionSpec extends AnyFunSuite {
       .map(_.getDecimal(0).toPlainString)
     assert(vals.toSeq === Seq("-0.125", "1.500", "2.000"))
   }
+
+  test("LIMIT BY: per-group row cap with offset form and outer LIMIT") {
+    import SparkTestSession.spark.implicits._
+    Seq((1L, "a", 30.0), (2L, "a", 20.0), (3L, "a", 10.0),
+        (4L, "b", 25.0), (5L, "b", 15.0), (6L, "c", 5.0))
+      .toDF("id", "k", "v").createOrReplaceTempView("lb_t")
+    // top-2 per k by v DESC: a->(1,2), b->(4,5), c->(6); global order v DESC
+    val r = g.sql("SELECT id, k, v FROM lb_t ORDER BY v DESC, id LIMIT 2 BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(r.toSeq === Seq((1L, "a"), (4L, "b"), (2L, "a"), (5L, "b"), (6L, "c")))
+    // offset form skips the first row per group; outer LIMIT applies last
+    val o = g.sql("SELECT id, k, v FROM lb_t ORDER BY v DESC, id " +
+        "LIMIT 1, 1 BY k LIMIT 2")
+      .collect().map(_.getLong(0))
+    assert(o.toSeq === Seq(2L, 5L))
+    // a window plan, not a driver loop: the rewrite must show row_number
+    val plan = g.sql("SELECT id, k, v FROM lb_t LIMIT 1 BY k")
+      .queryExecution.analyzed.toString
+    assert(plan.contains("row_number"), plan)
+  }
 }
