@@ -54,6 +54,27 @@ object EventStreams {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Tumbling 1-hour windowed heavy hitters: topK(3) of event_type per
+    * window via the SpaceSaving aggregate
+    * ([[graft.functions.ChAggregates.TopK]]). The streaming twin of the
+    * batch b05 entry: the typed Aggregator's partial/merge interface is
+    * exactly what incremental stateful aggregation needs — per-window
+    * state is the HARD-BOUNDED 16-counter summary (never the full
+    * distinct-value map), merged batch over batch, with the watermark
+    * bounding how many windows stay open. The post-agg posexplode is a
+    * stateless projection, so Append semantics are unchanged.
+    */
+  def windowedTopK(spark: SparkSession, events: DataFrame): DataFrame = {
+    graft.functions.ChAggregates.register(spark)
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(expr("top_k_3(event_type)").as("tk"))
+      .select(col("window.start").as("win_start"), posexplode(col("tk")))
+      .select(col("win_start"), col("pos").cast("int").as("rank"),
+        col("col._1").as("etype"), col("col._2").cast("long").as("cnt"))
+  }
+
   /** One CLOSED session: emitted exactly once, when the 30-minute
     * inactivity gap ends it (either a later event past the gap, or the
     * event-time watermark passing the gap deadline).

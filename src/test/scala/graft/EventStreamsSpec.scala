@@ -41,6 +41,27 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streaming.map(_.toString).toSeq === batch.map(_.toString).toSeq)
   }
 
+  test("windowed topK: streaming == batch (bounded SpaceSaving state)") {
+    val q = EventStreams.windowedTopK(spark,
+        EventStreams.readEvents(spark, inputDir))
+      .writeStream.format("memory").queryName("win_topk")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streaming = spark.table("win_topk")
+      .orderBy("win_start", "rank").collect()
+    graft.functions.ChAggregates.register(spark)
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(expr("top_k_3(event_type)").as("tk"))
+      .select(col("window.start").as("win_start"), posexplode(col("tk")))
+      .select(col("win_start"), col("pos").cast("int").as("rank"),
+        col("col._1").as("etype"), col("col._2").cast("long").as("cnt"))
+      .orderBy("win_start", "rank").collect()
+    assert(streaming.nonEmpty)
+    assert(streaming.map(_.toString).toSeq === batch.map(_.toString).toSeq)
+  }
+
   test("sessionization: emit on close only, state dropped after the gap") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
