@@ -257,7 +257,7 @@ class GraftSession(val spark: SparkSession) {
     *     silently share a view the way a 32-bit hashCode could.
     */
   private def rewriteSelect(sqlIn: String): String = {
-    val sql = rewriteLimitBy(sqlIn)
+    val sql = rewriteLimitBy(rewriteWithTotals(sqlIn))
     val remotes = ChParser.tableFnCalls(sql, "remote")
       .filter(c => c._3.length == 2 || c._3.length == 4)
     val numbers = ChParser.tableFnCalls(sql, "numbers")
@@ -307,6 +307,22 @@ class GraftSession(val spark: SparkSession) {
           s"WHERE __graft_rn BETWEEN $lo AND $hi" +
           p.orderBy.map(o => s" ORDER BY $o").getOrElse("") +
           p.outer.map(k => s" LIMIT $k").getOrElse("")
+    }
+
+  /** ClickHouse `GROUP BY … WITH TOTALS` — rewritten to
+    * `GROUP BY GROUPING SETS ((exprs), ())`, which computes the per-group
+    * rows AND the grand-total row in ONE aggregation pass (Catalyst
+    * expands grouping sets map-side — no second scan, no union). The
+    * totals row carries NULL group keys (Spark/ANSI grouping-sets
+    * convention; CH emits type-default keys — 0/'' — a documented
+    * divergence callers can coalesce over). HAVING/ORDER BY/LIMIT after
+    * the modifier are preserved untouched.
+    */
+  private def rewriteWithTotals(sql: String): String =
+    ChParser.splitWithTotals(sql) match {
+      case None => sql
+      case Some(p) =>
+        s"${p.pre}GROUP BY GROUPING SETS ((${p.groupExprs}), ())${p.tail}"
     }
 
   /** INSERT INTO FUNCTION remote(...) — append rows to a remote table:

@@ -2,9 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{CreateArray, Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  Average, Count, Max, MaxBy, Min, MinBy, Percentile, Sum}
+  Average, CollectList, CollectSet, Count, First, Last, Max, MaxBy, Min,
+  MinBy, Percentile, Sum}
 import org.apache.spark.sql.expressions.Aggregator
 
 /** ClickHouse parametric-aggregate pack #2 — topK, quantileExactInclusive /
@@ -128,10 +129,26 @@ object ChAggregates {
       (x, p) => new Percentile(x, p).toAggregateExpression()),
     "medianExact" -> one("medianExact")(
       x => new Percentile(x, Literal(0.5d)).toAggregateExpression()),
+    // CH's plural form: quantilesExactInclusive(x, p1, p2, …) → array —
+    // ONE sort/aggregation state shared by all requested levels.
+    "quantilesExactInclusive" -> { exprs =>
+      require(exprs.length >= 2,
+        "quantilesExactInclusive expects (col, p1[, p2, …])")
+      new Percentile(exprs.head, CreateArray(exprs.tail))
+        .toAggregateExpression()
+    },
     // CH argMax(arg, val) — with a tuple val for deterministic tie-break,
     // exactly as CH recommends argMax(arg, tuple(v, arg)).
     "argMax" -> two("argMax")((arg, ord) => MaxBy(arg, ord).toAggregateExpression()),
     "argMin" -> two("argMin")((arg, ord) => MinBy(arg, ord).toAggregateExpression()),
+    // CH array/pick aggregates: groupArray == collect_list (arbitrary
+    // order — wrap in sort_array for deterministic output, as CH users
+    // wrap in arraySort), groupUniqArray == collect_set, any/anyLast ==
+    // first/last encountered non-null (CH aggregates skip NULLs).
+    "groupArray" -> one("groupArray")(e => CollectList(e).toAggregateExpression()),
+    "groupUniqArray" -> one("groupUniqArray")(e => CollectSet(e).toAggregateExpression()),
+    "any" -> one("any")(e => First(e, ignoreNulls = true).toAggregateExpression()),
+    "anyLast" -> one("anyLast")(e => Last(e, ignoreNulls = true).toAggregateExpression()),
     // -If combinators: the aggregate with a Catalyst FILTER clause.
     "countIf" -> one("countIf")(cond =>
       Count(Literal(1)).toAggregateExpression(isDistinct = false, filter = Some(cond))),

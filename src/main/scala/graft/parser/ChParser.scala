@@ -602,4 +602,50 @@ object ChParser {
           }
       }
     }
+
+  /** The pieces of a `… GROUP BY exprs WITH TOTALS …` statement —
+    * ClickHouse's totals-row modifier. `pre` is the text before GROUP,
+    * `groupExprs` the grouping expression list, `tail` everything after
+    * TOTALS (HAVING/ORDER BY/LIMIT intact).
+    */
+  final case class WithTotalsParts(pre: String, groupExprs: String,
+                                   tail: String)
+
+  /** Find a TOP-LEVEL `GROUP BY … WITH TOTALS` (depth-0, string-aware;
+    * None for statements without it or for set operations, whose clause
+    * scope would be ambiguous).
+    */
+  def splitWithTotals(sql: String): Option[WithTotalsParts] =
+    tokenize(sql).toOption.flatMap { toks =>
+      val depth = new Array[Int](toks.length)
+      var d = 0
+      var unionish = false
+      toks.zipWithIndex.foreach { case (t, i) =>
+        t match {
+          case Punct("(", _) => depth(i) = d; d += 1
+          case Punct(")", _) => d = math.max(0, d - 1); depth(i) = d
+          case Ident(w, _) if d == 0 &&
+              Seq("union", "intersect", "except").contains(w.toLowerCase) =>
+            unionish = true; depth(i) = d
+          case _ => depth(i) = d
+        }
+      }
+      def kw(i: Int, k: String) = i < toks.length && (toks(i) match {
+        case Ident(w, _) => w.equalsIgnoreCase(k)
+        case _ => false
+      })
+      val grp = toks.indices.find(i =>
+        depth(i) == 0 && kw(i, "GROUP") && kw(i + 1, "BY"))
+      val tot = toks.indices.find(i =>
+        depth(i) == 0 && kw(i, "WITH") && kw(i + 1, "TOTALS"))
+      (grp, tot) match {
+        case (Some(g), Some(w)) if !unionish && w > g + 2 =>
+          val exprs = sql.substring(toks(g + 2).pos, toks(w).pos).trim
+          val tailPos = toks(w + 1).pos + toks(w + 1).text.length
+          if (exprs.isEmpty) None
+          else Some(WithTotalsParts(sql.substring(0, toks(g).pos), exprs,
+            sql.substring(tailPos)))
+        case _ => None
+      }
+    }
 }

@@ -100,6 +100,20 @@ object DdlQueries {
       val g = new GraftSession(s)
       g.sql("SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS v " +
         "FROM events ORDER BY v DESC, event_id LIMIT 2 BY event_type LIMIT 7")
+    },
+
+    // ClickHouse WITH TOTALS through the engine front-end: per-type rows
+    // plus the grand-total row from ONE aggregation pass
+    // (GraftSession.rewriteWithTotals → GROUPING SETS ((k), ())); the
+    // oracle is DuckDB's own GROUPING SETS. NULLS FIRST pins the totals
+    // row's sort position identically in both engines.
+    "d06_with_totals" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("SELECT event_type, count(*) AS n, " +
+        "CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total " +
+        "FROM events GROUP BY event_type WITH TOTALS " +
+        "ORDER BY event_type NULLS FIRST")
     }
   )
 
@@ -150,6 +164,12 @@ object DdlQueries {
         |  FROM events
         |)
         |SELECT event_id, user_id, event_type, v
-        |FROM r WHERE rn <= 2 ORDER BY v DESC, event_id LIMIT 7""".stripMargin
+        |FROM r WHERE rn <= 2 ORDER BY v DESC, event_id LIMIT 7""".stripMargin,
+
+    "d06_with_totals" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total
+        |FROM events GROUP BY GROUPING SETS ((event_type), ())
+        |ORDER BY event_type NULLS FIRST""".stripMargin
   )
 }

@@ -99,6 +99,7 @@ class AggPackSpec extends AnyFunSuite {
 
     val got = spark.sql(
       """SELECT k,
+        |  quantilesExactInclusive(v, 0.25d, 0.5d, 0.75d) AS qs,
         |  quantileExactInclusive(v, 0.5d) AS med,
         |  medianExact(v) AS med2,
         |  argMax(uid, struct(v, seq)) AS amax,
@@ -112,6 +113,7 @@ class AggPackSpec extends AnyFunSuite {
 
     val want = spark.sql(
       """SELECT k,
+        |  percentile(v, array(0.25d, 0.5d, 0.75d)) AS qs,
         |  percentile(v, 0.5d) AS med,
         |  percentile(v, 0.5d) AS med2,
         |  max_by(uid, struct(v, seq)) AS amax,
@@ -124,6 +126,22 @@ class AggPackSpec extends AnyFunSuite {
         |FROM agg_pack_t GROUP BY k ORDER BY k""".stripMargin).collect()
 
     assert(got.toSeq == want.toSeq)
+  }
+
+  test("groupArray family matches collect_list/collect_set/first/last") {
+    ChAggregates.register(spark)
+    import spark.implicits._
+    Seq(("a", 1L), ("a", 2L), ("a", 2L), ("b", 5L))
+      .toDF("k", "v").coalesce(1).createOrReplaceTempView("agg_pack_ga")
+    val r = spark.sql(
+      """SELECT k, sort_array(groupArray(v)) AS ga,
+        |  sort_array(groupUniqArray(v)) AS gu,
+        |  any(v) AS a1, anyLast(v) AS a2
+        |FROM agg_pack_ga GROUP BY k ORDER BY k""".stripMargin).collect()
+    assert(r.map(_.getSeq[Long](1).toList).toSeq === Seq(List(1L, 2L, 2L), List(5L)))
+    assert(r.map(_.getSeq[Long](2).toList).toSeq === Seq(List(1L, 2L), List(5L)))
+    // single partition -> first/last are the literal insertion order
+    assert(r.map(x => (x.getLong(3), x.getLong(4))).toSeq === Seq((1L, 2L), (5L, 5L)))
   }
 
   test("-If combinators stay in hash aggregation (no UDF boundary)") {

@@ -181,4 +181,25 @@ class ChParserSpec extends AnyFunSuite {
     // string literals cannot fake a clause
     assert(ChParser.splitLimitBy("SELECT ' LIMIT 2 BY a' AS s FROM t") === None)
   }
+
+  test("splitWithTotals finds GROUP BY ... WITH TOTALS, keeps the tail") {
+    val p = ChParser.splitWithTotals(
+      "SELECT k, count(*) FROM t GROUP BY k WITH TOTALS ORDER BY k").get
+    assert(p.pre === "SELECT k, count(*) FROM t ")
+    assert(p.groupExprs === "k")
+    assert(p.tail === " ORDER BY k")
+
+    // multi-expr keys and a HAVING tail
+    val q = ChParser.splitWithTotals(
+      "SELECT a, b FROM t GROUP BY a, b % 2 WITH TOTALS HAVING count(*) > 1").get
+    assert(q.groupExprs === "a, b % 2")
+    assert(q.tail === " HAVING count(*) > 1")
+
+    // no modifier / subquery-only modifier / set op -> untouched
+    assert(ChParser.splitWithTotals("SELECT k FROM t GROUP BY k") === None)
+    assert(ChParser.splitWithTotals(
+      "SELECT * FROM (SELECT k FROM t GROUP BY k WITH TOTALS) u") === None)
+    assert(ChParser.splitWithTotals(
+      "SELECT k FROM t GROUP BY k WITH TOTALS UNION ALL SELECT 1") === None)
+  }
 }

@@ -742,4 +742,19 @@ class GraftSessionSpec extends AnyFunSuite {
       .queryExecution.analyzed.toString
     assert(plan.contains("row_number"), plan)
   }
+
+  test("WITH TOTALS: per-group rows plus grand total in one pass") {
+    import SparkTestSession.spark.implicits._
+    Seq(("a", 1L), ("a", 2L), ("b", 4L))
+      .toDF("k", "v").createOrReplaceTempView("wt_t")
+    val rows = g.sql("SELECT k, CAST(sum(v) AS BIGINT) AS s FROM wt_t " +
+        "GROUP BY k WITH TOTALS ORDER BY k NULLS FIRST")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1)))
+    assert(rows.toSeq === Seq((None, 7L), (Some("a"), 3L), (Some("b"), 4L)))
+    // one aggregation over an Expand, not a self-union of two scans
+    val exec = g.sql("SELECT k, sum(v) FROM wt_t GROUP BY k WITH TOTALS")
+      .queryExecution.executedPlan.toString
+    assert(exec.contains("Expand"), exec)
+    assert(!exec.contains("Union"), exec)
+  }
 }
