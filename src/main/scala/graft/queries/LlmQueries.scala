@@ -1102,9 +1102,15 @@ object LlmQueries {
     * pattern).
     */
   private[graft] def pqCodesSql(spark: Boolean): String =
-    pqSql(spark, codesOnly = true)
+    pqSql(spark, emit = "codes")
 
-  private[graft] def pqSql(spark: Boolean, codesOnly: Boolean = false): String = {
+  /** `emit` selects the tail: "serve" (full ADC query), "codes" (the
+    * encode table), "codebook" (the trained per-subspace centroids);
+    * `trainSample` trains on the deterministic 1-in-4 sample (the l12b
+    * offline-build convention) while still encoding the FULL corpus.
+    */
+  private[graft] def pqSql(spark: Boolean, emit: String = "serve",
+                           trainSample: Boolean = false): String = {
     def dot(a: String, b: String) =
       if (spark) dotSpark(a, b) else dotDuck(a, b)
     // 16-dim subvector folds — explicit left fold in index order, the
@@ -1124,20 +1130,23 @@ object LlmQueries {
         s"list_reduce(list_transform(range(16), i -> " +
           s"($a[i+1]::DOUBLE - $b[i+1]::DOUBLE) * ($a[i+1]::DOUBLE - $b[i+1]::DOUBLE)), " +
           s"(x, y) -> x + y)"
+    // Training reads the sampled subvectors when trainSample is set; the
+    // final encode pass always reads the FULL corpus.
+    val trainRel = if (trainSample) "subt" else "sub"
     // One L2 assignment pass: (vec_id, sub) -> nearest codebook entry,
     // ties broken deterministically by lowest cid (the ivfAssign rule).
-    def assign(name: String, cFrom: String) =
+    def assign(name: String, cFrom: String, from: String = "sub") =
       s"""$name AS (
          |  SELECT vec_id, sub, cid AS code FROM (
          |    SELECT t.vec_id, t.sub, t.cid, row_number() OVER (
          |      PARTITION BY t.vec_id, t.sub ORDER BY t.d ASC, t.cid) AS rn
          |    FROM (
          |      SELECT s.vec_id, s.sub, c.cid, ${l216("s.sv", "c.ce")} AS d
-         |      FROM sub s JOIN $cFrom c ON s.sub = c.sub) t) r
+         |      FROM $from s JOIN $cFrom c ON s.sub = c.sub) t) r
          |  WHERE rn = 1
          |)""".stripMargin
     // One update pass: (sub, code) -> rounded float32 mean subvector.
-    def update(name: String, aFrom: String) =
+    def update(name: String, aFrom: String, from: String = "sub") =
       if (spark)
         s"""$name AS (
            |  SELECT sub, code AS cid,
@@ -1145,7 +1154,7 @@ object LlmQueries {
            |      x -> x.m) AS ARRAY<FLOAT>) AS ce
            |  FROM (
            |    SELECT a.sub, a.code, pos + 1 AS i, round(avg(CAST(v AS DOUBLE)), 6) AS m
-           |    FROM $aFrom a JOIN sub s ON a.vec_id = s.vec_id AND a.sub = s.sub
+           |    FROM $aFrom a JOIN $from s ON a.vec_id = s.vec_id AND a.sub = s.sub
            |    LATERAL VIEW posexplode(s.sv) t AS pos, v
            |    GROUP BY a.sub, a.code, pos) u
            |  GROUP BY sub, code
@@ -1155,7 +1164,7 @@ object LlmQueries {
            |  SELECT sub, code AS cid, CAST(list(m ORDER BY i) AS FLOAT[]) AS ce
            |  FROM (
            |    SELECT a.sub, a.code, t.i, round(avg(s.sv[t.i]::DOUBLE), 6) AS m
-           |    FROM $aFrom a JOIN sub s ON a.vec_id = s.vec_id AND a.sub = s.sub,
+           |    FROM $aFrom a JOIN $from s ON a.vec_id = s.vec_id AND a.sub = s.sub,
            |      range(1, 17) t(i)
            |    GROUP BY a.sub, a.code, t.i) u
            |  GROUP BY sub, code
@@ -1172,21 +1181,27 @@ object LlmQueries {
            |    embedding[(t.s * 16 + 1):(t.s * 16 + 16)] AS sv
            |  FROM embeddings CROSS JOIN (SELECT unnest(range(4)) AS s) t
            |)""".stripMargin
-    s"""WITH $subCte,
+    val subtCte =
+      if (trainSample) ",\nsubt AS (SELECT * FROM sub WHERE vec_id % 4 = 0)"
+      else ""
+    val sampleWhere = if (trainSample) "WHERE vec_id % 4 = 0 " else ""
+    s"""WITH $subCte$subtCte,
        |pseeds AS (
        |  SELECT CAST(vec_id % 4 AS INT) AS cid, min(vec_id) AS sv_id
-       |  FROM embeddings GROUP BY vec_id % 4
+       |  FROM embeddings ${sampleWhere}GROUP BY vec_id % 4
        |), pc0 AS (
        |  SELECT s.sub, p.cid, s.sv AS ce
        |  FROM pseeds p JOIN sub s ON s.vec_id = p.sv_id
        |),
-       |${assign("pa0", "pc0")},
-       |${update("pc1", "pa0")},
-       |${assign("pa1", "pc1")},
-       |${update("pc2", "pa1")},
-       |${assign("codes", "pc2")}${
-      if (codesOnly) "\nSELECT vec_id, sub, code FROM codes"
-      else pqServeCtes(dot, dot16)}""".stripMargin
+       |${assign("pa0", "pc0", trainRel)},
+       |${update("pc1", "pa0", trainRel)},
+       |${assign("pa1", "pc1", trainRel)},
+       |${update("pc2", "pa1", trainRel)},
+       |${assign("codes", "pc2")}${emit match {
+        case "codes" => "\nSELECT vec_id, sub, code FROM codes"
+        case "codebook" => "\nSELECT sub, cid, ce FROM pc2"
+        case _ => pqServeCtes(dot, dot16)
+      }}""".stripMargin
   }
 
   /** The l26 ADC serving tail (LUT build → code-join scan → exact
@@ -1224,6 +1239,105 @@ object LlmQueries {
        |)
        |SELECT vec_id, round(adc_sim, 6) AS adc_sim, round(sim, 6) AS sim
        |FROM rerank ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
+
+  /** The persisted PQ index for l26b, keyed by corpus path (the
+    * ivfCentroids discipline: deterministic build → reusable store;
+    * temp-dir write + atomic rename so a crashed half-write can never be
+    * served). TWO tables, because the codes ARE the index: the 16-row
+    * codebook, and the corpus codes PIVOTED to one row per vector
+    * (vec_id, c0..c3) — the packed-column layout a production PQ index
+    * uses, which lets serving do pure map-side LUT lookups with no
+    * vec_id-keyed shuffle. coalesce(1) fits the test SF; at 100 TB the
+    * codes table is written partitioned like any fact table.
+    */
+  private def pqIndexStore(s: SparkSession, dir: String, what: String,
+                           sqlText: String): DataFrame = {
+    val key = java.util.UUID.nameUUIDFromBytes(
+      java.nio.file.Paths.get(dir).toAbsolutePath.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
+    val store = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft-pq-$what-v1-$key")
+    if (!java.nio.file.Files.exists(store)) {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft-pq-$what")
+      s.sql(sqlText).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      try java.nio.file.Files.move(tmp, store,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException
+           | _: java.nio.file.DirectoryNotEmptyException
+           | _: java.nio.file.AccessDeniedException => ()
+      }
+    }
+    s.read.parquet(store.toString)
+  }
+
+  private[graft] def pqIndex(s: SparkSession, dir: String): Unit = {
+    pqIndexStore(s, dir, "codebook",
+      pqSql(spark = true, emit = "codebook", trainSample = true))
+      .createOrReplaceTempView("pq_codebook")
+    val pivot = (0 until 4)
+      .map(i => s"CAST(max(CASE WHEN sub = $i THEN code END) AS INT) AS c$i")
+      .mkString(", ")
+    pqIndexStore(s, dir, "codes",
+      s"SELECT vec_id, $pivot FROM (${
+        pqSql(spark = true, emit = "codes", trainSample = true)}) GROUP BY vec_id")
+      .createOrReplaceTempView("pq_codes")
+  }
+
+  /** l26b's SERVING query over the persisted index: the query vector's
+    * 16-entry LUT pivots into ONE broadcast row of per-subspace decimal
+    * arrays, and the ADC scan is a map-side pass over `pq_codes` —
+    * element_at lookups plus an exact decimal 4-term sum (same value the
+    * oracle's sum(DECIMAL) produces) — into a partial top-20, then the
+    * 20-row exact-cosine rerank. No training subtree, no Window, no
+    * corpus-keyed shuffle anywhere (PlanAuditSpec pins all three).
+    */
+  private[graft] def pqServedSparkSql: String = {
+    def dot16(a: String, b: String) =
+      s"aggregate(zip_with(CAST($a AS ARRAY<DOUBLE>), CAST($b AS ARRAY<DOUBLE>), " +
+        s"(x, y) -> x * y), 0d, (acc, v) -> acc + v)"
+    val pivotCols = (0 until 4).map(i =>
+      s"max(CASE WHEN sub = $i THEN pds END) AS p$i,\n    " +
+        s"max(CASE WHEN sub = $i THEN cs END) AS n$i").mkString(",\n    ")
+    val adcNum = (0 until 4).map(i => s"element_at(l.p$i, k.c$i + 1)").mkString(" + ")
+    val adcN2 = (0 until 4).map(i => s"element_at(l.n$i, k.c$i + 1)").mkString(" + ")
+    s"""WITH qsub AS (
+       |  SELECT t.s AS sub, slice(e.embedding, t.s * 16 + 1, 16) AS qv
+       |  FROM embeddings e LATERAL VIEW explode(sequence(0, 3)) t AS s
+       |  WHERE e.vec_id = 0
+       |), q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |lut AS (
+       |  SELECT c.sub, c.cid,
+       |    CAST(round(${dot16("qs.qv", "c.ce")}, 6) AS DECIMAL(20, 10)) AS pd,
+       |    CAST(round(${dot16("c.ce", "c.ce")}, 6) AS DECIMAL(20, 10)) AS cn2
+       |  FROM pq_codebook c JOIN qsub qs ON qs.sub = c.sub
+       |), luts AS (
+       |  SELECT sub,
+       |    transform(array_sort(collect_list(struct(cid, pd))), x -> x.pd) AS pds,
+       |    transform(array_sort(collect_list(struct(cid, cn2))), x -> x.cn2) AS cs
+       |  FROM lut GROUP BY sub
+       |), lrow AS (
+       |  SELECT $pivotCols
+       |  FROM luts
+       |), cand AS (
+       |  SELECT k.vec_id,
+       |    CAST(($adcNum) AS DOUBLE)
+       |      / (sqrt(${dotSpark("q.qe", "q.qe")})
+       |         * sqrt(CAST(($adcN2) AS DOUBLE))) AS adc_sim
+       |  FROM pq_codes k CROSS JOIN lrow l CROSS JOIN q
+       |  WHERE k.vec_id <> 0
+       |  ORDER BY adc_sim DESC, k.vec_id
+       |  LIMIT 20
+       |), rerank AS (
+       |  SELECT c.vec_id, c.adc_sim,
+       |    ${dotSpark("e.embedding", "q.qe")}
+       |      / (sqrt(${dotSpark("e.embedding", "e.embedding")})
+       |         * sqrt(${dotSpark("q.qe", "q.qe")})) AS sim
+       |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id CROSS JOIN q
+       |)
+       |SELECT vec_id, round(adc_sim, 6) AS adc_sim, round(sim, 6) AS sim
+       |FROM rerank ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
+  }
 
   /** l27 training-sequence packing — the GPT-style concatenate-and-chunk
     * step: documents tokenize, concatenate in doc_id order, and split
@@ -1305,6 +1419,21 @@ object LlmQueries {
       Tables.registerAll(s, dir)
       graft.functions.VectorFunctions.register(s)
       s.sql(pqSql(spark = true))
+    },
+
+    // ---- l26b: PQ ANN served from the PERSISTED index -----------------
+    // l26's production split (the l12b discipline): codebooks train
+    // OFFLINE on the deterministic 1-in-4 sample, the corpus encodes once
+    // into the pivoted 4-byte code table, both persist; serving is a
+    // map-side LUT scan over the code table + 20-row exact rerank. The
+    // oracle recomputes the identical semantics from scratch in DuckDB
+    // (shared emitter, sampled training) — the hash match proves
+    // persisted-index serving ≡ the from-scratch pipeline.
+    "l26b_ann_pq_served" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      graft.functions.VectorFunctions.register(s)
+      pqIndex(s, dir)
+      s.sql(pqServedSparkSql)
     },
 
     // ---- l27: training-sequence packing (concatenate-and-chunk) -------
@@ -2424,6 +2553,7 @@ object LlmQueries {
     "l24_semdedup" -> semDedupSql(spark = false),
     "l25_substring_span_dedup" -> substringSpanSql(spark = false),
     "l26_ann_pq" -> pqSql(spark = false),
+    "l26b_ann_pq_served" -> pqSql(spark = false, trainSample = true),
     "l27_sequence_packing" -> packDuckSql,
 
     "m01_multimodal_decode" -> {

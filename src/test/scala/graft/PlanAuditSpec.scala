@@ -131,4 +131,28 @@ class PlanAuditSpec extends AnyFunSuite {
       "the only exchange allowed is the 8-row centroid pivot — the corpus " +
         "path must be shuffle-free")
   }
+
+  test("l26b serves PQ from the stored index: no training subtree, no " +
+    "corpus-keyed shuffle, codes scan + one rerank fetch only") {
+    val now = SparkEntry.queries("l26b_ann_pq_served")(spark, sfDir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    // training is windows (row_number assignment passes); serving has none
+    assert(!now.contains("Window ("),
+      "a Window node means a training/assignment subtree leaked into serving")
+    val scanBlocks = now.split("\n\\(\\d+\\) ").filter(_.startsWith("Scan parquet"))
+    assert(scanBlocks.exists(_.contains("graft-pq-codes")),
+      "serving must scan the persisted code table")
+    assert(scanBlocks.exists(_.contains("graft-pq-codebook")),
+      "serving must read the persisted codebook")
+    val embScans = scanBlocks.filter(_.contains("embeddings.parquet"))
+    // allowed embeddings reads: pushed vec_id=0 query-vector lookups plus
+    // exactly one rerank fetch of the 20 ADC candidates
+    assert(embScans.count(!_.contains("EqualTo(vec_id,0)")) <= 1,
+      s"expected at most one non-point embeddings scan (the rerank fetch):\n" +
+        embScans.mkString("\n---\n"))
+    // the LUT pivot (16 rows) may exchange; the codes corpus path may not
+    assert(shuffles(now) <= 3,
+      "corpus ADC path must be map-side: only tiny LUT-pivot exchanges allowed")
+  }
 }
