@@ -163,6 +163,31 @@ object ClickHouseFunctions {
       s"$fn scale must be an integer literal, got $other")
   }
 
+  private def litStr(e: Expression, fn: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn separator must be a string literal, got $other")
+  }
+
+  /** CH empty()/notEmpty(): type-polymorphic zero-length test (arrays,
+    * maps, strings, binaries — string_functions.rs's empty kernel family).
+    */
+  case class ChEmpty(child: Expression, negated: Boolean)
+      extends RuntimeReplaceable with UnaryLike[Expression] {
+    override lazy val replacement: Expression = {
+      val isEmpty = child.dataType match {
+        case _: ArrayType | _: MapType => EqualTo(Size(child), Literal(0))
+        case BinaryType => EqualTo(Length(child), Literal(0))
+        case StringType => EqualTo(Length(child), Literal(0))
+        case _ => EqualTo(Length(Cast(child, StringType)), Literal(0))
+      }
+      if (negated) Not(isEmpty) else isEmpty
+    }
+    override protected def withNewChildInternal(c: Expression): ChEmpty =
+      copy(child = c)
+  }
+
   /** name → expression builder; every entry is a Catalyst built-in
     * composition (SURVEY §2.7 table).
     */
@@ -200,7 +225,51 @@ object ClickHouseFunctions {
     "toUUIDOrNull" -> one("toUUIDOrNull")(e => UuidParse(e, UuidNull)),
     "toUUIDOrZero" -> one("toUUIDOrZero")(e => UuidParse(e, UuidZero)),
     "UUIDStringToNum" -> one("UUIDStringToNum")(e => UuidParse(e, UuidError)),
-    "UUIDNumToString" -> one("UUIDNumToString")(UuidFormat)
+    "UUIDNumToString" -> one("UUIDNumToString")(UuidFormat),
+    // ---- CH array / string / arithmetic surface (round-10 widening) ----
+    // arrayJoin is CH's row-multiplying function — exactly Spark's
+    // explode generator; the analyzer lifts it into Generate.
+    "arrayJoin" -> one("arrayJoin")(e => Explode(e)),
+    "has" -> two("has")((a, x) => ArrayContains(a, x)),
+    // CH indexOf: 1-based position, 0 when absent — ArrayPosition's own
+    // contract.
+    "indexOf" -> two("indexOf")((a, x) => ArrayPosition(a, x)),
+    "arrayStringConcat" -> { exprs =>
+      exprs match {
+        case Seq(a) => ArrayJoin(a, Literal(""), None)
+        case Seq(a, sep) => ArrayJoin(a, sep, None)
+        case _ => throw new IllegalArgumentException(
+          "arrayStringConcat expects (array[, separator])")
+      }
+    },
+    // splitByChar(sep, s) — CH's argument order; sep must be a 1-char
+    // literal (CH's own constraint). limit -1 keeps trailing empties,
+    // matching CH.
+    "splitByChar" -> two("splitByChar")((sep, s) => {
+      val c = litStr(sep, "splitByChar")
+      require(c.length == 1, s"splitByChar separator must be 1 char: '$c'")
+      StringSplit(s, Literal(java.util.regex.Pattern.quote(c)), Literal(-1))
+    }),
+    "empty" -> one("empty")(e => ChEmpty(e, negated = false)),
+    "notEmpty" -> one("notEmpty")(e => ChEmpty(e, negated = true)),
+    "lengthUTF8" -> one("lengthUTF8")(e => Length(e)),
+    "lowerUTF8" -> one("lowerUTF8")(e => Lower(e)),
+    "upperUTF8" -> one("upperUTF8")(e => Upper(e)),
+    "toString" -> one("toString")(e => Cast(e, StringType)),
+    "ifNull" -> two("ifNull")((a, b) => Coalesce(Seq(a, b))),
+    // CH named arithmetic: divide always returns Float64; intDiv
+    // truncates (IntegralDivide); modulo keeps integer semantics.
+    "plus" -> two("plus")((a, b) => Add(a, b)),
+    "minus" -> two("minus")((a, b) => Subtract(a, b)),
+    "multiply" -> two("multiply")((a, b) => Multiply(a, b)),
+    "divide" -> two("divide")((a, b) =>
+      Divide(Cast(a, DoubleType), Cast(b, DoubleType))),
+    "intDiv" -> two("intDiv")((a, b) => IntegralDivide(a, b)),
+    "modulo" -> two("modulo")((a, b) => Remainder(a, b)),
+    "bitAnd" -> two("bitAnd")((a, b) => BitwiseAnd(a, b)),
+    "bitOr" -> two("bitOr")((a, b) => BitwiseOr(a, b)),
+    "bitXor" -> two("bitXor")((a, b) => BitwiseXor(a, b)),
+    "bitNot" -> one("bitNot")(e => BitwiseNot(e))
   )
 
   /** Runtime registration on an existing session. */

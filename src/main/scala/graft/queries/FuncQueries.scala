@@ -223,6 +223,54 @@ object FuncQueries {
           |FROM nation ORDER BY k""".stripMargin)
     },
 
+    // CH-named scalar surface #2 (round-10 widening of the §2.7 pack):
+    // array membership/position/concat, splitByChar, empty/notEmpty,
+    // toString/ifNull, the named arithmetic (plus/minus/multiply/divide/
+    // intDiv/modulo) and the bit family — every one a thin builder over a
+    // codegen'd Catalyst built-in, oracled against DuckDB natives.
+    "f12_ch_scalar_pack2" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      ClickHouseFunctions.register(s)
+      s.sql(
+        """WITH a AS (
+          |  SELECT n_nationkey AS k, n_name, splitByChar('A', n_name) AS parts
+          |  FROM nation
+          |)
+          |SELECT k,
+          |  has(parts, '') AS has_empty,
+          |  CAST(indexOf(parts, '') AS BIGINT) AS idx_empty,
+          |  arrayStringConcat(parts, '|') AS joined,
+          |  empty(n_name) AS is_empty, notEmpty(n_name) AS not_empty,
+          |  CAST(lengthUTF8(n_name) AS INT) AS len8,
+          |  lowerUTF8(n_name) AS lo8,
+          |  upperUTF8(lowerUTF8(n_name)) = n_name AS up_ok,
+          |  toString(k) AS k_str,
+          |  ifNull(nullif(n_name, 'FRANCE'), '-') AS not_france,
+          |  CAST(plus(k, 100) AS INT) AS p100,
+          |  CAST(minus(k, 5) AS INT) AS m5,
+          |  CAST(multiply(k, 3) AS INT) AS x3,
+          |  round(divide(k + 1, 4), 6) AS fdiv,
+          |  CAST(intDiv(k + 7, 3) AS INT) AS idiv,
+          |  CAST(modulo(k + 7, 3) AS INT) AS imod,
+          |  CAST(bitAnd(k, 12) AS INT) AS b_and,
+          |  CAST(bitOr(k, 5) AS INT) AS b_or,
+          |  CAST(bitXor(k, 9) AS INT) AS b_xor,
+          |  CAST(bitNot(k) AS INT) AS b_not
+          |FROM a ORDER BY k""".stripMargin)
+    },
+
+    // arrayJoin — CH's row-multiplying function == the explode generator;
+    // one row per array element, oracled against DuckDB unnest.
+    "f13_array_join" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      ClickHouseFunctions.register(s)
+      s.sql(
+        """SELECT k, part FROM (
+          |  SELECT n_nationkey AS k, arrayJoin(splitByChar('A', n_name)) AS part
+          |  FROM nation
+          |) ORDER BY k, part""".stripMargin)
+    },
+
     // First event-table queries (time-series shape): daily rollup with
     // exact decimal sums.
     "e01_events_daily" -> { (s, dir) =>
@@ -257,6 +305,39 @@ object FuncQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "f12_ch_scalar_pack2" ->
+      """WITH a AS (
+        |  SELECT n_nationkey AS k, n_name, str_split(n_name, 'A') AS parts
+        |  FROM nation
+        |)
+        |SELECT k,
+        |  list_contains(parts, '') AS has_empty,
+        |  CAST(coalesce(list_position(parts, ''), 0) AS BIGINT) AS idx_empty,
+        |  array_to_string(parts, '|') AS joined,
+        |  (n_name = '') AS is_empty, (n_name <> '') AS not_empty,
+        |  CAST(length(n_name) AS INT) AS len8,
+        |  lower(n_name) AS lo8,
+        |  (upper(lower(n_name)) = n_name) AS up_ok,
+        |  CAST(k AS VARCHAR) AS k_str,
+        |  coalesce(nullif(n_name, 'FRANCE'), '-') AS not_france,
+        |  CAST(k + 100 AS INT) AS p100,
+        |  CAST(k - 5 AS INT) AS m5,
+        |  CAST(k * 3 AS INT) AS x3,
+        |  round((k + 1) / 4, 6) AS fdiv,
+        |  CAST((k + 7) // 3 AS INT) AS idiv,
+        |  CAST((k + 7) % 3 AS INT) AS imod,
+        |  CAST(k & 12 AS INT) AS b_and,
+        |  CAST(k | 5 AS INT) AS b_or,
+        |  CAST(xor(k, 9) AS INT) AS b_xor,
+        |  CAST(~k AS INT) AS b_not
+        |FROM a ORDER BY k""".stripMargin,
+
+    "f13_array_join" ->
+      """SELECT k, part FROM (
+        |  SELECT n_nationkey AS k, unnest(str_split(n_name, 'A')) AS part
+        |  FROM nation
+        |) t ORDER BY k, part""".stripMargin,
+
     "f01_ch_datetime" ->
       """SELECT CAST(year(ts) AS INT) AS yr,
         |  CAST(quarter(ts) AS INT) AS qtr,

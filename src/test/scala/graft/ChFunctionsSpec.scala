@@ -124,4 +124,27 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(s.matches("[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[0-9a-f]{4}-[0-9a-f]{12}"))
     assert(UuidBytes.parse(s).isDefined)
   }
+
+  test("array / string / arithmetic pack #2 semantics") {
+    // splitByChar keeps empties (CH contract): 'AxA' -> ['', 'x', '']
+    assert(sql1("SELECT size(splitByChar('A', 'AxA'))") === 3)
+    assert(sql1("SELECT has(splitByChar('A', 'AxA'), '')") === true)
+    assert(sql1("SELECT indexOf(splitByChar('A', 'AxA'), 'x')") === 2L)
+    assert(sql1("SELECT indexOf(splitByChar('A', 'AxA'), 'z')") === 0L)
+    assert(sql1("SELECT arrayStringConcat(splitByChar('A', 'AxA'), '|')") === "|x|")
+    assert(sql1("SELECT empty('')") === true)
+    assert(sql1("SELECT empty(array())") === true)
+    assert(sql1("SELECT notEmpty('x')") === true)
+    assert(sql1("SELECT toString(42)") === "42")
+    assert(sql1("SELECT ifNull(CAST(NULL AS STRING), 'd')") === "d")
+    // divide is Float64 like CH; intDiv truncates; modulo is integral
+    assert(sql1("SELECT divide(1, 4)") === 0.25)
+    assert(sql1("SELECT intDiv(7, 2)") === 3L)
+    assert(sql1("SELECT modulo(7, 3)") === 1)
+    assert(sql1("SELECT bitXor(5, 9)") === 12)
+    assert(sql1("SELECT bitNot(0)") === -1)
+    // arrayJoin is a real generator: 1 row in, n out
+    assert(spark.sql("SELECT arrayJoin(array(1, 2, 3)) AS x")
+      .collect().map(_.getInt(0)).toSeq === Seq(1, 2, 3))
+  }
 }
