@@ -91,6 +91,35 @@ class ChWireSpec extends AnyFunSuite {
     }
   }
 
+  test("CH dialect clauses work over the wire: LIMIT BY and WITH TOTALS") {
+    val server = new ChWireServer(spark).start()
+    val client = new WireTestClient(server.boundPort)
+    try {
+      client.query("DROP TABLE IF EXISTS wire_lb")
+      client.query("CREATE TABLE wire_lb(k String, v Int32)")
+      client.query(
+        "INSERT INTO wire_lb VALUES ('a', 3), ('a', 2), ('a', 1), ('b', 9), ('b', 8)")
+
+      // top-1 per k by v DESC, through the full native-protocol path
+      val lb = client.rows(
+        "SELECT k, v FROM wire_lb ORDER BY v DESC, k LIMIT 1 BY k")
+      assert(lb(0).values === Vector("b", "a"))
+      assert(lb(1).values === Vector(9, 3))
+
+      // per-group sums plus the grand-total row (NULL key) in one pass
+      val wt = client.rows(
+        "SELECT k, CAST(sum(v) AS BIGINT) AS s FROM wire_lb " +
+          "GROUP BY k WITH TOTALS ORDER BY k NULLS FIRST")
+      assert(wt(0).values === Vector(null, "a", "b"))
+      assert(wt(1).values === Vector(23L, 6L, 17L))
+
+      client.query("DROP TABLE wire_lb")
+    } finally {
+      client.close()
+      server.stop()
+    }
+  }
+
   test("client-streamed INSERT Data blocks (DataEODPInsertQuery stage)") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
