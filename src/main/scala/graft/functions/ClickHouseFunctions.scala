@@ -170,6 +170,60 @@ object ClickHouseFunctions {
       s"$fn separator must be a string literal, got $other")
   }
 
+  /** CH addUnit/subtractUnit family: polymorphic like CH — Date inputs stay
+    * DATE for whole-day-or-coarser units (addDays(Date) → Date), anything
+    * else goes through timestamp arithmetic (addHours(Date) → DateTime,
+    * CH's own widening).
+    */
+  case class ChAddUnit(child: Expression, n: Expression, unit: String,
+                       timeZoneId: Option[String] = None)
+      extends RuntimeReplaceable with TimeZoneAwareExpression
+      with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+    override def left: Expression = child
+    override def right: Expression = n
+    // Sub-day arithmetic is exact epoch-micros addition (session is
+    // pinned UTC, same as CH's default timezone-naive arithmetic); month+
+    // units use calendar arithmetic with end-of-month clamping, as CH.
+    private def microsPer: Long = unit match {
+      case "HOUR" => 3600000000L
+      case "MINUTE" => 60000000L
+      case "SECOND" => 1000000L
+    }
+    private def months(k: Int): Expression =
+      MakeYMInterval(Literal(0), Multiply(Cast(n, IntegerType), Literal(k)))
+    private def tsAdd(ts: Expression): Expression = unit match {
+      // calendar month-add on a timestamp keeps the time of day (CH
+      // addMonths(DateTime) contract) — ts + YM interval
+      case "YEAR" => TimestampAddYMInterval(ts, months(12), timeZoneId)
+      case "QUARTER" => TimestampAddYMInterval(ts, months(3), timeZoneId)
+      case "MONTH" => TimestampAddYMInterval(ts, months(1), timeZoneId)
+      case "WEEK" => MicrosToTimestamp(Add(UnixMicros(ts),
+        Multiply(Cast(n, LongType), Literal(7L * 86400000000L))))
+      case "DAY" => MicrosToTimestamp(Add(UnixMicros(ts),
+        Multiply(Cast(n, LongType), Literal(86400000000L))))
+      case _ => MicrosToTimestamp(Add(UnixMicros(ts),
+        Multiply(Cast(n, LongType), Literal(microsPer))))
+    }
+    override lazy val replacement: Expression = child.dataType match {
+      case DateType => unit match {
+        case "YEAR" => AddMonths(child, Multiply(n, Literal(12)))
+        case "QUARTER" => AddMonths(child, Multiply(n, Literal(3)))
+        case "MONTH" => AddMonths(child, n)
+        case "WEEK" => DateAdd(child, Multiply(n, Literal(7)))
+        case "DAY" => DateAdd(child, n)
+        case _ => tsAdd(Cast(child, TimestampType, timeZoneId))
+      }
+      case _ => tsAdd(Cast(child, TimestampType, timeZoneId))
+    }
+    // same clobber as ChToDate: TimeZoneAwareExpression finalizes
+    // nodePatterns, so re-expose RUNTIME_REPLACEABLE for the rewrite rule
+    override def nodePatternsInternal(): Seq[TreePattern] =
+      Seq(TreePattern.RUNTIME_REPLACEABLE)
+    override def withTimeZone(tz: String): ChAddUnit = copy(timeZoneId = Some(tz))
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): ChAddUnit = copy(child = l, n = r)
+  }
+
   /** CH empty()/notEmpty(): type-polymorphic zero-length test (arrays,
     * maps, strings, binaries — string_functions.rs's empty kernel family).
     */
@@ -199,6 +253,10 @@ object ClickHouseFunctions {
     "toYYYYMM" -> one("toYYYYMM")(e =>
       Add(Multiply(Year(e), Literal(100)), Month(e))),
     "toQuarter" -> one("toQuarter")(e => Quarter(e)),
+    // toYYYYMMDD(d) = y*10000 + m*100 + d — the finer CH partition key.
+    "toYYYYMMDD" -> one("toYYYYMMDD")(e =>
+      Add(Add(Multiply(Year(e), Literal(10000)),
+        Multiply(Month(e), Literal(100))), DayOfMonth(e))),
     "toMonth" -> one("toMonth")(e => Month(e)),
     "toDayOfYear" -> one("toDayOfYear")(e => DayOfYear(e)),
     "toDayOfMonth" -> one("toDayOfMonth")(e => DayOfMonth(e)),
@@ -269,7 +327,43 @@ object ClickHouseFunctions {
     "bitAnd" -> two("bitAnd")((a, b) => BitwiseAnd(a, b)),
     "bitOr" -> two("bitOr")((a, b) => BitwiseOr(a, b)),
     "bitXor" -> two("bitXor")((a, b) => BitwiseXor(a, b)),
-    "bitNot" -> one("bitNot")(e => BitwiseNot(e))
+    "bitNot" -> one("bitNot")(e => BitwiseNot(e)),
+    // ---- CH datetime pack #2: truncation, arithmetic, diffs ------------
+    // toStartOf{Year,Quarter,Month} and toMonday return DATE (CH
+    // contract); the sub-day truncations return DateTime.
+    "toStartOfYear" -> one("toStartOfYear")(e =>
+      TruncDate(Cast(e, DateType), Literal("year"))),
+    "toStartOfQuarter" -> one("toStartOfQuarter")(e =>
+      TruncDate(Cast(e, DateType), Literal("quarter"))),
+    "toStartOfMonth" -> one("toStartOfMonth")(e =>
+      TruncDate(Cast(e, DateType), Literal("month"))),
+    "toMonday" -> one("toMonday")(e =>
+      TruncDate(Cast(e, DateType), Literal("week"))),
+    "toStartOfDay" -> one("toStartOfDay")(e =>
+      TruncTimestamp(Literal("day"), Cast(e, TimestampType))),
+    "toStartOfHour" -> one("toStartOfHour")(e =>
+      TruncTimestamp(Literal("hour"), Cast(e, TimestampType))),
+    "toStartOfMinute" -> one("toStartOfMinute")(e =>
+      TruncTimestamp(Literal("minute"), Cast(e, TimestampType))),
+    "addYears" -> two("addYears")((e, n) => ChAddUnit(e, n, "YEAR")),
+    "addMonths" -> two("addMonths")((e, n) => ChAddUnit(e, n, "MONTH")),
+    "addWeeks" -> two("addWeeks")((e, n) => ChAddUnit(e, n, "WEEK")),
+    "addDays" -> two("addDays")((e, n) => ChAddUnit(e, n, "DAY")),
+    "addHours" -> two("addHours")((e, n) => ChAddUnit(e, n, "HOUR")),
+    "addMinutes" -> two("addMinutes")((e, n) => ChAddUnit(e, n, "MINUTE")),
+    "addSeconds" -> two("addSeconds")((e, n) => ChAddUnit(e, n, "SECOND")),
+    "subtractDays" -> two("subtractDays")((e, n) =>
+      ChAddUnit(e, UnaryMinus(n), "DAY")),
+    "subtractMonths" -> two("subtractMonths")((e, n) =>
+      ChAddUnit(e, UnaryMinus(n), "MONTH")),
+    // dateDiff(unit, start, end): Spark's PARSER already special-cases
+    // this exact name with an unquoted unit keyword and maps it to
+    // TimestampDiff — registering it would never be reached and CH's
+    // quoted-'unit' spelling cannot pass the parser; callers use the
+    // unquoted form (which CH also accepts).
+    // epoch seconds, floor semantics (Spark's timestamp->long cast).
+    "toUnixTimestamp" -> one("toUnixTimestamp")(e =>
+      Cast(Cast(e, TimestampType), LongType))
   )
 
   /** Runtime registration on an existing session. */

@@ -271,6 +271,35 @@ object FuncQueries {
           |) ORDER BY k, part""".stripMargin)
     },
 
+    // CH datetime pack #2: toStartOf* truncation, add*/subtract*
+    // arithmetic, dateDiff, toUnixTimestamp — all over the events ts.
+    // Timestamps compare at µs via unix_micros/epoch_us (e02 convention);
+    // toUnixTimestamp floors (Spark timestamp→long == epoch_us // 1e6).
+    "f14_ch_datetime2" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      ClickHouseFunctions.register(s)
+      s.sql(
+        """SELECT CAST(toStartOfMonth(ts) AS DATE) AS month,
+          |  count(*) AS n,
+          |  CAST(min(unix_micros(toStartOfDay(ts))) AS BIGINT) AS min_day_us,
+          |  CAST(max(unix_micros(toStartOfHour(ts))) AS BIGINT) AS max_hr_us,
+          |  CAST(min(unix_micros(toStartOfMinute(ts))) AS BIGINT) AS min_min_us,
+          |  CAST(max(unix_micros(addHours(ts, 3))) AS BIGINT) AS max_add3h_us,
+          |  CAST(min(unix_micros(addSeconds(ts, -90))) AS BIGINT) AS min_sub90s_us,
+          |  CAST(max(unix_micros(CAST(addDays(CAST(ts AS DATE), 7) AS TIMESTAMP)))
+          |    AS BIGINT) AS max_add7d_us,
+          |  CAST(min(unix_micros(CAST(subtractMonths(CAST(ts AS DATE), 1) AS TIMESTAMP)))
+          |    AS BIGINT) AS min_sub1m_us,
+          |  CAST(max(unix_micros(CAST(toMonday(ts) AS TIMESTAMP))) AS BIGINT)
+          |    AS max_monday_us,
+          |  CAST(min(unix_micros(CAST(toStartOfQuarter(ts) AS TIMESTAMP))) AS BIGINT)
+          |    AS min_qtr_us,
+          |  CAST(min(toUnixTimestamp(ts)) AS BIGINT) AS min_unix,
+          |  CAST(max(dateDiff(day, CAST(toStartOfYear(ts) AS TIMESTAMP), ts))
+          |    AS BIGINT) AS max_days_into_year
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+
     // First event-table queries (time-series shape): daily rollup with
     // exact decimal sums.
     "e01_events_daily" -> { (s, dir) =>
@@ -337,6 +366,27 @@ object FuncQueries {
         |  SELECT n_nationkey AS k, unnest(str_split(n_name, 'A')) AS part
         |  FROM nation
         |) t ORDER BY k, part""".stripMargin,
+
+    "f14_ch_datetime2" ->
+      """SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+        |  count(*) AS n,
+        |  CAST(min(epoch_us(date_trunc('day', ts))) AS BIGINT) AS min_day_us,
+        |  CAST(max(epoch_us(date_trunc('hour', ts))) AS BIGINT) AS max_hr_us,
+        |  CAST(min(epoch_us(date_trunc('minute', ts))) AS BIGINT) AS min_min_us,
+        |  CAST(max(epoch_us(ts + INTERVAL 3 HOUR)) AS BIGINT) AS max_add3h_us,
+        |  CAST(min(epoch_us(ts - INTERVAL 90 SECOND)) AS BIGINT) AS min_sub90s_us,
+        |  CAST(max(epoch_us(CAST(CAST(ts AS DATE) + INTERVAL 7 DAY AS TIMESTAMP)))
+        |    AS BIGINT) AS max_add7d_us,
+        |  CAST(min(epoch_us(CAST(CAST(ts AS DATE) - INTERVAL 1 MONTH AS TIMESTAMP)))
+        |    AS BIGINT) AS min_sub1m_us,
+        |  CAST(max(epoch_us(CAST(date_trunc('week', ts) AS TIMESTAMP))) AS BIGINT)
+        |    AS max_monday_us,
+        |  CAST(min(epoch_us(CAST(date_trunc('quarter', ts) AS TIMESTAMP))) AS BIGINT)
+        |    AS min_qtr_us,
+        |  CAST(min(epoch_us(ts) // 1000000) AS BIGINT) AS min_unix,
+        |  CAST(max(date_diff('day', date_trunc('year', ts), ts)) AS BIGINT)
+        |    AS max_days_into_year
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "f01_ch_datetime" ->
       """SELECT CAST(year(ts) AS INT) AS yr,

@@ -110,10 +110,17 @@ object LlmQueries {
     * emitter for both engines and both entries, so the Lloyd's math can
     * never drift between Spark, DuckDB, l12 and l12b.
     */
-  private def ivfTrainCtes(spark: Boolean, src: String): String =
+  private def ivfTrainCtes(spark: Boolean, src: String): String = {
+    // Stratify seeds by (vec_id div 4) % K, NOT vec_id % K: the l12b
+    // training sample is `vec_id % 4 = 0`, and a % K stratum aligned with
+    // the sampling modulus collapses the seed set (ids ≡ 0 mod 4 hit only
+    // residues {0, 4} mod 8 — a silently 2-centroid quantizer). Dividing
+    // out the sample stride first makes every stratum populated for both
+    // the full corpus and the sample.
+    val div = if (spark) "DIV" else "//"
     s"""seeds AS (
-       |  SELECT vec_id % 8 AS cid, min(vec_id) AS sv
-       |  FROM $src se GROUP BY vec_id % 8
+       |  SELECT (vec_id $div 4) % 8 AS cid, min(vec_id) AS sv
+       |  FROM $src se GROUP BY (vec_id $div 4) % 8
        |), c0 AS (
        |  SELECT s.cid, e.embedding AS ce
        |  FROM seeds s JOIN $src e ON e.vec_id = s.sv
@@ -122,6 +129,7 @@ object LlmQueries {
        |${ivfUpdate(spark, "c1", src, "a0")},
        |${ivfAssign(spark, "a1", src, "c1")},
        |${ivfUpdate(spark, "c2", src, "a1")}""".stripMargin
+  }
 
   private[graft] def ivfSql(spark: Boolean,
                             finalSelect: String = ""): String = {
@@ -354,8 +362,11 @@ object LlmQueries {
     val key = java.util.UUID.nameUUIDFromBytes(
       java.nio.file.Paths.get(dir).toAbsolutePath.toString
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
+    // v2: the seed-stratifier fix (sample-independent strata) retrains a
+    // different — actually 8-centroid — quantizer; old stores must not
+    // be served.
     val store = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft-ivf-centroids-v1-$key")
+      sys.props("java.io.tmpdir"), s"graft-ivf-centroids-v2-$key")
     if (!java.nio.file.Files.exists(store)) {
       val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-train")
       s.sql(ivfTrainSql(spark = true)).coalesce(1)
@@ -1185,10 +1196,14 @@ object LlmQueries {
       if (trainSample) ",\nsubt AS (SELECT * FROM sub WHERE vec_id % 4 = 0)"
       else ""
     val sampleWhere = if (trainSample) "WHERE vec_id % 4 = 0 " else ""
+    // sample-independent stratifier (the ivfTrainCtes rationale): ids
+    // ≡ 0 mod 4 hit every (vec_id div 4) % 4 residue, so the sampled
+    // build still seeds all K=4 centroids per subspace.
+    val idiv = if (spark) "DIV" else "//"
     s"""WITH $subCte$subtCte,
        |pseeds AS (
-       |  SELECT CAST(vec_id % 4 AS INT) AS cid, min(vec_id) AS sv_id
-       |  FROM embeddings ${sampleWhere}GROUP BY vec_id % 4
+       |  SELECT CAST((vec_id $idiv 4) % 4 AS INT) AS cid, min(vec_id) AS sv_id
+       |  FROM embeddings ${sampleWhere}GROUP BY (vec_id $idiv 4) % 4
        |), pc0 AS (
        |  SELECT s.sub, p.cid, s.sv AS ce
        |  FROM pseeds p JOIN sub s ON s.vec_id = p.sv_id
@@ -1256,7 +1271,7 @@ object LlmQueries {
       java.nio.file.Paths.get(dir).toAbsolutePath.toString
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
     val store = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft-pq-$what-v1-$key")
+      sys.props("java.io.tmpdir"), s"graft-pq-$what-v2-$key")
     if (!java.nio.file.Files.exists(store)) {
       val tmp = java.nio.file.Files.createTempDirectory(s"graft-pq-$what")
       s.sql(sqlText).coalesce(1).write.mode("overwrite").parquet(tmp.toString)

@@ -147,4 +147,24 @@ class ChFunctionsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT arrayJoin(array(1, 2, 3)) AS x")
       .collect().map(_.getInt(0)).toSeq === Seq(1, 2, 3))
   }
+
+  test("datetime pack #2: CH polymorphism and arithmetic") {
+    ready
+    // addDays on a Date stays DATE; addHours on a Date widens to
+    // DateTime — CH's own contract
+    val t = spark.sql(
+      "SELECT addDays(DATE'2024-01-30', 3) AS d, addHours(DATE'2024-01-30', 5) AS h")
+    assert(t.schema("d").dataType.typeName === "date")
+    assert(t.schema("h").dataType.typeName === "timestamp")
+    val r = t.head()
+    assert(r.getDate(0).toString === "2024-02-02")
+    assert(r.getTimestamp(1).toString.startsWith("2024-01-30 05:00:00"))
+    // month arithmetic clamps like CH (Mar 31 - 1 month = Feb 29 in 2024)
+    assert(sql1("SELECT CAST(subtractMonths(DATE'2024-03-31', 1) AS STRING)")
+      === "2024-02-29")
+    assert(sql1("SELECT CAST(toMonday(DATE'2024-01-31') AS STRING)") === "2024-01-29")
+    assert(sql1("SELECT dateDiff(day, TIMESTAMP'2024-01-01 00:00:00', " +
+      "TIMESTAMP'2024-01-03 23:00:00')") === 2L)
+    assert(sql1("SELECT toUnixTimestamp(TIMESTAMP'1970-01-01 00:01:01.9')") === 61L)
+  }
 }
