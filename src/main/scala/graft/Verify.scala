@@ -12,12 +12,16 @@ object Verify {
       case Array(s, o)     => (s, o, Set.empty[String])
       case Array(s, o, sk) => (s, o, sk.split(",").map(_.trim).toSet)
     }
+    // optional builder-side dev loop: GRAFT_VERIFY_ONLY=q1,q2 runs just
+    // those entries (the driver never sets it, so its gate is unaffected)
+    val only = sys.env.get("GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = Sessions.build("graft-verify")
     new java.io.File(outDir).mkdirs()
     val plansDir = Paths.get("target/plans")
     Files.createDirectories(plansDir)
     SparkEntry.queries.foreach { case (name, fn) =>
-      try if (!skip(name)) {
+      try if (!skip(name) && only.forall(_.contains(name))) {
         System.err.println(s"[verify] start $name")
         val df = fn(spark, sfDir)
         // plan snapshot for shuffle/pushdown audits without re-deriving

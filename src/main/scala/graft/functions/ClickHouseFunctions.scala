@@ -143,6 +143,56 @@ object ClickHouseFunctions {
 
   private type Builder = Seq[Expression] => Expression
 
+  // ---- lambda plumbing for the CH array higher-order family ------------
+  // CH's functional array surface (arrayMap/arrayFilter/...) takes the
+  // lambda FIRST: arrayMap(x -> x*2, arr). Spark's SQL parser hands the
+  // registry builder the parsed LambdaFunction as an ordinary child, so
+  // each builder just reorders children into the matching Catalyst
+  // higher-order expression; ResolveLambdaVariables then binds the vars
+  // exactly as for Spark's own transform()/filter().
+  private def nv(n: String): UnresolvedNamedLambdaVariable =
+    UnresolvedNamedLambdaVariable(Seq(n))
+
+  private def lambdaOf(e: Expression, fn: String): LambdaFunction = e match {
+    case l: LambdaFunction => l
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a lambda (x -> expr) as its first argument, got $other")
+  }
+
+  /** aggregate(arr, 0, (acc,x) -> acc+x): zero is an Int literal so the
+    * analyzer's ArrayAggregate coercion widens it to the element family
+    * (Long stays Long, fractional goes Double) — CH's arraySum widening.
+    */
+  private def arraySumOf(a: Expression): Expression = {
+    val acc = nv("graft_acc"); val x = nv("graft_x"); val fin = nv("graft_fin")
+    ArrayAggregate(a, Literal(0L),
+      LambdaFunction(Add(acc, x), Seq(acc, x)),
+      LambdaFunction(fin, Seq(fin)))
+  }
+
+  /** Key-function sort (CH arraySort(λ, a)): decorate-sort-undecorate with
+    * the parsed lambda's own body/args reused verbatim — sort an array of
+    * (key, value) structs, then project the value back out. Ties on the
+    * key fall back to the element's own ordering (deterministic in both
+    * engines; CH's stable sort differs only for duplicate elements, which
+    * compare equal anyway).
+    */
+  private def arrayKeySort(l: LambdaFunction, a: Expression,
+                           asc: Boolean): Expression = {
+    val pair = CreateNamedStruct(Seq(
+      Literal("k"), l.function, Literal("v"), l.arguments.head))
+    val p = nv("graft_p")
+    ArrayTransform(
+      SortArray(ArrayTransform(a, LambdaFunction(pair, l.arguments)),
+        Literal(asc)),
+      LambdaFunction(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+          p, Literal("v")), Seq(p)))
+  }
+
+  private def emptyIntArray: Expression =
+    Literal.create(Array.empty[Int], ArrayType(IntegerType))
+
   private def one(name: String)(f: Expression => Expression): Builder = {
     case Seq(e) => f(e)
     case exprs => throw new IllegalArgumentException(
@@ -363,7 +413,116 @@ object ClickHouseFunctions {
     // unquoted form (which CH also accepts).
     // epoch seconds, floor semantics (Spark's timestamp->long cast).
     "toUnixTimestamp" -> one("toUnixTimestamp")(e =>
-      Cast(Cast(e, TimestampType), LongType))
+      Cast(Cast(e, TimestampType), LongType)),
+    // ---- CH array higher-order pack (round-10 session 4) ---------------
+    // CH puts the lambda first; each builder reorders into the codegen'd
+    // Catalyst higher-order expression. arrayMap over 2 arrays is CH's
+    // n-ary form → ZipWith.
+    "arrayMap" -> { exprs => exprs match {
+      case Seq(l, a) => ArrayTransform(a, lambdaOf(l, "arrayMap"))
+      case Seq(l, a, b) => ZipWith(a, b, lambdaOf(l, "arrayMap"))
+      case _ => throw new IllegalArgumentException(
+        "arrayMap expects (lambda, array[, array2])")
+    }},
+    "arrayFilter" -> two("arrayFilter")((l, a) =>
+      ArrayFilter(a, lambdaOf(l, "arrayFilter"))),
+    "arrayExists" -> two("arrayExists")((l, a) =>
+      ArrayExists(a, lambdaOf(l, "arrayExists"))),
+    "arrayAll" -> two("arrayAll")((l, a) =>
+      ArrayForAll(a, lambdaOf(l, "arrayAll"))),
+    // Lambda-carrying builders must RETURN a HigherOrderFunction (the
+    // analyzer rejects e.g. Size(ArrayFilter(..)) as the built root), so
+    // count/first are ArrayAggregate folds that splice the parsed
+    // lambda's own variable in as the fold's element argument.
+    "arrayCount" -> two("arrayCount")((l0, a) => {
+      val l = lambdaOf(l0, "arrayCount")
+      val acc = nv("graft_acc"); val fin = nv("graft_fin")
+      ArrayAggregate(a, Literal(0),
+        LambdaFunction(Add(acc, If(l.function, Literal(1), Literal(0))),
+          Seq(acc, l.arguments.head)),
+        LambdaFunction(fin, Seq(fin)))
+    }),
+    // CH arrayFirst returns default(T) when nothing matches; here the
+    // ANSI answer is NULL (documented divergence, same spirit as the
+    // WITH TOTALS NULL-keyed totals row). First-match fold: keep the
+    // first element whose predicate fired.
+    // The fold's zero must carry the element type, which is unknown at
+    // build time — an empty slice OF THE INPUT ARRAY is the typed empty;
+    // matches accumulate as 1-element arrays and finish unwraps (null
+    // when nothing matched; element_at is non-throwing by construction).
+    "arrayFirst" -> two("arrayFirst")((l0, a) => {
+      val l = lambdaOf(l0, "arrayFirst")
+      val acc = nv("graft_acc"); val fin = nv("graft_fin")
+      val x = l.arguments.head
+      ArrayAggregate(a, Slice(a, Literal(1), Literal(0)),
+        LambdaFunction(If(And(EqualTo(Size(acc), Literal(0)), l.function),
+          CreateArray(Seq(x)), acc), Seq(acc, x)),
+        LambdaFunction(ElementAt(fin, Literal(1), None, false), Seq(fin)))
+    }),
+    "arraySum" -> { exprs => exprs match {
+      case Seq(a) => arraySumOf(a)
+      case Seq(l, a) => arraySumOf(ArrayTransform(a, lambdaOf(l, "arraySum")))
+      case _ => throw new IllegalArgumentException(
+        "arraySum expects ([lambda,] array)")
+    }},
+    "arrayAvg" -> one("arrayAvg")(a =>
+      Divide(Cast(arraySumOf(a), DoubleType), Cast(Size(a), DoubleType))),
+    "arrayMin" -> one("arrayMin")(a => ArrayMin(a)),
+    "arrayMax" -> one("arrayMax")(a => ArrayMax(a)),
+    "arraySort" -> { exprs => exprs match {
+      case Seq(a) => SortArray(a, Literal(true))
+      case Seq(l, a) => arrayKeySort(lambdaOf(l, "arraySort"), a, asc = true)
+      case _ => throw new IllegalArgumentException(
+        "arraySort expects ([lambda,] array)")
+    }},
+    "arrayReverseSort" -> { exprs => exprs match {
+      case Seq(a) => SortArray(a, Literal(false))
+      case Seq(l, a) => arrayKeySort(lambdaOf(l, "arrayReverseSort"), a, asc = false)
+      case _ => throw new IllegalArgumentException(
+        "arrayReverseSort expects ([lambda,] array)")
+    }},
+    "arrayDistinct" -> one("arrayDistinct")(a => ArrayDistinct(a)),
+    "arrayUniq" -> one("arrayUniq")(a => Size(ArrayDistinct(a))),
+    "arrayConcat" -> { exprs =>
+      require(exprs.nonEmpty, "arrayConcat expects at least one array")
+      Concat(exprs)
+    },
+    // CH arraySlice(a, offset[, length]): 1-based, negative offset counts
+    // from the end, omitted length runs to the end — Slice's own contract,
+    // with size(a) as the always-sufficient default length.
+    "arraySlice" -> { exprs => exprs match {
+      case Seq(a, off) => Slice(a, off, Size(a))
+      case Seq(a, off, len) => Slice(a, off, len)
+      case _ => throw new IllegalArgumentException(
+        "arraySlice expects (array, offset[, length])")
+    }},
+    "arrayReverse" -> one("arrayReverse")(a => Reverse(a)),
+    "arrayFlatten" -> one("arrayFlatten")(a => Flatten(a)),
+    "arrayEnumerate" -> one("arrayEnumerate")(a =>
+      If(EqualTo(Size(a), Literal(0)), emptyIntArray,
+        new Sequence(Literal(1), Size(a)))),
+    "arrayPushBack" -> two("arrayPushBack")((a, x) =>
+      Concat(Seq(a, CreateArray(Seq(x))))),
+    "arrayPushFront" -> two("arrayPushFront")((a, x) =>
+      Concat(Seq(CreateArray(Seq(x)), a))),
+    "arrayPopBack" -> one("arrayPopBack")(a =>
+      Slice(a, Literal(1), Greatest(Seq(Subtract(Size(a), Literal(1)),
+        Literal(0))))),
+    "arrayPopFront" -> one("arrayPopFront")(a =>
+      Slice(a, Literal(2), Size(a))),
+    // CH range(N) = [0..N) / range(start, end) — empty when end <= start.
+    "range" -> { exprs => exprs match {
+      case Seq(n) =>
+        val en = Cast(n, IntegerType)
+        If(LessThanOrEqual(en, Literal(0)), emptyIntArray,
+          new Sequence(Literal(0), Subtract(en, Literal(1))))
+      case Seq(st, en) =>
+        val s0 = Cast(st, IntegerType); val e0 = Cast(en, IntegerType)
+        If(LessThanOrEqual(e0, s0), emptyIntArray,
+          new Sequence(s0, Subtract(e0, Literal(1))))
+      case _ => throw new IllegalArgumentException(
+        "range expects (end) or (start, end)")
+    }}
   )
 
   /** Runtime registration on an existing session. */

@@ -300,6 +300,54 @@ object FuncQueries {
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
     },
 
+    // CH array higher-order pack (f15): arrayMap/Filter/Exists/All/Count/
+    // First, arraySum/Avg/Min/Max (lambda-first CH arg order), key-function
+    // arraySort/arrayReverseSort (decorate-sort-undecorate), set/slice/
+    // push/pop surface, arrayEnumerate, range, and the 2-array arrayMap
+    // (ZipWith). Every builder is a codegen'd Catalyst higher-order
+    // expression; array outputs stringify so the driver hashes scalars.
+    "f15_array_hof" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      ClickHouseFunctions.register(s)
+      s.sql(
+        """WITH a AS (
+          |  SELECT doc_id,
+          |    arrayFilter(w -> notEmpty(w), splitByChar(' ', text)) AS ws
+          |  FROM documents WHERE doc_id % 7 = 0
+          |)
+          |SELECT doc_id,
+          |  arrayStringConcat(arrayMap(w -> upperUTF8(w), arraySlice(ws, 1, 5)), ' ')
+          |    AS first5_up,
+          |  CAST(arrayCount(w -> lengthUTF8(w) > 3, ws) AS BIGINT) AS n_long,
+          |  arrayExists(w -> w = 'the', ws) AS has_the,
+          |  arrayAll(w -> lengthUTF8(w) < 30, ws) AS all_short,
+          |  CAST(arraySum(w -> lengthUTF8(w), ws) AS BIGINT) AS sum_len,
+          |  round(arrayAvg(arrayMap(w -> lengthUTF8(w), ws)), 6) AS avg_len,
+          |  CAST(arrayMin(arrayMap(w -> lengthUTF8(w), ws)) AS INT) AS min_len,
+          |  CAST(arrayMax(arrayMap(w -> lengthUTF8(w), ws)) AS INT) AS max_len,
+          |  ifNull(arrayFirst(w -> lengthUTF8(w) > 6, ws), '-') AS first_long,
+          |  arrayStringConcat(arraySort(arrayDistinct(arrayMap(w -> lowerUTF8(w),
+          |    arrayFilter(w -> lengthUTF8(w) > 6, ws)))), ',') AS longs,
+          |  CAST(arrayUniq(ws) AS BIGINT) AS n_uniq,
+          |  arrayStringConcat(arrayReverse(arraySlice(ws, 1, 4)), '|') AS rev4,
+          |  arrayStringConcat(arraySort(w -> lengthUTF8(w), arraySlice(ws, 1, 6)), ' ')
+          |    AS bylen,
+          |  arrayStringConcat(arrayReverseSort(w -> lengthUTF8(w), arraySlice(ws, 1, 6)), ' ')
+          |    AS bylen_desc,
+          |  arrayStringConcat(arrayMap(i -> toString(i),
+          |    arrayEnumerate(arraySlice(ws, 1, 3))), ',') AS enum3,
+          |  arrayStringConcat(arrayMap(x -> toString(x),
+          |    range(CAST(doc_id % 5 AS INT))), ',') AS rng,
+          |  arrayStringConcat(arrayPushFront(arrayPushBack(
+          |    arrayPopFront(arrayPopBack(arraySlice(ws, 1, 4))), 'E'), 'B'), ' ')
+          |    AS shifted,
+          |  arrayStringConcat(arrayFlatten(arrayMap(w -> arrayConcat(array(w),
+          |    array('.')), arraySlice(ws, 1, 3))), '') AS dotted,
+          |  CAST(arraySum(arrayMap((x, y) -> lengthUTF8(x) * y, arraySlice(ws, 1, 5),
+          |    arrayEnumerate(arraySlice(ws, 1, 5)))) AS BIGINT) AS wsum
+          |FROM a ORDER BY doc_id""".stripMargin)
+    },
+
     // First event-table queries (time-series shape): daily rollup with
     // exact decimal sums.
     "e01_events_daily" -> { (s, dir) =>
@@ -334,6 +382,51 @@ object FuncQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "f15_array_hof" ->
+      """WITH a AS (
+        |  SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents WHERE doc_id % 7 = 0
+        |)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(list_transform(array_slice(ws, 1, 5), w -> upper(w)), ' '), '')
+        |    AS first5_up,
+        |  CAST(len(list_filter(ws, w -> length(w) > 3)) AS BIGINT) AS n_long,
+        |  len(list_filter(ws, w -> w = 'the')) > 0 AS has_the,
+        |  len(list_filter(ws, w -> length(w) >= 30)) = 0 AS all_short,
+        |  CAST(coalesce(list_aggregate(list_transform(ws, w -> length(w)), 'sum'), 0)
+        |    AS BIGINT) AS sum_len,
+        |  round(CAST(list_aggregate(list_transform(ws, w -> length(w)), 'sum')
+        |    AS DOUBLE) / len(ws), 6) AS avg_len,
+        |  CAST(list_aggregate(list_transform(ws, w -> length(w)), 'min') AS INT)
+        |    AS min_len,
+        |  CAST(list_aggregate(list_transform(ws, w -> length(w)), 'max') AS INT)
+        |    AS max_len,
+        |  coalesce(list_filter(ws, w -> length(w) > 6)[1], '-') AS first_long,
+        |  coalesce(array_to_string(list_sort(list_distinct(list_transform(
+        |    list_filter(ws, w -> length(w) > 6), w -> lower(w)))), ','), '') AS longs,
+        |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_uniq,
+        |  coalesce(array_to_string(list_reverse(array_slice(ws, 1, 4)), '|'), '') AS rev4,
+        |  coalesce(array_to_string(list_transform(list_sort(list_transform(
+        |    array_slice(ws, 1, 6), w -> {'k': length(w), 'v': w})), p -> p.v), ' '), '')
+        |    AS bylen,
+        |  coalesce(array_to_string(list_transform(list_reverse_sort(list_transform(
+        |    array_slice(ws, 1, 6), w -> {'k': length(w), 'v': w})), p -> p.v), ' '), '')
+        |    AS bylen_desc,
+        |  coalesce(array_to_string(list_transform(generate_series(1,
+        |    len(array_slice(ws, 1, 3))), i -> i::VARCHAR), ','), '') AS enum3,
+        |  coalesce(array_to_string(list_transform(range(CAST(doc_id % 5 AS INT)),
+        |    x -> x::VARCHAR), ','), '') AS rng,
+        |  coalesce(array_to_string(list_concat(list_concat(['B'],
+        |    array_slice(array_slice(array_slice(ws, 1, 4), 1,
+        |      greatest(len(array_slice(ws, 1, 4)) - 1, 0)), 2, 1000000)), ['E']), ' '), '')
+        |    AS shifted,
+        |  coalesce(array_to_string(flatten(list_transform(array_slice(ws, 1, 3),
+        |    w -> [w, '.'])), ''), '') AS dotted,
+        |  CAST(coalesce(list_aggregate(list_transform(generate_series(1,
+        |    len(array_slice(ws, 1, 5))),
+        |    i -> length(array_slice(ws, 1, 5)[i]) * i), 'sum'), 0) AS BIGINT) AS wsum
+        |FROM a ORDER BY doc_id""".stripMargin,
+
     "f12_ch_scalar_pack2" ->
       """WITH a AS (
         |  SELECT n_nationkey AS k, n_name, str_split(n_name, 'A') AS parts

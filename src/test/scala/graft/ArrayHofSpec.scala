@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.ClickHouseFunctions
+
+/** CH array higher-order pack: lambda-first argument order, the
+  * ArrayAggregate-rooted folds (count/first/sum), key-function sorts, and
+  * the slice/push/pop/enumerate/range surface. Each case pins a semantics
+  * choice the f15 oracle relies on (empty-array results, arrayFirst's
+  * NULL-on-absent divergence from CH's default(T), arraySum widening).
+  */
+class ArrayHofSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val ready = { ClickHouseFunctions.register(spark); true }
+
+  private def sql1(q: String): Any = { ready; spark.sql(q).head().get(0) }
+
+  test("arrayMap / arrayFilter / arrayExists / arrayAll — lambda first") {
+    assert(sql1("SELECT arrayMap(x -> x * 2, array(1, 2, 3))") ===
+      Seq(2, 4, 6))
+    assert(sql1("SELECT arrayFilter(x -> x % 2 = 0, array(1, 2, 3, 4))") ===
+      Seq(2, 4))
+    assert(sql1("SELECT arrayExists(x -> x > 2, array(1, 2, 3))") === true)
+    assert(sql1("SELECT arrayExists(x -> x > 9, array(1, 2, 3))") === false)
+    assert(sql1("SELECT arrayAll(x -> x > 0, array(1, 2, 3))") === true)
+    assert(sql1("SELECT arrayAll(x -> x > 1, array(1, 2, 3))") === false)
+  }
+
+  test("2-array arrayMap is ZipWith (CH n-ary form)") {
+    assert(sql1(
+      "SELECT arrayMap((x, y) -> x * y, array(1, 2, 3), array(10, 20, 30))") ===
+      Seq(10, 40, 90))
+  }
+
+  test("arrayCount / arrayFirst fold forms") {
+    assert(sql1("SELECT arrayCount(x -> x > 1, array(1, 2, 3))") === 2)
+    assert(sql1("SELECT arrayCount(x -> x > 9, array(1, 2, 3))") === 0)
+    assert(sql1("SELECT arrayFirst(x -> x > 1, array(1, 2, 3))") === 2)
+    // CH returns default(T)=0 here; our ANSI divergence is NULL (documented)
+    assert(sql1("SELECT arrayFirst(x -> x > 9, array(1, 2, 3))") === null)
+    assert(sql1("SELECT arrayFirst(w -> length(w) = 2, array('a','bb','cc'))") ===
+      "bb")
+  }
+
+  test("arraySum / arrayAvg / arrayMin / arrayMax with CH widening") {
+    assert(sql1("SELECT arraySum(array(1, 2, 3))") === 6L)
+    assert(sql1("SELECT arraySum(x -> x * x, array(1, 2, 3))") === 14L)
+    assert(sql1("SELECT arraySum(array())") === 0L)
+    assert(sql1("SELECT arrayAvg(array(1, 2, 3, 4))") === 2.5)
+    assert(sql1("SELECT arrayMin(array(3, 1, 2))") === 1)
+    assert(sql1("SELECT arrayMax(array(3, 1, 2))") === 3)
+  }
+
+  test("arraySort / arrayReverseSort, plain and key-function") {
+    assert(sql1("SELECT arraySort(array(3, 1, 2))") === Seq(1, 2, 3))
+    assert(sql1("SELECT arrayReverseSort(array(3, 1, 2))") === Seq(3, 2, 1))
+    // key sort: by length, ties by element value (deterministic both engines)
+    assert(sql1(
+      "SELECT arraySort(w -> length(w), array('ccc', 'a', 'bb', 'ab'))") ===
+      Seq("a", "ab", "bb", "ccc"))
+    assert(sql1(
+      "SELECT arrayReverseSort(w -> length(w), array('ccc', 'a', 'bb', 'ab'))") ===
+      Seq("ccc", "bb", "ab", "a"))
+  }
+
+  test("distinct / uniq / concat / slice / reverse / flatten") {
+    assert(sql1("SELECT arrayDistinct(array(1, 2, 1, 3, 2))") === Seq(1, 2, 3))
+    assert(sql1("SELECT arrayUniq(array(1, 2, 1, 3, 2))") === 3)
+    assert(sql1("SELECT arrayConcat(array(1, 2), array(3), array(4))") ===
+      Seq(1, 2, 3, 4))
+    // CH arraySlice: 1-based, negative offset from the end, no-length = rest
+    assert(sql1("SELECT arraySlice(array(1, 2, 3, 4), 2)") === Seq(2, 3, 4))
+    assert(sql1("SELECT arraySlice(array(1, 2, 3, 4), 2, 2)") === Seq(2, 3))
+    assert(sql1("SELECT arraySlice(array(1, 2, 3, 4), -2)") === Seq(3, 4))
+    assert(sql1("SELECT arrayReverse(array(1, 2, 3))") === Seq(3, 2, 1))
+    assert(sql1("SELECT arrayFlatten(array(array(1, 2), array(3)))") ===
+      Seq(1, 2, 3))
+  }
+
+  test("push/pop family and empty-array edges") {
+    assert(sql1("SELECT arrayPushBack(array(1, 2), 3)") === Seq(1, 2, 3))
+    assert(sql1("SELECT arrayPushFront(array(1, 2), 0)") === Seq(0, 1, 2))
+    assert(sql1("SELECT arrayPopBack(array(1, 2, 3))") === Seq(1, 2))
+    assert(sql1("SELECT arrayPopFront(array(1, 2, 3))") === Seq(2, 3))
+    assert(sql1("SELECT arrayPopBack(array(7))") === Seq.empty)
+    assert(sql1("SELECT arrayPopFront(array(7))") === Seq.empty)
+  }
+
+  test("arrayEnumerate / range with empty guards") {
+    assert(sql1("SELECT arrayEnumerate(array('a', 'b', 'c'))") === Seq(1, 2, 3))
+    assert(sql1("SELECT arrayEnumerate(arrayPopBack(array(1)))") === Seq.empty)
+    assert(sql1("SELECT range(4)") === Seq(0, 1, 2, 3))
+    assert(sql1("SELECT range(0)") === Seq.empty)
+    assert(sql1("SELECT range(2, 5)") === Seq(2, 3, 4))
+    assert(sql1("SELECT range(5, 5)") === Seq.empty)
+  }
+}
