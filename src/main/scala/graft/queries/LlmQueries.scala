@@ -1428,7 +1428,148 @@ object LlmQueries {
        |  CAST(sum(tik) AS BIGINT) AS n_tokens
        |FROM tiks GROUP BY ch ORDER BY window_id""".stripMargin
 
+  /** l28 DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"), ONE emitter for both
+    * dialects: tokens hash into 1024 buckets (48-bit md5 prefix — the
+    * repo's portable hash), the target domain (lang='en') and the raw
+    * corpus each get add-1-smoothed bucket distributions, and a doc's
+    * importance is the mean log-likelihood ratio of its token buckets.
+    * Determinism: the per-bucket log ratio rounds to 6 dp and sums as
+    * DECIMAL(18,6) — exact, order-independent — before the final double
+    * division.
+    *
+    * 100 TB: the weight table is exactly 1024 rows (broadcast to the
+    * scoring pass — hinted below), so the whole pipeline is two linear
+    * passes over the token stream: one aggregation to build the bucket
+    * histograms, one map-side-joined aggregation to score docs. No
+    * all-pairs, no vocabulary-sized state on any single node.
+    */
+  private def dsirSql(spark: Boolean): String = {
+    val tok =
+      if (spark)
+        """tok AS (
+          |  SELECT doc_id, lang, w
+          |  FROM documents LATERAL VIEW explode(split(text, ' ')) t AS w
+          |  WHERE w <> ''
+          |)""".stripMargin
+      else
+        """tok AS (
+          |  SELECT doc_id, lang, w FROM (
+          |    SELECT doc_id, lang, unnest(str_split(text, ' ')) AS w
+          |    FROM documents) u
+          |  WHERE w <> ''
+          |)""".stripMargin
+    val bucket =
+      if (spark) "CAST(conv(substr(md5(w), 1, 12), 16, 10) AS BIGINT) % 1024"
+      else "CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT) % 1024"
+    val hint = if (spark) "/*+ BROADCAST(wt) */ " else ""
+    s"""WITH $tok, feat AS (
+       |  SELECT doc_id, lang, $bucket AS b FROM tok
+       |), raw AS (
+       |  SELECT b, count(*) AS r FROM feat GROUP BY b
+       |), tgt AS (
+       |  SELECT b, count(*) AS t FROM feat WHERE lang = 'en' GROUP BY b
+       |), tots AS (
+       |  SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) AS tt,
+       |    CAST(count(*) AS DOUBLE) AS rt
+       |  FROM feat
+       |), wts AS (
+       |  SELECT raw.b,
+       |    CAST(round(ln(((coalesce(t, 0) + 1.0) / (tt + 1024.0))
+       |      / ((r + 1.0) / (rt + 1024.0))), 6) AS DECIMAL(18,6)) AS lw
+       |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tots
+       |), score AS (
+       |  SELECT ${hint}f.doc_id, count(*) AS n_tok,
+       |    round(CAST(sum(wt.lw) AS DOUBLE) / count(*), 6) AS imp
+       |  FROM feat f JOIN wts wt ON f.b = wt.b
+       |  GROUP BY f.doc_id
+       |)
+       |SELECT s.doc_id, d.lang, CAST(s.n_tok AS BIGINT) AS n_tok, s.imp
+       |FROM score s JOIN documents d ON s.doc_id = d.doc_id
+       |ORDER BY s.imp DESC, s.doc_id
+       |LIMIT 30""".stripMargin
+  }
+
+  /** l29 cross-source overlap matrix: per-source MinHash signatures (32
+    * permutations via the salted 48-bit md5 hash) estimate pairwise
+    * Jaccard between sources over their distinct 40-char stride-10
+    * windows (the l25 shingle), with the exact Jaccard computed alongside
+    * for every pair — corpus-level contamination/overlap analytics.
+    *
+    * 100 TB: the signature relation is |sources| × 32 rows — the pairwise
+    * comparison is over signatures, never over content. The exact-Jaccard
+    * column is the audit path (a shingle-keyed equi-join, one shuffle,
+    * pair fan-out bounded by shingle frequency); at petabyte scale one
+    * drops the audit and keeps the signature estimate.
+    */
+  private def overlapSql(spark: Boolean): String = {
+    val wnd =
+      if (spark)
+        """tok AS (
+          |  SELECT DISTINCT source, h FROM (
+          |    SELECT source, md5(substr(text, 1 + i * 10, 40)) AS h
+          |    FROM (SELECT source, text FROM documents WHERE length(text) >= 40) d
+          |    LATERAL VIEW explode(
+          |      sequence(0, CAST(floor((length(text) - 40) / 10) AS INT))) t AS i
+          |  ) x
+          |)""".stripMargin
+      else
+        """tok AS (
+          |  SELECT DISTINCT source, h FROM (
+          |    SELECT source, md5(substr(text, 1 + i * 10, 40)) AS h
+          |    FROM (
+          |      SELECT source, text,
+          |        unnest(range(0, CAST(floor((length(text) - 40) / 10) AS BIGINT) + 1)) AS i
+          |      FROM documents WHERE length(text) >= 40) d
+          |  ) x
+          |)""".stripMargin
+    val perm =
+      if (spark) "perm AS (SELECT explode(sequence(0, 31)) AS i)"
+      else "perm AS (SELECT unnest(range(32)) AS i)"
+    val salted =
+      if (spark)
+        "CAST(conv(substr(md5(concat(h, '#', i)), 1, 12), 16, 10) AS BIGINT)"
+      else "CAST(('0x' || substr(md5(concat(h, '#', i)), 1, 12)) AS BIGINT)"
+    s"""WITH $wnd, $perm, sig AS (
+       |  SELECT source, i, min($salted) AS mh
+       |  FROM tok CROSS JOIN perm
+       |  GROUP BY source, i
+       |), est AS (
+       |  SELECT a.source AS s1, b.source AS s2,
+       |    round(CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE) / 32, 6)
+       |      AS est_jaccard
+       |  FROM sig a JOIN sig b ON a.i = b.i AND a.source < b.source
+       |  GROUP BY a.source, b.source
+       |), sizes AS (
+       |  SELECT source, count(*) AS nw FROM tok GROUP BY source
+       |), inter AS (
+       |  SELECT a.source AS s1, b.source AS s2, count(*) AS iw
+       |  FROM tok a JOIN tok b ON a.h = b.h AND a.source < b.source
+       |  GROUP BY a.source, b.source
+       |)
+       |SELECT e.s1, e.s2, e.est_jaccard,
+       |  round(CAST(coalesce(i.iw, 0) AS DOUBLE)
+       |    / (sa.nw + sb.nw - coalesce(i.iw, 0)), 6) AS exact_jaccard
+       |FROM est e
+       |LEFT JOIN inter i ON e.s1 = i.s1 AND e.s2 = i.s2
+       |JOIN sizes sa ON sa.source = e.s1
+       |JOIN sizes sb ON sb.source = e.s2
+       |ORDER BY e.s1, e.s2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- l28: DSIR importance resampling weights ----------------------
+    "l28_dsir_importance" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(dsirSql(spark = true))
+    },
+
+    // ---- l29: cross-source MinHash overlap matrix ---------------------
+    "l29_source_overlap" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(overlapSql(spark = true))
+    },
+
     // ---- l26: product-quantization ANN (ADC + exact rerank) -----------
     "l26_ann_pq" -> { (s, dir) =>
       Tables.registerAll(s, dir)
@@ -2260,6 +2401,8 @@ object LlmQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "l28_dsir_importance" -> dsirSql(spark = false),
+    "l29_source_overlap" -> overlapSql(spark = false),
     "l01_exact_dedup" ->
       """WITH keyed AS (
         |  SELECT doc_id, md5(lower(text)) AS k FROM documents
