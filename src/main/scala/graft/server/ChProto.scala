@@ -217,47 +217,104 @@ object ChProto {
       val t = wireType(schema, i, u64)
       writeStr(out, f.name)
       writeStr(out, t.chName)
-      if (f.nullable) rows.foreach(r => out.write(if (r.isNullAt(i)) 1 else 0))
-      rows.foreach(r => writeValue(out, baseOf(t), r, i))
+      baseOf(t) match {
+        case BqlType.Arr(inner) =>
+          // Array columns are never Nullable on the wire (CH forbids it);
+          // a NULL array row degrades to [] by the fromSpark contract.
+          writeArrayColumn(out, inner, rows.map(r =>
+            if (r.isNullAt(i)) Seq.empty[Any] else r.getSeq[Any](i)))
+        case base =>
+          if (f.nullable)
+            rows.foreach(r => out.write(if (r.isNullAt(i)) 1 else 0))
+          rows.foreach(r =>
+            writeScalar(out, base, if (r.isNullAt(i)) null else r.get(i)))
+      }
     }
   }
 
-  private def writeValue(out: OutputStream, t: BqlType, r: Row, i: Int): Unit = {
-    import BqlType._
-    val isNull = r.isNullAt(i)
+  /** CH native Array(T) column layout: one UInt64 cumulative element count
+    * per row (the offsets column), then the flattened elements serialized
+    * as a plain column of the inner type — recursively, so Array(Array(T))
+    * and Array(Nullable(T)) come for free.
+    */
+  private def writeArrayColumn(out: OutputStream, inner: BqlType,
+                               arrays: Seq[Seq[Any]]): Unit = {
+    var cum = 0L
+    arrays.foreach { a => cum += a.length; writeLongLe(out, cum, 8) }
+    writeElements(out, inner, arrays.flatten)
+  }
+
+  private def writeElements(out: OutputStream, t: BqlType, vs: Seq[Any]): Unit =
     t match {
-      case Int8 => out.write(if (isNull) 0 else r.getByte(i).toInt & 0xff)
-      case Int16 => writeIntLe(out, if (isNull) 0 else r.getShort(i).toInt, 2)
-      case Int32 => writeIntLe(out, if (isNull) 0 else r.getInt(i), 4)
-      case Int64 => writeLongLe(out, if (isNull) 0L else r.getLong(i), 8)
-      case UInt8 => out.write(if (isNull) 0 else r.getShort(i).toInt & 0xff)
-      case UInt16 => writeIntLe(out, if (isNull) 0 else r.getInt(i), 2)
-      case UInt32 => writeLongLe(out, if (isNull) 0L else r.getLong(i), 4)
+      case BqlType.Nullable(inner) =>
+        vs.foreach(v => out.write(if (v == null) 1 else 0))
+        writeElements(out, inner, vs)
+      case BqlType.Arr(inner) =>
+        writeArrayColumn(out, inner, vs.map {
+          case null => Seq.empty[Any]
+          case s: scala.collection.Seq[_] => s.toSeq
+          case other => throw new IllegalArgumentException(
+            s"nested array element is not a Seq: $other")
+        })
+      case BqlType.LowCardinality(inner) => writeElements(out, inner, vs)
+      case base => vs.foreach(v => writeScalar(out, base, v))
+    }
+
+  /** One scalar in CH native column encoding, from its Spark EXTERNAL form
+    * (Row getters and array elements both produce these). Null writes the
+    * type's zero default — the null map has already said it's null.
+    */
+  private def writeScalar(out: OutputStream, t: BqlType, v: Any): Unit = {
+    import BqlType._
+    val isNull = v == null
+    t match {
+      case Int8 => out.write(if (isNull) 0 else v.asInstanceOf[Byte].toInt & 0xff)
+      case Int16 => writeIntLe(out, if (isNull) 0 else v.asInstanceOf[Short].toInt, 2)
+      case Int32 => writeIntLe(out, if (isNull) 0 else v.asInstanceOf[Int], 4)
+      case Int64 => writeLongLe(out, if (isNull) 0L else v.asInstanceOf[Long], 8)
+      case UInt8 => out.write(if (isNull) 0 else v.asInstanceOf[Short].toInt & 0xff)
+      case UInt16 => writeIntLe(out, if (isNull) 0 else v.asInstanceOf[Int], 2)
+      case UInt32 => writeLongLe(out, if (isNull) 0L else v.asInstanceOf[Long], 4)
       case UInt64 =>
-        val v = if (isNull) BigInteger.ZERO else r.getDecimal(i).toBigInteger
-        writeLongLe(out, v.longValue(), 8) // low 64 bits = full unsigned range
+        val big = v match {
+          case null => BigInteger.ZERO
+          case d: java.math.BigDecimal => d.toBigInteger
+          case d: scala.math.BigDecimal => d.underlying().toBigInteger
+        }
+        writeLongLe(out, big.longValue(), 8) // low 64 bits = full unsigned range
       case Float32 =>
         writeIntLe(out, java.lang.Float.floatToIntBits(
-          if (isNull) 0f else r.getFloat(i)), 4)
+          if (isNull) 0f else v.asInstanceOf[Float]), 4)
       case Float64 =>
         writeLongLe(out, java.lang.Double.doubleToLongBits(
-          if (isNull) 0d else r.getDouble(i)), 8)
+          if (isNull) 0d else v.asInstanceOf[Double]), 8)
       case Decimal(p, _) =>
-        val unscaled =
-          if (isNull) 0L else r.getDecimal(i).unscaledValue().longValueExact()
+        val unscaled = v match {
+          case null => 0L
+          case d: java.math.BigDecimal => d.unscaledValue().longValueExact()
+          case d: scala.math.BigDecimal => d.underlying().unscaledValue().longValueExact()
+        }
         writeLongLe(out, unscaled, if (p <= 9) 4 else 8)
       case Date =>
-        val days = if (isNull) 0L else r.getDate(i).toLocalDate.toEpochDay
+        val days = v match {
+          case null => 0L
+          case d: java.sql.Date => d.toLocalDate.toEpochDay
+          case d: java.time.LocalDate => d.toEpochDay
+        }
         writeLongLe(out, days, 2)
       case DateTime(_) =>
-        val secs = if (isNull) 0L else r.getTimestamp(i).getTime / 1000L
+        val secs = v match {
+          case null => 0L
+          case ts: java.sql.Timestamp => ts.getTime / 1000L
+          case ts: java.time.Instant => ts.getEpochSecond
+        }
         writeLongLe(out, secs, 4)
       case _ => // String / UUID / FixedString-as-binary: varbytes
         if (isNull) writeStr(out, "")
-        else r.get(i) match {
+        else v match {
           case bytes: Array[Byte] => // binary columns ride raw, not toString'd
             writeVarint(out, bytes.length.toLong); out.write(bytes)
-          case v => writeStr(out, String.valueOf(v))
+          case other => writeStr(out, String.valueOf(other))
         }
     }
   }
@@ -315,9 +372,12 @@ object ChProto {
       }
       val nulls =
         if (nullable) readBytes(in, nRows).map(_ != 0) else Array.fill(nRows)(false)
-      val values = Vector.tabulate(nRows) { r =>
-        val v = readValue(in, base)
-        if (nulls(r)) null else v
+      val values = base match {
+        case arr: BqlType.Arr => readArrayColumn(in, arr.inner, nRows)
+        case _ => Vector.tabulate(nRows) { r =>
+          val v = readValue(in, base)
+          if (nulls(r)) null else v
+        }
       }
       WireColumn(name, typeName, values)
     }
@@ -334,21 +394,47 @@ object ChProto {
     import org.apache.spark.sql.types._
     require(block.columns.length == schema.fields.length,
       s"wire block arity ${block.columns.length} != table arity ${schema.fields.length}")
+    def convert(v: Any, dt: DataType): Any = (v, dt) match {
+      case (null, _) => null
+      case (v: java.time.LocalDate, DateType) => java.sql.Date.valueOf(v)
+      case (v: java.time.Instant, TimestampType) => java.sql.Timestamp.from(v)
+      case (v: scala.math.BigDecimal, _: DecimalType) => v.underlying()
+      case (v: java.math.BigInteger, _: DecimalType) => new java.math.BigDecimal(v)
+      case (v: String, _: DecimalType) => new java.math.BigDecimal(v) // wide-decimal wire form
+      case (v: String, BinaryType) => v.getBytes("UTF-8") // FixedString rides as varbytes
+      case (v: scala.collection.Seq[_], ArrayType(et, _)) =>
+        v.toSeq.map(convert(_, et))
+      case (v, _) => v
+    }
     (0 until block.nRows).map { r =>
       Row.fromSeq(schema.fields.zipWithIndex.map { case (f, c) =>
-        (block.columns(c).values(r), f.dataType) match {
-          case (null, _) => null
-          case (v: java.time.LocalDate, DateType) => java.sql.Date.valueOf(v)
-          case (v: java.time.Instant, TimestampType) => java.sql.Timestamp.from(v)
-          case (v: scala.math.BigDecimal, _: DecimalType) => v.underlying()
-          case (v: java.math.BigInteger, _: DecimalType) => new java.math.BigDecimal(v)
-          case (v: String, _: DecimalType) => new java.math.BigDecimal(v) // wide-decimal wire form
-          case (v: String, BinaryType) => v.getBytes("UTF-8") // FixedString rides as varbytes
-          case (v, _) => v
-        }
+        convert(block.columns(c).values(r), f.dataType)
       }.toIndexedSeq)
     }
   }
+
+  /** Inverse of [[writeArrayColumn]]: cumulative UInt64 offsets, then the
+    * flattened inner column, sliced back per row.
+    */
+  private def readArrayColumn(in: InputStream, inner: BqlType,
+                              nRows: Int): Vector[Any] = {
+    val offsets = Vector.fill(nRows)(readLongLe(in, 8).toInt)
+    val total = if (nRows == 0) 0 else offsets.last
+    val flat = readElements(in, inner, total)
+    var prev = 0
+    offsets.map { o => val s = flat.slice(prev, o); prev = o; s }
+  }
+
+  private def readElements(in: InputStream, t: BqlType, n: Int): Vector[Any] =
+    t match {
+      case BqlType.Nullable(inner) =>
+        val nulls = readBytes(in, n).map(_ != 0)
+        val vs = readElements(in, inner, n)
+        Vector.tabulate(n)(i => if (nulls(i)) null else vs(i))
+      case arr: BqlType.Arr => readArrayColumn(in, arr.inner, n)
+      case BqlType.LowCardinality(inner) => readElements(in, inner, n)
+      case base => Vector.fill(n)(readValue(in, base))
+    }
 
   private def readValue(in: InputStream, t: BqlType): Any = {
     import BqlType._

@@ -58,6 +58,12 @@ object BqlType {
       extends BqlType(s"Nullable(${inner.chName})") {
     val sparkType = inner.sparkType
   }
+  /** ClickHouse Array(T). CH forbids Nullable(Array(..)) — nullability
+    * lives on the ELEMENT type only, which maps to Spark's containsNull.
+    */
+  final case class Arr(inner: BqlType) extends BqlType(s"Array(${inner.chName})") {
+    val sparkType = ArrayType(inner.sparkType, inner.isInstanceOf[Nullable])
+  }
 
   /** Max decimal precision the reference's storage accepts
     * (crates/meta/src/types.rs:145-153 — ≤9 → 4 bytes, ≤18 → 8 bytes;
@@ -98,6 +104,7 @@ object BqlType {
       case "UUID" => Right(Uuid)
       case _ =>
         withArgs("Nullable").map(a => parse(a).map(Nullable(_)))
+          .orElse(withArgs("Array").map(a => parse(a).map(Arr(_))))
           .orElse(withArgs("LowCardinality").map(a => parse(a).map(LowCardinality(_))))
           .orElse(withArgs("FixedString").map(a => intArg(a).flatMap { n =>
             if (n >= 1 && n <= 255) Right(FixedString(n))
@@ -149,9 +156,12 @@ object BqlType {
       case TimestampType => DateTime(None)
       case StringType => Str
       case BinaryType => Str
+      case ArrayType(et, containsNull) => Arr(fromSpark(et, containsNull))
       case other => throw new IllegalArgumentException(
         s"no ClickHouse equivalent for Spark type: $other")
     }
-    if (nullable) Nullable(base) else base
+    // CH has no Nullable(Array): a NULL array column degrades to [] on
+    // the wire; element nulls ride inside Arr's inner Nullable.
+    if (nullable && !base.isInstanceOf[Arr]) Nullable(base) else base
   }
 }

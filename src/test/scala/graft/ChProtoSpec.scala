@@ -95,4 +95,38 @@ class ChProtoSpec extends AnyFunSuite {
     assert(back2.head.getDecimal(10).toPlainString === "18446744073709551615")
     assert(back2.head.getDecimal(11).toPlainString === "123456789012345678901234.5678")
   }
+
+  test("Array(T) columns round-trip: offsets + flattened inner column") {
+    val aschema = StructType(Seq(
+      StructField("k", IntegerType, nullable = false),
+      StructField("xs", ArrayType(IntegerType, containsNull = false),
+        nullable = false),
+      StructField("ss", ArrayType(StringType, containsNull = true),
+        nullable = true),
+      StructField("nested", ArrayType(ArrayType(LongType, containsNull = false),
+        containsNull = false), nullable = false)))
+    val rows = Seq(
+      Row(1, Seq(1, 2, 3), Seq("a", null, "c"), Seq(Seq(1L, 2L), Seq(3L))),
+      Row(2, Seq.empty[Int], Seq.empty[String], Seq.empty[Seq[Long]]),
+      // a NULL array column degrades to [] on the wire (CH has no
+      // Nullable(Array)) — the documented fromSpark contract
+      Row(3, Seq(42), null, Seq(Seq.empty[Long], Seq(7L, 8L, 9L))))
+    val bos = new ByteArrayOutputStream()
+    ChProto.writeDataBlock(bos, aschema, rows)
+    val in = new ByteArrayInputStream(bos.toByteArray)
+    assert(ChProto.readVarint(in) === ChProto.Server.Data)
+    val block = ChProto.readDataBlock(in)
+    assert(in.available() === 0, "trailing bytes after block")
+    assert(block.columns.map(_.chType) === Vector(
+      "Int32", "Array(Int32)", "Array(Nullable(String))", "Array(Array(Int64))"))
+
+    val back = ChProto.blockToRows(block, aschema)
+    assert(back(0).getSeq[Int](1) === Seq(1, 2, 3))
+    assert(back(0).getSeq[String](2) === Seq("a", null, "c"))
+    assert(back(0).getSeq[Seq[Long]](3) === Seq(Seq(1L, 2L), Seq(3L)))
+    assert(back(1).getSeq[Int](1) === Seq.empty)
+    assert(back(2).getSeq[Int](1) === Seq(42))
+    assert(back(2).getSeq[String](2) === Seq.empty) // null degraded to []
+    assert(back(2).getSeq[Seq[Long]](3) === Seq(Seq.empty, Seq(7L, 8L, 9L)))
+  }
 }

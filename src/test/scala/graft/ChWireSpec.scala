@@ -120,6 +120,43 @@ class ChWireSpec extends AnyFunSuite {
     }
   }
 
+  test("Array(T) columns and the array HOFs work over the wire") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val server = new ChWireServer(spark).start()
+    val client = new WireTestClient(server.boundPort)
+    try {
+      client.hello()
+      client.query("DROP TABLE IF EXISTS wire_arr")
+      client.query("CREATE TABLE wire_arr(k Int32, v Array(Int32))")
+      val schema = StructType(Seq(
+        StructField("k", IntegerType),
+        StructField("v", ArrayType(IntegerType, containsNull = false))))
+      client.insertStream(
+        "INSERT INTO wire_arr FORMAT Native", schema,
+        Seq(Seq(Row(1, Seq(3, 1, 2)), Row(2, Seq.empty[Int]), Row(3, Seq(9)))))
+
+      // arrays round-trip as CH native Array(Int32) columns
+      val got = client.rows("SELECT k, v FROM wire_arr ORDER BY k")
+      assert(got(0).values === Vector(1, 2, 3))
+      assert(got(1).values === Vector(Vector(3, 1, 2), Vector(), Vector(9)))
+
+      // the higher-order dialect functions execute server-side and the
+      // derived arrays stream back in native encoding
+      val hof = client.rows(
+        "SELECT k, arraySort(v) AS sorted, arrayMap(x -> x * 10, v) AS x10, " +
+          "CAST(arraySum(v) AS BIGINT) AS s FROM wire_arr ORDER BY k")
+      assert(hof(1).values === Vector(Vector(1, 2, 3), Vector(), Vector(9)))
+      assert(hof(2).values === Vector(Vector(30, 10, 20), Vector(), Vector(90)))
+      assert(hof(3).values === Vector(6L, 0L, 9L))
+
+      client.query("DROP TABLE wire_arr")
+    } finally {
+      client.close()
+      server.stop()
+    }
+  }
+
   test("client-streamed INSERT Data blocks (DataEODPInsertQuery stage)") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
