@@ -4,8 +4,8 @@ import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.catalyst.expressions.{CreateArray, Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  Average, CollectList, CollectSet, Count, First, Last, Max, MaxBy, Min,
-  MinBy, Percentile, Sum}
+  ApproximatePercentile, Average, CollectList, CollectSet, Count, First,
+  Last, Max, MaxBy, Min, MinBy, Percentile, Sum}
 import org.apache.spark.sql.expressions.Aggregator
 
 /** ClickHouse parametric-aggregate pack #2 — topK, quantileExactInclusive /
@@ -135,6 +135,20 @@ object ChAggregates {
       require(exprs.length >= 2,
         "quantilesExactInclusive expects (col, p1[, p2, …])")
       new Percentile(exprs.head, CreateArray(exprs.tail))
+        .toAggregateExpression()
+    },
+    // CH's approximate quantile family (quantileTDigest / the default
+    // approximate quantile) → Catalyst ApproximatePercentile (GK sketch,
+    // rank error ≤ n/accuracy at the default 10000). The sketches differ
+    // across engines, so oracle entries compare each engine's approx
+    // against its own exact rank bounds (the f05 discipline).
+    "quantileTDigest" -> two("quantileTDigest")((x, p) =>
+      new ApproximatePercentile(x, p).toAggregateExpression()),
+    "quantile" -> two("quantile")((x, p) =>
+      new ApproximatePercentile(x, p).toAggregateExpression()),
+    "quantilesTDigest" -> { exprs =>
+      require(exprs.length >= 2, "quantilesTDigest expects (col, p1[, p2, …])")
+      new ApproximatePercentile(exprs.head, CreateArray(exprs.tail))
         .toAggregateExpression()
     },
     // CH argMax(arg, val) — with a tuple val for deterministic tie-break,

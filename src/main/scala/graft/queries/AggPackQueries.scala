@@ -93,10 +93,51 @@ object AggPackQueries {
           |  round(maxIf(value, event_type = 'click'), 6) AS max_click,
           |  round(minIf(value, event_type = 'click'), 6) AS min_click
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+
+    // ---- b09: approximate quantiles (quantileTDigest / quantile) -----
+    // Each engine's sketch differs (Spark: GK summaries, rank error
+    // ≤ n/10000; DuckDB: t-digest), so the cross-engine-stable output is
+    // the f05 discipline: the EXACT quantiles plus a flag that the
+    // engine's own approx answer lands inside a ±1%-rank exact bound —
+    // 100× looser than either sketch's real error, identical TRUE on
+    // both sides. The plural form rides the same bound.
+    "b09_approx_quantiles" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      ChAggregates.register(s)
+      s.sql(
+        """SELECT event_type,
+          |  round(quantileExactInclusive(value, 0.5d), 6) AS ex50,
+          |  round(quantileExactInclusive(value, 0.9d), 6) AS ex90,
+          |  CAST(quantileTDigest(value, 0.5d)
+          |    BETWEEN quantileExactInclusive(value, 0.49d)
+          |        AND quantileExactInclusive(value, 0.51d) AS INT) AS ok50,
+          |  CAST(quantile(value, 0.9d)
+          |    BETWEEN quantileExactInclusive(value, 0.89d)
+          |        AND quantileExactInclusive(value, 0.91d) AS INT) AS ok90,
+          |  CAST(element_at(quantilesTDigest(value, 0.5d, 0.9d), 2)
+          |    BETWEEN quantileExactInclusive(value, 0.89d)
+          |        AND quantileExactInclusive(value, 0.91d) AS INT) AS ok_plural
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     }
   )
 
   val oracles: Map[String, String] = Map(
+    "b09_approx_quantiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS ex50,
+        |  round(quantile_cont(value, 0.9), 6) AS ex90,
+        |  CAST(approx_quantile(value, 0.5)
+        |    BETWEEN quantile_cont(value, 0.49)
+        |        AND quantile_cont(value, 0.51) AS INT) AS ok50,
+        |  CAST(approx_quantile(value, 0.9)
+        |    BETWEEN quantile_cont(value, 0.89)
+        |        AND quantile_cont(value, 0.91) AS INT) AS ok90,
+        |  CAST(approx_quantile(value, 0.9)
+        |    BETWEEN quantile_cont(value, 0.89)
+        |        AND quantile_cont(value, 0.91) AS INT) AS ok_plural
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // Exact top-3 by (count DESC, value ASC) — equal to SpaceSaving's
     // output in the exact regime (domain < capacity).
     "b05_topk" ->

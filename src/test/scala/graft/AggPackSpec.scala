@@ -128,6 +128,26 @@ class AggPackSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("quantileTDigest family: exact on small inputs, bounded on large") {
+    ChAggregates.register(spark)
+    // n far below the GK accuracy (10000): the sketch holds every value,
+    // so the approximate answer IS a real element at the exact rank
+    val small = spark.sql(
+      """SELECT quantileTDigest(x, 0.5d) AS q50,
+        |  quantile(x, 0.9d) AS q90,
+        |  quantilesTDigest(x, 0.5d, 0.9d) AS qs
+        |FROM (SELECT explode(sequence(1, 101)) AS x)""".stripMargin).head()
+    assert(small.getInt(0) === 51)
+    assert(small.getInt(1) === 91)
+    assert(small.getSeq[Int](2) === Seq(51, 91))
+    // large input: rank error ≤ n/10000 → ±1%-rank bound holds trivially
+    val big = spark.sql(
+      """SELECT CAST(quantileTDigest(x, 0.5d)
+        |  BETWEEN percentile(x, 0.49d) AND percentile(x, 0.51d) AS INT) AS ok
+        |FROM (SELECT explode(sequence(1, 100000)) AS x)""".stripMargin).head()
+    assert(big.getInt(0) === 1)
+  }
+
   test("groupArray family matches collect_list/collect_set/first/last") {
     ChAggregates.register(spark)
     import spark.implicits._
