@@ -257,7 +257,7 @@ class GraftSession(val spark: SparkSession) {
     *     silently share a view the way a 32-bit hashCode could.
     */
   private def rewriteSelect(sqlIn: String): String = {
-    val sql = rewriteLimitBy(rewriteWithTotals(sqlIn))
+    val sql = rewriteLimitTies(rewriteLimitBy(rewriteWithTotals(sqlIn)))
     val remotes = ChParser.tableFnCalls(sql, "remote")
       .filter(c => c._3.length == 2 || c._3.length == 4)
     val numbers = ChParser.tableFnCalls(sql, "numbers")
@@ -307,6 +307,24 @@ class GraftSession(val spark: SparkSession) {
           s"WHERE __graft_rn BETWEEN $lo AND $hi" +
           p.orderBy.map(o => s" ORDER BY $o").getOrElse("") +
           p.outer.map(k => s" LIMIT $k").getOrElse("")
+    }
+
+  /** `LIMIT n WITH TIES` (ClickHouse / SQL-standard FETCH FIRST … WITH
+    * TIES): the first n rows of the ORDER BY plus every row tied with the
+    * n-th — exactly the rows whose rank() ≤ n, which is how it rewrites.
+    * The empty-partition rank window is NOT a single-node sort at scale:
+    * Catalyst's WindowGroupLimit rule pushes the rank ≤ n cap below the
+    * exchange (each map task keeps its own top-n+ties), the same shape
+    * Spark gives TakeOrderedAndProject.
+    */
+  private def rewriteLimitTies(sql: String): String =
+    ChParser.splitLimitTies(sql) match {
+      case None => sql
+      case Some(p) =>
+        s"SELECT * EXCEPT (__graft_rk) FROM (" +
+          s"SELECT *, rank() OVER (ORDER BY ${p.orderBy}) AS __graft_rk " +
+          s"FROM (${p.core}) __graft_lt) __graft_ltq " +
+          s"WHERE __graft_rk <= ${p.n} ORDER BY ${p.orderBy}"
     }
 
   /** ClickHouse `GROUP BY … WITH TOTALS` — rewritten to

@@ -603,6 +603,61 @@ object ChParser {
       }
     }
 
+  /** The pieces of a `SELECT … ORDER BY o LIMIT n WITH TIES` statement —
+    * the ties-extending LIMIT (ClickHouse and the SQL standard's FETCH
+    * FIRST … WITH TIES). `core` is the text before ORDER BY.
+    */
+  final case class LimitTiesParts(core: String, orderBy: String, n: Long)
+
+  /** Find a TOP-LEVEL `LIMIT n WITH TIES` (depth-0, string-aware; None
+    * without the clause, for set operations, when ORDER BY is absent —
+    * CH itself rejects that — or when anything but ';' follows TIES).
+    */
+  def splitLimitTies(sql: String): Option[LimitTiesParts] =
+    tokenize(sql).toOption.flatMap { toks =>
+      val depth = new Array[Int](toks.length)
+      var d = 0
+      var unionish = false
+      toks.zipWithIndex.foreach { case (t, i) =>
+        t match {
+          case Punct("(", _) => depth(i) = d; d += 1
+          case Punct(")", _) => d = math.max(0, d - 1); depth(i) = d
+          case Ident(w, _) if d == 0 &&
+              Seq("union", "intersect", "except").contains(w.toLowerCase) =>
+            unionish = true; depth(i) = d
+          case _ => depth(i) = d
+        }
+      }
+      def kw(i: Int, k: String) = i < toks.length && (toks(i) match {
+        case Ident(w, _) => w.equalsIgnoreCase(k)
+        case _ => false
+      })
+      def num(i: Int): Option[Long] =
+        if (i < toks.length) toks(i) match {
+          case NumLit(s, _) => s.toLongOption
+          case _ => None
+        } else None
+      val li = toks.indices.find { i =>
+        depth(i) == 0 && kw(i, "LIMIT") && num(i + 1).isDefined &&
+          kw(i + 2, "WITH") && kw(i + 3, "TIES")
+      }
+      li match {
+        case Some(i) if !unionish =>
+          val trailingOk = (i + 4 until toks.length).forall(toks(_).text == ";")
+          val ord = toks.indices.find(j =>
+            depth(j) == 0 && j < i && kw(j, "ORDER") && kw(j + 1, "BY"))
+          (ord, num(i + 1)) match {
+            case (Some(oi), Some(n)) if trailingOk =>
+              val orderText = sql.substring(toks(oi + 2).pos, toks(i).pos).trim
+              if (orderText.isEmpty) None
+              else Some(LimitTiesParts(sql.substring(0, toks(oi).pos).trim,
+                orderText, n))
+            case _ => None
+          }
+        case _ => None
+      }
+    }
+
   /** The pieces of a `… GROUP BY exprs WITH TOTALS …` statement —
     * ClickHouse's totals-row modifier. `pre` is the text before GROUP,
     * `groupExprs` the grouping expression list, `tail` everything after

@@ -114,6 +114,19 @@ object DdlQueries {
         "CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total " +
         "FROM events GROUP BY event_type WITH TOTALS " +
         "ORDER BY event_type NULLS FIRST")
+    },
+
+    // ClickHouse / SQL-standard `LIMIT n WITH TIES` through the engine
+    // front-end: the first n rows of the ORDER BY plus every row tied
+    // with the n-th (GraftSession.rewriteLimitTies → rank() ≤ n, which
+    // WindowGroupLimit caps map-side); oracle is DuckDB's independent
+    // rank formulation. floor() makes integer ties both engines agree on
+    // (double→int CAST truncates in Spark but rounds in DuckDB).
+    "d07_limit_with_ties" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("SELECT event_id, user_id, CAST(floor(value / 20) AS INT) AS v " +
+        "FROM events ORDER BY v DESC LIMIT 5 WITH TIES")
     }
   )
 
@@ -170,6 +183,15 @@ object DdlQueries {
       """SELECT event_type, count(*) AS n,
         |  CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total
         |FROM events GROUP BY GROUPING SETS ((event_type), ())
-        |ORDER BY event_type NULLS FIRST""".stripMargin
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    "d07_limit_with_ties" ->
+      """WITH r AS (
+        |  SELECT event_id, user_id, CAST(floor(value / 20) AS INT) AS v,
+        |    rank() OVER (ORDER BY CAST(floor(value / 20) AS INT) DESC) AS rk
+        |  FROM events
+        |)
+        |SELECT event_id, user_id, v FROM r WHERE rk <= 5
+        |ORDER BY v DESC""".stripMargin
   )
 }

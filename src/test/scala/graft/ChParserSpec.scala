@@ -182,6 +182,34 @@ class ChParserSpec extends AnyFunSuite {
     assert(ChParser.splitLimitBy("SELECT ' LIMIT 2 BY a' AS s FROM t") === None)
   }
 
+  test("splitLimitTies finds the top-level LIMIT n WITH TIES clause") {
+    val p = ChParser.splitLimitTies(
+      "SELECT a, b FROM t ORDER BY b DESC, a LIMIT 3 WITH TIES").get
+    assert(p.core === "SELECT a, b FROM t")
+    assert(p.orderBy === "b DESC, a")
+    assert(p.n === 3L)
+    // trailing ';' tolerated
+    assert(ChParser.splitLimitTies(
+      "SELECT a FROM t ORDER BY a LIMIT 1 WITH TIES;").isDefined)
+  }
+
+  test("splitLimitTies rejects no-ORDER-BY, nested, unionish, trailing") {
+    // CH itself rejects WITH TIES without ORDER BY
+    assert(ChParser.splitLimitTies("SELECT a FROM t LIMIT 3 WITH TIES") === None)
+    // plain LIMIT is not the clause
+    assert(ChParser.splitLimitTies("SELECT a FROM t ORDER BY a LIMIT 3") === None)
+    // inside a subquery is not top-level
+    assert(ChParser.splitLimitTies(
+      "SELECT * FROM (SELECT a FROM t ORDER BY a LIMIT 3 WITH TIES) u") === None)
+    // set operations leave the scope ambiguous
+    assert(ChParser.splitLimitTies(
+      "SELECT a FROM t UNION ALL SELECT a FROM u ORDER BY a LIMIT 3 WITH TIES")
+      === None)
+    // anything after TIES but ';' -> not ours
+    assert(ChParser.splitLimitTies(
+      "SELECT a FROM t ORDER BY a LIMIT 3 WITH TIES OFFSET 2") === None)
+  }
+
   test("splitWithTotals finds GROUP BY ... WITH TOTALS, keeps the tail") {
     val p = ChParser.splitWithTotals(
       "SELECT k, count(*) FROM t GROUP BY k WITH TOTALS ORDER BY k").get

@@ -113,6 +113,12 @@ class ChWireSpec extends AnyFunSuite {
       assert(wt(0).values === Vector(null, "a", "b"))
       assert(wt(1).values === Vector(23L, 6L, 17L))
 
+      // LIMIT n WITH TIES: 9 is rank 1; both 9s would tie if duplicated —
+      // here v=8,9 distinct so ask where ties exist: k ties on 'a'/'b'
+      val ties = client.rows(
+        "SELECT k FROM wire_lb ORDER BY k LIMIT 2 WITH TIES")
+      assert(ties(0).values === Vector("a", "a", "a"))
+
       client.query("DROP TABLE wire_lb")
     } finally {
       client.close()
