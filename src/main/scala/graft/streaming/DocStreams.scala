@@ -47,6 +47,78 @@ object DocStreams {
     * decontamination wants — letting eval data leak into training is
     * the unrecoverable failure.
     */
+  /** The l28 DSIR weight table distilled to ONE broadcastable value: a
+    * 1024-slot array of micro-unit (1e-6) fixed-point log-likelihood
+    * ratios, indexed by token bucket. Buckets unseen in the static corpus
+    * get the smoothed default ln((rt+1024)/(tt+1024)) — the add-1 value
+    * a zero-count bucket would have had. Requires the `documents` view
+    * (the static reference corpus the weights train on).
+    *
+    * Micro-units keep the streaming fold EXACT: summing longs is
+    * order-independent and bit-identical to the batch entry's
+    * DECIMAL(18,6) Sum, so streaming == batch is an equality, not a
+    * tolerance.
+    */
+  def dsirWeightsMicro(spark: org.apache.spark.sql.SparkSession,
+                       targetLang: String = "en"): Seq[Long] =
+    spark.sql(
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, w
+         |  FROM documents LATERAL VIEW explode(split(text, ' ')) t AS w
+         |  WHERE w <> ''
+         |), feat AS (
+         |  SELECT doc_id, lang,
+         |    CAST(conv(substr(md5(w), 1, 12), 16, 10) AS BIGINT) % 1024 AS b
+         |  FROM tok
+         |), raw AS (
+         |  SELECT b, count(*) AS r FROM feat GROUP BY b
+         |), tgt AS (
+         |  SELECT b, count(*) AS t FROM feat WHERE lang = '$targetLang' GROUP BY b
+         |), tots AS (
+         |  SELECT CAST(sum(CASE WHEN lang = '$targetLang' THEN 1 ELSE 0 END) AS DOUBLE) AS tt,
+         |    CAST(count(*) AS DOUBLE) AS rt
+         |  FROM feat
+         |), allb AS (
+         |  SELECT explode(sequence(0, 1023)) AS b
+         |), full AS (
+         |  SELECT allb.b,
+         |    coalesce(
+         |      CAST(round(ln(((coalesce(t, 0) + 1.0) / (tt + 1024.0))
+         |        / ((r + 1.0) / (rt + 1024.0))), 6) AS DECIMAL(18,6)),
+         |      CAST(round(ln((rt + 1024.0) / (tt + 1024.0)), 6) AS DECIMAL(18,6)))
+         |      AS lw
+         |  FROM allb
+         |  LEFT JOIN raw ON allb.b = raw.b
+         |  LEFT JOIN tgt ON allb.b = tgt.b
+         |  CROSS JOIN tots
+         |)
+         |SELECT transform(array_sort(collect_list(struct(b, lw))),
+         |  x -> CAST(x.lw * 1000000 AS BIGINT)) AS lws
+         |FROM full""".stripMargin)
+      .head().getSeq[Long](0)
+
+  /** Streaming DSIR scoring: each arriving document's importance is the
+    * mean log-likelihood ratio of its token buckets against the trained
+    * weight array — a pure stateless map (the 8 KB weight array rides as
+    * a literal, like the decontamination bloom blob): no join, no
+    * shuffle, no state. The identical column serves batch frames, and
+    * the micro-unit fixed-point fold makes streaming == batch an exact
+    * equality (see [[dsirWeightsMicro]]).
+    */
+  def dsirScore(docs: DataFrame, weightsMicro: Seq[Long]): DataFrame =
+    docs
+      .withColumn("graft_lws", typedLit(weightsMicro))
+      .withColumn("graft_toks", expr("filter(split(text, ' '), w -> w <> '')"))
+      .withColumn("n_tok", size(col("graft_toks")).cast("long"))
+      .withColumn("imp", expr(
+        """round(CAST(CAST(aggregate(transform(graft_toks, w ->
+          |  element_at(graft_lws,
+          |    CAST(CAST(conv(substr(md5(w), 1, 12), 16, 10) AS BIGINT) % 1024
+          |      AS INT) + 1)),
+          |  CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DECIMAL(38,0))
+          |  * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) / n_tok, 6)""".stripMargin))
+      .drop("graft_lws", "graft_toks")
+
   def decontaminationGate(docs: DataFrame, evalDocs: DataFrame,
                           n: Int = 4): DataFrame = {
     val spark = docs.sparkSession

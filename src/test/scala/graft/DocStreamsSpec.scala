@@ -92,6 +92,39 @@ class DocStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming DSIR scores equal the batch l28 importance exactly") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    Tables.registerAll(spark, dir)
+    val w = graft.streaming.DocStreams.dsirWeightsMicro(spark)
+    assert(w.length === 1024)
+
+    // batch reference: the l28 gate entry's top-30 (doc_id -> imp)
+    val batch = SparkEntry.queries("l28_dsir_importance")(spark, dir)
+      .select("doc_id", "imp").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(batch.size === 30)
+
+    // stream exactly those documents through the stateless scorer
+    val texts = spark.table("documents")
+      .filter(col("doc_id").isin(batch.keySet.toSeq: _*))
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStreams
+      .dsirScore(mem.toDF().toDF("doc_id", "text"), w)
+      .select("doc_id", "imp")
+      .writeStream.format("memory").queryName("dsir_scores")
+      .outputMode("append").start()
+    try {
+      mem.addData(texts: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("dsir_scores").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(streamed === batch) // exact equality — micro-unit fixed point
+    } finally q.stop()
+  }
+
   test("decontamination gate edge cases: empty eval corpus and NULL text " +
     "both pass (match the batch semantics, no silent drops)") {
     import spark.implicits._
