@@ -211,9 +211,59 @@ class GraftSession(val spark: SparkSession) {
     * the reference (never a column, crates/meta/src/types.rs:55-63), so a
     * `SELECT *` over a partitioned table must not leak it.
     */
-  private def runSelect(raw: String): DataFrame = {
-    val df = spark.sql(rewriteSelect(raw))
-    if (df.columns.contains(PtkCol)) df.drop(PtkCol) else df
+  private def runSelect(raw: String): DataFrame =
+    ChParser.splitIntoOutfile(raw) match {
+      case Some(p) => writeOutfile(p)
+      case None =>
+        val df = spark.sql(rewriteSelect(raw))
+        if (df.columns.contains(PtkCol)) df.drop(PtkCol) else df
+    }
+
+  /** ClickHouse `SELECT … INTO OUTFILE 'path' [FORMAT f]`: run the inner
+    * SELECT and export ONE file at the given path (CH's outfile is a
+    * single client-side file by definition — the coalesce is the clause's
+    * own semantics, not a plan habit; distributed exports go through
+    * INSERT INTO table / remote()). Refuses to overwrite, like CH.
+    * Returns a one-row summary (path, rows, format).
+    */
+  private def writeOutfile(p: ChParser.IntoOutfileParts): DataFrame = {
+    val df0 = spark.sql(rewriteSelect(p.core))
+    val df = if (df0.columns.contains(PtkCol)) df0.drop(PtkCol) else df0
+    val target = java.nio.file.Paths.get(p.path)
+    require(!java.nio.file.Files.exists(target),
+      s"INTO OUTFILE target exists: ${p.path} (ClickHouse refuses to overwrite)")
+    val fmt = p.format.getOrElse("CSV")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_outfile")
+    val rows = df.count()
+    val (writer, ext) = fmt.toUpperCase(java.util.Locale.ROOT) match {
+      case "CSV" =>
+        (df.coalesce(1).write.option("header", "false"), "csv")
+      case "CSVWITHNAMES" =>
+        (df.coalesce(1).write.option("header", "true"), "csv")
+      case "TSV" | "TABSEPARATED" =>
+        (df.coalesce(1).write.option("header", "false").option("sep", "\t"), "csv")
+      case "JSONEACHROW" =>
+        (df.coalesce(1).write, "json")
+      case "PARQUET" =>
+        (df.coalesce(1).write, "parquet")
+      case other => throw new IllegalArgumentException(
+        s"INTO OUTFILE format not supported: $other")
+    }
+    ext match {
+      case "csv" => writer.mode("overwrite").csv(tmp.toString)
+      case "json" => writer.mode("overwrite").json(tmp.toString)
+      case "parquet" => writer.mode("overwrite").parquet(tmp.toString)
+    }
+    val part = java.nio.file.Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.startsWith("part-"))
+      .getOrElse(sys.error("no output part file written"))
+    Option(target.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.move(part, target)
+    rmTree(tmp.toFile)
+    spark.createDataFrame(
+      Seq(Row(p.path, rows, fmt)).asJava,
+      StructType(Seq(StructField("path", StringType),
+        StructField("rows", LongType), StructField("format", StringType))))
   }
 
   private def jdbcReader(url: String, table: String,

@@ -4,8 +4,10 @@ import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.catalyst.expressions.{CreateArray, Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  ApproximatePercentile, Average, CollectList, CollectSet, Count, First,
-  Last, Max, MaxBy, Min, MinBy, Percentile, Sum}
+  ApproximatePercentile, Average, BitAndAgg, BitOrAgg, BitXorAgg,
+  CollectList, CollectSet, Count, CovPopulation, CovSample, First,
+  HyperLogLogPlusPlus, Kurtosis, Last, Max, MaxBy, Min, MinBy, Percentile,
+  Skewness, StddevPop, StddevSamp, Sum, VariancePop, VarianceSamp}
 import org.apache.spark.sql.expressions.Aggregator
 
 /** ClickHouse parametric-aggregate pack #2 — topK, quantileExactInclusive /
@@ -163,6 +165,30 @@ object ChAggregates {
     "groupUniqArray" -> one("groupUniqArray")(e => CollectSet(e).toAggregateExpression()),
     "any" -> one("any")(e => First(e, ignoreNulls = true).toAggregateExpression()),
     "anyLast" -> one("anyLast")(e => Last(e, ignoreNulls = true).toAggregateExpression()),
+    // CH statistical moments / bit aggregates / uniq family — thin names
+    // over Catalyst's own aggregates. skewPop == Spark's skewness
+    // (population m3/m2^1.5); kurtPop is NON-excess in CH, so it is
+    // Spark's (excess) kurtosis + 3. uniq is CH's approximate distinct →
+    // HyperLogLog++; uniqExact → count(DISTINCT).
+    "varPop" -> one("varPop")(x => VariancePop(x).toAggregateExpression()),
+    "varSamp" -> one("varSamp")(x => VarianceSamp(x).toAggregateExpression()),
+    "stddevPop" -> one("stddevPop")(x => StddevPop(x).toAggregateExpression()),
+    "stddevSamp" -> one("stddevSamp")(x => StddevSamp(x).toAggregateExpression()),
+    "covarPop" -> two("covarPop")((l, r) =>
+      CovPopulation(l, r).toAggregateExpression()),
+    "covarSamp" -> two("covarSamp")((l, r) =>
+      CovSample(l, r).toAggregateExpression()),
+    "skewPop" -> one("skewPop")(x => Skewness(x).toAggregateExpression()),
+    "kurtPop" -> one("kurtPop")(x =>
+      org.apache.spark.sql.catalyst.expressions.Add(
+        Kurtosis(x).toAggregateExpression(), Literal(3.0d))),
+    "groupBitAnd" -> one("groupBitAnd")(x => BitAndAgg(x).toAggregateExpression()),
+    "groupBitOr" -> one("groupBitOr")(x => BitOrAgg(x).toAggregateExpression()),
+    "groupBitXor" -> one("groupBitXor")(x => BitXorAgg(x).toAggregateExpression()),
+    "uniq" -> one("uniq")(x =>
+      HyperLogLogPlusPlus(x).toAggregateExpression()),
+    "uniqExact" -> one("uniqExact")(x =>
+      Count(x).toAggregateExpression(isDistinct = true)),
     // -If combinators: the aggregate with a Catalyst FILTER clause.
     "countIf" -> one("countIf")(cond =>
       Count(Literal(1)).toAggregateExpression(isDistinct = false, filter = Some(cond))),

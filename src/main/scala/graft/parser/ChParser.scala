@@ -603,6 +603,52 @@ object ChParser {
       }
     }
 
+  /** The pieces of a `SELECT … INTO OUTFILE 'path' [FORMAT f]` statement —
+    * ClickHouse's file-export clause. `core` is the SELECT text before
+    * INTO; `format` the optional FORMAT name.
+    */
+  final case class IntoOutfileParts(core: String, path: String,
+                                    format: Option[String])
+
+  /** Find a TOP-LEVEL `INTO OUTFILE '<path>' [FORMAT name]` tail (depth-0,
+    * string-aware; None when absent, when the path is not a string
+    * literal, or when anything but the optional FORMAT and ';' follows).
+    */
+  def splitIntoOutfile(sql: String): Option[IntoOutfileParts] =
+    tokenize(sql).toOption.flatMap { toks =>
+      var d = 0
+      val depth = toks.map {
+        case Punct("(", _) => { val r = d; d += 1; r }
+        case Punct(")", _) => { d = math.max(0, d - 1); d }
+        case _ => d
+      }
+      def kw(i: Int, k: String) = i < toks.length && (toks(i) match {
+        case Ident(w, _) => w.equalsIgnoreCase(k)
+        case _ => false
+      })
+      val io = toks.indices.find(i =>
+        depth(i) == 0 && kw(i, "INTO") && kw(i + 1, "OUTFILE"))
+      io.flatMap { i =>
+        toks.lift(i + 2) match {
+          case Some(StrLit(path, _)) =>
+            val rest = toks.drop(i + 3)
+            rest match {
+              case Vector() =>
+                Some(IntoOutfileParts(sql.substring(0, toks(i).pos).trim, path, None))
+              case _ if rest.head.text == ";" && rest.tail.isEmpty =>
+                Some(IntoOutfileParts(sql.substring(0, toks(i).pos).trim, path, None))
+              case _ if kw(i + 3, "FORMAT") && rest.length >= 2 &&
+                  rest(1).isInstanceOf[Ident] &&
+                  rest.drop(2).forall(_.text == ";") =>
+                Some(IntoOutfileParts(sql.substring(0, toks(i).pos).trim, path,
+                  Some(rest(1).text)))
+              case _ => None
+            }
+          case _ => None
+        }
+      }
+    }
+
   /** The pieces of a `SELECT … ORDER BY o LIMIT n WITH TIES` statement —
     * the ties-extending LIMIT (ClickHouse and the SQL standard's FETCH
     * FIRST … WITH TIES). `core` is the text before ORDER BY.

@@ -119,10 +119,65 @@ object AggPackQueries {
           |    BETWEEN quantileExactInclusive(value, 0.89d)
           |        AND quantileExactInclusive(value, 0.91d) AS INT) AS ok_plural
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    },
+
+    // ---- b10: statistical moments / bit aggregates / uniq family -----
+    // varPop/stddevPop/varSamp/stddevSamp/covarPop/covarSamp/corr against
+    // DuckDB's same-formula natives; skewPop/kurtPop against DuckDB's
+    // explicit central-moment formulation (DuckDB's own skewness/kurtosis
+    // are SAMPLE-based, different formulas — CH's are population, and
+    // kurtPop is non-excess); bit aggregates are exact integers; uniq
+    // (HLL++) rides the f05 error-bound discipline.
+    "b10_stats_pack" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      ChAggregates.register(s)
+      s.sql(
+        """SELECT event_type,
+          |  round(varPop(value), 4) AS var_p,
+          |  round(stddevPop(value), 4) AS sd_p,
+          |  round(varSamp(value), 4) AS var_s,
+          |  round(stddevSamp(value), 4) AS sd_s,
+          |  round(covarPop(value, CAST(user_id % 100 AS DOUBLE)), 4) AS cov_p,
+          |  round(covarSamp(value, CAST(user_id % 100 AS DOUBLE)), 4) AS cov_s,
+          |  round(corr(value, CAST(user_id % 100 AS DOUBLE)), 4) AS cor,
+          |  round(skewPop(value), 4) AS skew_p,
+          |  round(kurtPop(value), 4) AS kurt_p,
+          |  CAST(groupBitAnd(user_id) AS BIGINT) AS band,
+          |  CAST(groupBitOr(user_id) AS BIGINT) AS bor,
+          |  CAST(groupBitXor(user_id) AS BIGINT) AS bxor,
+          |  CAST(uniqExact(user_id) AS BIGINT) AS nu_exact,
+          |  CAST(abs(uniq(user_id) - count(DISTINCT user_id))
+          |    <= 0.05 * count(DISTINCT user_id) AS INT) AS uniq_within_5pct
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     }
   )
 
   val oracles: Map[String, String] = Map(
+    "b10_stats_pack" ->
+      """WITH g AS (
+        |  SELECT event_type, avg(value) AS mu FROM events GROUP BY 1
+        |)
+        |SELECT e.event_type,
+        |  round(var_pop(value), 4) AS var_p,
+        |  round(stddev_pop(value), 4) AS sd_p,
+        |  round(var_samp(value), 4) AS var_s,
+        |  round(stddev_samp(value), 4) AS sd_s,
+        |  round(covar_pop(value, CAST(user_id % 100 AS DOUBLE)), 4) AS cov_p,
+        |  round(covar_samp(value, CAST(user_id % 100 AS DOUBLE)), 4) AS cov_s,
+        |  round(corr(value, CAST(user_id % 100 AS DOUBLE)), 4) AS cor,
+        |  round((sum(pow(value - mu, 3)) / count(*))
+        |    / pow(sum(pow(value - mu, 2)) / count(*), 1.5), 4) AS skew_p,
+        |  round((sum(pow(value - mu, 4)) / count(*))
+        |    / pow(sum(pow(value - mu, 2)) / count(*), 2.0), 4) AS kurt_p,
+        |  CAST(bit_and(user_id) AS BIGINT) AS band,
+        |  CAST(bit_or(user_id) AS BIGINT) AS bor,
+        |  CAST(bit_xor(user_id) AS BIGINT) AS bxor,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS nu_exact,
+        |  CAST(abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+        |    <= 0.05 * count(DISTINCT user_id) AS INT) AS uniq_within_5pct
+        |FROM events e JOIN g USING (event_type)
+        |GROUP BY e.event_type, mu ORDER BY e.event_type""".stripMargin,
+
     "b09_approx_quantiles" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.5), 6) AS ex50,

@@ -127,6 +127,22 @@ object DdlQueries {
       val g = new GraftSession(s)
       g.sql("SELECT event_id, user_id, CAST(floor(value / 20) AS INT) AS v " +
         "FROM events ORDER BY v DESC LIMIT 5 WITH TIES")
+    },
+
+    // ClickHouse `SELECT … INTO OUTFILE 'path'` through the engine
+    // front-end: export the aggregate to a single CSV file (the clause's
+    // own single-file semantics), then read the WRITTEN BYTES back — the
+    // oracle recomputes the same aggregate from the source table, so the
+    // hash match proves the export round-trip.
+    "d08_into_outfile" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      val path = java.nio.file.Files.createTempDirectory("graft_d08")
+        .resolve("out.csv").toString
+      g.sql("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(user_id) AS BIGINT) AS su FROM events " +
+        s"GROUP BY event_type ORDER BY event_type INTO OUTFILE '$path'")
+      s.read.schema("event_type STRING, n BIGINT, su BIGINT").csv(path)
     }
   )
 
@@ -184,6 +200,10 @@ object DdlQueries {
         |  CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total
         |FROM events GROUP BY GROUPING SETS ((event_type), ())
         |ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    "d08_into_outfile" ->
+      """SELECT event_type, count(*) AS n, CAST(sum(user_id) AS BIGINT) AS su
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "d07_limit_with_ties" ->
       """WITH r AS (

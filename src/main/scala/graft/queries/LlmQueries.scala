@@ -1530,6 +1530,9 @@ object LlmQueries {
       if (spark)
         "CAST(conv(substr(md5(concat(h, '#', i)), 1, 12), 16, 10) AS BIGINT)"
       else "CAST(('0x' || substr(md5(concat(h, '#', i)), 1, 12)) AS BIGINT)"
+    // every post-aggregation relation here is <= |sources|^2 rows — hint
+    // them broadcast on the Spark side so the final assembly never sorts
+    val finalHint = if (spark) "/*+ BROADCAST(i, sa, sb) */ " else ""
     s"""WITH $wnd, $perm, sig AS (
        |  SELECT source, i, min($salted) AS mh
        |  FROM tok CROSS JOIN perm
@@ -1547,7 +1550,7 @@ object LlmQueries {
        |  FROM tok a JOIN tok b ON a.h = b.h AND a.source < b.source
        |  GROUP BY a.source, b.source
        |)
-       |SELECT e.s1, e.s2, e.est_jaccard,
+       |SELECT ${finalHint}e.s1, e.s2, e.est_jaccard,
        |  round(CAST(coalesce(i.iw, 0) AS DOUBLE)
        |    / (sa.nw + sb.nw - coalesce(i.iw, 0)), 6) AS exact_jaccard
        |FROM est e

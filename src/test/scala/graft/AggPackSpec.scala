@@ -148,6 +148,28 @@ class AggPackSpec extends AnyFunSuite {
     assert(big.getInt(0) === 1)
   }
 
+  test("stats pack names equal Spark natives; kurtPop is non-excess") {
+    ChAggregates.register(spark)
+    import spark.implicits._
+    Seq(1.0 -> 3L, 4.0 -> 5L, 9.0 -> 6L, 2.5 -> 12L, 7.75 -> 9L)
+      .toDF("v", "u").createOrReplaceTempView("stats_pack_t")
+    val got = spark.sql(
+      """SELECT varPop(v), stddevPop(v), varSamp(v), stddevSamp(v),
+        |  covarPop(v, CAST(u AS DOUBLE)), covarSamp(v, CAST(u AS DOUBLE)),
+        |  skewPop(v), kurtPop(v),
+        |  groupBitAnd(u), groupBitOr(u), groupBitXor(u), uniqExact(u)
+        |FROM stats_pack_t""".stripMargin).head()
+    val want = spark.sql(
+      """SELECT var_pop(v), stddev_pop(v), var_samp(v), stddev_samp(v),
+        |  covar_pop(v, CAST(u AS DOUBLE)), covar_samp(v, CAST(u AS DOUBLE)),
+        |  skewness(v), kurtosis(v) + 3.0d,
+        |  bit_and(u), bit_or(u), bit_xor(u), count(DISTINCT u)
+        |FROM stats_pack_t""".stripMargin).head()
+    assert(got === want)
+    // uniq (HLL++) is exact at tiny cardinality
+    assert(spark.sql("SELECT uniq(u) FROM stats_pack_t").head().getLong(0) === 5L)
+  }
+
   test("groupArray family matches collect_list/collect_set/first/last") {
     ChAggregates.register(spark)
     import spark.implicits._

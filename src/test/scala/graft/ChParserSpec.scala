@@ -210,6 +210,25 @@ class ChParserSpec extends AnyFunSuite {
       "SELECT a FROM t ORDER BY a LIMIT 3 WITH TIES OFFSET 2") === None)
   }
 
+  test("splitIntoOutfile finds the export tail, path and format") {
+    val p = ChParser.splitIntoOutfile(
+      "SELECT a FROM t ORDER BY a INTO OUTFILE '/tmp/x.csv'").get
+    assert(p.core === "SELECT a FROM t ORDER BY a")
+    assert(p.path === "/tmp/x.csv")
+    assert(p.format === None)
+    val q = ChParser.splitIntoOutfile(
+      "SELECT a FROM t INTO OUTFILE '/tmp/x.json' FORMAT JSONEachRow;").get
+    assert((q.path, q.format) === ("/tmp/x.json", Some("JSONEachRow")))
+    // not ours: no clause, unquoted path, trailing junk, nested
+    assert(ChParser.splitIntoOutfile("SELECT a FROM t") === None)
+    assert(ChParser.splitIntoOutfile(
+      "SELECT a FROM t INTO OUTFILE x") === None)
+    assert(ChParser.splitIntoOutfile(
+      "SELECT a FROM t INTO OUTFILE '/tmp/x' LIMIT 3") === None)
+    assert(ChParser.splitIntoOutfile(
+      "SELECT ' INTO OUTFILE /tmp/x ' AS s FROM t") === None)
+  }
+
   test("splitWithTotals finds GROUP BY ... WITH TOTALS, keeps the tail") {
     val p = ChParser.splitWithTotals(
       "SELECT k, count(*) FROM t GROUP BY k WITH TOTALS ORDER BY k").get

@@ -757,4 +757,36 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(exec.contains("Expand"), exec)
     assert(!exec.contains("Union"), exec)
   }
+
+  test("INTO OUTFILE: single-file export, formats, refuses overwrite") {
+    val g = new graft.exec.GraftSession(spark)
+    import spark.implicits._
+    Seq(("a", 1L), ("b", 2L), ("a", 3L))
+      .toDF("k", "v").createOrReplaceTempView("of_t")
+    val dir = java.nio.file.Files.createTempDirectory("graft_of")
+
+    val csv = dir.resolve("out.csv")
+    val summary = g.sql("SELECT k, CAST(sum(v) AS BIGINT) AS s FROM of_t " +
+      s"GROUP BY k ORDER BY k INTO OUTFILE '$csv'").head()
+    assert(summary.getString(0) === csv.toString)
+    assert(summary.getLong(1) === 2L)
+    assert(java.nio.file.Files.isRegularFile(csv))
+    assert(java.nio.file.Files.readString(csv).trim.split("\n").toSeq ===
+      Seq("a,4", "b,2"))
+
+    // header form and JSON lines
+    val csvN = dir.resolve("named.csv")
+    g.sql(s"SELECT k FROM of_t GROUP BY k ORDER BY k " +
+      s"INTO OUTFILE '$csvN' FORMAT CSVWithNames")
+    assert(java.nio.file.Files.readString(csvN).trim.split("\n").head === "k")
+    val js = dir.resolve("out.jsonl")
+    g.sql(s"SELECT k FROM of_t WHERE k = 'b' INTO OUTFILE '$js' FORMAT JSONEachRow")
+    assert(java.nio.file.Files.readString(js).trim === """{"k":"b"}""")
+
+    // CH refuses to overwrite an existing outfile
+    val e = intercept[IllegalArgumentException] {
+      g.sql(s"SELECT k FROM of_t INTO OUTFILE '$csv'")
+    }
+    assert(e.getMessage.contains("refuses to overwrite"))
+  }
 }
