@@ -307,7 +307,8 @@ class GraftSession(val spark: SparkSession) {
     *     silently share a view the way a 32-bit hashCode could.
     */
   private def rewriteSelect(sqlIn: String): String = {
-    val sql = rewriteLimitTies(rewriteLimitBy(rewriteWithTotals(sqlIn)))
+    val sql = rewriteWithFill(
+      rewriteLimitTies(rewriteLimitBy(rewriteWithTotals(sqlIn))))
     val remotes = ChParser.tableFnCalls(sql, "remote")
       .filter(c => c._3.length == 2 || c._3.length == 4)
     val numbers = ChParser.tableFnCalls(sql, "numbers")
@@ -357,6 +358,30 @@ class GraftSession(val spark: SparkSession) {
           s"WHERE __graft_rn BETWEEN $lo AND $hi" +
           p.orderBy.map(o => s" ORDER BY $o").getOrElse("") +
           p.outer.map(k => s" LIMIT $k").getOrElse("")
+    }
+
+  /** ClickHouse `ORDER BY col WITH FILL [FROM a] [TO b] [STEP s]` — gap
+    * filling: generate the full key grid (FROM/TO literals, or the data's
+    * own min/max when absent; TO is EXCLUSIVE like CH) and left-join the
+    * result onto it. Filled rows carry NULL in the other columns (ANSI;
+    * CH uses type defaults — the same documented divergence as WITH
+    * TOTALS keys). The grid is one explode of a sequence — rows scale
+    * with the key range, never with the input; the join is a broadcast
+    * of whichever side is small.
+    */
+  private def rewriteWithFill(sql: String): String =
+    ChParser.splitWithFill(sql) match {
+      case None => sql
+      case Some(p) =>
+        val lo = p.from.map(_.toString)
+          .getOrElse(s"(SELECT min(${p.col}) FROM __graft_fill_src)")
+        val hi = p.to.map(t => (t - 1).toString)
+          .getOrElse(s"(SELECT max(${p.col}) FROM __graft_fill_src)")
+        s"WITH __graft_fill_src AS (${p.core}), " +
+          s"__graft_fill_grid AS (SELECT explode(sequence(" +
+          s"CAST($lo AS BIGINT), CAST($hi AS BIGINT), ${p.step})) AS ${p.col}) " +
+          s"SELECT * FROM __graft_fill_grid " +
+          s"LEFT JOIN __graft_fill_src USING (${p.col}) ORDER BY ${p.col}"
     }
 
   /** `LIMIT n WITH TIES` (ClickHouse / SQL-standard FETCH FIRST … WITH

@@ -704,6 +704,77 @@ object ChParser {
       }
     }
 
+  /** The pieces of a `… ORDER BY col WITH FILL [FROM a] [TO b] [STEP s]`
+    * statement — ClickHouse's gap-filling ORDER BY modifier. `core` is
+    * the text before ORDER BY; `col` must be a plain identifier (the
+    * rewrite joins the generated grid back USING it).
+    */
+  final case class WithFillParts(core: String, col: String,
+                                 from: Option[Long], to: Option[Long],
+                                 step: Long)
+
+  /** Find a TOP-LEVEL `ORDER BY <ident> [ASC] WITH FILL …` tail. Scope
+    * v1 (documented): single ascending identifier key, integer literal
+    * FROM/TO/STEP (TO is EXCLUSIVE, CH's contract), nothing after the
+    * modifiers but ';'. Anything else → None (the statement runs
+    * unrewritten and Spark reports its own error for true CH-isms).
+    */
+  def splitWithFill(sql: String): Option[WithFillParts] =
+    tokenize(sql).toOption.flatMap { toks =>
+      var d = 0
+      val depth = toks.map {
+        case Punct("(", _) => { val r = d; d += 1; r }
+        case Punct(")", _) => { d = math.max(0, d - 1); d }
+        case _ => d
+      }
+      def kw(i: Int, k: String) = i < toks.length && (toks(i) match {
+        case Ident(w, _) => w.equalsIgnoreCase(k)
+        case _ => false
+      })
+      // signed integer literal at i → (value, tokens consumed)
+      def snum(i: Int): Option[(Long, Int)] = toks.lift(i) match {
+        case Some(NumLit(s, _)) => s.toLongOption.map((_, 1))
+        case Some(Punct("-", _)) => toks.lift(i + 1) match {
+          case Some(NumLit(s, _)) => s.toLongOption.map(v => (-v, 2))
+          case _ => None
+        }
+        case _ => None
+      }
+      val ob = toks.indices.find(i =>
+        depth(i) == 0 && kw(i, "ORDER") && kw(i + 1, "BY"))
+      ob.flatMap { oi =>
+        toks.lift(oi + 2) match {
+          case Some(Ident(col, _)) if !Seq("asc", "desc").contains(col.toLowerCase) =>
+            var j = oi + 3
+            if (kw(j, "ASC")) j += 1
+            if (!(kw(j, "WITH") && kw(j + 1, "FILL"))) None
+            else {
+              j += 2
+              var from: Option[Long] = None
+              var to: Option[Long] = None
+              var step = 1L
+              var ok = true
+              while (ok && j < toks.length && toks(j).text != ";") {
+                if (kw(j, "FROM")) snum(j + 1) match {
+                  case Some((v, c)) => from = Some(v); j += 1 + c
+                  case None => ok = false
+                } else if (kw(j, "TO")) snum(j + 1) match {
+                  case Some((v, c)) => to = Some(v); j += 1 + c
+                  case None => ok = false
+                } else if (kw(j, "STEP")) snum(j + 1) match {
+                  case Some((v, c)) if v > 0 => step = v; j += 1 + c
+                  case _ => ok = false
+                } else ok = false
+              }
+              if (ok) Some(WithFillParts(sql.substring(0, toks(oi).pos).trim,
+                col, from, to, step))
+              else None
+            }
+          case _ => None
+        }
+      }
+    }
+
   /** The pieces of a `… GROUP BY exprs WITH TOTALS …` statement —
     * ClickHouse's totals-row modifier. `pre` is the text before GROUP,
     * `groupExprs` the grouping expression list, `tail` everything after

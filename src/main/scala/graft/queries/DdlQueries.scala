@@ -143,6 +143,20 @@ object DdlQueries {
         "CAST(sum(user_id) AS BIGINT) AS su FROM events " +
         s"GROUP BY event_type ORDER BY event_type INTO OUTFILE '$path'")
       s.read.schema("event_type STRING, n BIGINT, su BIGINT").csv(path)
+    },
+
+    // ClickHouse `ORDER BY k WITH FILL FROM a TO b STEP s` (d09): the
+    // value-bucket histogram has guaranteed gaps below bucket 2; the
+    // rewrite left-joins the result onto the generated grid (TO is
+    // exclusive, CH's contract; filled rows carry ANSI NULLs — same
+    // documented divergence as d06's totals keys). Oracle: DuckDB
+    // generate_series + LEFT JOIN, independently formulated.
+    "d09_with_fill" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("SELECT CAST(floor(value / 25) AS BIGINT) AS k, " +
+        "count(*) AS n FROM events WHERE value > 60 GROUP BY k " +
+        "ORDER BY k WITH FILL FROM 0 TO 10 STEP 1")
     }
   )
 
@@ -204,6 +218,15 @@ object DdlQueries {
     "d08_into_outfile" ->
       """SELECT event_type, count(*) AS n, CAST(sum(user_id) AS BIGINT) AS su
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "d09_with_fill" ->
+      """WITH src AS (
+        |  SELECT CAST(floor(value / 25) AS BIGINT) AS k, count(*) AS n
+        |  FROM events WHERE value > 60 GROUP BY k
+        |), grid AS (SELECT unnest(range(0, 10)) AS k)
+        |SELECT grid.k AS k, src.n AS n
+        |FROM grid LEFT JOIN src ON grid.k = src.k
+        |ORDER BY k""".stripMargin,
 
     "d07_limit_with_ties" ->
       """WITH r AS (

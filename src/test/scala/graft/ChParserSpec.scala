@@ -229,6 +229,25 @@ class ChParserSpec extends AnyFunSuite {
       "SELECT ' INTO OUTFILE /tmp/x ' AS s FROM t") === None)
   }
 
+  test("splitWithFill parses the ORDER BY fill modifier and its scope") {
+    val p = ChParser.splitWithFill(
+      "SELECT k, n FROM t ORDER BY k WITH FILL FROM 0 TO 10 STEP 2").get
+    assert(p.core === "SELECT k, n FROM t")
+    assert((p.col, p.from, p.to, p.step) === ("k", Some(0L), Some(10L), 2L))
+    // bounds optional (data min/max); negative FROM; ASC tolerated
+    val q = ChParser.splitWithFill(
+      "SELECT k FROM t ORDER BY k ASC WITH FILL FROM -3").get
+    assert((q.col, q.from, q.to, q.step) === ("k", Some(-3L), None, 1L))
+    // not ours: plain ORDER BY, DESC, non-identifier key, junk after
+    assert(ChParser.splitWithFill("SELECT k FROM t ORDER BY k") === None)
+    assert(ChParser.splitWithFill(
+      "SELECT k FROM t ORDER BY k DESC WITH FILL") === None)
+    assert(ChParser.splitWithFill(
+      "SELECT k FROM t ORDER BY k WITH FILL STEP 0") === None)
+    assert(ChParser.splitWithFill(
+      "SELECT k FROM t ORDER BY k WITH FILL LIMIT 3") === None)
+  }
+
   test("splitWithTotals finds GROUP BY ... WITH TOTALS, keeps the tail") {
     val p = ChParser.splitWithTotals(
       "SELECT k, count(*) FROM t GROUP BY k WITH TOTALS ORDER BY k").get

@@ -758,6 +758,28 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(!exec.contains("Union"), exec)
   }
 
+  test("WITH FILL: grid join fills gaps, TO exclusive, data-derived bounds") {
+    val g = new graft.exec.GraftSession(spark)
+    import spark.implicits._
+    Seq((2L, 10L), (5L, 20L), (6L, 30L))
+      .toDF("k", "n").createOrReplaceTempView("wf_t")
+    // explicit bounds: [0, 8) — gaps carry NULL n (documented ANSI
+    // divergence from CH's type defaults)
+    val filled = g.sql("SELECT k, n FROM wf_t ORDER BY k " +
+        "WITH FILL FROM 0 TO 8 STEP 1")
+      .collect().map(r => (r.getLong(0), Option(r.get(1))))
+    assert(filled.map(_._1).toSeq === (0L to 7L))
+    assert(filled.filter(_._2.isDefined).map(_._1).toSeq === Seq(2L, 5L, 6L))
+    // bounds from the data when FROM/TO are absent (min..max inclusive)
+    val auto = g.sql("SELECT k, n FROM wf_t ORDER BY k WITH FILL")
+      .collect().map(_.getLong(0))
+    assert(auto.toSeq === (2L to 6L))
+    // STEP strides the grid
+    val stepped = g.sql("SELECT k, n FROM wf_t ORDER BY k " +
+        "WITH FILL FROM 0 TO 7 STEP 3").collect().map(_.getLong(0))
+    assert(stepped.toSeq === Seq(0L, 3L, 6L))
+  }
+
   test("INTO OUTFILE: single-file export, formats, refuses overwrite") {
     val g = new graft.exec.GraftSession(spark)
     import spark.implicits._
