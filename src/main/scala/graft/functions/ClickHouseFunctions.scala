@@ -193,6 +193,15 @@ object ClickHouseFunctions {
   private def emptyIntArray: Expression =
     Literal.create(Array.empty[Int], ArrayType(IntegerType))
 
+  /** CH JSON functions address by KEY; Spark's GetJsonObject wants a
+    * '$.key' JSONPath — prepend it (works for literal and computed keys).
+    */
+  private def jsonPath(k: Expression): Expression = k match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType)
+        if s.toString.startsWith("$") => k // already a JSONPath
+    case _ => Concat(Seq(Literal("$."), Cast(k, StringType)))
+  }
+
   private def one(name: String)(f: Expression => Expression): Builder = {
     case Seq(e) => f(e)
     case exprs => throw new IllegalArgumentException(
@@ -510,6 +519,39 @@ object ClickHouseFunctions {
         Literal(0))))),
     "arrayPopFront" -> one("arrayPopFront")(a =>
       Slice(a, Literal(2), Size(a))),
+    // ---- CH JSON extraction (key-addressed v1) -------------------------
+    // JSONExtract*(json, 'key') over Spark's codegen'd GetJsonObject;
+    // numeric/bool variants cast the extracted text. JSONHas is
+    // extraction-not-null (a JSON null value reads as absent — documented;
+    // CH's own JSONHas sees it). JSONLength(json) is the array length.
+    "JSONExtractString" -> two("JSONExtractString")((j, k) =>
+      GetJsonObject(j, jsonPath(k))),
+    "JSONExtractInt" -> two("JSONExtractInt")((j, k) =>
+      Cast(GetJsonObject(j, jsonPath(k)), LongType)),
+    "JSONExtractFloat" -> two("JSONExtractFloat")((j, k) =>
+      Cast(GetJsonObject(j, jsonPath(k)), DoubleType)),
+    "JSONExtractBool" -> two("JSONExtractBool")((j, k) =>
+      Cast(GetJsonObject(j, jsonPath(k)), BooleanType)),
+    "JSONHas" -> two("JSONHas")((j, k) =>
+      IsNotNull(GetJsonObject(j, jsonPath(k)))),
+    "JSONLength" -> one("JSONLength")(j => LengthOfJsonArray(j)),
+    // ---- CH IPv4 numeric/dotted conversions ----------------------------
+    // Pure integer/string arithmetic — the identical expression shape is
+    // the DuckDB oracle, so no codec can drift.
+    "IPv4NumToString" -> one("IPv4NumToString")(ip => {
+      val v = Cast(ip, LongType)
+      def octet(shift: Int) =
+        Cast(Remainder(ShiftRight(v, Literal(shift)), Literal(256L)), StringType)
+      Concat(Seq(octet(24), Literal("."), octet(16), Literal("."),
+        octet(8), Literal("."), octet(0)))
+    }),
+    "IPv4StringToNum" -> one("IPv4StringToNum")(s => {
+      val parts = StringSplit(s, Literal("\\."), Literal(-1))
+      def part(i: Int) = Cast(ElementAt(parts, Literal(i), None, false), LongType)
+      Add(Add(Add(Multiply(part(1), Literal(16777216L)),
+        Multiply(part(2), Literal(65536L))),
+        Multiply(part(3), Literal(256L))), part(4))
+    }),
     // CH range(N) = [0..N) / range(start, end) — empty when end <= start.
     "range" -> { exprs => exprs match {
       case Seq(n) =>

@@ -348,6 +348,39 @@ object FuncQueries {
           |FROM a ORDER BY doc_id""".stripMargin)
     },
 
+    // CH JSON + IPv4 packs (f16): JSONExtract{String,Int,Float,Bool}/
+    // JSONHas/JSONLength over codegen'd GetJsonObject, and the IPv4
+    // numeric<->dotted conversions as pure integer/string arithmetic.
+    // The JSON documents are concat-built identically in both engines so
+    // no serializer formatting can drift.
+    "f16_json_ip" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      ClickHouseFunctions.register(s)
+      s.sql(
+        """WITH j AS (
+          |  SELECT n_nationkey AS k,
+          |    concat('{"name":"', n_name, '","region":',
+          |      CAST(n_regionkey AS STRING), ',"len":',
+          |      CAST(length(n_name) AS STRING), ',"tags":["a","b","c"]',
+          |      CASE WHEN n_nationkey % 2 = 0 THEN ',"even":true' ELSE '' END,
+          |      '}') AS doc,
+          |    CAST(n_nationkey AS BIGINT) * 16909320 + 11 AS ipnum
+          |  FROM nation
+          |)
+          |SELECT k,
+          |  JSONExtractString(doc, 'name') AS name,
+          |  CAST(JSONExtractInt(doc, 'region') AS BIGINT) AS region,
+          |  CAST(JSONExtractInt(doc, 'len') AS BIGINT) AS len,
+          |  ifNull(JSONExtractBool(doc, 'even'), false) AS even,
+          |  JSONHas(doc, 'even') AS has_even,
+          |  JSONHas(doc, 'name') AS has_name,
+          |  CAST(JSONLength(JSONExtractString(doc, 'tags')) AS INT) AS n_tags,
+          |  round(JSONExtractFloat(doc, 'region') / 2, 4) AS regf,
+          |  IPv4NumToString(ipnum) AS ip,
+          |  CAST(IPv4StringToNum(IPv4NumToString(ipnum)) AS BIGINT) AS ip_rt
+          |FROM j ORDER BY k""".stripMargin)
+    },
+
     // First event-table queries (time-series shape): daily rollup with
     // exact decimal sums.
     "e01_events_daily" -> { (s, dir) =>
@@ -382,6 +415,31 @@ object FuncQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "f16_json_ip" ->
+      """WITH j AS (
+        |  SELECT n_nationkey AS k,
+        |    concat('{"name":"', n_name, '","region":',
+        |      CAST(n_regionkey AS VARCHAR), ',"len":',
+        |      CAST(length(n_name) AS VARCHAR), ',"tags":["a","b","c"]',
+        |      CASE WHEN n_nationkey % 2 = 0 THEN ',"even":true' ELSE '' END,
+        |      '}') AS doc,
+        |    CAST(n_nationkey AS BIGINT) * 16909320 + 11 AS ipnum
+        |  FROM nation
+        |)
+        |SELECT k,
+        |  json_extract_string(doc, '$.name') AS name,
+        |  CAST(json_extract_string(doc, '$.region') AS BIGINT) AS region,
+        |  CAST(json_extract_string(doc, '$.len') AS BIGINT) AS len,
+        |  coalesce(CAST(json_extract_string(doc, '$.even') AS BOOLEAN), false) AS even,
+        |  json_extract(doc, '$.even') IS NOT NULL AS has_even,
+        |  json_extract(doc, '$.name') IS NOT NULL AS has_name,
+        |  CAST(json_array_length(json_extract(doc, '$.tags')) AS INT) AS n_tags,
+        |  round(CAST(json_extract_string(doc, '$.region') AS DOUBLE) / 2, 4) AS regf,
+        |  concat(((ipnum >> 24) % 256)::VARCHAR, '.', ((ipnum >> 16) % 256)::VARCHAR,
+        |    '.', ((ipnum >> 8) % 256)::VARCHAR, '.', (ipnum % 256)::VARCHAR) AS ip,
+        |  CAST(ipnum AS BIGINT) AS ip_rt
+        |FROM j ORDER BY k""".stripMargin,
+
     "f15_array_hof" ->
       """WITH a AS (
         |  SELECT doc_id, list_filter(str_split(text, ' '), w -> w <> '') AS ws

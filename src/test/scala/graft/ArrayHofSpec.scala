@@ -88,6 +88,30 @@ class ArrayHofSpec extends AnyFunSuite {
     assert(sql1("SELECT arrayPopFront(array(7))") === Seq.empty)
   }
 
+  test("JSON pack: key extraction, has, array length") {
+    val doc = """'{"a":"x","n":5,"f":2.5,"b":true,"t":[1,2,3]}'"""
+    assert(sql1(s"SELECT JSONExtractString($doc, 'a')") === "x")
+    assert(sql1(s"SELECT JSONExtractInt($doc, 'n')") === 5L)
+    assert(sql1(s"SELECT JSONExtractFloat($doc, 'f')") === 2.5)
+    assert(sql1(s"SELECT JSONExtractBool($doc, 'b')") === true)
+    assert(sql1(s"SELECT JSONHas($doc, 'a')") === true)
+    assert(sql1(s"SELECT JSONHas($doc, 'zz')") === false)
+    assert(sql1(s"SELECT JSONLength(JSONExtractString($doc, 't'))") === 3)
+    assert(sql1(s"SELECT JSONExtractString($doc, 'missing')") === null)
+    // explicit JSONPath passes through untouched
+    assert(sql1(s"SELECT JSONExtractString($doc, '$$.a')") === "x")
+  }
+
+  test("IPv4 conversions: dotted quad round-trip and golden vectors") {
+    assert(sql1("SELECT IPv4NumToString(167774729)") === "10.0.10.9")
+    assert(sql1("SELECT IPv4NumToString(0)") === "0.0.0.0")
+    assert(sql1("SELECT IPv4NumToString(4294967295)") === "255.255.255.255")
+    assert(sql1("SELECT IPv4StringToNum('10.0.10.9')") === 167774729L)
+    assert(sql1("SELECT IPv4StringToNum('255.255.255.255')") === 4294967295L)
+    assert(sql1(
+      "SELECT IPv4StringToNum(IPv4NumToString(3232235777))") === 3232235777L)
+  }
+
   test("arrayEnumerate / range with empty guards") {
     assert(sql1("SELECT arrayEnumerate(array('a', 'b', 'c'))") === Seq(1, 2, 3))
     assert(sql1("SELECT arrayEnumerate(arrayPopBack(array(1)))") === Seq.empty)
