@@ -1444,12 +1444,13 @@ object LlmQueries {
     * histograms, one map-side-joined aggregation to score docs. No
     * all-pairs, no vocabulary-sized state on any single node.
     */
-  private def dsirSql(spark: Boolean): String = {
+  private def dsirSql(spark: Boolean, spread: String = ""): String = {
     val tok =
       if (spark)
-        """tok AS (
+        s"""tok AS (
           |  SELECT doc_id, lang, w
-          |  FROM documents LATERAL VIEW explode(split(text, ' ')) t AS w
+          |  FROM (SELECT $spread doc_id, lang, text FROM documents) d
+          |  LATERAL VIEW explode(split(text, ' ')) t AS w
           |  WHERE w <> ''
           |)""".stripMargin
       else
@@ -1502,13 +1503,13 @@ object LlmQueries {
     * pair fan-out bounded by shingle frequency); at petabyte scale one
     * drops the audit and keeps the signature estimate.
     */
-  private def overlapSql(spark: Boolean): String = {
+  private def overlapSql(spark: Boolean, spread: String = ""): String = {
     val wnd =
       if (spark)
-        """tok AS (
+        s"""tok AS (
           |  SELECT DISTINCT source, h FROM (
           |    SELECT source, md5(substr(text, 1 + i * 10, 40)) AS h
-          |    FROM (SELECT source, text FROM documents WHERE length(text) >= 40) d
+          |    FROM (SELECT $spread source, text FROM documents WHERE length(text) >= 40) d
           |    LATERAL VIEW explode(
           |      sequence(0, CAST(floor((length(text) - 40) / 10) AS INT))) t AS i
           |  ) x
@@ -1564,13 +1565,13 @@ object LlmQueries {
     // ---- l28: DSIR importance resampling weights ----------------------
     "l28_dsir_importance" -> { (s, dir) =>
       Tables.registerAll(s, dir)
-      s.sql(dsirSql(spark = true))
+      s.sql(dsirSql(spark = true, spread = Tables.spreadHint(s)))
     },
 
     // ---- l29: cross-source MinHash overlap matrix ---------------------
     "l29_source_overlap" -> { (s, dir) =>
       Tables.registerAll(s, dir)
-      s.sql(overlapSql(spark = true))
+      s.sql(overlapSql(spark = true, spread = Tables.spreadHint(s)))
     },
 
     // ---- l26: product-quantization ANN (ADC + exact rerank) -----------
