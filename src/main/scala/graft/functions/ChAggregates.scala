@@ -105,6 +105,43 @@ object ChAggregates {
       ExpressionEncoder[Seq[(String, Long)]]()
   }
 
+  /** CH `topKWeighted(k)(x, w)`: SpaceSaving with weighted increments —
+    * a present key adds its weight, a newcomer inherits the evicted
+    * minimum as count floor + error, exactly [[TopK]] with w replacing 1
+    * (Metwally et al. 2005 §3.1 generalizes verbatim). Merge and output
+    * delegate to [[TopK]], so the bounded-state / floor-rule / exact-
+    * regime guarantees carry over unchanged.
+    */
+  final class TopKWeighted(k: Int, capacity: Int)
+      extends Aggregator[(String, Long), Map[String, (Long, Long)],
+        Seq[(String, Long)]] {
+    private val base = new TopK(k, capacity)
+
+    override def zero: Map[String, (Long, Long)] = Map.empty
+
+    override def reduce(b: Map[String, (Long, Long)],
+                        aw: (String, Long)): Map[String, (Long, Long)] = {
+      val (a, w) = aw
+      b.get(a) match {
+        case Some((c, e)) => b.updated(a, (c + w, e))
+        case None if b.size < capacity => b.updated(a, (w, 0L))
+        case None =>
+          val (victim, (minC, _)) = b.minBy { case (v, (c, _)) => (c, v) }
+          (b - victim).updated(a, (minC + w, minC))
+      }
+    }
+
+    override def merge(b1: Map[String, (Long, Long)],
+                       b2: Map[String, (Long, Long)]): Map[String, (Long, Long)] =
+      base.merge(b1, b2)
+    override def finish(r: Map[String, (Long, Long)]): Seq[(String, Long)] =
+      base.finish(r)
+    override def bufferEncoder: Encoder[Map[String, (Long, Long)]] =
+      base.bufferEncoder
+    override def outputEncoder: Encoder[Seq[(String, Long)]] =
+      base.outputEncoder
+  }
+
   private type Builder = Seq[Expression] => Expression
 
   private def one(name: String)(f: Expression => Expression): Builder = {
@@ -213,5 +250,8 @@ object ChAggregates {
     }
     spark.udf.register("top_k_3",
       org.apache.spark.sql.functions.udaf(new TopK(3, 16), Encoders.STRING))
+    spark.udf.register("top_k_weighted_3",
+      org.apache.spark.sql.functions.udaf(new TopKWeighted(3, 16),
+        ExpressionEncoder[(String, Long)]()))
   }
 }

@@ -45,6 +45,27 @@ object AggPackQueries {
           |ORDER BY day, rank""".stripMargin)
     },
 
+    // ---- b11: topKWeighted(3)(event_type, w) per day -----------------
+    // SpaceSaving with weighted increments (same bounded state, same
+    // floor rule); integer centi-value weights keep both engines exact.
+    // Domain (5 types) << capacity (16) -> the exact regime, where the
+    // summary equals the true weighted ranking.
+    "b11_topk_weighted" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      ChAggregates.register(s)
+      s.sql(
+        """WITH t AS (
+          |  SELECT CAST(date_trunc('DAY', ts) AS DATE) AS day,
+          |    top_k_weighted_3(event_type,
+          |      CAST(round(value * 100) AS BIGINT)) AS tk
+          |  FROM events GROUP BY 1
+          |)
+          |SELECT day, CAST(r AS INT) AS rank, p._1 AS etype,
+          |  CAST(p._2 AS BIGINT) AS wsum
+          |FROM t LATERAL VIEW posexplode(tk) AS r, p
+          |ORDER BY day, rank""".stripMargin)
+    },
+
     // ---- b06: quantileExactInclusive / medianExact -------------------
     // Catalyst Percentile (continuous interpolation at rank p*(n-1)) ==
     // CH quantileExactInclusive == DuckDB quantile_cont; round(6)
@@ -153,6 +174,23 @@ object AggPackQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Exact weighted top-3 by (weight DESC, value ASC) — equals the
+    // SpaceSaving output in the exact regime (domain < capacity).
+    "b11_topk_weighted" ->
+      """WITH c AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS w
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT day, event_type, w,
+        |    row_number() OVER (PARTITION BY day
+        |                       ORDER BY w DESC, event_type) AS rn
+        |  FROM c
+        |)
+        |SELECT day, CAST(rn - 1 AS INT) AS rank, event_type AS etype,
+        |  CAST(w AS BIGINT) AS wsum
+        |FROM r WHERE rn <= 3 ORDER BY day, rank""".stripMargin,
+
     "b10_stats_pack" ->
       """WITH g AS (
         |  SELECT event_type, avg(value) AS mu FROM events GROUP BY 1

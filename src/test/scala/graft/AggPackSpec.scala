@@ -148,6 +148,28 @@ class AggPackSpec extends AnyFunSuite {
     assert(big.getInt(0) === 1)
   }
 
+  test("topKWeighted: exact-regime equals weighted ranking, any split") {
+    import graft.functions.ChAggregates.TopKWeighted
+    val agg = new TopKWeighted(2, 4)
+    val data = Seq("a" -> 5L, "b" -> 1L, "a" -> 2L, "c" -> 4L, "b" -> 1L)
+    // exact regime (3 distinct < 4 capacity): top-2 by weight, ties by value
+    def run(split: Int): Seq[(String, Long)] = {
+      val (l, r) = data.splitAt(split)
+      val bl = l.foldLeft(agg.zero)(agg.reduce)
+      val br = r.foldLeft(agg.zero)(agg.reduce)
+      agg.finish(agg.merge(bl, br))
+    }
+    (0 to data.length).foreach { s =>
+      assert(run(s) === Seq("a" -> 7L, "c" -> 4L), s"split $s")
+    }
+    // overflow regime: heavy hitter survives, counts are overestimates
+    val heavy = (1 to 50).map(i => s"x$i" -> 1L) ++ Seq.fill(30)("hot" -> 3L)
+    val b = heavy.foldLeft(agg.zero)(agg.reduce)
+    val out = agg.finish(b)
+    assert(out.exists(_._1 == "hot"))
+    assert(out.find(_._1 == "hot").get._2 >= 90L)
+  }
+
   test("stats pack names equal Spark natives; kurtPop is non-excess") {
     ChAggregates.register(spark)
     import spark.implicits._
