@@ -2142,6 +2142,52 @@ object LlmQueries {
         .orderBy(col("len_bucket"))
     },
 
+    // ---- m04: perceptual-hash image near-dup ---------------------------
+    // The image face of the dedup surface: REAL gradient-pattern PNGs
+    // render per doc (content-derived params, doc_id-derived ±1 gray
+    // perturbation), the aHash computes from DECODED pixels (8×8 sampled
+    // grid, integer-exact mean bit test), and near-dup candidates come
+    // from a 4×16-bit banded join with the l02b/l11b mega-bucket cap +
+    // sentinel. PNG is lossless, so the pixel-derived hash matches the
+    // oracle's closed-form arithmetic bit for bit. The hash relation is
+    // 20 bytes/doc — localCheckpoint'd so the codec pipeline runs once,
+    // not once per self-join branch. 100 TB: render/decode/hash are
+    // map-only; the banded join shuffles 4 rows/doc of 20 bytes.
+    "m04_image_phash_neardup" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      graft.operators.MultimodalOps.imageHashes(s, s.table("documents"))
+        .toDF().localCheckpoint().createOrReplaceTempView("m04_hashes")
+      s.sql(
+        """WITH bands AS (
+          |  SELECT doc_id, b AS k,
+          |    CASE b WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS sig
+          |  FROM m04_hashes LATERAL VIEW explode(sequence(0, 3)) t AS b
+          |), eligible AS (
+          |  SELECT k, sig FROM bands GROUP BY k, sig HAVING count(*) <= 50
+          |), capped AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n FROM (
+          |    SELECT k, sig FROM bands GROUP BY k, sig HAVING count(*) > 50) c
+          |), cand AS (
+          |  SELECT DISTINCT a.doc_id AS d1, bb.doc_id AS d2
+          |  FROM bands a
+          |  JOIN eligible e ON a.k = e.k AND a.sig = e.sig
+          |  JOIN bands bb ON a.k = bb.k AND a.sig = bb.sig
+          |    AND a.doc_id < bb.doc_id
+          |), pairs AS (
+          |  SELECT c.d1, c.d2,
+          |    bit_count(ha.b0 ^ hb.b0) + bit_count(ha.b1 ^ hb.b1) +
+          |    bit_count(ha.b2 ^ hb.b2) + bit_count(ha.b3 ^ hb.b3) AS hd
+          |  FROM cand c
+          |  JOIN m04_hashes ha ON c.d1 = ha.doc_id
+          |  JOIN m04_hashes hb ON c.d2 = hb.doc_id
+          |)
+          |SELECT CAST(hd AS INT) AS hd, CAST(count(*) AS BIGINT) AS n_pairs
+          |FROM pairs WHERE hd <= 6 GROUP BY hd
+          |UNION ALL
+          |SELECT CAST(-1 AS INT) AS hd, n AS n_pairs FROM capped
+          |ORDER BY hd""".stripMargin)
+    },
+
     // ---- l16: winnowing fingerprints ---------------------------------
     // The MOSS scheme (the rolling-hash fingerprinting standard for
     // near-dup/plagiarism detection): hash every positional 5-gram, keep
@@ -2728,6 +2774,54 @@ object LlmQueries {
          |SELECT CAST(width // 32 AS INT) AS w_bucket, count(*) AS n,
          |  CAST(sum(n_pixels) AS BIGINT) AS sum_pixels
          |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "m04_image_phash_neardup" -> {
+      val w = s"(32 + ${nib("md5(text)", 1)} % 8)"
+      val h = s"(32 + ${nib("md5(text)", 2)} % 8)"
+      val a = s"(1 + ${nib("md5(text)", 3)})"
+      val b = s"(1 + ${nib("md5(text)", 4)})"
+      val q = s"(1 + ${nib("md5(text)", 5)} % 4)"
+      s"""WITH p AS (
+         |  SELECT doc_id, $w AS w, $h AS h, $a AS a, $b AS b, $q AS q,
+         |    doc_id % 3 AS c
+         |  FROM documents
+         |), s AS (
+         |  SELECT doc_id, j.j * 8 + i.i AS idx,
+         |    (((i.i * w) // 8) * a + ((j.j * h) // 8) * b
+         |      + ((i.i * w) // 8) * ((j.j * h) // 8) * q + c) % 251 AS lum
+         |  FROM p, range(8) i(i), range(8) j(j)
+         |), tot AS (
+         |  SELECT doc_id, sum(lum) AS t FROM s GROUP BY doc_id
+         |), bands AS (
+         |  SELECT s.doc_id, (63 - idx) // 16 AS k,
+         |    CAST(sum(CASE WHEN lum * 64 > t THEN 1 ELSE 0 END
+         |      * (1 << ((63 - idx) % 16))) AS BIGINT) AS sig
+         |  FROM s JOIN tot USING (doc_id) GROUP BY 1, 2
+         |), eligible AS (
+         |  SELECT k, sig FROM bands GROUP BY k, sig HAVING count(*) <= 50
+         |), capped AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n FROM (
+         |    SELECT k, sig FROM bands GROUP BY k, sig HAVING count(*) > 50) c
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, bb.doc_id AS d2
+         |  FROM bands a
+         |  JOIN eligible e ON a.k = e.k AND a.sig = e.sig
+         |  JOIN bands bb ON a.k = bb.k AND a.sig = bb.sig
+         |    AND a.doc_id < bb.doc_id
+         |), pairs AS (
+         |  SELECT c.d1, c.d2,
+         |    CAST(sum(bit_count(xor(ba.sig, bb2.sig))) AS INT) AS hd
+         |  FROM cand c
+         |  JOIN bands ba ON ba.doc_id = c.d1
+         |  JOIN bands bb2 ON bb2.doc_id = c.d2 AND bb2.k = ba.k
+         |  GROUP BY c.d1, c.d2
+         |)
+         |SELECT CAST(hd AS INT) AS hd, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM pairs WHERE hd <= 6 GROUP BY hd
+         |UNION ALL
+         |SELECT CAST(-1 AS INT) AS hd, n AS n_pairs FROM capped
+         |ORDER BY hd""".stripMargin
     },
 
     "m02_audio_features" -> {
