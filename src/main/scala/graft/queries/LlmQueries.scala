@@ -1561,7 +1561,77 @@ object LlmQueries {
        |ORDER BY e.s1, e.s2""".stripMargin
   }
 
+  /** l30 bigram-LM scoring (the perplexity-filter curation step — CCNet
+    * trains a KenLM on a trusted corpus and buckets documents by
+    * perplexity; here the LM is an add-1-smoothed bigram model trained on
+    * the lang='en' slice, which keeps BOTH engines exactly computable).
+    * Per doc: mean ln P(w_i | w_{i-1}); summands round to 6 dp and sum as
+    * DECIMAL so the reduction is order-exact. Bigrams build INSIDE the
+    * row (transform over the split array) — map-only until the count
+    * join.
+    *
+    * 100 TB: the model is two count relations bounded by (seen-bigram,
+    * unigram) cardinality, joined by key — one shuffle each to build,
+    * one bigram-keyed equi-join to score (broadcast when the vocabulary
+    * allows, shuffle otherwise; no per-node vocabulary state).
+    */
+  private def lmSql(spark: Boolean, spread: String = ""): String = {
+    val ws = if (spark) "filter(split(text, ' '), x -> x <> '')"
+             else "list_filter(str_split(text, ' '), x -> x <> '')"
+    val bigs =
+      if (spark)
+        """transform(sequence(1, size(ws) - 1),
+          |      i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))""".stripMargin
+      else
+        """list_transform(range(1, len(ws)),
+          |      i -> concat(ws[i], ' ', ws[i + 1]))""".stripMargin
+    val explodeBigs =
+      if (spark)
+        s"""SELECT doc_id, lang, bg FROM w
+           |  LATERAL VIEW explode($bigs) t AS bg""".stripMargin
+      else
+        s"""SELECT doc_id, lang, unnest($bigs) AS bg FROM w""".stripMargin
+    val w1 = if (spark) "element_at(split(bg, ' '), 1)"
+             else "str_split(bg, ' ')[1]"
+    s"""WITH w AS (
+       |  SELECT doc_id, lang, $ws AS ws
+       |  FROM (SELECT $spread doc_id, lang, text FROM documents) d
+       |), big AS (
+       |  SELECT doc_id, lang, bg, $w1 AS w1 FROM ($explodeBigs) x
+       |), bgc AS (
+       |  SELECT bg, count(*) AS c FROM big WHERE lang = 'en' GROUP BY bg
+       |), unic AS (
+       |  SELECT w1, count(*) AS c1 FROM big WHERE lang = 'en' GROUP BY w1
+       |), v AS (
+       |  SELECT CAST(count(DISTINCT w1) AS DOUBLE) AS nv FROM big WHERE lang = 'en'
+       |), scored AS (
+       |  SELECT b.doc_id, b.lang,
+       |    CAST(round(ln((coalesce(bgc.c, 0) + 1.0)
+       |      / (coalesce(unic.c1, 0) + nv)), 6) AS DECIMAL(18,6)) AS lp
+       |  FROM big b
+       |  LEFT JOIN bgc ON b.bg = bgc.bg
+       |  LEFT JOIN unic ON b.w1 = unic.w1
+       |  CROSS JOIN v
+       |), docs AS (
+       |  SELECT doc_id, lang, count(*) AS n_big,
+       |    round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS mean_lp
+       |  FROM scored GROUP BY doc_id, lang
+       |)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(round(CAST(sum(CAST(mean_lp AS DECIMAL(18,6))) AS DOUBLE)
+       |    / count(*), 6) AS DOUBLE) AS avg_mean_lp,
+       |  round(min(mean_lp), 6) AS worst, round(max(mean_lp), 6) AS best
+       |FROM docs GROUP BY lang
+       |ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- l30: bigram-LM perplexity-proxy scoring ----------------------
+    "l30_bigram_lm_score" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(lmSql(spark = true, spread = Tables.spreadHint(s)))
+    },
+
     // ---- l28: DSIR importance resampling weights ----------------------
     "l28_dsir_importance" -> { (s, dir) =>
       Tables.registerAll(s, dir)
@@ -2451,6 +2521,7 @@ object LlmQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "l30_bigram_lm_score" -> lmSql(spark = false),
     "l28_dsir_importance" -> dsirSql(spark = false),
     "l29_source_overlap" -> overlapSql(spark = false),
     "l01_exact_dedup" ->
