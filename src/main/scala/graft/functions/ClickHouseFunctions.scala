@@ -519,6 +519,60 @@ object ClickHouseFunctions {
         Literal(0))))),
     "arrayPopFront" -> one("arrayPopFront")(a =>
       Slice(a, Literal(2), Size(a))),
+    // ---- CH conditionals / tuples / array pack #3 ----------------------
+    // if(c, a, b) and multiIf(c1, v1, c2, v2, ..., else) are CH's core
+    // conditional spellings; tuple == named_struct by position,
+    // tupleElement == 1-based struct field access.
+    "if" -> { exprs => exprs match {
+      case Seq(c, a, b) => If(c, a, b)
+      case _ => throw new IllegalArgumentException("if expects (cond, then, else)")
+    }},
+    "multiIf" -> { exprs =>
+      require(exprs.length >= 3 && exprs.length % 2 == 1,
+        "multiIf expects (cond1, val1, ..., condN, valN, else)")
+      val branches = exprs.dropRight(1).grouped(2).map {
+        case Seq(c, v) => (c, v)
+      }.toSeq
+      CaseWhen(branches, Some(exprs.last))
+    },
+    "tuple" -> { exprs =>
+      require(exprs.nonEmpty, "tuple expects at least one element")
+      CreateStruct(exprs)
+    },
+    "tupleElement" -> two("tupleElement")((t, i) =>
+      GetStructField(t, litInt(i, "tupleElement") - 1)),
+    // arrayReduce('agg', arr): CH applies a named aggregate to the array;
+    // here the supported names map onto the array fold/extremum builders.
+    "arrayReduce" -> two("arrayReduce")((name, a) =>
+      litStr(name, "arrayReduce").toLowerCase(Locale.ROOT) match {
+        case "sum" => arraySumOf(a)
+        case "min" => ArrayMin(a)
+        case "max" => ArrayMax(a)
+        case "avg" => Divide(Cast(arraySumOf(a), DoubleType),
+          Cast(Size(a), DoubleType))
+        case "count" => Size(a)
+        case "uniq" | "uniqexact" => Size(ArrayDistinct(a))
+        case other => throw new IllegalArgumentException(
+          s"arrayReduce: unsupported aggregate '$other'")
+      }),
+    "arrayIntersect" -> { exprs =>
+      require(exprs.length >= 2, "arrayIntersect expects at least 2 arrays")
+      exprs.reduce((a, b) => ArrayIntersect(a, b))
+    },
+    "arrayWithConstant" -> two("arrayWithConstant")((n, x) =>
+      ArrayRepeat(x, Cast(n, IntegerType))),
+    // CH arrayElement: 1-based, negative from the end; out-of-range gives
+    // default(T) in CH — NULL here (the pack's standing ANSI divergence).
+    "arrayElement" -> two("arrayElement")((a, i) =>
+      ElementAt(a, i, None, false)),
+    "countEqual" -> two("countEqual")((a, x) => {
+      val acc = nv("graft_acc"); val el = nv("graft_el")
+      val fin = nv("graft_fin")
+      ArrayAggregate(a, Literal(0),
+        LambdaFunction(Add(acc, If(EqualNullSafe(el, x), Literal(1),
+          Literal(0))), Seq(acc, el)),
+        LambdaFunction(fin, Seq(fin)))
+    }),
     // ---- CH JSON extraction (key-addressed v1) -------------------------
     // JSONExtract*(json, 'key') over Spark's codegen'd GetJsonObject;
     // numeric/bool variants cast the extracted text. JSONHas is

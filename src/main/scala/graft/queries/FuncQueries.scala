@@ -381,6 +381,37 @@ object FuncQueries {
           |FROM j ORDER BY k""".stripMargin)
     },
 
+    // CH conditionals / tuples / array pack #3 (f17): if/multiIf,
+    // tuple/tupleElement, arrayReduce over named aggregates,
+    // arrayIntersect/arrayWithConstant/arrayElement/countEqual. Oracle
+    // recomputes with independent DuckDB formulations (CASE, repeat,
+    // negative list index, list_intersect).
+    "f17_cond_tuple_pack" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      ClickHouseFunctions.register(s)
+      s.sql(
+        """SELECT n_nationkey AS k,
+          |  if(n_nationkey % 2 = 0, 'even', 'odd') AS par,
+          |  multiIf(n_nationkey < 5, 'low', n_nationkey < 15, 'mid', 'high')
+          |    AS band,
+          |  tupleElement(tuple(n_name, n_nationkey), 1) AS tname,
+          |  CAST(tupleElement(tuple(n_name, n_nationkey), 2) AS INT) AS tk,
+          |  CAST(arrayReduce('sum',
+          |    sequence(1, CAST(n_nationkey % 5 AS INT) + 1)) AS BIGINT) AS rsum,
+          |  CAST(arrayReduce('max',
+          |    sequence(1, CAST(n_nationkey % 5 AS INT) + 1)) AS INT) AS rmax,
+          |  round(arrayReduce('avg',
+          |    sequence(1, CAST(n_nationkey % 5 AS INT) + 1)), 6) AS ravg,
+          |  CAST(arrayReduce('uniq', splitByChar('A', n_name)) AS INT) AS runiq,
+          |  arrayStringConcat(arraySort(arrayIntersect(
+          |    splitByChar('A', n_name), array('', 'N', 'RGENTIN'))), ',') AS inter,
+          |  arrayStringConcat(arrayWithConstant(3, substr(n_name, 1, 1)), '')
+          |    AS triple,
+          |  arrayElement(splitByChar('A', n_name), -1) AS last_part,
+          |  CAST(countEqual(splitByChar('A', n_name), '') AS INT) AS n_empty
+          |FROM nation ORDER BY k""".stripMargin)
+    },
+
     // First event-table queries (time-series shape): daily rollup with
     // exact decimal sums.
     "e01_events_daily" -> { (s, dir) =>
@@ -415,6 +446,27 @@ object FuncQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "f17_cond_tuple_pack" ->
+      """SELECT n_nationkey AS k,
+        |  CASE WHEN n_nationkey % 2 = 0 THEN 'even' ELSE 'odd' END AS par,
+        |  CASE WHEN n_nationkey < 5 THEN 'low'
+        |       WHEN n_nationkey < 15 THEN 'mid' ELSE 'high' END AS band,
+        |  n_name AS tname,
+        |  CAST(n_nationkey AS INT) AS tk,
+        |  CAST(list_aggregate(generate_series(1, n_nationkey % 5 + 1), 'sum')
+        |    AS BIGINT) AS rsum,
+        |  CAST(n_nationkey % 5 + 1 AS INT) AS rmax,
+        |  round(CAST(list_aggregate(generate_series(1, n_nationkey % 5 + 1), 'sum')
+        |    AS DOUBLE) / (n_nationkey % 5 + 1), 6) AS ravg,
+        |  CAST(len(list_distinct(str_split(n_name, 'A'))) AS INT) AS runiq,
+        |  coalesce(array_to_string(list_sort(list_intersect(
+        |    str_split(n_name, 'A'), ['', 'N', 'RGENTIN'])), ','), '') AS inter,
+        |  repeat(substr(n_name, 1, 1), 3) AS triple,
+        |  str_split(n_name, 'A')[-1] AS last_part,
+        |  CAST(len(list_filter(str_split(n_name, 'A'), p -> p = '')) AS INT)
+        |    AS n_empty
+        |FROM nation ORDER BY k""".stripMargin,
+
     "f16_json_ip" ->
       """WITH j AS (
         |  SELECT n_nationkey AS k,

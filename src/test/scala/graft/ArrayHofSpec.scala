@@ -112,6 +112,27 @@ class ArrayHofSpec extends AnyFunSuite {
       "SELECT IPv4StringToNum(IPv4NumToString(3232235777))") === 3232235777L)
   }
 
+  test("conditionals / tuples / arrayReduce pack") {
+    assert(sql1("SELECT if(1 = 1, 'y', 'n')") === "y")
+    assert(sql1("SELECT if(1 = 2, 'y', 'n')") === "n")
+    assert(sql1("SELECT multiIf(false, 1, true, 2, 3)") === 2)
+    assert(sql1("SELECT multiIf(false, 1, false, 2, 3)") === 3)
+    assert(sql1("SELECT tupleElement(tuple('a', 5), 1)") === "a")
+    assert(sql1("SELECT tupleElement(tuple('a', 5), 2)") === 5)
+    assert(sql1("SELECT arrayReduce('sum', array(1, 2, 3))") === 6L)
+    assert(sql1("SELECT arrayReduce('min', array(3, 1, 2))") === 1)
+    assert(sql1("SELECT arrayReduce('max', array(3, 1, 2))") === 3)
+    assert(sql1("SELECT arrayReduce('avg', array(1, 2, 3, 4))") === 2.5)
+    assert(sql1("SELECT arrayReduce('count', array(7, 8))") === 2)
+    assert(sql1("SELECT arrayReduce('uniq', array(1, 1, 2))") === 2)
+    assert(sql1("SELECT arraySort(arrayIntersect(array(1, 2, 3), array(3, 1, 9)))") ===
+      Seq(1, 3))
+    assert(sql1("SELECT arrayWithConstant(3, 'x')") === Seq("x", "x", "x"))
+    assert(sql1("SELECT arrayElement(array(10, 20, 30), -1)") === 30)
+    assert(sql1("SELECT arrayElement(array(10), 5)") === null) // CH: default(T)
+    assert(sql1("SELECT countEqual(array(1, 2, 1, 1), 1)") === 3)
+  }
+
   test("arrayEnumerate / range with empty guards") {
     assert(sql1("SELECT arrayEnumerate(array('a', 'b', 'c'))") === Seq(1, 2, 3))
     assert(sql1("SELECT arrayEnumerate(arrayPopBack(array(1)))") === Seq.empty)
