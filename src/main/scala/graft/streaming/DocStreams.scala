@@ -119,6 +119,59 @@ object DocStreams {
           |  * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) / n_tok, 6)""".stripMargin))
       .drop("graft_lws", "graft_toks")
 
+  /** The l30 bigram model collapsed to ONE broadcastable row: the bigram
+    * and unigram count maps plus the vocabulary size — the KenLM-binary
+    * analogy (CCNet ships its LM to every worker the same way). Requires
+    * the `documents` view (the trusted training slice is lang='en').
+    */
+  def lmModelRow(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.sql(
+      """WITH w AS (
+        |  SELECT filter(split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents WHERE lang = 'en'
+        |), big AS (
+        |  SELECT bg FROM w
+        |  LATERAL VIEW explode(transform(sequence(1, size(ws) - 1),
+        |    i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))) t AS bg
+        |  WHERE size(ws) >= 2
+        |), bgc AS (
+        |  SELECT bg, count(*) AS c FROM big GROUP BY bg
+        |), unic AS (
+        |  SELECT element_at(split(bg, ' '), 1) AS w1, count(*) AS c1
+        |  FROM big GROUP BY 1
+        |)
+        |SELECT
+        |  (SELECT map_from_entries(collect_list(struct(bg, c))) FROM bgc) AS bgm,
+        |  (SELECT map_from_entries(collect_list(struct(w1, c1))) FROM unic) AS unim,
+        |  (SELECT CAST(count(*) AS DOUBLE) FROM unic) AS nv""".stripMargin)
+
+  /** Streaming perplexity-proxy scoring: arriving documents score against
+    * the broadcast model row with a stateless in-row fold — bigrams
+    * assemble from the split array, each looks its counts up in the
+    * broadcast maps, and the 6-dp summands fold as micro-unit longs
+    * (the dsirScore fixed-point discipline), so streaming == batch l30
+    * per-doc means is an exact equality. No stream aggregation, no
+    * state, no shuffle.
+    */
+  def lmScore(docs: DataFrame, model: DataFrame): DataFrame =
+    docs.crossJoin(broadcast(model))
+      .withColumn("graft_ws", expr("filter(split(text, ' '), x -> x <> '')"))
+      .withColumn("graft_bgs", expr(
+        """CASE WHEN size(graft_ws) >= 2 THEN
+          |  transform(sequence(1, size(graft_ws) - 1),
+          |    i -> concat(element_at(graft_ws, i), ' ',
+          |                element_at(graft_ws, i + 1)))
+          |ELSE array() END""".stripMargin))
+      .withColumn("n_big", size(col("graft_bgs")).cast("long"))
+      .withColumn("mean_lp", expr(
+        """round(CAST(CAST(aggregate(transform(graft_bgs, bg ->
+          |  CAST(round(ln((coalesce(element_at(bgm, bg), 0) + 1.0)
+          |    / (coalesce(element_at(unim, element_at(split(bg, ' '), 1)), 0)
+          |       + nv)), 6) * 1000000 AS BIGINT)),
+          |  CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DECIMAL(38,0))
+          |  * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) / n_big, 6)""".stripMargin))
+      .drop("graft_ws", "graft_bgs", "bgm", "unim", "nv")
+
   def decontaminationGate(docs: DataFrame, evalDocs: DataFrame,
                           n: Int = 4): DataFrame = {
     val spark = docs.sparkSession

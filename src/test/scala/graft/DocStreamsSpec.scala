@@ -125,6 +125,63 @@ class DocStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming LM scores equal the batch l30 per-doc means exactly") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    Tables.registerAll(spark, dir)
+    val model = graft.streaming.DocStreams.lmModelRow(spark)
+
+    // independent batch formulation of the same per-doc mean (mirrors the
+    // l30 entry's docs CTE: 6-dp decimal summands, exact sum)
+    val batch = spark.sql(
+      """WITH w AS (
+        |  SELECT doc_id, filter(split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents WHERE doc_id % 11 = 0
+        |), big AS (
+        |  SELECT doc_id, bg, element_at(split(bg, ' '), 1) AS w1 FROM w
+        |  LATERAL VIEW explode(transform(sequence(1, size(ws) - 1),
+        |    i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))) t AS bg
+        |), trainbig AS (
+        |  SELECT bg FROM (SELECT filter(split(text, ' '), x -> x <> '') AS ws
+        |                  FROM documents WHERE lang = 'en') u
+        |  LATERAL VIEW explode(transform(sequence(1, size(ws) - 1),
+        |    i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))) t AS bg
+        |), bgc AS (SELECT bg, count(*) AS c FROM trainbig GROUP BY bg
+        |), unic AS (
+        |  SELECT element_at(split(bg, ' '), 1) AS w1, count(*) AS c1
+        |  FROM trainbig GROUP BY 1
+        |), v AS (SELECT CAST(count(DISTINCT w1) AS DOUBLE) AS nv FROM unic)
+        |SELECT b.doc_id,
+        |  round(CAST(sum(CAST(round(ln((coalesce(bgc.c, 0) + 1.0)
+        |    / (coalesce(unic.c1, 0) + nv)), 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 6) AS mean_lp
+        |FROM big b
+        |LEFT JOIN bgc ON b.bg = bgc.bg
+        |LEFT JOIN unic ON b.w1 = unic.w1
+        |CROSS JOIN v
+        |GROUP BY b.doc_id""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(batch.nonEmpty)
+
+    val texts = spark.table("documents")
+      .filter(col("doc_id").isin(batch.keySet.toSeq: _*))
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStreams
+      .lmScore(mem.toDF().toDF("doc_id", "text"), model)
+      .select("doc_id", "mean_lp")
+      .writeStream.format("memory").queryName("lm_scores")
+      .outputMode("append").start()
+    try {
+      mem.addData(texts: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("lm_scores").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(streamed === batch) // exact — fixed-point fold == decimal Sum
+    } finally q.stop()
+  }
+
   test("decontamination gate edge cases: empty eval corpus and NULL text " +
     "both pass (match the batch semantics, no silent drops)") {
     import spark.implicits._
