@@ -519,6 +519,55 @@ object ClickHouseFunctions {
         Literal(0))))),
     "arrayPopFront" -> one("arrayPopFront")(a =>
       Slice(a, Literal(2), Size(a))),
+    // ---- CH string pack #3 ---------------------------------------------
+    // position is CH's (haystack, needle) order — 1-based, 0 when absent
+    // (StringLocate's own contract); countSubstrings counts
+    // non-overlapping occurrences via length arithmetic (codegen-only,
+    // no UDF); splitByString is the multi-char split (keeps empties).
+    "position" -> two("position")((h, n) => new StringLocate(n, h)),
+    "positionCaseInsensitive" -> two("positionCaseInsensitive")((h, n) =>
+      new StringLocate(Lower(n), Lower(h))),
+    "countSubstrings" -> two("countSubstrings")((h, n) =>
+      If(Or(IsNull(h), IsNull(n)), Literal(null, IntegerType),
+        If(EqualTo(Length(n), Literal(0)), Literal(0),
+          Cast(IntegralDivide(
+            Subtract(Length(h), Length(StringReplace(h, n, Literal("")))),
+            Length(n)), IntegerType)))),
+    "startsWith" -> two("startsWith")((l, r) => StartsWith(l, r)),
+    "trimBoth" -> one("trimBoth")(e => StringTrim(e)),
+    "trimLeft" -> one("trimLeft")(e => StringTrimLeft(e)),
+    "trimRight" -> one("trimRight")(e => StringTrimRight(e)),
+    "leftPad" -> { exprs => exprs match {
+      case Seq(s, n) => StringLPad(s, Cast(n, IntegerType), Literal(" "))
+      case Seq(s, n, p) => StringLPad(s, Cast(n, IntegerType), p)
+      case _ => throw new IllegalArgumentException(
+        "leftPad expects (s, len[, pad])")
+    }},
+    "rightPad" -> { exprs => exprs match {
+      case Seq(s, n) => StringRPad(s, Cast(n, IntegerType), Literal(" "))
+      case Seq(s, n, p) => StringRPad(s, Cast(n, IntegerType), p)
+      case _ => throw new IllegalArgumentException(
+        "rightPad expects (s, len[, pad])")
+    }},
+    "substringUTF8" -> { exprs => exprs match {
+      case Seq(s, p) => Substring(s, Cast(p, IntegerType), Literal(Int.MaxValue))
+      case Seq(s, p, l) => Substring(s, Cast(p, IntegerType), Cast(l, IntegerType))
+      case _ => throw new IllegalArgumentException(
+        "substringUTF8 expects (s, pos[, len])")
+    }},
+    "reverseUTF8" -> one("reverseUTF8")(e => Reverse(e)),
+    "concatWithSeparator" -> { exprs =>
+      require(exprs.length >= 2,
+        "concatWithSeparator expects (sep, s1[, s2, ...])")
+      ConcatWs(exprs)
+    },
+    // splitByString(sep, s) — CH argument order; multi-char literal
+    // separator, trailing empties kept (limit -1), like splitByChar.
+    "splitByString" -> two("splitByString")((sep, s) => {
+      val sp = litStr(sep, "splitByString")
+      require(sp.nonEmpty, "splitByString separator must be non-empty")
+      StringSplit(s, Literal(java.util.regex.Pattern.quote(sp)), Literal(-1))
+    }),
     // ---- CH conditionals / tuples / array pack #3 ----------------------
     // if(c, a, b) and multiIf(c1, v1, c2, v2, ..., else) are CH's core
     // conditional spellings; tuple == named_struct by position,

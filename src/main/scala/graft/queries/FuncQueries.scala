@@ -412,6 +412,34 @@ object FuncQueries {
           |FROM nation ORDER BY k""".stripMargin)
     },
 
+    // CH string pack #3 (f18): position family (CH haystack-first order),
+    // countSubstrings (non-overlapping, via length arithmetic), trim/pad,
+    // substringUTF8, concatWithSeparator, splitByString.
+    "f18_string_pack3" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      ClickHouseFunctions.register(s)
+      s.sql(
+        """SELECT n_nationkey AS k,
+          |  CAST(position(n_name, 'A') AS INT) AS pos_a,
+          |  CAST(position(n_name, 'zz') AS INT) AS pos_none,
+          |  CAST(positionCaseInsensitive(n_name, 'a') AS INT) AS pos_ai,
+          |  CAST(countSubstrings(n_name, 'A') AS INT) AS n_a,
+          |  CAST(countSubstrings(n_name, '1') AS INT) AS n_one,
+          |  startsWith(n_name, 'N') AS sw,
+          |  trimBoth(concat('  ', n_name, ' ')) AS tb,
+          |  trimLeft(concat('  ', n_name)) AS tl,
+          |  trimRight(concat(n_name, '  ')) AS tr2,
+          |  leftPad(n_name, 12, '.') AS lp,
+          |  rightPad(n_name, 12, '.') AS rp,
+          |  leftPad(substr(n_name, 1, 3), 5) AS lp_sp,
+          |  substringUTF8(n_name, 2, 3) AS sub3,
+          |  substringUTF8(n_name, 3) AS sub_tail,
+          |  reverseUTF8(n_name) AS rev,
+          |  concatWithSeparator('-', n_name, toString(n_nationkey)) AS cws,
+          |  arrayStringConcat(splitByString('_', n_name), '|') AS split_us
+          |FROM nation ORDER BY k""".stripMargin)
+    },
+
     // First event-table queries (time-series shape): daily rollup with
     // exact decimal sums.
     "e01_events_daily" -> { (s, dir) =>
@@ -446,6 +474,29 @@ object FuncQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "f18_string_pack3" ->
+      """SELECT n_nationkey AS k,
+        |  CAST(strpos(n_name, 'A') AS INT) AS pos_a,
+        |  CAST(strpos(n_name, 'zz') AS INT) AS pos_none,
+        |  CAST(strpos(lower(n_name), 'a') AS INT) AS pos_ai,
+        |  CAST((length(n_name) - length(replace(n_name, 'A', ''))) // 1 AS INT)
+        |    AS n_a,
+        |  CAST((length(n_name) - length(replace(n_name, '1', ''))) // 1 AS INT)
+        |    AS n_one,
+        |  starts_with(n_name, 'N') AS sw,
+        |  trim(concat('  ', n_name, ' ')) AS tb,
+        |  ltrim(concat('  ', n_name)) AS tl,
+        |  rtrim(concat(n_name, '  ')) AS tr2,
+        |  lpad(n_name, 12, '.') AS lp,
+        |  rpad(n_name, 12, '.') AS rp,
+        |  lpad(substr(n_name, 1, 3), 5, ' ') AS lp_sp,
+        |  substr(n_name, 2, 3) AS sub3,
+        |  substr(n_name, 3) AS sub_tail,
+        |  reverse(n_name) AS rev,
+        |  concat_ws('-', n_name, CAST(n_nationkey AS VARCHAR)) AS cws,
+        |  array_to_string(str_split(n_name, '_'), '|') AS split_us
+        |FROM nation ORDER BY k""".stripMargin,
+
     "f17_cond_tuple_pack" ->
       """SELECT n_nationkey AS k,
         |  CASE WHEN n_nationkey % 2 = 0 THEN 'even' ELSE 'odd' END AS par,

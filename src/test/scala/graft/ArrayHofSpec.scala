@@ -133,6 +133,28 @@ class ArrayHofSpec extends AnyFunSuite {
     assert(sql1("SELECT countEqual(array(1, 2, 1, 1), 1)") === 3)
   }
 
+  test("string pack #3: position order, countSubstrings, trim/pad, split") {
+    // CH position is (haystack, needle), 1-based, 0 when absent
+    assert(sql1("SELECT position('NATION', 'A')") === 2)
+    assert(sql1("SELECT position('NATION', 'zz')") === 0)
+    assert(sql1("SELECT positionCaseInsensitive('NATION', 'a')") === 2)
+    // non-overlapping occurrence count; empty needle -> 0
+    assert(sql1("SELECT countSubstrings('banana', 'an')") === 2)
+    assert(sql1("SELECT countSubstrings('aaaa', 'aa')") === 2)
+    assert(sql1("SELECT countSubstrings('abc', '')") === 0)
+    assert(sql1("SELECT startsWith('NATION', 'NA')") === true)
+    assert(sql1("SELECT trimBoth('  x ')") === "x")
+    assert(sql1("SELECT trimLeft('  x ')") === "x ")
+    assert(sql1("SELECT trimRight('  x ')") === "  x")
+    assert(sql1("SELECT leftPad('ab', 5, '.')") === "...ab")
+    assert(sql1("SELECT rightPad('ab', 5, '.')") === "ab...")
+    assert(sql1("SELECT leftPad('abcdef', 3, '.')") === "abc") // truncates
+    assert(sql1("SELECT substringUTF8('abcdef', 2, 3)") === "bcd")
+    assert(sql1("SELECT substringUTF8('abcdef', 4)") === "def")
+    assert(sql1("SELECT concatWithSeparator('-', 'a', 'b', 'c')") === "a-b-c")
+    assert(sql1("SELECT splitByString('::', 'a::b::')") === Seq("a", "b", ""))
+  }
+
   test("arrayEnumerate / range with empty guards") {
     assert(sql1("SELECT arrayEnumerate(array('a', 'b', 'c'))") === Seq(1, 2, 3))
     assert(sql1("SELECT arrayEnumerate(arrayPopBack(array(1)))") === Seq.empty)
