@@ -94,7 +94,8 @@ class GraftSession(val spark: SparkSession) {
         if (!spark.catalog.tableExists(s"$db.$table")) {
           ChParser.parse(java.nio.file.Files.readString(f.toPath)) match {
             case Right(ct: CreateTable) =>
-              createTable(ct.copy(db = Some(db), ifNotExists = true))
+              // restart replay reattaches existing data — never re-run a CTAS insert
+              createTable(ct.copy(db = Some(db), ifNotExists = true), runCtasInsert = false)
               // reload surviving partition directories into the catalog
               if (ct.partitionBy.isDefined)
                 spark.sql(s"ALTER TABLE `$db`.`$table` RECOVER PARTITIONS")
@@ -170,7 +171,8 @@ class GraftSession(val spark: SparkSession) {
         .flatMap(s => ChParser.parse(s).toOption) match {
         case Some(ct: CreateTable) =>
           run(DropTable(db, name, ifExists = false), "")
-          createTable(ct.copy(db = Some(rdb), ifNotExists = false))
+          // truncate = schema only: replay the script without the CTAS data
+          createTable(ct.copy(db = Some(rdb), ifNotExists = false), runCtasInsert = false)
         case _ => spark.sql(s"TRUNCATE TABLE ${fullName(db, name)}")
       }
     case ShowCreateTable(db, name) =>
@@ -802,7 +804,33 @@ class GraftSession(val spark: SparkSession) {
     try r.getRowGroups.asScala.map(_.getRowCount).sum finally r.close()
   }
 
-  private def createTable(ct: CreateTable): DataFrame = {
+  private def createTable(ct0: CreateTable,
+                          runCtasInsert: Boolean = true): DataFrame = {
+    // CTAS: derive the column list from the SELECT's analyzed schema,
+    // create the (possibly partitioned/bucketed) table as usual, then
+    // run the insert through the normal INSERT...SELECT path — the data
+    // lands through the same partitioned-write machinery. TRUNCATE's
+    // script replay passes runCtasInsert=false: schema only, no data
+    // (truncate semantics); and IF NOT EXISTS on an existing table skips
+    // the insert too, like CH.
+    val ct = ct0.asSelect match {
+      case Some(sel) if ct0.cols.isEmpty =>
+        val schema = spark.sql(rewriteSelect(sel)).schema
+        ct0.copy(cols = schema.fields.toSeq.map(f => ChStatement.ColDef(
+          f.name, BqlType.fromSpark(f.dataType, f.nullable),
+          primaryKey = false, notNull = !f.nullable, default = None)))
+      case _ => ct0
+    }
+    val preExisting = ct0.ifNotExists &&
+      spark.catalog.tableExists(fullName(ct0.db, ct0.name).replace("`", ""))
+    val created = createTableInner(ct)
+    if (runCtasInsert && !preExisting)
+      ct.asSelect.foreach(sel =>
+        insertSelect(InsertSelect(ct.db, ct.name, None, sel)))
+    created
+  }
+
+  private def createTableInner(ct: CreateTable): DataFrame = {
     val full = fullName(ct.db, ct.name)
     if (ct.ifNotExists && spark.catalog.tableExists(full.replace("`", ""))) return emptyOk
     val rdb = ct.db.getOrElse(spark.catalog.currentDatabase)

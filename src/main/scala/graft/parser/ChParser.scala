@@ -25,7 +25,8 @@ object ChStatement {
                                partitionBy: Option[String],
                                settings: Map[String, String],
                                ifNotExists: Boolean,
-                               createScript: String) extends ChStatement
+                               createScript: String,
+                               asSelect: Option[String] = None) extends ChStatement
   final case class DropDatabase(name: String, ifExists: Boolean) extends ChStatement
   final case class DropTable(db: Option[String], name: String, ifExists: Boolean) extends ChStatement
   final case class TruncateTable(db: Option[String], name: String) extends ChStatement
@@ -233,8 +234,9 @@ object ChParser {
     val ine = parseIfNotExists(p)
     for {
       dbTab <- qualifiedName(p)
-      _ <- p.expectPunct("(")
-      cols <- {
+      // CTAS has no column list — the schema derives from the SELECT
+      cols <- if (!p.isPunct("(")) Right(Seq.empty[ColDef]) else {
+        p.next()
         val buf = ArrayBuffer.empty[ColDef]
         var err: Option[String] = None
         var go = true
@@ -246,9 +248,9 @@ object ChParser {
             case Left(e) => err = Some(e)
           }
         }
-        err.toLeft(buf.toSeq)
+        err.toLeft(buf.toSeq).flatMap(cs =>
+          p.expectPunct(")").map(_ => cs))
       }
-      _ <- p.expectPunct(")")
       tail <- {
         val engine = if (p.eatKw("engine")) {
           p.eatPunct("=")
@@ -256,12 +258,21 @@ object ChParser {
         } else None
         val partBy = if (p.isKw("partition")) {
           p.next(); p.eatKw("by")
-          Some(p.sliceUntil(q => q.isKw("settings") || q.isPunct(";")))
+          Some(p.sliceUntil(q =>
+            q.isKw("settings") || q.isKw("as") || q.isPunct(";")))
         } else None
         parseSettings(p).map(settings => (engine, partBy, settings))
       }
+      asSel <- if (p.eatKw("as")) {
+        val rest = p.sliceUntil(_.isPunct(";")).trim
+        if (rest.isEmpty) Left(s"CREATE TABLE ... AS: expected a SELECT at ${p.posText}")
+        else Right(Some(rest))
+      } else Right(None)
+      _ <- if (cols.isEmpty && asSel.isEmpty)
+        Left("CREATE TABLE: expected a column list or AS SELECT")
+      else Right(())
     } yield CreateTable(dbTab._1, dbTab._2, cols, tail._1, tail._2, tail._3,
-      ine, p.sql.trim)
+      ine, p.sql.trim, asSel)
   }
 
   /** SETTINGS k=v [, k=v ...] — values admit a leading sign

@@ -145,6 +145,22 @@ object DdlQueries {
       s.read.schema("event_type STRING, n BIGINT, su BIGINT").csv(path)
     },
 
+    // CREATE TABLE ... AS SELECT (d10): the schema derives from the
+    // SELECT, the data lands through the normal partitioned
+    // INSERT...SELECT machinery, and the readback aggregates the engine
+    // table; the oracle recomputes from the source directly.
+    "d10_ctas" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("DROP TABLE IF EXISTS graft_d10")
+      g.sql("CREATE TABLE graft_d10 ENGINE=BaseStorage PARTITION BY toYear(d) " +
+        "AS SELECT l_orderkey AS ok, l_quantity AS qty, l_shipdate AS d " +
+        "FROM lineitem WHERE l_orderkey < 800")
+      g.sql("SELECT CAST(year(d) AS INT) AS yr, count(*) AS n, " +
+        "CAST(sum(CAST(qty AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty " +
+        "FROM graft_d10 GROUP BY 1 ORDER BY 1")
+    },
+
     // ClickHouse `ORDER BY k WITH FILL FROM a TO b STEP s` (d09): the
     // value-bucket histogram has guaranteed gaps below bucket 2; the
     // rewrite left-joins the result onto the generated grid (TO is
@@ -218,6 +234,12 @@ object DdlQueries {
     "d08_into_outfile" ->
       """SELECT event_type, count(*) AS n, CAST(sum(user_id) AS BIGINT) AS su
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "d10_ctas" ->
+      """SELECT CAST(year(l_shipdate) AS INT) AS yr, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey < 800
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d09_with_fill" ->
       """WITH src AS (

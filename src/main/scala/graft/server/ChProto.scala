@@ -307,6 +307,9 @@ object ChProto {
           case null => 0L
           case ts: java.sql.Timestamp => ts.getTime / 1000L
           case ts: java.time.Instant => ts.getEpochSecond
+          // TIMESTAMP_NTZ's external form; session is pinned UTC
+          case ts: java.time.LocalDateTime =>
+            ts.toEpochSecond(java.time.ZoneOffset.UTC)
         }
         writeLongLe(out, secs, 4)
       case _ => // String / UUID / FixedString-as-binary: varbytes

@@ -154,6 +154,10 @@ object BqlType {
       case d: DecimalType => Decimal(d.precision min MaxDecimalPrecision, d.scale)
       case DateType => Date
       case TimestampType => DateTime(None)
+      // Spark 4 reads parquet timestamp[ns] as TIMESTAMP_NTZ; the session
+      // is pinned UTC, so mapping it to DateTime is value-preserving
+      // (RuntimeAssumptionsSpec pins the read shape).
+      case TimestampNTZType => DateTime(None)
       case StringType => Str
       case BinaryType => Str
       case ArrayType(et, containsNull) => Arr(fromSpark(et, containsNull))

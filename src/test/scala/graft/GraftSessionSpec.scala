@@ -780,6 +780,31 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(stepped.toSeq === Seq(0L, 3L, 6L))
   }
 
+  test("CTAS: schema from SELECT, IF NOT EXISTS skips insert, TRUNCATE keeps schema") {
+    val g = new graft.exec.GraftSession(spark)
+    import spark.implicits._
+    Seq((1, "a", 1.5), (2, "b", 2.5), (3, "a", 3.5))
+      .toDF("id", "k", "v").createOrReplaceTempView("ctas_src")
+    g.sql("DROP TABLE IF EXISTS ctas_t")
+    g.sql("CREATE TABLE ctas_t AS SELECT k, CAST(sum(v) AS DOUBLE) AS s " +
+      "FROM ctas_src GROUP BY k")
+    assert(g.sql("SELECT k, s FROM ctas_t ORDER BY k")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ===
+      Seq(("a", 5.0), ("b", 2.5)))
+    // derived CH types visible through DESC
+    val desc = g.sql("DESC ctas_t").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(desc.toMap.get("s").exists(_.contains("Float64")))
+    // IF NOT EXISTS on an existing table: no duplicate insert
+    g.sql("CREATE TABLE IF NOT EXISTS ctas_t AS SELECT k, CAST(sum(v) AS DOUBLE) AS s " +
+      "FROM ctas_src GROUP BY k")
+    assert(g.sql("SELECT count(*) AS n FROM ctas_t").head().getLong(0) === 2L)
+    // TRUNCATE replays the script schema-only: empty table, columns intact
+    g.sql("TRUNCATE TABLE ctas_t")
+    assert(g.sql("SELECT count(*) AS n FROM ctas_t").head().getLong(0) === 0L)
+    assert(g.sql("SELECT k, s FROM ctas_t").columns.toSeq === Seq("k", "s"))
+    g.sql("DROP TABLE ctas_t")
+  }
+
   test("INTO OUTFILE: single-file export, formats, refuses overwrite") {
     val g = new graft.exec.GraftSession(spark)
     import spark.implicits._
