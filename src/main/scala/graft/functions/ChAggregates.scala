@@ -2,13 +2,14 @@ package graft.functions
 
 import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.catalyst.expressions.{CreateArray, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, CreateArray, CreateStruct, Divide, Expression, Literal, Multiply}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   ApproximatePercentile, Average, BitAndAgg, BitOrAgg, BitXorAgg,
   CollectList, CollectSet, Count, CovPopulation, CovSample, First,
   HyperLogLogPlusPlus, Kurtosis, Last, Max, MaxBy, Min, MinBy, Percentile,
   Skewness, StddevPop, StddevSamp, Sum, VariancePop, VarianceSamp}
 import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.types.DoubleType
 
 /** ClickHouse parametric-aggregate pack #2 — topK, quantileExactInclusive /
   * medianExact, argMin/argMax, and the `-If` combinator family.
@@ -226,6 +227,17 @@ object ChAggregates {
       HyperLogLogPlusPlus(x).toAggregateExpression()),
     "uniqExact" -> one("uniqExact")(x =>
       Count(x).toAggregateExpression(isDistinct = true)),
+    // avgWeighted(x, w) = Σxw / Σw (Float64, CH's contract) — two plain
+    // Sum aggregates under one expression, still a single aggregation
+    // pass; sumCount(x) = (Σx, count) as a tuple.
+    "avgWeighted" -> two("avgWeighted")((x, w) =>
+      Divide(
+        Cast(Sum(Multiply(Cast(x, DoubleType), Cast(w, DoubleType)))
+          .toAggregateExpression(), DoubleType),
+        Cast(Sum(Cast(w, DoubleType)).toAggregateExpression(), DoubleType))),
+    "sumCount" -> one("sumCount")(x =>
+      CreateStruct(Seq(Sum(x).toAggregateExpression(),
+        Count(x).toAggregateExpression()))),
     // -If combinators: the aggregate with a Catalyst FILTER clause.
     "countIf" -> one("countIf")(cond =>
       Count(Literal(1)).toAggregateExpression(isDistinct = false, filter = Some(cond))),

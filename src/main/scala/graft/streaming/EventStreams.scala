@@ -75,6 +75,30 @@ object EventStreams {
         col("col._1").as("etype"), col("col._2").cast("long").as("cnt"))
   }
 
+  /** Tumbling 1-day windowed funnel depth per user — the streaming twin
+    * of the batch b03 entry. The WindowFunnel typed Aggregator's
+    * partial/merge interface drives incremental stateful aggregation
+    * directly: per-(window, user) state is the condition-MATCHED events
+    * only (the aggregate's hard-bounded contract), merged batch over
+    * batch, watermark-bounded. Depth histograms are a stateless batch
+    * rollup over this output — kept OUT of the stream so the pipeline
+    * stays a single stateful operator.
+    */
+  def windowedFunnel(spark: SparkSession, events: DataFrame): DataFrame = {
+    graft.functions.BehaviorFunctions.register(spark)
+    events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("user_id"))
+      .agg(expr(
+        """window_funnel_24h_3(unix_micros(ts),
+          |  CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+          |                  WHEN 'purchase' THEN 3 ELSE 0 END)""".stripMargin)
+        .as("lvl"))
+      .select(col("window.start").as("win_start"), col("user_id"),
+        col("lvl").cast("int").as("lvl"))
+  }
+
   /** One CLOSED session: emitted exactly once, when the 30-minute
     * inactivity gap ends it (either a later event past the gap, or the
     * event-time watermark passing the gap deadline).

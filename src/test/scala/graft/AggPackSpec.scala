@@ -192,6 +192,19 @@ class AggPackSpec extends AnyFunSuite {
     assert(spark.sql("SELECT uniq(u) FROM stats_pack_t").head().getLong(0) === 5L)
   }
 
+  test("avgWeighted and sumCount match explicit formulations") {
+    ChAggregates.register(spark)
+    import spark.implicits._
+    Seq((1.0, 2L), (4.0, 1L), (10.0, 3L)).toDF("x", "w")
+      .createOrReplaceTempView("aw_t")
+    val got = spark.sql(
+      "SELECT avgWeighted(x, w), sumCount(x) FROM aw_t").head()
+    assert(got.getDouble(0) === (1.0 * 2 + 4.0 * 1 + 10.0 * 3) / 6.0)
+    val sc = got.getStruct(1)
+    assert(sc.getDouble(0) === 15.0)
+    assert(sc.getLong(1) === 3L)
+  }
+
   test("groupArray family matches collect_list/collect_set/first/last") {
     ChAggregates.register(spark)
     import spark.implicits._

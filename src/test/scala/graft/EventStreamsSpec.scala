@@ -62,6 +62,33 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streaming.map(_.toString).toSeq === batch.map(_.toString).toSeq)
   }
 
+  test("windowed funnel: streaming == batch (matched-events state only)") {
+    val q = EventStreams.windowedFunnel(spark,
+        EventStreams.readEvents(spark, inputDir))
+      .writeStream.format("memory").queryName("win_funnel")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streaming = spark.table("win_funnel")
+      .orderBy("win_start", "user_id").collect()
+    graft.functions.BehaviorFunctions.register(spark)
+    val batch = Tables.events(spark, sf)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .groupBy(window(col("ts"), "1 day"), col("user_id"))
+      .agg(expr(
+        """window_funnel_24h_3(unix_micros(ts),
+          |  CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+          |                  WHEN 'purchase' THEN 3 ELSE 0 END)""".stripMargin)
+        .as("lvl"))
+      .select(col("window.start").as("win_start"), col("user_id"),
+        col("lvl").cast("int").as("lvl"))
+      .orderBy("win_start", "user_id").collect()
+    assert(streaming.nonEmpty)
+    assert(streaming.map(_.toString).toSeq === batch.map(_.toString).toSeq)
+    // the funnel is non-trivial on this corpus: some user reaches depth 3
+    assert(spark.table("win_funnel").filter(col("lvl") === 3).count() > 0)
+  }
+
   test("sessionization: emit on close only, state dropped after the gap") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
