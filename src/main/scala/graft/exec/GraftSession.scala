@@ -88,20 +88,41 @@ class GraftSession(val spark: SparkSession) {
       val db = dbDir.getName
       if (!spark.catalog.databaseExists(db))
         spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
-      for (f <- Option(dbDir.listFiles).getOrElse(Array.empty[java.io.File])
-           if f.getName.endsWith(".sql")) {
-        val table = f.getName.stripSuffix(".sql")
-        if (!spark.catalog.tableExists(s"$db.$table")) {
-          ChParser.parse(java.nio.file.Files.readString(f.toPath)) match {
-            case Right(ct: CreateTable) =>
-              // restart replay reattaches existing data — never re-run a CTAS insert
-              createTable(ct.copy(db = Some(db), ifNotExists = true), runCtasInsert = false)
-              // reload surviving partition directories into the catalog
-              if (ct.partitionBy.isDefined)
-                spark.sql(s"ALTER TABLE `$db`.`$table` RECOVER PARTITIONS")
-            case _ => () // damaged meta entry: leave the files alone
-          }
-        }
+      val scripts =
+        for (f <- Option(dbDir.listFiles).getOrElse(Array.empty[java.io.File]).toSeq
+             if f.getName.endsWith(".sql");
+             table = f.getName.stripSuffix(".sql")
+             if !spark.catalog.tableExists(s"$db.$table");
+             stmt <- ChParser.parse(
+               java.nio.file.Files.readString(f.toPath)).toOption)
+          yield (table, stmt)
+      // plain tables first: a materialized view's schema derivation reads
+      // its source table, which may be restoring in the same pass
+      scripts.foreach {
+        case (table, ct: CreateTable) =>
+          scala.util.Try {
+            // restart replay reattaches existing data — never re-run a CTAS insert
+            createTable(ct.copy(db = Some(db), ifNotExists = true), runCtasInsert = false)
+            // reload surviving partition directories into the catalog
+            if (ct.partitionBy.isDefined)
+              spark.sql(s"ALTER TABLE `$db`.`$table` RECOVER PARTITIONS")
+          }.failed.foreach(e => System.err.println(
+            s"[graft] table $db.$table failed to restore: ${e.getMessage}"))
+        case _ => ()
+      }
+      scripts.foreach {
+        case (table, mv: CreateMaterializedView) =>
+          // reattach the view's surviving storage; never re-backfill.
+          // Fault-isolated: a view whose source vanished must not kill
+          // session boot (the registerAll discipline).
+          scala.util.Try {
+            createMaterializedView(
+              mv.copy(db = Some(db), ifNotExists = true, populate = false))
+            if (mv.partitionBy.isDefined)
+              spark.sql(s"ALTER TABLE `$db`.`$table` RECOVER PARTITIONS")
+          }.failed.foreach(e => System.err.println(
+            s"[graft] materialized view $db.$table failed to restore: ${e.getMessage}"))
+        case _ => () // damaged meta entry: leave the files alone
       }
     }
   }
@@ -151,6 +172,7 @@ class GraftSession(val spark: SparkSession) {
       base.filter(!col("tableName").startsWith("graft_tmp_"))
         .select(col("tableName").as("name"))
     case ct: CreateTable => createTable(ct)
+    case mv: CreateMaterializedView => createMaterializedView(mv)
     case DropTable(db, name, ie) =>
       val rdb = db.getOrElse(spark.catalog.currentDatabase)
       val loc =
@@ -173,6 +195,11 @@ class GraftSession(val spark: SparkSession) {
           run(DropTable(db, name, ifExists = false), "")
           // truncate = schema only: replay the script without the CTAS data
           createTable(ct.copy(db = Some(rdb), ifNotExists = false), runCtasInsert = false)
+        case Some(mv: CreateMaterializedView) =>
+          run(DropTable(db, name, ifExists = false), "")
+          // truncate = schema only: recreate the view, never backfill
+          createMaterializedView(
+            mv.copy(db = Some(rdb), ifNotExists = false, populate = false))
         case _ => spark.sql(s"TRUNCATE TABLE ${fullName(db, name)}")
       }
     case ShowCreateTable(db, name) =>
@@ -816,9 +843,21 @@ class GraftSession(val spark: SparkSession) {
     val ct = ct0.asSelect match {
       case Some(sel) if ct0.cols.isEmpty =>
         val schema = spark.sql(rewriteSelect(sel)).schema
-        ct0.copy(cols = schema.fields.toSeq.map(f => ChStatement.ColDef(
+        val cols = schema.fields.toSeq.map(f => ChStatement.ColDef(
           f.name, BqlType.fromSpark(f.dataType, f.nullable),
-          primaryKey = false, notNull = !f.nullable, default = None)))
+          primaryKey = false, notNull = !f.nullable, default = None))
+        // record a NORMALIZED plain-DDL script (CH's SHOW CREATE also
+        // expands CTAS columns): replaying the raw CTAS text on restart
+        // would re-derive the schema from a source that may not be
+        // registered in the restoring session
+        val colsDdl = cols.map(c => s"`${c.name}` ${c.tpe.chName}").mkString(", ")
+        val norm = s"CREATE TABLE ${ct0.name}($colsDdl)" +
+          ct0.engine.map(e => s" ENGINE=$e").getOrElse("") +
+          ct0.partitionBy.map(e => s" PARTITION BY $e").getOrElse("") +
+          (if (ct0.settings.isEmpty) ""
+           else " SETTINGS " + ct0.settings.map { case (k, v) => s"$k=$v" }
+             .mkString(", "))
+        ct0.copy(cols = cols, createScript = norm)
       case _ => ct0
     }
     val preExisting = ct0.ifNotExists &&
@@ -930,8 +969,89 @@ class GraftSession(val spark: SparkSession) {
     * evaluated by Catalyst codegen over the CH function pack — the Spark
     * replacement for the reference's cranelift JIT (write.rs:146-179).
     */
+  /** ClickHouse MATERIALIZED VIEW: a normal engine table whose schema
+    * derives from the SELECT (the CTAS machinery), tagged with
+    * `graft.mv.src` / `graft.mv.select` properties; [[appendToTable]]
+    * consults the tags and pushes every inserted block through the
+    * SELECT into the view's storage. Exactly CH's contract, including
+    * the famous caveat: an AGGREGATING view sees each inserted block
+    * SEPARATELY (per-block partial rows accumulate; CH needs a
+    * *MergeTree merge or -State combinators for the same reason —
+    * spec-pinned). POPULATE backfills once from the existing source.
+    * v1 scope: the view and its source live in the same database and the
+    * SELECT's first top-level FROM names the source table directly.
+    */
+  private def createMaterializedView(mv: CreateMaterializedView): DataFrame = {
+    val rdb = mv.db.getOrElse(spark.catalog.currentDatabase)
+    val src = ChParser.firstFromTable(mv.selectSql).getOrElse(
+      throw new IllegalArgumentException(
+        "MATERIALIZED VIEW: the SELECT must read FROM a table directly"))._1
+    val srcTable = if (src.contains(".")) src.split("\\.", 2)(1) else src
+    val schemaDf = spark.sql(rewriteSelect(mv.selectSql))
+    val ct = CreateTable(Some(rdb), mv.name,
+      schemaDf.schema.fields.toSeq.map(f => ColDef(
+        f.name, BqlType.fromSpark(f.dataType, f.nullable),
+        primaryKey = false, notNull = !f.nullable, default = None)),
+      mv.engine, mv.partitionBy, Map.empty, mv.ifNotExists, mv.createScript)
+    val preExisting = mv.ifNotExists &&
+      spark.catalog.tableExists(fullName(Some(rdb), mv.name).replace("`", ""))
+    val created = createTableInner(ct)
+    if (!preExisting) {
+      spark.sql(s"ALTER TABLE ${fullName(Some(rdb), mv.name)} SET TBLPROPERTIES (" +
+        s"'graft.mv.src'='${s"$rdb.$srcTable".replace("'", "''")}', " +
+        s"'graft.mv.select'='${mv.selectSql.replace("'", "''")}')")
+      if (mv.populate)
+        insertSelect(InsertSelect(Some(rdb), mv.name, None, mv.selectSql))
+    }
+    created
+  }
+
+  /** Materialized views fed by (db, table): live catalog scan over the
+    * database's tagged tables. A production deployment keeps this in a
+    * registry; the live scan is always-correct and cheap at catalog
+    * scale (it reads table METADATA, never data).
+    */
+  private def mvsFor(rdb: String, table: String): Seq[(String, String)] = {
+    val cat = spark.sessionState.catalog
+    cat.listTables(rdb).flatMap { tid =>
+      scala.util.Try(cat.getTableMetadata(tid)).toOption.toSeq.flatMap { meta =>
+        (meta.properties.get("graft.mv.src"), meta.properties.get("graft.mv.select")) match {
+          case (Some(src), Some(sel)) if src == s"$rdb.$table" =>
+            Seq((tid.table, sel))
+          case _ => Nil
+        }
+      }
+    }
+  }
+
+  /** Push one inserted block through every materialized view on the
+    * table: substitute a temp view of the block for the SELECT's source
+    * reference, run it, and append the result to the view's storage —
+    * recursively, so chained views work, with a cycle guard.
+    */
+  private def propagateToMvs(rdb: String, table: String, block: DataFrame,
+                             depth: Int): Unit = {
+    val mvs = mvsFor(rdb, table)
+    if (mvs.isEmpty) return
+    require(depth <= 8,
+      s"materialized-view chain deeper than 8 at $rdb.$table — cycle?")
+    mvs.foreach { case (mvName, sel) =>
+      val viewName = s"__graft_mv_block_${math.abs(sel.hashCode).toString}"
+      block.createOrReplaceTempView(viewName)
+      val substituted = ChParser.firstFromTable(sel) match {
+        case Some((_, from, to)) =>
+          sel.substring(0, from) + viewName + " " + sel.substring(to)
+        case None => throw new IllegalStateException(
+          s"materialized view $mvName lost its FROM reference")
+      }
+      val result = spark.sql(rewriteSelect(substituted))
+      appendToTable(Some(rdb), mvName, result, srcIsRaw = false, depth + 1)
+      spark.catalog.dropTempView(viewName): Unit
+    }
+  }
+
   private def appendToTable(db: Option[String], name: String, src: DataFrame,
-                            srcIsRaw: Boolean): Unit = {
+                            srcIsRaw: Boolean, mvDepth: Int = 0): Unit = {
     val (schema, types, ptkExpr) = tableMeta(db, name)
     val dataCols = schema.fields.filter(_.name != PtkCol)
     require(src.columns.length == dataCols.length,
@@ -962,6 +1082,12 @@ class GraftSession(val spark: SparkSession) {
     lock.synchronized {
       withPtk.write.mode("append").insertInto(fullName(db, name).replace("`", ""))
     }
+    // insert-triggered materialized views see the TYPED block (CH runs
+    // the view's SELECT over each inserted block, mgmt-analog; the block
+    // here is exactly what landed, minus the hidden partition key)
+    propagateToMvs(
+      db.getOrElse(spark.sessionState.catalog.getCurrentDatabase), name,
+      typed, mvDepth)
   }
 
   /** Append an already-typed block of rows to a table — the wire-ingest

@@ -61,6 +61,19 @@ object ChStatement {
                                 auth: Option[(String, String)],
                                 values: Option[Seq[Seq[Option[String]]]],
                                 selectSql: Option[String]) extends ChStatement
+  /** CREATE MATERIALIZED VIEW — ClickHouse's insert-triggered
+    * transformation: every block inserted into the SELECT's source table
+    * runs through the SELECT and appends to the view's own storage.
+    * POPULATE backfills from the existing source data at create time
+    * (CH's default is NO backfill).
+    */
+  final case class CreateMaterializedView(db: Option[String], name: String,
+                                          engine: Option[String],
+                                          partitionBy: Option[String],
+                                          populate: Boolean,
+                                          selectSql: String,
+                                          ifNotExists: Boolean,
+                                          createScript: String) extends ChStatement
 }
 
 object ChParser {
@@ -275,6 +288,68 @@ object ChParser {
       ine, p.sql.trim, asSel)
   }
 
+  /** CREATE MATERIALIZED VIEW [IF NOT EXISTS] name [ENGINE=e]
+    * [PARTITION BY expr] [POPULATE] AS SELECT … — schema derives from the
+    * SELECT, like CTAS.
+    */
+  private def parseCreateMv(p: P): Either[String, CreateMaterializedView] = {
+    val ine = parseIfNotExists(p)
+    for {
+      dbTab <- qualifiedName(p)
+      engine <- Right(if (p.eatKw("engine")) {
+        p.eatPunct("="); p.ident().toOption
+      } else None)
+      partBy <- Right(if (p.isKw("partition")) {
+        p.next(); p.eatKw("by")
+        Some(p.sliceUntil(q =>
+          q.isKw("populate") || q.isKw("as") || q.isPunct(";")))
+      } else None)
+      populate <- Right(p.eatKw("populate"))
+      _ <- p.expectKw("as")
+      sel <- {
+        val rest = p.sliceUntil(_.isPunct(";")).trim
+        if (rest.isEmpty) Left(s"CREATE MATERIALIZED VIEW: expected a SELECT at ${p.posText}")
+        else Right(rest)
+      }
+    } yield CreateMaterializedView(dbTab._1, dbTab._2, engine, partBy,
+      populate, sel, ine, p.sql.trim)
+  }
+
+  /** The span of the FIRST top-level `FROM <table>` reference in a SELECT
+    * — (qualified name text, start offset, end offset) — used by the
+    * materialized-view engine to substitute the inserted block for the
+    * source table. None when the FROM target is a subquery or absent.
+    */
+  def firstFromTable(sql: String): Option[(String, Int, Int)] =
+    tokenize(sql).toOption.flatMap { toks =>
+      var d = 0
+      val depth = toks.map {
+        case Punct("(", _) => { val r = d; d += 1; r }
+        case Punct(")", _) => { d = math.max(0, d - 1); d }
+        case _ => d
+      }
+      def kw(i: Int, k: String) = i < toks.length && (toks(i) match {
+        case Ident(w, _) => w.equalsIgnoreCase(k)
+        case _ => false
+      })
+      toks.indices.find(i => depth(i) == 0 && kw(i, "FROM")).flatMap { fi =>
+        toks.lift(fi + 1) match {
+          case Some(Ident(t1, p1)) =>
+            // qualified form db.table
+            val (text, lastIdx) = toks.lift(fi + 2) match {
+              case Some(Punct(".", _)) => toks.lift(fi + 3) match {
+                case Some(Ident(t2, _)) => (s"$t1.$t2", fi + 3)
+                case _ => (t1, fi + 1)
+              }
+              case _ => (t1, fi + 1)
+            }
+            val end = toks.lift(lastIdx + 1).map(_.pos).getOrElse(sql.length)
+            Some((text, p1, end))
+          case _ => None
+        }
+      }
+    }
+
   /** SETTINGS k=v [, k=v ...] — values admit a leading sign
     * (signed_number in the reference grammar, bql.pest); a dangling
     * `k=` is a parse error, not an IndexOutOfBounds.
@@ -415,7 +490,11 @@ object ChParser {
         val ine = parseIfNotExists(p)
         p.ident().map(CreateDatabase(_, ine))
       } else if (p.eatKw("table")) parseCreateTable(p)
-      else Left(s"CREATE: expected DATABASE or TABLE at ${p.posText}")
+      else if (p.eatKw("materialized")) {
+        if (!p.eatKw("view"))
+          Left(s"CREATE MATERIALIZED: expected VIEW at ${p.posText}")
+        else parseCreateMv(p)
+      } else Left(s"CREATE: expected DATABASE, TABLE or MATERIALIZED VIEW at ${p.posText}")
     } else if (p.eatKw("drop")) {
       if (p.eatKw("database")) {
         val ie = parseIfNotExists(p)

@@ -161,6 +161,27 @@ object DdlQueries {
         "FROM graft_d10 GROUP BY 1 ORDER BY 1")
     },
 
+    // MATERIALIZED VIEW (d11): a map-only view over an engine table,
+    // fed by two separate INSERT...SELECT blocks — the per-block
+    // propagation must equal one recompute over all inserted data for a
+    // map-only SELECT (the oracle recomputes from the source directly).
+    "d11_materialized_view" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("DROP TABLE IF EXISTS graft_d11_mv; DROP TABLE IF EXISTS graft_d11_src")
+      g.sql("CREATE TABLE graft_d11_src(ok Int64, qty Float64, flag String)")
+      g.sql("CREATE MATERIALIZED VIEW graft_d11_mv AS " +
+        "SELECT flag, CAST(qty * 2 AS DOUBLE) AS dq FROM graft_d11_src " +
+        "WHERE qty > 10")
+      g.sql("INSERT INTO graft_d11_src SELECT l_orderkey, l_quantity, " +
+        "l_returnflag FROM lineitem WHERE l_orderkey < 300")
+      g.sql("INSERT INTO graft_d11_src SELECT l_orderkey, l_quantity, " +
+        "l_returnflag FROM lineitem WHERE l_orderkey >= 300 AND l_orderkey < 600")
+      g.sql("SELECT flag, count(*) AS n, " +
+        "CAST(ROUND(sum(CAST(dq AS DECIMAL(14,2))), 2) AS DOUBLE) AS total " +
+        "FROM graft_d11_mv GROUP BY flag ORDER BY flag")
+    },
+
     // ClickHouse `ORDER BY k WITH FILL FROM a TO b STEP s` (d09): the
     // value-bucket histogram has guaranteed gaps below bucket 2; the
     // rewrite left-joins the result onto the generated grid (TO is
@@ -239,6 +260,14 @@ object DdlQueries {
       """SELECT CAST(year(l_shipdate) AS INT) AS yr, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_orderkey < 800
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d11_materialized_view" ->
+      """SELECT l_returnflag AS flag, count(*) AS n,
+        |  CAST(ROUND(sum(CAST(CAST(l_quantity AS DOUBLE) * 2 AS DECIMAL(14,2))), 2)
+        |    AS DOUBLE) AS total
+        |FROM lineitem
+        |WHERE l_orderkey < 600 AND CAST(l_quantity AS DOUBLE) > 10
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d09_with_fill" ->

@@ -248,6 +248,37 @@ class ChParserSpec extends AnyFunSuite {
       "SELECT k FROM t ORDER BY k WITH FILL LIMIT 3") === None)
   }
 
+  test("CREATE MATERIALIZED VIEW parses engine/partition/populate/select") {
+    val Right(mv: ChStatement.CreateMaterializedView) = ChParser.parse(
+      "CREATE MATERIALIZED VIEW mv1 ENGINE=BaseStorage PARTITION BY toYear(d) " +
+        "POPULATE AS SELECT d, v FROM src WHERE v > 0"): @unchecked
+    assert(mv.name === "mv1")
+    assert(mv.engine === Some("BaseStorage"))
+    assert(mv.partitionBy === Some("toYear(d)"))
+    assert(mv.populate === true)
+    assert(mv.selectSql === "SELECT d, v FROM src WHERE v > 0")
+    val Right(mv2: ChStatement.CreateMaterializedView) = ChParser.parse(
+      "CREATE MATERIALIZED VIEW IF NOT EXISTS db2.mv2 AS SELECT a FROM t"): @unchecked
+    assert((mv2.db, mv2.name, mv2.ifNotExists, mv2.populate) ===
+      (Some("db2"), "mv2", true, false))
+    assert(ChParser.parse("CREATE MATERIALIZED VIEW mv3 AS ").isLeft)
+  }
+
+  test("firstFromTable finds the top-level source reference span") {
+    val sql = "SELECT a, b FROM src WHERE a > 1"
+    val Some((t, from, to)) = ChParser.firstFromTable(sql): @unchecked
+    assert(t === "src")
+    assert(sql.substring(0, from) + "X " + sql.substring(to) ===
+      "SELECT a, b FROM X WHERE a > 1")
+    assert(ChParser.firstFromTable("SELECT x FROM db1.t1 JOIN u ON 1=1")
+      .map(_._1) === Some("db1.t1"))
+    // subquery source is not a table reference
+    assert(ChParser.firstFromTable("SELECT x FROM (SELECT 1) q") === None)
+    // a FROM inside a subquery is not top-level
+    assert(ChParser.firstFromTable(
+      "SELECT (SELECT max(y) FROM u), x FROM src").map(_._1) === Some("src"))
+  }
+
   test("splitWithTotals finds GROUP BY ... WITH TOTALS, keeps the tail") {
     val p = ChParser.splitWithTotals(
       "SELECT k, count(*) FROM t GROUP BY k WITH TOTALS ORDER BY k").get

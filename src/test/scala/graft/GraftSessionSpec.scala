@@ -805,6 +805,57 @@ class GraftSessionSpec extends AnyFunSuite {
     g.sql("DROP TABLE ctas_t")
   }
 
+  test("MATERIALIZED VIEW: insert-triggered, per-block, POPULATE, chain") {
+    val g = new graft.exec.GraftSession(spark)
+    g.sql("DROP TABLE IF EXISTS mv_out; DROP TABLE IF EXISTS mv_agg; " +
+      "DROP TABLE IF EXISTS mv_chain; DROP TABLE IF EXISTS mv_src")
+    g.sql("CREATE TABLE mv_src(k Int32, v Float64)")
+    g.sql("INSERT INTO mv_src VALUES (1, 1.5), (2, 2.5)")
+
+    // map-only view: no backfill without POPULATE; inserts flow through
+    g.sql("CREATE MATERIALIZED VIEW mv_out AS " +
+      "SELECT k, CAST(v * 10 AS DOUBLE) AS v10 FROM mv_src WHERE k > 1")
+    assert(g.sql("SELECT count(*) AS n FROM mv_out").head().getLong(0) === 0L)
+    g.sql("INSERT INTO mv_src VALUES (3, 3.5), (1, 9.0)")
+    assert(g.sql("SELECT k, v10 FROM mv_out ORDER BY k")
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq ===
+      Seq((3, 35.0)))
+
+    // POPULATE backfills the existing rows AND keeps receiving inserts
+    g.sql("CREATE MATERIALIZED VIEW mv_agg POPULATE AS " +
+      "SELECT k, count(*) AS n FROM mv_src GROUP BY k")
+    val afterPop = g.sql("SELECT CAST(sum(n) AS BIGINT) AS s FROM mv_agg")
+      .head().getLong(0)
+    assert(afterPop === 4L) // 4 source rows so far
+    // CH's per-block aggregation contract: a new block aggregates ALONE,
+    // so duplicate (k) rows accumulate instead of merging
+    g.sql("INSERT INTO mv_src VALUES (3, 0.5), (3, 0.25)")
+    val k3rows = g.sql("SELECT n FROM mv_agg WHERE k = 3").collect().map(_.getLong(0))
+    assert(k3rows.sorted.toSeq === Seq(1L, 2L)) // populate block + new block
+    assert(g.sql("SELECT CAST(sum(n) AS BIGINT) AS s FROM mv_agg WHERE k = 3")
+      .head().getLong(0) === 3L) // sums reconcile, CH-style
+
+    // chained views: mv_out feeds mv_chain
+    g.sql("CREATE MATERIALIZED VIEW mv_chain AS " +
+      "SELECT CAST(v10 * 2 AS DOUBLE) AS v20 FROM mv_out")
+    g.sql("INSERT INTO mv_src VALUES (7, 1.0)")
+    assert(g.sql("SELECT v20 FROM mv_chain").collect().map(_.getDouble(0)).toSeq ===
+      Seq(20.0))
+
+    // TRUNCATE keeps the view definition, drops data, stays subscribed
+    g.sql("TRUNCATE TABLE mv_out")
+    assert(g.sql("SELECT count(*) AS n FROM mv_out").head().getLong(0) === 0L)
+    g.sql("INSERT INTO mv_src VALUES (8, 2.0)")
+    assert(g.sql("SELECT k FROM mv_out").collect().map(_.getInt(0)).toSeq ===
+      Seq(8))
+
+    // DROP detaches: no further propagation, and the source still inserts
+    g.sql("DROP TABLE mv_chain; DROP TABLE mv_agg; DROP TABLE mv_out")
+    g.sql("INSERT INTO mv_src VALUES (9, 1.0)")
+    assert(g.sql("SELECT count(*) AS n FROM mv_src").head().getLong(0) === 9L)
+    g.sql("DROP TABLE mv_src")
+  }
+
   test("INTO OUTFILE: single-file export, formats, refuses overwrite") {
     val g = new graft.exec.GraftSession(spark)
     import spark.implicits._
