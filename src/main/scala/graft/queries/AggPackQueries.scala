@@ -66,6 +66,24 @@ object AggPackQueries {
           |ORDER BY day, rank""".stripMargin)
     },
 
+    // ---- b12: avgWeighted / sumCount ---------------------------------
+    // avgWeighted = Σxw/Σw in one aggregation pass; sumCount returns the
+    // (sum, count) tuple, unpacked here through the CH tupleElement
+    // function. Decimal sum keeps the tuple's first element order-exact.
+    "b12_avg_weighted" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      ChAggregates.register(s)
+      graft.functions.ClickHouseFunctions.register(s)
+      s.sql(
+        """SELECT event_type,
+          |  round(avgWeighted(value, CAST(user_id % 100 + 1 AS DOUBLE)), 4) AS aw,
+          |  CAST(ROUND(tupleElement(sumCount(CAST(value AS DECIMAL(18,6))), 1), 4)
+          |    AS DOUBLE) AS sc_sum,
+          |  CAST(tupleElement(sumCount(CAST(value AS DECIMAL(18,6))), 2) AS BIGINT)
+          |    AS sc_n
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    },
+
     // ---- b06: quantileExactInclusive / medianExact -------------------
     // Catalyst Percentile (continuous interpolation at rank p*(n-1)) ==
     // CH quantileExactInclusive == DuckDB quantile_cont; round(6)
@@ -174,6 +192,14 @@ object AggPackQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "b12_avg_weighted" ->
+      """SELECT event_type,
+        |  round(sum(value * CAST(user_id % 100 + 1 AS DOUBLE))
+        |    / sum(CAST(user_id % 100 + 1 AS DOUBLE)), 4) AS aw,
+        |  CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sc_sum,
+        |  CAST(count(value) AS BIGINT) AS sc_n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // Exact weighted top-3 by (weight DESC, value ASC) — equals the
     // SpaceSaving output in the exact regime (domain < capacity).
     "b11_topk_weighted" ->

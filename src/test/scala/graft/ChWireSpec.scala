@@ -163,6 +163,31 @@ class ChWireSpec extends AnyFunSuite {
     }
   }
 
+  test("CTAS and MATERIALIZED VIEW work over the wire") {
+    val server = new ChWireServer(spark).start()
+    val client = new WireTestClient(server.boundPort)
+    try {
+      client.query("DROP TABLE IF EXISTS wire_mv; DROP TABLE IF EXISTS wire_ctas; " +
+        "DROP TABLE IF EXISTS wire_base")
+      client.query("CREATE TABLE wire_base(k String, v Int32)")
+      client.query("INSERT INTO wire_base VALUES ('a', 1), ('b', 2)")
+      client.query("CREATE TABLE wire_ctas AS SELECT k, CAST(v * 10 AS INT) " +
+        "AS v10 FROM wire_base")
+      val ctas = client.rows("SELECT k, v10 FROM wire_ctas ORDER BY k")
+      assert(ctas(1).values === Vector(10, 20))
+
+      client.query("CREATE MATERIALIZED VIEW wire_mv AS " +
+        "SELECT k FROM wire_base WHERE v >= 5")
+      client.query("INSERT INTO wire_base VALUES ('c', 7), ('d', 3)")
+      val mv = client.rows("SELECT k FROM wire_mv")
+      assert(mv(0).values === Vector("c"))
+      client.query("DROP TABLE wire_mv; DROP TABLE wire_ctas; DROP TABLE wire_base")
+    } finally {
+      client.close()
+      server.stop()
+    }
+  }
+
   test("client-streamed INSERT Data blocks (DataEODPInsertQuery stage)") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
