@@ -1625,7 +1625,100 @@ object LlmQueries {
        |ORDER BY lang""".stripMargin
   }
 
+  /** l31 content-defined chunking (the RAG-passage / CDC-dedup step —
+    * FastCDC/rolling-hash segmentation): a chunk boundary opens at
+    * position i when the 8-char window hash ≡ 0 (mod 64) and the current
+    * chunk is ≥ 32 chars, with a 256-char forced split — boundaries
+    * derive from CONTENT, so an edit shifts only its own chunk (the
+    * property fixed-size chunking lacks). The greedy boundary scan is a
+    * per-row left fold (Spark `aggregate`, DuckDB `list_reduce` with a
+    * prepended init element — same traversal, same predicate); chunks
+    * then hash and dedup across documents, which is the CDC payoff:
+    * shared passages share chunk hashes.
+    *
+    * 100 TB: the scan is per-doc map work (a production build compiles
+    * it into a codegen'd expression, the WinnowOps discipline — the
+    * array fold here is the semantics reference); the only shuffle is
+    * the chunk-hash dedup, uniform by construction.
+    */
+  private def cdcSql(spark: Boolean, spread: String = ""): String =
+    if (spark)
+      s"""WITH d AS (
+         |  SELECT $spread doc_id, source, text, length(text) AS len
+         |  FROM documents
+         |), b AS (
+         |  SELECT doc_id, source, text, len,
+         |    concat(array(1), aggregate(sequence(1, len),
+         |      struct(CAST(1 AS INT) AS last, CAST(array() AS ARRAY<INT>) AS bs),
+         |      (acc, i) -> IF(
+         |        (i - acc.last >= 256) OR (i + 7 <= len AND i - acc.last >= 32
+         |          AND CAST(conv(substr(md5(substr(text, i, 8)), 1, 6), 16, 10)
+         |            AS BIGINT) % 64 = 0),
+         |        struct(i AS last, concat(acc.bs, array(i)) AS bs), acc),
+         |      acc -> acc.bs)) AS starts
+         |  FROM d
+         |), chunks AS (
+         |  SELECT doc_id, source, sp.st AS st, sp.ln AS ln,
+         |    md5(substr(text, sp.st, sp.ln)) AS ch
+         |  FROM b
+         |  LATERAL VIEW explode(transform(sequence(1, size(starts)),
+         |    k -> struct(element_at(starts, k) AS st,
+         |      IF(k < size(starts), element_at(starts, k + 1), len + 1)
+         |        - element_at(starts, k) AS ln))) t AS sp
+         |)
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(count(DISTINCT ch) AS BIGINT) AS n_distinct,
+         |  CAST(min(ln) AS INT) AS min_len,
+         |  CAST(max(ln) AS INT) AS max_len,
+         |  round(avg(CAST(ln AS DOUBLE)), 4) AS mean_len
+         |FROM chunks GROUP BY source ORDER BY source""".stripMargin
+    else
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, source, text, length(text) AS len FROM documents
+        |), cand AS (
+        |  SELECT doc_id, i FROM (
+        |    SELECT doc_id, text, len, unnest(range(1, len + 1)) AS i FROM d) x
+        |  WHERE i + 7 <= len
+        |    AND CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 6)) AS BIGINT)
+        |      % 64 = 0
+        |), bnd AS (
+        |  SELECT doc_id, len, 1 AS st FROM d
+        |  UNION ALL
+        |  SELECT * FROM (
+        |    SELECT b.doc_id, b.len,
+        |      coalesce(
+        |        (SELECT min(c.i) FROM cand c
+        |         WHERE c.doc_id = b.doc_id AND c.i - b.st >= 32
+        |           AND c.i - b.st < 256),
+        |        CASE WHEN b.st + 256 <= b.len THEN b.st + 256 END) AS st
+        |    FROM bnd b) nxt
+        |  WHERE st IS NOT NULL
+        |), spans AS (
+        |  SELECT doc_id, st,
+        |    coalesce(lead(st) OVER (PARTITION BY doc_id ORDER BY st),
+        |      len + 1) - st AS ln
+        |  FROM bnd
+        |), chunks AS (
+        |  SELECT s.doc_id, d.source, s.st, s.ln,
+        |    md5(substr(d.text, s.st, s.ln)) AS ch
+        |  FROM spans s JOIN d ON s.doc_id = d.doc_id
+        |)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(count(DISTINCT ch) AS BIGINT) AS n_distinct,
+        |  CAST(min(ln) AS INT) AS min_len,
+        |  CAST(max(ln) AS INT) AS max_len,
+        |  round(avg(CAST(ln AS DOUBLE)), 4) AS mean_len
+        |FROM chunks GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- l31: content-defined chunking --------------------------------
+    "l31_cdc_chunking" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(cdcSql(spark = true, spread = Tables.spreadHint(s)))
+    },
+
     // ---- l30: bigram-LM perplexity-proxy scoring ----------------------
     "l30_bigram_lm_score" -> { (s, dir) =>
       Tables.registerAll(s, dir)
@@ -2521,6 +2614,7 @@ object LlmQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "l31_cdc_chunking" -> cdcSql(spark = false),
     "l30_bigram_lm_score" -> lmSql(spark = false),
     "l28_dsir_importance" -> dsirSql(spark = false),
     "l29_source_overlap" -> overlapSql(spark = false),
