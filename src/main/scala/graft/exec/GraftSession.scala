@@ -337,7 +337,8 @@ class GraftSession(val spark: SparkSession) {
     */
   private def rewriteSelect(sqlIn: String): String = {
     val sql = rewriteWithFill(
-      rewriteLimitTies(rewriteLimitBy(rewriteWithTotals(sqlIn))))
+      rewriteLimitTies(rewriteLimitBy(rewriteWithTotals(
+        spliceSystemViews(sqlIn)))))
     val remotes = ChParser.tableFnCalls(sql, "remote")
       .filter(c => c._3.length == 2 || c._3.length == 4)
     val numbers = ChParser.tableFnCalls(sql, "numbers")
@@ -388,6 +389,60 @@ class GraftSession(val spark: SparkSession) {
           p.orderBy.map(o => s" ORDER BY $o").getOrElse("") +
           p.outer.map(k => s" LIMIT $k").getOrElse("")
     }
+
+  /** ClickHouse `system.tables` / `system.columns` introspection: the
+    * references splice to temp views REFRESHED from the live catalog at
+    * query time, so a client's `SELECT name FROM system.tables` always
+    * sees the current state (the reference pre-creates the `system`
+    * database; CH fills it with virtual tables the same way).
+    */
+  private def spliceSystemViews(sql: String): String = {
+    val hits = ChParser.qualifiedRefs(sql, "system", Set("tables", "columns"))
+    if (hits.isEmpty) return sql
+    val cat = spark.sessionState.catalog
+    def userTables: Seq[(String, org.apache.spark.sql.catalyst.TableIdentifier,
+        org.apache.spark.sql.catalyst.catalog.CatalogTable)] =
+      cat.listDatabases().flatMap { db =>
+        cat.listTables(db).flatMap { tid =>
+          scala.util.Try(cat.getTableMetadata(tid)).toOption
+            .filterNot(_ => tid.table.startsWith("graft_tmp_") ||
+              tid.table.startsWith("__graft"))
+            .map(m => (db, tid, m))
+        }
+      }
+    if (hits.exists(_._1 == "tables")) {
+      val rows = userTables.map { case (db, tid, m) =>
+        Row(db, tid.table, m.properties.getOrElse("graft.engine", "BaseStorage"))
+      }
+      spark.createDataFrame(rows.asJava, StructType(Seq(
+          StructField("database", StringType), StructField("name", StringType),
+          StructField("engine", StringType))))
+        .createOrReplaceTempView("__graft_system_tables")
+    }
+    if (hits.exists(_._1 == "columns")) {
+      val rows = userTables.flatMap { case (db, tid, m) =>
+        val declared = m.properties.get("graft.ch.types").map {
+          _.split("").filter(_.nonEmpty).map { kv =>
+            val Array(k, v) = kv.split("", 2); k -> v
+          }.toMap
+        }.getOrElse(Map.empty[String, String])
+        m.schema.fields.toSeq.filter(_.name != PtkCol).zipWithIndex.map {
+          case (f, i) =>
+            val ch = declared.getOrElse(f.name,
+              BqlType.fromSpark(f.dataType, f.nullable).chName)
+            Row(db, tid.table, f.name, ch, (i + 1).toLong)
+        }
+      }
+      spark.createDataFrame(rows.asJava, StructType(Seq(
+          StructField("database", StringType), StructField("table", StringType),
+          StructField("name", StringType), StructField("type", StringType),
+          StructField("position", LongType))))
+        .createOrReplaceTempView("__graft_system_columns")
+    }
+    hits.sortBy(-_._2).foldLeft(sql) { case (acc, (which, from, to)) =>
+      acc.substring(0, from) + s"__graft_system_$which " + acc.substring(to)
+    }
+  }
 
   /** ClickHouse `ORDER BY col WITH FILL [FROM a] [TO b] [STEP s]` — gap
     * filling: generate the full key grid (FROM/TO literals, or the data's

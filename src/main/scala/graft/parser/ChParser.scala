@@ -350,6 +350,24 @@ object ChParser {
       }
     }
 
+  /** All spans of `db.name` qualified references (for names in the given
+    * set) — string/comment-aware, any nesting depth. Used to splice the
+    * engine's `system.*` introspection views into SELECT text.
+    */
+  def qualifiedRefs(sql: String, db: String,
+                    names: Set[String]): Seq[(String, Int, Int)] =
+    tokenize(sql).toOption.map { toks =>
+      toks.indices.flatMap { i =>
+        (toks(i), toks.lift(i + 1), toks.lift(i + 2)) match {
+          case (Ident(d, p), Some(Punct(".", _)), Some(Ident(n, _)))
+              if d.equalsIgnoreCase(db) && names.contains(n.toLowerCase(java.util.Locale.ROOT)) =>
+            val end = toks.lift(i + 3).map(_.pos).getOrElse(sql.length)
+            Some((n.toLowerCase(java.util.Locale.ROOT), p, end))
+          case _ => None
+        }
+      }
+    }.getOrElse(Nil)
+
   /** SETTINGS k=v [, k=v ...] — values admit a leading sign
     * (signed_number in the reference grammar, bql.pest); a dangling
     * `k=` is a parse error, not an IndexOutOfBounds.

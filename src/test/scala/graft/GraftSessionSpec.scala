@@ -856,6 +856,28 @@ class GraftSessionSpec extends AnyFunSuite {
     g.sql("DROP TABLE mv_src")
   }
 
+  test("system.tables and system.columns reflect the live catalog") {
+    val g = new graft.exec.GraftSession(spark)
+    g.sql("DROP TABLE IF EXISTS sysv_tab")
+    g.sql("CREATE TABLE sysv_tab(a UInt64, b Nullable(String)) ENGINE=BaseStorage")
+    val t = g.sql("SELECT database, name, engine FROM system.tables " +
+        "WHERE name = 'sysv_tab'").collect()
+    assert(t.length === 1)
+    assert((t(0).getString(0), t(0).getString(2)) === ("default", "BaseStorage"))
+    val cols = g.sql("SELECT name, type, CAST(position AS INT) AS p " +
+        "FROM system.columns WHERE table = 'sysv_tab' ORDER BY position")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(cols.toSeq === Seq(("a", "UInt64", 1), ("b", "Nullable(String)", 2)))
+    // the view is refreshed per query: a drop disappears immediately
+    g.sql("DROP TABLE sysv_tab")
+    assert(g.sql("SELECT count(*) AS n FROM system.tables " +
+      "WHERE name = 'sysv_tab'").head().getLong(0) === 0L)
+    // joins against real tables work (the introspection is plain SQL)
+    assert(g.sql("SELECT count(*) AS n FROM system.columns c " +
+      "JOIN system.tables t ON c.table = t.name AND c.database = t.database")
+      .head().getLong(0) >= 0L)
+  }
+
   test("INTO OUTFILE: single-file export, formats, refuses overwrite") {
     val g = new graft.exec.GraftSession(spark)
     import spark.implicits._
