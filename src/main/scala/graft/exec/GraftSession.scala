@@ -173,6 +173,63 @@ class GraftSession(val spark: SparkSession) {
         .select(col("tableName").as("name"))
     case ct: CreateTable => createTable(ct)
     case mv: CreateMaterializedView => createMaterializedView(mv)
+    case RenameTable(renames) =>
+      renames.foreach { case ((fdbOpt, from), (tdbOpt, to)) =>
+        val rdb = fdbOpt.getOrElse(spark.catalog.currentDatabase)
+        require(tdbOpt.forall(_ == rdb),
+          "RENAME TABLE across databases is not supported")
+        spark.sql(s"ALTER TABLE `$rdb`.`$from` RENAME TO `$rdb`.`$to`")
+        // move + re-record the replay script under the new name (the
+        // normalized DDL, like CTAS — SHOW CREATE follows the rename)
+        java.nio.file.Files.deleteIfExists(metaFile(rdb, from))
+        recordNormalizedScript(rdb, to)
+        // downstream materialized views keep receiving inserts: their
+        // source tag follows the rename (the recorded MV script keeps
+        // its original text — CH also shows the creation-time DDL)
+        val cat = spark.sessionState.catalog
+        cat.listTables(rdb).foreach { tid =>
+          scala.util.Try(cat.getTableMetadata(tid)).toOption.foreach { m =>
+            (m.properties.get("graft.mv.src"), m.properties.get("graft.mv.select")) match {
+              case (Some(src), Some(sel)) if src == s"$rdb.$from" =>
+                val newSel = ChParser.firstFromTable(sel) match {
+                  case Some((_, s0, s1)) =>
+                    sel.substring(0, s0) + to + " " + sel.substring(s1)
+                  case None => sel
+                }
+                spark.sql(s"ALTER TABLE `$rdb`.`${tid.table}` SET TBLPROPERTIES (" +
+                  s"'graft.mv.src'='${s"$rdb.$to".replace("'", "''")}', " +
+                  s"'graft.mv.select'='${newSel.replace("'", "''")}')")
+              case _ => ()
+            }
+          }
+        }
+      }
+      emptyOk
+    case a: AlterAddColumn =>
+      val rdb = a.db.getOrElse(spark.catalog.currentDatabase)
+      val exists = spark.table(fullName(a.db, a.name)).schema
+        .fieldNames.contains(a.col.name)
+      if (exists && a.ifNotExists) emptyOk
+      else {
+        require(!exists, s"column ${a.col.name} already exists in ${a.name}")
+        spark.sql(s"ALTER TABLE `$rdb`.`${a.name}` ADD COLUMNS " +
+          s"(`${a.col.name}` ${a.col.tpe.sparkType.sql})")
+        // record the declared CH type (+ DEFAULT) and refresh the script.
+        // Pre-existing rows read NULL for the new column (parquet schema
+        // evolution); CH computes the default on read — divergence noted.
+        val typesProp = tableProp(Some(rdb), a.name, "graft.ch.types")
+          .map(_ + "").getOrElse("") +
+          s"${a.col.name}${a.col.tpe.chName}"
+        val defProp = a.col.default.map { d =>
+          val prev = tableProp(Some(rdb), a.name, "graft.defaults")
+            .map(_ + "").getOrElse("")
+          s", 'graft.defaults'='${(prev + s"${a.col.name}$d").replace("'", "''")}'"
+        }.getOrElse("")
+        spark.sql(s"ALTER TABLE `$rdb`.`${a.name}` SET TBLPROPERTIES (" +
+          s"'graft.ch.types'='${typesProp.replace("'", "''")}'$defProp)")
+        recordNormalizedScript(rdb, a.name)
+        emptyOk
+      }
     case DropTable(db, name, ie) =>
       val rdb = db.getOrElse(spark.catalog.currentDatabase)
       val loc =
@@ -1059,6 +1116,41 @@ class GraftSession(val spark: SparkSession) {
         insertSelect(InsertSelect(Some(rdb), mv.name, None, mv.selectSql))
     }
     created
+  }
+
+  /** Rebuild a table's replay script from its catalog state (declared CH
+    * types, engine, partition expr, settings, defaults) and re-record it
+    * — the normalization RENAME/ALTER need, same form CTAS records.
+    */
+  private def recordNormalizedScript(rdb: String, table: String): Unit = {
+    val full = fullName(Some(rdb), table)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table, Some(rdb)))
+    def dec(prop: String): Map[String, String] =
+      meta.properties.get(prop).map {
+        _.split("").filter(_.nonEmpty).map { kv =>
+          val Array(k, v) = kv.split("", 2); k -> v
+        }.toMap
+      }.getOrElse(Map.empty)
+    val types = dec("graft.ch.types")
+    val dflts = dec("graft.defaults")
+    val colsDdl = meta.schema.fields.toSeq.filter(_.name != PtkCol).map { f =>
+      val t = types.getOrElse(f.name,
+        BqlType.fromSpark(f.dataType, f.nullable).chName)
+      s"`${f.name}` $t" + dflts.get(f.name).map(d => s" DEFAULT $d").getOrElse("")
+    }.mkString(", ")
+    val settings = meta.properties.collect {
+      case (k, v) if k.startsWith("graft.setting.") =>
+        s"${k.stripPrefix("graft.setting.")}=$v"
+    }
+    val script = s"CREATE TABLE $table($colsDdl)" +
+      meta.properties.get("graft.engine").map(e => s" ENGINE=$e").getOrElse("") +
+      meta.properties.get("graft.ptk.expr").map(e => s" PARTITION BY $e").getOrElse("") +
+      (if (settings.isEmpty) "" else " SETTINGS " + settings.mkString(", "))
+    spark.sql(s"ALTER TABLE $full SET TBLPROPERTIES (" +
+      s"'graft.create_script'='${script.replace("'", "''")}')")
+    java.nio.file.Files.createDirectories(metaFile(rdb, table).getParent)
+    java.nio.file.Files.writeString(metaFile(rdb, table), script): Unit
   }
 
   /** Materialized views fed by (db, table): live catalog scan over the

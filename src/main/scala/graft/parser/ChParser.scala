@@ -61,6 +61,15 @@ object ChStatement {
                                 auth: Option[(String, String)],
                                 values: Option[Seq[Seq[Option[String]]]],
                                 selectSql: Option[String]) extends ChStatement
+  /** RENAME TABLE a TO b[, c TO d] (ClickHouse's multi-rename form). */
+  final case class RenameTable(
+      renames: Seq[((Option[String], String), (Option[String], String))])
+      extends ChStatement
+  /** ALTER TABLE t ADD COLUMN [IF NOT EXISTS] col type [DEFAULT lit]. */
+  final case class AlterAddColumn(db: Option[String], name: String,
+                                  col: ColDef, ifNotExists: Boolean)
+      extends ChStatement
+
   /** CREATE MATERIALIZED VIEW — ClickHouse's insert-triggered
     * transformation: every block inserted into the SELECT's source table
     * runs through the SELECT and appends to the view's own storage.
@@ -524,6 +533,33 @@ object ChParser {
     } else if (p.eatKw("truncate")) {
       p.eatKw("table")
       qualifiedName(p).map { case (db, t) => TruncateTable(db, t) }
+    } else if (p.eatKw("rename")) {
+      if (!p.eatKw("table")) Left(s"RENAME: expected TABLE at ${p.posText}")
+      else {
+        val buf = ArrayBuffer.empty[((Option[String], String), (Option[String], String))]
+        var err: Option[String] = None
+        var go = true
+        while (go && err.isEmpty) {
+          (for {
+            from <- qualifiedName(p)
+            _ <- p.expectKw("to")
+            to <- qualifiedName(p)
+          } yield (from, to)) match {
+            case Right(pair) => buf += pair; go = p.eatPunct(",")
+            case Left(e) => err = Some(e)
+          }
+        }
+        err.toLeft(RenameTable(buf.toSeq))
+      }
+    } else if (p.eatKw("alter")) {
+      if (!p.eatKw("table")) Left(s"ALTER: expected TABLE at ${p.posText}")
+      else for {
+        dbTab <- qualifiedName(p)
+        _ <- p.expectKw("add")
+        _ <- p.expectKw("column")
+        ine <- Right(parseIfNotExists(p))
+        col <- columnDef(p)
+      } yield AlterAddColumn(dbTab._1, dbTab._2, col, ine)
     } else if (p.eatKw("show")) {
       if (p.eatKw("databases")) Right(ShowDatabases)
       else if (p.eatKw("tables")) {

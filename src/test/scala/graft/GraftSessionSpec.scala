@@ -878,6 +878,40 @@ class GraftSessionSpec extends AnyFunSuite {
       .head().getLong(0) >= 0L)
   }
 
+  test("RENAME TABLE and ALTER TABLE ADD COLUMN") {
+    val g = new graft.exec.GraftSession(spark)
+    g.sql("DROP TABLE IF EXISTS ren_b; DROP TABLE IF EXISTS ren_a; " +
+      "DROP TABLE IF EXISTS ren_mv")
+    g.sql("CREATE TABLE ren_a(k Int32, v Float64)")
+    g.sql("INSERT INTO ren_a VALUES (1, 1.5), (2, 2.5)")
+    g.sql("CREATE MATERIALIZED VIEW ren_mv AS SELECT k FROM ren_a WHERE v > 2")
+
+    // rename keeps data, replay script, and MV subscriptions
+    g.sql("RENAME TABLE ren_a TO ren_b")
+    assert(g.sql("SELECT count(*) AS n FROM ren_b").head().getLong(0) === 2L)
+    intercept[Exception] { g.sql("SELECT * FROM ren_a") }
+    val shown = g.sql("SHOW CREATE TABLE ren_b").head().getString(0)
+    assert(shown.contains("CREATE TABLE ren_b"))
+    g.sql("INSERT INTO ren_b VALUES (3, 9.0)")
+    assert(g.sql("SELECT k FROM ren_mv").collect().map(_.getInt(0)).toSeq ===
+      Seq(3))
+
+    // ADD COLUMN: old rows read NULL, new rows carry the value, DESC and
+    // system.columns see the declared CH type
+    g.sql("ALTER TABLE ren_b ADD COLUMN tag Nullable(String)")
+    g.sql("INSERT INTO ren_b VALUES (4, 0.5, 'x')")
+    val rows = g.sql("SELECT k, tag FROM ren_b ORDER BY k")
+      .collect().map(r => (r.getInt(0), Option(r.getString(1))))
+    assert(rows.toSeq === Seq((1, None), (2, None), (3, None), (4, Some("x"))))
+    assert(g.sql("DESC ren_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+      .get("tag") === Some("Nullable(String)"))
+    // idempotent form
+    g.sql("ALTER TABLE ren_b ADD COLUMN IF NOT EXISTS tag Nullable(String)")
+    intercept[Exception] { g.sql("ALTER TABLE ren_b ADD COLUMN tag String") }
+    g.sql("DROP TABLE ren_mv; DROP TABLE ren_b")
+  }
+
   test("INTO OUTFILE: single-file export, formats, refuses overwrite") {
     val g = new graft.exec.GraftSession(spark)
     import spark.implicits._
