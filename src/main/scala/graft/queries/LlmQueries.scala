@@ -1712,7 +1712,74 @@ object LlmQueries {
         |  round(avg(CAST(ln AS DOUBLE)), 4) AS mean_len
         |FROM chunks GROUP BY source ORDER BY source""".stripMargin
 
+  /** l32 mixture sampling to a token budget — the data-mixing step of a
+    * training run (each source gets a target share of the token budget;
+    * the sampler must hit the allocation deterministically):
+    *   - per-source weights w_i (declared in-query), allocations by
+    *     LARGEST REMAINDER: floor(B·w_i/W) + one extra token for the
+    *     sources with the largest fractional parts until the budget sums
+    *     exactly — the standard apportionment method, fully relational;
+    *   - within a source, docs order by md5(doc_id) (a deterministic
+    *     shuffle) and are taken while the running token count stays
+    *     inside the allocation — greedy prefix, no partial docs.
+    * ONE emitter both dialects. 100 TB: allocations are a |sources|-row
+    * computation; selection is one per-source window over doc token
+    * counts — no global sort, no all-pairs.
+    */
+  private def mixSql(spark: Boolean): String = {
+    val budget = 30000
+    val tokCount =
+      if (spark) "size(filter(split(text, ' '), x -> x <> ''))"
+      else "len(list_filter(str_split(text, ' '), x -> x <> ''))"
+    val srcNum =
+      if (spark) "CAST(substr(source, 4) AS INT)"
+      else "CAST(substr(source, 4) AS INT)"
+    s"""WITH d AS (
+       |  SELECT doc_id, source, $tokCount AS toks FROM documents
+       |), w AS (
+       |  SELECT source, CAST(($srcNum % 4) + 1 AS DOUBLE) AS wt FROM d GROUP BY source
+       |), tw AS (
+       |  SELECT sum(wt) AS total_w FROM w
+       |), fl AS (
+       |  SELECT w.source, wt,
+       |    floor($budget * wt / total_w) AS base,
+       |    $budget * wt / total_w - floor($budget * wt / total_w) AS frac
+       |  FROM w CROSS JOIN tw
+       |), topup AS (
+       |  SELECT source, base, frac,
+       |    row_number() OVER (ORDER BY frac DESC, source) AS rk,
+       |    (SELECT $budget - sum(base) FROM fl) AS short
+       |  FROM fl
+       |), alloc AS (
+       |  SELECT source,
+       |    CAST(base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT) AS alloc
+       |  FROM topup
+       |), ranked AS (
+       |  SELECT doc_id, source, toks,
+       |    sum(toks) OVER (PARTITION BY source
+       |      ORDER BY md5(CAST(doc_id AS STRING)), doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM d
+       |), picked AS (
+       |  SELECT r.source, r.doc_id, r.toks, a.alloc
+       |  FROM ranked r JOIN alloc a ON r.source = a.source
+       |  WHERE r.cum <= a.alloc
+       |)
+       |SELECT a.source, a.alloc,
+       |  CAST(count(p.doc_id) AS BIGINT) AS n_docs,
+       |  CAST(coalesce(sum(p.toks), 0) AS BIGINT) AS achieved
+       |FROM alloc a LEFT JOIN picked p ON a.source = p.source
+       |GROUP BY a.source, a.alloc
+       |ORDER BY a.source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- l32: token-budget mixture sampling ---------------------------
+    "l32_mixture_sampling" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(mixSql(spark = true))
+    },
+
     // ---- l31: content-defined chunking --------------------------------
     "l31_cdc_chunking" -> { (s, dir) =>
       Tables.registerAll(s, dir)
@@ -2614,6 +2681,7 @@ object LlmQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "l32_mixture_sampling" -> mixSql(spark = false),
     "l31_cdc_chunking" -> cdcSql(spark = false),
     "l30_bigram_lm_score" -> lmSql(spark = false),
     "l28_dsir_importance" -> dsirSql(spark = false),
