@@ -395,7 +395,7 @@ class GraftSession(val spark: SparkSession) {
   private def rewriteSelect(sqlIn: String): String = {
     val sql = rewriteWithFill(
       rewriteLimitTies(rewriteLimitBy(rewriteWithTotals(
-        spliceSystemViews(sqlIn)))))
+        rewritePrewhere(spliceSystemViews(sqlIn))))))
     val remotes = ChParser.tableFnCalls(sql, "remote")
       .filter(c => c._3.length == 2 || c._3.length == 4)
     val numbers = ChParser.tableFnCalls(sql, "numbers")
@@ -500,6 +500,24 @@ class GraftSession(val spark: SparkSession) {
       acc.substring(0, from) + s"__graft_system_$which " + acc.substring(to)
     }
   }
+
+  /** ClickHouse PREWHERE — semantically WHERE, physically "filter on few
+    * columns before reading the rest". The rewrite folds it into WHERE
+    * with AND; on Spark the physical half is automatic (parquet predicate
+    * pushdown + column pruning read filter columns first by design — the
+    * plan shows the predicate in PushedFilters), so the rewrite IS the
+    * optimization CH asks for.
+    */
+  private def rewritePrewhere(sql: String): String =
+    ChParser.splitPrewhere(sql) match {
+      case None => sql
+      case Some(p) => p.whereExpr match {
+        case Some(w) =>
+          s"${p.pre}WHERE (${p.pw}) AND ($w) ${p.tail}"
+        case None =>
+          s"${p.pre}WHERE ${p.pw} ${p.tail}"
+      }
+    }
 
   /** ClickHouse `ORDER BY col WITH FILL [FROM a] [TO b] [STEP s]` — gap
     * filling: generate the full key grid (FROM/TO literals, or the data's

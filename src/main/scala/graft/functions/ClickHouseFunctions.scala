@@ -519,6 +519,60 @@ object ClickHouseFunctions {
         Literal(0))))),
     "arrayPopFront" -> one("arrayPopFront")(a =>
       Slice(a, Literal(2), Size(a))),
+    // ---- CH format/encode pack ----------------------------------------
+    // formatDateTime uses C-style % codes (the strftime family CH and
+    // DuckDB share); the literal format translates once at build time to
+    // Spark's Java pattern. Unknown % codes are an error, not silent
+    // passthrough.
+    "formatDateTime" -> two("formatDateTime")((ts, fmt) => {
+      val f = litStr(fmt, "formatDateTime")
+      val out = new StringBuilder
+      var i = 0
+      while (i < f.length) {
+        val c = f.charAt(i)
+        if (c == '%' && i + 1 < f.length) {
+          out.append(f.charAt(i + 1) match {
+            case 'Y' => "yyyy"
+            case 'y' => "yy"
+            case 'm' => "MM"
+            case 'd' => "dd"
+            case 'H' => "HH"
+            case 'M' => "mm"
+            case 'S' => "ss"
+            case 'j' => "DDD"
+            case 'e' => "d"
+            case 'F' => "yyyy-MM-dd"
+            case 'T' => "HH:mm:ss"
+            case 'a' => "EEE"
+            case 'b' => "MMM"
+            case '%' => "%"
+            case other => throw new IllegalArgumentException(
+              s"formatDateTime: unsupported code %$other")
+          })
+          i += 2
+        } else if (c.isLetter) {
+          // quote the whole literal-letter RUN once — per-letter quoting
+          // would put '' between letters, which Java reads as a literal
+          // quote character
+          val start = i
+          while (i < f.length && f.charAt(i).isLetter && f.charAt(i) != '%')
+            i += 1
+          out.append("'").append(f.substring(start, i)).append("'")
+        } else {
+          out.append(c)
+          i += 1
+        }
+      }
+      DateFormatClass(Cast(ts, TimestampType), Literal(out.toString))
+    }),
+    "base64Encode" -> one("base64Encode")(e => Base64(Cast(e, BinaryType))),
+    "base64Decode" -> one("base64Decode")(e => Cast(UnBase64(e), StringType)),
+    "hex" -> one("hex")(e => Hex(e)),
+    "unhex" -> one("unhex")(e => Unhex(e)),
+    "bitShiftLeft" -> two("bitShiftLeft")((a, b) =>
+      ShiftLeft(a, Cast(b, IntegerType))),
+    "bitShiftRight" -> two("bitShiftRight")((a, b) =>
+      ShiftRight(a, Cast(b, IntegerType))),
     // ---- CH string pack #3 ---------------------------------------------
     // position is CH's (haystack, needle) order — 1-based, 0 when absent
     // (StringLocate's own contract); countSubstrings counts

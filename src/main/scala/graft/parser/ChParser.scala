@@ -359,6 +359,63 @@ object ChParser {
       }
     }
 
+  /** The pieces of a `… PREWHERE p [WHERE w] …` statement. `pre` is the
+    * text before PREWHERE, `pw` the PREWHERE expression, `whereExpr` the
+    * WHERE expression when one follows, `tail` everything after.
+    */
+  final case class PrewhereParts(pre: String, pw: String,
+                                 whereExpr: Option[String], tail: String)
+
+  /** Find a TOP-LEVEL ClickHouse PREWHERE clause (depth-0,
+    * string-aware). None when absent or for set operations.
+    */
+  def splitPrewhere(sql: String): Option[PrewhereParts] =
+    tokenize(sql).toOption.flatMap { toks =>
+      var d = 0
+      var unionish = false
+      val depth = toks.map {
+        case Punct("(", _) => { val r = d; d += 1; r }
+        case Punct(")", _) => { d = math.max(0, d - 1); d }
+        case Ident(w, _) if d == 0 &&
+            Seq("union", "intersect", "except").contains(w.toLowerCase) =>
+          unionish = true; d
+        case _ => d
+      }
+      def isClause(i: Int, ks: Set[String]) = toks(i) match {
+        case Ident(w, _) => ks.contains(w.toLowerCase(java.util.Locale.ROOT))
+        case Punct(";", _) => true
+        case _ => false
+      }
+      val stops = Set("where", "group", "order", "limit", "having",
+        "settings", "window")
+      val pi = toks.indices.find(i => depth(i) == 0 && (toks(i) match {
+        case Ident(w, _) => w.equalsIgnoreCase("prewhere")
+        case _ => false
+      }))
+      pi match {
+        case Some(i) if !unionish =>
+          val pwEnd = ((i + 1) until toks.length)
+            .find(j => depth(j) == 0 && isClause(j, stops))
+          val pwText = sql.substring(toks(i + 1).pos,
+            pwEnd.map(toks(_).pos).getOrElse(sql.length)).trim
+          if (pwText.isEmpty) None
+          else pwEnd match {
+            case Some(wi) if toks(wi).text.equalsIgnoreCase("where") =>
+              val wEnd = ((wi + 1) until toks.length)
+                .find(j => depth(j) == 0 && isClause(j, stops - "where"))
+              val wText = sql.substring(toks(wi + 1).pos,
+                wEnd.map(toks(_).pos).getOrElse(sql.length)).trim
+              Some(PrewhereParts(sql.substring(0, toks(i).pos), pwText,
+                Some(wText),
+                wEnd.map(j => sql.substring(toks(j).pos)).getOrElse("")))
+            case other =>
+              Some(PrewhereParts(sql.substring(0, toks(i).pos), pwText, None,
+                other.map(j => sql.substring(toks(j).pos)).getOrElse("")))
+          }
+        case _ => None
+      }
+    }
+
   /** All spans of `db.name` qualified references (for names in the given
     * set) — string/comment-aware, any nesting depth. Used to splice the
     * engine's `system.*` introspection views into SELECT text.

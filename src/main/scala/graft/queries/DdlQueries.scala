@@ -182,6 +182,18 @@ object DdlQueries {
         "FROM graft_d11_mv GROUP BY flag ORDER BY flag")
     },
 
+    // ClickHouse PREWHERE (d12): folds into WHERE with AND — on Spark the
+    // "filter before reading the rest" physical half is parquet pushdown
+    // + pruning, which the plan already shows; oracle uses a plain AND.
+    "d12_prewhere" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(user_id) AS BIGINT) AS su " +
+        "FROM events PREWHERE value > 50 WHERE user_id % 2 = 0 " +
+        "GROUP BY event_type ORDER BY event_type")
+    },
+
     // ClickHouse `ORDER BY k WITH FILL FROM a TO b STEP s` (d09): the
     // value-bucket histogram has guaranteed gaps below bucket 2; the
     // rewrite left-joins the result onto the generated grid (TO is
@@ -269,6 +281,11 @@ object DdlQueries {
         |FROM lineitem
         |WHERE l_orderkey < 600 AND CAST(l_quantity AS DOUBLE) > 10
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d12_prewhere" ->
+      """SELECT event_type, count(*) AS n, CAST(sum(user_id) AS BIGINT) AS su
+        |FROM events WHERE value > 50 AND user_id % 2 = 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "d09_with_fill" ->
       """WITH src AS (

@@ -440,6 +440,25 @@ object FuncQueries {
           |FROM nation ORDER BY k""".stripMargin)
     },
 
+    // CH format/encode pack (f19): formatDateTime's C-style % codes
+    // (translated to the Java pattern at build time; DuckDB's strftime
+    // shares the % dialect so the oracle passes the SAME format string),
+    // base64, hex (lowercased — Spark upper vs DuckDB lower), bit shifts.
+    "f19_format_pack" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      ClickHouseFunctions.register(s)
+      s.sql(
+        """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n,
+          |  formatDateTime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_fmt,
+          |  formatDateTime(max(ts), 'day %j of %Y') AS last_fmt,
+          |  base64Encode(min(event_type)) AS b64,
+          |  base64Decode(base64Encode(max(event_type))) AS b64_rt,
+          |  lower(hex(min(event_type))) AS hx,
+          |  CAST(bitShiftLeft(CAST(count(*) % 16 AS INT), 2) AS INT) AS shl,
+          |  CAST(bitShiftRight(CAST(count(*) AS INT), 3) AS INT) AS shr
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+
     // First event-table queries (time-series shape): daily rollup with
     // exact decimal sums.
     "e01_events_daily" -> { (s, dir) =>
@@ -474,6 +493,17 @@ object FuncQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "f19_format_pack" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n,
+        |  strftime(min(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS first_fmt,
+        |  strftime(max(CAST(ts AS TIMESTAMP)), 'day %j of %Y') AS last_fmt,
+        |  to_base64(CAST(min(event_type) AS BLOB)) AS b64,
+        |  decode(from_base64(to_base64(CAST(max(event_type) AS BLOB)))) AS b64_rt,
+        |  lower(hex(min(event_type))) AS hx,
+        |  CAST((count(*) % 16) << 2 AS INT) AS shl,
+        |  CAST(count(*) >> 3 AS INT) AS shr
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "f18_string_pack3" ->
       """SELECT n_nationkey AS k,
         |  CAST(strpos(n_name, 'A') AS INT) AS pos_a,

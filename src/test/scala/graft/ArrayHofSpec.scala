@@ -155,6 +155,24 @@ class ArrayHofSpec extends AnyFunSuite {
     assert(sql1("SELECT splitByString('::', 'a::b::')") === Seq("a", "b", ""))
   }
 
+  test("format/encode pack: formatDateTime codes, base64, hex, shifts") {
+    val ts = "TIMESTAMP '2024-03-07 09:05:02'"
+    assert(sql1(s"SELECT formatDateTime($ts, '%Y-%m-%d %H:%M:%S')") ===
+      "2024-03-07 09:05:02")
+    assert(sql1(s"SELECT formatDateTime($ts, '%F')") === "2024-03-07")
+    assert(sql1(s"SELECT formatDateTime($ts, '%T')") === "09:05:02")
+    assert(sql1(s"SELECT formatDateTime($ts, 'day %j of %Y')") ===
+      "day 067 of 2024")
+    assert(sql1(s"SELECT formatDateTime($ts, '%d/%m/%y 100%%')") ===
+      "07/03/24 100%")
+    intercept[Exception](sql1(s"SELECT formatDateTime($ts, '%Q')"))
+    assert(sql1("SELECT base64Encode('hi')") === "aGk=")
+    assert(sql1("SELECT base64Decode('aGk=')") === "hi")
+    assert(sql1("SELECT lower(hex('hi'))") === "6869")
+    assert(sql1("SELECT bitShiftLeft(3, 2)") === 12)
+    assert(sql1("SELECT bitShiftRight(12, 2)") === 3)
+  }
+
   test("arrayEnumerate / range with empty guards") {
     assert(sql1("SELECT arrayEnumerate(array('a', 'b', 'c'))") === Seq(1, 2, 3))
     assert(sql1("SELECT arrayEnumerate(arrayPopBack(array(1)))") === Seq.empty)

@@ -279,6 +279,24 @@ class ChParserSpec extends AnyFunSuite {
       "SELECT (SELECT max(y) FROM u), x FROM src").map(_._1) === Some("src"))
   }
 
+  test("splitPrewhere folds into WHERE forms") {
+    val p = ChParser.splitPrewhere(
+      "SELECT a FROM t PREWHERE x > 1 WHERE y = 2 GROUP BY a").get
+    assert(p.pre === "SELECT a FROM t ")
+    assert((p.pw, p.whereExpr) === ("x > 1", Some("y = 2")))
+    assert(p.tail === "GROUP BY a")
+    val q = ChParser.splitPrewhere(
+      "SELECT a FROM t PREWHERE x > 1 ORDER BY a").get
+    assert((q.pw, q.whereExpr, q.tail) === ("x > 1", None, "ORDER BY a"))
+    val r = ChParser.splitPrewhere("SELECT a FROM t PREWHERE x > 1").get
+    assert((r.pw, r.whereExpr, r.tail) === ("x > 1", None, ""))
+    assert(ChParser.splitPrewhere("SELECT a FROM t WHERE x > 1") === None)
+    assert(ChParser.splitPrewhere(
+      "SELECT * FROM (SELECT a FROM t PREWHERE x > 1) u") === None)
+    assert(ChParser.splitPrewhere(
+      "SELECT ' PREWHERE x ' AS s FROM t") === None)
+  }
+
   test("splitWithTotals finds GROUP BY ... WITH TOTALS, keeps the tail") {
     val p = ChParser.splitWithTotals(
       "SELECT k, count(*) FROM t GROUP BY k WITH TOTALS ORDER BY k").get
