@@ -395,7 +395,8 @@ class GraftSession(val spark: SparkSession) {
   private def rewriteSelect(sqlIn: String): String = {
     val sql = rewriteWithFill(
       rewriteLimitTies(rewriteLimitBy(rewriteWithTotals(
-        rewritePrewhere(spliceSystemViews(sqlIn))))))
+        rewritePrewhere(rewriteInTable(rewriteDistinctOnStep(
+          spliceSystemViews(sqlIn))))))))
     val remotes = ChParser.tableFnCalls(sql, "remote")
       .filter(c => c._3.length == 2 || c._3.length == 4)
     val numbers = ChParser.tableFnCalls(sql, "numbers")
@@ -498,6 +499,27 @@ class GraftSession(val spark: SparkSession) {
     }
     hits.sortBy(-_._2).foldLeft(sql) { case (acc, (which, from, to)) =>
       acc.substring(0, from) + s"__graft_system_$which " + acc.substring(to)
+    }
+  }
+
+  /** ClickHouse `SELECT DISTINCT ON (keys) …` → the LIMIT 1 BY form (the
+    * identical first-row-per-group contract), which the LIMIT BY
+    * rewriter downstream turns into the windowed plan.
+    */
+  private def rewriteDistinctOnStep(sql: String): String =
+    ChParser.rewriteDistinctOn(sql).getOrElse(sql)
+
+  /** ClickHouse table-set membership `x [GLOBAL] [NOT] IN t` → the ANSI
+    * subquery form `IN (SELECT * FROM t)`. GLOBAL is CH's
+    * ship-the-set-everywhere distribution hint — on Spark the optimizer
+    * already chooses broadcast vs shuffle for the semi-join, so the hint
+    * drops.
+    */
+  private def rewriteInTable(sql: String): String = {
+    val hits = ChParser.inTableRefs(sql)
+    if (hits.isEmpty) sql
+    else hits.sortBy(-_._2).foldLeft(sql) { case (acc, (t, from, to)) =>
+      acc.substring(0, from) + s"IN (SELECT * FROM $t) " + acc.substring(to)
     }
   }
 

@@ -359,6 +359,95 @@ object ChParser {
       }
     }
 
+  /** Rewrite `SELECT DISTINCT ON (c1, c2) …` to the equivalent
+    * `… LIMIT 1 BY c1, c2` form (same contract: first row per key group
+    * in the statement's ORDER BY), inserted before a top-level outer
+    * LIMIT when one exists — the LIMIT BY rewriter then does the window
+    * work. None when the clause is absent.
+    */
+  def rewriteDistinctOn(sql: String): Option[String] =
+    tokenize(sql).toOption.flatMap { toks =>
+      def kw(i: Int, k: String) = i < toks.length && (toks(i) match {
+        case Ident(w, _) => w.equalsIgnoreCase(k)
+        case _ => false
+      })
+      if (!(kw(0, "SELECT") && kw(1, "DISTINCT") && kw(2, "ON") &&
+          toks.lift(3).exists(_.text == "(")))
+        return None
+      // span of the parenthesized key list
+      var d = 0
+      var i = 3
+      var end = -1
+      while (i < toks.length && end < 0) {
+        toks(i) match {
+          case Punct("(", _) => d += 1
+          case Punct(")", _) => d -= 1; if (d == 0) end = i
+          case _ => ()
+        }
+        i += 1
+      }
+      if (end < 0) return None
+      val keys = sql.substring(toks(3).pos + 1, toks(end).pos).trim
+      if (keys.isEmpty) return None
+      val bodyStart = toks.lift(end + 1).map(_.pos).getOrElse(sql.length)
+      val body = "SELECT " + sql.substring(bodyStart)
+      // insert before a depth-0 outer LIMIT (or at the end)
+      tokenize(body).toOption.map { btoks =>
+        var bd = 0
+        val depth = btoks.map {
+          case Punct("(", _) => { val r = bd; bd += 1; r }
+          case Punct(")", _) => { bd = math.max(0, bd - 1); bd }
+          case _ => bd
+        }
+        val li = btoks.indices.find(j => depth(j) == 0 && (btoks(j) match {
+          case Ident(w, _) => w.equalsIgnoreCase("limit")
+          case _ => false
+        }))
+        li match {
+          case Some(j) =>
+            body.substring(0, btoks(j).pos) + s"LIMIT 1 BY $keys " +
+              body.substring(btoks(j).pos)
+          case None => body.replaceAll(";\\s*$", "") + s" LIMIT 1 BY $keys"
+        }
+      }
+    }
+
+  /** Spans of ClickHouse's table-set membership form `[GLOBAL] [NOT] IN
+    * <table>` (a bare identifier, not a parenthesized list/subquery):
+    * (tableName, identStart, identEnd). GLOBAL is a distribution hint
+    * with no local meaning and is included in the span so the rewrite
+    * drops it.
+    */
+  def inTableRefs(sql: String): Seq[(String, Int, Int)] =
+    tokenize(sql).toOption.map { toks =>
+      val reserved = Set("select", "where", "group", "order", "limit",
+        "having", "settings", "window", "join", "on", "and", "or", "not",
+        "union", "intersect", "except", "by", "from", "as", "inner",
+        "left", "right", "full", "cross", "using", "asc", "desc", "with")
+      toks.indices.flatMap { i =>
+        val isIn = toks(i) match {
+          case Ident(w, _) => w.equalsIgnoreCase("in")
+          case _ => false
+        }
+        if (!isIn) None
+        else {
+          val globalStart = toks.lift(i - 1) match {
+            case Some(Ident(g, gp)) if g.equalsIgnoreCase("global") => Some(gp)
+            case _ => None
+          }
+          toks.lift(i + 1) match {
+            case Some(Ident(t, tp))
+                if !reserved.contains(t.toLowerCase(java.util.Locale.ROOT)) &&
+                  !toks.lift(i + 2).exists(_.text == "(") &&
+                  !toks.lift(i + 2).exists(_.text == ".") =>
+              val end = toks.lift(i + 2).map(_.pos).getOrElse(sql.length)
+              Some((t, globalStart.getOrElse(toks(i).pos), end))
+            case _ => None
+          }
+        }
+      }
+    }.getOrElse(Nil)
+
   /** The pieces of a `… PREWHERE p [WHERE w] …` statement. `pre` is the
     * text before PREWHERE, `pw` the PREWHERE expression, `whereExpr` the
     * WHERE expression when one follows, `tail` everything after.

@@ -194,6 +194,32 @@ object DdlQueries {
         "GROUP BY event_type ORDER BY event_type")
     },
 
+    // ClickHouse `SELECT DISTINCT ON (keys)` (d13): rewrites to the
+    // LIMIT 1 BY form — first row per key group under the statement's
+    // ORDER BY (which must reference selected columns, the LIMIT BY
+    // restriction); oracle is an independent row_number formulation.
+    "d13_distinct_on" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("SELECT DISTINCT ON (event_type) event_type, event_id, " +
+        "CAST(value AS DOUBLE) AS v FROM events ORDER BY v DESC, event_id")
+    },
+
+    // ClickHouse table-set membership `x [GLOBAL] [NOT] IN t` (d14):
+    // rewrites to the ANSI subquery form; GLOBAL drops (Spark picks
+    // broadcast vs shuffle for the semi-join itself). Oracle uses the
+    // literal set.
+    "d14_in_table" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("DROP TABLE IF EXISTS graft_d14_set")
+      g.sql("CREATE TABLE graft_d14_set(t String)")
+      g.sql("INSERT INTO graft_d14_set VALUES ('view'), ('purchase')")
+      g.sql("SELECT event_type, count(*) AS n FROM events " +
+        "WHERE event_type GLOBAL IN graft_d14_set " +
+        "GROUP BY event_type ORDER BY event_type")
+    },
+
     // ClickHouse `ORDER BY k WITH FILL FROM a TO b STEP s` (d09): the
     // value-bucket histogram has guaranteed gaps below bucket 2; the
     // rewrite left-joins the result onto the generated grid (TO is
@@ -285,6 +311,21 @@ object DdlQueries {
     "d12_prewhere" ->
       """SELECT event_type, count(*) AS n, CAST(sum(user_id) AS BIGINT) AS su
         |FROM events WHERE value > 50 AND user_id % 2 = 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "d13_distinct_on" ->
+      """WITH r AS (
+        |  SELECT event_type, event_id, CAST(value AS DOUBLE) AS v,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(value AS DOUBLE) DESC, event_id) AS rn
+        |  FROM events
+        |)
+        |SELECT event_type, event_id, v FROM r WHERE rn = 1
+        |ORDER BY v DESC, event_id""".stripMargin,
+
+    "d14_in_table" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |WHERE event_type IN ('view', 'purchase')
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "d09_with_fill" ->

@@ -297,6 +297,28 @@ class ChParserSpec extends AnyFunSuite {
       "SELECT ' PREWHERE x ' AS s FROM t") === None)
   }
 
+  test("rewriteDistinctOn and inTableRefs") {
+    assert(ChParser.rewriteDistinctOn(
+      "SELECT DISTINCT ON (a, b) a, b, c FROM t ORDER BY c") ===
+      Some("SELECT a, b, c FROM t ORDER BY c LIMIT 1 BY a, b"))
+    // outer LIMIT stays outer
+    assert(ChParser.rewriteDistinctOn(
+      "SELECT DISTINCT ON (a) a, c FROM t ORDER BY c LIMIT 5") ===
+      Some("SELECT a, c FROM t ORDER BY c LIMIT 1 BY a LIMIT 5"))
+    assert(ChParser.rewriteDistinctOn("SELECT DISTINCT a FROM t") === None)
+    assert(ChParser.rewriteDistinctOn("SELECT a FROM t") === None)
+
+    val hits = ChParser.inTableRefs(
+      "SELECT a FROM t WHERE x GLOBAL IN s1 AND y NOT IN s2")
+    assert(hits.map(_._1) === Seq("s1", "s2"))
+    // parenthesized lists/subqueries and qualified names are untouched
+    assert(ChParser.inTableRefs("SELECT a FROM t WHERE x IN (1, 2)") === Nil)
+    assert(ChParser.inTableRefs(
+      "SELECT a FROM t WHERE x IN (SELECT y FROM u)") === Nil)
+    assert(ChParser.inTableRefs("SELECT a FROM t WHERE x IN db.s") === Nil)
+    assert(ChParser.inTableRefs("SELECT ' IN s ' AS v FROM t") === Nil)
+  }
+
   test("splitWithTotals finds GROUP BY ... WITH TOTALS, keeps the tail") {
     val p = ChParser.splitWithTotals(
       "SELECT k, count(*) FROM t GROUP BY k WITH TOTALS ORDER BY k").get
