@@ -1641,6 +1641,20 @@ object LlmQueries {
     * array fold here is the semantics reference); the only shuffle is
     * the chunk-hash dedup, uniform by construction.
     */
+  /** The CDC boundary fold as one Spark SQL expression over `text`/`len`
+    * columns — shared by the batch l31 entry and the streaming chunker
+    * twin so the boundary semantics cannot drift.
+    */
+  private[graft] def cdcStartsExpr(text: String, len: String): String =
+    s"""concat(array(1), aggregate(sequence(1, $len),
+       |      struct(CAST(1 AS INT) AS last, CAST(array() AS ARRAY<INT>) AS bs),
+       |      (acc, i) -> IF(
+       |        (i - acc.last >= 256) OR (i + 7 <= $len AND i - acc.last >= 32
+       |          AND CAST(conv(substr(md5(substr($text, i, 8)), 1, 6), 16, 10)
+       |            AS BIGINT) % 64 = 0),
+       |        struct(i AS last, concat(acc.bs, array(i)) AS bs), acc),
+       |      acc -> acc.bs))""".stripMargin
+
   private def cdcSql(spark: Boolean, spread: String = ""): String =
     if (spark)
       s"""WITH d AS (
@@ -1648,14 +1662,7 @@ object LlmQueries {
          |  FROM documents
          |), b AS (
          |  SELECT doc_id, source, text, len,
-         |    concat(array(1), aggregate(sequence(1, len),
-         |      struct(CAST(1 AS INT) AS last, CAST(array() AS ARRAY<INT>) AS bs),
-         |      (acc, i) -> IF(
-         |        (i - acc.last >= 256) OR (i + 7 <= len AND i - acc.last >= 32
-         |          AND CAST(conv(substr(md5(substr(text, i, 8)), 1, 6), 16, 10)
-         |            AS BIGINT) % 64 = 0),
-         |        struct(i AS last, concat(acc.bs, array(i)) AS bs), acc),
-         |      acc -> acc.bs)) AS starts
+         |    ${cdcStartsExpr("text", "len")} AS starts
          |  FROM d
          |), chunks AS (
          |  SELECT doc_id, source, sp.st AS st, sp.ln AS ln,

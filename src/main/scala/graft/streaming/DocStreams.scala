@@ -172,6 +172,25 @@ object DocStreams {
           |  * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) / n_big, 6)""".stripMargin))
       .drop("graft_ws", "graft_bgs", "bgm", "unim", "nv")
 
+  /** Streaming content-defined chunker — l31's incremental face:
+    * arriving documents segment with the SAME boundary fold (shared
+    * expression, so streaming and batch boundaries cannot drift) and
+    * emit (doc_id, n_chunks, chunk hash array) statelessly; the chunk
+    * hashes feed downstream dedup exactly like the batch entry.
+    */
+  def chunkedDocs(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("graft_len", length(col("text")))
+      .withColumn("graft_starts", expr(
+        graft.queries.LlmQueries.cdcStartsExpr("text", "graft_len")))
+      .withColumn("chunk_hashes", expr(
+        """transform(sequence(1, size(graft_starts)),
+          |  k -> md5(substr(text, element_at(graft_starts, k),
+          |    IF(k < size(graft_starts), element_at(graft_starts, k + 1),
+          |       graft_len + 1) - element_at(graft_starts, k))))""".stripMargin))
+      .withColumn("n_chunks", size(col("chunk_hashes")))
+      .drop("graft_len", "graft_starts")
+
   def decontaminationGate(docs: DataFrame, evalDocs: DataFrame,
                           n: Int = 4): DataFrame = {
     val spark = docs.sparkSession

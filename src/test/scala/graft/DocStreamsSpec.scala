@@ -182,6 +182,37 @@ class DocStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CDC chunker equals the batch boundary fold exactly") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    Tables.registerAll(spark, dir)
+    val texts = spark.table("documents").filter(col("doc_id") % 13 === 0)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    assert(texts.nonEmpty)
+
+    // batch reference through the same operator applied to a static frame
+    val batch = graft.streaming.DocStreams
+      .chunkedDocs(texts.toDF("doc_id", "text"))
+      .select("doc_id", "n_chunks", "chunk_hashes").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[String](2))).toMap
+    assert(batch.values.exists(_._1 > 1)) // multi-chunk docs exist
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStreams
+      .chunkedDocs(mem.toDF().toDF("doc_id", "text"))
+      .select("doc_id", "n_chunks", "chunk_hashes")
+      .writeStream.format("memory").queryName("cdc_chunks")
+      .outputMode("append").start()
+    try {
+      mem.addData(texts: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cdc_chunks").collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[String](2))).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("decontamination gate edge cases: empty eval corpus and NULL text " +
     "both pass (match the batch semantics, no silent drops)") {
     import spark.implicits._
