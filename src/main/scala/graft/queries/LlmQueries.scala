@@ -1780,7 +1780,95 @@ object LlmQueries {
        |ORDER BY a.source""".stripMargin
   }
 
+  /** l33 LSH quality evaluation — the tune-your-dedup harness: over a
+    * FIXED 100-doc evaluation panel (budget-stable at any corpus size),
+    * compute exact 3-gram Jaccard for every panel pair (the ground
+    * truth, affordable only because the panel is fixed) and the l02b
+    * production banding's candidate pairs (8 min-hashes, 4 bands × 2),
+    * then report recall/precision of the banding against truth at
+    * J ≥ 0.3. This is how an operator chooses band/row counts before
+    * unleashing the pipeline on the full corpus.
+    */
+  private def lshEvalSql(spark: Boolean): String = {
+    val toks = if (spark) "split(text, ' ')" else "string_split(text, ' ')"
+    val sizeF = if (spark) "size" else "len"
+    val shingles =
+      if (spark)
+        """SELECT doc_id, sh FROM p
+          |  LATERAL VIEW explode(transform(sequence(1, size(t) - 2),
+          |    i -> array_join(slice(t, i, 3), ' '))) x AS sh""".stripMargin
+      else
+        """SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+          |    i -> array_to_string(t[i:i+2], ' '))) AS sh FROM p""".stripMargin
+    val sig = (0 until 8).map(k =>
+      s"min(substr(md5(concat(sh, '#$k')), 1, 8)) AS h$k").mkString(",\n       |    ")
+    val tail =
+      if (spark)
+        "IF(doc_id % 2 = 0, slice(t, 3, size(t)), " +
+          "slice(t, CAST(size(t) / 2 AS INT), size(t)))"
+      else
+        "CASE WHEN doc_id % 2 = 0 THEN t[3:len(t)] " +
+          "ELSE t[CAST(len(t) / 2 AS INT):len(t)] END"
+    s"""WITH p0 AS (
+       |  SELECT doc_id, $toks AS t FROM documents
+       |  WHERE doc_id % 5 = 0 AND doc_id < 500 AND $sizeF($toks) >= 8
+       |), p AS (
+       |  -- the panel carries KNOWN near-dups by construction: each doc
+       |  -- plus a copy missing its first two words (high Jaccard) or its
+       |  -- first half (near the 0.3 threshold) — the mix makes recall a
+       |  -- real curve, not a vacuous 1.0
+       |  SELECT doc_id, t FROM p0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, $tail FROM p0
+       |), sh0 AS (
+       |  $shingles
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, sh FROM sh0
+       |), sz AS (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+       |), inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS iw
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |), truth AS (
+       |  SELECT d1, d2 FROM inter
+       |  JOIN sz sa ON sa.doc_id = d1
+       |  JOIN sz sb ON sb.doc_id = d2
+       |  WHERE CAST(iw AS DOUBLE) / (sa.n + sb.n - iw) >= 0.3
+       |), mh AS (
+       |  SELECT doc_id,
+       |    $sig
+       |  FROM sh GROUP BY doc_id
+       |), bands AS (
+       |  SELECT doc_id, 0 AS k, concat(h0, h1) AS sig FROM mh
+       |  UNION ALL SELECT doc_id, 1, concat(h2, h3) FROM mh
+       |  UNION ALL SELECT doc_id, 2, concat(h4, h5) FROM mh
+       |  UNION ALL SELECT doc_id, 3, concat(h6, h7) FROM mh
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.k = b.k AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |), hit AS (
+       |  SELECT c.d1, c.d2 FROM cand c JOIN truth t
+       |    ON c.d1 = t.d1 AND c.d2 = t.d2
+       |)
+       |SELECT CAST((SELECT count(*) FROM p) AS BIGINT) AS n_panel,
+       |  CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+       |  CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+       |  CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+       |  round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+       |    / greatest((SELECT count(*) FROM truth), 1), 4) AS recall,
+       |  round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+       |    / greatest((SELECT count(*) FROM cand), 1), 4) AS precision""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- l33: LSH recall/precision evaluation -------------------------
+    "l33_lsh_eval" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(lshEvalSql(spark = true))
+    },
+
     // ---- l32: token-budget mixture sampling ---------------------------
     "l32_mixture_sampling" -> { (s, dir) =>
       Tables.registerAll(s, dir)
@@ -2688,6 +2776,7 @@ object LlmQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "l33_lsh_eval" -> lshEvalSql(spark = false),
     "l32_mixture_sampling" -> mixSql(spark = false),
     "l31_cdc_chunking" -> cdcSql(spark = false),
     "l30_bigram_lm_score" -> lmSql(spark = false),
