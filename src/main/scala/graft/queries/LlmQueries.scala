@@ -1805,10 +1805,10 @@ object LlmQueries {
     val tail =
       if (spark)
         "IF(doc_id % 2 = 0, slice(t, 3, size(t)), " +
-          "slice(t, CAST(size(t) / 2 AS INT), size(t)))"
+          "slice(t, size(t) DIV 2, size(t)))"
       else
         "CASE WHEN doc_id % 2 = 0 THEN t[3:len(t)] " +
-          "ELSE t[CAST(len(t) / 2 AS INT):len(t)] END"
+          "ELSE t[len(t) // 2:len(t)] END"
     s"""WITH p0 AS (
        |  SELECT doc_id, $toks AS t FROM documents
        |  WHERE doc_id % 5 = 0 AND doc_id < 500 AND $sizeF($toks) >= 8
