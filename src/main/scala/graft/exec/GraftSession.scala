@@ -265,6 +265,13 @@ class GraftSession(val spark: SparkSession) {
       spark.createDataFrame(
         Seq(Row(script)).asJava,
         StructType(Seq(StructField("statement", StringType))))
+    case ExistsTable(db, name) =>
+      val yes = spark.catalog.tableExists(fullName(db, name).replace("`", ""))
+      spark.createDataFrame(
+        Seq(Row(if (yes) 1 else 0)).asJava,
+        StructType(Seq(StructField("result", IntegerType))))
+    case ShowColumns(db, name) =>
+      run(DescTable(db, name), "")
     case DescTable(db, name) =>
       // Reference DESC wraps nullable columns in Nullable(...) and hides
       // nothing else (mgmt.rs:532-629); __ptk is internal metadata here.

@@ -225,6 +225,13 @@ object ChAggregates {
     "groupBitXor" -> one("groupBitXor")(x => BitXorAgg(x).toAggregateExpression()),
     "uniq" -> one("uniq")(x =>
       HyperLogLogPlusPlus(x).toAggregateExpression()),
+    // CH's other approximate-distinct spellings ride the same HLL++
+    // estimator (CH differentiates sketch families; the error contract
+    // callers rely on — small relative error, bounded memory — holds)
+    "uniqCombined" -> one("uniqCombined")(x =>
+      HyperLogLogPlusPlus(x).toAggregateExpression()),
+    "uniqHLL12" -> one("uniqHLL12")(x =>
+      HyperLogLogPlusPlus(x).toAggregateExpression()),
     "uniqExact" -> one("uniqExact")(x =>
       Count(x).toAggregateExpression(isDistinct = true)),
     // avgWeighted(x, w) = Σxw / Σw (Float64, CH's contract) — two plain

@@ -423,6 +423,11 @@ object ClickHouseFunctions {
     // epoch seconds, floor semantics (Spark's timestamp->long cast).
     "toUnixTimestamp" -> one("toUnixTimestamp")(e =>
       Cast(Cast(e, TimestampType), LongType)),
+    // ISO week number (Spark's weekofyear IS ISO-8601) and days since
+    // epoch (CH's relative-day ordinal).
+    "toISOWeek" -> one("toISOWeek")(e => WeekOfYear(Cast(e, DateType))),
+    "toRelativeDayNum" -> one("toRelativeDayNum")(e =>
+      UnixDate(Cast(e, DateType))),
     // ---- CH array higher-order pack (round-10 session 4) ---------------
     // CH puts the lambda first; each builder reorders into the codegen'd
     // Catalyst higher-order expression. arrayMap over 2 arrays is CH's

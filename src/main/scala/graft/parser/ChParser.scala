@@ -61,6 +61,10 @@ object ChStatement {
                                 auth: Option[(String, String)],
                                 values: Option[Seq[Seq[Option[String]]]],
                                 selectSql: Option[String]) extends ChStatement
+  /** EXISTS [TABLE] t — 1/0 like ClickHouse. */
+  final case class ExistsTable(db: Option[String], name: String) extends ChStatement
+  /** SHOW COLUMNS FROM t — name/type rows, DESC's sibling. */
+  final case class ShowColumns(db: Option[String], name: String) extends ChStatement
   /** RENAME TABLE a TO b[, c TO d] (ClickHouse's multi-rename form). */
   final case class RenameTable(
       renames: Seq[((Option[String], String), (Option[String], String))])
@@ -714,7 +718,14 @@ object ChParser {
       } else if (p.eatKw("create")) {
         p.eatKw("table")
         qualifiedName(p).map { case (db, t) => ShowCreateTable(db, t) }
-      } else Left(s"SHOW: expected DATABASES, TABLES or CREATE TABLE at ${p.posText}")
+      } else if (p.eatKw("columns")) {
+        if (!(p.eatKw("from") || p.eatKw("in")))
+          Left(s"SHOW COLUMNS: expected FROM at ${p.posText}")
+        else qualifiedName(p).map { case (db, t) => ShowColumns(db, t) }
+      } else Left(s"SHOW: expected DATABASES, TABLES, COLUMNS or CREATE TABLE at ${p.posText}")
+    } else if (p.eatKw("exists")) {
+      p.eatKw("table")
+      qualifiedName(p).map { case (db, t) => ExistsTable(db, t) }
     } else if (p.eatKw("desc") || p.eatKw("describe")) {
       p.eatKw("table")
       qualifiedName(p).map { case (db, t) => DescTable(db, t) }

@@ -173,6 +173,14 @@ class ArrayHofSpec extends AnyFunSuite {
     assert(sql1("SELECT bitShiftRight(12, 2)") === 3)
   }
 
+  test("toISOWeek / toRelativeDayNum") {
+    assert(sql1("SELECT toISOWeek(DATE '2024-01-04')") === 1)
+    assert(sql1("SELECT toISOWeek(DATE '2021-01-01')") === 53) // ISO: week of prior year
+    assert(sql1("SELECT toRelativeDayNum(DATE '1970-01-02')") === 1)
+    assert(sql1("SELECT toRelativeDayNum(TIMESTAMP '2024-01-01 10:00:00')") ===
+      19723)
+  }
+
   test("arrayEnumerate / range with empty guards") {
     assert(sql1("SELECT arrayEnumerate(array('a', 'b', 'c'))") === Seq(1, 2, 3))
     assert(sql1("SELECT arrayEnumerate(arrayPopBack(array(1)))") === Seq.empty)

@@ -912,6 +912,18 @@ class GraftSessionSpec extends AnyFunSuite {
     g.sql("DROP TABLE ren_mv; DROP TABLE ren_b")
   }
 
+  test("EXISTS TABLE and SHOW COLUMNS") {
+    val g = new graft.exec.GraftSession(spark)
+    g.sql("DROP TABLE IF EXISTS ex_tab")
+    assert(g.sql("EXISTS TABLE ex_tab").head().getInt(0) === 0)
+    g.sql("CREATE TABLE ex_tab(a Int32, b Nullable(String))")
+    assert(g.sql("EXISTS ex_tab").head().getInt(0) === 1)
+    val cols = g.sql("SHOW COLUMNS FROM ex_tab").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(cols.toSeq === Seq(("a", "Int32"), ("b", "Nullable(String)")))
+    g.sql("DROP TABLE ex_tab")
+  }
+
   test("INTO OUTFILE: single-file export, formats, refuses overwrite") {
     val g = new graft.exec.GraftSession(spark)
     import spark.implicits._
