@@ -321,12 +321,16 @@ class GraftSession(val spark: SparkSession) {
     */
   private def writeOutfile(p: ChParser.IntoOutfileParts): DataFrame = {
     val df0 = spark.sql(rewriteSelect(p.core))
-    val df = if (df0.columns.contains(PtkCol)) df0.drop(PtkCol) else df0
+    val df1 = if (df0.columns.contains(PtkCol)) df0.drop(PtkCol) else df0
     val target = java.nio.file.Paths.get(p.path)
     require(!java.nio.file.Files.exists(target),
       s"INTO OUTFILE target exists: ${p.path} (ClickHouse refuses to overwrite)")
     val fmt = p.format.getOrElse("CSV")
     val tmp = java.nio.file.Files.createTempDirectory("graft_outfile")
+    // pin the result once: counting and then re-running the plan for the
+    // write would let a nondeterministic SELECT report a row count that
+    // does not match the exported file
+    val df = df1.localCheckpoint(eager = true)
     val rows = df.count()
     val (writer, ext) = fmt.toUpperCase(java.util.Locale.ROOT) match {
       case "CSV" =>
@@ -347,9 +351,12 @@ class GraftSession(val spark: SparkSession) {
       case "json" => writer.mode("overwrite").json(tmp.toString)
       case "parquet" => writer.mode("overwrite").parquet(tmp.toString)
     }
-    val part = java.nio.file.Files.list(tmp).iterator().asScala
-      .find(_.getFileName.toString.startsWith("part-"))
-      .getOrElse(sys.error("no output part file written"))
+    val listing = java.nio.file.Files.list(tmp)
+    val part =
+      try listing.iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-"))
+        .getOrElse(sys.error("no output part file written"))
+      finally listing.close()
     Option(target.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.move(part, target)
     rmTree(tmp.toFile)
@@ -399,11 +406,13 @@ class GraftSession(val spark: SparkSession) {
     *     calls differing only in credentials (or any other arg) can never
     *     silently share a view the way a 32-bit hashCode could.
     */
-  private def rewriteSelect(sqlIn: String): String = {
-    val sql = rewriteWithFill(
+  private def rewriteSelect(sqlIn: String): String =
+    spliceTableFns(rewriteWithFill(
       rewriteLimitTies(rewriteLimitBy(rewriteWithTotals(
         rewritePrewhere(rewriteInTable(rewriteDistinctOnStep(
-          spliceSystemViews(sqlIn))))))))
+          spliceSystemViews(sqlIn)))))))))
+
+  private def spliceTableFns(sql: String): String = {
     val remotes = ChParser.tableFnCalls(sql, "remote")
       .filter(c => c._3.length == 2 || c._3.length == 4)
     val numbers = ChParser.tableFnCalls(sql, "numbers")
@@ -565,11 +574,31 @@ class GraftSession(val spark: SparkSession) {
           .getOrElse(s"(SELECT min(${p.col}) FROM __graft_fill_src)")
         val hi = p.to.map(t => (t - 1).toString)
           .getOrElse(s"(SELECT max(${p.col}) FROM __graft_fill_src)")
-        s"WITH __graft_fill_src AS (${p.core}), " +
-          s"__graft_fill_grid AS (SELECT explode(sequence(" +
-          s"CAST($lo AS BIGINT), CAST($hi AS BIGINT), ${p.step})) AS ${p.col}) " +
-          s"SELECT * FROM __graft_fill_grid " +
-          s"LEFT JOIN __graft_fill_src USING (${p.col}) ORDER BY ${p.col}"
+        // CH keeps the query's own select-list order; a bare USING join
+        // would move the fill key to position 0. Analyze the core once
+        // (schema only, nothing executes) and project the source's
+        // column order, coalescing the key from the grid on filled rows.
+        val srcCols = scala.util.Try(
+          spark.sql(spliceTableFns(p.core)).columns.toSeq).getOrElse(Seq.empty)
+        if (srcCols.exists(_.equalsIgnoreCase(p.col))) {
+          val proj = srcCols.map { c =>
+            if (c.equalsIgnoreCase(p.col))
+              s"coalesce(__graft_fill_src.`$c`, __graft_fill_grid.`${p.col}`) AS `$c`"
+            else s"__graft_fill_src.`$c`"
+          }.mkString(", ")
+          s"WITH __graft_fill_src AS (${p.core}), " +
+            s"__graft_fill_grid AS (SELECT explode(sequence(" +
+            s"CAST($lo AS BIGINT), CAST($hi AS BIGINT), ${p.step})) AS ${p.col}) " +
+            s"SELECT $proj FROM __graft_fill_grid " +
+            s"LEFT JOIN __graft_fill_src " +
+            s"ON __graft_fill_src.`${p.col}` = __graft_fill_grid.`${p.col}` " +
+            s"ORDER BY `${p.col}`"
+        } else
+          s"WITH __graft_fill_src AS (${p.core}), " +
+            s"__graft_fill_grid AS (SELECT explode(sequence(" +
+            s"CAST($lo AS BIGINT), CAST($hi AS BIGINT), ${p.step})) AS ${p.col}) " +
+            s"SELECT * FROM __graft_fill_grid " +
+            s"LEFT JOIN __graft_fill_src USING (${p.col}) ORDER BY ${p.col}"
     }
 
   /** `LIMIT n WITH TIES` (ClickHouse / SQL-standard FETCH FIRST … WITH
@@ -1065,10 +1094,17 @@ class GraftSession(val spark: SparkSession) {
     val defaultsProp = ct.cols.collect {
       case c if c.default.isDefined => s"${c.name}\u0002${c.default.get}"
     }.mkString("\u0001")
+    val pksProp = ct.cols.filter(_.primaryKey).map(_.name).mkString("")
+    val nnProp = ct.cols.filter(c => c.notNull ||
+      (!isNullable(c.tpe) && c.primaryKey)).map(_.name).mkString("")
     val props = Seq(
       "graft.create_script" -> ct.createScript,
       "graft.engine" -> ct.engine.getOrElse("BaseStorage"),
       "graft.ch.types" -> chTypesProp) ++
+      (if (pksProp.nonEmpty) Seq("graft.pks" -> pksProp) else Nil) ++
+      // catalog nullability is not round-trippable for file-source tables
+      // (Spark relaxes it on read), so NOT NULL-ness rides in a prop too
+      (if (nnProp.nonEmpty) Seq("graft.notnull" -> nnProp) else Nil) ++
       (if (defaultsProp.nonEmpty) Seq("graft.defaults" -> defaultsProp) else Nil) ++
       ct.partitionBy.map("graft.ptk.expr" -> _) ++
       ct.settings.map { case (k, v) => s"graft.setting.$k" -> v }
@@ -1181,10 +1217,26 @@ class GraftSession(val spark: SparkSession) {
       }.getOrElse(Map.empty)
     val types = dec("graft.ch.types")
     val dflts = dec("graft.defaults")
+    // PRIMARY KEY / NOT NULL must survive normalization: the replayed
+    // script feeds createTableInner's bucketClause match — dropping the
+    // PK marker while keeping SETTINGS buckets=N would silently recreate
+    // a bucketed table WITHOUT its CLUSTERED/SORTED layout, and NOT NULL
+    // columns would come back Nullable on DESC and the wire. PKs come
+    // from the graft.pks prop (recorded at create); for pre-prop tables
+    // the bucket spec's column list is the same fact.
+    val pks: Set[String] = meta.properties.get("graft.pks")
+      .map(_.split("").filter(_.nonEmpty).toSet)
+      .orElse(meta.bucketSpec.map(_.bucketColumnNames.toSet))
+      .getOrElse(Set.empty)
+    val notNulls: Set[String] = meta.properties.get("graft.notnull")
+      .map(_.split("\u0001").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
     val colsDdl = meta.schema.fields.toSeq.filter(_.name != PtkCol).map { f =>
       val t = types.getOrElse(f.name,
         BqlType.fromSpark(f.dataType, f.nullable).chName)
-      s"`${f.name}` $t" + dflts.get(f.name).map(d => s" DEFAULT $d").getOrElse("")
+      val pkM = if (pks(f.name)) " PRIMARY KEY" else ""
+      val nnM = if (notNulls(f.name) || !f.nullable) " NOT NULL" else ""
+      s"`${f.name}` $t$pkM$nnM" +
+        dflts.get(f.name).map(d => s" DEFAULT $d").getOrElse("")
     }.mkString(", ")
     val settings = meta.properties.collect {
       case (k, v) if k.startsWith("graft.setting.") =>
@@ -1260,9 +1312,17 @@ class GraftSession(val spark: SparkSession) {
       }
       coerced.as(f.name)
     }: _*)
+    // When a materialized view subscribes, pin the block ONCE before the
+    // append commits: re-running `typed`'s lineage after the commit would
+    // let `INSERT INTO t SELECT ... FROM t` rescan its own just-landed
+    // rows, feed nondeterministic sources (remote(), rand()) different
+    // rows to the MV than what landed, and pay the source query twice.
+    val rdbName = db.getOrElse(spark.sessionState.catalog.getCurrentDatabase)
+    val hasMvs = mvsFor(rdbName, name).nonEmpty
+    val block = if (hasMvs) typed.localCheckpoint(eager = true) else typed
     val withPtk = ptkExpr match {
-      case Some(e) => typed.withColumn(PtkCol, expr(e).cast(StringType))
-      case None => typed
+      case Some(e) => block.withColumn(PtkCol, expr(e).cast(StringType))
+      case None => block
     }
     // serialize appends per table: concurrent wire connections (or remote()
     // shard streams) appending to one table would race in the Hadoop
@@ -1278,10 +1338,9 @@ class GraftSession(val spark: SparkSession) {
     }
     // insert-triggered materialized views see the TYPED block (CH runs
     // the view's SELECT over each inserted block, mgmt-analog; the block
-    // here is exactly what landed, minus the hidden partition key)
-    propagateToMvs(
-      db.getOrElse(spark.sessionState.catalog.getCurrentDatabase), name,
-      typed, mvDepth)
+    // here — checkpointed above — is exactly what landed, minus the
+    // hidden partition key)
+    if (hasMvs) propagateToMvs(rdbName, name, block, mvDepth)
   }
 
   /** Append an already-typed block of rows to a table — the wire-ingest

@@ -421,11 +421,23 @@ object ChProto {
     */
   private def readArrayColumn(in: InputStream, inner: BqlType,
                               nRows: Int): Vector[Any] = {
-    val offsets = Vector.fill(nRows)(readLongLe(in, 8).toInt)
-    val total = if (nRows == 0) 0 else offsets.last
+    // keep the UInt64 cumulative offsets as Long and validate before
+    // narrowing: a block whose flattened element count exceeds
+    // Int.MaxValue must fail loudly, not wrap negative and mis-slice
+    // every row
+    val offsets = Vector.fill(nRows)(readLongLe(in, 8))
+    var prevL = 0L
+    offsets.foreach { o =>
+      if (o < prevL || o > Int.MaxValue.toLong)
+        throw new java.io.IOException(
+          s"Array column offsets invalid: $o (prev $prevL) — " +
+            "non-monotonic or exceeds per-block element limit")
+      prevL = o
+    }
+    val total = if (nRows == 0) 0 else offsets.last.toInt
     val flat = readElements(in, inner, total)
     var prev = 0
-    offsets.map { o => val s = flat.slice(prev, o); prev = o; s }
+    offsets.map { oL => val o = oL.toInt; val s = flat.slice(prev, o); prev = o; s }
   }
 
   private def readElements(in: InputStream, t: BqlType, n: Int): Vector[Any] =

@@ -955,4 +955,56 @@ class GraftSessionSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("refuses to overwrite"))
   }
+
+  test("normalized replay script keeps PRIMARY KEY, NOT NULL, and bucket layout") {
+    g.sql("DROP TABLE IF EXISTS norm_b; DROP TABLE IF EXISTS norm_a")
+    g.sql("CREATE TABLE norm_a(k Int64 PRIMARY KEY, v String NOT NULL, " +
+      "w Nullable(String)) SETTINGS buckets=4")
+    // RENAME records the NORMALIZED script — it must carry the markers
+    g.sql("RENAME TABLE norm_a TO norm_b")
+    val shown = g.sql("SHOW CREATE TABLE norm_b").head().getString(0)
+    assert(shown.contains("PRIMARY KEY"), shown)
+    assert(shown.contains("NOT NULL"), shown)
+    assert(shown.contains("buckets=4"), shown)
+    // TRUNCATE replays that script: the CLUSTERED/SORTED bucketed layout
+    // must survive, and the markers must be stable across a second
+    // normalization round-trip (Spark's catalog relaxes file-source
+    // nullability, so NOT NULL rides in the graft.notnull prop)
+    g.sql("TRUNCATE TABLE norm_b")
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("norm_b", Some("default")))
+    assert(meta.bucketSpec.exists(_.bucketColumnNames == Seq("k")),
+      meta.bucketSpec.toString)
+    val shown2 = g.sql("SHOW CREATE TABLE norm_b").head().getString(0)
+    assert(shown2.contains("PRIMARY KEY"), shown2)
+    assert(shown2.contains("NOT NULL"), shown2)
+    assert(shown2.contains("buckets=4"), shown2)
+    g.sql("DROP TABLE norm_b")
+  }
+
+  test("WITH FILL keeps the select-list column order when the key is not first") {
+    import spark.implicits._
+    Seq((10L, 2L), (30L, 5L)).toDF("n", "k").createOrReplaceTempView("wf_ord")
+    val df = g.sql("SELECT n, k FROM wf_ord ORDER BY k WITH FILL FROM 2 TO 6 STEP 1")
+    assert(df.columns.toSeq === Seq("n", "k"))
+    val rows = df.collect().map(r => (Option(r.get(0)), r.getLong(1)))
+    assert(rows.map(_._2).toSeq === Seq(2L, 3L, 4L, 5L))
+    assert(rows.collect { case (Some(n), kk) => (n, kk) }.toSeq ===
+      Seq((10L, 2L), (30L, 5L)))
+  }
+
+  test("MV propagation pins the inserted block (self-referencing INSERT..SELECT)") {
+    g.sql("DROP TABLE IF EXISTS selfmv_v; DROP TABLE IF EXISTS selfmv_t")
+    g.sql("CREATE TABLE selfmv_t(k Int32)")
+    g.sql("INSERT INTO selfmv_t VALUES (1), (2)")
+    g.sql("CREATE MATERIALIZED VIEW selfmv_v AS SELECT k FROM selfmv_t")
+    g.sql("INSERT INTO selfmv_t SELECT k + 10 FROM selfmv_t")
+    // the view must receive exactly the block that landed ({11, 12}); a
+    // post-commit lineage re-run would rescan the just-appended rows and
+    // deliver {11, 12, 21, 22}
+    assert(g.sql("SELECT k FROM selfmv_v ORDER BY k")
+      .collect().map(_.getInt(0)).toSeq === Seq(11, 12))
+    assert(g.sql("SELECT count(*) AS n FROM selfmv_t").head().getLong(0) === 4L)
+    g.sql("DROP TABLE selfmv_v; DROP TABLE selfmv_t")
+  }
 }
