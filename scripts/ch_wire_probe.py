@@ -126,6 +126,90 @@ def read_value(conn, t):
     raise ValueError(f"probe does not decode type {t}")
 
 
+def read_lowcardinality(conn, inner, nrows):
+    """Dict-block framing: u64 keys version (=1, always), then — rows
+    permitting — u64 flags (additional-keys | need-update | key width),
+    u64 dict size + dict entries, u64 row count + index codes."""
+    ver = struct.unpack("<Q", conn.read(8))[0]
+    assert ver == 1, f"LC keys version {ver}"
+    if not nrows:
+        return []
+    flags = struct.unpack("<Q", conn.read(8))[0]
+    assert flags & 0x0200, "additional-keys flag required"
+    assert not flags & 0x0100, "global dictionaries unsupported"
+    width = flags & 0x0F
+    assert width in (0, 1, 2, 3), f"LC key width {width}"
+    nullable = inner.startswith("Nullable(")
+    base = inner[len("Nullable("):-1] if nullable else inner
+    ndict = struct.unpack("<Q", conn.read(8))[0]
+    dictv = [read_value(conn, base) for _ in range(ndict)]
+    nkeys = struct.unpack("<Q", conn.read(8))[0]
+    assert nkeys == nrows, f"LC rows {nkeys} != block rows {nrows}"
+    size = 1 << width
+    fmt = {1: "<B", 2: "<H", 4: "<I", 8: "<Q"}[size]
+    codes = [struct.unpack(fmt, conn.read(size))[0] for _ in range(nrows)]
+    return [None if (nullable and c == 0) else dictv[c] for c in codes]
+
+
+def encode_lowcardinality(inner, vals):
+    """Inverse of read_lowcardinality, built independently from the wire
+    format description."""
+    out = struct.pack("<Q", 1)  # keys serialization version
+    if not vals:
+        return out
+    nullable = inner.startswith("Nullable(")
+    base = inner[len("Nullable("):-1] if nullable else inner
+    dictv, index = ([None], {None: 0}) if nullable else ([], {})
+    codes = []
+    for v in vals:
+        if v not in index:
+            index[v] = len(dictv)
+            dictv.append(v)
+        codes.append(index[v])
+    width = 0 if len(dictv) <= 256 else 1 if len(dictv) <= 65536 else 2
+    out += struct.pack("<Q", 0x0200 | 0x0400 | width)
+    out += struct.pack("<Q", len(dictv))
+    for d in dictv:
+        out += encode_value(base, "" if d is None else d)
+    out += struct.pack("<Q", len(vals))
+    fmt = {0: "<B", 1: "<H", 2: "<I"}[width]
+    out += b"".join(struct.pack(fmt, c) for c in codes)
+    return out
+
+
+def encode_value(t, v):
+    if t == "Int32":
+        return struct.pack("<i", 0 if v is None else int(v))
+    if t == "Int64":
+        return struct.pack("<q", 0 if v is None else int(v))
+    if t == "Float64":
+        return struct.pack("<d", 0.0 if v is None else float(v))
+    if t == "String":
+        b = ("" if v is None else str(v)).encode("utf-8")
+        return wvarint(len(b)) + b
+    raise ValueError(f"probe does not encode type {t}")
+
+
+def encode_column(t, vals):
+    if t.startswith("LowCardinality("):
+        return encode_lowcardinality(t[len("LowCardinality("):-1], vals)
+    body = b""
+    base = t
+    if t.startswith("Nullable("):
+        base = t[len("Nullable("):-1]
+        body += bytes(1 if v is None else 0 for v in vals)
+    return body + b"".join(encode_value(base, v) for v in vals)
+
+
+def data_block_packet(names, types, rows):
+    body = wvarint(1) + b"\x00" + wvarint(2) + struct.pack("<i", -1) + wvarint(0)
+    body += wvarint(len(names)) + wvarint(len(rows))
+    for c, (name, t) in enumerate(zip(names, types)):
+        body += wstr(name) + wstr(t)
+        body += encode_column(t, [r[c] for r in rows])
+    return wvarint(2) + wstr("") + body  # ClientData
+
+
 def read_block(conn):
     rstr(conn)  # temporary table name
     # block info: (1, overflow u8), (2, bucket i32), 0 terminator
@@ -140,6 +224,10 @@ def read_block(conn):
         names.append(rstr(conn))
         t = rstr(conn)
         types.append(t)
+        if t.startswith("LowCardinality("):
+            cols.append(read_lowcardinality(
+                conn, t[len("LowCardinality("):-1], nrows))
+            continue
         nulls = [0] * nrows
         base = t
         if t.startswith("Nullable("):
@@ -151,7 +239,7 @@ def read_block(conn):
     return names, types, rows
 
 
-def query(conn, sql):
+def send_query_packet(conn, sql):
     pkt = (
         wvarint(1) + wstr("py-probe-q")
         # client info (query kind, initial user/query/address, iface,
@@ -166,6 +254,55 @@ def query(conn, sql):
         + wstr(sql)
     )
     conn.send(pkt)
+
+
+def read_exception(conn):
+    err = struct.unpack("<i", conn.read(4))[0]
+    name = rstr(conn)
+    msg = rstr(conn)
+    rstr(conn)
+    rvarint(conn)
+    return {"error": err, "name": name, "message": msg}
+
+
+def insert_stream(conn, sql, rows):
+    """Client-streamed INSERT: query, header block, Data blocks framed per
+    the header's declared types (incl. LowCardinality dict blocks), empty
+    terminator, EndOfStream."""
+    send_query_packet(conn, sql)
+    names, types = None, None
+    while names is None:
+        code = rvarint(conn)
+        if code == 1:  # Data: the table-structure header
+            names, types, _ = read_block(conn)
+        elif code == 3:  # Progress
+            for _ in range(5):
+                rvarint(conn)
+        elif code == 2:  # Exception
+            return read_exception(conn)
+        else:
+            raise ValueError(f"unexpected server packet {code} before header")
+    conn.send(data_block_packet(names, types, rows))
+    conn.send(data_block_packet(names, types, []))
+    while True:
+        code = rvarint(conn)
+        if code == 5:  # EndOfStream
+            return {"inserted": len(rows), "header_types": types}
+        if code == 3:
+            for _ in range(5):
+                rvarint(conn)
+        elif code == 2:
+            return read_exception(conn)
+        else:
+            raise ValueError(f"unexpected server packet {code} after INSERT")
+
+
+def query(conn, sql):
+    # "<insert-sql> :: <json rows>" streams Data blocks instead
+    if " :: " in sql:
+        head, rows_json = sql.split(" :: ", 1)
+        return insert_stream(conn, head, json.loads(rows_json))
+    send_query_packet(conn, sql)
     names, types, rows = [], [], []
     while True:
         code = rvarint(conn)

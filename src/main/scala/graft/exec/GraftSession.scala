@@ -1356,6 +1356,22 @@ class GraftSession(val spark: SparkSession) {
   /** The table's declared data schema (without the hidden partition key) —
     * what a wire client's INSERT header block advertises.
     */
+  /** Declared LowCardinality wire types by data-column position — what the
+    * INSERT header block must advertise so a real client frames those
+    * columns with CH's dict-block serialization (blocks.rs:480-531).
+    * Non-LC columns return None and keep their Spark-derived wire type.
+    */
+  def lowCardinalityWireTypes(db: Option[String], name: String): Int => Option[BqlType] = {
+    val schema = dataSchema(db, name)
+    val types = chTypes(db, name)
+    val byPos: Vector[Option[BqlType]] = schema.fields.toVector.map { f =>
+      types.get(f.name).flatMap(s => BqlType.parse(s).toOption).collect {
+        case lc: BqlType.LowCardinality => lc
+      }
+    }
+    i => if (i >= 0 && i < byPos.length) byPos(i) else None
+  }
+
   def dataSchema(db: Option[String], name: String): StructType =
     StructType(spark.table(fullName(db, name)).schema.fields.filter(_.name != PtkCol))
 

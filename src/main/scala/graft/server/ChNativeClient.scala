@@ -143,15 +143,24 @@ final class ChNativeClient(host: String, port: Int,
     val first = ChProto.readVarint(in)
     if (first == ChProto.Server.Exception) throw readException()
     require(first == ChProto.Server.Data, s"expected header block, got $first")
-    ChProto.readDataBlock(in, compressed = compression)
+    val header = ChProto.readDataBlock(in, compressed = compression)
+    // honor the server's declared LowCardinality columns: a conforming
+    // server expects those streamed back with the dict-block framing its
+    // header advertised
+    val lcByPos: Vector[Option[BqlType]] = header.columns.map(c =>
+      BqlType.parse(c.chType).toOption.collect {
+        case lc: BqlType.LowCardinality => lc
+      })
+    val declared: Int => Option[BqlType] =
+      i => if (i >= 0 && i < lcByPos.length) lcByPos(i) else None
     var n = 0L
     rows.grouped(batchRows).foreach { batch =>
       ChProto.writeDataBlock(out, schema, batch, ChProto.Client.Data,
-        compress = compression)
+        compress = compression, declared = declared)
       n += batch.length
     }
     ChProto.writeDataBlock(out, schema, Seq.empty, ChProto.Client.Data,
-      compress = compression)
+      compress = compression, declared = declared)
     out.flush()
     val eos = ChProto.readVarint(in)
     if (eos == ChProto.Server.Exception) throw readException()

@@ -193,20 +193,22 @@ object ChProto {
   def writeDataBlock(out: OutputStream, schema: StructType, rows: Seq[Row],
                      packetCode: Long = Server.Data,
                      isU64: Int => Boolean = null,
-                     compress: Boolean = false): Unit = {
+                     compress: Boolean = false,
+                     declared: Int => Option[BqlType] = _ => None): Unit = {
     val u64 = if (isU64 == null) tableShapeU64(schema) else isU64
     writeVarint(out, packetCode)
     writeStr(out, "") // temporary table name
     if (compress) {
       val buf = new ByteArrayOutputStream()
-      writeBlockBody(buf, schema, rows, u64)
+      writeBlockBody(buf, schema, rows, u64, declared)
       Lz4Frames.writeFrame(out, buf.toByteArray)
-    } else writeBlockBody(out, schema, rows, u64)
+    } else writeBlockBody(out, schema, rows, u64, declared)
     out.flush()
   }
 
   private def writeBlockBody(out: OutputStream, schema: StructType,
-                             rows: Seq[Row], u64: Int => Boolean): Unit = {
+                             rows: Seq[Row], u64: Int => Boolean,
+                             declared: Int => Option[BqlType] = _ => None): Unit = {
     // block info: (1, overflow=0), (2, bucket=-1), terminator 0
     writeVarint(out, 1); out.write(0)
     writeVarint(out, 2); writeIntLe(out, -1, 4)
@@ -214,22 +216,90 @@ object ChProto {
     writeVarint(out, schema.fields.length.toLong)
     writeVarint(out, rows.length.toLong)
     schema.fields.zipWithIndex.foreach { case (f, i) =>
-      val t = wireType(schema, i, u64)
-      writeStr(out, f.name)
-      writeStr(out, t.chName)
-      baseOf(t) match {
-        case BqlType.Arr(inner) =>
-          // Array columns are never Nullable on the wire (CH forbids it);
-          // a NULL array row degrades to [] by the fromSpark contract.
-          writeArrayColumn(out, inner, rows.map(r =>
-            if (r.isNullAt(i)) Seq.empty[Any] else r.getSeq[Any](i)))
-        case base =>
-          if (f.nullable)
-            rows.foreach(r => out.write(if (r.isNullAt(i)) 1 else 0))
-          rows.foreach(r =>
-            writeScalar(out, base, if (r.isNullAt(i)) null else r.get(i)))
+      // a declared LowCardinality column keeps its real dict-block wire
+      // framing (blocks.rs:480-531); everything else derives from the
+      // Spark type as before
+      declared(i) match {
+        case Some(lc @ BqlType.LowCardinality(inner)) =>
+          writeStr(out, f.name)
+          writeStr(out, lc.chName)
+          writeLowCardinalityColumn(out, inner,
+            rows.map(r => if (r.isNullAt(i)) null else r.get(i)))
+        case _ =>
+          val t = wireType(schema, i, u64)
+          writeStr(out, f.name)
+          writeStr(out, t.chName)
+          baseOf(t) match {
+            case BqlType.Arr(inner) =>
+              // Array columns are never Nullable on the wire (CH forbids
+              // it); a NULL array row degrades to [] by the fromSpark
+              // contract.
+              writeArrayColumn(out, inner, rows.map(r =>
+                if (r.isNullAt(i)) Seq.empty[Any] else r.getSeq[Any](i)))
+            case base =>
+              if (f.nullable)
+                rows.foreach(r => out.write(if (r.isNullAt(i)) 1 else 0))
+              rows.foreach(r =>
+                writeScalar(out, base, if (r.isNullAt(i)) null else r.get(i)))
+          }
       }
     }
+  }
+
+  // LowCardinality dict-block serialization flags (blocks.rs:119-120; the
+  // same constants real ClickHouse uses: SerializationLowCardinality's
+  // HasAdditionalKeysBit / NeedGlobalDictionaryBit / NeedUpdateDictionary)
+  private val LcGlobalDictionary = 0x0100L
+  private val LcAdditionalKeys = 0x0200L
+  private val LcNeedUpdateDictionary = 0x0400L
+  private val LcKeysVersion = 1L // SharedDictionariesWithAdditionalKeys
+
+  /** Encode a LowCardinality column with CH's real dict-block framing:
+    * u64 keys-serialization version (=1), then — only when rows exist,
+    * matching real servers' zero-row header blocks — u64 serialization
+    * flags (ADDITIONAL_KEY | NEED_UPDATE | key-width nibble), u64 dict
+    * size + varstr dictionary, u64 row count + fixed-width index codes.
+    * The reference decodes exactly this shape on client INSERT
+    * (blocks.rs:480-531); its own zero-row INSERT header omits the
+    * version prefix (types.rs:180-192 writes no prefix), a divergence
+    * from real ClickHouse we resolve in real CH's favor.
+    * For a Nullable inner type, dictionary index 0 is the null entry
+    * (CH's convention), serialized as the inner type's default.
+    */
+  private def writeLowCardinalityColumn(out: OutputStream, inner: BqlType,
+                                        values: Seq[Any]): Unit = {
+    writeLongLe(out, LcKeysVersion, 8)
+    if (values.isEmpty) return
+    val (innerNullable, base) = inner match {
+      case BqlType.Nullable(b) => (true, b)
+      case b => (false, b)
+    }
+    val dict = new java.util.LinkedHashMap[Any, Integer]()
+    if (innerNullable) dict.put(null, 0)
+    val codes = values.map { v =>
+      val key = if (v == null) {
+        require(innerNullable,
+          "NULL value in non-Nullable LowCardinality column")
+        null
+      } else v
+      val existing = dict.get(key)
+      if (existing != null) existing.intValue()
+      else { val idx = dict.size(); dict.put(key, idx); idx }
+    }
+    val nDict = dict.size()
+    val width = // smallest index type that addresses the dictionary
+      if (nDict <= 0x100) 0 else if (nDict <= 0x10000) 1
+      else if (nDict <= 0x100000000L) 2 else 3
+    writeLongLe(out, LcAdditionalKeys | LcNeedUpdateDictionary | width.toLong, 8)
+    writeLongLe(out, nDict.toLong, 8)
+    val it = dict.keySet().iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      writeScalar(out, base, k) // null entry writes the type default
+    }
+    writeLongLe(out, values.length.toLong, 8)
+    val nBytes = 1 << width
+    codes.foreach(c => writeLongLe(out, c.toLong, nBytes))
   }
 
   /** CH native Array(T) column layout: one UInt64 cumulative element count
@@ -369,18 +439,25 @@ object ChProto {
       val name = readStr(in)
       val typeName = readStr(in)
       val t = BqlType.parse(typeName).fold(e => sys.error(e), identity)
-      val (nullable, base) = t match {
-        case BqlType.Nullable(inner) => (true, inner)
-        case other => (false, other)
-      }
-      val nulls =
-        if (nullable) readBytes(in, nRows).map(_ != 0) else Array.fill(nRows)(false)
-      val values = base match {
-        case arr: BqlType.Arr => readArrayColumn(in, arr.inner, nRows)
-        case _ => Vector.tabulate(nRows) { r =>
-          val v = readValue(in, base)
-          if (nulls(r)) null else v
-        }
+      val values = t match {
+        case BqlType.LowCardinality(inner) =>
+          // real dict-block framing — never a top-level null map
+          readLowCardinalityColumn(in, inner, nRows)
+        case _ =>
+          val (nullable, base) = t match {
+            case BqlType.Nullable(inner) => (true, inner)
+            case other => (false, other)
+          }
+          val nulls =
+            if (nullable) readBytes(in, nRows).map(_ != 0)
+            else Array.fill(nRows)(false)
+          base match {
+            case arr: BqlType.Arr => readArrayColumn(in, arr.inner, nRows)
+            case _ => Vector.tabulate(nRows) { r =>
+              val v = readValue(in, base)
+              if (nulls(r)) null else v
+            }
+          }
       }
       WireColumn(name, typeName, values)
     }
@@ -438,6 +515,50 @@ object ChProto {
     val flat = readElements(in, inner, total)
     var prev = 0
     offsets.map { oL => val o = oL.toInt; val s = flat.slice(prev, o); prev = o; s }
+  }
+
+  /** Inverse of [[writeLowCardinalityColumn]], with the reference's own
+    * validation (blocks.rs:483-499): keys version must be 1, GLOBAL
+    * dictionaries are rejected, ADDITIONAL_KEY must be set, and the key
+    * width nibble must name u8/u16/u32/u64. Codes are bounds-checked
+    * against the dictionary before materializing.
+    */
+  private def readLowCardinalityColumn(in: InputStream, inner: BqlType,
+                                       nRows: Int): Vector[Any] = {
+    val ver = readLongLe(in, 8)
+    if (ver != LcKeysVersion)
+      throw new java.io.IOException(
+        s"unsupported LowCardinality keys-serialization version $ver")
+    if (nRows == 0) return Vector.empty
+    val flags = readLongLe(in, 8)
+    if ((flags & LcGlobalDictionary) != 0 || (flags & LcAdditionalKeys) == 0)
+      throw new java.io.IOException(
+        f"unsupported LowCardinality serialization flags 0x$flags%x " +
+          "(global dictionaries are not supported; additional keys required)")
+    val width = (flags & 0x0FL).toInt
+    if (width < 0 || width > 3)
+      throw new java.io.IOException(
+        s"unsupported LowCardinality index key width $width")
+    val (innerNullable, base) = inner match {
+      case BqlType.Nullable(b) => (true, b)
+      case b => (false, b)
+    }
+    val nDict = readLongLe(in, 8)
+    if (nDict < 0 || nDict > Int.MaxValue.toLong)
+      throw new java.io.IOException(s"LowCardinality dict size $nDict invalid")
+    val dict = Vector.fill(nDict.toInt)(readValue(in, base))
+    val nKeys = readLongLe(in, 8)
+    if (nKeys != nRows.toLong)
+      throw new java.io.IOException(
+        s"LowCardinality row count $nKeys != block rows $nRows")
+    val nBytes = 1 << width
+    Vector.fill(nRows) {
+      val code = readLongLe(in, nBytes)
+      if (code < 0 || code >= nDict)
+        throw new java.io.IOException(
+          s"LowCardinality index $code out of dictionary range [0, $nDict)")
+      if (innerNullable && code == 0L) null else dict(code.toInt)
+    }
   }
 
   private def readElements(in: InputStream, t: BqlType, n: Int): Vector[Any] =

@@ -175,11 +175,15 @@ final class ChWireServer(spark: SparkSession, port: Int = 0) {
             if f.inlinePayload.trim.isEmpty =>
           val schema = session.dataSchema(f.db, f.name)
           // declared table schema: the Decimal(20,0) shape can only be the
-          // UInt64 widening here (BqlType caps declarable decimals at 18)
+          // UInt64 widening here (BqlType caps declarable decimals at 18).
+          // LowCardinality columns advertise their declared type so the
+          // client frames them with the real dict-block serialization.
           // the client waits for this header before streaming its blocks;
           // writeDataBlock flushes internally, so the turnaround is safe
+          val lcTypes = session.lowCardinalityWireTypes(f.db, f.name)
           ChProto.writeDataBlock(out, schema, Seq.empty,
-            isU64 = ChProto.tableShapeU64(schema), compress = compress)
+            isU64 = ChProto.tableShapeU64(schema), compress = compress,
+            declared = lcTypes)
           // error handling splits by where the stream position is known:
           //  - a DECODE failure (unparseable block body, bad frame
           //    checksum) leaves the inbound stream mid-block — no resync

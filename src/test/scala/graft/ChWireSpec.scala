@@ -216,6 +216,134 @@ class ChWireSpec extends AnyFunSuite {
     }
   }
 
+  test("INDEPENDENT python probe frames LowCardinality INSERT with dict blocks") {
+    val server = new ChWireServer(spark).start()
+    try {
+      val cmd = Seq("python3", "scripts/ch_wire_probe.py",
+        server.boundPort.toString,
+        "DROP TABLE IF EXISTS py_lc_probe",
+        "CREATE TABLE py_lc_probe(a Int32, lc LowCardinality(String))",
+        // the probe's own LC encoder (written from the wire format, no
+        // shared code) streams the dict-block framing the header declares
+        """INSERT INTO py_lc_probe FORMAT Native :: [[1, "aa"], [2, "bb"], [3, "aa"]]""",
+        "SELECT a, lc FROM py_lc_probe ORDER BY a",
+        "DROP TABLE py_lc_probe")
+      val proc = new ProcessBuilder(cmd: _*)
+        .redirectErrorStream(true).start()
+      val out = new String(proc.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(proc.waitFor() === 0, s"probe failed:\n$out")
+      val json = out.linesIterator.find(_.startsWith("{"))
+        .getOrElse(fail(s"no JSON line in:\n$out"))
+      assert(json.contains(""""header_types": ["Nullable(Int32)", "LowCardinality(String)"]"""), json)
+      assert(json.contains(""""inserted": 3"""), json)
+      assert(json.contains("""[1, "aa"]"""), json)
+      assert(json.contains("""[2, "bb"]"""), json)
+      assert(json.contains("""[3, "aa"]"""), json)
+    } finally server.stop()
+  }
+
+  test("LowCardinality(String) INSERT+SELECT round-trips with real dict-block framing") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val server = new ChWireServer(spark).start()
+    val client = new WireTestClient(server.boundPort)
+    try {
+      client.hello()
+      client.query("DROP TABLE IF EXISTS wire_lc_tab")
+      client.query("CREATE TABLE wire_lc_tab(id Int32, lc LowCardinality(String))")
+      val schema = StructType(Seq(
+        StructField("id", IntegerType), StructField("lc", StringType)))
+      // the header must advertise the declared LC type — that is what
+      // tells a real client to use the dict-block framing
+      val header = client.insertStream(
+        "INSERT INTO wire_lc_tab FORMAT Native", schema,
+        Seq(Seq(Row(1, "aa"), Row(2, "bb"), Row(3, "aa")), Seq(Row(4, "cc"))))
+      assert(header.columns.map(_.chType) ===
+        Vector("Nullable(Int32)", "LowCardinality(String)"))
+      val got = client.rows("SELECT id, lc FROM wire_lc_tab ORDER BY id")
+      assert(got(0).values === Vector(1, 2, 3, 4))
+      assert(got(1).values === Vector("aa", "bb", "aa", "cc"))
+      client.query("DROP TABLE wire_lc_tab")
+    } finally {
+      client.close()
+      server.stop()
+    }
+  }
+
+  test("LC codec: golden bytes match the reference dict-block layout (blocks.rs:480-531)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.types.BqlType
+    val schema = StructType(Seq(StructField("s", StringType, nullable = false)))
+    val buf = new java.io.ByteArrayOutputStream()
+    ChProto.writeDataBlock(buf, schema, Seq(Row("a"), Row("b"), Row("a")),
+      declared = _ => Some(BqlType.LowCardinality(BqlType.Str)))
+    val bytes = buf.toByteArray
+    // packet code 1, temp-table "", block info (1,0)(2,-1)(0), 1 col 3 rows
+    val preamble = Array[Byte](1, 0, 1, 0, 2, -1, -1, -1, -1, 0, 1, 3)
+    assert(bytes.take(preamble.length).toSeq === preamble.toSeq)
+    var off = preamble.length
+    assert(bytes(off) === 1.toByte && bytes(off + 1) === 's'.toByte); off += 2
+    val tn = "LowCardinality(String)".getBytes("UTF-8")
+    assert(bytes(off) === tn.length.toByte); off += 1
+    assert(bytes.slice(off, off + tn.length).toSeq === tn.toSeq); off += tn.length
+    // u64 keys-serialization version = 1
+    assert(bytes.slice(off, off + 8).toSeq ===
+      Seq[Byte](1, 0, 0, 0, 0, 0, 0, 0)); off += 8
+    // u64 flags = ADDITIONAL_KEY(0x200) | NEED_UPDATE(0x400) | u8 width(0)
+    assert(bytes.slice(off, off + 8).toSeq ===
+      Seq[Byte](0, 6, 0, 0, 0, 0, 0, 0)); off += 8
+    // u64 dict size = 2, then varstr dict entries "a", "b"
+    assert(bytes.slice(off, off + 8).toSeq ===
+      Seq[Byte](2, 0, 0, 0, 0, 0, 0, 0)); off += 8
+    assert(bytes.slice(off, off + 4).toSeq ===
+      Seq[Byte](1, 'a'.toByte, 1, 'b'.toByte)); off += 4
+    // u64 row count = 3, then u8 codes 0 1 0
+    assert(bytes.slice(off, off + 8).toSeq ===
+      Seq[Byte](3, 0, 0, 0, 0, 0, 0, 0)); off += 8
+    assert(bytes.slice(off, off + 3).toSeq === Seq[Byte](0, 1, 0)); off += 3
+    assert(off === bytes.length)
+  }
+
+  test("LC codec: u16 key width past 256 dict entries; Nullable inner maps index 0") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.types.BqlType
+    // > 256 distinct values forces the u16 index form
+    val schema = StructType(Seq(StructField("s", StringType)))
+    val vals = (0 until 300).map(i => s"v$i") ++ (0 until 300).map(i => s"v$i")
+    val buf = new java.io.ByteArrayOutputStream()
+    ChProto.writeDataBlock(buf, schema, vals.map(Row(_)),
+      declared = _ => Some(BqlType.LowCardinality(BqlType.Str)))
+    val in = new java.io.ByteArrayInputStream(buf.toByteArray)
+    assert(ChProto.readVarint(in) === ChProto.Server.Data)
+    val blk = ChProto.readDataBlock(in)
+    assert(blk.columns(0).chType === "LowCardinality(String)")
+    assert(blk.columns(0).values === vals.toVector)
+
+    // Nullable inner: dictionary index 0 is the null entry
+    val withNulls: Seq[Any] = Seq("x", null, "y", "x", null)
+    val buf2 = new java.io.ByteArrayOutputStream()
+    ChProto.writeDataBlock(buf2, schema, withNulls.map(Row(_)),
+      declared = _ => Some(BqlType.LowCardinality(BqlType.Nullable(BqlType.Str))))
+    val in2 = new java.io.ByteArrayInputStream(buf2.toByteArray)
+    assert(ChProto.readVarint(in2) === ChProto.Server.Data)
+    val blk2 = ChProto.readDataBlock(in2)
+    assert(blk2.columns(0).chType === "LowCardinality(Nullable(String))")
+    assert(blk2.columns(0).values === withNulls.toVector)
+
+    // a zero-row block (the INSERT header) carries only the version prefix
+    val buf3 = new java.io.ByteArrayOutputStream()
+    ChProto.writeDataBlock(buf3, schema, Seq.empty,
+      declared = _ => Some(BqlType.LowCardinality(BqlType.Str)))
+    val in3 = new java.io.ByteArrayInputStream(buf3.toByteArray)
+    assert(ChProto.readVarint(in3) === ChProto.Server.Data)
+    val blk3 = ChProto.readDataBlock(in3)
+    assert(blk3.nRows === 0)
+    assert(in3.available() === 0) // nothing after the prefix
+  }
+
   test("true UInt64 keeps its wire form; derived Decimal(20,0) ships as text") {
     val server = new ChWireServer(spark).start()
     val client = new WireTestClient(server.boundPort)

@@ -121,10 +121,22 @@ final class WireTestClient(port: Int, compression: Boolean = false) {
     val first = ChProto.readVarint(in)
     require(first == ChProto.Server.Data, s"expected header block, got $first")
     val header = ChProto.readDataBlock(in, compressed = compression)
+    // a conforming client frames columns the way the header declared
+    // them — LowCardinality columns go back with dict-block framing
+    val declared = headerDeclared(header)
     batches.foreach(rows =>
       ChProto.writeDataBlock(out, schema, rows, ChProto.Client.Data,
-        compress = compression))
+        compress = compression, declared = declared))
     header
+  }
+
+  private def headerDeclared(header: ChProto.WireBlock)
+  : Int => Option[graft.types.BqlType] = {
+    val lcByPos = header.columns.map(c =>
+      graft.types.BqlType.parse(c.chType).toOption.collect {
+        case lc: graft.types.BqlType.LowCardinality => lc
+      })
+    i => if (i >= 0 && i < lcByPos.length) lcByPos(i) else None
   }
 
   /** INSERT with client-streamed Data blocks (DataEODPInsertQuery stage). */
@@ -132,7 +144,7 @@ final class WireTestClient(port: Int, compression: Boolean = false) {
                    batches: Seq[Seq[Row]]): ChProto.WireBlock = {
     val header = streamBlocks(sql, schema, batches)
     ChProto.writeDataBlock(out, schema, Seq.empty, ChProto.Client.Data,
-      compress = compression)
+      compress = compression, declared = headerDeclared(header))
     out.flush()
     val eos = ChProto.readVarint(in)
     require(eos == ChProto.Server.EndOfStream, s"expected EndOfStream, got $eos")
