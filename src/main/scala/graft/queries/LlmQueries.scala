@@ -383,6 +383,76 @@ object LlmQueries {
     s.read.parquet(store.toString)
   }
 
+  /** l24b's SERVING query: SemDeDup over the PERSISTED quantizer (the
+    * l12b/l26b discipline — l24 retrains Lloyd's inline on every run;
+    * the pipeline re-dedup case reuses the v2 centroid store instead).
+    * Cell assignment is computed MAP-SIDE in the same scan that computes
+    * the norms — the 8 centroids pivot into one broadcast array row and
+    * the argmax-cosine is the l12b array_max-over-structs tie-break — so
+    * the plan has no training subtree and no vec_id-keyed shuffle; the
+    * only corpus exchange is the cell-keyed one the within-cell pair
+    * join inherently needs (PlanAuditSpec pins all three).
+    */
+  private[graft] def semDedupServedSparkSql(tau: Double = 0.4): String = {
+    def cos(a: String, b: String) =
+      s"""${dotSpark(a, b)}
+         |        / (sqrt(${dotSpark(a, a)}) * sqrt(${dotSpark(b, b)}))""".stripMargin
+    s"""WITH cs AS (
+       |  SELECT collect_list(named_struct('cid', cid, 'ce', ce)) AS cl
+       |  FROM ivf_centroids
+       |), v AS (
+       |  SELECT
+       |    -array_max(transform(cl, c -> named_struct(
+       |      's', ${cos("e.embedding", "c.ce")},
+       |      'nc', -c.cid))).nc AS cell,
+       |    e.vec_id, e.embedding,
+       |    sqrt(${dotSpark("e.embedding", "e.embedding")}) AS nrm
+       |  FROM embeddings e CROSS JOIN cs
+       |), dropped AS (
+       |  SELECT y.cell, y.vec_id
+       |  FROM v x JOIN v y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  WHERE round(${dotSpark("x.embedding", "y.embedding")}
+       |          / (x.nrm * y.nrm), 6) >= $tau
+       |  GROUP BY y.cell, y.vec_id
+       |)
+       |SELECT v.cell, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(count(d.vec_id) AS BIGINT) AS n_dropped
+       |FROM v LEFT JOIN dropped d
+       |  ON v.cell = d.cell AND v.vec_id = d.vec_id
+       |GROUP BY v.cell ORDER BY v.cell""".stripMargin
+  }
+
+  /** l24b's oracle: identical semantics recomputed from scratch in DuckDB
+    * — SAMPLED training via the shared template (what the v2 store holds,
+    * ivfTrainSql), relational assignment with the shared tie-break, same
+    * within-cell census. The hash match proves persisted-quantizer
+    * serving ≡ the from-scratch pipeline.
+    */
+  private[graft] def semDedupServedOracleSql(tau: Double = 0.4): String = {
+    def dot(a: String, b: String) = dotDuck(a, b)
+    s"""WITH tr AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0
+       |),
+       |${ivfTrainCtes(spark = false, "tr")},
+       |${ivfAssign(spark = false, "assigned", "embeddings", "c2")},
+       |v AS (
+       |  SELECT a.cell, e.vec_id, e.embedding,
+       |    sqrt(${dot("e.embedding", "e.embedding")}) AS nrm
+       |  FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
+       |), dropped AS (
+       |  SELECT y.cell, y.vec_id
+       |  FROM v x JOIN v y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  WHERE round(${dot("x.embedding", "y.embedding")}
+       |          / (x.nrm * y.nrm), 6) >= $tau
+       |  GROUP BY y.cell, y.vec_id
+       |)
+       |SELECT v.cell, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(count(d.vec_id) AS BIGINT) AS n_dropped
+       |FROM v LEFT JOIN dropped d
+       |  ON v.cell = d.cell AND v.vec_id = d.vec_id
+       |GROUP BY v.cell ORDER BY v.cell""".stripMargin
+  }
+
   /** One Spark SQL template for the decontamination sweep (l19 exact /
     * l22 bloom / l23 auto): find training documents sharing any word
     * n-gram with the held-out eval sources. Both shapes are
@@ -1124,15 +1194,29 @@ object LlmQueries {
                            trainSample: Boolean = false): String = {
     def dot(a: String, b: String) =
       if (spark) dotSpark(a, b) else dotDuck(a, b)
-    // 16-dim subvector folds — explicit left fold in index order, the
-    // same promotion and IEEE op sequence in both engines.
-    def dot16(a: String, b: String) =
-      if (spark)
-        s"aggregate(zip_with(CAST($a AS ARRAY<DOUBLE>), CAST($b AS ARRAY<DOUBLE>), " +
-          s"(x, y) -> x * y), 0d, (acc, v) -> acc + v)"
-      else
-        s"list_reduce(list_transform(range(16), i -> $a[i+1]::DOUBLE * $b[i+1]::DOUBLE), " +
-          s"(x, y) -> x + y)"
+    s"""WITH ${pqChainCtes(spark, trainSample)}${emit match {
+        case "codes" => "\nSELECT vec_id, sub, code FROM codes"
+        case "codebook" => "\nSELECT sub, cid, ce FROM pc2"
+        case _ => pqServeCtes(dot, pqDot16(spark, _, _))
+      }}""".stripMargin
+  }
+
+  /** 16-dim subvector dot fold — explicit left fold in index order, the
+    * same promotion and IEEE op sequence in both engines.
+    */
+  private def pqDot16(spark: Boolean, a: String, b: String): String =
+    if (spark)
+      s"aggregate(zip_with(CAST($a AS ARRAY<DOUBLE>), CAST($b AS ARRAY<DOUBLE>), " +
+        s"(x, y) -> x * y), 0d, (acc, v) -> acc + v)"
+    else
+      s"list_reduce(list_transform(range(16), i -> $a[i+1]::DOUBLE * $b[i+1]::DOUBLE), " +
+        s"(x, y) -> x + y)"
+
+  /** The PQ training+encode chain (sub → pseeds → pc0 → … → pc2 → codes)
+    * as a WITH-body fragment, shared by pqSql and the composed IVF-PQ
+    * oracle so the training math cannot drift between entries.
+    */
+  private def pqChainCtes(spark: Boolean, trainSample: Boolean): String = {
     def l216(a: String, b: String) =
       if (spark)
         s"aggregate(zip_with(CAST($a AS ARRAY<DOUBLE>), CAST($b AS ARRAY<DOUBLE>), " +
@@ -1200,7 +1284,7 @@ object LlmQueries {
     // ≡ 0 mod 4 hit every (vec_id div 4) % 4 residue, so the sampled
     // build still seeds all K=4 centroids per subspace.
     val idiv = if (spark) "DIV" else "//"
-    s"""WITH $subCte$subtCte,
+    s"""$subCte$subtCte,
        |pseeds AS (
        |  SELECT CAST((vec_id $idiv 4) % 4 AS INT) AS cid, min(vec_id) AS sv_id
        |  FROM embeddings ${sampleWhere}GROUP BY (vec_id $idiv 4) % 4
@@ -1212,11 +1296,7 @@ object LlmQueries {
        |${update("pc1", "pa0", trainRel)},
        |${assign("pa1", "pc1", trainRel)},
        |${update("pc2", "pa1", trainRel)},
-       |${assign("codes", "pc2")}${emit match {
-        case "codes" => "\nSELECT vec_id, sub, code FROM codes"
-        case "codebook" => "\nSELECT sub, cid, ce FROM pc2"
-        case _ => pqServeCtes(dot, dot16)
-      }}""".stripMargin
+       |${assign("codes", "pc2")}""".stripMargin
   }
 
   /** The l26 ADC serving tail (LUT build → code-join scan → exact
@@ -1348,6 +1428,151 @@ object LlmQueries {
        |    ${dotSpark("e.embedding", "q.qe")}
        |      / (sqrt(${dotSpark("e.embedding", "e.embedding")})
        |         * sqrt(${dotSpark("q.qe", "q.qe")})) AS sim
+       |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id CROSS JOIN q
+       |)
+       |SELECT vec_id, round(adc_sim, 6) AS adc_sim, round(sim, 6) AS sim
+       |FROM rerank ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
+  }
+
+  /** The composed IVF-PQ index for l34 — the actual 100 TB ANN shape
+    * (FAISS IVFPQ): ONE persisted fact table holding, per vector, its
+    * coarse IVF cell (from the v2 centroid store) AND its 4 PQ codes
+    * (from the v2 PQ index) — exactly how a production IVFPQ index lays
+    * out inverted lists with packed codes. Built once per corpus from
+    * the two existing stores (cell assignment map-side, codes joined on
+    * vec_id — a build-time-only shuffle); serving then touches ONLY this
+    * table: broadcast the query's nprobe cells + LUT, filter + ADC
+    * map-side, top-20, 20-row exact rerank.
+    */
+  private def ivfPqIndex(s: SparkSession, dir: String): Unit = {
+    ivfCentroids(s, dir).createOrReplaceTempView("ivf_centroids")
+    pqIndex(s, dir)
+    def cos(a: String, b: String) =
+      s"""${dotSpark(a, b)}
+         |        / (sqrt(${dotSpark(a, a)}) * sqrt(${dotSpark(b, b)}))""".stripMargin
+    pqIndexStore(s, dir, "ivfpq",
+      s"""WITH cs AS (
+         |  SELECT collect_list(named_struct('cid', cid, 'ce', ce)) AS cl
+         |  FROM ivf_centroids
+         |), a AS (
+         |  SELECT e.vec_id,
+         |    -array_max(transform(cl, c -> named_struct(
+         |      's', ${cos("e.embedding", "c.ce")},
+         |      'nc', -c.cid))).nc AS cell
+         |  FROM embeddings e CROSS JOIN cs
+         |)
+         |SELECT a.vec_id, a.cell, k.c0, k.c1, k.c2, k.c3
+         |FROM a JOIN pq_codes k ON a.vec_id = k.vec_id""".stripMargin)
+      .createOrReplaceTempView("ivfpq_index")
+  }
+
+  /** l34's SERVING query over the composed index: the query picks its
+    * nprobe=2 nearest cells from the centroid store (broadcast-sized),
+    * builds the 16-entry decimal LUT (the l26b shape), and the corpus
+    * pass is ONE map-side scan of `ivfpq_index` — cell filter + ADC
+    * lookups per row, no Window, no training subtree, no corpus-keyed
+    * shuffle — into a top-20, then the 20-row exact-cosine rerank.
+    */
+  private[graft] def ivfPqServedSparkSql: String = {
+    def cos(a: String, b: String) =
+      s"""${dotSpark(a, b)}
+         |        / (sqrt(${dotSpark(a, a)}) * sqrt(${dotSpark(b, b)}))""".stripMargin
+    def dot16(a: String, b: String) = pqDot16(spark = true, a, b)
+    val pivotCols = (0 until 4).map(i =>
+      s"max(CASE WHEN sub = $i THEN pds END) AS p$i,\n    " +
+        s"max(CASE WHEN sub = $i THEN cs END) AS n$i").mkString(",\n    ")
+    val adcNum = (0 until 4).map(i => s"element_at(l.p$i, k.c$i + 1)").mkString(" + ")
+    val adcN2 = (0 until 4).map(i => s"element_at(l.n$i, k.c$i + 1)").mkString(" + ")
+    s"""WITH qsub AS (
+       |  SELECT t.s AS sub, slice(e.embedding, t.s * 16 + 1, 16) AS qv
+       |  FROM embeddings e LATERAL VIEW explode(sequence(0, 3)) t AS s
+       |  WHERE e.vec_id = 0
+       |), q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |qcells AS (
+       |  SELECT c.cid FROM ivf_centroids c CROSS JOIN q
+       |  ORDER BY ${cos("c.ce", "q.qe")} DESC, c.cid
+       |  LIMIT 2
+       |), lut AS (
+       |  SELECT c.sub, c.cid,
+       |    CAST(round(${dot16("qs.qv", "c.ce")}, 6) AS DECIMAL(20, 10)) AS pd,
+       |    CAST(round(${dot16("c.ce", "c.ce")}, 6) AS DECIMAL(20, 10)) AS cn2
+       |  FROM pq_codebook c JOIN qsub qs ON qs.sub = c.sub
+       |), luts AS (
+       |  SELECT sub,
+       |    transform(array_sort(collect_list(struct(cid, pd))), x -> x.pd) AS pds,
+       |    transform(array_sort(collect_list(struct(cid, cn2))), x -> x.cn2) AS cs
+       |  FROM lut GROUP BY sub
+       |), lrow AS (
+       |  SELECT $pivotCols
+       |  FROM luts
+       |), cand AS (
+       |  SELECT k.vec_id,
+       |    CAST(($adcNum) AS DOUBLE)
+       |      / (sqrt(${dotSpark("q.qe", "q.qe")})
+       |         * sqrt(CAST(($adcN2) AS DOUBLE))) AS adc_sim
+       |  FROM ivfpq_index k CROSS JOIN lrow l CROSS JOIN q
+       |  WHERE k.vec_id <> 0 AND k.cell IN (SELECT cid FROM qcells)
+       |  ORDER BY adc_sim DESC, k.vec_id
+       |  LIMIT 20
+       |), rerank AS (
+       |  SELECT c.vec_id, c.adc_sim,
+       |    ${dotSpark("e.embedding", "q.qe")}
+       |      / (sqrt(${dotSpark("e.embedding", "e.embedding")})
+       |         * sqrt(${dotSpark("q.qe", "q.qe")})) AS sim
+       |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id CROSS JOIN q
+       |)
+       |SELECT vec_id, round(adc_sim, 6) AS adc_sim, round(sim, 6) AS sim
+       |FROM rerank ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
+  }
+
+  /** l34's oracle: the identical IVFPQ semantics recomputed from scratch
+    * in DuckDB — both trainings via the shared templates (sampled, what
+    * the v2 stores hold), relational cell assignment with the shared
+    * tie-break, ADC restricted to the query's 2 probed cells, exact
+    * rerank. CTE names don't collide: the IVF chain uses seeds/c0..c2,
+    * the PQ chain sub/pseeds/pc0..pc2/codes.
+    */
+  private[graft] def ivfPqOracleSql: String = {
+    def cos(a: String, b: String) =
+      s"""${dotDuck(a, b)}
+         |      / (sqrt(${dotDuck(a, a)}) * sqrt(${dotDuck(b, b)}))""".stripMargin
+    def dot16(a: String, b: String) = pqDot16(spark = false, a, b)
+    s"""WITH tr AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0
+       |),
+       |${ivfTrainCtes(spark = false, "tr")},
+       |${ivfAssign(spark = false, "assigned", "embeddings", "c2")},
+       |${pqChainCtes(spark = false, trainSample = true)},
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |qsub AS (SELECT sub, sv AS qv FROM sub WHERE vec_id = 0),
+       |qcells AS (
+       |  SELECT c.cid FROM q CROSS JOIN c2 c
+       |  ORDER BY ${cos("c.ce", "q.qe")} DESC, c.cid
+       |  LIMIT 2
+       |), lut AS (
+       |  SELECT c.sub, c.cid,
+       |    CAST(round(${dot16("qs.qv", "c.ce")}, 6) AS DECIMAL(20, 10)) AS pd,
+       |    CAST(round(${dot16("c.ce", "c.ce")}, 6) AS DECIMAL(20, 10)) AS cn2
+       |  FROM pc2 c JOIN qsub qs ON qs.sub = c.sub
+       |), adc AS (
+       |  SELECT k.vec_id,
+       |    CAST(sum(l.pd) AS DOUBLE) AS num,
+       |    CAST(sum(l.cn2) AS DOUBLE) AS vnorm2
+       |  FROM codes k
+       |  JOIN lut l ON k.sub = l.sub AND k.code = l.cid
+       |  JOIN assigned a ON a.vec_id = k.vec_id
+       |  JOIN qcells qc ON a.cell = qc.cid
+       |  WHERE k.vec_id <> 0
+       |  GROUP BY k.vec_id
+       |), cand AS (
+       |  SELECT a.vec_id,
+       |    a.num / (sqrt(${dotDuck("q.qe", "q.qe")}) * sqrt(a.vnorm2)) AS adc_sim
+       |  FROM adc a CROSS JOIN q
+       |  ORDER BY adc_sim DESC, a.vec_id
+       |  LIMIT 20
+       |), rerank AS (
+       |  SELECT c.vec_id, c.adc_sim,
+       |    ${cos("e.embedding", "q.qe")} AS sim
        |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id CROSS JOIN q
        |)
        |SELECT vec_id, round(adc_sim, 6) AS adc_sim, round(sim, 6) AS sim
@@ -1921,6 +2146,20 @@ object LlmQueries {
       s.sql(pqServedSparkSql)
     },
 
+    // ---- l34: composed IVF-PQ served from the PERSISTED index ---------
+    // The actual 100 TB ANN shape (FAISS IVFPQ): queries route through
+    // the persisted IVF cells (l12b), then ADC over the per-vector PQ
+    // codes (l26b), both read from ONE composed fact table (vec_id,
+    // cell, c0..c3). Serving touches 2/K of the corpus with map-side
+    // LUT lookups — no training subtree, no Window, no corpus-keyed
+    // shuffle — then exact-reranks the top 20.
+    "l34_ann_ivfpq_served" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      graft.functions.VectorFunctions.register(s)
+      ivfPqIndex(s, dir)
+      s.sql(ivfPqServedSparkSql)
+    },
+
     // ---- l27: training-sequence packing (concatenate-and-chunk) -------
     "l27_sequence_packing" -> { (s, dir) =>
       Tables.registerAll(s, dir)
@@ -2344,6 +2583,20 @@ object LlmQueries {
       Tables.registerAll(s, dir)
       graft.functions.VectorFunctions.register(s)
       s.sql(semDedupSql(spark = true))
+    },
+
+    // ---- l24b: SemDeDup served from the PERSISTED quantizer -----------
+    // l24's production split (the l12b/l26b discipline): the pipeline
+    // rerun case — re-dedup after ingest — reuses the v2 centroid store
+    // instead of retraining Lloyd's inline. Assignment is map-side in
+    // the same scan that computes the norms; the only corpus exchange is
+    // the cell-keyed pair join SemDeDup inherently needs. The oracle
+    // recomputes sampled training + assignment + census from scratch.
+    "l24b_semdedup_served" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      graft.functions.VectorFunctions.register(s)
+      ivfCentroids(s, dir).createOrReplaceTempView("ivf_centroids")
+      s.sql(semDedupServedSparkSql())
     },
 
     // ---- l25: exact substring-span dedup ------------------------------
@@ -3088,6 +3341,8 @@ object LlmQueries {
     "l12_ann_ivf" -> ivfSql(spark = false),
     "l12b_ann_ivf_served" -> ivfServeOracleSql,
     "l24_semdedup" -> semDedupSql(spark = false),
+    "l24b_semdedup_served" -> semDedupServedOracleSql(),
+    "l34_ann_ivfpq_served" -> ivfPqOracleSql,
     "l25_substring_span_dedup" -> substringSpanSql(spark = false),
     "l26_ann_pq" -> pqSql(spark = false),
     "l26b_ann_pq_served" -> pqSql(spark = false, trainSample = true),

@@ -132,6 +132,54 @@ class PlanAuditSpec extends AnyFunSuite {
         "path must be shuffle-free")
   }
 
+  test("l24b serves SemDeDup from stored centroids: no training subtree, " +
+    "assignment map-side, only cell-keyed corpus exchanges") {
+    val now = SparkEntry.queries("l24b_semdedup_served")(spark, sfDir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    // the inline-Lloyd's l24 plan carries row_number assignment Windows;
+    // the served plan must have none
+    assert(!now.contains("Window ("),
+      "a Window node means a training/assignment subtree leaked into serving")
+    assert(now.contains("graft-ivf-centroids"),
+      "serving must read the persisted centroid store")
+    assert(!cartesian(now))
+    // every corpus exchange is keyed by the SemDeDup cell (the pair join's
+    // inherent shuffle) — a hashpartitioning on vec_id alone would mean
+    // the assignment joined back to the corpus instead of running map-side
+    val parts = """hashpartitioning\(([^)]*)\)""".r
+      .findAllMatchIn(now).map(_.group(1)).toSeq
+    assert(parts.nonEmpty && parts.forall(_.contains("cell")),
+      s"non-cell-keyed exchange in serving plan: $parts")
+  }
+
+  test("l34 serves composed IVF-PQ from the stored index: corpus path is " +
+    "one map-side scan of the (cell, codes) table") {
+    val now = SparkEntry.queries("l34_ann_ivfpq_served")(spark, sfDir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(!now.contains("Window ("),
+      "a Window node means a training/assignment subtree leaked into serving")
+    assert(!cartesian(now))
+    val scanBlocks = now.split("\n\\(\\d+\\) ").filter(_.startsWith("Scan parquet"))
+    assert(scanBlocks.exists(_.contains("graft-pq-ivfpq")),
+      "serving must scan the composed (vec_id, cell, codes) index table")
+    assert(scanBlocks.exists(_.contains("graft-ivf-centroids")),
+      "qcells must come from the persisted centroid store")
+    assert(scanBlocks.exists(_.contains("graft-pq-codebook")),
+      "the LUT must come from the persisted codebook")
+    val embScans = scanBlocks.filter(_.contains("embeddings.parquet"))
+    assert(embScans.count(!_.contains("EqualTo(vec_id,0)")) <= 1,
+      s"expected at most one non-point embeddings scan (the rerank fetch):\n" +
+        embScans.mkString("\n---\n"))
+    // the only exchanges allowed are the tiny LUT/centroid pivots — the
+    // ivfpq_index scan must flow map-side into the top-k
+    val parts = """hashpartitioning\(([^)]*)\)""".r
+      .findAllMatchIn(now).map(_.group(1)).toSeq
+    assert(parts.forall(p => p.contains("sub") || p.contains("cid")),
+      s"corpus-keyed exchange in serving plan: $parts")
+  }
+
   test("l26b serves PQ from the stored index: no training subtree, no " +
     "corpus-keyed shuffle, codes scan + one rerank fetch only") {
     val now = SparkEntry.queries("l26b_ann_pq_served")(spark, sfDir)
