@@ -88,6 +88,65 @@ object WinnowOps {
     while (it.hasNext) { out(o) = it.next(); o += 1 }
     new GenericArrayData(out)
   }
+
+  /** POSITIONAL winnowing — the full MOSS record: per sliding window of
+    * `w` k-gram hashes, the (position, hash) of the window's minimum
+    * (LEFTMOST on ties — the deterministic rule the DuckDB oracle states
+    * relationally as `ORDER BY h, pos`), deduplicated by selected
+    * position. Unlike [[winnow]] (which keeps only the hash set, enough
+    * for l16's census), the positions are what lets a diagonal merge
+    * reconstruct shared SPANS — and because selection is content-defined,
+    * two documents sharing a region select the same grams at the same
+    * region-relative offsets REGARDLESS of the region's displacement,
+    * closing l25's stride-alignment gap.
+    */
+  def winnowSpans(s: UTF8String, k: Int, w: Int): ArrayData = {
+    if (k <= 0 || w <= 0) return new GenericArrayData(Array.empty[Any])
+    val cps = s.numChars()
+    val n = cps - k + 1
+    if (n < w) return new GenericArrayData(Array.empty[Any])
+    val t = s.toString
+    val noSurrogates = t.length == cps
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hashes = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      val gram =
+        if (noSurrogates) t.substring(i, i + k).getBytes(StandardCharsets.UTF_8)
+        else s.substring(i, i + k).getBytes
+      val dig = md.digest(gram)
+      val hex = new Array[Byte](8)
+      var b = 0
+      while (b < 4) {
+        val v = dig(b) & 0xff
+        hex(2 * b) = Hex(v >>> 4)
+        hex(2 * b + 1) = Hex(v & 0xf)
+        b += 1
+      }
+      hashes(i) = hex
+      i += 1
+    }
+    // selected positions are strictly increasing window-to-window, so an
+    // append + last-position check is a full dedup
+    val rows = new scala.collection.mutable.ArrayBuffer[Any]()
+    var lastPos = -1
+    var start = 0
+    while (start + w <= n) {
+      var minPos = start
+      var j = 1
+      while (j < w) {
+        if (cmp(hashes(start + j), hashes(minPos)) < 0) minPos = start + j
+        j += 1
+      }
+      if (minPos != lastPos) {
+        rows += org.apache.spark.sql.catalyst.InternalRow(
+          minPos, UTF8String.fromBytes(hashes(minPos)))
+        lastPos = minPos
+      }
+      start += 1
+    }
+    new GenericArrayData(rows.toArray)
+  }
 }
 
 /** winnow_fingerprints(text, k, w) — see [[WinnowOps.winnow]]. */
@@ -116,12 +175,47 @@ case class WinnowFingerprints(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** winnow_spans(text, k, w) — see [[WinnowOps.winnowSpans]]. */
+case class WinnowSpans(first: Expression, second: Expression,
+                       third: Expression) extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, IntegerType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"winnow_spans expects (string, int, int), got ($a, $b, $c)")
+    }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("fp", StringType, nullable = false))), containsNull = false)
+
+  override def nullSafeEval(s: Any, k: Any, w: Any): Any =
+    WinnowOps.winnowSpans(s.asInstanceOf[UTF8String],
+      k.asInstanceOf[Int], w.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, k, w) =>
+      s"${ev.value} = graft.functions.WinnowOps.winnowSpans($s, $k, $w);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): WinnowSpans =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object WinnowFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow_fingerprints",
       { case Seq(s, k, w) => WinnowFingerprints(s, k, w)
         case e => throw new IllegalArgumentException(
           s"winnow_fingerprints expects 3 arguments, got ${e.length}") },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_spans",
+      { case Seq(s, k, w) => WinnowSpans(s, k, w)
+        case e => throw new IllegalArgumentException(
+          s"winnow_spans expects 3 arguments, got ${e.length}") },
+      "built-in")
+  }
 }

@@ -271,6 +271,90 @@ object LlmQueries {
        |ORDER BY d1, d2""".stripMargin
   }
 
+  /** l25b: substring-span dedup fed by POSITIONAL WINNOWING — the
+    * exact-at-any-displacement production path the l25 Scaladoc names.
+    * l25's fixed-stride windows only detect a shared region whose
+    * displacement between the two docs is ≡ 0 (mod stride); winnowing's
+    * selection is content-defined, so two docs sharing a region select
+    * the SAME grams at the same region-relative offsets regardless of
+    * displacement, and the (o2 − o1) diagonal merge recovers the span.
+    * Runs merge on gaps ≤ w = 4 (the winnowing guarantee: every window
+    * of w consecutive gram positions contains a selection, so in-region
+    * selection gaps never exceed w); span length = selected extent + k.
+    * Same no-silent-caps contract as l25: boilerplate fingerprints in
+    * more than `capDocs` docs are excluded and COUNTED in the (-1, -1)
+    * sentinel. 100 TB: fingerprinting is map-side (one codegen'd
+    * expression per doc), one shuffle on the fingerprint, pair fan-out
+    * bounded by the cap, the merge is a per-pair-diagonal window.
+    */
+  private[graft] def winnowSpanSql(spark: Boolean, hint: String = "",
+                                   capDocs: Int = 50,
+                                   src: String = "documents"): String = {
+    val w =
+      if (spark)
+        s"""w AS (
+           |  SELECT doc_id, wnd.pos AS off, wnd.fp AS h
+           |  FROM (SELECT $hint doc_id, text FROM $src
+           |        WHERE length(text) >= 8) d
+           |  LATERAL VIEW explode(winnow_spans(text, 5, 4)) t AS wnd
+           |)""".stripMargin
+      else
+        // the oracle states the same selection relationally: positional
+        // 5-gram hashes, per-window argmin with the LEFTMOST tie-break
+        // (ORDER BY h, pos — byte order over lowercase hex = the Scala
+        // loop's byte compare), distinct selected (pos, hash)
+        s"""kg AS (
+           |  SELECT doc_id,
+           |    unnest(range(length(text) - 4)) AS pos,
+           |    unnest(list_transform(range(length(text) - 4),
+           |      i -> substr(md5(substr(text, i + 1, 5)), 1, 8))) AS h
+           |  FROM $src WHERE length(text) >= 8
+           |), wn AS (
+           |  SELECT doc_id, pos, h, max(pos) OVER (PARTITION BY doc_id) AS maxpos
+           |  FROM kg
+           |), w AS (
+           |  SELECT DISTINCT doc_id, off, h FROM (
+           |    SELECT a.doc_id, b.pos AS off, b.h,
+           |      row_number() OVER (PARTITION BY a.doc_id, a.pos
+           |        ORDER BY b.h, b.pos) AS rn
+           |    FROM wn a JOIN wn b ON a.doc_id = b.doc_id
+           |      AND b.pos BETWEEN a.pos AND a.pos + 3
+           |    WHERE a.pos + 3 <= a.maxpos) s
+           |  WHERE rn = 1
+           |)""".stripMargin
+    s"""WITH $w, eligible AS (
+       |  SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) <= $capDocs
+       |), capped AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) > $capDocs) c
+       |), m AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       |    b.off - a.off AS diag, a.off AS o1
+       |  FROM w a JOIN eligible g ON a.h = g.h
+       |           JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id
+       |), runs AS (
+       |  SELECT d1, d2, diag, o1,
+       |    sum(CASE WHEN prev IS NULL OR o1 - prev > 4 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY d1, d2, diag ORDER BY o1) AS grp
+       |  FROM (
+       |    SELECT d1, d2, diag, o1,
+       |      lag(o1) OVER (PARTITION BY d1, d2, diag ORDER BY o1) AS prev
+       |    FROM m) g
+       |), spans AS (
+       |  SELECT d1, d2, CAST(max(o1) - min(o1) + 5 AS BIGINT) AS span_chars
+       |  FROM runs GROUP BY d1, d2, diag, grp
+       |), pairs AS (
+       |  SELECT d1, d2, CAST(max(span_chars) AS BIGINT) AS max_span_chars,
+       |    CAST(count(*) AS BIGINT) AS n_spans
+       |  FROM spans WHERE span_chars >= 80 GROUP BY d1, d2
+       |)
+       |SELECT d1, d2, max_span_chars, n_spans FROM pairs
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       |  CAST(0 AS BIGINT), n FROM capped
+       |ORDER BY d1, d2""".stripMargin
+  }
+
   /** l12b's OFFLINE index build: train the shared Lloyd's template on a
     * deterministic 1-in-4 sample (`vec_id % 4 = 0` — no RNG, same rows in
     * both engines) and emit the 8 centroids. At 100 TB the sample keeps
@@ -2610,6 +2694,18 @@ object LlmQueries {
       s.sql(substringSpanSql(spark = true, hint = Tables.spreadHint(s)))
     },
 
+    // ---- l25b: winnowing-fed substring-span dedup ----------------------
+    // The exact-at-any-displacement production form of l25 (whose fixed
+    // stride only sees displacement ≡ 0 mod 10): positional MOSS
+    // fingerprints (the l16 WinnowOps loop, extended with the selected
+    // positions) feed the same diagonal merge. Spec-pinned to catch a
+    // shared span at displacement 5 that l25 provably misses.
+    "l25b_winnow_span_dedup" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      graft.functions.WinnowFunctions.register(s)
+      s.sql(winnowSpanSql(spark = true, hint = Tables.spreadHint(s)))
+    },
+
     // ---- l14: duplicate-cluster resolution ---------------------------
     // The step after candidate generation: union exact-dup edges with
     // near-dup edges (adjacent-id bigram Jaccard, l08's blocking)
@@ -3344,6 +3440,7 @@ object LlmQueries {
     "l24b_semdedup_served" -> semDedupServedOracleSql(),
     "l34_ann_ivfpq_served" -> ivfPqOracleSql,
     "l25_substring_span_dedup" -> substringSpanSql(spark = false),
+    "l25b_winnow_span_dedup" -> winnowSpanSql(spark = false),
     "l26_ann_pq" -> pqSql(spark = false),
     "l26b_ann_pq_served" -> pqSql(spark = false, trainSample = true),
     "l27_sequence_packing" -> packDuckSql,
