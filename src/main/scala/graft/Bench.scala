@@ -114,15 +114,34 @@ object Bench {
     // `--no-anchors` zeroes them out for cheap A/B iteration on the
     // per-query loop.
     val runAnchors = !args.contains("--no-anchors")
-    def best3(f: => Unit): Double =
-      if (!runAnchors) -1.0 else (1 to 3).map(_ => timeIt(f)).min
-    def anchorTime(f: => Unit): Double = if (!runAnchors) -1.0 else timeIt(f)
-    val sumCold = anchorTime(evalAll(
+    // Every anchor records its full sample set (r10 task #7, carried to
+    // r12): the one-shot group-by anchor swung 11.8 s → 47.5 s → 168.7 s
+    // across rounds with no bound on record, making box-load drift
+    // indistinguishable from a code regression. `anchorSamples`
+    // accumulates per-anchor {med,min,max} for the JSON; the headline
+    // scalar keeps each anchor's published methodology (best-of-3 for
+    // warm, FIRST sample for cold/one-shot — later reps of a "one-shot"
+    // hit the codegen cache and only bound ambient noise).
+    val anchorSamples = scala.collection.mutable.LinkedHashMap
+      .empty[String, Seq[Double]]
+    def record(name: String, xs: Seq[Double]): Unit =
+      if (runAnchors) anchorSamples(name) = xs
+    def best3(name: String)(f: => Unit): Double =
+      if (!runAnchors) -1.0 else {
+        val xs = (1 to 3).map(_ => timeIt(f)); record(name, xs); xs.min
+      }
+    /** First sample is the anchor value (true cold / one-shot); the extra
+      * reps only measure the ambient-noise floor for attribution. */
+    def firstOf3(name: String)(f: => Unit): Double =
+      if (!runAnchors) -1.0 else {
+        val xs = (1 to 3).map(_ => timeIt(f)); record(name, xs); xs.head
+      }
+    val sumCold = firstOf3("sum_cold")(evalAll(
       spark.read.parquet(s"$sfDir/lineitem.parquet").agg(sum(col("l_orderkey")))))
     val li = spark.table("lineitem").select("l_orderkey", "l_shipdate")
     if (runAnchors) { li.cache(); li.count() } // materialize the cache
-    val sumWarm = best3(evalAll(li.agg(sum(col("l_orderkey")))))
-    val gbWarm = best3(evalAll(
+    val sumWarm = best3("sum_warm")(evalAll(li.agg(sum(col("l_orderkey")))))
+    val gbWarm = best3("groupby_warm")(evalAll(
       li.groupBy(expr("date_part('year', l_shipdate)").as("yr"))
         .agg(count(lit(1)).as("n"))))
     if (runAnchors) li.unpersist()
@@ -138,22 +157,24 @@ object Bench {
     // pause that no single-node engine in the comparison pays.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val nBase = 1464781690L // trips_lite row count, docs/benchmarks.md:1-14
-    val sumDf = spark.range(0L, nBase, 1L, 32).agg(sum(col("id")))
-    val rangeSumOneShot = anchorTime(sumDf.collect()) // plan + codegen + run
-    if (runAnchors) (1 to 4).foreach(_ => sumDf.collect()) // JIT warm-up ("warm" in the baseline)
-    val rangeSum = best3(sumDf.collect())
+    def sumDf() = spark.range(0L, nBase, 1L, 32).agg(sum(col("id")))
+    // plan + codegen + run; reps 2-3 rebuild the DataFrame (fresh
+    // analysis) but hit the Janino codegen cache — their spread bounds
+    // ambient load, the FIRST sample is the reported one-shot
+    val rangeSumOneShot = firstOf3("range_sum_1b47_oneshot")(sumDf().collect())
+    if (runAnchors) (1 to 2).foreach(_ => sumDf().collect()) // JIT warm-up ("warm" in the baseline)
+    val rangeSum = best3("range_sum_1b47")(sumDf().collect())
     // Same-scale analog of the baseline's SECOND row: date_part('year')
     // group-by over 1.47B timestamps (reference: 3.375 s, docs/
     // benchmarks.md:7-9). ids map to 1970–2016 epoch seconds → 47 groups,
     // same cardinality class as 10y of taxi data; per-row work is the
     // timestamp year extraction + hash agg, all inside one
     // WholeStageCodegen pass with map-side partial aggregation.
-    val gbDf = spark.range(0L, nBase, 1L, 32)
+    def gbDf() = spark.range(0L, nBase, 1L, 32)
       .groupBy(expr("date_part('year', timestamp_seconds(id))").as("yr"))
       .agg(count(lit(1)).as("n"))
-    val rangeGbOneShot = anchorTime(gbDf.collect())
-    if (runAnchors) (1 to 2).foreach(_ => gbDf.collect())
-    val rangeGb = best3(gbDf.collect())
+    val rangeGbOneShot = firstOf3("range_gb_year_1b47_oneshot")(gbDf().collect())
+    val rangeGb = best3("range_gb_year_1b47")(gbDf().collect())
     spark.conf.set("spark.sql.adaptive.enabled", "true")
 
     // BASELINE.md's third row is WRITE throughput (reference: ~2x
@@ -167,10 +188,11 @@ object Bench {
       g.sql("CREATE TABLE bench_ingest(ok Int64, qty Float64, d Date) " +
         "ENGINE=BaseStorage PARTITION BY toYear(d)")
       val n = spark.table("lineitem").count()
-      val t = timeIt(g.sql(
-        "INSERT INTO bench_ingest SELECT l_orderkey, l_quantity, l_shipdate FROM lineitem"))
+      val xs = (1 to 3).map(_ => timeIt(g.sql(
+        "INSERT INTO bench_ingest SELECT l_orderkey, l_quantity, l_shipdate FROM lineitem")))
+      record("ingest_sec", xs)
       g.sql("DROP TABLE bench_ingest")
-      (n, t)
+      (n, xs.min) // best-of-3, the warm-anchor methodology
     }
     val ingestRps = if (tIngest <= 0) 0.0 else nIngest / tIngest
 
@@ -187,8 +209,15 @@ object Bench {
     val total = meds.map(_._2).filter(_ >= 0).sum
     val anchors =
       f"""{"sum_cold":$sumCold%.4f,"sum_warm":$sumWarm%.4f,"groupby_warm":$gbWarm%.4f,"range_sum_1b47":$rangeSum%.4f,"range_sum_1b47_oneshot":$rangeSumOneShot%.4f,"range_gb_year_1b47":$rangeGb%.4f,"range_gb_year_1b47_oneshot":$rangeGbOneShot%.4f,"ingest_rows":$nIngest%d,"ingest_sec":$tIngest%.4f,"ingest_rows_per_s":$ingestRps%.0f}"""
+    // per-anchor spread, same {med,min,max} shape as query_samples —
+    // makes round-over-round anchor drift attributable (box load shows
+    // as a wide min..max with a stable min; a regression moves the min)
+    val anchorSamplesJson = anchorSamples.map { case (k, xs) =>
+      "\"" + k + "\":" +
+        f"""{"med":${median(xs)}%.4f,"min":${xs.min}%.4f,"max":${xs.max}%.4f}"""
+    }.mkString("{", ",", "}")
     val json =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","reps":$reps%d,"queries":$qs,"query_samples":$samplesJson,"sf":"$sfDir","anchors":$anchors,"failed":${failed.size}}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","reps":$reps%d,"queries":$qs,"query_samples":$samplesJson,"sf":"$sfDir","anchors":$anchors,"anchor_samples":$anchorSamplesJson,"failed":${failed.size}}"""
     println(json)
     val outPath = sys.env.getOrElse("BENCH_OUT", "target/bench_out.json")
     Files.createDirectories(Paths.get(outPath).toAbsolutePath.getParent)

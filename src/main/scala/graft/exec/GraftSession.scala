@@ -319,6 +319,21 @@ class GraftSession(val spark: SparkSession) {
     * INSERT INTO table / remote()). Refuses to overwrite, like CH.
     * Returns a one-row summary (path, rows, format).
     */
+  /** Release the executor-storage blocks a `localCheckpoint(eager=true)`
+    * pinned, once every consumer of the checkpointed plan has run: the
+    * ContextCleaner only reclaims them when the RDD is GC'd, so a
+    * long-lived session doing many MV-fed inserts (or outfile exports)
+    * accumulates storage memory between GC cycles (ADVICE r11). The
+    * checkpointed Dataset's analyzed plan is a LogicalRDD leaf over the
+    * persisted RDD — unpersist exactly that.
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   private def writeOutfile(p: ChParser.IntoOutfileParts): DataFrame = {
     val df0 = spark.sql(rewriteSelect(p.core))
     val df1 = if (df0.columns.contains(PtkCol)) df0.drop(PtkCol) else df0
@@ -360,6 +375,7 @@ class GraftSession(val spark: SparkSession) {
     Option(target.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.move(part, target)
     rmTree(tmp.toFile)
+    releaseCheckpoint(df)
     spark.createDataFrame(
       Seq(Row(p.path, rows, fmt)).asJava,
       StructType(Seq(StructField("path", StringType),
@@ -578,8 +594,12 @@ class GraftSession(val spark: SparkSession) {
         // would move the fill key to position 0. Analyze the core once
         // (schema only, nothing executes) and project the source's
         // column order, coalescing the key from the grid on filled rows.
-        val srcCols = scala.util.Try(
-          spark.sql(spliceTableFns(p.core)).columns.toSeq).getOrElse(Seq.empty)
+        // Analysis errors PROPAGATE (ADVICE r11): the outer query would
+        // fail on the same core anyway, and a swallowed failure here
+        // would silently fall back to the USING-join shape that moves
+        // the fill key to column 0 — the exact bug this projection
+        // fixes. The schema-only analysis executes nothing.
+        val srcCols = spark.sql(spliceTableFns(p.core)).columns.toSeq
         if (srcCols.exists(_.equalsIgnoreCase(p.col))) {
           val proj = srcCols.map { c =>
             if (c.equalsIgnoreCase(p.col))
@@ -1340,7 +1360,9 @@ class GraftSession(val spark: SparkSession) {
     // the view's SELECT over each inserted block, mgmt-analog; the block
     // here — checkpointed above — is exactly what landed, minus the
     // hidden partition key)
-    if (hasMvs) propagateToMvs(rdbName, name, block, mvDepth)
+    if (hasMvs)
+      try propagateToMvs(rdbName, name, block, mvDepth)
+      finally releaseCheckpoint(block)
   }
 
   /** Append an already-typed block of rows to a table — the wire-ingest

@@ -125,9 +125,14 @@ object JoinQueries {
         .orderBy(col("o_orderpriority"))
     },
 
-    // LEFT ANTI = NOT EXISTS (JoinType::Anti).
+    // LEFT ANTI = NOT EXISTS (JoinType::Anti). The subquery filters to
+    // high-value orders so BOTH sides of the anti-join are exercised at
+    // every SF — the unfiltered form returned 0 rows on this generator
+    // (every customer has an order), and empty==empty cannot distinguish
+    // a correct anti-join from an over-filtering one (VERDICT r11 #2).
     "j07_anti_join_not_exists" -> { (s, dir) =>
-      val ord = Tables(s, dir, "orders").select("o_custkey")
+      val ord = Tables(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000).select("o_custkey")
       Tables(s, dir, "customer")
         .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_mktsegment"))
@@ -247,7 +252,8 @@ object JoinQueries {
     "j07_anti_join_not_exists" ->
       """SELECT c_mktsegment, count(*) AS n_customers_no_orders
         |FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_totalprice > 400000)
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
 

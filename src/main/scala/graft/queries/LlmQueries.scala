@@ -278,37 +278,52 @@ object LlmQueries {
     * selection is content-defined, so two docs sharing a region select
     * the SAME grams at the same region-relative offsets regardless of
     * displacement, and the (o2 − o1) diagonal merge recovers the span.
-    * Runs merge on gaps ≤ w = 4 (the winnowing guarantee: every window
-    * of w consecutive gram positions contains a selection, so in-region
-    * selection gaps never exceed w); span length = selected extent + k.
-    * Same no-silent-caps contract as l25: boilerplate fingerprints in
-    * more than `capDocs` docs are excluded and COUNTED in the (-1, -1)
-    * sentinel. 100 TB: fingerprinting is map-side (one codegen'd
-    * expression per doc), one shuffle on the fingerprint, pair fan-out
-    * bounded by the cap, the merge is a per-pair-diagonal window.
+    *
+    * Parameterization (r12 — the r11 k=5 form was degenerate on the
+    * fixture's small-vocabulary corpus: every 5-gram is generic, so
+    * selections were either capped as boilerplate or scattered and NO
+    * span survived; the gate matched on the cap sentinel alone): k=12
+    * grams are discriminative (an exact 12-char match across docs is
+    * already strong shared-content evidence on this corpus), w=4, and
+    * the diagonal merge tolerates gaps ≤ `slack` = 3·w. The winnowing
+    * guarantee bounds in-region selection gaps by w; the extra slack is
+    * CAP-AWARE — when a selection inside a shared region is excised as
+    * boilerplate (>capDocs docs), the surviving neighbours on the same
+    * diagonal are up to (excised+1)·w apart, so slack = 3·w keeps a run
+    * alive across up to two excised selections instead of splitting the
+    * span. Span length = selected extent + k. Same no-silent-caps
+    * contract as l25: capped fingerprints are excluded from pair
+    * generation (the scale-critical fan-out bound) and COUNTED in the
+    * (-1, -1) sentinel. 100 TB: fingerprinting is map-side (one
+    * codegen'd expression per doc), one shuffle on the fingerprint,
+    * pair fan-out bounded by the cap, the merge is a per-pair-diagonal
+    * window.
     */
   private[graft] def winnowSpanSql(spark: Boolean, hint: String = "",
                                    capDocs: Int = 50,
+                                   k: Int = 12, wWin: Int = 4,
                                    src: String = "documents"): String = {
+    val slack = 3 * wWin
+    val minLen = k + wWin - 1
     val w =
       if (spark)
         s"""w AS (
            |  SELECT doc_id, wnd.pos AS off, wnd.fp AS h
            |  FROM (SELECT $hint doc_id, text FROM $src
-           |        WHERE length(text) >= 8) d
-           |  LATERAL VIEW explode(winnow_spans(text, 5, 4)) t AS wnd
+           |        WHERE length(text) >= $minLen) d
+           |  LATERAL VIEW explode(winnow_spans(text, $k, $wWin)) t AS wnd
            |)""".stripMargin
       else
         // the oracle states the same selection relationally: positional
-        // 5-gram hashes, per-window argmin with the LEFTMOST tie-break
+        // k-gram hashes, per-window argmin with the LEFTMOST tie-break
         // (ORDER BY h, pos — byte order over lowercase hex = the Scala
         // loop's byte compare), distinct selected (pos, hash)
         s"""kg AS (
            |  SELECT doc_id,
-           |    unnest(range(length(text) - 4)) AS pos,
-           |    unnest(list_transform(range(length(text) - 4),
-           |      i -> substr(md5(substr(text, i + 1, 5)), 1, 8))) AS h
-           |  FROM $src WHERE length(text) >= 8
+           |    unnest(range(length(text) - ${k - 1})) AS pos,
+           |    unnest(list_transform(range(length(text) - ${k - 1}),
+           |      i -> substr(md5(substr(text, i + 1, $k)), 1, 8))) AS h
+           |  FROM $src WHERE length(text) >= $minLen
            |), wn AS (
            |  SELECT doc_id, pos, h, max(pos) OVER (PARTITION BY doc_id) AS maxpos
            |  FROM kg
@@ -318,8 +333,8 @@ object LlmQueries {
            |      row_number() OVER (PARTITION BY a.doc_id, a.pos
            |        ORDER BY b.h, b.pos) AS rn
            |    FROM wn a JOIN wn b ON a.doc_id = b.doc_id
-           |      AND b.pos BETWEEN a.pos AND a.pos + 3
-           |    WHERE a.pos + 3 <= a.maxpos) s
+           |      AND b.pos BETWEEN a.pos AND a.pos + ${wWin - 1}
+           |    WHERE a.pos + ${wWin - 1} <= a.maxpos) s
            |  WHERE rn = 1
            |)""".stripMargin
     s"""WITH $w, eligible AS (
@@ -334,14 +349,14 @@ object LlmQueries {
        |           JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id
        |), runs AS (
        |  SELECT d1, d2, diag, o1,
-       |    sum(CASE WHEN prev IS NULL OR o1 - prev > 4 THEN 1 ELSE 0 END)
+       |    sum(CASE WHEN prev IS NULL OR o1 - prev > $slack THEN 1 ELSE 0 END)
        |      OVER (PARTITION BY d1, d2, diag ORDER BY o1) AS grp
        |  FROM (
        |    SELECT d1, d2, diag, o1,
        |      lag(o1) OVER (PARTITION BY d1, d2, diag ORDER BY o1) AS prev
        |    FROM m) g
        |), spans AS (
-       |  SELECT d1, d2, CAST(max(o1) - min(o1) + 5 AS BIGINT) AS span_chars
+       |  SELECT d1, d2, CAST(max(o1) - min(o1) + $k AS BIGINT) AS span_chars
        |  FROM runs GROUP BY d1, d2, diag, grp
        |), pairs AS (
        |  SELECT d1, d2, CAST(max(span_chars) AS BIGINT) AS max_span_chars,
@@ -2171,11 +2186,234 @@ object LlmQueries {
        |    / greatest((SELECT count(*) FROM cand), 1), 4) AS precision""".stripMargin
   }
 
+  /** l33b LSH auto-tuner (VERDICT r10 task #6, carried to r12): sweep
+    * (bands, rows-per-band) configurations over the SAME fixed panel as
+    * l33 — 16 min-hashes per panel doc, config (b, r) assembling band j
+    * from hashes [j·r, (j+1)·r) — and CHOOSE the cheapest configuration
+    * meeting the recall target, the way [[decontaminationShape]] picks
+    * l19-vs-l22. "Cheapest" is candidate-pair count (the cost that
+    * actually scales: corpus pair fan-out), tie-broken by signature
+    * width (map-side hash work) then band count; if no config reaches
+    * the target, the max-recall config wins. The whole sweep — panel,
+    * exact-Jaccard truth, per-config banding via a lambda over the
+    * config row, metrics, winner rank — is ONE declarative query in both
+    * engines, so the choice itself is oracle-gated. 100 TB: the panel is
+    * fixed-size, so tuning cost is corpus-independent; only the chosen
+    * config's one-pass banding ever touches the corpus (l02c).
+    */
+  private[graft] def lshAutoTuneSql(spark: Boolean,
+                                    recallTarget: Double = 0.9): String = {
+    val panel =
+      if (spark)
+        """p0 AS (
+          |  SELECT doc_id, split(text, ' ') AS t FROM documents
+          |  WHERE doc_id % 5 = 0 AND doc_id < 500
+          |    AND size(split(text, ' ')) >= 8
+          |), p AS (
+          |  SELECT doc_id, t FROM p0
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, IF(doc_id % 2 = 0,
+          |    slice(t, 3, size(t)), slice(t, size(t) DIV 2, size(t)))
+          |  FROM p0
+          |), sh0 AS (
+          |  SELECT doc_id, sh FROM p
+          |  LATERAL VIEW explode(transform(sequence(1, size(t) - 2),
+          |    i -> array_join(slice(t, i, 3), ' '))) x AS sh
+          |), sh AS (
+          |  SELECT DISTINCT doc_id, sh FROM sh0
+          |)""".stripMargin
+      else
+        """p0 AS (
+          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+          |  WHERE doc_id % 5 = 0 AND doc_id < 500
+          |    AND len(string_split(text, ' ')) >= 8
+          |), p AS (
+          |  SELECT doc_id, t FROM p0
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, CASE WHEN doc_id % 2 = 0
+          |    THEN t[3:len(t)] ELSE t[len(t) // 2:len(t)] END
+          |  FROM p0
+          |), sh0 AS (
+          |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+          |    i -> array_to_string(t[i:i+2], ' '))) AS sh FROM p
+          |), sh AS (
+          |  SELECT DISTINCT doc_id, sh FROM sh0
+          |)""".stripMargin
+    val hl =
+      if (spark)
+        """hl AS (
+          |  SELECT doc_id, k,
+          |    min(substr(md5(concat(sh, '#', CAST(k AS STRING))), 1, 8)) AS h
+          |  FROM sh CROSS JOIN (SELECT explode(sequence(0, 15)) AS k) ks
+          |  GROUP BY doc_id, k
+          |)""".stripMargin
+      else
+        """hl AS (
+          |  SELECT doc_id, ks.k,
+          |    min(substr(md5(concat(sh, '#', ks.k)), 1, 8)) AS h
+          |  FROM sh CROSS JOIN range(0, 16) ks(k)
+          |  GROUP BY doc_id, ks.k
+          |)""".stripMargin
+    val cfgRows = "(1,1),(2,1),(4,1),(8,1),(16,1),(2,2),(4,2),(8,2),(2,4),(4,4),(2,8)"
+    val cfg =
+      if (spark) s"cfg AS (SELECT * FROM VALUES $cfgRows AS c(b, r))"
+      else s"cfg AS (SELECT * FROM (VALUES $cfgRows) c(b, r))"
+    // per-(doc, config, band) signature: ordered concat of that band's
+    // hashes — Spark states the ordering via array_sort over (k, h)
+    // structs, DuckDB via string_agg's ORDER BY; both are the k-ordered
+    // concatenation
+    val bands =
+      if (spark)
+        """bands AS (
+          |  SELECT doc_id, c.b, c.r, k DIV c.r AS band,
+          |    array_join(transform(array_sort(collect_list(struct(k, h))),
+          |      x -> x.h), '') AS sig
+          |  FROM hl CROSS JOIN cfg c
+          |  WHERE k < c.b * c.r
+          |  GROUP BY doc_id, c.b, c.r, k DIV c.r
+          |)""".stripMargin
+      else
+        """bands AS (
+          |  SELECT hl.doc_id, c.b, c.r, CAST(hl.k // c.r AS INT) AS band,
+          |    string_agg(hl.h, '' ORDER BY hl.k) AS sig
+          |  FROM hl CROSS JOIN cfg c
+          |  WHERE hl.k < c.b * c.r
+          |  GROUP BY hl.doc_id, c.b, c.r, CAST(hl.k // c.r AS INT)
+          |)""".stripMargin
+    s"""WITH $panel, sz AS (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+       |), inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS iw
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |), truth AS (
+       |  SELECT d1, d2 FROM inter
+       |  JOIN sz sa ON sa.doc_id = d1
+       |  JOIN sz sb ON sb.doc_id = d2
+       |  WHERE CAST(iw AS DOUBLE) / (sa.n + sb.n - iw) >= 0.3
+       |), $hl, $cfg, $bands, cand AS (
+       |  SELECT DISTINCT a.b, a.r, a.doc_id AS d1, b2.doc_id AS d2
+       |  FROM bands a JOIN bands b2 ON a.b = b2.b AND a.r = b2.r
+       |    AND a.band = b2.band AND a.sig = b2.sig AND a.doc_id < b2.doc_id
+       |), agg AS (
+       |  SELECT cfg.b, cfg.r, coalesce(x.n_cand, 0) AS n_cand,
+       |    coalesce(x.n_hit, 0) AS n_hit
+       |  FROM cfg LEFT JOIN (
+       |    SELECT c.b, c.r, count(*) AS n_cand, count(t.d1) AS n_hit
+       |    FROM cand c LEFT JOIN truth t ON c.d1 = t.d1 AND c.d2 = t.d2
+       |    GROUP BY c.b, c.r) x ON x.b = cfg.b AND x.r = cfg.r
+       |), nt AS (
+       |  SELECT count(*) AS n FROM truth
+       |), scored AS (
+       |  SELECT b, r, n_cand, n_hit,
+       |    CAST(n_hit AS DOUBLE) / greatest(nt.n, 1) AS recall,
+       |    CAST(n_hit AS DOUBLE) / greatest(n_cand, 1) AS prec
+       |  FROM agg CROSS JOIN nt
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (ORDER BY
+       |      CASE WHEN recall >= $recallTarget THEN 0 ELSE 1 END,
+       |      CASE WHEN recall >= $recallTarget THEN CAST(n_cand AS DOUBLE)
+       |           ELSE -recall END,
+       |      b * r, b) AS rk
+       |  FROM scored
+       |)
+       |SELECT CAST(b AS BIGINT) AS bands, CAST(r AS BIGINT) AS rows_per_band,
+       |  CAST(n_cand AS BIGINT) AS n_cand, CAST(n_hit AS BIGINT) AS n_hit,
+       |  round(recall, 4) AS recall, round(prec, 4) AS precision,
+       |  CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS INT) AS chosen
+       |FROM ranked ORDER BY bands, rows_per_band""".stripMargin
+  }
+
+  /** The auto-tuner's decision as l02c's parameters: session conf
+    * `graft.lsh.config` ("BxR" — forced arms for specs/A-Bs), else run
+    * the panel sweep and collect the winner (a fixed-size, corpus-
+    * independent job — the [[decontaminationShape]] precedent).
+    */
+  private[graft] def lshAutoTuneChoice(s: SparkSession): (Int, Int) =
+    s.conf.getOption("graft.lsh.config").map { v =>
+      val Array(b, r) = v.toLowerCase.split("x").map(_.trim.toInt)
+      (b, r)
+    }.getOrElse {
+      val row = s.sql(lshAutoTuneSql(spark = true))
+        .filter(org.apache.spark.sql.functions.col("chosen") === 1)
+        .select("bands", "rows_per_band").head()
+      (row.getLong(0).toInt, row.getLong(1).toInt)
+    }
+
+  /** l02c's DuckDB oracle: recompute the sweep's winner INLINE (the same
+    * ranked CTE as l33b — deterministic, so both engines make the same
+    * choice) and run the corpus banding parameterized by that one-row
+    * choice: band j of config (b, r) is hashes [j·r, (j+1)·r), exactly
+    * [[minhashLshSqlN]]'s layout, so the Spark side can keep its static
+    * codegen'd minhash_sigs form for whatever config won.
+    */
+  private[graft] def lshTunedCorpusSql(cap: Int): String = {
+    val sweep = lshAutoTuneSql(spark = false)
+    val ctes = sweep.substring(sweep.indexOf("WITH ") + 5,
+      sweep.lastIndexOf("\nSELECT CAST(b AS BIGINT)"))
+    s"""WITH $ctes, ch AS (
+       |  SELECT b, r FROM ranked WHERE rk = 1
+       |), corpus AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3
+       |), csh AS (
+       |  SELECT doc_id, unnest(list_transform(range(len(t) - 2),
+       |    i -> array_to_string(t[i+1:i+3], ' '))) AS s
+       |  FROM corpus
+       |), cmh AS (
+       |  SELECT doc_id, ks.k, min(substr(md5(concat(s, '#', ks.k)), 1, 8)) AS h
+       |  FROM csh CROSS JOIN range(0, 16) ks(k)
+       |  WHERE ks.k < (SELECT b * r FROM ch)
+       |  GROUP BY doc_id, ks.k
+       |), cbands AS (
+       |  SELECT m.doc_id, CAST(m.k // ch.r AS INT) AS band,
+       |    string_agg(m.h, '' ORDER BY m.k) AS sig
+       |  FROM cmh m CROSS JOIN ch
+       |  GROUP BY m.doc_id, CAST(m.k // ch.r AS INT)
+       |), buckets AS (
+       |  SELECT band, sig, count(*) AS n FROM cbands GROUP BY band, sig
+       |), pairs AS (
+       |  SELECT a.doc_id AS d1, b2.doc_id AS d2
+       |  FROM cbands a JOIN cbands b2
+       |    ON a.band = b2.band AND a.sig = b2.sig AND a.doc_id < b2.doc_id
+       |  JOIN buckets k ON k.band = a.band AND k.sig = a.sig AND k.n <= $cap
+       |)
+       |SELECT count(*) AS n_candidate_pairs,
+       |  count(DISTINCT concat(d1, '_', d2)) AS n_distinct_pairs,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM buckets
+       |     WHERE n > 1 AND n <= $cap) AS n_multi_buckets,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM buckets
+       |     WHERE n > $cap) AS n_dropped_buckets
+       |FROM pairs""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- l33: LSH recall/precision evaluation -------------------------
     "l33_lsh_eval" -> { (s, dir) =>
       Tables.registerAll(s, dir)
       s.sql(lshEvalSql(spark = true))
+    },
+
+    // ---- l33b: LSH auto-tuner -----------------------------------------
+    // Sweep (bands, rows) on the fixed panel, oracle-gate the metrics
+    // AND the winner flag (see lshAutoTuneSql — VERDICT r10 task #6).
+    "l33b_lsh_autotune" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(lshAutoTuneSql(spark = true))
+    },
+
+    // ---- l02c: minhash-LSH at the auto-tuned configuration ------------
+    // The tuner's decision driving the production corpus pass: collect
+    // the panel sweep's winner (corpus-independent), run minhashLshSqlN
+    // at that (bands × rows). The oracle recomputes the same winner
+    // inline and runs the generic banding — both engines agree on the
+    // choice because the sweep is deterministic.
+    "l02c_minhash_lsh_tuned" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      graft.functions.NGramFunctions.register(s)
+      val (b, r) = lshAutoTuneChoice(s)
+      s.sql(minhashLshSqlN(spark = true, nHashes = b * r, bandSize = r,
+        cap = LshBucketCap, hint = Tables.spreadHint(s)))
     },
 
     // ---- l32: token-budget mixture sampling ---------------------------
@@ -3126,6 +3364,8 @@ object LlmQueries {
 
   val oracles: Map[String, String] = Map(
     "l33_lsh_eval" -> lshEvalSql(spark = false),
+    "l33b_lsh_autotune" -> lshAutoTuneSql(spark = false),
+    "l02c_minhash_lsh_tuned" -> lshTunedCorpusSql(cap = LshBucketCap),
     "l32_mixture_sampling" -> mixSql(spark = false),
     "l31_cdc_chunking" -> cdcSql(spark = false),
     "l30_bigram_lm_score" -> lmSql(spark = false),

@@ -159,6 +159,17 @@ final class ChNativeClient(host: String, port: Int,
         compress = compression, declared = declared)
       n += batch.length
     }
+    // INTEROP NOTE (ADVICE r11): the zero-row terminator frames any LC
+    // column as real ClickHouse does — u64 keys-version prefix only, no
+    // flags word. The reference dialect diverges BOTH ways here: its
+    // decoder (blocks.rs:480-531) reads the flags u64 unconditionally
+    // even for zero rows, and its own zero-row writes omit the prefix
+    // entirely (types.rs:180-192) — so no framing satisfies both peers
+    // and we resolve in real CH's favor. Streaming an LC-columned INSERT
+    // into a reference-dialect server would desync at the terminator;
+    // remote() targets speaking that dialect must not declare LC columns
+    // (the reference itself maps LC to raw UInt32 on query, so in
+    // practice its tables never advertise LC over the wire).
     ChProto.writeDataBlock(out, schema, Seq.empty, ChProto.Client.Data,
       compress = compression, declared = declared)
     out.flush()

@@ -544,8 +544,14 @@ object ChProto {
       case b => (false, b)
     }
     val nDict = readLongLe(in, 8)
-    if (nDict < 0 || nDict > Int.MaxValue.toLong)
-      throw new java.io.IOException(s"LowCardinality dict size $nDict invalid")
+    // An ADDITIONAL_KEYS (per-block) dictionary larger than the block's
+    // row count (+1 for a Nullable null slot) is never legitimate —
+    // bound BEFORE allocating, so a hostile/corrupt peer claiming a
+    // multi-billion-entry dict fails cheaply instead of triggering a
+    // huge Vector.fill allocation (ADVICE r11).
+    if (nDict < 0 || nDict > nRows.toLong + 1)
+      throw new java.io.IOException(
+        s"LowCardinality dict size $nDict invalid for $nRows-row block")
     val dict = Vector.fill(nDict.toInt)(readValue(in, base))
     val nKeys = readLongLe(in, 8)
     if (nKeys != nRows.toLong)
