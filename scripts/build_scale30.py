@@ -14,8 +14,9 @@ the "more users" scale direction for the as-of/range/window family,
 whose per-user history density stays constant while shuffle volume and
 key cardinality grow 30x.
 
-Usage: python3 scripts/build_scale30.py [outdir] [--events]
-       (default outdir /tmp/sf_scale30)
+Usage: python3 scripts/build_scale30.py [outdir] [--events] [--repl N]
+       (default outdir /tmp/sf_scale30, default N=30; --repl 100 is the
+       r12 100x probe: 500k docs / 10M events)
 Then:  sbt "runMain graft.Verify <outdir> /tmp/verify_s30 l11_simhash_hamming_join"
        python3 scripts/check_oracle.py <outdir> /tmp/verify_s30
 (l11 is skipped by design: its 8-bit toy fingerprint key space is
@@ -29,14 +30,13 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
-REPL = 30
 
 
-def replicate(name: str, id_cols: list, out: str) -> str:
+def replicate(name: str, id_cols: list, out: str, repl: int) -> str:
     t = pq.read_table(f"{SRC}/{name}.parquet")
     offs = {c: pc.max(t[c]).as_py() + 1 for c in id_cols}
     parts = []
-    for i in range(REPL):
+    for i in range(repl):
         p = t
         for c in id_cols:
             p = p.set_column(p.schema.get_field_index(c), c,
@@ -50,13 +50,19 @@ def replicate(name: str, id_cols: list, out: str) -> str:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--events"]
-    with_events = "--events" in sys.argv[1:]
+    argv = sys.argv[1:]
+    repl = 30
+    if "--repl" in argv:
+        i = argv.index("--repl")
+        repl = int(argv[i + 1])
+        del argv[i:i + 2]
+    args = [a for a in argv if a != "--events"]
+    with_events = "--events" in argv
     out = args[0] if args else "/tmp/sf_scale30"
     os.makedirs(out, exist_ok=True)
-    done = [replicate("documents", ["doc_id"], out)]
+    done = [replicate("documents", ["doc_id"], out, repl)]
     if with_events:
-        done.append(replicate("events", ["event_id", "user_id"], out))
+        done.append(replicate("events", ["event_id", "user_id"], out, repl))
     for name in ("region", "nation", "customer", "supplier", "part",
                  "orders", "lineitem", "events", "embeddings"):
         dst = f"{out}/{name}.parquet"

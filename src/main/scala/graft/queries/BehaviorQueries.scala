@@ -146,37 +146,49 @@ object BehaviorQueries {
         |    AS n_converting_users
         |FROM per_user""".stripMargin,
 
-    // Chain existence per depth via joins: depth 2 needs a view≤click
-    // within 24h; depth 3 needs view ≤ click ≤ purchase with the purchase
-    // within 24h of the view (which bounds the click too).
+    // Chain existence per depth via the LINEAR greedy-latest carry
+    // (VERDICT r10 task #3, landed r12): running-max window functions
+    // state exactly WindowFunnel's greedy-latest argument relationally —
+    // v1 = latest view at-or-before each event, s2 = latest chain-start
+    // over clicks at-or-before each event (a click's best chain start IS
+    // its latest preceding view); depth d is reached iff some step-d
+    // event sees its carry within the 24 h window. RANGE frames keep
+    // equal-timestamp events mutually visible (the join formulation's
+    // non-strict >=). Replaces the r7-r11 e×e×e join formulation, which
+    // was existence-correct but quadratic per user — it spilled DuckDB
+    // past the disk at the 3M-event 30× probe; this form is one sort +
+    // two linear passes per user and cross-checks at any local scale
+    // (verified equal to the join form at sf0.001/0.01/0.1).
     "b03_window_funnel" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
         |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
         |                    WHEN 'purchase' THEN 3 END AS step
         |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
-        |), l1 AS (SELECT DISTINCT user_id FROM e WHERE step = 1),
-        |l2 AS (
-        |  SELECT DISTINCT a.user_id
-        |  FROM e a JOIN e b ON a.user_id = b.user_id
-        |  WHERE a.step = 1 AND b.step = 2
-        |    AND b.us >= a.us AND b.us - a.us <= 86400000000
-        |), l3 AS (
-        |  SELECT DISTINCT a.user_id
-        |  FROM e a JOIN e b ON a.user_id = b.user_id
-        |           JOIN e c ON a.user_id = c.user_id
-        |  WHERE a.step = 1 AND b.step = 2 AND c.step = 3
-        |    AND b.us >= a.us AND c.us >= b.us
-        |    AND c.us - a.us <= 86400000000
+        |), w AS (
+        |  SELECT user_id, us, step,
+        |    max(CASE WHEN step = 1 THEN us END) OVER
+        |      (PARTITION BY user_id ORDER BY us
+        |       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v1
+        |  FROM e
+        |), w2 AS (
+        |  SELECT user_id, us, step, v1,
+        |    max(CASE WHEN step = 2 THEN v1 END) OVER
+        |      (PARTITION BY user_id ORDER BY us
+        |       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s2
+        |  FROM w
+        |), per_user AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN step = 1 THEN 1 ELSE 0 END) AS d1,
+        |    max(CASE WHEN step = 2 AND v1 IS NOT NULL
+        |             AND us - v1 <= 86400000000 THEN 1 ELSE 0 END) AS d2,
+        |    max(CASE WHEN step = 3 AND s2 IS NOT NULL
+        |             AND us - s2 <= 86400000000 THEN 1 ELSE 0 END) AS d3
+        |  FROM w2 GROUP BY user_id
         |), lvl AS (
-        |  SELECT u.user_id,
-        |    CASE WHEN l3.user_id IS NOT NULL THEN 3
-        |         WHEN l2.user_id IS NOT NULL THEN 2
-        |         WHEN l1.user_id IS NOT NULL THEN 1 ELSE 0 END AS lvl
-        |  FROM (SELECT DISTINCT user_id FROM e) u
-        |  LEFT JOIN l1 ON u.user_id = l1.user_id
-        |  LEFT JOIN l2 ON u.user_id = l2.user_id
-        |  LEFT JOIN l3 ON u.user_id = l3.user_id
+        |  SELECT CASE WHEN d3 = 1 THEN 3 WHEN d2 = 1 THEN 2
+        |              WHEN d1 = 1 THEN 1 ELSE 0 END AS lvl
+        |  FROM per_user
         |)
         |SELECT CAST(lvl AS INT) AS funnel_level,
         |  CAST(count(*) AS BIGINT) AS n_users

@@ -1315,7 +1315,8 @@ object LlmQueries {
     * as a WITH-body fragment, shared by pqSql and the composed IVF-PQ
     * oracle so the training math cannot drift between entries.
     */
-  private def pqChainCtes(spark: Boolean, trainSample: Boolean): String = {
+  private def pqChainCtes(spark: Boolean, trainSample: Boolean,
+                          encodeFrom: String = "embeddings"): String = {
     def l216(a: String, b: String) =
       if (spark)
         s"aggregate(zip_with(CAST($a AS ARRAY<DOUBLE>), CAST($b AS ARRAY<DOUBLE>), " +
@@ -1363,21 +1364,41 @@ object LlmQueries {
            |    GROUP BY a.sub, a.code, t.i) u
            |  GROUP BY sub, code
            |)""".stripMargin
+    // The encode pass reads `encodeFrom` (the live corpus — possibly
+    // original ∪ ingested delta, l35); the TRAINING sample always reads
+    // the ORIGINAL corpus, so quantizers stay frozen across ingests —
+    // production PQ add() semantics: encode new vectors, never retrain.
     val subCte =
       if (spark)
         s"""sub AS (
            |  SELECT vec_id, t.s AS sub, slice(embedding, t.s * 16 + 1, 16) AS sv
-           |  FROM embeddings LATERAL VIEW explode(sequence(0, 3)) t AS s
+           |  FROM $encodeFrom LATERAL VIEW explode(sequence(0, 3)) t AS s
            |)""".stripMargin
       else
         s"""sub AS (
            |  SELECT vec_id, t.s AS sub,
            |    embedding[(t.s * 16 + 1):(t.s * 16 + 16)] AS sv
-           |  FROM embeddings CROSS JOIN (SELECT unnest(range(4)) AS s) t
+           |  FROM $encodeFrom CROSS JOIN (SELECT unnest(range(4)) AS s) t
            |)""".stripMargin
     val subtCte =
-      if (trainSample) ",\nsubt AS (SELECT * FROM sub WHERE vec_id % 4 = 0)"
-      else ""
+      if (!trainSample) ""
+      else if (encodeFrom == "embeddings")
+        ",\nsubt AS (SELECT * FROM sub WHERE vec_id % 4 = 0)"
+      else if (spark)
+        """,
+          |subt AS (
+          |  SELECT vec_id, t.s AS sub, slice(embedding, t.s * 16 + 1, 16) AS sv
+          |  FROM embeddings LATERAL VIEW explode(sequence(0, 3)) t AS s
+          |  WHERE vec_id % 4 = 0
+          |)""".stripMargin
+      else
+        """,
+          |subt AS (
+          |  SELECT vec_id, t.s AS sub,
+          |    embedding[(t.s * 16 + 1):(t.s * 16 + 16)] AS sv
+          |  FROM embeddings CROSS JOIN (SELECT unnest(range(4)) AS s) t
+          |  WHERE vec_id % 4 = 0
+          |)""".stripMargin
     val sampleWhere = if (trainSample) "WHERE vec_id % 4 = 0 " else ""
     // sample-independent stratifier (the ivfTrainCtes rationale): ids
     // ≡ 0 mod 4 hit every (vec_id div 4) % 4 residue, so the sampled
@@ -1572,7 +1593,60 @@ object LlmQueries {
     * lookups per row, no Window, no training subtree, no corpus-keyed
     * shuffle — into a top-20, then the 20-row exact-cosine rerank.
     */
-  private[graft] def ivfPqServedSparkSql: String = {
+  /** l35's per-block ENCODER — the SELECT of the index-maintaining
+    * materialized view: cell (argmax cosine over the frozen centroid
+    * store) and the 4 PQ codes (per-subspace argmin L2 over the frozen
+    * codebook), each as ONE expression over a single scan of `src`.
+    * The quantizers ride as one-row CROSS JOIN aggregates (broadcast at
+    * execution — order-independent because argmax/argmin scan the whole
+    * list; scalar subqueries are rejected inside higher-order
+    * functions, and the source table stays the SELECT's first top-level
+    * FROM, which is what the d11 block substitution keys on);
+    * tie-breaks match the oracle's assign rules
+    * exactly: struct('s', sim, 'nc', -cid) array_max = max sim then min
+    * cid, struct('d', dist, 'cid', cid) array_min = min dist then min
+    * cid. No join, no window, no shuffle — per-block index maintenance
+    * is map-only, the property that makes MV-driven re-encode viable at
+    * ingest rates.
+    */
+  private[graft] def indexEncodeSparkSql(src: String): String = {
+    def cos(a: String, b: String) =
+      s"${dotSpark(a, b)} / (sqrt(${dotSpark(a, a)}) * sqrt(${dotSpark(b, b)}))"
+    def l216(a: String, b: String) =
+      s"aggregate(zip_with(CAST($a AS ARRAY<DOUBLE>), CAST($b AS ARRAY<DOUBLE>), " +
+        s"(x, y) -> (x - y) * (x - y)), 0d, (acc, v) -> acc + v)"
+    val codeCols = (0 until 4).map { i =>
+      s"""array_min(transform(cb.b$i,
+         |    c -> named_struct(
+         |      'd', ${l216(s"slice(embedding, ${i * 16} + 1, 16)", "c.ce")},
+         |      'cid', c.cid))).cid AS c$i""".stripMargin
+    }.mkString(",\n  ")
+    val cbCols = (0 until 4).map(i =>
+      s"collect_list(CASE WHEN sub = $i THEN named_struct('cid', cid, 'ce', ce) END) AS b$i")
+      .mkString(",\n    ")
+    s"""SELECT vec_id,
+       |  -array_max(transform(cs.cl,
+       |    c -> named_struct('s', ${cos("embedding", "c.ce")},
+       |                      'nc', -c.cid))).nc AS cell,
+       |  $codeCols
+       |FROM $src
+       |CROSS JOIN (SELECT collect_list(named_struct('cid', cid, 'ce', ce)) AS cl
+       |            FROM ivf_centroids) cs
+       |CROSS JOIN (SELECT
+       |    $cbCols
+       |  FROM pq_codebook) cb""".stripMargin
+  }
+
+  private[graft] def ivfPqServedSparkSql: String =
+    ivfPqServedSparkSql("ivfpq_index", "embeddings")
+
+  /** Parameterized form: `index` is the composed (vec_id, cell, c0..c3)
+    * fact table — the persisted parquet store for l34, the MV-maintained
+    * engine table for l35 — and `corpus` is where the exact-rerank reads
+    * live embeddings (the post-ingest table for l35).
+    */
+  private[graft] def ivfPqServedSparkSql(index: String,
+                                         corpus: String): String = {
     def cos(a: String, b: String) =
       s"""${dotSpark(a, b)}
          |        / (sqrt(${dotSpark(a, a)}) * sqrt(${dotSpark(b, b)}))""".stripMargin
@@ -1609,7 +1683,7 @@ object LlmQueries {
        |    CAST(($adcNum) AS DOUBLE)
        |      / (sqrt(${dotSpark("q.qe", "q.qe")})
        |         * sqrt(CAST(($adcN2) AS DOUBLE))) AS adc_sim
-       |  FROM ivfpq_index k CROSS JOIN lrow l CROSS JOIN q
+       |  FROM $index k CROSS JOIN lrow l CROSS JOIN q
        |  WHERE k.vec_id <> 0 AND k.cell IN (SELECT cid FROM qcells)
        |  ORDER BY adc_sim DESC, k.vec_id
        |  LIMIT 20
@@ -1618,7 +1692,7 @@ object LlmQueries {
        |    ${dotSpark("e.embedding", "q.qe")}
        |      / (sqrt(${dotSpark("e.embedding", "e.embedding")})
        |         * sqrt(${dotSpark("q.qe", "q.qe")})) AS sim
-       |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id CROSS JOIN q
+       |  FROM cand c JOIN $corpus e ON e.vec_id = c.vec_id CROSS JOIN q
        |)
        |SELECT vec_id, round(adc_sim, 6) AS adc_sim, round(sim, 6) AS sim
        |FROM rerank ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
@@ -1631,17 +1705,25 @@ object LlmQueries {
     * rerank. CTE names don't collide: the IVF chain uses seeds/c0..c2,
     * the PQ chain sub/pseeds/pc0..pc2/codes.
     */
-  private[graft] def ivfPqOracleSql: String = {
+  private[graft] def ivfPqOracleSql: String = ivfPqOracleSql("embeddings", "")
+
+  /** Parameterized form (l35): `corpus` is the post-ingest relation the
+    * cell assignment, PQ encode and exact rerank read; training (tr
+    * sample, pseeds) ALWAYS reads the original `embeddings` — frozen
+    * quantizers, the add-don't-retrain contract the Spark side's
+    * MV-maintained index implements. `prelude` injects the corpus CTE.
+    */
+  private[graft] def ivfPqOracleSql(corpus: String, prelude: String): String = {
     def cos(a: String, b: String) =
       s"""${dotDuck(a, b)}
          |      / (sqrt(${dotDuck(a, a)}) * sqrt(${dotDuck(b, b)}))""".stripMargin
     def dot16(a: String, b: String) = pqDot16(spark = false, a, b)
-    s"""WITH tr AS (
+    s"""WITH ${prelude}tr AS (
        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0
        |),
        |${ivfTrainCtes(spark = false, "tr")},
-       |${ivfAssign(spark = false, "assigned", "embeddings", "c2")},
-       |${pqChainCtes(spark = false, trainSample = true)},
+       |${ivfAssign(spark = false, "assigned", corpus, "c2")},
+       |${pqChainCtes(spark = false, trainSample = true, encodeFrom = corpus)},
        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
        |qsub AS (SELECT sub, sv AS qv FROM sub WHERE vec_id = 0),
        |qcells AS (
@@ -1672,7 +1754,7 @@ object LlmQueries {
        |), rerank AS (
        |  SELECT c.vec_id, c.adc_sim,
        |    ${cos("e.embedding", "q.qe")} AS sim
-       |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id CROSS JOIN q
+       |  FROM cand c JOIN $corpus e ON e.vec_id = c.vec_id CROSS JOIN q
        |)
        |SELECT vec_id, round(adc_sim, 6) AS adc_sim, round(sim, 6) AS sim
        |FROM rerank ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
@@ -2480,6 +2562,41 @@ object LlmQueries {
       graft.functions.VectorFunctions.register(s)
       ivfPqIndex(s, dir)
       s.sql(ivfPqServedSparkSql)
+    },
+
+    // ---- l35: index lifecycle — ingest re-encodes, serving sees it ----
+    // VERDICT r11 task #7: the served indexes were built once; production
+    // re-ingests. Here the IVF-PQ index IS a materialized view of the
+    // live table: the d11 subscription machinery runs the ENCODER (one
+    // map-side expression — argmax-cosine cell + per-subspace argmin PQ
+    // codes against the frozen v2 quantizer stores, broadcast as scalar
+    // subqueries) over every inserted block and appends the codes to the
+    // index table. Ingest a delta (copies of vec_id ≡ 3 mod 7, re-id'd
+    // +100000) and the serving query — same l34 shape, reading the
+    // MV-maintained index and reranking against the live table — must
+    // return the new vectors (vec 73's copy lands in the top-5 at
+    // sf0.01). Quantizers are FROZEN across ingests (FAISS add()
+    // semantics: encode, never retrain); the oracle recomputes with
+    // training pinned to the original corpus and encode over the union.
+    // 100 TB: per-block encode is embarrassingly parallel (no shuffle in
+    // the MV SELECT), index maintenance cost scales with the delta, not
+    // the corpus.
+    "l35_ann_index_ingest" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      graft.functions.VectorFunctions.register(s)
+      ivfCentroids(s, dir).createOrReplaceTempView("ivf_centroids")
+      pqIndex(s, dir)
+      val g = new graft.exec.GraftSession(s)
+      g.sql("DROP TABLE IF EXISTS graft_emb_index; " +
+        "DROP TABLE IF EXISTS graft_emb_live")
+      g.sql("CREATE TABLE graft_emb_live(vec_id Int64, embedding Array(Float32))")
+      g.sql("CREATE MATERIALIZED VIEW graft_emb_index AS " +
+        indexEncodeSparkSql("graft_emb_live"))
+      g.sql("INSERT INTO graft_emb_live SELECT vec_id, embedding FROM embeddings")
+      g.sql("INSERT INTO graft_emb_live SELECT vec_id + 100000, embedding " +
+        "FROM embeddings WHERE vec_id % 7 = 3")
+      s.sql(ivfPqServedSparkSql(index = "graft_emb_index",
+        corpus = "graft_emb_live"))
     },
 
     // ---- l27: training-sequence packing (concatenate-and-chunk) -------
@@ -3679,6 +3796,18 @@ object LlmQueries {
     "l24_semdedup" -> semDedupSql(spark = false),
     "l24b_semdedup_served" -> semDedupServedOracleSql(),
     "l34_ann_ivfpq_served" -> ivfPqOracleSql,
+
+    // l35: same IVFPQ recompute with training PINNED to the original
+    // corpus and assignment/encode/rerank over the post-ingest union —
+    // the frozen-quantizer add() contract stated relationally.
+    "l35_ann_index_ingest" -> ivfPqOracleSql("emb2",
+      """emb2 AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+        |  WHERE vec_id % 7 = 3
+        |),
+        |""".stripMargin),
     "l25_substring_span_dedup" -> substringSpanSql(spark = false),
     "l25b_winnow_span_dedup" -> winnowSpanSql(spark = false),
     "l26_ann_pq" -> pqSql(spark = false),
