@@ -313,11 +313,26 @@ object LlmQueries {
            |        WHERE length(text) >= $minLen) d
            |  LATERAL VIEW explode(winnow_spans(text, $k, $wWin)) t AS wnd
            |)""".stripMargin
-      else
-        // the oracle states the same selection relationally: positional
-        // k-gram hashes, per-window argmin with the LEFTMOST tie-break
-        // (ORDER BY h, pos — byte order over lowercase hex = the Scala
-        // loop's byte compare), distinct selected (pos, hash)
+      else {
+        // The oracle states the same selection relationally — and
+        // LINEARLY (the b03 discipline, r12: the former per-window
+        // argmin self-join spilled DuckDB past the disk at the 500k-doc
+        // 100× probe). Position p wins window s under the leftmost-
+        // tie-break iff every position in [s, p) hashes STRICTLY above
+        // h(p) and every position in (p, s+w-1] hashes at-or-above it;
+        // so with lp = the (w-1)-capped run of strictly-greater
+        // predecessors and rp = the capped run of at-or-greater
+        // successors, p is selected iff some valid window start fits:
+        // max(0, p-w+1, p-lp) <= min(p, maxpos-w+1, p+rp-w+1). lp/rp
+        // are w-1 LAG/LEADs — one sort per doc, no self-join (verified
+        // equal to the join form over every sf0.01 selection).
+        val lagCols = (1 until wWin).map(i =>
+          s"lag(h, $i) OVER dw AS a$i, lead(h, $i) OVER dw AS b$i")
+          .mkString(",\n           |    ")
+        def runCase(col: Int => String, cmp: String) =
+          (1 until wWin).map(i =>
+            s"WHEN ${col(i)} IS NULL OR ${col(i)} $cmp h THEN ${i - 1}")
+            .mkString("CASE ", "\n           |         ", s" ELSE ${wWin - 1} END")
         s"""kg AS (
            |  SELECT doc_id,
            |    unnest(range(length(text) - ${k - 1})) AS pos,
@@ -325,18 +340,22 @@ object LlmQueries {
            |      i -> substr(md5(substr(text, i + 1, $k)), 1, 8))) AS h
            |  FROM $src WHERE length(text) >= $minLen
            |), wn AS (
-           |  SELECT doc_id, pos, h, max(pos) OVER (PARTITION BY doc_id) AS maxpos
+           |  SELECT doc_id, pos, h,
+           |    max(pos) OVER (PARTITION BY doc_id) AS maxpos,
+           |    $lagCols
            |  FROM kg
+           |  WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)
+           |), wr AS (
+           |  SELECT doc_id, pos AS off, h, maxpos,
+           |    ${runCase(i => s"a$i", "<=")} AS lp,
+           |    ${runCase(i => s"b$i", "<")} AS rp
+           |  FROM wn
            |), w AS (
-           |  SELECT DISTINCT doc_id, off, h FROM (
-           |    SELECT a.doc_id, b.pos AS off, b.h,
-           |      row_number() OVER (PARTITION BY a.doc_id, a.pos
-           |        ORDER BY b.h, b.pos) AS rn
-           |    FROM wn a JOIN wn b ON a.doc_id = b.doc_id
-           |      AND b.pos BETWEEN a.pos AND a.pos + ${wWin - 1}
-           |    WHERE a.pos + ${wWin - 1} <= a.maxpos) s
-           |  WHERE rn = 1
+           |  SELECT doc_id, off, h FROM wr
+           |  WHERE greatest(0, off - ${wWin - 1}, off - lp)
+           |        <= least(off, maxpos - ${wWin - 1}, off + rp - ${wWin - 1})
            |)""".stripMargin
+      }
     s"""WITH $w, eligible AS (
        |  SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) <= $capDocs
        |), capped AS (
