@@ -1665,7 +1665,8 @@ object LlmQueries {
     * live embeddings (the post-ingest table for l35).
     */
   private[graft] def ivfPqServedSparkSql(index: String,
-                                         corpus: String): String = {
+                                         corpus: String,
+                                         extraPred: String = ""): String = {
     def cos(a: String, b: String) =
       s"""${dotSpark(a, b)}
          |        / (sqrt(${dotSpark(a, a)}) * sqrt(${dotSpark(b, b)}))""".stripMargin
@@ -1703,7 +1704,7 @@ object LlmQueries {
        |      / (sqrt(${dotSpark("q.qe", "q.qe")})
        |         * sqrt(CAST(($adcN2) AS DOUBLE))) AS adc_sim
        |  FROM $index k CROSS JOIN lrow l CROSS JOIN q
-       |  WHERE k.vec_id <> 0 AND k.cell IN (SELECT cid FROM qcells)
+       |  WHERE k.vec_id <> 0 AND k.cell IN (SELECT cid FROM qcells)$extraPred
        |  ORDER BY adc_sim DESC, k.vec_id
        |  LIMIT 20
        |), rerank AS (
@@ -1732,7 +1733,8 @@ object LlmQueries {
     * quantizers, the add-don't-retrain contract the Spark side's
     * MV-maintained index implements. `prelude` injects the corpus CTE.
     */
-  private[graft] def ivfPqOracleSql(corpus: String, prelude: String): String = {
+  private[graft] def ivfPqOracleSql(corpus: String, prelude: String,
+                                    filterJoin: String = ""): String = {
     def cos(a: String, b: String) =
       s"""${dotDuck(a, b)}
          |      / (sqrt(${dotDuck(a, a)}) * sqrt(${dotDuck(b, b)}))""".stripMargin
@@ -1761,7 +1763,7 @@ object LlmQueries {
        |  FROM codes k
        |  JOIN lut l ON k.sub = l.sub AND k.code = l.cid
        |  JOIN assigned a ON a.vec_id = k.vec_id
-       |  JOIN qcells qc ON a.cell = qc.cid
+       |  JOIN qcells qc ON a.cell = qc.cid$filterJoin
        |  WHERE k.vec_id <> 0
        |  GROUP BY k.vec_id
        |), cand AS (
@@ -2488,6 +2490,93 @@ object LlmQueries {
        |FROM pairs""".stripMargin
   }
 
+  /** l37 hybrid retrieval — BM25 keyword arm + brute-force-cosine ANN
+    * arm, fused by reciprocal-rank fusion (RRF, k=60): the curation/
+    * retrieval shape production pipelines use to pick training or eval
+    * candidates when neither lexical nor embedding signal alone is
+    * trusted. Determinism across engines: each term's BM25 contribution
+    * is rounded to 9 dp and summed as DECIMAL (order-independent exact
+    * sum — the l26b LUT discipline), ranks break ties on id, and the
+    * fused score is an explicit two-term sum of rank reciprocals.
+    * 100 TB: both arms are one corpus pass each (tf/dl map-side with a
+    * broadcast 3-term df relation; cosine map-side with the query
+    * broadcast) into top-50 TakeOrdered heaps; the fuse joins two
+    * 50-row relations — broadcast trivially.
+    */
+  private[graft] def hybridRrfSql(spark: Boolean): String = {
+    val terms = Seq("window", "filter", "hash")
+    val termList = terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    val toks = if (spark) "explode(split(text, ' ')) AS tok"
+               else "unnest(string_split(text, ' ')) AS tok"
+    val sizeTok = if (spark) "size(split(text, ' '))"
+                  else "len(string_split(text, ' '))"
+    val annSim =
+      if (spark) s"""${dotSpark("e.embedding", "q.qe")}
+                    |      / (sqrt(${dotSpark("e.embedding", "e.embedding")})
+                    |         * sqrt(${dotSpark("q.qe", "q.qe")}))""".stripMargin
+      else s"""${dotDuck("e.embedding", "q.qe")}
+              |      / (sqrt(${dotDuck("e.embedding", "e.embedding")})
+              |         * sqrt(${dotDuck("q.qe", "q.qe")}))""".stripMargin
+    s"""WITH tok AS (
+       |  SELECT doc_id, $toks FROM documents
+       |), dl AS (
+       |  SELECT doc_id, $sizeTok AS n FROM documents
+       |), st AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS nd,
+       |    CAST(sum(n) AS DOUBLE) / count(*) AS avgdl
+       |  FROM dl
+       |), tf AS (
+       |  SELECT doc_id, tok AS term, CAST(count(*) AS DOUBLE) AS f
+       |  FROM tok WHERE tok IN $termList GROUP BY doc_id, tok
+       |), df AS (
+       |  SELECT term, CAST(count(*) AS DOUBLE) AS d FROM tf GROUP BY term
+       |), kw AS (
+       |  -- per-term contribution rounded then summed as DECIMAL: exact,
+       |  -- order-independent, so both engines rank identically
+       |  SELECT tf.doc_id,
+       |    sum(CAST(round(
+       |      ln((st.nd - df.d + 0.5) / (df.d + 0.5) + 1)
+       |        * (tf.f * 2.2)
+       |        / (tf.f + 1.2 * (0.25 + 0.75 * dl.n / st.avgdl)),
+       |      9) AS DECIMAL(20, 12))) AS score
+       |  FROM tf JOIN df ON df.term = tf.term
+       |          JOIN dl ON dl.doc_id = tf.doc_id
+       |          CROSS JOIN st
+       |  GROUP BY tf.doc_id
+       |), kwtop AS (
+       |  -- top-50 via the LIMIT heap (TakeOrderedAndProject) FIRST, so
+       |  -- the single-partition rank Window below sees 50 rows, not the
+       |  -- corpus — row_number over the full relation would funnel every
+       |  -- row through one partition at scale
+       |  SELECT doc_id, score FROM kw ORDER BY score DESC, doc_id LIMIT 50
+       |), kwr AS (
+       |  SELECT doc_id, CAST(row_number() OVER (
+       |    ORDER BY score DESC, doc_id) AS BIGINT) AS kr
+       |  FROM kwtop
+       |), q AS (
+       |  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+       |), ann AS (
+       |  SELECT e.vec_id, $annSim AS sim
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+       |), anntop AS (
+       |  SELECT vec_id, sim FROM ann ORDER BY sim DESC, vec_id LIMIT 50
+       |), annr AS (
+       |  SELECT vec_id, CAST(row_number() OVER (
+       |    ORDER BY sim DESC, vec_id) AS BIGINT) AS ar
+       |  FROM anntop
+       |), fused AS (
+       |  -- Spark parses a bare 1.0 as DECIMAL; CAST pins both engines
+       |  -- to the same IEEE double reciprocals
+       |  SELECT coalesce(k.doc_id, a.vec_id) AS id, k.kr, a.ar,
+       |    coalesce(CAST(1 AS DOUBLE) / (60 + k.kr), 0)
+       |      + coalesce(CAST(1 AS DOUBLE) / (60 + a.ar), 0) AS rrf
+       |  FROM kwr k FULL OUTER JOIN annr a ON k.doc_id = a.vec_id
+       |)
+       |SELECT id, kr AS kw_rank, ar AS ann_rank,
+       |  CAST(round(rrf, 6) AS DOUBLE) AS rrf
+       |FROM fused ORDER BY rrf DESC, id LIMIT 10""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- l33: LSH recall/precision evaluation -------------------------
     "l33_lsh_eval" -> { (s, dir) =>
@@ -2616,6 +2705,36 @@ object LlmQueries {
         "FROM embeddings WHERE vec_id % 7 = 3")
       s.sql(ivfPqServedSparkSql(index = "graft_emb_index",
         corpus = "graft_emb_live"))
+    },
+
+    // ---- l36: metadata-FILTERED ANN over the composed index -----------
+    // The vector-DB "hybrid filter" shape (FAISS IDSelector / filtered
+    // HNSW): top-k restricted to vectors whose metadata matches a
+    // predicate. The production move for selective filters is storing
+    // the attribute IN the index (a composite index) so serving stays
+    // ONE map-side scan with the predicate pushed to the parquet reader
+    // — the labeled store materializes (vec_id, cell, label, c0..c3)
+    // once at build (the vec_id join is build-time-only, like l34's
+    // compose step). Post-filtering a top-k would instead under-fill k
+    // whenever the filter is selective; pre-filter via semi-join would
+    // shuffle the corpus. label = 4 keeps ~10% of vectors.
+    "l36_ann_filtered" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      graft.functions.VectorFunctions.register(s)
+      ivfPqIndex(s, dir)
+      pqIndexStore(s, dir, "ivfpql",
+        """SELECT k.vec_id, k.cell, e.label, k.c0, k.c1, k.c2, k.c3
+          |FROM ivfpq_index k JOIN embeddings e ON e.vec_id = k.vec_id""".stripMargin)
+        .createOrReplaceTempView("ivfpq_labeled")
+      s.sql(ivfPqServedSparkSql(index = "ivfpq_labeled",
+        corpus = "embeddings", extraPred = " AND k.label = 4"))
+    },
+
+    // ---- l37: hybrid retrieval — BM25 ⊕ ANN via RRF -------------------
+    "l37_hybrid_rrf" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      graft.functions.VectorFunctions.register(s)
+      s.sql(hybridRrfSql(spark = true))
     },
 
     // ---- l27: training-sequence packing (concatenate-and-chunk) -------
@@ -3815,6 +3934,15 @@ object LlmQueries {
     "l24_semdedup" -> semDedupSql(spark = false),
     "l24b_semdedup_served" -> semDedupServedOracleSql(),
     "l34_ann_ivfpq_served" -> ivfPqOracleSql,
+
+    // l36: the same IVFPQ recompute with the ADC scan restricted to
+    // label-4 vectors — the filter stated as a join against the
+    // metadata relation, which is what the labeled index materializes.
+    "l36_ann_filtered" -> ivfPqOracleSql("embeddings", "",
+      "\n       |  JOIN embeddings fe ON fe.vec_id = k.vec_id AND fe.label = 4"
+        .stripMargin),
+
+    "l37_hybrid_rrf" -> hybridRrfSql(spark = false),
 
     // l35: same IVFPQ recompute with training PINNED to the original
     // corpus and assignment/encode/rerank over the post-ingest union —

@@ -203,4 +203,51 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles(now) <= 3,
       "corpus ADC path must be map-side: only tiny LUT-pivot exchanges allowed")
   }
+
+  test("l36 filtered ANN pushes the metadata predicate INTO the labeled " +
+    "index scan (composite index, not post-filter)") {
+    val now = SparkEntry.queries("l36_ann_filtered")(spark, sfDir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(!cartesian(now))
+    val scanBlocks = now.split("\n\\(\\d+\\) ").filter(_.startsWith("Scan parquet"))
+    val idx = scanBlocks.filter(_.contains("graft-pq-ivfpql"))
+    assert(idx.nonEmpty, "serving must scan the persisted LABELED index store")
+    // the label predicate must reach the parquet reader of the index scan —
+    // a Filter above the scan (post-filter) under-fills k and reads the
+    // whole index; a semi-join against the metadata table shuffles the
+    // corpus. The composite store makes it a pushed scan predicate.
+    assert(idx.exists(_.contains("EqualTo(label,4)")),
+      s"label=4 must be in the index scan's PushedFilters:\n${idx.mkString("\n")}")
+    assert(!now.contains("Window ("),
+      "a Window node means a training/assignment subtree leaked into serving")
+  }
+
+  test("l37 hybrid RRF: both arms are TakeOrdered heaps and every rank " +
+    "Window runs over an already-limited 50-row input") {
+    val now = SparkEntry.queries("l37_hybrid_rrf")(spark, sfDir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(!cartesian(now))
+    // each `Window (id)` tree node must have a GlobalLimit/TakeOrdered
+    // strictly below it (deeper indent, later line) — i.e. the rank
+    // assignment happens AFTER the top-50 heap, never over the corpus
+    val lines = now.linesIterator.toVector.takeWhile(!_.startsWith("====="))
+    def indentOf(l: String) = l.indexWhere(c => c.isLetter)
+    lines.zipWithIndex.filter(_._1.contains("Window (")).foreach {
+      case (wl, i) =>
+        val wi = indentOf(wl)
+        val below = lines.drop(i + 1).takeWhile(l => indentOf(l) > wi)
+        assert(below.exists(l =>
+          l.contains("TakeOrderedAndProject") || l.contains("GlobalLimit")),
+          s"rank Window at line $i has no limit below it (corpus-sized rank):\n$wl")
+    }
+    // the 50x50 fuse must not shuffle: FULL OUTER over two tiny relations
+    // is fine as SMJ locally, but neither arm may exchange on doc_id/vec_id
+    // above its heap — the heaps collapse to a single partition already.
+    // tree-form nodes only (`SortMergeJoin FullOuter (52)`) — the detail
+    // section repeats each node as `(52) SortMergeJoin`
+    val smj = """SortMergeJoin \w+ \(\d+\)""".r.findAllIn(now).size
+    assert(smj <= 1, s"only the 50x50 fuse may sort-merge, got $smj")
+  }
 }
