@@ -660,6 +660,44 @@ object LlmQueries {
     */
   private[graft] def resolveClusters(s: SparkSession, edges: DataFrame,
                                      cap: Int = 64): DataFrame = {
+    clusterLabels(s, edges, cap).createOrReplaceTempView("l14_lab_final")
+    s.sql(
+      """SELECT sz, count(*) AS n_clusters FROM (
+        |  SELECT lbl, count(*) AS sz FROM l14_lab_final GROUP BY lbl
+        |) GROUP BY sz ORDER BY sz""".stripMargin)
+  }
+
+  /** The (node, lbl) component labeling [[resolveClusters]] aggregates and
+    * l38's canonical pick joins back to documents — min-label propagation
+    * to convergence with the star-contraction handoff, as documented
+    * above. Nodes with no edge never appear (singletons are implicitly
+    * their own canonical representative). */
+  /** The l14/l38 duplicate-edge builder: exact-dup star edges (content
+    * hash → min-doc root) ∪ near-dup edges (adjacent-id bigram Jaccard,
+    * l08's blocking). Shared so the cluster histogram (l14) and the
+    * canonical pick (l38) resolve the SAME graph. */
+  private[graft] def dedupEdgesSparkSql(s: SparkSession): String =
+    s"""WITH ex AS (
+       |  SELECT doc_id, md5(lower(text)) AS k FROM documents
+       |), exg AS (
+       |  SELECT k, min(doc_id) AS root, count(*) AS n FROM ex GROUP BY k
+       |), exedges AS (
+       |  SELECT e.doc_id AS a, g.root AS b FROM ex e JOIN exg g ON e.k = g.k
+       |  WHERE g.n > 1 AND e.doc_id <> g.root
+       |), grams AS (
+       |  SELECT doc_id, lang, array_distinct(word_ngrams(text, 2)) AS gr
+       |  FROM (SELECT ${Tables.spreadHint(s)} doc_id, lang, text FROM documents)
+       |  WHERE size(split(text, ' ')) >= 2
+       |), ndedges AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b
+       |  FROM grams a JOIN grams b ON a.lang = b.lang AND b.doc_id = a.doc_id + 1
+       |  WHERE CAST(size(array_intersect(a.gr, b.gr)) AS DOUBLE)
+       |    / (size(a.gr) + size(b.gr) - size(array_intersect(a.gr, b.gr))) > 0.05
+       |)
+       |SELECT a, b FROM exedges UNION SELECT a, b FROM ndedges""".stripMargin
+
+  private[graft] def clusterLabels(s: SparkSession, edges: DataFrame,
+                                   cap: Int = 64): DataFrame = {
     edges.createOrReplaceTempView("l14_edges")
     s.sql("SELECT a, b FROM l14_edges UNION ALL SELECT b AS a, a AS b FROM l14_edges")
       .localCheckpoint().createOrReplaceTempView("l14_bi")
@@ -683,14 +721,8 @@ object LlmQueries {
       lastSum = sum
       round += 1
     }
-    val labels =
-      if (converged) lab
-      else starContract(s, edges) // high-diameter regime: O(log n) rounds
-    labels.createOrReplaceTempView("l14_lab_final")
-    s.sql(
-      """SELECT sz, count(*) AS n_clusters FROM (
-        |  SELECT lbl, count(*) AS sz FROM l14_lab_final GROUP BY lbl
-        |) GROUP BY sz ORDER BY sz""".stripMargin)
+    if (converged) lab
+    else starContract(s, edges) // high-diameter regime: O(log n) rounds
   }
 
   /** Connected components by alternating large-star/small-star contraction
@@ -1224,6 +1256,19 @@ object LlmQueries {
     var df = sharedCaches.poll()
     while (df != null) { df.unpersist(blocking = false); df = sharedCaches.poll() }
   }
+
+  /** Release a `localCheckpoint(eager=true)`'s pinned executor-storage
+    * blocks once its last consumer has run (the GraftSession
+    * releaseCheckpoint discipline, ADVICE r11): the checkpointed plan is
+    * a LogicalRDD leaf over the persisted RDD — unpersist exactly that.
+    * Dataset.unpersist would be a no-op (the Dataset itself was never
+    * persisted). */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Max docs per LSH bucket before its pair explosion is skipped: a
     * bucket of n docs emits C(n,2) candidate pairs, so one boilerplate
@@ -3216,27 +3261,93 @@ object LlmQueries {
       // the whole pipeline 2^rounds times at analysis time — the iterative
       // -algorithm trap (measured 14 s; checkpointed ~1 s). This is the
       // standard Spark shape for label propagation / connected components.
-      val edges = s.sql(
-        s"""WITH ex AS (
-          |  SELECT doc_id, md5(lower(text)) AS k FROM documents
-          |), exg AS (
-          |  SELECT k, min(doc_id) AS root, count(*) AS n FROM ex GROUP BY k
-          |), exedges AS (
-          |  SELECT e.doc_id AS a, g.root AS b FROM ex e JOIN exg g ON e.k = g.k
-          |  WHERE g.n > 1 AND e.doc_id <> g.root
-          |), grams AS (
-          |  SELECT doc_id, lang, array_distinct(word_ngrams(text, 2)) AS gr
-          |  FROM (SELECT ${Tables.spreadHint(s)} doc_id, lang, text FROM documents)
-          |  WHERE size(split(text, ' ')) >= 2
-          |), ndedges AS (
-          |  SELECT a.doc_id AS a, b.doc_id AS b
-          |  FROM grams a JOIN grams b ON a.lang = b.lang AND b.doc_id = a.doc_id + 1
-          |  WHERE CAST(size(array_intersect(a.gr, b.gr)) AS DOUBLE)
-          |    / (size(a.gr) + size(b.gr) - size(array_intersect(a.gr, b.gr))) > 0.05
+      resolveClusters(s, s.sql(dedupEdgesSparkSql(s)).localCheckpoint())
+    },
+
+    // ---- l38: canonical selection from dup clusters -------------------
+    // The step AFTER cluster resolution — the curation endgame: each
+    // multi-doc duplicate cluster keeps exactly one survivor (the
+    // longest member, doc_id tie-break — the common "keep the most
+    // complete copy" heuristic) and drops the rest. Labels come from the
+    // same run-to-convergence propagation as l14; the survivor pick is a
+    // rank-1 window PARTITIONED by cluster label (distributed — never a
+    // global sort), and the oracle states the identical argmax over the
+    // recursive-CTE component labels. 100 TB: labels are edge-node-sized
+    // (dup pairs only, far smaller than the corpus), the documents join
+    // is one shuffle on doc_id, the window one shuffle on lbl.
+    "l38_canonical_pick" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      graft.functions.NGramFunctions.register(s)
+      clusterLabels(s, s.sql(dedupEdgesSparkSql(s)).localCheckpoint())
+        .createOrReplaceTempView("l38_lab")
+      s.sql(
+        """WITH mem AS (
+          |  SELECT l.lbl, d.doc_id, length(d.text) AS len
+          |  FROM l38_lab l JOIN documents d ON d.doc_id = l.node
+          |), ranked AS (
+          |  SELECT lbl, doc_id, len,
+          |    row_number() OVER (PARTITION BY lbl
+          |                       ORDER BY len DESC, doc_id) AS rn,
+          |    count(*) OVER (PARTITION BY lbl) AS members
+          |  FROM mem
           |)
-          |SELECT a, b FROM exedges UNION SELECT a, b FROM ndedges""".stripMargin)
-        .localCheckpoint()
-      resolveClusters(s, edges)
+          |SELECT CAST(lbl AS BIGINT) AS cluster,
+          |  CAST(doc_id AS BIGINT) AS kept_doc, CAST(len AS BIGINT) AS kept_len,
+          |  CAST(members AS BIGINT) AS members,
+          |  CAST(members - 1 AS BIGINT) AS dropped
+          |FROM ranked WHERE rn = 1 AND members > 1
+          |ORDER BY cluster""".stripMargin)
+    },
+
+    // ---- l39: BPE merge learning (tokenizer training) -----------------
+    // The core loop of byte-pair-encoding tokenizer training (Sennrich et
+    // al. 2016): count adjacent symbol pairs across the corpus, merge the
+    // most frequent pair everywhere, repeat. Words render as '|'-framed
+    // symbol strings ('this' → '|t|h|i|s|'); the frame makes the merge a
+    // plain string replace that can NEVER match across symbol boundaries
+    // ('|h|e|' does not occur inside '|th|e|' — an undelimited 'h e'
+    // would). Each round is one map-side pair explode + one shuffle on
+    // pair + a top-1 heap; the winning pair comes back to the driver as a
+    // 2-field literal (the resolveClusters convergence-scalar discipline)
+    // and the re-encoded corpus is checkpointed so round N+1's lineage
+    // doesn't re-inline rounds 0..N. 100 TB: every round is
+    // pair-explode (map) → partial-agg shuffle → 1-row result; the corpus
+    // rewrite is map-only. The oracle unrolls the same 3 rounds as
+    // nested CTEs with LIMIT-1 scalars.
+    "l39_bpe_merges" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      var rep = s.sql(
+        """SELECT concat('|', regexp_replace(w, '(.)', '$1|')) AS r
+          |FROM (SELECT explode(split(lower(text), ' ')) AS w
+          |      FROM documents) ww
+          |WHERE w <> ''""".stripMargin).localCheckpoint()
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+      for (step <- 0 until 3) {
+        rep.createOrReplaceTempView("l39_rep")
+        val top = s.sql(
+          """SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM (
+            |  SELECT explode(transform(sequence(0, size(t) - 2),
+            |    i -> concat(t[i], ' ', t[i+1]))) AS pair
+            |  FROM (SELECT filter(split(r, '[|]'), x -> x <> '') AS t
+            |        FROM l39_rep) tt
+            |  WHERE size(t) >= 2
+            |) p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1""".stripMargin)
+          .head()
+        merges += ((step, top.getString(0), top.getLong(1)))
+        val esc = top.getString(0).replace("'", "''")
+        val prev = rep
+        rep = s.sql(
+          s"""SELECT replace(r, concat('|', replace('$esc', ' ', '|'), '|'),
+             |                  concat('|', replace('$esc', ' ', ''), '|')) AS r
+             |FROM l39_rep""".stripMargin).localCheckpoint()
+        releaseCheckpoint(prev)
+      }
+      releaseCheckpoint(rep)
+      import s.implicits._
+      merges.toSeq.toDF("step", "pair", "cnt")
+        .selectExpr("CAST(step AS INT) AS step", "pair",
+          "CAST(cnt AS BIGINT) AS cnt")
+        .orderBy("step")
     },
 
     // ---- l15: end-to-end curation pipeline ---------------------------
@@ -3617,6 +3728,41 @@ object LlmQueries {
     }
   )
 
+  /** Shared l14/l38 oracle prefix: duplicate edges (exact-hash stars ∪
+    * adjacent-id bigram-Jaccard) + exact connected components via the
+    * recursive reachable-min CTE, ending at `lab(node, lbl)`. */
+  private val dedupLabelsDuckCtes: String =
+    s"""WITH RECURSIVE ex AS (
+       |  SELECT doc_id, md5(lower(text)) AS k FROM documents
+       |), exg AS (
+       |  SELECT k, min(doc_id) AS root, count(*) AS n FROM ex GROUP BY k
+       |), exedges AS (
+       |  SELECT e.doc_id AS a, g.root AS b FROM ex e JOIN exg g ON e.k = g.k
+       |  WHERE g.n > 1 AND e.doc_id <> g.root
+       |), grams AS (
+       |  SELECT doc_id, lang,
+       |    list_distinct(list_transform(range(len(string_split(text, ' ')) - 1),
+       |      i -> array_to_string((string_split(text, ' '))[i+1:i+2], ' '))) AS gr
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 2
+       |), ndedges AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b
+       |  FROM grams a JOIN grams b ON a.lang = b.lang AND b.doc_id = a.doc_id + 1
+       |  WHERE CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
+       |    / (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))) > 0.05
+       |), edges AS (
+       |  SELECT a, b FROM exedges UNION SELECT a, b FROM ndedges
+       |), bi AS (
+       |  SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges
+       |), nodes AS (
+       |  SELECT DISTINCT a AS node FROM bi
+       |), r AS (
+       |  SELECT node, node AS lbl FROM nodes
+       |  UNION
+       |  SELECT e.a AS node, r.lbl FROM bi e JOIN r ON r.node = e.b
+       |), lab AS (
+       |  SELECT node, min(lbl) AS lbl FROM r GROUP BY node
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "l33_lsh_eval" -> lshEvalSql(spark = false),
     "l33b_lsh_autotune" -> lshAutoTuneSql(spark = false),
@@ -3856,40 +4002,78 @@ object LlmQueries {
       // matches the Spark side's run-to-convergence propagation for ANY
       // chain diameter (a fixed round unroll would silently under-merge
       // long chains the moment Spark converges past it)
-      s"""WITH RECURSIVE ex AS (
-         |  SELECT doc_id, md5(lower(text)) AS k FROM documents
-         |), exg AS (
-         |  SELECT k, min(doc_id) AS root, count(*) AS n FROM ex GROUP BY k
-         |), exedges AS (
-         |  SELECT e.doc_id AS a, g.root AS b FROM ex e JOIN exg g ON e.k = g.k
-         |  WHERE g.n > 1 AND e.doc_id <> g.root
-         |), grams AS (
-         |  SELECT doc_id, lang,
-         |    list_distinct(list_transform(range(len(string_split(text, ' ')) - 1),
-         |      i -> array_to_string((string_split(text, ' '))[i+1:i+2], ' '))) AS gr
-         |  FROM documents WHERE len(string_split(text, ' ')) >= 2
-         |), ndedges AS (
-         |  SELECT a.doc_id AS a, b.doc_id AS b
-         |  FROM grams a JOIN grams b ON a.lang = b.lang AND b.doc_id = a.doc_id + 1
-         |  WHERE CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
-         |    / (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))) > 0.05
-         |), edges AS (
-         |  SELECT a, b FROM exedges UNION SELECT a, b FROM ndedges
-         |), bi AS (
-         |  SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges
-         |), nodes AS (
-         |  SELECT DISTINCT a AS node FROM bi
-         |), r AS (
-         |  SELECT node, node AS lbl FROM nodes
-         |  UNION
-         |  SELECT e.a AS node, r.lbl FROM bi e JOIN r ON r.node = e.b
-         |), lab AS (
-         |  SELECT node, min(lbl) AS lbl FROM r GROUP BY node
-         |), cl AS (
+      s"""$dedupLabelsDuckCtes, cl AS (
          |  SELECT lbl, count(*) AS sz FROM lab GROUP BY lbl
          |)
          |SELECT sz, count(*) AS n_clusters FROM cl
          |GROUP BY sz ORDER BY sz""".stripMargin
+    },
+
+    "l38_canonical_pick" -> {
+      // identical component labels (recursive CTE), identical argmax:
+      // longest member wins, doc_id tie-break
+      s"""$dedupLabelsDuckCtes, mem AS (
+         |  SELECT lab.lbl, d.doc_id, length(d.text) AS len
+         |  FROM lab JOIN documents d ON d.doc_id = lab.node
+         |), ranked AS (
+         |  SELECT lbl, doc_id, len,
+         |    row_number() OVER (PARTITION BY lbl
+         |                       ORDER BY len DESC, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY lbl) AS members
+         |  FROM mem
+         |)
+         |SELECT CAST(lbl AS BIGINT) AS cluster,
+         |  CAST(doc_id AS BIGINT) AS kept_doc, CAST(len AS BIGINT) AS kept_len,
+         |  CAST(members AS BIGINT) AS members,
+         |  CAST(members - 1 AS BIGINT) AS dropped
+         |FROM ranked WHERE rn = 1 AND members > 1
+         |ORDER BY cluster""".stripMargin
+    },
+
+    "l39_bpe_merges" -> {
+      // the same 3 BPE rounds, unrolled: pN counts pairs of state rN,
+      // tN is the LIMIT-1 winner, rN+1 the '|'-framed merge rewrite
+      def pairs(src: String) =
+        s"""SELECT pair, count(*) AS cnt FROM (
+           |  SELECT unnest(list_transform(range(len(t) - 1),
+           |    i -> t[i+1] || ' ' || t[i+2])) AS pair
+           |  FROM (SELECT list_filter(string_split(r, '|'), x -> x <> '') AS t
+           |        FROM $src) tt
+           |) p GROUP BY pair""".stripMargin
+      def rewrite(src: String, win: String) =
+        s"""SELECT replace(r, '|' || replace(t.pair, ' ', '|') || '|',
+           |                  '|' || replace(t.pair, ' ', '') || '|') AS r
+           |FROM $src CROSS JOIN $win t""".stripMargin
+      s"""WITH w AS (
+         |  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+         |), r0 AS (
+         |  SELECT '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS r
+         |  FROM w WHERE w <> ''
+         |), p0 AS (
+         |${pairs("r0")}
+         |), t0 AS (
+         |  SELECT pair, cnt FROM p0 ORDER BY cnt DESC, pair LIMIT 1
+         |), r1 AS (
+         |${rewrite("r0", "t0")}
+         |), p1 AS (
+         |${pairs("r1")}
+         |), t1 AS (
+         |  SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1
+         |), r2 AS (
+         |${rewrite("r1", "t1")}
+         |), p2 AS (
+         |${pairs("r2")}
+         |), t2 AS (
+         |  SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1
+         |)
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS INTEGER) AS step, pair, CAST(cnt AS BIGINT) AS cnt
+         |  FROM t0
+         |  UNION ALL
+         |  SELECT CAST(1 AS INTEGER), pair, CAST(cnt AS BIGINT) FROM t1
+         |  UNION ALL
+         |  SELECT CAST(2 AS INTEGER), pair, CAST(cnt AS BIGINT) FROM t2
+         |) u ORDER BY step""".stripMargin
     },
 
     "l11_simhash_hamming_join" -> {

@@ -383,4 +383,57 @@ class LlmQueriesSpec extends AnyFunSuite {
         |FROM documents""".stripMargin).head().getLong(0)
     assert(rows.map(_._3).sum == total)
   }
+
+  test("l39 framed BPE merge is boundary-safe and greedy left-to-right") {
+    // after a t+h merge the corpus holds '|th|e|'; an UNdelimited 'h e'
+    // replace would corrupt it to 'the' even though 'h' is no longer a
+    // symbol — the '|' frame makes that match impossible
+    val r = spark.sql(
+      """SELECT replace('|t|h|e|', '|t|h|', '|th|') AS m1,
+        |  replace(replace('|t|h|e|', '|t|h|', '|th|'), '|h|e|', '|he|') AS m2,
+        |  replace('|a|a|a|', '|a|a|', '|aa|') AS m3""".stripMargin).head()
+    assert(r.getString(0) == "|th|e|")
+    assert(r.getString(1) == "|th|e|",
+      "a merged symbol's interior must be unmatchable")
+    // overlapping runs merge greedily left-to-right, the BPE convention
+    assert(r.getString(2) == "|aa|a|")
+  }
+
+  test("l39 merges are adjacent symbol pairs with positive corpus counts") {
+    graft.Tables.registerAll(spark, SparkTestSession.sf)
+    val rows = SparkEntry.queries("l39_bpe_merges")(spark, SparkTestSession.sf)
+      .collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1, 2))
+    rows.foreach { r =>
+      val parts = r.getString(1).split(" ")
+      assert(parts.length == 2 && parts.forall(_.nonEmpty),
+        s"merge must be a two-symbol pair: '${r.getString(1)}'")
+      assert(r.getLong(2) > 0)
+    }
+    // round N+1's winner count cannot exceed round N's: the winner was
+    // the global max, and a merge never increases any other pair's count
+    // beyond the previous maximum (new pairs inherit from consumed ones)
+    assert(rows.map(_.getLong(2)).toSeq ==
+      rows.map(_.getLong(2)).sorted.reverse.toSeq)
+  }
+
+  test("l38 canonical pick: survivor is the longest member, drops add up") {
+    graft.Tables.registerAll(spark, SparkTestSession.sf)
+    graft.functions.NGramFunctions.register(spark)
+    val rows = SparkEntry.queries("l38_canonical_pick")(spark, SparkTestSession.sf)
+      .collect()
+    assert(rows.nonEmpty, "fixture must contain at least one dup cluster")
+    rows.foreach { r =>
+      val (cluster, kept, members, dropped) =
+        (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(members > 1 && dropped == members - 1)
+      // the cluster label is the component's min doc_id, so it can never
+      // exceed the surviving member's id
+      assert(cluster <= kept)
+    }
+    // every multi-member cluster appears exactly once
+    val cl = rows.map(_.getLong(0))
+    assert(cl.distinct.length == cl.length)
+  }
 }
