@@ -159,6 +159,88 @@ object LlmQueries {
                 |FROM scored ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin}""".stripMargin
   }
 
+  /** l40 ANN nprobe auto-tuner — the FAISS-style serving-knob sweep, the
+    * IVF counterpart of the l33b LSH tuner: over a fixed panel of query
+    * vectors (vec_id ≡ 1 mod 100), measure recall@10 of the l12 IVF
+    * index at nprobe ∈ {1,2,4,8} against the exact brute-force top-10,
+    * and CHOOSE the cheapest nprobe meeting recall ≥ 0.9 (fewest probed
+    * cells = fewest candidates scanned at serve time); if none reaches
+    * it, the max-recall config wins. The whole sweep is ONE declarative
+    * query in both engines, so the choice itself is oracle-gated.
+    * 100 TB: the panel is fixed-size, so the exact-truth arm is one
+    * corpus pass against a broadcast panel; the per-(query, nprobe)
+    * top-10 windows partition on panel keys (bounded), never a global
+    * sort. Production then serves at the chosen nprobe via the l34
+    * persisted-index path.
+    */
+  private[graft] def annNprobeTunerSql(spark: Boolean,
+                                       recallTarget: Double = 0.9): String = {
+    def dot(a: String, b: String) =
+      if (spark) dotSpark(a, b) else dotDuck(a, b)
+    def cos(a: String, b: String) =
+      s"""${dot(a, b)}
+         |      / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))""".stripMargin
+    val np =
+      if (spark) "np AS (SELECT * FROM VALUES (1),(2),(4),(8) AS np(np))"
+      else "np AS (SELECT * FROM (VALUES (1),(2),(4),(8)) np(np))"
+    s"""WITH ${ivfTrainCtes(spark, "embeddings")},
+       |${ivfAssign(spark, "assigned", "embeddings", "c2")},
+       |qs AS (
+       |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |  WHERE vec_id % 100 = 1
+       |), $np, sims AS (
+       |  SELECT q.qid, e.vec_id,
+       |    ${cos("e.embedding", "q.qe")} AS sim
+       |  FROM embeddings e CROSS JOIN qs q WHERE e.vec_id <> q.qid
+       |), truth AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (
+       |      PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+       |    FROM sims) x
+       |  WHERE rn <= 10
+       |), crank AS (
+       |  SELECT qid, cid, row_number() OVER (
+       |    PARTITION BY qid ORDER BY csim DESC, cid) AS crk
+       |  FROM (
+       |    SELECT q.qid, c.cid,
+       |      ${cos("q.qe", "c.ce")} AS csim
+       |    FROM qs q CROSS JOIN c2 c) y
+       |), cand AS (
+       |  SELECT cr.qid, np.np, a.vec_id
+       |  FROM crank cr JOIN np ON cr.crk <= np.np
+       |  JOIN assigned a ON a.cell = cr.cid
+       |  WHERE a.vec_id <> cr.qid
+       |), ret AS (
+       |  SELECT qid, np, vec_id FROM (
+       |    SELECT c.qid, c.np, c.vec_id, row_number() OVER (
+       |      PARTITION BY c.qid, c.np ORDER BY s.sim DESC, c.vec_id) AS rn
+       |    FROM cand c JOIN sims s ON s.qid = c.qid AND s.vec_id = c.vec_id) x
+       |  WHERE rn <= 10
+       |), rec AS (
+       |  SELECT r.np, count(t.vec_id) AS n_hit
+       |  FROM ret r LEFT JOIN truth t
+       |    ON t.qid = r.qid AND t.vec_id = r.vec_id
+       |  GROUP BY r.np
+       |), nq AS (
+       |  SELECT count(*) AS n FROM qs
+       |), scored AS (
+       |  SELECT np.np, coalesce(rec.n_hit, 0) AS n_hit,
+       |    CAST(coalesce(rec.n_hit, 0) AS DOUBLE) / (nq.n * 10) AS recall
+       |  FROM np LEFT JOIN rec ON rec.np = np.np CROSS JOIN nq
+       |), chosen AS (
+       |  SELECT np FROM scored ORDER BY
+       |    CASE WHEN recall >= $recallTarget THEN 0 ELSE 1 END,
+       |    CASE WHEN recall >= $recallTarget THEN CAST(np AS DOUBLE)
+       |         ELSE -recall END, np
+       |  LIMIT 1
+       |)
+       |SELECT CAST(s.np AS INT) AS nprobe, CAST(s.n_hit AS BIGINT) AS n_hit,
+       |  CAST(round(s.recall, 6) AS DOUBLE) AS recall,
+       |  CAST(CASE WHEN s.np = (SELECT np FROM chosen) THEN 1 ELSE 0 END
+       |       AS INT) AS chosen
+       |FROM scored s ORDER BY s.np""".stripMargin
+  }
+
   /** The l24 cluster assignment alone (specs brute-force the dedup rule
     * in Scala from these assignments plus raw embeddings).
     */
@@ -2637,6 +2719,13 @@ object LlmQueries {
       s.sql(lshAutoTuneSql(spark = true))
     },
 
+    // ---- l40: ANN nprobe auto-tuner (see annNprobeTunerSql) -----------
+    "l40_ann_nprobe_tuner" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      graft.functions.VectorFunctions.register(s)
+      s.sql(annNprobeTunerSql(spark = true))
+    },
+
     // ---- l02c: minhash-LSH at the auto-tuned configuration ------------
     // The tuner's decision driving the production corpus pass: collect
     // the panel sweep's winner (corpus-independent), run minhashLshSqlN
@@ -3766,6 +3855,7 @@ object LlmQueries {
   val oracles: Map[String, String] = Map(
     "l33_lsh_eval" -> lshEvalSql(spark = false),
     "l33b_lsh_autotune" -> lshAutoTuneSql(spark = false),
+    "l40_ann_nprobe_tuner" -> annNprobeTunerSql(spark = false),
     "l02c_minhash_lsh_tuned" -> lshTunedCorpusSql(cap = LshBucketCap),
     "l32_mixture_sampling" -> mixSql(spark = false),
     "l31_cdc_chunking" -> cdcSql(spark = false),

@@ -436,4 +436,26 @@ class LlmQueriesSpec extends AnyFunSuite {
     val cl = rows.map(_.getLong(0))
     assert(cl.distinct.length == cl.length)
   }
+
+  test("l40 nprobe tuner: recall non-decreasing in nprobe, full probe is " +
+    "exact, chosen = cheapest config meeting the target") {
+    graft.Tables.registerAll(spark, SparkTestSession.sf)
+    graft.functions.VectorFunctions.register(spark)
+    val rows = SparkEntry.queries("l40_ann_nprobe_tuner")(spark, SparkTestSession.sf)
+      .collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 4, 8))
+    val recalls = rows.map(_.getDouble(2))
+    // probing more cells can only add candidates — recall is monotone
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall must be non-decreasing in nprobe: ${recalls.toSeq}")
+    // nprobe=8 probes every cell of the 8-centroid quantizer: the
+    // candidate set IS the corpus, so retrieved == truth exactly
+    assert(recalls.last == 1.0)
+    val chosen = rows.filter(_.getInt(3) == 1)
+    assert(chosen.length == 1)
+    val qualifying = rows.filter(_.getDouble(2) >= 0.9).map(_.getInt(0))
+    if (qualifying.nonEmpty)
+      assert(chosen.head.getInt(0) == qualifying.min,
+        "chosen must be the SMALLEST nprobe meeting the recall target")
+  }
 }
