@@ -241,6 +241,189 @@ object LlmQueries {
        |FROM scored s ORDER BY s.np""".stripMargin
   }
 
+  /** m05 joint image+caption near-dup — the CLIP/LAION-style pair-cleaning
+    * census: candidate pairs surface from EITHER modality's banded index
+    * (image aHash 4×16-bit bands, m04's scheme; caption MinHash 8×2 bands
+    * at the l33b-chosen width) and every candidate is then CONFIRMED on
+    * BOTH modalities (hamming ≤ 6 on the 64-bit aHash; bigram Jaccard
+    * ≥ 0.3 on the caption). The output is the (found-by, confirmed-as)
+    * census — image-only dups (same picture, rewritten caption), text-only
+    * dups (same caption, different picture) and joint dups are exactly the
+    * three buckets a multimodal curation pipeline treats differently.
+    * Cap sentinels ride along per arm (has_img/has_txt = -1 rows), the
+    * l02b/l11b no-silent-caps contract. 100 TB: both candidate arms are
+    * banded bucket joins with caps (never all-pairs); the confirm joins
+    * key on doc_id (the pair relation is band-bounded).
+    * Spark's image hashes come from DECODED PNG pixels ([[graft.operators
+    * .MultimodalOps.imageHashes]]); the oracle recomputes them in closed
+    * form (m04's contract). Caption minhash runs at 16 hashes via the
+    * codegen'd minhash_sigs; the oracle recomputes per-shingle md5 mins.
+    */
+  private[graft] def jointNeardupSql(spark: Boolean, imgCap: Int = 50,
+                                     txtCap: Int = 64,
+                                     src: String = "documents"): String = {
+    val jac = (ga: String, gb: String) =>
+      if (spark)
+        s"""CAST(size(array_intersect($ga, $gb)) AS DOUBLE)
+           |        / (size($ga) + size($gb) - size(array_intersect($ga, $gb)))""".stripMargin
+      else
+        s"""CAST(len(list_intersect($ga, $gb)) AS DOUBLE)
+           |        / (len($ga) + len($gb) - len(list_intersect($ga, $gb)))""".stripMargin
+    val hd =
+      if (spark)
+        """bit_count(ha.b0 ^ hb.b0) + bit_count(ha.b1 ^ hb.b1)
+          |      + bit_count(ha.b2 ^ hb.b2) + bit_count(ha.b3 ^ hb.b3)""".stripMargin
+      else
+        """bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+          |      + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))""".stripMargin
+    // image-hash relation: the decoded-pixel view on Spark, the m04
+    // closed-form recompute on DuckDB
+    val ih =
+      if (spark)
+        """ih AS (
+          |  SELECT doc_id, b0, b1, b2, b3 FROM m05_hashes
+          |)""".stripMargin
+      else {
+        val w = s"(32 + ${nib("md5(text)", 1)} % 8)"
+        val h = s"(32 + ${nib("md5(text)", 2)} % 8)"
+        val a = s"(1 + ${nib("md5(text)", 3)})"
+        val b = s"(1 + ${nib("md5(text)", 4)})"
+        val q = s"(1 + ${nib("md5(text)", 5)} % 4)"
+        s"""ip AS (
+           |  SELECT doc_id, $w AS w, $h AS h, $a AS a, $b AS b, $q AS q,
+           |    doc_id % 3 AS c
+           |  FROM $src
+           |), ipx AS (
+           |  SELECT doc_id, j.j * 8 + i.i AS idx,
+           |    (((i.i * w) // 8) * a + ((j.j * h) // 8) * b
+           |      + ((i.i * w) // 8) * ((j.j * h) // 8) * q + c) % 251 AS lum
+           |  FROM ip, range(8) i(i), range(8) j(j)
+           |), itot AS (
+           |  SELECT doc_id, sum(lum) AS t FROM ipx GROUP BY doc_id
+           |), ibw AS (
+           |  SELECT ipx.doc_id, (63 - idx) // 16 AS k,
+           |    CAST(sum(CASE WHEN lum * 64 > t THEN 1 ELSE 0 END
+           |      * (1 << ((63 - idx) % 16))) AS BIGINT) AS sig
+           |  FROM ipx JOIN itot USING (doc_id) GROUP BY 1, 2
+           |), ih AS (
+           |  SELECT doc_id,
+           |    max(CASE WHEN k = 0 THEN sig END) AS b0,
+           |    max(CASE WHEN k = 1 THEN sig END) AS b1,
+           |    max(CASE WHEN k = 2 THEN sig END) AS b2,
+           |    max(CASE WHEN k = 3 THEN sig END) AS b3
+           |  FROM ibw GROUP BY doc_id
+           |)""".stripMargin
+      }
+    // image bands off the hash relation
+    val ib =
+      if (spark)
+        """ib AS (
+          |  SELECT doc_id, b AS k,
+          |    CASE b WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS sig
+          |  FROM ih LATERAL VIEW explode(sequence(0, 3)) t AS b
+          |)""".stripMargin
+      else
+        """ib AS (
+          |  SELECT doc_id, k.k AS k,
+          |    CASE k.k WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS sig
+          |  FROM ih CROSS JOIN range(4) k(k)
+          |)""".stripMargin
+    // caption minhash bands: 16 hashes, 8 bands × 2 (the l33b winner)
+    val tb =
+      if (spark) {
+        val bandPairs = (0 until 8)
+          .map(j => s"concat(hs[${2 * j}], hs[${2 * j + 1}])").mkString(", ")
+        s"""tmh AS (
+           |  SELECT doc_id, minhash_sigs(text, 3, 16) AS hs
+           |  FROM $src WHERE size(split(text, ' ')) >= 3
+           |), tb AS (
+           |  SELECT doc_id, posexplode(array($bandPairs)) AS (band, sig)
+           |  FROM tmh
+           |)""".stripMargin
+      } else {
+        val mh = (0 until 16).map { i =>
+          s"min(substr(md5(s || '#$i'), 1, 8)) AS h$i"
+        }.mkString(",\n    ")
+        val bandRows = (0 until 8).map(j =>
+          s"SELECT doc_id, $j AS band, h${2 * j} || h${2 * j + 1} AS sig FROM tmh")
+          .mkString("\n  UNION ALL\n  ")
+        s"""ttoks AS (
+           |  SELECT doc_id, string_split(text, ' ') AS t FROM $src
+           |  WHERE len(string_split(text, ' ')) >= 3
+           |), tsh AS (
+           |  SELECT doc_id, unnest(list_transform(range(len(t) - 2),
+           |    i -> array_to_string(t[i+1:i+3], ' '))) AS s
+           |  FROM ttoks
+           |), tmh AS (
+           |  SELECT doc_id,
+           |    $mh
+           |  FROM tsh GROUP BY doc_id
+           |), tb AS (
+           |  $bandRows
+           |)""".stripMargin
+      }
+    val grams =
+      if (spark)
+        s"""g AS (
+           |  SELECT doc_id, array_distinct(word_ngrams(text, 2)) AS gr
+           |  FROM $src WHERE size(split(text, ' ')) >= 2
+           |)""".stripMargin
+      else
+        s"""g AS (
+           |  SELECT doc_id,
+           |    list_distinct(list_transform(range(len(string_split(text, ' ')) - 1),
+           |      i -> array_to_string((string_split(text, ' '))[i+1:i+2], ' '))) AS gr
+           |  FROM $src WHERE len(string_split(text, ' ')) >= 2
+           |)""".stripMargin
+    s"""WITH $ih, $ib, $tb, $grams, ie AS (
+       |  SELECT k, sig FROM ib GROUP BY k, sig HAVING count(*) <= $imgCap
+       |), icapped AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT k, sig FROM ib GROUP BY k, sig HAVING count(*) > $imgCap) c
+       |), icand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2
+       |  FROM ib a JOIN ie e ON a.k = e.k AND a.sig = e.sig
+       |  JOIN ib b2 ON a.k = b2.k AND a.sig = b2.sig AND a.doc_id < b2.doc_id
+       |), te AS (
+       |  SELECT band, sig FROM tb GROUP BY band, sig HAVING count(*) <= $txtCap
+       |), tcapped AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT band, sig FROM tb GROUP BY band, sig
+       |    HAVING count(*) > $txtCap) c
+       |), tcand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2
+       |  FROM tb a JOIN te e ON a.band = e.band AND a.sig = e.sig
+       |  JOIN tb b2 ON a.band = b2.band AND a.sig = b2.sig
+       |    AND a.doc_id < b2.doc_id
+       |), cand AS (
+       |  SELECT d1, d2, max(isrc) AS has_img, max(tsrc) AS has_txt FROM (
+       |    SELECT d1, d2, 1 AS isrc, 0 AS tsrc FROM icand
+       |    UNION ALL
+       |    SELECT d1, d2, 0 AS isrc, 1 AS tsrc FROM tcand
+       |  ) u GROUP BY d1, d2
+       |), conf AS (
+       |  SELECT c.has_img, c.has_txt,
+       |    CASE WHEN $hd <= 6 THEN 1 ELSE 0 END AS img_dup,
+       |    CASE WHEN ga.gr IS NOT NULL AND gb.gr IS NOT NULL
+       |      AND ${jac("ga.gr", "gb.gr")} >= 0.3
+       |      THEN 1 ELSE 0 END AS txt_dup
+       |  FROM cand c
+       |  JOIN ih ha ON ha.doc_id = c.d1
+       |  JOIN ih hb ON hb.doc_id = c.d2
+       |  LEFT JOIN g ga ON ga.doc_id = c.d1
+       |  LEFT JOIN g gb ON gb.doc_id = c.d2
+       |)
+       |SELECT CAST(has_img AS INT) AS has_img, CAST(has_txt AS INT) AS has_txt,
+       |  CAST(img_dup AS INT) AS img_dup, CAST(txt_dup AS INT) AS txt_dup,
+       |  CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM conf GROUP BY has_img, has_txt, img_dup, txt_dup
+       |UNION ALL
+       |SELECT -1, 0, 0, 0, n FROM icapped
+       |UNION ALL
+       |SELECT 0, -1, 0, 0, n FROM tcapped
+       |ORDER BY has_img, has_txt, img_dup, txt_dup""".stripMargin
+  }
+
   /** The l24 cluster assignment alone (specs brute-force the dedup rule
     * in Scala from these assignments plus raw embeddings).
     */
@@ -3555,6 +3738,17 @@ object LlmQueries {
           |ORDER BY hd""".stripMargin)
     },
 
+    // ---- m05: joint image+caption near-dup census (CLIP-style) ---------
+    // Candidates from EITHER modality's bands, confirmed on BOTH — see
+    // jointNeardupSql. Image hashes decode the real PNGs (m04's view).
+    "m05_joint_neardup" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      graft.functions.NGramFunctions.register(s)
+      graft.operators.MultimodalOps.imageHashes(s, s.table("documents"))
+        .toDF().localCheckpoint().createOrReplaceTempView("m05_hashes")
+      s.sql(jointNeardupSql(spark = true))
+    },
+
     // ---- l16: winnowing fingerprints ---------------------------------
     // The MOSS scheme (the rolling-hash fingerprinting standard for
     // near-dup/plagiarism detection): hash every positional 5-gram, keep
@@ -4246,6 +4440,8 @@ object LlmQueries {
          |  CAST(sum(n_pixels) AS BIGINT) AS sum_pixels
          |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    "m05_joint_neardup" -> jointNeardupSql(spark = false),
 
     "m04_image_phash_neardup" -> {
       val w = s"(32 + ${nib("md5(text)", 1)} % 8)"

@@ -437,6 +437,30 @@ class LlmQueriesSpec extends AnyFunSuite {
     assert(cl.distinct.length == cl.length)
   }
 
+  test("m05 joint near-dup: an identical image+caption pair lands in the " +
+    "(found-by-both, confirmed-both) census bucket") {
+    import spark.implicits._
+    graft.functions.NGramFunctions.register(spark)
+    // docs 3 and 6 share text AND doc_id mod 3, so the rendered PNGs are
+    // byte-identical and the captions minhash identically — the joint
+    // bucket MUST fire. doc 7 is unrelated.
+    val docs = Seq(
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (6L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (7L, "completely different words about entirely other topics here"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("m05_spec_docs")
+    graft.operators.MultimodalOps.imageHashes(spark, docs)
+      .toDF().createOrReplaceTempView("m05_hashes")
+    val rows = spark.sql(
+      LlmQueries.jointNeardupSql(spark = true, src = "m05_spec_docs"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    assert(rows.contains((1, 1, 1, 1, 1L)),
+      s"the 3~6 pair must be found by both arms and confirmed on both:\n" +
+        rows.mkString("\n"))
+  }
+
   test("l40 nprobe tuner: recall non-decreasing in nprobe, full probe is " +
     "exact, chosen = cheapest config meeting the target") {
     graft.Tables.registerAll(spark, SparkTestSession.sf)
