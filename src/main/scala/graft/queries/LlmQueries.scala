@@ -424,6 +424,78 @@ object LlmQueries {
        |ORDER BY has_img, has_txt, img_dup, txt_dup""".stripMargin
   }
 
+  /** l41 data card — the per-source composition funnel every curated
+    * training set ships with (dataset cards / C4-style curation reports):
+    * raw docs/tokens per source, then survivors through each pipeline
+    * stage IN SEQUENCE — exact dedup (l01's min-id-per-content-hash
+    * rule), eval-set decontamination (l19's gram rule at n=5 against the
+    * src0/src1 eval sources — 3-grams mark 424/450 fixture docs
+    * contaminated, a vacuous funnel; 5-grams mark 5, measured), quality
+    * filter (≥ 30 words and ≥ 40% distinct — stated in integer math so
+    * both engines compare exactly; fixture distinct-ratio median is 0.47,
+    * so the cut is discriminative, not degenerate) —
+    * with final token counts. One corpus pass computes every flag: the
+    * dedup rank is one shuffle on the content hash, contamination is the
+    * broadcast eval-gram semi-join, quality is map-side; the funnel
+    * aggregate is one shuffle on source. 100 TB: no stage materializes an
+    * intermediate corpus — the funnel is flags multiplied inside one
+    * aggregation pass.
+    */
+  private[graft] def dataCardSql(spark: Boolean): String = {
+    val nw = if (spark) "size(split(text, ' '))" else "len(string_split(text, ' '))"
+    val ndw = if (spark) "size(array_distinct(split(text, ' ')))"
+              else "len(list_distinct(string_split(text, ' ')))"
+    val evGrams =
+      if (spark)
+        """SELECT DISTINCT g FROM documents
+          |  LATERAL VIEW explode(array_distinct(word_ngrams(text, 5))) t AS g
+          |  WHERE source IN ('src0', 'src1')""".stripMargin
+      else
+        """SELECT DISTINCT unnest(list_distinct(list_transform(
+          |    range(len(string_split(text, ' ')) - 4),
+          |    i -> array_to_string((string_split(text, ' '))[i+1:i+5], ' ')))) AS g
+          |  FROM documents WHERE source IN ('src0', 'src1')""".stripMargin
+    val trGrams =
+      if (spark)
+        """SELECT doc_id, g FROM docs
+          |  LATERAL VIEW explode(array_distinct(word_ngrams(text, 5))) t AS g""".stripMargin
+      else
+        """SELECT doc_id, unnest(list_distinct(list_transform(
+          |    range(len(string_split(text, ' ')) - 4),
+          |    i -> array_to_string((string_split(text, ' '))[i+1:i+5], ' ')))) AS g
+          |  FROM docs""".stripMargin
+    s"""WITH docs AS (
+       |  SELECT doc_id, source, text, $nw AS nw, $ndw AS ndw
+       |  FROM documents WHERE source NOT IN ('src0', 'src1')
+       |), dedup AS (
+       |  SELECT min(doc_id) AS doc_id
+       |  FROM (SELECT doc_id, md5(lower(text)) AS k FROM docs) h
+       |  GROUP BY k
+       |), ev AS (
+       |  $evGrams
+       |), tr AS (
+       |  $trGrams
+       |), contaminated AS (
+       |  SELECT DISTINCT tr.doc_id FROM tr JOIN ev ON tr.g = ev.g
+       |), flags AS (
+       |  SELECT d.source, d.nw,
+       |    CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS kd,
+       |    CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END AS cl,
+       |    CASE WHEN d.nw >= 30 AND d.ndw * 10 >= 4 * d.nw THEN 1 ELSE 0 END AS q
+       |  FROM docs d
+       |  LEFT JOIN dedup dd ON dd.doc_id = d.doc_id
+       |  LEFT JOIN contaminated c ON c.doc_id = d.doc_id
+       |)
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_raw,
+       |  CAST(sum(nw) AS BIGINT) AS tok_raw,
+       |  CAST(sum(kd) AS BIGINT) AS n_dedup,
+       |  CAST(sum(kd * cl) AS BIGINT) AS n_decontam,
+       |  CAST(sum(kd * cl * q) AS BIGINT) AS n_final,
+       |  CAST(sum(kd * cl * q * nw) AS BIGINT) AS tok_final
+       |FROM flags GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** The l24 cluster assignment alone (specs brute-force the dedup rule
     * in Scala from these assignments plus raw embeddings).
     */
@@ -2909,6 +2981,13 @@ object LlmQueries {
       s.sql(annNprobeTunerSql(spark = true))
     },
 
+    // ---- l41: per-source data-card funnel (see dataCardSql) -----------
+    "l41_data_card" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      graft.functions.NGramFunctions.register(s)
+      s.sql(dataCardSql(spark = true))
+    },
+
     // ---- l02c: minhash-LSH at the auto-tuned configuration ------------
     // The tuner's decision driving the production corpus pass: collect
     // the panel sweep's winner (corpus-independent), run minhashLshSqlN
@@ -4050,6 +4129,7 @@ object LlmQueries {
     "l33_lsh_eval" -> lshEvalSql(spark = false),
     "l33b_lsh_autotune" -> lshAutoTuneSql(spark = false),
     "l40_ann_nprobe_tuner" -> annNprobeTunerSql(spark = false),
+    "l41_data_card" -> dataCardSql(spark = false),
     "l02c_minhash_lsh_tuned" -> lshTunedCorpusSql(cap = LshBucketCap),
     "l32_mixture_sampling" -> mixSql(spark = false),
     "l31_cdc_chunking" -> cdcSql(spark = false),
