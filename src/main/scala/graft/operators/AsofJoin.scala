@@ -94,6 +94,44 @@ object AsofJoin {
         payload.map(p => col(PayloadCol).getField(p).as(p))): _*)
   }
 
+  /** [[backward]] with a match tolerance (pandas merge_asof's `tolerance`,
+    * kdb wj's window): the latest right row qualifies only if it is at
+    * most `toleranceUs` microseconds older than the left row — a staler
+    * match yields null payloads, because any OLDER right row is farther
+    * still. Both time columns must be timestamps. Implementation: the
+    * right event-time rides inside the carried payload struct (one extra
+    * struct field, not a second window), and a map-side predicate nulls
+    * the struct when it is too stale — same single key-shuffle cost as
+    * [[backward]], same plan at 100 TB.
+    */
+  def backwardWithin(left: DataFrame, right: DataFrame, key: String,
+                     leftTime: String, rightTime: String,
+                     payload: Seq[String], toleranceUs: Long): DataFrame = {
+    val RtCol = "__asof_rt"
+    val leftCols = left.columns.toSeq
+    require(!leftCols.contains(RtCol) && !payload.contains(RtCol),
+      s"column name $RtCol is reserved by AsofJoin")
+    val right2 = right.withColumn(RtCol, unix_micros(q(rightTime)))
+    val (r, l) = tagged(left, right2, key, leftTime, rightTime,
+      payload :+ RtCol)
+
+    val w = Window.partitionBy(q(key))
+      .orderBy(col(TimeCol), col(SideTag))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val fresh = col(PayloadCol).isNotNull &&
+      unix_micros(col(TimeCol)) - col(PayloadCol).getField(RtCol) <=
+        lit(toleranceUs)
+    r.unionByName(l)
+      .select((leftCols.map(q) :+ col(TimeCol) :+
+        last(col(PayloadCol), ignoreNulls = true).over(w).as(PayloadCol) :+
+        col(SideTag)): _*)
+      .filter(col(SideTag) === 1)
+      .select((leftCols.map(q) ++
+        payload.map(p =>
+          when(fresh, col(PayloadCol).getField(p)).as(p))): _*)
+  }
+
   /** Skew-proof two-level variant of [[backward]] for hot keys: windows run
     * per (key, bin) instead of per key, so no single key serializes its
     * whole history into one task.

@@ -46,6 +46,30 @@ object AsofRangeQueries {
         .orderBy(col("event_id"))
     },
 
+    // ---- a04: as-of join with tolerance -------------------------------
+    // a01 with pandas-merge_asof/kdb-wj staleness semantics: a match
+    // older than 10 minutes yields null payloads instead (a staler view
+    // is never a better answer). Oracle = DuckDB ASOF LEFT JOIN with the
+    // same freshness CASE applied to the matched row.
+    "a04_asof_tolerance" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("view_value"))
+        .select(col("user_id"), col("ts"),
+          unix_micros(col("ts")).as("view_us"), col("view_value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          unix_micros(col("ts")).as("click_us"))
+      AsofJoin.backwardWithin(clicks, views, key = "user_id",
+          leftTime = "ts", rightTime = "ts",
+          payload = Seq("view_us", "view_value"),
+          toleranceUs = 10L * 60 * 1000 * 1000)
+        .select(col("event_id"), col("user_id"), col("click_us"),
+          col("view_us"), col("view_value"))
+        .orderBy(col("event_id"))
+    },
+
     // ---- a03: as-of join, skew-proof two-level shape ------------------
     // Same query as a01 through AsofJoin.backwardBinned with hourly time
     // bins: the detailed window partitions by (user, hour) instead of
@@ -98,6 +122,22 @@ object AsofRangeQueries {
     "a01_asof_join" ->
       """SELECT c.event_id, c.user_id, epoch_us(c.ts) AS click_us,
         |  epoch_us(v.ts) AS view_us, v.view_value
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, max(value) AS view_value
+        |  FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |        FROM events WHERE event_type = 'view')
+        |  GROUP BY user_id, ts) v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "a04_asof_tolerance" ->
+      """SELECT c.event_id, c.user_id, epoch_us(c.ts) AS click_us,
+        |  CASE WHEN epoch_us(c.ts) - epoch_us(v.ts) <= 600000000
+        |       THEN epoch_us(v.ts) END AS view_us,
+        |  CASE WHEN epoch_us(c.ts) - epoch_us(v.ts) <= 600000000
+        |       THEN v.view_value END AS view_value
         |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
         |      FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (

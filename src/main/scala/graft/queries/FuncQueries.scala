@@ -489,8 +489,52 @@ object FuncQueries {
           |  CAST(sum(gap_us) AS BIGINT) AS sum_gap
           |FROM g WHERE gap_us IS NOT NULL
           |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    },
+
+    // Batch sessionization — the lag/flag/running-sum classic, the batch
+    // twin of graft.streaming.EventStreams.sessionize (same 30-minute
+    // inactivity gap; EventStreamsSpec pins streaming == this rule).
+    // Both windows partition on user_id — distributed, never global.
+    "e03_sessionization" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(sessionizationSql(spark = true))
     }
   )
+
+  /** e03 batch sessionization, one emitter for both dialects: a session
+    * break is a NULL or > 30-min gap (lag over user time), session ids
+    * are the running sum of breaks, sessions aggregate to a per-size
+    * census with exact integer-microsecond durations. 100 TB: one
+    * shuffle on user_id serves both windows and the session aggregate;
+    * the census is a second small shuffle on n_events.
+    */
+  private[graft] def sessionizationSql(spark: Boolean): String = {
+    val us = if (spark) "unix_micros(ts)" else "epoch_us(ts)"
+    s"""WITH x AS (
+       |  SELECT user_id, event_id, $us AS t,
+       |    CASE WHEN lag($us) OVER (
+       |        PARTITION BY user_id ORDER BY $us, event_id) IS NULL
+       |      OR $us - lag($us) OVER (
+       |        PARTITION BY user_id ORDER BY $us, event_id) > 1800000000
+       |    THEN 1 ELSE 0 END AS brk
+       |  FROM events
+       |), s AS (
+       |  SELECT user_id, t, sum(brk) OVER (
+       |    PARTITION BY user_id ORDER BY t, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM x
+       |), sess AS (
+       |  SELECT user_id, sid, count(*) AS n_events,
+       |    max(t) - min(t) AS dur_us
+       |  FROM s GROUP BY user_id, sid
+       |)
+       |SELECT CAST(n_events AS BIGINT) AS n_events,
+       |  CAST(count(*) AS BIGINT) AS n_sessions,
+       |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  CAST(sum(dur_us) AS BIGINT) AS sum_dur_us,
+       |  CAST(max(dur_us) AS BIGINT) AS max_dur_us
+       |FROM sess GROUP BY n_events ORDER BY n_events""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "f19_format_pack" ->
@@ -817,6 +861,8 @@ object FuncQueries {
         |  CAST(max(gap_us) AS BIGINT) AS max_gap,
         |  CAST(sum(gap_us) AS BIGINT) AS sum_gap
         |FROM g WHERE gap_us IS NOT NULL
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "e03_sessionization" -> sessionizationSql(spark = false)
   )
 }

@@ -55,6 +55,53 @@ class AsofRangeJoinSpec extends AnyFunSuite {
     assert(out === Seq(("l1", Some(10.0)), ("l2", Some(11.0)), ("l3", None)))
   }
 
+  test("asof within-tolerance: stale matches null out, fresh ones equal " +
+    "backward, equal-time matches always survive") {
+    val left = Seq(
+      (1, ts("2024-01-01 10:00:00"), "l1"),  // match at 10:00 (age 0)
+      (1, ts("2024-01-01 12:00:00"), "l2"),  // latest 11:00 — 60 min stale
+      (1, ts("2024-01-01 11:05:00"), "l4"),  // latest 11:00 — 5 min, fresh
+      (2, ts("2024-01-01 10:30:00"), "l3"))  // no at-or-before match
+      .toDF("k", "t", "name")
+    val right = Seq(
+      (1, ts("2024-01-01 09:00:00"), 9.0),
+      (1, ts("2024-01-01 10:00:00"), 10.0),
+      (1, ts("2024-01-01 11:00:00"), 11.0),
+      (2, ts("2024-01-01 11:00:00"), 99.0))
+      .toDF("k", "rt", "v")
+    val out = AsofJoin.backwardWithin(left, right, "k", "t", "rt", Seq("v"),
+        toleranceUs = 10L * 60 * 1000 * 1000)
+      .orderBy("name")
+      .select("name", "v").as[(String, Option[Double])].collect()
+    assert(out === Seq(("l1", Some(10.0)), ("l2", None), ("l3", None),
+      ("l4", Some(11.0))))
+    // and on real events: within == backward wherever backward's match is
+    // fresh, null wherever it is stale — never a DIFFERENT (older) match
+    val ev = graft.Tables.events(spark, SparkTestSession.sf)
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("view_value"))
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("vus"),
+        col("view_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val tol = 10L * 60 * 1000 * 1000
+    val base = AsofJoin.backward(clicks, views, "user_id", "ts", "ts",
+        Seq("vus", "view_value"))
+      .select(col("event_id"), unix_micros(col("ts")).as("cus"),
+        col("vus"), col("view_value"))
+      .collect().map(r => (r.getLong(0),
+        (if (r.isNullAt(2) || r.getLong(1) - r.getLong(2) > tol) None
+         else Some((r.getLong(2), r.getDouble(3)))))).toMap
+    val within = AsofJoin.backwardWithin(clicks, views, "user_id", "ts", "ts",
+        Seq("vus", "view_value"), toleranceUs = tol)
+      .select(col("event_id"), col("vus"), col("view_value"))
+      .collect().map(r => (r.getLong(0),
+        (if (r.isNullAt(1)) None
+         else Some((r.getLong(1), r.getDouble(2)))))).toMap
+    assert(within == base)
+  }
+
   test("asof: equals the per-row naive definition on real events") {
     val ev = Tables(spark, SparkTestSession.sf, "events")
     val views = ev.filter(col("event_type") === "view")

@@ -130,4 +130,64 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(emitted().count(_._1 == 3L) === 0)
     } finally q.stop()
   }
+
+  test("e03 batch sessionization == streaming sessionize's closed sessions " +
+    "on the same events") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def us(min: Long): Long = min * 60L * 1000 * 1000
+    // three users with multi-session histories; user 999's single far-
+    // future event pushes the watermark past every other deadline so all
+    // their sessions CLOSE; only 999's own session stays open
+    val data = Seq(
+      (1L, 600L), (1L, 610L), (1L, 700L), (1L, 715L), // 2 sessions (gap 90)
+      (2L, 600L),                                     // 1 session
+      (3L, 100L), (3L, 131L), (3L, 161L),             // 2 sessions: gap 31 breaks (>30 strict), gap 30 holds
+      (999L, 5000L))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val events = mem.toDF().toDF("user_id", "ts_us")
+      .withColumn("ts", timestamp_micros(expr("ts_us * 60000000"))).drop("ts_us")
+    val q = EventStreams.sessionize(spark, events).toDF()
+      .writeStream.format("memory").queryName("e03_sessions")
+      .outputMode("append").start()
+    val streamed =
+      try {
+        mem.addData(data)
+        q.processAllAvailable()
+        spark.table("e03_sessions").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet
+      } finally q.stop()
+    assert(streamed.nonEmpty && !streamed.exists(_._1 == 999L))
+    // batch rule over the SAME events (session level, before the census)
+    data.zipWithIndex
+      .map { case ((u, m), i) => (i.toLong, u, new java.sql.Timestamp(us(m) / 1000)) }
+      .toDF("event_id", "user_id", "ts")
+      .createOrReplaceTempView("events")
+    val batch = spark.sql(
+      """WITH x AS (
+        |  SELECT user_id, event_id, unix_micros(ts) AS t,
+        |    CASE WHEN lag(unix_micros(ts)) OVER (
+        |        PARTITION BY user_id ORDER BY unix_micros(ts), event_id) IS NULL
+        |      OR unix_micros(ts) - lag(unix_micros(ts)) OVER (
+        |        PARTITION BY user_id ORDER BY unix_micros(ts), event_id) > 1800000000
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, t, sum(brk) OVER (
+        |    PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM x
+        |)
+        |SELECT user_id, min(t) AS start_us, max(t) AS end_us,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // every closed streaming session must be a batch session, and batch
+    // minus the open (999) session must be exactly the streamed set
+    assert(batch.filterNot(_._1 == 999L) == streamed,
+      s"batch=$batch\nstreamed=$streamed")
+  }
 }
