@@ -1594,6 +1594,44 @@ object LlmQueries {
     while (df != null) { df.unpersist(blocking = false); df = sharedCaches.poll() }
   }
 
+  /** The l39/l42 BPE training loop (Sennrich et al. 2016): 3 driver-paced
+    * rounds of pair-count → top-1 → framed merge rewrite over the
+    * '|'-framed per-word symbol corpus, checkpoint + release per round
+    * (see the l39 entry's doc for the full scale story). Returns the
+    * learned (step, pair, count) merge table.
+    */
+  private[graft] def bpeLearnMerges(s: SparkSession,
+                                    rounds: Int = 3): Seq[(Int, String, Long)] = {
+    var rep = s.sql(
+      """SELECT concat('|', regexp_replace(w, '(.)', '$1|')) AS r
+        |FROM (SELECT explode(split(lower(text), ' ')) AS w
+        |      FROM documents) ww
+        |WHERE w <> ''""".stripMargin).localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    for (step <- 0 until rounds) {
+      rep.createOrReplaceTempView("l39_rep")
+      val top = s.sql(
+        """SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM (
+          |  SELECT explode(transform(sequence(0, size(t) - 2),
+          |    i -> concat(t[i], ' ', t[i+1]))) AS pair
+          |  FROM (SELECT filter(split(r, '[|]'), x -> x <> '') AS t
+          |        FROM l39_rep) tt
+          |  WHERE size(t) >= 2
+          |) p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1""".stripMargin)
+        .head()
+      merges += ((step, top.getString(0), top.getLong(1)))
+      val esc = top.getString(0).replace("'", "''")
+      val prev = rep
+      rep = s.sql(
+        s"""SELECT replace(r, concat('|', replace('$esc', ' ', '|'), '|'),
+           |                  concat('|', replace('$esc', ' ', ''), '|')) AS r
+           |FROM l39_rep""".stripMargin).localCheckpoint()
+      releaseCheckpoint(prev)
+    }
+    releaseCheckpoint(rep)
+    merges.toSeq
+  }
+
   /** Release a `localCheckpoint(eager=true)`'s pinned executor-storage
     * blocks once its last consumer has run (the GraftSession
     * releaseCheckpoint discipline, ADVICE r11): the checkpointed plan is
@@ -3667,38 +3705,47 @@ object LlmQueries {
     // nested CTEs with LIMIT-1 scalars.
     "l39_bpe_merges" -> { (s, dir) =>
       Tables.registerAll(s, dir)
-      var rep = s.sql(
-        """SELECT concat('|', regexp_replace(w, '(.)', '$1|')) AS r
-          |FROM (SELECT explode(split(lower(text), ' ')) AS w
-          |      FROM documents) ww
-          |WHERE w <> ''""".stripMargin).localCheckpoint()
-      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
-      for (step <- 0 until 3) {
-        rep.createOrReplaceTempView("l39_rep")
-        val top = s.sql(
-          """SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM (
-            |  SELECT explode(transform(sequence(0, size(t) - 2),
-            |    i -> concat(t[i], ' ', t[i+1]))) AS pair
-            |  FROM (SELECT filter(split(r, '[|]'), x -> x <> '') AS t
-            |        FROM l39_rep) tt
-            |  WHERE size(t) >= 2
-            |) p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1""".stripMargin)
-          .head()
-        merges += ((step, top.getString(0), top.getLong(1)))
-        val esc = top.getString(0).replace("'", "''")
-        val prev = rep
-        rep = s.sql(
-          s"""SELECT replace(r, concat('|', replace('$esc', ' ', '|'), '|'),
-             |                  concat('|', replace('$esc', ' ', ''), '|')) AS r
-             |FROM l39_rep""".stripMargin).localCheckpoint()
-        releaseCheckpoint(prev)
-      }
-      releaseCheckpoint(rep)
       import s.implicits._
-      merges.toSeq.toDF("step", "pair", "cnt")
+      bpeLearnMerges(s).toDF("step", "pair", "cnt")
         .selectExpr("CAST(step AS INT) AS step", "pair",
           "CAST(cnt AS BIGINT) AS cnt")
         .orderBy("step")
+    },
+
+    // ---- l42: BPE encode — apply the learned merges -------------------
+    // The other half of the tokenizer story: l39 TRAINS the merge table,
+    // l42 ENCODES the corpus with it and reports the per-source token
+    // economics (words, raw symbols = chars, post-merge tokens, symbols
+    // saved) — what you check before committing a tokenizer to a
+    // training run. The 3 learned merges come back from the same driver
+    // loop (literals in one map-side expression chain); encoding is ONE
+    // corpus pass, token counts fall out of the frame arithmetic
+    // (pipes − 1 = symbols), and the aggregate is one shuffle on source.
+    // The oracle re-learns the merges via the l39 unrolled CTEs and
+    // applies them with scalar subqueries — engine-independently equal
+    // because l39's gate proves the merge tables match.
+    "l42_bpe_encode" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val applies = bpeLearnMerges(s).map(_._2).foldLeft("r") { (e, pair) =>
+        val esc = pair.replace("'", "''")
+        s"""replace($e, concat('|', replace('$esc', ' ', '|'), '|'),
+           |          concat('|', replace('$esc', ' ', ''), '|'))""".stripMargin
+      }
+      s.sql(
+        s"""WITH w AS (
+           |  SELECT source, explode(split(lower(text), ' ')) AS w
+           |  FROM documents
+           |), r0 AS (
+           |  SELECT source, concat('|', regexp_replace(w, '(.)', '$$1|')) AS r
+           |  FROM w WHERE w <> ''
+           |), enc AS (
+           |  SELECT source, $applies AS r FROM r0
+           |)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+           |  CAST(sum(length(replace(r, '|', ''))) AS BIGINT) AS n_chars,
+           |  CAST(sum(length(r) - length(replace(r, '|', '')) - 1) AS BIGINT)
+           |    AS n_tokens
+           |FROM enc GROUP BY source ORDER BY source""".stripMargin)
     },
 
     // ---- l15: end-to-end curation pipeline ---------------------------
@@ -4438,6 +4485,52 @@ object LlmQueries {
          |  UNION ALL
          |  SELECT CAST(2 AS INTEGER), pair, CAST(cnt AS BIGINT) FROM t2
          |) u ORDER BY step""".stripMargin
+    },
+
+    "l42_bpe_encode" -> {
+      // the same 3 learned rounds (source carried through every rewrite),
+      // then the per-source token economics of the final encoding r3
+      def pairs(src: String) =
+        s"""SELECT pair, count(*) AS cnt FROM (
+           |  SELECT unnest(list_transform(range(len(t) - 1),
+           |    i -> t[i+1] || ' ' || t[i+2])) AS pair
+           |  FROM (SELECT list_filter(string_split(r, '|'), x -> x <> '') AS t
+           |        FROM $src) tt
+           |) p GROUP BY pair""".stripMargin
+      def rewrite(src: String, win: String) =
+        s"""SELECT source, replace(r, '|' || replace(t.pair, ' ', '|') || '|',
+           |                  '|' || replace(t.pair, ' ', '') || '|') AS r
+           |FROM $src CROSS JOIN $win t""".stripMargin
+      s"""WITH w AS (
+         |  SELECT source, unnest(string_split(lower(text), ' ')) AS w
+         |  FROM documents
+         |), r0 AS (
+         |  SELECT source, '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS r
+         |  FROM w WHERE w <> ''
+         |), p0 AS (
+         |${pairs("r0")}
+         |), t0 AS (
+         |  SELECT pair, cnt FROM p0 ORDER BY cnt DESC, pair LIMIT 1
+         |), r1 AS (
+         |${rewrite("r0", "t0")}
+         |), p1 AS (
+         |${pairs("r1")}
+         |), t1 AS (
+         |  SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1
+         |), r2 AS (
+         |${rewrite("r1", "t1")}
+         |), p2 AS (
+         |${pairs("r2")}
+         |), t2 AS (
+         |  SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1
+         |), r3 AS (
+         |${rewrite("r2", "t2")}
+         |)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(length(replace(r, '|', ''))) AS BIGINT) AS n_chars,
+         |  CAST(sum(length(r) - length(replace(r, '|', '')) - 1) AS BIGINT)
+         |    AS n_tokens
+         |FROM r3 GROUP BY source ORDER BY source""".stripMargin
     },
 
     "l11_simhash_hamming_join" -> {

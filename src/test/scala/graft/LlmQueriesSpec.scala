@@ -418,6 +418,21 @@ class LlmQueriesSpec extends AnyFunSuite {
       rows.map(_.getLong(2)).sorted.reverse.toSeq)
   }
 
+  test("l42 BPE encode: token counts bounded by chars below and words " +
+    "above, and merges strictly save symbols") {
+    graft.Tables.registerAll(spark, SparkTestSession.sf)
+    val rows = SparkEntry.queries("l42_bpe_encode")(spark, SparkTestSession.sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, words, chars, toks) =>
+      assert(toks <= chars, s"$src: merges can only shrink symbol count")
+      assert(toks >= words, s"$src: every word is at least one token")
+    }
+    // the learned merges actually fire somewhere in the corpus
+    assert(rows.map(r => r._3 - r._4).sum > 0,
+      "3 learned merges must save symbols corpus-wide")
+  }
+
   test("l38 canonical pick: survivor is the longest member, drops add up") {
     graft.Tables.registerAll(spark, SparkTestSession.sf)
     graft.functions.NGramFunctions.register(spark)
