@@ -2086,7 +2086,8 @@ object LlmQueries {
     */
   private[graft] def ivfPqServedSparkSql(index: String,
                                          corpus: String,
-                                         extraPred: String = ""): String = {
+                                         extraPred: String = "",
+                                         finalSelect: String = ""): String = {
     def cos(a: String, b: String) =
       s"""${dotSpark(a, b)}
          |        / (sqrt(${dotSpark(a, a)}) * sqrt(${dotSpark(b, b)}))""".stripMargin
@@ -2134,8 +2135,10 @@ object LlmQueries {
        |         * sqrt(${dotSpark("q.qe", "q.qe")})) AS sim
        |  FROM cand c JOIN $corpus e ON e.vec_id = c.vec_id CROSS JOIN q
        |)
-       |SELECT vec_id, round(adc_sim, 6) AS adc_sim, round(sim, 6) AS sim
-       |FROM rerank ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
+       |${if (finalSelect.nonEmpty) finalSelect
+          else
+            """SELECT vec_id, round(adc_sim, 6) AS adc_sim, round(sim, 6) AS sim
+              |FROM rerank ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin}""".stripMargin
   }
 
   /** l34's oracle: the identical IVFPQ semantics recomputed from scratch
@@ -2154,7 +2157,8 @@ object LlmQueries {
     * MV-maintained index implements. `prelude` injects the corpus CTE.
     */
   private[graft] def ivfPqOracleSql(corpus: String, prelude: String,
-                                    filterJoin: String = ""): String = {
+                                    filterJoin: String = "",
+                                    finalSelect: String = ""): String = {
     def cos(a: String, b: String) =
       s"""${dotDuck(a, b)}
          |      / (sqrt(${dotDuck(a, a)}) * sqrt(${dotDuck(b, b)}))""".stripMargin
@@ -2197,8 +2201,44 @@ object LlmQueries {
        |    ${cos("e.embedding", "q.qe")} AS sim
        |  FROM cand c JOIN $corpus e ON e.vec_id = c.vec_id CROSS JOIN q
        |)
-       |SELECT vec_id, round(adc_sim, 6) AS adc_sim, round(sim, 6) AS sim
-       |FROM rerank ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
+       |${if (finalSelect.nonEmpty) finalSelect
+          else
+            """SELECT vec_id, round(adc_sim, 6) AS adc_sim, round(sim, 6) AS sim
+              |FROM rerank ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin}""".stripMargin
+  }
+
+  /** l43 RAG context assembly — the serving composition a retrieval
+    * pipeline runs per query: ANN top-k from the PERSISTED IVF-PQ index
+    * (l34's exact path), hydrate the hits with their document text, and
+    * greedily pack ranked hits into a fixed token budget (running-sum
+    * cutoff at 150 tokens) — the context window that actually ships to
+    * the model. Shared tail for both engines; only the tokenizer call
+    * differs. 100 TB: everything below the 20-row rerank is
+    * constant-size; the documents hydration is a 5-row broadcast-
+    * semi-join against the doc store, and the packing window runs over
+    * ≤ 5 rows.
+    */
+  private[graft] def ragContextTail(spark: Boolean,
+                                    budget: Int = 150): String = {
+    val nw = if (spark) "size(split(d.text, ' '))"
+             else "len(string_split(d.text, ' '))"
+    s""", topk AS (
+       |  SELECT vec_id, round(sim, 6) AS sim,
+       |    row_number() OVER (ORDER BY sim DESC, vec_id) AS rnk
+       |  FROM rerank ORDER BY sim DESC, vec_id LIMIT 5
+       |), ctx AS (
+       |  SELECT t.rnk, t.vec_id, t.sim, $nw AS n_tokens
+       |  FROM topk t JOIN documents d ON d.doc_id = t.vec_id
+       |), packed AS (
+       |  SELECT rnk, vec_id, sim, n_tokens,
+       |    sum(n_tokens) OVER (ORDER BY rnk
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+       |  FROM ctx
+       |)
+       |SELECT CAST(rnk AS INT) AS rnk, vec_id, sim,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(cum_tokens AS BIGINT) AS cum_tokens
+       |FROM packed WHERE cum_tokens <= $budget ORDER BY rnk""".stripMargin
   }
 
   /** l27 training-sequence packing — the GPT-style concatenate-and-chunk
@@ -3104,6 +3144,17 @@ object LlmQueries {
       graft.functions.VectorFunctions.register(s)
       ivfPqIndex(s, dir)
       s.sql(ivfPqServedSparkSql)
+    },
+
+    // ---- l43: RAG context assembly off the served index ---------------
+    // The l34 serving path + document hydration + greedy token-budget
+    // packing (see ragContextTail).
+    "l43_rag_context" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      graft.functions.VectorFunctions.register(s)
+      ivfPqIndex(s, dir)
+      s.sql(ivfPqServedSparkSql("ivfpq_index", "embeddings",
+        finalSelect = ragContextTail(spark = true)))
     },
 
     // ---- l35: index lifecycle — ingest re-encodes, serving sees it ----
@@ -4575,6 +4626,9 @@ object LlmQueries {
     "l24_semdedup" -> semDedupSql(spark = false),
     "l24b_semdedup_served" -> semDedupServedOracleSql(),
     "l34_ann_ivfpq_served" -> ivfPqOracleSql,
+
+    "l43_rag_context" -> ivfPqOracleSql("embeddings", "",
+      finalSelect = ragContextTail(spark = false)),
 
     // l36: the same IVFPQ recompute with the ADC scan restricted to
     // label-4 vectors — the filter stated as a join against the
