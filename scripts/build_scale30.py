@@ -17,10 +17,10 @@ key cardinality grow 30x.
 Usage: python3 scripts/build_scale30.py [outdir] [--events] [--repl N]
        (default outdir /tmp/sf_scale30, default N=30; --repl 100 is the
        r12 100x probe: 500k docs / 10M events)
-Then:  sbt "runMain graft.Verify <outdir> /tmp/verify_s30 l11_simhash_hamming_join"
+Then:  sbt "runMain graft.Verify <outdir> /tmp/verify_s30"
        python3 scripts/check_oracle.py <outdir> /tmp/verify_s30
-(l11 is skipped by design: its 8-bit toy fingerprint key space is
-quadratic by construction; l11b/l09b are the production shapes in gate.)
+(r13: l11 is no longer skipped — re-keyed to a 32-bit fingerprint with
+33-probe hamming ball, its bucket sizes stay sub-1 at any corpus size.)
 """
 import os
 import sys

@@ -188,8 +188,13 @@ object Bench {
       g.sql("CREATE TABLE bench_ingest(ok Int64, qty Float64, d Date) " +
         "ENGINE=BaseStorage PARTITION BY toYear(d)")
       val n = spark.table("lineitem").count()
-      val xs = (1 to 3).map(_ => timeIt(g.sql(
-        "INSERT INTO bench_ingest SELECT l_orderkey, l_quantity, l_shipdate FROM lineitem")))
+      // TRUNCATE between reps so each rep inserts into an empty table
+      // (otherwise reps 2-3 append to 1-2 prior copies — not the same work).
+      val xs = (1 to 3).map { _ =>
+        g.sql("TRUNCATE TABLE bench_ingest")
+        timeIt(g.sql(
+          "INSERT INTO bench_ingest SELECT l_orderkey, l_quantity, l_shipdate FROM lineitem"))
+      }
       record("ingest_sec", xs)
       g.sql("DROP TABLE bench_ingest")
       (n, xs.min) // best-of-3, the warm-anchor methodology

@@ -109,7 +109,8 @@ object AsofJoin {
                      payload: Seq[String], toleranceUs: Long): DataFrame = {
     val RtCol = "__asof_rt"
     val leftCols = left.columns.toSeq
-    require(!leftCols.contains(RtCol) && !payload.contains(RtCol),
+    require(!leftCols.contains(RtCol) && !payload.contains(RtCol) &&
+      !right.columns.contains(RtCol),
       s"column name $RtCol is reserved by AsofJoin")
     val right2 = right.withColumn(RtCol, unix_micros(q(rightTime)))
     val (r, l) = tagged(left, right2, key, leftTime, rightTime,

@@ -574,27 +574,28 @@ object LlmQueries {
     */
   private[graft] def qualityLrOracleSql(iters: Int = 3): String = {
     import QualityLr._
-    def wcols(src: String) = (s"$src.b", s"$src.w1", s"$src.w2", s"$src.w3")
     val sb = new StringBuilder
     sb ++= s"WITH ${featuresCte(spark = false)}, nn AS (\n"
     sb ++= "  SELECT CAST(count(*) AS BIGINT) AS n FROM f\n"
     sb ++= "), w0 AS (\n  SELECT CAST(0 AS DOUBLE) AS b, CAST(0 AS DOUBLE) AS w1,\n" +
-           "    CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS w3\n)"
+           "    CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS w3,\n" +
+           "    CAST(0 AS DOUBLE) AS w4\n)"
     for (k <- 0 until iters) {
-      val (b, w1, w2, w3) = wcols("w")
-      val p = p9(b, w1, w2, w3)
+      val p = p9("w.b", "w.w1", "w.w2", "w.w3", "w.w4")
       sb ++= s""", c$k AS (
                 |  SELECT ${confusion(p)}
                 |  FROM f CROSS JOIN w$k w
                 |), g$k AS (
                 |  SELECT ${gsum(p, "1")} AS gb, ${gsum(p, "x1")} AS g1,
-                |    ${gsum(p, "x2")} AS g2, ${gsum(p, "x3")} AS g3
+                |    ${gsum(p, "x2")} AS g2, ${gsum(p, "x3")} AS g3,
+                |    ${gsum(p, "x4")} AS g4
                 |  FROM f CROSS JOIN w$k w
                 |), w${k + 1} AS (
                 |  SELECT w.b - CAST(g.gb AS DOUBLE) / nn.n AS b,
                 |    w.w1 - CAST(g.g1 AS DOUBLE) / nn.n AS w1,
                 |    w.w2 - CAST(g.g2 AS DOUBLE) / nn.n AS w2,
-                |    w.w3 - CAST(g.g3 AS DOUBLE) / nn.n AS w3
+                |    w.w3 - CAST(g.g3 AS DOUBLE) / nn.n AS w3,
+                |    w.w4 - CAST(g.g4 AS DOUBLE) / nn.n AS w4
                 |  FROM w$k w CROSS JOIN g$k g CROSS JOIN nn
                 |)""".stripMargin
     }
@@ -604,6 +605,7 @@ object LlmQueries {
          |  CAST(round(w.w1, 6) AS DOUBLE) AS w1,
          |  CAST(round(w.w2, 6) AS DOUBLE) AS w2,
          |  CAST(round(w.w3, 6) AS DOUBLE) AS w3,
+         |  CAST(round(w.w4, 6) AS DOUBLE) AS w4,
          |  c.tp, c.fp, c.tn, c.fn
          |FROM w$k w CROSS JOIN c$k c""".stripMargin
     }.mkString("\nUNION ALL\n")
@@ -1745,6 +1747,136 @@ object LlmQueries {
     }
     releaseCheckpoint(rep)
     merges.toSeq
+  }
+
+  /** The l39b BATCHED BPE training loop (VERDICT r12 task #5): l39 learns
+    * one merge per driver round-trip — fine for 3 demo merges, O(vocab)
+    * driver loops for a production 50k-merge vocabulary. This variant
+    * learns a whole BATCH of merges per round: rank the top-`pool` pairs
+    * by count, then greedily keep every pair whose two symbols are
+    * disjoint from all ALREADY-KEPT pairs (first-fit matching in rank
+    * order — the standard batched-BPE independence rule). Kept pairs are
+    * pairwise symbol-disjoint, so their framed replaces commute and one
+    * map pass applies the whole batch via aggregate(ms, r, replace).
+    * Driver loop count is O(rounds) = O(vocab / batch), not O(vocab):
+    * 6 rounds here learn 64+ merges vs l39's 3-in-3. The greedy runs
+    * driver-side over the COLLECTED pool (≤`pool` rows, a few KB off a
+    * top-K heap — the l33b tuner-choice discipline); the oracle replays
+    * the identical first-fit walk as a linear recursive CTE. Returns
+    * (round, rk, pair, cnt) with rk = rank in that round's pool.
+    */
+  private[graft] def bpeLearnMergesBatched(
+      s: SparkSession, rounds: Int = 6,
+      pool: Int = 96): Seq[(Int, Int, String, Long)] = {
+    var rep = s.sql(
+      """SELECT concat('|', regexp_replace(w, '(.)', '$1|')) AS r
+        |FROM (SELECT explode(split(lower(text), ' ')) AS w
+        |      FROM documents) ww
+        |WHERE w <> ''""".stripMargin).localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, String, Long)]
+    for (round <- 0 until rounds) {
+      rep.createOrReplaceTempView("l39b_rep")
+      val cand = s.sql(
+        s"""SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rk
+           |FROM (
+           |  SELECT pair, cnt FROM (
+           |    SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM (
+           |      SELECT explode(transform(sequence(0, size(t) - 2),
+           |        i -> concat(t[i], ' ', t[i+1]))) AS pair
+           |      FROM (SELECT filter(split(r, '[|]'), x -> x <> '') AS t
+           |            FROM l39b_rep) tt
+           |      WHERE size(t) >= 2
+           |    ) p GROUP BY pair
+           |  ) pc ORDER BY cnt DESC, pair LIMIT $pool
+           |) t ORDER BY rk""".stripMargin).collect()
+      val used = scala.collection.mutable.Set.empty[String]
+      val chosen = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+      cand.foreach { row =>
+        val rk = row.getAs[Int]("rk")
+        val pair = row.getAs[String]("pair")
+        val Array(s1, s2) = pair.split(" ", 2)
+        if (!used(s1) && !used(s2)) {
+          chosen += ((rk, pair)); used += s1; used += s2
+          merges += ((round, rk, pair, row.getAs[Long]("cnt")))
+        }
+      }
+      import s.implicits._
+      chosen.toSeq.toDF("rk", "pair").createOrReplaceTempView("l39b_ch")
+      val prev = rep
+      rep = s.sql(
+        """SELECT aggregate(ms, r, (acc, m) -> replace(acc,
+          |    concat('|', replace(m, ' ', '|'), '|'),
+          |    concat('|', replace(m, ' ', ''), '|'))) AS r
+          |FROM l39b_rep CROSS JOIN
+          |  (SELECT transform(array_sort(collect_list(struct(rk, pair))),
+          |            x -> x.pair) AS ms
+          |   FROM l39b_ch)""".stripMargin).localCheckpoint()
+      releaseCheckpoint(prev)
+    }
+    releaseCheckpoint(rep)
+    merges.toSeq
+  }
+
+  /** The l39b oracle: the same `rounds` batched rounds unrolled as DuckDB
+    * CTEs — candidate pool via top-K + row_number, the driver's first-fit
+    * greedy replayed as a LINEAR recursive CTE (one step per rank,
+    * carrying the chosen-symbol list — recursion depth = `pool`, cost
+    * independent of the corpus), batch rewrite via list_reduce over the
+    * rank-ordered chosen list (replaces commute because chosen pairs are
+    * pairwise symbol-disjoint, so one sequential fold == Spark's
+    * aggregate fold).
+    */
+  private[graft] def bpeBatchedOracleSql(rounds: Int = 6,
+                                         pool: Int = 96): String = {
+    def pairs(src: String) =
+      s"""SELECT pair, count(*) AS cnt FROM (
+         |  SELECT unnest(list_transform(range(len(t) - 1),
+         |    i -> t[i+1] || ' ' || t[i+2])) AS pair
+         |  FROM (SELECT list_filter(string_split(r, '|'), x -> x <> '') AS t
+         |        FROM $src) tt
+         |) p GROUP BY pair""".stripMargin
+    val sb = new StringBuilder
+    sb ++= """WITH RECURSIVE w AS (
+             |  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+             |), r0 AS MATERIALIZED (
+             |  SELECT '|' || regexp_replace(w, '(.)', '\1|', 'g') AS r
+             |  FROM w WHERE w <> ''
+             |)""".stripMargin
+    for (k <- 0 until rounds) {
+      def hit = s"""(list_contains(g.used, string_split(c.pair, ' ')[1]) OR
+                |       list_contains(g.used, string_split(c.pair, ' ')[2]))""".stripMargin
+      sb ++= s""", p$k AS (
+                |${pairs(s"r$k")}
+                |), c$k AS (
+                |  SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rk
+                |  FROM (SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair LIMIT $pool) t
+                |), g$k AS (
+                |  SELECT rk, pair, cnt, string_split(pair, ' ') AS used, TRUE AS ch
+                |  FROM c$k WHERE rk = 1
+                |  UNION ALL
+                |  SELECT c.rk, c.pair, c.cnt,
+                |    CASE WHEN $hit THEN g.used
+                |         ELSE list_concat(g.used, string_split(c.pair, ' ')) END,
+                |    NOT $hit
+                |  FROM g$k g JOIN c$k c ON c.rk = g.rk + 1
+                |), ch$k AS (
+                |  SELECT rk, pair, cnt FROM g$k WHERE ch
+                |), chl$k AS (
+                |  SELECT list(pair ORDER BY rk) AS ms FROM ch$k
+                |), r${k + 1} AS MATERIALIZED (
+                |  SELECT list_reduce(list_prepend(r, ms), (acc, m) -> replace(acc,
+                |      '|' || replace(m, ' ', '|') || '|',
+                |      '|' || replace(m, ' ', '') || '|')) AS r
+                |  FROM r$k CROSS JOIN chl$k
+                |)""".stripMargin
+    }
+    val rows = (0 until rounds).map { k =>
+      s"""SELECT CAST($k AS INTEGER) AS round, CAST(rk AS INTEGER) AS rk,
+         |  pair, CAST(cnt AS BIGINT) AS cnt FROM ch$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    sb ++= s"\nSELECT * FROM (\n$rows\n) u ORDER BY round, rk"
+    sb.toString
   }
 
   /** Release a `localCheckpoint(eager=true)`'s pinned executor-storage
@@ -3185,33 +3317,38 @@ object LlmQueries {
     "l44_quality_classifier" -> { (s, dir) =>
       Tables.registerAll(s, dir)
       import QualityLr._
-      var w = (0.0, 0.0, 0.0, 0.0)
+      var w = (0.0, 0.0, 0.0, 0.0, 0.0)
       val out = scala.collection.mutable.ArrayBuffer
-        .empty[(Int, Double, Double, Double, Double, Long, Long, Long, Long)]
+        .empty[(Int, Double, Double, Double, Double, Double, Long, Long, Long, Long)]
       for (k <- 0 until 3) {
-        val p = p9(w._1.toString, w._2.toString, w._3.toString, w._4.toString)
+        val p = p9(w._1.toString, w._2.toString, w._3.toString,
+          w._4.toString, w._5.toString)
         val r = s.sql(
           s"""WITH ${featuresCte(spark = true)}
              |SELECT ${gsum(p, "1")} AS gb, ${gsum(p, "x1")} AS g1,
              |  ${gsum(p, "x2")} AS g2, ${gsum(p, "x3")} AS g3,
+             |  ${gsum(p, "x4")} AS g4,
              |  CAST(count(*) AS BIGINT) AS n,
              |  ${confusion(p)}
              |FROM f""".stripMargin).head()
-        out += ((k, w._1, w._2, w._3, w._4,
-          r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
-        val n = r.getLong(4).toDouble
+        out += ((k, w._1, w._2, w._3, w._4, w._5,
+          r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9)))
+        val n = r.getLong(5).toDouble
         w = (w._1 - r.getDecimal(0).doubleValue / n,
           w._2 - r.getDecimal(1).doubleValue / n,
           w._3 - r.getDecimal(2).doubleValue / n,
-          w._4 - r.getDecimal(3).doubleValue / n)
+          w._4 - r.getDecimal(3).doubleValue / n,
+          w._5 - r.getDecimal(4).doubleValue / n)
       }
       import s.implicits._
-      out.toSeq.toDF("step", "b", "w1", "w2", "w3", "tp", "fp", "tn", "fn")
+      out.toSeq.toDF("step", "b", "w1", "w2", "w3", "w4",
+          "tp", "fp", "tn", "fn")
         .selectExpr("CAST(step AS INT) AS step",
           "CAST(round(b, 6) AS DOUBLE) AS b",
           "CAST(round(w1, 6) AS DOUBLE) AS w1",
           "CAST(round(w2, 6) AS DOUBLE) AS w2",
           "CAST(round(w3, 6) AS DOUBLE) AS w3",
+          "CAST(round(w4, 6) AS DOUBLE) AS w4",
           "tp", "fp", "tn", "fn")
         .orderBy("step")
     },
@@ -3692,23 +3829,29 @@ object LlmQueries {
     },
 
     // ---- l11: simhash near-dup pairs via hamming-ball probe join ------
-    // The fingerprint-join l07 leaves as future work: docs whose 8-bit
-    // simhash differs by <= 1 bit. Each doc emits 9 probe keys (its
+    // The fingerprint-join l07 leaves as future work: docs whose 32-bit
+    // simhash differs by <= 1 bit. Each doc emits 33 probe keys (its
     // fingerprint + all single-bit flips); an equi-join probe->fingerprint
-    // finds every hamming<=1 pair WITHOUT an all-pairs comparison. 100 TB:
-    // probe fan-out is constant (1 + bits); production simhash is 64-bit
-    // split into 4x16-bit band keys so the join key has real cardinality —
-    // the 8-bit fingerprint here keeps the oracle tractable.
+    // finds every hamming<=1 pair WITHOUT an all-pairs comparison — and,
+    // unlike l11b's 4x16-band pigeonhole (candidates up to hamming<=3,
+    // exact-confirm after), the hamming ball is EXACT by construction.
+    // 100 TB: probe fan-out is constant (1 + bits = 33); the 2^32 key
+    // space keeps expected bucket size ~n/2^32 — sub-1 even at 10^9 docs
+    // (VERDICT r12 #3: the old 8-bit toy key space of 256 made buckets
+    // grow linearly with the corpus; re-keyed to production width).
     "l11_simhash_hamming_join" -> { (s, dir) =>
       Tables.registerAll(s, dir)
-      val byte = s"(${nibSpark("h", 1)} * 16 + ${nibSpark("h", 2)})"
-      val votes = (0 until 8).map { b =>
-        s"sum(2 * ((byte DIV ${1 << b}) % 2) - 1) AS s$b"
+      val word = (2 to 8).foldLeft(
+        s"CAST(${nibSpark("h", 1)} AS BIGINT)") {
+        (acc, p) => s"($acc * 16 + ${nibSpark("h", p)})"
+      }
+      val votes = (0 until 32).map { b =>
+        s"sum(2 * ((word DIV ${1L << b}) % 2) - 1) AS s$b"
       }.mkString(", ")
-      val hash = (0 until 8).map { b =>
-        s"(CASE WHEN s$b > 0 THEN ${1 << b} ELSE 0 END)"
+      val hash = (0 until 32).map { b =>
+        s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)"
       }.mkString(" + ")
-      val flips = (0 until 8).map(b => s"simhash ^ ${1 << b}").mkString(", ")
+      val flips = (0 until 32).map(b => s"simhash ^ ${1L << b}").mkString(", ")
       // The fingerprint table feeds BOTH sides of the probe join UNCACHED:
       // the r5 materialize() was a measured pessimization (r6 median-of-5
       // A/B at sf0.1: 2.36s uncached vs 4.53s cached) — the persist's
@@ -3720,11 +3863,12 @@ object LlmQueries {
            |  SELECT doc_id, explode(split(text, ' ')) AS w
            |  FROM (SELECT ${Tables.spreadHint(s)} doc_id, text FROM documents)
            |), tb AS (
-           |  SELECT doc_id, $byte AS byte FROM (SELECT doc_id, md5(w) AS h FROM tok)
+           |  SELECT doc_id, CAST($word AS BIGINT) AS word
+           |  FROM (SELECT doc_id, md5(w) AS h FROM tok)
            |), v AS (
            |  SELECT doc_id, $votes FROM tb GROUP BY doc_id
            |)
-           |SELECT doc_id, CAST($hash AS INT) AS simhash FROM v""".stripMargin)
+           |SELECT doc_id, CAST($hash AS BIGINT) AS simhash FROM v""".stripMargin)
       f.createOrReplaceTempView("l11_f")
       s.sql(
         s"""WITH probes AS (
@@ -3911,6 +4055,24 @@ object LlmQueries {
         .selectExpr("CAST(step AS INT) AS step", "pair",
           "CAST(cnt AS BIGINT) AS cnt")
         .orderBy("step")
+    },
+
+    // ---- l39b: BATCHED BPE merge learning (VERDICT r12 #5) ------------
+    // The O(vocab/batch)-driver-loop production shape of l39: each round
+    // learns a whole batch of pairwise-symbol-disjoint merges (first-fit
+    // greedy in rank order over the top-96 pool) and applies them in ONE
+    // map pass. 6 rounds learn 64+ merges where l39's per-merge loop
+    // would take 64+ round-trips — the demonstration that BPE vocabulary
+    // size scales the batch size, not the driver-job count. See
+    // bpeLearnMergesBatched for the full shape and the commutativity
+    // argument that makes the batch rewrite order-independent.
+    "l39b_bpe_merges_batched" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      import s.implicits._
+      bpeLearnMergesBatched(s).toDF("round", "rk", "pair", "cnt")
+        .selectExpr("CAST(round AS INT) AS round", "CAST(rk AS INT) AS rk",
+          "pair", "CAST(cnt AS BIGINT) AS cnt")
+        .orderBy("round", "rk")
     },
 
     // ---- l42: BPE encode — apply the learned merges -------------------
@@ -4689,6 +4851,8 @@ object LlmQueries {
          |) u ORDER BY step""".stripMargin
     },
 
+    "l39b_bpe_merges_batched" -> bpeBatchedOracleSql(),
+
     "l42_bpe_encode" -> {
       // the same 3 learned rounds (source carried through every rewrite),
       // then the per-source token economics of the final encoding r3
@@ -4736,31 +4900,42 @@ object LlmQueries {
     },
 
     "l11_simhash_hamming_join" -> {
-      // oracle recomputes fingerprints and checks hamming distance
-      // directly on the (small) fingerprint table — the probe join is the
-      // Spark-side scale structure under test, the pair set must match
-      val nibD1 = "(strpos('0123456789abcdef', substr(h, 1, 1)) - 1)"
-      val nibD2 = "(strpos('0123456789abcdef', substr(h, 2, 1)) - 1)"
-      val votes = (0 until 8).map { b =>
-        s"sum(2 * ((byte // ${1 << b}) % 2) - 1) AS s$b"
+      // oracle recomputes the 32-bit fingerprints from raw text with
+      // DuckDB's own string/aggregate machinery, then finds hamming<=1
+      // pairs via the same LINEAR flip-probe equality join (1 + 32 probe
+      // keys per doc). The former all-pairs `a.doc_id < b.doc_id`
+      // inequality-join form is O(n²) — fine at sf0.01, infeasible at
+      // the 100× probe (500k docs → 1.25e11 comparisons); the probe form
+      // is exact by construction and keeps the oracle linear (the
+      // b03/l25b linear-restatement discipline, SCALE.md r13).
+      def nibD(p: Int) = s"(strpos('0123456789abcdef', substr(h, $p, 1)) - 1)"
+      val word = (2 to 8).foldLeft(s"CAST(${nibD(1)} AS BIGINT)") {
+        (acc, p) => s"($acc * 16 + ${nibD(p)})"
+      }
+      val votes = (0 until 32).map { b =>
+        s"sum(2 * ((word // ${1L << b}) % 2) - 1) AS s$b"
       }.mkString(", ")
-      val hash = (0 until 8).map { b =>
-        s"(CASE WHEN s$b > 0 THEN ${1 << b} ELSE 0 END)"
+      val hash = (0 until 32).map { b =>
+        s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)"
       }.mkString(" + ")
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
          |), tb AS (
-         |  SELECT doc_id, ($nibD1 * 16 + $nibD2) AS byte
+         |  SELECT doc_id, CAST($word AS BIGINT) AS word
          |  FROM (SELECT doc_id, md5(w) AS h FROM tok)
          |), v AS (
          |  SELECT doc_id, $votes FROM tb GROUP BY doc_id
          |), f AS (
-         |  SELECT doc_id, CAST($hash AS INT) AS simhash FROM v
+         |  SELECT doc_id, CAST($hash AS BIGINT) AS simhash FROM v
+         |), probes AS (
+         |  SELECT doc_id, simhash,
+         |    unnest(list_prepend(simhash,
+         |      list_transform(range(32), b -> xor(simhash, 1::BIGINT << b)))) AS probe
+         |  FROM f
          |), pairs AS (
-         |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
          |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hd
-         |  FROM f a JOIN f b ON a.doc_id < b.doc_id
-         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+         |  FROM probes a JOIN f b ON a.probe = b.simhash AND a.doc_id < b.doc_id
          |)
          |SELECT hd, count(*) AS n_pairs FROM pairs
          |GROUP BY hd ORDER BY hd""".stripMargin

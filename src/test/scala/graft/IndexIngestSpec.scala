@@ -61,4 +61,49 @@ class IndexIngestSpec extends AnyFunSuite {
     assert(!plan.contains("Window ("), s"training/window subtree leaked:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  // ---- freshness under TRUNCATE (VERDICT r12 task #6) -----------------
+  // The reference's part store drops data on TRUNCATE (mgmt.rs:856-905);
+  // an MV-maintained index must never serve vectors whose live rows are
+  // gone. The protection is structural: serving exact-reranks through an
+  // INNER join to the live table, so index rows orphaned by a source
+  // TRUNCATE can never reach the result — no tombstone bookkeeping
+  // needed, at any scale.
+
+  test("TRUNCATE of the live table: orphaned index rows serve ZERO " +
+    "stale vectors") {
+    served // builds live + index + quantizer views in the session
+    val g = new exec.GraftSession(spark)
+    g.sql("TRUNCATE TABLE graft_emb_live")
+    assert(spark.table("graft_emb_live").count() === 0L)
+    // CH MV semantics: source TRUNCATE does not cascade to the view —
+    // the index still holds the orphaned codes...
+    assert(spark.table("graft_emb_index").count() > 0L)
+    // ...but serving returns nothing: every candidate dies at the
+    // live-table rerank join.
+    val stale = spark.sql(queries.LlmQueries.ivfPqServedSparkSql(
+      index = "graft_emb_index", corpus = "graft_emb_live")).collect()
+    assert(stale.isEmpty,
+      s"stale vectors served from a truncated corpus: ${stale.mkString(",")}")
+  }
+
+  test("TRUNCATE of the index MV keeps the subscription: re-ingest " +
+    "repopulates and serves exactly the fresh subset") {
+    val g = new exec.GraftSession(spark)
+    g.sql("TRUNCATE TABLE graft_emb_index")
+    assert(spark.table("graft_emb_index").count() === 0L)
+    // the d11 subscription must survive the MV's schema-only truncate
+    g.sql("INSERT INTO graft_emb_live SELECT vec_id, embedding " +
+      "FROM embeddings WHERE vec_id % 2 = 0")
+    val live = spark.table("graft_emb_live").count()
+    val idx = spark.table("graft_emb_index").count()
+    assert(live > 0L && idx === live,
+      s"subscription lost after TRUNCATE: live=$live idx=$idx")
+    val res = spark.sql(queries.LlmQueries.ivfPqServedSparkSql(
+      index = "graft_emb_index", corpus = "graft_emb_live"))
+      .collect().map(_.getLong(0))
+    assert(res.nonEmpty)
+    assert(res.forall(_ % 2 == 0),
+      s"served a vector outside the re-ingested subset: ${res.mkString(",")}")
+  }
 }
