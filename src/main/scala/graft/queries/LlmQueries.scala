@@ -523,10 +523,14 @@ object LlmQueries {
       * decimal discipline — a raw double avg() is partition-order-
       * dependent in Spark and would diverge from DuckDB.
       */
-    def featuresCte(spark: Boolean): String = {
+    def featuresCte(spark: Boolean, carry: Seq[String] = Nil): String = {
       val nw = if (spark) "size(split(text, ' '))" else "len(string_split(text, ' '))"
       val ndw = if (spark) "size(array_distinct(split(text, ' ')))"
                 else "len(list_distinct(string_split(text, ' ')))"
+      // `carry` threads doc attributes (e.g. source) through raw → f for
+      // consumers that group the scored rows; Nil emits the exact l44 CTE.
+      val carryRaw = carry.map(c => s"$c, ").mkString
+      val carryF = carry.map(c => s"r.$c AS $c, ").mkString
       def dsum(e: String) =
         s"CAST(sum(CAST(round($e, 9) AS DECIMAL(20, 12))) AS DECIMAL(38, 12))"
       val moments = (1 to 4).flatMap(j => Seq(
@@ -538,19 +542,19 @@ object LlmQueries {
           s"(CAST(st.s$j AS DOUBLE) / st.n) * (CAST(st.s$j AS DOUBLE) / st.n)) AS x$j")
         .mkString(",\n    ")
       s"""raw AS (
-         |  SELECT CAST(nw AS DOUBLE) / 100 AS f1,
+         |  SELECT ${carryRaw}CAST(nw AS DOUBLE) / 100 AS f1,
          |    (CAST(nw AS DOUBLE) / 100) * (CAST(nw AS DOUBLE) / 100) AS f2,
          |    CAST(ndw AS DOUBLE) / nw AS f3,
          |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / (10 * nw) AS f4,
          |    CASE WHEN nw >= 30 AND ndw * 10 >= 4 * nw THEN 1 ELSE 0 END AS y
-         |  FROM (SELECT text, $nw AS nw, $ndw AS ndw FROM documents) d
+         |  FROM (SELECT ${carryRaw}text, $nw AS nw, $ndw AS ndw FROM documents) d
          |  WHERE nw > 0
          |), st AS (
          |  SELECT $moments,
          |    CAST(count(*) AS BIGINT) AS n
          |  FROM raw
          |), f AS (
-         |  SELECT $standardize, r.y AS y
+         |  SELECT $carryF$standardize, r.y AS y
          |  FROM raw r CROSS JOIN st
          |)""".stripMargin
     }
@@ -611,6 +615,166 @@ object LlmQueries {
     }.mkString("\nUNION ALL\n")
     sb ++= s"\nSELECT * FROM (\n$rows\n) u ORDER BY step"
     sb.toString
+  }
+
+  /** The l44 GD loop, driver-side: one 1-row aggregate per iteration
+    * (gradients + confusion), weights updated in plain doubles. Shared
+    * by l44 (reports the per-step trace) and l44b (applies the trained
+    * model corpus-wide). Returns (per-step rows, final weights).
+    */
+  private[graft] def qualityLrTrain(s: SparkSession, iters: Int = 3)
+      : (Seq[(Int, Double, Double, Double, Double, Double,
+              Long, Long, Long, Long)],
+         (Double, Double, Double, Double, Double)) = {
+    import QualityLr._
+    var w = (0.0, 0.0, 0.0, 0.0, 0.0)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Double, Double, Double, Double, Double, Long, Long, Long, Long)]
+    for (k <- 0 until iters) {
+      val p = p9(w._1.toString, w._2.toString, w._3.toString,
+        w._4.toString, w._5.toString)
+      val r = s.sql(
+        s"""WITH ${featuresCte(spark = true)}
+           |SELECT ${gsum(p, "1")} AS gb, ${gsum(p, "x1")} AS g1,
+           |  ${gsum(p, "x2")} AS g2, ${gsum(p, "x3")} AS g3,
+           |  ${gsum(p, "x4")} AS g4,
+           |  CAST(count(*) AS BIGINT) AS n,
+           |  ${confusion(p)}
+           |FROM f""".stripMargin).head()
+      out += ((k, w._1, w._2, w._3, w._4, w._5,
+        r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9)))
+      val n = r.getLong(5).toDouble
+      w = (w._1 - r.getDecimal(0).doubleValue / n,
+        w._2 - r.getDecimal(1).doubleValue / n,
+        w._3 - r.getDecimal(2).doubleValue / n,
+        w._4 - r.getDecimal(3).doubleValue / n,
+        w._5 - r.getDecimal(4).doubleValue / n)
+    }
+    (out.toSeq, w)
+  }
+
+  /** l44b corpus filter census from the trained classifier: score every
+    * document with the step-`iters` weights, census per source — docs,
+    * kept (p ≥ 0.5), agreement with the l41 heuristic label, average
+    * score. The production FineWeb-style shape: TRAIN once (l44), then
+    * one map-side scoring pass over the whole corpus — at 100 TB the
+    * weights ride as literals (Spark) / a 1-row cross join (oracle),
+    * the census is a per-source partial aggregate, nothing corpus-sized
+    * shuffles. Weights round to 9 dp on BOTH sides before scoring so
+    * the decimal→double conversion paths (BigDecimal.doubleValue vs
+    * SQL CAST) cannot diverge at the sigmoid's 9-dp rounding boundary.
+    */
+  private[graft] def qualityApplyCensus(p: String, from: String): String =
+    s"""SELECT source, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CASE WHEN $p >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_keep,
+       |  CAST(sum(CASE WHEN (CASE WHEN $p >= 0.5 THEN 1 ELSE 0 END) = y
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       |  CAST(round(CAST(sum(CAST($p AS DECIMAL(20, 12))) AS DOUBLE)
+       |    / count(*), 6) AS DOUBLE) AS avg_p
+       |FROM $from GROUP BY source ORDER BY source""".stripMargin
+
+  private[graft] def round9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** The l44b oracle: re-derive the step-3 weights with the same
+    * unrolled CTE chain as qualityLrOracleSql (gradients only — no
+    * per-step confusion needed), then run the identical scoring census.
+    */
+  private[graft] def qualityLrApplyOracleSql(iters: Int = 3): String = {
+    import QualityLr._
+    val sb = new StringBuilder
+    sb ++= s"WITH ${featuresCte(spark = false, carry = Seq("source"))}, nn AS (\n"
+    sb ++= "  SELECT CAST(count(*) AS BIGINT) AS n FROM f\n"
+    sb ++= "), w0 AS (\n  SELECT CAST(0 AS DOUBLE) AS b, CAST(0 AS DOUBLE) AS w1,\n" +
+           "    CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS w3,\n" +
+           "    CAST(0 AS DOUBLE) AS w4\n)"
+    for (k <- 0 until iters) {
+      val p = p9("w.b", "w.w1", "w.w2", "w.w3", "w.w4")
+      sb ++= s""", g$k AS (
+                |  SELECT ${gsum(p, "1")} AS gb, ${gsum(p, "x1")} AS g1,
+                |    ${gsum(p, "x2")} AS g2, ${gsum(p, "x3")} AS g3,
+                |    ${gsum(p, "x4")} AS g4
+                |  FROM f CROSS JOIN w$k w
+                |), w${k + 1} AS (
+                |  SELECT w.b - CAST(g.gb AS DOUBLE) / nn.n AS b,
+                |    w.w1 - CAST(g.g1 AS DOUBLE) / nn.n AS w1,
+                |    w.w2 - CAST(g.g2 AS DOUBLE) / nn.n AS w2,
+                |    w.w3 - CAST(g.g3 AS DOUBLE) / nn.n AS w3,
+                |    w.w4 - CAST(g.g4 AS DOUBLE) / nn.n AS w4
+                |  FROM w$k w CROSS JOIN g$k g CROSS JOIN nn
+                |)""".stripMargin
+    }
+    val p = p9(s"round(w.b, 9)", "round(w.w1, 9)", "round(w.w2, 9)",
+      "round(w.w3, 9)", "round(w.w4, 9)")
+    sb ++= "\n" + qualityApplyCensus(p, s"f CROSS JOIN w$iters w")
+    sb.toString
+  }
+
+  /** l45 Gopher-style quality-rule census (Rae et al. 2021 §A1.1's
+    * rule-filter family, re-parameterized to this corpus's measured
+    * distributions so every rule has real variance): per source, how
+    * many docs pass each rule and all of them —
+    *   r_len: 30 ≤ words ≤ 200,
+    *   r_mwl: mean word length in [3.0, 4.8],
+    *   r_ttr: type-token ratio ≥ 0.45,
+    *   r_rep: max single-token share ≤ 1/8 (repetition),
+    *   r_sw : ≥ 6 of the corpus's own top-8 tokens present (the
+    *          stopword-presence rule with the corpus's function words).
+    * Every threshold is integer cross-multiplication — no float compare
+    * crosses engines. 100 TB: one explode + per-doc aggregate (shuffle
+    * on doc_id), the top-8 list is a global tree-aggregate broadcast
+    * back as an 8-row join; census is a per-source partial aggregate.
+    */
+  private[graft] def gopherRulesSql(spark: Boolean): String = {
+    val nw = if (spark) "size(split(text, ' '))" else "len(string_split(text, ' '))"
+    val ndw = if (spark) "size(array_distinct(split(text, ' ')))"
+              else "len(list_distinct(string_split(text, ' ')))"
+    val words =
+      if (spark) "SELECT doc_id, explode(split(text, ' ')) AS w FROM documents"
+      else "SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents"
+    s"""WITH d AS (
+       |  SELECT doc_id, source, nw, ndw, nc
+       |  FROM (SELECT doc_id, source, $nw AS nw, $ndw AS ndw,
+       |          length(replace(text, ' ', '')) AS nc
+       |        FROM documents) x
+       |  WHERE nw > 0
+       |), t AS (
+       |  $words
+       |), tc AS (
+       |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+       |  FROM t GROUP BY doc_id, w
+       |), top8 AS (
+       |  SELECT w FROM (
+       |    SELECT w, count(*) AS c FROM t GROUP BY w
+       |    ORDER BY c DESC, w LIMIT 8) z
+       |), mx AS (
+       |  SELECT doc_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS n
+       |  FROM tc GROUP BY doc_id
+       |), sw AS (
+       |  SELECT tc.doc_id, CAST(count(*) AS BIGINT) AS h
+       |  FROM tc JOIN top8 ON tc.w = top8.w GROUP BY tc.doc_id
+       |), flags AS (
+       |  SELECT d.source, d.nw,
+       |    CASE WHEN d.nw >= 30 AND d.nw <= 200 THEN 1 ELSE 0 END AS r_len,
+       |    CASE WHEN d.nc * 10 >= 30 * d.nw AND d.nc * 10 <= 48 * d.nw
+       |      THEN 1 ELSE 0 END AS r_mwl,
+       |    CASE WHEN d.ndw * 20 >= 9 * d.nw THEN 1 ELSE 0 END AS r_ttr,
+       |    CASE WHEN m.mx * 8 <= m.n THEN 1 ELSE 0 END AS r_rep,
+       |    CASE WHEN coalesce(s.h, 0) >= 6 THEN 1 ELSE 0 END AS r_sw
+       |  FROM d JOIN mx m ON d.doc_id = m.doc_id
+       |  LEFT JOIN sw s ON d.doc_id = s.doc_id
+       |)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(r_len) AS BIGINT) AS n_len,
+       |  CAST(sum(r_mwl) AS BIGINT) AS n_mwl,
+       |  CAST(sum(r_ttr) AS BIGINT) AS n_ttr,
+       |  CAST(sum(r_rep) AS BIGINT) AS n_rep,
+       |  CAST(sum(r_sw) AS BIGINT) AS n_sw,
+       |  CAST(sum(r_len * r_mwl * r_ttr * r_rep * r_sw) AS BIGINT) AS n_keep,
+       |  CAST(sum(r_len * r_mwl * r_ttr * r_rep * r_sw * nw) AS BIGINT)
+       |    AS tok_keep
+       |FROM flags GROUP BY source ORDER BY source""".stripMargin
   }
 
   /** The l24 cluster assignment alone (specs brute-force the dedup rule
@@ -3316,32 +3480,9 @@ object LlmQueries {
     // ---- l44: quality-classifier GD training (see QualityLr) ----------
     "l44_quality_classifier" -> { (s, dir) =>
       Tables.registerAll(s, dir)
-      import QualityLr._
-      var w = (0.0, 0.0, 0.0, 0.0, 0.0)
-      val out = scala.collection.mutable.ArrayBuffer
-        .empty[(Int, Double, Double, Double, Double, Double, Long, Long, Long, Long)]
-      for (k <- 0 until 3) {
-        val p = p9(w._1.toString, w._2.toString, w._3.toString,
-          w._4.toString, w._5.toString)
-        val r = s.sql(
-          s"""WITH ${featuresCte(spark = true)}
-             |SELECT ${gsum(p, "1")} AS gb, ${gsum(p, "x1")} AS g1,
-             |  ${gsum(p, "x2")} AS g2, ${gsum(p, "x3")} AS g3,
-             |  ${gsum(p, "x4")} AS g4,
-             |  CAST(count(*) AS BIGINT) AS n,
-             |  ${confusion(p)}
-             |FROM f""".stripMargin).head()
-        out += ((k, w._1, w._2, w._3, w._4, w._5,
-          r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9)))
-        val n = r.getLong(5).toDouble
-        w = (w._1 - r.getDecimal(0).doubleValue / n,
-          w._2 - r.getDecimal(1).doubleValue / n,
-          w._3 - r.getDecimal(2).doubleValue / n,
-          w._4 - r.getDecimal(3).doubleValue / n,
-          w._5 - r.getDecimal(4).doubleValue / n)
-      }
+      val (out, _) = qualityLrTrain(s)
       import s.implicits._
-      out.toSeq.toDF("step", "b", "w1", "w2", "w3", "w4",
+      out.toDF("step", "b", "w1", "w2", "w3", "w4",
           "tp", "fp", "tn", "fn")
         .selectExpr("CAST(step AS INT) AS step",
           "CAST(round(b, 6) AS DOUBLE) AS b",
@@ -3351,6 +3492,26 @@ object LlmQueries {
           "CAST(round(w4, 6) AS DOUBLE) AS w4",
           "tp", "fp", "tn", "fn")
         .orderBy("step")
+    },
+
+    // ---- l44b: corpus filter census from the trained classifier -------
+    // Train (3 GD steps, the l44 loop) then ONE map-side scoring pass
+    // over the corpus; per-source keep/agreement/avg-score census.
+    "l44b_quality_filter" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      import QualityLr._
+      val (_, w) = qualityLrTrain(s)
+      val p = p9(round9(w._1).toString, round9(w._2).toString,
+        round9(w._3).toString, round9(w._4).toString, round9(w._5).toString)
+      s.sql(
+        s"""WITH ${featuresCte(spark = true, carry = Seq("source"))}
+           |${qualityApplyCensus(p, "f")}""".stripMargin)
+    },
+
+    // ---- l45: Gopher-style quality-rule census (see gopherRulesSql) ---
+    "l45_gopher_rules" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(gopherRulesSql(spark = true))
     },
 
     // ---- l02c: minhash-LSH at the auto-tuned configuration ------------
@@ -4541,6 +4702,8 @@ object LlmQueries {
     "l40_ann_nprobe_tuner" -> annNprobeTunerSql(spark = false),
     "l41_data_card" -> dataCardSql(spark = false),
     "l44_quality_classifier" -> qualityLrOracleSql(),
+    "l44b_quality_filter" -> qualityLrApplyOracleSql(),
+    "l45_gopher_rules" -> gopherRulesSql(spark = false),
     "l02c_minhash_lsh_tuned" -> lshTunedCorpusSql(cap = LshBucketCap),
     "l32_mixture_sampling" -> mixSql(spark = false),
     "l31_cdc_chunking" -> cdcSql(spark = false),
