@@ -561,6 +561,25 @@ object LlmQueries {
     /** p = sigmoid(w·x) rounded to 9 dp; `w` are SQL expressions. */
     def p9(b: String, w1: String, w2: String, w3: String, w4: String): String =
       s"round(1 / (1 + exp(-($b + $w1 * x1 + $w2 * x2 + $w3 * x3 + $w4 * x4))), 9)"
+    /** The raw feature expressions inlined over a bare `text` column —
+      * the same double ops as the raw CTE, for consumers (the streaming
+      * scorer) that have no CTE to ride. Order matches f1..f4.
+      */
+    def rawFeatureExprs: Seq[String] = Seq(
+      "CAST(size(split(text, ' ')) AS DOUBLE) / 100",
+      "(CAST(size(split(text, ' ')) AS DOUBLE) / 100) * " +
+        "(CAST(size(split(text, ' ')) AS DOUBLE) / 100)",
+      "CAST(size(array_distinct(split(text, ' '))) AS DOUBLE) / " +
+        "size(split(text, ' '))",
+      "CAST(length(replace(text, ' ', '')) AS DOUBLE) / " +
+        "(10 * size(split(text, ' ')))")
+    /** sigmoid over EXPLICIT standardized-feature expressions (the
+      * frozen-moment streaming face of p9). */
+    def pExprOver(b: String, w: Seq[String], xs: Seq[String]): String = {
+      val dot = w.zip(xs).map { case (wj, xj) => s"$wj * ($xj)" }
+        .mkString(" + ")
+      s"round(1 / (1 + exp(-($b + $dot))), 9)"
+    }
     /** decimal gradient sum for feature expression `xj`. */
     def gsum(p: String, xj: String): String =
       s"""CAST(sum(CAST(round(($p - y) * $xj, 9) AS DECIMAL(20, 12)))

@@ -214,4 +214,46 @@ object DocStreams {
         g => graft.functions.BloomFunctions.bloomProbe(lit(blob), xxhash64(g))),
       lit(true)))
   }
+
+  /** The l44b quality classifier distilled to ONE scoring expression
+    * (its incremental face): GD training AND the z-score standardization
+    * moments are batch-time artifacts — a stream cannot standardize
+    * against moments it hasn't seen — so both freeze at distillation
+    * time and ride the plan as double literals. The driver-side moment
+    * math mirrors the batch CTE op-for-op (decimal→double cast, then
+    * IEEE divide/multiply/sqrt), so a frozen-scorer score over a row
+    * equals the batch SQL's score over the same row BIT-EXACTLY — the
+    * spec asserts equality, not tolerance. Requires the `documents`
+    * view (the training corpus).
+    */
+  def qualityScoreExpr(spark: org.apache.spark.sql.SparkSession): String = {
+    import graft.queries.LlmQueries
+    import LlmQueries.QualityLr
+    val (_, w) = LlmQueries.qualityLrTrain(spark)
+    // frozen standardization moments, same ops as the f CTE's
+    // CAST(st.sj AS DOUBLE)/st.n and sqrt(q/n - m*m)
+    val r = spark.sql(
+      s"""WITH ${QualityLr.featuresCte(spark = true)}
+         |SELECT * FROM st""".stripMargin).head()
+    val n = r.getLong(8).toDouble
+    val xs = (0 until 4).map { j =>
+      val m = r.getDecimal(2 * j).doubleValue / n
+      val sd = math.sqrt(r.getDecimal(2 * j + 1).doubleValue / n - m * m)
+      s"((${QualityLr.rawFeatureExprs(j)}) - $m) / $sd"
+    }
+    QualityLr.pExprOver(
+      LlmQueries.round9(w._1).toString,
+      Seq(w._2, w._3, w._4, w._5).map(x => LlmQueries.round9(x).toString),
+      xs)
+  }
+
+  /** Stateless streaming scoring with the distilled expression: no
+    * state, no shuffle, no watermark — the model rides every task as
+    * literals, the 100 TB shape of model-based corpus filtering.
+    */
+  def scoredDocs(docs: DataFrame, scoreExpr: String,
+                 threshold: Double = 0.5): DataFrame =
+    docs
+      .withColumn("p", expr(scoreExpr))
+      .withColumn("keep", col("p") >= threshold)
 }
