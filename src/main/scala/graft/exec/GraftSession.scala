@@ -425,8 +425,8 @@ class GraftSession(val spark: SparkSession) {
   private def rewriteSelect(sqlIn: String): String =
     spliceTableFns(rewriteWithFill(
       rewriteLimitTies(rewriteLimitBy(rewriteWithTotals(
-        rewritePrewhere(rewriteInTable(rewriteDistinctOnStep(
-          spliceSystemViews(sqlIn)))))))))
+        rewritePrewhere(rewriteArrayJoin(rewriteInTable(rewriteDistinctOnStep(
+          spliceSystemViews(sqlIn))))))))))
 
   private def spliceTableFns(sql: String): String = {
     val remotes = ChParser.tableFnCalls(sql, "remote")
@@ -554,6 +554,52 @@ class GraftSession(val spark: SparkSession) {
       acc.substring(0, from) + s"IN (SELECT * FROM $t) " + acc.substring(to)
     }
   }
+
+  /** ClickHouse `[LEFT] ARRAY JOIN arr [AS a][, …]` — per-element row
+    * expansion, the CH idiom Spark spells LATERAL VIEW explode. The
+    * rewrite is the Spark-native generator form:
+    *
+    *   - each item pre-projects under a generated name, multiple items
+    *     zip POSITIONALLY via `arrays_zip` (CH zips too — it does NOT
+    *     produce a Cartesian product);
+    *   - the element columns surface under the item aliases; a BARE
+    *     un-aliased column is REPLACED in scope by its element (CH
+    *     semantics), via `* EXCEPT` on the wrapped source;
+    *   - LEFT ARRAY JOIN → `LATERAL VIEW OUTER`: empty arrays keep their
+    *     row with NULL elements (ANSI NULL, vs CH's type defaults — the
+    *     same documented divergence as WITH TOTALS / WITH FILL keys).
+    *
+    * Unequal zip lengths NULL-pad (arrays_zip) where CH errors — a
+    * deliberate superset. WHERE in the tail filters AFTER expansion,
+    * exactly CH's clause order. 100 TB: explode is a per-row generator
+    * inside whole-stage codegen — no shuffle, no state; row count scales
+    * with array cardinality exactly like the data it models.
+    */
+  private def rewriteArrayJoin(sql: String): String =
+    ChParser.splitArrayJoin(sql) match {
+      case None => sql
+      case Some(p) =>
+        val names = p.items.indices.map(i => s"__graft_aj$i")
+        val preProj = p.items.zip(names)
+          .map { case (it, n) => s"(${it.expr}) AS $n" }.mkString(", ")
+        val excepts = (names ++ Seq("__graft_ajz") ++
+          p.items.filter(_.bare).map(_.alias)).mkString(", ")
+        val (gen, aliasProj) =
+          if (p.items.length == 1)
+            (s"explode(${names.head})",
+              s"__graft_ajz AS ${p.items.head.alias}")
+          else
+            (s"explode(arrays_zip(${names.mkString(", ")}))",
+              p.items.zip(names).map { case (it, n) =>
+                s"__graft_ajz.$n AS ${it.alias}"
+              }.mkString(", "))
+        val outer = if (p.left) "OUTER " else ""
+        s"${p.prefix}SELECT ${p.sel} FROM (" +
+          s"SELECT * EXCEPT ($excepts), $aliasProj " +
+          s"FROM (SELECT *, $preProj FROM ${p.src}) __graft_ajb " +
+          s"LATERAL VIEW $outer$gen __graft_ajt AS __graft_ajz" +
+          s") __graft_aj ${p.tail}"
+    }
 
   /** ClickHouse PREWHERE — semantically WHERE, physically "filter on few
     * columns before reading the rest". The rewrite folds it into WHERE

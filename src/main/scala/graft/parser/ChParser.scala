@@ -509,6 +509,100 @@ object ChParser {
       }
     }
 
+  /** One `expr [AS alias]` item of an ARRAY JOIN clause. `bare` marks a
+    * plain un-aliased column reference, which ClickHouse REPLACES in
+    * scope with its element value (`ARRAY JOIN arr` makes `arr` mean the
+    * element downstream).
+    */
+  final case class ArrayJoinItem(expr: String, alias: String, bare: Boolean)
+
+  /** The pieces of a `SELECT s FROM src [LEFT] ARRAY JOIN items tail`
+    * statement: `prefix` is any text before the top-level SELECT (WITH
+    * chains), `sel` the select list, `src` the FROM source text, `tail`
+    * everything after the last item (WHERE/GROUP/ORDER/…).
+    */
+  final case class ArrayJoinParts(prefix: String, sel: String, src: String,
+                                  left: Boolean, items: Seq[ArrayJoinItem],
+                                  tail: String)
+
+  /** Find a TOP-LEVEL ClickHouse `[LEFT] ARRAY JOIN` clause (depth-0,
+    * string-aware). None when absent, for set operations, or when an
+    * item is a non-trivial expression without an AS alias (nothing to
+    * name the element by — ClickHouse would accept it but only the item
+    * expression text itself could reference it).
+    */
+  def splitArrayJoin(sql: String): Option[ArrayJoinParts] =
+    tokenize(sql).toOption.flatMap { toks =>
+      var d = 0
+      var unionish = false
+      val depth = toks.map {
+        case Punct("(", _) => { val r = d; d += 1; r }
+        case Punct(")", _) => { d = math.max(0, d - 1); d }
+        case Ident(w, _) if d == 0 &&
+            Seq("union", "intersect", "except").contains(w.toLowerCase) =>
+          unionish = true; d
+        case _ => d
+      }
+      def kw(i: Int, w: String) = i >= 0 && i < toks.length &&
+        depth(i) == 0 && (toks(i) match {
+          case Ident(t, _) => t.equalsIgnoreCase(w)
+          case _ => false
+        })
+      val aji = toks.indices.find(i => kw(i, "array") && kw(i + 1, "join"))
+      aji match {
+        case Some(i) if !unionish =>
+          val left = kw(i - 1, "left")
+          val clauseStart = if (left) i - 1 else i
+          val seli = toks.indices.find(kw(_, "select"))
+          val fromi = toks.indices.find(j => j < clauseStart && kw(j, "from"))
+          if (seli.isEmpty || fromi.isEmpty || seli.get >= fromi.get) None
+          else {
+            val stops = Set("where", "prewhere", "group", "order", "limit",
+              "having", "settings", "window")
+            def isStop(j: Int) = depth(j) == 0 && (toks(j) match {
+              case Ident(w, _) => stops.contains(w.toLowerCase(java.util.Locale.ROOT))
+              case Punct(";", _) => true
+              case _ => false
+            })
+            val end = ((i + 2) until toks.length).find(isStop)
+              .getOrElse(toks.length)
+            // split items on depth-0 commas within [i+2, end)
+            val cuts = ((i + 2) until end)
+              .filter(j => depth(j) == 0 && toks(j).text == ",")
+            val bounds = ((i + 2) +: cuts.map(_ + 1)).zip(
+              cuts :+ end)
+            val items = bounds.map { case (a, b) =>
+              val asIdx = (a until b).find(j => depth(j) == 0 &&
+                (toks(j) match {
+                  case Ident(w, _) => w.equalsIgnoreCase("as")
+                  case _ => false
+                }))
+              asIdx match {
+                case Some(k) if k + 1 < b =>
+                  (toks(k + 1), sql.substring(toks(a).pos, toks(k).pos).trim) match {
+                    case (Ident(al, _), ex) if ex.nonEmpty =>
+                      Some(ArrayJoinItem(ex, al, bare = false))
+                    case _ => None
+                  }
+                case None if b - a == 1 => toks(a) match {
+                  case Ident(c, _) => Some(ArrayJoinItem(c, c, bare = true))
+                  case _ => None
+                }
+                case _ => None
+              }
+            }
+            if (items.isEmpty || items.exists(_.isEmpty)) None
+            else Some(ArrayJoinParts(
+              sql.substring(0, toks(seli.get).pos),
+              sql.substring(toks(seli.get + 1).pos, toks(fromi.get).pos).trim,
+              sql.substring(toks(fromi.get + 1).pos, toks(clauseStart).pos).trim,
+              left, items.flatten,
+              if (end < toks.length) sql.substring(toks(end).pos) else ""))
+          }
+        case _ => None
+      }
+    }
+
   /** All spans of `db.name` qualified references (for names in the given
     * set) — string/comment-aware, any nesting depth. Used to splice the
     * engine's `system.*` introspection views into SELECT text.

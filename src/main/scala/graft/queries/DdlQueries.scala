@@ -220,6 +220,24 @@ object DdlQueries {
         "GROUP BY event_type ORDER BY event_type")
     },
 
+    // ClickHouse `[LEFT] ARRAY JOIN` (d15): per-element row expansion
+    // with POSITIONAL zip across items (CH zips, never Cartesian) —
+    // rewritten to Spark's LATERAL VIEW explode(arrays_zip) generator
+    // (see GraftSession.rewriteArrayJoin). Two zipped arrays (words +
+    // their 1-based positions) under AS aliases, WHERE filtering AFTER
+    // expansion (CH clause order). Oracle: DuckDB's multi-unnest, which
+    // zips by the same positional rule.
+    "d15_array_join" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("SELECT doc_id, w AS word, CAST(ci AS BIGINT) AS pos FROM (" +
+        "SELECT doc_id, split(text, ' ') AS ws, " +
+        "sequence(1, size(split(text, ' '))) AS idx " +
+        "FROM documents WHERE doc_id % 97 = 0) t " +
+        "ARRAY JOIN ws AS w, idx AS ci " +
+        "WHERE ci <= 5 ORDER BY doc_id, pos")
+    },
+
     // ClickHouse `ORDER BY k WITH FILL FROM a TO b STEP s` (d09): the
     // value-bucket histogram has guaranteed gaps below bucket 2; the
     // rewrite left-joins the result onto the generated grid (TO is
@@ -327,6 +345,14 @@ object DdlQueries {
       """SELECT event_type, count(*) AS n FROM events
         |WHERE event_type IN ('view', 'purchase')
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "d15_array_join" ->
+      """SELECT doc_id, word, pos FROM (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS word,
+        |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        |  FROM documents WHERE doc_id % 97 = 0
+        |) t WHERE pos <= 5 ORDER BY doc_id, pos""".stripMargin,
 
     "d09_with_fill" ->
       """WITH src AS (

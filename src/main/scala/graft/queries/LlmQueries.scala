@@ -1902,19 +1902,27 @@ object LlmQueries {
     */
   private[graft] def bpeLearnMerges(s: SparkSession,
                                     rounds: Int = 3): Seq[(Int, String, Long)] = {
+    // Train over the WORD-FREQUENCY table, not word occurrences — the
+    // classic Sennrich formulation: pair counts are freq-weighted sums,
+    // identical values, but every round's explode + rewrite touches
+    // vocab-sized data (distinct words) instead of corpus-sized. At
+    // 100 TB the corpus contributes ONE group-by histogram up front;
+    // the whole training loop then runs on the vocabulary.
     var rep = s.sql(
-      """SELECT concat('|', regexp_replace(w, '(.)', '$1|')) AS r
+      """SELECT concat('|', regexp_replace(w, '(.)', '$1|')) AS r,
+        |  CAST(count(*) AS BIGINT) AS freq
         |FROM (SELECT explode(split(lower(text), ' ')) AS w
         |      FROM documents) ww
-        |WHERE w <> ''""".stripMargin).localCheckpoint()
+        |WHERE w <> ''
+        |GROUP BY 1""".stripMargin).localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     for (step <- 0 until rounds) {
       rep.createOrReplaceTempView("l39_rep")
       val top = s.sql(
-        """SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM (
-          |  SELECT explode(transform(sequence(0, size(t) - 2),
+        """SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+          |  SELECT freq, explode(transform(sequence(0, size(t) - 2),
           |    i -> concat(t[i], ' ', t[i+1]))) AS pair
-          |  FROM (SELECT filter(split(r, '[|]'), x -> x <> '') AS t
+          |  FROM (SELECT freq, filter(split(r, '[|]'), x -> x <> '') AS t
           |        FROM l39_rep) tt
           |  WHERE size(t) >= 2
           |) p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1""".stripMargin)
@@ -1924,7 +1932,8 @@ object LlmQueries {
       val prev = rep
       rep = s.sql(
         s"""SELECT replace(r, concat('|', replace('$esc', ' ', '|'), '|'),
-           |                  concat('|', replace('$esc', ' ', ''), '|')) AS r
+           |                  concat('|', replace('$esc', ' ', ''), '|')) AS r,
+           |  freq
            |FROM l39_rep""".stripMargin).localCheckpoint()
       releaseCheckpoint(prev)
     }
@@ -1951,11 +1960,14 @@ object LlmQueries {
   private[graft] def bpeLearnMergesBatched(
       s: SparkSession, rounds: Int = 6,
       pool: Int = 96): Seq[(Int, Int, String, Long)] = {
+    // word-frequency table, not occurrences — see bpeLearnMerges
     var rep = s.sql(
-      """SELECT concat('|', regexp_replace(w, '(.)', '$1|')) AS r
+      """SELECT concat('|', regexp_replace(w, '(.)', '$1|')) AS r,
+        |  CAST(count(*) AS BIGINT) AS freq
         |FROM (SELECT explode(split(lower(text), ' ')) AS w
         |      FROM documents) ww
-        |WHERE w <> ''""".stripMargin).localCheckpoint()
+        |WHERE w <> ''
+        |GROUP BY 1""".stripMargin).localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, Int, String, Long)]
     for (round <- 0 until rounds) {
@@ -1964,10 +1976,10 @@ object LlmQueries {
         s"""SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rk
            |FROM (
            |  SELECT pair, cnt FROM (
-           |    SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM (
-           |      SELECT explode(transform(sequence(0, size(t) - 2),
+           |    SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+           |      SELECT freq, explode(transform(sequence(0, size(t) - 2),
            |        i -> concat(t[i], ' ', t[i+1]))) AS pair
-           |      FROM (SELECT filter(split(r, '[|]'), x -> x <> '') AS t
+           |      FROM (SELECT freq, filter(split(r, '[|]'), x -> x <> '') AS t
            |            FROM l39b_rep) tt
            |      WHERE size(t) >= 2
            |    ) p GROUP BY pair
@@ -1990,7 +2002,8 @@ object LlmQueries {
       rep = s.sql(
         """SELECT aggregate(ms, r, (acc, m) -> replace(acc,
           |    concat('|', replace(m, ' ', '|'), '|'),
-          |    concat('|', replace(m, ' ', ''), '|'))) AS r
+          |    concat('|', replace(m, ' ', ''), '|'))) AS r,
+          |  freq
           |FROM l39b_rep CROSS JOIN
           |  (SELECT transform(array_sort(collect_list(struct(rk, pair))),
           |            x -> x.pair) AS ms
@@ -2013,18 +2026,19 @@ object LlmQueries {
   private[graft] def bpeBatchedOracleSql(rounds: Int = 6,
                                          pool: Int = 96): String = {
     def pairs(src: String) =
-      s"""SELECT pair, count(*) AS cnt FROM (
-         |  SELECT unnest(list_transform(range(len(t) - 1),
+      s"""SELECT pair, sum(freq) AS cnt FROM (
+         |  SELECT freq, unnest(list_transform(range(len(t) - 1),
          |    i -> t[i+1] || ' ' || t[i+2])) AS pair
-         |  FROM (SELECT list_filter(string_split(r, '|'), x -> x <> '') AS t
+         |  FROM (SELECT freq, list_filter(string_split(r, '|'), x -> x <> '') AS t
          |        FROM $src) tt
          |) p GROUP BY pair""".stripMargin
     val sb = new StringBuilder
     sb ++= """WITH RECURSIVE w AS (
              |  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
              |), r0 AS MATERIALIZED (
-             |  SELECT '|' || regexp_replace(w, '(.)', '\1|', 'g') AS r
-             |  FROM w WHERE w <> ''
+             |  SELECT '|' || regexp_replace(w, '(.)', '\1|', 'g') AS r,
+             |    count(*) AS freq
+             |  FROM w WHERE w <> '' GROUP BY 1
              |)""".stripMargin
     for (k <- 0 until rounds) {
       def hit = s"""(list_contains(g.used, string_split(c.pair, ' ')[1]) OR
@@ -2050,7 +2064,7 @@ object LlmQueries {
                 |), r${k + 1} AS MATERIALIZED (
                 |  SELECT list_reduce(list_prepend(r, ms), (acc, m) -> replace(acc,
                 |      '|' || replace(m, ' ', '|') || '|',
-                |      '|' || replace(m, ' ', '') || '|')) AS r
+                |      '|' || replace(m, ' ', '') || '|')) AS r, freq
                 |  FROM r$k CROSS JOIN chl$k
                 |)""".stripMargin
     }
@@ -3533,6 +3547,51 @@ object LlmQueries {
       s.sql(gopherRulesSql(spark = true))
     },
 
+    // ---- l46: chunk-level dedup with reconstruction (see chunkDedupSql)
+    "l46_chunk_dedup" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(chunkDedupSql(spark = true))
+    },
+
+    // ---- l47: leakage-free train/val/test split (see clusterSplitSql) --
+    // Builds on l14's resolved duplicate clusters: the split key is the
+    // CLUSTER, not the doc, so near-duplicates can never straddle a
+    // split boundary (train/test contamination by duplication). Labels
+    // come from the same run-to-convergence propagation as l14/l38.
+    "l47_cluster_safe_split" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      graft.functions.NGramFunctions.register(s)
+      clusterLabels(s, s.sql(dedupEdgesSparkSql(s)).localCheckpoint())
+        .createOrReplaceTempView("l47_lab")
+      s.sql(clusterSplitSql(spark = true))
+    },
+
+    // ---- l48: hard-negative mining (see hardNegativesSql) --------------
+    "l48_hard_negatives" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      graft.functions.VectorFunctions.register(s)
+      s.sql(hardNegativesSql(spark = true))
+    },
+
+    // ---- l49: epoch-budget allocation (see epochBudgetSql) -------------
+    "l49_epoch_budget" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(epochBudgetSql(spark = true))
+    },
+
+    // ---- l50: curriculum phase assignment (see curriculumSql) ----------
+    "l50_curriculum_phases" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(curriculumSql(spark = true))
+    },
+
+    // ---- l51: margin-violation triplet mining (see tripletMiningSql) ---
+    "l51_triplet_mining" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      graft.functions.VectorFunctions.register(s)
+      s.sql(tripletMiningSql(spark = true))
+    },
+
     // ---- l02c: minhash-LSH at the auto-tuned configuration ------------
     // The tuner's decision driving the production corpus pass: collect
     // the panel sweep's winner (corpus-independent), run minhashLshSqlN
@@ -4220,14 +4279,18 @@ object LlmQueries {
     // symbol strings ('this' → '|t|h|i|s|'); the frame makes the merge a
     // plain string replace that can NEVER match across symbol boundaries
     // ('|h|e|' does not occur inside '|th|e|' — an undelimited 'h e'
-    // would). Each round is one map-side pair explode + one shuffle on
-    // pair + a top-1 heap; the winning pair comes back to the driver as a
+    // would). The training state is the WORD-FREQUENCY table (the classic
+    // Sennrich formulation): the corpus contributes ONE group-by
+    // histogram, then each round is a vocab-sized pair explode with
+    // freq-WEIGHTED counts (identical values to occurrence counting) +
+    // a top-1 heap; the winning pair comes back to the driver as a
     // 2-field literal (the resolveClusters convergence-scalar discipline)
-    // and the re-encoded corpus is checkpointed so round N+1's lineage
-    // doesn't re-inline rounds 0..N. 100 TB: every round is
-    // pair-explode (map) → partial-agg shuffle → 1-row result; the corpus
-    // rewrite is map-only. The oracle unrolls the same 3 rounds as
-    // nested CTEs with LIMIT-1 scalars.
+    // and the re-encoded vocab is checkpointed so round N+1's lineage
+    // doesn't re-inline rounds 0..N. 100 TB: one corpus scan up front,
+    // then every round's cost scales with the VOCABULARY, not the corpus
+    // (at 100× self-replication the vocab is unchanged — only freqs
+    // grow). The oracle unrolls the same 3 rounds as nested CTEs with
+    // LIMIT-1 scalars over the same freq table.
     "l39_bpe_merges" -> { (s, dir) =>
       Tables.registerAll(s, dir)
       import s.implicits._
@@ -4261,9 +4324,12 @@ object LlmQueries {
     // economics (words, raw symbols = chars, post-merge tokens, symbols
     // saved) — what you check before committing a tokenizer to a
     // training run. The 3 learned merges come back from the same driver
-    // loop (literals in one map-side expression chain); encoding is ONE
-    // corpus pass, token counts fall out of the frame arithmetic
-    // (pipes − 1 = symbols), and the aggregate is one shuffle on source.
+    // loop (literals in one map-side expression chain); encoding runs
+    // over the per-(source, word) FREQUENCY table — one corpus histogram
+    // scan, then the replace cascade touches each distinct word once and
+    // the economics are freq-weighted sums (identical totals). Token
+    // counts fall out of the frame arithmetic (pipes − 1 = symbols);
+    // the aggregate is one shuffle on source.
     // The oracle re-learns the merges via the l39 unrolled CTEs and
     // applies them with scalar subqueries — engine-independently equal
     // because l39's gate proves the merge tables match.
@@ -4274,20 +4340,24 @@ object LlmQueries {
         s"""replace($e, concat('|', replace('$esc', ' ', '|'), '|'),
            |          concat('|', replace('$esc', ' ', ''), '|'))""".stripMargin
       }
+      // encode the per-source VOCABULARY and weight by frequency — same
+      // totals as encoding every occurrence, but the merge-apply chain
+      // (the expensive per-row replace cascade) runs per distinct
+      // (source, word), and the corpus contributes one histogram scan
       s.sql(
-        s"""WITH w AS (
-           |  SELECT source, explode(split(lower(text), ' ')) AS w
-           |  FROM documents
-           |), r0 AS (
-           |  SELECT source, concat('|', regexp_replace(w, '(.)', '$$1|')) AS r
-           |  FROM w WHERE w <> ''
+        s"""WITH v AS (
+           |  SELECT source, concat('|', regexp_replace(w, '(.)', '$$1|')) AS r,
+           |    CAST(count(*) AS BIGINT) AS freq
+           |  FROM (SELECT source, explode(split(lower(text), ' ')) AS w
+           |        FROM documents) ww
+           |  WHERE w <> '' GROUP BY 1, 2
            |), enc AS (
-           |  SELECT source, $applies AS r FROM r0
+           |  SELECT source, $applies AS r, freq FROM v
            |)
-           |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
-           |  CAST(sum(length(replace(r, '|', ''))) AS BIGINT) AS n_chars,
-           |  CAST(sum(length(r) - length(replace(r, '|', '')) - 1) AS BIGINT)
-           |    AS n_tokens
+           |SELECT source, CAST(sum(freq) AS BIGINT) AS n_words,
+           |  CAST(sum(freq * length(replace(r, '|', ''))) AS BIGINT) AS n_chars,
+           |  CAST(sum(freq * (length(r) - length(replace(r, '|', '')) - 1))
+           |    AS BIGINT) AS n_tokens
            |FROM enc GROUP BY source ORDER BY source""".stripMargin)
     },
 
@@ -4680,6 +4750,385 @@ object LlmQueries {
     }
   )
 
+  // ---- l46: chunk-level dedup with reconstruction ---------------------
+  /** C4/RefinedWeb-style repeated-passage removal, adapted to the
+    * newline-free corpus: split each doc into fixed K=8-word chunks,
+    * drop every occurrence of a repeated chunk except the corpus-wide
+    * first (min (doc_id, position)), and reassemble each doc from its
+    * surviving chunks in order. Short tail chunks (< 4 words) are never
+    * dedup-eligible — the "only full passages count" rule real pipelines
+    * use so a 1-word tail can't erase content on a chance collision.
+    * The reconstruction is pinned cross-engine by md5(rebuilt_text), not
+    * by shipping the text. 100 TB shape: chunk explode is map-side; the
+    * first-occurrence rule is one shuffle on chunk hash with partial-agg
+    * min (no caps needed — exact-hash dedup is linear, unlike the banded
+    * families); reassembly and the doc-level join share the doc_id
+    * partitioning. The occurrence key packs (doc_id, position) into one
+    * BIGINT so "first" is a plain min, not a struct-ordering dependency.
+    */
+  private def chunkDedupSql(spark: Boolean): String = {
+    val k = 8
+    val ch =
+      if (spark)
+        s"""SELECT doc_id, inline(transform(
+           |    sequence(0, CAST(ceil(size(ws) / $k.0) AS INT) - 1),
+           |    i -> named_struct('ci', CAST(i AS BIGINT),
+           |      'chunk', concat_ws(' ', slice(ws, i * $k + 1, $k)))))
+           |  FROM w"""
+      else
+        s"""SELECT doc_id, i AS ci,
+           |    array_to_string(ws[i * $k + 1 : i * $k + $k], ' ') AS chunk
+           |  FROM w, unnest(range(CAST(ceil(len(ws) / $k.0) AS BIGINT))) AS t(i)"""
+    val agg =
+      if (spark)
+        "array_join(transform(array_sort(collect_list(" +
+          "named_struct('ci', ci, 'chunk', chunk))), x -> x.chunk), ' ')"
+      else "string_agg(chunk, ' ' ORDER BY ci)"
+    val split = if (spark) "split(text, ' ')" else "string_split(text, ' ')"
+    val nWords =
+      if (spark) "size(split(chunk, ' '))" else "len(string_split(chunk, ' '))"
+    s"""WITH w AS (
+       |  SELECT doc_id, $split AS ws FROM documents
+       |), ch AS (
+       |  $ch
+       |), keyed AS (
+       |  SELECT doc_id, ci, chunk, md5(chunk) AS h,
+       |    doc_id * 1000000 + ci AS occ,
+       |    $nWords >= 4 AS elig
+       |  FROM ch
+       |), firsts AS (
+       |  SELECT h, min(occ) AS first_occ FROM keyed WHERE elig GROUP BY h
+       |), kept AS (
+       |  SELECT k.doc_id, k.ci, k.chunk
+       |  FROM keyed k LEFT JOIN firsts f ON k.h = f.h
+       |  WHERE NOT k.elig OR k.occ = f.first_occ
+       |), reb AS (
+       |  SELECT doc_id, $agg AS rebuilt, count(*) AS kept_chunks
+       |  FROM kept GROUP BY doc_id
+       |), tot AS (
+       |  SELECT doc_id, count(*) AS n_chunks FROM keyed GROUP BY doc_id
+       |)
+       |SELECT t.doc_id,
+       |  CAST(t.n_chunks AS BIGINT) AS n_chunks,
+       |  CAST(coalesce(r.kept_chunks, 0) AS BIGINT) AS kept_chunks,
+       |  CAST(t.n_chunks - coalesce(r.kept_chunks, 0) AS BIGINT)
+       |    AS dropped_chunks,
+       |  md5(coalesce(r.rebuilt, '')) AS rebuilt_md5,
+       |  CAST(length(coalesce(r.rebuilt, '')) AS BIGINT) AS rebuilt_len
+       |FROM tot t LEFT JOIN reb r ON r.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
+  // ---- l47: leakage-free split assignment -----------------------------
+  /** Train/val/test assignment keyed by DUPLICATE CLUSTER, not document:
+    * split = multiplicative hash of the cluster's canonical label, so
+    * every member of a near-dup cluster lands on the same side by
+    * construction — the decontamination-by-design complement to l19's
+    * after-the-fact scan. The audit column counts how many multi-member
+    * clusters WOULD have straddled splits under the naive doc-keyed hash
+    * (the defect this operator exists to prevent). The hash is plain
+    * BIGINT arithmetic (Knuth multiplicative, mod 2^32) so both engines
+    * agree bit-for-bit. 100 TB: labels are edge-node-sized (dup pairs
+    * only); the documents join is one shuffle on doc_id; the census one
+    * shuffle on cluster; the audit aggregate is a one-row broadcast.
+    */
+  private def clusterSplitSql(spark: Boolean): String = {
+    def bucket(key: String) = s"(($key * 2654435761) % 4294967296) % 10"
+    def cse(key: String) =
+      s"""CASE WHEN ${bucket(key)} < 8 THEN 'train'
+         |         WHEN ${bucket(key)} = 8 THEN 'val'
+         |         ELSE 'test' END""".stripMargin
+    val lab = if (spark) "l47_lab" else "lab"
+    val prefix = if (spark) "WITH " else dedupLabelsDuckCtes + "\n, "
+    s"""${prefix}asg AS (
+       |  SELECT d.doc_id, d.source, d.n_chars,
+       |    coalesce(l.lbl, d.doc_id) AS cluster
+       |  FROM documents d LEFT JOIN $lab l ON l.node = d.doc_id
+       |), sp AS (
+       |  SELECT doc_id, source, n_chars, cluster,
+       |    ${cse("cluster")} AS split,
+       |    ${cse("doc_id")} AS naive_split
+       |  FROM asg
+       |), leak AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS naive_leaky FROM (
+       |    SELECT cluster FROM sp GROUP BY cluster
+       |    HAVING count(*) > 1 AND count(DISTINCT naive_split) > 1
+       |  ) x
+       |)
+       |SELECT sp.split, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT sp.cluster) AS BIGINT) AS n_clusters,
+       |  CAST(sum(sp.n_chars) AS BIGINT) AS sum_chars,
+       |  max(lk.naive_leaky) AS naive_leaky_clusters
+       |FROM sp CROSS JOIN leak lk
+       |GROUP BY sp.split ORDER BY sp.split""".stripMargin
+  }
+
+  // ---- l48: hard-negative mining --------------------------------------
+  /** Contrastive-training pair mining over the embeddings table: for a
+    * deterministic anchor panel (vec_id % 31 = 0), the positive is the
+    * nearest SAME-label vector and the hard negative the nearest
+    * DIFFERENT-label vector, by exact cosine (round 6dp, vec_id
+    * tie-break — the l03 discipline). The Spark side reduces the
+    * anchor×corpus pair space with a partial-aggregated max-by
+    * (lexicographic struct max on (sim, -vec_id)) — map-side combine,
+    * one tiny shuffle on anchor id, never a full pair-space sort; the
+    * oracle states the identical argmax as rank-1 windows. 100 TB: the
+    * panel is fixed and broadcast (the l33 panel discipline); corpus
+    * scan is one pass; the scale path for per-corpus-row mining is
+    * IVF-cell-scoped (l12b) rather than exact — this entry pins the
+    * exact semantics the approximate path is measured against.
+    */
+  private def hardNegativesSql(spark: Boolean): String = {
+    def dot(a: String, b: String) =
+      if (spark) dotSpark(a, b) else dotDuck(a, b)
+    val argmax =
+      if (spark)
+        """pos AS (
+          |  SELECT aid, max(named_struct('sim', sim, 'nid', -vec_id)) AS m
+          |  FROM sims WHERE label = al GROUP BY aid
+          |), posr AS (
+          |  SELECT aid, -m.nid AS pos_id, m.sim AS pos_sim FROM pos
+          |), neg AS (
+          |  SELECT aid, max(named_struct('sim', sim, 'nid', -vec_id)) AS m
+          |  FROM sims WHERE label <> al GROUP BY aid
+          |), negr AS (
+          |  SELECT aid, -m.nid AS neg_id, m.sim AS neg_sim FROM neg
+          |)""".stripMargin
+      else
+        """posw AS (
+          |  SELECT aid, vec_id AS pos_id, sim AS pos_sim,
+          |    row_number() OVER (PARTITION BY aid
+          |                       ORDER BY sim DESC, vec_id) AS rn
+          |  FROM sims WHERE label = al
+          |), posr AS (SELECT aid, pos_id, pos_sim FROM posw WHERE rn = 1
+          |), negw AS (
+          |  SELECT aid, vec_id AS neg_id, sim AS neg_sim,
+          |    row_number() OVER (PARTITION BY aid
+          |                       ORDER BY sim DESC, vec_id) AS rn
+          |  FROM sims WHERE label <> al
+          |), negr AS (SELECT aid, neg_id, neg_sim FROM negw WHERE rn = 1
+          |)""".stripMargin
+    s"""WITH a AS (
+       |  SELECT vec_id AS aid, embedding AS ae, label AS al
+       |  FROM embeddings WHERE vec_id % 31 = 0
+       |), sims AS (
+       |  SELECT a.aid, a.al, e.vec_id, e.label,
+       |    round(${dot("e.embedding", "a.ae")}
+       |      / (sqrt(${dot("e.embedding", "e.embedding")})
+       |         * sqrt(${dot("a.ae", "a.ae")})), 6) AS sim
+       |  FROM embeddings e CROSS JOIN a WHERE e.vec_id <> a.aid
+       |), $argmax
+       |SELECT p.aid AS anchor, p.pos_id, p.pos_sim, n.neg_id, n.neg_sim,
+       |  round(p.pos_sim - n.neg_sim, 6) AS margin
+       |FROM posr p JOIN negr n ON n.aid = p.aid
+       |ORDER BY anchor""".stripMargin
+  }
+
+  // ---- l49: epoch-budget allocation under per-source repeat caps ------
+  /** The data-constrained mixing solver (the "how many epochs of each
+    * source" decision behind every LLM data recipe, cf. Muennighoff et
+    * al., Scaling Data-Constrained LMs): allocate a global token budget
+    * across sources proportionally to mixture weight, but cap every
+    * source at `maxEpochs` passes over its available tokens — saturated
+    * sources return their surplus to the pool, which re-waterfalls over
+    * the unsaturated ones. Three integer waterfall rounds (the cascade
+    * settles in ≤ #distinct-weight steps) + a largest-headroom top-up
+    * for the floor residue. ALL arithmetic is BIGINT (floor division) —
+    * bit-equal across engines by construction, no float drift. The
+    * budget is stated RELATIVE to the corpus (3/2 of total tokens) so
+    * the entry exercises both branches (saturated + proportional) at
+    * any SF. 100 TB: state is one row per SOURCE (dozens) — the corpus
+    * contributes exactly one group-by histogram; the solver itself is
+    * driver-scale algebra expressed relationally.
+    */
+  private def epochBudgetSql(spark: Boolean): String = {
+    val div = if (spark) "DIV" else "//"
+    val toks =
+      if (spark) "size(filter(split(text, ' '), x -> x <> ''))"
+      else "len(list_filter(str_split(text, ' '), x -> x <> ''))"
+    val rounds = 3
+    val sb = new StringBuilder
+    sb ++= s"""WITH d AS (
+       |  SELECT source, CAST(sum($toks) AS BIGINT) AS avail
+       |  FROM documents GROUP BY source
+       |), bb AS (
+       |  SELECT CAST(sum(avail) * 3 $div 2 AS BIGINT) AS budget FROM d
+       |), s0 AS (
+       |  SELECT source,
+       |    CAST((CAST(substr(source, 4) AS INT) % 4) + 1 AS BIGINT) AS wt,
+       |    avail, avail * 2 AS cap, CAST(0 AS BIGINT) AS alloc
+       |  FROM d
+       |)""".stripMargin
+    for (k <- 0 until rounds) {
+      sb ++= s""", tw$k AS (
+         |  SELECT CAST(sum(CASE WHEN alloc < cap THEN wt ELSE 0 END)
+         |    AS BIGINT) AS tw, CAST(sum(alloc) AS BIGINT) AS spent
+         |  FROM s$k
+         |), s${k + 1} AS (
+         |  SELECT source, wt, avail, cap,
+         |    CASE WHEN alloc < cap AND tw > 0 THEN
+         |      least(cap, alloc + ((budget - spent) * wt $div tw))
+         |    ELSE alloc END AS alloc
+         |  FROM s$k CROSS JOIN tw$k CROSS JOIN bb
+         |)""".stripMargin
+    }
+    sb ++= s""", fin AS (
+       |  SELECT source, wt, avail, cap, alloc,
+       |    row_number() OVER (ORDER BY
+       |      CASE WHEN alloc < cap THEN 0 ELSE 1 END,
+       |      cap - alloc DESC, source) AS rk
+       |  FROM s$rounds
+       |), lo AS (
+       |  SELECT CAST(budget - (SELECT CAST(sum(alloc) AS BIGINT) FROM fin)
+       |    AS BIGINT) AS leftover
+       |  FROM bb
+       |), f2 AS (
+       |  SELECT f.source, f.avail, f.cap,
+       |    f.alloc + CASE WHEN f.alloc < f.cap AND f.rk <= l.leftover
+       |              THEN 1 ELSE 0 END AS alloc
+       |  FROM fin f CROSS JOIN lo l
+       |), un AS (
+       |  SELECT CAST(budget - (SELECT CAST(sum(alloc) AS BIGINT) FROM f2)
+       |    AS BIGINT) AS unallocated
+       |  FROM bb
+       |)
+       |SELECT f.source, f.avail AS avail_toks, f.cap AS cap_toks,
+       |  CAST(f.alloc AS BIGINT) AS alloc_toks,
+       |  CAST(f.alloc * 10000 $div f.avail AS BIGINT) AS epochs_bp,
+       |  CAST(CASE WHEN f.alloc >= f.cap THEN 1 ELSE 0 END AS INT)
+       |    AS saturated,
+       |  u.unallocated
+       |FROM f2 f CROSS JOIN un u
+       |ORDER BY f.source""".stripMargin
+    sb.toString
+  }
+
+  // ---- l50: curriculum phase assignment --------------------------------
+  /** Curriculum construction: order the corpus by a difficulty proxy
+    * (token count) and cut it into 3 training phases of ntile sizes,
+    * with 1-in-10 REPLAY of each phase into its successor (the standard
+    * forgetting hedge). The tertile cut is computed WITHOUT a global
+    * single-partition window: token counts have a tiny domain, so the
+    * global position of a doc is `(cumulative histogram below my score)
+    * + (my rank within my score)` — the histogram is a few hundred rows
+    * and the within-score window partitions by score (distributed).
+    * phase boundaries replicate ntile's size rule (first groups absorb
+    * the remainder) in plain integer algebra, so both engines agree by
+    * construction. The per-phase composition/order is pinned by a
+    * modular fingerprint (Σ pos·doc_id mod p) — order-insensitive to
+    * compute, order-SENSITIVE to the assignment. 100 TB: one histogram
+    * aggregate + one score-partitioned window + one phase group-by; no
+    * global sort ever materializes.
+    */
+  private def curriculumSql(spark: Boolean): String = {
+    val div = if (spark) "DIV" else "//"
+    val toks =
+      if (spark) "size(filter(split(text, ' '), x -> x <> ''))"
+      else "len(list_filter(str_split(text, ' '), x -> x <> ''))"
+    s"""WITH d AS (
+       |  SELECT doc_id, $toks AS score FROM documents
+       |), h AS (
+       |  SELECT score, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY score
+       |), ch AS (
+       |  SELECT score,
+       |    CAST(sum(c) OVER (ORDER BY score
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      AS BIGINT) AS below
+       |  FROM h
+       |), n AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(count(*) $div 3 + CASE WHEN count(*) % 3 >= 1
+       |      THEN 1 ELSE 0 END AS BIGINT) AS n1,
+       |    CAST(2 * (count(*) $div 3) + CASE WHEN count(*) % 3 >= 1
+       |      THEN 1 ELSE 0 END + CASE WHEN count(*) % 3 >= 2
+       |      THEN 1 ELSE 0 END AS BIGINT) AS n2
+       |  FROM d
+       |), posd AS (
+       |  SELECT d.doc_id, d.score,
+       |    coalesce(c.below, 0) + row_number() OVER (
+       |      PARTITION BY d.score ORDER BY d.doc_id) AS pos
+       |  FROM d JOIN ch c ON c.score = d.score
+       |), ph AS (
+       |  SELECT doc_id, score, pos,
+       |    CASE WHEN pos <= n.n1 THEN 1
+       |         WHEN pos <= n.n2 THEN 2 ELSE 3 END AS phase
+       |  FROM posd CROSS JOIN n
+       |), rep AS (
+       |  SELECT doc_id, score, pos, phase, 0 AS is_replay FROM ph
+       |  UNION ALL
+       |  SELECT doc_id, score, pos + (SELECT n FROM n), phase + 1, 1
+       |  FROM ph WHERE phase < 3 AND doc_id % 10 = 0
+       |)
+       |SELECT CAST(phase AS INT) AS phase,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(is_replay) AS BIGINT) AS n_replay,
+       |  CAST(sum(score) AS BIGINT) AS sum_toks,
+       |  CAST(min(score) AS BIGINT) AS min_score,
+       |  CAST(max(score) AS BIGINT) AS max_score,
+       |  CAST(sum((pos * doc_id) % 1000000007) % 1000000007 AS BIGINT)
+       |    AS order_fp
+       |FROM rep GROUP BY phase ORDER BY phase""".stripMargin
+  }
+
+  // ---- l51: margin-violation triplet mining ----------------------------
+  /** The triplet-loss mining batch (FaceNet-style semi-hard mining) over
+    * the embeddings table: for each anchor of the fixed panel (vec_id %
+    * 31 = 0, the l33/l48 panel discipline), take the l48 positive (the
+    * nearest same-label argmax) and the TOP-3 different-label neighbors,
+    * keep triplets violating the 0.05 margin — loss = max(0, neg_sim −
+    * pos_sim + m) > 0 — labeled 'hard' (negative beats positive) vs
+    * 'semi' (within margin). The Spark positive is the l48 map-side
+    * struct-max; the top-3 negatives are a rank window WITH a rank
+    * predicate, which Catalyst executes as WindowGroupLimit — each map
+    * task keeps ≤3 rows per anchor BEFORE the shuffle, so the window
+    * never materializes the anchor×corpus pair space on a reducer.
+    * 100 TB: panel fixed and broadcast; corpus read once; shuffle
+    * volume is 3·|panel|·tasks rows.
+    */
+  private def tripletMiningSql(spark: Boolean): String = {
+    def dot(a: String, b: String) =
+      if (spark) dotSpark(a, b) else dotDuck(a, b)
+    val pos =
+      if (spark)
+        """pos AS (
+          |  SELECT aid, max(named_struct('sim', sim, 'nid', -vec_id)) AS m
+          |  FROM sims WHERE label = al GROUP BY aid
+          |), posr AS (
+          |  SELECT aid, -m.nid AS pos_id, m.sim AS pos_sim FROM pos
+          |)""".stripMargin
+      else
+        """posw AS (
+          |  SELECT aid, vec_id AS pos_id, sim AS pos_sim,
+          |    row_number() OVER (PARTITION BY aid
+          |                       ORDER BY sim DESC, vec_id) AS rn
+          |  FROM sims WHERE label = al
+          |), posr AS (SELECT aid, pos_id, pos_sim FROM posw WHERE rn = 1
+          |)""".stripMargin
+    s"""WITH a AS (
+       |  SELECT vec_id AS aid, embedding AS ae, label AS al
+       |  FROM embeddings WHERE vec_id % 31 = 0
+       |), sims AS (
+       |  SELECT a.aid, a.al, e.vec_id, e.label,
+       |    round(${dot("e.embedding", "a.ae")}
+       |      / (sqrt(${dot("e.embedding", "e.embedding")})
+       |         * sqrt(${dot("a.ae", "a.ae")})), 6) AS sim
+       |  FROM embeddings e CROSS JOIN a WHERE e.vec_id <> a.aid
+       |), $pos, negs AS (
+       |  SELECT aid, vec_id AS neg_id, sim AS neg_sim,
+       |    row_number() OVER (PARTITION BY aid
+       |                       ORDER BY sim DESC, vec_id) AS neg_rank
+       |  FROM sims WHERE label <> al
+       |)
+       |SELECT n.aid AS anchor, p.pos_id, p.pos_sim,
+       |  CAST(n.neg_rank AS INT) AS neg_rank, n.neg_id, n.neg_sim,
+       |  round(n.neg_sim - p.pos_sim + 0.05, 6) AS loss,
+       |  CASE WHEN n.neg_sim >= p.pos_sim THEN 'hard' ELSE 'semi' END
+       |    AS kind
+       |FROM negs n JOIN posr p ON p.aid = n.aid
+       |WHERE n.neg_rank <= 3 AND n.neg_sim > p.pos_sim - 0.05
+       |ORDER BY anchor, neg_rank""".stripMargin
+  }
+
   /** Shared l14/l38 oracle prefix: duplicate edges (exact-hash stars ∪
     * adjacent-id bigram-Jaccard) + exact connected components via the
     * recursive reachable-min CTE, ending at `lab(node, lbl)`. */
@@ -4723,6 +5172,12 @@ object LlmQueries {
     "l44_quality_classifier" -> qualityLrOracleSql(),
     "l44b_quality_filter" -> qualityLrApplyOracleSql(),
     "l45_gopher_rules" -> gopherRulesSql(spark = false),
+    "l46_chunk_dedup" -> chunkDedupSql(spark = false),
+    "l47_cluster_safe_split" -> clusterSplitSql(spark = false),
+    "l48_hard_negatives" -> hardNegativesSql(spark = false),
+    "l49_epoch_budget" -> epochBudgetSql(spark = false),
+    "l50_curriculum_phases" -> curriculumSql(spark = false),
+    "l51_triplet_mining" -> tripletMiningSql(spark = false),
     "l02c_minhash_lsh_tuned" -> lshTunedCorpusSql(cap = LshBucketCap),
     "l32_mixture_sampling" -> mixSql(spark = false),
     "l31_cdc_chunking" -> cdcSql(spark = false),
@@ -4989,23 +5444,26 @@ object LlmQueries {
 
     "l39_bpe_merges" -> {
       // the same 3 BPE rounds, unrolled: pN counts pairs of state rN,
-      // tN is the LIMIT-1 winner, rN+1 the '|'-framed merge rewrite
+      // tN is the LIMIT-1 winner, rN+1 the '|'-framed merge rewrite.
+      // States are the WORD-FREQUENCY table (freq-weighted pair sums,
+      // identical counts) — the Spark side's vocab-sized formulation
       def pairs(src: String) =
-        s"""SELECT pair, count(*) AS cnt FROM (
-           |  SELECT unnest(list_transform(range(len(t) - 1),
+        s"""SELECT pair, sum(freq) AS cnt FROM (
+           |  SELECT freq, unnest(list_transform(range(len(t) - 1),
            |    i -> t[i+1] || ' ' || t[i+2])) AS pair
-           |  FROM (SELECT list_filter(string_split(r, '|'), x -> x <> '') AS t
+           |  FROM (SELECT freq, list_filter(string_split(r, '|'), x -> x <> '') AS t
            |        FROM $src) tt
            |) p GROUP BY pair""".stripMargin
       def rewrite(src: String, win: String) =
         s"""SELECT replace(r, '|' || replace(t.pair, ' ', '|') || '|',
-           |                  '|' || replace(t.pair, ' ', '') || '|') AS r
+           |                  '|' || replace(t.pair, ' ', '') || '|') AS r, freq
            |FROM $src CROSS JOIN $win t""".stripMargin
       s"""WITH w AS (
          |  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
          |), r0 AS (
-         |  SELECT '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS r
-         |  FROM w WHERE w <> ''
+         |  SELECT '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS r,
+         |    count(*) AS freq
+         |  FROM w WHERE w <> '' GROUP BY 1
          |), p0 AS (
          |${pairs("r0")}
          |), t0 AS (
@@ -5036,25 +5494,29 @@ object LlmQueries {
     "l39b_bpe_merges_batched" -> bpeBatchedOracleSql(),
 
     "l42_bpe_encode" -> {
-      // the same 3 learned rounds (source carried through every rewrite),
-      // then the per-source token economics of the final encoding r3
+      // the same 3 learned rounds, then the per-source token economics of
+      // the final encoding r3. States are the per-(source, word)
+      // FREQUENCY table; training pair counts sum freq ACROSS sources
+      // (identical to the corpus-occurrence counts), the economics weight
+      // by freq — the Spark side's vocab-sized formulation
       def pairs(src: String) =
-        s"""SELECT pair, count(*) AS cnt FROM (
-           |  SELECT unnest(list_transform(range(len(t) - 1),
+        s"""SELECT pair, sum(freq) AS cnt FROM (
+           |  SELECT freq, unnest(list_transform(range(len(t) - 1),
            |    i -> t[i+1] || ' ' || t[i+2])) AS pair
-           |  FROM (SELECT list_filter(string_split(r, '|'), x -> x <> '') AS t
+           |  FROM (SELECT freq, list_filter(string_split(r, '|'), x -> x <> '') AS t
            |        FROM $src) tt
            |) p GROUP BY pair""".stripMargin
       def rewrite(src: String, win: String) =
         s"""SELECT source, replace(r, '|' || replace(t.pair, ' ', '|') || '|',
-           |                  '|' || replace(t.pair, ' ', '') || '|') AS r
+           |                  '|' || replace(t.pair, ' ', '') || '|') AS r, freq
            |FROM $src CROSS JOIN $win t""".stripMargin
       s"""WITH w AS (
          |  SELECT source, unnest(string_split(lower(text), ' ')) AS w
          |  FROM documents
          |), r0 AS (
-         |  SELECT source, '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS r
-         |  FROM w WHERE w <> ''
+         |  SELECT source, '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS r,
+         |    count(*) AS freq
+         |  FROM w WHERE w <> '' GROUP BY 1, 2
          |), p0 AS (
          |${pairs("r0")}
          |), t0 AS (
@@ -5074,10 +5536,10 @@ object LlmQueries {
          |), r3 AS (
          |${rewrite("r2", "t2")}
          |)
-         |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
-         |  CAST(sum(length(replace(r, '|', ''))) AS BIGINT) AS n_chars,
-         |  CAST(sum(length(r) - length(replace(r, '|', '')) - 1) AS BIGINT)
-         |    AS n_tokens
+         |SELECT source, CAST(sum(freq) AS BIGINT) AS n_words,
+         |  CAST(sum(freq * length(replace(r, '|', ''))) AS BIGINT) AS n_chars,
+         |  CAST(sum(freq * (length(r) - length(replace(r, '|', '')) - 1))
+         |    AS BIGINT) AS n_tokens
          |FROM r3 GROUP BY source ORDER BY source""".stripMargin
     },
 

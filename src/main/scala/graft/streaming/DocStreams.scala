@@ -256,4 +256,69 @@ object DocStreams {
     docs
       .withColumn("p", expr(scoreExpr))
       .withColumn("keep", col("p") >= threshold)
+
+  /** Streaming chunk-level dedup (l46's incremental face): each arriving
+    * document is split into K=8-word chunks, chunks repeated WITHIN the
+    * horizon are dropped (first observation wins, exactly l46's rule
+    * scoped to the watermark window), and the document is reassembled
+    * from its surviving chunks — emitting the same per-doc census
+    * columns as the batch entry.
+    *
+    * Shape: two chained stateful operators, the pair Spark supports in
+    * append mode — dropDuplicatesWithinWatermark on the chunk hash
+    * (state: one entry per distinct chunk within the horizon, evicted by
+    * the watermark — bounded by ingest rate × horizon, never corpus
+    * size), then a windowed per-doc aggregation that re-gathers the
+    * survivors once the watermark closes the doc's window. Two design
+    * points keep streaming == batch EXACT rather than racy:
+    *   - intra-doc repeats are resolved BEFORE the stateful dedup by a
+    *     deterministic array filter (min chunk index wins), so the
+    *     cross-doc state race can never pick a non-minimal occurrence
+    *     from within one document;
+    *   - short tail chunks (< 4 words, never dedup-eligible per l46) get
+    *     a per-occurrence synthetic key, so they ride the same pipeline
+    *     without ever colliding — no second stream, no union.
+    */
+  def chunkDedupedDocs(docs: DataFrame, horizon: String = "1 hour",
+                       docWindow: String = "1 second"): DataFrame =
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("chs", expr(
+        """transform(sequence(0, CAST(ceil(size(ws) / 8.0) AS INT) - 1),
+          |  i -> named_struct('ci', CAST(i AS BIGINT),
+          |    'chunk', concat_ws(' ', slice(ws, i * 8 + 1, 8))))""".stripMargin))
+      .withColumn("chs", expr(
+        """filter(transform(chs, x -> named_struct('ci', x.ci,
+          |    'chunk', x.chunk,
+          |    'elig', size(split(x.chunk, ' ')) >= 4)),
+          |  x -> NOT x.elig OR NOT exists(chs,
+          |    y -> size(split(y.chunk, ' ')) >= 4
+          |      AND y.chunk = x.chunk AND y.ci < x.ci))""".stripMargin))
+      // a per-doc NULL-chunk marker rides the pipeline (synthetic key,
+      // never deduped, excluded from counts and the rebuild by NULL
+      // semantics) so a document whose every chunk is dropped still
+      // emits its census row — the batch side's LEFT JOIN equivalent
+      .withColumn("chs", expr(
+        """concat(chs, array(named_struct('ci', CAST(-1 AS BIGINT),
+          |  'chunk', CAST(NULL AS STRING), 'elig', false)))""".stripMargin))
+      .withColumn("n_chunks", expr(
+        "CAST(ceil(size(ws) / 8.0) AS BIGINT)"))
+      .selectExpr("doc_id", "ts", "n_chunks", "inline(chs)")
+      .withColumn("h", expr(
+        """CASE WHEN elig THEN md5(chunk)
+          |ELSE md5(concat(CAST(doc_id AS STRING), '#', CAST(ci AS STRING)))
+          |END""".stripMargin))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("h")
+      .groupBy(window(col("ts"), docWindow), col("doc_id"))
+      .agg(
+        max(col("n_chunks")).as("n_chunks"),
+        count(col("chunk")).as("kept_chunks"),
+        expr("""array_join(transform(
+          |  array_sort(collect_list(named_struct('ci', ci, 'chunk', chunk))),
+          |  x -> x.chunk), ' ')""".stripMargin).as("rebuilt"))
+      .selectExpr("doc_id", "n_chunks", "kept_chunks",
+        "n_chunks - kept_chunks AS dropped_chunks",
+        "md5(rebuilt) AS rebuilt_md5",
+        "CAST(length(rebuilt) AS BIGINT) AS rebuilt_len")
 }
