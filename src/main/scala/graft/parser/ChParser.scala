@@ -603,6 +603,54 @@ object ChParser {
       }
     }
 
+  /** A `FROM [db.]table SAMPLE <num>` occurrence: the table it samples,
+    * the span [from, to) covering `table SAMPLE num` (for splicing), and
+    * the literal's text. Top-level single SELECT only (same scope rule
+    * as PREWHERE).
+    */
+  final case class SampleParts(db: Option[String], table: String,
+                               from: Int, to: Int, num: String)
+
+  def splitSample(sql: String): Option[SampleParts] =
+    tokenize(sql).toOption.flatMap { toks =>
+      var d = 0
+      var unionish = false
+      val depth = toks.map {
+        case Punct("(", _) => { val r = d; d += 1; r }
+        case Punct(")", _) => { d = math.max(0, d - 1); d }
+        case Ident(w, _) if d == 0 &&
+            Seq("union", "intersect", "except").contains(w.toLowerCase) =>
+          unionish = true; d
+        case _ => d
+      }
+      def kw(i: Int, w: String) = i >= 0 && i < toks.length &&
+        depth(i) == 0 && (toks(i) match {
+          case Ident(t, _) => t.equalsIgnoreCase(w)
+          case _ => false
+        })
+      val si = toks.indices.find(i => kw(i, "sample") &&
+        (toks.lift(i + 1) match {
+          case Some(NumLit(_, _)) => depth(i + 1) == 0
+          case _ => false
+        }))
+      si match {
+        case Some(i) if !unionish =>
+          // the table ref immediately precedes SAMPLE: ident or db.ident
+          (toks.lift(i - 3), toks.lift(i - 2), toks.lift(i - 1)) match {
+            case (Some(Ident(db, p0)), Some(Punct(".", _)), Some(Ident(t, _)))
+                if depth(i - 1) == 0 =>
+              val end = toks.lift(i + 2).map(_.pos).getOrElse(sql.length)
+              Some(SampleParts(Some(db), t, p0, end, toks(i + 1).text))
+            case (_, _, Some(Ident(t, p0))) if depth(i - 1) == 0 &&
+                !t.equalsIgnoreCase("from") =>
+              val end = toks.lift(i + 2).map(_.pos).getOrElse(sql.length)
+              Some(SampleParts(None, t, p0, end, toks(i + 1).text))
+            case _ => None
+          }
+        case _ => None
+      }
+    }
+
   /** All spans of `db.name` qualified references (for names in the given
     * set) — string/comment-aware, any nesting depth. Used to splice the
     * engine's `system.*` introspection views into SELECT text.
