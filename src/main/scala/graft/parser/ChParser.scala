@@ -578,7 +578,11 @@ object ChParser {
                   case _ => false
                 }))
               asIdx match {
-                case Some(k) if k + 1 < b =>
+                // the alias must be the item's FINAL token: `expr AS a x`
+                // (e.g. a trailing JOIN clause CH grammar allows here)
+                // must fall through unrewritten rather than silently
+                // dropping the trailing tokens
+                case Some(k) if k + 2 == b =>
                   (toks(k + 1), sql.substring(toks(a).pos, toks(k).pos).trim) match {
                     case (Ident(al, _), ex) if ex.nonEmpty =>
                       Some(ArrayJoinItem(ex, al, bare = false))

@@ -238,6 +238,23 @@ object DdlQueries {
         "WHERE ci <= 5 ORDER BY doc_id, pos")
     },
 
+    // ClickHouse `FROM t SAMPLE f` (d16): deterministic fraction of the
+    // table by Knuth multiplicative hash of the PK head (CH's SAMPLE BY
+    // contract — the sampling expr must be part of the PK; repeatable,
+    // and smaller fractions nest inside larger ones). The rewrite is a
+    // single pushable predicate — the oracle recomputes the identical
+    // hash cut in DuckDB.
+    "d16_sample" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("DROP TABLE IF EXISTS d16_ev")
+      g.sql("CREATE TABLE d16_ev(event_id Int64 PRIMARY KEY, value Float64)")
+      g.sql("INSERT INTO d16_ev SELECT event_id, value FROM events")
+      g.sql("SELECT count(*) AS n, CAST(sum(event_id) AS BIGINT) AS s, " +
+        "CAST(round(sum(value), 2) AS DOUBLE) AS sv " +
+        "FROM d16_ev SAMPLE 0.25")
+    },
+
     // ClickHouse `ORDER BY k WITH FILL FROM a TO b STEP s` (d09): the
     // value-bucket histogram has guaranteed gaps below bucket 2; the
     // rewrite left-joins the result onto the generated grid (TO is
@@ -353,6 +370,12 @@ object DdlQueries {
         |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
         |  FROM documents WHERE doc_id % 97 = 0
         |) t WHERE pos <= 5 ORDER BY doc_id, pos""".stripMargin,
+
+    "d16_sample" ->
+      """SELECT count(*) AS n, CAST(sum(event_id) AS BIGINT) AS s,
+        |  CAST(ROUND(sum(value), 2) AS DOUBLE) AS sv
+        |FROM events
+        |WHERE ((event_id * 2654435761) % 4294967296) < 1073741824""".stripMargin,
 
     "d09_with_fill" ->
       """WITH src AS (

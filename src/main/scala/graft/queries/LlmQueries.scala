@@ -173,8 +173,38 @@ object LlmQueries {
     * sort. Production then serves at the chosen nprobe via the l34
     * persisted-index path.
     */
+  /** l40's fixed query panel (vec_id ≡ 1 mod 100, the l33/l48 panel
+    * discipline) as a standalone SELECT, shared by the inline oracle CTE
+    * and the Spark entry's checkpointed stage.
+    */
+  private[graft] def annPanelSql: String =
+    """SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      |  WHERE vec_id % 100 = 1""".stripMargin
+
+  private def annPanelCtes(spark: Boolean): String =
+    s"""qs AS (
+       |  $annPanelSql
+       |)""".stripMargin
+
+  /** Exact-truth panel distances (panel × corpus cosine) — the expensive
+    * arm of the l40 sweep, computed once per tune in the staged form.
+    */
+  private[graft] def annPanelSimsSql(spark: Boolean,
+                                     inline: Boolean = false): String = {
+    def dot(a: String, b: String) =
+      if (spark) dotSpark(a, b) else dotDuck(a, b)
+    def cos(a: String, b: String) =
+      s"""${dot(a, b)}
+         |      / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))""".stripMargin
+    val qsrc = if (inline) "qs" else "l40_qs"
+    s"""SELECT q.qid, e.vec_id,
+       |    ${cos("e.embedding", "q.qe")} AS sim
+       |  FROM embeddings e CROSS JOIN $qsrc q WHERE e.vec_id <> q.qid""".stripMargin
+  }
+
   private[graft] def annNprobeTunerSql(spark: Boolean,
-                                       recallTarget: Double = 0.9): String = {
+                                       recallTarget: Double = 0.9,
+                                       staged: Boolean = false): String = {
     def dot(a: String, b: String) =
       if (spark) dotSpark(a, b) else dotDuck(a, b)
     def cos(a: String, b: String) =
@@ -183,16 +213,27 @@ object LlmQueries {
     val np =
       if (spark) "np AS (SELECT * FROM VALUES (1),(2),(4),(8) AS np(np))"
       else "np AS (SELECT * FROM (VALUES (1),(2),(4),(8)) np(np))"
-    s"""WITH ${ivfTrainCtes(spark, "embeddings")},
-       |${ivfAssign(spark, "assigned", "embeddings", "c2")},
-       |qs AS (
-       |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
-       |  WHERE vec_id % 100 = 1
-       |), $np, sims AS (
-       |  SELECT q.qid, e.vec_id,
-       |    ${cos("e.embedding", "q.qe")} AS sim
-       |  FROM embeddings e CROSS JOIN qs q WHERE e.vec_id <> q.qid
-       |), truth AS (
+    // Staged form (Spark entry): the quantizer, the cell assignment, the
+    // query panel and the exact-truth panel distances are materialized
+    // ONCE behind localCheckpoints (l40_c2/l40_assigned/l40_qs/l40_sims)
+    // — pre-r14 the inline WITH chain re-derived them per reference: 38
+    // corpus scans for a 4-config sweep (VERDICT r13 #3). The sweep SQL
+    // below is byte-identical either way; only the leaf relations differ.
+    val lead =
+      if (staged)
+        """WITH c2 AS (SELECT * FROM l40_c2),
+          |assigned AS (SELECT * FROM l40_assigned),
+          |qs AS (SELECT * FROM l40_qs),
+          |""".stripMargin + np + """, sims AS (
+          |  SELECT * FROM l40_sims
+          |), truth AS (""".stripMargin
+      else
+        s"""WITH ${ivfTrainCtes(spark, "embeddings")},
+           |${ivfAssign(spark, "assigned", "embeddings", "c2")},
+           |${annPanelCtes(spark)}, $np, sims AS (
+           |  ${annPanelSimsSql(spark, inline = true)}
+           |), truth AS (""".stripMargin
+    s"""$lead
        |  SELECT qid, vec_id FROM (
        |    SELECT qid, vec_id, row_number() OVER (
        |      PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
@@ -2492,7 +2533,9 @@ object LlmQueries {
     * is map-only, the property that makes MV-driven re-encode viable at
     * ingest rates.
     */
-  private[graft] def indexEncodeSparkSql(src: String): String = {
+  private[graft] def indexEncodeSparkSql(src: String,
+                                         centroids: String = "ivf_centroids",
+                                         codebook: String = "pq_codebook"): String = {
     def cos(a: String, b: String) =
       s"${dotSpark(a, b)} / (sqrt(${dotSpark(a, a)}) * sqrt(${dotSpark(b, b)}))"
     def l216(a: String, b: String) =
@@ -2514,10 +2557,10 @@ object LlmQueries {
        |  $codeCols
        |FROM $src
        |CROSS JOIN (SELECT collect_list(named_struct('cid', cid, 'ce', ce)) AS cl
-       |            FROM ivf_centroids) cs
+       |            FROM $centroids) cs
        |CROSS JOIN (SELECT
        |    $cbCols
-       |  FROM pq_codebook) cb""".stripMargin
+       |  FROM $codebook) cb""".stripMargin
   }
 
   private[graft] def ivfPqServedSparkSql: String =
@@ -3497,10 +3540,23 @@ object LlmQueries {
     },
 
     // ---- l40: ANN nprobe auto-tuner (see annNprobeTunerSql) -----------
+    // Staged: quantizer → assignment → panel → exact-truth distances,
+    // each localCheckpoint'd so the 4-config sweep reads them instead of
+    // re-deriving from the corpus (38 parquet scans pre-r14).
     "l40_ann_nprobe_tuner" -> { (s, dir) =>
       Tables.registerAll(s, dir)
       graft.functions.VectorFunctions.register(s)
-      s.sql(annNprobeTunerSql(spark = true))
+      s.sql(s"WITH ${ivfTrainCtes(spark = true, "embeddings")} " +
+          "SELECT * FROM c2")
+        .localCheckpoint().createOrReplaceTempView("l40_c2")
+      s.sql(s"WITH ${ivfAssign(spark = true, "assigned", "embeddings", "l40_c2")} " +
+          "SELECT * FROM assigned")
+        .localCheckpoint().createOrReplaceTempView("l40_assigned")
+      s.sql(annPanelSql)
+        .localCheckpoint().createOrReplaceTempView("l40_qs")
+      s.sql(annPanelSimsSql(spark = true))
+        .localCheckpoint().createOrReplaceTempView("l40_sims")
+      s.sql(annNprobeTunerSql(spark = true, staged = true))
     },
 
     // ---- l41: per-source data-card funnel (see dataCardSql) -----------
@@ -3574,15 +3630,26 @@ object LlmQueries {
     },
 
     // ---- l49: epoch-budget allocation (see epochBudgetSql) -------------
+    // The per-source histogram (dozens of rows) is materialized ONCE —
+    // pre-r14 the inlined CTE waterfall re-scanned + re-tokenized the
+    // corpus 63 times (VERDICT r13 #2).
     "l49_epoch_budget" -> { (s, dir) =>
       Tables.registerAll(s, dir)
-      s.sql(epochBudgetSql(spark = true))
+      s.sql(epochHistSql(spark = true))
+        .localCheckpoint().createOrReplaceTempView("l49_hist")
+      s.sql(epochBudgetSql(spark = true,
+        dFrom = Some("SELECT source, avail FROM l49_hist")))
     },
 
     // ---- l50: curriculum phase assignment (see curriculumSql) ----------
+    // The (doc_id, score) relation is tokenized ONCE behind a
+    // localCheckpoint; the histogram/position/replay CTEs all read it.
     "l50_curriculum_phases" -> { (s, dir) =>
       Tables.registerAll(s, dir)
-      s.sql(curriculumSql(spark = true))
+      s.sql(curriculumScoreSql(spark = true))
+        .localCheckpoint().createOrReplaceTempView("l50_d")
+      s.sql(curriculumSql(spark = true,
+        dFrom = Some("SELECT doc_id, score FROM l50_d")))
     },
 
     // ---- l51: margin-violation triplet mining (see tripletMiningSql) ---
@@ -3707,10 +3774,21 @@ object LlmQueries {
       pqIndex(s, dir)
       val g = new graft.exec.GraftSession(s)
       g.sql("DROP TABLE IF EXISTS graft_emb_index; " +
-        "DROP TABLE IF EXISTS graft_emb_live")
+        "DROP TABLE IF EXISTS graft_emb_live; " +
+        "DROP TABLE IF EXISTS graft_ivf_centroids; " +
+        "DROP TABLE IF EXISTS graft_pq_codebook")
+      // The frozen quantizer stores become WAREHOUSE tables, not temp
+      // views: a persisted MV must depend only on persisted objects, or
+      // it cannot restore after a restart (MvRestoreSpec / VERDICT r13
+      // #1 — the reference's sled catalog has the same closure property:
+      // everything a stored object references is itself stored,
+      // crates/meta/src/store/sys.rs:624-642).
+      g.sql("CREATE TABLE graft_ivf_centroids AS SELECT * FROM ivf_centroids")
+      g.sql("CREATE TABLE graft_pq_codebook AS SELECT * FROM pq_codebook")
       g.sql("CREATE TABLE graft_emb_live(vec_id Int64, embedding Array(Float32))")
       g.sql("CREATE MATERIALIZED VIEW graft_emb_index AS " +
-        indexEncodeSparkSql("graft_emb_live"))
+        indexEncodeSparkSql("graft_emb_live",
+          centroids = "graft_ivf_centroids", codebook = "graft_pq_codebook"))
       g.sql("INSERT INTO graft_emb_live SELECT vec_id, embedding FROM embeddings")
       g.sql("INSERT INTO graft_emb_live SELECT vec_id + 100000, embedding " +
         "FROM embeddings WHERE vec_id % 7 = 3")
@@ -4764,7 +4842,10 @@ object LlmQueries {
     * min (no caps needed — exact-hash dedup is linear, unlike the banded
     * families); reassembly and the doc-level join share the doc_id
     * partitioning. The occurrence key packs (doc_id, position) into one
-    * BIGINT so "first" is a plain min, not a struct-ordering dependency.
+    * BIGINT so "first" is a plain min, not a struct-ordering dependency
+    * — radix 2^32 (ADVICE r13): a chunk index can never reach 2^32
+    * (that's a 34-billion-word document), and doc_id must stay below
+    * 2^31 for the product to fit a signed 64-bit int.
     */
   private def chunkDedupSql(spark: Boolean): String = {
     val k = 8
@@ -4793,7 +4874,7 @@ object LlmQueries {
        |  $ch
        |), keyed AS (
        |  SELECT doc_id, ci, chunk, md5(chunk) AS h,
-       |    doc_id * 1000000 + ci AS occ,
+       |    doc_id * 4294967296 + ci AS occ,
        |    $nWords >= 4 AS elig
        |  FROM ch
        |), firsts AS (
@@ -4941,16 +5022,28 @@ object LlmQueries {
     * contributes exactly one group-by histogram; the solver itself is
     * driver-scale algebra expressed relationally.
     */
-  private def epochBudgetSql(spark: Boolean): String = {
-    val div = if (spark) "DIV" else "//"
+  /** The per-source token histogram l49's waterfall solves over. Exposed
+    * separately so the Spark entry can materialize it ONCE
+    * (localCheckpoint): Spark inlines CTEs, so feeding the raw WITH chain
+    * to the planner re-derives `d` — a full corpus scan + tokenize — at
+    * every one of the 63 downstream references (VERDICT r13 #2: 12.6 PB
+    * of I/O at 100 TB for a solver whose state is dozens of rows).
+    */
+  private[graft] def epochHistSql(spark: Boolean): String = {
     val toks =
       if (spark) "size(filter(split(text, ' '), x -> x <> ''))"
       else "len(list_filter(str_split(text, ' '), x -> x <> ''))"
+    s"""SELECT source, CAST(sum($toks) AS BIGINT) AS avail
+       |FROM documents GROUP BY source""".stripMargin
+  }
+
+  private def epochBudgetSql(spark: Boolean,
+                             dFrom: Option[String] = None): String = {
+    val div = if (spark) "DIV" else "//"
     val rounds = 3
     val sb = new StringBuilder
     sb ++= s"""WITH d AS (
-       |  SELECT source, CAST(sum($toks) AS BIGINT) AS avail
-       |  FROM documents GROUP BY source
+       |  ${dFrom.getOrElse(epochHistSql(spark))}
        |), bb AS (
        |  SELECT CAST(sum(avail) * 3 $div 2 AS BIGINT) AS budget FROM d
        |), s0 AS (
@@ -5020,13 +5113,22 @@ object LlmQueries {
     * aggregate + one score-partitioned window + one phase group-by; no
     * global sort ever materializes.
     */
-  private def curriculumSql(spark: Boolean): String = {
-    val div = if (spark) "DIV" else "//"
+  /** l50's difficulty-score relation (doc_id, score) — separate so the
+    * Spark entry can tokenize the corpus ONCE behind a localCheckpoint
+    * instead of once per downstream CTE reference (7 scans pre-r14).
+    */
+  private[graft] def curriculumScoreSql(spark: Boolean): String = {
     val toks =
       if (spark) "size(filter(split(text, ' '), x -> x <> ''))"
       else "len(list_filter(str_split(text, ' '), x -> x <> ''))"
+    s"SELECT doc_id, $toks AS score FROM documents"
+  }
+
+  private def curriculumSql(spark: Boolean,
+                            dFrom: Option[String] = None): String = {
+    val div = if (spark) "DIV" else "//"
     s"""WITH d AS (
-       |  SELECT doc_id, $toks AS score FROM documents
+       |  ${dFrom.getOrElse(curriculumScoreSql(spark))}
        |), h AS (
        |  SELECT score, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY score
        |), ch AS (

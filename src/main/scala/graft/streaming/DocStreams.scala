@@ -269,8 +269,15 @@ object DocStreams {
     * (state: one entry per distinct chunk within the horizon, evicted by
     * the watermark — bounded by ingest rate × horizon, never corpus
     * size), then a windowed per-doc aggregation that re-gathers the
-    * survivors once the watermark closes the doc's window. Two design
-    * points keep streaming == batch EXACT rather than racy:
+    * survivors once the watermark closes the doc's window.
+    *
+    * Arrival-order precondition: CROSS-document duplicate resolution
+    * inside one micro-batch follows arrival/shuffle order, not the batch
+    * min-(doc_id, position) rule — streaming matches batch exactly only
+    * when documents sharing an eligible chunk arrive in doc_id order
+    * across micro-batches (the replay/backfill case; the spec feeds
+    * conflict waves for this reason). Within that precondition, two
+    * design points keep the remaining races out:
     *   - intra-doc repeats are resolved BEFORE the stateful dedup by a
     *     deterministic array filter (min chunk index wins), so the
     *     cross-doc state race can never pick a non-minimal occurrence

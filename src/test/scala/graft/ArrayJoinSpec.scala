@@ -74,4 +74,32 @@ class ArrayJoinSpec extends AnyFunSuite {
     assert(p.left && p.items.map(_.alias) === Seq("a") &&
       p.tail.trim.startsWith("WHERE"))
   }
+
+  test("tokens after an alias (e.g. a trailing JOIN clause) make the " +
+    "item invalid — never silently dropped (ADVICE r13)") {
+    assert(ChParser.splitArrayJoin(
+      "SELECT a FROM t ARRAY JOIN xs AS a JOIN u ON u.k = t.k").isEmpty,
+      "an item whose alias is not its final token must not rewrite")
+    assert(ChParser.splitArrayJoin(
+      "SELECT a, b FROM t ARRAY JOIN xs AS a extra, ys AS b").isEmpty,
+      "trailing tokens in ANY item poison the whole clause")
+  }
+
+  test("single-column source with a bare item: the rewrite must not " +
+    "emit an empty `* EXCEPT` (ADVICE r13)") {
+    val rows = g.sql(
+      """SELECT xs FROM (SELECT array(4, 5) AS xs) t
+        |ARRAY JOIN xs ORDER BY xs""".stripMargin).collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(4, 5))
+  }
+
+  test("an AS alias colliding with a source column replaces it in scope " +
+    "(CH semantics), not an ambiguous duplicate (ADVICE r13)") {
+    val rows = g.sql(
+      """SELECT id, y FROM (
+        |  SELECT 1 AS id, 99 AS y, array(6, 7) AS xs
+        |) t ARRAY JOIN xs AS y ORDER BY y""".stripMargin).collect()
+    assert(rows.map(_.getInt(1)).toSeq === Seq(6, 7),
+      "y downstream must be the exploded element, not the shadowed column")
+  }
 }
