@@ -449,18 +449,22 @@ class GraftSession(val spark: SparkSession) {
         rewritePrewhere(rewriteArrayJoin(rewriteInTable(rewriteDistinctOnStep(
           rewriteSample(spliceSystemViews(sqlIn)))))))))))
 
-  /** ClickHouse `FROM t SAMPLE f` (0 < f < 1): a DETERMINISTIC subset by
-    * Knuth multiplicative hash of the table's sampling key — CH hashes a
-    * declared `SAMPLE BY` expression that must be part of the primary
-    * key; graft takes the PK's first column as that key (the l47 split
-    * uses the identical hash, so cross-engine bit-equality is already
-    * proven). Repeatable by design: the same fraction always selects the
-    * same rows, and `SAMPLE 0.1` results nest inside `SAMPLE 0.5` (same
-    * hash, smaller cut) — CH's documented sampling contract. The
-    * row-count form `SAMPLE n` (n ≥ 1) and tables without a PRIMARY KEY
-    * fall through unrewritten, so Spark surfaces a parse error instead
-    * of a silently-wrong full scan. 100 TB: the filter is one pushable
-    * map-side predicate on the scan — no shuffle, no extra pass.
+  /** ClickHouse `FROM t SAMPLE f [OFFSET o]` (0 < f < 1, 0 ≤ o < 1): a
+    * DETERMINISTIC subset by Knuth multiplicative hash of the table's
+    * sampling key — the declared `SAMPLE BY` column when the table has
+    * one (CH requires it to be part of the primary key; graft records it
+    * as the sample_by setting so it survives restarts), else the PK's
+    * first column (the l47 split uses the identical hash, so
+    * cross-engine bit-equality is already proven). Repeatable by design:
+    * the same fraction always selects the same rows, `SAMPLE 0.1` nests
+    * inside `SAMPLE 0.5` (same hash, smaller cut), and `OFFSET o` shifts
+    * the hash window so `SAMPLE 0.5` / `SAMPLE 0.5 OFFSET 0.5` PARTITION
+    * the table — CH's documented contract for splitting work across
+    * readers. The row-count form `SAMPLE n` (n ≥ 1) and tables without a
+    * sampling key fall through unrewritten, so Spark surfaces a parse
+    * error instead of a silently-wrong full scan. 100 TB: the filter is
+    * one pushable map-side predicate on the scan — no shuffle, no extra
+    * pass.
     */
   private def rewriteSample(sql: String): String =
     ChParser.splitSample(sql) match {
@@ -470,17 +474,26 @@ class GraftSession(val spark: SparkSession) {
         if (!(f > 0 && f < 1)) sql
         else {
           val rdb = p.db.getOrElse(spark.catalog.currentDatabase)
-          val key = scala.util.Try(
+          val meta = scala.util.Try(
             spark.sessionState.catalog.getTableMetadata(
               org.apache.spark.sql.catalyst.TableIdentifier(p.table, Some(rdb))))
-            .toOption.flatMap(_.properties.get("graft.pks"))
+            .toOption
+          val pkHead = meta.flatMap(_.properties.get("graft.pks"))
             .flatMap(_.split("").find(_.nonEmpty))
+          // the declared SAMPLE BY key wins; the PK head is the fallback
+          val key = meta.flatMap(_.properties.get("graft.setting.sample_by"))
+            .orElse(pkHead)
           key match {
             case None => sql
             case Some(k) =>
-              val cut = math.floor(f * 4294967296d).toLong
+              val lo = math.floor(o * 4294967296d).toLong
+              val hi = math.min(4294967296L,
+                math.floor((o + f) * 4294967296d).toLong)
+              val h = s"((`$k` * 2654435761) % 4294967296)"
+              val pred =
+                if (lo == 0) s"$h < $hi" else s"$h >= $lo AND $h < $hi"
               val sub = s"(SELECT * FROM ${fullName(Some(rdb), p.table)} " +
-                s"WHERE ((`$k` * 2654435761) % 4294967296) < $cut) ${p.table}"
+                s"WHERE $pred) ${p.table}"
               sql.substring(0, p.from) + sub + " " + sql.substring(p.to)
           }
         }

@@ -285,9 +285,20 @@ object ChParser {
         val partBy = if (p.isKw("partition")) {
           p.next(); p.eatKw("by")
           Some(p.sliceUntil(q =>
-            q.isKw("settings") || q.isKw("as") || q.isPunct(";")))
+            q.isKw("settings") || q.isKw("as") || q.isKw("sample") ||
+              q.isPunct(";")))
         } else None
-        parseSettings(p).map(settings => (engine, partBy, settings))
+        // CH `SAMPLE BY col` (MergeTree sampling key): desugared into the
+        // settings map — it rides the existing graft.setting.* prop
+        // recording/replay, so the declared key survives restarts and
+        // RENAME normalization without new AST plumbing. SHOW CREATE
+        // renders the normalized `SETTINGS sample_by=col` form.
+        val sampleBy = if (p.isKw("sample")) {
+          p.next(); p.eatKw("by")
+          p.ident().toOption
+        } else None
+        parseSettings(p).map(settings => (engine, partBy,
+          settings ++ sampleBy.map("sample_by" -> _)))
       }
       asSel <- if (p.eatKw("as")) {
         val rest = p.sliceUntil(_.isPunct(";")).trim
@@ -607,13 +618,15 @@ object ChParser {
       }
     }
 
-  /** A `FROM [db.]table SAMPLE <num>` occurrence: the table it samples,
-    * the span [from, to) covering `table SAMPLE num` (for splicing), and
-    * the literal's text. Top-level single SELECT only (same scope rule
-    * as PREWHERE).
+  /** A `FROM [db.]table SAMPLE <num> [OFFSET <num>]` occurrence: the
+    * table it samples, the span [from, to) covering the whole clause
+    * (for splicing), the fraction literal and the optional offset
+    * literal. Top-level single SELECT only (same scope rule as
+    * PREWHERE).
     */
   final case class SampleParts(db: Option[String], table: String,
-                               from: Int, to: Int, num: String)
+                               from: Int, to: Int, num: String,
+                               offset: Option[String] = None)
 
   def splitSample(sql: String): Option[SampleParts] =
     tokenize(sql).toOption.flatMap { toks =>
@@ -639,16 +652,22 @@ object ChParser {
         }))
       si match {
         case Some(i) if !unionish =>
+          // optional `OFFSET <num>` after the fraction
+          val (off, after) = (toks.lift(i + 2), toks.lift(i + 3)) match {
+            case (Some(Ident(o, _)), Some(NumLit(_, _)))
+                if o.equalsIgnoreCase("offset") && depth(i + 2) == 0 =>
+              (Some(toks(i + 3).text), i + 4)
+            case _ => (None, i + 2)
+          }
+          val end = toks.lift(after).map(_.pos).getOrElse(sql.length)
           // the table ref immediately precedes SAMPLE: ident or db.ident
           (toks.lift(i - 3), toks.lift(i - 2), toks.lift(i - 1)) match {
             case (Some(Ident(db, p0)), Some(Punct(".", _)), Some(Ident(t, _)))
                 if depth(i - 1) == 0 =>
-              val end = toks.lift(i + 2).map(_.pos).getOrElse(sql.length)
-              Some(SampleParts(Some(db), t, p0, end, toks(i + 1).text))
+              Some(SampleParts(Some(db), t, p0, end, toks(i + 1).text, off))
             case (_, _, Some(Ident(t, p0))) if depth(i - 1) == 0 &&
                 !t.equalsIgnoreCase("from") =>
-              val end = toks.lift(i + 2).map(_.pos).getOrElse(sql.length)
-              Some(SampleParts(None, t, p0, end, toks(i + 1).text))
+              Some(SampleParts(None, t, p0, end, toks(i + 1).text, off))
             case _ => None
           }
         case _ => None
