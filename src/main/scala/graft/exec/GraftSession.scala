@@ -463,8 +463,11 @@ class GraftSession(val spark: SparkSession) {
     * readers. The row-count form `SAMPLE n` (n ≥ 1) and tables without a
     * sampling key fall through unrewritten, so Spark surfaces a parse
     * error instead of a silently-wrong full scan. 100 TB: the filter is
-    * one pushable map-side predicate on the scan — no shuffle, no extra
-    * pass.
+    * one map-side predicate evaluated inside the scan's codegen stage
+    * (the hash expr itself is not a parquet PushedFilter — it is compute,
+    * not a column bound — but it cuts rows before any shuffle, so the
+    * whole query pipeline downstream sees only the sampled fraction);
+    * no shuffle, no extra pass.
     */
   private def rewriteSample(sql: String): String =
     ChParser.splitSample(sql) match {
@@ -483,13 +486,26 @@ class GraftSession(val spark: SparkSession) {
           // the declared SAMPLE BY key wins; the PK head is the fallback
           val key = meta.flatMap(_.properties.get("graft.setting.sample_by"))
             .orElse(pkHead)
-          key match {
+          // OFFSET must leave the whole window inside [0, 1]; anything
+          // else (negative, o+f > 1, unparseable) falls through so Spark
+          // errors loudly on the unrewritten SAMPLE token.
+          val o = p.offset.flatMap(s => scala.util.Try(s.toDouble).toOption)
+            .getOrElse(0.0)
+          if (p.offset.nonEmpty && !(o >= 0 && o + f <= 1.0 + 1e-12)) sql
+          else key match {
             case None => sql
             case Some(k) =>
               val lo = math.floor(o * 4294967296d).toLong
               val hi = math.min(4294967296L,
                 math.floor((o + f) * 4294967296d).toLong)
-              val h = s"((`$k` * 2654435761) % 4294967296)"
+              // sign- and overflow-safe Knuth cut: fold the key into
+              // [0, 2^31) first, so the 2654435761 multiply peaks at
+              // ~5.7e18 (inside Int64 even under ANSI) and signed keys
+              // hash non-negative — the identical expression text runs
+              // in the DuckDB oracle (d16/d16b), so the cut is
+              // bit-equal cross-engine for the full Int64 key domain.
+              val h = s"(((((`$k` % 2147483648) + 2147483648) " +
+                s"% 2147483648) * 2654435761) % 4294967296)"
               val pred =
                 if (lo == 0) s"$h < $hi" else s"$h >= $lo AND $h < $hi"
               val sub = s"(SELECT * FROM ${fullName(Some(rdb), p.table)} " +

@@ -292,13 +292,22 @@ object ChParser {
         // settings map — it rides the existing graft.setting.* prop
         // recording/replay, so the declared key survives restarts and
         // RENAME normalization without new AST plumbing. SHOW CREATE
-        // renders the normalized `SETTINGS sample_by=col` form.
-        val sampleBy = if (p.isKw("sample")) {
-          p.next(); p.eatKw("by")
-          p.ident().toOption
-        } else None
-        parseSettings(p).map(settings => (engine, partBy,
-          settings ++ sampleBy.map("sample_by" -> _)))
+        // renders the normalized `SETTINGS sample_by=col` form. Only a
+        // bare column key is supported (the SAMPLE rewrite hashes one
+        // column); an expression key is rejected HERE with a clear error
+        // rather than leaking its tokens into the SETTINGS parse.
+        val sampleByE: Either[String, Option[String]] =
+          if (p.isKw("sample")) {
+            p.next(); p.eatKw("by")
+            val key = p.sliceUntil(q =>
+              q.isKw("settings") || q.isKw("as") || q.isPunct(";")).trim
+            if (key.matches("[A-Za-z_][A-Za-z0-9_]*")) Right(Some(key))
+            else Left("SAMPLE BY: only a bare column name is supported " +
+              s"as the sampling key, got `$key`")
+          } else Right(None)
+        sampleByE.flatMap(sampleBy =>
+          parseSettings(p).map(settings => (engine, partBy,
+            settings ++ sampleBy.map("sample_by" -> _))))
       }
       asSel <- if (p.eatKw("as")) {
         val rest = p.sliceUntil(_.isPunct(";")).trim

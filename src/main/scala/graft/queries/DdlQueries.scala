@@ -239,11 +239,11 @@ object DdlQueries {
     },
 
     // ClickHouse `FROM t SAMPLE f` (d16): deterministic fraction of the
-    // table by Knuth multiplicative hash of the PK head (CH's SAMPLE BY
-    // contract — the sampling expr must be part of the PK; repeatable,
-    // and smaller fractions nest inside larger ones). The rewrite is a
-    // single pushable predicate — the oracle recomputes the identical
-    // hash cut in DuckDB.
+    // table by a sign/overflow-safe Knuth multiplicative hash of the PK
+    // head (CH's SAMPLE BY contract — the sampling expr must be part of
+    // the PK; repeatable, and smaller fractions nest inside larger
+    // ones). The rewrite is a single scan-stage predicate — the oracle
+    // recomputes the identical hash cut in DuckDB.
     "d16_sample" -> { (s, dir) =>
       Tables.registerAll(s, dir)
       val g = new GraftSession(s)
@@ -253,6 +253,22 @@ object DdlQueries {
       g.sql("SELECT count(*) AS n, CAST(sum(event_id) AS BIGINT) AS s, " +
         "CAST(round(sum(value), 2) AS DOUBLE) AS sv " +
         "FROM d16_ev SAMPLE 0.25")
+    },
+
+    // `SAMPLE f OFFSET o` (d16b): the shifted hash window — CH's
+    // contract for partitioning a table across parallel readers. The
+    // query takes the [0.5, 0.75) quarter; the oracle recomputes the
+    // same window bounds (floor(o*2^32) ≤ h < floor((o+f)*2^32)) with
+    // the identical hash expression in DuckDB.
+    "d16b_sample_offset" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("DROP TABLE IF EXISTS d16b_ev")
+      g.sql("CREATE TABLE d16b_ev(event_id Int64 PRIMARY KEY, value Float64)")
+      g.sql("INSERT INTO d16b_ev SELECT event_id, value FROM events")
+      g.sql("SELECT count(*) AS n, CAST(sum(event_id) AS BIGINT) AS s, " +
+        "CAST(round(sum(value), 2) AS DOUBLE) AS sv " +
+        "FROM d16b_ev SAMPLE 0.25 OFFSET 0.5")
     },
 
     // ClickHouse `ORDER BY k WITH FILL FROM a TO b STEP s` (d09): the
@@ -375,7 +391,17 @@ object DdlQueries {
       """SELECT count(*) AS n, CAST(sum(event_id) AS BIGINT) AS s,
         |  CAST(ROUND(sum(value), 2) AS DOUBLE) AS sv
         |FROM events
-        |WHERE ((event_id * 2654435761) % 4294967296) < 1073741824""".stripMargin,
+        |WHERE (((((event_id % 2147483648) + 2147483648) % 2147483648)
+        |  * 2654435761) % 4294967296) < 1073741824""".stripMargin,
+
+    "d16b_sample_offset" ->
+      """SELECT count(*) AS n, CAST(sum(event_id) AS BIGINT) AS s,
+        |  CAST(ROUND(sum(value), 2) AS DOUBLE) AS sv
+        |FROM events
+        |WHERE (((((event_id % 2147483648) + 2147483648) % 2147483648)
+        |  * 2654435761) % 4294967296) >= 2147483648
+        |  AND (((((event_id % 2147483648) + 2147483648) % 2147483648)
+        |  * 2654435761) % 4294967296) < 3221225472""".stripMargin,
 
     "d09_with_fill" ->
       """WITH src AS (

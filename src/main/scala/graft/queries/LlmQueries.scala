@@ -4908,13 +4908,17 @@ object LlmQueries {
     * after-the-fact scan. The audit column counts how many multi-member
     * clusters WOULD have straddled splits under the naive doc-keyed hash
     * (the defect this operator exists to prevent). The hash is plain
-    * BIGINT arithmetic (Knuth multiplicative, mod 2^32) so both engines
-    * agree bit-for-bit. 100 TB: labels are edge-node-sized (dup pairs
+    * BIGINT arithmetic (Knuth multiplicative, mod 2^32, key pre-folded
+    * into [0, 2^31) so the multiply can never wrap Int64 — safe for the
+    * full signed-64 key domain under ANSI and in DuckDB) so both
+    * engines agree bit-for-bit. 100 TB: labels are edge-node-sized (dup pairs
     * only); the documents join is one shuffle on doc_id; the census one
     * shuffle on cluster; the audit aggregate is a one-row broadcast.
     */
   private def clusterSplitSql(spark: Boolean): String = {
-    def bucket(key: String) = s"(($key * 2654435761) % 4294967296) % 10"
+    def bucket(key: String) =
+      s"((((($key % 2147483648) + 2147483648) % 2147483648) " +
+        s"* 2654435761) % 4294967296) % 10"
     def cse(key: String) =
       s"""CASE WHEN ${bucket(key)} < 8 THEN 'train'
          |         WHEN ${bucket(key)} = 8 THEN 'val'

@@ -188,6 +188,36 @@ class ChWireSpec extends AnyFunSuite {
     }
   }
 
+  test("system.restore_errors is queryable over the native wire: a " +
+    "client can see what failed to restore at this connection's boot") {
+    // poison a persisted-MV meta script so the CONNECTION's GraftSession
+    // (built fresh per accept) records a restore failure at its boot
+    val wh = java.nio.file.Paths.get(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    val meta = wh.resolve("_graft_meta").resolve("default")
+      .resolve("wire_poison.sql")
+    java.nio.file.Files.createDirectories(meta.getParent)
+    java.nio.file.Files.writeString(meta,
+      "CREATE MATERIALIZED VIEW wire_poison AS " +
+        "SELECT * FROM no_such_wire_table_xyz")
+    val server = new ChWireServer(spark).start()
+    val client = new WireTestClient(server.boundPort)
+    try {
+      val b = client.rows("SELECT database, `table`, kind, error " +
+        "FROM system.restore_errors WHERE `table` = 'wire_poison'")
+      assert(b.map(_.name) === Vector("database", "table", "kind", "error"))
+      assert(b(0).values === Vector("default"))
+      assert(b(1).values === Vector("wire_poison"))
+      assert(b(2).values === Vector("materialized view"))
+      assert(b(3).values.head != null &&
+        b(3).values.head.toString.nonEmpty)
+    } finally {
+      client.close()
+      server.stop()
+      java.nio.file.Files.deleteIfExists(meta): Unit
+    }
+  }
+
   test("client-streamed INSERT Data blocks (DataEODPInsertQuery stage)") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

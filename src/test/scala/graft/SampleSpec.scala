@@ -72,4 +72,68 @@ class SampleSpec extends AnyFunSuite {
     assert(ChParser.splitSample(
       "SELECT a FROM t SAMPLE 0.5 UNION ALL SELECT a FROM u").isEmpty)
   }
+
+  test("SAMPLE f OFFSET o windows PARTITION the table: 0.5 / 0.5 OFFSET " +
+    "0.5 are disjoint and their union is the full table") {
+    val a = g.sql("SELECT k FROM smp_tab SAMPLE 0.5")
+      .collect().map(_.getLong(0)).toSet
+    val b = g.sql("SELECT k FROM smp_tab SAMPLE 0.5 OFFSET 0.5")
+      .collect().map(_.getLong(0)).toSet
+    assert(a.nonEmpty && b.nonEmpty)
+    assert((a & b).isEmpty, s"windows must be disjoint (${(a & b).size} shared)")
+    assert(a.size + b.size === 10000,
+      s"union must be exhaustive: ${a.size} + ${b.size}")
+    // and four quarter-windows tile it too
+    val quarters = (0 until 4).map { i =>
+      g.sql(s"SELECT k FROM smp_tab SAMPLE 0.25 OFFSET 0.${25 * i}"
+        .replace("OFFSET 0.0", "OFFSET 0")).collect().map(_.getLong(0)).toSet
+    }
+    assert(quarters.map(_.size).sum === 10000)
+    assert(quarters.reduce(_ ++ _).size === 10000)
+  }
+
+  test("OFFSET preserves nesting against the unshifted window: SAMPLE " +
+    "0.25 is the prefix half of SAMPLE 0.5") {
+    val q = g.sql("SELECT k FROM smp_tab SAMPLE 0.25")
+      .collect().map(_.getLong(0)).toSet
+    val h = g.sql("SELECT k FROM smp_tab SAMPLE 0.5")
+      .collect().map(_.getLong(0)).toSet
+    val shifted = g.sql("SELECT k FROM smp_tab SAMPLE 0.25 OFFSET 0.25")
+      .collect().map(_.getLong(0)).toSet
+    assert(q.subsetOf(h) && shifted.subsetOf(h) && (q ++ shifted) === h)
+  }
+
+  test("the hash window is sign-safe: NEGATIVE sampling keys still " +
+    "partition across OFFSET windows") {
+    g.sql("DROP TABLE IF EXISTS smp_neg")
+    g.sql("CREATE TABLE smp_neg(k Int64 PRIMARY KEY)")
+    g.sql("INSERT INTO smp_neg SELECT id - 2000 AS k FROM range(4000)")
+    try {
+      val a = g.sql("SELECT k FROM smp_neg SAMPLE 0.5")
+        .collect().map(_.getLong(0)).toSet
+      val b = g.sql("SELECT k FROM smp_neg SAMPLE 0.5 OFFSET 0.5")
+        .collect().map(_.getLong(0)).toSet
+      // the r14 hash sent every negative key to window 0 and none to any
+      // OFFSET window; both windows must see a real share of them
+      assert(a.exists(_ < 0) && b.exists(_ < 0),
+        "negative keys must land in both windows")
+      assert((a & b).isEmpty && a.size + b.size === 4000)
+    } finally g.sql("DROP TABLE smp_neg")
+  }
+
+  test("an OFFSET window escaping [0, 1] falls through — loud error, " +
+    "never a silently-wrong cut") {
+    // o + f > 1
+    assertThrows[Exception] {
+      g.sql("SELECT count(*) AS n FROM smp_tab SAMPLE 0.5 OFFSET 0.8").collect()
+    }
+    // o >= 1 outright
+    assertThrows[Exception] {
+      g.sql("SELECT count(*) AS n FROM smp_tab SAMPLE 0.5 OFFSET 1.5").collect()
+    }
+    // OFFSET with no usable number is not a sample clause either
+    assertThrows[Exception] {
+      g.sql("SELECT count(*) AS n FROM smp_tab SAMPLE OFFSET 0.5").collect()
+    }
+  }
 }
