@@ -271,6 +271,24 @@ object DdlQueries {
         "FROM d16b_ev SAMPLE 0.25 OFFSET 0.5")
     },
 
+    // d16c: the sampling hash at BIG SIGNED keys (|k| up to ~7e13,
+    // well past the ~2^33 point where the r14 hash's bare Knuth
+    // multiply wrapped Int64 in Spark and errored in DuckDB). Keys are
+    // synthesized on both sides from event_id by the same affine map;
+    // a green row here is cross-engine bit-equality of the cut over
+    // the signed-key regime the 100 TB key domain actually exercises.
+    "d16c_sample_bigkeys" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("DROP TABLE IF EXISTS d16c_ev")
+      g.sql("CREATE TABLE d16c_ev(k Int64 PRIMARY KEY, value Float64)")
+      g.sql("INSERT INTO d16c_ev SELECT event_id * 4611686018 " +
+        "- 69175290000000 AS k, value FROM events")
+      g.sql("SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS s, " +
+        "CAST(round(sum(value), 2) AS DOUBLE) AS sv " +
+        "FROM d16c_ev SAMPLE 0.5 OFFSET 0.25")
+    },
+
     // ClickHouse `ORDER BY k WITH FILL FROM a TO b STEP s` (d09): the
     // value-bucket histogram has guaranteed gaps below bucket 2; the
     // rewrite left-joins the result onto the generated grid (TO is
@@ -401,6 +419,16 @@ object DdlQueries {
         |WHERE (((((event_id % 2147483648) + 2147483648) % 2147483648)
         |  * 2654435761) % 4294967296) >= 2147483648
         |  AND (((((event_id % 2147483648) + 2147483648) % 2147483648)
+        |  * 2654435761) % 4294967296) < 3221225472""".stripMargin,
+
+    "d16c_sample_bigkeys" ->
+      """SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS s,
+        |  CAST(ROUND(sum(value), 2) AS DOUBLE) AS sv
+        |FROM (SELECT event_id * 4611686018 - 69175290000000 AS k, value
+        |      FROM events) t
+        |WHERE (((((k % 2147483648) + 2147483648) % 2147483648)
+        |  * 2654435761) % 4294967296) >= 1073741824
+        |  AND (((((k % 2147483648) + 2147483648) % 2147483648)
         |  * 2654435761) % 4294967296) < 3221225472""".stripMargin,
 
     "d09_with_fill" ->
