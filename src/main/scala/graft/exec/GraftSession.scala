@@ -64,6 +64,11 @@ class GraftSession(val spark: SparkSession) {
   private val restoreErrorRows =
     scala.collection.mutable.ArrayBuffer.empty[(String, String, String, String)]
 
+  // distinguishes THIS engine session's instance-scoped temp views from
+  // a sibling GraftSession sharing the same SparkSession
+  private val instanceTag =
+    java.lang.Integer.toHexString(System.identityHashCode(this))
+
   def restoreErrors: Seq[(String, String, String, String)] = restoreErrorRows.toSeq
 
   private def recordRestoreError(db: String, table: String, kind: String,
@@ -621,13 +626,21 @@ class GraftSession(val spark: SparkSession) {
       val rows = restoreErrorRows.toSeq.map { case (db, t, kind, err) =>
         Row(db, t, kind, err)
       }
+      // restore_errors is per-GraftSession INSTANCE state (what failed at
+      // THIS session's boot), but temp views are SparkSession-scoped —
+      // an unsuffixed name would let two engine sessions sharing one
+      // SparkSession overwrite each other's boot errors. tables/columns
+      // need no suffix: they re-read the shared live catalog either way.
       spark.createDataFrame(rows.asJava, StructType(Seq(
           StructField("database", StringType), StructField("table", StringType),
           StructField("kind", StringType), StructField("error", StringType))))
-        .createOrReplaceTempView("__graft_system_restore_errors")
+        .createOrReplaceTempView(s"__graft_system_restore_errors_$instanceTag")
     }
     hits.sortBy(-_._2).foldLeft(sql) { case (acc, (which, from, to)) =>
-      acc.substring(0, from) + s"__graft_system_$which " + acc.substring(to)
+      val view = if (which == "restore_errors")
+        s"__graft_system_restore_errors_$instanceTag"
+      else s"__graft_system_$which"
+      acc.substring(0, from) + view + " " + acc.substring(to)
     }
   }
 

@@ -91,4 +91,37 @@ class MvRestoreSpec extends AnyFunSuite {
       java.nio.file.Files.deleteIfExists(meta): Unit
     }
   }
+
+  test("two engine sessions on one SparkSession keep their " +
+    "restore_errors APART — a sibling's query must not clobber a " +
+    "pending result (the temp view is instance-scoped)") {
+    val g0 = new GraftSession(spark)
+    g0.sql("DROP TABLE IF EXISTS mvr_iso")
+    val wh = java.nio.file.Paths.get(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    val meta = wh.resolve("_graft_meta").resolve("default")
+      .resolve("mvr_iso.sql")
+    java.nio.file.Files.createDirectories(meta.getParent)
+    java.nio.file.Files.writeString(meta,
+      "CREATE MATERIALIZED VIEW mvr_iso AS SELECT * FROM no_such_iso_tbl")
+    try {
+      val gErr = new GraftSession(spark) // boots WITH the poison present
+      java.nio.file.Files.delete(meta)
+      val gClean = new GraftSession(spark) // boots clean
+      // build gErr's lazy result FIRST, then let gClean run the same
+      // query — with a shared view name, gClean's empty rows would
+      // replace gErr's before the collect below reads them
+      val pending = gErr.sql(
+        "SELECT `table` FROM system.restore_errors WHERE `table` = 'mvr_iso'")
+      val cleanRows = gClean.sql(
+        "SELECT `table` FROM system.restore_errors WHERE `table` = 'mvr_iso'")
+        .collect()
+      assert(cleanRows.isEmpty,
+        s"clean session must have no mvr_iso error, got ${cleanRows.toSeq}")
+      assert(pending.collect().map(_.getString(0)).toSeq === Seq("mvr_iso"),
+        "the erroring session's pending result was clobbered by a sibling")
+    } finally {
+      java.nio.file.Files.deleteIfExists(meta): Unit
+    }
+  }
 }
