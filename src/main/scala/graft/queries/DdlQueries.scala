@@ -250,8 +250,11 @@ object DdlQueries {
       g.sql("DROP TABLE IF EXISTS d16_ev")
       g.sql("CREATE TABLE d16_ev(event_id Int64 PRIMARY KEY, value Float64)")
       g.sql("INSERT INTO d16_ev SELECT event_id, value FROM events")
+      // value sums go through DECIMAL: a double sum's float error at
+      // millions of rows (scale probes) exceeds the 2dp rounding, and
+      // decimal addition is order-independent so both engines agree
       g.sql("SELECT count(*) AS n, CAST(sum(event_id) AS BIGINT) AS s, " +
-        "CAST(round(sum(value), 2) AS DOUBLE) AS sv " +
+        "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sv " +
         "FROM d16_ev SAMPLE 0.25")
     },
 
@@ -267,14 +270,16 @@ object DdlQueries {
       g.sql("CREATE TABLE d16b_ev(event_id Int64 PRIMARY KEY, value Float64)")
       g.sql("INSERT INTO d16b_ev SELECT event_id, value FROM events")
       g.sql("SELECT count(*) AS n, CAST(sum(event_id) AS BIGINT) AS s, " +
-        "CAST(round(sum(value), 2) AS DOUBLE) AS sv " +
+        "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sv " +
         "FROM d16b_ev SAMPLE 0.25 OFFSET 0.5")
     },
 
     // d16c: the sampling hash at BIG SIGNED keys (|k| up to ~7e13,
     // well past the ~2^33 point where the r14 hash's bare Knuth
     // multiply wrapped Int64 in Spark and errored in DuckDB). Keys are
-    // synthesized on both sides from event_id by the same affine map;
+    // synthesized on both sides from event_id by the same affine map,
+    // FOLDED to a bounded domain first so the synthesis itself (and
+    // min/max, unlike a key sum) can never overflow at ANY probe scale;
     // a green row here is cross-engine bit-equality of the cut over
     // the signed-key regime the 100 TB key domain actually exercises.
     "d16c_sample_bigkeys" -> { (s, dir) =>
@@ -282,10 +287,11 @@ object DdlQueries {
       val g = new GraftSession(s)
       g.sql("DROP TABLE IF EXISTS d16c_ev")
       g.sql("CREATE TABLE d16c_ev(k Int64 PRIMARY KEY, value Float64)")
-      g.sql("INSERT INTO d16c_ev SELECT event_id * 4611686018 " +
+      g.sql("INSERT INTO d16c_ev SELECT (event_id % 30000) * 4611686018 " +
         "- 69175290000000 AS k, value FROM events")
-      g.sql("SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS s, " +
-        "CAST(round(sum(value), 2) AS DOUBLE) AS sv " +
+      g.sql("SELECT count(*) AS n, CAST(min(k) AS BIGINT) AS kmin, " +
+        "CAST(max(k) AS BIGINT) AS kmax, " +
+        "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sv " +
         "FROM d16c_ev SAMPLE 0.5 OFFSET 0.25")
     },
 
@@ -407,14 +413,14 @@ object DdlQueries {
 
     "d16_sample" ->
       """SELECT count(*) AS n, CAST(sum(event_id) AS BIGINT) AS s,
-        |  CAST(ROUND(sum(value), 2) AS DOUBLE) AS sv
+        |  CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sv
         |FROM events
         |WHERE (((((event_id % 2147483648) + 2147483648) % 2147483648)
         |  * 2654435761) % 4294967296) < 1073741824""".stripMargin,
 
     "d16b_sample_offset" ->
       """SELECT count(*) AS n, CAST(sum(event_id) AS BIGINT) AS s,
-        |  CAST(ROUND(sum(value), 2) AS DOUBLE) AS sv
+        |  CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sv
         |FROM events
         |WHERE (((((event_id % 2147483648) + 2147483648) % 2147483648)
         |  * 2654435761) % 4294967296) >= 2147483648
@@ -422,9 +428,11 @@ object DdlQueries {
         |  * 2654435761) % 4294967296) < 3221225472""".stripMargin,
 
     "d16c_sample_bigkeys" ->
-      """SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS s,
-        |  CAST(ROUND(sum(value), 2) AS DOUBLE) AS sv
-        |FROM (SELECT event_id * 4611686018 - 69175290000000 AS k, value
+      """SELECT count(*) AS n, CAST(min(k) AS BIGINT) AS kmin,
+        |  CAST(max(k) AS BIGINT) AS kmax,
+        |  CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sv
+        |FROM (SELECT (event_id % 30000) * 4611686018
+        |        - 69175290000000 AS k, value
         |      FROM events) t
         |WHERE (((((k % 2147483648) + 2147483648) % 2147483648)
         |  * 2654435761) % 4294967296) >= 1073741824
