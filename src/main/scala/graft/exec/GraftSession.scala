@@ -311,8 +311,8 @@ class GraftSession(val spark: SparkSession) {
         }
       spark.createDataFrame(rows.asJava,
         StructType(Seq(StructField("name", StringType), StructField("type", StringType))))
-    case OptimizeTable(db, name) =>
-      optimizeTable(db, name); emptyOk
+    case OptimizeTable(db, name, fin) =>
+      optimizeTable(db, name, fin); emptyOk
     case iv: InsertValues => insertValues(iv)
     case is: InsertSelect => insertSelect(is)
     case f: InsertFormat => insertFormat(f, payload)
@@ -452,7 +452,54 @@ class GraftSession(val spark: SparkSession) {
     spliceTableFns(rewriteWithFill(
       rewriteLimitTies(rewriteLimitBy(rewriteWithTotals(
         rewritePrewhere(rewriteArrayJoin(rewriteInTable(rewriteDistinctOnStep(
-          rewriteSample(spliceSystemViews(sqlIn)))))))))))
+          rewriteSample(rewriteFinal(spliceSystemViews(sqlIn))))))))))))
+
+  /** ClickHouse `FROM t FINAL` over a ReplacingMergeTree table: the
+    * merged (deduplicated) view — one row per sorting key, the MAX
+    * version winning (`ReplacingMergeTree(ver)`), ties and the no-ver
+    * form resolved by full-row max so the result is DETERMINISTIC where
+    * CH's is physical-merge-order-dependent. Faithful to CH's partition
+    * scope: rows are deduplicated only WITHIN a partition (`__ptk` joins
+    * the grouping key), because MergeTree merges never cross partitions.
+    * Non-Replacing tables fall through untouched — there `final` is a
+    * legal Spark alias. 100 TB: the rewrite is one `max_by(struct(row),
+    * struct(ver, row))` hash aggregate — map-side partial combine, ONE
+    * shuffle keyed (sorting key, partition), no window, no sort; the
+    * same plan shape CH's merge itself would produce, on demand.
+    */
+  private def rewriteFinal(sql: String): String =
+    ChParser.splitFinal(sql) match {
+      case None => sql
+      case Some(p) =>
+        val rdb = p.db.getOrElse(spark.catalog.currentDatabase)
+        val meta = scala.util.Try(
+          spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(p.table, Some(rdb))))
+          .toOption
+        val engine = meta.flatMap(_.properties.get("graft.engine"))
+        val pks = meta.flatMap(_.properties.get("graft.pks"))
+          .map(_.split("").filter(_.nonEmpty).toSeq).getOrElse(Nil)
+        if (!engine.exists(_.equalsIgnoreCase("ReplacingMergeTree")) ||
+          pks.isEmpty) sql
+        else {
+          val schema = meta.get.schema
+          val dataCols = schema.fieldNames.filterNot(_ == PtkCol).toSeq
+          val partitioned = schema.fieldNames.contains(PtkCol)
+          val ver = meta.flatMap(_.properties.get("graft.engine_args"))
+            .map(_.split(",").head.trim).filter(_.nonEmpty)
+            .filter(dataCols.contains)
+          val ordCols = ver.toSeq ++ dataCols.filterNot(c => ver.contains(c))
+          def q(c: String) = s"`$c`"
+          val grp = (pks ++ (if (partitioned) Seq(PtkCol) else Nil))
+            .map(q).mkString(", ")
+          val sub = "(SELECT __r.* FROM (SELECT " +
+            s"max_by(struct(${dataCols.map(q).mkString(", ")}), " +
+            s"struct(${ordCols.map(q).mkString(", ")})) AS __r " +
+            s"FROM ${fullName(Some(rdb), p.table)} GROUP BY $grp) " +
+            s"__graft_final) ${p.table}"
+          sql.substring(0, p.from) + sub + " " + sql.substring(p.to)
+        }
+    }
 
   /** ClickHouse `FROM t SAMPLE f [OFFSET o]` (0 < f < 1, 0 ≤ o < 1): a
     * DETERMINISTIC subset by Knuth multiplicative hash of the table's
@@ -995,7 +1042,8 @@ class GraftSession(val spark: SparkSession) {
     * Local-FS file listing here; on a real cluster the identical walk goes
     * through the Hadoop FileSystem API.
     */
-  private def optimizeTable(db: Option[String], name: String): Unit = {
+  private def optimizeTable(db: Option[String], name: String,
+      fin: Boolean = false): Unit = {
     val rdb = db.getOrElse(spark.catalog.currentDatabase)
     val full = fullName(db, name)
     val meta = spark.sessionState.catalog.getTableMetadata(
@@ -1023,6 +1071,73 @@ class GraftSession(val spark: SparkSession) {
         finally walk.close()
       def filesNeeded(fs: Seq[java.nio.file.Path]): Int = math.max(1,
         math.ceil(fs.map(java.nio.file.Files.size(_)).sum.toDouble / target).toInt)
+      // OPTIMIZE ... FINAL on a ReplacingMergeTree: the merge itself —
+      // physically rewrite the table as its deduplicated view (same
+      // per-key max-version selection as the FROM ... FINAL rewrite,
+      // partition-scoped like a real MergeTree merge). Reuses the
+      // intent/replay protocol with ONE change: the commit witness is the
+      // PLANNED deduplicated row count (computed up front), not the
+      // retired files' count — a crash mid-write counts short and rolls
+      // back to the originals; a complete write counts exactly and
+      // commits. Non-Replacing tables ignore FINAL (plain compaction).
+      if (fin && meta.properties.get("graft.engine")
+          .exists(_.equalsIgnoreCase("ReplacingMergeTree"))) {
+        val pks = meta.properties.get("graft.pks")
+          .map(_.split("").filter(_.nonEmpty).toSeq).getOrElse(Nil)
+        if (pks.isEmpty || dataFiles.isEmpty) {
+          spark.catalog.refreshTable(full); return
+        }
+        val schema = spark.table(full).schema
+        val partitioned = schema.fieldNames.contains(PtkCol)
+        val dataCols = schema.fieldNames.filterNot(_ == PtkCol).toSeq
+        val ver = meta.properties.get("graft.engine_args")
+          .map(_.split(",").head.trim).filter(_.nonEmpty)
+          .filter(dataCols.contains)
+        val ordCols = ver.toSeq ++ dataCols.filterNot(c => ver.contains(c))
+        val grpCols = pks ++ (if (partitioned) Seq(PtkCol) else Nil)
+        val src = spark.read.schema(schema)
+          .option("basePath", loc.toString).parquet(loc.toString)
+        val deduped = src
+          .groupBy(grpCols.map(c => col(s"`$c`")): _*)
+          .agg(max_by(struct(dataCols.map(c => col(s"`$c`")): _*),
+            struct(ordCols.map(c => col(s"`$c`")): _*)).as("__r"))
+          .select(dataCols.map(c => col(s"__r.`$c`")) ++
+            (if (partitioned) Seq(col(s"`$PtkCol`")) else Nil): _*)
+        val expected = deduped.count()
+        val retired = dataFiles
+        val tag = "optf-" + java.util.UUID.randomUUID.toString
+        val staging = loc.resolve(s"_graft_stage-$tag")
+        val intentTmp = loc.resolve("_graft_intent.tmp")
+        java.nio.file.Files.write(intentTmp,
+          (tag +: expected.toString +:
+            retired.map(p => loc.relativize(p).toString)).asJava)
+        java.nio.file.Files.move(intentTmp, intent,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        try {
+          failpoint("write")
+          val nf = filesNeeded(dataFiles)
+          val w = if (partitioned)
+            deduped.repartition(math.max(nf, 1), col(s"`$PtkCol`"))
+              .write.partitionBy(PtkCol)
+          else deduped.repartition(nf).write
+          w.mode("overwrite").parquet(staging.toString)
+          stagedDataFiles(staging).foreach(publishStaged(loc, staging, tag, _))
+        } catch {
+          case t: Throwable =>
+            taggedFiles(retired.map(_.getParent).distinct, tag)
+              .foreach(p => java.nio.file.Files.deleteIfExists(p))
+            deleteRecursively(staging)
+            java.nio.file.Files.deleteIfExists(intent)
+            spark.catalog.refreshTable(full)
+            throw t
+        }
+        failpoint("retire")
+        retired.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        deleteRecursively(staging)
+        java.nio.file.Files.delete(intent)
+        spark.catalog.refreshTable(full)
+        return
+      }
       val needs = dataFiles.groupBy(_.getParent)
         .filter { case (_, fs) => fs.size > filesNeeded(fs) }
       if (needs.isEmpty) { spark.catalog.refreshTable(full); return }
@@ -1232,7 +1347,8 @@ class GraftSession(val spark: SparkSession) {
         // registered in the restoring session
         val colsDdl = cols.map(c => s"`${c.name}` ${c.tpe.chName}").mkString(", ")
         val norm = s"CREATE TABLE ${ct0.name}($colsDdl)" +
-          ct0.engine.map(e => s" ENGINE=$e").getOrElse("") +
+          ct0.engine.map(e => s" ENGINE=$e" + (if (ct0.engineArgs.nonEmpty)
+            ct0.engineArgs.mkString("(", ", ", ")") else "")).getOrElse("") +
           ct0.partitionBy.map(e => s" PARTITION BY $e").getOrElse("") +
           (if (ct0.settings.isEmpty) ""
            else " SETTINGS " + ct0.settings.map { case (k, v) => s"$k=$v" }
@@ -1293,6 +1409,8 @@ class GraftSession(val spark: SparkSession) {
       "graft.create_script" -> ct.createScript,
       "graft.engine" -> ct.engine.getOrElse("BaseStorage"),
       "graft.ch.types" -> chTypesProp) ++
+      (if (ct.engineArgs.nonEmpty)
+        Seq("graft.engine_args" -> ct.engineArgs.mkString(",")) else Nil) ++
       (if (pksProp.nonEmpty) Seq("graft.pks" -> pksProp) else Nil) ++
       // catalog nullability is not round-trippable for file-source tables
       // (Spark relaxes it on read), so NOT NULL-ness rides in a prop too
@@ -1435,7 +1553,9 @@ class GraftSession(val spark: SparkSession) {
         s"${k.stripPrefix("graft.setting.")}=$v"
     }
     val script = s"CREATE TABLE $table($colsDdl)" +
-      meta.properties.get("graft.engine").map(e => s" ENGINE=$e").getOrElse("") +
+      meta.properties.get("graft.engine").map(e => s" ENGINE=$e" +
+        meta.properties.get("graft.engine_args")
+          .map(a => s"($a)").getOrElse("")).getOrElse("") +
       meta.properties.get("graft.ptk.expr").map(e => s" PARTITION BY $e").getOrElse("") +
       (if (settings.isEmpty) "" else " SETTINGS " + settings.mkString(", "))
     spark.sql(s"ALTER TABLE $full SET TBLPROPERTIES (" +

@@ -26,7 +26,8 @@ object ChStatement {
                                settings: Map[String, String],
                                ifNotExists: Boolean,
                                createScript: String,
-                               asSelect: Option[String] = None) extends ChStatement
+                               asSelect: Option[String] = None,
+                               engineArgs: Seq[String] = Nil) extends ChStatement
   final case class DropDatabase(name: String, ifExists: Boolean) extends ChStatement
   final case class DropTable(db: Option[String], name: String, ifExists: Boolean) extends ChStatement
   final case class TruncateTable(db: Option[String], name: String) extends ChStatement
@@ -35,7 +36,8 @@ object ChStatement {
   final case class ShowCreateTable(db: Option[String], name: String) extends ChStatement
   final case class DescTable(db: Option[String], name: String) extends ChStatement
   final case class UseDb(name: String) extends ChStatement
-  final case class OptimizeTable(db: Option[String], name: String) extends ChStatement
+  final case class OptimizeTable(db: Option[String], name: String,
+                                 fin: Boolean = false) extends ChStatement
   /** One VALUES literal: None = NULL, Some(text) = raw literal text. */
   final case class InsertValues(db: Option[String], name: String,
                                 cols: Option[Seq[String]],
@@ -278,10 +280,21 @@ object ChParser {
           p.expectPunct(")").map(_ => cs))
       }
       tail <- {
-        val engine = if (p.eatKw("engine")) {
+        // ENGINE = Name[(arg, ...)] — MergeTree-family parameters (e.g.
+        // ReplacingMergeTree's version column) ride as raw arg tokens
+        val (engine, engineArgs) = if (p.eatKw("engine")) {
           p.eatPunct("=")
-          p.ident().toOption
-        } else None
+          val name = p.ident().toOption
+          val args = if (p.eatPunct("(")) {
+            val buf = ArrayBuffer.empty[String]
+            while (!p.isPunct(")") && p.peek.isDefined) {
+              if (p.isPunct(",")) { p.next(): Unit } else buf += p.next().text
+            }
+            p.eatPunct(")")
+            buf.toSeq
+          } else Nil
+          (name, args)
+        } else (Option.empty[String], Seq.empty[String])
         val partBy = if (p.isKw("partition")) {
           p.next(); p.eatKw("by")
           Some(p.sliceUntil(q =>
@@ -307,7 +320,7 @@ object ChParser {
           } else Right(None)
         sampleByE.flatMap(sampleBy =>
           parseSettings(p).map(settings => (engine, partBy,
-            settings ++ sampleBy.map("sample_by" -> _))))
+            settings ++ sampleBy.map("sample_by" -> _), engineArgs)))
       }
       asSel <- if (p.eatKw("as")) {
         val rest = p.sliceUntil(_.isPunct(";")).trim
@@ -318,7 +331,7 @@ object ChParser {
         Left("CREATE TABLE: expected a column list or AS SELECT")
       else Right(())
     } yield CreateTable(dbTab._1, dbTab._2, cols, tail._1, tail._2, tail._3,
-      ine, p.sql.trim, asSel)
+      ine, p.sql.trim, asSel, tail._4)
   }
 
   /** CREATE MATERIALIZED VIEW [IF NOT EXISTS] name [ENGINE=e]
@@ -683,6 +696,77 @@ object ChParser {
       }
     }
 
+  /** A `FROM [db.]table FINAL` occurrence: the table it reads and the
+    * span [from, to) covering `<table ref> FINAL` (for splicing). Same
+    * scope rules as SAMPLE (top-level single SELECT only). `FINAL
+    * SAMPLE` combos are refused — neither splitter fires, so the raw
+    * FINAL token reaches Spark and errors loudly instead of composing
+    * two rewrites with undefined ordering semantics.
+    */
+  final case class FinalParts(db: Option[String], table: String,
+                              from: Int, to: Int)
+
+  def splitFinal(sql: String): Option[FinalParts] =
+    tokenize(sql).toOption.flatMap { toks =>
+      var d = 0
+      var unionish = false
+      val depth = toks.map {
+        case Punct("(", _) => { val r = d; d += 1; r }
+        case Punct(")", _) => { d = math.max(0, d - 1); d }
+        case Ident(w, _) if d == 0 &&
+            Seq("union", "intersect", "except").contains(w.toLowerCase) =>
+          unionish = true; d
+        case _ => d
+      }
+      val fi = toks.indices.find { i =>
+        depth(i) == 0 && (toks(i) match {
+          case Ident(t, _) => t.equalsIgnoreCase("final")
+          case _ => false
+        }) && ((toks.lift(i - 2), toks.lift(i - 1)) match {
+          // the table ref immediately precedes FINAL and itself follows
+          // FROM — `SELECT final FROM t` or a bare alias elsewhere can
+          // never match (v1 scope: the FROM table only, not JOIN sides)
+          case (Some(Ident(kw, _)), Some(Ident(t, _)))
+              if depth(i - 1) == 0 && !t.equalsIgnoreCase("from") =>
+            kw.equalsIgnoreCase("from")
+          case _ => false
+        })
+      }
+      // separately allow the qualified `FROM db.t FINAL` shape
+      val fiQ = toks.indices.find { i =>
+        depth(i) == 0 && (toks(i) match {
+          case Ident(t, _) => t.equalsIgnoreCase("final")
+          case _ => false
+        }) && ((toks.lift(i - 4), toks.lift(i - 3), toks.lift(i - 2),
+          toks.lift(i - 1)) match {
+          case (Some(Ident(kw, _)), Some(Ident(_, _)), Some(Punct(".", _)),
+              Some(Ident(_, _))) if depth(i - 1) == 0 =>
+            kw.equalsIgnoreCase("from")
+          case _ => false
+        })
+      }
+      val hit = fi.orElse(fiQ)
+      hit match {
+        case Some(i) if !unionish &&
+            // refuse FINAL SAMPLE: undefined composition, error loudly
+            !(toks.lift(i + 1) match {
+              case Some(Ident(s, _)) => s.equalsIgnoreCase("sample")
+              case _ => false
+            }) =>
+          val end = toks.lift(i + 1).map(_.pos).getOrElse(sql.length)
+          (toks.lift(i - 3), toks.lift(i - 2), toks.lift(i - 1)) match {
+            case (Some(Ident(db, p0)), Some(Punct(".", _)), Some(Ident(t, _)))
+                if depth(i - 1) == 0 && fiQ.contains(i) =>
+              Some(FinalParts(Some(db), t, p0, end))
+            case (_, _, Some(Ident(t, p0))) if depth(i - 1) == 0 &&
+                !t.equalsIgnoreCase("from") =>
+              Some(FinalParts(None, t, p0, end))
+            case _ => None
+          }
+        case _ => None
+      }
+    }
+
   /** All spans of `db.name` qualified references (for names in the given
     * set) — string/comment-aware, any nesting depth. Used to splice the
     * engine's `system.*` introspection views into SELECT text.
@@ -907,7 +991,8 @@ object ChParser {
       p.ident().map(UseDb(_))
     } else if (p.eatKw("optimize")) {
       p.eatKw("table")
-      qualifiedName(p).map { case (db, t) => OptimizeTable(db, t) }
+      qualifiedName(p).map { case (db, t) =>
+        OptimizeTable(db, t, fin = p.eatKw("final")) }
     } else if (p.eatKw("insert")) {
       parseInsert(p)
     } else Left(s"unrecognized statement at ${p.posText}")

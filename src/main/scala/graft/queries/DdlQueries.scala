@@ -295,6 +295,46 @@ object DdlQueries {
         "FROM d16c_ev SAMPLE 0.5 OFFSET 0.25")
     },
 
+    // ClickHouse ReplacingMergeTree + `FROM t FINAL` (d17): the merged
+    // view — one row per sorting key, max version winning. Keys are
+    // event_id folded to 3000 buckets (thousands of duplicates per key
+    // at any SF), versions are the unique event_id so the winner is
+    // deterministic in both engines. The rewrite is one max_by hash
+    // aggregate (map-side combine, ONE shuffle on the key — a MergeTree
+    // merge's plan shape, on demand); the oracle states the identical
+    // argmax as a rank-1 window in DuckDB.
+    "d17_replacing_final" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("DROP TABLE IF EXISTS d17_ev")
+      g.sql("CREATE TABLE d17_ev(k Int64 PRIMARY KEY, ver Int64, " +
+        "value Float64) ENGINE=ReplacingMergeTree(ver)")
+      g.sql("INSERT INTO d17_ev SELECT event_id % 3000 AS k, " +
+        "event_id AS ver, value FROM events")
+      g.sql("SELECT count(*) AS n, CAST(sum(ver) AS BIGINT) AS sver, " +
+        "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sv " +
+        "FROM d17_ev FINAL")
+    },
+
+    // `OPTIMIZE TABLE t FINAL` (o02): the merge itself — after it, the
+    // PLAIN table scan returns the deduplicated rows (same selection as
+    // d17's on-demand view, now physical). Crash-safe via the same
+    // intent/replay protocol as compaction, with the planned dedup count
+    // as the commit witness.
+    "o02_optimize_final" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("DROP TABLE IF EXISTS o02_ev")
+      g.sql("CREATE TABLE o02_ev(k Int64 PRIMARY KEY, ver Int64, " +
+        "value Float64) ENGINE=ReplacingMergeTree(ver)")
+      g.sql("INSERT INTO o02_ev SELECT event_id % 3000 AS k, " +
+        "event_id AS ver, value FROM events")
+      g.sql("OPTIMIZE TABLE o02_ev FINAL")
+      g.sql("SELECT count(*) AS n, CAST(sum(ver) AS BIGINT) AS sver, " +
+        "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sv " +
+        "FROM o02_ev")
+    },
+
     // ClickHouse `ORDER BY k WITH FILL FROM a TO b STEP s` (d09): the
     // value-bucket histogram has guaranteed gaps below bucket 2; the
     // rewrite left-joins the result onto the generated grid (TO is
@@ -438,6 +478,30 @@ object DdlQueries {
         |  * 2654435761) % 4294967296) >= 1073741824
         |  AND (((((k % 2147483648) + 2147483648) % 2147483648)
         |  * 2654435761) % 4294967296) < 3221225472""".stripMargin,
+
+    "d17_replacing_final" ->
+      """WITH src AS (
+        |  SELECT event_id % 3000 AS k, event_id AS ver, value FROM events
+        |), w AS (
+        |  SELECT k, ver, value,
+        |    row_number() OVER (PARTITION BY k ORDER BY ver DESC) AS rn
+        |  FROM src
+        |)
+        |SELECT count(*) AS n, CAST(sum(ver) AS BIGINT) AS sver,
+        |  CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sv
+        |FROM w WHERE rn = 1""".stripMargin,
+
+    "o02_optimize_final" ->
+      """WITH src AS (
+        |  SELECT event_id % 3000 AS k, event_id AS ver, value FROM events
+        |), w AS (
+        |  SELECT k, ver, value,
+        |    row_number() OVER (PARTITION BY k ORDER BY ver DESC) AS rn
+        |  FROM src
+        |)
+        |SELECT count(*) AS n, CAST(sum(ver) AS BIGINT) AS sver,
+        |  CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sv
+        |FROM w WHERE rn = 1""".stripMargin,
 
     "d09_with_fill" ->
       """WITH src AS (

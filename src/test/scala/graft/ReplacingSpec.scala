@@ -1,0 +1,129 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.exec.GraftSession
+
+/** ReplacingMergeTree + `FROM t FINAL` + `OPTIMIZE TABLE t FINAL` — the
+  * canonical ClickHouse merge-dedup family. FINAL returns the merged view
+  * (one row per sorting key, max version winning); OPTIMIZE ... FINAL is
+  * the merge itself, physically rewriting the table. Both are
+  * partition-scoped like a real MergeTree: duplicates are resolved only
+  * WITHIN a partition. Divergence pinned here: ties (and the no-version
+  * form) resolve by full-row max — deterministic where CH depends on
+  * physical merge order.
+  */
+class ReplacingSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  private lazy val g = new GraftSession(spark)
+
+  test("FROM t FINAL dedups by PK with the MAX version winning; the base " +
+    "table keeps every version") {
+    g.sql("DROP TABLE IF EXISTS rep_t")
+    g.sql("CREATE TABLE rep_t(k Int64 PRIMARY KEY, v String, ver Int64) " +
+      "ENGINE=ReplacingMergeTree(ver)")
+    g.sql("INSERT INTO rep_t VALUES (1, 'old', 1), (2, 'only', 1)")
+    g.sql("INSERT INTO rep_t VALUES (1, 'new', 2), (1, 'mid', 1)")
+    assert(g.sql("SELECT count(*) AS n FROM rep_t").collect()(0).getLong(0) === 4L)
+    val fin = g.sql("SELECT k, v, ver FROM rep_t FINAL ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(fin === Seq((1L, "new", 2L), (2L, "only", 1L)))
+  }
+
+  test("FINAL composes with WHERE and aggregates downstream of the merge") {
+    val n = g.sql(
+      "SELECT count(*) AS n FROM rep_t FINAL WHERE v <> 'only'")
+      .collect()(0).getLong(0)
+    assert(n === 1L)
+  }
+
+  test("the no-version form dedups deterministically (full-row max) — " +
+    "the documented divergence from CH's physical-order pick") {
+    g.sql("DROP TABLE IF EXISTS rep_nv")
+    g.sql("CREATE TABLE rep_nv(k Int64 PRIMARY KEY, v String) " +
+      "ENGINE=ReplacingMergeTree")
+    g.sql("INSERT INTO rep_nv VALUES (1, 'a'), (1, 'z'), (1, 'm')")
+    val v = g.sql("SELECT v FROM rep_nv FINAL").collect().map(_.getString(0))
+    assert(v.toSeq === Seq("z"))
+    g.sql("DROP TABLE rep_nv")
+  }
+
+  test("partition scope is faithful: duplicates in DIFFERENT partitions " +
+    "are NOT merged (MergeTree merges never cross partitions)") {
+    g.sql("DROP TABLE IF EXISTS rep_part")
+    g.sql("CREATE TABLE rep_part(k Int64 PRIMARY KEY, d Date, ver Int64) " +
+      "ENGINE=ReplacingMergeTree(ver) PARTITION BY toYear(d)")
+    g.sql("INSERT INTO rep_part VALUES (1, '2021-01-01', 1), " +
+      "(1, '2022-01-01', 2), (1, '2021-06-01', 3)")
+    val rows = g.sql("SELECT k, d, ver FROM rep_part FINAL ORDER BY ver")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    // 2021 partition: ver 1 and 3 merge -> 3 survives; 2022: ver 2 alone
+    assert(rows === Seq((1L, 2L), (1L, 3L)))
+    g.sql("DROP TABLE rep_part")
+  }
+
+  test("FINAL on a non-Replacing table is NOT a keyword: `final` stays a " +
+    "plain Spark alias") {
+    g.sql("DROP TABLE IF EXISTS rep_plain")
+    g.sql("CREATE TABLE rep_plain(k Int64 PRIMARY KEY)")
+    g.sql("INSERT INTO rep_plain VALUES (7), (7)")
+    val n = g.sql("SELECT count(*) AS n FROM rep_plain final")
+      .collect()(0).getLong(0)
+    assert(n === 2L, "alias `final` must not dedup a plain table")
+    g.sql("DROP TABLE rep_plain")
+  }
+
+  test("OPTIMIZE TABLE t FINAL is the physical merge: the base table " +
+    "itself shrinks to the deduplicated rows") {
+    g.sql("DROP TABLE IF EXISTS rep_opt")
+    g.sql("CREATE TABLE rep_opt(k Int64 PRIMARY KEY, v String, ver Int64) " +
+      "ENGINE=ReplacingMergeTree(ver)")
+    g.sql("INSERT INTO rep_opt VALUES (1, 'old', 1), (2, 'only', 1)")
+    g.sql("INSERT INTO rep_opt VALUES (1, 'new', 2)")
+    g.sql("OPTIMIZE TABLE rep_opt FINAL")
+    val rows = g.sql("SELECT k, v, ver FROM rep_opt ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows === Seq((1L, "new", 2L), (2L, "only", 1L)))
+    // idempotent: a second merge changes nothing
+    g.sql("OPTIMIZE TABLE rep_opt FINAL")
+    assert(g.sql("SELECT count(*) AS n FROM rep_opt").collect()(0).getLong(0) === 2L)
+    g.sql("DROP TABLE rep_opt")
+  }
+
+  test("OPTIMIZE FINAL respects partitions: cross-partition duplicates " +
+    "survive the merge") {
+    g.sql("DROP TABLE IF EXISTS rep_optp")
+    g.sql("CREATE TABLE rep_optp(k Int64 PRIMARY KEY, d Date, ver Int64) " +
+      "ENGINE=ReplacingMergeTree(ver) PARTITION BY toYear(d)")
+    g.sql("INSERT INTO rep_optp VALUES (1, '2021-01-01', 1), " +
+      "(1, '2022-01-01', 2), (1, '2021-06-01', 3)")
+    g.sql("OPTIMIZE TABLE rep_optp FINAL")
+    val vers = g.sql("SELECT ver FROM rep_optp ORDER BY ver")
+      .collect().map(_.getLong(0)).toSeq
+    assert(vers === Seq(2L, 3L))
+    g.sql("DROP TABLE rep_optp")
+  }
+
+  test("the engine declaration survives a restart: a fresh session still " +
+    "honors FINAL (engine + version args round-trip through the meta " +
+    "script)") {
+    val sc = g.sql("SHOW CREATE TABLE rep_t").collect()(0).getString(0)
+    assert(sc.contains("ReplacingMergeTree"), sc)
+    val g2 = new GraftSession(spark)
+    val fin = g2.sql("SELECT k, v FROM rep_t FINAL ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(fin === Seq((1L, "new"), (2L, "only")))
+    g2.sql("DROP TABLE rep_t")
+  }
+
+  test("FINAL SAMPLE is refused loudly, never silently composed") {
+    g.sql("DROP TABLE IF EXISTS rep_fs")
+    g.sql("CREATE TABLE rep_fs(k Int64 PRIMARY KEY, ver Int64) " +
+      "ENGINE=ReplacingMergeTree(ver)")
+    g.sql("INSERT INTO rep_fs VALUES (1, 1)")
+    try assertThrows[Exception] {
+      g.sql("SELECT count(*) AS n FROM rep_fs FINAL SAMPLE 0.5").collect()
+    } finally g.sql("DROP TABLE rep_fs")
+  }
+}
