@@ -454,18 +454,10 @@ class GraftSession(val spark: SparkSession) {
         rewritePrewhere(rewriteArrayJoin(rewriteInTable(rewriteDistinctOnStep(
           rewriteSample(rewriteFinal(spliceSystemViews(sqlIn))))))))))))
 
-  /** ClickHouse `FROM t FINAL` over a ReplacingMergeTree table: the
-    * merged (deduplicated) view — one row per sorting key, the MAX
-    * version winning (`ReplacingMergeTree(ver)`), ties and the no-ver
-    * form resolved by full-row max so the result is DETERMINISTIC where
-    * CH's is physical-merge-order-dependent. Faithful to CH's partition
-    * scope: rows are deduplicated only WITHIN a partition (`__ptk` joins
-    * the grouping key), because MergeTree merges never cross partitions.
-    * Non-Replacing tables fall through untouched — there `final` is a
-    * legal Spark alias. 100 TB: the rewrite is one `max_by(struct(row),
-    * struct(ver, row))` hash aggregate — map-side partial combine, ONE
-    * shuffle keyed (sorting key, partition), no window, no sort; the
-    * same plan shape CH's merge itself would produce, on demand.
+  /** ClickHouse `FROM t FINAL` over a merging-engine table
+    * (Replacing/SummingMergeTree): splice in the merged-state view from
+    * [[mergedViewSelect]]. Tables of other engines fall through
+    * untouched — there `final` is a legal Spark alias.
     */
   private def rewriteFinal(sql: String): String =
     ChParser.splitFinal(sql) match {
@@ -479,27 +471,129 @@ class GraftSession(val spark: SparkSession) {
         val engine = meta.flatMap(_.properties.get("graft.engine"))
         val pks = meta.flatMap(_.properties.get("graft.pks"))
           .map(_.split("").filter(_.nonEmpty).toSeq).getOrElse(Nil)
-        if (!engine.exists(_.equalsIgnoreCase("ReplacingMergeTree")) ||
-          pks.isEmpty) sql
-        else {
-          val schema = meta.get.schema
-          val dataCols = schema.fieldNames.filterNot(_ == PtkCol).toSeq
-          val partitioned = schema.fieldNames.contains(PtkCol)
-          val ver = meta.flatMap(_.properties.get("graft.engine_args"))
-            .map(_.split(",").head.trim).filter(_.nonEmpty)
-            .filter(dataCols.contains)
-          val ordCols = ver.toSeq ++ dataCols.filterNot(c => ver.contains(c))
-          def q(c: String) = s"`$c`"
-          val grp = (pks ++ (if (partitioned) Seq(PtkCol) else Nil))
-            .map(q).mkString(", ")
-          val sub = "(SELECT __r.* FROM (SELECT " +
-            s"max_by(struct(${dataCols.map(q).mkString(", ")}), " +
-            s"struct(${ordCols.map(q).mkString(", ")})) AS __r " +
-            s"FROM ${fullName(Some(rdb), p.table)} GROUP BY $grp) " +
-            s"__graft_final) ${p.table}"
-          sql.substring(0, p.from) + sub + " " + sql.substring(p.to)
-        }
+        if (!engine.exists(isMergingEngine) || pks.isEmpty) sql
+        else mergedViewSelect(meta.get, rdb, p.table, withPtk = false)
+          .map(sel => sql.substring(0, p.from) + s"($sel) ${p.table} " +
+            sql.substring(p.to))
+          .getOrElse(sql)
     }
+
+  private def isMergingEngine(e: String): Boolean =
+    e.equalsIgnoreCase("ReplacingMergeTree") ||
+      e.equalsIgnoreCase("SummingMergeTree") ||
+      e.equalsIgnoreCase("CollapsingMergeTree") ||
+      e.equalsIgnoreCase("VersionedCollapsingMergeTree")
+
+  /** The merged-state SELECT for a MergeTree-family table — what a fully
+    * merged part would contain, per engine:
+    *  - ReplacingMergeTree[(ver)]: one row per sorting key, max version
+    *    winning (full-row max as tie-break / no-ver rule).
+    *  - SummingMergeTree[(cols…)]: one row per sorting key with the
+    *    summable (numeric non-key, or the declared list) columns SUMMED
+    *    and cast back to their declared types; other columns take their
+    *    MIN (deterministic where CH keeps an arbitrary one); rows whose
+    *    every summed column totals zero are dropped (CH's documented
+    *    delete-on-all-zero rule; NULL sums count as zero).
+    *  - CollapsingMergeTree(sign): per sorting key, +1 "state" rows and
+    *    -1 "cancel" rows annihilate pairwise. One row survives iff
+    *    sum(sign) ≠ 0 — a state row when positive, a cancel row when
+    *    negative — picked by full-row max among that sign (DETERMINISTIC
+    *    where CH's "last state / first cancel" depends on physical merge
+    *    order, which parquet blocks don't define).
+    *  - VersionedCollapsingMergeTree(sign, version): pairs cancel only
+    *    within the same version, so `version` joins the grouping key
+    *    (CH appends it to the sorting key implicitly) and leftover
+    *    MULTIPLICITY is preserved: |sum(sign)| copies of the
+    *    representative row survive, exactly as an order-independent CH
+    *    merge leaves them.
+    * All are partition-scoped: `__ptk` joins the grouping key, because
+    * real MergeTree merges never cross partitions. `withPtk` keeps the
+    * partition column in the output (the physical-merge writer needs it;
+    * the FINAL view hides it). One hash aggregate either way — map-side
+    * partial combine, a single shuffle on (sorting key, partition).
+    */
+  private def mergedViewSelect(meta: org.apache.spark.sql.catalyst.catalog.CatalogTable,
+      rdb: String, table: String, withPtk: Boolean): Option[String] = {
+    val engine = meta.properties.getOrElse("graft.engine", "")
+    val pks = meta.properties.get("graft.pks")
+      .map(_.split("").filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    if (pks.isEmpty) return None
+    val schema = meta.schema
+    val dataCols = schema.fieldNames.filterNot(_ == PtkCol).toSeq
+    val partitioned = schema.fieldNames.contains(PtkCol)
+    val args = meta.properties.get("graft.engine_args")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    def q(c: String) = s"`$c`"
+    val grp = (pks ++ (if (partitioned) Seq(PtkCol) else Nil))
+      .map(q).mkString(", ")
+    val ptkOut = if (withPtk && partitioned) s", ${q(PtkCol)}" else ""
+    val from = fullName(Some(rdb), table)
+    if (engine.equalsIgnoreCase("ReplacingMergeTree")) {
+      val ver = args.headOption.filter(dataCols.contains)
+      val ordCols = ver.toSeq ++ dataCols.filterNot(c => ver.contains(c))
+      Some("SELECT __r.*" + (if (ptkOut.nonEmpty) s"$ptkOut" else "") +
+        " FROM (SELECT " +
+        (if (ptkOut.nonEmpty) s"${q(PtkCol)}, " else "") +
+        s"max_by(struct(${dataCols.map(q).mkString(", ")}), " +
+        s"struct(${ordCols.map(q).mkString(", ")})) AS __r " +
+        s"FROM $from GROUP BY $grp) __graft_final")
+    } else if (engine.equalsIgnoreCase("SummingMergeTree")) {
+      def numeric(f: org.apache.spark.sql.types.StructField) = f.dataType match {
+        case _: org.apache.spark.sql.types.NumericType => true
+        case _ => false
+      }
+      val fields = schema.fields.filter(f => dataCols.contains(f.name))
+      val summed = fields.filter(f => !pks.contains(f.name) && numeric(f) &&
+        (args.isEmpty || args.contains(f.name))).map(_.name).toSet
+      val sel = fields.map { f =>
+        if (pks.contains(f.name)) q(f.name)
+        else if (summed(f.name))
+          s"CAST(sum(${q(f.name)}) AS ${f.dataType.sql}) AS ${q(f.name)}"
+        else s"min(${q(f.name)}) AS ${q(f.name)}"
+      }.mkString(", ")
+      // CH's delete-on-all-zero rule applies only when something is
+      // summed; a no-summable-column table still merges to one row per
+      // key (min-deterministic where CH keeps an arbitrary one)
+      val having = if (summed.isEmpty) ""
+      else " HAVING " + summed.toSeq.sorted
+        .map(c => s"coalesce(sum(${q(c)}), 0) <> 0").mkString(" OR ")
+      Some(s"SELECT $sel$ptkOut FROM $from GROUP BY $grp$having")
+    } else if (engine.equalsIgnoreCase("CollapsingMergeTree") ||
+        engine.equalsIgnoreCase("VersionedCollapsingMergeTree")) {
+      val versioned = engine.equalsIgnoreCase("VersionedCollapsingMergeTree")
+      val sign = args.headOption.filter(dataCols.contains)
+      val ver = if (versioned)
+        args.drop(1).headOption.filter(dataCols.contains) else None
+      if (sign.isEmpty || (versioned && ver.isEmpty)) None
+      else {
+        val sg = q(sign.get)
+        val structAll = s"struct(${dataCols.map(q).mkString(", ")})"
+        // the surviving sign's full-row max; both aggregates are cheap
+        // (one struct comparison each) and evaluated in the same pass
+        val rep = s"CASE WHEN sum($sg) >= 1 " +
+          s"THEN max_by($structAll, $structAll) FILTER (WHERE $sg = 1) " +
+          s"ELSE max_by($structAll, $structAll) FILTER (WHERE $sg = -1) " +
+          "END AS __r"
+        val vgrp = (pks ++ ver.filterNot(pks.contains).toSeq ++
+          (if (partitioned) Seq(PtkCol) else Nil)).map(q).mkString(", ")
+        if (!versioned)
+          Some(s"SELECT __r.*$ptkOut FROM (SELECT " +
+            (if (ptkOut.nonEmpty) s"${q(PtkCol)}, " else "") +
+            s"$rep, sum($sg) AS __s FROM $from GROUP BY $vgrp) " +
+            "__graft_final WHERE __s <> 0")
+        else
+          // sequence() needs a non-empty range even on the to-be-dropped
+          // __n = 0 groups; greatest(…, 1) feeds them one phantom row
+          // that the WHERE then removes
+          Some(s"SELECT __r.*$ptkOut FROM (SELECT " +
+            (if (ptkOut.nonEmpty) s"${q(PtkCol)}, " else "") +
+            s"$rep, abs(sum($sg)) AS __n FROM $from GROUP BY $vgrp) " +
+            "__graft_final " +
+            "LATERAL VIEW explode(sequence(1, greatest(__n, 1))) " +
+            "__graft_rep AS __i WHERE __n > 0")
+      }
+    } else None
+  }
 
   /** ClickHouse `FROM t SAMPLE f [OFFSET o]` (0 < f < 1, 0 ≤ o < 1): a
     * DETERMINISTIC subset by Knuth multiplicative hash of the table's
@@ -1079,30 +1173,16 @@ class GraftSession(val spark: SparkSession) {
       // PLANNED deduplicated row count (computed up front), not the
       // retired files' count — a crash mid-write counts short and rolls
       // back to the originals; a complete write counts exactly and
-      // commits. Non-Replacing tables ignore FINAL (plain compaction).
-      if (fin && meta.properties.get("graft.engine")
-          .exists(_.equalsIgnoreCase("ReplacingMergeTree"))) {
-        val pks = meta.properties.get("graft.pks")
-          .map(_.split("").filter(_.nonEmpty).toSeq).getOrElse(Nil)
-        if (pks.isEmpty || dataFiles.isEmpty) {
-          spark.catalog.refreshTable(full); return
-        }
+      // commits. Non-merging engines ignore FINAL (plain compaction).
+      val mergedSel =
+        if (fin && meta.properties.get("graft.engine").exists(isMergingEngine))
+          mergedViewSelect(meta, rdb, name, withPtk = true)
+        else None
+      if (mergedSel.isDefined) {
+        if (dataFiles.isEmpty) { spark.catalog.refreshTable(full); return }
         val schema = spark.table(full).schema
         val partitioned = schema.fieldNames.contains(PtkCol)
-        val dataCols = schema.fieldNames.filterNot(_ == PtkCol).toSeq
-        val ver = meta.properties.get("graft.engine_args")
-          .map(_.split(",").head.trim).filter(_.nonEmpty)
-          .filter(dataCols.contains)
-        val ordCols = ver.toSeq ++ dataCols.filterNot(c => ver.contains(c))
-        val grpCols = pks ++ (if (partitioned) Seq(PtkCol) else Nil)
-        val src = spark.read.schema(schema)
-          .option("basePath", loc.toString).parquet(loc.toString)
-        val deduped = src
-          .groupBy(grpCols.map(c => col(s"`$c`")): _*)
-          .agg(max_by(struct(dataCols.map(c => col(s"`$c`")): _*),
-            struct(ordCols.map(c => col(s"`$c`")): _*)).as("__r"))
-          .select(dataCols.map(c => col(s"__r.`$c`")) ++
-            (if (partitioned) Seq(col(s"`$PtkCol`")) else Nil): _*)
+        val deduped = spark.sql(mergedSel.get)
         val expected = deduped.count()
         val retired = dataFiles
         val tag = "optf-" + java.util.UUID.randomUUID.toString
@@ -1367,6 +1447,20 @@ class GraftSession(val spark: SparkSession) {
 
   private def createTableInner(ct: CreateTable): DataFrame = {
     val full = fullName(ct.db, ct.name)
+    // Collapsing engines are unusable without a valid sign (and, for the
+    // versioned form, version) column — fail at CREATE, not at first
+    // FINAL, where a silent fall-through would read un-collapsed rows
+    ct.engine.filter(e => e.equalsIgnoreCase("CollapsingMergeTree") ||
+        e.equalsIgnoreCase("VersionedCollapsingMergeTree")).foreach { e =>
+      val need = if (e.equalsIgnoreCase("CollapsingMergeTree")) 1 else 2
+      val colNames = ct.cols.map(_.name).toSet
+      if (ct.engineArgs.take(need).size < need ||
+          !ct.engineArgs.take(need).forall(colNames.contains))
+        throw new IllegalArgumentException(
+          s"$e requires ${if (need == 1) "a (sign)" else "a (sign, version)"}" +
+            s" argument naming table columns; got ${
+              ct.engineArgs.mkString("(", ", ", ")")}")
+    }
     if (ct.ifNotExists && spark.catalog.tableExists(full.replace("`", ""))) return emptyOk
     val rdb = ct.db.getOrElse(spark.catalog.currentDatabase)
     val tid = org.apache.spark.sql.catalyst.TableIdentifier(ct.name, Some(rdb))

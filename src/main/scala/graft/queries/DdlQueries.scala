@@ -316,6 +316,65 @@ object DdlQueries {
         "FROM d17_ev FINAL")
     },
 
+    // SummingMergeTree + FINAL (d18): per-sorting-key summation of the
+    // numeric non-key columns — CH's pre-aggregating engine. Output is
+    // PER-KEY rows (3000 of them) so each double sum spans only that
+    // key's values and 2dp rounding is safe at any probe scale; the
+    // oracle is the plain GROUP BY the engine's merged view must equal.
+    "d18_summing_final" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("DROP TABLE IF EXISTS d18_ev")
+      g.sql("CREATE TABLE d18_ev(k Int64 PRIMARY KEY, n Int64, " +
+        "value Float64) ENGINE=SummingMergeTree")
+      g.sql("INSERT INTO d18_ev SELECT event_id % 3000 AS k, " +
+        "CAST(1 AS BIGINT) AS n, value FROM events")
+      g.sql("SELECT k, n, CAST(round(value, 2) AS DOUBLE) AS v " +
+        "FROM d18_ev FINAL ORDER BY k")
+    },
+
+    // CollapsingMergeTree + FINAL (d19): +1/-1 rows annihilate per key.
+    // The three inserts build all three outcomes at gate scale: keys
+    // <200 end cancel-majority (a -1 row survives), 200..499 balance to
+    // NOTHING, >=500 stay state-majority. The survivor is the full-row
+    // max among the winning sign, so the oracle's max(value) FILTER
+    // mirrors it exactly.
+    "d19_collapsing_final" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("DROP TABLE IF EXISTS d19_ev")
+      g.sql("CREATE TABLE d19_ev(k Int64 PRIMARY KEY, sign Int8, " +
+        "value Float64) ENGINE=CollapsingMergeTree(sign)")
+      g.sql("INSERT INTO d19_ev SELECT event_id % 3000 AS k, " +
+        "CAST(1 AS TINYINT) AS sign, value FROM events")
+      g.sql("INSERT INTO d19_ev SELECT event_id % 3000 AS k, " +
+        "CAST(-1 AS TINYINT) AS sign, value FROM events " +
+        "WHERE event_id % 3000 < 500")
+      g.sql("INSERT INTO d19_ev SELECT event_id % 3000 AS k, " +
+        "CAST(-1 AS TINYINT) AS sign, value FROM events " +
+        "WHERE event_id % 3000 < 200")
+      g.sql("SELECT k, CAST(sign AS INT) AS sign, " +
+        "CAST(round(value, 2) AS DOUBLE) AS v FROM d19_ev FINAL ORDER BY k")
+    },
+
+    // VersionedCollapsingMergeTree + FINAL (d20): cancellation is scoped
+    // to (key, version) and leftover MULTIPLICITY survives — |sum(sign)|
+    // copies per group, which the oracle reproduces by unnesting a range.
+    // The %7 cancel rule is coprime to the %1000/%3 keys so every group
+    // mixes signs.
+    "d20_vcollapsing_final" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("DROP TABLE IF EXISTS d20_ev")
+      g.sql("CREATE TABLE d20_ev(k Int64 PRIMARY KEY, sign Int8, " +
+        "ver Int64) ENGINE=VersionedCollapsingMergeTree(sign, ver)")
+      g.sql("INSERT INTO d20_ev SELECT event_id % 1000 AS k, " +
+        "CAST(CASE WHEN event_id % 7 = 0 THEN -1 ELSE 1 END AS TINYINT) " +
+        "AS sign, event_id % 3 AS ver FROM events")
+      g.sql("SELECT k, CAST(sign AS INT) AS sign, ver " +
+        "FROM d20_ev FINAL ORDER BY k, ver")
+    },
+
     // `OPTIMIZE TABLE t FINAL` (o02): the merge itself — after it, the
     // PLAIN table scan returns the deduplicated rows (same selection as
     // d17's on-demand view, now physical). Crash-safe via the same
@@ -490,6 +549,39 @@ object DdlQueries {
         |SELECT count(*) AS n, CAST(sum(ver) AS BIGINT) AS sver,
         |  CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sv
         |FROM w WHERE rn = 1""".stripMargin,
+
+    "d18_summing_final" ->
+      """SELECT event_id % 3000 AS k, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(ROUND(sum(value), 2) AS DOUBLE) AS v
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+
+    "d19_collapsing_final" ->
+      """WITH src AS (
+        |  SELECT event_id % 3000 AS k, 1 AS sign, value FROM events
+        |  UNION ALL SELECT event_id % 3000, -1, value FROM events
+        |    WHERE event_id % 3000 < 500
+        |  UNION ALL SELECT event_id % 3000, -1, value FROM events
+        |    WHERE event_id % 3000 < 200
+        |), agg AS (
+        |  SELECT k, CAST(sum(sign) AS BIGINT) AS s,
+        |         max(value) FILTER (WHERE sign = 1) AS vp,
+        |         max(value) FILTER (WHERE sign = -1) AS vn
+        |  FROM src GROUP BY k)
+        |SELECT k, CAST(CASE WHEN s >= 1 THEN 1 ELSE -1 END AS INT) AS sign,
+        |       CAST(ROUND(CASE WHEN s >= 1 THEN vp ELSE vn END, 2) AS DOUBLE) AS v
+        |FROM agg WHERE s <> 0 ORDER BY k""".stripMargin,
+
+    "d20_vcollapsing_final" ->
+      """WITH src AS (
+        |  SELECT event_id % 1000 AS k,
+        |         CASE WHEN event_id % 7 = 0 THEN -1 ELSE 1 END AS sign,
+        |         event_id % 3 AS ver FROM events),
+        |agg AS (SELECT k, ver, CAST(sum(sign) AS BIGINT) AS s
+        |        FROM src GROUP BY k, ver)
+        |SELECT k, CAST(CASE WHEN s >= 1 THEN 1 ELSE -1 END AS INT) AS sign, ver
+        |FROM (SELECT k, ver, s, unnest(range(1, abs(s) + 1)) AS i
+        |      FROM agg WHERE s <> 0)
+        |ORDER BY k, ver""".stripMargin,
 
     "o02_optimize_final" ->
       """WITH src AS (

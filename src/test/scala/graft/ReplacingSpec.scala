@@ -117,6 +117,104 @@ class ReplacingSpec extends AnyFunSuite {
     g2.sql("DROP TABLE rep_t")
   }
 
+  test("SummingMergeTree FINAL sums the numeric non-key columns and " +
+    "keeps declared types; non-numeric columns take their min") {
+    g.sql("DROP TABLE IF EXISTS sum_t")
+    g.sql("CREATE TABLE sum_t(k Int64 PRIMARY KEY, n Int32, amt Float64, " +
+      "tag String) ENGINE=SummingMergeTree")
+    g.sql("INSERT INTO sum_t VALUES (1, 2, 1.5, 'b'), (1, 3, 2.5, 'a'), " +
+      "(2, 7, 0.25, 'z')")
+    val rows = g.sql("SELECT k, n, amt, tag FROM sum_t FINAL ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getString(3))).toSeq
+    assert(rows === Seq((1L, 5, 4.0, "a"), (2L, 7, 0.25, "z")))
+    g.sql("DROP TABLE sum_t")
+  }
+
+  test("SummingMergeTree(cols) restricts the summed set; a key whose " +
+    "every summed column totals zero is DELETED (CH's all-zero rule)") {
+    g.sql("DROP TABLE IF EXISTS sum_r")
+    g.sql("CREATE TABLE sum_r(k Int64 PRIMARY KEY, a Int64, b Int64) " +
+      "ENGINE=SummingMergeTree(a)")
+    g.sql("INSERT INTO sum_r VALUES (1, 5, 100), (1, -5, 200), (2, 3, 300)")
+    val rows = g.sql("SELECT k, a, b FROM sum_r FINAL ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // k=1: a sums to 0 -> row deleted; k=2 survives with b untouched (min)
+    assert(rows === Seq((2L, 3L, 300L)))
+    g.sql("DROP TABLE sum_r")
+  }
+
+  test("OPTIMIZE FINAL on a SummingMergeTree physically collapses to the " +
+    "summed rows, applying the all-zero delete") {
+    g.sql("DROP TABLE IF EXISTS sum_o")
+    g.sql("CREATE TABLE sum_o(k Int64 PRIMARY KEY, a Int64) " +
+      "ENGINE=SummingMergeTree")
+    g.sql("INSERT INTO sum_o VALUES (1, 5), (1, -5), (2, 3), (2, 4)")
+    g.sql("OPTIMIZE TABLE sum_o FINAL")
+    val rows = g.sql("SELECT k, a FROM sum_o ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows === Seq((2L, 7L)))
+    g.sql("DROP TABLE sum_o")
+  }
+
+  test("CollapsingMergeTree FINAL annihilates balanced +1/-1 pairs; an " +
+    "unbalanced key keeps one row of the majority sign") {
+    g.sql("DROP TABLE IF EXISTS col_t")
+    g.sql("CREATE TABLE col_t(k Int64 PRIMARY KEY, sign Int8, views Int64) " +
+      "ENGINE=CollapsingMergeTree(sign)")
+    // k=1: state then cancel+new state (classic CH update flow) -> 1 row
+    // k=2: state+cancel balanced -> gone; k=3: cancel-majority -> -1 row
+    g.sql("INSERT INTO col_t VALUES (1, 1, 10), (1, -1, 10), (1, 1, 25), " +
+      "(2, 1, 7), (2, -1, 7), (3, -1, 99)")
+    val fin = g.sql("SELECT k, sign, views FROM col_t FINAL ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getByte(1), r.getLong(2))).toSeq
+    assert(fin === Seq((1L, 1.toByte, 25L), (3L, (-1).toByte, 99L)))
+    // the base table keeps all six physical rows
+    assert(g.sql("SELECT count(*) AS n FROM col_t").collect()(0)
+      .getLong(0) === 6L)
+    g.sql("DROP TABLE col_t")
+  }
+
+  test("VersionedCollapsingMergeTree cancels only within a version and " +
+    "preserves leftover multiplicity") {
+    g.sql("DROP TABLE IF EXISTS vcol_t")
+    g.sql("CREATE TABLE vcol_t(k Int64 PRIMARY KEY, sign Int8, " +
+      "ver Int64, amt Int64) ENGINE=VersionedCollapsingMergeTree(sign, ver)")
+    // k=1 ver=1: balanced pair -> gone; k=1 ver=2: lone state survives.
+    // k=2 ver=1: three states, one cancel -> TWO copies survive.
+    g.sql("INSERT INTO vcol_t VALUES (1, 1, 1, 5), (1, -1, 1, 5), " +
+      "(1, 1, 2, 8), (2, 1, 1, 3), (2, 1, 1, 3), (2, 1, 1, 3), (2, -1, 1, 3)")
+    val fin = g.sql("SELECT k, sign, ver, amt FROM vcol_t FINAL " +
+      "ORDER BY k, ver").collect()
+      .map(r => (r.getLong(0), r.getByte(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(fin === Seq((1L, 1.toByte, 2L, 8L), (2L, 1.toByte, 1L, 3L),
+      (2L, 1.toByte, 1L, 3L)))
+    g.sql("DROP TABLE vcol_t")
+  }
+
+  test("OPTIMIZE FINAL physically collapses a CollapsingMergeTree; a " +
+    "sign-less CREATE is rejected at DDL time") {
+    g.sql("DROP TABLE IF EXISTS col_o")
+    g.sql("CREATE TABLE col_o(k Int64 PRIMARY KEY, sign Int8, v Int64) " +
+      "ENGINE=CollapsingMergeTree(sign)")
+    g.sql("INSERT INTO col_o VALUES (1, 1, 4), (1, -1, 4), (2, 1, 6)")
+    g.sql("OPTIMIZE TABLE col_o FINAL")
+    val rows = g.sql("SELECT k, v FROM col_o ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows === Seq((2L, 6L)))
+    g.sql("DROP TABLE col_o")
+    val e = intercept[IllegalArgumentException] {
+      g.sql("CREATE TABLE col_bad(k Int64 PRIMARY KEY, v Int64) " +
+        "ENGINE=CollapsingMergeTree")
+    }
+    assert(e.getMessage.contains("sign"))
+    val e2 = intercept[IllegalArgumentException] {
+      g.sql("CREATE TABLE col_bad(k Int64 PRIMARY KEY, s Int8, v Int64) " +
+        "ENGINE=VersionedCollapsingMergeTree(s, nope)")
+    }
+    assert(e2.getMessage.contains("version"))
+  }
+
   test("FINAL SAMPLE is refused loudly, never silently composed") {
     g.sql("DROP TABLE IF EXISTS rep_fs")
     g.sql("CREATE TABLE rep_fs(k Int64 PRIMARY KEY, ver Int64) " +
