@@ -313,6 +313,8 @@ class GraftSession(val spark: SparkSession) {
         StructType(Seq(StructField("name", StringType), StructField("type", StringType))))
     case OptimizeTable(db, name, fin) =>
       optimizeTable(db, name, fin); emptyOk
+    case m: AlterMutate =>
+      mutateTable(m); emptyOk
     case iv: InsertValues => insertValues(iv)
     case is: InsertSelect => insertSelect(is)
     case f: InsertFormat => insertFormat(f, payload)
@@ -1180,42 +1182,10 @@ class GraftSession(val spark: SparkSession) {
         else None
       if (mergedSel.isDefined) {
         if (dataFiles.isEmpty) { spark.catalog.refreshTable(full); return }
-        val schema = spark.table(full).schema
-        val partitioned = schema.fieldNames.contains(PtkCol)
-        val deduped = spark.sql(mergedSel.get)
-        val expected = deduped.count()
-        val retired = dataFiles
-        val tag = "optf-" + java.util.UUID.randomUUID.toString
-        val staging = loc.resolve(s"_graft_stage-$tag")
-        val intentTmp = loc.resolve("_graft_intent.tmp")
-        java.nio.file.Files.write(intentTmp,
-          (tag +: expected.toString +:
-            retired.map(p => loc.relativize(p).toString)).asJava)
-        java.nio.file.Files.move(intentTmp, intent,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        try {
-          failpoint("write")
-          val nf = filesNeeded(dataFiles)
-          val w = if (partitioned)
-            deduped.repartition(math.max(nf, 1), col(s"`$PtkCol`"))
-              .write.partitionBy(PtkCol)
-          else deduped.repartition(nf).write
-          w.mode("overwrite").parquet(staging.toString)
-          stagedDataFiles(staging).foreach(publishStaged(loc, staging, tag, _))
-        } catch {
-          case t: Throwable =>
-            taggedFiles(retired.map(_.getParent).distinct, tag)
-              .foreach(p => java.nio.file.Files.deleteIfExists(p))
-            deleteRecursively(staging)
-            java.nio.file.Files.deleteIfExists(intent)
-            spark.catalog.refreshTable(full)
-            throw t
-        }
-        failpoint("retire")
-        retired.foreach(p => java.nio.file.Files.deleteIfExists(p))
-        deleteRecursively(staging)
-        java.nio.file.Files.delete(intent)
-        spark.catalog.refreshTable(full)
+        val partitioned =
+          spark.table(full).schema.fieldNames.contains(PtkCol)
+        stagedReplace(loc, full, partitioned, spark.sql(mergedSel.get),
+          dataFiles, "optf-", filesNeeded(dataFiles))
         return
       }
       val needs = dataFiles.groupBy(_.getParent)
@@ -1300,6 +1270,126 @@ class GraftSession(val spark: SparkSession) {
       deleteRecursively(staging)
       java.nio.file.Files.delete(intent)
       spark.catalog.refreshTable(full)
+    }
+  }
+
+  /** Crash-safe staged rewrite under the intent/replay protocol: replace
+    * `retired` (under `loc`) with the rows of `df`, written into a
+    * staging dir, tag-published into the table's partition layout, and
+    * only then retired. The commit witness in the intent is the PLANNED
+    * output row count (computed up front): a crash mid-write counts
+    * short on replay and rolls back to the originals; a complete write
+    * counts exactly and commits. Shared by OPTIMIZE ... FINAL (retires
+    * every file) and mutations (retires only the affected files).
+    */
+  private def stagedReplace(loc: java.nio.file.Path, full: String,
+      partitioned: Boolean, df: DataFrame,
+      retired: Seq[java.nio.file.Path], tagPrefix: String,
+      nFiles: Int): Unit = {
+    import scala.jdk.CollectionConverters._
+    val expected = df.count()
+    val intent = loc.resolve("_graft_intent")
+    val tag = tagPrefix + java.util.UUID.randomUUID.toString
+    val staging = loc.resolve(s"_graft_stage-$tag")
+    val intentTmp = loc.resolve("_graft_intent.tmp")
+    java.nio.file.Files.write(intentTmp,
+      (tag +: expected.toString +:
+        retired.map(p => loc.relativize(p).toString)).asJava)
+    java.nio.file.Files.move(intentTmp, intent,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    try {
+      failpoint("write")
+      val w = if (partitioned)
+        df.repartition(math.max(nFiles, 1), col(s"`$PtkCol`"))
+          .write.partitionBy(PtkCol)
+      else df.repartition(math.max(nFiles, 1)).write
+      w.mode("overwrite").parquet(staging.toString)
+      stagedDataFiles(staging).foreach(publishStaged(loc, staging, tag, _))
+    } catch {
+      case t: Throwable =>
+        taggedFiles(retired.map(_.getParent).distinct, tag)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        deleteRecursively(staging)
+        java.nio.file.Files.deleteIfExists(intent)
+        spark.catalog.refreshTable(full)
+        throw t
+    }
+    failpoint("retire")
+    retired.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    deleteRecursively(staging)
+    java.nio.file.Files.delete(intent)
+    spark.catalog.refreshTable(full)
+  }
+
+  /** A ClickHouse mutation — `ALTER TABLE t DELETE WHERE` / `ALTER TABLE
+    * t UPDATE … WHERE` / `DELETE FROM t WHERE`. Rewrites ONLY the files
+    * that contain a matching row (found by filtering on
+    * `_metadata.file_path` — one pushdown-pruned scan), so a selective
+    * mutation over a 100 TB table rewrites the touched fraction, not the
+    * table; everything else is untouched bytes. Assignment RHSs evaluate
+    * against the PRE-mutation row (simultaneous semantics: `UPDATE a = b,
+    * b = a` swaps), a non-TRUE (false or NULL) condition leaves the row
+    * alone, and updated values cast back to the column's declared type.
+    * CH's restrictions carried: sorting-key/PK columns and columns the
+    * PARTITION BY expression reads cannot be updated (a partition-key
+    * update would move rows across partition dirs). Crash-safe via the
+    * same intent/replay protocol as OPTIMIZE (planned-count witness).
+    */
+  private def mutateTable(m: AlterMutate): Unit = {
+    val rdb = m.db.getOrElse(spark.catalog.currentDatabase)
+    val full = fullName(m.db, m.name)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(m.name, Some(rdb)))
+    val schema = spark.table(full).schema
+    val partitioned = schema.fieldNames.contains(PtkCol)
+    val pks = meta.properties.get("graft.pks")
+      .map(_.split("").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    val ptkExpr = meta.properties.get("graft.ptk.expr")
+    m.sets.foreach { case (c, _) =>
+      require(schema.fieldNames.contains(c) && c != PtkCol,
+        s"UPDATE: unknown column $c in ${m.name}")
+      require(!pks.contains(c),
+        s"UPDATE: cannot update sorting-key column $c (ClickHouse forbids " +
+          "mutating the primary/sorting key)")
+      require(!ptkExpr.exists(e =>
+          s"\\b${java.util.regex.Pattern.quote(c)}\\b".r
+            .findFirstIn(e).isDefined),
+        s"UPDATE: cannot update $c — the PARTITION BY expression depends " +
+          "on it and rows cannot move between partitions")
+    }
+    val loc = tableLocation(rdb, m.name)
+    val lock = GraftSession.tableWriteLocks
+      .computeIfAbsent(s"$rdb.${m.name}", _ => new Object)
+    lock.synchronized {
+      java.nio.file.Files.deleteIfExists(loc.resolve("_graft_intent.tmp"))
+      val intent = loc.resolve("_graft_intent")
+      if (java.nio.file.Files.exists(intent)) replayIntent(loc, intent, full)
+      val cond = coalesce(expr(m.where), lit(false))
+      val affected = spark.table(full).where(cond)
+        .select(col("_metadata.file_path")).distinct()
+        .collect().map(_.getString(0)).toVector.sorted
+      if (affected.isEmpty) { spark.catalog.refreshTable(full); return }
+      val src = spark.read.schema(schema)
+        .option("basePath", loc.toString).parquet(affected: _*)
+      val rewritten =
+        if (m.sets.isEmpty) src.where(!cond)
+        else {
+          val byName = m.sets.toMap
+          src.select(schema.fields.toSeq.map { f =>
+            byName.get(f.name) match {
+              case Some(rhs) => when(cond, expr(rhs).cast(f.dataType))
+                .otherwise(col(s"`${f.name}`")).as(f.name)
+              case None => col(s"`${f.name}`")
+            }
+          }: _*)
+        }
+      val retired = affected.map(u =>
+        java.nio.file.Paths.get(new java.net.URI(u).getPath))
+      val target = spark.conf.getOption("graft.optimize.targetFileBytes")
+        .map(_.toLong).getOrElse(128L * 1024 * 1024)
+      val nf = math.max(1, math.ceil(retired
+        .map(java.nio.file.Files.size(_)).sum.toDouble / target).toInt)
+      stagedReplace(loc, full, partitioned, rewritten, retired, "mut-", nf)
     }
   }
 

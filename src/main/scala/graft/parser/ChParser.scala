@@ -75,6 +75,15 @@ object ChStatement {
   final case class AlterAddColumn(db: Option[String], name: String,
                                   col: ColDef, ifNotExists: Boolean)
       extends ChStatement
+  /** A ClickHouse mutation: `ALTER TABLE t UPDATE c = e, … WHERE cond`
+    * (sets non-empty) or `ALTER TABLE t DELETE WHERE cond` / the
+    * lightweight `DELETE FROM t WHERE cond` (sets empty). The
+    * assignment RHSs and the condition ride as raw SQL slices —
+    * evaluated by the engine against the table's pre-mutation rows.
+    */
+  final case class AlterMutate(db: Option[String], name: String,
+                               sets: Seq[(String, String)], where: String)
+      extends ChStatement
 
   /** CREATE MATERIALIZED VIEW — ClickHouse's insert-triggered
     * transformation: every block inserted into the SELECT's source table
@@ -201,6 +210,37 @@ object ChParser {
       val to = peek.map(_.pos).getOrElse(sql.length)
       sql.substring(from, to).trim
     }
+    /** Like [[sliceUntil]], but the stop only fires OUTSIDE parentheses —
+      * a comma inside `greatest(a, b)` doesn't end an UPDATE assignment.
+      */
+    def sliceBalancedUntil(stop: P => Boolean): String = {
+      val from = peek.map(_.pos).getOrElse(sql.length)
+      var depth = 0
+      var go = true
+      while (go && peek.isDefined) {
+        if (depth == 0 && stop(this)) go = false
+        else {
+          peek.get match {
+            case Punct("(", _) => depth += 1
+            case Punct(")", _) => depth -= 1
+            case _ => ()
+          }
+          i += 1
+        }
+      }
+      val to = peek.map(_.pos).getOrElse(sql.length)
+      sql.substring(from, to).trim
+    }
+  }
+
+  /** A mutation's WHERE condition: everything to the statement end
+    * (exclusive of a trailing `;`), required non-empty — a mutation
+    * without a predicate is always a mistake (CH requires one too).
+    */
+  private def mutationWhere(p: P, what: String): Either[String, String] = {
+    val w = p.sliceUntil(_.isPunct(";"))
+    if (w.nonEmpty) Right(w)
+    else Left(s"$what: expected a condition after WHERE at ${p.posText}")
   }
 
   /** IF NOT EXISTS / IF EXISTS. */
@@ -961,13 +1001,54 @@ object ChParser {
       }
     } else if (p.eatKw("alter")) {
       if (!p.eatKw("table")) Left(s"ALTER: expected TABLE at ${p.posText}")
-      else for {
+      else qualifiedName(p).flatMap { case (db, tab) =>
+        if (p.eatKw("add")) for {
+          _ <- p.expectKw("column")
+          ine <- Right(parseIfNotExists(p))
+          col <- columnDef(p)
+        } yield AlterAddColumn(db, tab, col, ine)
+        else if (p.eatKw("delete")) for {
+          _ <- p.expectKw("where")
+          w <- mutationWhere(p, "ALTER TABLE ... DELETE")
+        } yield AlterMutate(db, tab, Nil, w)
+        else if (p.eatKw("update")) {
+          val sets = Vector.newBuilder[(String, String)]
+          var err: Option[String] = None
+          var go = true
+          while (go && err.isEmpty) {
+            (for {
+              c <- p.ident()
+              _ <- p.expectPunct("=")
+              e <- Right(p.sliceBalancedUntil(q =>
+                q.isPunct(",") || q.isKw("where")))
+              _ <- if (e.nonEmpty) Right(())
+                   else Left(s"ALTER TABLE ... UPDATE: empty assignment " +
+                     s"for $c at ${p.posText}")
+            } yield (c, e)) match {
+              case Right(se) => sets += se; go = p.eatPunct(",")
+              case Left(e) => err = Some(e)
+            }
+          }
+          err match {
+            case Some(e) => Left(e)
+            case None => for {
+              _ <- p.expectKw("where")
+              w <- mutationWhere(p, "ALTER TABLE ... UPDATE")
+            } yield AlterMutate(db, tab, sets.result(), w)
+          }
+        }
+        else Left(s"ALTER TABLE: expected ADD COLUMN, DELETE WHERE or " +
+          s"UPDATE at ${p.posText}")
+      }
+    } else if (p.eatKw("delete")) {
+      // ClickHouse's lightweight delete — same engine path as the
+      // ALTER TABLE ... DELETE mutation
+      for {
+        _ <- p.expectKw("from")
         dbTab <- qualifiedName(p)
-        _ <- p.expectKw("add")
-        _ <- p.expectKw("column")
-        ine <- Right(parseIfNotExists(p))
-        col <- columnDef(p)
-      } yield AlterAddColumn(dbTab._1, dbTab._2, col, ine)
+        _ <- p.expectKw("where")
+        w <- mutationWhere(p, "DELETE FROM")
+      } yield AlterMutate(dbTab._1, dbTab._2, Nil, w)
     } else if (p.eatKw("show")) {
       if (p.eatKw("databases")) Right(ShowDatabases)
       else if (p.eatKw("tables")) {

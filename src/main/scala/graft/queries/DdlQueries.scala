@@ -394,6 +394,28 @@ object DdlQueries {
         "FROM o02_ev")
     },
 
+    // Mutations (o03): ALTER TABLE ... DELETE WHERE then UPDATE ... WHERE
+    // over an events-backed table — the DELETE removes the k%10=3 band,
+    // the UPDATE doubles and uppercases the k%10=4 band (RHS against the
+    // pre-mutation row). Only matching files are rewritten; the summary
+    // GROUP BY proves the mutated state. Sums go through DECIMAL so
+    // double-addition order can't break the 2dp rounding.
+    "o03_mutation" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("DROP TABLE IF EXISTS o03_ev")
+      g.sql("CREATE TABLE o03_ev(k Int64 PRIMARY KEY, et String, " +
+        "value Float64)")
+      g.sql("INSERT INTO o03_ev SELECT event_id AS k, event_type AS et, " +
+        "value FROM events")
+      g.sql("ALTER TABLE o03_ev DELETE WHERE k % 10 = 3")
+      g.sql("ALTER TABLE o03_ev UPDATE value = value * 2, et = upper(et) " +
+        "WHERE k % 10 = 4")
+      g.sql("SELECT et, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sv " +
+        "FROM o03_ev GROUP BY et ORDER BY et")
+    },
+
     // ClickHouse `ORDER BY k WITH FILL FROM a TO b STEP s` (d09): the
     // value-bucket histogram has guaranteed gaps below bucket 2; the
     // rewrite left-joins the result onto the generated grid (TO is
@@ -582,6 +604,17 @@ object DdlQueries {
         |FROM (SELECT k, ver, s, unnest(range(1, abs(s) + 1)) AS i
         |      FROM agg WHERE s <> 0)
         |ORDER BY k, ver""".stripMargin,
+
+    "o03_mutation" ->
+      """WITH src AS (
+        |  SELECT event_id AS k, event_type AS et, value FROM events),
+        |kept AS (
+        |  SELECT k, CASE WHEN k % 10 = 4 THEN upper(et) ELSE et END AS et,
+        |         CASE WHEN k % 10 = 4 THEN value * 2 ELSE value END AS value
+        |  FROM src WHERE NOT (k % 10 = 3))
+        |SELECT et, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sv
+        |FROM kept GROUP BY et ORDER BY et""".stripMargin,
 
     "o02_optimize_final" ->
       """WITH src AS (
