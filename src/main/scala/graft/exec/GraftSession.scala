@@ -71,6 +71,20 @@ class GraftSession(val spark: SparkSession) {
 
   def restoreErrors: Seq[(String, String, String, String)] = restoreErrorRows.toSeq
 
+  /** Plain (non-materialized) views: name → (database, stored SELECT in
+    * CH dialect, full create script). CH stores the QUERY, not data, and
+    * substitutes it on every read — here each view lives as a Spark
+    * temporary view over the rewritten SELECT, re-registered fresh by
+    * [[refreshReferencedViews]] before any query that mentions it (a
+    * captured analyzed plan would pin the source's file listing; fresh
+    * registration re-resolves the relation, so reads always see current
+    * data). v1 scope: views resolve by bare name (Spark temp views are
+    * session-scoped and unqualified); the declared database routes only
+    * the metaFile used for restart replay.
+    */
+  private val viewDefs =
+    scala.collection.mutable.LinkedHashMap.empty[String, (String, String, String)]
+
   private def recordRestoreError(db: String, table: String, kind: String,
                                  e: Throwable): Unit = {
     restoreErrorRows += ((db, table, kind,
@@ -110,6 +124,10 @@ class GraftSession(val spark: SparkSession) {
   private def restoreCatalog(): Unit = {
     val root = metaRoot.toFile
     if (!root.exists) return
+    // plain views replay LAST and across all databases at once (a view
+    // may read tables or other views; nested views converge by fixpoint)
+    val pendingViews =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String, CreateView)]
     for (dbDir <- Option(root.listFiles).getOrElse(Array.empty[java.io.File])
          if dbDir.isDirectory) {
       val db = dbDir.getName
@@ -148,8 +166,28 @@ class GraftSession(val spark: SparkSession) {
               spark.sql(s"ALTER TABLE `$db`.`$table` RECOVER PARTITIONS")
           }.failed.foreach(e =>
             recordRestoreError(db, table, "materialized view", e))
+        case (table, cv: CreateView) => pendingViews += ((db, table, cv))
         case _ => () // damaged meta entry: leave the files alone
       }
+    }
+    // nested views restore in dependency order by fixpoint: each round
+    // registers every view whose sources now resolve; a round with no
+    // progress stops, and the stragglers surface in system.restore_errors
+    var remaining = pendingViews.toList
+    var progressed = true
+    while (remaining.nonEmpty && progressed) {
+      val (ok, bad) = remaining.partition { case (db, _, cv) =>
+        scala.util.Try(
+          createView(cv.copy(db = Some(db), orReplace = true,
+            ifNotExists = false))).isSuccess
+      }
+      progressed = ok.nonEmpty
+      remaining = bad
+    }
+    remaining.foreach { case (db, table, cv) =>
+      scala.util.Try(createView(cv.copy(db = Some(db), orReplace = true,
+          ifNotExists = false)))
+        .failed.foreach(e => recordRestoreError(db, table, "view", e))
     }
   }
 
@@ -166,7 +204,16 @@ class GraftSession(val spark: SparkSession) {
     parts.map { part =>
       ChParser.parse(part) match {
         case Left(err) => throw new IllegalArgumentException(s"parse error: $err")
-        case Right(stmt) => run(stmt, payload)
+        case Right(stmt) =>
+          // CH plain-view semantics: reads substitute the stored query at
+          // query time — re-resolve any mentioned view before running
+          // (no-op when no views are defined; CreateView refreshes its own
+          // dependency closure itself)
+          stmt match {
+            case _: CreateView => ()
+            case _ => refreshReferencedViews(part)
+          }
+          run(stmt, payload)
       }
     }.last
   }
@@ -256,6 +303,12 @@ class GraftSession(val spark: SparkSession) {
         recordNormalizedScript(rdb, a.name)
         emptyOk
       }
+    case DropTable(db, name, ie) if viewDefs.contains(name) &&
+        !spark.sessionState.catalog.tableExists(
+          org.apache.spark.sql.catalyst.TableIdentifier(
+            name, Some(db.getOrElse(spark.catalog.currentDatabase)))) =>
+      // CH accepts DROP TABLE on a view (views are tables in its catalog)
+      dropView(db, name, ie)
     case DropTable(db, name, ie) =>
       val rdb = db.getOrElse(spark.catalog.currentDatabase)
       val loc =
@@ -267,6 +320,10 @@ class GraftSession(val spark: SparkSession) {
       loc.foreach(p => rmTree(p.toFile))
       java.nio.file.Files.deleteIfExists(metaFile(rdb, name))
       r
+    case TruncateTable(_, name) if viewDefs.contains(name) =>
+      throw new IllegalArgumentException(
+        s"TRUNCATE: $name is a view — views store no data (ClickHouse " +
+          "rejects TRUNCATE on plain views too)")
     case TruncateTable(db, name) =>
       // Spark disallows TRUNCATE on external-location tables; the
       // reference's semantics are "drop data, keep meta" (mgmt.rs:856-905)
@@ -285,6 +342,10 @@ class GraftSession(val spark: SparkSession) {
             mv.copy(db = Some(rdb), ifNotExists = false, populate = false))
         case _ => spark.sql(s"TRUNCATE TABLE ${fullName(db, name)}")
       }
+    case ShowCreateTable(_, name) if viewDefs.contains(name) =>
+      spark.createDataFrame(
+        Seq(Row(viewDefs(name)._3)).asJava,
+        StructType(Seq(StructField("statement", StringType))))
     case ShowCreateTable(db, name) =>
       val script = tableProp(db, name, "graft.create_script")
         .getOrElse(sys.error(s"no create script recorded for ${fullName(db, name)}"))
@@ -298,6 +359,12 @@ class GraftSession(val spark: SparkSession) {
         StructType(Seq(StructField("result", IntegerType))))
     case ShowColumns(db, name) =>
       run(DescTable(db, name), "")
+    case DescTable(_, name) if viewDefs.contains(name) =>
+      val rows = spark.table(s"`$name`").schema.fields.toSeq.map { f =>
+        Row(f.name, BqlType.fromSpark(f.dataType, f.nullable).chName)
+      }
+      spark.createDataFrame(rows.asJava,
+        StructType(Seq(StructField("name", StringType), StructField("type", StringType))))
     case DescTable(db, name) =>
       // Reference DESC wraps nullable columns in Nullable(...) and hides
       // nothing else (mgmt.rs:532-629); __ptk is internal metadata here.
@@ -315,6 +382,9 @@ class GraftSession(val spark: SparkSession) {
       optimizeTable(db, name, fin); emptyOk
     case m: AlterMutate =>
       mutateTable(m); emptyOk
+    case cv: CreateView => createView(cv)
+    case DropView(db, name, ie) => dropView(db, name, ie)
+    case ap: AlterPartition => alterPartition(ap); emptyOk
     case iv: InsertValues => insertValues(iv)
     case is: InsertSelect => insertSelect(is)
     case f: InsertFormat => insertFormat(f, payload)
@@ -723,7 +793,7 @@ class GraftSession(val spark: SparkSession) {
     */
   private def spliceSystemViews(sql: String): String = {
     val hits = ChParser.qualifiedRefs(sql, "system",
-      Set("tables", "columns", "restore_errors"))
+      Set("tables", "columns", "restore_errors", "parts", "detached_parts"))
     if (hits.isEmpty) return sql
     val cat = spark.sessionState.catalog
     def userTables: Seq[(String, org.apache.spark.sql.catalyst.TableIdentifier,
@@ -764,6 +834,70 @@ class GraftSession(val spark: SparkSession) {
           StructField("name", StringType), StructField("type", StringType),
           StructField("position", LongType))))
         .createOrReplaceTempView("__graft_system_columns")
+    }
+    if (hits.exists(h => h._1 == "parts" || h._1 == "detached_parts")) {
+      // CH's parts metadata comes from its part store; ours comes from
+      // the same source of truth the scanner uses — the table directory
+      // plus each file's parquet footer (row count read from metadata,
+      // never data pages). Partition id is the `__ptk=` value, or "all"
+      // for unpartitioned tables, matching CH's naming.
+      val hconf = spark.sessionState.newHadoopConf()
+      def footerRows(p: java.nio.file.Path): Long =
+        scala.util.Try {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(p.toUri), hconf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }.getOrElse(-1L)
+      def partsOf(db: String, table: String, root: java.nio.file.Path,
+                  detached: Boolean): Seq[Row] = {
+        if (!java.nio.file.Files.isDirectory(root)) return Nil
+        val walk = java.nio.file.Files.walk(root)
+        try walk.iterator.asScala.filter { p =>
+          java.nio.file.Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet") &&
+            !isHiddenPath(root.relativize(p))
+        }.map { p =>
+          val rel = root.relativize(p)
+          val part = rel.iterator.asScala.map(_.toString)
+            .find(_.startsWith(s"$PtkCol="))
+            .map(s => unescapePartValue(s.stripPrefix(s"$PtkCol=")))
+            .getOrElse("all")
+          if (detached)
+            Row(db, table, part, p.getFileName.toString,
+              java.nio.file.Files.size(p))
+          else
+            Row(db, table, part, p.getFileName.toString, footerRows(p),
+              java.nio.file.Files.size(p), 1)
+        }.toVector
+        finally walk.close()
+      }
+      val located = userTables.flatMap { case (db, tid, m) =>
+        scala.util.Try(java.nio.file.Paths.get(m.location.getPath)).toOption
+          .map(loc => (db, tid.table, loc))
+      }
+      if (hits.exists(_._1 == "parts")) {
+        val rows = located.flatMap { case (db, t, loc) =>
+          // live parts only: everything under _graft_detached is hidden
+          partsOf(db, t, loc, detached = false)
+        }
+        spark.createDataFrame(rows.asJava, StructType(Seq(
+            StructField("database", StringType), StructField("table", StringType),
+            StructField("partition", StringType), StructField("name", StringType),
+            StructField("rows", LongType), StructField("bytes_on_disk", LongType),
+            StructField("active", IntegerType))))
+          .createOrReplaceTempView("__graft_system_parts")
+      }
+      if (hits.exists(_._1 == "detached_parts")) {
+        val rows = located.flatMap { case (db, t, loc) =>
+          partsOf(db, t, loc.resolve("_graft_detached"), detached = true)
+        }
+        spark.createDataFrame(rows.asJava, StructType(Seq(
+            StructField("database", StringType), StructField("table", StringType),
+            StructField("partition", StringType), StructField("name", StringType),
+            StructField("bytes_on_disk", LongType))))
+          .createOrReplaceTempView("__graft_system_detached_parts")
+      }
     }
     if (hits.exists(_._1 == "restore_errors")) {
       val rows = restoreErrorRows.toSeq.map { case (db, t, kind, err) =>
@@ -1273,6 +1407,65 @@ class GraftSession(val spark: SparkSession) {
     }
   }
 
+  /** ClickHouse partition DDL — `ALTER TABLE t DROP|DETACH|ATTACH
+    * PARTITION v`. Partitions are `__ptk=<v>` directories, so all three
+    * are METADATA-SCALE operations: a drop deletes one directory, a
+    * detach renames it under `_graft_detached/` (hidden from scans by the
+    * underscore rule, exactly CH's `detached/` contract), an attach
+    * renames it back — no data is read or rewritten regardless of table
+    * size, which is the whole point of partition-level retention at
+    * 100 TB (CH docs, sql-reference/statements/alter/partition). The
+    * directory rename is a same-filesystem atomic move; the catalog's
+    * partition entry is dropped/recovered to match.
+    */
+  private def alterPartition(a: AlterPartition): Unit = {
+    val rdb = a.db.getOrElse(spark.catalog.currentDatabase)
+    val full = fullName(a.db, a.name)
+    require(spark.table(full).schema.fieldNames.contains(PtkCol),
+      s"ALTER ... PARTITION: table ${a.name} is not partitioned")
+    val loc = tableLocation(rdb, a.name)
+    val dirName = s"$PtkCol=" + org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.escapePathName(a.value)
+    val live = loc.resolve(dirName)
+    val detachedRoot = loc.resolve("_graft_detached")
+    val detached = detachedRoot.resolve(dirName)
+    val lock = GraftSession.tableWriteLocks
+      .computeIfAbsent(s"$rdb.${a.name}", _ => new Object)
+    lock.synchronized {
+      java.nio.file.Files.deleteIfExists(loc.resolve("_graft_intent.tmp"))
+      val intent = loc.resolve("_graft_intent")
+      if (java.nio.file.Files.exists(intent)) replayIntent(loc, intent, full)
+      def dropCatalogEntry(): Unit =
+        spark.sql(s"ALTER TABLE $full DROP IF EXISTS PARTITION " +
+          s"(`$PtkCol`='${a.value.replace("'", "''")}')"): Unit
+      a.op match {
+        case "drop" =>
+          // CH drops a missing partition silently; so do we
+          if (java.nio.file.Files.exists(live)) rmTree(live.toFile)
+          dropCatalogEntry()
+        case "detach" =>
+          if (java.nio.file.Files.exists(live)) {
+            require(!java.nio.file.Files.exists(detached),
+              s"DETACH: a detached partition ${a.value} already exists " +
+                s"for ${a.name} (ATTACH or remove it first)")
+            java.nio.file.Files.createDirectories(detachedRoot)
+            java.nio.file.Files.move(live, detached)
+          }
+          dropCatalogEntry()
+        case "attach" =>
+          require(java.nio.file.Files.exists(detached),
+            s"ATTACH: no detached partition ${a.value} for ${a.name}")
+          require(!java.nio.file.Files.exists(live),
+            s"ATTACH: partition ${a.value} already present in ${a.name}")
+          java.nio.file.Files.move(detached, live)
+          spark.sql(s"ALTER TABLE $full RECOVER PARTITIONS")
+        case other => throw new IllegalArgumentException(
+          s"ALTER ... PARTITION: unknown op $other")
+      }
+      spark.catalog.refreshTable(full)
+    }
+  }
+
   /** Crash-safe staged rewrite under the intent/replay protocol: replace
     * `retired` (under `loc`) with the rows of `df`, written into a
     * staging dir, tag-published into the table's partition layout, and
@@ -1694,6 +1887,84 @@ class GraftSession(val spark: SparkSession) {
     }
     created
   }
+
+  /** ClickHouse plain VIEW: store the query, substitute on every read.
+    * Registered as a Spark temp view over the REWRITTEN SELECT (so CH
+    * dialect — FINAL, SAMPLE, PREWHERE, function packs — works inside a
+    * view body) and recorded under `_graft_meta` for restart replay,
+    * exactly like tables/MVs. The temp view registered here serves
+    * SHOW TABLES and same-moment reads; correctness across later inserts
+    * comes from [[refreshReferencedViews]], which re-registers the view
+    * (dependencies first) before any SELECT that mentions it.
+    */
+  private def createView(cv: CreateView): DataFrame = {
+    val rdb = cv.db.getOrElse(spark.catalog.currentDatabase)
+    val isOurs = viewDefs.contains(cv.name)
+    val tableExists = spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier(cv.name, Some(rdb)))
+    require(!tableExists,
+      s"CREATE VIEW: a table named $rdb.${cv.name} already exists")
+    if (isOurs && cv.ifNotExists) return emptyOk
+    require(!isOurs || cv.orReplace,
+      s"CREATE VIEW: view ${cv.name} already exists (use OR REPLACE)")
+    // validate now, like CH: a view over a missing table/column fails at
+    // CREATE, not at first read. Dependencies must resolve first.
+    refreshReferencedViews(cv.selectSql,
+      scala.collection.mutable.Set(cv.name))
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW `${cv.name}` AS " +
+      rewriteSelect(cv.selectSql))
+    viewDefs(cv.name) = (rdb, cv.selectSql, cv.createScript)
+    java.nio.file.Files.createDirectories(metaFile(rdb, cv.name).getParent)
+    java.nio.file.Files.writeString(metaFile(rdb, cv.name), cv.createScript)
+    emptyOk
+  }
+
+  /** DROP VIEW [IF EXISTS]: drop the temp view, registry entry and replay
+    * metaFile. Errors on a base table (CH's kind check).
+    */
+  private def dropView(db: Option[String], name: String,
+                       ifExists: Boolean): DataFrame = {
+    val rdb = db.getOrElse(spark.catalog.currentDatabase)
+    if (!viewDefs.contains(name)) {
+      require(!spark.sessionState.catalog.tableExists(
+          org.apache.spark.sql.catalyst.TableIdentifier(name, Some(rdb))),
+        s"DROP VIEW: $rdb.$name is a table, not a view (use DROP TABLE)")
+      // a view that failed to restore (source vanished) is not in the
+      // registry but may still hold a replay metaFile — DROP clears it so
+      // the next boot stops reporting it
+      val hadMeta = java.nio.file.Files.deleteIfExists(metaFile(rdb, name))
+      if (hadMeta) scala.util.Try(spark.catalog.dropTempView(name))
+      require(ifExists || hadMeta, s"DROP VIEW: view $name does not exist")
+      return emptyOk
+    }
+    val vdb = viewDefs(name)._1
+    spark.catalog.dropTempView(name)
+    viewDefs.remove(name)
+    java.nio.file.Files.deleteIfExists(metaFile(vdb, name))
+    emptyOk
+  }
+
+  /** Re-register (dependencies first) every stored view the given SQL
+    * mentions, so its temp view re-resolves its sources against the
+    * CURRENT catalog state — the read-time query substitution CH's plain
+    * views are defined by. Word-boundary mention detection can
+    * false-positive on a column named like a view; the only cost is a
+    * harmless re-registration (metadata-only, no data read).
+    */
+  private def refreshReferencedViews(sql: String,
+      seen: scala.collection.mutable.Set[String] =
+        scala.collection.mutable.Set.empty[String]): Unit =
+    viewDefs.foreach { case (name, (_, sel, _)) =>
+      if (!seen.contains(name) &&
+          java.util.regex.Pattern.compile(
+            "(?i)\\b" + java.util.regex.Pattern.quote(name) + "\\b")
+            .matcher(sql).find()) {
+        seen += name
+        refreshReferencedViews(sel, seen)
+        spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW `$name` AS " +
+          rewriteSelect(sel))
+      }
+    }
 
   /** Rebuild a table's replay script from its catalog state (declared CH
     * types, engine, partition expr, settings, defaults) and re-record it

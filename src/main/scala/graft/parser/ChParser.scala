@@ -84,6 +84,13 @@ object ChStatement {
   final case class AlterMutate(db: Option[String], name: String,
                                sets: Seq[(String, String)], where: String)
       extends ChStatement
+  /** Partition-level DDL: `ALTER TABLE t DROP|DETACH|ATTACH PARTITION v`.
+    * `value` is the partition-key VALUE (the partition expression's
+    * result), matching CH's partition-id addressing.
+    */
+  final case class AlterPartition(db: Option[String], name: String,
+                                  op: String, value: String)
+      extends ChStatement
 
   /** CREATE MATERIALIZED VIEW — ClickHouse's insert-triggered
     * transformation: every block inserted into the SELECT's source table
@@ -98,6 +105,24 @@ object ChStatement {
                                           selectSql: String,
                                           ifNotExists: Boolean,
                                           createScript: String) extends ChStatement
+
+  /** Plain `CREATE [OR REPLACE] VIEW v AS SELECT …` — ClickHouse's
+    * non-materialized view: the query is STORED, not its result; every
+    * read substitutes the stored SELECT as a subquery
+    * (ClickHouse docs, sql-reference/statements/create/view — "Normal
+    * views do not store any data. They just perform a read from another
+    * table on each access").
+    */
+  final case class CreateView(db: Option[String], name: String,
+                              selectSql: String, orReplace: Boolean,
+                              ifNotExists: Boolean,
+                              createScript: String) extends ChStatement
+
+  /** `DROP VIEW [IF EXISTS] v` — distinct from DropTable so the engine
+    * can enforce CH's kind check (DROP VIEW on a base table errors).
+    */
+  final case class DropView(db: Option[String], name: String,
+                            ifExists: Boolean) extends ChStatement
 }
 
 object ChParser {
@@ -237,6 +262,21 @@ object ChParser {
     * (exclusive of a trailing `;`), required non-empty — a mutation
     * without a predicate is always a mistake (CH requires one too).
     */
+  /** A partition VALUE after `DROP|DETACH|ATTACH PARTITION` — a string
+    * literal, a (possibly negative) number, or a bare word; stored as the
+    * unquoted text the partition expression evaluates to.
+    */
+  private def partitionValue(p: P): Either[String, String] = {
+    val neg = p.eatPunct("-")
+    p.peek match {
+      case Some(StrLit(s, _)) if !neg => p.next(); Right(s)
+      case Some(NumLit(s, _)) => p.next(); Right((if (neg) "-" else "") + s)
+      case Some(Ident(s, _)) if !neg => p.next(); Right(s)
+      case other => Left(
+        s"PARTITION: expected a partition value, got ${other.map(_.text)}")
+    }
+  }
+
   private def mutationWhere(p: P, what: String): Either[String, String] = {
     val w = p.sliceUntil(_.isPunct(";"))
     if (w.nonEmpty) Right(w)
@@ -399,6 +439,31 @@ object ChParser {
       }
     } yield CreateMaterializedView(dbTab._1, dbTab._2, engine, partBy,
       populate, sel, ine, p.sql.trim)
+  }
+
+  /** CREATE [OR REPLACE] VIEW [IF NOT EXISTS] [db.]name AS SELECT …
+    * (CH rejects combining OR REPLACE with IF NOT EXISTS — so do we).
+    */
+  private def parseCreateView(p: P,
+                              orReplace: Boolean): Either[String, CreateView] = {
+    val ine = parseIfNotExists(p)
+    if (orReplace && ine)
+      Left("CREATE VIEW: OR REPLACE and IF NOT EXISTS cannot be combined")
+    else for {
+      dbTab <- qualifiedName(p)
+      _ <- p.expectKw("as")
+      sel <- {
+        val rest = p.sliceUntil(_.isPunct(";")).trim
+        if (rest.isEmpty)
+          Left(s"CREATE VIEW: expected a SELECT at ${p.posText}")
+        else {
+          val head = rest.split("\\s|\\(", 2)(0).toLowerCase(java.util.Locale.ROOT)
+          if (head != "select" && head != "with")
+            Left(s"CREATE VIEW: expected SELECT or WITH after AS, got '$head'")
+          else Right(rest)
+        }
+      }
+    } yield CreateView(dbTab._1, dbTab._2, sel, orReplace, ine, p.sql.trim)
   }
 
   /** The span of the FIRST top-level `FROM <table>` reference in a SELECT
@@ -969,7 +1034,12 @@ object ChParser {
         if (!p.eatKw("view"))
           Left(s"CREATE MATERIALIZED: expected VIEW at ${p.posText}")
         else parseCreateMv(p)
-      } else Left(s"CREATE: expected DATABASE, TABLE or MATERIALIZED VIEW at ${p.posText}")
+      } else if (p.eatKw("view")) parseCreateView(p, orReplace = false)
+      else if (p.eatKw("or")) {
+        if (!p.eatKw("replace") || !p.eatKw("view"))
+          Left(s"CREATE OR: expected REPLACE VIEW at ${p.posText}")
+        else parseCreateView(p, orReplace = true)
+      } else Left(s"CREATE: expected DATABASE, TABLE or [MATERIALIZED] VIEW at ${p.posText}")
     } else if (p.eatKw("drop")) {
       if (p.eatKw("database")) {
         val ie = parseIfNotExists(p)
@@ -977,7 +1047,10 @@ object ChParser {
       } else if (p.eatKw("table")) {
         val ie = parseIfNotExists(p)
         qualifiedName(p).map { case (db, t) => DropTable(db, t, ie) }
-      } else Left(s"DROP: expected DATABASE or TABLE at ${p.posText}")
+      } else if (p.eatKw("view")) {
+        val ie = parseIfNotExists(p)
+        qualifiedName(p).map { case (db, t) => DropView(db, t, ie) }
+      } else Left(s"DROP: expected DATABASE, TABLE or VIEW at ${p.posText}")
     } else if (p.eatKw("truncate")) {
       p.eatKw("table")
       qualifiedName(p).map { case (db, t) => TruncateTable(db, t) }
@@ -1007,6 +1080,13 @@ object ChParser {
           ine <- Right(parseIfNotExists(p))
           col <- columnDef(p)
         } yield AlterAddColumn(db, tab, col, ine)
+        else if (p.isKw("drop") || p.isKw("detach") || p.isKw("attach")) {
+          val op = p.next().text.toLowerCase(java.util.Locale.ROOT)
+          for {
+            _ <- p.expectKw("partition")
+            v <- partitionValue(p)
+          } yield AlterPartition(db, tab, op, v)
+        }
         else if (p.eatKw("delete")) for {
           _ <- p.expectKw("where")
           w <- mutationWhere(p, "ALTER TABLE ... DELETE")

@@ -416,6 +416,47 @@ object DdlQueries {
         "FROM o03_ev GROUP BY et ORDER BY et")
     },
 
+    // Partition DDL (o04): DROP kills the 1996 partition (one directory
+    // delete — metadata-scale at any table size), DETACH+ATTACH
+    // round-trips 1997 through `_graft_detached/` with bit-identical
+    // data. The readback groups by year so the oracle — lineitem minus
+    // 1996 — checks both the drop took and the detach/attach lost
+    // nothing.
+    "o04_partition_ddl" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("DROP TABLE IF EXISTS o04_li")
+      g.sql("CREATE TABLE o04_li(ok Int64, qty Float64, d Date) " +
+        "ENGINE=BaseStorage PARTITION BY toYear(d)")
+      g.sql("INSERT INTO o04_li SELECT l_orderkey, l_quantity, l_shipdate " +
+        "FROM lineitem")
+      g.sql("ALTER TABLE o04_li DROP PARTITION '1996'")
+      g.sql("ALTER TABLE o04_li DETACH PARTITION '1997'")
+      g.sql("ALTER TABLE o04_li ATTACH PARTITION '1997'")
+      g.sql("SELECT CAST(toYear(d) AS INT) AS yr, count(*) AS n, " +
+        "CAST(sum(ok) AS BIGINT) AS sum_ok FROM o04_li " +
+        "GROUP BY 1 ORDER BY 1")
+    },
+
+    // Plain CREATE VIEW (d21): CH's non-materialized view — the QUERY is
+    // stored and substituted at read time, so the aggregate view over
+    // the filtering view computes against live lineitem. Nested views
+    // exercise the dependency-ordered refresh; CH-dialect toYear inside
+    // the body proves views run through the full rewrite pipeline. The
+    // oracle inlines the composed query.
+    "d21_create_view" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("CREATE OR REPLACE VIEW d21_base AS SELECT l_returnflag AS " +
+        "flag, l_quantity AS qty, l_shipdate AS d FROM lineitem " +
+        "WHERE l_orderkey % 7 = 0")
+      g.sql("CREATE OR REPLACE VIEW d21_top AS SELECT flag, " +
+        "CAST(toYear(d) AS INT) AS yr, count(*) AS n, " +
+        "CAST(sum(CAST(qty AS DECIMAL(12,2))) AS DOUBLE) AS sq " +
+        "FROM d21_base GROUP BY flag, CAST(toYear(d) AS INT)")
+      g.sql("SELECT flag, yr, n, sq FROM d21_top ORDER BY flag, yr")
+    },
+
     // ClickHouse `ORDER BY k WITH FILL FROM a TO b STEP s` (d09): the
     // value-bucket histogram has guaranteed gaps below bucket 2; the
     // rewrite left-joins the result onto the generated grid (TO is
@@ -604,6 +645,19 @@ object DdlQueries {
         |FROM (SELECT k, ver, s, unnest(range(1, abs(s) + 1)) AS i
         |      FROM agg WHERE s <> 0)
         |ORDER BY k, ver""".stripMargin,
+
+    "o04_partition_ddl" ->
+      """SELECT CAST(year(l_shipdate) AS INT) AS yr, count(*) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
+        |FROM lineitem WHERE year(l_shipdate) <> 1996
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d21_create_view" ->
+      """SELECT l_returnflag AS flag, CAST(year(l_shipdate) AS INT) AS yr,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sq
+        |FROM lineitem WHERE l_orderkey % 7 = 0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "o03_mutation" ->
       """WITH src AS (
