@@ -385,6 +385,9 @@ class GraftSession(val spark: SparkSession) {
     case cv: CreateView => createView(cv)
     case DropView(db, name, ie) => dropView(db, name, ie)
     case ap: AlterPartition => alterPartition(ap); emptyOk
+    case a: AlterDropColumn => alterDropColumn(a); emptyOk
+    case a: AlterRenameColumn => alterRenameColumn(a); emptyOk
+    case a: AlterModifyColumn => alterModifyColumn(a); emptyOk
     case iv: InsertValues => insertValues(iv)
     case is: InsertSelect => insertSelect(is)
     case f: InsertFormat => insertFormat(f, payload)
@@ -1463,6 +1466,191 @@ class GraftSession(val spark: SparkSession) {
           s"ALTER ... PARTITION: unknown op $other")
       }
       spark.catalog.refreshTable(full)
+    }
+  }
+
+  // ---- column DDL -----------------------------------------------------
+
+  private def propMap(meta: org.apache.spark.sql.catalyst.catalog.CatalogTable,
+                      prop: String): Map[String, String] =
+    meta.properties.get(prop).map {
+      _.split("").filter(_.nonEmpty).map { kv =>
+        val Array(k, v) = kv.split("", 2); k -> v
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  private def setProps(full: String, kvs: (String, String)*): Unit =
+    spark.sql(s"ALTER TABLE $full SET TBLPROPERTIES (" + kvs.map {
+      case (k, v) => s"'$k'='${v.replace("'", "''")}'"
+    }.mkString(", ") + ")"): Unit
+
+  private def encodePropMap(m: Map[String, String]): String =
+    m.map { case (k, v) => k + "" + v }.mkString("")
+
+  /** Shared preamble for column DDL: resolve (db, full, meta), and reject
+    * touching sorting-key columns or columns the PARTITION BY expression
+    * reads — CH forbids both (key layout and partition routing would
+    * silently change under existing parts).
+    */
+  private def columnDdlChecks(db: Option[String], name: String,
+      col: String, op: String): (String, String,
+      org.apache.spark.sql.catalyst.catalog.CatalogTable) = {
+    val rdb = db.getOrElse(spark.catalog.currentDatabase)
+    val full = fullName(db, name)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(name, Some(rdb)))
+    val pks = meta.properties.get("graft.pks")
+      .map(_.split("").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    require(!pks.contains(col),
+      s"$op: cannot alter sorting-key column $col (ClickHouse forbids it)")
+    require(!meta.properties.get("graft.ptk.expr").exists(e =>
+        ("\\b" + java.util.regex.Pattern.quote(col) + "\\b").r
+          .findFirstIn(e).isDefined),
+      s"$op: the PARTITION BY expression depends on $col")
+    (rdb, full, meta)
+  }
+
+  /** `ALTER TABLE t DROP COLUMN c` — metadata-NOW: the catalog schema
+    * loses the field and every subsequent scan prunes it (the bytes on
+    * disk are never read again); the next OPTIMIZE rewrites files against
+    * the current schema and drops the bytes physically. That deferred
+    * physical reclamation is exactly CH's model (column files drop at
+    * merge time). Caveat carried with it: ADD COLUMN with a previously
+    * dropped name before an OPTIMIZE re-exposes the stale bytes — run
+    * OPTIMIZE between, as CH users must wait for the merge.
+    */
+  private def alterDropColumn(a: AlterDropColumn): Unit = {
+    val rdb0 = a.db.getOrElse(spark.catalog.currentDatabase)
+    val exists = spark.table(fullName(a.db, a.name)).schema
+      .fieldNames.contains(a.col)
+    if (!exists && a.ifExists) return
+    require(exists, s"DROP COLUMN: no column ${a.col} in ${a.name}")
+    val (rdb, full, meta) = columnDdlChecks(a.db, a.name, a.col, "DROP COLUMN")
+    val dataFields = meta.schema.fields.filter(f =>
+      f.name != PtkCol && f.name != a.col)
+    require(dataFields.nonEmpty,
+      s"DROP COLUMN: cannot drop the only column of ${a.name}")
+    spark.sharedState.externalCatalog.alterTableDataSchema(
+      rdb, a.name,
+      StructType(dataFields.toIndexedSeq))
+    setProps(full,
+      "graft.ch.types" -> encodePropMap(propMap(meta, "graft.ch.types") - a.col),
+      "graft.defaults" -> encodePropMap(propMap(meta, "graft.defaults") - a.col),
+      "graft.notnull" -> meta.properties.get("graft.notnull")
+        .map(_.split("").filter(n => n.nonEmpty && n != a.col)
+          .mkString("")).getOrElse(""))
+    spark.catalog.refreshTable(full)
+    recordNormalizedScript(rdb, a.name)
+  }
+
+  /** `ALTER TABLE t RENAME COLUMN a TO b`. Parquet resolves columns by
+    * NAME, so unlike CH (whose per-column files just get renamed) this
+    * must rewrite the data — done once, distributed, through the same
+    * crash-safe staged-replace protocol as OPTIMIZE; the catalog schema
+    * and declared-type/default/notnull props follow. The honest cost is
+    * one linear pass; the alternative — a name-mapping layer consulted by
+    * every scan forever — taxes the 100 TB read path to spare a rare DDL.
+    */
+  private def alterRenameColumn(a: AlterRenameColumn): Unit = {
+    val (rdb, full, meta) = columnDdlChecks(a.db, a.name, a.from, "RENAME COLUMN")
+    val schema = spark.table(full).schema
+    require(schema.fieldNames.contains(a.from),
+      s"RENAME COLUMN: no column ${a.from} in ${a.name}")
+    require(!schema.fieldNames.contains(a.to),
+      s"RENAME COLUMN: column ${a.to} already exists in ${a.name}")
+    rewriteTableFiles(rdb, a.name, full, meta, df =>
+      df.select(schema.fields.toSeq.map { f =>
+        if (f.name == a.from) col(s"`${f.name}`").as(a.to)
+        else col(s"`${f.name}`")
+      }: _*), "ren-")
+    val dataFields = meta.schema.fields.filter(_.name != PtkCol).map { f =>
+      if (f.name == a.from) f.copy(name = a.to) else f
+    }
+    spark.sharedState.externalCatalog.alterTableDataSchema(
+      rdb, a.name,
+      StructType(dataFields.toIndexedSeq))
+    def renKey(m: Map[String, String]): Map[String, String] =
+      m.map { case (k, v) => (if (k == a.from) a.to else k) -> v }
+    setProps(full,
+      "graft.ch.types" -> encodePropMap(renKey(propMap(meta, "graft.ch.types"))),
+      "graft.defaults" -> encodePropMap(renKey(propMap(meta, "graft.defaults"))),
+      "graft.notnull" -> meta.properties.get("graft.notnull")
+        .map(_.split("").filter(_.nonEmpty)
+          .map(n => if (n == a.from) a.to else n)
+          .mkString("")).getOrElse(""))
+    spark.catalog.refreshTable(full)
+    recordNormalizedScript(rdb, a.name)
+  }
+
+  /** `ALTER TABLE t MODIFY COLUMN c Type` — a type conversion rewrites
+    * the data through the staged-replace protocol (CH's MODIFY is a
+    * mutation that rewrites parts the same way), with the value converted
+    * by CAST semantics. Nullability follows the declared type: Nullable(T)
+    * makes the column nullable, a bare T marks it required.
+    */
+  private def alterModifyColumn(a: AlterModifyColumn): Unit = {
+    val (rdb, full, meta) = columnDdlChecks(a.db, a.name, a.col, "MODIFY COLUMN")
+    val schema = spark.table(full).schema
+    require(schema.fieldNames.contains(a.col),
+      s"MODIFY COLUMN: no column ${a.col} in ${a.name}")
+    val newNullable = a.tpe.isInstanceOf[graft.types.BqlType.Nullable]
+    rewriteTableFiles(rdb, a.name, full, meta, df =>
+      df.select(schema.fields.toSeq.map { f =>
+        if (f.name == a.col) col(s"`${f.name}`").cast(a.tpe.sparkType).as(f.name)
+        else col(s"`${f.name}`")
+      }: _*), "mod-")
+    val dataFields = meta.schema.fields.filter(_.name != PtkCol).map { f =>
+      if (f.name == a.col)
+        f.copy(dataType = a.tpe.sparkType, nullable = newNullable)
+      else f
+    }
+    spark.sharedState.externalCatalog.alterTableDataSchema(
+      rdb, a.name,
+      StructType(dataFields.toIndexedSeq))
+    setProps(full, "graft.ch.types" -> encodePropMap(
+      propMap(meta, "graft.ch.types") + (a.col -> a.tpe.chName)))
+    spark.catalog.refreshTable(full)
+    recordNormalizedScript(rdb, a.name)
+  }
+
+  /** Rewrite EVERY data file of a table through `project`, under the
+    * table write lock and the intent/replay protocol. Used by the column
+    * DDL that genuinely must touch data (rename/modify).
+    */
+  private def rewriteTableFiles(rdb: String, name: String, full: String,
+      meta: org.apache.spark.sql.catalyst.catalog.CatalogTable,
+      project: DataFrame => DataFrame, tagPrefix: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val schema = spark.table(full).schema
+    val partitioned = schema.fieldNames.contains(PtkCol)
+    val loc = tableLocation(rdb, name)
+    val lock = GraftSession.tableWriteLocks
+      .computeIfAbsent(s"$rdb.$name", _ => new Object)
+    lock.synchronized {
+      java.nio.file.Files.deleteIfExists(loc.resolve("_graft_intent.tmp"))
+      val intent = loc.resolve("_graft_intent")
+      if (java.nio.file.Files.exists(intent)) replayIntent(loc, intent, full)
+      val walk = java.nio.file.Files.walk(loc)
+      val dataFiles =
+        try walk.iterator.asScala.filter(p =>
+          java.nio.file.Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet") &&
+            !isHiddenPath(loc.relativize(p))).toVector
+        finally walk.close()
+      if (dataFiles.isEmpty) { spark.catalog.refreshTable(full); return }
+      val src = spark.read.schema(schema)
+        .option("basePath", loc.toString)
+        .parquet(dataFiles.map(_.toString): _*)
+      val projected = project(src)
+      val withPtk =
+        if (partitioned && !projected.columns.contains(PtkCol))
+          projected.withColumn(PtkCol, src(s"`$PtkCol`"))
+        else projected
+      val target = spark.conf.getOption("graft.optimize.targetFileBytes")
+        .map(_.toLong).getOrElse(128L * 1024 * 1024)
+      val nf = math.max(1, math.ceil(dataFiles
+        .map(java.nio.file.Files.size(_)).sum.toDouble / target).toInt)
+      stagedReplace(loc, full, partitioned, withPtk, dataFiles, tagPrefix, nf)
     }
   }
 

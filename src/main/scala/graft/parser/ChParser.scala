@@ -84,6 +84,21 @@ object ChStatement {
   final case class AlterMutate(db: Option[String], name: String,
                                sets: Seq[(String, String)], where: String)
       extends ChStatement
+  /** `ALTER TABLE t DROP COLUMN [IF EXISTS] c` — metadata-now (catalog
+    * schema loses the field; scans never read the stale bytes), physical
+    * at the next OPTIMIZE, which is CH's merge-time drop model.
+    */
+  final case class AlterDropColumn(db: Option[String], name: String,
+                                   col: String, ifExists: Boolean)
+      extends ChStatement
+  /** `ALTER TABLE t RENAME COLUMN a TO b`. */
+  final case class AlterRenameColumn(db: Option[String], name: String,
+                                     from: String, to: String)
+      extends ChStatement
+  /** `ALTER TABLE t MODIFY COLUMN c Type`. */
+  final case class AlterModifyColumn(db: Option[String], name: String,
+                                     col: String, tpe: BqlType)
+      extends ChStatement
   /** Partition-level DDL: `ALTER TABLE t DROP|DETACH|ATTACH PARTITION v`.
     * `value` is the partition-key VALUE (the partition expression's
     * result), matching CH's partition-id addressing.
@@ -1080,13 +1095,33 @@ object ChParser {
           ine <- Right(parseIfNotExists(p))
           col <- columnDef(p)
         } yield AlterAddColumn(db, tab, col, ine)
-        else if (p.isKw("drop") || p.isKw("detach") || p.isKw("attach")) {
+        else if (p.eatKw("drop")) {
+          if (p.eatKw("column")) {
+            val ie = parseIfNotExists(p)
+            p.ident().map(c => AlterDropColumn(db, tab, c, ie))
+          } else for {
+            _ <- p.expectKw("partition")
+            v <- partitionValue(p)
+          } yield AlterPartition(db, tab, "drop", v)
+        }
+        else if (p.isKw("detach") || p.isKw("attach")) {
           val op = p.next().text.toLowerCase(java.util.Locale.ROOT)
           for {
             _ <- p.expectKw("partition")
             v <- partitionValue(p)
           } yield AlterPartition(db, tab, op, v)
         }
+        else if (p.eatKw("rename")) for {
+          _ <- p.expectKw("column")
+          from <- p.ident()
+          _ <- p.expectKw("to")
+          to <- p.ident()
+        } yield AlterRenameColumn(db, tab, from, to)
+        else if (p.eatKw("modify")) for {
+          _ <- p.expectKw("column")
+          c <- p.ident()
+          t <- typeName(p)
+        } yield AlterModifyColumn(db, tab, c, t)
         else if (p.eatKw("delete")) for {
           _ <- p.expectKw("where")
           w <- mutationWhere(p, "ALTER TABLE ... DELETE")
@@ -1117,8 +1152,8 @@ object ChParser {
             } yield AlterMutate(db, tab, sets.result(), w)
           }
         }
-        else Left(s"ALTER TABLE: expected ADD COLUMN, DELETE WHERE or " +
-          s"UPDATE at ${p.posText}")
+        else Left(s"ALTER TABLE: expected ADD/DROP/RENAME/MODIFY COLUMN, " +
+          s"DROP/DETACH/ATTACH PARTITION, DELETE WHERE or UPDATE at ${p.posText}")
       }
     } else if (p.eatKw("delete")) {
       // ClickHouse's lightweight delete — same engine path as the

@@ -438,6 +438,28 @@ object DdlQueries {
         "GROUP BY 1 ORDER BY 1")
     },
 
+    // Column DDL (o05): DROP COLUMN (metadata-now), RENAME COLUMN and
+    // MODIFY COLUMN (staged data rewrites — parquet resolves by name) in
+    // sequence over a lineitem copy; the readback aggregates through the
+    // renamed, re-typed column. l_quantity is integral so the Float64 →
+    // Int32 conversion is exact in both engines (double→int truncation
+    // vs rounding divergence cannot bite).
+    "o05_column_ddl" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("DROP TABLE IF EXISTS o05_li")
+      g.sql("CREATE TABLE o05_li(ok Int64, junk String, qty Float64, " +
+        "flag String)")
+      g.sql("INSERT INTO o05_li SELECT l_orderkey, l_linestatus, " +
+        "l_quantity, l_returnflag FROM lineitem")
+      g.sql("ALTER TABLE o05_li DROP COLUMN junk")
+      g.sql("ALTER TABLE o05_li RENAME COLUMN qty TO quantity")
+      g.sql("ALTER TABLE o05_li MODIFY COLUMN quantity Int32")
+      g.sql("SELECT flag, count(*) AS n, " +
+        "CAST(sum(quantity) AS BIGINT) AS sq FROM o05_li " +
+        "GROUP BY flag ORDER BY flag")
+    },
+
     // Plain CREATE VIEW (d21): CH's non-materialized view — the QUERY is
     // stored and substituted at read time, so the aggregate view over
     // the filtering view computes against live lineitem. Nested views
@@ -651,6 +673,11 @@ object DdlQueries {
         |  CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
         |FROM lineitem WHERE year(l_shipdate) <> 1996
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "o05_column_ddl" ->
+      """SELECT l_returnflag AS flag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS INTEGER)) AS BIGINT) AS sq
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d21_create_view" ->
       """SELECT l_returnflag AS flag, CAST(year(l_shipdate) AS INT) AS yr,
