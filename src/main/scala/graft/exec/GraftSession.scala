@@ -388,6 +388,7 @@ class GraftSession(val spark: SparkSession) {
     case a: AlterDropColumn => alterDropColumn(a); emptyOk
     case a: AlterRenameColumn => alterRenameColumn(a); emptyOk
     case a: AlterModifyColumn => alterModifyColumn(a); emptyOk
+    case a: AlterTtl => alterTtl(a); emptyOk
     case iv: InsertValues => insertValues(iv)
     case is: InsertSelect => insertSelect(is)
     case f: InsertFormat => insertFormat(f, payload)
@@ -1282,6 +1283,13 @@ class GraftSession(val spark: SparkSession) {
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(name, Some(rdb)))
     if (meta.bucketSpec.isDefined) { spark.catalog.refreshTable(full); return }
+    // TTL applies at merge time (CH's model): expire rows FIRST — as a
+    // mutation, so only files containing an expired row are rewritten —
+    // then compact the survivors. A non-TRUE (NULL) expiry check keeps
+    // the row, like CH's handling of NULL TTL values.
+    meta.properties.get("graft.setting.ttl").foreach { ttl =>
+      mutateTable(AlterMutate(db, name, Nil, s"($ttl) <= now()"))
+    }
     val loc = tableLocation(rdb, name)
     val lock = GraftSession.tableWriteLocks
       .computeIfAbsent(s"$rdb.$name", _ => new Object)
@@ -1610,6 +1618,27 @@ class GraftSession(val spark: SparkSession) {
     setProps(full, "graft.ch.types" -> encodePropMap(
       propMap(meta, "graft.ch.types") + (a.col -> a.tpe.chName)))
     spark.catalog.refreshTable(full)
+    recordNormalizedScript(rdb, a.name)
+  }
+
+  /** `ALTER TABLE t MODIFY TTL expr` / `REMOVE TTL`: record (or clear)
+    * the expiry expression; rows actually expire at the next OPTIMIZE —
+    * CH's merge-time TTL model. The expression is validated against the
+    * table NOW (CH errors at ALTER time too).
+    */
+  private def alterTtl(a: AlterTtl): Unit = {
+    val rdb = a.db.getOrElse(spark.catalog.currentDatabase)
+    val full = fullName(a.db, a.name)
+    a.ttl match {
+      case Some(e) =>
+        // must analyze as a timestamp-comparable expression over the table
+        spark.table(full).select(expr(e).cast(TimestampType))
+          .queryExecution.analyzed: Unit
+        setProps(full, "graft.setting.ttl" -> e)
+      case None =>
+        spark.sql(s"ALTER TABLE $full UNSET TBLPROPERTIES IF EXISTS " +
+          "('graft.setting.ttl')"): Unit
+    }
     recordNormalizedScript(rdb, a.name)
   }
 
@@ -2193,7 +2222,11 @@ class GraftSession(val spark: SparkSession) {
     }.mkString(", ")
     val settings = meta.properties.collect {
       case (k, v) if k.startsWith("graft.setting.") =>
-        s"${k.stripPrefix("graft.setting.")}=$v"
+        // multi-token values (a TTL expression) must re-parse: quote
+        // anything that isn't a single bare token
+        val vv = if (v.matches("[A-Za-z0-9_.+-]+")) v
+          else "'" + v.replace("'", "''") + "'"
+        s"${k.stripPrefix("graft.setting.")}=$vv"
     }
     val script = s"CREATE TABLE $table($colsDdl)" +
       meta.properties.get("graft.engine").map(e => s" ENGINE=$e" +
@@ -2394,16 +2427,45 @@ class GraftSession(val spark: SparkSession) {
   }
 
   private def insertFormat(f: InsertFormat, payload: String): DataFrame = {
-    require(f.format == "CSV" || f.format == "CSVWITHNAMES",
-      s"unsupported INSERT format: ${f.format}")
+    val fmt = f.format.toUpperCase(java.util.Locale.ROOT)
     val text = if (f.inlinePayload.trim.nonEmpty) f.inlinePayload else payload
     import spark.implicits._
     val lines = text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
     val ds = spark.createDataset(lines)
-    val src = spark.read
-      .option("header", f.format == "CSVWITHNAMES")
-      .csv(ds)
-    appendToTable(f.db, f.name, expand(f.db, f.name, f.cols, src), srcIsRaw = true)
+    val src = fmt match {
+      case "CSV" | "CSVWITHNAMES" =>
+        spark.read.option("header", fmt == "CSVWITHNAMES").csv(ds)
+      case "TSV" | "TABSEPARATED" | "TSVWITHNAMES" | "TABSEPARATEDWITHNAMES" =>
+        spark.read.option("sep", "\t")
+          .option("header", fmt.endsWith("WITHNAMES")).csv(ds)
+      case "JSONEACHROW" =>
+        // JSON keys are UNORDERED — map by NAME onto the target columns
+        // (the positional rename downstream would scramble the
+        // alphabetically-sorted json schema). Keys the table doesn't
+        // declare are ignored, CH's input_format_skip_unknown_fields
+        // behavior; absent keys land as NULL/DEFAULT via expand.
+        val parsed = spark.read.json(ds)
+        val (schema, _, _) = tableMeta(f.db, f.name)
+        val targets = f.cols.getOrElse(
+          schema.fields.filter(_.name != PtkCol).map(_.name).toSeq)
+        val present = parsed.columns.map(c =>
+          c.toLowerCase(java.util.Locale.ROOT) -> c).toMap
+        parsed.select(targets.map { t =>
+          present.get(t.toLowerCase(java.util.Locale.ROOT)) match {
+            case Some(c) => col(s"`$c`").cast(StringType).as(t)
+            case None => lit(null).cast(StringType).as(t)
+          }
+        }.toIndexedSeq: _*)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported INSERT format: $other")
+    }
+    val cols = if (fmt == "JSONEACHROW")
+      Some(f.cols.getOrElse {
+        val (schema, _, _) = tableMeta(f.db, f.name)
+        schema.fields.filter(_.name != PtkCol).map(_.name).toSeq
+      })
+    else f.cols
+    appendToTable(f.db, f.name, expand(f.db, f.name, cols, src), srcIsRaw = true)
     emptyOk
   }
 }

@@ -99,6 +99,12 @@ object ChStatement {
   final case class AlterModifyColumn(db: Option[String], name: String,
                                      col: String, tpe: BqlType)
       extends ChStatement
+  /** `ALTER TABLE t MODIFY TTL expr` / `ALTER TABLE t REMOVE TTL`
+    * (ttl = None). Row expiry applies at the next OPTIMIZE (merge time,
+    * CH's model).
+    */
+  final case class AlterTtl(db: Option[String], name: String,
+                            ttl: Option[String]) extends ChStatement
   /** Partition-level DDL: `ALTER TABLE t DROP|DETACH|ATTACH PARTITION v`.
     * `value` is the partition-key VALUE (the partition expression's
     * result), matching CH's partition-id addressing.
@@ -394,7 +400,7 @@ object ChParser {
           p.next(); p.eatKw("by")
           Some(p.sliceUntil(q =>
             q.isKw("settings") || q.isKw("as") || q.isKw("sample") ||
-              q.isPunct(";")))
+              q.isKw("ttl") || q.isPunct(";")))
         } else None
         // CH `SAMPLE BY col` (MergeTree sampling key): desugared into the
         // settings map — it rides the existing graft.setting.* prop
@@ -408,14 +414,25 @@ object ChParser {
           if (p.isKw("sample")) {
             p.next(); p.eatKw("by")
             val key = p.sliceUntil(q =>
-              q.isKw("settings") || q.isKw("as") || q.isPunct(";")).trim
+              q.isKw("settings") || q.isKw("as") || q.isKw("ttl") ||
+                q.isPunct(";")).trim
             if (key.matches("[A-Za-z_][A-Za-z0-9_]*")) Right(Some(key))
             else Left("SAMPLE BY: only a bare column name is supported " +
               s"as the sampling key, got `$key`")
           } else Right(None)
+        // CH `TTL expr` (row expiry, applied at merge time): desugared
+        // into the settings map like SAMPLE BY — SHOW CREATE renders the
+        // normalized `SETTINGS ttl='expr'` form, which replays.
+        val ttl = if (p.isKw("ttl")) {
+          p.next()
+          Some(p.sliceUntil(q =>
+            q.isKw("settings") || q.isKw("as") || q.isPunct(";")).trim)
+            .filter(_.nonEmpty)
+        } else None
         sampleByE.flatMap(sampleBy =>
           parseSettings(p).map(settings => (engine, partBy,
-            settings ++ sampleBy.map("sample_by" -> _), engineArgs)))
+            settings ++ sampleBy.map("sample_by" -> _) ++
+              ttl.map("ttl" -> _), engineArgs)))
       }
       asSel <- if (p.eatKw("as")) {
         val rest = p.sliceUntil(_.isPunct(";")).trim
@@ -1117,11 +1134,21 @@ object ChParser {
           _ <- p.expectKw("to")
           to <- p.ident()
         } yield AlterRenameColumn(db, tab, from, to)
-        else if (p.eatKw("modify")) for {
-          _ <- p.expectKw("column")
-          c <- p.ident()
-          t <- typeName(p)
-        } yield AlterModifyColumn(db, tab, c, t)
+        else if (p.eatKw("modify")) {
+          if (p.eatKw("ttl")) {
+            val e = p.sliceUntil(_.isPunct(";")).trim
+            if (e.isEmpty)
+              Left(s"MODIFY TTL: expected an expression at ${p.posText}")
+            else Right(AlterTtl(db, tab, Some(e)))
+          } else for {
+            _ <- p.expectKw("column")
+            c <- p.ident()
+            t <- typeName(p)
+          } yield AlterModifyColumn(db, tab, c, t)
+        }
+        else if (p.eatKw("remove")) for {
+          _ <- p.expectKw("ttl")
+        } yield AlterTtl(db, tab, None)
         else if (p.eatKw("delete")) for {
           _ <- p.expectKw("where")
           w <- mutationWhere(p, "ALTER TABLE ... DELETE")

@@ -460,6 +460,26 @@ object DdlQueries {
         "GROUP BY flag ORDER BY flag")
     },
 
+    // Table TTL (o06): merge-time row expiry. The per-row deadline is a
+    // CASE over the sampling band — the k%10<3 band's deadline is its
+    // (past) event date, everyone else's is a century out — so OPTIMIZE
+    // must expire exactly that band and keep the rest. Expiry runs as a
+    // mutation: only files holding an expired row are rewritten.
+    "o06_ttl" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("DROP TABLE IF EXISTS o06_ev")
+      g.sql("CREATE TABLE o06_ev(k Int64, et String, d Date, " +
+        "value Float64) TTL CASE WHEN k % 10 < 3 THEN d " +
+        "ELSE d + INTERVAL 100 YEAR END")
+      g.sql("INSERT INTO o06_ev SELECT event_id, event_type, " +
+        "CAST(ts AS DATE), value FROM events")
+      g.sql("OPTIMIZE TABLE o06_ev")
+      g.sql("SELECT et, count(*) AS n, " +
+        "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sv " +
+        "FROM o06_ev GROUP BY et ORDER BY et")
+    },
+
     // Plain CREATE VIEW (d21): CH's non-materialized view — the QUERY is
     // stored and substituted at read time, so the aggregate view over
     // the filtering view computes against live lineitem. Nested views
@@ -678,6 +698,12 @@ object DdlQueries {
       """SELECT l_returnflag AS flag, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS INTEGER)) AS BIGINT) AS sq
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "o06_ttl" ->
+      """SELECT event_type AS et, count(*) AS n,
+        |  CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sv
+        |FROM events WHERE event_id % 10 >= 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d21_create_view" ->
       """SELECT l_returnflag AS flag, CAST(year(l_shipdate) AS INT) AS yr,

@@ -144,6 +144,26 @@ class GraftSessionSpec extends AnyFunSuite {
       Seq((1, "x"), (2, "y"), (3, "z")))
   }
 
+  test("INSERT INTO ... FORMAT TSV and JSONEachRow: tab-separated rows " +
+    "land positionally; json keys map BY NAME in any order, unknown keys " +
+    "are skipped, absent keys become NULL (CH input formats)") {
+    g.sql("DROP TABLE IF EXISTS fmt_tab")
+    g.sql("CREATE TABLE fmt_tab(a Int32, b String, c Nullable(Int64))")
+    g.sql("INSERT INTO fmt_tab FORMAT TSV\n1\tx\t100")
+    g.sql("INSERT INTO fmt_tab FORMAT TabSeparated", "2\ty\t200")
+    g.sql("INSERT INTO fmt_tab FORMAT JSONEachRow\n" +
+      """{"c": 300, "a": 3, "b": "z", "ignored": true}""" + "\n" +
+      """{"b": "w", "a": 4}""")
+    val rows = g.sql("SELECT a, b, c FROM fmt_tab ORDER BY a").collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq ===
+      Seq((1, "x", 100L), (2, "y", 200L), (3, "z", 300L), (4, "w", -1L)))
+    intercept[Exception] {
+      g.sql("INSERT INTO fmt_tab FORMAT Parquet", "xx")
+    }
+    g.sql("DROP TABLE fmt_tab")
+  }
+
   test("PARTITION BY expr writes partitioned layout and queries correctly " +
     "(write.rs:26-67, sanity_checks.rs:1294-1343)") {
     g.sql("DROP TABLE IF EXISTS part_tab")
