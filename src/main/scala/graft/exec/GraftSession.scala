@@ -201,21 +201,52 @@ class GraftSession(val spark: SparkSession) {
   def sql(statement: String, payload: String): DataFrame = {
     val parts = ChParser.splitStatements(statement).getOrElse(Seq(statement))
     require(parts.nonEmpty, "empty statement")
-    parts.map { part =>
-      ChParser.parse(part) match {
-        case Left(err) => throw new IllegalArgumentException(s"parse error: $err")
-        case Right(stmt) =>
-          // CH plain-view semantics: reads substitute the stored query at
-          // query time — re-resolve any mentioned view before running
-          // (no-op when no views are defined; CreateView refreshes its own
-          // dependency closure itself)
-          stmt match {
-            case _: CreateView => ()
-            case _ => refreshReferencedViews(part)
-          }
-          run(stmt, payload)
-      }
-    }.last
+    // processlist registration: the statement runs (and, for a SELECT,
+    // later streams) under a job group named by its query id, so
+    // KILL QUERY can cancel it from another thread
+    finishQuery()
+    val tid = Thread.currentThread().getId
+    val qid = java.util.UUID.randomUUID.toString.substring(0, 8)
+    spark.sparkContext.setJobGroup(qid, statement.take(256),
+      interruptOnCancel = true)
+    GraftSession.processes.put(qid,
+      GraftSession.ProcEntry(qid, statement, System.currentTimeMillis, tid))
+    GraftSession.currentByThread.put(tid, qid)
+    var anySelect = false
+    try {
+      val res = parts.map { part =>
+        ChParser.parse(part) match {
+          case Left(err) => throw new IllegalArgumentException(s"parse error: $err")
+          case Right(stmt) =>
+            // CH plain-view semantics: reads substitute the stored query at
+            // query time — re-resolve any mentioned view before running
+            // (no-op when no views are defined; CreateView refreshes its own
+            // dependency closure itself)
+            stmt match {
+              case _: CreateView => ()
+              case _ => refreshReferencedViews(part)
+            }
+            anySelect ||= stmt.isInstanceOf[Select]
+            run(stmt, payload)
+        }
+      }.last
+      // everything but a SELECT executed eagerly — retire it now. A
+      // SELECT's jobs run when the caller consumes the DataFrame (same
+      // thread, same job group): it stays listed until the thread's next
+      // statement or an explicit finishQuery() from a wire handler.
+      if (!anySelect) finishQuery()
+      res
+    } catch { case t: Throwable => finishQuery(); throw t }
+  }
+
+  /** Retire this thread's current processlist entry and job group (wire
+    * handlers call it once a SELECT has fully streamed).
+    */
+  def finishQuery(): Unit = {
+    val tid = Thread.currentThread().getId
+    Option(GraftSession.currentByThread.remove(tid))
+      .foreach(GraftSession.processes.remove)
+    spark.sparkContext.clearJobGroup()
   }
 
   /** Run a blank-line-separated script (sql_test_runner.rs:50-95 analog),
@@ -389,6 +420,67 @@ class GraftSession(val spark: SparkSession) {
     case a: AlterRenameColumn => alterRenameColumn(a); emptyOk
     case a: AlterModifyColumn => alterModifyColumn(a); emptyOk
     case a: AlterTtl => alterTtl(a); emptyOk
+    case ShowProcesslist => processesDf
+    case KillQuery(qid) =>
+      val e = GraftSession.processes.remove(qid)
+      if (e != null) {
+        GraftSession.currentByThread.remove(e.threadId, qid)
+        spark.sparkContext.cancelJobGroup(qid)
+      }
+      spark.createDataFrame(
+        Seq(Row(qid, if (e != null) 1 else 0)).asJava,
+        StructType(Seq(StructField("query_id", StringType),
+          StructField("killed", IntegerType))))
+    case DetachTable(db, name) =>
+      val rdb = db.getOrElse(spark.catalog.currentDatabase)
+      require(spark.sessionState.catalog.tableExists(
+          org.apache.spark.sql.catalyst.TableIdentifier(name, Some(rdb))),
+        s"DETACH TABLE: no table $rdb.$name")
+      // the catalog forgets the table; data stays (external location) and
+      // the replay script is renamed aside — boot restore must NOT
+      // resurrect a detached table (CH's detached state persists)
+      spark.sql(s"DROP TABLE ${fullName(db, name)}"): Unit
+      val mf = metaFile(rdb, name)
+      if (java.nio.file.Files.exists(mf))
+        java.nio.file.Files.move(mf,
+          mf.resolveSibling(s"$name.sql.detached"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      emptyOk
+    case AttachTable(db, name) =>
+      val rdb = db.getOrElse(spark.catalog.currentDatabase)
+      require(!spark.sessionState.catalog.tableExists(
+          org.apache.spark.sql.catalyst.TableIdentifier(name, Some(rdb))),
+        s"ATTACH TABLE: $rdb.$name already exists")
+      val mf = metaFile(rdb, name)
+      val dm = mf.resolveSibling(s"$name.sql.detached")
+      require(java.nio.file.Files.exists(dm),
+        s"ATTACH TABLE: no detached table $rdb.$name")
+      java.nio.file.Files.move(dm, mf)
+      ChParser.parse(java.nio.file.Files.readString(mf)) match {
+        case Right(ct: CreateTable) =>
+          createTable(ct.copy(db = Some(rdb), ifNotExists = false),
+            runCtasInsert = false)
+          if (ct.partitionBy.isDefined)
+            spark.sql(s"ALTER TABLE `$rdb`.`$name` RECOVER PARTITIONS"): Unit
+        case Right(mv: CreateMaterializedView) =>
+          createMaterializedView(
+            mv.copy(db = Some(rdb), ifNotExists = false, populate = false)): Unit
+        case other => throw new IllegalArgumentException(
+          s"ATTACH TABLE: unreadable replay script for $rdb.$name: $other")
+      }
+      emptyOk
+    case ExchangeTables(dbA, a, dbB, b) =>
+      val rdb = dbA.getOrElse(spark.catalog.currentDatabase)
+      require(dbB.forall(_ == rdb) && dbA.forall(_ == rdb),
+        "EXCHANGE TABLES across databases is not supported")
+      // three renames; the existing rename path moves scripts and MV
+      // subscriptions with each table, so both follow the DATA
+      val tmp = "graft_tmp_xchg_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      run(RenameTable(Seq(((Some(rdb), a), (Some(rdb), tmp)))), "")
+      run(RenameTable(Seq(((Some(rdb), b), (Some(rdb), a)))), "")
+      run(RenameTable(Seq(((Some(rdb), tmp), (Some(rdb), b)))), "")
+      emptyOk
     case iv: InsertValues => insertValues(iv)
     case is: InsertSelect => insertSelect(is)
     case f: InsertFormat => insertFormat(f, payload)
@@ -797,7 +889,8 @@ class GraftSession(val spark: SparkSession) {
     */
   private def spliceSystemViews(sql: String): String = {
     val hits = ChParser.qualifiedRefs(sql, "system",
-      Set("tables", "columns", "restore_errors", "parts", "detached_parts"))
+      Set("tables", "columns", "restore_errors", "parts", "detached_parts",
+        "databases", "processes"))
     if (hits.isEmpty) return sql
     val cat = spark.sessionState.catalog
     def userTables: Seq[(String, org.apache.spark.sql.catalyst.TableIdentifier,
@@ -902,6 +995,16 @@ class GraftSession(val spark: SparkSession) {
             StructField("bytes_on_disk", LongType))))
           .createOrReplaceTempView("__graft_system_detached_parts")
       }
+    }
+    if (hits.exists(_._1 == "databases")) {
+      val rows = spark.catalog.listDatabases().collect().toSeq
+        .map(d => Row(d.name))
+      spark.createDataFrame(rows.asJava, StructType(Seq(
+          StructField("name", StringType))))
+        .createOrReplaceTempView("__graft_system_databases")
+    }
+    if (hits.exists(_._1 == "processes")) {
+      processesDf.createOrReplaceTempView("__graft_system_processes")
     }
     if (hits.exists(_._1 == "restore_errors")) {
       val rows = restoreErrorRows.toSeq.map { case (db, t, kind, err) =>
@@ -1169,6 +1272,21 @@ class GraftSession(val spark: SparkSession) {
   }
 
   private def emptyOk: DataFrame = spark.emptyDataFrame
+
+  /** The running-statement registry as rows (SHOW PROCESSLIST and
+    * system.processes share it).
+    */
+  private def processesDf: DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val now = System.currentTimeMillis
+    val rows = GraftSession.processes.values.asScala.toSeq
+      .sortBy(_.startMs).map { e =>
+        Row(e.qid, e.query, (now - e.startMs) / 1000.0, e.threadId)
+      }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("query_id", StringType), StructField("query", StringType),
+      StructField("elapsed", DoubleType), StructField("thread_id", LongType))))
+  }
 
   private def fullName(db: Option[String], name: String): String =
     db.fold(s"`$name`")(d => s"`$d`.`$name`")
@@ -2474,4 +2592,20 @@ object GraftSession {
   /** JVM-wide per-table append locks (see appendToTable). */
   private[exec] val tableWriteLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** A running statement, for SHOW PROCESSLIST / system.processes /
+    * KILL QUERY. The query id doubles as the Spark job group, so a kill
+    * cancels the statement's active AND future jobs — including a SELECT
+    * mid-stream over the wire.
+    */
+  final case class ProcEntry(qid: String, query: String, startMs: Long,
+                             threadId: Long)
+  private[graft] val processes =
+    new java.util.concurrent.ConcurrentHashMap[String, ProcEntry]()
+  // one "current statement" per thread: a SELECT stays listed while its
+  // lazy result streams (jobs run after sql() returns, on this thread,
+  // still in the query's job group); the NEXT statement on the thread —
+  // or an explicit finishQuery() from a wire handler — retires it
+  private[exec] val currentByThread =
+    new java.util.concurrent.ConcurrentHashMap[Long, String]()
 }

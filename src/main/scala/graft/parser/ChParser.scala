@@ -33,6 +33,12 @@ object ChStatement {
   final case class TruncateTable(db: Option[String], name: String) extends ChStatement
   case object ShowDatabases extends ChStatement
   final case class ShowTables(db: Option[String]) extends ChStatement
+  /** `SHOW PROCESSLIST` — the running-statement registry. */
+  case object ShowProcesslist extends ChStatement
+  /** `KILL QUERY WHERE query_id = '…'` — cancel that statement's Spark
+    * job group (active and future jobs, including a mid-stream SELECT).
+    */
+  final case class KillQuery(qid: String) extends ChStatement
   final case class ShowCreateTable(db: Option[String], name: String) extends ChStatement
   final case class DescTable(db: Option[String], name: String) extends ChStatement
   final case class UseDb(name: String) extends ChStatement
@@ -144,6 +150,21 @@ object ChStatement {
     */
   final case class DropView(db: Option[String], name: String,
                             ifExists: Boolean) extends ChStatement
+
+  /** `DETACH TABLE t` — the catalog forgets the table but its data and
+    * replay script survive on disk (script renamed aside so boot restore
+    * does not resurrect it); `ATTACH TABLE t` reverses it.
+    */
+  final case class DetachTable(db: Option[String], name: String)
+      extends ChStatement
+  final case class AttachTable(db: Option[String], name: String)
+      extends ChStatement
+  /** `EXCHANGE TABLES a AND b` — swap the two names (CH's blue/green
+    * reload primitive), composed from three renames.
+    */
+  final case class ExchangeTables(dbA: Option[String], a: String,
+                                  dbB: Option[String], b: String)
+      extends ChStatement
 }
 
 object ChParser {
@@ -1086,6 +1107,23 @@ object ChParser {
     } else if (p.eatKw("truncate")) {
       p.eatKw("table")
       qualifiedName(p).map { case (db, t) => TruncateTable(db, t) }
+    } else if (p.eatKw("detach")) {
+      for {
+        _ <- p.expectKw("table")
+        dbTab <- qualifiedName(p)
+      } yield DetachTable(dbTab._1, dbTab._2)
+    } else if (p.eatKw("attach")) {
+      for {
+        _ <- p.expectKw("table")
+        dbTab <- qualifiedName(p)
+      } yield AttachTable(dbTab._1, dbTab._2)
+    } else if (p.eatKw("exchange")) {
+      for {
+        _ <- p.expectKw("tables")
+        a <- qualifiedName(p)
+        _ <- p.expectKw("and")
+        b <- qualifiedName(p)
+      } yield ExchangeTables(a._1, a._2, b._1, b._2)
     } else if (p.eatKw("rename")) {
       if (!p.eatKw("table")) Left(s"RENAME: expected TABLE at ${p.posText}")
       else {
@@ -1203,7 +1241,23 @@ object ChParser {
         if (!(p.eatKw("from") || p.eatKw("in")))
           Left(s"SHOW COLUMNS: expected FROM at ${p.posText}")
         else qualifiedName(p).map { case (db, t) => ShowColumns(db, t) }
-      } else Left(s"SHOW: expected DATABASES, TABLES, COLUMNS or CREATE TABLE at ${p.posText}")
+      } else if (p.eatKw("processlist")) Right(ShowProcesslist)
+      else Left(s"SHOW: expected DATABASES, TABLES, COLUMNS, PROCESSLIST " +
+        s"or CREATE TABLE at ${p.posText}")
+    } else if (p.eatKw("kill")) {
+      for {
+        _ <- p.expectKw("query")
+        _ <- p.expectKw("where")
+        k <- p.ident()
+        _ <- if (k.equalsIgnoreCase("query_id")) Right(())
+             else Left(s"KILL QUERY: expected query_id = '…', got $k")
+        _ <- p.expectPunct("=")
+        v <- p.peek match {
+          case Some(StrLit(s, _)) => p.next(); Right(s)
+          case other => Left(
+            s"KILL QUERY: expected a quoted query id, got ${other.map(_.text)}")
+        }
+      } yield KillQuery(v)
     } else if (p.eatKw("exists")) {
       p.eatKw("table")
       qualifiedName(p).map { case (db, t) => ExistsTable(db, t) }

@@ -259,6 +259,9 @@ final class ChWireServer(spark: SparkSession, port: Int = 0) {
                 ChProto.writeProgress(out, rowsSent, 0L); out.flush()
               }
           }
+          // result fully streamed: retire the processlist entry (until
+          // here the SELECT stays KILLable mid-stream)
+          session.finishQuery()
           ChProto.writeEndOfStream(out)
       }
     } catch {
