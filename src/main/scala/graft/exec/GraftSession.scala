@@ -650,7 +650,8 @@ class GraftSession(val spark: SparkSession) {
     e.equalsIgnoreCase("ReplacingMergeTree") ||
       e.equalsIgnoreCase("SummingMergeTree") ||
       e.equalsIgnoreCase("CollapsingMergeTree") ||
-      e.equalsIgnoreCase("VersionedCollapsingMergeTree")
+      e.equalsIgnoreCase("VersionedCollapsingMergeTree") ||
+      e.equalsIgnoreCase("AggregatingMergeTree")
 
   /** The merged-state SELECT for a MergeTree-family table — what a fully
     * merged part would contain, per engine:
@@ -726,6 +727,31 @@ class GraftSession(val spark: SparkSession) {
       else " HAVING " + summed.toSeq.sorted
         .map(c => s"coalesce(sum(${q(c)}), 0) <> 0").mkString(" OR ")
       Some(s"SELECT $sel$ptkOut FROM $from GROUP BY $grp$having")
+    } else if (engine.equalsIgnoreCase("AggregatingMergeTree")) {
+      // SimpleAggregateFunction(f, T) columns merge with f per sorting
+      // key; plain columns keep "any" value in CH — min() here, the same
+      // deterministic stand-in SummingMergeTree uses (pinned divergence).
+      // any/anyLast map to min/max: deterministic, idempotent under
+      // re-merge, and within CH's "any one of the values" contract.
+      val declared = chTypes(Some(rdb), table)
+      def mergeFn(c: String): String =
+        declared.get(c).flatMap(t => graft.types.BqlType.parse(t).toOption)
+          .collect { case s: graft.types.BqlType.SimpleAggFn => s.func }
+          .map {
+            case "sum" => "sum"
+            case "min" | "any" => "min"
+            case "max" | "anyLast" => "max"
+            case "groupBitAnd" => "bit_and"
+            case "groupBitOr" => "bit_or"
+            case "groupBitXor" => "bit_xor"
+          }.getOrElse("min")
+      val fields = schema.fields.filter(f => dataCols.contains(f.name))
+      val sel = fields.map { f =>
+        if (pks.contains(f.name)) q(f.name)
+        else s"CAST(${mergeFn(f.name)}(${q(f.name)}) AS ${f.dataType.sql}) " +
+          s"AS ${q(f.name)}"
+      }.mkString(", ")
+      Some(s"SELECT $sel$ptkOut FROM $from GROUP BY $grp")
     } else if (engine.equalsIgnoreCase("CollapsingMergeTree") ||
         engine.equalsIgnoreCase("VersionedCollapsingMergeTree")) {
       val versioned = engine.equalsIgnoreCase("VersionedCollapsingMergeTree")

@@ -460,6 +460,29 @@ object DdlQueries {
         "GROUP BY flag ORDER BY flag")
     },
 
+    // AggregatingMergeTree + FINAL (d22): SimpleAggregateFunction
+    // columns merge with their declared function per sorting key — CH's
+    // pre-aggregation engine where the value IS the state. Summary
+    // row: per-key sums/extremes re-aggregated (2dp via DECIMAL) so the
+    // check is scale-invariant; the oracle is the plain GROUP BY the
+    // merged view must equal.
+    "d22_aggregating_final" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("DROP TABLE IF EXISTS d22_ev")
+      g.sql("CREATE TABLE d22_ev(k Int64 PRIMARY KEY, " +
+        "n SimpleAggregateFunction(sum, Int64), " +
+        "vmax SimpleAggregateFunction(max, Float64), " +
+        "vmin SimpleAggregateFunction(min, Float64)) " +
+        "ENGINE=AggregatingMergeTree")
+      g.sql("INSERT INTO d22_ev SELECT event_id % 3000 AS k, " +
+        "CAST(1 AS BIGINT) AS n, value, value FROM events")
+      g.sql("SELECT count(*) AS cnt, CAST(sum(n) AS BIGINT) AS rows_merged, " +
+        "CAST(round(sum(CAST(vmax AS DECIMAL(18,6))), 2) AS DOUBLE) AS smax, " +
+        "CAST(round(sum(CAST(vmin AS DECIMAL(18,6))), 2) AS DOUBLE) AS smin " +
+        "FROM d22_ev FINAL")
+    },
+
     // Table TTL (o06): merge-time row expiry. The per-row deadline is a
     // CASE over the sampling band — the k%10<3 band's deadline is its
     // (past) event date, everyone else's is a century out — so OPTIMIZE
@@ -698,6 +721,16 @@ object DdlQueries {
       """SELECT l_returnflag AS flag, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS INTEGER)) AS BIGINT) AS sq
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d22_aggregating_final" ->
+      """WITH agg AS (
+        |  SELECT event_id % 3000 AS k, count(*) AS n,
+        |         max(value) AS vmax, min(value) AS vmin
+        |  FROM events GROUP BY 1)
+        |SELECT count(*) AS cnt, CAST(sum(n) AS BIGINT) AS rows_merged,
+        |  CAST(ROUND(sum(CAST(vmax AS DECIMAL(18,6))), 2) AS DOUBLE) AS smax,
+        |  CAST(ROUND(sum(CAST(vmin AS DECIMAL(18,6))), 2) AS DOUBLE) AS smin
+        |FROM agg""".stripMargin,
 
     "o06_ttl" ->
       """SELECT event_type AS et, count(*) AS n,

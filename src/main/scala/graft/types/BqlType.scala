@@ -65,6 +65,16 @@ object BqlType {
     val sparkType = ArrayType(inner.sparkType, inner.isInstanceOf[Nullable])
   }
 
+  /** ClickHouse SimpleAggregateFunction(f, T) — an AggregatingMergeTree
+    * column whose merge combines values with `f` (the current value IS
+    * the state, unlike full AggregateFunction states). Storage-wise it is
+    * just T; the function name drives the FINAL/OPTIMIZE merge.
+    */
+  final case class SimpleAggFn(func: String, inner: BqlType)
+      extends BqlType(s"SimpleAggregateFunction($func, ${inner.chName})") {
+    val sparkType = inner.sparkType
+  }
+
   /** Max decimal precision the reference's storage accepts
     * (crates/meta/src/types.rs:145-153 — ≤9 → 4 bytes, ≤18 → 8 bytes;
     * the grammar admits up to 76 but storage rejects >18).
@@ -118,6 +128,20 @@ object BqlType {
           })
           .orElse(withArgs("Decimal32").map(a => intArg(a).flatMap(mkDecimal(9, _))))
           .orElse(withArgs("Decimal64").map(a => intArg(a).flatMap(mkDecimal(18, _))))
+          .orElse(withArgs("SimpleAggregateFunction").map { a =>
+            a.split(",", 2) match {
+              case Array(f, t) =>
+                val fn = f.trim
+                val allowed = Set("sum", "min", "max", "any", "anyLast",
+                  "groupBitAnd", "groupBitOr", "groupBitXor")
+                if (!allowed.contains(fn))
+                  Left(s"SimpleAggregateFunction: unsupported function $fn " +
+                    s"(supported: ${allowed.toSeq.sorted.mkString(", ")})")
+                else parse(t).map(SimpleAggFn(fn, _))
+              case _ =>
+                Left(s"SimpleAggregateFunction expects (func, T): $input")
+            }
+          })
           .orElse(withArgs("Decimal").map { a =>
             a.split(",") match {
               case Array(p, sc) =>

@@ -215,6 +215,35 @@ class ReplacingSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("version"))
   }
 
+  test("AggregatingMergeTree FINAL merges SimpleAggregateFunction columns " +
+    "with their declared function (sum/max/min/bit_or); plain columns " +
+    "keep a deterministic representative; OPTIMIZE FINAL materializes it") {
+    g.sql("DROP TABLE IF EXISTS agg_t")
+    g.sql("CREATE TABLE agg_t(k Int64 PRIMARY KEY, " +
+      "s SimpleAggregateFunction(sum, Int64), " +
+      "hi SimpleAggregateFunction(max, Float64), " +
+      "lo SimpleAggregateFunction(min, Int64), " +
+      "bits SimpleAggregateFunction(groupBitOr, Int64), " +
+      "tag String) ENGINE=AggregatingMergeTree")
+    g.sql("INSERT INTO agg_t VALUES (1, 10, 1.5, 7, 1, 'a'), " +
+      "(1, 20, 2.5, 3, 4, 'b'), (2, 5, 9.0, 9, 8, 'c')")
+    // DESC round-trips the declared SimpleAggregateFunction type
+    val descT = g.sql("DESC TABLE agg_t").collect()
+      .find(_.getString(0) == "s").get.getString(1)
+    assert(descT === "SimpleAggregateFunction(sum, Int64)")
+    def state(fin: String): Seq[(Long, Long, Double, Long, Long, String)] =
+      g.sql(s"SELECT k, s, hi, lo, bits, tag FROM agg_t $fin ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3), r.getLong(4), r.getString(5))).toSeq
+    val expected = Seq((1L, 30L, 2.5, 3L, 5L, "a"), (2L, 5L, 9.0, 9L, 8L, "c"))
+    assert(state("FINAL") === expected)
+    assert(g.sql("SELECT count(*) AS n FROM agg_t").collect()(0)
+      .getLong(0) === 3L) // base table still unmerged
+    g.sql("OPTIMIZE TABLE agg_t FINAL")
+    assert(state("") === expected) // physically merged now
+    g.sql("DROP TABLE agg_t")
+  }
+
   test("FINAL SAMPLE is refused loudly, never silently composed") {
     g.sql("DROP TABLE IF EXISTS rep_fs")
     g.sql("CREATE TABLE rep_fs(k Int64 PRIMARY KEY, ver Int64) " +
