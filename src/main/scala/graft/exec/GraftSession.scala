@@ -85,6 +85,21 @@ class GraftSession(val spark: SparkSession) {
   private val viewDefs =
     scala.collection.mutable.LinkedHashMap.empty[String, (String, String, String)]
 
+  /** Dictionaries: name → definition. The loaded state is a BROADCAST
+    * hash (key-string → attr values) behind a per-dictionary SQL
+    * function `__graft_dict_<name>` — CH's execution model exactly (an
+    * in-memory hash replicated to every node), which is why dictGet
+    * never shuffles: it's a map-side lookup inside whatever plan the
+    * query already has. Loaded at CREATE (validating eagerly, like CH)
+    * and refreshed only by SYSTEM RELOAD DICTIONARY — the LIFETIME
+    * clause is accepted and ignored, staleness-until-reload documented.
+    */
+  private val dictDefs =
+    scala.collection.mutable.LinkedHashMap.empty[String, CreateDictionary]
+  private val dictBroadcasts = scala.collection.mutable.Map.empty[
+    String, org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[String, Array[String]]]]
+
   private def recordRestoreError(db: String, table: String, kind: String,
                                  e: Throwable): Unit = {
     restoreErrorRows += ((db, table, kind,
@@ -167,6 +182,12 @@ class GraftSession(val spark: SparkSession) {
           }.failed.foreach(e =>
             recordRestoreError(db, table, "materialized view", e))
         case (table, cv: CreateView) => pendingViews += ((db, table, cv))
+        case (nm, cd: CreateDictionary) =>
+          // dictionaries load after this database's tables (their source
+          // snapshot); a vanished source surfaces, never kills boot
+          scala.util.Try(
+            createDictionary(cd.copy(db = Some(db), ifNotExists = true)))
+            .failed.foreach(e => recordRestoreError(db, nm, "dictionary", e))
         case _ => () // damaged meta entry: leave the files alone
       }
     }
@@ -415,6 +436,12 @@ class GraftSession(val spark: SparkSession) {
       mutateTable(m); emptyOk
     case cv: CreateView => createView(cv)
     case DropView(db, name, ie) => dropView(db, name, ie)
+    case cd: CreateDictionary => createDictionary(cd)
+    case DropDictionary(db, name, ie) => dropDictionary(db, name, ie)
+    case ReloadDictionary(_, name) =>
+      require(dictDefs.contains(name),
+        s"SYSTEM RELOAD DICTIONARY: no dictionary $name")
+      loadDictionary(name); emptyOk
     case ap: AlterPartition => alterPartition(ap); emptyOk
     case a: AlterDropColumn => alterDropColumn(a); emptyOk
     case a: AlterRenameColumn => alterRenameColumn(a); emptyOk
@@ -620,7 +647,8 @@ class GraftSession(val spark: SparkSession) {
     spliceTableFns(rewriteWithFill(
       rewriteLimitTies(rewriteLimitBy(rewriteWithTotals(
         rewritePrewhere(rewriteArrayJoin(rewriteInTable(rewriteDistinctOnStep(
-          rewriteSample(rewriteFinal(spliceSystemViews(sqlIn))))))))))))
+          rewriteSample(rewriteFinal(spliceSystemViews(
+            rewriteDictFns(sqlIn)))))))))))))
 
   /** ClickHouse `FROM t FINAL` over a merging-engine table
     * (Replacing/SummingMergeTree): splice in the merged-state view from
@@ -2303,6 +2331,138 @@ class GraftSession(val spark: SparkSession) {
     viewDefs.remove(name)
     java.nio.file.Files.deleteIfExists(metaFile(vdb, name))
     emptyOk
+  }
+
+  private def createDictionary(cd: CreateDictionary): DataFrame = {
+    val rdb = cd.db.getOrElse(spark.catalog.currentDatabase)
+    if (dictDefs.contains(cd.name) && cd.ifNotExists) return emptyOk
+    require(!dictDefs.contains(cd.name),
+      s"CREATE DICTIONARY: ${cd.name} already exists")
+    require(!spark.sessionState.catalog.tableExists(
+        org.apache.spark.sql.catalyst.TableIdentifier(cd.name, Some(rdb))),
+      s"CREATE DICTIONARY: a table named $rdb.${cd.name} exists")
+    dictDefs(cd.name) = cd.copy(db = Some(rdb))
+    try loadDictionary(cd.name)
+    catch { case t: Throwable => dictDefs.remove(cd.name); throw t }
+    java.nio.file.Files.createDirectories(metaFile(rdb, cd.name).getParent)
+    java.nio.file.Files.writeString(metaFile(rdb, cd.name), cd.createScript)
+    emptyOk
+  }
+
+  private def dropDictionary(db: Option[String], name: String,
+                             ifExists: Boolean): DataFrame = {
+    if (!dictDefs.contains(name)) {
+      require(ifExists, s"DROP DICTIONARY: no dictionary $name")
+      return emptyOk
+    }
+    val rdb = dictDefs(name).db.getOrElse(spark.catalog.currentDatabase)
+    dictDefs.remove(name)
+    dictBroadcasts.remove(name).foreach(_.unpersist(false))
+    java.nio.file.Files.deleteIfExists(metaFile(rdb, name))
+    emptyOk
+  }
+
+  /** (Re)load a dictionary: snapshot the source table into a broadcast
+    * hash and (re)bind the lookup function. The size guard is the
+    * broadcast contract — a dictionary is dimension-sized by definition;
+    * fact-sized lookups belong in a join, not a dictionary.
+    */
+  private def loadDictionary(name: String): Unit = {
+    val cd = dictDefs(name)
+    val attrs = cd.cols.filter(_.name != cd.key)
+    val maxRows = spark.conf.getOption("graft.dict.maxRows")
+      .map(_.toInt).getOrElse(10000000)
+    val df = spark.table(cd.source)
+      .select((cd.key +: attrs.map(_.name)).map(c =>
+        col(s"`$c`").cast(StringType).as(c)): _*)
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"dictionary $name: source ${cd.source} exceeds graft.dict.maxRows=" +
+        s"$maxRows — a dictionary broadcasts to every executor; use a join " +
+        "for fact-sized lookups")
+    val m = new java.util.HashMap[String, Array[String]](rows.length * 2)
+    rows.foreach { r =>
+      if (!r.isNullAt(0))
+        m.put(r.getString(0), Array.tabulate(attrs.length)(i =>
+          if (r.isNullAt(i + 1)) null else r.getString(i + 1)))
+    }
+    dictBroadcasts.remove(name).foreach(_.unpersist(false))
+    val bc = spark.sparkContext.broadcast(m)
+    dictBroadcasts(name) = bc
+    val idx = attrs.map(_.name).zipWithIndex.toMap
+    spark.udf.register(s"__graft_dict_$name",
+      (attr: String, key: String) => {
+        if (key == null) null
+        else {
+          val row = bc.value.get(key)
+          if (row == null) null
+          else if (attr == "__has") ""
+          else idx.get(attr).map(row(_)).orNull
+        }
+      }): Unit
+  }
+
+  /** dictGet / dictGetOrDefault / dictHas → the broadcast-hash lookup
+    * function, typed back to the attribute's declared type. A missing
+    * key yields the attribute's DEFAULT, else the CH type-zero (0 / ''),
+    * else NULL — dictGetOrDefault's fourth argument wins over both.
+    * Iterates to fix nested calls (a dictGet key computed by another
+    * dictGet).
+    */
+  private def rewriteDictFns(sql: String): String = {
+    if (dictDefs.isEmpty) return sql
+    def build(kind: String, lits: Seq[String], raws: Seq[String]): String = {
+      val cd = dictDefs(lits.head)
+      if (kind == "has") {
+        require(raws.length == 1, "dictHas expects (dict, key)")
+        s"(`__graft_dict_${cd.name}`('__has', CAST((${raws.head}) AS STRING)) " +
+          "IS NOT NULL)"
+      } else {
+        val a = lits(1)
+        val cdef = cd.cols.find(_.name == a).getOrElse(
+          throw new IllegalArgumentException(
+            s"dictGet: no attribute $a in dictionary ${cd.name}"))
+        require(a != cd.key, s"dictGet: $a is the dictionary KEY, not an attribute")
+        require(raws.nonEmpty, "dictGet expects a key expression")
+        val t = cdef.tpe.sparkType.sql
+        val base = s"CAST(`__graft_dict_${cd.name}`('$a', " +
+          s"CAST((${raws.head}) AS STRING)) AS $t)"
+        val fallback =
+          if (kind == "getOr") {
+            require(raws.length == 2,
+              "dictGetOrDefault expects (dict, attr, key, default)")
+            Some(s"(${raws(1)})")
+          } else cdef.default.map(d => s"CAST($d AS $t)").orElse {
+            cdef.tpe.sparkType match {
+              case _: org.apache.spark.sql.types.NumericType =>
+                Some(s"CAST(0 AS $t)")
+              case org.apache.spark.sql.types.StringType => Some("''")
+              case _ => None
+            }
+          }
+        fallback.fold(base)(f => s"coalesce($base, $f)")
+      }
+    }
+    var cur = sql
+    var changed = true
+    var guard = 0
+    while (changed && guard < 8) {
+      changed = false; guard += 1
+      val calls =
+        ChParser.dictFnCalls(cur, "dictGet", 2).map(("get", _)) ++
+          ChParser.dictFnCalls(cur, "dictGetOrDefault", 2).map(("getOr", _)) ++
+          ChParser.dictFnCalls(cur, "dictHas", 1).map(("has", _))
+      val valid = calls.filter { case (_, (_, _, lits, _)) =>
+        dictDefs.contains(lits.head) }
+      if (valid.nonEmpty) {
+        changed = true
+        cur = valid.sortBy(-_._2._1).foldLeft(cur) {
+          case (acc, (kind, (from, to, lits, raws))) =>
+            acc.substring(0, from) + build(kind, lits, raws) + acc.substring(to)
+        }
+      }
+    }
+    cur
   }
 
   /** Re-register (dependencies first) every stored view the given SQL

@@ -165,6 +165,22 @@ object ChStatement {
   final case class ExchangeTables(dbA: Option[String], a: String,
                                   dbB: Option[String], b: String)
       extends ChStatement
+
+  /** `CREATE DICTIONARY d (k UInt64, v String DEFAULT '…', …)
+    * PRIMARY KEY k SOURCE(CLICKHOUSE(TABLE 't')) [LAYOUT(…)]
+    * [LIFETIME(…)]` — an in-memory hash over a dimension table, served
+    * to queries through dictGet/dictHas/dictGetOrDefault. LAYOUT and
+    * LIFETIME are accepted and ignored (every layout is a broadcast
+    * hash here; reload is explicit via SYSTEM RELOAD DICTIONARY).
+    */
+  final case class CreateDictionary(db: Option[String], name: String,
+                                    cols: Seq[ColDef], key: String,
+                                    source: String, ifNotExists: Boolean,
+                                    createScript: String) extends ChStatement
+  final case class DropDictionary(db: Option[String], name: String,
+                                  ifExists: Boolean) extends ChStatement
+  final case class ReloadDictionary(db: Option[String], name: String)
+      extends ChStatement
 }
 
 object ChParser {
@@ -492,6 +508,67 @@ object ChParser {
       }
     } yield CreateMaterializedView(dbTab._1, dbTab._2, engine, partBy,
       populate, sel, ine, p.sql.trim)
+  }
+
+  /** CREATE DICTIONARY name (cols…) PRIMARY KEY k
+    * SOURCE(CLICKHOUSE(TABLE 't')) [LAYOUT(…)] [LIFETIME(…)].
+    * LAYOUT/LIFETIME bodies are skipped with balanced parens.
+    */
+  private def parseCreateDictionary(
+      p: P): Either[String, CreateDictionary] = {
+    def skipParenGroup(): Unit = if (p.eatPunct("(")) {
+      var depth = 1
+      while (depth > 0 && p.peek.isDefined) {
+        p.next() match {
+          case Punct("(", _) => depth += 1
+          case Punct(")", _) => depth -= 1
+          case _ => ()
+        }
+      }
+    }
+    val ine = parseIfNotExists(p)
+    for {
+      dbTab <- qualifiedName(p)
+      _ <- p.expectPunct("(")
+      cols <- {
+        val buf = ArrayBuffer.empty[ColDef]
+        var err: Option[String] = None
+        var go = true
+        while (go && err.isEmpty) {
+          columnDef(p) match {
+            case Right(cd) => buf += cd; go = p.eatPunct(",")
+            case Left(e) => err = Some(e)
+          }
+        }
+        err.toLeft(buf.toSeq).flatMap(cs => p.expectPunct(")").map(_ => cs))
+      }
+      _ <- p.expectKw("primary")
+      _ <- p.expectKw("key")
+      key <- p.ident()
+      _ <- if (cols.exists(_.name == key)) Right(())
+           else Left(s"CREATE DICTIONARY: PRIMARY KEY $key is not a declared column")
+      _ <- p.expectKw("source")
+      src <- {
+        if (!p.eatPunct("(")) Left(s"SOURCE: expected '(' at ${p.posText}")
+        else for {
+          _ <- p.ident() // CLICKHOUSE / any named source kind
+          _ <- p.expectPunct("(")
+          _ <- p.expectKw("table")
+          t <- p.peek match {
+            case Some(StrLit(s, _)) => p.next(); Right(s)
+            case other => Left(
+              s"SOURCE: expected TABLE '<name>', got ${other.map(_.text)}")
+          }
+          _ <- p.expectPunct(")")
+          _ <- p.expectPunct(")")
+        } yield t
+      }
+    } yield {
+      while (p.isKw("layout") || p.isKw("lifetime")) {
+        p.next(); skipParenGroup()
+      }
+      CreateDictionary(dbTab._1, dbTab._2, cols, key, src, ine, p.sql.trim)
+    }
   }
 
   /** CREATE [OR REPLACE] VIEW [IF NOT EXISTS] [db.]name AS SELECT …
@@ -1092,7 +1169,9 @@ object ChParser {
         if (!p.eatKw("replace") || !p.eatKw("view"))
           Left(s"CREATE OR: expected REPLACE VIEW at ${p.posText}")
         else parseCreateView(p, orReplace = true)
-      } else Left(s"CREATE: expected DATABASE, TABLE or [MATERIALIZED] VIEW at ${p.posText}")
+      } else if (p.eatKw("dictionary")) parseCreateDictionary(p)
+      else Left(s"CREATE: expected DATABASE, TABLE, DICTIONARY or " +
+        s"[MATERIALIZED] VIEW at ${p.posText}")
     } else if (p.eatKw("drop")) {
       if (p.eatKw("database")) {
         val ie = parseIfNotExists(p)
@@ -1103,7 +1182,10 @@ object ChParser {
       } else if (p.eatKw("view")) {
         val ie = parseIfNotExists(p)
         qualifiedName(p).map { case (db, t) => DropView(db, t, ie) }
-      } else Left(s"DROP: expected DATABASE, TABLE or VIEW at ${p.posText}")
+      } else if (p.eatKw("dictionary")) {
+        val ie = parseIfNotExists(p)
+        qualifiedName(p).map { case (db, t) => DropDictionary(db, t, ie) }
+      } else Left(s"DROP: expected DATABASE, TABLE, VIEW or DICTIONARY at ${p.posText}")
     } else if (p.eatKw("truncate")) {
       p.eatKw("table")
       qualifiedName(p).map { case (db, t) => TruncateTable(db, t) }
@@ -1244,6 +1326,16 @@ object ChParser {
       } else if (p.eatKw("processlist")) Right(ShowProcesslist)
       else Left(s"SHOW: expected DATABASES, TABLES, COLUMNS, PROCESSLIST " +
         s"or CREATE TABLE at ${p.posText}")
+    } else if (p.isKw("system")) {
+      // `SYSTEM RELOAD DICTIONARY d` (other SYSTEM verbs unsupported).
+      // NOTE: `system` is also a database name in SELECTs; only the
+      // statement-initial keyword position reaches here.
+      p.next()
+      for {
+        _ <- p.expectKw("reload")
+        _ <- p.expectKw("dictionary")
+        dbTab <- qualifiedName(p)
+      } yield ReloadDictionary(dbTab._1, dbTab._2)
     } else if (p.eatKw("kill")) {
       for {
         _ <- p.expectKw("query")
@@ -1308,6 +1400,68 @@ object ChParser {
                 j += 1
               }
               if (ok && endPos > 0) { out += ((p0, endPos, args.toSeq)); i = j - 1 }
+            case _ => ()
+          }
+          i += 1
+        }
+        out.toSeq
+    }
+
+  /** Lexical occurrences of `fn('lit', …, expr, …)`: the first `nLit`
+    * arguments must be string literals (dictionary and attribute names);
+    * the remaining arguments are RAW balanced text slices split on
+    * top-level commas (arbitrary expressions — a dictGet key can be any
+    * computation). Token-located like [[tableFnCalls]], so literals and
+    * comments never match. Returns (start, endExclusive, litArgs, rawArgs).
+    */
+  def dictFnCalls(sql: String, fn: String,
+                  nLit: Int): Seq[(Int, Int, Seq[String], Seq[String])] =
+    tokenize(sql) match {
+      case Left(_) => Nil
+      case Right(toks) =>
+        val out = ArrayBuffer.empty[(Int, Int, Seq[String], Seq[String])]
+        var i = 0
+        while (i < toks.length) {
+          toks(i) match {
+            case Ident(t, p0) if t.equalsIgnoreCase(fn) && i + 1 < toks.length &&
+                (toks(i + 1) match { case Punct("(", _) => true; case _ => false }) =>
+              var j = i + 2
+              val lits = ArrayBuffer.empty[String]
+              var ok = true
+              while (ok && lits.length < nLit && j + 1 < toks.length) {
+                (toks(j), toks(j + 1)) match {
+                  case (StrLit(s, _), Punct(",", _)) => lits += s; j += 2
+                  case _ => ok = false
+                }
+              }
+              if (ok && lits.length == nLit) {
+                val raws = ArrayBuffer.empty[String]
+                var depth = 1
+                var argStart = toks(j).pos
+                var endPos = -1
+                while (endPos < 0 && ok && j < toks.length) {
+                  toks(j) match {
+                    case Punct("(", _) => depth += 1
+                    case Punct(")", pp) =>
+                      depth -= 1
+                      if (depth == 0) {
+                        val a = sql.substring(argStart, pp).trim
+                        if (a.isEmpty) ok = false else raws += a
+                        endPos = pp + 1
+                      }
+                    case Punct(",", pp) if depth == 1 =>
+                      val a = sql.substring(argStart, pp).trim
+                      if (a.isEmpty) ok = false else raws += a
+                      argStart = pp + 1
+                    case _ => ()
+                  }
+                  j += 1
+                }
+                if (ok && endPos > 0) {
+                  out += ((p0, endPos, lits.toSeq, raws.toSeq))
+                  i = j - 1
+                }
+              }
             case _ => ()
           }
           i += 1

@@ -460,6 +460,33 @@ object DdlQueries {
         "GROUP BY flag ORDER BY flag")
     },
 
+    // Dictionaries (d23): CREATE DICTIONARY over a warehouse dim copy of
+    // nation, then dictGet/dictHas inside a customer aggregation — the
+    // lookup is a broadcast hash behind a per-dictionary function, so
+    // the plan stays ONE customer scan + hash aggregate, zero extra
+    // shuffles (CH's in-memory-hash-per-node model). A shifted key
+    // (+100) exercises the miss path → declared DEFAULT. The oracle is
+    // the equivalent LEFT JOIN, independently formulated in DuckDB.
+    "d23_dictionary" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("DROP DICTIONARY IF EXISTS d23_dict")
+      g.sql("DROP TABLE IF EXISTS d23_dim")
+      g.sql("CREATE TABLE d23_dim AS SELECT n_nationkey AS k, " +
+        "n_name AS nname, n_regionkey AS rkey FROM nation")
+      g.sql("CREATE DICTIONARY d23_dict(k Int64, " +
+        "nname String DEFAULT 'unknown', rkey Int64) PRIMARY KEY k " +
+        "SOURCE(CLICKHOUSE(TABLE 'd23_dim')) LAYOUT(HASHED()) " +
+        "LIFETIME(MIN 0 MAX 300)")
+      g.sql("SELECT dictGet('d23_dict', 'nname', c_nationkey) AS nat, " +
+        "dictGet('d23_dict', 'nname', c_nationkey + 100) AS missed, " +
+        "count(*) AS n, " +
+        "CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal, " +
+        "CAST(sum(CASE WHEN dictHas('d23_dict', c_nationkey) THEN 1 " +
+        "ELSE 0 END) AS BIGINT) AS hits " +
+        "FROM customer GROUP BY 1, 2 ORDER BY 1")
+    },
+
     // AggregatingMergeTree + FINAL (d22): SimpleAggregateFunction
     // columns merge with their declared function per sorting key — CH's
     // pre-aggregation engine where the value IS the state. Summary
@@ -721,6 +748,15 @@ object DdlQueries {
       """SELECT l_returnflag AS flag, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS INTEGER)) AS BIGINT) AS sq
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d23_dictionary" ->
+      """SELECT coalesce(n.n_name, 'unknown') AS nat,
+        |  'unknown' AS missed, count(*) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal,
+        |  CAST(sum(CASE WHEN n.n_nationkey IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS hits
+        |FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     "d22_aggregating_final" ->
       """WITH agg AS (

@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.exec.GraftSession
+
+/** ClickHouse external dictionaries: CREATE DICTIONARY over a dimension
+  * table, served through dictGet / dictGetOrDefault / dictHas as a
+  * BROADCAST hash behind a per-dictionary lookup function — CH's
+  * in-memory-hash-on-every-node execution model, so a dictGet never
+  * shuffles. Snapshot at CREATE; refreshed only by SYSTEM RELOAD
+  * DICTIONARY (LIFETIME accepted and ignored, documented).
+  */
+class DictionarySpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  private lazy val g = new GraftSession(spark)
+
+  private def mkDim(): Unit = {
+    g.sql("DROP DICTIONARY IF EXISTS dx")
+    g.sql("DROP TABLE IF EXISTS dx_dim")
+    g.sql("CREATE TABLE dx_dim(k Int64, nm String, w Int64)")
+    g.sql("INSERT INTO dx_dim VALUES (1, 'one', 10), (2, 'two', 20), " +
+      "(3, 'three', 30)")
+    g.sql("CREATE DICTIONARY dx(k Int64, nm String DEFAULT 'none', w Int64) " +
+      "PRIMARY KEY k SOURCE(CLICKHOUSE(TABLE 'dx_dim')) LAYOUT(HASHED()) " +
+      "LIFETIME(MIN 0 MAX 300)")
+  }
+
+  test("dictGet resolves attributes by key inside arbitrary expressions; " +
+    "a missing key takes the declared DEFAULT (or the CH type zero)") {
+    mkDim()
+    val r = g.sql("SELECT dictGet('dx', 'nm', number + 1) AS nm, " +
+      "dictGet('dx', 'w', number + 1) AS w FROM numbers(4) " +
+      "ORDER BY number").collect()
+      .map(x => (x.getString(0), x.getLong(1))).toSeq
+    // keys 1..4: 4 is missing → DEFAULT 'none' for nm, type-zero 0 for w
+    assert(r === Seq(("one", 10L), ("two", 20L), ("three", 30L), ("none", 0L)))
+  }
+
+  test("dictHas and dictGetOrDefault; nested dictGet keys compose") {
+    mkDim()
+    val r = g.sql("SELECT CAST(sum(CASE WHEN dictHas('dx', number) " +
+      "THEN 1 ELSE 0 END) AS BIGINT) AS hits, " +
+      "dictGetOrDefault('dx', 'nm', 99, 'fallback') AS fb FROM numbers(10) " +
+      "GROUP BY 2").collect()(0)
+    assert(r.getLong(0) === 3L && r.getString(1) === "fallback")
+    // a dictGet key computed from another dictGet (w of key 1 is 10;
+    // dict has no key 10 → 'none')
+    val nested = g.sql("SELECT dictGet('dx', 'nm', " +
+      "dictGet('dx', 'w', 1) div 10) AS nm").collect()(0).getString(0)
+    assert(nested === "one")
+  }
+
+  test("the dictionary is a SNAPSHOT: source changes appear only after " +
+    "SYSTEM RELOAD DICTIONARY") {
+    mkDim()
+    g.sql("INSERT INTO dx_dim VALUES (4, 'four', 40)")
+    assert(g.sql("SELECT dictGet('dx', 'nm', 4) AS nm").collect()(0)
+      .getString(0) === "none") // stale until reload (CH LIFETIME model)
+    g.sql("SYSTEM RELOAD DICTIONARY dx")
+    assert(g.sql("SELECT dictGet('dx', 'nm', 4) AS nm").collect()(0)
+      .getString(0) === "four")
+  }
+
+  test("lifecycle: duplicate create errors, IF NOT EXISTS tolerated, " +
+    "unknown attribute errors, DROP removes, restart replays") {
+    mkDim()
+    intercept[Exception] {
+      g.sql("CREATE DICTIONARY dx(k Int64, nm String) PRIMARY KEY k " +
+        "SOURCE(CLICKHOUSE(TABLE 'dx_dim'))")
+    }
+    g.sql("CREATE DICTIONARY IF NOT EXISTS dx(k Int64, nm String) " +
+      "PRIMARY KEY k SOURCE(CLICKHOUSE(TABLE 'dx_dim'))") // no-op
+    intercept[Exception] {
+      g.sql("SELECT dictGet('dx', 'nope', 1) AS x").collect()
+    }
+    // restart: a fresh session reloads the dictionary from its replayed
+    // script (source table restores first)
+    val g2 = new GraftSession(spark)
+    assert(g2.sql("SELECT dictGet('dx', 'nm', 2) AS nm").collect()(0)
+      .getString(0) === "two")
+    g2.sql("DROP DICTIONARY dx")
+    intercept[Exception] { g2.sql("DROP DICTIONARY dx") }
+    g2.sql("DROP DICTIONARY IF EXISTS dx")
+    g2.sql("DROP TABLE dx_dim")
+  }
+
+  test("the size guard refuses a fact-sized source with a clear message") {
+    g.sql("DROP DICTIONARY IF EXISTS dbig")
+    g.sql("DROP TABLE IF EXISTS dbig_src")
+    g.sql("CREATE TABLE dbig_src AS SELECT number AS k, " +
+      "CAST(number AS STRING) AS v FROM numbers(1000)")
+    spark.conf.set("graft.dict.maxRows", "100")
+    try {
+      val e = intercept[Exception] {
+        g.sql("CREATE DICTIONARY dbig(k Int64, v String) PRIMARY KEY k " +
+          "SOURCE(CLICKHOUSE(TABLE 'dbig_src'))")
+      }
+      assert(e.getMessage.contains("maxRows"))
+    } finally spark.conf.unset("graft.dict.maxRows")
+    g.sql("DROP TABLE dbig_src")
+  }
+}
