@@ -266,7 +266,14 @@ class GraftSession(val spark: SparkSession) {
   def finishQuery(): Unit = {
     val tid = Thread.currentThread().getId
     Option(GraftSession.currentByThread.remove(tid))
-      .foreach(GraftSession.processes.remove)
+      .flatMap(q => Option(GraftSession.processes.remove(q)))
+      .foreach { e =>
+        val now = System.currentTimeMillis
+        GraftSession.queryLog.addFirst(GraftSession.LogEntry(
+          e.qid, e.query, e.startMs, (now - e.startMs) / 1000.0))
+        while (GraftSession.queryLog.size > GraftSession.QueryLogCap)
+          GraftSession.queryLog.pollLast()
+      }
     spark.sparkContext.clearJobGroup()
   }
 
@@ -430,8 +437,8 @@ class GraftSession(val spark: SparkSession) {
         }
       spark.createDataFrame(rows.asJava,
         StructType(Seq(StructField("name", StringType), StructField("type", StringType))))
-    case OptimizeTable(db, name, fin) =>
-      optimizeTable(db, name, fin); emptyOk
+    case OptimizeTable(db, name, fin, part) =>
+      optimizeTable(db, name, fin, part); emptyOk
     case m: AlterMutate =>
       mutateTable(m); emptyOk
     case cv: CreateView => createView(cv)
@@ -944,7 +951,7 @@ class GraftSession(val spark: SparkSession) {
   private def spliceSystemViews(sql: String): String = {
     val hits = ChParser.qualifiedRefs(sql, "system",
       Set("tables", "columns", "restore_errors", "parts", "detached_parts",
-        "databases", "processes"))
+        "databases", "processes", "query_log"))
     if (hits.isEmpty) return sql
     val cat = spark.sessionState.catalog
     def userTables: Seq[(String, org.apache.spark.sql.catalyst.TableIdentifier,
@@ -1059,6 +1066,17 @@ class GraftSession(val spark: SparkSession) {
     }
     if (hits.exists(_._1 == "processes")) {
       processesDf.createOrReplaceTempView("__graft_system_processes")
+    }
+    if (hits.exists(_._1 == "query_log")) {
+      import scala.jdk.CollectionConverters._
+      val rows = GraftSession.queryLog.iterator.asScala.toSeq.map { e =>
+        Row(e.qid, e.query, new java.sql.Timestamp(e.startMs), e.durSec)
+      }
+      spark.createDataFrame(rows.asJava, StructType(Seq(
+          StructField("query_id", StringType), StructField("query", StringType),
+          StructField("event_time", org.apache.spark.sql.types.TimestampType),
+          StructField("duration", DoubleType))))
+        .createOrReplaceTempView("__graft_system_query_log")
     }
     if (hits.exists(_._1 == "restore_errors")) {
       val rows = restoreErrorRows.toSeq.map { case (db, t, kind, err) =>
@@ -1449,7 +1467,7 @@ class GraftSession(val spark: SparkSession) {
     * through the Hadoop FileSystem API.
     */
   private def optimizeTable(db: Option[String], name: String,
-      fin: Boolean = false): Unit = {
+      fin: Boolean = false, partition: Option[String] = None): Unit = {
     val rdb = db.getOrElse(spark.catalog.currentDatabase)
     val full = fullName(db, name)
     val meta = spark.sessionState.catalog.getTableMetadata(
@@ -1460,7 +1478,7 @@ class GraftSession(val spark: SparkSession) {
     // then compact the survivors. A non-TRUE (NULL) expiry check keeps
     // the row, like CH's handling of NULL TTL values.
     meta.properties.get("graft.setting.ttl").foreach { ttl =>
-      mutateTable(AlterMutate(db, name, Nil, s"($ttl) <= now()"))
+      mutateTable(AlterMutate(db, name, Nil, s"($ttl) <= now()", partition))
     }
     val loc = tableLocation(rdb, name)
     val lock = GraftSession.tableWriteLocks
@@ -1475,13 +1493,23 @@ class GraftSession(val spark: SparkSession) {
       val intent = loc.resolve("_graft_intent")
       java.nio.file.Files.deleteIfExists(loc.resolve("_graft_intent.tmp"))
       if (java.nio.file.Files.exists(intent)) replayIntent(loc, intent, full)
-      val walk = java.nio.file.Files.walk(loc)
+      // OPTIMIZE ... PARTITION v: only that partition's directory is
+      // listed, rewritten and (under FINAL) merged — the rest of the
+      // table is untouched bytes, CH's partition-scoped merge
+      val scopeDir = partition.map(v => loc.resolve(s"$PtkCol=" +
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(v)))
+      val walkRoot = scopeDir.getOrElse(loc)
       val dataFiles =
-        try walk.iterator.asScala.filter(p =>
-          java.nio.file.Files.isRegularFile(p) &&
-            p.getFileName.toString.endsWith(".parquet") &&
-            !isHiddenPath(loc.relativize(p))).toVector
-        finally walk.close()
+        if (!java.nio.file.Files.isDirectory(walkRoot)) Vector.empty
+        else {
+          val walk = java.nio.file.Files.walk(walkRoot)
+          try walk.iterator.asScala.filter(p =>
+            java.nio.file.Files.isRegularFile(p) &&
+              p.getFileName.toString.endsWith(".parquet") &&
+              !isHiddenPath(loc.relativize(p))).toVector
+          finally walk.close()
+        }
       def filesNeeded(fs: Seq[java.nio.file.Path]): Int = math.max(1,
         math.ceil(fs.map(java.nio.file.Files.size(_)).sum.toDouble / target).toInt)
       // OPTIMIZE ... FINAL on a ReplacingMergeTree: the merge itself —
@@ -1501,7 +1529,12 @@ class GraftSession(val spark: SparkSession) {
         if (dataFiles.isEmpty) { spark.catalog.refreshTable(full); return }
         val partitioned =
           spark.table(full).schema.fieldNames.contains(PtkCol)
-        stagedReplace(loc, full, partitioned, spark.sql(mergedSel.get),
+        // partition-scoped FINAL merges (and retires) ONLY that
+        // partition's rows — writing the full merged table while
+        // retiring one directory would duplicate everything else
+        val merged = partition.foldLeft(spark.sql(mergedSel.get))(
+          (df, v) => df.where(col(s"`$PtkCol`") === lit(v)))
+        stagedReplace(loc, full, partitioned, merged,
           dataFiles, "optf-", filesNeeded(dataFiles))
         return
       }
@@ -1947,7 +1980,13 @@ class GraftSession(val spark: SparkSession) {
       val intent = loc.resolve("_graft_intent")
       if (java.nio.file.Files.exists(intent)) replayIntent(loc, intent, full)
       val cond = coalesce(expr(m.where), lit(false))
-      val affected = spark.table(full).where(cond)
+      // IN PARTITION scopes the file-locating scan (partition-pruned: it
+      // reads one directory, not the table) AND the rewrite set
+      require(m.partition.isEmpty || partitioned,
+        s"IN PARTITION: table ${m.name} is not partitioned")
+      val scan = m.partition.foldLeft(spark.table(full))(
+        (df, v) => df.where(col(s"`$PtkCol`") === lit(v)))
+      val affected = scan.where(cond)
         .select(col("_metadata.file_path")).distinct()
         .collect().map(_.getString(0)).toVector.sorted
       if (affected.isEmpty) { spark.catalog.refreshTable(full); return }
@@ -2087,6 +2126,36 @@ class GraftSession(val spark: SparkSession) {
     // script replay passes runCtasInsert=false: schema only, no data
     // (truncate semantics); and IF NOT EXISTS on an existing table skips
     // the insert too, like CH.
+    // CH `CREATE TABLE t2 AS t1` (a BARE table name after AS, not a
+    // SELECT): clone t1's STRUCTURE — columns, engine, partitioning,
+    // settings — with no data (CH docs, statements/create/table). The
+    // clone replays t1's recorded script under the new name.
+    ct0.asSelect.map(_.trim)
+        .filter(s => ct0.cols.isEmpty &&
+          s.matches("[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)?")) match {
+      case Some(srcName) =>
+        val (sdb, st) = srcName.split("\\.", 2) match {
+          case Array(d, t) => (Some(d), t)
+          case Array(t) => (None, t)
+        }
+        val script = tableProp(sdb, st, "graft.create_script").getOrElse(
+          throw new IllegalArgumentException(
+            s"CREATE TABLE ... AS $srcName: the source has no recorded " +
+              "engine script (structure clone needs an engine table; " +
+              "use AS SELECT * FROM ... to copy data)"))
+        val src = ChParser.parse(script) match {
+          case Right(c: CreateTable) => c
+          case other => throw new IllegalArgumentException(
+            s"CREATE TABLE ... AS $srcName: unreplayable source script: $other")
+        }
+        val created = createTable(src.copy(db = ct0.db, name = ct0.name,
+          ifNotExists = ct0.ifNotExists, asSelect = None),
+          runCtasInsert = false)
+        recordNormalizedScript(
+          ct0.db.getOrElse(spark.catalog.currentDatabase), ct0.name)
+        return created
+      case None => ()
+    }
     val ct = ct0.asSelect match {
       case Some(sel) if ct0.cols.isEmpty =>
         val schema = spark.sql(rewriteSelect(sel)).schema
@@ -2794,4 +2863,11 @@ object GraftSession {
   // or an explicit finishQuery() from a wire handler — retires it
   private[exec] val currentByThread =
     new java.util.concurrent.ConcurrentHashMap[Long, String]()
+
+  /** Finished statements, newest first, capped — `system.query_log`. */
+  final case class LogEntry(qid: String, query: String, startMs: Long,
+                            durSec: Double)
+  private[exec] val queryLog =
+    new java.util.concurrent.ConcurrentLinkedDeque[LogEntry]()
+  private[exec] val QueryLogCap = 1000
 }

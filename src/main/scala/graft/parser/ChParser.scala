@@ -43,7 +43,9 @@ object ChStatement {
   final case class DescTable(db: Option[String], name: String) extends ChStatement
   final case class UseDb(name: String) extends ChStatement
   final case class OptimizeTable(db: Option[String], name: String,
-                                 fin: Boolean = false) extends ChStatement
+                                 fin: Boolean = false,
+                                 partition: Option[String] = None)
+      extends ChStatement
   /** One VALUES literal: None = NULL, Some(text) = raw literal text. */
   final case class InsertValues(db: Option[String], name: String,
                                 cols: Option[Seq[String]],
@@ -88,7 +90,8 @@ object ChStatement {
     * evaluated by the engine against the table's pre-mutation rows.
     */
   final case class AlterMutate(db: Option[String], name: String,
-                               sets: Seq[(String, String)], where: String)
+                               sets: Seq[(String, String)], where: String,
+                               partition: Option[String] = None)
       extends ChStatement
   /** `ALTER TABLE t DROP COLUMN [IF EXISTS] c` — metadata-now (catalog
     * schema loses the field; scans never read the stale bytes), physical
@@ -265,6 +268,14 @@ object ChParser {
     def peek: Option[Tok] = if (i < toks.length) Some(toks(i)) else None
     def next(): Tok = { val t = toks(i); i += 1; t }
     def done: Boolean = i >= toks.length || isPunct(";") // trailing ';'
+    /** Lookahead: is the token `off` positions AFTER the current one the
+      * given keyword? (isKwAt(0) == isKw.)
+      */
+    def isKwAt(off: Int, kw: String): Boolean =
+      i + off < toks.length && (toks(i + off) match {
+        case Ident(t, _) => t.equalsIgnoreCase(kw)
+        case _ => false
+      })
     def isKw(kw: String): Boolean = peek.exists {
       case Ident(t, _) => t.equalsIgnoreCase(kw)
       case _ => false
@@ -334,6 +345,15 @@ object ChParser {
         s"PARTITION: expected a partition value, got ${other.map(_.text)}")
     }
   }
+
+  /** Optional `IN PARTITION v` between a mutation's body and its WHERE —
+    * scopes the mutation's file-locating scan to one partition.
+    */
+  private def inPartitionOpt(p: P): Either[String, Option[String]] =
+    if (p.isKw("in") && p.isKwAt(1, "partition")) {
+      p.next(); p.next()
+      partitionValue(p).map(Some(_))
+    } else Right(None)
 
   private def mutationWhere(p: P, what: String): Either[String, String] = {
     val w = p.sliceUntil(_.isPunct(";"))
@@ -1270,9 +1290,10 @@ object ChParser {
           _ <- p.expectKw("ttl")
         } yield AlterTtl(db, tab, None)
         else if (p.eatKw("delete")) for {
+          pv <- inPartitionOpt(p)
           _ <- p.expectKw("where")
           w <- mutationWhere(p, "ALTER TABLE ... DELETE")
-        } yield AlterMutate(db, tab, Nil, w)
+        } yield AlterMutate(db, tab, Nil, w, pv)
         else if (p.eatKw("update")) {
           val sets = Vector.newBuilder[(String, String)]
           var err: Option[String] = None
@@ -1282,7 +1303,8 @@ object ChParser {
               c <- p.ident()
               _ <- p.expectPunct("=")
               e <- Right(p.sliceBalancedUntil(q =>
-                q.isPunct(",") || q.isKw("where")))
+                q.isPunct(",") || q.isKw("where") ||
+                  (q.isKw("in") && q.isKwAt(1, "partition"))))
               _ <- if (e.nonEmpty) Right(())
                    else Left(s"ALTER TABLE ... UPDATE: empty assignment " +
                      s"for $c at ${p.posText}")
@@ -1294,9 +1316,10 @@ object ChParser {
           err match {
             case Some(e) => Left(e)
             case None => for {
+              pv <- inPartitionOpt(p)
               _ <- p.expectKw("where")
               w <- mutationWhere(p, "ALTER TABLE ... UPDATE")
-            } yield AlterMutate(db, tab, sets.result(), w)
+            } yield AlterMutate(db, tab, sets.result(), w, pv)
           }
         }
         else Left(s"ALTER TABLE: expected ADD/DROP/RENAME/MODIFY COLUMN, " +
@@ -1308,9 +1331,10 @@ object ChParser {
       for {
         _ <- p.expectKw("from")
         dbTab <- qualifiedName(p)
+        pv <- inPartitionOpt(p)
         _ <- p.expectKw("where")
         w <- mutationWhere(p, "DELETE FROM")
-      } yield AlterMutate(dbTab._1, dbTab._2, Nil, w)
+      } yield AlterMutate(dbTab._1, dbTab._2, Nil, w, pv)
     } else if (p.eatKw("show")) {
       if (p.eatKw("databases")) Right(ShowDatabases)
       else if (p.eatKw("tables")) {
@@ -1360,8 +1384,11 @@ object ChParser {
       p.ident().map(UseDb(_))
     } else if (p.eatKw("optimize")) {
       p.eatKw("table")
-      qualifiedName(p).map { case (db, t) =>
-        OptimizeTable(db, t, fin = p.eatKw("final")) }
+      qualifiedName(p).flatMap { case (db, t) =>
+        val pv = if (p.eatKw("partition")) partitionValue(p).map(Some(_))
+                 else Right(None)
+        pv.map(v => OptimizeTable(db, t, fin = p.eatKw("final"), partition = v))
+      }
     } else if (p.eatKw("insert")) {
       parseInsert(p)
     } else Left(s"unrecognized statement at ${p.posText}")

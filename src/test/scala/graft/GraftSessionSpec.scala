@@ -164,6 +164,37 @@ class GraftSessionSpec extends AnyFunSuite {
     g.sql("DROP TABLE fmt_tab")
   }
 
+  test("CREATE TABLE t2 AS t1 clones STRUCTURE (engine, partitioning) " +
+    "with no data — CH's bare-name AS form, distinct from CTAS") {
+    g.sql("DROP TABLE IF EXISTS clone_src")
+    g.sql("DROP TABLE IF EXISTS clone_dst")
+    g.sql("CREATE TABLE clone_src(k Int64, d Date) ENGINE=BaseStorage " +
+      "PARTITION BY toYear(d)")
+    g.sql("INSERT INTO clone_src VALUES (1, '2021-01-01')")
+    g.sql("CREATE TABLE clone_dst AS clone_src")
+    assert(g.sql("SELECT count(*) AS n FROM clone_dst").collect()(0)
+      .getLong(0) === 0L) // structure only, never data
+    assert(g.sql("DESC TABLE clone_dst").collect().map(_.getString(0))
+      .toSeq === Seq("k", "d"))
+    val script = g.sql("SHOW CREATE TABLE clone_dst").collect()(0).getString(0)
+    assert(script.contains("clone_dst") && script.contains("PARTITION BY"))
+    g.sql("INSERT INTO clone_dst VALUES (9, '2022-05-05')") // partitioned write works
+    assert(g.sql("SELECT count(*) AS n FROM clone_dst WHERE toYear(d) " +
+      "= 2022").collect()(0).getLong(0) === 1L)
+    intercept[Exception] { g.sql("CREATE TABLE clone_bad AS no_such_src") }
+    g.sql("DROP TABLE clone_dst")
+    g.sql("DROP TABLE clone_src")
+  }
+
+  test("system.query_log records finished statements with durations") {
+    g.sql("SELECT 42 AS marker_qlog").collect()
+    g.sql("SELECT 1 AS one").collect() // retires the marker SELECT
+    val hits = g.sql("SELECT query, duration FROM system.query_log " +
+      "WHERE query LIKE '%marker_qlog%' AND query NOT LIKE '%query_log%'")
+      .collect()
+    assert(hits.nonEmpty && hits.forall(_.getDouble(1) >= 0.0))
+  }
+
   test("PARTITION BY expr writes partitioned layout and queries correctly " +
     "(write.rs:26-67, sanity_checks.rs:1294-1343)") {
     g.sql("DROP TABLE IF EXISTS part_tab")

@@ -108,6 +108,48 @@ class PartitionDdlSpec extends AnyFunSuite {
     g.sql("DROP TABLE pd_parts")
   }
 
+  test("IN PARTITION scopes a mutation: rows matching the predicate in " +
+    "OTHER partitions survive, and only the scoped partition's files " +
+    "rewrite") {
+    mk("pd_mut")
+    // k is odd in 2021 (1) and 2023 (5); delete odds ONLY in 2021
+    g.sql("ALTER TABLE pd_mut DELETE IN PARTITION '2021' WHERE k % 2 = 1")
+    val kept = g.sql("SELECT k FROM pd_mut ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq
+    assert(kept === Seq(2L, 3L, 4L, 5L))
+    g.sql("ALTER TABLE pd_mut UPDATE k = k + 100 IN PARTITION '2022' " +
+      "WHERE k >= 3")
+    val kept2 = g.sql("SELECT k FROM pd_mut ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq
+    assert(kept2 === Seq(2L, 5L, 103L, 104L)) // 5 (2023) untouched
+    intercept[Exception] {
+      g.sql("DROP TABLE IF EXISTS pd_flat2")
+      g.sql("CREATE TABLE pd_flat2(k Int64)")
+      g.sql("DELETE FROM pd_flat2 IN PARTITION '1' WHERE k = 1")
+    }
+    g.sql("DROP TABLE pd_flat2")
+    g.sql("DROP TABLE pd_mut")
+  }
+
+  test("OPTIMIZE TABLE ... PARTITION compacts only that directory; with " +
+    "FINAL it merges only that partition") {
+    g.sql("DROP TABLE IF EXISTS pd_opt")
+    g.sql("CREATE TABLE pd_opt(k Int64 PRIMARY KEY, ver Int64, d Date) " +
+      "ENGINE=ReplacingMergeTree(ver) PARTITION BY toYear(d)")
+    g.sql("INSERT INTO pd_opt VALUES (1, 1, '2021-01-01'), " +
+      "(1, 2, '2021-06-06'), (7, 1, '2022-01-01'), (7, 2, '2022-06-06')")
+    g.sql("OPTIMIZE TABLE pd_opt PARTITION '2021' FINAL")
+    // 2021 physically merged to the max-version row; 2022 untouched
+    val rows = g.sql("SELECT CAST(toYear(d) AS INT) AS yr, count(*) AS n " +
+      "FROM pd_opt GROUP BY 1 ORDER BY 1").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(rows === Seq((2021, 1), (2022, 2)))
+    assert(g.sql("SELECT ver FROM pd_opt WHERE toYear(d) = 2021")
+      .collect()(0).getLong(0) === 2L)
+    g.sql("OPTIMIZE TABLE pd_opt PARTITION '1999'") // missing: silent no-op
+    g.sql("DROP TABLE pd_opt")
+  }
+
   test("an unpartitioned table appears in system.parts under partition " +
     "'all' (CH's naming)") {
     g.sql("DROP TABLE IF EXISTS pd_all")
