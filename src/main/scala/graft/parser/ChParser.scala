@@ -411,6 +411,23 @@ object ChParser {
             case t => t.text
           }
           p.next()
+        } else if (p.isKw("codec")) {
+          // CODEC(ZSTD(3)) etc. — a storage hint; parquet's own encoding
+          // applies here, so the clause is accepted and dropped
+          p.next()
+          if (p.eatPunct("(")) {
+            var depth = 1
+            while (depth > 0 && p.peek.isDefined) {
+              p.next() match {
+                case Punct("(", _) => depth += 1
+                case Punct(")", _) => depth -= 1
+                case _ => ()
+              }
+            }
+          }
+        } else if (p.isKw("comment")) {
+          p.next()
+          p.peek match { case Some(StrLit(_, _)) => p.next(): Unit; case _ => () }
         } else go = false
       }
       ColDef(name, tpe, pk, nn, dflt)
@@ -453,43 +470,81 @@ object ChParser {
           } else Nil
           (name, args)
         } else (Option.empty[String], Seq.empty[String])
-        val partBy = if (p.isKw("partition")) {
-          p.next(); p.eatKw("by")
-          Some(p.sliceUntil(q =>
-            q.isKw("settings") || q.isKw("as") || q.isKw("sample") ||
-              q.isKw("ttl") || q.isPunct(";")))
-        } else None
-        // CH `SAMPLE BY col` (MergeTree sampling key): desugared into the
-        // settings map — it rides the existing graft.setting.* prop
-        // recording/replay, so the declared key survives restarts and
-        // RENAME normalization without new AST plumbing. SHOW CREATE
-        // renders the normalized `SETTINGS sample_by=col` form. Only a
-        // bare column key is supported (the SAMPLE rewrite hashes one
-        // column); an expression key is rejected HERE with a clear error
-        // rather than leaking its tokens into the SETTINGS parse.
-        val sampleByE: Either[String, Option[String]] =
-          if (p.isKw("sample")) {
+        // MergeTree tail clauses in any order (CH's canonical order is
+        // PARTITION BY / PRIMARY KEY / ORDER BY / SAMPLE BY / TTL /
+        // SETTINGS). ORDER BY is CH's SORTING KEY — it maps onto the
+        // same per-column PRIMARY KEY marks the column syntax sets (the
+        // merge engines key on it); a table-level PRIMARY KEY clause
+        // (CH: an index prefix of the sorting key) takes precedence as
+        // the key set when both appear. SAMPLE BY / TTL desugar into the
+        // settings map — they ride the existing graft.setting.* prop
+        // recording/replay, so both survive restarts and RENAME
+        // normalization; SHOW CREATE renders the normalized
+        // `SETTINGS sample_by=…/ttl='…'` form, which replays.
+        def clauseStop(q: P): Boolean =
+          q.isKw("settings") || q.isKw("as") || q.isKw("sample") ||
+            q.isKw("ttl") || q.isKw("order") || q.isKw("primary") ||
+            q.isPunct(";")
+        def keyList(what: String): Either[String, Seq[String]] = {
+          val raw = p.sliceUntil(clauseStop).trim
+          if (raw.equalsIgnoreCase("tuple()")) Right(Nil)
+          else {
+            val inner = if (raw.startsWith("(") && raw.endsWith(")"))
+              raw.substring(1, raw.length - 1) else raw
+            val keys = inner.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            if (keys.nonEmpty && keys.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")))
+              Right(keys)
+            else Left(s"$what: only bare column names (or tuple()) are " +
+              s"supported as the sorting key, got `$raw`")
+          }
+        }
+        var partBy: Option[String] = None
+        var orderKeys: Option[Seq[String]] = None
+        var pkKeys: Option[Seq[String]] = None
+        var sampleBy: Option[String] = None
+        var ttl: Option[String] = None
+        var err: Option[String] = None
+        var more = true
+        while (more && err.isEmpty) {
+          if (p.isKw("partition")) {
             p.next(); p.eatKw("by")
-            val key = p.sliceUntil(q =>
-              q.isKw("settings") || q.isKw("as") || q.isKw("ttl") ||
-                q.isPunct(";")).trim
-            if (key.matches("[A-Za-z_][A-Za-z0-9_]*")) Right(Some(key))
-            else Left("SAMPLE BY: only a bare column name is supported " +
-              s"as the sampling key, got `$key`")
-          } else Right(None)
-        // CH `TTL expr` (row expiry, applied at merge time): desugared
-        // into the settings map like SAMPLE BY — SHOW CREATE renders the
-        // normalized `SETTINGS ttl='expr'` form, which replays.
-        val ttl = if (p.isKw("ttl")) {
-          p.next()
-          Some(p.sliceUntil(q =>
-            q.isKw("settings") || q.isKw("as") || q.isPunct(";")).trim)
-            .filter(_.nonEmpty)
-        } else None
-        sampleByE.flatMap(sampleBy =>
-          parseSettings(p).map(settings => (engine, partBy,
-            settings ++ sampleBy.map("sample_by" -> _) ++
-              ttl.map("ttl" -> _), engineArgs)))
+            partBy = Some(p.sliceUntil(clauseStop))
+          } else if (p.isKw("order")) {
+            p.next(); p.eatKw("by")
+            keyList("ORDER BY") match {
+              case Right(ks) => orderKeys = Some(ks)
+              case Left(e) => err = Some(e)
+            }
+          } else if (p.isKw("primary")) {
+            p.next(); p.eatKw("key")
+            keyList("PRIMARY KEY") match {
+              case Right(ks) => pkKeys = Some(ks)
+              case Left(e) => err = Some(e)
+            }
+          } else if (p.isKw("sample")) {
+            p.next(); p.eatKw("by")
+            val key = p.sliceUntil(clauseStop).trim
+            if (key.matches("[A-Za-z_][A-Za-z0-9_]*")) sampleBy = Some(key)
+            else err = Some("SAMPLE BY: only a bare column name is " +
+              s"supported as the sampling key, got `$key`")
+          } else if (p.isKw("ttl")) {
+            p.next()
+            ttl = Some(p.sliceUntil(q =>
+              q.isKw("settings") || q.isKw("as") || q.isPunct(";")).trim)
+              .filter(_.nonEmpty)
+          } else more = false
+        }
+        err.toLeft(()).flatMap { _ =>
+          val sortKeys = pkKeys.orElse(orderKeys)
+          sortKeys.flatMap(_.find(k => !cols.exists(_.name == k))) match {
+            case Some(k) =>
+              Left(s"ORDER BY/PRIMARY KEY: $k is not a declared column")
+            case None =>
+              parseSettings(p).map(settings => (engine, partBy,
+                settings ++ sampleBy.map("sample_by" -> _) ++
+                  ttl.map("ttl" -> _), engineArgs, sortKeys))
+          }
+        }
       }
       asSel <- if (p.eatKw("as")) {
         val rest = p.sliceUntil(_.isPunct(";")).trim
@@ -499,8 +554,18 @@ object ChParser {
       _ <- if (cols.isEmpty && asSel.isEmpty)
         Left("CREATE TABLE: expected a column list or AS SELECT")
       else Right(())
-    } yield CreateTable(dbTab._1, dbTab._2, cols, tail._1, tail._2, tail._3,
-      ine, p.sql.trim, asSel, tail._4)
+    } yield {
+      // a table-level sorting key marks its columns exactly as the
+      // per-column PRIMARY KEY syntax would
+      val keyed = tail._5 match {
+        case Some(ks) if ks.nonEmpty =>
+          cols.map(c => if (ks.contains(c.name)) c.copy(primaryKey = true)
+                        else c)
+        case _ => cols
+      }
+      CreateTable(dbTab._1, dbTab._2, keyed, tail._1, tail._2, tail._3,
+        ine, p.sql.trim, asSel, tail._4)
+    }
   }
 
   /** CREATE MATERIALIZED VIEW [IF NOT EXISTS] name [ENGINE=e]

@@ -339,4 +339,32 @@ class ChParserSpec extends AnyFunSuite {
     assert(ChParser.splitWithTotals(
       "SELECT k FROM t GROUP BY k WITH TOTALS UNION ALL SELECT 1") === None)
   }
+
+  test("CH-canonical MergeTree DDL: ORDER BY is the sorting key, " +
+    "table-level PRIMARY KEY wins over it, CODEC/COMMENT are dropped, " +
+    "tuple() means no key, PARTITION BY stops cleanly before ORDER BY") {
+    import ChStatement._
+    def ct(s: String): CreateTable =
+      ChParser.parse(s).toOption.get.asInstanceOf[CreateTable]
+    val a = ct("CREATE TABLE t(k Int64, v String CODEC(ZSTD(3)) " +
+      "COMMENT 'x') ENGINE=MergeTree ORDER BY k")
+    assert(a.cols.map(c => (c.name, c.primaryKey)) ===
+      Seq(("k", true), ("v", false)))
+    val b = ct("CREATE TABLE t(k Int64, d Date) ENGINE=MergeTree " +
+      "PARTITION BY toYYYYMM(d) ORDER BY k SETTINGS index_granularity=8192")
+    assert(b.partitionBy === Some("toYYYYMM(d)") &&
+      b.cols.head.primaryKey && b.settings("index_granularity") === "8192")
+    val c = ct("CREATE TABLE t(k Int64, v Int64) ENGINE=MergeTree " +
+      "PRIMARY KEY k ORDER BY (k, v)")
+    assert(c.cols.map(x => (x.name, x.primaryKey)) ===
+      Seq(("k", true), ("v", false)))
+    val d = ct("CREATE TABLE t(k Int64) ENGINE=MergeTree ORDER BY tuple()")
+    assert(d.cols.forall(!_.primaryKey))
+    // an expression sorting key is rejected loudly, not silently dropped
+    assert(ChParser.parse("CREATE TABLE t(k Int64) ENGINE=MergeTree " +
+      "ORDER BY cityHash64(k)").isLeft)
+    // an undeclared key column is rejected
+    assert(ChParser.parse("CREATE TABLE t(k Int64) ENGINE=MergeTree " +
+      "ORDER BY nope").isLeft)
+  }
 }

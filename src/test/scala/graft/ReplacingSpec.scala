@@ -244,6 +244,28 @@ class ReplacingSpec extends AnyFunSuite {
     g.sql("DROP TABLE agg_t")
   }
 
+  test("the CH-canonical DDL spelling works end-to-end: ENGINE=" +
+    "ReplacingMergeTree(ver) ORDER BY key + CODEC + table-level clauses " +
+    "drive the merge exactly like the PRIMARY KEY column syntax") {
+    g.sql("DROP TABLE IF EXISTS rep_ch")
+    g.sql("CREATE TABLE rep_ch(k Int64, ver Int64 CODEC(ZSTD(3)), " +
+      "v String COMMENT 'payload') ENGINE=ReplacingMergeTree(ver) " +
+      "ORDER BY k SETTINGS index_granularity=8192")
+    g.sql("INSERT INTO rep_ch VALUES (1, 1, 'old'), (1, 2, 'new'), " +
+      "(2, 7, 'only')")
+    val rows = g.sql("SELECT k, v FROM rep_ch FINAL ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows === Seq((1L, "new"), (2L, "only")))
+    // ORDER BY tuple() = no sorting key: FINAL has nothing to merge on
+    g.sql("DROP TABLE IF EXISTS rep_nokey")
+    g.sql("CREATE TABLE rep_nokey(k Int64) ENGINE=MergeTree ORDER BY tuple()")
+    g.sql("INSERT INTO rep_nokey VALUES (1), (1)")
+    assert(g.sql("SELECT count(*) AS n FROM rep_nokey").collect()(0)
+      .getLong(0) === 2L)
+    g.sql("DROP TABLE rep_nokey")
+    g.sql("DROP TABLE rep_ch")
+  }
+
   test("FINAL SAMPLE is refused loudly, never silently composed") {
     g.sql("DROP TABLE IF EXISTS rep_fs")
     g.sql("CREATE TABLE rep_fs(k Int64 PRIMARY KEY, ver Int64) " +
