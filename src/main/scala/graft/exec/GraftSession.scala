@@ -655,7 +655,8 @@ class GraftSession(val spark: SparkSession) {
       rewriteLimitTies(rewriteLimitBy(rewriteWithTotals(
         rewritePrewhere(rewriteArrayJoin(rewriteInTable(rewriteDistinctOnStep(
           rewriteSample(rewriteFinal(spliceSystemViews(
-            rewriteDictFns(sqlIn)))))))))))))
+            rewriteDictFns(ChParser.rewriteAnyJoin(
+              ChParser.rewriteQueryTails(sqlIn)))))))))))))))
 
   /** ClickHouse `FROM t FINAL` over a merging-engine table
     * (Replacing/SummingMergeTree): splice in the merged-state view from

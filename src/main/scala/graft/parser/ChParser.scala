@@ -1561,6 +1561,235 @@ object ChParser {
         out.toSeq
     }
 
+  /** CH query-surface normalizations that don't change results, so a
+    * clickhouse-client-authored SELECT runs unmodified:
+    *   - a trailing `FORMAT name` (output formatting is the wire layer's
+    *     concern; the engine always returns typed rows);
+    *   - a trailing `SETTINGS k = v, …` (per-query knobs — Spark has its
+    *     own conf surface; accepted and dropped);
+    *   - zero-argument `count()` → `count(*)` (CH idiom);
+    *   - the `GLOBAL` distribution hint before IN / JOIN (Spark's
+    *     optimizer already picks broadcast vs shuffle).
+    * All token-located at depth 0 — literals/comments never match.
+    */
+  def rewriteQueryTails(sql0: String): String = {
+    var sql = sql0
+    var changed = true
+    var guard = 0
+    while (changed && guard < 12) {
+      changed = false; guard += 1
+      tokenize(sql) match {
+        case Left(_) => return sql
+        case Right(toks) =>
+          val depths = new Array[Int](toks.length)
+          var d = 0
+          toks.zipWithIndex.foreach { case (t, i) =>
+            t match {
+              case Punct("(", _) => depths(i) = d; d += 1
+              case Punct(")", _) => d -= 1; depths(i) = d
+              case _ => depths(i) = d
+            }
+          }
+          def isIdent(i: Int, s: String): Boolean =
+            i >= 0 && i < toks.length && (toks(i) match {
+              case Ident(t, _) => t.equalsIgnoreCase(s)
+              case _ => false
+            })
+          val last = toks.length - 1
+          val end = if (last >= 0 && toks(last).text == ";") last - 1 else last
+          // trailing FORMAT <name>
+          if (!changed && end >= 1 && depths(end) == 0 &&
+              isIdent(end - 1, "format") && toks(end).isInstanceOf[Ident] &&
+              !isIdent(end, "format")) {
+            sql = sql.substring(0, toks(end - 1).pos).trim
+            changed = true
+          }
+          // trailing SETTINGS k = v [, k = v …]
+          if (!changed) {
+            val si = toks.indices.lastIndexWhere(i =>
+              depths(i) == 0 && isIdent(i, "settings"))
+            if (si > 0 && si < end) {
+              var j = si + 1
+              var ok = true
+              while (ok && j <= end) {
+                val kvOk = j + 2 <= end && toks(j).isInstanceOf[Ident] &&
+                  toks(j + 1).text == "=" &&
+                  (toks(j + 2) match {
+                    case _: NumLit | _: StrLit | _: Ident => true
+                    case Punct("-", _) => false
+                    case _ => false
+                  })
+                if (kvOk) {
+                  j += 3
+                  if (j <= end) {
+                    if (toks(j).text == ",") j += 1 else ok = false
+                  }
+                } else ok = false
+              }
+              if (ok && j == end + 1) {
+                sql = sql.substring(0, toks(si).pos).trim +
+                  (if (last != end) ";" else "")
+                changed = true
+              }
+            }
+          }
+          // count() → count(*)
+          if (!changed) {
+            val ci = toks.indices.find(i => isIdent(i, "count") &&
+              i + 2 < toks.length && toks(i + 1).text == "(" &&
+              toks(i + 2).text == ")")
+            ci.foreach { i =>
+              sql = sql.substring(0, toks(i).pos) + "count(*)" +
+                sql.substring(toks(i + 2).pos + 1)
+              changed = true
+            }
+          }
+          // bare `USING k1, k2` (CH allows it; Spark requires parens)
+          if (!changed) {
+            val kwStop = Set("from", "where", "group", "order", "limit",
+              "on", "join", "left", "right", "inner", "full", "cross",
+              "union", "intersect", "except", "having", "settings",
+              "format", "as", "select", "with", "by", "using", "sample",
+              "prewhere", "window", "qualify", "asof", "any", "all")
+            val ui = toks.indices.find(i => isIdent(i, "using") &&
+              i + 1 < toks.length && (toks(i + 1) match {
+                case Ident(t, _) => t.matches("[A-Za-z_][A-Za-z0-9_]*") &&
+                  !kwStop.contains(t.toLowerCase(java.util.Locale.ROOT))
+                case _ => false
+              }))
+            ui.foreach { i =>
+              var j = i + 1
+              val cols = scala.collection.mutable.ArrayBuffer.empty[Tok]
+              var go = true
+              while (go && j < toks.length) {
+                toks(j) match {
+                  case t @ Ident(n, _) if cols.size % 2 == 0 &&
+                      n.matches("[A-Za-z_][A-Za-z0-9_]*") &&
+                      !kwStop.contains(n.toLowerCase(java.util.Locale.ROOT)) =>
+                    cols += t; j += 1
+                    if (j < toks.length && toks(j).text == ",") {
+                      cols += toks(j); j += 1
+                    } else go = false
+                  case _ => go = false
+                }
+              }
+              val names = cols.collect { case Ident(n, _) => n }
+              if (names.nonEmpty) {
+                val lastTok = cols.reverse.collectFirst {
+                  case t: Ident => t }.get
+                val endOff = lastTok.pos + lastTok.text.length
+                sql = sql.substring(0, toks(i + 1).pos) +
+                  names.mkString("(", ", ", ") ") + sql.substring(endOff)
+                changed = true
+              }
+            }
+          }
+          // GLOBAL before IN / NOT IN / a join word
+          if (!changed) {
+            val gi = toks.indices.find(i => isIdent(i, "global") &&
+              (isIdent(i + 1, "in") || isIdent(i + 1, "not") ||
+                isIdent(i + 1, "any") || isIdent(i + 1, "all") ||
+                isIdent(i + 1, "left") || isIdent(i + 1, "right") ||
+                isIdent(i + 1, "inner") || isIdent(i + 1, "full") ||
+                isIdent(i + 1, "join")))
+            gi.foreach { i =>
+              sql = sql.substring(0, toks(i).pos) +
+                sql.substring(toks(i + 1).pos)
+              changed = true
+            }
+          }
+      }
+    }
+    sql
+  }
+
+  /** CH join STRICTNESS: `ANY [LEFT|RIGHT|INNER] JOIN rel … USING (k…)`
+    * keeps at most ONE right-side row per join key. Rewritten to a join
+    * against the key-deduplicated relation — full-row-min per key via a
+    * row_number over `struct(*)`, DETERMINISTIC where CH's pick is
+    * arbitrary (the same pinned divergence the no-version
+    * ReplacingMergeTree documents). `ALL` (CH's default strictness
+    * spelled out) is dropped by [[rewriteQueryTails]]'s GLOBAL/ALL
+    * handling path here. Scope: the relation must be a plain table
+    * name and the join must use USING — ON-form ANY joins error loudly.
+    */
+  def rewriteAnyJoin(sql0: String): String = {
+    var sql = sql0
+    var changed = true
+    var guard = 0
+    while (changed && guard < 8) {
+      changed = false; guard += 1
+      tokenize(sql) match {
+        case Left(_) => return sql
+        case Right(toks) =>
+          def identAt(i: Int): Option[String] =
+            if (i >= 0 && i < toks.length) toks(i) match {
+              case Ident(t, _) => Some(t)
+              case _ => None
+            } else None
+          def is(i: Int, s: String) = identAt(i).exists(_.equalsIgnoreCase(s))
+          val joinWords = Set("left", "right", "inner", "join")
+          var i = 0
+          while (!changed && i < toks.length) {
+            if (is(i, "all") && identAt(i + 1).exists(w =>
+                joinWords.contains(w.toLowerCase(java.util.Locale.ROOT)))) {
+              // ALL JOIN is the default strictness: drop the word
+              sql = sql.substring(0, toks(i).pos) +
+                sql.substring(toks(i + 1).pos)
+              changed = true
+            } else if (is(i, "any") && identAt(i + 1).exists(w =>
+                joinWords.contains(w.toLowerCase(java.util.Locale.ROOT)))) {
+              var j = i + 1
+              while (!is(j, "join") && j < i + 3) j += 1
+              if (!is(j, "join"))
+                throw new IllegalArgumentException(
+                  "ANY JOIN: unsupported join form after ANY")
+              val joinType = if (j > i + 1) identAt(i + 1).get else "inner"
+              val rel = identAt(j + 1).filter(_.matches("[A-Za-z_][A-Za-z0-9_]*"))
+                .getOrElse(throw new IllegalArgumentException(
+                  "ANY JOIN: the right side must be a plain table name"))
+              var k = j + 2
+              val alias =
+                if (is(k, "as")) { k += 1; identAt(k).map { a => k += 1; a } }
+                else identAt(k).filter(a =>
+                  !a.equalsIgnoreCase("using") && !a.equalsIgnoreCase("on"))
+                  .map { a => k += 1; a }
+              if (!is(k, "using"))
+                throw new IllegalArgumentException(
+                  "ANY JOIN: only the USING form is supported (spell the " +
+                    "dedup explicitly for ON-joins)")
+              // read the USING column list WITHOUT consuming it
+              var u = k + 1
+              val cols = scala.collection.mutable.ArrayBuffer.empty[String]
+              if (u < toks.length && toks(u).text == "(") {
+                u += 1
+                while (u < toks.length && toks(u).text != ")") {
+                  identAt(u).foreach(cols += _)
+                  u += 1
+                }
+              } else identAt(u).foreach(cols += _)
+              require(cols.nonEmpty, "ANY JOIN: empty USING list")
+              val pby = cols.map(c => s"`$c`").mkString(", ")
+              val a = alias.getOrElse(rel)
+              val dedup = s"(SELECT * EXCEPT (__graft_rn) FROM (SELECT *, " +
+                s"row_number() OVER (PARTITION BY $pby ORDER BY struct(*)) " +
+                s"AS __graft_rn FROM $rel) __graft_any_$a " +
+                s"WHERE __graft_rn = 1) AS $a"
+              val repl = (if (joinType.equalsIgnoreCase("inner")) "JOIN"
+                          else s"${joinType.toUpperCase(java.util.Locale.ROOT)} JOIN") +
+                " " + dedup
+              val from = toks(i).pos
+              val to = toks(k).pos // start of USING — keep it
+              sql = sql.substring(0, from) + repl + " " + sql.substring(to)
+              changed = true
+            }
+            i += 1
+          }
+      }
+    }
+    sql
+  }
+
   /** Split a multi-statement script on blank lines + ';' like the
     * reference's script runner (crates/tests_integ/src/sql_test_runner.rs:50-95).
     */

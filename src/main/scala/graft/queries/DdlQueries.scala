@@ -460,6 +460,24 @@ object DdlQueries {
         "GROUP BY flag ORDER BY flag")
     },
 
+    // ANY JOIN strictness (d24): CH's at-most-one-right-row-per-key
+    // join, over orders deduplicated to each customer's full-row-min
+    // order. The engine's pick is the deterministic struct(*) min
+    // (pinned divergence from CH's arbitrary pick), which the oracle
+    // reproduces as a rank-1 window ordered by the same column list.
+    "d24_any_join" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("DROP TABLE IF EXISTS d24_r")
+      g.sql("CREATE TABLE d24_r AS SELECT o_custkey AS k, " +
+        "CAST(round(CAST(o_totalprice AS DECIMAL(14,2)), 2) AS DOUBLE) " +
+        "AS price FROM orders")
+      g.sql("SELECT c_mktsegment AS seg, count() AS n, " +
+        "CAST(round(sum(CAST(price AS DECIMAL(18,2))), 2) AS DOUBLE) AS sp " +
+        "FROM (SELECT c_custkey AS k, c_mktsegment FROM customer) c " +
+        "ANY LEFT JOIN d24_r USING k GROUP BY seg ORDER BY seg")
+    },
+
     // Dictionaries (d23): CREATE DICTIONARY over a warehouse dim copy of
     // nation, then dictGet/dictHas inside a customer aggregation — the
     // lookup is a broadcast hash behind a per-dictionary function, so
@@ -748,6 +766,22 @@ object DdlQueries {
       """SELECT l_returnflag AS flag, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS INTEGER)) AS BIGINT) AS sq
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d24_any_join" ->
+      """WITH r AS (
+        |  SELECT o_custkey AS k,
+        |    CAST(ROUND(CAST(o_totalprice AS DECIMAL(14,2)), 2) AS DOUBLE)
+        |      AS price
+        |  FROM orders),
+        |d AS (
+        |  SELECT k, price FROM (
+        |    SELECT k, price,
+        |      row_number() OVER (PARTITION BY k ORDER BY k, price) AS rn
+        |    FROM r) WHERE rn = 1)
+        |SELECT c_mktsegment AS seg, count(*) AS n,
+        |  CAST(ROUND(sum(CAST(price AS DECIMAL(18,2))), 2) AS DOUBLE) AS sp
+        |FROM customer LEFT JOIN d ON d.k = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d23_dictionary" ->
       """SELECT coalesce(n.n_name, 'unknown') AS nat,

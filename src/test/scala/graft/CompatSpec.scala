@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.exec.GraftSession
+
+/** clickhouse-client query-surface compatibility: trailing FORMAT and
+  * SETTINGS clauses, zero-arg count(), the GLOBAL distribution hint,
+  * bare USING lists, and ANY/ALL join strictness. All are token-located
+  * rewrites — string literals never match.
+  */
+class CompatSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  private lazy val g = new GraftSession(spark)
+
+  private def mk(): Unit = {
+    g.sql("DROP TABLE IF EXISTS cp_t")
+    g.sql("CREATE TABLE cp_t(k Int64, v Int64)")
+    g.sql("INSERT INTO cp_t VALUES (1, 10), (1, 11), (2, 20)")
+  }
+
+  test("trailing FORMAT and SETTINGS clauses are accepted and dropped; " +
+    "count() means count(*); GLOBAL IN is the plain IN") {
+    mk()
+    assert(g.sql("SELECT count() AS n FROM cp_t FORMAT TabSeparated")
+      .collect()(0).getLong(0) === 3L)
+    assert(g.sql("SELECT sum(v) AS s FROM cp_t " +
+      "SETTINGS max_threads = 4, join_use_nulls = 1 FORMAT JSON")
+      .collect()(0).getLong(0) === 41L)
+    assert(g.sql("SELECT count() AS n FROM cp_t WHERE k GLOBAL NOT IN " +
+      "(SELECT k FROM cp_t WHERE k = 2)").collect()(0).getLong(0) === 2L)
+    // a literal containing the words is untouched
+    assert(g.sql("SELECT 'SETTINGS max_threads = 4' AS s").collect()(0)
+      .getString(0) === "SETTINGS max_threads = 4")
+  }
+
+  test("bare USING k (CH) gets Spark's required parens; multi-column " +
+    "lists too") {
+    mk()
+    assert(g.sql("SELECT count() AS n FROM cp_t a JOIN cp_t b USING k")
+      .collect()(0).getLong(0) === 5L)
+    assert(g.sql("SELECT count() AS n FROM cp_t a JOIN cp_t b USING k, v")
+      .collect()(0).getLong(0) === 3L)
+  }
+
+  test("ANY LEFT JOIN keeps at most one right row per key " +
+    "(deterministic full-row-min where CH picks arbitrarily); ALL is " +
+    "the default strictness; ON-form ANY errors loudly") {
+    mk()
+    val any = g.sql("SELECT t1.k AS k, t1.v AS v, t2.v AS v2 FROM cp_t t1 " +
+      "ANY LEFT JOIN cp_t t2 USING k ORDER BY k, v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(any === Seq((1L, 10L, 10L), (1L, 11L, 10L), (2L, 20L, 20L)))
+    val all = g.sql("SELECT count() AS n FROM cp_t t1 " +
+      "ALL INNER JOIN cp_t t2 USING k").collect()(0).getLong(0)
+    assert(all === 5L)
+    intercept[Exception] {
+      g.sql("SELECT t1.k FROM cp_t t1 ANY LEFT JOIN cp_t t2 ON t1.k = t2.k")
+        .collect()
+    }
+    g.sql("DROP TABLE cp_t")
+  }
+}
