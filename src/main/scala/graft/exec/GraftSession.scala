@@ -656,7 +656,9 @@ class GraftSession(val spark: SparkSession) {
         rewritePrewhere(rewriteArrayJoin(rewriteInTable(rewriteDistinctOnStep(
           rewriteSample(rewriteFinal(spliceSystemViews(
             rewriteDictFns(ChParser.rewriteAnyJoin(
-              ChParser.rewriteQueryTails(sqlIn)))))))))))))))
+              ChParser.rewriteQueryTails(ChParser.rewriteQuantiles(
+                ChParser.rewriteArrayLiterals(
+                  ChParser.rewriteScalarWith(sqlIn))))))))))))))))))
 
   /** ClickHouse `FROM t FINAL` over a merging-engine table
     * (Replacing/SummingMergeTree): splice in the merged-state view from

@@ -1703,6 +1703,212 @@ object ChParser {
     sql
   }
 
+  /** CH `[a, b, …]` array literals → Spark `array(a, b, …)`. A '[' that
+    * follows a non-keyword identifier, ')' or ']' is SUBSCRIPTING
+    * (arr[1]) and is left alone — only expression-position brackets are
+    * literals. (Subscripting itself stays Spark-semantics: 0-based — a
+    * documented divergence from CH's 1-based arrays; CH code normally
+    * uses arrayElement/has/indexOf, which the function packs carry.)
+    */
+  def rewriteArrayLiterals(sql0: String): String = tokenize(sql0) match {
+    case Left(_) => sql0
+    case Right(toks) =>
+      val kw = Set("in", "and", "or", "not", "when", "then", "else",
+        "select", "where", "by", "having", "on", "using", "values", "as",
+        "is", "between", "like", "limit", "union", "all", "any",
+        "distinct", "array", "from", "return", "returns")
+      // style per bracket: 0 = subscript (untouched), 1 = array literal,
+      // 2 = IN-list (CH `x IN ['a','b']` is list membership → plain parens)
+      val opens = scala.collection.mutable.Map.empty[Int, Int]
+      val closes = scala.collection.mutable.Map.empty[Int, Int]
+      val stack = scala.collection.mutable.Stack.empty[(Int, Int)]
+      toks.zipWithIndex.foreach { case (t, ti) =>
+        t match {
+          case Punct("[", p) =>
+            val prev = if (ti > 0) Some(toks(ti - 1)) else None
+            val style = prev match {
+              case Some(Ident(n, _))
+                  if n.equalsIgnoreCase("in") => 2
+              case Some(Ident(n, _))
+                  if !kw.contains(n.toLowerCase(java.util.Locale.ROOT)) => 0
+              case Some(Punct(")", _)) | Some(Punct("]", _)) => 0
+              case _ => 1
+            }
+            stack.push((p, style))
+            if (style != 0) opens += (p -> style)
+          case Punct("]", p) =>
+            if (stack.nonEmpty) {
+              val (_, style) = stack.pop()
+              if (style != 0) closes += (p -> style)
+            }
+          case _ => ()
+        }
+      }
+      if (opens.isEmpty) sql0
+      else {
+        val sb = new StringBuilder
+        var i = 0
+        while (i < sql0.length) {
+          opens.get(i) match {
+            case Some(2) => sb.append("(")
+            case Some(_) => sb.append("array(")
+            case None =>
+              if (closes.contains(i)) sb.append(")")
+              else sb.append(sql0.charAt(i))
+          }
+          i += 1
+        }
+        sb.toString
+      }
+  }
+
+  /** CH scalar WITH — `WITH <expr> AS name, … SELECT …` binds expression
+    * ALIASES (including scalar subqueries: `WITH (SELECT max(x) FROM t)
+    * AS mx`), substituted wherever the alias appears. CTE-form items
+    * (`name AS (SELECT …)`) leave the statement untouched — Spark's own
+    * WITH handles those. Substitution skips qualified references
+    * (a.name / name.a) and function calls name(…), and wraps each
+    * splice in parens.
+    */
+  def rewriteScalarWith(sql0: String): String = tokenize(sql0) match {
+    case Left(_) => sql0
+    case Right(toks) if toks.nonEmpty && (toks.head match {
+        case Ident(t, _) => t.equalsIgnoreCase("with"); case _ => false
+      }) =>
+      // split prologue items at depth-0 commas; the prologue ends at the
+      // depth-0 SELECT
+      var depth = 0
+      var selIdx = -1
+      val itemBounds = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var ti = 1
+      while (selIdx < 0 && ti < toks.length) {
+        toks(ti) match {
+          case Punct("(", _) => depth += 1
+          case Punct(")", _) => depth -= 1
+          case Punct(",", _) if depth == 0 => itemBounds += ti
+          case Ident(t, _) if depth == 0 && t.equalsIgnoreCase("select") =>
+            selIdx = ti
+          case _ => ()
+        }
+        ti += 1
+      }
+      if (selIdx < 0) return sql0
+      val starts = 1 +: itemBounds.map(_ + 1).toSeq
+      val ends = itemBounds.toSeq :+ selIdx // exclusive token index
+      val items = starts.zip(ends)
+      // CTE form anywhere → not scalar WITH
+      val isCte = items.exists { case (s, e) =>
+        e - s >= 3 && ((toks(s), toks(s + 1), toks(s + 2)) match {
+          case (_: Ident, Ident(a, _), Punct("(", _)) =>
+            a.equalsIgnoreCase("as")
+          case _ => false
+        })
+      }
+      if (isCte) return sql0
+      val binds = items.map { case (s, e) =>
+        if (e - s < 3) return sql0
+        (toks(e - 2), toks(e - 1)) match {
+          case (Ident(a, _), Ident(name, _)) if a.equalsIgnoreCase("as") =>
+            val exprText =
+              sql0.substring(toks(s).pos, toks(e - 2).pos).trim
+            if (exprText.isEmpty) return sql0
+            name -> exprText
+          case _ => return sql0
+        }
+      }.toMap
+      if (binds.isEmpty) return sql0
+      // rebuild: the main query with alias tokens substituted
+      val mainStart = toks(selIdx).pos
+      var out = sql0.substring(mainStart)
+      val shift = mainStart
+      val repls = toks.zipWithIndex.drop(selIdx).collect {
+        case (Ident(n, p), i) if binds.contains(n) &&
+            (i + 1 >= toks.length || toks(i + 1).text != "(") &&
+            (i + 1 >= toks.length || toks(i + 1).text != ".") &&
+            toks(i - 1).text != "." =>
+          (p - shift, p - shift + n.length, binds(n))
+      }
+      repls.sortBy(-_._1).foreach { case (f, t, e) =>
+        out = out.substring(0, f) + s"($e)" + out.substring(t)
+      }
+      out
+    case _ => sql0
+  }
+
+  /** CH parametric quantiles — `quantile[Exact|TDigest](p)(x)` and the
+    * plural `quantiles…(p1, p2, …)(x)` — onto Spark's percentile
+    * family: Exact → percentile (true rank), the rest →
+    * percentile_approx; plural forms pass the probability array through
+    * (Spark returns an array, like CH).
+    */
+  def rewriteQuantiles(sql0: String): String = {
+    val fns = Map(
+      "quantile" -> "percentile_approx", "quantiletdigest" -> "percentile_approx",
+      "quantileexact" -> "percentile", "quantiles" -> "percentile_approx",
+      "quantilesexact" -> "percentile", "quantilestdigest" -> "percentile_approx")
+    var sql = sql0
+    var changed = true
+    var guard = 0
+    while (changed && guard < 8) {
+      changed = false; guard += 1
+      tokenize(sql) match {
+        case Left(_) => return sql
+        case Right(toks) =>
+          var i = 0
+          while (!changed && i < toks.length) {
+            toks(i) match {
+              case Ident(n, p0) if fns.contains(
+                  n.toLowerCase(java.util.Locale.ROOT)) &&
+                  i + 1 < toks.length && toks(i + 1).text == "(" =>
+                // params: literal numbers up to the closing ')'
+                var j = i + 2
+                val ps = scala.collection.mutable.ArrayBuffer.empty[String]
+                var ok = true
+                while (ok && j < toks.length && toks(j).text != ")") {
+                  toks(j) match {
+                    case NumLit(s, _) => ps += s; j += 1
+                      if (j < toks.length && toks(j).text == ",") j += 1
+                    case _ => ok = false
+                  }
+                }
+                if (ok && ps.nonEmpty && j + 1 < toks.length &&
+                    toks(j).text == ")" && toks(j + 1).text == "(") {
+                  // arg: balanced slice to the matching ')'
+                  var k = j + 2
+                  var d = 1
+                  val argStart = toks(k).pos
+                  var endPos = -1
+                  while (endPos < 0 && k < toks.length) {
+                    toks(k) match {
+                      case Punct("(", _) => d += 1
+                      case Punct(")", pp) =>
+                        d -= 1; if (d == 0) endPos = pp
+                      case _ => ()
+                    }
+                    k += 1
+                  }
+                  if (endPos > 0) {
+                    val arg = sql.substring(argStart, endPos).trim
+                    val plural = n.toLowerCase(java.util.Locale.ROOT)
+                      .startsWith("quantiles")
+                    val pexpr =
+                      if (plural) ps.mkString("array(", ", ", ")")
+                      else ps.head
+                    val repl = s"${fns(n.toLowerCase(java.util.Locale.ROOT))}" +
+                      s"(($arg), $pexpr)"
+                    sql = sql.substring(0, p0) + repl + sql.substring(endPos + 1)
+                    changed = true
+                  }
+                }
+              case _ => ()
+            }
+            i += 1
+          }
+      }
+    }
+    sql
+  }
+
   /** CH join STRICTNESS: `ANY [LEFT|RIGHT|INNER] JOIN rel … USING (k…)`
     * keeps at most ONE right-side row per join key. Rewritten to a join
     * against the key-deduplicated relation — full-row-min per key via a

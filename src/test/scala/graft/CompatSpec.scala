@@ -44,6 +44,42 @@ class CompatSpec extends AnyFunSuite {
       .collect()(0).getLong(0) === 3L)
   }
 
+  test("scalar WITH binds expression aliases (constants, expressions " +
+    "over columns, scalar subqueries); CTE WITH is untouched") {
+    mk()
+    assert(g.sql("WITH 15 AS lim SELECT count() AS n FROM cp_t " +
+      "WHERE v > lim").collect()(0).getLong(0) === 1L)
+    assert(g.sql("WITH v * 2 AS dv SELECT CAST(sum(dv) AS BIGINT) AS s " +
+      "FROM cp_t").collect()(0).getLong(0) === 82L)
+    assert(g.sql("WITH (SELECT max(v) FROM cp_t) AS mx SELECT count() " +
+      "AS n FROM cp_t WHERE v = mx").collect()(0).getLong(0) === 1L)
+    assert(g.sql("WITH cte AS (SELECT k FROM cp_t WHERE v > 10) " +
+      "SELECT count(*) AS n FROM cte").collect()(0).getLong(0) === 2L)
+  }
+
+  test("CH array literals: [..] in expression position becomes array(), " +
+    "after IN it is a plain list, subscripting and string literals are " +
+    "untouched") {
+    mk()
+    assert(g.sql("SELECT arrayJoin([7, 8]) AS x ORDER BY x").collect()
+      .map(_.getInt(0)).toSeq === Seq(7, 8))
+    assert(g.sql("SELECT count() AS n FROM cp_t WHERE v IN [10, 20]")
+      .collect()(0).getLong(0) === 2L)
+    assert(g.sql("SELECT 'keep [1,2]' AS s").collect()(0)
+      .getString(0) === "keep [1,2]")
+    assert(g.sql("SELECT has([1, 2, 3], 2) AS h").collect()(0)
+      .getBoolean(0) === true)
+  }
+
+  test("CH parametric quantiles map onto Spark's percentile family; " +
+    "the plural form returns the probability array") {
+    mk()
+    val r = g.sql("SELECT quantileExact(0.5)(v) AS med, " +
+      "quantiles(0.0, 1.0)(v) AS lohi FROM cp_t").collect()(0)
+    assert(r.getDouble(0) === 11.0) // true-rank median of {10, 11, 20}
+    assert(r.getSeq[Long](1).toSeq === Seq(10L, 20L))
+  }
+
   test("ANY LEFT JOIN keeps at most one right row per key " +
     "(deterministic full-row-min where CH picks arbitrarily); ALL is " +
     "the default strictness; ON-form ANY errors loudly") {
