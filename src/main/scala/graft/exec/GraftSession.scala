@@ -379,11 +379,16 @@ class GraftSession(val spark: SparkSession) {
       loc.foreach(p => rmTree(p.toFile))
       java.nio.file.Files.deleteIfExists(metaFile(rdb, name))
       r
-    case TruncateTable(_, name) if viewDefs.contains(name) =>
+    case TruncateTable(_, name, _) if viewDefs.contains(name) =>
       throw new IllegalArgumentException(
         s"TRUNCATE: $name is a view — views store no data (ClickHouse " +
           "rejects TRUNCATE on plain views too)")
-    case TruncateTable(db, name) =>
+    case TruncateTable(db, name, ie) if ie &&
+        !spark.sessionState.catalog.tableExists(
+          org.apache.spark.sql.catalyst.TableIdentifier(name,
+            Some(db.getOrElse(spark.catalog.currentDatabase)))) =>
+      emptyOk
+    case TruncateTable(db, name, _) =>
       // Spark disallows TRUNCATE on external-location tables; the
       // reference's semantics are "drop data, keep meta" (mgmt.rs:856-905)
       // — replay the recorded create script around a full drop.
@@ -437,8 +442,14 @@ class GraftSession(val spark: SparkSession) {
         }
       spark.createDataFrame(rows.asJava,
         StructType(Seq(StructField("name", StringType), StructField("type", StringType))))
-    case OptimizeTable(db, name, fin, part) =>
-      optimizeTable(db, name, fin, part); emptyOk
+    case OptimizeTable(db, name, fin, part, dedup) =>
+      optimizeTable(db, name, fin, part, dedup); emptyOk
+    case ShowDictionaries =>
+      val rows = dictDefs.values.toSeq.map(d =>
+        Row(d.name, d.source, d.key))
+      spark.createDataFrame(rows.asJava, StructType(Seq(
+        StructField("name", StringType), StructField("source", StringType),
+        StructField("key", StringType))))
     case m: AlterMutate =>
       mutateTable(m); emptyOk
     case cv: CreateView => createView(cv)
@@ -954,7 +965,7 @@ class GraftSession(val spark: SparkSession) {
   private def spliceSystemViews(sql: String): String = {
     val hits = ChParser.qualifiedRefs(sql, "system",
       Set("tables", "columns", "restore_errors", "parts", "detached_parts",
-        "databases", "processes", "query_log"))
+        "databases", "processes", "query_log", "dictionaries"))
     if (hits.isEmpty) return sql
     val cat = spark.sessionState.catalog
     def userTables: Seq[(String, org.apache.spark.sql.catalyst.TableIdentifier,
@@ -1069,6 +1080,13 @@ class GraftSession(val spark: SparkSession) {
     }
     if (hits.exists(_._1 == "processes")) {
       processesDf.createOrReplaceTempView("__graft_system_processes")
+    }
+    if (hits.exists(_._1 == "dictionaries")) {
+      val rows = dictDefs.values.toSeq.map(d => Row(d.name, d.source, d.key))
+      spark.createDataFrame(rows.asJava, StructType(Seq(
+          StructField("name", StringType), StructField("source", StringType),
+          StructField("key", StringType))))
+        .createOrReplaceTempView("__graft_system_dictionaries")
     }
     if (hits.exists(_._1 == "query_log")) {
       import scala.jdk.CollectionConverters._
@@ -1470,7 +1488,8 @@ class GraftSession(val spark: SparkSession) {
     * through the Hadoop FileSystem API.
     */
   private def optimizeTable(db: Option[String], name: String,
-      fin: Boolean = false, partition: Option[String] = None): Unit = {
+      fin: Boolean = false, partition: Option[String] = None,
+      dedup: Boolean = false): Unit = {
     val rdb = db.getOrElse(spark.catalog.currentDatabase)
     val full = fullName(db, name)
     val meta = spark.sessionState.catalog.getTableMetadata(
@@ -1539,6 +1558,21 @@ class GraftSession(val spark: SparkSession) {
           (df, v) => df.where(col(s"`$PtkCol`") === lit(v)))
         stagedReplace(loc, full, partitioned, merged,
           dataFiles, "optf-", filesNeeded(dataFiles))
+        return
+      }
+      // OPTIMIZE ... DEDUPLICATE: CH's exact-duplicate-row removal at
+      // merge time — a full distinct over the scoped files, through the
+      // same crash-safe staged replace (identical rows share their
+      // partition key, so the partitioned layout is preserved)
+      if (dedup) {
+        if (dataFiles.isEmpty) { spark.catalog.refreshTable(full); return }
+        val schema = spark.table(full).schema
+        val partitioned = schema.fieldNames.contains(PtkCol)
+        val src = spark.read.schema(schema)
+          .option("basePath", loc.toString)
+          .parquet(dataFiles.map(_.toString): _*)
+        stagedReplace(loc, full, partitioned, src.distinct(),
+          dataFiles, "optd-", filesNeeded(dataFiles))
         return
       }
       val needs = dataFiles.groupBy(_.getParent)

@@ -30,7 +30,10 @@ object ChStatement {
                                engineArgs: Seq[String] = Nil) extends ChStatement
   final case class DropDatabase(name: String, ifExists: Boolean) extends ChStatement
   final case class DropTable(db: Option[String], name: String, ifExists: Boolean) extends ChStatement
-  final case class TruncateTable(db: Option[String], name: String) extends ChStatement
+  final case class TruncateTable(db: Option[String], name: String,
+                                 ifExists: Boolean = false) extends ChStatement
+  /** `SHOW DICTIONARIES` — the dictionary registry. */
+  case object ShowDictionaries extends ChStatement
   case object ShowDatabases extends ChStatement
   final case class ShowTables(db: Option[String]) extends ChStatement
   /** `SHOW PROCESSLIST` — the running-statement registry. */
@@ -44,7 +47,8 @@ object ChStatement {
   final case class UseDb(name: String) extends ChStatement
   final case class OptimizeTable(db: Option[String], name: String,
                                  fin: Boolean = false,
-                                 partition: Option[String] = None)
+                                 partition: Option[String] = None,
+                                 dedup: Boolean = false)
       extends ChStatement
   /** One VALUES literal: None = NULL, Some(text) = raw literal text. */
   final case class InsertValues(db: Option[String], name: String,
@@ -1273,7 +1277,8 @@ object ChParser {
       } else Left(s"DROP: expected DATABASE, TABLE, VIEW or DICTIONARY at ${p.posText}")
     } else if (p.eatKw("truncate")) {
       p.eatKw("table")
-      qualifiedName(p).map { case (db, t) => TruncateTable(db, t) }
+      val ie = parseIfNotExists(p)
+      qualifiedName(p).map { case (db, t) => TruncateTable(db, t, ie) }
     } else if (p.eatKw("detach")) {
       for {
         _ <- p.expectKw("table")
@@ -1413,6 +1418,7 @@ object ChParser {
           Left(s"SHOW COLUMNS: expected FROM at ${p.posText}")
         else qualifiedName(p).map { case (db, t) => ShowColumns(db, t) }
       } else if (p.eatKw("processlist")) Right(ShowProcesslist)
+      else if (p.eatKw("dictionaries")) Right(ShowDictionaries)
       else Left(s"SHOW: expected DATABASES, TABLES, COLUMNS, PROCESSLIST " +
         s"or CREATE TABLE at ${p.posText}")
     } else if (p.isKw("system")) {
@@ -1452,7 +1458,11 @@ object ChParser {
       qualifiedName(p).flatMap { case (db, t) =>
         val pv = if (p.eatKw("partition")) partitionValue(p).map(Some(_))
                  else Right(None)
-        pv.map(v => OptimizeTable(db, t, fin = p.eatKw("final"), partition = v))
+        pv.map { v =>
+          val fin = p.eatKw("final")
+          OptimizeTable(db, t, fin = fin, partition = v,
+            dedup = p.eatKw("deduplicate"))
+        }
       }
     } else if (p.eatKw("insert")) {
       parseInsert(p)
@@ -1641,6 +1651,23 @@ object ChParser {
             ci.foreach { i =>
               sql = sql.substring(0, toks(i).pos) + "count(*)" +
                 sql.substring(toks(i + 2).pos + 1)
+              changed = true
+            }
+          }
+          // CH `LIMIT off, n` → `LIMIT n OFFSET off` (not the LIMIT BY
+          // form — a following BY keyword leaves it for that rewrite)
+          if (!changed) {
+            val li = toks.indices.find(i => isIdent(i, "limit") &&
+              i + 3 < toks.length && depths(i) == 0 &&
+              toks(i + 1).isInstanceOf[NumLit] && toks(i + 2).text == "," &&
+              toks(i + 3).isInstanceOf[NumLit] &&
+              !(i + 4 < toks.length && isIdent(i + 4, "by")))
+            li.foreach { i =>
+              val off = toks(i + 1).text
+              val nn = toks(i + 3).text
+              val endOff = toks(i + 3).pos + toks(i + 3).text.length
+              sql = sql.substring(0, toks(i).pos) +
+                s"LIMIT $nn OFFSET $off" + sql.substring(endOff)
               changed = true
             }
           }

@@ -35,6 +35,21 @@ class CompatSpec extends AnyFunSuite {
       .getString(0) === "SETTINGS max_threads = 4")
   }
 
+  test("CH LIMIT off, n means OFFSET off LIMIT n; the LIMIT m,n BY form " +
+    "is untouched (it belongs to the LIMIT BY rewrite); TRUNCATE TABLE " +
+    "IF EXISTS tolerates a missing table") {
+    mk()
+    val two = g.sql("SELECT v FROM cp_t ORDER BY v LIMIT 1, 2").collect()
+      .map(_.getLong(0)).toSeq
+    assert(two === Seq(11L, 20L))
+    // LIMIT 1, 1 BY k: per-key second row — k=1 has (10, 11) → 11
+    val by = g.sql("SELECT k, v FROM cp_t ORDER BY k, v LIMIT 1, 1 BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(by === Seq((1L, 11L)))
+    g.sql("TRUNCATE TABLE IF EXISTS cp_no_such_table") // silent
+    intercept[Exception] { g.sql("TRUNCATE TABLE cp_no_such_table") }
+  }
+
   test("bare USING k (CH) gets Spark's required parens; multi-column " +
     "lists too") {
     mk()

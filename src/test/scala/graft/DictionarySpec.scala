@@ -86,6 +86,18 @@ class DictionarySpec extends AnyFunSuite {
     g2.sql("DROP TABLE dx_dim")
   }
 
+  test("SHOW DICTIONARIES and system.dictionaries list the registry") {
+    mkDim()
+    val shown = g.sql("SHOW DICTIONARIES").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(shown.contains(("dx", "dx_dim", "k")))
+    val sys = g.sql("SELECT name FROM system.dictionaries WHERE name = 'dx'")
+      .collect()
+    assert(sys.length === 1)
+    g.sql("DROP DICTIONARY dx")
+    g.sql("DROP TABLE dx_dim")
+  }
+
   test("the size guard refuses a fact-sized source with a clear message") {
     g.sql("DROP DICTIONARY IF EXISTS dbig")
     g.sql("DROP TABLE IF EXISTS dbig_src")

@@ -150,6 +150,24 @@ class PartitionDdlSpec extends AnyFunSuite {
     g.sql("DROP TABLE pd_opt")
   }
 
+  test("OPTIMIZE TABLE ... DEDUPLICATE removes exact duplicate rows " +
+    "(merge-time, whole row), partition-scoped when asked") {
+    g.sql("DROP TABLE IF EXISTS pd_dd")
+    g.sql("CREATE TABLE pd_dd(k Int64, d Date) ENGINE=BaseStorage " +
+      "PARTITION BY toYear(d)")
+    g.sql("INSERT INTO pd_dd VALUES (1, '2021-01-01'), (1, '2021-01-01'), " +
+      "(2, '2022-02-02'), (2, '2022-02-02')")
+    g.sql("OPTIMIZE TABLE pd_dd PARTITION '2021' DEDUPLICATE")
+    val byYear = g.sql("SELECT CAST(toYear(d) AS INT) AS yr, count(*) AS n " +
+      "FROM pd_dd GROUP BY 1 ORDER BY 1").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(byYear === Seq((2021, 1), (2022, 2))) // 2022 untouched
+    g.sql("OPTIMIZE TABLE pd_dd DEDUPLICATE")
+    assert(g.sql("SELECT count(*) AS n FROM pd_dd").collect()(0)
+      .getLong(0) === 2L)
+    g.sql("DROP TABLE pd_dd")
+  }
+
   test("an unpartitioned table appears in system.parts under partition " +
     "'all' (CH's naming)") {
     g.sql("DROP TABLE IF EXISTS pd_all")
