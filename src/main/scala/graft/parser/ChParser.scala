@@ -389,8 +389,15 @@ object ChParser {
           case Punct("(", _) => depth += 1; sb.append('(')
           case Punct(")", _) => depth -= 1; sb.append(')'); if (depth == 0) go = false
           case Punct(",", _) => sb.append(", ")
-          case StrLit(s, _) => sb.append('\'').append(s).append('\'')
-          case other => sb.append(other.text)
+          case StrLit(s, _) =>
+            sb.append('\'').append(s.replace("'", "''")).append('\'')
+          case other =>
+            // two adjacent word tokens (a named Tuple field: `a Int64`)
+            // need their separating space back
+            if (sb.nonEmpty && sb.last.isLetterOrDigit &&
+                other.text.nonEmpty && other.text.head.isLetterOrDigit)
+              sb.append(' ')
+            sb.append(other.text)
         }
       }
       if (depth != 0) return Left(s"unbalanced type arguments after $head")

@@ -65,6 +65,39 @@ object BqlType {
     val sparkType = ArrayType(inner.sparkType, inner.isInstanceOf[Nullable])
   }
 
+  /** ClickHouse Enum8/Enum16 — a named-value domain. Stored as its NAMES
+    * (parquet dictionary-encodes the strings; CH's numeric backing is a
+    * storage detail its own clients rarely see), so comparisons, GROUP
+    * BY and output match CH's default name-typed behavior.
+    */
+  final case class Enum(width: Int, entries: Seq[(String, Int)])
+      extends BqlType(s"Enum$width(" + entries.map { case (n, v) =>
+        s"'${n.replace("'", "''")}' = $v" }.mkString(", ") + ")") {
+    val sparkType = StringType
+  }
+
+  /** ClickHouse Map(K, V) → Spark MapType. */
+  final case class ChMap(k: BqlType, v: BqlType)
+      extends BqlType(s"Map(${k.chName}, ${v.chName})") {
+    val sparkType = MapType(k.sparkType, v.sparkType,
+      v.isInstanceOf[Nullable])
+  }
+
+  /** ClickHouse Tuple — unnamed `Tuple(T1, T2)` maps onto a struct with
+    * CH's positional accessors as field names (`_1`, `_2` — usable from
+    * SQL as t.`_1`); named `Tuple(a T1, b T2)` keeps its names.
+    */
+  final case class ChTuple(fields: Seq[(String, BqlType)], named: Boolean)
+      extends BqlType("Tuple(" + fields.map { case (n, t) =>
+        if (named) s"$n ${t.chName}" else t.chName }.mkString(", ") + ")") {
+    val sparkType = StructType(fields.map { case (n, t) =>
+      StructField(n, t.sparkType, t.isInstanceOf[Nullable])
+    }.toIndexedSeq)
+  }
+
+  case object IPv4 extends BqlType("IPv4") { val sparkType = StringType }
+  case object IPv6 extends BqlType("IPv6") { val sparkType = StringType }
+
   /** ClickHouse SimpleAggregateFunction(f, T) — an AggregatingMergeTree
     * column whose merge combines values with `f` (the current value IS
     * the state, unlike full AggregateFunction states). Storage-wise it is
@@ -128,6 +161,37 @@ object BqlType {
           })
           .orElse(withArgs("Decimal32").map(a => intArg(a).flatMap(mkDecimal(9, _))))
           .orElse(withArgs("Decimal64").map(a => intArg(a).flatMap(mkDecimal(18, _))))
+          .orElse(withArgs("Enum8").map(a => parseEnum(8, a, input)))
+          .orElse(withArgs("Enum16").map(a => parseEnum(16, a, input)))
+          .orElse(withArgs("Enum").map(a => parseEnum(8, a, input)))
+          .orElse(withArgs("Map").map { a =>
+            splitTopLevel(a) match {
+              case Seq(k, v) => for {
+                kt <- parse(k)
+                vt <- parse(v)
+              } yield ChMap(kt, vt)
+              case _ => Left(s"Map expects (K, V): $input")
+            }
+          })
+          .orElse(withArgs("Tuple").map { a =>
+            val parts = splitTopLevel(a)
+            if (parts.isEmpty) Left(s"Tuple expects at least one type: $input")
+            else {
+              val named = parts.forall(_.trim.matches(
+                "[A-Za-z_][A-Za-z0-9_]*\\s+\\S.*"))
+              val fields = parts.zipWithIndex.map { case (pRaw, i) =>
+                val t = pRaw.trim
+                if (named) {
+                  val Array(n, rest) = t.split("\\s+", 2)
+                  parse(rest).map(bt => (n, bt))
+                } else parse(t).map(bt => (s"_${i + 1}", bt))
+              }
+              fields.collectFirst { case Left(e) => Left(e) }.getOrElse(
+                Right(ChTuple(fields.map(_.toOption.get), named)))
+            }
+          })
+          .orElse(if (s == "IPv4") Some(Right(IPv4)) else None)
+          .orElse(if (s == "IPv6") Some(Right(IPv6)) else None)
           .orElse(withArgs("SimpleAggregateFunction").map { a =>
             a.split(",", 2) match {
               case Array(f, t) =>
@@ -154,6 +218,49 @@ object BqlType {
             }
           })
           .getOrElse(Left(s"unknown type: $input"))
+    }
+  }
+
+  /** Split a type-parameter list on TOP-LEVEL commas only — nested
+    * parameterized types (Map(String, Decimal(10, 2))) keep theirs.
+    */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var start = 0
+    var inStr = false
+    s.zipWithIndex.foreach { case (c, i) =>
+      c match {
+        case '\'' => inStr = !inStr
+        case '(' if !inStr => depth += 1
+        case ')' if !inStr => depth -= 1
+        case ',' if depth == 0 && !inStr =>
+          out += s.substring(start, i); start = i + 1
+        case _ => ()
+      }
+    }
+    out += s.substring(start)
+    out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  private def parseEnum(width: Int, args: String,
+                        input: String): Either[String, Enum] = {
+    val entries = splitTopLevel(args).map { e =>
+      e.trim.split("=", 2) match {
+        case Array(n0, v0) =>
+          val n = n0.trim
+          val v = v0.trim
+          if (n.length >= 2 && n.head == '\'' && n.last == '\'' &&
+              v.matches("-?\\d+"))
+            Right(n.substring(1, n.length - 1).replace("''", "'") -> v.toInt)
+          else Left(s"bad Enum entry `$e` in: $input")
+        case _ => Left(s"bad Enum entry `$e` in: $input")
+      }
+    }
+    entries.collectFirst { case Left(e) => Left(e) }.getOrElse {
+      val es = entries.map(_.toOption.get)
+      if (es.isEmpty) Left(s"Enum needs at least one entry: $input")
+      else Right(Enum(width, es))
     }
   }
 
@@ -185,6 +292,13 @@ object BqlType {
       case StringType => Str
       case BinaryType => Str
       case ArrayType(et, containsNull) => Arr(fromSpark(et, containsNull))
+      case MapType(kt, vt, valueContainsNull) =>
+        ChMap(fromSpark(kt), fromSpark(vt, valueContainsNull))
+      case st: StructType =>
+        val named = !st.fieldNames.zipWithIndex.forall {
+          case (n, i) => n == s"_${i + 1}" }
+        ChTuple(st.fields.toSeq.map(f =>
+          f.name -> fromSpark(f.dataType, f.nullable)), named)
       case other => throw new IllegalArgumentException(
         s"no ClickHouse equivalent for Spark type: $other")
     }
