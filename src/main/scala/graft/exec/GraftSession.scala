@@ -2812,6 +2812,19 @@ class GraftSession(val spark: SparkSession) {
   private def insertValues(iv: InsertValues): DataFrame = {
     val arity = iv.rows.headOption.map(_.length).getOrElse(0)
     require(iv.rows.forall(_.length == arity), "ragged VALUES rows")
+    // complex literals — [arrays], map(…), named_struct(…), any
+    // constructor/function call — evaluate through the SELECT path
+    // (UNION ALL of literal rows), where the full rewrite pipeline and
+    // Catalyst's own literal typing apply
+    def isComplex(v: String): Boolean = v.startsWith("[") ||
+      v.matches("(?s)[A-Za-z_][A-Za-z0-9_]*\\(.*")
+    if (iv.rows.exists(_.exists(_.exists(isComplex)))) {
+      val sel = iv.rows.map { r =>
+        "SELECT " + r.zipWithIndex.map { case (v, i) =>
+          s"${v.getOrElse("NULL")} AS _c$i" }.mkString(", ")
+      }.mkString(" UNION ALL ")
+      return insertSelect(InsertSelect(iv.db, iv.name, iv.cols, sel))
+    }
     // Rows arrive as raw literal text; build an all-string local relation
     // and let coerce() cast per declared CH type (reference codec:
     // mgmt.rs:1127-1269).

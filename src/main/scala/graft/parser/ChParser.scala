@@ -270,6 +270,8 @@ object ChParser {
   private final class P(toks: Vector[Tok], val sql: String) {
     var i = 0
     def peek: Option[Tok] = if (i < toks.length) Some(toks(i)) else None
+    def peekAt(off: Int): Option[Tok] =
+      if (i + off < toks.length) Some(toks(i + off)) else None
     def next(): Tok = { val t = toks(i); i += 1; t }
     def done: Boolean = i >= toks.length || isPunct(";") // trailing ';'
     /** Lookahead: is the token `off` positions AFTER the current one the
@@ -1235,6 +1237,26 @@ object ChParser {
           case Some(Ident(s, _)) if s.equalsIgnoreCase("null") => p.next(); row += None
           case Some(Ident(s, _)) if s.equalsIgnoreCase("true") => p.next(); row += Some("1")
           case Some(Ident(s, _)) if s.equalsIgnoreCase("false") => p.next(); row += Some("0")
+          // complex literal — `[…]` array, or a constructor call like
+          // map('a', 1) / array(…) / named_struct(…): captured as raw
+          // balanced text and evaluated through the SELECT path
+          case Some(t) if !neg && (t.text == "[" ||
+              (t.isInstanceOf[Ident] &&
+                p.peekAt(1).exists(_.text == "("))) =>
+            val from = t.pos
+            var depth = 0
+            var done = false
+            while (!done && p.peek.isDefined) {
+              p.next().text match {
+                case "(" | "[" => depth += 1
+                case ")" | "]" => depth -= 1
+                case _ => ()
+              }
+              done = depth == 0 && (p.peek.isEmpty ||
+                p.isPunct(",") || p.isPunct(")"))
+            }
+            val end = p.peek.map(_.pos).getOrElse(p.sql.length)
+            row += Some(p.sql.substring(from, end).trim)
           case other => return Left(s"bad literal in VALUES: ${other.map(_.text)}")
         }
         more = p.eatPunct(",")

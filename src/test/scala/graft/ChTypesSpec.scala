@@ -63,6 +63,22 @@ class ChTypesSpec extends AnyFunSuite {
     g2.sql("DROP TABLE ty_rich")
   }
 
+  test("INSERT VALUES takes complex literals — [arrays], map(), " +
+    "named_struct(), function calls — via the SELECT route") {
+    g.sql("DROP TABLE IF EXISTS ty_vals")
+    g.sql("CREATE TABLE ty_vals(k Int64, a Array(Int64), " +
+      "m Map(String, Int64), d Date)")
+    g.sql("INSERT INTO ty_vals VALUES " +
+      "(1, [10, 20], map('x', 1), toDate('2021-05-05')), " +
+      "(2, [], map(), '2022-06-06')")
+    val r = g.sql("SELECT k, size(a) AS na, m['x'] AS mx, " +
+      "CAST(toYear(d) AS INT) AS yr FROM ty_vals ORDER BY k").collect()
+      .map(x => (x.getLong(0), x.getInt(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2), x.getInt(3))).toSeq
+    assert(r === Seq((1L, 2, 1L, 2021), (2L, 0, -1L, 2022)))
+    g.sql("DROP TABLE ty_vals")
+  }
+
   test("positional Tuple fields read as _1/_2 (CH's 1-based accessors)") {
     g.sql("DROP TABLE IF EXISTS ty_pos")
     g.sql("CREATE TABLE ty_pos(t Tuple(Int64, String))")
