@@ -460,6 +460,27 @@ object DdlQueries {
         "GROUP BY flag ORDER BY flag")
     },
 
+    // Rich CH types (d25): Enum8 (stored as names), Map and named Tuple
+    // columns flow INSERT SELECT → partitioned parquet → readback;
+    // the aggregate flattens map/struct access to scalars so the
+    // cross-engine hash compares values, not container encodings. The
+    // oracle computes the same scalars relationally.
+    "d25_rich_types" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("DROP TABLE IF EXISTS d25_ev")
+      g.sql("CREATE TABLE d25_ev(k Int64, st Enum8('low' = 1, 'high' = 2), " +
+        "tags Map(String, Int64), pos Tuple(x Int64, y String))")
+      g.sql("INSERT INTO d25_ev SELECT event_id AS k, " +
+        "CASE WHEN value > 50 THEN 'high' ELSE 'low' END AS st, " +
+        "map('v10', CAST(floor(value / 10) AS BIGINT) * 10) AS tags, " +
+        "named_struct('x', event_id % 7, 'y', event_type) AS pos FROM events")
+      g.sql("SELECT st, count(*) AS n, " +
+        "CAST(sum(tags['v10']) AS BIGINT) AS sv, " +
+        "CAST(sum(pos.x) AS BIGINT) AS sx, min(pos.y) AS my " +
+        "FROM d25_ev GROUP BY st ORDER BY st")
+    },
+
     // ANY JOIN strictness (d24): CH's at-most-one-right-row-per-key
     // join, over orders deduplicated to each customer's full-row-min
     // order. The engine's pick is the deterministic struct(*) min
@@ -766,6 +787,17 @@ object DdlQueries {
       """SELECT l_returnflag AS flag, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS INTEGER)) AS BIGINT) AS sq
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d25_rich_types" ->
+      """WITH src AS (
+        |  SELECT event_id AS k,
+        |    CASE WHEN value > 50 THEN 'high' ELSE 'low' END AS st,
+        |    CAST(floor(value / 10) AS BIGINT) * 10 AS v10,
+        |    event_id % 7 AS x, event_type AS y
+        |  FROM events)
+        |SELECT st, count(*) AS n, CAST(sum(v10) AS BIGINT) AS sv,
+        |  CAST(sum(x) AS BIGINT) AS sx, min(y) AS my
+        |FROM src GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d24_any_join" ->
       """WITH r AS (
