@@ -578,9 +578,15 @@ object DdlQueries {
     "d21_create_view" -> { (s, dir) =>
       Tables.registerAll(s, dir)
       val g = new GraftSession(s)
+      // the view chain roots at a WAREHOUSE table (not the session-scoped
+      // lineitem temp view) so restart replay restores cleanly: tables
+      // first, then the nested views over them
+      g.sql("DROP TABLE IF EXISTS d21_src")
+      g.sql("CREATE TABLE d21_src AS SELECT l_returnflag, l_quantity, " +
+        "l_shipdate FROM lineitem")
       g.sql("CREATE OR REPLACE VIEW d21_base AS SELECT l_returnflag AS " +
-        "flag, l_quantity AS qty, l_shipdate AS d FROM lineitem " +
-        "WHERE l_orderkey % 7 = 0")
+        "flag, l_quantity AS qty, l_shipdate AS d FROM d21_src " +
+        "WHERE l_quantity <= 10")
       g.sql("CREATE OR REPLACE VIEW d21_top AS SELECT flag, " +
         "CAST(toYear(d) AS INT) AS yr, count(*) AS n, " +
         "CAST(sum(CAST(qty AS DECIMAL(12,2))) AS DOUBLE) AS sq " +
@@ -844,7 +850,7 @@ object DdlQueries {
       """SELECT l_returnflag AS flag, CAST(year(l_shipdate) AS INT) AS yr,
         |  count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sq
-        |FROM lineitem WHERE l_orderkey % 7 = 0
+        |FROM lineitem WHERE l_quantity <= 10
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "o03_mutation" ->

@@ -126,6 +126,29 @@ class ChWireSpec extends AnyFunSuite {
     }
   }
 
+  test("a clickhouse-client-shaped query works over the wire: trailing " +
+    "FORMAT + SETTINGS, count(), ANY JOIN, array literals") {
+    val server = new ChWireServer(spark).start()
+    val client = new WireTestClient(server.boundPort)
+    try {
+      client.query("DROP TABLE IF EXISTS wire_cc")
+      client.query("CREATE TABLE wire_cc(k Int64, v Int64) " +
+        "ENGINE=MergeTree ORDER BY k")
+      client.query("INSERT INTO wire_cc VALUES (1, 10), (1, 11), (2, 20)")
+      val n = client.rows("SELECT count() AS n FROM wire_cc " +
+        "WHERE v IN [10, 20] SETTINGS max_threads = 2 FORMAT TabSeparated")
+      assert(n(0).values === Vector(2L))
+      val aj = client.rows("SELECT t1.k AS k, t2.v AS v2 FROM wire_cc t1 " +
+        "ANY LEFT JOIN wire_cc t2 USING k ORDER BY k, t1.v")
+      assert(aj(0).values === Vector(1L, 1L, 2L))
+      assert(aj(1).values === Vector(10L, 10L, 20L))
+      client.query("DROP TABLE wire_cc")
+    } finally {
+      client.close()
+      server.stop()
+    }
+  }
+
   test("Array(T) columns and the array HOFs work over the wire") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
