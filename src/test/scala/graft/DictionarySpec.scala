@@ -98,6 +98,38 @@ class DictionarySpec extends AnyFunSuite {
     g.sql("DROP TABLE dx_dim")
   }
 
+  test("dictGet enriches a STRUCTURED STREAM exactly like batch: the " +
+    "broadcast-hash lookup is stateless map-side work, so the streaming " +
+    "plan needs no extra state or shuffle") {
+    mkDim()
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft-dict-stream")
+    spark.range(0, 100).selectExpr("id AS k", "(id % 5) AS dk")
+      .write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val enriched = spark.readStream.schema(schema).parquet(dir.toString)
+      .selectExpr("k", "`__graft_dict_dx`('nm', CAST(dk AS STRING)) AS nm")
+    val q = enriched.writeStream.format("memory").queryName("dict_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streaming = spark.table("dict_stream")
+      .groupBy("nm").count().orderBy("nm").collect()
+      .map(r => (Option(r.getString(0)).getOrElse("∅"), r.getLong(1))).toSeq
+    val batch = spark.read.parquet(dir.toString)
+      .selectExpr("`__graft_dict_dx`('nm', CAST(dk AS STRING)) AS nm")
+      .groupBy("nm").count().orderBy("nm").collect()
+      .map(r => (Option(r.getString(0)).getOrElse("∅"), r.getLong(1))).toSeq
+    assert(streaming === batch)
+    // dk ∈ {0..4}; dict has keys 1..3 → 60 hits across three names,
+    // 40 misses (the UDF's null — the SQL-level DEFAULT wrap is the
+    // rewrite's concern, exercised in the batch tests)
+    assert(streaming.map(_._2).sum === 100L)
+    assert(streaming.count(_._1 != "∅") === 3)
+    g.sql("DROP DICTIONARY dx")
+    g.sql("DROP TABLE dx_dim")
+  }
+
   test("the size guard refuses a fact-sized source with a clear message") {
     g.sql("DROP DICTIONARY IF EXISTS dbig")
     g.sql("DROP TABLE IF EXISTS dbig_src")
