@@ -2288,6 +2288,11 @@ class GraftSession(val spark: SparkSession) {
       // (Spark relaxes it on read), so NOT NULL-ness rides in a prop too
       (if (nnProp.nonEmpty) Seq("graft.notnull" -> nnProp) else Nil) ++
       (if (defaultsProp.nonEmpty) Seq("graft.defaults" -> defaultsProp) else Nil) ++
+      // CHECK constraints (CONSTRAINT n CHECK e) — enforced on every
+      // INSERT path in appendToTable, ClickHouse's semantics
+      (if (ct.checks.nonEmpty)
+        Seq("graft.checks" -> ct.checks.map { case (k, v) =>
+          s"$k\u0002$v" }.mkString("\u0001")) else Nil) ++
       ct.partitionBy.map("graft.ptk.expr" -> _) ++
       ct.settings.map { case (k, v) => s"graft.setting.$k" -> v }
     val propsDdl = props.map { case (k, v) =>
@@ -2710,6 +2715,21 @@ class GraftSession(val spark: SparkSession) {
       }
       coerced.as(f.name)
     }: _*)
+    // CHECK constraints ride inside the write projection via assert_true
+    // (zero extra pass over the source; the write job itself fails on the
+    // first violating row — ClickHouse's INSERT-time CHECK semantics, with
+    // SQL NULL-passes handling)
+    val checks = checkConstraints(db, name)
+    val checked = if (checks.isEmpty) typed else {
+      val allOk = checks.map { case (_, ce) =>
+        coalesce(expr(ce).cast(BooleanType), lit(true))
+      }.reduce(_ && _)
+      val msg = "INSERT violates CHECK constraint " +
+        checks.map(_._1).mkString("/") + s" on ${fullName(db, name)}"
+      val f = typed.columns.head
+      typed.withColumn(f,
+        when(assert_true(allOk, lit(msg)).isNull, col(s"`$f`")))
+    }
     // When a materialized view subscribes, pin the block ONCE before the
     // append commits: re-running `typed`'s lineage after the commit would
     // let `INSERT INTO t SELECT ... FROM t` rescan its own just-landed
@@ -2717,7 +2737,7 @@ class GraftSession(val spark: SparkSession) {
     // rows to the MV than what landed, and pay the source query twice.
     val rdbName = db.getOrElse(spark.sessionState.catalog.getCurrentDatabase)
     val hasMvs = mvsFor(rdbName, name).nonEmpty
-    val block = if (hasMvs) typed.localCheckpoint(eager = true) else typed
+    val block = if (hasMvs) checked.localCheckpoint(eager = true) else checked
     val withPtk = ptkExpr match {
       case Some(e) => block.withColumn(PtkCol, expr(e).cast(StringType))
       case None => block
@@ -2783,6 +2803,18 @@ class GraftSession(val spark: SparkSession) {
         k -> v
       }.toMap
     }.getOrElse(Map.empty)
+
+  /** Declared CHECK constraints (name -> boolean expr) — enforced on every
+    * insert path ([[appendToTable]]).
+    */
+  private def checkConstraints(db: Option[String],
+                               name: String): Seq[(String, String)] =
+    tableProp(db, name, "graft.checks").toSeq.flatMap {
+      _.split("").filter(_.nonEmpty).map { kv =>
+        val Array(k, v) = kv.split("", 2)
+        k -> v
+      }.toSeq
+    }
 
   /** Expand an explicit column list to full arity: missing columns take
     * their declared DEFAULT literal, else NULL.

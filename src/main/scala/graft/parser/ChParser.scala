@@ -27,7 +27,8 @@ object ChStatement {
                                ifNotExists: Boolean,
                                createScript: String,
                                asSelect: Option[String] = None,
-                               engineArgs: Seq[String] = Nil) extends ChStatement
+                               engineArgs: Seq[String] = Nil,
+                               checks: Seq[(String, String)] = Nil) extends ChStatement
   final case class DropDatabase(name: String, ifExists: Boolean) extends ChStatement
   final case class DropTable(db: Option[String], name: String, ifExists: Boolean) extends ChStatement
   final case class TruncateTable(db: Option[String], name: String,
@@ -450,23 +451,45 @@ object ChParser {
     val ine = parseIfNotExists(p)
     for {
       dbTab <- qualifiedName(p)
-      // CTAS has no column list — the schema derives from the SELECT
-      cols <- if (!p.isPunct("(")) Right(Seq.empty[ColDef]) else {
+      // CTAS has no column list — the schema derives from the SELECT.
+      // The list may interleave `CONSTRAINT name CHECK expr` entries with
+      // column defs (the reference's own TPC-H smoke DDL writes them,
+      // crates/tests_integ/tpch/01095_tpch_like_smoke.sql:21-22, though
+      // its grammar never parses them) — captured for INSERT-time
+      // enforcement, ClickHouse's CHECK semantics.
+      colsChecks <- if (!p.isPunct("(")) Right((Seq.empty[ColDef], Seq.empty[(String, String)])) else {
         p.next()
         val buf = ArrayBuffer.empty[ColDef]
+        val chk = ArrayBuffer.empty[(String, String)]
         var err: Option[String] = None
         var go = true
         while (go && err.isEmpty) {
-          columnDef(p) match {
+          if (p.isKw("constraint")) {
+            p.next()
+            p.ident() match {
+              case Right(cn) =>
+                if (!p.eatKw("check"))
+                  err = Some(s"CONSTRAINT $cn: expected CHECK at ${p.posText}")
+                else {
+                  val ce = p.sliceBalancedUntil(q =>
+                    q.isPunct(",") || q.isPunct(")"))
+                  if (ce.isEmpty)
+                    err = Some(s"CONSTRAINT $cn: empty CHECK expression")
+                  else { chk += cn -> ce; if (!p.eatPunct(",")) go = false }
+                }
+              case Left(e) => err = Some(e)
+            }
+          } else columnDef(p) match {
             case Right(cd) =>
               buf += cd
               if (p.eatPunct(",")) () else { go = false }
             case Left(e) => err = Some(e)
           }
         }
-        err.toLeft(buf.toSeq).flatMap(cs =>
+        err.toLeft((buf.toSeq, chk.toSeq)).flatMap(cs =>
           p.expectPunct(")").map(_ => cs))
       }
+      cols = colsChecks._1
       tail <- {
         // ENGINE = Name[(arg, ...)] — MergeTree-family parameters (e.g.
         // ReplacingMergeTree's version column) ride as raw arg tokens
@@ -577,7 +600,7 @@ object ChParser {
         case _ => cols
       }
       CreateTable(dbTab._1, dbTab._2, keyed, tail._1, tail._2, tail._3,
-        ine, p.sql.trim, asSel, tail._4)
+        ine, p.sql.trim, asSel, tail._4, colsChecks._2)
     }
   }
 
