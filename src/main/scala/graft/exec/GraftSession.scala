@@ -662,14 +662,109 @@ class GraftSession(val spark: SparkSession) {
     *     silently share a view the way a 32-bit hashCode could.
     */
   private def rewriteSelect(sqlIn: String): String =
-    spliceTableFns(rewriteWithFill(
+    rewriteAsofJoin(spliceTableFns(rewriteWithFill(
       rewriteLimitTies(rewriteLimitBy(rewriteWithTotals(
         rewritePrewhere(rewriteArrayJoin(rewriteInTable(rewriteDistinctOnStep(
           rewriteSample(rewriteFinal(spliceSystemViews(
             rewriteDictFns(ChParser.rewriteAnyJoin(
               ChParser.rewriteQueryTails(ChParser.rewriteQuantiles(
                 ChParser.rewriteArrayLiterals(
-                  ChParser.rewriteScalarWith(sqlIn))))))))))))))))))
+                  ChParser.rewriteScalarWith(sqlIn)))))))))))))))))))
+
+  /** ClickHouse `[LEFT] ASOF JOIN` — the SQL door onto
+    * [[graft.operators.AsofJoin]] (a01's single-shuffle union+window
+    * shape; VERDICT r15 #2). `l la ASOF JOIN r ra ON la.k = ra.k AND
+    * la.t >= ra.t` splices into `FROM <asof-view> la`, where the view is
+    * the operator's output (left columns + right payload columns), and
+    * every `ra.` qualifier in the rest of the statement is re-pointed at
+    * `la` — the flattened view carries each output column once, so both
+    * qualifiers denote the same relation. Plain `ASOF JOIN` is INNER
+    * (unmatched left rows drop, CH semantics); `LEFT ASOF JOIN` keeps
+    * them with null payloads. `>` is the strict form. An ASOF token in an
+    * unsupported shape throws — never falls through to Spark, where it
+    * would silently parse as a table alias.
+    */
+  private def rewriteAsofJoin(sql: String): String =
+    ChParser.splitAsofJoin(sql) match {
+      case None => sql
+      case Some(Left(why)) =>
+        throw new IllegalArgumentException(s"ASOF JOIN: $why")
+      case Some(Right(p)) =>
+        def fail(why: String): Nothing =
+          throw new IllegalArgumentException(s"ASOF JOIN: $why")
+        def load(t: String): DataFrame = {
+          val df = spark.table(t)
+          if (df.columns.contains(PtkCol)) df.drop(PtkCol) else df
+        }
+        val ldf = load(p.leftTable)
+        val rdf = load(p.rightTable)
+        // classify each ON ref to a side: by alias, else by unique column
+        def isLeft(r: ChParser.ARef): Boolean = r.qual match {
+          case Some(q) if q.equalsIgnoreCase(p.leftAlias) => true
+          case Some(q) if q.equalsIgnoreCase(p.rightAlias) => false
+          case Some(q) => fail(s"unknown qualifier '$q' in ON clause")
+          case None =>
+            val inL = ldf.columns.exists(_.equalsIgnoreCase(r.col))
+            val inR = rdf.columns.exists(_.equalsIgnoreCase(r.col))
+            if (inL == inR) fail(s"ambiguous bare column '${r.col}' in ON " +
+              "clause — qualify it")
+            inL
+        }
+        // normalize each conjunct to (leftCol, op, rightCol)
+        val norm = p.conds.map { case (a, o, b) =>
+          (isLeft(a), isLeft(b)) match {
+            case (true, false) => (a.col, o, b.col)
+            case (false, true) =>
+              val flipped = o match {
+                case ">" => "<" case "<" => ">"
+                case ">=" => "<=" case "<=" => ">=" case eq => eq
+              }
+              (b.col, flipped, a.col)
+            case _ => fail("each ON condition must compare a left column " +
+              "with a right column")
+          }
+        }
+        val equi = norm.collect { case (l, "=", r) => (l, r) }
+        val ineqs = norm.filter(_._2 != "=")
+        if (equi.isEmpty) fail("at least one equality condition is required")
+        if (ineqs.size != 1)
+          fail(s"exactly ONE inequality is required, got ${ineqs.size}")
+        val (lt, iop, rt) = ineqs.head
+        if (iop != ">=" && iop != ">")
+          fail(s"only the backward forms (>=, >) are supported, got $iop")
+        // synthetic single-key struct supports multi-column equi keys
+        val KeyCol = "__asof_k"; val MatchCol = "__asof_m"
+        val lk = ldf.withColumn(KeyCol,
+          struct(equi.map(c => col(s"`${c._1}`")): _*))
+        val keyCols = equi.map(_._2)
+        val payload0 = rdf.columns.filterNot(c => keyCols.contains(c)).toSeq
+        val collide = payload0.toSet.intersect(ldf.columns.toSet)
+        // the right TIME column may collide (both sides often name it the
+        // same); the ON clause pins its value, so it drops from the output.
+        // Any other collision would silently shadow — error loudly.
+        if ((collide - rt).nonEmpty)
+          fail(s"right columns ${(collide - rt).mkString(", ")} collide " +
+            "with left columns — alias them apart in a subquery")
+        val payload = payload0.filterNot(c => c == rt && collide(rt))
+        val rk = rdf.withColumn(KeyCol,
+            struct(equi.map(c => col(s"`${c._2}`")): _*))
+          .withColumn(MatchCol, lit(1))
+        val joined = graft.operators.AsofJoin.backward(
+          lk, rk, KeyCol, lt, rt, payload :+ MatchCol, strict = iop == ">")
+        val out = (if (p.leftOuter) joined
+                   else joined.filter(col(MatchCol).isNotNull))
+          .drop(MatchCol, KeyCol)
+        val view = s"graft_asof_${java.security.MessageDigest.getInstance("MD5")
+          .digest(sql.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)}"
+        out.createOrReplaceTempView(view)
+        val spliced =
+          ChParser.renameQualifier(sql.substring(0, p.fromStart),
+            p.rightAlias, p.leftAlias) +
+          s"$view AS `${p.leftAlias}` " +
+          ChParser.renameQualifier(sql.substring(p.onEnd),
+            p.rightAlias, p.leftAlias)
+        rewriteAsofJoin(spliced) // a second ASOF JOIN would now be leftmost
+    }
 
   /** ClickHouse `FROM t FINAL` over a merging-engine table
     * (Replacing/SummingMergeTree): splice in the merged-state view from

@@ -75,9 +75,10 @@ object AsofJoin {
     */
   def backward(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
-               payload: Seq[String]): DataFrame = {
+               payload: Seq[String], strict: Boolean = false): DataFrame = {
     val leftCols = left.columns.toSeq
-    val (r, l) = tagged(left, right, key, leftTime, rightTime, payload)
+    val (r, l) = tagged(left, right, key, leftTime, rightTime, payload,
+      strict)
 
     val w = Window.partitionBy(q(key))
       .orderBy(col(TimeCol), col(SideTag))
@@ -190,11 +191,15 @@ object AsofJoin {
 
   /** Shared side-tagging: right rows carry the payload struct and null left
     * columns; left rows carry their columns and a null payload. Right sorts
-    * before left at equal timestamps (side 0 < 1) for inclusive `>=` match.
+    * before left at equal timestamps (side 0 < 1) for the inclusive `>=`
+    * match; with `strict` (the `>` form) right rows take side 2 instead,
+    * sorting AFTER left at equal timestamps so a same-instant right row is
+    * excluded from the running carry.
     */
   private def tagged(left: DataFrame, right: DataFrame, key: String,
                      leftTime: String, rightTime: String,
-                     payload: Seq[String]): (DataFrame, DataFrame) = {
+                     payload: Seq[String],
+                     strict: Boolean = false): (DataFrame, DataFrame) = {
     val leftCols = left.columns.toSeq
     require(!payload.contains(key), s"payload must not repeat the key '$key'")
     require(payload.toSet.intersect(leftCols.toSet).isEmpty,
@@ -204,8 +209,9 @@ object AsofJoin {
       s"column names ${reserved.mkString(",")} are reserved by AsofJoin")
 
     val payloadType = StructType(payload.map(c => right.schema(c)))
+    val rightSide = if (strict) 2 else 0
     val r = right.select(
-      q(key) +: (q(rightTime).as(TimeCol) +: lit(0).as(SideTag) +:
+      q(key) +: (q(rightTime).as(TimeCol) +: lit(rightSide).as(SideTag) +:
         (struct(payload.map(q): _*).as(PayloadCol) +:
           leftCols.filterNot(_ == key).map(c => lit(null).as(c)))): _*)
     val l = left.select(

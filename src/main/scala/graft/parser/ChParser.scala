@@ -2417,4 +2417,193 @@ object ChParser {
         case _ => None
       }
     }
+
+  /** One side of an ASOF JOIN condition: `alias.col` or a bare `col`. */
+  final case class ARef(qual: Option[String], col: String)
+
+  /** The pieces of `FROM l [AS] [la] [LEFT] ASOF JOIN r [AS] [ra] ON
+    * c AND …` — ClickHouse's as-of join syntax (the dialect door onto
+    * [[graft.operators.AsofJoin]]). `fromStart`/`onEnd` delimit the whole
+    * join fragment in the original text (relation name through the last ON
+    * conjunct) for splicing.
+    */
+  final case class AsofParts(leftTable: String, leftAlias: String,
+                             rightTable: String, rightAlias: String,
+                             leftOuter: Boolean,
+                             conds: Seq[(ARef, String, ARef)],
+                             fromStart: Int, onEnd: Int)
+
+  /** Locate an `[LEFT] ASOF JOIN`. None = the query has none;
+    * Some(Left(why)) = present but an unsupported shape — the CALLER must
+    * error loudly (a fallen-through ASOF token would silently parse as a
+    * Spark table alias and return wrong rows); Some(Right(parts)) = parse.
+    * v1 scope: plain (optionally db-qualified) table refs on both sides,
+    * ON-conjunction of equalities plus ONE `>=`/`>` inequality.
+    */
+  def splitAsofJoin(sql: String): Option[Either[String, AsofParts]] =
+    tokenize(sql).toOption.flatMap { toks =>
+      def idt(i: Int): Option[String] = toks.lift(i).collect {
+        case Ident(w, _) => w
+      }
+      def isKw(i: Int, k: String) = idt(i).exists(_.equalsIgnoreCase(k))
+      val hit = toks.indices.find(i => isKw(i, "asof") && isKw(i + 1, "join"))
+      hit.map { a =>
+        val leftOuter = isKw(a - 1, "left")
+        val relEnd = if (leftOuter) a - 1 else a // exclusive
+        // back-scan the left relation: [FROM] name[.name] [AS] [alias]
+        def parseRelBack(end: Int): Either[String, (String, String, Int)] = {
+          // returns (table, alias, startTokenIdx)
+          def bare(i: Int): Option[String] = toks.lift(i).collect {
+            case Ident(w, _) if !Seq("from", "as", "join", "on")
+              .contains(w.toLowerCase) => w
+          }
+          def isDot(i: Int) = toks.lift(i).exists {
+            case Punct(".", _) => true; case _ => false
+          }
+          // candidates, longest first
+          // FROM db . t AS al | FROM db . t al | FROM t AS al | FROM t al
+          // FROM db . t       | FROM t
+          val shapes: Seq[(Int, () => Option[(String, String, Int)])] = Seq(
+            (6, () => for {
+              al <- bare(end - 1); _ <- Some(()).filter(_ => isKw(end - 2, "as"))
+              t <- bare(end - 3); _ <- Some(()).filter(_ => isDot(end - 4))
+              d <- bare(end - 5); _ <- Some(()).filter(_ => isKw(end - 6, "from"))
+            } yield (s"$d.$t", al, end - 5)),
+            (5, () => for {
+              al <- bare(end - 1); t <- bare(end - 2)
+              _ <- Some(()).filter(_ => isDot(end - 3)); d <- bare(end - 4)
+              _ <- Some(()).filter(_ => isKw(end - 5, "from"))
+            } yield (s"$d.$t", al, end - 4)),
+            (4, () => for {
+              al <- bare(end - 1); _ <- Some(()).filter(_ => isKw(end - 2, "as"))
+              t <- bare(end - 3); _ <- Some(()).filter(_ => isKw(end - 4, "from"))
+            } yield (t, al, end - 3)),
+            (4, () => for {
+              t <- bare(end - 1); _ <- Some(()).filter(_ => isDot(end - 2))
+              d <- bare(end - 3); _ <- Some(()).filter(_ => isKw(end - 4, "from"))
+            } yield (s"$d.$t", t, end - 3)),
+            (3, () => for {
+              al <- bare(end - 1); t <- bare(end - 2)
+              _ <- Some(()).filter(_ => isKw(end - 3, "from"))
+            } yield (t, al, end - 2)),
+            (2, () => for {
+              t <- bare(end - 1); _ <- Some(()).filter(_ => isKw(end - 2, "from"))
+            } yield (t, t, end - 1)),
+          )
+          shapes.view.flatMap(_._2()).headOption.toRight(
+            "the left side must be a plain table ref directly after FROM " +
+              "(subqueries/comma-joins before ASOF JOIN are not supported)")
+        }
+        // forward-scan the right relation from after JOIN
+        def parseRelFwd(start: Int): Either[String, (String, String, Int)] = {
+          // returns (table, alias, idx of ON keyword)
+          def bare(i: Int): Option[String] = toks.lift(i).collect {
+            case Ident(w, _) if !Seq("on", "as").contains(w.toLowerCase) => w
+          }
+          def isDot(i: Int) = toks.lift(i).exists {
+            case Punct(".", _) => true; case _ => false
+          }
+          bare(start).toRight("expected a table name after ASOF JOIN")
+            .flatMap { n1 =>
+              val (tbl, next) =
+                if (isDot(start + 1) && bare(start + 2).isDefined)
+                  (s"$n1.${bare(start + 2).get}", start + 3)
+                else (n1, start + 1)
+              val short = if (tbl.contains(".")) tbl.split("\\.")(1) else tbl
+              val (alias, onIdx) =
+                if (isKw(next, "as") && bare(next + 1).isDefined)
+                  (bare(next + 1).get, next + 2)
+                else if (bare(next).isDefined) (bare(next).get, next + 1)
+                else (short, next)
+              if (isKw(onIdx, "on")) Right((tbl, alias, onIdx))
+              else Left("expected ON after the ASOF JOIN relation " +
+                "(USING is not supported for ASOF JOIN yet)")
+            }
+        }
+        // ON conjuncts: ref op ref (AND …)*
+        def parseConds(start: Int):
+            Either[String, (Seq[(ARef, String, ARef)], Int)] = {
+          var i = start
+          def ref(): Either[String, ARef] = idt(i) match {
+            case Some(q) if toks.lift(i + 1).exists {
+                case Punct(".", _) => true; case _ => false
+              } && idt(i + 2).isDefined =>
+              i += 3; Right(ARef(Some(q), idt(i - 1).get))
+            case Some(c) => i += 1; Right(ARef(None, c))
+            case None => Left(s"expected a column ref in the ON clause")
+          }
+          def op(): Either[String, String] = toks.lift(i) match {
+            case Some(Punct(o, _)) if Seq("=", ">", "<").contains(o) =>
+              i += 1
+              toks.lift(i) match {
+                case Some(Punct("=", _)) if o != "=" => i += 1; Right(o + "=")
+                case _ => Right(o)
+              }
+            case other => Left(s"expected =, >=, >, <= or < in the ON " +
+              s"clause, got ${other.map(_.text)}")
+          }
+          val conds = ArrayBuffer.empty[(ARef, String, ARef)]
+          var err: Option[String] = None
+          var go = true
+          while (go && err.isEmpty) {
+            (for { l <- ref(); o <- op(); r <- ref() } yield (l, o, r)) match {
+              case Right(c) =>
+                conds += c
+                if (isKw(i, "and")) i += 1 else go = false
+              case Left(e) => err = Some(e)
+            }
+          }
+          // the fragment must end at a clause boundary — anything else
+          // (parenthesized conds, OR, functions) is out of v1 scope
+          val boundary = toks.lift(i) match {
+            case None => true
+            case Some(Ident(w, _)) => Seq("where", "group", "order", "limit",
+              "having", "settings", "format", "union", "window", "qualify")
+              .contains(w.toLowerCase)
+            case Some(Punct(";", _)) => true
+            case _ => false
+          }
+          err.toLeft(()).flatMap { _ =>
+            if (!boundary) Left("only a conjunction of plain column " +
+              "comparisons is supported in ASOF JOIN ON")
+            else {
+              val endPos = toks.lift(i).map(_.pos).getOrElse(sql.length)
+              Right((conds.toSeq, endPos))
+            }
+          }
+        }
+        for {
+          l <- parseRelBack(relEnd)
+          r <- parseRelFwd(a + 2)
+          c <- parseConds(r._3 + 1)
+        } yield AsofParts(l._1, l._2, r._1, r._2, leftOuter, c._1,
+          toks(l._3).pos, c._2)
+      }
+    }
+
+  /** Rewrite every `qual.` qualifier token pair to `to.` — used after an
+    * ASOF JOIN splice collapses two relations into one view, whose single
+    * alias must serve both sides' qualified references.
+    */
+  def renameQualifier(segment: String, from: String, to: String): String =
+    tokenize(segment).toOption.fold(segment) { toks =>
+      val spans = toks.zipWithIndex.collect {
+        case (Ident(w, p), i) if w.equalsIgnoreCase(from) &&
+            segment.charAt(p) != '`' && (toks.lift(i + 1) match {
+              case Some(Punct(".", _)) => true
+              case _ => false
+            }) && (i == 0 || (toks(i - 1) match {
+              case Punct(".", _) => false // itself a field access tail
+              case _ => true
+            })) =>
+          (p, w.length)
+      }
+      val sb = new StringBuilder
+      var last = 0
+      spans.foreach { case (p, len) =>
+        sb.append(segment.substring(last, p)).append(to)
+        last = p + len
+      }
+      sb.append(segment.substring(last)).toString
+    }
 }

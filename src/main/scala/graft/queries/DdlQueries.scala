@@ -499,6 +499,44 @@ object DdlQueries {
         "ANY LEFT JOIN d24_r USING k GROUP BY seg ORDER BY seg")
     },
 
+    // ASOF JOIN from SQL (d26/d26b): the CH dialect door onto
+    // operators.AsofJoin (VERDICT r15 #2) — `LEFT ASOF JOIN` keeps
+    // unmatched probe rows, plain `ASOF JOIN` is inner. The engine plan
+    // is a01's single key-shuffle union+window (no per-key cross
+    // product); the oracle is DuckDB's native ASOF JOIN.
+    "d26_asof_join_sql" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("DROP TABLE IF EXISTS d26_c")
+      g.sql("DROP TABLE IF EXISTS d26_v")
+      g.sql("CREATE TABLE d26_c AS SELECT event_id, user_id, ts " +
+        "FROM events WHERE event_type = 'click'")
+      g.sql("CREATE TABLE d26_v AS SELECT user_id, ts AS vts, " +
+        "max(value) AS vv FROM events WHERE event_type = 'view' " +
+        "GROUP BY user_id, ts")
+      g.sql("""SELECT c.event_id, c.user_id, unix_micros(c.ts) AS click_us,
+        |  unix_micros(v.vts) AS view_us, v.vv AS view_value
+        |FROM d26_c c LEFT ASOF JOIN d26_v v
+        |ON c.user_id = v.user_id AND c.ts >= v.vts
+        |ORDER BY c.event_id""".stripMargin)
+    },
+
+    "d26b_asof_inner_sql" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("DROP TABLE IF EXISTS d26b_c")
+      g.sql("DROP TABLE IF EXISTS d26b_v")
+      g.sql("CREATE TABLE d26b_c AS SELECT event_id, user_id, ts " +
+        "FROM events WHERE event_type = 'click'")
+      g.sql("CREATE TABLE d26b_v AS SELECT user_id, ts AS vts, " +
+        "max(value) AS vv FROM events WHERE event_type = 'view' " +
+        "GROUP BY user_id, ts")
+      g.sql("""SELECT count() AS n, CAST(sum(c.user_id) AS BIGINT) AS su,
+        |  CAST(round(sum(CAST(v.vv AS DECIMAL(18,4))), 3) AS DOUBLE) AS sv
+        |FROM d26b_c c ASOF JOIN d26b_v v
+        |ON c.user_id = v.user_id AND c.ts >= v.vts""".stripMargin)
+    },
+
     // Dictionaries (d23): CREATE DICTIONARY over a warehouse dim copy of
     // nation, then dictGet/dictHas inside a customer aggregation — the
     // lookup is a broadcast hash behind a per-dictionary function, so
@@ -875,6 +913,27 @@ object DdlQueries {
         |SELECT count(*) AS n, CAST(sum(ver) AS BIGINT) AS sver,
         |  CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sv
         |FROM w WHERE rn = 1""".stripMargin,
+
+    "d26_asof_join_sql" ->
+      """SELECT c.event_id, c.user_id, epoch_us(c.ts) AS click_us,
+        |  epoch_us(v.vts) AS view_us, v.vv AS view_value
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS vts, max(value) AS vv
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2) v
+        |  ON c.user_id = v.user_id AND c.ts >= v.vts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "d26b_asof_inner_sql" ->
+      """SELECT count(*) AS n, CAST(sum(c.user_id) AS BIGINT) AS su,
+        |  CAST(round(sum(CAST(v.vv AS DECIMAL(18,4))), 3) AS DOUBLE) AS sv
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'click') c
+        |ASOF JOIN (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS vts, max(value) AS vv
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2) v
+        |  ON c.user_id = v.user_id AND c.ts >= v.vts""".stripMargin,
 
     "d09_with_fill" ->
       """WITH src AS (
