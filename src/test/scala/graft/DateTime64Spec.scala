@@ -1,0 +1,69 @@
+package graft
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.exec.GraftSession
+import graft.server.ChProto
+import graft.types.BqlType
+
+/** DateTime64(p[, tz]) + Date32 (VERDICT r15 #7): parse/DESC/replay
+  * round-trip, insert coercion (tick integers AND sub-second strings),
+  * and the native-wire codec (i64 ticks / i32 days).
+  */
+class DateTime64Spec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  private lazy val g = new GraftSession(spark)
+
+  test("parse + chName round-trip") {
+    assert(BqlType.parse("DateTime64").toOption.get.chName === "DateTime64(3)")
+    assert(BqlType.parse("DateTime64(6)").toOption.get.chName ===
+      "DateTime64(6)")
+    assert(BqlType.parse("DateTime64(3, 'UTC')").toOption.get.chName ===
+      "DateTime64(3, 'UTC')")
+    assert(BqlType.parse("Date32").toOption.get.chName === "Date32")
+    assert(BqlType.parse("DateTime64(10)").isLeft, "precision caps at 9")
+    assert(BqlType.parse("Nullable(DateTime64(6))").isRight)
+    // re-parse of the canonical form (the DESC/replay path)
+    val rt = BqlType.parse("DateTime64(3, 'UTC')").toOption.get
+    assert(BqlType.parse(rt.chName).toOption.get === rt)
+  }
+
+  test("insert coercion: tick integers at declared precision, sub-second " +
+    "strings, pre-1970 Date32; DESC shows the declared types") {
+    g.sql("DROP TABLE IF EXISTS dt64_t")
+    g.sql("CREATE TABLE dt64_t(k Int64, t3 DateTime64(3), " +
+      "t6 DateTime64(6), d Date32)")
+    g.sql("INSERT INTO dt64_t VALUES " +
+      "(1, 1704067200123, '2024-01-01 00:00:00.123456', '1965-03-02')")
+    val r = g.sql("SELECT unix_micros(t3) AS a, unix_micros(t6) AS b, " +
+      "CAST(d AS STRING) AS d FROM dt64_t").collect()(0)
+    assert(r.getLong(0) === 1704067200123000L)
+    assert(r.getLong(1) === 1704067200123456L)
+    assert(r.getString(2) === "1965-03-02")
+    val desc = g.sql("DESC dt64_t").collect()
+      .map(x => (x.getString(0), x.getString(1))).toMap
+    assert(desc("t3") === "DateTime64(3)")
+    assert(desc("d") === "Date32")
+    g.sql("DROP TABLE dt64_t")
+  }
+
+  test("native-wire codec round-trips DateTime64 ticks and Date32 days") {
+    def roundTrip(t: BqlType, v: Any): Any = {
+      val bos = new ByteArrayOutputStream()
+      ChProto.writeScalar(bos, t, v)
+      ChProto.readValue(new ByteArrayInputStream(bos.toByteArray), t)
+    }
+    val inst = java.time.Instant.parse("2024-01-01T00:00:00.123456Z")
+    assert(roundTrip(BqlType.DateTime64(6, None), inst) === inst)
+    // ms precision: the codec truncates to the declared tick
+    val ms = java.time.Instant.parse("2024-01-01T00:00:00.123Z")
+    assert(roundTrip(BqlType.DateTime64(3, None), ms) === ms)
+    val d = java.time.LocalDate.of(1965, 3, 2)
+    assert(roundTrip(BqlType.Date32, d) === d)
+    assert(roundTrip(BqlType.Date32, java.time.LocalDate.of(2100, 1, 1)) ===
+      java.time.LocalDate.of(2100, 1, 1))
+  }
+}

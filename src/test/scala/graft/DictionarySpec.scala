@@ -130,18 +130,37 @@ class DictionarySpec extends AnyFunSuite {
     g.sql("DROP TABLE dx_dim")
   }
 
-  test("the size guard refuses a fact-sized source with a clear message") {
+  test("a fact-sized source degrades to the JOIN arm (CH direct-layout " +
+    "semantics) instead of erroring: dictGet/dictHas answer through a " +
+    "correlated equi-join, missing keys still take the default") {
     g.sql("DROP DICTIONARY IF EXISTS dbig")
     g.sql("DROP TABLE IF EXISTS dbig_src")
     g.sql("CREATE TABLE dbig_src AS SELECT number AS k, " +
-      "CAST(number AS STRING) AS v FROM numbers(1000)")
+      "CAST(number AS STRING) AS v, " +
+      "IF(number = 7, CAST(NULL AS BIGINT), number * 10) AS w " +
+      "FROM numbers(1000)")
     spark.conf.set("graft.dict.maxRows", "100")
     try {
-      val e = intercept[Exception] {
-        g.sql("CREATE DICTIONARY dbig(k Int64, v String) PRIMARY KEY k " +
-          "SOURCE(CLICKHOUSE(TABLE 'dbig_src'))")
-      }
-      assert(e.getMessage.contains("maxRows"))
+      g.sql("CREATE DICTIONARY dbig(k Int64, v String, w Nullable(Int64)) " +
+        "PRIMARY KEY k SOURCE(CLICKHOUSE(TABLE 'dbig_src'))")
+      val df = g.sql("SELECT x, dictGet('dbig', 'v', x) AS v, " +
+        "dictGet('dbig', 'w', x) AS w, dictHas('dbig', x) AS h " +
+        "FROM (SELECT explode(array(3, 7, 5000)) AS x) ORDER BY x")
+      // the join arm IS a join: the plan must contain one against the
+      // source (the broadcast-UDF arm has none)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("join"),
+        "oversized dictionary must serve via the join arm")
+      val rows = df.collect()
+      assert(rows(0).getString(1) === "3" && rows(0).getLong(2) === 30L &&
+        rows(0).getBoolean(3))
+      // present key, stored NULL attribute -> NULL (not the default)
+      assert(rows(1).getString(1) === "7" && rows(1).isNullAt(2) &&
+        rows(1).getBoolean(3))
+      // missing key -> type-zero / declared default
+      assert(rows(2).getString(1) === "" && rows(2).getLong(2) === 0L &&
+        !rows(2).getBoolean(3))
+      g.sql("DROP DICTIONARY dbig")
     } finally spark.conf.unset("graft.dict.maxRows")
     g.sql("DROP TABLE dbig_src")
   }

@@ -63,15 +63,27 @@ class ReplacingSpec extends AnyFunSuite {
     g.sql("DROP TABLE rep_part")
   }
 
-  test("FINAL on a non-Replacing table is NOT a keyword: `final` stays a " +
-    "plain Spark alias") {
+  test("FINAL on a non-merging table errors loudly — falling through as " +
+    "a Spark alias would return un-merged rows silently (ADVICE r15 #1; " +
+    "ClickHouse rejects it too)") {
     g.sql("DROP TABLE IF EXISTS rep_plain")
     g.sql("CREATE TABLE rep_plain(k Int64 PRIMARY KEY)")
     g.sql("INSERT INTO rep_plain VALUES (7), (7)")
-    val n = g.sql("SELECT count(*) AS n FROM rep_plain final")
-      .collect()(0).getLong(0)
-    assert(n === 2L, "alias `final` must not dedup a plain table")
+    val e = intercept[IllegalArgumentException] {
+      g.sql("SELECT count(*) AS n FROM rep_plain final")
+    }
+    assert(e.getMessage.contains("FINAL"))
+    // so is FINAL on a JOIN side (splitFinal only serves the FROM table)
+    g.sql("DROP TABLE IF EXISTS rep_j")
+    g.sql("CREATE TABLE rep_j(k Int64, ver Int64) " +
+      "ENGINE=ReplacingMergeTree(ver) ORDER BY k")
+    val e2 = intercept[IllegalArgumentException] {
+      g.sql("SELECT count(*) AS n FROM rep_plain p JOIN rep_j FINAL " +
+        "ON p.k = rep_j.k")
+    }
+    assert(e2.getMessage.contains("JOIN-side"))
     g.sql("DROP TABLE rep_plain")
+    g.sql("DROP TABLE rep_j")
   }
 
   test("OPTIMIZE TABLE t FINAL is the physical merge: the base table " +
