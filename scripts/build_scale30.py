@@ -56,13 +56,19 @@ def main() -> None:
         i = argv.index("--repl")
         repl = int(argv[i + 1])
         del argv[i:i + 2]
-    args = [a for a in argv if a != "--events"]
+    args = [a for a in argv if a not in ("--events", "--embeddings")]
     with_events = "--events" in argv
+    with_embeddings = "--embeddings" in argv
     out = args[0] if args else "/tmp/sf_scale30"
     os.makedirs(out, exist_ok=True)
     done = [replicate("documents", ["doc_id"], out, repl)]
     if with_events:
         done.append(replicate("events", ["event_id", "user_id"], out, repl))
+    if with_embeddings:
+        # identical vectors under fresh vec_ids: valid for COST-curve
+        # probes (shuffle/scan/build volume scales), degenerate for
+        # recall-quality reads — note it wherever the corpus is used
+        done.append(replicate("embeddings", ["vec_id"], out, repl))
     for name in ("region", "nation", "customer", "supplier", "part",
                  "orders", "lineitem", "events", "embeddings"):
         dst = f"{out}/{name}.parquet"

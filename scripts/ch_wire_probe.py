@@ -8,9 +8,16 @@ uncompressed Data blocks) from the wire format alone — no code shared
 with the Scala server, so a passing run is evidence the server speaks
 the actual ClickHouse framing rather than a self-consistent dialect
 (the sandbox ships no clickhouse-client binary; driven by ChWireSpec).
-Compression=0 keeps LZ4+CityHash out of scope here — the compressed
-frames are separately pinned against reference golden bytes in
-ChCompressionSpec.
+With --compress, the probe speaks the LZ4+CityHash128 compressed-frame
+transport in BOTH directions (pure-python CityHash 1.0.2 + LZ4 block
+codec below, written from the published formats) — this drives the
+server's compressed SELECT and compressed client-streamed INSERT paths
+end-to-end. A "CANCEL_AFTER_FIRST :: <sql>" pseudo-statement sends a
+mid-stream Cancel packet after the first Data block of a SELECT and
+expects the server to cut the stream with EndOfStream (CH's Ctrl+C
+contract). Without --compress, frames stay off as before (the frame
+bytes themselves are also pinned against reference golden bytes in
+ChCompressionSpec).
 
 Prints one JSON line: {"results": [{"columns": [...], "types": [...],
 "rows": [[...]]} | {"error": ...}, ...]}.
@@ -21,6 +28,229 @@ import struct
 import sys
 
 REVISION = 54429
+COMPRESS = False
+
+# ---- CityHash128 v1.0.2 (public domain algorithm; the revision the CH
+# wire pinned for frame checksums) -------------------------------------
+_M = (1 << 64) - 1
+_K0 = 0xC3A5C85C97CB3127
+_K1 = 0xB492B66FBE98F273
+_K2 = 0x9AE16A3B2F90404F
+_K3 = 0xC949D7C7509E6557
+_KMUL = 0x9DDFEA08EB382D69
+
+
+def _rot(v, s):
+    return v if s == 0 else ((v >> s) | (v << (64 - s))) & _M
+
+
+def _rot1(v, s):
+    return ((v >> s) | (v << (64 - s))) & _M
+
+
+def _smix(v):
+    return v ^ (v >> 47)
+
+
+def _h16(u, v):
+    a = ((u ^ v) * _KMUL) & _M
+    a ^= a >> 47
+    b = ((v ^ a) * _KMUL) & _M
+    b ^= b >> 47
+    return (b * _KMUL) & _M
+
+
+def _f64(s, o):
+    return int.from_bytes(s[o:o + 8], "little")
+
+
+def _f32(s, o):
+    return int.from_bytes(s[o:o + 4], "little")
+
+
+def _h0to16(s, o, n):
+    if n > 8:
+        a, b = _f64(s, o), _f64(s, o + n - 8)
+        return _h16(a, _rot1((b + n) & _M, n)) ^ b
+    if n >= 4:
+        return _h16((n + (_f32(s, o) << 3)) & _M, _f32(s, o + n - 4))
+    if n > 0:
+        a, b, c = s[o], s[o + (n >> 1)], s[o + n - 1]
+        y = (a + (b << 8)) & _M
+        z = (n + (c << 2)) & _M
+        return (_smix((y * _K2) & _M ^ (z * _K3) & _M) * _K2) & _M
+    return _K2
+
+
+def _citymurmur(s, o, n, lo, hi):
+    a, b, c, d = lo, hi, 0, 0
+    l = n - 16
+    if l <= 0:
+        a = (_smix((a * _K1) & _M) * _K1) & _M
+        c = ((b * _K1) + _h0to16(s, o, n)) & _M
+        d = _smix((a + (_f64(s, o) if n >= 8 else c)) & _M)
+    else:
+        c = _h16((_f64(s, o + n - 8) + _K1) & _M, a)
+        d = _h16((b + n) & _M, (c + _f64(s, o + n - 16)) & _M)
+        a = (a + d) & _M
+        p = o
+        while l > 0:
+            a ^= (_smix((_f64(s, p) * _K1) & _M) * _K1) & _M
+            a = (a * _K1) & _M
+            b ^= a
+            c ^= (_smix((_f64(s, p + 8) * _K1) & _M) * _K1) & _M
+            c = (c * _K1) & _M
+            d ^= c
+            p += 16
+            l -= 16
+    a = _h16(a, c)
+    b = _h16(d, b)
+    return a ^ b, _h16(b, a)
+
+
+def _weak32(w, x, y, z, a, b):
+    a = (a + w) & _M
+    b = _rot((b + a + z) & _M, 21)
+    c = a
+    a = (a + x + y) & _M
+    b = (b + _rot(a, 44)) & _M
+    return (a + z) & _M, (b + c) & _M
+
+
+def _weak32b(s, o, a, b):
+    return _weak32(_f64(s, o), _f64(s, o + 8), _f64(s, o + 16),
+                   _f64(s, o + 24), a, b)
+
+
+def _city128_seed(s, o, n, lo, hi):
+    if n < 128:
+        return _citymurmur(s, o, n, lo, hi)
+    x, y = lo, hi
+    z = (n * _K1) & _M
+    v1 = (_rot(y ^ _K1, 49) * _K1 + _f64(s, o)) & _M
+    v2 = (_rot(v1, 42) * _K1 + _f64(s, o + 8)) & _M
+    w1 = (_rot((y + z) & _M, 35) * _K1 + x) & _M
+    w2 = (_rot((x + _f64(s, o + 88)) & _M, 53) * _K1) & _M
+    while n >= 128:
+        for _ in range(2):
+            x = (_rot((x + y + v1 + _f64(s, o + 16)) & _M, 37) * _K1) & _M
+            y = (_rot((y + v2 + _f64(s, o + 48)) & _M, 42) * _K1) & _M
+            x ^= w2
+            y ^= v1
+            z = _rot(z ^ w1, 33)
+            v1, v2 = _weak32b(s, o, (v2 * _K1) & _M, (x + w1) & _M)
+            w1, w2 = _weak32b(s, o + 32, (z + w2) & _M, y)
+            z, x = x, z
+            o += 64
+        n -= 128
+    y = (y + _rot(w1, 37) * _K0 + z) & _M
+    x = (x + _rot((v1 + z) & _M, 49) * _K0) & _M
+    t = 0
+    while t < n:
+        t += 32
+        y = (_rot((y - x) & _M, 42) * _K0 + v2) & _M
+        w1 = (w1 + _f64(s, o + n - t + 16)) & _M
+        x = (_rot(x, 49) * _K0 + w1) & _M
+        w1 = (w1 + v1) & _M
+        v1, v2 = _weak32b(s, o + n - t, v1, v2)
+    x = _h16(x, v1)
+    y = _h16(y, w2)
+    return (_h16((x + v2) & _M, w1) + y) & _M, _h16((x + w2) & _M, (y + v2) & _M)
+
+
+def cityhash128(s):
+    n = len(s)
+    if n >= 16:
+        return _city128_seed(s, 16, n - 16, _f64(s, 0) ^ _K3, _f64(s, 8))
+    if n >= 8:
+        return _city128_seed(b"", 0, 0,
+                             _f64(s, 0) ^ ((n * _K0) & _M),
+                             _f64(s, n - 8) ^ _K1)
+    return _city128_seed(s, 0, n, _K0, _K1)
+
+
+# ---- LZ4 block codec (bare blocks, the CH frame payload) ---------------
+def lz4_decompress(src, dsz):
+    out = bytearray()
+    i = 0
+    while i < len(src):
+        token = src[i]
+        i += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = src[i]
+                i += 1
+                lit += b
+                if b != 255:
+                    break
+        out += src[i:i + lit]
+        i += lit
+        if i >= len(src):
+            break  # final literals-only sequence
+        off = src[i] | (src[i + 1] << 8)
+        i += 2
+        mlen = token & 0x0F
+        if mlen == 15:
+            while True:
+                b = src[i]
+                i += 1
+                mlen += b
+                if b != 255:
+                    break
+        mlen += 4
+        start = len(out) - off
+        for j in range(mlen):  # overlapping copies must go byte-by-byte
+            out.append(out[start + j])
+    assert len(out) == dsz, f"lz4: {len(out)} != declared {dsz}"
+    return bytes(out)
+
+
+def lz4_compress(raw):
+    """A single literals-only sequence — always a valid final sequence,
+    so any input encodes (as its own bytes, uncompressed-inside-LZ4)."""
+    n = len(raw)
+    out = bytearray([min(n, 15) << 4])
+    if n >= 15:
+        rem = n - 15
+        while rem >= 255:
+            out.append(255)
+            rem -= 255
+        out.append(rem)
+    out += raw
+    return bytes(out)
+
+
+def write_frame(raw):
+    blk = lz4_compress(raw)
+    body = bytes([0x82]) + struct.pack("<II", 9 + len(blk), len(raw)) + blk
+    lo, hi = cityhash128(body)
+    return struct.pack("<QQ", lo, hi) + body
+
+
+def read_frame(conn):
+    hdr = conn.read(16 + 9)
+    lo, hi = struct.unpack("<QQ", hdr[:16])
+    assert hdr[16] == 0x82, f"compression method {hdr[16]:#x}"
+    csz, dsz = struct.unpack("<II", hdr[17:25])
+    comp = conn.read(csz - 9)
+    alo, ahi = cityhash128(hdr[16:] + comp)
+    assert (alo, ahi) == (lo, hi), "server frame checksum mismatch"
+    return lz4_decompress(comp, dsz)
+
+
+class Buf:
+    """conn-shaped reader over a decompressed frame body."""
+
+    def __init__(self, b):
+        self.b = b
+        self.i = 0
+
+    def read(self, n):
+        r = self.b[self.i:self.i + n]
+        self.i += n
+        assert len(r) == n, "frame body underrun"
+        return r
 
 
 class Conn:
@@ -207,11 +437,15 @@ def data_block_packet(names, types, rows):
     for c, (name, t) in enumerate(zip(names, types)):
         body += wstr(name) + wstr(t)
         body += encode_column(t, [r[c] for r in rows])
+    if COMPRESS:
+        body = write_frame(body)
     return wvarint(2) + wstr("") + body  # ClientData
 
 
 def read_block(conn):
-    rstr(conn)  # temporary table name
+    rstr(conn)  # temporary table name (always uncompressed)
+    if COMPRESS:
+        conn = Buf(read_frame(conn))
     # block info: (1, overflow u8), (2, bucket i32), 0 terminator
     assert rvarint(conn) == 1
     conn.read(1)
@@ -250,7 +484,7 @@ def send_query_packet(conn, sql):
         + wstr("") + wvarint(0)
         + wstr("")      # settings terminator
         + wvarint(2)    # stage: complete
-        + wvarint(0)    # compression: off
+        + wvarint(1 if COMPRESS else 0)
         + wstr(sql)
     )
     conn.send(pkt)
@@ -297,7 +531,37 @@ def insert_stream(conn, sql, rows):
             raise ValueError(f"unexpected server packet {code} after INSERT")
 
 
+def cancel_stream(conn, sql):
+    """Mid-stream Cancel: read the first non-empty Data block of a
+    streaming SELECT, send the Cancel packet, expect the server to cut
+    the stream and answer EndOfStream (the Ctrl+C contract)."""
+    send_query_packet(conn, sql)
+    rows, blocks, sent = 0, 0, False
+    while True:
+        code = rvarint(conn)
+        if code == 1:
+            _, _, r = read_block(conn)
+            rows += len(r)
+            if r:
+                blocks += 1
+                if not sent:
+                    conn.send(wvarint(3))  # Client.Cancel
+                    sent = True
+        elif code == 3:
+            for _ in range(5):
+                rvarint(conn)
+        elif code == 5:
+            return {"cancelled": sent, "rows_before_eos": rows,
+                    "data_blocks": blocks}
+        elif code == 2:
+            return read_exception(conn)
+        else:
+            raise ValueError(f"unexpected server packet {code}")
+
+
 def query(conn, sql):
+    if sql.startswith("CANCEL_AFTER_FIRST :: "):
+        return cancel_stream(conn, sql[len("CANCEL_AFTER_FIRST :: "):])
     # "<insert-sql> :: <json rows>" streams Data blocks instead
     if " :: " in sql:
         head, rows_json = sql.split(" :: ", 1)
@@ -328,12 +592,19 @@ def query(conn, sql):
 
 
 def main():
-    port = int(sys.argv[1])
+    global COMPRESS
+    args = sys.argv[1:]
+    if "--compress" in args:
+        COMPRESS = True
+        args.remove("--compress")
+    port = int(args[0])
+    sys.argv[1:] = args
     conn = Conn(port)
     hello(conn)
     if not ping(conn):
         raise ValueError("ping failed")
-    print(json.dumps({"results": [query(conn, sql) for sql in sys.argv[2:]]}))
+    print(json.dumps({"results": [query(conn, sql) for sql in args[1:]],
+                      "compressed": COMPRESS}))
 
 
 if __name__ == "__main__":

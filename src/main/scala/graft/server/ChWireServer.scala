@@ -250,14 +250,28 @@ final class ChWireServer(spark: SparkSession, port: Int = 0) {
             // are never compressed (only Data blocks ride the LZ4 frames)
             var rowsSent = 0L
             ChProto.writeProgress(out, 0L, 0L); out.flush()
-            df.toLocalIterator().asScala.grouped(blockRows)
-              .foreach { rows =>
-                rowsSent += rows.size
-                ChProto.writeDataBlock(out, schema, rows.toSeq,
-                  isU64 = u64, compress = compress)
-                // covers the computation of the NEXT group (or the EOS)
-                ChProto.writeProgress(out, rowsSent, 0L); out.flush()
+            // A Cancel packet (Ctrl+C) may arrive WHILE the result is
+            // streaming: between blocks, drain any buffered client
+            // packets — Cancel stops the stream (EndOfStream follows, CH's
+            // contract); anything else mid-query means the framing is
+            // lost. Polling via available() never blocks the stream.
+            var cancelled = false
+            val groups = df.toLocalIterator().asScala.grouped(blockRows)
+            while (!cancelled && groups.hasNext) {
+              val rows = groups.next()
+              rowsSent += rows.size
+              ChProto.writeDataBlock(out, schema, rows.toSeq,
+                isU64 = u64, compress = compress)
+              // covers the computation of the NEXT group (or the EOS)
+              ChProto.writeProgress(out, rowsSent, 0L); out.flush()
+              while (!cancelled && in.available() > 0) {
+                ChProto.readVarint(in) match {
+                  case ChProto.Client.Cancel => cancelled = true
+                  case other => throw new ChWireServer.ProtocolDesync(
+                    s"expected Cancel during SELECT stream, got $other")
+                }
               }
+            }
           }
           // result fully streamed: retire the processlist entry (until
           // here the SELECT stays KILLable mid-stream)

@@ -50,6 +50,65 @@ class ChWireSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("INDEPENDENT python probe speaks the COMPRESSED transport in both " +
+    "directions (pure-python CityHash128 v1.0.2 + LZ4 block codec; " +
+    "frames >128 bytes exercise the long-input hash path)") {
+    val server = new ChWireServer(spark).start()
+    try {
+      val cmd = Seq("python3", "scripts/ch_wire_probe.py", "--compress",
+        server.boundPort.toString,
+        "DROP TABLE IF EXISTS py_lz4_probe",
+        "CREATE TABLE py_lz4_probe(a Int64, s String)",
+        // client-compressed INSERT frames (the server verifies their
+        // checksums), then a SELECT whose result blocks come back framed
+        """INSERT INTO py_lz4_probe FORMAT Native :: [[1, "alpha"], [2, "beta"], [3, "gamma"], [4, "delta"]]""",
+        "SELECT a, s FROM py_lz4_probe ORDER BY a",
+        // > 128-byte result blocks: the probe must verify the server's
+        // CityHash128 over a multi-kilobyte frame
+        "SELECT number AS n, repeat('x', 64) AS pad FROM numbers(500) ORDER BY n",
+        "SELECT CAST(sum(a) AS BIGINT) AS total FROM py_lz4_probe",
+        "DROP TABLE py_lz4_probe")
+      val proc = new ProcessBuilder(cmd: _*)
+        .redirectErrorStream(true).start()
+      val out = new String(proc.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(proc.waitFor() === 0, s"probe failed:\n$out")
+      val json = out.linesIterator.find(_.startsWith("{"))
+        .getOrElse(fail(s"no JSON line in:\n$out"))
+      assert(json.contains(""""compressed": true"""), json)
+      assert(json.contains(""""inserted": 4"""), json)
+      assert(json.contains("""[1, "alpha"]"""), json)
+      assert(json.contains("""[4, "delta"]"""), json)
+      assert(json.contains(""""rows": [[10]]"""), json)
+      assert(json.contains("""[499, """), json)
+    } finally server.stop()
+  }
+
+  test("INDEPENDENT python probe cancels a SELECT mid-stream: the server " +
+    "cuts the stream with EndOfStream and the connection stays usable") {
+    val server = new ChWireServer(spark).start()
+    try {
+      val cmd = Seq("python3", "scripts/ch_wire_probe.py",
+        server.boundPort.toString,
+        "CANCEL_AFTER_FIRST :: SELECT number AS n FROM numbers(2000000)",
+        "SELECT 41 + 1 AS ok") // framing survived the cancel
+      val proc = new ProcessBuilder(cmd: _*)
+        .redirectErrorStream(true).start()
+      val out = new String(proc.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(proc.waitFor() === 0, s"probe failed:\n$out")
+      val json = out.linesIterator.find(_.startsWith("{"))
+        .getOrElse(fail(s"no JSON line in:\n$out"))
+      assert(json.contains(""""cancelled": true"""), json)
+      val rows = """"rows_before_eos": (\d+)""".r
+        .findFirstMatchIn(json).map(_.group(1).toLong)
+        .getOrElse(fail(s"no rows_before_eos in $json"))
+      assert(rows > 0 && rows < 2000000L,
+        s"cancel must cut the 2M-row stream short, got $rows")
+      assert(json.contains(""""rows": [[42]]"""), json)
+    } finally server.stop()
+  }
+
   test("hello, ping, and CREATE/INSERT/SELECT round-trip over the socket") {
     val server = new ChWireServer(spark).start()
     val client = new WireTestClient(server.boundPort)
