@@ -214,6 +214,19 @@ object ClickHouseFunctions {
       s"$name expects 2 arguments, got ${exprs.length}")
   }
 
+  /** Truncate a timestamp to DateTime64(p)'s tick grid (p <= 6; µs is
+    * Spark's floor). Integral division truncates toward zero — matching
+    * CH's cast behavior for the post-1970 range; pre-epoch sub-tick
+    * residues differ by one tick (documented, like the Date clamp).
+    */
+  private def dt64Trunc(ts: Expression, p: Int): Expression =
+    if (p >= 6) ts
+    else {
+      val step = Literal(math.pow(10, 6 - p).toLong)
+      MicrosToTimestamp(Multiply(
+        Cast(IntegralDivide(UnixMicros(ts), step), LongType), step))
+    }
+
   private def litInt(e: Expression, fn: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case Literal(v: Byte, ByteType) => v.toInt
@@ -326,6 +339,30 @@ object ClickHouseFunctions {
     "toSecond" -> one("toSecond")(e => Second(e)),
     "toDate" -> one("toDate")(e => ChToDate(e)),
     "toDateTime" -> one("toDateTime")(e => ChToDateTime(e)),
+    // toDate32: like toDate but over Date32's signed range — integer
+    // days are NOT clamped at 1970 (pre-epoch days are in range)
+    "toDate32" -> one("toDate32")(e => e.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        DateFromUnixDate(Cast(e, IntegerType))
+      case _ => Cast(e, DateType)
+    }),
+    // toDateTime64(x, p): numeric x is SECONDS (fractional allowed),
+    // strings/timestamps cast; the result truncates to 10^-p ticks
+    "toDateTime64" -> two("toDateTime64")((x, p) =>
+      dt64Trunc(x.dataType match {
+        case _: NumericType => SecondsToTimestamp(x)
+        case _ => Cast(x, TimestampType)
+      }, litInt(p, "toDateTime64"))),
+    // now64([p]): current timestamp at 10^-p ticks (CH default p=3)
+    "now64" -> { exprs =>
+      val p = exprs match {
+        case Seq() => 3
+        case Seq(e) => litInt(e, "now64")
+        case _ => throw new IllegalArgumentException(
+          "now64 expects 0 or 1 arguments")
+      }
+      dt64Trunc(Cast(CurrentTimestamp(), TimestampType), p)
+    },
     "endsWith" -> two("endsWith")((l, r) => EndsWith(l, r)),
     // toDecimal32/64(x, s) → CAST(x AS DECIMAL(9|18, s)). The reference
     // leaves this rewrite TODO in its own TPC-H port

@@ -2545,10 +2545,12 @@ object ChParser {
               "(subqueries/comma-joins before ASOF JOIN are not supported)")
         }
         // forward-scan the right relation from after JOIN
-        def parseRelFwd(start: Int): Either[String, (String, String, Int)] = {
-          // returns (table, alias, idx of ON keyword)
+        def parseRelFwd(start: Int):
+            Either[String, (String, String, Int, String)] = {
+          // returns (table, alias, idx of ON/USING keyword, which)
           def bare(i: Int): Option[String] = toks.lift(i).collect {
-            case Ident(w, _) if !Seq("on", "as").contains(w.toLowerCase) => w
+            case Ident(w, _)
+              if !Seq("on", "as", "using").contains(w.toLowerCase) => w
           }
           def isDot(i: Int) = toks.lift(i).exists {
             case Punct(".", _) => true; case _ => false
@@ -2565,9 +2567,9 @@ object ChParser {
                   (bare(next + 1).get, next + 2)
                 else if (bare(next).isDefined) (bare(next).get, next + 1)
                 else (short, next)
-              if (isKw(onIdx, "on")) Right((tbl, alias, onIdx))
-              else Left("expected ON after the ASOF JOIN relation " +
-                "(USING is not supported for ASOF JOIN yet)")
+              if (isKw(onIdx, "on")) Right((tbl, alias, onIdx, "on"))
+              else if (isKw(onIdx, "using")) Right((tbl, alias, onIdx, "using"))
+              else Left("expected ON or USING after the ASOF JOIN relation")
             }
         }
         // ON conjuncts: ref op ref (AND …)*
@@ -2622,10 +2624,50 @@ object ChParser {
             }
           }
         }
+        // CH's USING form: the LAST column is the inequality (>=), the
+        // rest are equalities — both sides share the names, so conds
+        // emit pre-qualified refs
+        def parseUsing(start: Int, la: String, ra: String):
+            Either[String, (Seq[(ARef, String, ARef)], Int)] = {
+          var i = start
+          val parens = toks.lift(i).exists {
+            case Punct("(", _) => true; case _ => false
+          }
+          if (parens) i += 1
+          val cols = ArrayBuffer.empty[String]
+          var go = true
+          while (go) {
+            idt(i) match {
+              case Some(c) =>
+                cols += c; i += 1
+                if (toks.lift(i).exists {
+                    case Punct(",", _) => true; case _ => false
+                  }) i += 1
+                else go = false
+              case None => go = false
+            }
+          }
+          if (parens && !toks.lift(i).exists {
+              case Punct(")", _) => true; case _ => false
+            }) Left("unclosed USING list")
+          else {
+            if (parens) i += 1
+            if (cols.length < 2)
+              Left("ASOF JOIN USING needs at least one equality column " +
+                "plus the time column (the LAST one)")
+            else {
+              val conds = cols.init.map(c =>
+                (ARef(Some(la), c), "=", ARef(Some(ra), c))).toSeq :+
+                ((ARef(Some(la), cols.last), ">=", ARef(Some(ra), cols.last)))
+              Right((conds, toks.lift(i).map(_.pos).getOrElse(sql.length)))
+            }
+          }
+        }
         for {
           l <- parseRelBack(relEnd)
           r <- parseRelFwd(a + 2)
-          c <- parseConds(r._3 + 1)
+          c <- if (r._4 == "using") parseUsing(r._3 + 1, l._2, r._2)
+               else parseConds(r._3 + 1)
         } yield AsofParts(l._1, l._2, r._1, r._2, leftOuter, c._1,
           toks(l._3).pos, c._2)
       }

@@ -2407,7 +2407,15 @@ object LlmQueries {
       val df0 = s.sql(sqlText)
       val df = if (singleFile) df0.coalesce(1)
                else df0.repartition(8, org.apache.spark.sql.functions.col("vec_id"))
-      df.write.mode("overwrite").parquet(tmp.toString)
+      // pin the ON-DISK layout: at test SF the build's upstream stage is
+      // one task, and AQE's local shuffle read would collapse the 8-way
+      // repartition back to one file. The build is a one-off write —
+      // serving plans keep AQE.
+      val prevAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
+      if (!singleFile) s.conf.set("spark.sql.adaptive.enabled", "false")
+      try df.write.mode("overwrite").parquet(tmp.toString)
+      finally if (!singleFile)
+        s.conf.set("spark.sql.adaptive.enabled", prevAqe)
       try java.nio.file.Files.move(tmp, store,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {

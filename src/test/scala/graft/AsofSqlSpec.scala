@@ -89,6 +89,27 @@ class AsofSqlSpec extends AnyFunSuite {
     assert(rows.toSeq === Seq(("x", 7L), ("y", 8L)))
   }
 
+  test("USING form: last column is the >= inequality, the rest equalities " +
+    "(CH's ASOF JOIN ... USING (k, t))") {
+    g.sql("DROP TABLE IF EXISTS asq_lu")
+    g.sql("DROP TABLE IF EXISTS asq_ru")
+    g.sql("CREATE TABLE asq_lu(k Int64, t DateTime, lv String)")
+    g.sql("CREATE TABLE asq_ru(k Int64, t DateTime, price Float64)")
+    g.sql("INSERT INTO asq_lu VALUES (1, '2024-01-01 10:00:00', 'a'), " +
+      "(2, '2024-01-01 08:00:00', 'b')")
+    g.sql("INSERT INTO asq_ru VALUES (1, '2024-01-01 09:00:00', 10.0)")
+    val rows = g.sql(
+      """SELECT lv, price FROM asq_lu l LEFT ASOF JOIN asq_ru r
+        |USING (k, t) ORDER BY lv""".stripMargin)
+      .collect().map(x => (x.getString(0), Option(x.get(1))))
+    assert(rows.toSeq === Seq(("a", Some(10.0)), ("b", None)))
+    // inner USING without parens
+    val inner = g.sql(
+      "SELECT count() AS n FROM asq_lu l ASOF JOIN asq_ru r USING k, t")
+      .collect()(0).getLong(0)
+    assert(inner === 1L)
+  }
+
   test("unsupported shapes and collisions error loudly, never fall through") {
     mk()
     // non-key right column colliding with a left column

@@ -50,6 +50,22 @@ class DateTime64Spec extends AnyFunSuite {
     g.sql("DROP TABLE dt64_t")
   }
 
+  test("toDateTime64 / toDate32 / now64 function forms") {
+    val r = g.sql("SELECT " +
+      "unix_micros(toDateTime64('2024-01-01 00:00:00.123456', 3)) AS a, " +
+      "unix_micros(toDateTime64(1704067200.5, 6)) AS b, " +
+      "CAST(toDate32(-1770) AS STRING) AS c, " +        // pre-1970 days
+      "CAST(toDate32('1965-03-02') AS STRING) AS d, " +
+      "now64() IS NOT NULL AS e, " +
+      "unix_micros(now64(0)) % 1000000 AS f").collect()(0)
+    assert(r.getLong(0) === 1704067200123000L, "p=3 truncates to ms ticks")
+    assert(r.getLong(1) === 1704067200500000L, "fractional seconds keep µs")
+    assert(r.getString(2) === "1965-02-26", "integer days NOT clamped at 0")
+    assert(r.getString(3) === "1965-03-02")
+    assert(r.getBoolean(4))
+    assert(r.getLong(5) === 0L, "now64(0) truncates to whole seconds")
+  }
+
   test("native-wire codec round-trips DateTime64 ticks and Date32 days") {
     def roundTrip(t: BqlType, v: Any): Any = {
       val bos = new ByteArrayOutputStream()
