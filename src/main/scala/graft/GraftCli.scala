@@ -12,6 +12,7 @@ import graft.exec.GraftSession
   *   runMain graft.GraftCli script.sql [script2.sql …]   # run scripts
   *   runMain graft.GraftCli -e "SELECT 1"                # one statement
   *   runMain graft.GraftCli --serve [port]               # CH native TCP server
+  *   runMain graft.GraftCli --serve-http [port]          # CH HTTP interface
   *   runMain graft.GraftCli                              # REPL on stdin
   */
 object GraftCli {
@@ -33,6 +34,11 @@ object GraftCli {
         val port = rest.headOption.map(_.toInt).getOrElse(3306)
         val server = new graft.server.MysqlWireServer(spark, port).start()
         println(s"graft: MySQL server listening on ${server.boundPort}")
+        Thread.currentThread.join() // serve until killed
+      case "--serve-http" :: rest =>
+        val port = rest.headOption.map(_.toInt).getOrElse(8123)
+        val server = new graft.server.ChHttpServer(spark, port).start()
+        println(s"graft: ClickHouse HTTP server listening on ${server.boundPort}")
         Thread.currentThread.join() // serve until killed
       case Nil =>
         println("graft> one statement per line; 'exit' quits")

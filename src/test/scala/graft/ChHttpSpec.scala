@@ -1,0 +1,126 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.http.HttpRequest.BodyPublishers
+import java.net.http.HttpResponse.BodyHandlers
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.server.ChHttpServer
+
+/** The ClickHouse HTTP interface: /ping, query-in-URL and query-in-body,
+  * the INSERT big-data idiom (statement in the URL, payload in the body),
+  * output formats (TSV[WithNames[AndTypes]], CSV, JSON envelope,
+  * JSONEachRow, Values), the database selector, and CH-style error
+  * surfaces. Driven by java.net.http here and by the independent
+  * python-stdlib probe (scripts/ch_http_probe.py) below.
+  */
+class ChHttpSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  private def withServer(f: (ChHttpServer, Int) => Unit): Unit = {
+    val s = new ChHttpServer(spark).start()
+    try f(s, s.boundPort) finally s.stop()
+  }
+
+  private val client = HttpClient.newHttpClient()
+
+  private def get(port: Int, pathQ: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(
+      URI.create(s"http://127.0.0.1:$port$pathQ")).GET().build(),
+      BodyHandlers.ofString())
+
+  private def post(port: Int, pathQ: String, body: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(
+      URI.create(s"http://127.0.0.1:$port$pathQ"))
+      .POST(BodyPublishers.ofString(body)).build(),
+      BodyHandlers.ofString())
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+
+  test("/ping and bare GET / answer Ok.") {
+    withServer { (_, p) =>
+      assert(get(p, "/ping").body() === "Ok.\n")
+      assert(get(p, "/").body() === "Ok.\n")
+    }
+  }
+
+  test("query in the URL; TSV default; WithNames/AndTypes; JSON envelope; " +
+    "JSONEachRow; CSV; Values") {
+    withServer { (_, p) =>
+      val r = get(p, s"/?query=${enc("SELECT 1 AS a, 'x' AS b")}")
+      assert(r.statusCode() === 200)
+      assert(r.body() === "1\tx\n")
+      assert(r.headers().firstValue("X-ClickHouse-Format").get ===
+        "TabSeparated")
+      assert(get(p, s"/?query=${enc(
+        "SELECT 1 AS a FORMAT TSVWithNames")}").body() === "a\n1\n")
+      val andTypes = get(p, s"/?query=${enc(
+        "SELECT CAST(1 AS INT) AS a FORMAT TabSeparatedWithNamesAndTypes")}")
+        .body()
+      assert(andTypes.startsWith("a\n") && andTypes.endsWith("\n1\n"),
+        andTypes)
+      val json = get(p, s"/?query=${enc(
+        "SELECT 2 AS n, NULL AS z FORMAT JSON")}").body()
+      assert(json.contains(""""meta":"""), json)
+      assert(json.contains(""""n": 2""") && json.contains(""""z": null"""))
+      assert(json.contains(""""rows": 1"""), json)
+      assert(get(p, s"/?query=${enc("SELECT 1 AS a, 'x,y' AS b")}" +
+        "&default_format=CSV").body() === "1,\"x,y\"\n")
+      assert(get(p, s"/?query=${enc(
+        "SELECT 1 AS a, 'x' AS b FORMAT JSONEachRow")}").body() ===
+        """{"a":1,"b":"x"}""" + "\n")
+      assert(get(p, s"/?query=${enc(
+        "SELECT 1 AS a, 'it''s' AS b FORMAT Values")}").body() ===
+        "(1,'it''s')\n")
+    }
+  }
+
+  test("query in the POST body; INSERT with URL statement + body payload " +
+    "(the curl --data-binary idiom); database parameter") {
+    withServer { (_, p) =>
+      assert(post(p, "/", "SELECT 21 * 2 AS v").body() === "42\n")
+      post(p, s"/?query=${enc("DROP TABLE IF EXISTS http_t")}", "")
+      post(p, s"/?query=${enc("CREATE TABLE http_t(a Int64, s String)")}", "")
+      val ins = post(p, s"/?query=${enc(
+        "INSERT INTO http_t FORMAT CSV")}", "1,aa\n2,bb\n3,cc\n")
+      assert(ins.statusCode() === 200, ins.body())
+      assert(post(p, "/",
+        "SELECT CAST(sum(a) AS BIGINT) AS s, count(*) AS n FROM http_t")
+        .body() === "6\t3\n")
+      // database selector
+      post(p, s"/?query=${enc("CREATE DATABASE IF NOT EXISTS http_db")}", "")
+      post(p, s"/?query=${enc("DROP TABLE IF EXISTS t2")}&database=http_db", "")
+      post(p, s"/?query=${enc("CREATE TABLE t2(x Int64)")}&database=http_db", "")
+      post(p, s"/?query=${enc("INSERT INTO t2 VALUES (7)")}&database=http_db", "")
+      assert(post(p, "/?database=http_db", "SELECT x FROM t2").body() === "7\n")
+      assert(post(p, "/", "SELECT x FROM http_db.t2").body() === "7\n")
+      post(p, s"/?query=${enc("DROP TABLE http_t")}&database=default", "")
+    }
+  }
+
+  test("errors surface as HTTP 500 with CH's exception shape; unknown " +
+    "paths 404; empty query 400") {
+    withServer { (_, p) =>
+      val r = get(p, s"/?query=${enc("SELECT * FROM no_such_table_xyz")}")
+      assert(r.statusCode() === 500)
+      assert(r.body().startsWith("Code: "), r.body())
+      assert(r.headers().firstValue("X-ClickHouse-Exception-Code").isPresent)
+      assert(get(p, "/nope").statusCode() === 404)
+      assert(post(p, "/", "").statusCode() === 400)
+    }
+  }
+
+  test("INDEPENDENT python-stdlib HTTP probe round-trips") {
+    withServer { (_, p) =>
+      val cmd = Seq("python3", "scripts/ch_http_probe.py", p.toString)
+      val proc = new ProcessBuilder(cmd: _*)
+        .redirectErrorStream(true).start()
+      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+      assert(proc.waitFor() === 0, s"probe failed:\n$out")
+      assert(out.contains("HTTP_PROBE_OK"), out)
+    }
+  }
+}
