@@ -736,8 +736,10 @@ class GraftSession(val spark: SparkSession) {
         if (ineqs.size != 1)
           fail(s"exactly ONE inequality is required, got ${ineqs.size}")
         val (lt, iop, rt) = ineqs.head
-        if (iop != ">=" && iop != ">")
-          fail(s"only the backward forms (>=, >) are supported, got $iop")
+        // >= / > = backward (latest right at-or-before the left time);
+        // <= / < = forward (earliest right at-or-after) — all four CH forms
+        val forward = iop == "<=" || iop == "<"
+        val strict = iop == ">" || iop == "<"
         // synthetic single-key struct supports multi-column equi keys
         val KeyCol = "__asof_k"; val MatchCol = "__asof_m"
         val lk = ldf.withColumn(KeyCol,
@@ -756,7 +758,8 @@ class GraftSession(val spark: SparkSession) {
             struct(equi.map(c => col(s"`${c._2}`")): _*))
           .withColumn(MatchCol, lit(1))
         val joined = graft.operators.AsofJoin.backward(
-          lk, rk, KeyCol, lt, rt, payload :+ MatchCol, strict = iop == ">")
+          lk, rk, KeyCol, lt, rt, payload :+ MatchCol,
+          strict = strict, forward = forward)
         val out = (if (p.leftOuter) joined
                    else joined.filter(col(MatchCol).isNotNull))
           .drop(MatchCol, KeyCol)

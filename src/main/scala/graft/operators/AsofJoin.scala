@@ -75,13 +75,18 @@ object AsofJoin {
     */
   def backward(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
-               payload: Seq[String], strict: Boolean = false): DataFrame = {
+               payload: Seq[String], strict: Boolean = false,
+               forward: Boolean = false): DataFrame = {
     val leftCols = left.columns.toSeq
     val (r, l) = tagged(left, right, key, leftTime, rightTime, payload,
       strict)
 
+    // forward as-of (match the EARLIEST right row with rightTime >=
+    // leftTime) is backward over reversed time: order the carry window
+    // descending and the same side-tag rules give inclusive/strict
+    val timeOrd = if (forward) col(TimeCol).desc else col(TimeCol).asc
     val w = Window.partitionBy(q(key))
-      .orderBy(col(TimeCol), col(SideTag))
+      .orderBy(timeOrd, col(SideTag))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     r.unionByName(l)

@@ -568,6 +568,26 @@ object DdlQueries {
         |ON c.user_id = v.user_id AND c.ts >= v.vts""".stripMargin)
     },
 
+    // Forward ASOF from SQL (d26c): `l.t <= r.t` matches the EARLIEST
+    // right row at-or-after each left row — the same single-shuffle
+    // union+window plan over reversed time order.
+    "d26c_asof_forward_sql" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("DROP TABLE IF EXISTS d26c_c")
+      g.sql("DROP TABLE IF EXISTS d26c_v")
+      g.sql("CREATE TABLE d26c_c AS SELECT event_id, user_id, ts " +
+        "FROM events WHERE event_type = 'click'")
+      g.sql("CREATE TABLE d26c_v AS SELECT user_id, ts AS vts, " +
+        "max(value) AS vv FROM events WHERE event_type = 'view' " +
+        "GROUP BY user_id, ts")
+      g.sql("""SELECT c.event_id, unix_micros(v.vts) AS next_view_us,
+        |  v.vv AS view_value
+        |FROM d26c_c c LEFT ASOF JOIN d26c_v v
+        |ON c.user_id = v.user_id AND c.ts <= v.vts
+        |ORDER BY c.event_id""".stripMargin)
+    },
+
     // Dictionaries (d23): CREATE DICTIONARY over a warehouse dim copy of
     // nation, then dictGet/dictHas inside a customer aggregation — the
     // lookup is a broadcast hash behind a per-dictionary function, so
@@ -946,6 +966,17 @@ object DdlQueries {
         |  (SELECT CAST(sum(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT)
         |   FROM events WHERE event_id < 500) AS ev_us,
         |  (SELECT count(*) FROM events WHERE event_id < 500) AS n""".stripMargin,
+
+    "d26c_asof_forward_sql" ->
+      """SELECT c.event_id, epoch_us(v.vts) AS next_view_us,
+        |  v.vv AS view_value
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS vts, max(value) AS vv
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2) v
+        |  ON c.user_id = v.user_id AND c.ts <= v.vts
+        |ORDER BY c.event_id""".stripMargin,
 
     "d23b_dictionary_join" ->
       """SELECT l.l_returnflag AS flag, count(*) AS n,

@@ -131,12 +131,23 @@ class AsofSqlSpec extends AnyFunSuite {
         "ON l.k = r.k AND l.t >= r.rt")
     }
     assert(e3.getMessage.toLowerCase.contains("asof join"))
-    // forward form
-    val e4 = intercept[IllegalArgumentException] {
-      g.sql("SELECT 1 FROM asq_l l ASOF JOIN asq_r r " +
-        "ON l.k = r.k AND l.t <= r.rt")
-    }
-    assert(e4.getMessage.contains("backward"))
+  }
+
+  test("forward forms: <= matches the EARLIEST right row at-or-after the " +
+    "left time; < excludes the same instant") {
+    mk()
+    val rows = g.sql(
+      """SELECT l.lv, r.price FROM asq_l l LEFT ASOF JOIN asq_r r
+        |ON l.k = r.k AND l.t <= r.rt ORDER BY l.lv""".stripMargin)
+      .collect().map(r => (r.getString(0), Option(r.get(1))))
+    assert(rows.toSeq === Seq(
+      ("a", Some(12.0)), ("b", Some(12.0)), ("c", Some(20.0)), ("d", None)))
+    val strict = g.sql(
+      """SELECT l.lv, r.price FROM asq_l l LEFT ASOF JOIN asq_r r
+        |ON l.k = r.k AND l.t < r.rt ORDER BY l.lv""".stripMargin)
+      .collect().map(r => (r.getString(0), Option(r.get(1))))
+    assert(strict.toSeq === Seq(
+      ("a", Some(12.0)), ("b", None), ("c", Some(20.0)), ("d", None)))
   }
 
   test("the right time column may share the left time column's name " +
