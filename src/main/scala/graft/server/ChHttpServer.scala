@@ -82,7 +82,13 @@ final class ChHttpServer(spark: SparkSession, port: Int = 0) {
     try {
       val path = ex.getRequestURI.getPath
       val params = queryParams(ex)
-      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      // gzip-compressed request bodies (INSERT payloads) decode here,
+      // like CH's Content-Encoding handling
+      val rawIn = ex.getRequestBody
+      val in = if (Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+          .exists(_.toLowerCase.contains("gzip")))
+        new java.util.zip.GZIPInputStream(rawIn) else rawIn
+      val body = new String(in.readAllBytes(), UTF_8)
       if (path == "/ping" || (path == "/" && params.isEmpty &&
           body.isEmpty && ex.getRequestMethod == "GET")) {
         respond(ex, 200, "Ok.\n".getBytes(UTF_8),
@@ -133,16 +139,23 @@ final class ChHttpServer(spark: SparkSession, port: Int = 0) {
       params.get("database").foreach(db => session.sql(s"USE `$db`"))
       session.sql(stmt, payload)
     }
+    // CH's HTTP compression contract: compress the response only when
+    // the client both accepts gzip AND asks via enable_http_compression=1
+    val gzip = params.get("enable_http_compression").contains("1") &&
+      Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
+        .exists(_.toLowerCase.contains("gzip"))
     val headers = Seq(
       "Content-Type" -> contentType(fmt),
       "X-ClickHouse-Server-Display-Name" -> ChProto.ServerName,
       "X-ClickHouse-Format" -> fmt,
-      "X-ClickHouse-Query-Id" -> qid)
+      "X-ClickHouse-Query-Id" -> qid) ++
+      (if (gzip) Seq("Content-Encoding" -> "gzip") else Nil)
     if (df.schema.isEmpty) { respond(ex, 200, Array.emptyByteArray, headers); return }
     // stream the rendered rows chunked (response length 0 = chunked)
     headers.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
     ex.sendResponseHeaders(200, 0L)
-    val os = ex.getResponseBody
+    val raw = ex.getResponseBody
+    val os = if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw
     try render(os, df, fmt) finally os.close()
   }
 

@@ -113,6 +113,35 @@ class ChHttpSpec extends AnyFunSuite {
     }
   }
 
+  test("gzip both ways: enable_http_compression=1 + Accept-Encoding " +
+    "compresses the response; a gzip Content-Encoding INSERT body decodes") {
+    withServer { (_, p) =>
+      val req = HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:$p/?query=${enc("SELECT 7 AS x")}" +
+          "&enable_http_compression=1"))
+        .header("Accept-Encoding", "gzip").GET().build()
+      val r = client.send(req, BodyHandlers.ofByteArray())
+      assert(r.headers().firstValue("Content-Encoding").orElse("") === "gzip")
+      val gz = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(r.body()))
+      assert(new String(gz.readAllBytes(), "UTF-8") === "7\n")
+      // gzip'd INSERT payload
+      post(p, s"/?query=${enc("DROP TABLE IF EXISTS http_gz")}", "")
+      post(p, s"/?query=${enc("CREATE TABLE http_gz(a Int64)")}", "")
+      val bos = new java.io.ByteArrayOutputStream()
+      val go = new java.util.zip.GZIPOutputStream(bos)
+      go.write("5\n6\n".getBytes("UTF-8")); go.close()
+      val ins = HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:$p/?query=${enc("INSERT INTO http_gz FORMAT CSV")}"))
+        .header("Content-Encoding", "gzip")
+        .POST(BodyPublishers.ofByteArray(bos.toByteArray)).build()
+      assert(client.send(ins, BodyHandlers.ofString()).statusCode() === 200)
+      assert(post(p, "/", "SELECT CAST(sum(a) AS BIGINT) AS s FROM http_gz")
+        .body() === "11\n")
+      post(p, s"/?query=${enc("DROP TABLE http_gz")}", "")
+    }
+  }
+
   test("INDEPENDENT python-stdlib HTTP probe round-trips") {
     withServer { (_, p) =>
       val cmd = Seq("python3", "scripts/ch_http_probe.py", p.toString)

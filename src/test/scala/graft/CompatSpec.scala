@@ -59,6 +59,19 @@ class CompatSpec extends AnyFunSuite {
       .collect()(0).getLong(0) === 3L)
   }
 
+  test("CH's GROUP BY k WITH ROLLUP / WITH CUBE forms run (Spark accepts " +
+    "the Hive-compatible syntax natively)") {
+    mk()
+    val roll = g.sql("SELECT k, CAST(sum(v) AS BIGINT) AS s FROM cp_t " +
+      "GROUP BY k WITH ROLLUP ORDER BY k NULLS FIRST, s").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1)))
+    assert(roll.toSeq === Seq((-1L, 41L), (1L, 21L), (2L, 20L)))
+    val cube = g.sql("SELECT count(*) AS n FROM (SELECT k, v FROM cp_t " +
+      "GROUP BY k, v WITH CUBE)").collect()(0).getLong(0)
+    // 3 (k,v) + 3 (k,null)→2 distinct... count all grouping-set rows
+    assert(cube > 3L)
+  }
+
   test("scalar WITH binds expression aliases (constants, expressions " +
     "over columns, scalar subqueries); CTE WITH is untouched") {
     mk()
