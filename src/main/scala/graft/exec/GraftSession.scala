@@ -535,11 +535,27 @@ class GraftSession(val spark: SparkSession) {
     case iv: InsertValues => insertValues(iv)
     case is: InsertSelect => insertSelect(is)
     case f: InsertFormat => insertFormat(f, payload)
-    case Explain(sel) =>
-      val plan = spark.sql(rewriteSelect(sel)).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
+    case Explain(sel, kind) =>
+      val text = kind match {
+        case "ast" =>
+          // the parsed statement's shape — CH's AST dump analog
+          ChParser.parse(sel) match {
+            case Right(st) => st.toString
+            case Left(e) => s"parse error: $e"
+          }
+        case "syntax" =>
+          // the fully-rewritten SQL the dialect layer hands to Spark —
+          // exactly what CH's EXPLAIN SYNTAX shows (ITS rewritten query)
+          rewriteSelect(sel)
+        case "pipeline" =>
+          spark.sql(rewriteSelect(sel)).queryExecution.explainString(
+            org.apache.spark.sql.execution.CodegenMode)
+        case _ =>
+          spark.sql(rewriteSelect(sel)).queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+      }
       spark.createDataFrame(
-        plan.split("\n").toSeq.map(Row(_)).asJava,
+        text.split("\n").toSeq.map(Row(_)).asJava,
         StructType(Seq(StructField("plan", StringType))))
     case ir: InsertRemote => insertRemote(ir)
     case Select(raw) => runSelect(raw)

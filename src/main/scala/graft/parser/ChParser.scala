@@ -65,7 +65,16 @@ object ChStatement {
   final case class InsertFormat(db: Option[String], name: String,
                                 cols: Option[Seq[String]], format: String,
                                 inlinePayload: String) extends ChStatement
-  final case class Explain(selectSql: String) extends ChStatement
+  /** EXPLAIN [AST|SYNTAX|PLAN|PIPELINE] sel — CH's explain kinds mapped
+    * onto this engine's layers: AST = the parsed statement kind, SYNTAX =
+    * the fully-rewritten SQL (what the dialect layer hands Spark —
+    * ClickHouse's SYNTAX shows its rewritten query too), PLAN (default) =
+    * the formatted Catalyst plan, PIPELINE = the physical plan with
+    * codegen stage ids (whole-stage codegen spans ≙ CH's processor
+    * pipeline).
+    */
+  final case class Explain(selectSql: String,
+                           kind: String = "plan") extends ChStatement
   /** Raw SELECT/WITH passthrough for Spark SQL. */
   final case class Select(sql: String) extends ChStatement
   /** INSERT INTO FUNCTION remote('url', 'table' [, 'user', 'pwd']) …
@@ -479,6 +488,18 @@ object ChParser {
                 }
               case Left(e) => err = Some(e)
             }
+          } else if (p.isKw("index")) {
+            // `INDEX name expr TYPE kind(args) [GRANULARITY n]` — CH's
+            // data-skipping indexes. Accepted and DROPPED: parquet footer
+            // min/max statistics + dictionary/bloom filters are the
+            // native analogs Spark's scan already consults, so a
+            // declared minmax/set/bloom index adds no information here.
+            // The create script keeps the clause for SHOW CREATE replay.
+            p.next()
+            val body = p.sliceBalancedUntil(q =>
+              q.isPunct(",") || q.isPunct(")"))
+            if (body.isEmpty) err = Some(s"INDEX: empty body at ${p.posText}")
+            else if (!p.eatPunct(",")) go = false
           } else columnDef(p) match {
             case Right(cd) =>
               buf += cd
@@ -1295,7 +1316,15 @@ object ChParser {
   def parse(sql: String): Either[String, ChStatement] = tokenize(sql).flatMap { toks =>
     val p = new P(toks, sql)
     if (p.isKw("select") || p.isKw("with")) Right(Select(sql))
-    else if (p.isKw("explain")) { p.next(); Right(Explain(p.rest)) }
+    else if (p.isKw("explain")) {
+      p.next()
+      val kind =
+        if (p.eatKw("ast")) "ast"
+        else if (p.eatKw("syntax")) "syntax"
+        else if (p.eatKw("pipeline")) "pipeline"
+        else { p.eatKw("plan"); "plan" }
+      Right(Explain(p.rest, kind))
+    }
     else if (p.eatKw("create")) {
       if (p.eatKw("database")) {
         val ine = parseIfNotExists(p)
