@@ -1386,10 +1386,29 @@ class GraftSession(val spark: SparkSession) {
         // the fill key to column 0 — the exact bug this projection
         // fixes. The schema-only analysis executes nothing.
         val srcCols = spark.sql(spliceTableFns(p.core)).columns.toSeq
+        p.interpolate.foreach { ic =>
+          require(srcCols.exists(_.equalsIgnoreCase(ic)),
+            s"INTERPOLATE: $ic is not a column of the query")
+          require(!ic.equalsIgnoreCase(p.col),
+            "INTERPOLATE: the fill key fills itself, it cannot interpolate")
+        }
+        // INTERPOLATE (c) carries the last REAL row's value onto filled
+        // rows — a running last(ignoreNulls) window ordered by the fill
+        // key. Real rows keep their own value (including real NULLs).
+        // Single-partition window: a WITH FILL result is an ordered
+        // materialized grid (CH streams it sequentially too).
+        def interpProj(c: String): String =
+          s"CASE WHEN __graft_fill_src.`${p.col}` IS NULL THEN " +
+            s"last(__graft_fill_src.`$c`, true) OVER (ORDER BY " +
+            s"__graft_fill_grid.`${p.col}` ROWS BETWEEN UNBOUNDED " +
+            s"PRECEDING AND CURRENT ROW) ELSE __graft_fill_src.`$c` END " +
+            s"AS `$c`"
         if (srcCols.exists(_.equalsIgnoreCase(p.col))) {
           val proj = srcCols.map { c =>
             if (c.equalsIgnoreCase(p.col))
               s"coalesce(__graft_fill_src.`$c`, __graft_fill_grid.`${p.col}`) AS `$c`"
+            else if (p.interpolate.exists(_.equalsIgnoreCase(c)))
+              interpProj(c)
             else s"__graft_fill_src.`$c`"
           }.mkString(", ")
           s"WITH __graft_fill_src AS (${p.core}), " +
@@ -1399,12 +1418,15 @@ class GraftSession(val spark: SparkSession) {
             s"LEFT JOIN __graft_fill_src " +
             s"ON __graft_fill_src.`${p.col}` = __graft_fill_grid.`${p.col}` " +
             s"ORDER BY `${p.col}`"
-        } else
+        } else {
+          require(p.interpolate.isEmpty,
+            "INTERPOLATE requires the fill key in the select list")
           s"WITH __graft_fill_src AS (${p.core}), " +
             s"__graft_fill_grid AS (SELECT explode(sequence(" +
             s"CAST($lo AS BIGINT), CAST($hi AS BIGINT), ${p.step})) AS ${p.col}) " +
             s"SELECT * FROM __graft_fill_grid " +
             s"LEFT JOIN __graft_fill_src USING (${p.col}) ORDER BY ${p.col}"
+        }
     }
 
   /** `LIMIT n WITH TIES` (ClickHouse / SQL-standard FETCH FIRST … WITH

@@ -2352,7 +2352,8 @@ object ChParser {
     */
   final case class WithFillParts(core: String, col: String,
                                  from: Option[Long], to: Option[Long],
-                                 step: Long)
+                                 step: Long,
+                                 interpolate: Seq[String] = Nil)
 
   /** Find a TOP-LEVEL `ORDER BY <ident> [ASC] WITH FILL …` tail. Scope
     * v1 (documented): single ascending identifier key, integer literal
@@ -2394,6 +2395,7 @@ object ChParser {
               var from: Option[Long] = None
               var to: Option[Long] = None
               var step = 1L
+              val interp = ArrayBuffer.empty[String]
               var ok = true
               while (ok && j < toks.length && toks(j).text != ";") {
                 if (kw(j, "FROM")) snum(j + 1) match {
@@ -2405,10 +2407,33 @@ object ChParser {
                 } else if (kw(j, "STEP")) snum(j + 1) match {
                   case Some((v, c)) if v > 0 => step = v; j += 1 + c
                   case _ => ok = false
+                } else if (kw(j, "INTERPOLATE")) {
+                  // INTERPOLATE (c1 [, c2]...) — carry-forward columns on
+                  // filled rows. The `col AS expr` form is CH-iterative
+                  // (each filled row builds on the previous FILLED row)
+                  // and out of v1 scope: reject via ok=false so the
+                  // caller errors loudly rather than interpolating wrong.
+                  j += 1
+                  if (toks.lift(j).exists(_.text == "(")) {
+                    j += 1
+                    var more = true
+                    while (ok && more) {
+                      toks.lift(j) match {
+                        case Some(Ident(c, _)) =>
+                          interp += c; j += 1
+                          toks.lift(j).map(_.text) match {
+                            case Some(",") => j += 1
+                            case Some(")") => j += 1; more = false
+                            case _ => ok = false; more = false
+                          }
+                        case _ => ok = false; more = false
+                      }
+                    }
+                  } else ok = false
                 } else ok = false
               }
               if (ok) Some(WithFillParts(sql.substring(0, toks(oi).pos).trim,
-                col, from, to, step))
+                col, from, to, step, interp.toSeq))
               else None
             }
           case _ => None

@@ -726,6 +726,19 @@ object DdlQueries {
       g.sql("SELECT CAST(floor(value / 25) AS BIGINT) AS k, " +
         "count(*) AS n FROM events WHERE value > 60 GROUP BY k " +
         "ORDER BY k WITH FILL FROM 0 TO 10 STEP 1")
+    },
+
+    // WITH FILL INTERPOLATE (d09b): filled rows carry the last real
+    // row's value forward; real rows keep their own. Oracle = the same
+    // grid join with DuckDB's last_value IGNORE NULLS window scoped to
+    // filled rows.
+    "d09b_fill_interpolate" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("SELECT CAST(floor(value / 25) AS BIGINT) AS k, " +
+        "count(*) AS n, CAST(max(user_id) AS BIGINT) AS mu " +
+        "FROM events WHERE value > 60 GROUP BY k " +
+        "ORDER BY k WITH FILL FROM 0 TO 10 STEP 1 INTERPOLATE (mu)")
     }
   )
 
@@ -1061,6 +1074,19 @@ object DdlQueries {
         |  FROM events WHERE value > 60 GROUP BY k
         |), grid AS (SELECT unnest(range(0, 10)) AS k)
         |SELECT grid.k AS k, src.n AS n
+        |FROM grid LEFT JOIN src ON grid.k = src.k
+        |ORDER BY k""".stripMargin,
+
+    "d09b_fill_interpolate" ->
+      """WITH src AS (
+        |  SELECT CAST(floor(value / 25) AS BIGINT) AS k, count(*) AS n,
+        |    CAST(max(user_id) AS BIGINT) AS mu
+        |  FROM events WHERE value > 60 GROUP BY 1
+        |), grid AS (SELECT unnest(range(0, 10)) AS k)
+        |SELECT grid.k AS k, src.n AS n,
+        |  CASE WHEN src.k IS NULL THEN last_value(src.mu IGNORE NULLS)
+        |    OVER (ORDER BY grid.k ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) ELSE src.mu END AS mu
         |FROM grid LEFT JOIN src ON grid.k = src.k
         |ORDER BY k""".stripMargin,
 

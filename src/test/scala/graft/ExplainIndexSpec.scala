@@ -53,4 +53,27 @@ class ExplainIndexSpec extends AnyFunSuite {
     assert(script.toLowerCase.contains("index k_minmax"), script)
     g.sql("DROP TABLE ei_idx")
   }
+
+  test("WITH FILL INTERPOLATE carries the last real value onto filled " +
+    "rows; real rows keep their own (including real NULLs)") {
+    g.sql("DROP TABLE IF EXISTS ei_fill")
+    g.sql("CREATE TABLE ei_fill(k Int64, v Int64, w Int64)")
+    g.sql("INSERT INTO ei_fill VALUES (1, 10, 100), (4, 40, NULL), (6, 60, 600)")
+    val rows = g.sql("SELECT k, v, w FROM ei_fill " +
+      "ORDER BY k WITH FILL FROM 1 TO 8 INTERPOLATE (v)").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+    assert(rows.map(_._1).toSeq === (1L to 7L))
+    // v interpolates on filled rows (2, 3 carry 10; 5 carries 40; 7 carries 60)
+    assert(rows.map(_._2).toSeq === Seq(Some(10L), Some(10L), Some(10L),
+      Some(40L), Some(40L), Some(60L), Some(60L)))
+    // w is NOT interpolated: null on filled rows, and k=4's REAL null stays
+    assert(rows.map(_._3).toSeq === Seq(Some(100L), None, None, None,
+      None, Some(600L), None))
+    // the AS-expression form is iterative in CH and rejected loudly here
+    intercept[Exception] {
+      g.sql("SELECT k, v FROM ei_fill ORDER BY k WITH FILL FROM 1 TO 8 " +
+        "INTERPOLATE (v AS v + 1)").collect()
+    }
+    g.sql("DROP TABLE ei_fill")
+  }
 }
