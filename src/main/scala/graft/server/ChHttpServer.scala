@@ -32,11 +32,15 @@ import graft.types.BqlType
   *     protocol's Hello database field).
   *   - errors → HTTP 500 with CH's `Code: NN. DB::Exception: …` body and
   *     the `X-ClickHouse-Exception-Code` header.
-  *   - responses carry X-ClickHouse-Format / -Query-Id / -Summary headers.
+  *   - responses carry X-ClickHouse-Format / -Query-Id headers; gzip in
+  *     both directions behind `enable_http_compression=1` /
+  *     `Content-Encoding: gzip`.
+  *   - `?session_id=` gives the request CH's HTTP-session state (its own
+  *     current database via USE, its own temp views) — isolated through
+  *     a per-session SparkSession, LRU-bounded.
   *
-  * One GraftSession serves all requests; statements execute under its
-  * lock (the HTTP interface is stateless per request — CH sessions via
-  * `session_id` are out of scope, like the reference's own fronts).
+  * Sessionless requests share one GraftSession; statements execute under
+  * a lock.
   * Results stream row-group-wise through a chunked response via
   * toLocalIterator — the transport is a front door, not the 100 TB
   * egress path (same posture as the wire servers).
@@ -46,6 +50,27 @@ final class ChHttpServer(spark: SparkSession, port: Int = 0) {
   private val session = new GraftSession(spark)
   private val lock = new Object
   private val http = HttpServer.create(new InetSocketAddress(port), 0)
+
+  /** `?session_id=` sessions: each gets its OWN SparkSession (so USE —
+    * which sets the Spark session's current database — and temp views
+    * are isolated per session, CH's HTTP-session contract), created
+    * lazily and evicted LRU past a small cap. Sessionless requests share
+    * the default GraftSession.
+    */
+  private val MaxSessions = 16
+  private val sessions =
+    new java.util.LinkedHashMap[String, GraftSession](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, GraftSession]): Boolean =
+        size() > MaxSessions
+    }
+  private def sessionFor(id: Option[String]): GraftSession =
+    id.fold(session) { sid =>
+      sessions.synchronized {
+        sessions.computeIfAbsent(sid,
+          _ => new GraftSession(spark.newSession()))
+      }
+    }
 
   def boundPort: Int = http.getAddress.getPort
 
@@ -135,9 +160,10 @@ final class ChHttpServer(spark: SparkSession, port: Int = 0) {
       .getOrElse("TabSeparated")
     val qid = params.getOrElse("query_id",
       java.util.UUID.randomUUID().toString)
+    val ses = sessionFor(params.get("session_id"))
     val df = lock.synchronized {
-      params.get("database").foreach(db => session.sql(s"USE `$db`"))
-      session.sql(stmt, payload)
+      params.get("database").foreach(db => ses.sql(s"USE `$db`"))
+      ses.sql(stmt, payload)
     }
     // CH's HTTP compression contract: compress the response only when
     // the client both accepts gzip AND asks via enable_http_compression=1

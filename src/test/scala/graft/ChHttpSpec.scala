@@ -142,6 +142,25 @@ class ChHttpSpec extends AnyFunSuite {
     }
   }
 
+  test("session_id isolates HTTP sessions: USE sticks per session and " +
+    "does not leak to other sessions or sessionless requests") {
+    withServer { (_, p) =>
+      post(p, s"/?query=${enc("CREATE DATABASE IF NOT EXISTS http_s1")}", "")
+      post(p, s"/?query=${enc("DROP TABLE IF EXISTS http_s1.st")}", "")
+      post(p, s"/?query=${enc("CREATE TABLE http_s1.st(a Int64)")}", "")
+      post(p, s"/?query=${enc("INSERT INTO http_s1.st VALUES (9)")}", "")
+      // session A switches database; the unqualified name then resolves
+      assert(post(p, "/?session_id=A", "USE http_s1").statusCode() === 200)
+      assert(post(p, "/?session_id=A", "SELECT a FROM st").body() === "9\n")
+      // session B and the sessionless path still resolve against default
+      val b = post(p, "/?session_id=B", "SELECT a FROM st")
+      assert(b.statusCode() === 500, b.body())
+      val none = post(p, "/", "SELECT a FROM st")
+      assert(none.statusCode() === 500, none.body())
+      post(p, s"/?query=${enc("DROP TABLE http_s1.st")}", "")
+    }
+  }
+
   test("INDEPENDENT python-stdlib HTTP probe round-trips") {
     withServer { (_, p) =>
       val cmd = Seq("python3", "scripts/ch_http_probe.py", p.toString)
