@@ -458,6 +458,30 @@ class GraftSession(val spark: SparkSession) {
         StructField("key", StringType))))
     case m: AlterMutate =>
       mutateTable(m); emptyOk
+    case ac: AlterClearColumn =>
+      // CLEAR COLUMN = a partition-scoped UPDATE to the declared
+      // DEFAULT (else CH type-zero, else NULL); only that partition's
+      // files rewrite (the mutation machinery's file-locating scan)
+      val tpe = chTypes(ac.db, ac.name).get(ac.col)
+        .flatMap(t => BqlType.parse(t).toOption)
+        .getOrElse(throw new IllegalArgumentException(
+          s"CLEAR COLUMN: no column ${ac.col} in ${ac.name}"))
+      val dflt = defaults(ac.db, ac.name).get(ac.col).getOrElse {
+        def zeroOf(t: BqlType): String = t match {
+          case BqlType.Nullable(_) => "NULL"
+          case BqlType.Str | _: BqlType.FixedString |
+               _: BqlType.LowCardinality => "''"
+          case BqlType.Date | BqlType.Date32 => "'1970-01-01'"
+          case BqlType.DateTime(_) | _: BqlType.DateTime64 =>
+            "'1970-01-01 00:00:00'"
+          case _ => "0"
+        }
+        zeroOf(tpe)
+      }
+      mutateTable(AlterMutate(ac.db, ac.name,
+        Seq(ac.col -> s"CAST($dflt AS ${tpe.sparkType.sql})"),
+        "1 = 1", Some(ac.partition)))
+      emptyOk
     case cv: CreateView => createView(cv)
     case DropView(db, name, ie) => dropView(db, name, ie)
     case cd: CreateDictionary => createDictionary(cd)

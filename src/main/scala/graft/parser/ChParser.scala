@@ -122,6 +122,14 @@ object ChStatement {
   final case class AlterModifyColumn(db: Option[String], name: String,
                                      col: String, tpe: BqlType)
       extends ChStatement
+  /** `ALTER TABLE t CLEAR COLUMN c IN PARTITION v` — partition-scoped
+    * reset of a column to its declared DEFAULT (else type-zero, else
+    * NULL); runs through the mutation machinery so only that
+    * partition's files rewrite.
+    */
+  final case class AlterClearColumn(db: Option[String], name: String,
+                                    col: String, partition: String)
+      extends ChStatement
   /** `ALTER TABLE t MODIFY TTL expr` / `ALTER TABLE t REMOVE TTL`
     * (ttl = None). Row expiry applies at the next OPTIMIZE (merge time,
     * CH's model).
@@ -1440,6 +1448,16 @@ object ChParser {
         else if (p.eatKw("remove")) for {
           _ <- p.expectKw("ttl")
         } yield AlterTtl(db, tab, None)
+        // CLEAR COLUMN c IN PARTITION v — reset to the declared
+        // DEFAULT/type-zero within one partition (CH's partition-scoped
+        // column reset); desugars onto the mutation machinery
+        else if (p.eatKw("clear")) for {
+          _ <- p.expectKw("column")
+          c <- p.ident()
+          _ <- p.expectKw("in")
+          _ <- p.expectKw("partition")
+          v <- partitionValue(p)
+        } yield AlterClearColumn(db, tab, c, v)
         else if (p.eatKw("delete")) for {
           pv <- inPartitionOpt(p)
           _ <- p.expectKw("where")

@@ -192,4 +192,26 @@ class MutationSpec extends AnyFunSuite {
     assert(rows === Seq((3L, 7L)))
     g.sql("DROP TABLE mut_fw")
   }
+
+  test("CLEAR COLUMN IN PARTITION resets the column to DEFAULT/type-zero " +
+    "inside that partition only") {
+    g.sql("DROP TABLE IF EXISTS mut_clear")
+    g.sql("CREATE TABLE mut_clear(k Int64, d Date, v Int64, " +
+      "s String DEFAULT 'reset') ENGINE=BaseStorage PARTITION BY toYear(d)")
+    g.sql("INSERT INTO mut_clear VALUES " +
+      "(1, '2021-05-01', 10, 'a'), (2, '2021-06-01', 20, 'b'), " +
+      "(3, '2022-01-01', 30, 'c')")
+    g.sql("ALTER TABLE mut_clear CLEAR COLUMN v IN PARTITION 2021")
+    g.sql("ALTER TABLE mut_clear CLEAR COLUMN s IN PARTITION 2021")
+    val rows = g.sql("SELECT k, v, s FROM mut_clear ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    // 2021 rows reset (v -> type-zero 0, s -> its declared DEFAULT);
+    // the 2022 partition is untouched
+    assert(rows === Seq((1L, 0L, "reset"), (2L, 0L, "reset"),
+      (3L, 30L, "c")))
+    val e = intercept[Exception] {
+      g.sql("ALTER TABLE mut_clear CLEAR COLUMN nope IN PARTITION 2021") }
+    assert(e.getMessage.contains("no column"))
+    g.sql("DROP TABLE mut_clear")
+  }
 }
