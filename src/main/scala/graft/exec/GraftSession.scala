@@ -3020,17 +3020,24 @@ class GraftSession(val spark: SparkSession) {
       case Some(e) => block.withColumn(PtkCol, expr(e).cast(StringType))
       case None => block
     }
+    // ENGINE=Null: the insert lands NOTHING (CH's /dev/null table) but
+    // still feeds subscribed materialized views below — the canonical CH
+    // ingest-transform idiom (INSERT INTO null_table; MVs fan out)
+    val isNull = tableProp(db, name, "graft.engine")
+      .exists(_.equalsIgnoreCase("Null"))
     // serialize appends per table: concurrent wire connections (or remote()
     // shard streams) appending to one table would race in the Hadoop
     // committer's shared _temporary dir — the reference takes a per-table
     // CAS lock for exactly this (crates/meta/src/store/parts.rs:174-235;
     // single-writer-per-table is all it supports)
-    val lockKey =
-      db.getOrElse(spark.sessionState.catalog.getCurrentDatabase) + "." + name
-    val lock = GraftSession.tableWriteLocks
-      .computeIfAbsent(lockKey, _ => new Object)
-    lock.synchronized {
-      withPtk.write.mode("append").insertInto(fullName(db, name).replace("`", ""))
+    if (!isNull) {
+      val lockKey =
+        db.getOrElse(spark.sessionState.catalog.getCurrentDatabase) + "." + name
+      val lock = GraftSession.tableWriteLocks
+        .computeIfAbsent(lockKey, _ => new Object)
+      lock.synchronized {
+        withPtk.write.mode("append").insertInto(fullName(db, name).replace("`", ""))
+      }
     }
     // insert-triggered materialized views see the TYPED block (CH runs
     // the view's SELECT over each inserted block, mgmt-analog; the block
