@@ -1321,7 +1321,49 @@ object ChParser {
   }
 
   /** Parse one statement. */
-  def parse(sql: String): Either[String, ChStatement] = tokenize(sql).flatMap { toks =>
+  /** Splice every DDL-position `ON CLUSTER x` out of a statement — a
+    * single-process engine IS its whole cluster, so the clause is
+    * accepted and dropped (real CH scripts carry it on nearly every
+    * DDL). Applied only to command statements, never to SELECTs, where
+    * `on` is a join keyword.
+    */
+  private def stripOnCluster(sql: String): String =
+    tokenize(sql).toOption.fold(sql) { toks =>
+      val spans = toks.indices.collect {
+        case i if (toks(i) match {
+              case Ident(w, _) => w.equalsIgnoreCase("on")
+              case _ => false
+            }) && (toks.lift(i + 1) match {
+              case Some(Ident(w, _)) => w.equalsIgnoreCase("cluster")
+              case _ => false
+            }) && toks.lift(i + 2).exists {
+              case Ident(_, _) | StrLit(_, _) => true
+              case _ => false
+            } =>
+          // end at the NEXT token's start (escaped string literals make
+          // the raw span of toks(i+2) non-recoverable from its text)
+          (toks(i).pos, toks.lift(i + 3).map(_.pos).getOrElse(sql.length))
+      }
+      if (spans.isEmpty) sql
+      else {
+        val sb = new StringBuilder
+        var last = 0
+        spans.foreach { case (a, b) =>
+          sb.append(sql.substring(last, a)); last = b
+        }
+        sb.append(sql.substring(last)).toString
+      }
+    }
+
+  def parse(sql0: String): Either[String, ChStatement] = {
+    val ddlHead = ("(?is)^\\s*(create|drop|alter|rename|truncate|detach|" +
+      "attach|exchange|optimize)\\b").r
+    val sql = if (ddlHead.findFirstIn(sql0).isDefined) stripOnCluster(sql0)
+              else sql0
+    parseInner(sql)
+  }
+
+  private def parseInner(sql: String): Either[String, ChStatement] = tokenize(sql).flatMap { toks =>
     val p = new P(toks, sql)
     if (p.isKw("select") || p.isKw("with")) Right(Select(sql))
     else if (p.isKw("explain")) {

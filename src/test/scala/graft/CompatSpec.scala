@@ -59,6 +59,23 @@ class CompatSpec extends AnyFunSuite {
       .collect()(0).getLong(0) === 3L)
   }
 
+  test("ON CLUSTER clauses on DDL are accepted and dropped (a single " +
+    "process IS its cluster); a SELECT's ON join keyword is untouched") {
+    g.sql("DROP TABLE IF EXISTS cp_oc ON CLUSTER main")
+    g.sql("CREATE TABLE cp_oc ON CLUSTER main (k Int64, cluster Int64) " +
+      "ENGINE=MergeTree ORDER BY k")
+    g.sql("INSERT INTO cp_oc VALUES (1, 5), (2, 6)")
+    g.sql("ALTER TABLE cp_oc ON CLUSTER 'my cluster' ADD COLUMN v Int64")
+    g.sql("RENAME TABLE cp_oc TO cp_oc2 ON CLUSTER main")
+    // a column actually named cluster survives in queries
+    assert(g.sql("SELECT count() AS n FROM cp_oc2 a JOIN cp_oc2 b " +
+      "ON a.cluster = b.cluster").collect()(0).getLong(0) === 2L)
+    g.sql("TRUNCATE TABLE cp_oc2 ON CLUSTER main")
+    assert(g.sql("SELECT count() AS n FROM cp_oc2").collect()(0)
+      .getLong(0) === 0L)
+    g.sql("DROP TABLE cp_oc2 ON CLUSTER main")
+  }
+
   test("CH's GROUP BY k WITH ROLLUP / WITH CUBE forms run (Spark accepts " +
     "the Hive-compatible syntax natively)") {
     mk()
