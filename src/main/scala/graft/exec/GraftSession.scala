@@ -305,10 +305,14 @@ class GraftSession(val spark: SparkSession) {
       spark.catalog.setCurrentDatabase(name); emptyOk
     case ShowDatabases =>
       spark.sql("SHOW DATABASES").select(col("namespace").as("name"))
-    case ShowTables(db) =>
+    case ShowTables(db, like, neg) =>
       val base = db.fold(spark.sql("SHOW TABLES"))(d => spark.sql(s"SHOW TABLES IN `$d`"))
-      base.filter(!col("tableName").startsWith("graft_tmp_"))
+      val named = base.filter(!col("tableName").startsWith("graft_tmp_"))
         .select(col("tableName").as("name"))
+      like.fold(named) { pat =>
+        val m = col("name").like(pat)
+        named.filter(if (neg) !m else m)
+      }
     case ct: CreateTable => createTable(ct)
     case mv: CreateMaterializedView => createMaterializedView(mv)
     case RenameTable(renames) =>
@@ -490,6 +494,8 @@ class GraftSession(val spark: SparkSession) {
       require(dictDefs.contains(name),
         s"SYSTEM RELOAD DICTIONARY: no dictionary $name")
       loadDictionary(name); emptyOk
+    case ReloadDictionaries =>
+      dictDefs.keys.toSeq.foreach(loadDictionary); emptyOk
     case ap: AlterPartition => alterPartition(ap); emptyOk
     case a: AlterDropColumn => alterDropColumn(a); emptyOk
     case a: AlterRenameColumn => alterRenameColumn(a); emptyOk

@@ -36,7 +36,9 @@ object ChStatement {
   /** `SHOW DICTIONARIES` — the dictionary registry. */
   case object ShowDictionaries extends ChStatement
   case object ShowDatabases extends ChStatement
-  final case class ShowTables(db: Option[String]) extends ChStatement
+  final case class ShowTables(db: Option[String],
+                              like: Option[String] = None,
+                              notLike: Boolean = false) extends ChStatement
   /** `SHOW PROCESSLIST` — the running-statement registry. */
   case object ShowProcesslist extends ChStatement
   /** `KILL QUERY WHERE query_id = '…'` — cancel that statement's Spark
@@ -204,6 +206,8 @@ object ChStatement {
                                     createScript: String) extends ChStatement
   final case class DropDictionary(db: Option[String], name: String,
                                   ifExists: Boolean) extends ChStatement
+  /** `SYSTEM RELOAD DICTIONARIES` — refresh every registered dictionary. */
+  case object ReloadDictionaries extends ChStatement
   final case class ReloadDictionary(db: Option[String], name: String)
       extends ChStatement
 }
@@ -1550,7 +1554,12 @@ object ChParser {
       if (p.eatKw("databases")) Right(ShowDatabases)
       else if (p.eatKw("tables")) {
         val db = if (p.eatKw("from") || p.eatKw("in")) p.ident().toOption else None
-        Right(ShowTables(db))
+        val neg = p.eatKw("not")
+        if (p.eatKw("like") || p.eatKw("ilike")) p.peek match {
+          case Some(StrLit(pat, _)) => p.next(); Right(ShowTables(db, Some(pat), neg))
+          case other => Left(s"SHOW TABLES LIKE: expected a pattern, got ${other.map(_.text)}")
+        } else if (neg) Left(s"SHOW TABLES NOT: expected LIKE at ${p.posText}")
+        else Right(ShowTables(db))
       } else if (p.eatKw("create")) {
         p.eatKw("table")
         qualifiedName(p).map { case (db, t) => ShowCreateTable(db, t) }
@@ -1569,9 +1578,14 @@ object ChParser {
       p.next()
       for {
         _ <- p.expectKw("reload")
-        _ <- p.expectKw("dictionary")
-        dbTab <- qualifiedName(p)
-      } yield ReloadDictionary(dbTab._1, dbTab._2)
+        st <- {
+          if (p.eatKw("dictionaries")) Right(ReloadDictionaries)
+          else for {
+            _ <- p.expectKw("dictionary")
+            dbTab <- qualifiedName(p)
+          } yield ReloadDictionary(dbTab._1, dbTab._2)
+        }
+      } yield st
     } else if (p.eatKw("kill")) {
       for {
         _ <- p.expectKw("query")

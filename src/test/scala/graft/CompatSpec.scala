@@ -76,6 +76,25 @@ class CompatSpec extends AnyFunSuite {
     g.sql("DROP TABLE cp_oc2 ON CLUSTER main")
   }
 
+  test("SHOW TABLES [NOT] LIKE filters; SYSTEM RELOAD DICTIONARIES " +
+    "refreshes every registry entry") {
+    mk()
+    g.sql("DROP TABLE IF EXISTS cp_like_a")
+    g.sql("CREATE TABLE cp_like_a(x Int64)")
+    val names = g.sql("SHOW TABLES LIKE 'cp\\_like%'").collect()
+      .map(_.getString(0)).toSeq
+    assert(names === Seq("cp_like_a"), names)
+    val others = g.sql("SHOW TABLES NOT LIKE 'cp%'").collect()
+      .map(_.getString(0)).toSeq
+    assert(!others.exists(_.startsWith("cp_")), others)
+    g.sql("DROP DICTIONARY IF EXISTS cp_d1")
+    g.sql("CREATE DICTIONARY cp_d1(k Int64, v Int64) PRIMARY KEY k " +
+      "SOURCE(CLICKHOUSE(TABLE 'cp_t'))")
+    g.sql("SYSTEM RELOAD DICTIONARIES") // must not throw; refreshes cp_d1
+    g.sql("DROP DICTIONARY cp_d1")
+    g.sql("DROP TABLE cp_like_a")
+  }
+
   test("CH's GROUP BY k WITH ROLLUP / WITH CUBE forms run (Spark accepts " +
     "the Hive-compatible syntax natively)") {
     mk()
