@@ -214,6 +214,14 @@ object ClickHouseFunctions {
       s"$name expects 2 arguments, got ${exprs.length}")
   }
 
+  /** Floor a timestamp onto an N-second grid (the toStartOfFiveMinutes
+    * family).
+    */
+  private def floorSeconds(e: Expression, n: Int): Expression =
+    SecondsToTimestamp(Multiply(
+      Cast(IntegralDivide(UnixSeconds(Cast(e, TimestampType)),
+        Literal(n.toLong)), LongType), Literal(n.toLong)))
+
   /** Truncate a timestamp to DateTime64(p)'s tick grid (p <= 6; µs is
     * Spark's floor). Integral division truncates toward zero — matching
     * CH's cast behavior for the post-1970 range; pre-epoch sub-tick
@@ -441,6 +449,43 @@ object ClickHouseFunctions {
       TruncTimestamp(Literal("hour"), Cast(e, TimestampType))),
     "toStartOfMinute" -> one("toStartOfMinute")(e =>
       TruncTimestamp(Literal("minute"), Cast(e, TimestampType))),
+    "toStartOfSecond" -> one("toStartOfSecond")(e =>
+      TruncTimestamp(Literal("second"), Cast(e, TimestampType))),
+    "toStartOfFiveMinutes" -> one("toStartOfFiveMinutes")(floorSeconds(_, 300)),
+    "toStartOfTenMinutes" -> one("toStartOfTenMinutes")(floorSeconds(_, 600)),
+    "toStartOfFifteenMinutes" ->
+      one("toStartOfFifteenMinutes")(floorSeconds(_, 900)),
+    // toStartOfWeek(d[, mode]): mode 0 (CH default) = the Sunday <= d;
+    // mode 1 = the Monday (toMonday)
+    "toStartOfWeek" -> { exprs =>
+      val (e, mode) = exprs match {
+        case Seq(x) => (x, 0)
+        case Seq(x, m) => (x, litInt(m, "toStartOfWeek"))
+        case _ => throw new IllegalArgumentException(
+          "toStartOfWeek expects 1 or 2 arguments")
+      }
+      if (mode == 1) TruncDate(Cast(e, DateType), Literal("week"))
+      else DateSub(TruncDate(DateAdd(Cast(e, DateType), Literal(1)),
+        Literal("week")), Literal(1))
+    },
+    // toStartOfInterval(t, INTERVAL n unit) — the interval must be a
+    // literal; day-time intervals floor the epoch-microsecond grid,
+    // year-month intervals floor the month count
+    "toStartOfInterval" -> two("toStartOfInterval")((t, iv) => iv match {
+      case Literal(us: Long, _: DayTimeIntervalType) =>
+        MicrosToTimestamp(Multiply(
+          Cast(IntegralDivide(UnixMicros(Cast(t, TimestampType)),
+            Literal(us)), LongType), Literal(us)))
+      case Literal(months: Int, _: YearMonthIntervalType) =>
+        val mIdx = Add(Multiply(Subtract(Year(t), Literal(1970)),
+          Literal(12)), Subtract(Month(t), Literal(1)))
+        val fl = Multiply(Cast(IntegralDivide(mIdx, Literal(months.toLong)),
+          IntegerType), Literal(months))
+        MakeDate(Add(Literal(1970), Cast(Divide(fl, Literal(12)),
+          IntegerType)), Add(Pmod(fl, Literal(12)), Literal(1)), Literal(1))
+      case other => throw new IllegalArgumentException(
+        s"toStartOfInterval expects a literal INTERVAL, got $other")
+    }),
     "addYears" -> two("addYears")((e, n) => ChAddUnit(e, n, "YEAR")),
     "addMonths" -> two("addMonths")((e, n) => ChAddUnit(e, n, "MONTH")),
     "addWeeks" -> two("addWeeks")((e, n) => ChAddUnit(e, n, "WEEK")),

@@ -66,6 +66,30 @@ class DateTime64Spec extends AnyFunSuite {
     assert(r.getLong(5) === 0L, "now64(0) truncates to whole seconds")
   }
 
+  test("toStartOf{Second,FiveMinutes,Week} and toStartOfInterval floor " +
+    "onto their grids") {
+    val r = g.sql("SELECT " +
+      "CAST(toStartOfFiveMinutes(toDateTime('2024-03-05 10:43:21')) AS STRING) AS a, " +
+      "CAST(toStartOfFifteenMinutes(toDateTime('2024-03-05 10:43:21')) AS STRING) AS b, " +
+      "CAST(toStartOfWeek(toDate('2024-03-05')) AS STRING) AS c, " +        // Tue -> Sunday 03-03
+      "CAST(toStartOfWeek(toDate('2024-03-03')) AS STRING) AS c2, " +       // Sunday stays
+      "CAST(toStartOfWeek(toDate('2024-03-05'), 1) AS STRING) AS d, " +     // mode 1 -> Monday
+      "CAST(toStartOfInterval(toDateTime('2024-03-05 10:43:21'), " +
+      "INTERVAL 10 MINUTE) AS STRING) AS e, " +
+      "CAST(toStartOfInterval(toDate('2024-05-20'), INTERVAL 2 MONTH) " +
+      "AS STRING) AS f, " +
+      "CAST(toStartOfSecond(toDateTime64('2024-01-01 00:00:00.987654', 6)) " +
+      "AS STRING) AS g").collect()(0)
+    assert(r.getString(0) === "2024-03-05 10:40:00")
+    assert(r.getString(1) === "2024-03-05 10:30:00")
+    assert(r.getString(2) === "2024-03-03")
+    assert(r.getString(3) === "2024-03-03")
+    assert(r.getString(4) === "2024-03-04")
+    assert(r.getString(5) === "2024-03-05 10:40:00")
+    assert(r.getString(6) === "2024-05-01")
+    assert(r.getString(7) === "2024-01-01 00:00:00")
+  }
+
   test("native-wire codec round-trips DateTime64 ticks and Date32 days") {
     def roundTrip(t: BqlType, v: Any): Any = {
       val bos = new ByteArrayOutputStream()
