@@ -444,6 +444,28 @@ object FuncQueries {
     // (translated to the Java pattern at build time; DuckDB's strftime
     // shares the % dialect so the oracle passes the SAME format string),
     // base64, hex (lowercased — Spark upper vs DuckDB lower), bit shifts.
+    // CH datetime pack #3 (f20): the bucket-truncation family — the
+    // N-minute grids (DuckDB oracle: time_bucket, epoch-aligned the same
+    // way), Sunday/Monday week starts, toStartOfInterval over day-time
+    // AND year-month intervals, and Date32/DateTime64 constructors.
+    "f20_datetime_pack3" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      ClickHouseFunctions.register(s)
+      s.sql(
+        """SELECT CAST(toStartOfTenMinutes(ts) AS STRING) AS b10,
+          |  CAST(toStartOfInterval(ts, INTERVAL 6 HOUR) AS STRING) AS b6h,
+          |  CAST(toStartOfWeek(min(ts)) AS STRING) AS wk_sun,
+          |  CAST(toStartOfWeek(min(ts), 1) AS STRING) AS wk_mon,
+          |  CAST(toStartOfInterval(min(toDate(ts)), INTERVAL 3 MONTH)
+          |    AS STRING) AS qtr,
+          |  CAST(toDate32(min(ts)) AS STRING) AS d32,
+          |  CAST(unix_micros(toDateTime64(CAST(min(event_id) AS DOUBLE)
+          |    / 64, 6)) AS BIGINT) AS dt64_us,
+          |  count(*) AS n
+          |FROM events WHERE event_id < 5000
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    },
+
     "f19_format_pack" -> { (s, dir) =>
       Tables.registerAll(s, dir)
       ClickHouseFunctions.register(s)
@@ -537,6 +559,25 @@ object FuncQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "f20_datetime_pack3" ->
+      """SELECT
+        |  CAST(time_bucket(INTERVAL 10 MINUTE, CAST(ts AS TIMESTAMP))
+        |    AS STRING) AS b10,
+        |  CAST(time_bucket(INTERVAL 6 HOUR, CAST(ts AS TIMESTAMP))
+        |    AS STRING) AS b6h,
+        |  CAST(CAST(date_trunc('week', CAST(min(ts) AS TIMESTAMP)
+        |    + INTERVAL 1 DAY) AS DATE) - 1 AS STRING) AS wk_sun,
+        |  CAST(CAST(date_trunc('week', CAST(min(ts) AS TIMESTAMP))
+        |    AS DATE) AS STRING) AS wk_mon,
+        |  CAST(CAST(date_trunc('quarter', CAST(min(ts) AS TIMESTAMP))
+        |    AS DATE) AS STRING) AS qtr,
+        |  CAST(CAST(min(ts) AS DATE) AS STRING) AS d32,
+        |  CAST(CAST(min(event_id) AS DOUBLE) / 64 * 1000000 AS BIGINT)
+        |    AS dt64_us,
+        |  count(*) AS n
+        |FROM events WHERE event_id < 5000
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "f19_format_pack" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n,
         |  strftime(min(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS first_fmt,
