@@ -94,6 +94,20 @@ class GraftSession(val spark: SparkSession) {
     * and refreshed only by SYSTEM RELOAD DICTIONARY — the LIFETIME
     * clause is accepted and ignored, staleness-until-reload documented.
     */
+  /** CH temporary tables — session-scoped, database-less, engine-less.
+    * Backed by an in-memory DataFrame re-registered as a temp view on
+    * every insert (checkpointed so lineage never stacks); they die with
+    * the session, shadow catalog names (Spark temp-view precedence, CH's
+    * rule), and on a shared SparkSession two GraftSessions share the
+    * namespace (HTTP sessions get their own SparkSession, so CH's
+    * per-session isolation holds where it matters).
+    */
+  private val tempTables = scala.collection.mutable.LinkedHashMap
+    .empty[String, (ChStatement.CreateTable, DataFrame)]
+  private def tempDef(db: Option[String],
+                      name: String): Option[ChStatement.CreateTable] =
+    if (db.isEmpty) tempTables.get(name).map(_._1) else None
+
   private val dictDefs =
     scala.collection.mutable.LinkedHashMap.empty[String, CreateDictionary]
   private val dictBroadcasts = scala.collection.mutable.Map.empty[
@@ -313,6 +327,7 @@ class GraftSession(val spark: SparkSession) {
         val m = col("name").like(pat)
         named.filter(if (neg) !m else m)
       }
+    case ct: CreateTable if ct.temporary => createTempTable(ct)
     case ct: CreateTable => createTable(ct)
     case mv: CreateMaterializedView => createMaterializedView(mv)
     case RenameTable(renames) =>
@@ -372,6 +387,29 @@ class GraftSession(val spark: SparkSession) {
         recordNormalizedScript(rdb, a.name)
         emptyOk
       }
+    case DropTable(db, name, _) if tempDef(db, name).isDefined =>
+      tempTables.remove(name)
+      spark.catalog.dropTempView(name)
+      emptyOk
+    case TruncateTable(db, name, _) if tempDef(db, name).isDefined =>
+      val ct = tempTables(name)._1
+      val empty = spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), tempSchema(ct))
+      tempTables(name) = (ct, empty)
+      empty.createOrReplaceTempView(name)
+      emptyOk
+    case DescTable(db, name) if tempDef(db, name).isDefined =>
+      val rows = tempTables(name)._1.cols.map(c => Row(c.name, c.tpe.chName))
+      spark.createDataFrame(rows.asJava,
+        StructType(Seq(StructField("name", StringType),
+          StructField("type", StringType))))
+    case ShowCreateTable(db, name) if tempDef(db, name).isDefined =>
+      spark.createDataFrame(
+        Seq(Row(tempTables(name)._1.createScript)).asJava,
+        StructType(Seq(StructField("statement", StringType))))
+    case ExistsTable(db, name) if tempDef(db, name).isDefined =>
+      spark.createDataFrame(Seq(Row(1)).asJava,
+        StructType(Seq(StructField("result", IntegerType))))
     case DropTable(db, name, ie) if viewDefs.contains(name) &&
         !spark.sessionState.catalog.tableExists(
           org.apache.spark.sql.catalyst.TableIdentifier(
@@ -2983,8 +3021,55 @@ class GraftSession(val spark: SparkSession) {
     }
   }
 
+  private def tempSchema(ct: CreateTable): StructType =
+    StructType(ct.cols.map(c => StructField(c.name, c.tpe.sparkType,
+      !(c.notNull || (!isNullable(c.tpe) && c.primaryKey)))))
+
+  private def createTempTable(ct: CreateTable): DataFrame = {
+    require(ct.db.isEmpty,
+      "CREATE TEMPORARY TABLE: temporary tables take no database (CH)")
+    require(ct.partitionBy.isEmpty,
+      "CREATE TEMPORARY TABLE: PARTITION BY is not supported")
+    require(ct.asSelect.isEmpty,
+      "CREATE TEMPORARY TABLE ... AS SELECT is not supported yet")
+    if (tempTables.contains(ct.name)) {
+      if (ct.ifNotExists) return emptyOk
+      throw new IllegalArgumentException(
+        s"temporary table ${ct.name} already exists")
+    }
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[Row](), tempSchema(ct))
+    tempTables(ct.name) = (ct, empty)
+    empty.createOrReplaceTempView(ct.name)
+    emptyOk
+  }
+
+  /** Insert into a temporary table: same literal coercion as the engine
+    * path, then an eager-checkpointed union re-registered as the view.
+    */
+  private def appendTempTable(name: String, src: DataFrame,
+                              srcIsRaw: Boolean): Unit = {
+    val (ct, cur) = tempTables(name)
+    val dataCols = tempSchema(ct).fields
+    require(src.columns.length == dataCols.length,
+      s"INSERT column count ${src.columns.length} != table arity ${dataCols.length}")
+    val renamed = src.toDF(dataCols.map(_.name).toIndexedSeq: _*)
+    val typed = renamed.select(dataCols.toIndexedSeq.map { f =>
+      val declared = ct.cols.find(_.name == f.name).map(_.tpe)
+      val c = col(s"`${f.name}`")
+      (declared match {
+        case Some(bt) if srcIsRaw => coerce(c, bt)
+        case _ => c.cast(f.dataType)
+      }).as(f.name)
+    }: _*)
+    val next = cur.unionByName(typed).localCheckpoint(eager = true)
+    tempTables(name) = (ct, next)
+    next.createOrReplaceTempView(name)
+  }
+
   private def appendToTable(db: Option[String], name: String, src: DataFrame,
                             srcIsRaw: Boolean, mvDepth: Int = 0): Unit = {
+    if (tempDef(db, name).isDefined) { appendTempTable(name, src, srcIsRaw); return }
     val (schema, types, ptkExpr) = tableMeta(db, name)
     val dataCols = schema.fields.filter(_.name != PtkCol)
     require(src.columns.length == dataCols.length,
@@ -3115,8 +3200,14 @@ class GraftSession(val spark: SparkSession) {
     cols match {
       case None => src
       case Some(given) =>
-        val (schema, _, _) = tableMeta(db, name)
-        val dfts = defaults(db, name)
+        val temp = tempDef(db, name)
+        val schema = temp.map(tempSchema).getOrElse(tableMeta(db, name)._1)
+        val dfts = temp match {
+          case Some(ct) => ct.cols.collect {
+            case c if c.default.isDefined => c.name -> c.default.get
+          }.toMap
+          case None => defaults(db, name)
+        }
         val dataCols = schema.fields.filter(_.name != PtkCol).map(_.name)
         require(given.length == src.columns.length,
           s"INSERT column list arity ${given.length} != source arity ${src.columns.length}")

@@ -28,7 +28,8 @@ object ChStatement {
                                createScript: String,
                                asSelect: Option[String] = None,
                                engineArgs: Seq[String] = Nil,
-                               checks: Seq[(String, String)] = Nil) extends ChStatement
+                               checks: Seq[(String, String)] = Nil,
+                               temporary: Boolean = false) extends ChStatement
   final case class DropDatabase(name: String, ifExists: Boolean) extends ChStatement
   final case class DropTable(db: Option[String], name: String, ifExists: Boolean) extends ChStatement
   final case class TruncateTable(db: Option[String], name: String,
@@ -1380,7 +1381,11 @@ object ChParser {
       Right(Explain(p.rest, kind))
     }
     else if (p.eatKw("create")) {
-      if (p.eatKw("database")) {
+      if (p.eatKw("temporary")) {
+        if (!p.eatKw("table"))
+          Left(s"CREATE TEMPORARY: expected TABLE at ${p.posText}")
+        else parseCreateTable(p).map(_.copy(temporary = true))
+      } else if (p.eatKw("database")) {
         val ine = parseIfNotExists(p)
         p.ident().map(CreateDatabase(_, ine))
       } else if (p.eatKw("table")) parseCreateTable(p)
