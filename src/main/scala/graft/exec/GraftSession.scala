@@ -3266,6 +3266,21 @@ class GraftSession(val spark: SparkSession) {
   private def insertFormat(f: InsertFormat, payload: String): DataFrame = {
     val fmt = f.format.toUpperCase(java.util.Locale.ROOT)
     val text = if (f.inlinePayload.trim.nonEmpty) f.inlinePayload else payload
+    // FORMAT Values: the payload IS a VALUES tuple list — route through
+    // the statement parser so the full literal machinery (CH escapes,
+    // NULLs, complex constructors) applies
+    if (fmt == "VALUES") {
+      val stmt = s"INSERT INTO ${f.db.fold("")(d => s"`$d`.")}`${f.name}`" +
+        f.cols.fold("")(_.mkString(" (", ", ", ")")) + " VALUES " + text
+      return ChParser.parse(stmt) match {
+        case Right(iv: InsertValues) => insertValues(iv)
+        case Right(is: InsertSelect) => insertSelect(is) // complex literals
+        case Right(other) => throw new IllegalArgumentException(
+          s"FORMAT Values: unexpected statement shape $other")
+        case Left(e) =>
+          throw new IllegalArgumentException(s"FORMAT Values: $e")
+      }
+    }
     import spark.implicits._
     val lines = text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
     val ds = spark.createDataset(lines)

@@ -1267,8 +1267,14 @@ object ChParser {
         else if (p.eatKw("format")) {
           // FORMAT VALUES is VALUES-clause sugar in the reference grammar
           // (bql.pest:86-91: `^"format" ~ ^"values" | ^"format" ~ format_name`)
-          if (p.eatKw("values")) parseValuesRows(p).map(rows =>
-            InsertValues(dbTab._1, dbTab._2, cols, rows))
+          // — unless the rows arrive OUT OF BAND (HTTP body / wire
+          // payload), in which case it parses as a format insert
+          if (p.eatKw("values")) {
+            if (p.done) Right(InsertFormat(dbTab._1, dbTab._2, cols,
+              "VALUES", ""))
+            else parseValuesRows(p).map(rows =>
+              InsertValues(dbTab._1, dbTab._2, cols, rows))
+          }
           else p.ident().map { fmt =>
             // remainder of the raw text = inline payload (wire-streamed in
             // the reference, crates/runtime/src/mgmt.rs:724-730)

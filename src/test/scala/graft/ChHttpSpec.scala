@@ -142,6 +142,23 @@ class ChHttpSpec extends AnyFunSuite {
     }
   }
 
+  test("INSERT ... FORMAT Values payload in the body (the full VALUES " +
+    "literal machinery applies: strings, NULLs, epoch dates)") {
+    withServer { (_, p) =>
+      post(p, s"/?query=${enc("DROP TABLE IF EXISTS http_vals")}", "")
+      post(p, s"/?query=${enc(
+        "CREATE TABLE http_vals(a Int64, s Nullable(String), d Date)")}", "")
+      val ins = post(p, s"/?query=${enc(
+        "INSERT INTO http_vals FORMAT Values")}",
+        "(1, 'x', '2024-01-05'), (2, NULL, 19000)")
+      assert(ins.statusCode() === 200, ins.body())
+      assert(post(p, "/", "SELECT a, s, CAST(d AS STRING) AS d " +
+        "FROM http_vals ORDER BY a").body() ===
+        "1\tx\t2024-01-05\n2\t\\N\t2022-01-08\n")
+      post(p, s"/?query=${enc("DROP TABLE http_vals")}", "")
+    }
+  }
+
   test("session_id isolates HTTP sessions: USE sticks per session and " +
     "does not leak to other sessions or sessionless requests") {
     withServer { (_, p) =>
