@@ -1170,7 +1170,7 @@ class GraftSession(val spark: SparkSession) {
   private def spliceSystemViews(sql: String): String = {
     val hits = ChParser.qualifiedRefs(sql, "system",
       Set("tables", "columns", "restore_errors", "parts", "detached_parts",
-        "databases", "processes", "query_log", "dictionaries"))
+        "databases", "processes", "query_log", "dictionaries", "functions"))
     if (hits.isEmpty) return sql
     val cat = spark.sessionState.catalog
     def userTables: Seq[(String, org.apache.spark.sql.catalyst.TableIdentifier,
@@ -1191,6 +1191,19 @@ class GraftSession(val spark: SparkSession) {
           StructField("database", StringType), StructField("name", StringType),
           StructField("engine", StringType))))
         .createOrReplaceTempView("__graft_system_tables")
+    }
+    if (hits.exists(_._1 == "functions")) {
+      // the registered function surface (CH's system.functions): every
+      // name in this session's FunctionRegistry, the CH packs flagged
+      val chNames = graft.functions.GraftFunctions.registeredNames
+      val rows: Seq[Row] = spark.sessionState.functionRegistry.listFunction()
+        .map(_.funcName).distinct.sorted.map(n =>
+          Row(n, if (chNames.contains(
+            n.toLowerCase(java.util.Locale.ROOT))) 1 else 0)).toSeq
+      spark.createDataFrame(rows.asJava, StructType(Seq(
+          StructField("name", StringType),
+          StructField("is_ch_pack", IntegerType))))
+        .createOrReplaceTempView("__graft_system_functions")
     }
     if (hits.exists(_._1 == "columns")) {
       val rows = userTables.flatMap { case (db, tid, m) =>

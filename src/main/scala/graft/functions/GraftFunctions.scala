@@ -28,4 +28,12 @@ object GraftFunctions {
     SimhashFunctions.register(spark)
     WinnowFunctions.register(spark)
   }
+
+  /** Lowercased names of every function the CH packs register — the
+    * `is_ch_pack` flag in system.functions.
+    */
+  lazy val registeredNames: Set[String] =
+    (ClickHouseFunctions.functions.map(_._1) ++
+      ChAggregates.functions.map(_._1))
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
 }

@@ -297,10 +297,29 @@ final class ChHttpServer(spark: SparkSession, port: Int = 0) {
               case other => "'" + cell(other).replace("'", "''") + "'"
             }).mkString("(", ",", ")\n"))
         }
+      case "pretty" | "prettycompact" =>
+        // CH's box table; display format — buffered and capped at 10k
+        // rows like clickhouse-client's Pretty output
+        val buf = rows.take(10000).toVector
+        val cells = buf.map(r => names.indices.map(i =>
+          if (r.isNullAt(i)) "ᴺᵁᴸᴸ" else cell(r.get(i))))
+        val widths = names.indices.map(i =>
+          (names(i).length +: cells.map(_(i).length)).max)
+        def line(l: String, m: String, r: String): String =
+          widths.map(x => "─" * (x + 2)).mkString(l, m, r) + "\n"
+        w(line("┌", "┬", "┐"))
+        w(names.indices.map(i => " " + names(i).padTo(widths(i), ' ') + " ")
+          .mkString("│", "│", "│\n"))
+        cells.foreach { r =>
+          w(names.indices.map(i => " " + r(i).padTo(widths(i), ' ') + " ")
+            .mkString("│", "│", "│\n"))
+        }
+        w(line("└", "┴", "┘"))
+        w(s"${cells.size} rows in set.\n")
       case other =>
         throw new IllegalArgumentException(s"unsupported FORMAT $other " +
           "(supported: TabSeparated[WithNames[AndTypes]], TSV*, " +
-          "CSV[WithNames], JSON, JSONEachRow, Values)")
+          "CSV[WithNames], JSON, JSONEachRow, Values, Pretty[Compact])")
     }
   }
 }

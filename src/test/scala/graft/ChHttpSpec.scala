@@ -178,6 +178,28 @@ class ChHttpSpec extends AnyFunSuite {
     }
   }
 
+  test("FORMAT Pretty draws the box table; system.functions lists the " +
+    "registered surface; 8 concurrent requests answer correctly") {
+    withServer { (_, p) =>
+      val pretty = get(p, s"/?query=${enc(
+        "SELECT 1 AS a, 'xy' AS b FORMAT Pretty")}").body()
+      assert(pretty.contains("┌") && pretty.contains("│ xy │"), pretty)
+      assert(pretty.contains("1 rows in set."), pretty)
+      val fns = post(p, "/", "SELECT count(*) AS n FROM system.functions " +
+        "WHERE is_ch_pack = 1 AND name IN ('toyyyymm', 'tostartofweek', " +
+        "'todatetime64')").body().trim
+      assert(fns.toLong === 3L, s"CH pack functions missing: $fns")
+      // concurrency: the statement lock serializes execution, every
+      // response must still be the right one for ITS query
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val results = Await.result(Future.sequence((1 to 8).toVector.map(i =>
+        Future(post(p, "/", s"SELECT $i * 100 AS v").body().trim))), 60.seconds)
+      assert(results === (1 to 8).map(i => (i * 100).toString).toVector)
+    }
+  }
+
   test("INDEPENDENT python-stdlib HTTP probe round-trips") {
     withServer { (_, p) =>
       val cmd = Seq("python3", "scripts/ch_http_probe.py", p.toString)
