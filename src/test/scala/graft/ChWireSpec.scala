@@ -109,6 +109,46 @@ class ChWireSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("8 wire clients INSERT concurrently into ONE table: the per-table " +
+    "append lock serializes the committer and every row lands exactly " +
+    "once") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val server = new ChWireServer(spark).start()
+    val setup = new WireTestClient(server.boundPort)
+    try {
+      setup.hello()
+      setup.query("DROP TABLE IF EXISTS wire_conc")
+      setup.query("CREATE TABLE wire_conc(w Int32, v Int32)")
+      val schema = StructType(Seq(
+        StructField("w", IntegerType), StructField("v", IntegerType)))
+      Await.result(Future.sequence((1 to 8).toVector.map { w =>
+        Future {
+          val c = new WireTestClient(server.boundPort)
+          try {
+            c.hello()
+            c.insertStream("INSERT INTO wire_conc FORMAT Native", schema,
+              Seq((1 to 50).map(v => Row(w, v))))
+          } finally c.close()
+        }
+      }), 120.seconds)
+      assert(setup.scalar("SELECT count(*) FROM wire_conc") === 400L)
+      // every (w, v) pair exactly once and every writer's sum intact
+      assert(setup.scalar("SELECT count(*) FROM " +
+        "(SELECT w, v FROM wire_conc GROUP BY w, v HAVING count(*) > 1)")
+        === 0L)
+      assert(setup.scalar(
+        "SELECT CAST(sum(v) AS BIGINT) FROM wire_conc") === 8L * 1275L)
+      setup.query("DROP TABLE wire_conc")
+    } finally {
+      setup.close()
+      server.stop()
+    }
+  }
+
   test("hello, ping, and CREATE/INSERT/SELECT round-trip over the socket") {
     val server = new ChWireServer(spark).start()
     val client = new WireTestClient(server.boundPort)
