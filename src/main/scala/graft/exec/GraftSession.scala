@@ -469,6 +469,13 @@ class GraftSession(val spark: SparkSession) {
       spark.createDataFrame(
         Seq(Row(if (yes) 1 else 0)).asJava,
         StructType(Seq(StructField("result", IntegerType))))
+    case DescSelect(sel) =>
+      // schema-only analysis — nothing executes
+      val rows = spark.sql(rewriteSelect(sel)).schema.fields.toSeq.map(f =>
+        Row(f.name, BqlType.fromSpark(f.dataType, f.nullable).chName))
+      spark.createDataFrame(rows.asJava,
+        StructType(Seq(StructField("name", StringType),
+          StructField("type", StringType))))
     case ShowColumns(db, name) =>
       run(DescTable(db, name), "")
     case DescTable(_, name) if viewDefs.contains(name) =>

@@ -48,6 +48,8 @@ object ChStatement {
   final case class KillQuery(qid: String) extends ChStatement
   final case class ShowCreateTable(db: Option[String], name: String) extends ChStatement
   final case class DescTable(db: Option[String], name: String) extends ChStatement
+  /** `DESC (SELECT ...)` — the query's result schema as name/type rows. */
+  final case class DescSelect(selectSql: String) extends ChStatement
   final case class UseDb(name: String) extends ChStatement
   final case class OptimizeTable(db: Option[String], name: String,
                                  fin: Boolean = false,
@@ -1616,7 +1618,14 @@ object ChParser {
       qualifiedName(p).map { case (db, t) => ExistsTable(db, t) }
     } else if (p.eatKw("desc") || p.eatKw("describe")) {
       p.eatKw("table")
-      qualifiedName(p).map { case (db, t) => DescTable(db, t) }
+      // DESC (SELECT ...) — CH's query-schema introspection
+      if (p.isPunct("(")) {
+        p.next()
+        val sel = p.sliceBalancedUntil(q => q.isPunct(")"))
+        p.eatPunct(")")
+        if (sel.trim.isEmpty) Left("DESCRIBE: empty subquery")
+        else Right(DescSelect(sel))
+      } else qualifiedName(p).map { case (db, t) => DescTable(db, t) }
     } else if (p.eatKw("use")) {
       p.ident().map(UseDb(_))
     } else if (p.eatKw("optimize")) {

@@ -54,6 +54,18 @@ class ExplainIndexSpec extends AnyFunSuite {
     g.sql("DROP TABLE ei_idx")
   }
 
+  test("DESC (SELECT ...) reports the query's result schema with CH " +
+    "type names") {
+    val rows = g.sql("DESCRIBE (SELECT 1 AS a, 'x' AS b, " +
+      "CAST(NULL AS BIGINT) AS c, toDate('2024-01-01') AS d)").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(rows("a") === "Int32")
+    assert(rows("b") === "String")
+    assert(rows("c") === "Nullable(Int64)")
+    // Spark's analysis marks the cast nullable; the wrapper is honest
+    assert(rows("d") === "Nullable(Date)")
+  }
+
   test("WITH FILL INTERPOLATE carries the last real value onto filled " +
     "rows; real rows keep their own (including real NULLs)") {
     g.sql("DROP TABLE IF EXISTS ei_fill")
