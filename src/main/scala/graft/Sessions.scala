@@ -31,6 +31,13 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // Fixed-zone civil-field collapse (year/month/day over timestamps as
+    // pure integer arithmetic) — registered here so EVERY entry point
+    // (bench anchors, verify, servers, tests) plans through it.
+    if (!s.experimental.extraOptimizations
+        .exists(_.isInstanceOf[graft.plans.CivilFieldRewrite]))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.CivilFieldRewrite(s)
     s
   }
 }

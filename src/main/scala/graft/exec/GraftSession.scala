@@ -44,6 +44,15 @@ class GraftSession(val spark: SparkSession) {
       spark.experimental.extraOptimizations :+
         graft.plans.PartitionPruneDerivation(spark)
 
+  // Fixed-zone civil-field collapse (toYear/date_part('year') as integer
+  // arithmetic) — idempotent alongside the Sessions.build registration for
+  // sessions constructed elsewhere (e.g. a bare SparkSession handed in).
+  if (!spark.experimental.extraOptimizations
+      .exists(_.isInstanceOf[graft.plans.CivilFieldRewrite]))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+
+        graft.plans.CivilFieldRewrite(spark)
+
   /** Hidden partition-key column name (not shown by DESC; reference keeps
     * the ptk entirely out of the table schema, crates/meta/src/types.rs:55-63).
     */

@@ -877,5 +877,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectOptimizerRule(graft.plans.PartitionPruneDerivation(_))
+    ext.injectOptimizerRule(graft.plans.CivilFieldRewrite(_))
   }
 }
