@@ -55,8 +55,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // __SFBASE__ → this run's SF basename: fixture paths in oracle SQL must
+    // name the per-SF export subtree the queries just wrote (two sequential
+    // runs at different SFs would otherwise race on one shared directory).
+    val sfBase = new java.io.File(sfDir).getName
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("__SFBASE__", sfBase))}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

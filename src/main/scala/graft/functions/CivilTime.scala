@@ -75,6 +75,15 @@ object CivilTime {
     dayFromDays(daysFromMicros(micros, off))
   def quarterFromMicros(micros: Long, off: Long): Int =
     quarterFromDays(daysFromMicros(micros, off))
+
+  // Time-of-day fields: pure modular arithmetic once the offset is a
+  // constant (local seconds-of-day = floorMod(epochSec + off, 86400)).
+  def hourFromMicros(micros: Long, off: Long): Int =
+    (Math.floorMod(Math.floorDiv(micros, 1000000L) + off, 86400L) / 3600L).toInt
+  def minuteFromMicros(micros: Long, off: Long): Int =
+    (Math.floorMod(Math.floorDiv(micros, 1000000L) + off, 3600L) / 60L).toInt
+  def secondFromMicros(micros: Long, off: Long): Int =
+    Math.floorMod(Math.floorDiv(micros, 1000000L) + off, 60L).toInt
 }
 
 /** `year/month/day/quarter(cast(<timestamp> AS date))` collapsed to integer
@@ -99,6 +108,9 @@ case class EpochCivilField(child: Expression, field: String, offsetSeconds: Long
       case "month"   => CivilTime.monthFromMicros(micros, offsetSeconds)
       case "day"     => CivilTime.dayFromMicros(micros, offsetSeconds)
       case "quarter" => CivilTime.quarterFromMicros(micros, offsetSeconds)
+      case "hour"    => CivilTime.hourFromMicros(micros, offsetSeconds)
+      case "minute"  => CivilTime.minuteFromMicros(micros, offsetSeconds)
+      case "second"  => CivilTime.secondFromMicros(micros, offsetSeconds)
     }
   }
 
@@ -116,5 +128,8 @@ object EpochCivilField {
     "year" -> "yearFromMicros",
     "month" -> "monthFromMicros",
     "day" -> "dayFromMicros",
-    "quarter" -> "quarterFromMicros")
+    "quarter" -> "quarterFromMicros",
+    "hour" -> "hourFromMicros",
+    "minute" -> "minuteFromMicros",
+    "second" -> "secondFromMicros")
 }

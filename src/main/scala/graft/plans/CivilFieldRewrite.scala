@@ -2,7 +2,7 @@ package graft.plans
 
 import java.time.Instant
 
-import org.apache.spark.sql.catalyst.expressions.{Cast, DayOfMonth, Expression, Month, Quarter, Year}
+import org.apache.spark.sql.catalyst.expressions.{Cast, DayOfMonth, Expression, Hour, Minute, Month, Quarter, Second, Year}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
@@ -59,11 +59,33 @@ case class CivilFieldRewrite(sparkIgnored: org.apache.spark.sql.SparkSession)
     }
   }
 
+  /** Matches a raw timestamp child whose zone (taken from the OUTER
+    * time-of-day expression) is fixed; NTZ ignores the zone entirely.
+    */
+  private def fixedTs(ts: Expression,
+                      tzId: Option[String]): Option[(Expression, Long)] =
+    ts.dataType match {
+      case TimestampType => fixedOffsetSeconds(tzId).map(off => (ts, off))
+      case TimestampNTZType => Some((ts, 0L))
+      case _ => None
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case Year(FixedZoneTsToDate(ts, off)) => EpochCivilField(ts, "year", off)
       case Month(FixedZoneTsToDate(ts, off)) => EpochCivilField(ts, "month", off)
       case DayOfMonth(FixedZoneTsToDate(ts, off)) => EpochCivilField(ts, "day", off)
       case Quarter(FixedZoneTsToDate(ts, off)) => EpochCivilField(ts, "quarter", off)
+      // Time-of-day fields take the zone directly (no date cast involved):
+      // modular arithmetic once the offset is one constant.
+      case h @ Hour(ts, _) =>
+        fixedTs(ts, h.timeZoneId)
+          .map { case (t, off) => EpochCivilField(t, "hour", off) }.getOrElse(h)
+      case m @ Minute(ts, _) =>
+        fixedTs(ts, m.timeZoneId)
+          .map { case (t, off) => EpochCivilField(t, "minute", off) }.getOrElse(m)
+      case s @ Second(ts, _) =>
+        fixedTs(ts, s.timeZoneId)
+          .map { case (t, off) => EpochCivilField(t, "second", off) }.getOrElse(s)
     }
 }

@@ -23,6 +23,14 @@ import graft.functions.GraftUdafs
 object SourceQueries {
   private val exportRoot = "/root/repo/target/export"
 
+  /** Per-SF export subtree: two sequential Verify runs at different SFs
+    * must not overwrite each other's fixtures before DuckDB reads them
+    * (the oracle SQL carries the matching basename via the `__SFBASE__`
+    * token Verify substitutes at dump time).
+    */
+  def exportDir(dir: String): String =
+    s"$exportRoot/${new java.io.File(dir).getName}"
+
   // Export fixtures once per (session, dir): the round-2 bench timed these
   // file WRITES inside the query closure, so c01/c02's numbers measured
   // export + warm-up, not the scan under test (VERDICT r2 defect #3).
@@ -40,23 +48,24 @@ object SourceQueries {
   def ensureExports(s: SparkSession, dir: String): Unit = {
     val key = System.identityHashCode(s) + "|" + dir
     if (exported.add(key)) {
+      val root = exportDir(dir)
       Tables(s, dir, "nation").coalesce(1).write.mode("overwrite")
-        .option("header", "true").csv(s"$exportRoot/nation_csv")
+        .option("header", "true").csv(s"$root/nation_csv")
       Tables(s, dir, "supplier").coalesce(1).write.mode("overwrite")
-        .json(s"$exportRoot/supplier_json")
+        .json(s"$root/supplier_json")
       // avro fixture: customer exercises long/string/int/double through
       // the container codec (deflate) — read back by c03's DSV2 scan
       graft.sources.AvroFiles.write(
-        Tables(s, dir, "customer"), s"$exportRoot/customer_avro")
+        Tables(s, dir, "customer"), s"$root/customer_avro")
       Tables(s, dir, "part").coalesce(1).write.mode("overwrite")
-        .orc(s"$exportRoot/part_orc")
+        .orc(s"$root/part_orc")
     }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // CSV scan (file_format/csv.rs) — schema-explicit read, header on.
     "c01_csv_scan" -> { (s, dir) =>
-      val out = s"$exportRoot/nation_csv"
+      val out = s"${exportDir(dir)}/nation_csv"
       ensureExports(s, dir)
       s.read.option("header", "true")
         .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
@@ -69,7 +78,7 @@ object SourceQueries {
 
     // JSON scan (file_format/json.rs) — line-delimited JSON round-trip.
     "c02_json_scan" -> { (s, dir) =>
-      val out = s"$exportRoot/supplier_json"
+      val out = s"${exportDir(dir)}/supplier_json"
       ensureExports(s, dir)
       s.read
         .schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
@@ -85,7 +94,7 @@ object SourceQueries {
     // same explicit decimal rescale as c02 so both engines agree exactly.
     "c03_avro_scan" -> { (s, dir) =>
       ensureExports(s, dir)
-      s.read.format("graftavro").load(s"$exportRoot/customer_avro")
+      s.read.format("graftavro").load(s"${exportDir(dir)}/customer_avro")
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n"),
           max(col("c_name")).as("max_name"),
@@ -100,7 +109,7 @@ object SourceQueries {
     // parquet table: the ORC write+read must be value-exact to hash-match.
     "c04_orc_scan" -> { (s, dir) =>
       ensureExports(s, dir)
-      s.read.orc(s"$exportRoot/part_orc")
+      s.read.orc(s"${exportDir(dir)}/part_orc")
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n"),
           max(col("p_size")).as("max_size"),
@@ -124,13 +133,13 @@ object SourceQueries {
   val oracles: Map[String, String] = Map(
     "c01_csv_scan" ->
       s"""SELECT n_regionkey, count(*) AS n, max(n_name) AS max_name
-         |FROM read_csv('$exportRoot/nation_csv/*.csv', header=true)
+         |FROM read_csv('$exportRoot/__SFBASE__/nation_csv/*.csv', header=true)
          |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
 
     "c02_json_scan" ->
       s"""SELECT s_nationkey, count(*) AS n,
          |  CAST(ROUND(sum(CAST(s_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_bal
-         |FROM read_json('$exportRoot/supplier_json/*.json',
+         |FROM read_json('$exportRoot/__SFBASE__/supplier_json/*.json',
          |  columns = {s_suppkey: 'BIGINT', s_name: 'VARCHAR',
          |             s_nationkey: 'INT', s_acctbal: 'DOUBLE'})
          |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,

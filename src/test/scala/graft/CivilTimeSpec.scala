@@ -52,7 +52,36 @@ class CivilTimeSpec extends AnyFunSuite {
           s"month us=$us off=$off")
         assert(CivilTime.dayFromMicros(us, off) === ld.getDayOfMonth,
           s"day us=$us off=$off")
+        val lt = Instant
+          .ofEpochSecond(Math.floorDiv(us, 1000000L),
+            Math.floorMod(us, 1000000L) * 1000L)
+          .atZone(zid).toLocalTime
+        assert(CivilTime.hourFromMicros(us, off) === lt.getHour,
+          s"hour us=$us off=$off")
+        assert(CivilTime.minuteFromMicros(us, off) === lt.getMinute,
+          s"minute us=$us off=$off")
+        assert(CivilTime.secondFromMicros(us, off) === lt.getSecond,
+          s"second us=$us off=$off")
       }
+    }
+  }
+
+  test("hour/minute/second over timestamps plan through epoch_* and match") {
+    val df = spark.range(0L, 50000L, 13L, 4)
+      .selectExpr("hour(timestamp_micros(id * 7919000001)) AS h",
+        "minute(timestamp_micros(id * 7919000001)) AS m",
+        "second(timestamp_micros(id * 7919000001)) AS s",
+        "id * 7919000001 AS us")
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("epoch_hour") && opt.contains("epoch_minute") &&
+      opt.contains("epoch_second"), s"rule did not fire:\n$opt")
+    df.collect().foreach { r =>
+      val lt = java.time.Instant.ofEpochSecond(
+        Math.floorDiv(r.getLong(3), 1000000L),
+        Math.floorMod(r.getLong(3), 1000000L) * 1000L)
+        .atZone(ZoneOffset.UTC).toLocalTime
+      assert(r.getInt(0) === lt.getHour && r.getInt(1) === lt.getMinute &&
+        r.getInt(2) === lt.getSecond, s"us=${r.getLong(3)}")
     }
   }
 
