@@ -38,6 +38,16 @@ object Sessions {
         .exists(_.isInstanceOf[graft.plans.CivilFieldRewrite]))
       s.experimental.extraOptimizations =
         s.experimental.extraOptimizations :+ graft.plans.CivilFieldRewrite(s)
+    // Monotone civil-predicate unwrap (toYear(d)=1995 → d range) — must
+    // follow CivilFieldRewrite so it sees the EpochCivilField form.
+    if (!s.experimental.extraOptimizations
+        .exists(_.isInstanceOf[graft.plans.CivilPredicateUnwrap]))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.CivilPredicateUnwrap(s)
+    if (!s.experimental.extraOptimizations
+        .exists(_.isInstanceOf[graft.plans.ProjectionRoute]))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.ProjectionRoute(s)
     s
   }
 }

@@ -53,6 +53,22 @@ class GraftSession(val spark: SparkSession) {
       spark.experimental.extraOptimizations :+
         graft.plans.CivilFieldRewrite(spark)
 
+  // Monotone civil-predicate unwrap (toYear(d)=1995 → raw d range for
+  // PushedFilters + __ptk pruning) — after CivilFieldRewrite by list order.
+  if (!spark.experimental.extraOptimizations
+      .exists(_.isInstanceOf[graft.plans.CivilPredicateUnwrap]))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+
+        graft.plans.CivilPredicateUnwrap(spark)
+
+  // CH projection routing: matching aggregates over a table with ADD
+  // PROJECTION metadata re-aggregate the hidden pre-aggregated table.
+  if (!spark.experimental.extraOptimizations
+      .exists(_.isInstanceOf[graft.plans.ProjectionRoute]))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+
+        graft.plans.ProjectionRoute(spark)
+
   /** Hidden partition-key column name (not shown by DESC; reference keeps
     * the ptk entirely out of the table schema, crates/meta/src/types.rs:55-63).
     */
@@ -210,6 +226,20 @@ class GraftSession(val spark: SparkSession) {
               spark.sql(s"ALTER TABLE `$db`.`$table` RECOVER PARTITIONS")
           }.failed.foreach(e =>
             recordRestoreError(db, table, "materialized view", e))
+        case (table, apx: AlterProjection) if apx.op == "add" =>
+          // a projection's hidden table replays from its recorded ALTER
+          // script: re-add the parent props and REATTACH the hidden
+          // storage (populate=false — its data survived on disk). The
+          // script's FROM is unqualified, so resolve it in ITS database —
+          // restoring with current=default left the hidden orphaned and a
+          // later ADD PROJECTION mounted its stale files.
+          scala.util.Try {
+            val prevDb = spark.catalog.currentDatabase
+            spark.catalog.setCurrentDatabase(db)
+            try addProjection(db, apx.name, apx.projName, apx.selectSql.get,
+              populate = false)
+            finally spark.catalog.setCurrentDatabase(prevDb)
+          }.failed.foreach(e => recordRestoreError(db, table, "projection", e))
         case (table, cv: CreateView) => pendingViews += ((db, table, cv))
         case (nm, cd: CreateDictionary) =>
           // dictionaries load after this database's tables (their source
@@ -330,7 +360,8 @@ class GraftSession(val spark: SparkSession) {
       spark.sql("SHOW DATABASES").select(col("namespace").as("name"))
     case ShowTables(db, like, neg) =>
       val base = db.fold(spark.sql("SHOW TABLES"))(d => spark.sql(s"SHOW TABLES IN `$d`"))
-      val named = base.filter(!col("tableName").startsWith("graft_tmp_"))
+      val named = base.filter(!col("tableName").startsWith("graft_tmp_") &&
+          !col("tableName").startsWith("__proj_"))
         .select(col("tableName").as("name"))
       like.fold(named) { pat =>
         val m = col("name").like(pat)
@@ -349,6 +380,18 @@ class GraftSession(val spark: SparkSession) {
         // normalized DDL, like CTAS — SHOW CREATE follows the rename)
         java.nio.file.Files.deleteIfExists(metaFile(rdb, from))
         recordNormalizedScript(rdb, to)
+        // the table's own projections: stored SELECTs must follow the
+        // rename (rebuild/materialize would otherwise read the old name);
+        // their hidden tables' graft.mv.src is fixed by the MV loop below
+        projectionsOf(rdb, to).foreach { case (p, _, sel) =>
+          val newSel = ChParser.firstFromTable(sel) match {
+            case Some((_, s0, s1)) =>
+              sel.substring(0, s0) + to + " " + sel.substring(s1)
+            case None => sel
+          }
+          spark.sql(s"ALTER TABLE `$rdb`.`$to` SET TBLPROPERTIES (" +
+            s"'graft.proj.$p.select'='${newSel.replace("'", "''")}')")
+        }
         // downstream materialized views keep receiving inserts: their
         // source tag follows the rename (the recorded MV script keeps
         // its original text — CH also shows the creation-time DDL)
@@ -427,6 +470,11 @@ class GraftSession(val spark: SparkSession) {
       dropView(db, name, ie)
     case DropTable(db, name, ie) =>
       val rdb = db.getOrElse(spark.catalog.currentDatabase)
+      // a parent's hidden projection tables die with it
+      if (spark.catalog.tableExists(s"$rdb.$name"))
+        projectionsOf(rdb, name).foreach { case (_, hidden, _) =>
+          run(DropTable(Some(rdb), hidden, ifExists = true), "")
+        }
       val loc =
         if (spark.catalog.tableExists(s"$rdb.$name")) Some(tableLocation(rdb, name))
         else None
@@ -453,9 +501,16 @@ class GraftSession(val spark: SparkSession) {
       tableProp(db, name, "graft.create_script")
         .flatMap(s => ChParser.parse(s).toOption) match {
         case Some(ct: CreateTable) =>
+          // projections survive TRUNCATE (CH keeps them, empty) — capture
+          // their definitions before the drop takes the hidden tables too
+          val projs = projectionsOf(rdb, name)
           run(DropTable(db, name, ifExists = false), "")
           // truncate = schema only: replay the script without the CTAS data
           createTable(ct.copy(db = Some(rdb), ifNotExists = false), runCtasInsert = false)
+          projs.foreach { case (p, _, sel) =>
+            addProjection(rdb, name, p, sel, populate = true): Unit
+          }
+          emptyOk
         case Some(mv: CreateMaterializedView) =>
           run(DropTable(db, name, ifExists = false), "")
           // truncate = schema only: recreate the view, never backfill
@@ -507,7 +562,11 @@ class GraftSession(val spark: SparkSession) {
       spark.createDataFrame(rows.asJava,
         StructType(Seq(StructField("name", StringType), StructField("type", StringType))))
     case OptimizeTable(db, name, fin, part, dedup) =>
-      optimizeTable(db, name, fin, part, dedup); emptyOk
+      optimizeTable(db, name, fin, part, dedup)
+      // TTL expiry / FINAL merge / DEDUPLICATE change the stored rows the
+      // projections aggregated — rebuild (no-op for tables without any)
+      rebuildProjectionsOf(db, name)
+      emptyOk
     case ShowDictionaries =>
       val rows = dictDefs.values.toSeq.map(d =>
         Row(d.name, d.source, d.key))
@@ -515,7 +574,7 @@ class GraftSession(val spark: SparkSession) {
         StructField("name", StringType), StructField("source", StringType),
         StructField("key", StringType))))
     case m: AlterMutate =>
-      mutateTable(m); emptyOk
+      mutateTable(m); rebuildProjectionsOf(m.db, m.name); emptyOk
     case ac: AlterClearColumn =>
       // CLEAR COLUMN = a partition-scoped UPDATE to the declared
       // DEFAULT (else CH type-zero, else NULL); only that partition's
@@ -539,6 +598,7 @@ class GraftSession(val spark: SparkSession) {
       mutateTable(AlterMutate(ac.db, ac.name,
         Seq(ac.col -> s"CAST($dflt AS ${tpe.sparkType.sql})"),
         "1 = 1", Some(ac.partition)))
+      rebuildProjectionsOf(ac.db, ac.name)
       emptyOk
     case cv: CreateView => createView(cv)
     case DropView(db, name, ie) => dropView(db, name, ie)
@@ -550,11 +610,13 @@ class GraftSession(val spark: SparkSession) {
       loadDictionary(name); emptyOk
     case ReloadDictionaries =>
       dictDefs.keys.toSeq.foreach(loadDictionary); emptyOk
-    case ap: AlterPartition => alterPartition(ap); emptyOk
+    case ap: AlterPartition =>
+      alterPartition(ap); rebuildProjectionsOf(ap.db, ap.name); emptyOk
     case a: AlterDropColumn => alterDropColumn(a); emptyOk
     case a: AlterRenameColumn => alterRenameColumn(a); emptyOk
     case a: AlterModifyColumn => alterModifyColumn(a); emptyOk
     case a: AlterTtl => alterTtl(a); emptyOk
+    case ap: AlterProjection => alterProjection(ap)
     case ShowProcesslist => processesDf
     case KillQuery(qid) =>
       val e = GraftSession.processes.remove(qid)
@@ -2036,6 +2098,14 @@ class GraftSession(val spark: SparkSession) {
           s"$op: $col is referenced by CHECK constraint $k")
       }
     }
+    // a column a projection aggregates or groups by: altering it would
+    // silently desynchronize the routed results (CH rejects these ALTERs
+    // until the projection is dropped)
+    projectionsOf(rdb, name).foreach { case (p, _, sel) =>
+      val refs = graft.parser.ChParser.tokenizedIdents(sel)
+      require(!refs.exists(_.equalsIgnoreCase(col)),
+        s"$op: $col is used by projection $p \u2014 DROP PROJECTION $p first")
+    }
     (rdb, full, meta)
   }
 
@@ -2672,6 +2742,218 @@ class GraftSession(val spark: SparkSession) {
     * v1 scope: the view and its source live in the same database and the
     * SELECT's first top-level FROM names the source table directly.
     */
+  // ---- Projections (ClickHouse ALTER TABLE ... ADD PROJECTION) ----------
+  //
+  // A projection is a pre-aggregated alternate layout the PLANNER routes to
+  // automatically (CH stores them per-part; here each projection is a hidden
+  // table `__proj_<parent>_<name>` maintained by the MV insert-fanout —
+  // every inserted block appends its PARTIAL per-block aggregate, and the
+  // router re-aggregates, which is exactly CH's AggregatingMergeTree merge
+  // model). Parent table properties carry the routing metadata:
+  //   graft.proj.list            = p1,p2
+  //   graft.proj.<p>.table       = hidden table name
+  //   graft.proj.<p>.select      = full SELECT (rebuilds + introspection)
+  //   graft.proj.<p>.map         = outkindsrc entries joined by
+  //                                , kind ∈ key|sum|min|max|count|countcol
+  // Mutations/OPTIMIZE FINAL/partition DDL on the parent rebuild the
+  // projection in full (CH rebuilds projections for mutated parts).
+
+  private def projTableName(parent: String, proj: String): String =
+    s"__proj_${parent}_$proj"
+
+  /** (name, hiddenTable, select) for every projection on rdb.table. */
+  private def projectionsOf(rdb: String, table: String): Seq[(String, String, String)] =
+    tableProp(Some(rdb), table, "graft.proj.list").toSeq
+      .flatMap(_.split(",").filter(_.nonEmpty)).flatMap { p =>
+        for {
+          tbl <- tableProp(Some(rdb), table, s"graft.proj.$p.table")
+          sel <- tableProp(Some(rdb), table, s"graft.proj.$p.select")
+        } yield (p, tbl, sel)
+      }
+
+  private[graft] def alterProjection(ap: AlterProjection): DataFrame = {
+    val rdb = ap.db.getOrElse(spark.catalog.currentDatabase)
+    require(spark.sessionState.catalog.tableExists(
+        org.apache.spark.sql.catalyst.TableIdentifier(ap.name, Some(rdb))),
+      s"ALTER TABLE: no table $rdb.${ap.name}")
+    val existing = projectionsOf(rdb, ap.name)
+    ap.op match {
+      case "add" =>
+        if (existing.exists(_._1 == ap.projName)) {
+          if (ap.ifNotExists) emptyOk
+          else throw new IllegalArgumentException(
+            s"projection ${ap.projName} already exists on ${ap.name}")
+        } else addProjection(rdb, ap.name, ap.projName, ap.selectSql.get,
+          populate = true)
+      case "drop" =>
+        existing.find(_._1 == ap.projName) match {
+          case None if ap.ifExists => emptyOk
+          case None => throw new IllegalArgumentException(
+            s"no projection ${ap.projName} on ${ap.name}")
+          case Some((_, tbl, _)) => dropProjection(rdb, ap.name, ap.projName, tbl)
+        }
+      case "materialize" =>
+        val (_, tbl, sel) = existing.find(_._1 == ap.projName).getOrElse(
+          throw new IllegalArgumentException(
+            s"no projection ${ap.projName} on ${ap.name}"))
+        rebuildProjection(rdb, tbl, sel); emptyOk
+    }
+  }
+
+  /** Splice `FROM <parent>` into a CH projection body, which omits it
+    * (`SELECT a, sum(b) GROUP BY a`). Quoted strings are blanked and only
+    * a depth-0 GROUP BY splits, so literals can't fool the splice.
+    */
+  private def projSelectWithFrom(body: String, parent: String): String =
+    ChParser.firstFromTable(body) match {
+      case Some((src, _, _)) =>
+        val bare = if (src.contains(".")) src.split("\\.", 2)(1) else src
+        require(bare.equalsIgnoreCase(parent),
+          s"ADD PROJECTION: the SELECT must read FROM $parent (got $src)")
+        body
+      case None =>
+        val blanked = {
+          val sb = new StringBuilder(body)
+          var i = 0; var q: Char = 0
+          while (i < sb.length) {
+            val c = sb.charAt(i)
+            if (q != 0) { if (c == q) q = 0; sb.setCharAt(i, ' ') }
+            else if (c == '\'' || c == '"' || c == '`') { q = c; sb.setCharAt(i, ' ') }
+            i += 1
+          }
+          sb.toString
+        }
+        var depth = 0; var splitAt = blanked.length
+        val m = java.util.regex.Pattern
+          .compile("(?i)\\bgroup\\s+by\\b").matcher(blanked)
+        var found = false
+        var scan = 0
+        while (!found && m.find(scan)) {
+          depth = blanked.substring(0, m.start)
+            .count(_ == '(') - blanked.substring(0, m.start).count(_ == ')')
+          if (depth == 0) { splitAt = m.start; found = true }
+          else scan = m.end
+        }
+        body.substring(0, splitAt) + s" FROM $parent " + body.substring(splitAt)
+    }
+
+  private def addProjection(rdb: String, table: String, pname: String,
+                            body: String, populate: Boolean): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal => CLit}
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+
+    val fullSel = projSelectWithFrom(body, table)
+    val analyzed = spark.sql(rewriteSelect(fullSel)).queryExecution.analyzed
+    val agg = analyzed.collectFirst { case a: Aggregate => a }.getOrElse(
+      throw new IllegalArgumentException(
+        "ADD PROJECTION: the body must be an aggregate " +
+          "(SELECT keys, aggs ... GROUP BY keys)"))
+    val groupNames = agg.groupingExpressions.map {
+      case ar: AttributeReference => ar.name
+      case other => throw new IllegalArgumentException(
+        s"ADD PROJECTION: GROUP BY must list plain columns, got ${other.sql}")
+    }
+    def srcOf(e: org.apache.spark.sql.catalyst.expressions.Expression,
+              what: String): String = e match {
+      case ar: AttributeReference => ar.name
+      case other => throw new IllegalArgumentException(
+        s"ADD PROJECTION: $what must be over a plain column, got ${other.sql}")
+    }
+    val entries = agg.aggregateExpressions.map {
+      case ar: AttributeReference =>
+        require(groupNames.contains(ar.name),
+          s"ADD PROJECTION: non-aggregate output ${ar.name} is not a GROUP BY key")
+        s"${ar.name}key${ar.name}"
+      case al @ Alias(ar: AttributeReference, _) =>
+        require(groupNames.contains(ar.name),
+          s"ADD PROJECTION: non-aggregate output ${al.name} is not a GROUP BY key")
+        s"${al.name}key${ar.name}"
+      case al @ Alias(ae: AggregateExpression, _) =>
+        require(!ae.isDistinct && ae.filter.isEmpty,
+          "ADD PROJECTION: aggregates must be plain (no DISTINCT / FILTER)")
+        ae.aggregateFunction match {
+          case s: Sum => s"${al.name}sum${srcOf(s.child, "sum")}"
+          case m: Min => s"${al.name}min${srcOf(m.child, "min")}"
+          case m: Max => s"${al.name}max${srcOf(m.child, "max")}"
+          case c: Count => c.children match {
+            case Seq(CLit(_, _)) => s"${al.name}count"
+            case Seq(ar: AttributeReference) =>
+              s"${al.name}countcol${ar.name}"
+            case _ => throw new IllegalArgumentException(
+              "ADD PROJECTION: count must be count() or count(column)")
+          }
+          case other => throw new IllegalArgumentException(
+            s"ADD PROJECTION: unsupported aggregate ${other.prettyName} " +
+              "(supported: sum, min, max, count — store avg as sum + count)")
+        }
+      case other => throw new IllegalArgumentException(
+        s"ADD PROJECTION: unsupported output ${other.sql}")
+    }
+    val keySrcs = entries.collect {
+      case e if e.split("")(1) == "key" => e.split("")(2)
+    }
+    require(groupNames.forall(keySrcs.contains),
+      "ADD PROJECTION: every GROUP BY key must appear in the SELECT list")
+
+    val hidden = projTableName(table, pname)
+    // A NEW projection must never mount leftovers: if a previous life's
+    // replay script lingers (e.g. its restore failed), drop it so
+    // createTableInner's orphan cleanup clears the stale files too.
+    if (populate)
+      java.nio.file.Files.deleteIfExists(metaFile(rdb, hidden)): Unit
+    val script = s"ALTER TABLE $table ADD PROJECTION $pname ($body)"
+    createMaterializedView(CreateMaterializedView(Some(rdb), hidden,
+      engine = None, partitionBy = None, populate = populate,
+      selectSql = fullSel, ifNotExists = !populate, createScript = script))
+    val list = (projectionsOf(rdb, table).map(_._1) :+ pname).mkString(",")
+    spark.sql(s"ALTER TABLE ${fullName(Some(rdb), table)} SET TBLPROPERTIES (" +
+      s"'graft.proj.list'='$list', " +
+      s"'graft.proj.$pname.table'='$hidden', " +
+      s"'graft.proj.$pname.select'='${fullSel.replace("'", "''")}', " +
+      s"'graft.proj.$pname.map'='${entries.mkString("").replace("'", "''")}')")
+    emptyOk
+  }
+
+  private def dropProjection(rdb: String, table: String, pname: String,
+                             hidden: String): DataFrame = {
+    val remaining = projectionsOf(rdb, table).map(_._1).filterNot(_ == pname)
+    spark.sql(s"ALTER TABLE ${fullName(Some(rdb), table)} " +
+      s"UNSET TBLPROPERTIES IF EXISTS ('graft.proj.$pname.table', " +
+      s"'graft.proj.$pname.select', 'graft.proj.$pname.map')")
+    spark.sql(s"ALTER TABLE ${fullName(Some(rdb), table)} SET TBLPROPERTIES (" +
+      s"'graft.proj.list'='${remaining.mkString(",")}')")
+    run(DropTable(Some(rdb), hidden, ifExists = true), "")
+    emptyOk
+  }
+
+  /** Full rebuild = TRUNCATE + re-run the defining SELECT. CH rebuilds
+    * projections of mutated parts; a whole-table rebuild is the
+    * single-table analog and is always correct.
+    */
+  private def rebuildProjection(rdb: String, hidden: String, sel: String): Unit = {
+    val full = fullName(Some(rdb), hidden)
+    spark.sql(s"REFRESH TABLE $full")
+    // The defining SELECT must read the PARENT's rows — routed, it would
+    // re-aggregate the stale partials it is replacing. Bypass is
+    // thread-local so concurrent queries keep routing.
+    graft.plans.ProjectionRoute.bypass.set(true)
+    try
+      // INSERT OVERWRITE, not drop/recreate: keeps the MV subscription props
+      spark.sql(rewriteSelect(sel)).write.mode("overwrite").insertInto(full)
+    finally graft.plans.ProjectionRoute.bypass.set(false)
+  }
+
+  /** Hook run by every parent-mutating path (mutations, OPTIMIZE FINAL /
+    * DEDUPLICATE, partition DDL): projections must never serve stale rows.
+    */
+  private def rebuildProjectionsOf(db: Option[String], table: String): Unit = {
+    val rdb = db.getOrElse(spark.catalog.currentDatabase)
+    projectionsOf(rdb, table).foreach { case (_, hidden, sel) =>
+      rebuildProjection(rdb, hidden, sel)
+    }
+  }
+
   private def createMaterializedView(mv: CreateMaterializedView): DataFrame = {
     val rdb = mv.db.getOrElse(spark.catalog.currentDatabase)
     val src = ChParser.firstFromTable(mv.selectSql).getOrElse(

@@ -878,5 +878,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectOptimizerRule(graft.plans.PartitionPruneDerivation(_))
     ext.injectOptimizerRule(graft.plans.CivilFieldRewrite(_))
+    ext.injectOptimizerRule(graft.plans.CivilPredicateUnwrap(_))
+    ext.injectOptimizerRule(graft.plans.ProjectionRoute(_))
   }
 }

@@ -149,6 +149,19 @@ object ChStatement {
                                   op: String, value: String)
       extends ChStatement
 
+  /** Projection DDL: `ALTER TABLE t ADD PROJECTION [IF NOT EXISTS] p
+    * (SELECT … GROUP BY …)` / `DROP PROJECTION [IF EXISTS] p` /
+    * `MATERIALIZE PROJECTION p` (full rebuild). `op` is
+    * add|drop|materialize; `selectSql` carries the parenthesized body for
+    * `add`.
+    */
+  final case class AlterProjection(db: Option[String], name: String,
+                                   op: String, projName: String,
+                                   selectSql: Option[String],
+                                   ifNotExists: Boolean = false,
+                                   ifExists: Boolean = false)
+      extends ChStatement
+
   /** CREATE MATERIALIZED VIEW — ClickHouse's insert-triggered
     * transformation: every block inserted into the SELECT's source table
     * runs through the SELECT and appends to the view's own storage.
@@ -1465,13 +1478,29 @@ object ChParser {
     } else if (p.eatKw("alter")) {
       if (!p.eatKw("table")) Left(s"ALTER: expected TABLE at ${p.posText}")
       else qualifiedName(p).flatMap { case (db, tab) =>
-        if (p.eatKw("add")) for {
-          _ <- p.expectKw("column")
-          ine <- Right(parseIfNotExists(p))
-          col <- columnDef(p)
-        } yield AlterAddColumn(db, tab, col, ine)
+        if (p.eatKw("add")) {
+          if (p.eatKw("projection")) for {
+            ine <- Right(parseIfNotExists(p))
+            pn <- p.ident()
+            _ <- p.expectPunct("(")
+            body <- Right(p.sliceBalancedUntil(_.isPunct(")")))
+            _ <- p.expectPunct(")")
+            _ <- if (body.nonEmpty) Right(())
+                 else Left(s"ADD PROJECTION: empty body at ${p.posText}")
+          } yield AlterProjection(db, tab, "add", pn, Some(body),
+            ifNotExists = ine)
+          else for {
+            _ <- p.expectKw("column")
+            ine <- Right(parseIfNotExists(p))
+            col <- columnDef(p)
+          } yield AlterAddColumn(db, tab, col, ine)
+        }
         else if (p.eatKw("drop")) {
-          if (p.eatKw("column")) {
+          if (p.eatKw("projection")) {
+            val ie = parseIfNotExists(p)
+            p.ident().map(pn =>
+              AlterProjection(db, tab, "drop", pn, None, ifExists = ie))
+          } else if (p.eatKw("column")) {
             val ie = parseIfNotExists(p)
             p.ident().map(c => AlterDropColumn(db, tab, c, ie))
           } else for {
@@ -1479,6 +1508,10 @@ object ChParser {
             v <- partitionValue(p)
           } yield AlterPartition(db, tab, "drop", v)
         }
+        else if (p.eatKw("materialize")) for {
+          _ <- p.expectKw("projection")
+          pn <- p.ident()
+        } yield AlterProjection(db, tab, "materialize", pn, None)
         else if (p.isKw("detach") || p.isKw("attach")) {
           val op = p.next().text.toLowerCase(java.util.Locale.ROOT)
           for {
@@ -1551,7 +1584,8 @@ object ChParser {
           }
         }
         else Left(s"ALTER TABLE: expected ADD/DROP/RENAME/MODIFY COLUMN, " +
-          s"DROP/DETACH/ATTACH PARTITION, DELETE WHERE or UPDATE at ${p.posText}")
+          s"ADD/DROP/MATERIALIZE PROJECTION, DROP/DETACH/ATTACH PARTITION, " +
+          s"DELETE WHERE or UPDATE at ${p.posText}")
       }
     } else if (p.eatKw("delete")) {
       // ClickHouse's lightweight delete — same engine path as the

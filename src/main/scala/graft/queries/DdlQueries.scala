@@ -739,6 +739,50 @@ object DdlQueries {
         "count(*) AS n, CAST(max(user_id) AS BIGINT) AS mu " +
         "FROM events WHERE value > 60 GROUP BY k " +
         "ORDER BY k WITH FILL FROM 0 TO 10 STEP 1 INTERPOLATE (mu)")
+    },
+
+    // Monotone civil-predicate unwrap (d27): toYear/toYYYYMM filters gain
+    // an implied raw-column range (CivilPredicateUnwrap), so the scan
+    // row-group-skips and __ptk-prunes like ClickHouse's monotonic index
+    // analysis. Values must be IDENTICAL to the un-unwrapped semantics —
+    // DuckDB evaluates the same civil predicates natively.
+    "d27_civil_unwrap" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("""SELECT CAST(toYYYYMM(l_shipdate) AS BIGINT) AS ym,
+        |  count(*) AS n, CAST(sum(l_orderkey) AS BIGINT) AS sk
+        |FROM lineitem
+        |WHERE toYear(l_shipdate) = 1996
+        |  AND toYYYYMM(l_shipdate) <= 199606
+        |  AND toDate(l_shipdate) >= toDate('1996-02-15')
+        |GROUP BY ym ORDER BY ym""".stripMargin)
+    },
+
+    // Projections (d28): ADD PROJECTION builds a hidden pre-aggregated
+    // table maintained by the MV insert-fanout; ProjectionRoute rewrites
+    // the matching aggregate onto it (re-aggregating per-block partials —
+    // CH's AggregatingMergeTree merge). Two insert waves exercise the
+    // fanout; the filter rides on the projection key. The oracle
+    // recomputes everything from the raw events rows in DuckDB.
+    "d28_projection" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("DROP TABLE IF EXISTS d28_t")
+      g.sql("CREATE TABLE d28_t AS SELECT event_id AS k, event_type AS cat, " +
+        "user_id AS u, CAST(value AS DECIMAL(12,4)) AS v FROM events " +
+        "WHERE event_id % 2 = 0")
+      g.sql("ALTER TABLE d28_t ADD PROJECTION by_cat (SELECT cat, " +
+        "count() AS c, sum(u) AS su, sum(v) AS sv, min(u) AS mu, " +
+        "max(u) AS xu GROUP BY cat)")
+      g.sql("INSERT INTO d28_t SELECT event_id, event_type, user_id, " +
+        "CAST(value AS DECIMAL(12,4)) FROM events WHERE event_id % 2 = 1")
+      val df = g.sql("SELECT cat, count() AS n, CAST(sum(u) AS BIGINT) " +
+        "AS su, CAST(round(sum(v), 3) AS DOUBLE) AS sv, " +
+        "CAST(min(u) AS BIGINT) AS mu, CAST(max(u) AS BIGINT) AS xu " +
+        "FROM d28_t WHERE cat <> 'purchase' GROUP BY cat ORDER BY cat")
+      require(df.queryExecution.optimizedPlan.toString.contains("__proj_"),
+        "d28: the aggregate did not route to the projection")
+      df
     }
   )
 
@@ -1097,6 +1141,28 @@ object DdlQueries {
         |  FROM events
         |)
         |SELECT event_id, user_id, v FROM r WHERE rk <= 5
-        |ORDER BY v DESC""".stripMargin
+        |ORDER BY v DESC""".stripMargin,
+
+    "d27_civil_unwrap" ->
+      """SELECT CAST(extract(year FROM l_shipdate) * 100 +
+        |    extract(month FROM l_shipdate) AS BIGINT) AS ym,
+        |  count(*) AS n, CAST(sum(l_orderkey) AS BIGINT) AS sk
+        |FROM lineitem
+        |WHERE extract(year FROM l_shipdate) = 1996
+        |  AND extract(year FROM l_shipdate) * 100 +
+        |    extract(month FROM l_shipdate) <= 199606
+        |  AND CAST(l_shipdate AS DATE) >= DATE '1996-02-15'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // d28 recomputed from the RAW events rows: a hash match proves the
+    // projection's per-block partials re-aggregate to the exact answer.
+    "d28_projection" ->
+      """SELECT event_type AS cat, count(*) AS n,
+        |  CAST(sum(user_id) AS BIGINT) AS su,
+        |  CAST(round(sum(CAST(value AS DECIMAL(12,4))), 3) AS DOUBLE) AS sv,
+        |  CAST(min(user_id) AS BIGINT) AS mu,
+        |  CAST(max(user_id) AS BIGINT) AS xu
+        |FROM events WHERE event_type <> 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
