@@ -2569,6 +2569,15 @@ class GraftSession(val spark: SparkSession) {
     if (runCtasInsert && !preExisting)
       ct.asSelect.foreach(sel =>
         insertSelect(InsertSelect(ct.db, ct.name, None, sel)))
+    // inline `PROJECTION p (SELECT …)` clauses desugar onto the ALTER ADD
+    // machinery; at restore (runCtasInsert=false) the hidden storage is
+    // reattached, never re-populated (addProjection is idempotent, so the
+    // hidden table's own replay script arriving later is a no-op)
+    if (!preExisting)
+      ct.projections.foreach { case (pn, body) =>
+        addProjection(ct.db.getOrElse(spark.catalog.currentDatabase),
+          ct.name, pn, body, populate = runCtasInsert): Unit
+      }
     created
   }
 
@@ -2839,6 +2848,9 @@ class GraftSession(val spark: SparkSession) {
 
   private def addProjection(rdb: String, table: String, pname: String,
                             body: String, populate: Boolean): DataFrame = {
+    // idempotent: restore replays both the parent's inline clause and the
+    // hidden table's own ALTER script — the second arrival is a no-op
+    if (projectionsOf(rdb, table).exists(_._1 == pname)) return emptyOk
     import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal => CLit}
     import org.apache.spark.sql.catalyst.expressions.aggregate._
     import org.apache.spark.sql.catalyst.plans.logical.Aggregate
@@ -3343,6 +3355,8 @@ class GraftSession(val spark: SparkSession) {
       "CREATE TEMPORARY TABLE: PARTITION BY is not supported")
     require(ct.asSelect.isEmpty,
       "CREATE TEMPORARY TABLE ... AS SELECT is not supported yet")
+    require(ct.projections.isEmpty,
+      "CREATE TEMPORARY TABLE: PROJECTION clauses are not supported")
     if (tempTables.contains(ct.name)) {
       if (ct.ifNotExists) return emptyOk
       throw new IllegalArgumentException(

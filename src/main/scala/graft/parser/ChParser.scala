@@ -29,7 +29,9 @@ object ChStatement {
                                asSelect: Option[String] = None,
                                engineArgs: Seq[String] = Nil,
                                checks: Seq[(String, String)] = Nil,
-                               temporary: Boolean = false) extends ChStatement
+                               temporary: Boolean = false,
+                               projections: Seq[(String, String)] = Nil)
+      extends ChStatement
   final case class DropDatabase(name: String, ifExists: Boolean) extends ChStatement
   final case class DropTable(db: Option[String], name: String, ifExists: Boolean) extends ChStatement
   final case class TruncateTable(db: Option[String], name: String,
@@ -494,10 +496,14 @@ object ChParser {
       // crates/tests_integ/tpch/01095_tpch_like_smoke.sql:21-22, though
       // its grammar never parses them) — captured for INSERT-time
       // enforcement, ClickHouse's CHECK semantics.
-      colsChecks <- if (!p.isPunct("(")) Right((Seq.empty[ColDef], Seq.empty[(String, String)])) else {
+      colsChecks <- if (!p.isPunct("("))
+        Right((Seq.empty[ColDef], Seq.empty[(String, String)],
+          Seq.empty[(String, String)]))
+      else {
         p.next()
         val buf = ArrayBuffer.empty[ColDef]
         val chk = ArrayBuffer.empty[(String, String)]
+        val prj = ArrayBuffer.empty[(String, String)]
         var err: Option[String] = None
         var go = true
         while (go && err.isEmpty) {
@@ -513,6 +519,23 @@ object ChParser {
                   if (ce.isEmpty)
                     err = Some(s"CONSTRAINT $cn: empty CHECK expression")
                   else { chk += cn -> ce; if (!p.eatPunct(",")) go = false }
+                }
+              case Left(e) => err = Some(e)
+            }
+          } else if (p.isKw("projection")) {
+            // `PROJECTION name (SELECT … GROUP BY …)` declared inline —
+            // CH's canonical form; desugars onto the ALTER ADD machinery
+            // after the table exists.
+            p.next()
+            p.ident() match {
+              case Right(pn) =>
+                if (!p.eatPunct("("))
+                  err = Some(s"PROJECTION $pn: expected ( at ${p.posText}")
+                else {
+                  val body = p.sliceBalancedUntil(_.isPunct(")"))
+                  p.eatPunct(")")
+                  if (body.isEmpty) err = Some(s"PROJECTION $pn: empty body")
+                  else { prj += pn -> body; if (!p.eatPunct(",")) go = false }
                 }
               case Left(e) => err = Some(e)
             }
@@ -535,7 +558,7 @@ object ChParser {
             case Left(e) => err = Some(e)
           }
         }
-        err.toLeft((buf.toSeq, chk.toSeq)).flatMap(cs =>
+        err.toLeft((buf.toSeq, chk.toSeq, prj.toSeq)).flatMap(cs =>
           p.expectPunct(")").map(_ => cs))
       }
       cols = colsChecks._1
@@ -649,7 +672,8 @@ object ChParser {
         case _ => cols
       }
       CreateTable(dbTab._1, dbTab._2, keyed, tail._1, tail._2, tail._3,
-        ine, p.sql.trim, asSel, tail._4, colsChecks._2)
+        ine, p.sql.trim, asSel, tail._4, colsChecks._2,
+        projections = colsChecks._3)
     }
   }
 

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.EpochCivilField
 
@@ -21,8 +22,8 @@ import graft.functions.EpochCivilField
   * every row-group of every file.
   *
   * This rule is the Catalyst-native version of that index analysis. For a
-  * conjunct comparing a MONOTONE NON-DECREASING integer-valued civil shape
-  * of a column to literals —
+  * conjunct comparing a MONOTONE NON-DECREASING civil shape of a column to
+  * literals —
   *
   *   - `toYear(d)` / `year(d)` over DateType ([[Year]]),
   *   - `toYear(ts)` over a fixed-offset timestamp (the
@@ -30,7 +31,11 @@ import graft.functions.EpochCivilField
   *     [[CivilFieldRewrite]]),
   *   - `toYYYYMM(x)` / `toYYYYMMDD(x)` (the `y*100+m` / `y*10000+m*100+d`
   *     compositions both builders emit),
-  *   - `toDate(ts)` = `cast(ts AS date)` under a fixed-offset zone
+  *   - `toDate(ts)` = `cast(ts AS date)` under a fixed-offset zone,
+  *   - `toStartOfYear/Quarter/Month/Week` = `trunc(x, unit)` over dates
+  *     and fixed-zone timestamps,
+  *   - `toStartOfDay/Hour/Minute` = `date_trunc(unit, ts)` under a fixed
+  *     offset
   *
   * — it ANDs in the implied raw-column range (`d >= lo AND d < hi`). The
   * original predicate stays (the derived range is implied, never a
@@ -92,7 +97,11 @@ case class CivilPredicateUnwrap(sparkIgnored: org.apache.spark.sql.SparkSession)
 
 object CivilPredicateUnwrap {
 
-  /** Non-null integral literal, as Long. */
+  /** Non-null literal whose value space is a monotone Long: integrals,
+    * DATE (epoch days, for toDate/toStartOf* comparisons) and TIMESTAMP
+    * (epoch micros, for date_trunc comparisons). Type coercion guarantees
+    * the literal's type already matches the shape's output type.
+    */
   private object IntLit {
     def unapply(e: Expression): Option[Long] = e match {
       case Literal(null, _) => None
@@ -100,8 +109,8 @@ object CivilPredicateUnwrap {
       case Literal(v: Short, ShortType) => Some(v.toLong)
       case Literal(v: Int, IntegerType) => Some(v.toLong)
       case Literal(v: Long, LongType) => Some(v)
-      // a DATE literal compared against cast(ts AS date): epoch days
       case Literal(v: Int, DateType) => Some(v.toLong)
+      case Literal(v: Long, TimestampType | TimestampNTZType) => Some(v)
       case _ => None
     }
   }
@@ -127,20 +136,19 @@ object CivilPredicateUnwrap {
       else Some(Literal((epochDay * 86400L - offsetSeconds) * 1000000L, t))
   }
 
-  /** A monotone integer-valued civil shape over one column: yields the
-    * smallest epoch-day whose image is ≥ v (`loDay`) — `hiDay(v)` =
-    * `loDay(v+1)` is then the exclusive upper boundary for image ≤ v.
+  /** A monotone non-decreasing shape f over one column: `loLit(v)` is the
+    * smallest column value whose image is ≥ v, as a literal of the
+    * column's type — None when v is outside the invertible domain (the
+    * conjunct is then simply not derived). Because f is integer-valued,
+    * `loLit(v+1)` is the exclusive upper boundary for image ≤ v.
     */
-  private sealed abstract class CivilShape(col: Expression, kind: ColKind) {
-    /** Smallest epoch day d with f(d) >= v; None if v is outside the
-      * invertible domain (the conjunct is then simply not derived).
-      */
-    protected def loDay(v: Long): Option[Long]
+  private sealed abstract class CivilShape(col: Expression) {
+    protected def loLit(v: Long): Option[Literal]
 
     private def ge(v: Long): Option[Expression] =
-      loDay(v).flatMap(kind.boundLit).map(GreaterThanOrEqual(col, _))
+      loLit(v).map(GreaterThanOrEqual(col, _))
     private def ltBoundary(v: Long): Option[Expression] =
-      loDay(v).flatMap(kind.boundLit).map(LessThan(col, _))
+      loLit(v).map(LessThan(col, _))
 
     def atLeast(v: Long): Option[Expression] = ge(v)             // f(x) >= v
     def above(v: Long): Option[Expression] = ge(v + 1)           // f(x) >  v
@@ -153,17 +161,25 @@ object CivilPredicateUnwrap {
       }
   }
 
+  /** Shapes whose inverse lives naturally in epoch days. */
+  private sealed abstract class DayShapeBase(col: Expression, kind: ColKind)
+      extends CivilShape(col) {
+    protected def loDay(v: Long): Option[Long]
+    protected final def loLit(v: Long): Option[Literal] =
+      loDay(v).flatMap(kind.boundLit)
+  }
+
   private def yearOk(y: Long): Boolean = y >= 1 && y <= 9999
 
   private final class YearShape(col: Expression, kind: ColKind)
-      extends CivilShape(col, kind) {
+      extends DayShapeBase(col, kind) {
     protected def loDay(v: Long): Option[Long] =
       if (!yearOk(v)) None
       else Some(LocalDate.of(v.toInt, 1, 1).toEpochDay)
   }
 
   private final class YyyymmShape(col: Expression, kind: ColKind)
-      extends CivilShape(col, kind) {
+      extends DayShapeBase(col, kind) {
     protected def loDay(v: Long): Option[Long] = {
       val y = Math.floorDiv(v, 100L); val m = Math.floorMod(v, 100L)
       if (!yearOk(y)) None
@@ -173,7 +189,7 @@ object CivilPredicateUnwrap {
   }
 
   private final class YyyymmddShape(col: Expression, kind: ColKind)
-      extends CivilShape(col, kind) {
+      extends DayShapeBase(col, kind) {
     protected def loDay(v: Long): Option[Long] = {
       val y = Math.floorDiv(v, 10000L)
       val m = Math.floorMod(Math.floorDiv(v, 100L), 100L)
@@ -191,16 +207,60 @@ object CivilPredicateUnwrap {
 
   /** Identity on epoch days: `cast(ts AS date)` compared to a DATE literal. */
   private final class DayShape(col: Expression, kind: ColKind)
-      extends CivilShape(col, kind) {
+      extends DayShapeBase(col, kind) {
     protected def loDay(v: Long): Option[Long] = Some(v)
+  }
+
+  /** `trunc(x, unit)` (toStartOfYear/Quarter/Month/Week): floor-to-boundary
+    * compared to a DATE literal. Smallest day whose floor is ≥ v is the
+    * unit-ceiling of v.
+    */
+  private final class TruncDateShape(col: Expression, kind: ColKind,
+                                     unit: String)
+      extends DayShapeBase(col, kind) {
+    protected def loDay(v: Long): Option[Long] = {
+      if (math.abs(v) > 100000000L) return None
+      val d = LocalDate.ofEpochDay(v)
+      val ceil = unit match {
+        case "year" | "yyyy" | "yy" =>
+          if (d.getDayOfYear == 1) d else LocalDate.of(d.getYear + 1, 1, 1)
+        case "quarter" =>
+          val qs = LocalDate.of(d.getYear, ((d.getMonthValue - 1) / 3) * 3 + 1, 1)
+          if (d == qs) d else qs.plusMonths(3)
+        case "month" | "mon" | "mm" =>
+          if (d.getDayOfMonth == 1) d else d.withDayOfMonth(1).plusMonths(1)
+        case "week" => // Spark trunc 'week' floors to Monday
+          val dow = d.getDayOfWeek.getValue // Mon=1..Sun=7
+          if (dow == 1) d else d.plusDays(8L - dow)
+        case _ => return None
+      }
+      Some(ceil.toEpochDay)
+    }
+  }
+
+  /** `date_trunc(unit, ts)` (toStartOfDay/Hour/Minute/Second): fixed-size
+    * LOCAL buckets over micros under a fixed offset; compared to a
+    * TIMESTAMP literal. Inverse computed directly in micros.
+    */
+  private final class TruncTsShape(col: Expression, offsetSeconds: Long,
+                                   t: DataType, unitMicros: Long)
+      extends CivilShape(col) {
+    protected def loLit(v: Long): Option[Literal] = {
+      // guard the +offset shift against overflow at the extremes
+      if (math.abs(v) > Long.MaxValue / 2) return None
+      val local = v + offsetSeconds * 1000000L
+      val r = Math.floorMod(local, unitMicros)
+      Some(Literal(if (r == 0L) v else v + (unitMicros - r), t))
+    }
   }
 
   // ---- shape extractors --------------------------------------------------
 
-  /** year-of(col): Year over a DateType column, or the EpochCivilField form
-    * CivilFieldRewrite plants for fixed-zone timestamps. An integer-widening
-    * Cast around the field (added when compared to a Long literal) is
-    * transparent — widening preserves order and value.
+  /** year/month/day-of(col): the Catalyst field over a DateType column, or
+    * the EpochCivilField form CivilFieldRewrite plants for fixed-zone
+    * timestamps. An integer-widening Cast around the field (added when
+    * compared to a Long literal) is transparent — widening preserves order
+    * and value.
     */
   private object FieldOf {
     def unapply(e: Expression): Option[(String, Expression, ColKind)] = e match {
@@ -212,6 +272,25 @@ object CivilPredicateUnwrap {
       case _ => None
     }
   }
+
+  /** A date-valued operand: a DateType expression (DateCol bounds) or a
+    * fixed-zone `cast(ts AS date)` (bounds on the raw ts in micros).
+    */
+  private object DateOperand {
+    def unapply(e: Expression): Option[(Expression, ColKind)] = e match {
+      case c @ Cast(ts, DateType, _, _) if ts.dataType == TimestampType =>
+        fixedOffsetSeconds(c.timeZoneId)
+          .map(off => (ts, TsCol(off, TimestampType)))
+      case Cast(ts, DateType, _, _) if ts.dataType == TimestampNTZType =>
+        Some((ts, TsCol(0L, TimestampNTZType)))
+      case d if d.dataType == DateType => Some((d, DateCol))
+      case _ => None
+    }
+  }
+
+  private val truncTsUnits: Map[String, Long] = Map(
+    "day" -> 86400000000L, "dd" -> 86400000000L,
+    "hour" -> 3600000000L, "minute" -> 60000000L, "second" -> 1000000L)
 
   private object Shape {
     def unapply(e: Expression): Option[CivilShape] = e match {
@@ -229,12 +308,25 @@ object CivilPredicateUnwrap {
           if c1.semanticEquals(c2) && c1.semanticEquals(c3) &&
             k1 == k2 && k1 == k3 =>
         Some(new YyyymmddShape(c1, k1))
+      // toStartOfYear/Quarter/Month/Week: trunc(date-or-fixed-zone-cast)
+      case TruncDate(DateOperand(c, k), Literal(u: UTF8String, StringType)) =>
+        Some(new TruncDateShape(c, k, u.toString.toLowerCase(java.util.Locale.ROOT)))
+      // toStartOfDay/Hour/Minute: date_trunc over a fixed-zone timestamp
+      case td @ TruncTimestamp(Literal(u: UTF8String, StringType), ts, _)
+          if ts.dataType == TimestampType || ts.dataType == TimestampNTZType =>
+        val unit = u.toString.toLowerCase(java.util.Locale.ROOT)
+        val off = ts.dataType match {
+          case TimestampNTZType => Some(0L)
+          case _ => fixedOffsetSeconds(td.timeZoneId)
+        }
+        for {
+          um <- truncTsUnits.get(unit)
+          o <- off
+        } yield new TruncTsShape(ts, o, ts.dataType, um)
       // toDate(ts) under a fixed-offset zone (NTZ ignores the zone)
-      case c @ Cast(ts, DateType, _, _) if ts.dataType == TimestampType =>
-        fixedOffsetSeconds(c.timeZoneId)
-          .map(off => new DayShape(ts, TsCol(off, TimestampType)))
-      case Cast(ts, DateType, _, _) if ts.dataType == TimestampNTZType =>
-        Some(new DayShape(ts, TsCol(0L, TimestampNTZType)))
+      case c @ Cast(_, DateType, _, _) => DateOperand.unapply(c).collect {
+        case (ts, k: TsCol) => new DayShape(ts, k)
+      }
       case _ => None
     }
   }

@@ -105,6 +105,56 @@ class CivilPredicateUnwrapSpec extends AnyFunSuite {
     assert(tsD.collect().toSeq === tsDWant.collect().toSeq)
   }
 
+  test("toStartOf* (trunc) shapes unwrap: month/quarter/week over dates, " +
+    "day over timestamps") {
+    // equality on an ALIGNED boundary
+    val mEq = g.sql("SELECT count(*) AS n FROM lineitem " +
+      "WHERE toStartOfMonth(l_shipdate) = DATE'1996-04-01'")
+    assert(pushedOn(mEq, "l_shipdate"))
+    val mWant = g.sql("SELECT count(*) AS n FROM lineitem WHERE " +
+      "l_shipdate >= DATE'1996-04-01' AND l_shipdate < DATE'1996-05-01'")
+    assert(mEq.collect().toSeq === mWant.collect().toSeq)
+    assert(mEq.collect()(0).getLong(0) > 0)
+
+    // range with an UNALIGNED literal: ceil must go to the next boundary
+    val mGe = g.sql("SELECT count(*) AS n FROM lineitem " +
+      "WHERE toStartOfMonth(l_shipdate) >= DATE'1996-04-15'")
+    val mGeWant = g.sql("SELECT count(*) AS n FROM lineitem " +
+      "WHERE l_shipdate >= DATE'1996-05-01'")
+    assert(mGe.collect().toSeq === mGeWant.collect().toSeq)
+    assert(pushedOn(mGe, "l_shipdate"))
+
+    val qLt = g.sql("SELECT count(*) AS n FROM lineitem " +
+      "WHERE toStartOfQuarter(l_shipdate) < DATE'1997-01-01'")
+    val qWant = g.sql("SELECT count(*) AS n FROM lineitem " +
+      "WHERE l_shipdate < DATE'1997-01-01'")
+    assert(qLt.collect().toSeq === qWant.collect().toSeq)
+
+    // 1996-04-01 is a Monday: week-equality covers exactly that week
+    // (toMonday is the pure trunc-week; toStartOfWeek's CH default mode 0
+    // is Sunday-start and compiles to a composite no shape matches)
+    val wEq = g.sql("SELECT count(*) AS n FROM lineitem " +
+      "WHERE toMonday(l_shipdate) = DATE'1996-04-01'")
+    val wWant = g.sql("SELECT count(*) AS n FROM lineitem WHERE " +
+      "l_shipdate >= DATE'1996-04-01' AND l_shipdate < DATE'1996-04-08'")
+    assert(wEq.collect().toSeq === wWant.collect().toSeq)
+
+    // date_trunc over the NTZ events timestamp: pushable micros bounds
+    val dEq = g.sql("SELECT count(*) AS n FROM events " +
+      "WHERE toStartOfDay(ts) = TIMESTAMP_NTZ'2024-01-03 00:00:00'")
+    val dWant = g.sql("SELECT count(*) AS n FROM events WHERE " +
+      "ts >= TIMESTAMP_NTZ'2024-01-03 00:00:00' AND " +
+      "ts < TIMESTAMP_NTZ'2024-01-04 00:00:00'")
+    assert(dEq.collect().toSeq === dWant.collect().toSeq)
+    assert(dEq.collect()(0).getLong(0) > 0)
+
+    val hGe = g.sql("SELECT count(*) AS n FROM events " +
+      "WHERE toStartOfHour(ts) >= TIMESTAMP_NTZ'2024-01-03 07:30:00'")
+    val hWant = g.sql("SELECT count(*) AS n FROM events " +
+      "WHERE ts >= TIMESTAMP_NTZ'2024-01-03 08:00:00'")
+    assert(hGe.collect().toSeq === hWant.collect().toSeq)
+  }
+
   test("chains with PartitionPruneDerivation: toYear filter prunes " +
     "toYYYYMM-partitioned directories") {
     g.sql("DROP TABLE IF EXISTS unwrap_prune")

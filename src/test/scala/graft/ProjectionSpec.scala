@@ -129,6 +129,31 @@ class ProjectionSpec extends AnyFunSuite {
     assert(sortedRows(g.sql(q)) === Seq(Seq(3L, 30L)))
   }
 
+  test("PROJECTION declared inline in CREATE TABLE works and survives " +
+    "TRUNCATE via script replay") {
+    g.sql("DROP TABLE IF EXISTS pt3")
+    g.sql("CREATE TABLE pt3(k Int64, cat String, v Int64, " +
+      "PROJECTION by_cat (SELECT cat, sum(v) AS sv, count() AS c GROUP BY cat)" +
+      ") ENGINE = BaseStorage")
+    g.sql("INSERT INTO pt3 VALUES (1,'a',10),(2,'b',20),(3,'a',30)")
+    val q = "SELECT cat, sum(v) AS sv, count() AS c FROM pt3 GROUP BY cat"
+    val df = g.sql(q)
+    assert(routed(df), s"inline projection must route:\n" +
+      s"${df.queryExecution.optimizedPlan}")
+    assert(sortedRows(df) === unrouted(q))
+    // SHOW CREATE keeps the inline clause
+    val script = g.sql("SHOW CREATE TABLE pt3").collect()(0).getString(0)
+    assert(script.toLowerCase.contains("projection by_cat"), script)
+    // TRUNCATE replays the script: projection definition survives, empty;
+    // the inline clause and the captured props must not double-add
+    g.sql("TRUNCATE TABLE pt3")
+    g.sql("INSERT INTO pt3 VALUES (9,'c',90)")
+    val df2 = g.sql(q)
+    assert(routed(df2))
+    assert(sortedRows(df2) === Seq(Seq("c", 90L, 1L)))
+    g.sql("DROP TABLE pt3")
+  }
+
   test("hidden projection tables stay out of SHOW TABLES") {
     val names = g.sql("SHOW TABLES").collect().map(_.getString(0)).toSeq
     assert(!names.exists(_.startsWith("__proj_")), names.toString)
