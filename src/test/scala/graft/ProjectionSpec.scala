@@ -154,6 +154,28 @@ class ProjectionSpec extends AnyFunSuite {
     g.sql("DROP TABLE pt3")
   }
 
+  test("projections on a ReplacingMergeTree aggregate RAW rows (CH parity); " +
+    "FINAL queries bypass the projection") {
+    g.sql("DROP TABLE IF EXISTS pr")
+    g.sql("CREATE TABLE pr(k Int64, v Int64, ver Int64) " +
+      "ENGINE = ReplacingMergeTree(ver) ORDER BY (k)")
+    g.sql("INSERT INTO pr VALUES (1, 10, 1), (2, 20, 1)")
+    g.sql("ALTER TABLE pr ADD PROJECTION pv (SELECT k, sum(v) AS sv GROUP BY k)")
+    g.sql("INSERT INTO pr VALUES (1, 11, 2)") // supersedes (1,10,1) under FINAL
+    // plain SELECT sees raw rows in CH — the routed aggregate must match
+    val raw = "SELECT k, sum(v) AS sv FROM pr GROUP BY k"
+    val df = g.sql(raw)
+    assert(routed(df))
+    assert(sortedRows(df) === Seq(Seq(1L, 21L), Seq(2L, 20L)))
+    assert(sortedRows(df) === unrouted(raw))
+    // FINAL rewrites onto the merged-view subquery: no direct relation
+    // scan, so the router must not fire — and values reflect the merge
+    val fin = g.sql("SELECT k, sum(v) AS sv FROM pr FINAL GROUP BY k")
+    assert(!routed(fin), "FINAL must bypass the projection")
+    assert(sortedRows(fin) === Seq(Seq(1L, 11L), Seq(2L, 20L)))
+    g.sql("DROP TABLE pr")
+  }
+
   test("hidden projection tables stay out of SHOW TABLES") {
     val names = g.sql("SHOW TABLES").collect().map(_.getString(0)).toSeq
     assert(!names.exists(_.startsWith("__proj_")), names.toString)
