@@ -214,6 +214,70 @@ object ClickHouseFunctions {
       s"$name expects 2 arguments, got ${exprs.length}")
   }
 
+  /** The strftime %-code translation shared by formatDateTime and
+    * fromUnixTimestamp(x, fmt): C-style codes (what CH and DuckDB speak)
+    * to Spark's Java pattern, at build time. Unknown codes error.
+    */
+  private def chFormatToJava(f: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < f.length) {
+      val c = f.charAt(i)
+      if (c == '%' && i + 1 < f.length) {
+        out.append(f.charAt(i + 1) match {
+          case 'Y' => "yyyy"
+          case 'y' => "yy"
+          case 'm' => "MM"
+          case 'd' => "dd"
+          case 'H' => "HH"
+          case 'M' => "mm"
+          case 'S' => "ss"
+          case 'j' => "DDD"
+          case 'e' => "d"
+          case 'F' => "yyyy-MM-dd"
+          case 'T' => "HH:mm:ss"
+          case 'a' => "EEE"
+          case 'b' => "MMM"
+          case '%' => "%"
+          case other => throw new IllegalArgumentException(
+            s"formatDateTime: unsupported code %$other")
+        })
+        i += 2
+      } else if (c.isLetter) {
+        // quote the whole literal-letter RUN once — per-letter quoting
+        // would put \'\' between letters, which Java reads as a literal
+        // quote character
+        val start = i
+        while (i < f.length && f.charAt(i).isLetter && f.charAt(i) != '%')
+          i += 1
+        out.append("'").append(f.substring(start, i)).append("'")
+      } else {
+        out.append(c)
+        i += 1
+      }
+    }
+    out.toString
+  }
+
+  /** Epoch-anchored unit ordinal in seconds-granularity units. The shift
+    * (62168256000 s = 719540 days) keeps the dividend positive over the
+    * whole Date32 range so IntegralDivide behaves as floor-division; it is
+    * a multiple of 3600 and 60, so hour/minute boundaries are unmoved.
+    */
+  private def relSeconds(e: Expression, unitSeconds: Long): Expression =
+    Cast(IntegralDivide(
+      Add(UnixSeconds(Cast(e, TimestampType)), Literal(62168256000L)),
+      Literal(unitSeconds)), LongType)
+
+  /** Monday-start week ordinal: 719540 ≡ 3 (mod 7) puts the division
+    * boundary on Mondays (epoch day 4 = Monday 1970-01-05), matching the
+    * ISO convention DuckDB's date_diff('week') counts.
+    */
+  private def relWeek(e: Expression): Expression =
+    Cast(IntegralDivide(
+      Add(Cast(UnixDate(Cast(e, DateType)), LongType), Literal(719540L)),
+      Literal(7L)), LongType)
+
   /** Floor a timestamp onto an N-second grid (the toStartOfFiveMinutes
     * family).
     */
@@ -325,7 +389,7 @@ object ClickHouseFunctions {
   /** name → expression builder; every entry is a Catalyst built-in
     * composition (SURVEY §2.7 table).
     */
-  val functions: Seq[(String, Builder)] = Seq(
+  val functions: Seq[(String, Builder)] = Seq[(String, Builder)](
     "toYear" -> one("toYear")(e => Year(e)),
     "toYYYY" -> one("toYYYY")(e => Year(e)),
     // toYYYYMM(d) = year*100 + month — the canonical CH partition-key
@@ -510,6 +574,102 @@ object ClickHouseFunctions {
     "toISOWeek" -> one("toISOWeek")(e => WeekOfYear(Cast(e, DateType))),
     "toRelativeDayNum" -> one("toRelativeDayNum")(e =>
       UnixDate(Cast(e, DateType))),
+    // ---- boundary ordinals + dateDiff -----------------------------------
+    // CH's toRelative*Num family: unit ordinals whose DIFFERENCES are
+    // dateDiff's boundary-crossing counts. Sub-day ordinals shift by
+    // 62168256000 s (719540 days — divisible by 3600/60, ≡3 mod 7) so
+    // IntegralDivide == floor-division over the whole Date32 range and
+    // the Monday-start week boundary lands right; the constant shift
+    // cancels in differences (dateDiff), which is the contract that
+    // matters (CH's own ordinals are "from a fixed point in the past").
+    "toRelativeHourNum" -> one("toRelativeHourNum")(relSeconds(_, 3600L)),
+    "toRelativeMinuteNum" -> one("toRelativeMinuteNum")(relSeconds(_, 60L)),
+    "toRelativeSecondNum" -> one("toRelativeSecondNum")(relSeconds(_, 1L)),
+    "toRelativeWeekNum" -> one("toRelativeWeekNum")(relWeek),
+    "toRelativeMonthNum" -> one("toRelativeMonthNum")(e =>
+      Add(Multiply(Year(Cast(e, DateType)), Literal(12)),
+        Month(Cast(e, DateType)))),
+    "toRelativeQuarterNum" -> one("toRelativeQuarterNum")(e =>
+      Add(Multiply(Year(Cast(e, DateType)), Literal(4)),
+        Quarter(Cast(e, DateType)))),
+    "toRelativeYearNum" -> one("toRelativeYearNum")(e =>
+      Year(Cast(e, DateType))),
+    // dateDiff('unit', start, end[, tz]): the count of UNIT BOUNDARIES
+    // crossed between start and end (CH and DuckDB agree on this
+    // crossing-count semantics; not elapsed-time division). Computed as
+    // ordinal(end) - ordinal(start); returns Int64 like CH. The optional
+    // tz argument is accepted; conversions follow the session zone.
+    // CH dateDiff is reachable ONLY under this internal name: Spark's
+    // parser owns `datediff`/`date_diff` (quoted units rejected at parse;
+    // and registering the name would SHADOW Spark's native 2-arg
+    // datediff(end, start), which other entries use — found when d25b
+    // broke). The dialect layer renames the quoted-unit CH form to this
+    // builder (rewriteQueryTails); Spark's own forms keep the builtin.
+    "chDateDiff" -> dateDiffBuilder) ++ functionsTail
+
+  private lazy val dateDiffBuilder: Builder = { exprs =>
+      val (u, a, b) = exprs match {
+        case Seq(u0, a0, b0) => (u0, a0, b0)
+        case Seq(u0, a0, b0, _) => (u0, a0, b0)
+        case _ => throw new IllegalArgumentException(
+          "dateDiff expects (unit, start, end[, tz])")
+      }
+      val unit = litStr(u, "dateDiff").toLowerCase(Locale.ROOT)
+      def d(e: Expression) = Cast(e, DateType)
+      def diff(f: Expression => Expression): Expression =
+        Cast(Subtract(f(b), f(a)), LongType)
+      unit match {
+        case "year" | "yy" | "yyyy" => diff(e => Year(d(e)))
+        case "quarter" | "qq" | "q" => diff(e =>
+          Add(Multiply(Year(d(e)), Literal(4)), Quarter(d(e))))
+        case "month" | "mm" | "m" => diff(e =>
+          Add(Multiply(Year(d(e)), Literal(12)), Month(d(e))))
+        case "week" | "wk" | "ww" => diff(relWeek)
+        case "day" | "dd" | "d" => Cast(DateDiff(d(b), d(a)), LongType)
+        case "hour" | "hh" | "h" => diff(relSeconds(_, 3600L))
+        case "minute" | "mi" | "n" => diff(relSeconds(_, 60L))
+        case "second" | "ss" | "s" => diff(relSeconds(_, 1L))
+        case other => throw new IllegalArgumentException(
+          s"dateDiff: unsupported unit '$other'")
+      }
+  }
+
+  private lazy val functionsTail: Seq[(String, Builder)] = Seq(
+    // fromUnixTimestamp(sec[, format]): epoch seconds → DateTime, or a
+    // formatted string via the shared strftime translation.
+    "fromUnixTimestamp" -> { exprs => exprs match {
+      case Seq(e) => SecondsToTimestamp(Cast(e, LongType))
+      case Seq(e, fmt) => DateFormatClass(
+        SecondsToTimestamp(Cast(e, LongType)),
+        Literal(chFormatToJava(litStr(fmt, "fromUnixTimestamp"))), None)
+      case _ => throw new IllegalArgumentException(
+        "fromUnixTimestamp expects 1 or 2 arguments")
+    }},
+    "monthName" -> one("monthName")(e =>
+      DateFormatClass(Cast(e, TimestampType), Literal("MMMM"), None)),
+    // dateName('part', x): the named/numbered part AS A STRING (CH
+    // returns String for every part).
+    "dateName" -> two("dateName")((u, e) => {
+      val d = Cast(e, DateType); val ts = Cast(e, TimestampType)
+      litStr(u, "dateName").toLowerCase(Locale.ROOT) match {
+        case "year" => Cast(Year(d), StringType)
+        case "quarter" => Cast(Quarter(d), StringType)
+        case "month" => DateFormatClass(ts, Literal("MMMM"), None)
+        case "week" => Cast(WeekOfYear(d), StringType)
+        case "dayofyear" => Cast(DayOfYear(d), StringType)
+        case "day" => Cast(DayOfMonth(d), StringType)
+        case "weekday" => DateFormatClass(ts, Literal("EEEE"), None)
+        case "hour" => Cast(Hour(ts), StringType)
+        case "minute" => Cast(Minute(ts), StringType)
+        case "second" => Cast(Second(ts), StringType)
+        case other => throw new IllegalArgumentException(
+          s"dateName: unsupported part '$other'")
+      }
+    }),
+    // timeSlot: the half-hour grid (CH rounds a DateTime down to :00/:30)
+    "timeSlot" -> one("timeSlot")(floorSeconds(_, 1800)),
+    // ISO-8601 week-numbering year (differs from toYear around Jan 1)
+    "toISOYear" -> one("toISOYear")(e => YearOfWeek(Cast(e, DateType))),
     // ---- CH array higher-order pack (round-10 session 4) ---------------
     // CH puts the lambda first; each builder reorders into the codegen'd
     // Catalyst higher-order expression. arrayMap over 2 arrays is CH's
@@ -611,47 +771,9 @@ object ClickHouseFunctions {
     // DuckDB share); the literal format translates once at build time to
     // Spark's Java pattern. Unknown % codes are an error, not silent
     // passthrough.
-    "formatDateTime" -> two("formatDateTime")((ts, fmt) => {
-      val f = litStr(fmt, "formatDateTime")
-      val out = new StringBuilder
-      var i = 0
-      while (i < f.length) {
-        val c = f.charAt(i)
-        if (c == '%' && i + 1 < f.length) {
-          out.append(f.charAt(i + 1) match {
-            case 'Y' => "yyyy"
-            case 'y' => "yy"
-            case 'm' => "MM"
-            case 'd' => "dd"
-            case 'H' => "HH"
-            case 'M' => "mm"
-            case 'S' => "ss"
-            case 'j' => "DDD"
-            case 'e' => "d"
-            case 'F' => "yyyy-MM-dd"
-            case 'T' => "HH:mm:ss"
-            case 'a' => "EEE"
-            case 'b' => "MMM"
-            case '%' => "%"
-            case other => throw new IllegalArgumentException(
-              s"formatDateTime: unsupported code %$other")
-          })
-          i += 2
-        } else if (c.isLetter) {
-          // quote the whole literal-letter RUN once — per-letter quoting
-          // would put '' between letters, which Java reads as a literal
-          // quote character
-          val start = i
-          while (i < f.length && f.charAt(i).isLetter && f.charAt(i) != '%')
-            i += 1
-          out.append("'").append(f.substring(start, i)).append("'")
-        } else {
-          out.append(c)
-          i += 1
-        }
-      }
-      DateFormatClass(Cast(ts, TimestampType), Literal(out.toString))
-    }),
+    "formatDateTime" -> two("formatDateTime")((ts, fmt) =>
+      DateFormatClass(Cast(ts, TimestampType),
+        Literal(chFormatToJava(litStr(fmt, "formatDateTime"))))),
     "base64Encode" -> one("base64Encode")(e => Base64(Cast(e, BinaryType))),
     "base64Decode" -> one("base64Decode")(e => Cast(UnBase64(e), StringType)),
     "hex" -> one("hex")(e => Hex(e)),

@@ -1876,6 +1876,21 @@ object ChParser {
               }
             }
           }
+          // CH dateDiff('unit', a, b[, tz]): Spark's parser owns the name
+          // `datediff` and demands an UNQUOTED unit keyword, so the
+          // quoted-unit CH form renames onto the registry builder
+          // (chDateDiff). Spark's own unquoted form passes untouched.
+          if (!changed) {
+            val di = toks.indices.find(i =>
+              (isIdent(i, "datediff") || isIdent(i, "date_diff")) &&
+                i + 2 < toks.length && toks(i + 1).text == "(" &&
+                toks(i + 2).isInstanceOf[StrLit])
+            di.foreach { i =>
+              sql = sql.substring(0, toks(i).pos) + "chDateDiff" +
+                sql.substring(toks(i).pos + toks(i).text.length)
+              changed = true
+            }
+          }
           // count() → count(*)
           if (!changed) {
             val ci = toks.indices.find(i => isIdent(i, "count") &&

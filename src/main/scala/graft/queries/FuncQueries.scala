@@ -448,6 +448,41 @@ object FuncQueries {
     // N-minute grids (DuckDB oracle: time_bucket, epoch-aligned the same
     // way), Sunday/Monday week starts, toStartOfInterval over day-time
     // AND year-month intervals, and Date32/DateTime64 constructors.
+    // dateDiff (boundary-crossing counts, CH/DuckDB shared semantics) +
+    // the relative-ordinal family + fromUnixTimestamp/monthName/dateName/
+    // timeSlot/toISOYear. Week diffs pin the Monday-start convention.
+    "f21_datediff_pack" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      ClickHouseFunctions.register(s)
+      // through GraftSession: Spark's parser owns `datediff` and rejects
+      // the CH quoted-unit form, so the dialect layer must rename it
+      new graft.exec.GraftSession(s).sql(
+        """SELECT CAST(toYYYYMM(o_orderdate) AS BIGINT) AS ym,
+          |  count(*) AS n,
+          |  CAST(sum(dateDiff('day', DATE'1995-01-01', o_orderdate))
+          |    AS BIGINT) AS dd,
+          |  CAST(sum(dateDiff('week', DATE'1995-01-01', o_orderdate))
+          |    AS BIGINT) AS dw,
+          |  CAST(sum(dateDiff('month', DATE'1995-01-01', o_orderdate))
+          |    AS BIGINT) AS dm,
+          |  CAST(sum(dateDiff('quarter', DATE'1995-01-01', o_orderdate))
+          |    AS BIGINT) AS dq,
+          |  CAST(sum(dateDiff('year', DATE'1995-01-01', o_orderdate))
+          |    AS BIGINT) AS dy,
+          |  CAST(sum(dateDiff('hour', TIMESTAMP'1995-01-01 00:00:00',
+          |    o_orderdate)) AS BIGINT) AS dh,
+          |  min(monthName(o_orderdate)) AS mn,
+          |  min(dateName('weekday', o_orderdate)) AS wd,
+          |  CAST(max(toISOYear(o_orderdate)) AS BIGINT) AS iy,
+          |  CAST(toUnixTimestamp(fromUnixTimestamp(CAST(min(o_orderkey)
+          |    AS BIGINT))) AS BIGINT) AS fu,
+          |  fromUnixTimestamp(CAST(min(o_orderkey) AS BIGINT),
+          |    '%Y-%m-%d %H:%M:%S') AS fus,
+          |  CAST(min(timeSlot(o_orderdate)) AS STRING) AS tsl
+          |FROM orders WHERE o_orderkey < 3000
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+
     "f20_datetime_pack3" -> { (s, dir) =>
       Tables.registerAll(s, dir)
       ClickHouseFunctions.register(s)
@@ -559,6 +594,32 @@ object FuncQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "f21_datediff_pack" ->
+      """SELECT CAST(extract(year FROM o_orderdate) * 100 +
+        |    extract(month FROM o_orderdate) AS BIGINT) AS ym,
+        |  count(*) AS n,
+        |  CAST(sum(date_diff('day', DATE '1995-01-01',
+        |    CAST(o_orderdate AS DATE))) AS BIGINT) AS dd,
+        |  CAST(sum(date_diff('week', DATE '1995-01-01',
+        |    CAST(o_orderdate AS DATE))) AS BIGINT) AS dw,
+        |  CAST(sum(date_diff('month', DATE '1995-01-01',
+        |    CAST(o_orderdate AS DATE))) AS BIGINT) AS dm,
+        |  CAST(sum(date_diff('quarter', DATE '1995-01-01',
+        |    CAST(o_orderdate AS DATE))) AS BIGINT) AS dq,
+        |  CAST(sum(date_diff('year', DATE '1995-01-01',
+        |    CAST(o_orderdate AS DATE))) AS BIGINT) AS dy,
+        |  CAST(sum(date_diff('hour', TIMESTAMP '1995-01-01 00:00:00',
+        |    CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) AS dh,
+        |  min(monthname(CAST(o_orderdate AS DATE))) AS mn,
+        |  min(dayname(CAST(o_orderdate AS DATE))) AS wd,
+        |  CAST(max(isoyear(CAST(o_orderdate AS DATE))) AS BIGINT) AS iy,
+        |  CAST(min(o_orderkey) AS BIGINT) AS fu,
+        |  strftime(epoch_ms(CAST(min(o_orderkey) AS BIGINT) * 1000),
+        |    '%Y-%m-%d %H:%M:%S') AS fus,
+        |  CAST(min(CAST(o_orderdate AS TIMESTAMP)) AS VARCHAR) AS tsl
+        |FROM orders WHERE o_orderkey < 3000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "f20_datetime_pack3" ->
       """SELECT
         |  CAST(time_bucket(INTERVAL 10 MINUTE, CAST(ts AS TIMESTAMP))
