@@ -259,6 +259,25 @@ object ClickHouseFunctions {
     out.toString
   }
 
+  /** The Sunday on or before d (Spark DayOfWeek: Sunday=1..Saturday=7). */
+  private def sundayStart(d: Expression): Expression =
+    DateSub(d, Subtract(DayOfWeek(d), Literal(1)))
+
+  /** MySQL/CH week mode 0 over a date-or-timestamp: Sunday-start weeks,
+    * 0-53; days before the year's first Sunday land in week 0. The
+    * first Sunday is sundayStart(jan1 + 6) — the unique Sunday in the
+    * year's first seven days.
+    */
+  private def sundayWeek(e: Expression): Expression = {
+    val d = Cast(e, DateType)
+    val jan1 = TruncDate(d, Literal("year"))
+    val firstSunday = sundayStart(DateAdd(jan1, Literal(6)))
+    If(LessThan(d, firstSunday), Literal(0),
+      Add(Cast(IntegralDivide(
+        Cast(Subtract(UnixDate(sundayStart(d)), UnixDate(firstSunday)),
+          LongType), Literal(7L)), IntegerType), Literal(1)))
+  }
+
   /** Epoch-anchored unit ordinal in seconds-granularity units. The shift
     * (62168256000 s = 719540 days) keeps the dividend positive over the
     * whole Date32 range so IntegralDivide behaves as floor-division; it is
@@ -670,6 +689,49 @@ object ClickHouseFunctions {
     "timeSlot" -> one("timeSlot")(floorSeconds(_, 1800)),
     // ISO-8601 week-numbering year (differs from toYear around Jan 1)
     "toISOYear" -> one("toISOYear")(e => YearOfWeek(Cast(e, DateType))),
+    // toWeek(d[, mode]): mode 0 (CH/MySQL default) = Sunday-start weeks,
+    // 0-53, days before the year's first Sunday are week 0 (strftime %U);
+    // mode 3 = ISO-8601 (toISOWeek). Other modes error loudly.
+    "toWeek" -> { exprs =>
+      val (e, mode) = exprs match {
+        case Seq(x) => (x, 0)
+        case Seq(x, m) => (x, litInt(m, "toWeek"))
+        case _ => throw new IllegalArgumentException(
+          "toWeek expects 1 or 2 arguments")
+      }
+      mode match {
+        case 0 => sundayWeek(e)
+        case 3 => WeekOfYear(Cast(e, DateType))
+        case other => throw new IllegalArgumentException(
+          s"toWeek: unsupported mode $other (0 and 3 are implemented)")
+      }
+    },
+    // toYearWeek(d[, mode]) = year*100 + week under the mode's year
+    // attribution: mode 3 uses the ISO week-numbering year; mode 0
+    // attributes week-0 days to the PREVIOUS year's last week (MySQL
+    // YEARWEEK), i.e. it is mode 0 of the Sunday-start week of the date
+    // shifted back to the latest Sunday <= d, recomputed in that week's
+    // own year.
+    "toYearWeek" -> { exprs =>
+      val (e, mode) = exprs match {
+        case Seq(x) => (x, 0)
+        case Seq(x, m) => (x, litInt(m, "toYearWeek"))
+        case _ => throw new IllegalArgumentException(
+          "toYearWeek expects 1 or 2 arguments")
+      }
+      mode match {
+        case 3 =>
+          val d = Cast(e, DateType)
+          Add(Multiply(YearOfWeek(d), Literal(100)), WeekOfYear(d))
+        case 0 =>
+          // anchor on the Sunday that starts d's week: its year owns the
+          // week, and within that year the Sunday is never in week 0
+          val sun = sundayStart(Cast(e, DateType))
+          Add(Multiply(Year(sun), Literal(100)), sundayWeek(sun))
+        case other => throw new IllegalArgumentException(
+          s"toYearWeek: unsupported mode $other (0 and 3 are implemented)")
+      }
+    },
     // ---- CH array higher-order pack (round-10 session 4) ---------------
     // CH puts the lambda first; each builder reorders into the codegen'd
     // Catalyst higher-order expression. arrayMap over 2 arrays is CH's

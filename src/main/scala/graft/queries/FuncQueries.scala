@@ -478,7 +478,11 @@ object FuncQueries {
           |    AS BIGINT))) AS BIGINT) AS fu,
           |  fromUnixTimestamp(CAST(min(o_orderkey) AS BIGINT),
           |    '%Y-%m-%d %H:%M:%S') AS fus,
-          |  CAST(min(timeSlot(o_orderdate)) AS STRING) AS tsl
+          |  CAST(min(timeSlot(o_orderdate)) AS STRING) AS tsl,
+          |  CAST(max(toWeek(o_orderdate)) AS INT) AS w0,
+          |  CAST(max(toWeek(o_orderdate, 3)) AS INT) AS w3,
+          |  CAST(max(toYearWeek(o_orderdate)) AS BIGINT) AS yw0,
+          |  CAST(max(toYearWeek(o_orderdate, 3)) AS BIGINT) AS yw3
           |FROM orders WHERE o_orderkey < 3000
           |GROUP BY 1 ORDER BY 1""".stripMargin)
     },
@@ -616,7 +620,18 @@ object FuncQueries {
         |  CAST(min(o_orderkey) AS BIGINT) AS fu,
         |  strftime(epoch_ms(CAST(min(o_orderkey) AS BIGINT) * 1000),
         |    '%Y-%m-%d %H:%M:%S') AS fus,
-        |  CAST(min(CAST(o_orderdate AS TIMESTAMP)) AS VARCHAR) AS tsl
+        |  CAST(min(CAST(o_orderdate AS TIMESTAMP)) AS VARCHAR) AS tsl,
+        |  CAST(max(CAST(strftime(CAST(o_orderdate AS DATE), '%U') AS INT))
+        |    AS INT) AS w0,
+        |  CAST(max(week(CAST(o_orderdate AS DATE))) AS INT) AS w3,
+        |  CAST(max(
+        |    year(CAST(o_orderdate AS DATE)
+        |         - to_days(CAST(dayofweek(CAST(o_orderdate AS DATE)) AS INTEGER))) * 100 +
+        |    CAST(strftime(CAST(o_orderdate AS DATE)
+        |         - to_days(CAST(dayofweek(CAST(o_orderdate AS DATE)) AS INTEGER)), '%U')
+        |      AS INT)) AS BIGINT) AS yw0,
+        |  CAST(max(isoyear(CAST(o_orderdate AS DATE)) * 100 +
+        |    week(CAST(o_orderdate AS DATE))) AS BIGINT) AS yw3
         |FROM orders WHERE o_orderkey < 3000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
