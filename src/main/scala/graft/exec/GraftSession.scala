@@ -376,6 +376,11 @@ class GraftSession(val spark: SparkSession) {
         require(tdbOpt.forall(_ == rdb),
           "RENAME TABLE across databases is not supported")
         spark.sql(s"ALTER TABLE `$rdb`.`$from` RENAME TO `$rdb`.`$to`")
+        // graft tables carry an explicit LOCATION, so Spark's rename keeps
+        // the OLD path — restart replay would then recreate the table at
+        // defaultTablePath(<to>), an empty dir, silently losing the data.
+        // Move the storage to the new default path and repoint the catalog.
+        moveToDefaultLocation(rdb, to)
         // move + re-record the replay script under the new name (the
         // normalized DDL, like CTAS — SHOW CREATE follows the rename)
         java.nio.file.Files.deleteIfExists(metaFile(rdb, from))
@@ -383,7 +388,7 @@ class GraftSession(val spark: SparkSession) {
         // the table's own projections: stored SELECTs must follow the
         // rename (rebuild/materialize would otherwise read the old name);
         // their hidden tables' graft.mv.src is fixed by the MV loop below
-        projectionsOf(rdb, to).foreach { case (p, _, sel) =>
+        projectionsOf(rdb, to).foreach { case (p, hidden, sel) =>
           val newSel = ChParser.firstFromTable(sel) match {
             case Some((_, s0, s1)) =>
               sel.substring(0, s0) + to + " " + sel.substring(s1)
@@ -391,6 +396,22 @@ class GraftSession(val spark: SparkSession) {
           }
           spark.sql(s"ALTER TABLE `$rdb`.`$to` SET TBLPROPERTIES (" +
             s"'graft.proj.$p.select'='${newSel.replace("'", "''")}')")
+          // the HIDDEN table and its replay script must follow too:
+          // restart would otherwise replay `ALTER TABLE <old> ADD
+          // PROJECTION` against a name that no longer exists, silently
+          // losing the projection and orphaning the hidden storage
+          val newHidden = projTableName(to, p)
+          if (hidden != newHidden) {
+            spark.sql(s"ALTER TABLE `$rdb`.`$hidden` RENAME TO `$rdb`.`$newHidden`")
+            moveToDefaultLocation(rdb, newHidden)
+            java.nio.file.Files.deleteIfExists(metaFile(rdb, hidden))
+            spark.sql(s"ALTER TABLE `$rdb`.`$to` SET TBLPROPERTIES (" +
+              s"'graft.proj.$p.table'='$newHidden')")
+          }
+          // newSel keeps its FROM <to>, which addProjection accepts verbatim
+          val newScript = s"ALTER TABLE $to ADD PROJECTION $p ($newSel)"
+          java.nio.file.Files.createDirectories(metaFile(rdb, newHidden).getParent)
+          java.nio.file.Files.writeString(metaFile(rdb, newHidden), newScript): Unit
         }
         // downstream materialized views keep receiving inserts: their
         // source tag follows the rename (the recorded MV script keeps
@@ -2769,6 +2790,33 @@ class GraftSession(val spark: SparkSession) {
 
   private def projTableName(parent: String, proj: String): String =
     s"__proj_${parent}_$proj"
+
+  /** Physically relocate a (just-renamed) table's storage to its current
+    * default path and repoint the catalog entry. Tables here are EXTERNAL
+    * (explicit LOCATION), so Spark's RENAME keeps the old directory; the
+    * replay script, however, recreates at defaultTablePath(<name>) — the
+    * two must agree or a restart mounts an empty table.
+    */
+  private def moveToDefaultLocation(rdb: String, table: String): Unit = {
+    val cat = spark.sessionState.catalog
+    val tid = org.apache.spark.sql.catalyst.TableIdentifier(table, Some(rdb))
+    val meta = cat.getTableMetadata(tid)
+    val newLoc = new java.io.File(
+      new java.net.URI(cat.defaultTablePath(tid).toString).getPath)
+    val oldLoc = new java.io.File(new java.net.URI(meta.location.toString).getPath)
+    if (oldLoc.getCanonicalFile == newLoc.getCanonicalFile) return
+    if (newLoc.exists) rmTree(newLoc) // a prior life's leftovers, never live
+    java.nio.file.Files.createDirectories(newLoc.getParentFile.toPath)
+    if (oldLoc.exists) java.nio.file.Files.move(oldLoc.toPath, newLoc.toPath)
+    else java.nio.file.Files.createDirectories(newLoc.toPath)
+    spark.sql(s"ALTER TABLE `$rdb`.`$table` SET LOCATION " +
+      s"'${newLoc.getAbsolutePath.replace("'", "''")}'")
+    // partition entries recorded per-directory follow the files, not the
+    // catalog — re-derive them from the moved tree
+    if (meta.partitionColumnNames.nonEmpty)
+      spark.sql(s"ALTER TABLE `$rdb`.`$table` RECOVER PARTITIONS")
+    spark.sql(s"REFRESH TABLE `$rdb`.`$table`"): Unit
+  }
 
   /** (name, hiddenTable, select) for every projection on rdb.table. */
   private def projectionsOf(rdb: String, table: String): Seq[(String, String, String)] =

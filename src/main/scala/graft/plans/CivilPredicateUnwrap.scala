@@ -293,7 +293,11 @@ object CivilPredicateUnwrap {
     "hour" -> 3600000000L, "minute" -> 60000000L, "second" -> 1000000L)
 
   private object Shape {
-    def unapply(e: Expression): Option[CivilShape] = e match {
+    // a non-deterministic operand (e.g. toYear(date_add(d, rand()))) would
+    // be re-evaluated independently inside the derived range conjunct,
+    // filtering rows the original predicate keeps — never derive from it
+    def unapply(e: Expression): Option[CivilShape] =
+      if (!e.deterministic) None else e match {
       case Cast(inner, LongType | IntegerType, _, _) => unapply(inner)
       case FieldOf("year", c, k) => Some(new YearShape(c, k))
       // toYYYYMM: year*100 + month, both over the same column

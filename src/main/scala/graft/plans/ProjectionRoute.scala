@@ -45,7 +45,10 @@ case class ProjectionRoute(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (ProjectionRoute.bypass.get() ||
-        !spark.conf.getOption("spark.graft.useProjections").forall(_.toBoolean))
+        // only an explicit "false" disables; a malformed value must not
+        // throw inside the optimizer and fail every query in the session
+        spark.conf.getOption("spark.graft.useProjections")
+          .exists(_.trim.equalsIgnoreCase("false")))
       plan
     else plan.transform {
       case agg: Aggregate => route(agg).getOrElse(agg)
@@ -155,7 +158,8 @@ case class ProjectionRoute(spark: SparkSession) extends Rule[LogicalPlan] {
           m.maxs.get(lc(ar.name)).flatMap(projAttr)
             .map(p => Max(p).toAggregateExpression())
         case c: Count => (c.children match {
-          case Seq(Literal(_, _)) => m.countStar
+          // COUNT(NULL) is always 0, never the group row count
+          case Seq(Literal(v, _)) if v != null => m.countStar
           case Seq(ar: AttributeReference) => m.countCols.get(lc(ar.name))
           case _ => None
         }).flatMap(projAttr).map(p =>
