@@ -149,6 +149,70 @@ object WinnowOps {
   }
 }
 
+/** The l31 content-defined-chunking boundary scan as one codegen'd
+  * expression with a TRUE rolling hash (Karp-Rabin): the hash of the
+  * 8-char window at position i+1 derives from the hash at i in O(1)
+  * (drop the leading code point, append the trailing one — modular
+  * arithmetic over B=257, M=1e9+7), so the whole scan is one integer
+  * pass over the document. Replaces the interpreted `aggregate` fold
+  * that paid an md5 + hex-conv + substring allocation PER POSITION
+  * (BENCH_r16's 180 s l31 entry; VERDICT r16 next-round #2).
+  *
+  * Boundary rule (shared verbatim by the DuckDB oracle, which recomputes
+  * each window hash as the 8-term polynomial — the l47/d16 cross-engine
+  * integer-hash discipline):
+  *   - window hash h(i) = sum_{j=0..7} cp(i+j) * 257^(7-j)  mod 1e9+7
+  *     over CODE POINTS (substr semantics in both engines);
+  *   - position i (1-based) is a CANDIDATE iff i+7 <= len and
+  *     h(i) % 64 == 0;
+  *   - greedy scan: a chunk boundary opens at the first candidate at
+  *     least 32 past the previous boundary, with a forced split at 256;
+  *   - starts always begin with 1.
+  */
+object CdcOps {
+  private val M = 1000000007L
+  private val B = 257L
+  private val P7 = 13163680L // 257^7 mod M
+
+  def starts(s: UTF8String): ArrayData = {
+    val cps = s.numChars()
+    val t = s.toString
+    // char index == code-point index when no surrogate pairs (same fast
+    // path as WinnowOps.winnow)
+    val cp = new Array[Int](cps)
+    if (t.length == cps) {
+      var i = 0
+      while (i < cps) { cp(i) = t.charAt(i); i += 1 }
+    } else {
+      var i = 0; var ci = 0
+      while (ci < t.length) {
+        val c = t.codePointAt(ci)
+        cp(i) = c; i += 1; ci += Character.charCount(c)
+      }
+    }
+    val out = scala.collection.mutable.ArrayBuffer[Any](1)
+    var h = 0L
+    if (cps >= 8) {
+      var j = 0
+      while (j < 8) { h = (h * B + cp(j)) % M; j += 1 }
+    }
+    var last = 1
+    var i = 1
+    while (i <= cps) {
+      if (i - last >= 256 ||
+          (i + 7 <= cps && h % 64 == 0 && i - last >= 32)) {
+        out += i; last = i
+      }
+      if (i + 7 < cps) { // roll to the window starting at i+1
+        h = ((h - cp(i - 1) * P7) % M + M) % M
+        h = (h * B + cp(i + 7)) % M
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 /** winnow_fingerprints(text, k, w) — see [[WinnowOps.winnow]]. */
 case class WinnowFingerprints(first: Expression, second: Expression,
                               third: Expression) extends TernaryExpression {
@@ -203,8 +267,35 @@ case class WinnowSpans(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** cdc_starts(text) — see [[CdcOps.starts]]. */
+case class CdcStarts(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cdc_starts expects a string, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(s: Any): Any =
+    CdcOps.starts(s.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.CdcOps.starts($s);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CdcStarts = copy(child = newChild)
+}
+
 object WinnowFunctions {
   def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cdc_starts",
+      { case Seq(s) => CdcStarts(s)
+        case e => throw new IllegalArgumentException(
+          s"cdc_starts expects 1 argument, got ${e.length}") },
+      "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow_fingerprints",
       { case Seq(s, k, w) => WinnowFingerprints(s, k, w)

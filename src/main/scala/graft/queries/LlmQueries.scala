@@ -3022,30 +3022,44 @@ object LlmQueries {
     * position i when the 8-char window hash ≡ 0 (mod 64) and the current
     * chunk is ≥ 32 chars, with a 256-char forced split — boundaries
     * derive from CONTENT, so an edit shifts only its own chunk (the
-    * property fixed-size chunking lacks). The greedy boundary scan is a
-    * per-row left fold (Spark `aggregate`, DuckDB `list_reduce` with a
-    * prepended init element — same traversal, same predicate); chunks
+    * property fixed-size chunking lacks). The greedy boundary scan is
+    * one codegen'd rolling-hash pass per document ([[graft.functions
+    * .CdcOps]] — Karp-Rabin over code points, O(1) per position); the
+    * DuckDB oracle recomputes each window hash as the 8-term integer
+    * polynomial and replays the same greedy rule relationally. Chunks
     * then hash and dedup across documents, which is the CDC payoff:
     * shared passages share chunk hashes.
     *
-    * 100 TB: the scan is per-doc map work (a production build compiles
-    * it into a codegen'd expression, the WinnowOps discipline — the
-    * array fold here is the semantics reference); the only shuffle is
-    * the chunk-hash dedup, uniform by construction.
+    * 100 TB: the scan is per-doc map work inside whole-stage codegen;
+    * the only shuffle is the chunk-hash dedup, uniform by construction.
     */
-  /** The CDC boundary fold as one Spark SQL expression over `text`/`len`
-    * columns — shared by the batch l31 entry and the streaming chunker
-    * twin so the boundary semantics cannot drift.
+  /** The CDC boundary scan — shared by the batch l31 entry and the
+    * streaming chunker twin so the boundary semantics cannot drift. One
+    * codegen'd rolling-hash pass ([[graft.functions.CdcOps]]); the rule
+    * (8-char window, polynomial hash mod 1e9+7, %64 gate, min 32, forced
+    * 256) is restated relationally for DuckDB in [[cdcCandidateSql]].
     */
-  private[graft] def cdcStartsExpr(text: String, len: String): String =
-    s"""concat(array(1), aggregate(sequence(1, $len),
-       |      struct(CAST(1 AS INT) AS last, CAST(array() AS ARRAY<INT>) AS bs),
-       |      (acc, i) -> IF(
-       |        (i - acc.last >= 256) OR (i + 7 <= $len AND i - acc.last >= 32
-       |          AND CAST(conv(substr(md5(substr($text, i, 8)), 1, 6), 16, 10)
-       |            AS BIGINT) % 64 = 0),
-       |        struct(i AS last, concat(acc.bs, array(i)) AS bs), acc),
-       |      acc -> acc.bs))""".stripMargin
+  private[graft] def cdcStartsExpr(text: String): String =
+    s"cdc_starts($text)"
+
+  /** The same window hash as an 8-term integer polynomial for DuckDB:
+    * sum of code points times 257^(7-j) mod 1e9+7 (constants pre-reduced
+    * so every term stays far under 2^63). `i` is the 1-based window
+    * start; requires i+7 <= len.
+    */
+  private def cdcCandidateSql(text: String, i: String): String = {
+    // 257^7..257^0 mod 1e9+7
+    val cs = Seq(13163680L, 805498697L, 154885210L, 362470373L,
+      16974593L, 66049L, 257L, 1L)
+    val terms = cs.zipWithIndex.map { case (c, j) =>
+      val pos = if (j == 0) i else s"$i + $j"
+      // the BIGINT cast matters: DuckDB's ascii() is INT32 and the term
+      // product overflows INT32 (Spark's ascii already widens)
+      if (c == 1L) s"CAST(ascii(substr($text, $pos, 1)) AS BIGINT)"
+      else s"CAST(ascii(substr($text, $pos, 1)) AS BIGINT) * $c"
+    }
+    s"(${terms.mkString(" + ")}) % 1000000007 % 64 = 0"
+  }
 
   private def cdcSql(spark: Boolean, spread: String = ""): String =
     if (spark)
@@ -3054,7 +3068,7 @@ object LlmQueries {
          |  FROM documents
          |), b AS (
          |  SELECT doc_id, source, text, len,
-         |    ${cdcStartsExpr("text", "len")} AS starts
+         |    ${cdcStartsExpr("text")} AS starts
          |  FROM d
          |), chunks AS (
          |  SELECT doc_id, source, sp.st AS st, sp.ln AS ln,
@@ -3073,14 +3087,13 @@ object LlmQueries {
          |  round(avg(CAST(ln AS DOUBLE)), 4) AS mean_len
          |FROM chunks GROUP BY source ORDER BY source""".stripMargin
     else
-      """WITH RECURSIVE d AS (
+      s"""WITH RECURSIVE d AS (
         |  SELECT doc_id, source, text, length(text) AS len FROM documents
         |), cand AS (
         |  SELECT doc_id, i FROM (
         |    SELECT doc_id, text, len, unnest(range(1, len + 1)) AS i FROM d) x
         |  WHERE i + 7 <= len
-        |    AND CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 6)) AS BIGINT)
-        |      % 64 = 0
+        |    AND ${cdcCandidateSql("text", "i")}
         |), bnd AS (
         |  SELECT doc_id, len, 1 AS st FROM d
         |  UNION ALL
@@ -3700,6 +3713,7 @@ object LlmQueries {
     // ---- l31: content-defined chunking --------------------------------
     "l31_cdc_chunking" -> { (s, dir) =>
       Tables.registerAll(s, dir)
+      graft.functions.WinnowFunctions.register(s) // cdc_starts
       s.sql(cdcSql(spark = true, spread = Tables.spreadHint(s)))
     },
 

@@ -178,11 +178,12 @@ object DocStreams {
     * emit (doc_id, n_chunks, chunk hash array) statelessly; the chunk
     * hashes feed downstream dedup exactly like the batch entry.
     */
-  def chunkedDocs(docs: DataFrame): DataFrame =
+  def chunkedDocs(docs: DataFrame): DataFrame = {
+    graft.functions.WinnowFunctions.register(docs.sparkSession)
     docs
       .withColumn("graft_len", length(col("text")))
       .withColumn("graft_starts", expr(
-        graft.queries.LlmQueries.cdcStartsExpr("text", "graft_len")))
+        graft.queries.LlmQueries.cdcStartsExpr("text")))
       .withColumn("chunk_hashes", expr(
         """transform(sequence(1, size(graft_starts)),
           |  k -> md5(substr(text, element_at(graft_starts, k),
@@ -190,6 +191,7 @@ object DocStreams {
           |       graft_len + 1) - element_at(graft_starts, k))))""".stripMargin))
       .withColumn("n_chunks", size(col("chunk_hashes")))
       .drop("graft_len", "graft_starts")
+  }
 
   def decontaminationGate(docs: DataFrame, evalDocs: DataFrame,
                           n: Int = 4): DataFrame = {

@@ -61,4 +61,55 @@ class WinnowFunctionsSpec extends AnyFunSuite {
       s"winnow_fingerprints must not break whole-stage codegen:\n$plan")
     df.collect().foreach(r => assert(r.get(0) === r.get(1)))
   }
+
+  /** The non-rolling reference for cdc_starts: the old l31 aggregate-fold
+    * traversal with the window hash recomputed per position as the 8-term
+    * integer polynomial (the exact formulation the DuckDB oracle uses).
+    * Divergence means the rolling arithmetic (or the code-point handling)
+    * is wrong.
+    */
+  private def cdcFoldSql(text: String): String = {
+    val cs = Seq(13163680L, 805498697L, 154885210L, 362470373L,
+      16974593L, 66049L, 257L, 1L)
+    val poly = cs.zipWithIndex.map { case (c, j) =>
+      val pos = if (j == 0) "i" else s"i + $j"
+      if (c == 1L) s"ascii(substr($text, $pos, 1))"
+      else s"ascii(substr($text, $pos, 1)) * ${c}L"
+    }.mkString(" + ")
+    s"""concat(array(1), aggregate(sequence(1, length($text)),
+       |  struct(CAST(1 AS INT) AS last, CAST(array() AS ARRAY<INT>) AS bs),
+       |  (acc, i) -> IF(
+       |    (i - acc.last >= 256) OR (i + 7 <= length($text)
+       |      AND i - acc.last >= 32
+       |      AND ($poly) % 1000000007 % 64 = 0),
+       |    struct(i AS last, concat(acc.bs, array(i)) AS bs), acc),
+       |  acc -> acc.bs))""".stripMargin
+  }
+
+  test("cdc_starts == the per-position polynomial fold (rolling hash " +
+    "really rolls)") {
+    graft.functions.WinnowFunctions.register(spark)
+    // length(text) == 0, < 8, == 8, window-aligned, long enough to force
+    // 256-splits, repetitive (many candidates), and unicode
+    val cdcSamples = samples ++ Seq(
+      ("lorem ipsum dolor sit amet, consectetur adipiscing elit " * 30).trim,
+      ("abcdefgh" * 80), ("z" * 600))
+    for (s <- cdcSamples) {
+      val lit = s.replace("'", "''")
+      val want = one(s"SELECT ${cdcFoldSql(s"'$lit'")}")
+      val got = one(s"SELECT cdc_starts('$lit')")
+      assert(got === want, s"input len=${s.length} prefix='${s.take(20)}'")
+    }
+    assert(one("SELECT cdc_starts(CAST(NULL AS STRING))") == null)
+    // non-literal input so collect() runs the Janino-compiled doGenCode
+    val df = spark.sql(
+      """SELECT cdc_starts(t) AS got
+        |FROM (SELECT concat('spark row batch value ',
+        |             repeat(CAST(id * 37 AS STRING), 40)) AS t
+        |      FROM range(8))""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"),
+      s"cdc_starts must not break whole-stage codegen:\n$plan")
+    df.collect().foreach(r => assert(r.getSeq[Int](0).head === 1))
+  }
 }
