@@ -123,13 +123,48 @@ object Bench {
     // the absolute floor is stamped so that case is still readable)
     (1 to 3).foreach(_ => calibQuick())
 
+    // Mid-rep stall storms (r17 l25b bisect, PERF.md): this VM intermittently
+    // freezes wholesale for 0.5-2 s (hypervisor steal; loadavg 5+ with zero
+    // runnable processes) — a 55 ms calibration unit stretches 9-37x DURING
+    // a slow rep while the brackets AROUND it read clean (the storm starts
+    // after c1 and ends before c2). A concurrent sampler thread catches
+    // what brackets can't: it runs the same fixed work unit in a loop for
+    // the duration of the rep; a max unit above INFLIGHT_AT x the quick
+    // floor (clean reps measured <= 3.5x even with 32 Spark threads
+    // competing; storms >= 8.8x) or a sustained median above 2x marks the
+    // rep stolen. Query-loop only: anchors are gate-read best-of-N whose
+    // MIN survives storms, and the extra thread would perturb their
+    // sub-second measurements.
+    val INFLIGHT_AT = 6.0
+    final class InflightSampler {
+      private val samples = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+      @volatile private var stop = false
+      private val th = new Thread(() => {
+        while (!stop) { samples.add(calibWork(30000000L)); Thread.sleep(50) }
+      })
+      th.setDaemon(true); th.start()
+      /** (medianRatio, maxRatio) vs the session quick floor; (1,1) if the
+        * rep finished before the first unit completed. */
+      def finish(): (Double, Double) = {
+        stop = true; th.join()
+        import scala.jdk.CollectionConverters._
+        val xs = samples.asScala.map(_.doubleValue).toSeq.sorted
+        xs.foreach(x => if (x < quickFloor) quickFloor = x)
+        if (xs.isEmpty) (1.0, 1.0)
+        else (xs(xs.size / 2) / quickFloor, xs.last / quickFloor)
+      }
+    }
+
     /** One bracketed, contention-judged measurement: re-runs f (bounded)
-      * while the bracketing calibration says the box was stealing cycles.
-      * Returns (value, contention-of-kept-rep, retries-used); value -1 on
-      * exception (the caller records the failure).
+      * while the bracketing calibration — or, with inflight=true, a
+      * concurrent sampler covering the whole rep — says the box was
+      * stealing cycles. Returns (value, contention-of-kept-rep,
+      * retries-used); value -1 on exception (the caller records the
+      * failure). The stamped contention is the max of the bracket ratio
+      * and the in-flight max ratio.
       */
     def cleanRep(calib: () => Double, floor: () => Double,
-                 retries: Int = MAX_RETRIES)
+                 retries: Int = MAX_RETRIES, inflight: Boolean = false)
                 (f: => Double): (Double, Double, Int) = {
       var tries = 0
       var v = -1.0
@@ -137,10 +172,14 @@ object Bench {
       var done = false
       while (!done) {
         val c1 = calib()
+        val sampler = if (inflight) Some(new InflightSampler) else None
         v = f
+        val (ifMed, ifMax) = sampler.map(_.finish()).getOrElse((1.0, 1.0))
         val c2 = calib()
-        cont = math.max(c1, c2) / floor()
-        done = v < 0 || cont <= RETRY_AT || tries >= retries
+        val bracket = math.max(c1, c2) / floor()
+        val stolen = bracket > RETRY_AT || ifMax > INFLIGHT_AT || ifMed > 2.0
+        cont = math.max(bracket, ifMax)
+        done = v < 0 || !stolen || tries >= retries
         tries += 1
       }
       (v, cont, tries - 1)
@@ -161,7 +200,7 @@ object Bench {
     val queryCont = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Int)]
     val results = queriesToRun.toSeq.sortBy(_._1).map { case (name, fn) =>
       val reps3 = (1 to reps).map { _ =>
-        cleanRep(() => calibQuick(), () => quickFloor) {
+        cleanRep(() => calibQuick(), () => quickFloor, inflight = true) {
           val t = try timeIt(evalAll(fn(spark, sfDir)))
           catch {
             case e: Throwable =>
