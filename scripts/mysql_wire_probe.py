@@ -124,10 +124,194 @@ def query(conn, sql):
     return {"columns": columns, "rows": rows}
 
 
+MYSQL_TYPE_LONGLONG = 0x08
+MYSQL_TYPE_DOUBLE = 0x05
+MYSQL_TYPE_VAR_STRING = 0xFD
+MYSQL_TYPE_DATE = 0x0A
+MYSQL_TYPE_NULL = 0x06
+
+
+def _bind(value):
+    """(type, flags, payload) for one python param."""
+    if value is None:
+        return MYSQL_TYPE_NULL, 0, b""
+    if isinstance(value, bool):
+        raise TypeError("bool params not supported by the probe")
+    if isinstance(value, int):
+        return MYSQL_TYPE_LONGLONG, 0, struct.pack("<q", value)
+    if isinstance(value, float):
+        return MYSQL_TYPE_DOUBLE, 0, struct.pack("<d", value)
+    if isinstance(value, tuple) and len(value) == 3:  # (y, m, d) date
+        y, m, d = value
+        return MYSQL_TYPE_DATE, 0, bytes([4]) + struct.pack("<H", y) + bytes([m, d])
+    b = str(value).encode("utf-8")
+    assert len(b) < 251
+    return MYSQL_TYPE_VAR_STRING, 0, bytes([len(b)]) + b
+
+
+def _read_binary_row(p, ncols, types):
+    assert p[0] == 0x00, f"binary row header 0x{p[0]:02x}"
+    nbm = (ncols + 7 + 2) // 8
+    bitmap = p[1:1 + nbm]
+    pos = 1 + nbm
+    row = []
+    for i in range(ncols):
+        bit = i + 2
+        if bitmap[bit // 8] & (1 << (bit % 8)):
+            row.append(None)
+            continue
+        t = types[i]
+        if t == 0x08:
+            row.append(struct.unpack_from("<q", p, pos)[0]); pos += 8
+        elif t == 0x03:
+            row.append(struct.unpack_from("<i", p, pos)[0]); pos += 4
+        elif t == 0x02:
+            row.append(struct.unpack_from("<h", p, pos)[0]); pos += 2
+        elif t == 0x01:
+            row.append(struct.unpack_from("<b", p, pos)[0]); pos += 1
+        elif t == 0x05:
+            row.append(struct.unpack_from("<d", p, pos)[0]); pos += 8
+        elif t == 0x04:
+            row.append(struct.unpack_from("<f", p, pos)[0]); pos += 4
+        elif t == 0x0A:
+            n = p[pos]; pos += 1
+            if n == 0:
+                row.append("0000-00-00")
+            else:
+                y = struct.unpack_from("<H", p, pos)[0]
+                row.append(f"{y:04d}-{p[pos+2]:02d}-{p[pos+3]:02d}")
+                pos += n
+        elif t == 0x0C:
+            n = p[pos]; pos += 1
+            y = struct.unpack_from("<H", p, pos)[0]
+            mo, d = p[pos + 2], p[pos + 3]
+            h = mi = s = 0
+            us = 0
+            if n >= 7:
+                h, mi, s = p[pos + 4], p[pos + 5], p[pos + 6]
+            if n >= 11:
+                us = struct.unpack_from("<I", p, pos + 7)[0]
+            cell = f"{y:04d}-{mo:02d}-{d:02d} {h:02d}:{mi:02d}:{s:02d}"
+            row.append(cell + (f".{us:06d}" if us else ""))
+            pos += n
+        else:  # lenenc string (varchar, decimal, ...)
+            cell, pos = lenenc_str(p, pos)
+            row.append(cell)
+    return row
+
+
+def prepared(conn, sql, params):
+    """COM_STMT_PREPARE / EXECUTE / CLOSE round trip; binary resultset."""
+    conn.write_packet(0, b"\x16" + sql.encode("utf-8"))
+    _, ok = conn.read_packet()
+    if ok[0] == 0xFF:
+        return {"error": struct.unpack_from("<H", ok, 1)[0],
+                "message": ok[9:].decode("utf-8", "replace")}
+    stmt_id = struct.unpack_from("<I", ok, 1)[0]
+    ncols_prep = struct.unpack_from("<H", ok, 5)[0]
+    nparams = struct.unpack_from("<H", ok, 7)[0]
+    for _ in range(nparams):
+        conn.read_packet()  # param definitions
+    if nparams:
+        _, eof = conn.read_packet()
+        assert is_eof(eof)
+    for _ in range(ncols_prep):
+        conn.read_packet()
+    if ncols_prep:
+        _, eof = conn.read_packet()
+        assert is_eof(eof)
+    if nparams != len(params):
+        return {"error": -1, "message": f"server counted {nparams} params"}
+
+    def execute(send_types):
+        body = b"\x17" + struct.pack("<I", stmt_id) + b"\x00" + struct.pack("<I", 1)
+        if nparams:
+            bitmap = bytearray((nparams + 7) // 8)
+            binds = [_bind(v) for v in params]
+            for i, (_t, _f, payload) in enumerate(binds):
+                if params[i] is None:
+                    bitmap[i // 8] |= 1 << (i % 8)
+            body += bytes(bitmap)
+            if send_types:
+                body += b"\x01"
+                for t, f, _payload in binds:
+                    body += bytes([t, f])
+            else:
+                body += b"\x00"  # types cached server-side from execute #1
+            for i, (_t, _f, payload) in enumerate(binds):
+                if params[i] is not None:
+                    body += payload
+        conn.write_packet(0, body)
+
+    execute(send_types=True)
+    _, first = conn.read_packet()
+    if first[0] == 0x00 and len(first) < 9:
+        return {"ok": True}
+    if first[0] == 0xFF:
+        return {"error": struct.unpack_from("<H", first, 1)[0],
+                "message": first[9:].decode("utf-8", "replace")}
+    ncols, _ = lenenc_int(first, 0)
+    columns, types = [], []
+    for _i in range(ncols):
+        _, coldef = conn.read_packet()
+        pos = 0
+        fields = []
+        for _j in range(5):
+            s, pos = lenenc_str(coldef, pos)
+            fields.append(s)
+        # name, then lenenc(0x0c), charset u16, length u32, then TYPE
+        _, pos = lenenc_str(coldef, pos)  # org_name
+        pos += 1 + 2 + 4  # lenenc-0x0c byte, charset, display length
+        types.append(coldef[pos])
+        columns.append(fields[4])
+    _, eof1 = conn.read_packet()
+    assert is_eof(eof1), "expected EOF after column definitions"
+    rows = []
+    while True:
+        _, p = conn.read_packet()
+        if is_eof(p):
+            break
+        rows.append(_read_binary_row(p, ncols, types))
+
+    # re-execute WITHOUT re-sending types: the server must have cached
+    # them from execute #1 (drivers only bind types once)
+    execute(send_types=False)
+    _, first2 = conn.read_packet()
+    rows2 = None
+    if first2[0] not in (0x00, 0xFF) or len(first2) >= 9:
+        ncols2, _ = lenenc_int(first2, 0)
+        for _i in range(ncols2):
+            conn.read_packet()
+        _, eof = conn.read_packet()
+        assert is_eof(eof)
+        rows2 = []
+        while True:
+            _, p = conn.read_packet()
+            if is_eof(p):
+                break
+            rows2.append(_read_binary_row(p, ncols2, types))
+    # COM_STMT_CLOSE (no response)
+    conn.write_packet(0, b"\x19" + struct.pack("<I", stmt_id))
+    return {"columns": columns, "rows": rows, "reexec_equal": rows2 == rows}
+
+
 def main():
     port = int(sys.argv[1])
     conn = Conn(port)
     handshake(conn)
+    if len(sys.argv) > 2 and sys.argv[2] == "--prepared":
+        # argv[3] = sql with ?s, argv[4:] = params (int:/float:/str:/null)
+        sql = sys.argv[3]
+        params = []
+        for a in sys.argv[4:]:
+            kind, _, v = a.partition(":")
+            params.append(None if kind == "null" else
+                          int(v) if kind == "int" else
+                          float(v) if kind == "float" else
+                          tuple(int(x) for x in v.split("-")) if kind == "date"
+                          else v)
+        print(json.dumps({"results": [prepared(conn, sql, params)]}))
+        return
     print(json.dumps({"results": [query(conn, sql) for sql in sys.argv[2:]]}))
 
 

@@ -1098,11 +1098,34 @@ class GraftSession(val spark: SparkSession) {
             case "groupBitOr" => "bit_or"
             case "groupBitXor" => "bit_xor"
           }.getOrElse("min")
+      // Full AggregateFunction(f, T) states merge STATE -> STATE (the
+      // FINAL row still holds a state, read with fMerge — CH contract):
+      // sum/min/max/count fold with their own function, avg adds the
+      // (s, c) components, uniqExact unions the sorted distinct arrays.
+      def stateMergeSql(c: String, fn: String, sqlType: String): String = fn match {
+        case "sum" => s"CAST(sum(${q(c)}) AS $sqlType) AS ${q(c)}"
+        case "count" => s"CAST(sum(${q(c)}) AS $sqlType) AS ${q(c)}"
+        case "min" => s"CAST(min(${q(c)}) AS $sqlType) AS ${q(c)}"
+        case "max" => s"CAST(max(${q(c)}) AS $sqlType) AS ${q(c)}"
+        case "avg" =>
+          s"CAST(named_struct('s', sum(${q(c)}.s), 'c', sum(${q(c)}.c)) " +
+            s"AS $sqlType) AS ${q(c)}"
+        case "uniqExact" =>
+          s"CAST(array_sort(array_distinct(flatten(collect_list(${q(c)})))) " +
+            s"AS $sqlType) AS ${q(c)}"
+      }
+      def aggFnOf(c: String): Option[String] =
+        declared.get(c).flatMap(t => graft.types.BqlType.parse(t).toOption)
+          .collect { case a: graft.types.BqlType.AggFn => a.func }
       val fields = schema.fields.filter(f => dataCols.contains(f.name))
       val sel = fields.map { f =>
         if (pks.contains(f.name)) q(f.name)
-        else s"CAST(${mergeFn(f.name)}(${q(f.name)}) AS ${f.dataType.sql}) " +
-          s"AS ${q(f.name)}"
+        else aggFnOf(f.name) match {
+          case Some(fn) => stateMergeSql(f.name, fn, f.dataType.sql)
+          case None =>
+            s"CAST(${mergeFn(f.name)}(${q(f.name)}) AS ${f.dataType.sql}) " +
+              s"AS ${q(f.name)}"
+        }
       }.mkString(", ")
       Some(s"SELECT $sel$ptkOut FROM $from GROUP BY $grp")
     } else if (engine.equalsIgnoreCase("CollapsingMergeTree") ||
@@ -1213,7 +1236,17 @@ class GraftSession(val spark: SparkSession) {
       .filter(c => c._3.length == 2 || c._3.length == 4)
     val numbers = ChParser.tableFnCalls(sql, "numbers")
       .filter(c => c._3.length == 1 && c._3.head.nonEmpty && c._3.head.forall(_.isDigit))
-    if (remotes.isEmpty && numbers.isEmpty) return sql
+    val files = ChParser.tableFnCalls(sql, "file")
+      .filter(c => c._3.length == 2 || c._3.length == 3)
+    val merges = ChParser.tableFnCalls(sql, "merge").filter(_._3.length == 2)
+    if (remotes.isEmpty && numbers.isEmpty && files.isEmpty && merges.isEmpty)
+      return sql
+    // CH's virtual `_table` never shows up in `SELECT *` — only include
+    // it when the statement actually names it (token-level would be
+    // nicer; `_table` is distinctive enough that a word-boundary match
+    // cannot collide with a data column CH itself would reject)
+    val wantsTable = java.util.regex.Pattern
+      .compile("\\b_table\\b").matcher(sql).find()
     val splices = remotes.map { case (from, to, args) =>
       val auth = if (args.length == 4) Some((args(2), args(3))) else None
       val view = s"graft_remote_${java.security.MessageDigest.getInstance("MD5")
@@ -1225,10 +1258,108 @@ class GraftSession(val spark: SparkSession) {
       (from, to, view)
     } ++ numbers.map { case (from, to, args) =>
       (from, to, s"(SELECT id AS number FROM range(${args.head}))")
+    } ++ files.map { case (from, to, args) =>
+      val view = s"graft_file_${java.security.MessageDigest.getInstance("MD5")
+        .digest(args.mkString("|").getBytes("UTF-8")).map("%02x".format(_)).mkString}"
+      fileDf(args(0), args(1), args.lift(2)).createOrReplaceTempView(view)
+      (from, to, view)
+    } ++ merges.map { case (from, to, args) =>
+      (from, to, mergeSubquery(args(0), args(1), wantsTable))
     }
     splices.sortBy(-_._1).foldLeft(sql) { case (acc, (from, to, text)) =>
       acc.substring(0, from) + text + acc.substring(to)
     }
+  }
+
+  /** CH `file('rel/path', 'Format'[, 'structure'])` — read a file under
+    * the confined data root (CH's user_files_path; here the
+    * `spark.graft.fileRoot` conf, default /tmp/graft_user_files). Path
+    * traversal out of the root is rejected. Formats: CSV (headerless,
+    * columns c1..cn like CH), CSVWithNames, TSV/TabSeparated[WithNames],
+    * JSONEachRow, Parquet. The optional structure is CH DDL
+    * (`'a Int64, b String'`) parsed through [[graft.types.BqlType]].
+    */
+  private def fileDf(rel: String, format: String,
+                     structure: Option[String]): DataFrame = {
+    val root = java.nio.file.Paths.get(
+      spark.conf.getOption("spark.graft.fileRoot")
+        .getOrElse("/tmp/graft_user_files")).toAbsolutePath.normalize
+    val p = root.resolve(rel).normalize
+    require(p.startsWith(root),
+      s"file(): path escapes the data root $root: $rel")
+    require(java.nio.file.Files.exists(p),
+      s"file(): no such file under the data root $root: $rel")
+    val schema = structure.map { st =>
+      org.apache.spark.sql.types.StructType(
+        graft.types.BqlType.splitTopLevel(st).map { colDef =>
+          val t = colDef.trim
+          val sp = t.indexWhere(_.isWhitespace)
+          require(sp > 0, s"file(): bad structure entry '$t'")
+          val (n, ty) = (t.substring(0, sp), t.substring(sp).trim)
+          val bt = graft.types.BqlType.parse(ty).fold(
+            e => throw new IllegalArgumentException(s"file(): $e"), identity)
+          org.apache.spark.sql.types.StructField(n, bt.sparkType)
+        })
+    }
+    def reader = schema.fold(spark.read)(spark.read.schema)
+    val df = format.trim.toLowerCase(java.util.Locale.ROOT) match {
+      case "csv" =>
+        val r = reader.option("header", "false")
+        if (schema.isDefined) r.csv(p.toString)
+        else r.option("inferSchema", "true").csv(p.toString)
+      case "csvwithnames" =>
+        val r = reader.option("header", "true")
+        if (schema.isDefined) r.csv(p.toString)
+        else r.option("inferSchema", "true").csv(p.toString)
+      case "tsv" | "tabseparated" =>
+        val r = reader.option("header", "false").option("sep", "\t")
+        if (schema.isDefined) r.csv(p.toString)
+        else r.option("inferSchema", "true").csv(p.toString)
+      case "tsvwithnames" | "tabseparatedwithnames" =>
+        val r = reader.option("header", "true").option("sep", "\t")
+        if (schema.isDefined) r.csv(p.toString)
+        else r.option("inferSchema", "true").csv(p.toString)
+      case "jsoneachrow" => reader.json(p.toString)
+      case "parquet" => reader.parquet(p.toString)
+      case other => throw new IllegalArgumentException(
+        s"file(): unsupported format $other (supported: CSV[WithNames], " +
+          "TSV/TabSeparated[WithNames], JSONEachRow, Parquet)")
+    }
+    // headerless text without a declared structure: CH names columns c1..cn
+    val fmt = format.trim.toLowerCase(java.util.Locale.ROOT)
+    if (schema.isEmpty && (fmt == "csv" || fmt == "tsv" || fmt == "tabseparated"))
+      df.toDF(df.columns.indices.map(i => s"c${i + 1}"): _*)
+    else df
+  }
+
+  /** CH `merge('db', 'regexp')` — UNION ALL over every catalog table in
+    * `db` whose name matches the (unanchored, CH/re2-style) pattern, with
+    * the virtual `_table` column naming each row's source when the query
+    * asks for it. Matching happens AT QUERY TIME against the live catalog
+    * (a view over merge() picks up tables created after the view — CH's
+    * contract), and the column list comes from the first match so the
+    * branches align positionally; a matching table missing one of those
+    * columns fails analysis loudly. 100 TB: this is pure plan splicing —
+    * each branch keeps its own pushdown/pruning; no extra shuffle beyond
+    * whatever the outer query does.
+    */
+  private def mergeSubquery(db: String, pattern: String,
+                            withTableCol: Boolean): String = {
+    val cat = spark.sessionState.catalog
+    require(cat.databaseExists(db), s"merge(): no database $db")
+    val re = java.util.regex.Pattern.compile(pattern)
+    val tables = cat.listTables(db).map(_.table)
+      .filterNot(t => t.startsWith("__proj_") || t.startsWith("graft_tmp_"))
+      .filter(t => re.matcher(t).find()).sorted
+    require(tables.nonEmpty, s"merge(): no tables in $db match '$pattern'")
+    val cols = spark.table(s"`$db`.`${tables.head}`").schema.fieldNames
+      .filterNot(_ == PtkCol).toSeq
+    val colSql = cols.map(c => s"`$c`").mkString(", ")
+    val branches = tables.map { t =>
+      val tcol = if (withTableCol) s"'${t.replace("'", "''")}' AS _table, " else ""
+      s"SELECT $tcol$colSql FROM `$db`.`$t`"
+    }
+    s"(${branches.mkString(" UNION ALL ")})"
   }
 
   /** ClickHouse `LIMIT [m,]n BY exprs` — the per-group LIMIT clause —
@@ -3014,7 +3145,48 @@ class GraftSession(val spark: SparkSession) {
     }
   }
 
+  /** CH's `CREATE MATERIALIZED VIEW v TO target AS SELECT …`: the view
+    * owns NO storage — every block inserted into the SELECT's source runs
+    * through the SELECT and appends to the pre-existing `target` (the
+    * canonical AggregateFunction pattern: target declares
+    * `AggregateFunction(f, T)` columns in an AggregatingMergeTree and the
+    * view writes `fState(…)` partials). Reads of the view read the
+    * target (CH contract). The subscription props live ON the target
+    * (that is where the fan-out appends); `graft.mv.via` ties them to
+    * the view's name so DROP of the view detaches the subscription.
+    */
+  private def createMvTo(mv: CreateMaterializedView): DataFrame = {
+    val rdb = mv.db.getOrElse(spark.catalog.currentDatabase)
+    val (tdbOpt, target) = mv.to.get
+    val tdb = tdbOpt.getOrElse(rdb)
+    require(tdb == rdb,
+      s"MATERIALIZED VIEW TO: target must live in the view's database " +
+        s"(view in $rdb, target $tdb.$target)")
+    require(!mv.populate,
+      "MATERIALIZED VIEW TO does not support POPULATE (ClickHouse contract)")
+    require(spark.sessionState.catalog.tableExists(
+        org.apache.spark.sql.catalyst.TableIdentifier(target, Some(rdb))),
+      s"MATERIALIZED VIEW TO: no table $rdb.$target")
+    if (mv.ifNotExists && viewDefs.contains(mv.name)) return emptyOk
+    val src = ChParser.firstFromTable(mv.selectSql).getOrElse(
+      throw new IllegalArgumentException(
+        "MATERIALIZED VIEW: the SELECT must read FROM a table directly"))._1
+    val srcTable = if (src.contains(".")) src.split("\\.", 2)(1) else src
+    // validate now, like CH: a bad SELECT fails at CREATE, not first insert
+    spark.sql(rewriteSelect(mv.selectSql)).queryExecution.analyzed
+    spark.sql(s"ALTER TABLE ${fullName(Some(rdb), target)} SET TBLPROPERTIES (" +
+      s"'graft.mv.src'='${s"$rdb.$srcTable".replace("'", "''")}', " +
+      s"'graft.mv.select'='${mv.selectSql.replace("'", "''")}', " +
+      s"'graft.mv.via'='${mv.name.replace("'", "''")}')")
+    // reads of the view see the target's contents; the replay metaFile
+    // carries the ORIGINAL MV script, so a restart re-runs this method
+    createView(CreateView(Some(rdb), mv.name,
+      selectSql = s"SELECT * FROM `$target`", orReplace = true,
+      ifNotExists = false, createScript = mv.createScript))
+  }
+
   private def createMaterializedView(mv: CreateMaterializedView): DataFrame = {
+    if (mv.to.isDefined) return createMvTo(mv)
     val rdb = mv.db.getOrElse(spark.catalog.currentDatabase)
     val src = ChParser.firstFromTable(mv.selectSql).getOrElse(
       throw new IllegalArgumentException(
@@ -3092,6 +3264,18 @@ class GraftSession(val spark: SparkSession) {
     spark.catalog.dropTempView(name)
     viewDefs.remove(name)
     java.nio.file.Files.deleteIfExists(metaFile(vdb, name))
+    // a TO-form materialized view's insert subscription lives on its
+    // TARGET table (graft.mv.via names this view) — detach it, or the
+    // fan-out keeps writing into the target after the view is gone
+    val cat = spark.sessionState.catalog
+    cat.listTables(vdb).foreach { tid =>
+      scala.util.Try(cat.getTableMetadata(tid)).toOption.foreach { m =>
+        if (m.properties.get("graft.mv.via").contains(name))
+          spark.sql(s"ALTER TABLE `$vdb`.`${tid.table}` " +
+            "UNSET TBLPROPERTIES IF EXISTS " +
+            "('graft.mv.src', 'graft.mv.select', 'graft.mv.via')")
+      }
+    }
     emptyOk
   }
 

@@ -2,14 +2,15 @@ package graft.functions
 
 import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.catalyst.expressions.{Cast, CreateArray, CreateStruct, Divide, Expression, Literal, Multiply}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, Cast, Coalesce, CreateArray, CreateNamedStruct, CreateStruct, Divide, Expression, Flatten, Literal, Multiply, Size, SortArray}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   ApproximatePercentile, Average, BitAndAgg, BitOrAgg, BitXorAgg,
   CollectList, CollectSet, Count, CovPopulation, CovSample, First,
   HyperLogLogPlusPlus, Kurtosis, Last, Max, MaxBy, Min, MinBy, Percentile,
   Skewness, StddevPop, StddevSamp, Sum, VariancePop, VarianceSamp}
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** ClickHouse parametric-aggregate pack #2 — topK, quantileExactInclusive /
   * medianExact, argMin/argMax, and the `-If` combinator family.
@@ -245,6 +246,44 @@ object ChAggregates {
     "sumCount" -> one("sumCount")(x =>
       CreateStruct(Seq(Sum(x).toAggregateExpression(),
         Count(x).toAggregateExpression()))),
+    // -State / -Merge combinators for AggregateFunction(f, T) columns
+    // (the CH AggregatingMergeTree + MV pattern): fState(x) produces the
+    // state value a column of type AggregateFunction(f, T) stores
+    // (sum/min/max: the running value; count: the running count; avg:
+    // struct(s, c); uniqExact: the sorted distinct-value array), fMerge
+    // re-aggregates stored states to the final value. All are plain
+    // Catalyst aggregates — the state representations are chosen so the
+    // merge is itself one hash aggregate (map-side partials intact); the
+    // one ObjectHashAggregate is uniqExact's set union, which is the
+    // exact-distinct cost no engine escapes.
+    "sumState" -> one("sumState")(x => Sum(x).toAggregateExpression()),
+    "minState" -> one("minState")(x => Min(x).toAggregateExpression()),
+    "maxState" -> one("maxState")(x => Max(x).toAggregateExpression()),
+    "countState" -> { exprs =>
+      if (exprs.isEmpty) Count(Literal(1)).toAggregateExpression()
+      else Count(exprs.head).toAggregateExpression()
+    },
+    // avg's partial sum keeps the input's own sum type (a decimal input
+    // stays an exact decimal), so merged averages cannot drift with row
+    // or partition order; the division to Float64 happens once, in avgMerge
+    "avgState" -> one("avgState")(x => CreateNamedStruct(Seq(
+      Literal("s"), Sum(x).toAggregateExpression(),
+      Literal("c"), Count(x).toAggregateExpression()))),
+    "uniqExactState" -> one("uniqExactState")(x =>
+      SortArray(CollectSet(x).toAggregateExpression(), Literal(true))),
+    "sumMerge" -> one("sumMerge")(x => Sum(x).toAggregateExpression()),
+    "minMerge" -> one("minMerge")(x => Min(x).toAggregateExpression()),
+    "maxMerge" -> one("maxMerge")(x => Max(x).toAggregateExpression()),
+    "countMerge" -> one("countMerge")(x => Coalesce(Seq(
+      Sum(x).toAggregateExpression(), Literal(0L)))),
+    "avgMerge" -> one("avgMerge")(x => Divide(
+      Cast(Sum(UnresolvedExtractValue(x, Literal("s")))
+        .toAggregateExpression(), DoubleType),
+      Cast(Sum(UnresolvedExtractValue(x, Literal("c")))
+        .toAggregateExpression(), DoubleType))),
+    "uniqExactMerge" -> one("uniqExactMerge")(x => Cast(
+      Size(ArrayDistinct(Flatten(CollectList(x).toAggregateExpression()))),
+      LongType)),
     // -If combinators: the aggregate with a Catalyst FILTER clause.
     "countIf" -> one("countIf")(cond =>
       Count(Literal(1)).toAggregateExpression(isDistinct = false, filter = Some(cond))),

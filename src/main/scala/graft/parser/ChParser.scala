@@ -176,7 +176,14 @@ object ChStatement {
                                           populate: Boolean,
                                           selectSql: String,
                                           ifNotExists: Boolean,
-                                          createScript: String) extends ChStatement
+                                          createScript: String,
+                                          // CH's `TO [db.]target` form: the
+                                          // view writes into an EXISTING
+                                          // table (no own storage) — the
+                                          // AggregateFunction/-State MV
+                                          // pattern
+                                          to: Option[(Option[String], String)] = None)
+      extends ChStatement
 
   /** Plain `CREATE [OR REPLACE] VIEW v AS SELECT …` — ClickHouse's
     * non-materialized view: the query is STORED, not its result; every
@@ -685,9 +692,15 @@ object ChParser {
     val ine = parseIfNotExists(p)
     for {
       dbTab <- qualifiedName(p)
+      toTarget <- (if (p.eatKw("to")) qualifiedName(p).map(Some(_))
+                   else Right(None)): Either[String, Option[(Option[String], String)]]
       engine <- Right(if (p.eatKw("engine")) {
         p.eatPunct("="); p.ident().toOption
       } else None)
+      _ <- if (toTarget.isDefined && engine.isDefined)
+        Left("CREATE MATERIALIZED VIEW: TO and ENGINE are mutually " +
+          "exclusive (the TO target owns the storage)")
+      else Right(())
       partBy <- Right(if (p.isKw("partition")) {
         p.next(); p.eatKw("by")
         Some(p.sliceUntil(q =>
@@ -701,7 +714,7 @@ object ChParser {
         else Right(rest)
       }
     } yield CreateMaterializedView(dbTab._1, dbTab._2, engine, partBy,
-      populate, sel, ine, p.sql.trim)
+      populate, sel, ine, p.sql.trim, toTarget)
   }
 
   /** CREATE DICTIONARY name (cols…) PRIMARY KEY k

@@ -783,6 +783,50 @@ object DdlQueries {
       require(df.queryExecution.optimizedPlan.toString.contains("__proj_"),
         "d28: the aggregate did not route to the projection")
       df
+    },
+
+    // AggregateFunction(f, T) + -State/-Merge (d29): the full CH
+    // pre-aggregation pattern — a target table declares aggregate-STATE
+    // columns in an AggregatingMergeTree, a `CREATE MATERIALIZED VIEW …
+    // TO target` writes fState(…) per-block partials into it on every
+    // insert, OPTIMIZE FINAL merges states per key (state -> state), and
+    // fMerge reads the final values. Decimal inputs keep exact decimal
+    // partial sums, so merged sums/averages are row-order independent
+    // and the DuckDB oracle (recomputing from the raw rows) must
+    // hash-match. 100 TB: states are bounded per key (sum/count/min/max/
+    // avg constant-size; uniqExact the distinct set — the exact-distinct
+    // cost no engine escapes), merges are one hash aggregate.
+    "d29_agg_state_merge" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("DROP TABLE IF EXISTS d29_mv; DROP TABLE IF EXISTS d29_agg; " +
+        "DROP TABLE IF EXISTS d29_raw")
+      g.sql("CREATE TABLE d29_raw(k Int64, v Float64, et String)")
+      g.sql("CREATE TABLE d29_agg(k Int64 PRIMARY KEY, " +
+        "s AggregateFunction(sum, Decimal(18,6)), " +
+        "c AggregateFunction(count), " +
+        "mx AggregateFunction(max, Float64), " +
+        "a AggregateFunction(avg, Decimal(18,6)), " +
+        "u AggregateFunction(uniqExact, String)) " +
+        "ENGINE=AggregatingMergeTree")
+      g.sql("CREATE MATERIALIZED VIEW d29_mv TO d29_agg AS " +
+        "SELECT k, sumState(CAST(v AS DECIMAL(18,6))) AS s, " +
+        "countState() AS c, maxState(v) AS mx, " +
+        "avgState(CAST(v AS DECIMAL(18,6))) AS a, " +
+        "uniqExactState(et) AS u FROM d29_raw GROUP BY k")
+      // two insert waves -> two partial-state rows per key in the target
+      g.sql("INSERT INTO d29_raw SELECT event_id % 500 AS k, value, " +
+        "event_type FROM events WHERE event_id % 2 = 0")
+      g.sql("INSERT INTO d29_raw SELECT event_id % 500 AS k, value, " +
+        "event_type FROM events WHERE event_id % 2 = 1")
+      // physical state merge: one state row per key survives
+      g.sql("OPTIMIZE TABLE d29_agg FINAL")
+      g.sql("SELECT k, CAST(round(sumMerge(s), 2) AS DOUBLE) AS sv, " +
+        "countMerge(c) AS n, " +
+        "CAST(round(CAST(maxMerge(mx) AS DECIMAL(18,6)), 2) AS DOUBLE) AS mv, " +
+        "CAST(round(CAST(avgMerge(a) AS DECIMAL(18,6)), 4) AS DOUBLE) AS av, " +
+        "uniqExactMerge(u) AS ud " +
+        "FROM d29_agg GROUP BY k ORDER BY k")
     }
   )
 
@@ -1163,6 +1207,19 @@ object DdlQueries {
         |  CAST(min(user_id) AS BIGINT) AS mu,
         |  CAST(max(user_id) AS BIGINT) AS xu
         |FROM events WHERE event_type <> 'purchase'
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // d29 recomputed from the RAW events rows: a hash match proves the
+    // -State partials written by the MV, the OPTIMIZE FINAL state merge,
+    // and the -Merge readers compose to the exact direct aggregate.
+    "d29_agg_state_merge" ->
+      """SELECT event_id % 500 AS k,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sv,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(CAST(max(value) AS DECIMAL(18,6)), 2) AS DOUBLE) AS mv,
+        |  CAST(round(CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*) AS DECIMAL(18,6)), 4) AS DOUBLE) AS av,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS ud
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

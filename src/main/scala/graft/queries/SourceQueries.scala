@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.exec.GraftSession
 import graft.functions.GraftUdafs
 
 /** Non-parquet source coverage (SURVEY.md §2.2: the reference bundles CSV /
@@ -117,6 +118,45 @@ object SourceQueries {
         .orderBy(col("p_brand"))
     },
 
+    // CH table function file('rel/path', 'Format'[, 'structure']) under
+    // the confined data root (VERDICT r16 task #5): the root is pointed
+    // at the per-SF export dir, the structure arg exercises the CH-DDL
+    // schema path, and DuckDB reads the same files — the scan is what's
+    // verified.
+    "c05_file_fn" -> { (s, dir) =>
+      ensureExports(s, dir)
+      s.conf.set("spark.graft.fileRoot", exportDir(dir))
+      val g = new GraftSession(s)
+      g.sql("SELECT n_regionkey, count(*) AS n, max(n_name) AS max_name " +
+        "FROM file('nation_csv', 'CSVWithNames', " +
+        "'n_nationkey Int32, n_name String, n_regionkey Int32') " +
+        "GROUP BY n_regionkey ORDER BY n_regionkey")
+    },
+
+    // CH table function merge('db', '^pattern') (VERDICT r16 task #5):
+    // UNION ALL over the catalog tables matching the regexp at QUERY
+    // time, with the virtual _table column labeling each row's source.
+    // Three slices of orders land in three tables; the pattern matches
+    // two of them, and the DuckDB oracle restates the union explicitly.
+    "c06_merge_fn" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("DROP TABLE IF EXISTS c06p_a; DROP TABLE IF EXISTS c06p_b; " +
+        "DROP TABLE IF EXISTS c06q_c")
+      g.sql("CREATE TABLE c06p_a(k Int64, p Decimal(12,2))")
+      g.sql("CREATE TABLE c06p_b(k Int64, p Decimal(12,2))")
+      g.sql("CREATE TABLE c06q_c(k Int64, p Decimal(12,2))")
+      g.sql("INSERT INTO c06p_a SELECT o_orderkey, " +
+        "CAST(o_totalprice AS DECIMAL(12,2)) FROM orders WHERE o_orderkey % 3 = 0")
+      g.sql("INSERT INTO c06p_b SELECT o_orderkey, " +
+        "CAST(o_totalprice AS DECIMAL(12,2)) FROM orders WHERE o_orderkey % 3 = 1")
+      g.sql("INSERT INTO c06q_c SELECT o_orderkey, " +
+        "CAST(o_totalprice AS DECIMAL(12,2)) FROM orders WHERE o_orderkey % 3 = 2")
+      g.sql("SELECT _table, count(*) AS n, " +
+        "CAST(round(sum(p), 2) AS DOUBLE) AS sp " +
+        "FROM merge('default', '^c06p_') GROUP BY _table ORDER BY _table")
+    },
+
     // Scalar UDF + typed Aggregator UDAF (§2.8) in one aggregation.
     "u01_udf_udaf" -> { (s, dir) =>
       Tables.registerAll(s, dir)
@@ -158,6 +198,20 @@ object SourceQueries {
         |  CAST(ROUND(sum(CAST(p_retailprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_price
         |FROM part
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "c05_file_fn" ->
+      s"""SELECT n_regionkey, count(*) AS n, max(n_name) AS max_name
+         |FROM read_csv('$exportRoot/__SFBASE__/nation_csv/*.csv', header=true)
+         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "c06_merge_fn" ->
+      """SELECT t AS _table, count(*) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sp
+        |FROM (
+        |  SELECT 'c06p_a' AS t, o_totalprice FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT 'c06p_b' AS t, o_totalprice FROM orders WHERE o_orderkey % 3 = 1
+        |) u GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "u01_udf_udaf" ->
       """SELECT CAST(floor((o_totalprice / 10000.0) / 10.0) AS INT) AS bucket,

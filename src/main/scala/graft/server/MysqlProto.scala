@@ -21,6 +21,10 @@ object MysqlProto {
   val ComInitDb = 0x02
   val ComQuery = 0x03
   val ComPing = 0x0e
+  val ComStmtPrepare = 0x16
+  val ComStmtExecute = 0x17
+  val ComStmtClose = 0x19
+  val ComStmtReset = 0x1a
 
   // capability flags (the subset we speak)
   val ClientLongPassword = 0x1L
@@ -105,6 +109,7 @@ object MysqlProto {
     def u16(v: Int): Out = { u8(v); u8(v >>> 8) }
     def u24(v: Int): Out = { u8(v); u8(v >>> 8); u8(v >>> 16) }
     def u32(v: Long): Out = { u8(v.toInt); u8((v >>> 8).toInt); u8((v >>> 16).toInt); u8((v >>> 24).toInt) }
+    def u64(v: Long): Out = { u32(v); u32(v >>> 32) }
     def bytes(b: Array[Byte]): Out = { buf.write(b); this }
     def nulStr(s: String): Out = { bytes(s.getBytes(UTF_8)); u8(0) }
     def lenencInt(v: Long): Out =
@@ -189,6 +194,153 @@ object MysqlProto {
       .u8(if (dt.isInstanceOf[DecimalType]) 2 else 0) // decimals
       .u16(0) // filler
       .result()
+
+  // ---- prepared statements (binary protocol) ---------------------------
+
+  /** COM_STMT_PREPARE_OK header. numCols = 0 defers the result schema to
+    * the EXECUTE response's own resultset (every driver re-reads it there;
+    * the schema of a parameterized query is not generally knowable before
+    * the parameters are bound).
+    */
+  def stmtPrepareOk(stmtId: Int, numCols: Int, numParams: Int): Array[Byte] =
+    new Out().u8(0x00).u32(stmtId.toLong).u16(numCols).u16(numParams)
+      .u8(0).u16(0).result()
+
+  /** One COM_STMT_EXECUTE binary parameter, decoded per its client-bound
+    * type and rendered as a SQL literal (the reference's server_mysql shim
+    * defines exactly these frames — crates/server_mysql/src/lib.rs:160-180
+    * ParamValue/Value — but its runtime never implemented the decode).
+    * The low byte is the MySQL type code; bit 15 of the 2-byte on-wire
+    * type field is the UNSIGNED flag.
+    */
+  def decodeBinaryParam(p: In, tpe: Int): String = {
+    val unsigned = (tpe & 0x8000) != 0
+    def sq(s: String): String =
+      "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+    (tpe & 0xff) match {
+      case 0x06 => "NULL" // MYSQL_TYPE_NULL
+      case 0x01 => val v = p.u8(); (if (unsigned) v else v.toByte.toInt).toString
+      case 0x02 => val v = p.u16(); (if (unsigned) v else v.toShort.toInt).toString
+      case 0x03 => val v = p.u32(); (if (unsigned) v else v.toInt.toLong).toString
+      case 0x08 =>
+        val v = p.u32() | (p.u32() << 32)
+        if (unsigned && v < 0) java.lang.Long.toUnsignedString(v) else v.toString
+      case 0x04 =>
+        java.lang.Float.intBitsToFloat(p.u32().toInt).toString
+      case 0x05 =>
+        java.lang.Double.longBitsToDouble(p.u32() | (p.u32() << 32)).toString
+      case 0x0a => // DATE: length-prefixed y/m/d
+        val n = p.u8()
+        if (n == 0) "DATE '1970-01-01'"
+        else {
+          val y = p.u16(); val m = p.u8(); val d = p.u8()
+          if (n > 4) p.bytes(n - 4) // tolerate over-long encodings
+          f"DATE '$y%04d-$m%02d-$d%02d'"
+        }
+      case 0x07 | 0x0c => // TIMESTAMP / DATETIME: 0, 4, 7 or 11 bytes
+        val n = p.u8()
+        if (n == 0) "TIMESTAMP '1970-01-01 00:00:00'"
+        else {
+          val y = p.u16(); val m = p.u8(); val d = p.u8()
+          val (h, mi, s) = if (n >= 7) (p.u8(), p.u8(), p.u8()) else (0, 0, 0)
+          val us = if (n >= 11) p.u32() else 0L
+          val frac = if (us > 0) f".$us%06d" else ""
+          f"TIMESTAMP '$y%04d-$m%02d-$d%02d $h%02d:$mi%02d:$s%02d$frac'"
+        }
+      case 0x0f | 0xf6 | 0xfc | 0xfd | 0xfe | 0xf7 =>
+        // VARCHAR / NEWDECIMAL / BLOB / VAR_STRING / STRING / ENUM:
+        // lenenc payload; decimals arrive as digit strings and pass
+        // through unquoted-safe as quoted literals would coerce — CH and
+        // Spark both cast '1.5' in numeric contexts, but a bare literal
+        // is cleaner for decimals
+        val s = p.lenencStr()
+        if ((tpe & 0xff) == 0xf6 && s != null && s.matches("-?[0-9]+(\\.[0-9]+)?"))
+          s
+        else sq(String.valueOf(s))
+      case other => throw new IllegalArgumentException(
+        f"unsupported binary parameter type 0x$other%02x")
+    }
+  }
+
+  /** Binary-protocol resultset row (COM_STMT_EXECUTE response): 0x00
+    * header, NULL bitmap (offset 2), then each non-null value in its
+    * type's binary encoding.
+    */
+  def binaryRow(r: Row): Array[Byte] = {
+    val n = r.length
+    val o = new Out().u8(0x00)
+    val bitmap = new Array[Byte]((n + 7 + 2) / 8)
+    var i = 0
+    while (i < n) {
+      if (r.isNullAt(i)) {
+        val b = i + 2
+        bitmap(b / 8) = (bitmap(b / 8) | (1 << (b % 8))).toByte
+      }
+      i += 1
+    }
+    o.bytes(bitmap)
+    i = 0
+    while (i < n) {
+      if (!r.isNullAt(i)) r.schema.fields(i).dataType match {
+        case ByteType => o.u8(r.getByte(i).toInt)
+        case ShortType => o.u16(r.getShort(i).toInt)
+        case IntegerType => o.u32(r.getInt(i).toLong & 0xffffffffL)
+        case LongType => o.u64(r.getLong(i))
+        case FloatType => o.u32(
+          java.lang.Float.floatToIntBits(r.getFloat(i)).toLong & 0xffffffffL)
+        case DoubleType => o.u64(
+          java.lang.Double.doubleToLongBits(r.getDouble(i)))
+        case DateType =>
+          val d = r.getDate(i).toLocalDate
+          o.u8(4).u16(d.getYear).u8(d.getMonthValue).u8(d.getDayOfMonth)
+        case TimestampType =>
+          val t = r.getTimestamp(i).toLocalDateTime
+          val us = t.getNano / 1000
+          if (us == 0)
+            o.u8(7).u16(t.getYear).u8(t.getMonthValue).u8(t.getDayOfMonth)
+              .u8(t.getHour).u8(t.getMinute).u8(t.getSecond)
+          else
+            o.u8(11).u16(t.getYear).u8(t.getMonthValue).u8(t.getDayOfMonth)
+              .u8(t.getHour).u8(t.getMinute).u8(t.getSecond).u32(us.toLong)
+        case _ => // DECIMAL, VARCHAR and everything stringly: lenenc
+          o.lenencStr(String.valueOf(r.get(i)))
+      }
+      i += 1
+    }
+    o.result()
+  }
+
+  /** Count `?` placeholders outside quoted regions. */
+  def countPlaceholders(sql: String): Int = splitOnPlaceholders(sql).size - 1
+
+  /** The SQL split at each top-level `?` — substitution is a mkString
+    * with the rendered literals as separators. Quote-aware (' " ` with ''
+    * doubling), comment-aware (-- to EOL).
+    */
+  def splitOnPlaceholders(sql: String): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var i = 0
+    var q: Char = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (q != 0) {
+        cur += c
+        if (c == q) q = 0
+      } else c match {
+        case '\'' | '"' | '`' => q = c; cur += c
+        case '-' if i + 1 < sql.length && sql.charAt(i + 1) == '-' =>
+          val eol = sql.indexOf('\n', i)
+          val end = if (eol < 0) sql.length else eol
+          cur ++= sql.substring(i, end); i = end - 1
+        case '?' => parts += cur.result(); cur.clear()
+        case other => cur += other
+      }
+      i += 1
+    }
+    parts += cur.result()
+    parts.toSeq
+  }
 
   /** Text-protocol value: lenenc string, NULL = 0xfb. */
   def textValue(r: Row, i: Int): Array[Byte] =

@@ -16,8 +16,12 @@ import graft.exec.GraftSession
   * crates/runtime/src/mysql/mod.rs:102-149 `on_query`). Scope: HandshakeV10
   * / HandshakeResponse41 (any credentials accepted — the reference ignores
   * them too), COM_QUERY with text resultsets, COM_INIT_DB, COM_PING,
-  * COM_QUIT. No TLS, no prepared statements, no auth verification —
-  * recorded in SURVEY §7 with the CH-native cuts.
+  * COM_QUIT, and the prepared-statement cycle COM_STMT_PREPARE / EXECUTE
+  * (client-side-typed binary params rendered into the text path, binary
+  * resultset rows back) / RESET / CLOSE — the frames the reference's
+  * server_mysql shim declares but its runtime never implemented
+  * (crates/server_mysql/src/lib.rs:160-180). No TLS, no auth verification
+  * — recorded in SURVEY §7 with the CH-native cuts.
   */
 final class MysqlWireServer(spark: SparkSession, port: Int = 0) {
   import MysqlProto._
@@ -52,6 +56,12 @@ final class MysqlWireServer(spark: SparkSession, port: Int = 0) {
     // isolated per-connection session: USE/current-database must not leak
     // across connections or into the host session
     val session = new GraftSession(spark.newSession())
+    // per-connection prepared statements: id -> (sql split at ?, bound
+    // types — clients send types only on the FIRST execute and expect the
+    // server to remember them)
+    final case class Prepared(parts: Seq[String], var types: Array[Int])
+    val stmts = scala.collection.mutable.Map.empty[Int, Prepared]
+    var nextStmtId = 1
     try {
       handshake(in, out, session)
       var open = true
@@ -70,6 +80,53 @@ final class MysqlWireServer(spark: SparkSession, port: Int = 0) {
               respond(out, session, s"USE `$db`")
             case ComQuery =>
               respond(out, session, new String(p.rest(), UTF_8))
+            case ComStmtPrepare =>
+              val sql = new String(p.rest(), UTF_8)
+              val parts = splitOnPlaceholders(sql)
+              val id = nextStmtId; nextStmtId += 1
+              stmts(id) = Prepared(parts, null)
+              var seq = writePacket(out, 1,
+                stmtPrepareOk(id, 0, parts.size - 1))
+              if (parts.size > 1) {
+                // anonymous parameter markers, VARCHAR by convention
+                (1 until parts.size).foreach { i =>
+                  seq = writePacket(out, seq, columnDefinition(s"?$i",
+                    org.apache.spark.sql.types.StringType))
+                }
+                writePacket(out, seq, eofPacket())
+              }
+              out.flush()
+            case ComStmtExecute =>
+              val id = p.u32().toInt
+              p.u8(); p.u32() // flags, iteration count (always 1)
+              stmts.get(id) match {
+                case None =>
+                  writePacket(out, 1, errPacket(1243,
+                    s"unknown prepared statement handler $id")); out.flush()
+                case Some(st) =>
+                  val nParams = st.parts.size - 1
+                  val vals: Seq[String] =
+                    if (nParams == 0) Nil
+                    else {
+                      val bitmap = p.bytes((nParams + 7) / 8)
+                      if (p.u8() == 1) // new-params-bound flag
+                        st.types = Array.fill(nParams) { val t = p.u8(); t | (p.u8() << 8) }
+                      require(st.types != null,
+                        "COM_STMT_EXECUTE without bound parameter types")
+                      (0 until nParams).map { i =>
+                        if ((bitmap(i / 8) & (1 << (i % 8))) != 0) { "NULL" }
+                        else decodeBinaryParam(p, st.types(i))
+                      }
+                    }
+                  // client-side-typed params rendered into the text path
+                  val sql = st.parts.head + vals.zip(st.parts.tail)
+                    .map { case (v, part) => v + part }.mkString
+                  respond(out, session, sql, binary = true)
+              }
+            case ComStmtClose =>
+              stmts.remove(p.u32().toInt): Unit // no response, per protocol
+            case ComStmtReset =>
+              writePacket(out, 1, okPacket()); out.flush()
             case other =>
               writePacket(out, 1, errPacket(1047, s"unsupported command $other"))
               out.flush()
@@ -126,11 +183,14 @@ final class MysqlWireServer(spark: SparkSession, port: Int = 0) {
     out.flush()
   }
 
-  /** Run one statement, write an OK (no result schema) or a text
-    * resultset: column count, ColumnDefinition41s, EOF, rows, EOF
-    * (`write_blks`, mysql/mod.rs:150-345).
+  /** Run one statement, write an OK (no result schema) or a resultset:
+    * column count, ColumnDefinition41s, EOF, rows, EOF (`write_blks`,
+    * mysql/mod.rs:150-345). `binary = true` encodes rows in the binary
+    * protocol (COM_STMT_EXECUTE responses); the surrounding framing is
+    * identical.
     */
-  private def respond(out: OutputStream, session: GraftSession, sql: String): Unit = {
+  private def respond(out: OutputStream, session: GraftSession, sql: String,
+                      binary: Boolean = false): Unit = {
     var seq = 1
     def send(payload: Array[Byte]): Unit = seq = writePacket(out, seq, payload)
     try {
@@ -149,9 +209,12 @@ final class MysqlWireServer(spark: SparkSession, port: Int = 0) {
         // of buffering the whole resultset to the final flush.
         var n = 0L
         df.toLocalIterator().asScala.foreach { row =>
-          val o = new java.io.ByteArrayOutputStream()
-          schema.fields.indices.foreach(i => o.write(textValue(row, i)))
-          send(o.toByteArray)
+          if (binary) send(binaryRow(row))
+          else {
+            val o = new java.io.ByteArrayOutputStream()
+            schema.fields.indices.foreach(i => o.write(textValue(row, i)))
+            send(o.toByteArray)
+          }
           n += 1
           if ((n & 0x3ff) == 0L) out.flush()
         }

@@ -124,6 +124,48 @@ object BqlType {
     val sparkType = inner.sparkType
   }
 
+  /** ClickHouse AggregateFunction(f, T) — a column holding the aggregate
+    * function's STATE (CH serializes an opaque internal state; here each
+    * state is a TRANSPARENT Spark value chosen so plain Catalyst
+    * aggregates implement `fState` / `fMerge` / the FINAL merge exactly):
+    * sum/min/max → the running value, count → the running count,
+    * avg → struct(s Float64, c Int64), uniqExact → the sorted
+    * distinct-value array (exact by construction; set-union merge).
+    */
+  final case class AggFn(func: String, inner: Option[BqlType])
+      extends BqlType(
+        s"AggregateFunction($func${inner.map(", " + _.chName).getOrElse("")})") {
+    val sparkType = AggFn.stateType(func, inner)
+  }
+
+  object AggFn {
+    val supported: Set[String] =
+      Set("sum", "count", "min", "max", "avg", "uniqExact")
+
+    private[BqlType] def stateType(func: String, inner: Option[BqlType]): DataType =
+      func match {
+        case "count" => LongType
+        // avg state keeps the sum in the INPUT's exact sum type (decimal
+        // stays decimal) so merge results cannot depend on row order
+        case "avg" => StructType(Seq(
+          StructField("s", stateType("sum", inner), nullable = true),
+          StructField("c", LongType, nullable = true)))
+        case "uniqExact" =>
+          ArrayType(inner.map(_.sparkType).getOrElse(StringType),
+            containsNull = false)
+        case "min" | "max" => inner.map(_.sparkType).getOrElse(StringType)
+        case "sum" => inner.map(_.sparkType) match {
+          case Some(_: DecimalType) =>
+            val d = inner.get.sparkType.asInstanceOf[DecimalType]
+            DecimalType(math.min(38, d.precision + 10), d.scale)
+          case Some(FloatType | DoubleType) => DoubleType
+          case _ => LongType // CH sums integrals into Int64/UInt64
+        }
+        case other => throw new IllegalArgumentException(
+          s"AggregateFunction: unsupported function $other")
+      }
+  }
+
   /** Max decimal precision the reference's storage accepts
     * (crates/meta/src/types.rs:145-153 — ≤9 → 4 bytes, ≤18 → 8 bytes;
     * the grammar admits up to 76 but storage rejects >18).
@@ -231,6 +273,19 @@ object BqlType {
           })
           .orElse(if (s == "IPv4") Some(Right(IPv4)) else None)
           .orElse(if (s == "IPv6") Some(Right(IPv6)) else None)
+          .orElse(withArgs("AggregateFunction").map { a =>
+            splitTopLevel(a) match {
+              case Seq(f) if AggFn.supported.contains(f.trim) =>
+                Right(AggFn(f.trim, None))
+              case Seq(f, t) if AggFn.supported.contains(f.trim) =>
+                parse(t).map(bt => AggFn(f.trim, Some(bt)))
+              case Seq(f, _*) =>
+                Left(s"AggregateFunction: unsupported function ${f.trim} " +
+                  s"(supported: ${AggFn.supported.toSeq.sorted.mkString(", ")})")
+              case _ =>
+                Left(s"AggregateFunction expects (func[, T]): $input")
+            }
+          })
           .orElse(withArgs("SimpleAggregateFunction").map { a =>
             a.split(",", 2) match {
               case Array(f, t) =>
@@ -263,7 +318,7 @@ object BqlType {
   /** Split a type-parameter list on TOP-LEVEL commas only — nested
     * parameterized types (Map(String, Decimal(10, 2))) keep theirs.
     */
-  private def splitTopLevel(s: String): Seq[String] = {
+  private[graft] def splitTopLevel(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0
     var start = 0

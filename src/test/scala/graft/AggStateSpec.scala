@@ -1,0 +1,148 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.exec.GraftSession
+
+/** AggregateFunction(f, T) + -State/-Merge (VERDICT r16 task #4): the CH
+  * pre-aggregation pattern where a target table stores aggregate STATES,
+  * a `CREATE MATERIALIZED VIEW … TO target` writes fState partials per
+  * inserted block, FINAL/OPTIMIZE merge states per key, and fMerge reads
+  * final values. These tests pin the type round-trip (DESC + replay), the
+  * state algebra across insert waves, the FINAL state->state merge, and
+  * restart replay of the whole arrangement (d29 is the oracle entry).
+  */
+class AggStateSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  private lazy val g = new GraftSession(spark)
+
+  private def forgetTable(table: String): Unit =
+    spark.sharedState.externalCatalog.dropTable(
+      "default", table, ignoreIfNotExists = true, purge = false)
+
+  private def mkTables(gs: GraftSession): Unit = {
+    gs.sql("DROP TABLE IF EXISTS ags_mv; DROP TABLE IF EXISTS ags_t; " +
+      "DROP TABLE IF EXISTS ags_raw")
+    gs.sql("CREATE TABLE ags_raw(k Int64, v Float64, et String)")
+    gs.sql("CREATE TABLE ags_t(k Int64 PRIMARY KEY, " +
+      "s AggregateFunction(sum, Decimal(18,6)), " +
+      "c AggregateFunction(count), " +
+      "mn AggregateFunction(min, Float64), " +
+      "a AggregateFunction(avg, Decimal(18,6)), " +
+      "u AggregateFunction(uniqExact, String)) ENGINE=AggregatingMergeTree")
+    gs.sql("CREATE MATERIALIZED VIEW ags_mv TO ags_t AS " +
+      "SELECT k, sumState(CAST(v AS DECIMAL(18,6))) AS s, countState() AS c, " +
+      "minState(v) AS mn, avgState(CAST(v AS DECIMAL(18,6))) AS a, " +
+      "uniqExactState(et) AS u FROM ags_raw GROUP BY k")
+  }
+
+  private def mergeRows(gs: GraftSession): Seq[(Long, Double, Long, Double, Double, Long)] =
+    gs.sql("SELECT k, CAST(round(sumMerge(s), 3) AS DOUBLE) AS sv, " +
+      "countMerge(c) AS n, CAST(minMerge(mn) AS DOUBLE) AS mv, " +
+      "CAST(round(CAST(avgMerge(a) AS DECIMAL(18,6)), 4) AS DOUBLE) AS av, " +
+      "uniqExactMerge(u) AS ud FROM ags_t GROUP BY k ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5))).toSeq
+
+  private def directRows(gs: GraftSession): Seq[(Long, Double, Long, Double, Double, Long)] =
+    gs.sql("SELECT k, CAST(round(sum(CAST(v AS DECIMAL(18,6))), 3) AS DOUBLE)" +
+      " AS sv, count(*) AS n, CAST(min(v) AS DOUBLE) AS mv, " +
+      "CAST(round(CAST(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) " +
+      "/ count(*) AS DECIMAL(18,6)), 4) AS DOUBLE) AS av, " +
+      "count(DISTINCT et) AS ud FROM ags_raw GROUP BY k ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5))).toSeq
+
+  test("declared AggregateFunction types round-trip DESC and the replay " +
+    "script; unsupported functions are rejected") {
+    mkTables(g)
+    val desc = g.sql("DESC ags_t").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(desc("s") === "AggregateFunction(sum, Decimal(18, 6))" ||
+      desc("s") === "AggregateFunction(sum, Decimal(18,6))", desc("s"))
+    assert(desc("c").startsWith("AggregateFunction(count"), desc("c"))
+    assert(desc("u") === "AggregateFunction(uniqExact, String)", desc("u"))
+    val script = g.sql("SHOW CREATE TABLE ags_t").head().getString(0)
+    assert(script.contains("AggregateFunction(sum, Decimal(18, 6))") ||
+      script.contains("AggregateFunction(sum, Decimal(18,6))"), script)
+    val e = intercept[Exception] {
+      g.sql("CREATE TABLE ags_bad(x AggregateFunction(median, Int64))") }
+    assert(e.getMessage.contains("unsupported function"), e.getMessage)
+  }
+
+  test("-State partials accumulate across insert waves, -Merge equals the " +
+    "direct aggregate, and FINAL/OPTIMIZE merge state->state exactly") {
+    mkTables(g)
+    g.sql("INSERT INTO ags_raw VALUES " +
+      "(1, 1.25, 'a'), (1, 2.5, 'b'), (2, 10.0, 'a')")
+    g.sql("INSERT INTO ags_raw VALUES " +
+      "(1, 4.0, 'a'), (2, 0.5, 'c'), (3, 7.75, 'd')")
+    // two blocks -> (up to) two state rows per key before any merge
+    assert(g.spark.table("ags_t").count() === 5L) // k=1,2 twice + k=3 once
+    assert(mergeRows(g) === directRows(g))
+    // FINAL merges states on read (state -> state), fMerge on top agrees
+    val fin = g.sql("SELECT k, CAST(round(sumMerge(s), 3) AS DOUBLE) AS sv," +
+      " countMerge(c) AS n FROM ags_t FINAL GROUP BY k ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(fin === directRows(g).map(t => (t._1, t._2, t._3)))
+    // OPTIMIZE FINAL rewrites storage to one state row per key
+    g.sql("OPTIMIZE TABLE ags_t FINAL")
+    assert(g.spark.table("ags_t").count() === 3L)
+    assert(mergeRows(g) === directRows(g))
+    // states keep accumulating after the physical merge
+    g.sql("INSERT INTO ags_raw VALUES (3, 0.25, 'd'), (4, 9.0, 'e')")
+    assert(mergeRows(g) === directRows(g))
+  }
+
+  test("the TO-form view, its subscription, and the state table survive a " +
+    "restart; DROP of the view detaches the subscription") {
+    mkTables(g)
+    g.sql("INSERT INTO ags_raw VALUES (1, 1.0, 'a'), (2, 2.0, 'b')")
+    val before = mergeRows(g)
+    assert(before === directRows(g))
+
+    // simulated restart: catalog forgets the tables, views re-register
+    // from their replay scripts
+    forgetTable("ags_t"); forgetTable("ags_raw")
+    val g2 = new GraftSession(spark)
+    assert(!g2.restoreErrors.exists(_._2.startsWith("ags_")),
+      s"restore must be clean, got: ${g2.restoreErrors}")
+    assert(mergeRows(g2) === before, "states lost across restart")
+    // the subscription is live again: a new block lands as fresh states
+    g2.sql("INSERT INTO ags_raw VALUES (1, 5.0, 'z')")
+    assert(mergeRows(g2) === directRows(g2))
+    // reads THROUGH the view see the target's contents (CH contract)
+    assert(g2.sql("SELECT count(*) AS n FROM ags_mv").head().getLong(0) ===
+      g2.spark.table("ags_t").count())
+
+    // DROP TABLE on the view (CH's drop form) detaches the subscription
+    g2.sql("DROP TABLE ags_mv")
+    val rowsBefore = g2.spark.table("ags_t").count()
+    g2.sql("INSERT INTO ags_raw VALUES (9, 1.0, 'q')")
+    assert(g2.spark.table("ags_t").count() === rowsBefore,
+      "a dropped TO-view must stop feeding its target")
+    g2.sql("DROP TABLE ags_t; DROP TABLE ags_raw")
+  }
+
+  test("TO rejects POPULATE and a missing target; ENGINE+TO is a parse " +
+    "error") {
+    g.sql("DROP TABLE IF EXISTS ags_p_raw; DROP TABLE IF EXISTS ags_p_t")
+    g.sql("CREATE TABLE ags_p_raw(k Int64)")
+    g.sql("CREATE TABLE ags_p_t(k Int64 PRIMARY KEY, " +
+      "c AggregateFunction(count)) ENGINE=AggregatingMergeTree")
+    val e1 = intercept[Exception] {
+      g.sql("CREATE MATERIALIZED VIEW ags_p_mv TO ags_p_t POPULATE AS " +
+        "SELECT k, countState() AS c FROM ags_p_raw GROUP BY k") }
+    assert(e1.getMessage.toLowerCase.contains("populate"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      g.sql("CREATE MATERIALIZED VIEW ags_p_mv TO no_such_table AS " +
+        "SELECT k, countState() AS c FROM ags_p_raw GROUP BY k") }
+    assert(e2.getMessage.contains("no table"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      g.sql("CREATE MATERIALIZED VIEW ags_p_mv TO ags_p_t ENGINE=Log AS " +
+        "SELECT k, countState() AS c FROM ags_p_raw GROUP BY k") }
+    assert(e3.getMessage.contains("mutually exclusive"), e3.getMessage)
+    g.sql("DROP TABLE ags_p_t; DROP TABLE ags_p_raw")
+  }
+}

@@ -118,6 +118,56 @@ class MysqlWireSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("COM_STMT_PREPARE/EXECUTE/CLOSE: typed binary params render into " +
+    "the query, rows come back in the binary protocol, and the server " +
+    "caches param types across executes (python probe, no shared code)") {
+    val server = new MysqlWireServer(spark).start()
+    try {
+      // fixture through the text path on a separate connection
+      val setup = Seq("python3", "scripts/mysql_wire_probe.py",
+        server.boundPort.toString,
+        "DROP TABLE IF EXISTS py_prep_tab",
+        "CREATE TABLE py_prep_tab(a Int64, x Float64, s Nullable(String), d Date)",
+        "INSERT INTO py_prep_tab VALUES " +
+          "(1, 1.5, 'it''s', '2021-03-04'), (2, 2.5, NULL, '2021-03-05'), " +
+          "(3, 99.0, 'zz', '2021-03-06')")
+      def run(cmd: Seq[String]): String = {
+        val out = new StringBuilder
+        val proc = new ProcessBuilder(cmd: _*)
+          .directory(new java.io.File(".").getAbsoluteFile.getParentFile)
+          .redirectErrorStream(true).start()
+        val rd = new java.io.BufferedReader(
+          new java.io.InputStreamReader(proc.getInputStream, UTF_8))
+        Iterator.continually(rd.readLine()).takeWhile(_ != null)
+          .foreach(l => out.append(l).append('\n'))
+        assert(proc.waitFor() === 0, s"probe failed:\n$out")
+        out.toString.linesIterator.find(_.startsWith("{"))
+          .getOrElse(fail(s"no JSON line in:\n$out"))
+      }
+      run(setup)
+      // int + double + string (with a quote, proving escaping) + date
+      val json = run(Seq("python3", "scripts/mysql_wire_probe.py",
+        server.boundPort.toString, "--prepared",
+        "SELECT a, x, s, d FROM py_prep_tab " +
+          "WHERE a >= ? AND x < ? AND (s = ? OR s IS NULL) AND d >= ? " +
+          "ORDER BY a",
+        "int:1", "float:50.0", "str:it's", "date:2021-03-04"))
+      assert(json.contains(""""columns": ["a", "x", "s", "d"]"""), json)
+      assert(json.contains("""[1, 1.5, "it's", "2021-03-04"]"""), json)
+      assert(json.contains("""[2, 2.5, null, "2021-03-05"]"""), json)
+      assert(!json.contains("99.0"), s"x < 50 param must filter row 3: $json")
+      assert(json.contains(""""reexec_equal": true"""),
+        s"server must cache bound param types across executes: $json")
+      // NULL param via the null bitmap
+      val jn = run(Seq("python3", "scripts/mysql_wire_probe.py",
+        server.boundPort.toString, "--prepared",
+        "SELECT count(*) AS n FROM py_prep_tab WHERE ? IS NULL", "null:"))
+      assert(jn.contains("""[3]"""), jn)
+      run(Seq("python3", "scripts/mysql_wire_probe.py",
+        server.boundPort.toString, "DROP TABLE py_prep_tab"))
+    } finally server.stop()
+  }
+
   test("handshake, ping, and CREATE/INSERT/SELECT round-trip") {
     val server = new MysqlWireServer(spark).start()
     val client = new MysqlClient(server.boundPort)
