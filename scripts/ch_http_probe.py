@@ -59,6 +59,19 @@ def main():
     st, body = call(port, q("SELECT broken FROM http_probe_t"))
     assert st == 500 and body.startswith("Code: "), (st, body)
 
+    # operability headers: exact summary when buffered, timezone, query id
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/?wait_end_of_query=1&query_id=probe-7&"
+        + urllib.parse.urlencode({"query":
+            "SELECT a FROM http_probe_t ORDER BY a"}))
+    with urllib.request.urlopen(req) as resp:
+        summary = json.loads(resp.headers["X-ClickHouse-Summary"])
+        assert summary["result_rows"] == "2", summary
+        assert int(summary["elapsed_ns"]) > 0, summary
+        assert resp.headers["X-ClickHouse-Query-Id"] == "probe-7"
+        assert resp.headers["X-ClickHouse-Timezone"] == "UTC"
+        assert resp.read().decode() == "1\n2\n"
+
     call(port, q("DROP TABLE http_probe_t"))
     print("HTTP_PROBE_OK")
 

@@ -353,7 +353,29 @@ def read_value(conn, t):
             return conn.read(rvarint(conn)).decode("utf-8")
         n = int(t[len("FixedString("):-1])
         return conn.read(n).decode("utf-8")
+    if t.startswith("DateTime64("):
+        # Int64 ticks at 10^-precision seconds; returned raw so the caller
+        # asserts exact tick values (r17 compressed-transport canary)
+        return struct.unpack("<q", conn.read(8))[0]
     raise ValueError(f"probe does not decode type {t}")
+
+
+def read_array_column(conn, inner, nrows):
+    """Array(T) native framing: cumulative UInt64 offsets per row, then
+    the flattened inner column (its own null map first when Nullable)."""
+    offs = [struct.unpack("<Q", conn.read(8))[0] for _ in range(nrows)]
+    total = offs[-1] if nrows else 0
+    base, nulls = inner, [0] * total
+    if inner.startswith("Nullable("):
+        base = inner[len("Nullable("):-1]
+        nulls = list(conn.read(total))
+    flat = [read_value(conn, base) for _ in range(total)]
+    flat = [None if nulls[i] else flat[i] for i in range(total)]
+    out, prev = [], 0
+    for o in offs:
+        out.append(flat[prev:o])
+        prev = o
+    return out
 
 
 def read_lowcardinality(conn, inner, nrows):
@@ -461,6 +483,9 @@ def read_block(conn):
         if t.startswith("LowCardinality("):
             cols.append(read_lowcardinality(
                 conn, t[len("LowCardinality("):-1], nrows))
+            continue
+        if t.startswith("Array("):
+            cols.append(read_array_column(conn, t[len("Array("):-1], nrows))
             continue
         nulls = [0] * nrows
         base = t

@@ -32,9 +32,11 @@ import graft.types.BqlType
   *     protocol's Hello database field).
   *   - errors → HTTP 500 with CH's `Code: NN. DB::Exception: …` body and
   *     the `X-ClickHouse-Exception-Code` header.
-  *   - responses carry X-ClickHouse-Format / -Query-Id headers; gzip in
-  *     both directions behind `enable_http_compression=1` /
-  *     `Content-Encoding: gzip`.
+  *   - responses carry X-ClickHouse-Format / -Query-Id / -Timezone /
+  *     -Summary headers (the summary's result counters are exact when the
+  *     client buffers with `wait_end_of_query=1`, partial zeros on the
+  *     streamed path — CH's own contract); gzip in both directions behind
+  *     `enable_http_compression=1` / `Content-Encoding: gzip`.
   *   - `?session_id=` gives the request CH's HTTP-session state (its own
   *     current database via USE, its own temp views) — isolated through
   *     a per-session SparkSession, LRU-bounded.
@@ -155,6 +157,7 @@ final class ChHttpServer(spark: SparkSession, port: Int = 0) {
 
   private def serve(ex: HttpExchange, stmt0: String, payload: String,
                     params: Map[String, String]): Unit = {
+    val t0 = System.nanoTime()
     val (stmt, inlineFmt) = splitFormat(stmt0)
     val fmt = inlineFmt.orElse(params.get("default_format"))
       .getOrElse("TabSeparated")
@@ -170,15 +173,43 @@ final class ChHttpServer(spark: SparkSession, port: Int = 0) {
     val gzip = params.get("enable_http_compression").contains("1") &&
       Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
         .exists(_.toLowerCase.contains("gzip"))
-    val headers = Seq(
+    // X-ClickHouse-Summary: CH's progress/result counters as string-typed
+    // JSON. An HTTP header must be fixed before the body starts, so the
+    // STREAMED path carries the partial (zero-counter) summary — exactly
+    // what CH's early progress headers look like — and accurate
+    // result_rows/result_bytes come back when the client buffers with
+    // wait_end_of_query=1 (CH's own switch for trustworthy summaries).
+    def summary(resultRows: Long, resultBytes: Long): String = {
+      val el = System.nanoTime() - t0
+      s"""{"read_rows":"$resultRows","read_bytes":"$resultBytes",""" +
+        s""""written_rows":"0","written_bytes":"0","total_rows_to_read":"0",""" +
+        s""""result_rows":"$resultRows","result_bytes":"$resultBytes",""" +
+        s""""elapsed_ns":"$el"}"""
+    }
+    def headers(sum: String) = Seq(
       "Content-Type" -> contentType(fmt),
       "X-ClickHouse-Server-Display-Name" -> ChProto.ServerName,
       "X-ClickHouse-Format" -> fmt,
-      "X-ClickHouse-Query-Id" -> qid) ++
+      "X-ClickHouse-Query-Id" -> qid,
+      "X-ClickHouse-Timezone" ->
+        ses.spark.conf.get("spark.sql.session.timeZone", "UTC"),
+      "X-ClickHouse-Summary" -> sum) ++
       (if (gzip) Seq("Content-Encoding" -> "gzip") else Nil)
-    if (df.schema.isEmpty) { respond(ex, 200, Array.emptyByteArray, headers); return }
+    if (df.schema.isEmpty) {
+      respond(ex, 200, Array.emptyByteArray, headers(summary(0L, 0L))); return
+    }
+    if (params.get("wait_end_of_query").contains("1")) {
+      // buffered: the summary header carries exact result counters
+      val buf = new java.io.ByteArrayOutputStream()
+      val os = if (gzip) new java.util.zip.GZIPOutputStream(buf) else buf
+      val n = try render(os, df, fmt) finally os.close()
+      val body = buf.toByteArray
+      respond(ex, 200, body, headers(summary(n, body.length.toLong)))
+      return
+    }
     // stream the rendered rows chunked (response length 0 = chunked)
-    headers.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
+    headers(summary(0L, 0L)).foreach { case (k, v) =>
+      ex.getResponseHeaders.set(k, v) }
     ex.sendResponseHeaders(200, 0L)
     val raw = ex.getResponseBody
     val os = if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw
@@ -241,12 +272,17 @@ final class ChHttpServer(spark: SparkSession, port: Int = 0) {
       } + "\""
   }
 
-  private def render(os: OutputStream, df: DataFrame, fmt: String): Unit = {
+  /** Renders the result in `fmt`; returns the number of data rows
+    * rendered (the wait_end_of_query summary's result_rows).
+    */
+  private def render(os: OutputStream, df: DataFrame, fmt: String): Long = {
     import scala.jdk.CollectionConverters._
     val names = df.columns.toSeq
     val types = chTypeNames(df)
     def w(s: String): Unit = os.write(s.getBytes(UTF_8))
-    def rows: Iterator[Row] = df.toLocalIterator().asScala
+    var rendered = 0L
+    def rows: Iterator[Row] =
+      df.toLocalIterator().asScala.map { r => rendered += 1; r }
     fmt.toLowerCase match {
       case "tabseparated" | "tsv" | "tabseparatedwithnames" |
            "tsvwithnames" | "tabseparatedwithnamesandtypes" |
@@ -321,5 +357,6 @@ final class ChHttpServer(spark: SparkSession, port: Int = 0) {
           "(supported: TabSeparated[WithNames[AndTypes]], TSV*, " +
           "CSV[WithNames], JSON, JSONEachRow, Values, Pretty[Compact])")
     }
+    rendered
   }
 }

@@ -158,6 +158,15 @@ object ChProto {
           if d.precision == 20 && d.scale == 0 && isU64(i) => BqlType.UInt64
       case d: org.apache.spark.sql.types.DecimalType
           if d.precision > BqlType.MaxDecimalPrecision => BqlType.Str
+      // Spark timestamps are MICROSECONDS; the DateTime (u32 seconds)
+      // wire form would silently truncate a DateTime64 column's
+      // sub-second ticks on SELECT (caught by the r17 compressed-
+      // transport canary). DateTime64(6) is the lossless wire carrier
+      // and every CH client reads it; the reference's fork cannot even
+      // declare it.
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        BqlType.DateTime64(6, None)
       case _ => return BqlType.fromSpark(f.dataType, f.nullable)
     }
     if (f.nullable) BqlType.Nullable(base) else base

@@ -78,6 +78,41 @@ class ChHttpSpec extends AnyFunSuite {
     }
   }
 
+  test("X-ClickHouse-Summary / -Timezone / default_format: buffered " +
+    "(wait_end_of_query=1) summaries carry exact result counters, " +
+    "streamed ones the partial zeros; default_format loses to inline " +
+    "FORMAT") {
+    withServer { (_, p) =>
+      // buffered: exact result_rows/result_bytes
+      val r = get(p, "/?wait_end_of_query=1&query=" +
+        enc("SELECT number FROM numbers(5)"))
+      assert(r.statusCode() === 200)
+      val sum = r.headers().firstValue("X-ClickHouse-Summary").get
+      assert(sum.contains(""""result_rows":"5""""), sum)
+      assert(sum.contains(s""""result_bytes":"${r.body().length}""""), sum)
+      assert(sum.contains(""""elapsed_ns":""""), sum)
+      assert(r.headers().firstValue("X-ClickHouse-Timezone").get === "UTC")
+      assert(r.headers().firstValue("X-ClickHouse-Query-Id").isPresent)
+      // streamed: the summary header exists with partial (zero) counters
+      val s2 = get(p, "/?query=" + enc("SELECT number FROM numbers(5)"))
+        .headers().firstValue("X-ClickHouse-Summary").get
+      assert(s2.contains(""""result_rows":"0""""), s2)
+      // an explicit query_id echoes back
+      val qid = get(p, "/?query_id=my-qid-42&query=" + enc("SELECT 1"))
+        .headers().firstValue("X-ClickHouse-Query-Id").get
+      assert(qid === "my-qid-42")
+      // default_format applies, and an inline FORMAT beats it
+      val df1 = get(p, "/?default_format=JSONEachRow&query=" +
+        enc("SELECT 7 AS x"))
+      assert(df1.body().trim === """{"x":7}""", df1.body())
+      assert(df1.headers().firstValue("X-ClickHouse-Format").get ===
+        "JSONEachRow")
+      val df2 = get(p, "/?default_format=JSONEachRow&query=" +
+        enc("SELECT 7 AS x FORMAT CSV"))
+      assert(df2.body().trim === "7", df2.body())
+    }
+  }
+
   test("query in the POST body; INSERT with URL statement + body payload " +
     "(the curl --data-binary idiom); database parameter") {
     withServer { (_, p) =>

@@ -84,6 +84,40 @@ class ChWireSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("COMPRESSED-transport canary: DateTime64 sub-second ticks and " +
+    "Array columns (incl. Nullable elements) survive the LZ4+CityHash " +
+    "frames bit-exactly (r17 wire canary)") {
+    val server = new ChWireServer(spark).start()
+    try {
+      val cmd = Seq("python3", "scripts/ch_wire_probe.py", "--compress",
+        server.boundPort.toString,
+        "DROP TABLE IF EXISTS py_c17_probe",
+        "CREATE TABLE py_c17_probe(id Int64, t DateTime64(3), a Array(Int64))",
+        "INSERT INTO py_c17_probe VALUES " +
+          "(1, '2021-03-04 05:06:07.890', [1, 2, 3]), " +
+          "(2, '2021-03-04 05:06:08.001', []), " +
+          "(3, '2021-03-04 05:06:09.999', [42])",
+        "SELECT id, t, a FROM py_c17_probe ORDER BY id",
+        "SELECT array(NULL, 7) AS na",
+        "DROP TABLE py_c17_probe")
+      val proc = new ProcessBuilder(cmd: _*)
+        .redirectErrorStream(true).start()
+      val out = new String(proc.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(proc.waitFor() === 0, s"probe failed:\n$out")
+      val json = out.linesIterator.find(_.startsWith("{"))
+        .getOrElse(fail(s"no JSON line in:\n$out"))
+      assert(json.contains(""""compressed": true"""), json)
+      // the wire carrier is DateTime64(6) (lossless microsecond ticks;
+      // the u32-seconds DateTime form truncated these before r17)
+      assert(json.contains(""""Nullable(DateTime64(6))""""), json)
+      assert(json.contains("[1, 1614834367890000, [1, 2, 3]]"), json)
+      assert(json.contains("[2, 1614834368001000, []]"), json)
+      assert(json.contains("[3, 1614834369999000, [42]]"), json)
+      assert(json.contains("[[null, 7]]"), json)
+    } finally server.stop()
+  }
+
   test("INDEPENDENT python probe cancels a SELECT mid-stream: the server " +
     "cuts the stream with EndOfStream and the connection stays usable") {
     val server = new ChWireServer(spark).start()
