@@ -725,6 +725,7 @@ class GraftSession(val spark: SparkSession) {
         text.split("\n").toSeq.map(Row(_)).asJava,
         StructType(Seq(StructField("plan", StringType))))
     case ir: InsertRemote => insertRemote(ir)
+    case fi: InsertFile => insertFile(fi)
     case Select(raw) => runSelect(raw)
   }
 
@@ -1773,6 +1774,59 @@ class GraftSession(val spark: SparkSession) {
       case Some(p) =>
         s"${p.pre}GROUP BY GROUPING SETS ((${p.groupExprs}), ())${p.tail}"
     }
+
+  /** INSERT INTO FUNCTION file('rel/path', 'Format') SELECT … — the write
+    * side of the `file()` table function: renders the SELECT under the
+    * same confined data root, ONE file at the exact relative path (CH's
+    * contract — the path names a file, not a dataset directory; coalesce
+    * is correct here because file() exports are operator-sized extracts,
+    * not fact tables). Appends if the file exists (CH's default).
+    */
+  private def insertFile(fi: ChStatement.InsertFile): DataFrame = {
+    val root = java.nio.file.Paths.get(
+      spark.conf.getOption("spark.graft.fileRoot")
+        .getOrElse("/tmp/graft_user_files")).toAbsolutePath.normalize
+    val target = root.resolve(fi.path).normalize
+    require(target.startsWith(root),
+      s"file(): path escapes the data root $root: ${fi.path}")
+    java.nio.file.Files.createDirectories(target.getParent)
+    val df = spark.sql(rewriteSelect(fi.selectSql)).coalesce(1)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_file_out")
+    val fmt = fi.format.trim.toLowerCase(java.util.Locale.ROOT)
+    val w = df.write.mode("overwrite")
+    val (writer, ext) = fmt match {
+      case "csv" => (w.option("header", "false"), "csv")
+      case "csvwithnames" => (w.option("header", "true"), "csv")
+      case "tsv" | "tabseparated" =>
+        (w.option("header", "false").option("sep", "\t"), "csv")
+      case "tsvwithnames" | "tabseparatedwithnames" =>
+        (w.option("header", "true").option("sep", "\t"), "csv")
+      case "jsoneachrow" => (w, "json")
+      case "parquet" => (w, "parquet")
+      case other => throw new IllegalArgumentException(
+        s"INSERT INTO FUNCTION file: unsupported format $other")
+    }
+    ext match {
+      case "csv" => writer.csv(tmp.toString)
+      case "json" => writer.json(tmp.toString)
+      case "parquet" => writer.parquet(tmp.toString)
+    }
+    val part = java.nio.file.Files.list(tmp).iterator()
+    val produced = Iterator.continually(part)
+      .takeWhile(_.hasNext).map(_.next())
+      .find(_.getFileName.toString.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException("file(): no output part"))
+    if (java.nio.file.Files.exists(target) && ext != "parquet") {
+      // append mode for text formats, CH's behavior on an existing file
+      val out = java.nio.file.Files.newOutputStream(target,
+        java.nio.file.StandardOpenOption.APPEND)
+      try java.nio.file.Files.copy(produced, out) finally out.close()
+    } else
+      java.nio.file.Files.move(produced, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    rmTree(tmp.toFile)
+    emptyOk
+  }
 
   /** INSERT INTO FUNCTION remote(...) — append rows to a remote table:
     * `ch://` addresses stream native client blocks over the wire, exactly

@@ -88,6 +88,11 @@ object ChStatement {
     * (reference: crates/runtime/src/mgmt.rs:744-770; addr is a JDBC url
     * here — the Spark-native federation transport).
     */
+  /** INSERT INTO FUNCTION file('rel/path', 'Format') SELECT … — CH's
+    * file-export table function (the write side of `file()`).
+    */
+  final case class InsertFile(path: String, format: String,
+                              selectSql: String) extends ChStatement
   final case class InsertRemote(url: String, table: String,
                                 auth: Option[(String, String)],
                                 values: Option[Seq[Seq[Option[String]]]],
@@ -1281,7 +1286,27 @@ object ChParser {
       val isFn = p.isKw("function"); p.i = save; isFn
     }) {
       p.next(); p.next() // INTO FUNCTION
-      for {
+      if (p.isKw("file")) {
+        p.next()
+        def str(): Either[String, String] = p.peek match {
+          case Some(StrLit(s, _)) => p.next(); Right(s)
+          case other =>
+            Left(s"file: expected string literal, got ${other.map(_.text)}")
+        }
+        for {
+          _ <- p.expectPunct("(")
+          path <- str()
+          _ <- p.expectPunct(",")
+          fmt <- str()
+          _ <- p.expectPunct(")")
+          stmt <- {
+            if (p.isKw("select") || p.isKw("with"))
+              Right(InsertFile(path, fmt, p.rest))
+            else Left("INSERT INTO FUNCTION file: expected SELECT at " +
+              p.posText)
+          }
+        } yield stmt
+      } else for {
         _ <- p.expectKw("remote")
         args <- parseRemoteArgs(p)
         stmt <- {

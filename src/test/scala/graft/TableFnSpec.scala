@@ -73,6 +73,31 @@ class TableFnSpec extends AnyFunSuite {
     }
   }
 
+  test("INSERT INTO FUNCTION file() writes under the root; file() reads " +
+    "it back; a second INSERT appends (CH text-format contract); " +
+    "traversal out is rejected") {
+    withRoot { root =>
+      g.sql("INSERT INTO FUNCTION file('out/export.csv', 'CSVWithNames') " +
+        "SELECT 1 AS k, 'a' AS s")
+      assert(java.nio.file.Files.exists(root.resolve("out/export.csv")))
+      val r1 = g.sql("SELECT k, s FROM file('out/export.csv', " +
+        "'CSVWithNames', 'k Int64, s String') ORDER BY k")
+      assert(r1.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+        Seq((1L, "a")))
+      // append: headerless so the appended rows don't re-emit a header
+      g.sql("INSERT INTO FUNCTION file('out/plain.csv', 'CSV') " +
+        "SELECT 1 AS k UNION ALL SELECT 2 AS k")
+      g.sql("INSERT INTO FUNCTION file('out/plain.csv', 'CSV') " +
+        "SELECT 3 AS k")
+      val r2 = g.sql("SELECT c1 FROM file('out/plain.csv', 'CSV', " +
+        "'c1 Int64') ORDER BY c1")
+      assert(r2.collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+      val e = intercept[Exception] {
+        g.sql("INSERT INTO FUNCTION file('../evil.csv', 'CSV') SELECT 1") }
+      assert(e.getMessage.contains("escapes the data root"), e.getMessage)
+    }
+  }
+
   test("merge() unions matching tables; _table appears only when asked; " +
     "a view over merge() sees tables created AFTER the view") {
     g.sql("DROP VIEW IF EXISTS tfn_view")
