@@ -271,6 +271,14 @@ object ChAggregates {
       Literal("c"), Count(x).toAggregateExpression()))),
     "uniqExactState" -> one("uniqExactState")(x =>
       SortArray(CollectSet(x).toAggregateExpression(), Literal(true))),
+    // uniqState: the APPROXIMATE mergeable-distinct state — a Datasketches
+    // HLL sketch (BINARY, bounded at ~2^lgK bytes regardless of corpus
+    // size; the 100 TB alternative to uniqExact's unbounded sets). The
+    // sketch build is deterministic, so uniqMerge over partials equals
+    // the direct sketch over the raw rows EXACTLY (AggStateSpec pins it).
+    "uniqState" -> one("uniqState")(x =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.HllSketchAgg(
+        x, Literal(12), 0, 0).toAggregateExpression()),
     "sumMerge" -> one("sumMerge")(x => Sum(x).toAggregateExpression()),
     "minMerge" -> one("minMerge")(x => Min(x).toAggregateExpression()),
     "maxMerge" -> one("maxMerge")(x => Max(x).toAggregateExpression()),
@@ -284,6 +292,10 @@ object ChAggregates {
     "uniqExactMerge" -> one("uniqExactMerge")(x => Cast(
       Size(ArrayDistinct(Flatten(CollectList(x).toAggregateExpression()))),
       LongType)),
+    "uniqMerge" -> one("uniqMerge")(x =>
+      new org.apache.spark.sql.catalyst.expressions.HllSketchEstimate(
+        new org.apache.spark.sql.catalyst.expressions.aggregate.HllUnionAgg(x)
+          .toAggregateExpression())),
     // -If combinators: the aggregate with a Catalyst FILTER clause.
     "countIf" -> one("countIf")(cond =>
       Count(Literal(1)).toAggregateExpression(isDistinct = false, filter = Some(cond))),

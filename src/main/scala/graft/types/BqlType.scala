@@ -140,7 +140,7 @@ object BqlType {
 
   object AggFn {
     val supported: Set[String] =
-      Set("sum", "count", "min", "max", "avg", "uniqExact")
+      Set("sum", "count", "min", "max", "avg", "uniqExact", "uniq")
 
     private[BqlType] def stateType(func: String, inner: Option[BqlType]): DataType =
       func match {
@@ -153,6 +153,8 @@ object BqlType {
         case "uniqExact" =>
           ArrayType(inner.map(_.sparkType).getOrElse(StringType),
             containsNull = false)
+        // uniq: a Datasketches HLL sketch blob (bounded approximate state)
+        case "uniq" => BinaryType
         case "min" | "max" => inner.map(_.sparkType).getOrElse(StringType)
         case "sum" => inner.map(_.sparkType) match {
           case Some(_: DecimalType) =>

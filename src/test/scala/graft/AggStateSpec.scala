@@ -125,6 +125,43 @@ class AggStateSpec extends AnyFunSuite {
     g2.sql("DROP TABLE ags_t; DROP TABLE ags_raw")
   }
 
+  test("uniqState/uniqMerge: bounded HLL-sketch states through the MV TO " +
+    "flow — merged partials equal the direct sketch over raw rows " +
+    "EXACTLY, and OPTIMIZE FINAL unions sketches losslessly") {
+    g.sql("DROP TABLE IF EXISTS agu_mv; DROP TABLE IF EXISTS agu_t; " +
+      "DROP TABLE IF EXISTS agu_raw")
+    g.sql("CREATE TABLE agu_raw(k Int64, et String)")
+    g.sql("CREATE TABLE agu_t(k Int64 PRIMARY KEY, " +
+      "u AggregateFunction(uniq, String)) ENGINE=AggregatingMergeTree")
+    g.sql("CREATE MATERIALIZED VIEW agu_mv TO agu_t AS " +
+      "SELECT k, uniqState(et) AS u FROM agu_raw GROUP BY k")
+    // two waves, overlapping value domains (the union must dedup)
+    g.sql("INSERT INTO agu_raw SELECT id % 4 AS k, " +
+      "CAST(id % 100 AS STRING) AS et FROM range(3000)")
+    g.sql("INSERT INTO agu_raw SELECT id % 4 AS k, " +
+      "CAST(id % 130 AS STRING) AS et FROM range(3000)")
+    assert(g.spark.table("agu_t").count() === 8L) // 4 keys x 2 blocks
+    def merged: Seq[(Long, Long)] =
+      g.sql("SELECT k, uniqMerge(u) AS u FROM agu_t GROUP BY k ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // the sketch build is deterministic: merge-of-partials == the direct
+    // sketch over the raw rows, value-for-value
+    val direct = g.sql("SELECT k, hll_sketch_estimate(hll_sketch_agg(et)) " +
+      "AS u FROM agu_raw GROUP BY k ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(merged === direct)
+    // small domains estimate exactly: per key k, id ≡ k (mod 4) makes
+    // id%100 take the 25 residues ≡ k (mod 4) and id%130 the 65 residues
+    // ≡ k (mod 2) — the former a subset of the latter, so 65 distinct
+    assert(merged.map(_._2).forall(u => u == 65L),
+      s"HLL estimate off on a 65-value domain: $merged")
+    // physical merge: one state row per key; estimates unchanged
+    g.sql("OPTIMIZE TABLE agu_t FINAL")
+    assert(g.spark.table("agu_t").count() === 4L)
+    assert(merged === direct)
+    g.sql("DROP TABLE agu_mv; DROP TABLE agu_t; DROP TABLE agu_raw")
+  }
+
   test("TO rejects POPULATE and a missing target; ENGINE+TO is a parse " +
     "error") {
     g.sql("DROP TABLE IF EXISTS ags_p_raw; DROP TABLE IF EXISTS ags_p_t")

@@ -95,6 +95,25 @@ class CompatSpec extends AnyFunSuite {
     g.sql("DROP TABLE cp_like_a")
   }
 
+  test("GROUP BY ALL (CH 22.x+ shorthand) groups by every non-aggregate " +
+    "select item through the dialect pipeline") {
+    g.sql("DROP TABLE IF EXISTS cp_gba")
+    g.sql("CREATE TABLE cp_gba(k Int64, c String, v Int64)")
+    g.sql("INSERT INTO cp_gba VALUES (1,'a',10),(1,'a',5),(2,'b',7)")
+    val rows = g.sql("SELECT k, c, CAST(sum(v) AS BIGINT) AS sv " +
+      "FROM cp_gba GROUP BY ALL ORDER BY k, c").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows === Seq((1L, "a", 15L), (2L, "b", 7L)))
+    // with a CH-dialect function in the key (runs the full rewrite path)
+    g.sql("DROP TABLE IF EXISTS cp_gba2")
+    g.sql("CREATE TABLE cp_gba2(d Date, v Int64)")
+    g.sql("INSERT INTO cp_gba2 VALUES ('2021-01-05', 1), ('2021-08-05', 2)")
+    val r2 = g.sql("SELECT toYear(d) AS y, count(*) AS n FROM cp_gba2 " +
+      "GROUP BY ALL ORDER BY y").collect()
+    assert(r2.length === 1 && r2(0).getLong(1) === 2L)
+    g.sql("DROP TABLE cp_gba; DROP TABLE cp_gba2")
+  }
+
   test("CH's GROUP BY k WITH ROLLUP / WITH CUBE forms run (Spark accepts " +
     "the Hive-compatible syntax natively)") {
     mk()
