@@ -582,8 +582,8 @@ class GraftSession(val spark: SparkSession) {
         }
       spark.createDataFrame(rows.asJava,
         StructType(Seq(StructField("name", StringType), StructField("type", StringType))))
-    case OptimizeTable(db, name, fin, part, dedup) =>
-      optimizeTable(db, name, fin, part, dedup)
+    case OptimizeTable(db, name, fin, part, dedup, dedupBy) =>
+      optimizeTable(db, name, fin, part, dedup, dedupBy)
       // TTL expiry / FINAL merge / DEDUPLICATE change the stored rows the
       // projections aggregated — rebuild (no-op for tables without any)
       rebuildProjectionsOf(db, name)
@@ -2014,7 +2014,7 @@ class GraftSession(val spark: SparkSession) {
     */
   private def optimizeTable(db: Option[String], name: String,
       fin: Boolean = false, partition: Option[String] = None,
-      dedup: Boolean = false): Unit = {
+      dedup: Boolean = false, dedupBy: Option[Seq[String]] = None): Unit = {
     val rdb = db.getOrElse(spark.catalog.currentDatabase)
     val full = fullName(db, name)
     val meta = spark.sessionState.catalog.getTableMetadata(
@@ -2096,7 +2096,27 @@ class GraftSession(val spark: SparkSession) {
         val src = spark.read.schema(schema)
           .option("basePath", loc.toString)
           .parquet(dataFiles.map(_.toString): _*)
-        stagedReplace(loc, full, partitioned, src.distinct(),
+        // DEDUPLICATE BY cols: duplicates are judged on the listed
+        // columns only; CH keeps an arbitrary row of each group — the
+        // deterministic stand-in here is the full-row MAX (field-order
+        // lexicographic, the same pinned divergence ReplacingMergeTree's
+        // no-version merge uses). The partition key joins the grouping
+        // implicitly: MergeTree merges never cross partitions.
+        val deduped = dedupBy match {
+          case None => src.distinct()
+          case Some(by) =>
+            val all = schema.fieldNames.toSeq
+            by.foreach(c => require(all.exists(_.equalsIgnoreCase(c)),
+              s"DEDUPLICATE BY: no column $c in $name"))
+            val keys = by ++
+              (if (partitioned && !by.exists(_.equalsIgnoreCase(PtkCol)))
+                Seq(PtkCol) else Nil)
+            src.groupBy(keys.map(c => col(s"`$c`")): _*)
+              .agg(max(struct(all.map(c => col(s"`$c`")): _*))
+                .as("__graft_rep"))
+              .select(all.map(c => col(s"__graft_rep.`$c`").as(c)): _*)
+        }
+        stagedReplace(loc, full, partitioned, deduped,
           dataFiles, "optd-", filesNeeded(dataFiles))
         return
       }

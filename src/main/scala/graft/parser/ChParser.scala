@@ -56,7 +56,10 @@ object ChStatement {
   final case class OptimizeTable(db: Option[String], name: String,
                                  fin: Boolean = false,
                                  partition: Option[String] = None,
-                                 dedup: Boolean = false)
+                                 dedup: Boolean = false,
+                                 // DEDUPLICATE BY col[, col...] — judge
+                                 // duplicates on these columns only
+                                 dedupBy: Option[Seq[String]] = None)
       extends ChStatement
   /** One VALUES literal: None = NULL, Some(text) = raw literal text. */
   final case class InsertValues(db: Option[String], name: String,
@@ -1729,10 +1732,26 @@ object ChParser {
       qualifiedName(p).flatMap { case (db, t) =>
         val pv = if (p.eatKw("partition")) partitionValue(p).map(Some(_))
                  else Right(None)
-        pv.map { v =>
+        pv.flatMap { v =>
           val fin = p.eatKw("final")
-          OptimizeTable(db, t, fin = fin, partition = v,
-            dedup = p.eatKw("deduplicate"))
+          val dedup = p.eatKw("deduplicate")
+          // CH's DEDUPLICATE BY col[, col...]: duplicates are judged on
+          // the listed columns only (plain column names here)
+          val by: Either[String, Option[Seq[String]]] =
+            if (dedup && p.eatKw("by")) {
+              val names = ArrayBuffer.empty[String]
+              var err: Option[String] = None
+              var go = true
+              while (go && err.isEmpty) {
+                p.ident() match {
+                  case Right(n) => names += n; go = p.eatPunct(",")
+                  case Left(e) => err = Some(e)
+                }
+              }
+              err.toLeft(Some(names.toSeq))
+            } else Right(None)
+          by.map(b => OptimizeTable(db, t, fin = fin, partition = v,
+            dedup = dedup, dedupBy = b))
         }
       }
     } else if (p.eatKw("insert")) {

@@ -785,6 +785,25 @@ object DdlQueries {
       df
     },
 
+    // OPTIMIZE ... DEDUPLICATE BY cols (o07): duplicates judged on the
+    // BY-columns only, one representative per group (full-row max — the
+    // same deterministic stand-in as the no-version ReplacingMergeTree
+    // merge, where CH keeps an arbitrary row). The oracle restates the
+    // representative as max(value) per (k, et), which the field-order
+    // struct max makes exact here.
+    "o07_dedup_by" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("DROP TABLE IF EXISTS o07_ev")
+      g.sql("CREATE TABLE o07_ev(k Int64, et String, value Float64)")
+      g.sql("INSERT INTO o07_ev SELECT event_id % 200 AS k, " +
+        "event_type AS et, value FROM events")
+      g.sql("OPTIMIZE TABLE o07_ev DEDUPLICATE BY k, et")
+      g.sql("SELECT et, count(*) AS n, " +
+        "CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sv " +
+        "FROM o07_ev GROUP BY et ORDER BY et")
+    },
+
     // AggregateFunction(f, T) + -State/-Merge (d29): the full CH
     // pre-aggregation pattern — a target table declares aggregate-STATE
     // columns in an AggregatingMergeTree, a `CREATE MATERIALIZED VIEW …
@@ -1208,6 +1227,16 @@ object DdlQueries {
         |  CAST(max(user_id) AS BIGINT) AS xu
         |FROM events WHERE event_type <> 'purchase'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "o07_dedup_by" ->
+      """WITH src AS (
+        |  SELECT event_id % 200 AS k, event_type AS et, value FROM events
+        |), d AS (
+        |  SELECT k, et, max(value) AS value FROM src GROUP BY k, et
+        |)
+        |SELECT et, count(*) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sv
+        |FROM d GROUP BY et ORDER BY et""".stripMargin,
 
     // d29 recomputed from the RAW events rows: a hash match proves the
     // -State partials written by the MV, the OPTIMIZE FINAL state merge,
