@@ -1350,9 +1350,14 @@ class GraftSession(val spark: SparkSession) {
     val cat = spark.sessionState.catalog
     require(cat.databaseExists(db), s"merge(): no database $db")
     val re = java.util.regex.Pattern.compile(pattern)
+    // listTables includes session TEMP VIEWS regardless of the db arg;
+    // merge() is a CATALOG-table union (CH contract), so keep only names
+    // the external catalog actually owns
     val tables = cat.listTables(db).map(_.table)
       .filterNot(t => t.startsWith("__proj_") || t.startsWith("graft_tmp_"))
-      .filter(t => re.matcher(t).find()).sorted
+      .filter(t => re.matcher(t).find())
+      .filter(t => spark.sharedState.externalCatalog.tableExists(db, t))
+      .sorted
     require(tables.nonEmpty, s"merge(): no tables in $db match '$pattern'")
     val cols = spark.table(s"`$db`.`${tables.head}`").schema.fieldNames
       .filterNot(_ == PtkCol).toSeq
@@ -1812,11 +1817,15 @@ class GraftSession(val spark: SparkSession) {
       case "json" => writer.json(tmp.toString)
       case "parquet" => writer.parquet(tmp.toString)
     }
-    val part = java.nio.file.Files.list(tmp).iterator()
-    val produced = Iterator.continually(part)
-      .takeWhile(_.hasNext).map(_.next())
-      .find(_.getFileName.toString.startsWith("part-"))
-      .getOrElse(throw new IllegalStateException("file(): no output part"))
+    val listing = java.nio.file.Files.list(tmp)
+    val produced =
+      try {
+        val it = listing.iterator()
+        Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+          .find(_.getFileName.toString.startsWith("part-"))
+          .getOrElse(
+            throw new IllegalStateException("file(): no output part"))
+      } finally listing.close()
     if (java.nio.file.Files.exists(target) && ext != "parquet") {
       // append mode for text formats, CH's behavior on an existing file
       val out = java.nio.file.Files.newOutputStream(target,

@@ -119,6 +119,29 @@ class AdviceFixesR16Spec extends AnyFunSuite {
     g2.sql("DROP TABLE afx_rb")
   }
 
+  test("RENAME TABLE on a PARTITIONED table: partition entries follow the " +
+    "moved storage (RECOVER) and survive a restart with pruning intact") {
+    g.sql("DROP TABLE IF EXISTS afx_pb; DROP TABLE IF EXISTS afx_pa")
+    g.sql("CREATE TABLE afx_pa(k Int64, d Date) PARTITION BY toYear(d)")
+    g.sql("INSERT INTO afx_pa VALUES (1, '2020-02-02'), (2, '2021-03-03'), " +
+      "(3, '2021-04-04')")
+    g.sql("RENAME TABLE afx_pa TO afx_pb")
+    // partitions re-derived from the moved tree: both years queryable,
+    // and a year filter prunes to one directory
+    assert(g.sql("SELECT count(*) AS n FROM afx_pb").head().getLong(0) === 3L)
+    val pruned = g.sql("SELECT count(*) AS n FROM afx_pb WHERE toYear(d) = 2021")
+    assert(pruned.head().getLong(0) === 2L)
+    // restart: replay + RECOVER PARTITIONS must find the moved dirs
+    forgetTable("afx_pb")
+    val g2 = new GraftSession(g.spark)
+    assert(!g2.restoreErrors.exists(_._2.startsWith("afx_p")),
+      s"restore must be clean, got: ${g2.restoreErrors}")
+    assert(g2.sql("SELECT count(*) AS n FROM afx_pb").head().getLong(0) === 3L)
+    assert(g2.sql("SELECT count(*) AS n FROM afx_pb WHERE toYear(d) = 2020")
+      .head().getLong(0) === 1L)
+    g2.sql("DROP TABLE afx_pb")
+  }
+
   test("RENAME TABLE carries projections across a restart: hidden table, " +
     "partials, replay script and routing all follow the new name") {
     g.sql("DROP TABLE IF EXISTS afx_pq; DROP TABLE IF EXISTS afx_pp")
