@@ -3256,6 +3256,16 @@ class GraftSession(val spark: SparkSession) {
       throw new IllegalArgumentException(
         "MATERIALIZED VIEW: the SELECT must read FROM a table directly"))._1
     val srcTable = if (src.contains(".")) src.split("\\.", 2)(1) else src
+    require(!srcTable.equalsIgnoreCase(target),
+      "MATERIALIZED VIEW TO: the target cannot be the SELECT's own source")
+    // one subscription per target: a second TO-view would silently
+    // overwrite the first's graft.mv.* props (replay of THIS view's own
+    // script is fine — same via name)
+    tableProp(Some(rdb), target, "graft.mv.via").foreach { via =>
+      require(via == mv.name,
+        s"MATERIALIZED VIEW TO: $rdb.$target is already the target of " +
+          s"materialized view $via")
+    }
     // validate now, like CH: a bad SELECT fails at CREATE, not first insert
     spark.sql(rewriteSelect(mv.selectSql)).queryExecution.analyzed
     spark.sql(s"ALTER TABLE ${fullName(Some(rdb), target)} SET TBLPROPERTIES (" +

@@ -180,6 +180,19 @@ class AggStateSpec extends AnyFunSuite {
       g.sql("CREATE MATERIALIZED VIEW ags_p_mv TO ags_p_t ENGINE=Log AS " +
         "SELECT k, countState() AS c FROM ags_p_raw GROUP BY k") }
     assert(e3.getMessage.contains("mutually exclusive"), e3.getMessage)
+    // a target cannot be its own source, and a second TO-view on the
+    // same target must not silently steal the first's subscription
+    val e4 = intercept[Exception] {
+      g.sql("CREATE MATERIALIZED VIEW ags_p_mv TO ags_p_t AS " +
+        "SELECT k, countState() AS c FROM ags_p_t GROUP BY k") }
+    assert(e4.getMessage.contains("own source"), e4.getMessage)
+    g.sql("CREATE MATERIALIZED VIEW ags_p_mv TO ags_p_t AS " +
+      "SELECT k, countState() AS c FROM ags_p_raw GROUP BY k")
+    val e5 = intercept[Exception] {
+      g.sql("CREATE MATERIALIZED VIEW ags_p_mv2 TO ags_p_t AS " +
+        "SELECT k, countState() AS c FROM ags_p_raw GROUP BY k") }
+    assert(e5.getMessage.contains("already the target"), e5.getMessage)
+    g.sql("DROP TABLE ags_p_mv")
     g.sql("DROP TABLE ags_p_t; DROP TABLE ags_p_raw")
   }
 }
