@@ -326,7 +326,10 @@ object MysqlProto {
       val c = sql.charAt(i)
       if (q != 0) {
         cur += c
-        if (c == q) q = 0
+        // MySQL string literals escape with backslash: a \' must not
+        // close the quote (a ? after it would otherwise read as a marker)
+        if (c == '\\' && i + 1 < sql.length) { cur += sql.charAt(i + 1); i += 1 }
+        else if (c == q) q = 0
       } else c match {
         case '\'' | '"' | '`' => q = c; cur += c
         case '-' if i + 1 < sql.length && sql.charAt(i + 1) == '-' =>
