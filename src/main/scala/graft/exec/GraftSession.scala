@@ -2889,7 +2889,27 @@ class GraftSession(val spark: SparkSession) {
           s"$k\u0002$v" }.mkString("\u0001")) else Nil) ++
       ct.partitionBy.map("graft.ptk.expr" -> _) ++
       ct.settings.map { case (k, v) => s"graft.setting.$k" -> v }
-    val propsDdl = props.map { case (k, v) =>
+    // `INDEX n col TYPE bloom_filter[...]` on a plain column wires to a
+    // REAL parquet bloom filter: recorded as a table OPTION so EVERY
+    // write path through the relation (INSERT, INSERT..SELECT, MV fanout,
+    // wire blocks) emits the filter, and the scan's row-group filtering
+    // consults it for equality/IN predicates — CH's skipping-index
+    // payoff, parquet-native. minmax/set indexes stay informational
+    // (footer stats already cover them); expression-typed indexes are
+    // accepted as documentation only, like CH GRANULARITY.
+    val bloomCols = ct.indexes.flatMap { body =>
+      val m = java.util.regex.Pattern.compile(
+        "(?is)^\\s*\\S+\\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\\s+TYPE\\s+bloom_filter\\b.*")
+        .matcher(body)
+      if (m.matches()) Some(m.group(1)) else None
+    }.filter(c => ct.cols.exists(_.name.equalsIgnoreCase(c))).distinct
+    val optionsDdl =
+      if (bloomCols.isEmpty) ""
+      else "\nOPTIONS (" + bloomCols.map(c =>
+        s"'parquet.bloom.filter.enabled#$c'='true'").mkString(", ") + ")"
+    val propsDdl = (props ++
+      (if (bloomCols.nonEmpty) Seq("graft.bloom" -> bloomCols.mkString(","))
+       else Nil)).map { case (k, v) =>
       s"'${k.replace("'", "''")}'='${v.replace("'", "''")}'"
     }.mkString(", ")
 
@@ -2898,7 +2918,7 @@ class GraftSession(val spark: SparkSession) {
     val r = spark.sql(
       s"""CREATE TABLE ${if (ct.ifNotExists) "IF NOT EXISTS " else ""}$full
          |(${colDdl.mkString(", ")}$ptkDdl)
-         |USING parquet$partClause$bucketClause
+         |USING parquet$partClause$bucketClause$optionsDdl
          |LOCATION '${loc.getAbsolutePath.replace("'", "''")}'
          |TBLPROPERTIES ($propsDdl)""".stripMargin)
     // record the create script for restart replay (sled-store analog,
@@ -3614,7 +3634,14 @@ class GraftSession(val spark: SparkSession) {
           else "'" + v.replace("'", "''") + "'"
         s"${k.stripPrefix("graft.setting.")}=$vv"
     }
-    val script = s"CREATE TABLE $table($colsDdl)" +
+    // bloom skipping indexes must survive normalization (TRUNCATE/RENAME
+    // replay recreates the table from this script; without the INDEX
+    // clause the parquet bloom option would silently vanish)
+    val idxDdl = meta.properties.get("graft.bloom")
+      .map(_.split(",").filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      .map(c => s", INDEX bf_$c `$c` TYPE bloom_filter GRANULARITY 1")
+      .mkString
+    val script = s"CREATE TABLE $table($colsDdl$idxDdl)" +
       meta.properties.get("graft.engine").map(e => s" ENGINE=$e" +
         meta.properties.get("graft.engine_args")
           .map(a => s"($a)").getOrElse("")).getOrElse("") +

@@ -30,7 +30,11 @@ object ChStatement {
                                engineArgs: Seq[String] = Nil,
                                checks: Seq[(String, String)] = Nil,
                                temporary: Boolean = false,
-                               projections: Seq[(String, String)] = Nil)
+                               projections: Seq[(String, String)] = Nil,
+                               // raw `INDEX name expr TYPE kind(...)`
+                               // bodies — bloom_filter ones wire to real
+                               // parquet bloom filters at write time
+                               indexes: Seq[String] = Nil)
       extends ChStatement
   final case class DropDatabase(name: String, ifExists: Boolean) extends ChStatement
   final case class DropTable(db: Option[String], name: String, ifExists: Boolean) extends ChStatement
@@ -513,12 +517,13 @@ object ChParser {
       // enforcement, ClickHouse's CHECK semantics.
       colsChecks <- if (!p.isPunct("("))
         Right((Seq.empty[ColDef], Seq.empty[(String, String)],
-          Seq.empty[(String, String)]))
+          Seq.empty[(String, String)], Seq.empty[String]))
       else {
         p.next()
         val buf = ArrayBuffer.empty[ColDef]
         val chk = ArrayBuffer.empty[(String, String)]
         val prj = ArrayBuffer.empty[(String, String)]
+        val idx = ArrayBuffer.empty[String]
         var err: Option[String] = None
         var go = true
         while (go && err.isEmpty) {
@@ -556,16 +561,17 @@ object ChParser {
             }
           } else if (p.isKw("index")) {
             // `INDEX name expr TYPE kind(args) [GRANULARITY n]` — CH's
-            // data-skipping indexes. Accepted and DROPPED: parquet footer
-            // min/max statistics + dictionary/bloom filters are the
-            // native analogs Spark's scan already consults, so a
-            // declared minmax/set/bloom index adds no information here.
-            // The create script keeps the clause for SHOW CREATE replay.
+            // data-skipping indexes. minmax/set add no information here
+            // (parquet footer min/max statistics + dictionaries are the
+            // native analogs Spark's scan already consults), but a
+            // `TYPE bloom_filter` on a plain column wires to a REAL
+            // parquet bloom filter at write time (createTableInner), so
+            // the body is captured, not dropped.
             p.next()
             val body = p.sliceBalancedUntil(q =>
               q.isPunct(",") || q.isPunct(")"))
             if (body.isEmpty) err = Some(s"INDEX: empty body at ${p.posText}")
-            else if (!p.eatPunct(",")) go = false
+            else { idx += body; if (!p.eatPunct(",")) go = false }
           } else columnDef(p) match {
             case Right(cd) =>
               buf += cd
@@ -573,7 +579,7 @@ object ChParser {
             case Left(e) => err = Some(e)
           }
         }
-        err.toLeft((buf.toSeq, chk.toSeq, prj.toSeq)).flatMap(cs =>
+        err.toLeft((buf.toSeq, chk.toSeq, prj.toSeq, idx.toSeq)).flatMap(cs =>
           p.expectPunct(")").map(_ => cs))
       }
       cols = colsChecks._1
@@ -688,7 +694,7 @@ object ChParser {
       }
       CreateTable(dbTab._1, dbTab._2, keyed, tail._1, tail._2, tail._3,
         ine, p.sql.trim, asSel, tail._4, colsChecks._2,
-        projections = colsChecks._3)
+        projections = colsChecks._3, indexes = colsChecks._4)
     }
   }
 
