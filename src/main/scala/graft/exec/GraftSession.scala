@@ -3800,12 +3800,35 @@ class GraftSession(val spark: SparkSession) {
     // CAS lock for exactly this (crates/meta/src/store/parts.rs:174-235;
     // single-writer-per-table is all it supports)
     if (!isNull) {
+      // MergeTree parts are SORTED by the sorting key — that is what the
+      // ORDER BY/PRIMARY KEY clause physically MEANS in CH, and at 100 TB
+      // it is what makes parquet row-group min/max stats on the key
+      // near-perfect range pruners (an unsorted part's stats span the
+      // whole key domain and prune nothing). Sort within write tasks
+      // (partition dir first, so each output file is one sorted run);
+      // bucketed tables skip this — their CLUSTERED/SORTED layout already
+      // owns the ordering.
+      val sortKeys = tableProp(db, name, "graft.pks")
+        .map(_.split("").filter(_.nonEmpty).toSeq).getOrElse(Nil)
+        .filter(withPtk.columns.contains)
+      val bucketed = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(name,
+          Some(db.getOrElse(spark.sessionState.catalog.getCurrentDatabase))))
+        .bucketSpec.isDefined
+      val block2 =
+        if (sortKeys.isEmpty || bucketed) withPtk
+        else {
+          val order =
+            (if (withPtk.columns.contains(PtkCol)) Seq(PtkCol) else Nil) ++
+              sortKeys
+          withPtk.sortWithinPartitions(order.map(c => col(s"`$c`")): _*)
+        }
       val lockKey =
         db.getOrElse(spark.sessionState.catalog.getCurrentDatabase) + "." + name
       val lock = GraftSession.tableWriteLocks
         .computeIfAbsent(lockKey, _ => new Object)
       lock.synchronized {
-        withPtk.write.mode("append").insertInto(fullName(db, name).replace("`", ""))
+        block2.write.mode("append").insertInto(fullName(db, name).replace("`", ""))
       }
     }
     // insert-triggered materialized views see the TYPED block (CH runs

@@ -74,6 +74,39 @@ class BloomIndexSpec extends AnyFunSuite {
     g.sql("DROP TABLE bfi_t")
   }
 
+  test("parts are SORTED by the sorting key: an insert of shuffled rows " +
+    "into a PRIMARY KEY table lands as sorted runs (row-group stats on " +
+    "the key become range pruners)") {
+    g.sql("DROP TABLE IF EXISTS bfi_srt")
+    g.sql("CREATE TABLE bfi_srt(k Int64 PRIMARY KEY, v Float64) " +
+      "ENGINE=MergeTree ORDER BY k")
+    // reversed + interleaved input order
+    g.sql("INSERT INTO bfi_srt SELECT CAST((19999 - id) AS BIGINT) AS k, " +
+      "CAST(id AS DOUBLE) AS v FROM range(20000)")
+    import scala.jdk.CollectionConverters._
+    val loc = new java.io.File(new java.net.URI(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("bfi_srt",
+          Some("default"))).location.toString).getPath)
+    val walk = java.nio.file.Files.walk(loc.toPath)
+    val files =
+      try walk.iterator.asScala.filter(_.getFileName.toString
+        .endsWith(".parquet")).toVector
+      finally walk.close()
+    assert(files.nonEmpty)
+    // each FILE is one sorted run: a single-file read is one split at
+    // this size, so collect order == row order
+    files.foreach { f =>
+      val ks = spark.read.parquet(f.toString).select("k")
+        .collect().map(_.getLong(0))
+      assert(ks.zip(ks.tail).forall { case (a, b) => a <= b },
+        s"file ${f.getFileName} is not sorted by the sorting key")
+    }
+    assert(g.sql("SELECT count(*) AS n FROM bfi_srt").head().getLong(0)
+      === 20000L)
+    g.sql("DROP TABLE bfi_srt")
+  }
+
   test("the bloom option survives script replay: SHOW CREATE keeps the " +
     "INDEX clause and a TRUNCATE-replayed table still writes filters") {
     g.sql("DROP TABLE IF EXISTS bfi_r")
