@@ -2175,17 +2175,22 @@ class GraftSession(val spark: SparkSession) {
           // partitionBy writes the same __ptk=… layout (and Hive default
           // dir) as the table itself, so staged relative paths map 1:1
           // onto table directories
-          src.join(broadcast(nfDf), col(s"`$PtkCol`") <=> col("__nfptk"))
+          val joined = src
+            .join(broadcast(nfDf), col(s"`$PtkCol`") <=> col("__nfptk"))
             .withColumn("__salt", pmod(monotonically_increasing_id(), col("__nf")))
             .repartition(col(s"`$PtkCol`"), col("__salt"))
             .select(outCols: _*)
-            .write.partitionBy(PtkCol).mode("overwrite").parquet(staging.toString)
+          sortedRuns(meta, joined, withPtk = true)
+            .write.options(bloomWriteOpts(meta)).partitionBy(PtkCol)
+            .mode("overwrite").parquet(staging.toString)
         } else {
           val nf = filesNeeded(needs.values.flatten.toSeq)
-          spark.read.schema(schema).parquet(loc.toString)
+          val compacted = spark.read.schema(schema).parquet(loc.toString)
             .repartition(nf)
             .select(outCols: _*)
-            .write.mode("overwrite").parquet(staging.toString)
+          sortedRuns(meta, compacted, withPtk = false)
+            .write.options(bloomWriteOpts(meta))
+            .mode("overwrite").parquet(staging.toString)
         }
         // the staged files are committed (Spark's own job commit);
         // publish them into the table under tag-prefixed names
@@ -2519,6 +2524,34 @@ class GraftSession(val spark: SparkSession) {
     * counts exactly and commits. Shared by OPTIMIZE ... FINAL (retires
     * every file) and mutations (retires only the affected files).
     */
+  /** Declared bloom-filter write options for DIRECT parquet writes of a
+    * graft table's data — paths that bypass the catalog relation
+    * (OPTIMIZE compaction/FINAL/DEDUPLICATE, mutations) must re-apply
+    * them or the filters the insert path wrote silently vanish at the
+    * first rewrite.
+    */
+  private def bloomWriteOpts(
+      meta: org.apache.spark.sql.catalyst.catalog.CatalogTable): Map[String, String] =
+    meta.properties.get("graft.bloom").toSeq
+      .flatMap(_.split(",").filter(_.nonEmpty))
+      .map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
+
+  /** Sorted-run discipline for the same direct writes: parts stay sorted
+    * by the sorting key (partition dir first when present), like CH
+    * merges keep parts sorted.
+    */
+  private def sortedRuns(
+      meta: org.apache.spark.sql.catalyst.catalog.CatalogTable,
+      df: DataFrame, withPtk: Boolean): DataFrame = {
+    val pks = meta.properties.get("graft.pks")
+      .map(_.split("").filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      .filter(df.columns.contains)
+    if (pks.isEmpty) df
+    else df.sortWithinPartitions(
+      ((if (withPtk && df.columns.contains(PtkCol)) Seq(PtkCol) else Nil)
+        ++ pks).map(c => col(s"`$c`")): _*)
+  }
+
   private def stagedReplace(loc: java.nio.file.Path, full: String,
       partitioned: Boolean, df: DataFrame,
       retired: Seq[java.nio.file.Path], tagPrefix: String,
@@ -2536,11 +2569,27 @@ class GraftSession(val spark: SparkSession) {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     try {
       failpoint("write")
-      val w = if (partitioned)
+      // rewrites must keep the table's part physics: sorted runs on the
+      // sorting key (CH merges keep parts sorted) and declared bloom
+      // filters — this direct parquet write bypasses the catalog
+      // relation, so both must be re-applied here or OPTIMIZE/mutations
+      // silently degrade the layout the insert path built
+      val meta2 = {
+        val parts = full.replace("`", "").split("\\.", 2)
+        val (d, t) =
+          if (parts.length == 2) (parts(0), parts(1))
+          else (spark.sessionState.catalog.getCurrentDatabase, parts(0))
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(t, Some(d)))
+      }
+      val base = if (partitioned)
         df.repartition(math.max(nFiles, 1), col(s"`$PtkCol`"))
-          .write.partitionBy(PtkCol)
-      else df.repartition(math.max(nFiles, 1)).write
-      w.mode("overwrite").parquet(staging.toString)
+      else df.repartition(math.max(nFiles, 1))
+      val sorted = sortedRuns(meta2, base, withPtk = partitioned)
+      val w = if (partitioned) sorted.write.partitionBy(PtkCol)
+              else sorted.write
+      w.options(bloomWriteOpts(meta2)).mode("overwrite")
+        .parquet(staging.toString)
       stagedDataFiles(staging).foreach(publishStaged(loc, staging, tag, _))
     } catch {
       case t: Throwable =>

@@ -124,4 +124,24 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(script.toLowerCase.contains("bloom_filter"), script)
     g.sql("DROP TABLE bfi_r")
   }
+
+  test("OPTIMIZE keeps declared bloom filters and sorted runs (rewrites " +
+    "bypass the catalog relation and must re-apply the part physics)") {
+    g.sql("DROP TABLE IF EXISTS bfi_o")
+    g.sql("CREATE TABLE bfi_o(k Int64 PRIMARY KEY, s String, " +
+      "INDEX s_bf s TYPE bloom_filter GRANULARITY 1) ENGINE=MergeTree " +
+      "ORDER BY k SETTINGS target_file_mb=1")
+    // two high-cardinality inserts in reversed key order -> two files
+    g.sql("INSERT INTO bfi_o SELECT CAST((9999 - id) AS BIGINT), " +
+      "concat('x', CAST(id AS STRING)) FROM range(10000)")
+    g.sql("INSERT INTO bfi_o SELECT CAST((19999 - id) AS BIGINT), " +
+      "concat('y', CAST(id AS STRING)) FROM range(10000, 20000)")
+    assert(bloomColumns("bfi_o").contains("s"))
+    g.sql("OPTIMIZE TABLE bfi_o")
+    assert(g.sql("SELECT count(*) AS n FROM bfi_o").head().getLong(0)
+      === 20000L)
+    assert(bloomColumns("bfi_o").contains("s"),
+      "OPTIMIZE rewrite dropped the declared bloom filter")
+    g.sql("DROP TABLE bfi_o")
+  }
 }
