@@ -638,6 +638,7 @@ class GraftSession(val spark: SparkSession) {
     case a: AlterModifyColumn => alterModifyColumn(a); emptyOk
     case a: AlterTtl => alterTtl(a); emptyOk
     case ap: AlterProjection => alterProjection(ap)
+    case ai: AlterIndex => alterIndex(ai)
     case ShowProcesslist => processesDf
     case KillQuery(qid) =>
       val e = GraftSession.processes.remove(qid)
@@ -2946,12 +2947,8 @@ class GraftSession(val spark: SparkSession) {
     // payoff, parquet-native. minmax/set indexes stay informational
     // (footer stats already cover them); expression-typed indexes are
     // accepted as documentation only, like CH GRANULARITY.
-    val bloomCols = ct.indexes.flatMap { body =>
-      val m = java.util.regex.Pattern.compile(
-        "(?is)^\\s*\\S+\\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\\s+TYPE\\s+bloom_filter\\b.*")
-        .matcher(body)
-      if (m.matches()) Some(m.group(1)) else None
-    }.filter(c => ct.cols.exists(_.name.equalsIgnoreCase(c))).distinct
+    val bloomCols = ct.indexes.flatMap(GraftSession.bloomIndexColumn)
+      .filter(c => ct.cols.exists(_.name.equalsIgnoreCase(c))).distinct
     val optionsDdl =
       if (bloomCols.isEmpty) ""
       else "\nOPTIONS (" + bloomCols.map(c =>
@@ -3111,6 +3108,98 @@ class GraftSession(val spark: SparkSession) {
           sel <- tableProp(Some(rdb), table, s"graft.proj.$p.select")
         } yield (p, tbl, sel)
       }
+
+  /** ALTER TABLE … ADD / DROP / MATERIALIZE INDEX — the skipping-index
+    * DDL family over the physical parquet-bloom wiring: ADD records the
+    * column (NEW writes carry the filter), MATERIALIZE rewrites existing
+    * files through the staged-replace machinery so OLD data carries it
+    * too (CH's MATERIALIZE INDEX contract; sorted runs re-applied with
+    * it), DROP detaches (filters already in old footers are inert
+    * bytes). Non-bloom kinds are accepted as documentation, CREATE
+    * parity. Tracked (bloom) indexes are addressed by their COLUMN name
+    * or the normalized `bf_<col>` (original creation names are not
+    * persisted — the normalized replay script re-emits bf_<col>).
+    */
+  private[graft] def alterIndex(ai: AlterIndex): DataFrame = {
+    val rdb = ai.db.getOrElse(spark.catalog.currentDatabase)
+    val tid = org.apache.spark.sql.catalyst.TableIdentifier(ai.name, Some(rdb))
+    require(spark.sessionState.catalog.tableExists(tid),
+      s"ALTER TABLE: no table $rdb.${ai.name}")
+    val full = fullName(Some(rdb), ai.name)
+    def meta = spark.sessionState.catalog.getTableMetadata(tid)
+    def blooms = meta.properties.get("graft.bloom")
+      .map(_.split(",").filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    def syncStorageOptions(cols: Seq[String]): Unit = {
+      val m = meta
+      val base = m.storage.properties
+        .filterNot(_._1.startsWith("parquet.bloom.filter.enabled#"))
+      spark.sharedState.externalCatalog.alterTable(m.copy(storage =
+        m.storage.copy(properties = base ++
+          cols.map(c => s"parquet.bloom.filter.enabled#$c" -> "true"))))
+      spark.catalog.refreshTable(full.replace("`", ""))
+    }
+    ai.op match {
+      case "add" =>
+        GraftSession.bloomIndexColumn(ai.body.get) match {
+          case Some(c) if meta.schema.fieldNames.exists(_.equalsIgnoreCase(c)) =>
+            if (blooms.exists(_.equalsIgnoreCase(c))) {
+              if (!ai.ifExists) throw new IllegalArgumentException(
+                s"ADD INDEX: a bloom_filter index on $c already exists")
+            } else {
+              val cols = blooms :+ c
+              setProps(full, "graft.bloom" -> cols.mkString(","))
+              syncStorageOptions(cols)
+              recordNormalizedScript(rdb, ai.name)
+            }
+          case Some(c) => throw new IllegalArgumentException(
+            s"ADD INDEX: no column $c in ${ai.name}")
+          case None => () // minmax/set/expression kinds: documentation only
+        }
+        emptyOk
+      case "drop" =>
+        blooms.find(c => ai.indexName.equalsIgnoreCase(s"bf_$c") ||
+            ai.indexName.equalsIgnoreCase(c)) match {
+          case Some(c) =>
+            val rest = blooms.filterNot(_.equalsIgnoreCase(c))
+            if (rest.isEmpty)
+              spark.sql(s"ALTER TABLE $full UNSET TBLPROPERTIES IF EXISTS " +
+                "('graft.bloom')")
+            else setProps(full, "graft.bloom" -> rest.mkString(","))
+            syncStorageOptions(rest)
+            recordNormalizedScript(rdb, ai.name)
+          case None => require(ai.ifExists,
+            s"DROP INDEX: no tracked index ${ai.indexName} on ${ai.name} " +
+              "(physical bloom_filter indexes address by column or bf_<col>)")
+        }
+        emptyOk
+      case "materialize" =>
+        // full rewrite: EXISTING files gain the declared filters (and the
+        // sorted-run discipline) — stagedReplace re-applies both
+        import scala.jdk.CollectionConverters._
+        val loc = java.nio.file.Paths.get(
+          new java.net.URI(meta.location.toString).getPath)
+        val dataFiles =
+          if (!java.nio.file.Files.isDirectory(loc)) Vector.empty
+          else {
+            val walk = java.nio.file.Files.walk(loc)
+            try walk.iterator.asScala.filter(p =>
+              java.nio.file.Files.isRegularFile(p) &&
+                p.getFileName.toString.endsWith(".parquet") &&
+                !isHiddenPath(loc.relativize(p))).toVector
+            finally walk.close()
+          }
+        if (dataFiles.nonEmpty) {
+          val schema = spark.table(full).schema
+          val partitioned = schema.fieldNames.contains(PtkCol)
+          val src = spark.read.schema(schema)
+            .option("basePath", loc.toString)
+            .parquet(dataFiles.map(_.toString): _*)
+          stagedReplace(loc, full, partitioned, src, dataFiles, "idxm-",
+            math.max(dataFiles.size, 1))
+        }
+        emptyOk
+    }
+  }
 
   private[graft] def alterProjection(ap: AlterProjection): DataFrame = {
     val rdb = ap.db.getOrElse(spark.catalog.currentDatabase)
@@ -4076,6 +4165,16 @@ object GraftSession {
   /** JVM-wide per-table append locks (see appendToTable). */
   private[exec] val tableWriteLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** The plain column of a `name col TYPE bloom_filter[...]` index body,
+    * if that is its shape — only these wire to physical parquet blooms.
+    */
+  private[exec] def bloomIndexColumn(body: String): Option[String] = {
+    val m = java.util.regex.Pattern.compile(
+      "(?is)^\\s*\\S+\\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\\s+TYPE\\s+bloom_filter\\b.*")
+      .matcher(body)
+    if (m.matches()) Some(m.group(1)) else None
+  }
 
   /** A running statement, for SHOW PROCESSLIST / system.processes /
     * KILL QUERY. The query id doubles as the Spark job group, so a kill

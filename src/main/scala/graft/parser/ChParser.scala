@@ -169,6 +169,15 @@ object ChStatement {
     * add|drop|materialize; `selectSql` carries the parenthesized body for
     * `add`.
     */
+  /** ALTER TABLE t ADD INDEX n col TYPE kind… / DROP INDEX n /
+    * MATERIALIZE INDEX n — the skipping-index DDL family (bloom_filter
+    * indexes are physical parquet blooms; MATERIALIZE rewrites existing
+    * files so old data carries them).
+    */
+  final case class AlterIndex(db: Option[String], name: String, op: String,
+                              indexName: String,
+                              body: Option[String] = None,
+                              ifExists: Boolean = false) extends ChStatement
   final case class AlterProjection(db: Option[String], name: String,
                                    op: String, projName: String,
                                    selectSql: Option[String],
@@ -1550,7 +1559,21 @@ object ChParser {
       if (!p.eatKw("table")) Left(s"ALTER: expected TABLE at ${p.posText}")
       else qualifiedName(p).flatMap { case (db, tab) =>
         if (p.eatKw("add")) {
-          if (p.eatKw("projection")) for {
+          if (p.eatKw("index")) for {
+            ine <- Right(parseIfNotExists(p))
+            body <- {
+              val b = p.sliceBalancedUntil(_.isPunct(";"))
+              if (b.trim.isEmpty)
+                Left(s"ADD INDEX: expected a definition at ${p.posText}")
+              else Right(b.trim)
+            }
+            nm <- {
+              val n = body.split("\\s+").head
+              if (n.isEmpty) Left("ADD INDEX: missing index name")
+              else Right(n)
+            }
+          } yield AlterIndex(db, tab, "add", nm, Some(body), ifExists = ine)
+          else if (p.eatKw("projection")) for {
             ine <- Right(parseIfNotExists(p))
             pn <- p.ident()
             _ <- p.expectPunct("(")
@@ -1567,7 +1590,10 @@ object ChParser {
           } yield AlterAddColumn(db, tab, col, ine)
         }
         else if (p.eatKw("drop")) {
-          if (p.eatKw("projection")) {
+          if (p.eatKw("index")) {
+            val ie = parseIfNotExists(p)
+            p.ident().map(n => AlterIndex(db, tab, "drop", n, None, ie))
+          } else if (p.eatKw("projection")) {
             val ie = parseIfNotExists(p)
             p.ident().map(pn =>
               AlterProjection(db, tab, "drop", pn, None, ifExists = ie))
@@ -1579,10 +1605,14 @@ object ChParser {
             v <- partitionValue(p)
           } yield AlterPartition(db, tab, "drop", v)
         }
-        else if (p.eatKw("materialize")) for {
-          _ <- p.expectKw("projection")
-          pn <- p.ident()
-        } yield AlterProjection(db, tab, "materialize", pn, None)
+        else if (p.eatKw("materialize")) {
+          if (p.eatKw("index"))
+            p.ident().map(n => AlterIndex(db, tab, "materialize", n))
+          else for {
+            _ <- p.expectKw("projection")
+            pn <- p.ident()
+          } yield AlterProjection(db, tab, "materialize", pn, None)
+        }
         else if (p.isKw("detach") || p.isKw("attach")) {
           val op = p.next().text.toLowerCase(java.util.Locale.ROOT)
           for {

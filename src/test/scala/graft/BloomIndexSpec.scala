@@ -125,6 +125,37 @@ class BloomIndexSpec extends AnyFunSuite {
     g.sql("DROP TABLE bfi_r")
   }
 
+  test("ALTER TABLE ADD INDEX wires new writes; MATERIALIZE INDEX " +
+    "rewrites existing files; DROP INDEX detaches") {
+    g.sql("DROP TABLE IF EXISTS bfi_a")
+    g.sql("CREATE TABLE bfi_a(k Int64, s String)")
+    g.sql("INSERT INTO bfi_a SELECT id, concat('p', CAST(id AS STRING)) " +
+      "FROM range(20000)")
+    assert(bloomColumns("bfi_a").isEmpty)
+    g.sql("ALTER TABLE bfi_a ADD INDEX s_bf s TYPE bloom_filter GRANULARITY 4")
+    // old files untouched; NEW writes carry the filter
+    g.sql("INSERT INTO bfi_a SELECT id, concat('q', CAST(id AS STRING)) " +
+      "FROM range(20000, 40000)")
+    assert(bloomColumns("bfi_a").contains("s"))
+    // MATERIALIZE rewrites the old files too: afterwards EVERY file has it
+    g.sql("ALTER TABLE bfi_a MATERIALIZE INDEX s_bf")
+    assert(g.sql("SELECT count(*) AS n FROM bfi_a").head().getLong(0)
+      === 40000L)
+    assert(bloomColumns("bfi_a").contains("s"))
+    // duplicate ADD errors without IF NOT EXISTS; passes with it
+    val e = intercept[Exception] {
+      g.sql("ALTER TABLE bfi_a ADD INDEX s_bf2 s TYPE bloom_filter") }
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    g.sql("ALTER TABLE bfi_a ADD INDEX IF NOT EXISTS s_bf2 s TYPE bloom_filter")
+    // DROP detaches: addressable by column or bf_<col>; future writes bare
+    g.sql("ALTER TABLE bfi_a DROP INDEX bf_s")
+    val e2 = intercept[Exception] {
+      g.sql("ALTER TABLE bfi_a DROP INDEX nothere") }
+    assert(e2.getMessage.contains("no tracked index"), e2.getMessage)
+    g.sql("ALTER TABLE bfi_a DROP INDEX IF EXISTS nothere")
+    g.sql("DROP TABLE bfi_a")
+  }
+
   test("OPTIMIZE keeps declared bloom filters and sorted runs (rewrites " +
     "bypass the catalog relation and must re-apply the part physics)") {
     g.sql("DROP TABLE IF EXISTS bfi_o")
