@@ -436,6 +436,9 @@ class GraftSession(val spark: SparkSession) {
       }
       emptyOk
     case a: AlterAddColumn =>
+      require(!a.col.tpe.chName.contains("Nested("),
+        s"ALTER TABLE ADD COLUMN: Nested(...) is only supported in " +
+          "CREATE TABLE; add the flattened `name.field Array(T)` columns")
       val rdb = a.db.getOrElse(spark.catalog.currentDatabase)
       val exists = spark.table(fullName(a.db, a.name)).schema
         .fieldNames.contains(a.col.name)
@@ -860,7 +863,21 @@ class GraftSession(val spark: SparkSession) {
             rewriteDictFns(ChParser.rewriteAnyJoin(
               ChParser.rewriteQueryTails(ChParser.rewriteQuantiles(
                 ChParser.rewriteArrayLiterals(
-                  ChParser.rewriteScalarWith(sqlIn)))))))))))))))))))
+                  ChParser.rewriteScalarWith(
+                    rewriteNestedRefs(sqlIn))))))))))))))))))))
+
+  /** CH SQL says `n.a`; the flattened Nested storage column is literally
+    * named "n.a", which Spark only resolves backticked. Innermost rewrite
+    * (runs before anything that ANALYZES subquery text). No registered
+    * nested families → identity, zero tokenization cost.
+    */
+  private def rewriteNestedRefs(sql: String): String = {
+    if (GraftSession.nestedRegistry.isEmpty) return sql
+    import scala.jdk.CollectionConverters._
+    val members = GraftSession.nestedRegistry.values.asScala
+      .flatMap(_.values).flatten.toSet
+    if (members.isEmpty) sql else ChParser.backquoteDotted(sql, members)
+  }
 
   /** ClickHouse `[LEFT] ASOF JOIN` — the SQL door onto
     * [[graft.operators.AsofJoin]] (a01's single-shuffle union+window
@@ -1622,9 +1639,6 @@ class GraftSession(val spark: SparkSession) {
     ChParser.splitArrayJoin(sql) match {
       case None => sql
       case Some(p) =>
-        val names = p.items.indices.map(i => s"__graft_aj$i")
-        val preProj = p.items.zip(names)
-          .map { case (it, n) => s"(${it.expr}) AS $n" }.mkString(", ")
         // Source schema (analysis only, nothing executes) — needed to
         // (a) mirror CH's replace-in-scope semantics when a non-bare
         // `AS alias` collides with a source column (the original column
@@ -1634,18 +1648,35 @@ class GraftSession(val spark: SparkSession) {
         val srcCols = scala.util.Try(
           spark.sql(s"SELECT * FROM ${p.src}").schema.fieldNames.toSeq)
           .getOrElse(Seq.empty[String])
-        val shadowed = p.items.filter(_.bare).map(_.alias) ++
-          p.items.filterNot(_.bare).map(_.alias)
+        // `ARRAY JOIN n` where n is a Nested FAMILY (not a column itself)
+        // expands to zipping every flattened member — CH's nested
+        // interplay: downstream `n.a` means the member's ELEMENT. The
+        // members are already parallel equal-length arrays (enforced at
+        // insert), so the positional zip is exact.
+        val items = p.items.flatMap { it =>
+          val fam = it.expr + "."
+          if (it.bare && !srcCols.exists(_.equalsIgnoreCase(it.expr)) &&
+              srcCols.exists(_.startsWith(fam)))
+            srcCols.filter(_.startsWith(fam)).map(m =>
+              ChParser.ArrayJoinItem(s"`$m`", m, bare = true))
+          else Seq(it)
+        }
+        val names = items.indices.map(i => s"__graft_aj$i")
+        val preProj = items.zip(names)
+          .map { case (it, n) => s"(${it.expr}) AS $n" }.mkString(", ")
+        val shadowed = items.filter(_.bare).map(_.alias) ++
+          items.filterNot(_.bare).map(_.alias)
             .filter(a => srcCols.exists(_.equalsIgnoreCase(a)))
-        val excepts = (names ++ Seq("__graft_ajz") ++ shadowed).mkString(", ")
+        val excepts = (names ++ Seq("__graft_ajz") ++
+          shadowed.map(s => s"`$s`")).mkString(", ")
         val (gen, aliasProj) =
-          if (p.items.length == 1)
+          if (items.length == 1)
             (s"explode(${names.head})",
-              s"__graft_ajz AS ${p.items.head.alias}")
+              s"__graft_ajz AS `${items.head.alias}`")
           else
             (s"explode(arrays_zip(${names.mkString(", ")}))",
-              p.items.zip(names).map { case (it, n) =>
-                s"__graft_ajz.$n AS ${it.alias}"
+              items.zip(names).map { case (it, n) =>
+                s"__graft_ajz.$n AS `${it.alias}`"
               }.mkString(", "))
         val starGone = srcCols.nonEmpty &&
           srcCols.forall(c => shadowed.exists(_.equalsIgnoreCase(c)))
@@ -2867,7 +2898,61 @@ class GraftSession(val spark: SparkSession) {
     created
   }
 
-  private def createTableInner(ct: CreateTable): DataFrame = {
+  private def createTableInner(ct0: CreateTable): DataFrame = {
+    // `Nested(a T, b U)` flattens into parallel arrays `n.a Array(T)`,
+    // `n.b Array(U)` — CH's flatten_nested=1 storage, physically. The
+    // flattened columns carry an implicit equal-length CHECK per family
+    // (CH errors on ragged nested inserts); the ORIGINAL script is what
+    // SHOW CREATE replays, so the Nested form round-trips while DESC
+    // shows the flattened columns, exactly like ClickHouse.
+    val nestedFams = scala.collection.mutable.LinkedHashMap
+      .empty[String, Seq[String]]
+    val ct =
+      if (!ct0.cols.exists(_.tpe.chName.contains("Nested("))) ct0
+      else {
+        val colNames = ct0.cols.map(_.name).toSet
+        val fams = nestedFams
+        val cols = ct0.cols.flatMap { c =>
+          c.tpe match {
+            case BqlType.Nested(fields) =>
+              require(c.default.isEmpty && !c.primaryKey,
+                s"Nested column ${c.name}: DEFAULT/PRIMARY KEY not supported")
+              val members = fields.map { case (fn, ft) =>
+                val m = s"${c.name}.$fn"
+                require(!colNames.contains(m),
+                  s"Nested member $m collides with a declared column")
+                ChStatement.ColDef(m, BqlType.Arr(ft), primaryKey = false,
+                  notNull = false, default = None)
+              }
+              fams(c.name) = members.map(_.name)
+              members
+            case t =>
+              // Nested only flattens at top level; Array(Nested(...)) has
+              // no CH storage meaning — reject rather than store a shape
+              // DESC/INSERT can't honor
+              require(!t.chName.contains("Nested("),
+                s"column ${c.name}: Nested is only supported as a " +
+                  s"top-level column type, got ${t.chName}")
+              Seq(c)
+          }
+        }
+        val lenChecks = fams.toSeq.collect {
+          case (fam, members) if members.size >= 2 =>
+            val h = members.head
+            s"__nested_$fam" -> members.tail.map(m =>
+              s"size(`$h`) = size(`$m`)").mkString(" AND ")
+        }
+        val rdb0 = ct0.db.getOrElse(spark.catalog.currentDatabase)
+        GraftSession.nestedRegistry.put((rdb0, ct0.name), fams.toMap)
+        ct0.copy(cols = cols, checks = ct0.checks ++ lenChecks)
+      }
+    // family -> members, recorded so SELECT-side `n.a` references and
+    // ARRAY JOIN family expansion survive session restarts (the registry
+    // reloads lazily from this prop — nestedMemberNames)
+    val nestedProp =
+      if (nestedFams.isEmpty) Nil
+      else Seq("graft.nested" -> nestedFams.map { case (f, ms) =>
+        s"$f\u0002${ms.mkString(",")}" }.mkString("\u0001"))
     val full = fullName(ct.db, ct.name)
     // Collapsing engines are unusable without a valid sign (and, for the
     // versioned form, version) column — fail at CREATE, not at first
@@ -2937,6 +3022,7 @@ class GraftSession(val spark: SparkSession) {
       (if (ct.checks.nonEmpty)
         Seq("graft.checks" -> ct.checks.map { case (k, v) =>
           s"$k\u0002$v" }.mkString("\u0001")) else Nil) ++
+      nestedProp ++
       ct.partitionBy.map("graft.ptk.expr" -> _) ++
       ct.settings.map { case (k, v) => s"graft.setting.$k" -> v }
     // `INDEX n col TYPE bloom_filter[...]` on a plain column wires to a
@@ -3756,13 +3842,39 @@ class GraftSession(val spark: SparkSession) {
       .getOrElse(Set.empty)
     val notNulls: Set[String] = meta.properties.get("graft.notnull")
       .map(_.split("\u0001").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
-    val colsDdl = meta.schema.fields.toSeq.filter(_.name != PtkCol).map { f =>
+    // Nested families re-group into their `n Nested(a T, b U)` clause --
+    // normalizing to the flattened members would replay fine but LOSE the
+    // family metadata (graft.nested), breaking `ARRAY JOIN n` and plain
+    // `n.a` references after a TRUNCATE/RENAME replay.
+    val nestedFams: Seq[(String, Seq[String])] =
+      meta.properties.get("graft.nested").map {
+        _.split("\u0001").filter(_.nonEmpty).toSeq.map { kv =>
+          val Array(k, v) = kv.split("\u0002", 2)
+          k -> v.split(",").filter(_.nonEmpty).toSeq
+        }
+      }.getOrElse(Nil)
+    val famOfMember: Map[String, String] = nestedFams.flatMap { case (f, ms) =>
+      ms.map(_ -> f) }.toMap
+    def innerOfArray(ch: String): String =
+      if (ch.startsWith("Array(") && ch.endsWith(")"))
+        ch.substring(6, ch.length - 1) else ch
+    val colsDdl = meta.schema.fields.toSeq.filter(_.name != PtkCol).flatMap { f =>
       val t = types.getOrElse(f.name,
         BqlType.fromSpark(f.dataType, f.nullable).chName)
-      val pkM = if (pks(f.name)) " PRIMARY KEY" else ""
-      val nnM = if (notNulls(f.name) || !f.nullable) " NOT NULL" else ""
-      s"`${f.name}` $t$pkM$nnM" +
-        dflts.get(f.name).map(d => s" DEFAULT $d").getOrElse("")
+      famOfMember.get(f.name) match {
+        case Some(fam) =>
+          val members = nestedFams.find(_._1 == fam).get._2
+          if (members.headOption.contains(f.name))
+            Some(s"`$fam` Nested(" + members.map { m =>
+              s"${m.substring(fam.length + 1)} ${innerOfArray(types.getOrElse(m, t))}"
+            }.mkString(", ") + ")")
+          else None
+        case None =>
+          val pkM = if (pks(f.name)) " PRIMARY KEY" else ""
+          val nnM = if (notNulls(f.name) || !f.nullable) " NOT NULL" else ""
+          Some(s"`${f.name}` $t$pkM$nnM" +
+            dflts.get(f.name).map(d => s" DEFAULT $d").getOrElse(""))
+      }
     }.mkString(", ")
     val settings = meta.properties.collect {
       case (k, v) if k.startsWith("graft.setting.") =>
@@ -4165,6 +4277,17 @@ object GraftSession {
   /** JVM-wide per-table append locks (see appendToTable). */
   private[exec] val tableWriteLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** JVM-wide Nested-family registry: (db, table) -> family -> flattened
+    * member column names ("n" -> Seq("n.a", "n.b")). Populated at CREATE
+    * (and therefore at restore replay, which runs the same path); dropped
+    * entries only ever cause a no-op backtick rewrite against a table
+    * that no longer resolves, so staleness is harmless. Lazily seeded
+    * from `graft.nested` table props for tables created by OTHER
+    * sessions/JVMs ([[GraftSession.nestedMemberNames]]).
+    */
+  private[exec] val nestedRegistry = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Map[String, Seq[String]]]()
 
   /** The plain column of a `name col TYPE bloom_filter[...]` index body,
     * if that is its shape — only these wire to physical parquet blooms.

@@ -1007,6 +1007,45 @@ object ChParser {
       }
     }
 
+  /** Backquote every `a.b` identifier pair whose joined name is in
+    * `names` — the flattened members of `Nested(...)` columns, which CH
+    * SQL references as plain `n.a` but Spark would resolve as a struct
+    * field / table-qualified column instead of the literal column "n.a".
+    * Token-driven: string literals and comments never match; an already-
+    * backticked ident (raw char at pos is '`') is left alone; chains
+    * `x.a.b` (db.table.col) are excluded by requiring no adjacent dots.
+    */
+  def backquoteDotted(sql: String, names: Set[String]): String =
+    tokenize(sql) match {
+      case Left(_) => sql
+      case Right(toks) =>
+        def rawIdent(i: Int): Option[Ident] = toks.lift(i) match {
+          case Some(id: Ident) if sql.charAt(id.pos) != '`' => Some(id)
+          case _ => None
+        }
+        def isDot(i: Int): Boolean = toks.lift(i) match {
+          case Some(Punct(".", _)) => true
+          case _ => false
+        }
+        val hits = toks.indices.flatMap { i =>
+          (rawIdent(i), toks.lift(i + 1), rawIdent(i + 2)) match {
+            case (Some(a), Some(Punct(".", _)), Some(b))
+                if names.contains(s"${a.text}.${b.text}") &&
+                  !isDot(i - 1) && !isDot(i + 3) &&
+                  // `.` must be ADJACENT on both sides: `tuple.field`
+                  // spaced as `t . f` is never a nested ref, and a NumLit
+                  // never starts an ident so `1.5` can't reach here
+                  a.pos + a.text.length == toks(i + 1).pos &&
+                  toks(i + 1).pos + 1 == b.pos =>
+              Some((a.pos, b.pos + b.text.length, s"`${a.text}.${b.text}`"))
+            case _ => None
+          }
+        }
+        hits.sortBy(-_._1).foldLeft(sql) { case (acc, (from, to, rep)) =>
+          acc.substring(0, from) + rep + acc.substring(to)
+        }
+    }
+
   /** One `expr [AS alias]` item of an ARRAY JOIN clause. `bare` marks a
     * plain un-aliased column reference, which ClickHouse REPLACES in
     * scope with its element value (`ARRAY JOIN arr` makes `arr` mean the
@@ -1348,7 +1387,18 @@ object ChParser {
             var go = true
             while (go) {
               p.ident() match {
-                case Right(nm) => names += nm; go = p.eatPunct(",")
+                case Right(nm) =>
+                  // Nested members are inserted as `n.a` (CH spells the
+                  // flattened column with a dot in INSERT lists)
+                  var full = nm
+                  while (p.isPunct(".")) {
+                    p.next()
+                    p.ident() match {
+                      case Right(part) => full = s"$full.$part"
+                      case Left(_) => ()
+                    }
+                  }
+                  names += full; go = p.eatPunct(",")
                 case Left(_) => go = false
               }
             }

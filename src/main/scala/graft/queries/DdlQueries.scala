@@ -846,6 +846,31 @@ object DdlQueries {
         "CAST(round(CAST(avgMerge(a) AS DECIMAL(18,6)), 4) AS DOUBLE) AS av, " +
         "uniqExactMerge(u) AS ud " +
         "FROM d29_agg GROUP BY k ORDER BY k")
+    },
+
+    // Nested(...) columns (d30): CH's named family of parallel arrays.
+    // Storage flattens to `tag.name Array(String)` / `tag.val
+    // Array(Float64)` (flatten_nested=1, the CH default) with per-row
+    // equal-length enforcement; `ARRAY JOIN tag` zips the family back to
+    // rows, and plain `tag.name` references resolve to the flattened
+    // column. The readback re-expands every collected event exactly once,
+    // so the oracle is the flat projection of the source — an
+    // independent path to the same rows.
+    "d30_nested_array_join" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("DROP TABLE IF EXISTS d30_n")
+      g.sql("CREATE TABLE d30_n(id Int64, " +
+        "tag Nested(name String, val Float64)) ENGINE=MergeTree ORDER BY id")
+      g.sql("INSERT INTO d30_n SELECT event_id % 97 AS id, " +
+        "transform(sort_array(collect_list(named_struct(" +
+        "'k', event_id, 't', event_type, 'v', value))), x -> x.t), " +
+        "transform(sort_array(collect_list(named_struct(" +
+        "'k', event_id, 't', event_type, 'v', value))), x -> x.v) " +
+        "FROM events GROUP BY event_id % 97")
+      g.sql("SELECT id, tag.name AS name, " +
+        "CAST(round(tag.val, 3) AS DOUBLE) AS v " +
+        "FROM d30_n ARRAY JOIN tag ORDER BY id, name, v")
     }
   )
 
@@ -1249,6 +1274,14 @@ object DdlQueries {
         |  CAST(round(CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
         |    / count(*) AS DECIMAL(18,6)), 4) AS DOUBLE) AS av,
         |  CAST(count(DISTINCT event_type) AS BIGINT) AS ud
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // d30 collects events into Nested parallel arrays and ARRAY JOINs
+    // them back out — every source row re-expands exactly once, so the
+    // oracle is the flat projection computed without any nesting.
+    "d30_nested_array_join" ->
+      """SELECT CAST(event_id % 97 AS BIGINT) AS id, event_type AS name,
+        |  CAST(round(value, 3) AS DOUBLE) AS v
+        |FROM events ORDER BY id, name, v""".stripMargin
   )
 }

@@ -111,6 +111,25 @@ object BqlType {
     }.toIndexedSeq)
   }
 
+  /** ClickHouse `Nested(a T, b U)` — a named family of PARALLEL ARRAYS.
+    * Storage flattens it exactly as CH does with flatten_nested=1 (the
+    * default): the table physically holds `n.a Array(T)`, `n.b Array(U)`
+    * with per-row equal-length enforcement; DESC shows the flattened
+    * columns while SHOW CREATE keeps the Nested form. Not in the
+    * reference (its grammar has no array types at all,
+    * crates/lang/src/bql.pest:359-391) — CH-dialect completion. The
+    * sparkType below is only the logical array-of-struct view (used by
+    * DESC(SELECT)-style derivations); table DDL never stores it — the
+    * expansion happens before the Spark schema is built.
+    */
+  final case class Nested(fields: Seq[(String, BqlType)])
+      extends BqlType("Nested(" + fields.map { case (n, t) =>
+        s"$n ${t.chName}" }.mkString(", ") + ")") {
+    val sparkType = ArrayType(StructType(fields.map { case (n, t) =>
+      StructField(n, t.sparkType, t.isInstanceOf[Nullable])
+    }.toIndexedSeq), containsNull = false)
+  }
+
   case object IPv4 extends BqlType("IPv4") { val sparkType = StringType }
   case object IPv6 extends BqlType("IPv6") { val sparkType = StringType }
 
@@ -273,6 +292,27 @@ object BqlType {
                 Right(ChTuple(fields.map(_.toOption.get), named)))
             }
           })
+          .orElse(withArgs("Nested").map { a =>
+            val parts = splitTopLevel(a)
+            if (parts.isEmpty) Left(s"Nested expects `name Type` fields: $input")
+            else {
+              val fields = parts.map { pRaw =>
+                val t = pRaw.trim
+                if (!t.matches("[A-Za-z_][A-Za-z0-9_]*\\s+\\S.*"))
+                  Left(s"Nested field must be `name Type`, got `$t`: $input")
+                else {
+                  val Array(n, rest) = t.split("\\s+", 2)
+                  parse(rest).flatMap {
+                    case _: Nested =>
+                      Left(s"Nested inside Nested is not supported: $input")
+                    case bt => Right((n, bt))
+                  }
+                }
+              }
+              fields.collectFirst { case Left(e) => Left(e) }.getOrElse(
+                Right(Nested(fields.map(_.toOption.get))))
+            }
+          })
           .orElse(if (s == "IPv4") Some(Right(IPv4)) else None)
           .orElse(if (s == "IPv6") Some(Right(IPv6)) else None)
           .orElse(withArgs("AggregateFunction").map { a =>
@@ -410,8 +450,11 @@ object BqlType {
       case other => throw new IllegalArgumentException(
         s"no ClickHouse equivalent for Spark type: $other")
     }
-    // CH has no Nullable(Array): a NULL array column degrades to [] on
-    // the wire; element nulls ride inside Arr's inner Nullable.
-    if (nullable && !base.isInstanceOf[Arr]) Nullable(base) else base
+    // CH has no Nullable(Array/Map/Tuple): a NULL composite column
+    // degrades to []/{}/defaults on the wire; element nulls ride inside
+    // the inner Nullable.
+    if (nullable && !base.isInstanceOf[Arr] && !base.isInstanceOf[ChMap] &&
+        !base.isInstanceOf[ChTuple]) Nullable(base)
+    else base
   }
 }
