@@ -360,17 +360,96 @@ def read_value(conn, t):
     raise ValueError(f"probe does not decode type {t}")
 
 
+def split_args(s):
+    """Split a type-parameter list on top-level commas (string-aware)."""
+    out, depth, cur, instr = [], 0, "", False
+    for ch in s:
+        if ch == "'":
+            instr = not instr
+        if not instr:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                out.append(cur.strip())
+                cur = ""
+                continue
+        cur += ch
+    if cur.strip():
+        out.append(cur.strip())
+    return out
+
+
+def parse_enum(t):
+    """Enum8('low' = 1, 'high' = 2) -> (byte width, {code: name})."""
+    width = 1 if t.startswith("Enum8(") else 2
+    body = t[t.index("(") + 1:-1]
+    m = {}
+    for part in split_args(body):
+        name, val = part.rsplit("=", 1)
+        m[int(val.strip())] = name.strip().strip("'")
+    return width, m
+
+
+def read_column(conn, t, nrows):
+    """One full column of any supported type (recursive: Array offsets +
+    flattened inner, Map as offsets + keys column + values column, Tuple
+    as element columns in order, Enum as base ints mapped to names,
+    Nullable as a null map before the base column)."""
+    if t.startswith("LowCardinality("):
+        return read_lowcardinality(conn, t[len("LowCardinality("):-1], nrows)
+    if t.startswith("Array("):
+        return read_array_column(conn, t[len("Array("):-1], nrows)
+    if t.startswith("Map("):
+        k, v = split_args(t[len("Map("):-1])
+        offs = [struct.unpack("<Q", conn.read(8))[0] for _ in range(nrows)]
+        total = offs[-1] if nrows else 0
+        keys = read_column(conn, k, total)
+        vals = read_column(conn, v, total)
+        out, prev = [], 0
+        for o in offs:
+            out.append({keys[i]: vals[i] for i in range(prev, o)})
+            prev = o
+        return out
+    if t.startswith("Tuple("):
+        fields = split_args(t[len("Tuple("):-1])
+        ftypes = []
+        for f in fields:
+            parts = f.split(None, 1)
+            # named field: "x Int64" (a bare ident, no parens, then a type)
+            if len(parts) == 2 and "(" not in parts[0]:
+                ftypes.append(parts[1].strip())
+            else:
+                ftypes.append(f)
+        colsf = [read_column(conn, ft, nrows) for ft in ftypes]
+        return [[c[r] for c in colsf] for r in range(nrows)]
+    if t.startswith("Enum8(") or t.startswith("Enum16("):
+        width, m = parse_enum(t)
+        fmt = "<b" if width == 1 else "<h"
+        return [m[struct.unpack(fmt, conn.read(width))[0]]
+                for _ in range(nrows)]
+    nulls = [0] * nrows
+    base = t
+    if t.startswith("Nullable("):
+        base = t[len("Nullable("):-1]
+        nulls = list(conn.read(nrows))
+    if base.startswith("Enum8(") or base.startswith("Enum16("):
+        width, m = parse_enum(base)
+        fmt = "<b" if width == 1 else "<h"
+        vals = [struct.unpack(fmt, conn.read(width))[0] for _ in range(nrows)]
+        return [None if nulls[i] else m[vals[i]] for i in range(nrows)]
+    vals = [read_value(conn, base) for _ in range(nrows)]
+    return [None if nulls[i] else vals[i] for i in range(nrows)]
+
+
 def read_array_column(conn, inner, nrows):
     """Array(T) native framing: cumulative UInt64 offsets per row, then
-    the flattened inner column (its own null map first when Nullable)."""
+    the flattened inner column (read recursively — nested arrays, maps,
+    tuples and Nullable bases all route through read_column)."""
     offs = [struct.unpack("<Q", conn.read(8))[0] for _ in range(nrows)]
     total = offs[-1] if nrows else 0
-    base, nulls = inner, [0] * total
-    if inner.startswith("Nullable("):
-        base = inner[len("Nullable("):-1]
-        nulls = list(conn.read(total))
-    flat = [read_value(conn, base) for _ in range(total)]
-    flat = [None if nulls[i] else flat[i] for i in range(total)]
+    flat = read_column(conn, inner, total)
     out, prev = [], 0
     for o in offs:
         out.append(flat[prev:o])
@@ -480,20 +559,7 @@ def read_block(conn):
         names.append(rstr(conn))
         t = rstr(conn)
         types.append(t)
-        if t.startswith("LowCardinality("):
-            cols.append(read_lowcardinality(
-                conn, t[len("LowCardinality("):-1], nrows))
-            continue
-        if t.startswith("Array("):
-            cols.append(read_array_column(conn, t[len("Array("):-1], nrows))
-            continue
-        nulls = [0] * nrows
-        base = t
-        if t.startswith("Nullable("):
-            base = t[len("Nullable("):-1]
-            nulls = list(conn.read(nrows))
-        vals = [read_value(conn, base) for _ in range(nrows)]
-        cols.append([None if nulls[i] else vals[i] for i in range(nrows)])
+        cols.append(read_column(conn, t, nrows))
     rows = [[cols[c][r] for c in range(ncols)] for r in range(nrows)]
     return names, types, rows
 

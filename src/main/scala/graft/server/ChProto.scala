@@ -191,6 +191,13 @@ object ChProto {
     case other => other
   }
 
+  /** The Enum under an optional Nullable wrapper, if `t` is enum-shaped. */
+  private def enumOf(t: BqlType): Option[BqlType.Enum] = t match {
+    case e: BqlType.Enum => Some(e)
+    case BqlType.Nullable(e: BqlType.Enum) => Some(e)
+    case _ => None
+  }
+
   /** Encode one server Data packet: PKID, temp-table name, then the block
     * body — raw (blocks.rs:193-210) or as one LZ4+CityHash compressed frame
     * (blocks.rs:246-310; the packet code and temp-table name always ride
@@ -234,6 +241,27 @@ object ChProto {
           writeStr(out, lc.chName)
           writeLowCardinalityColumn(out, inner,
             rows.map(r => if (r.isNullAt(i)) null else r.get(i)))
+        case Some(den) if enumOf(den).isDefined =>
+          // a declared Enum column ships as its base int with the full
+          // Enum8/16('name' = code, ...) type-name metadata — CH's native
+          // Enum wire form; storage here is the name string, so the
+          // declared entries map it back to the code
+          val en = enumOf(den).get
+          val nullable = den.isInstanceOf[BqlType.Nullable]
+          writeStr(out, f.name)
+          writeStr(out, (if (nullable) BqlType.Nullable(en) else en).chName)
+          if (nullable)
+            rows.foreach(r => out.write(if (r.isNullAt(i)) 1 else 0))
+          val codeOf = en.entries.toMap
+          val width = if (en.width == 8) 1 else 2
+          rows.foreach { r =>
+            val code =
+              if (r.isNullAt(i)) en.entries.head._2
+              else codeOf.getOrElse(r.getString(i),
+                throw new IllegalArgumentException(
+                  s"value '${r.getString(i)}' is not an entry of ${en.chName}"))
+            writeLongLe(out, code.toLong, width)
+          }
         case _ =>
           val t = wireType(schema, i, u64)
           writeStr(out, f.name)
@@ -245,6 +273,14 @@ object ChProto {
               // contract.
               writeArrayColumn(out, inner, rows.map(r =>
                 if (r.isNullAt(i)) Seq.empty[Any] else r.getSeq[Any](i)))
+            case m: BqlType.ChMap =>
+              // Map/Tuple are likewise never Nullable in CH; NULL rows
+              // degrade to {} / default-tuple
+              writeMapColumn(out, m, rows.map(r =>
+                if (r.isNullAt(i)) null else r.get(i)))
+            case tp: BqlType.ChTuple =>
+              writeTupleColumn(out, tp, rows.map(r =>
+                if (r.isNullAt(i)) null else r.get(i)))
             case base =>
               if (f.nullable)
                 rows.foreach(r => out.write(if (r.isNullAt(i)) 1 else 0))
@@ -336,7 +372,48 @@ object ChProto {
             s"nested array element is not a Seq: $other")
         })
       case BqlType.LowCardinality(inner) => writeElements(out, inner, vs)
+      case m: BqlType.ChMap => writeMapColumn(out, m, vs)
+      case tp: BqlType.ChTuple => writeTupleColumn(out, tp, vs)
       case base => vs.foreach(v => writeScalar(out, base, v))
+    }
+
+  /** CH native Map(K, V) layout — the Nested(keys K, values V) framing:
+    * one UInt64 cumulative entry count per row (offsets), then the
+    * flattened keys as a plain column of K, then the flattened values as
+    * a plain column of V (SerializationMap serializes the nested
+    * Array(Tuple(K, V)) this way). A NULL map row degrades to {} (CH has
+    * no Nullable(Map)).
+    */
+  private def writeMapColumn(out: OutputStream, m: BqlType.ChMap,
+                             maps: Seq[Any]): Unit = {
+    val entries: Seq[Seq[(Any, Any)]] = maps.map {
+      case null => Seq.empty[(Any, Any)]
+      case mp: scala.collection.Map[_, _] =>
+        mp.toSeq.asInstanceOf[Seq[(Any, Any)]]
+      case other => throw new IllegalArgumentException(
+        s"Map column value is not a Map: $other")
+    }
+    var cum = 0L
+    entries.foreach { a => cum += a.length; writeLongLe(out, cum, 8) }
+    val flat = entries.flatten
+    writeElements(out, m.k, flat.map(_._1))
+    writeElements(out, m.v, flat.map(_._2))
+  }
+
+  /** CH native Tuple layout: each element serialized as its own
+    * full-length column, in declaration order (a Nullable element carries
+    * its null map inside its own sub-column). A NULL tuple row degrades
+    * to the per-element defaults (CH has no Nullable(Tuple)).
+    */
+  private def writeTupleColumn(out: OutputStream, tp: BqlType.ChTuple,
+                               vs: Seq[Any]): Unit =
+    tp.fields.zipWithIndex.foreach { case ((_, ft), j) =>
+      writeElements(out, ft, vs.map {
+        case null => null
+        case r: Row => r.get(j)
+        case other => throw new IllegalArgumentException(
+          s"Tuple column value is not a Row: $other")
+      })
     }
 
   /** One scalar in CH native column encoding, from its Spark EXTERNAL form
@@ -486,6 +563,20 @@ object ChProto {
             else Array.fill(nRows)(false)
           base match {
             case arr: BqlType.Arr => readArrayColumn(in, arr.inner, nRows)
+            case m: BqlType.ChMap => readMapColumn(in, m, nRows)
+            case tp: BqlType.ChTuple => readTupleColumn(in, tp, nRows)
+            case en: BqlType.Enum =>
+              val byCode = en.entries.map(_.swap).toMap
+              val width = if (en.width == 8) 1 else 2
+              Vector.tabulate(nRows) { r =>
+                val code = readLongLe(in, width).toInt
+                // sign-extend the narrow reads (Enum8 codes are i8)
+                val signed = if (en.width == 8) code.toByte.toInt
+                             else code.toShort.toInt
+                val v = byCode.getOrElse(signed, throw new java.io.IOException(
+                  s"enum code $signed is not an entry of ${en.chName}"))
+                if (nulls(r)) null else v
+              }
             case _ => Vector.tabulate(nRows) { r =>
               val v = readValue(in, base)
               if (nulls(r)) null else v
@@ -517,6 +608,11 @@ object ChProto {
       case (v: String, BinaryType) => v.getBytes("UTF-8") // FixedString rides as varbytes
       case (v: scala.collection.Seq[_], ArrayType(et, _)) =>
         v.toSeq.map(convert(_, et))
+      case (v: scala.collection.Map[_, _], MapType(kt, vt, _)) =>
+        v.map { case (k, vv) => convert(k, kt) -> convert(vv, vt) }.toMap
+      case (v: Row, st: StructType) =>
+        Row.fromSeq(st.fields.toSeq.zipWithIndex.map { case (f, j) =>
+          convert(v.get(j), f.dataType) })
       case (v, _) => v
     }
     (0 until block.nRows).map { r =>
@@ -608,8 +704,45 @@ object ChProto {
         Vector.tabulate(n)(i => if (nulls(i)) null else vs(i))
       case arr: BqlType.Arr => readArrayColumn(in, arr.inner, n)
       case BqlType.LowCardinality(inner) => readElements(in, inner, n)
+      case m: BqlType.ChMap => readMapColumn(in, m, n)
+      case tp: BqlType.ChTuple => readTupleColumn(in, tp, n)
       case base => Vector.fill(n)(readValue(in, base))
     }
+
+  /** Inverse of [[writeMapColumn]]: cumulative offsets, flattened keys
+    * column, flattened values column → one Scala Map per row.
+    */
+  private def readMapColumn(in: InputStream, m: BqlType.ChMap,
+                            nRows: Int): Vector[Any] = {
+    val offsets = Vector.fill(nRows)(readLongLe(in, 8))
+    var prevL = 0L
+    offsets.foreach { o =>
+      if (o < prevL || o > Int.MaxValue.toLong)
+        throw new java.io.IOException(
+          s"Map column offsets invalid: $o (prev $prevL)")
+      prevL = o
+    }
+    val total = if (nRows == 0) 0 else offsets.last.toInt
+    val keys = readElements(in, m.k, total)
+    val vals = readElements(in, m.v, total)
+    var prev = 0
+    offsets.map { oL =>
+      val o = oL.toInt
+      val mp = (prev until o).map(j => keys(j) -> vals(j)).toMap
+      prev = o
+      mp
+    }
+  }
+
+  /** Inverse of [[writeTupleColumn]]: element columns in order → one Row
+    * per row.
+    */
+  private def readTupleColumn(in: InputStream, tp: BqlType.ChTuple,
+                              nRows: Int): Vector[Any] = {
+    val colsByField = tp.fields.map { case (_, ft) =>
+      readElements(in, ft, nRows) }
+    Vector.tabulate(nRows)(r => Row.fromSeq(colsByField.map(_(r))))
+  }
 
   private[graft] def readValue(in: InputStream, t: BqlType): Any = {
     import BqlType._

@@ -238,10 +238,13 @@ final class ChWireServer(spark: SparkSession, port: Int = 0) {
             // Decimal(10,0) column) — only lineage-proven UInt64 columns
             // may take the u64 wire form
             val u64 = WireTypes.uint64Positions(df)
+            // identity-lineage Enum columns ship as Enum8/16 with int
+            // codes (CH's native form) instead of a String column
+            val enums = WireTypes.declaredEnums(df)
             // leading zero-row header block: clients (incl. our remote())
             // learn the result structure even when no rows come back
             ChProto.writeDataBlock(out, schema, Seq.empty,
-              isU64 = u64, compress = compress)
+              isU64 = u64, compress = compress, declared = enums)
             // a flushed Progress packet goes out BEFORE each group is
             // pulled from the iterator — the silent period is exactly
             // while the next group's partitions are being computed, so a
@@ -261,7 +264,7 @@ final class ChWireServer(spark: SparkSession, port: Int = 0) {
               val rows = groups.next()
               rowsSent += rows.size
               ChProto.writeDataBlock(out, schema, rows.toSeq,
-                isU64 = u64, compress = compress)
+                isU64 = u64, compress = compress, declared = enums)
               // covers the computation of the NEXT group (or the EOS)
               ChProto.writeProgress(out, rowsSent, 0L); out.flush()
               while (!cancelled && in.available() > 0) {

@@ -85,4 +85,67 @@ object WireTypes {
       case (a, i) if resolvesToU64(a, 0) => i
     }.toSet
   }
+
+  /** Declared Enum types for query-result columns, by the same identity
+    * lineage as [[uint64Positions]] (aliases/projections only — an
+    * expression OVER an enum column is a plain String again). Feeds the
+    * wire writer's `declared` hook so `SELECT enum_col FROM t` ships as
+    * Enum8/16('name' = code, ...) with int codes — CH's native Enum wire
+    * form — instead of a String column. Nullability comes from the
+    * OUTPUT attribute (an outer join can null a NOT NULL source column).
+    */
+  def declaredEnums(df: DataFrame): Int => Option[graft.types.BqlType] = {
+    val plan = df.queryExecution.analyzed
+    val declared = mutable.Map.empty[ExprId, String]
+    val poisoned = mutable.Set.empty[ExprId]
+    plan.foreach {
+      case lr: LogicalRelation =>
+        for {
+          ct <- lr.catalogTable
+          prop <- ct.properties.get(ChTypesProp)
+        } {
+          val types = prop.split("").filter(_.nonEmpty).map { kv =>
+            val Array(k, v) = kv.split("", 2)
+            k -> v
+          }.toMap
+          lr.output.foreach(a => types.get(a.name).foreach(declared(a.exprId) = _))
+        }
+      case u: Union => u.output.foreach(poisoned += _.exprId)
+      case i: Intersect => i.output.foreach(poisoned += _.exprId)
+      case e: Except => e.output.foreach(poisoned += _.exprId)
+      case _ => ()
+    }
+    if (declared.isEmpty) return _ => None
+    val aliases = mutable.Map.empty[ExprId, Expression]
+    plan.foreach { node =>
+      node.expressions.foreach(_.foreach {
+        case a: Alias => aliases(a.exprId) = a.child
+        case _ => ()
+      })
+    }
+    def declaredOf(e: Expression, depth: Int): Option[String] = e match {
+      case _ if depth > 64 => None
+      case a: AttributeReference if poisoned.contains(a.exprId) => None
+      case a: AttributeReference =>
+        declared.get(a.exprId)
+          .orElse(aliases.get(a.exprId).flatMap(declaredOf(_, depth + 1)))
+      case al: Alias => declaredOf(al.child, depth + 1)
+      case _ => None
+    }
+    import graft.types.BqlType
+    def enumOf(t: BqlType): Option[BqlType.Enum] = t match {
+      case e: BqlType.Enum => Some(e)
+      case BqlType.Nullable(e: BqlType.Enum) => Some(e)
+      case BqlType.LowCardinality(e: BqlType.Enum) => Some(e)
+      case _ => None
+    }
+    val byPos: Map[Int, BqlType] =
+      plan.output.zipWithIndex.flatMap { case (a, i) =>
+        declaredOf(a, 0)
+          .flatMap(BqlType.parse(_).toOption)
+          .flatMap(enumOf)
+          .map(en => i -> (if (a.nullable) BqlType.Nullable(en) else en: BqlType))
+      }.toMap
+    byPos.get _
+  }
 }
