@@ -1262,11 +1262,9 @@ class GraftSession(val spark: SparkSession) {
     if (remotes.isEmpty && numbers.isEmpty && files.isEmpty && merges.isEmpty)
       return sql
     // CH's virtual `_table` never shows up in `SELECT *` — only include
-    // it when the statement actually names it (token-level would be
-    // nicer; `_table` is distinctive enough that a word-boundary match
-    // cannot collide with a data column CH itself would reject)
-    val wantsTable = java.util.regex.Pattern
-      .compile("\\b_table\\b").matcher(sql).find()
+    // it when the statement actually names it as an IDENTIFIER (the token
+    // inside a string literal or comment is not a reference; ADVICE r17)
+    val wantsTable = ChParser.hasIdent(sql, "_table")
     val splices = remotes.map { case (from, to, args) =>
       val auth = if (args.length == 4) Some((args(2), args(3))) else None
       val view = s"graft_remote_${java.security.MessageDigest.getInstance("MD5")
@@ -1374,7 +1372,13 @@ class GraftSession(val spark: SparkSession) {
     val tables = cat.listTables(db).map(_.table)
       .filterNot(t => t.startsWith("__proj_") || t.startsWith("graft_tmp_"))
       .filter(t => re.matcher(t).find())
-      .filter(t => spark.sharedState.externalCatalog.tableExists(db, t))
+      // merge() unions only TABLES (CH contract): tableExists is true for
+      // persistent catalog VIEWs too, so filter by table type (ADVICE r17)
+      .filter(t => scala.util.Try(
+        spark.sharedState.externalCatalog.getTable(db, t).tableType)
+        .toOption.exists(tt =>
+          tt == org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED ||
+          tt == org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL))
       .sorted
     require(tables.nonEmpty, s"merge(): no tables in $db match '$pattern'")
     val cols = spark.table(s"`$db`.`${tables.head}`").schema.fieldNames
@@ -1858,11 +1862,27 @@ class GraftSession(val spark: SparkSession) {
           .getOrElse(
             throw new IllegalStateException("file(): no output part"))
       } finally listing.close()
-    if (java.nio.file.Files.exists(target) && ext != "parquet") {
-      // append mode for text formats, CH's behavior on an existing file
+    if (java.nio.file.Files.exists(target)) {
+      // append mode for text formats, CH's behavior on an existing file.
+      // Parquet cannot append to a single file — reject rather than the
+      // silent overwrite CH would never do (ADVICE r17).
+      require(ext != "parquet",
+        s"INSERT INTO FUNCTION file: $target exists and Parquet files " +
+          "cannot be appended to; remove the file or use a new path")
+      val withHeader = fmt.endsWith("withnames")
       val out = java.nio.file.Files.newOutputStream(target,
         java.nio.file.StandardOpenOption.APPEND)
-      try java.nio.file.Files.copy(produced, out) finally out.close()
+      try {
+        if (withHeader) {
+          // the appended part re-emits the header row — strip it so the
+          // target stays one header + rows (re-reading with header=true
+          // must not see a mid-file header as data; ADVICE r17)
+          val bytes = java.nio.file.Files.readAllBytes(produced)
+          val nl = bytes.indexOf('\n'.toByte)
+          if (nl >= 0) out.write(bytes, nl + 1, bytes.length - nl - 1)
+        } else
+          java.nio.file.Files.copy(produced, out): Unit
+      } finally out.close()
     } else
       java.nio.file.Files.move(produced, target,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -3496,6 +3516,13 @@ class GraftSession(val spark: SparkSession) {
         org.apache.spark.sql.catalyst.TableIdentifier(target, Some(rdb))),
       s"MATERIALIZED VIEW TO: no table $rdb.$target")
     if (mv.ifNotExists && viewDefs.contains(mv.name)) return emptyOk
+    // duplicate CREATE errors like ClickHouse: silently replacing the
+    // wrapper view would leave the PREVIOUS target's graft.mv.* props in
+    // place, so inserts kept fanning into the abandoned target (ADVICE
+    // r17). DROP VIEW first to repoint.
+    require(!viewDefs.contains(mv.name),
+      s"MATERIALIZED VIEW TO: view ${mv.name} already exists " +
+        "(use IF NOT EXISTS, or DROP VIEW first to repoint it)")
     val src = ChParser.firstFromTable(mv.selectSql).getOrElse(
       throw new IllegalArgumentException(
         "MATERIALIZED VIEW: the SELECT must read FROM a table directly"))._1

@@ -1007,6 +1007,20 @@ object ChParser {
       }
     }
 
+  /** Whether `name` appears as an IDENTIFIER token in `sql` — unlike a
+    * regex over the raw text, string literals and comments never match
+    * (ADVICE r17: `merge()`'s `_table` detection false-positived on the
+    * token inside a string literal).
+    */
+  def hasIdent(sql: String, name: String): Boolean =
+    tokenize(sql) match {
+      case Left(_) => sql.contains(name) // unparseable: conservative
+      case Right(toks) => toks.exists {
+        case Ident(t, _) => t.equalsIgnoreCase(name)
+        case _ => false
+      }
+    }
+
   /** Backquote every `a.b` identifier pair whose joined name is in
     * `names` — the flattened members of `Nested(...)` columns, which CH
     * SQL references as plain `n.a` but Spark would resolve as a struct

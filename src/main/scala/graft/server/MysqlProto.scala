@@ -226,9 +226,13 @@ object MysqlProto {
         val v = p.u32() | (p.u32() << 32)
         if (unsigned && v < 0) java.lang.Long.toUnsignedString(v) else v.toString
       case 0x04 =>
-        java.lang.Float.intBitsToFloat(p.u32().toInt).toString
+        val f = java.lang.Float.intBitsToFloat(p.u32().toInt)
+        // keep the float's own short decimal rendering when finite
+        // (toDouble would stretch 0.1f to 0.10000000149011612)
+        if (java.lang.Float.isFinite(f)) f.toString
+        else floatLiteral(f.toDouble)
       case 0x05 =>
-        java.lang.Double.longBitsToDouble(p.u32() | (p.u32() << 32)).toString
+        floatLiteral(java.lang.Double.longBitsToDouble(p.u32() | (p.u32() << 32)))
       case 0x0a => // DATE: length-prefixed y/m/d
         val n = p.u8()
         if (n == 0) "DATE '1970-01-01'"
@@ -317,6 +321,16 @@ object MysqlProto {
     * with the rendered literals as separators. Quote-aware (' " ` with ''
     * doubling), comment-aware (-- to EOL).
     */
+  /** A FLOAT/DOUBLE param as a SQL literal: non-finite values render as
+    * bare `NaN`/`Infinity` tokens that parse as identifiers — splice the
+    * CAST literal form instead (ADVICE r17).
+    */
+  private def floatLiteral(v: Double): String =
+    if (java.lang.Double.isNaN(v)) "CAST('NaN' AS DOUBLE)"
+    else if (v == Double.PositiveInfinity) "CAST('Infinity' AS DOUBLE)"
+    else if (v == Double.NegativeInfinity) "CAST('-Infinity' AS DOUBLE)"
+    else v.toString
+
   def splitOnPlaceholders(sql: String): Seq[String] = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
@@ -335,6 +349,17 @@ object MysqlProto {
         case '-' if i + 1 < sql.length && sql.charAt(i + 1) == '-' =>
           val eol = sql.indexOf('\n', i)
           val end = if (eol < 0) sql.length else eol
+          cur ++= sql.substring(i, end); i = end - 1
+        // MySQL's other comment forms hide '?' too: '#' to end of line
+        // and '/* */' blocks (ADVICE r17 — a marker inside either would
+        // shift every subsequent binding)
+        case '#' =>
+          val eol = sql.indexOf('\n', i)
+          val end = if (eol < 0) sql.length else eol
+          cur ++= sql.substring(i, end); i = end - 1
+        case '/' if i + 1 < sql.length && sql.charAt(i + 1) == '*' =>
+          val close = sql.indexOf("*/", i + 2)
+          val end = if (close < 0) sql.length else close + 2
           cur ++= sql.substring(i, end); i = end - 1
         case '?' => parts += cur.result(); cur.clear()
         case other => cur += other
