@@ -1133,6 +1133,8 @@ class GraftSession(val spark: SparkSession) {
           s"CAST(array_sort(array_distinct(flatten(collect_list(${q(c)})))) " +
             s"AS $sqlType) AS ${q(c)}"
         case "uniq" => s"hll_union_agg(${q(c)}) AS ${q(c)}"
+        case "quantileTDigest" =>
+          s"CAST(tdigest_state_merge_agg(${q(c)}) AS $sqlType) AS ${q(c)}"
       }
       def aggFnOf(c: String): Option[String] =
         declared.get(c).flatMap(t => graft.types.BqlType.parse(t).toOption)

@@ -269,6 +269,13 @@ object ChAggregates {
     "avgState" -> one("avgState")(x => CreateNamedStruct(Seq(
       Literal("s"), Sum(x).toAggregateExpression(),
       Literal("c"), Count(x).toAggregateExpression()))),
+    // 100 TB NOTE: uniqExactState's state is the UNBOUNDED sorted
+    // distinct-value array — CH parity (its uniqExactState is unbounded
+    // too), and exactness has no smaller representation. Past ~10^6
+    // distinct values per group the state row itself becomes the
+    // bottleneck: switch to uniqState (bounded HLL sketch, ~2^12 bytes
+    // regardless of cardinality) unless the use genuinely needs exact
+    // counts — the l22-style crossover rule.
     "uniqExactState" -> one("uniqExactState")(x =>
       SortArray(CollectSet(x).toAggregateExpression(), Literal(true))),
     // uniqState: the APPROXIMATE mergeable-distinct state — a Datasketches
@@ -296,6 +303,26 @@ object ChAggregates {
       new org.apache.spark.sql.catalyst.expressions.HllSketchEstimate(
         new org.apache.spark.sql.catalyst.expressions.aggregate.HllUnionAgg(x)
           .toAggregateExpression())),
+    // quantileTDigestState / quantileTDigestMerge(p): the bounded
+    // mergeable quantile state ([[TDigest]]) — typed Aggregators bridged
+    // into the Catalyst tree via their ScalaAggregator expression. p must
+    // be a literal (CH's parametric position; the parser rewrite moves
+    // `quantileTDigestMerge(0.5)(q)` to `(q, 0.5)`).
+    "quantileTDigestState" -> one("quantileTDigestState") { x =>
+      org.apache.spark.sql.GraftSqlBridge.typedAggExpression(
+        new TDigest.StateAgg, Encoders.DOUBLE,
+        Seq(Cast(x, DoubleType)))
+    },
+    "quantileTDigestMerge" -> two("quantileTDigestMerge") { (state, pe) =>
+      val p = pe match {
+        case Literal(v, _) if v != null => v.toString.toDouble
+        case other => throw new IllegalArgumentException(
+          s"quantileTDigestMerge: quantile level must be a literal, got $other")
+      }
+      org.apache.spark.sql.GraftSqlBridge.typedAggExpression(
+        new TDigest.MergeQAgg(p), ExpressionEncoder[TDigest.State](),
+        Seq(state))
+    },
     // -If combinators: the aggregate with a Catalyst FILTER clause.
     "countIf" -> one("countIf")(cond =>
       Count(Literal(1)).toAggregateExpression(isDistinct = false, filter = Some(cond))),
@@ -323,5 +350,10 @@ object ChAggregates {
     spark.udf.register("top_k_weighted_3",
       org.apache.spark.sql.functions.udaf(new TopKWeighted(3, 16),
         ExpressionEncoder[(String, Long)]()))
+    // state -> state re-merge for AggregateFunction(quantileTDigest, T)
+    // columns (the AggregatingMergeTree FINAL / OPTIMIZE merge SQL)
+    spark.udf.register("tdigest_state_merge_agg",
+      org.apache.spark.sql.functions.udaf(new TDigest.StateMergeAgg,
+        ExpressionEncoder[TDigest.State]()))
   }
 }

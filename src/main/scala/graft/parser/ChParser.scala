@@ -2292,7 +2292,10 @@ object ChParser {
     val fns = Map(
       "quantile" -> "percentile_approx", "quantiletdigest" -> "percentile_approx",
       "quantileexact" -> "percentile", "quantiles" -> "percentile_approx",
-      "quantilesexact" -> "percentile", "quantilestdigest" -> "percentile_approx")
+      "quantilesexact" -> "percentile", "quantilestdigest" -> "percentile_approx",
+      // the mergeable-state reader keeps its own name — the builder in
+      // ChAggregates folds stored digest states and reads the p-quantile
+      "quantiletdigestmerge" -> "quantileTDigestMerge")
     var sql = sql0
     var changed = true
     var guard = 0

@@ -871,6 +871,49 @@ object DdlQueries {
       g.sql("SELECT id, tag.name AS name, " +
         "CAST(round(tag.val, 3) AS DOUBLE) AS v " +
         "FROM d30_n ARRAY JOIN tag ORDER BY id, name, v")
+    },
+
+    // Mergeable quantile states (d31): AggregateFunction(quantileTDigest,
+    // Float64) — the bounded centroid digest (functions/TDigest.scala).
+    // Two insert waves leave two partial-state rows per key; OPTIMIZE
+    // FINAL folds them state->state; quantileTDigestMerge reads the
+    // quantile out. The b09 oracle discipline: sketches differ across
+    // engines, so each engine gates its own approx answer inside the
+    // SAME ±1%-rank exact bounds (identical TRUE both sides) and the
+    // cross-engine-stable outputs are the exact quantiles themselves.
+    "d31_quantile_state_merge" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("DROP TABLE IF EXISTS d31_mv; DROP TABLE IF EXISTS d31_agg; " +
+        "DROP TABLE IF EXISTS d31_raw")
+      g.sql("CREATE TABLE d31_raw(k Int64, v Float64)")
+      g.sql("CREATE TABLE d31_agg(k Int64 PRIMARY KEY, " +
+        "q AggregateFunction(quantileTDigest, Float64)) " +
+        "ENGINE=AggregatingMergeTree")
+      g.sql("CREATE MATERIALIZED VIEW d31_mv TO d31_agg AS " +
+        "SELECT k, quantileTDigestState(v) AS q FROM d31_raw GROUP BY k")
+      g.sql("INSERT INTO d31_raw SELECT event_id % 7 AS k, value " +
+        "FROM events WHERE event_id % 2 = 0")
+      g.sql("INSERT INTO d31_raw SELECT event_id % 7 AS k, value " +
+        "FROM events WHERE event_id % 2 = 1")
+      g.sql("OPTIMIZE TABLE d31_agg FINAL")
+      g.sql("SELECT a.k, " +
+        "CAST(round(e.ex50, 6) AS DOUBLE) AS ex50, " +
+        "CAST(round(e.ex90, 6) AS DOUBLE) AS ex90, " +
+        "CAST(quantileTDigestMerge(0.5)(a.q) " +
+        "  BETWEEN e.lo50 AND e.hi50 AS INT) AS ok50, " +
+        "CAST(quantileTDigestMerge(0.9)(a.q) " +
+        "  BETWEEN e.lo90 AND e.hi90 AS INT) AS ok90 " +
+        "FROM d31_agg a JOIN (SELECT k, " +
+        "  quantileExactInclusive(v, 0.5d) AS ex50, " +
+        "  quantileExactInclusive(v, 0.9d) AS ex90, " +
+        "  quantileExactInclusive(v, 0.49d) AS lo50, " +
+        "  quantileExactInclusive(v, 0.51d) AS hi50, " +
+        "  quantileExactInclusive(v, 0.89d) AS lo90, " +
+        "  quantileExactInclusive(v, 0.91d) AS hi90 " +
+        "  FROM d31_raw GROUP BY k) e ON a.k = e.k " +
+        "GROUP BY a.k, e.ex50, e.ex90, e.lo50, e.hi50, e.lo90, e.hi90 " +
+        "ORDER BY a.k")
     }
   )
 
@@ -1282,6 +1325,20 @@ object DdlQueries {
     "d30_nested_array_join" ->
       """SELECT CAST(event_id % 97 AS BIGINT) AS id, event_type AS name,
         |  CAST(round(value, 3) AS DOUBLE) AS v
-        |FROM events ORDER BY id, name, v""".stripMargin
+        |FROM events ORDER BY id, name, v""".stripMargin,
+
+    // d31: exact quantiles are cross-engine-stable; the ok flags gate
+    // each engine's own sketch inside the same ±1%-rank exact bounds
+    "d31_quantile_state_merge" ->
+      """SELECT CAST(event_id % 7 AS BIGINT) AS k,
+        |  CAST(round(quantile_cont(value, 0.5), 6) AS DOUBLE) AS ex50,
+        |  CAST(round(quantile_cont(value, 0.9), 6) AS DOUBLE) AS ex90,
+        |  CAST(approx_quantile(value, 0.5)
+        |    BETWEEN quantile_cont(value, 0.49)
+        |        AND quantile_cont(value, 0.51) AS INT) AS ok50,
+        |  CAST(approx_quantile(value, 0.9)
+        |    BETWEEN quantile_cont(value, 0.89)
+        |        AND quantile_cont(value, 0.91) AS INT) AS ok90
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

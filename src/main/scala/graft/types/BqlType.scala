@@ -159,7 +159,8 @@ object BqlType {
 
   object AggFn {
     val supported: Set[String] =
-      Set("sum", "count", "min", "max", "avg", "uniqExact", "uniq")
+      Set("sum", "count", "min", "max", "avg", "uniqExact", "uniq",
+        "quantileTDigest")
 
     private[BqlType] def stateType(func: String, inner: Option[BqlType]): DataType =
       func match {
@@ -174,6 +175,12 @@ object BqlType {
             containsNull = false)
         // uniq: a Datasketches HLL sketch blob (bounded approximate state)
         case "uniq" => BinaryType
+        // quantileTDigest: bounded (mean, weight) centroid digest
+        // (graft.functions.TDigest — ≤ ~2·δ entries, mergeable)
+        case "quantileTDigest" => ArrayType(StructType(Seq(
+          StructField("_1", DoubleType, nullable = false),
+          StructField("_2", DoubleType, nullable = false))),
+          containsNull = false)
         case "min" | "max" => inner.map(_.sparkType).getOrElse(StringType)
         case "sum" => inner.map(_.sparkType) match {
           case Some(_: DecimalType) =>

@@ -195,4 +195,77 @@ class AggStateSpec extends AnyFunSuite {
     g.sql("DROP TABLE ags_p_mv")
     g.sql("DROP TABLE ags_p_t; DROP TABLE ags_p_raw")
   }
+
+  // ---- quantileTDigestState / -Merge (VERDICT r17 task #5) -------------
+
+  test("TDigest state is hard-bounded and pairwise merge is commutative") {
+    import graft.functions.TDigest
+    val vals = (1 to 20000).map(i => ((i * 2654435761L) % 100003).toDouble)
+    val state = vals.grouped(TDigest.PendingCap).foldLeft(
+      Seq.empty[(Double, Double)]) { (acc, chunk) =>
+      TDigest.compact(acc ++ chunk.map(v => (v, 1.0)))
+    }
+    assert(state.length <= 2 * TDigest.Delta,
+      s"state grew to ${state.length} centroids")
+    assert(state.map(_._2).sum === 20000.0)
+    // commutativity: compaction sorts first, so merge(a, b) == merge(b, a)
+    val (a, b) = state.splitAt(state.length / 2)
+    assert(TDigest.compact(a ++ b) === TDigest.compact(b ++ a))
+  }
+
+  test("merged partial states answer within the exact ±1%-rank bounds") {
+    import graft.functions.TDigest
+    val vals = (1 to 50000).map(i => ((i * 1103515245L + 12345) % 99991).toDouble)
+    // 8 partitions build partial states independently; merge folds them
+    val partials = vals.grouped(vals.size / 8 + 1).map(chunk =>
+      chunk.grouped(TDigest.PendingCap).foldLeft(Seq.empty[(Double, Double)]) {
+        (acc, c) => TDigest.compact(acc ++ c.map(v => (v, 1.0)))
+      }).toSeq
+    val merged = partials.foldLeft(Seq.empty[(Double, Double)])(
+      (acc, s) => TDigest.compact(acc ++ s))
+    assert(merged.length <= 2 * TDigest.Delta)
+    val sorted = vals.sorted
+    def exact(p: Double): Double = sorted(((sorted.size - 1) * p).toInt)
+    Seq(0.1, 0.5, 0.9, 0.99).foreach { p =>
+      val approx = TDigest.quantile(merged, p)
+      val lo = exact(math.max(0.0, p - 0.01))
+      val hi = exact(math.min(1.0, p + 0.01))
+      assert(approx >= lo && approx <= hi,
+        s"q$p: $approx outside exact rank bounds [$lo, $hi]")
+    }
+  }
+
+  test("quantileTDigest states survive the MV -> OPTIMIZE FINAL -> Merge " +
+    "lifecycle in SQL (type round-trips through DESC/replay)") {
+    g.sql("DROP TABLE IF EXISTS ags_q_mv; DROP TABLE IF EXISTS ags_q_t; " +
+      "DROP TABLE IF EXISTS ags_q_raw")
+    g.sql("CREATE TABLE ags_q_raw(k Int64, v Float64)")
+    g.sql("CREATE TABLE ags_q_t(k Int64 PRIMARY KEY, " +
+      "q AggregateFunction(quantileTDigest, Float64)) " +
+      "ENGINE=AggregatingMergeTree")
+    g.sql("CREATE MATERIALIZED VIEW ags_q_mv TO ags_q_t AS " +
+      "SELECT k, quantileTDigestState(v) AS q FROM ags_q_raw GROUP BY k")
+    val desc = g.sql("DESC ags_q_t").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(desc.contains(("q", "AggregateFunction(quantileTDigest, Float64)")))
+    // two waves of 0..999 per key -> exact median 499.5-ish; digest must
+    // land within the ±1% rank bounds (489..510 for uniform 0..999)
+    g.sql("INSERT INTO ags_q_raw SELECT id % 2 AS k, " +
+      "CAST(id % 1000 AS DOUBLE) AS v FROM range(4000) WHERE id % 4 < 2")
+    g.sql("INSERT INTO ags_q_raw SELECT id % 2 AS k, " +
+      "CAST(id % 1000 AS DOUBLE) AS v FROM range(4000) WHERE id % 4 >= 2")
+    // pre-FINAL: two partial-state rows per key
+    assert(g.sql("SELECT count() AS n FROM ags_q_t")
+      .collect()(0).getLong(0) === 4L)
+    g.sql("OPTIMIZE TABLE ags_q_t FINAL")
+    assert(g.sql("SELECT count() AS n FROM ags_q_t")
+      .collect()(0).getLong(0) === 2L)
+    val r = g.sql("SELECT k, quantileTDigestMerge(0.5)(q) AS med " +
+      "FROM ags_q_t GROUP BY k ORDER BY k").collect()
+    r.foreach { row =>
+      val med = row.getDouble(1)
+      assert(med >= 479.0 && med <= 520.0, s"k=${row.getLong(0)} med=$med")
+    }
+    g.sql("DROP TABLE ags_q_mv; DROP TABLE ags_q_t; DROP TABLE ags_q_raw")
+  }
 }
