@@ -394,6 +394,72 @@ object Bench {
     }
     val ingestRps = if (tIngest <= 0) 0.0 else nIngest / tIngest
 
+    // BASELINE.md row 3's WIRE analog (VERDICT r17 task #4): the
+    // reference's "~2x ClickHouse" write claim is measured over 12-conn
+    // native-protocol pools (crates/tests_integ/benches/
+    // bench_ingestion.rs:1-20); the engine-side anchor above bypasses the
+    // wire entirely. Here 8 parallel native-protocol clients stream
+    // LZ4-compressed Data blocks over real TCP sockets into ONE table —
+    // client-side encode, server-side decode + checksum + per-table
+    // serialized append, the full path a CH client pays. Rows are
+    // pre-materialized outside the timed region so the measurement is
+    // the wire+ingest path, not the source scan.
+    val (nWire, tWire) = if (!runAnchors) (0L, -1.0) else {
+      val g = new graft.exec.GraftSession(spark)
+      g.sql("DROP TABLE IF EXISTS bench_wire_ingest")
+      g.sql("CREATE TABLE bench_wire_ingest(ok Int64, qty Float64, d Date)")
+      val server = new graft.server.ChWireServer(spark).start()
+      try {
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("ok",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("qty",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("d",
+            org.apache.spark.sql.types.DateType)))
+        val src = spark.table("lineitem")
+          .select(col("l_orderkey"),
+            col("l_quantity").cast("double"),
+            col("l_shipdate").cast("date")).collect()
+        val conns = 8
+        val slices = src.grouped(math.max(1, src.length / conns + 1)).toVector
+        val rs = (1 to 3).map { _ =>
+          cleanRep(() => calibOnce(), () => heavyFloor()) {
+            g.sql("TRUNCATE TABLE bench_wire_ingest")
+            timeIt {
+              val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+              val threads = slices.map { slice =>
+                val th = new Thread(() => {
+                  try {
+                    val c = new graft.server.ChNativeClient(
+                      "127.0.0.1", server.boundPort)
+                    try c.insertStream(
+                      "INSERT INTO bench_wire_ingest FORMAT Native",
+                      schema, slice.iterator, batchRows = 65536): Unit
+                    finally c.close()
+                  } catch { case e: Throwable => errs.add(e) }
+                })
+                th.start(); th
+              }
+              threads.foreach(_.join())
+              if (!errs.isEmpty) throw errs.peek()
+            }
+          }
+        }
+        val xs = rs.map(_._1)
+        record("ingest_wire_sec", xs)
+        anchorCont("ingest_wire_sec") = (rs.map(_._2).max, rs.map(_._3).sum)
+        val landed = spark.table("bench_wire_ingest").count()
+        require(landed == src.length.toLong,
+          s"wire ingest lost rows: $landed != ${src.length}")
+        (src.length.toLong, xs.min)
+      } finally {
+        server.stop()
+        g.sql("DROP TABLE IF EXISTS bench_wire_ingest")
+      }
+    }
+    val ingestWireRps = if (tWire <= 0) 0.0 else nWire / tWire
+
     // gate value per query: median, falling back to the rep MIN when the
     // kept-rep contention exceeds RETRY_AT (storm-robust; see gateStat)
     val meds = results.map { case (k, xs) =>
@@ -427,7 +493,7 @@ object Bench {
         f"""{"n":${xs.size}%d,"med":${median(xs)}%.4f,"min":${xs.min}%.4f,"max":${xs.max}%.4f,"contention":$contention%.3f,"quick_floor":$quickFloor%.4f,"retry_at":$RETRY_AT%.2f}"""
       }
     val anchors =
-      f"""{"sum_cold":$sumCold%.4f,"sum_warm":$sumWarm%.4f,"groupby_warm":$gbWarm%.4f,"range_sum_1b47":$rangeSum%.4f,"range_sum_1b47_oneshot":$rangeSumOneShot%.4f,"range_gb_year_1b47":$rangeGb%.4f,"range_gb_year_1b47_oneshot":$rangeGbOneShot%.4f,"ingest_rows":$nIngest%d,"ingest_sec":$tIngest%.4f,"ingest_rows_per_s":$ingestRps%.0f,"calibration":$calib}"""
+      f"""{"sum_cold":$sumCold%.4f,"sum_warm":$sumWarm%.4f,"groupby_warm":$gbWarm%.4f,"range_sum_1b47":$rangeSum%.4f,"range_sum_1b47_oneshot":$rangeSumOneShot%.4f,"range_gb_year_1b47":$rangeGb%.4f,"range_gb_year_1b47_oneshot":$rangeGbOneShot%.4f,"ingest_rows":$nIngest%d,"ingest_sec":$tIngest%.4f,"ingest_rows_per_s":$ingestRps%.0f,"ingest_wire_rows":$nWire%d,"ingest_wire_sec":$tWire%.4f,"ingest_wire_rows_per_s":$ingestWireRps%.0f,"calibration":$calib}"""
     // per-anchor spread, same {med,min,max} shape as query_samples —
     // makes round-over-round anchor drift attributable (box load shows
     // as a wide min..max with a stable min; a regression moves the min)

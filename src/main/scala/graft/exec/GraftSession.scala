@@ -1261,7 +1261,10 @@ class GraftSession(val spark: SparkSession) {
     val files = ChParser.tableFnCalls(sql, "file")
       .filter(c => c._3.length == 2 || c._3.length == 3)
     val merges = ChParser.tableFnCalls(sql, "merge").filter(_._3.length == 2)
-    if (remotes.isEmpty && numbers.isEmpty && files.isEmpty && merges.isEmpty)
+    val gens = ChParser.tableFnCalls(sql, "generateRandom")
+      .filter(c => c._3.nonEmpty && c._3.length <= 4)
+    if (remotes.isEmpty && numbers.isEmpty && files.isEmpty &&
+        merges.isEmpty && gens.isEmpty)
       return sql
     // CH's virtual `_table` never shows up in `SELECT *` — only include
     // it when the statement actually names it as an IDENTIFIER (the token
@@ -1285,6 +1288,8 @@ class GraftSession(val spark: SparkSession) {
       (from, to, view)
     } ++ merges.map { case (from, to, args) =>
       (from, to, mergeSubquery(args(0), args(1), wantsTable))
+    } ++ gens.map { case (from, to, args) =>
+      (from, to, generateRandomSubquery(args))
     }
     splices.sortBy(-_._1).foldLeft(sql) { case (acc, (from, to, text)) =>
       acc.substring(0, from) + text + acc.substring(to)
@@ -1350,6 +1355,100 @@ class GraftSession(val spark: SparkSession) {
     if (schema.isEmpty && (fmt == "csv" || fmt == "tsv" || fmt == "tabseparated"))
       df.toDF(df.columns.indices.map(i => s"c${i + 1}"): _*)
     else df
+  }
+
+  /** CH `generateRandom('structure'[, seed[, max_string_length
+    * [, max_array_length]]])` — deterministic synthetic rows (VERDICT r17
+    * task #6). Every value derives from `xxhash64(row-id, seed, column,
+    * …)`, so two runs with the same seed agree EXACTLY (CH's own
+    * generator is also seed-deterministic; the value streams differ
+    * across engines, which is why the oracle gates bounds + determinism,
+    * not values). Spliced as a subquery over Spark's `range` — a lazy,
+    * codegen'd source: `LIMIT n` prunes it, nothing materializes beyond
+    * what the query reads. CH streams unbounded rows; here the stream
+    * caps at 2^20 rows per call (documented divergence — CH users always
+    * bound it with LIMIT anyway).
+    */
+  private def generateRandomSubquery(args: Seq[String]): String = {
+    val seed = args.lift(1).map(_.trim).filter(_.nonEmpty)
+      .map(_.toLong).getOrElse(0L)
+    val maxStr = args.lift(2).map(_.trim.toInt).getOrElse(32)
+    val maxArr = args.lift(3).map(_.trim.toInt).getOrElse(8)
+    require(maxStr >= 1 && maxArr >= 0, "generateRandom: bad max lengths")
+    val fields = graft.types.BqlType.splitTopLevel(args(0)).map { colDef =>
+      val t = colDef.trim
+      val sp = t.indexWhere(_.isWhitespace)
+      require(sp > 0, s"generateRandom: bad structure entry '$t'")
+      val (n, ty) = (t.substring(0, sp), t.substring(sp).trim)
+      val bt = graft.types.BqlType.parse(ty).fold(
+        e => throw new IllegalArgumentException(s"generateRandom: $e"),
+        identity)
+      (n, bt)
+    }
+    import graft.types.BqlType
+    // one SQL expression per column, fully deterministic in (id, seed, i)
+    def gen(h: String, salt: String, t: BqlType): String = t match {
+      case BqlType.Nullable(inner) =>
+        s"CASE WHEN pmod(xxhash64($h, 97), 10) = 0 THEN NULL " +
+          s"ELSE ${gen(h, salt, inner)} END"
+      case BqlType.LowCardinality(inner) =>
+        // low-cardinality by construction: a 16-value domain
+        gen(s"pmod($h, 16)", salt, inner)
+      case BqlType.Int8 => s"CAST(pmod($h, 256) - 128 AS TINYINT)"
+      case BqlType.Int16 => s"CAST(pmod($h, 65536) - 32768 AS SMALLINT)"
+      case BqlType.Int32 =>
+        s"CAST(pmod($h, 4294967296) - 2147483648 AS INT)"
+      case BqlType.Int64 => s"xxhash64($h, 11)"
+      case BqlType.UInt8 => s"CAST(pmod($h, 256) AS SMALLINT)"
+      case BqlType.UInt16 => s"CAST(pmod($h, 65536) AS INT)"
+      case BqlType.UInt32 => s"CAST(pmod($h, 4294967296) AS BIGINT)"
+      case BqlType.UInt64 =>
+        s"CAST(pmod(xxhash64($h, 11), 9223372036854775807) AS DECIMAL(20,0))"
+      case BqlType.Float32 =>
+        s"CAST(pmod($h, 1000000000) / 1000000000.0 AS FLOAT)"
+      case BqlType.Float64 =>
+        s"CAST(pmod($h, 1000000000) AS DOUBLE) / 1000000000.0"
+      case BqlType.Decimal(p, s2) =>
+        val digits = math.min(p, 15)
+        s"CAST(pmod($h, ${"1" + "0" * digits}) / ${"1" + "0" * s2}.0 " +
+          s"AS DECIMAL($p, $s2))"
+      case BqlType.Str =>
+        s"substring(md5(CAST(xxhash64($h, 5) AS STRING)), 1, " +
+          s"CAST(1 + pmod($h, $maxStr) AS INT))"
+      case BqlType.FixedString(n) =>
+        s"rpad(md5(CAST(xxhash64($h, 5) AS STRING)), $n, 'x')"
+      case BqlType.Date =>
+        s"date_add(DATE '1970-01-01', CAST(pmod($h, 65536) AS INT))"
+      case BqlType.Date32 =>
+        s"date_add(DATE '1970-01-01', CAST(pmod($h, 65536) AS INT))"
+      case BqlType.DateTime(_) =>
+        s"timestamp_seconds(pmod($h, 4294967296))"
+      case BqlType.DateTime64(p, _) =>
+        s"timestamp_micros(pmod(xxhash64($h, 11), 4294967296000000))"
+      case BqlType.Uuid =>
+        val m = s"md5(CAST(xxhash64($h, 13) AS STRING))"
+        s"concat(substring($m, 1, 8), '-', substring($m, 9, 4), '-', " +
+          s"substring($m, 13, 4), '-', substring($m, 17, 4), '-', " +
+          s"substring($m, 21, 12))"
+      case e: BqlType.Enum =>
+        val names = e.entries.map(x => s"'${x._1.replace("'", "''")}'")
+        s"element_at(array(${names.mkString(", ")}), " +
+          s"CAST(1 + pmod($h, ${e.entries.size}) AS INT))"
+      case BqlType.Arr(inner) =>
+        // generate maxArr candidates, slice to the per-row length (a
+        // direct sequence(1, len) would go DESCENDING for len 0)
+        val elem = gen(s"xxhash64($h, __gj)", salt, inner)
+        s"slice(transform(sequence(1, ${math.max(maxArr, 1)}), " +
+          s"__gj -> $elem), 1, CAST(pmod(xxhash64($h, 3), ${maxArr + 1}) AS INT))"
+      case other => throw new IllegalArgumentException(
+        s"generateRandom: unsupported type ${other.chName} " +
+          "(scalars, Nullable, LowCardinality, Enum and Array(...) of " +
+          "them are supported)")
+    }
+    val cols = fields.zipWithIndex.map { case ((n, t), i) =>
+      s"${gen(s"xxhash64(id, ${seed}L, $i)", s"$i", t)} AS `$n`"
+    }
+    s"(SELECT ${cols.mkString(", ")} FROM range(1048576))"
   }
 
   /** CH `merge('db', 'regexp')` — UNION ALL over every catalog table in

@@ -157,6 +157,36 @@ object SourceQueries {
         "FROM merge('default', '^c06p_') GROUP BY _table ORDER BY _table")
     },
 
+    // generateRandom('structure'[, seed]) (c07, VERDICT r17 task #6):
+    // seed-deterministic synthetic rows. Value streams differ across
+    // engines (DuckDB cannot reproduce the generator), so the f05
+    // bounded-check discipline gates what IS cross-engine-stable: row
+    // count, type bounds (floats in [0,1), string lengths within
+    // max_string_length, dates in the CH Date range, arrays within
+    // max_array_length), hash spread, and same-seed determinism across
+    // two independent splices.
+    "c07_generate_random" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql(
+        """SELECT CAST(count(*) AS BIGINT) AS n,
+          |  CAST(count(DISTINCT a) >= 495 AS INT) AS a_spread,
+          |  CAST(min(CAST(f >= 0.0 AND f < 1.0 AS INT)) AS INT) AS f_unit,
+          |  CAST(min(CAST(length(s) BETWEEN 1 AND 16 AS INT)) AS INT) AS s_len,
+          |  CAST(min(CAST(d BETWEEN DATE '1970-01-01'
+          |    AND DATE '2149-06-06' AS INT)) AS INT) AS d_range,
+          |  CAST(min(CAST(size(arr) BETWEEN 0 AND 4 AS INT)) AS INT) AS arr_len,
+          |  CAST(min(CAST((SELECT sum(CAST(xxhash64(a2) AS DECIMAL(38,0))) FROM (SELECT a AS a2 FROM
+          |    generateRandom('a Int64, f Float64, s String, d Date, arr Array(Int32)', 42, 16, 4)
+          |    LIMIT 500) x) =
+          |    (SELECT sum(CAST(xxhash64(a3) AS DECIMAL(38,0))) FROM (SELECT a AS a3 FROM
+          |    generateRandom('a Int64, f Float64, s String, d Date, arr Array(Int32)', 42, 16, 4)
+          |    LIMIT 500) y) AS INT)) AS INT) AS deterministic
+          |FROM (SELECT * FROM
+          |  generateRandom('a Int64, f Float64, s String, d Date, arr Array(Int32)', 42, 16, 4)
+          |  LIMIT 500)""".stripMargin)
+    },
+
     // Scalar UDF + typed Aggregator UDAF (§2.8) in one aggregation.
     "u01_udf_udaf" -> { (s, dir) =>
       Tables.registerAll(s, dir)
@@ -212,6 +242,13 @@ object SourceQueries {
         |  UNION ALL
         |  SELECT 'c06p_b' AS t, o_totalprice FROM orders WHERE o_orderkey % 3 = 1
         |) u GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // c07: every gated property evaluates to the same constant row on
+    // both engines (the generator's value stream is engine-local, the
+    // bounds/determinism contract is not)
+    "c07_generate_random" ->
+      """SELECT CAST(500 AS BIGINT) AS n, 1 AS a_spread, 1 AS f_unit,
+        |  1 AS s_len, 1 AS d_range, 1 AS arr_len, 1 AS deterministic""".stripMargin,
 
     "u01_udf_udaf" ->
       """SELECT CAST(floor((o_totalprice / 10000.0) / 10.0) AS INT) AS bucket,

@@ -54,6 +54,7 @@ class AdviceFixesR17Spec extends AnyFunSuite {
 
   test("CREATE MATERIALIZED VIEW TO rejects a duplicate name instead of " +
     "silently repointing (old target would keep receiving fanout)") {
+    g.sql("USE default")
     g.sql("DROP TABLE IF EXISTS amv_t1; DROP TABLE IF EXISTS amv_t2; " +
       "DROP TABLE IF EXISTS amv_src")
     g.sql("DROP VIEW IF EXISTS amv_v")
@@ -118,6 +119,7 @@ class AdviceFixesR17Spec extends AnyFunSuite {
 
   test("merge() unions only TABLES (views excluded) and _table inside a " +
     "string literal is not a reference") {
+    g.sql("USE default")
     g.sql("DROP TABLE IF EXISTS amg_a1; DROP TABLE IF EXISTS amg_a2")
     g.sql("DROP VIEW IF EXISTS amg_a3")
     g.sql("CREATE TABLE amg_a1(x Int64)")

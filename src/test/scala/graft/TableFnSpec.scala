@@ -135,4 +135,34 @@ class TableFnSpec extends AnyFunSuite {
     g.sql("DROP TABLE tfn_m1; DROP TABLE tfn_m2; DROP TABLE tfn_m3; " +
       "DROP TABLE tfn_other")
   }
+
+  test("generateRandom: same seed -> identical rows across runs; " +
+    "different seed -> different stream; bounds honored") {
+    val q = "SELECT * FROM generateRandom(" +
+      "'a Int64, u UInt32, f Float64, s String, d Date, " +
+      "e Enum8(''x'' = 1, ''y'' = 2), " +
+      "nn Nullable(Int32), arr Array(Int16)', 7, 12, 3) LIMIT 200"
+    val r1 = g.sql(q).collect()
+    val r2 = g.sql(q).collect()
+    assert(r1.length === 200)
+    assert(r1.map(_.toString).toSeq === r2.map(_.toString).toSeq,
+      "same-seed runs must agree exactly")
+    val other = g.sql(q.replace(", 7, 12, 3)", ", 8, 12, 3)")).collect()
+    assert(r1.map(_.toString).toSeq !== other.map(_.toString).toSeq,
+      "a different seed must change the stream")
+    r1.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0)
+      assert(r.getString(3).length >= 1 && r.getString(3).length <= 12)
+      assert(Set("x", "y").contains(r.getString(5)))
+      assert(r.getSeq[Short](7).length <= 3)
+    }
+    // UInt32 widens to BIGINT, never negative
+    assert(r1.forall(r => r.getLong(1) >= 0L))
+    // nullable column actually produces some NULLs and some values
+    assert(r1.exists(_.isNullAt(6)) && r1.exists(!_.isNullAt(6)))
+    // unsupported inner types fail loudly, not silently
+    val e = intercept[Exception] {
+      g.sql("SELECT * FROM generateRandom('m Map(String, Int64)') LIMIT 1") }
+    assert(e.getMessage.contains("unsupported type"), e.getMessage)
+  }
 }
