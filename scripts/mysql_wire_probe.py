@@ -17,24 +17,75 @@ import json
 import socket
 import struct
 import sys
+import zlib
 
+CLIENT_COMPRESS = 0x00000020
 CLIENT_PROTOCOL_41 = 0x00000200
 CLIENT_SECURE_CONNECTION = 0x00008000
+
+MIN_COMPRESS = 50
 
 
 class Conn:
     def __init__(self, port):
         self.sock = socket.create_connection(("127.0.0.1", port), timeout=30)
         self.buf = b""
+        self.compress = False  # engaged after auth when CLIENT_COMPRESS
+        self.cseq = 0
+        self.inner = b""  # decompressed inner packet stream
+
+    def enable_compress(self):
+        self.compress = True
+        self.cseq = 0
+        self.inner = b""
 
     def read_packet(self):
-        hdr = self._read(4)
-        (length,) = struct.unpack("<I", hdr[:3] + b"\x00")
-        seq = hdr[3]
-        return seq, self._read(length)
+        if not self.compress:
+            hdr = self._read(4)
+            (length,) = struct.unpack("<I", hdr[:3] + b"\x00")
+            seq = hdr[3]
+            return seq, self._read(length)
+        while len(self.inner) < 4:
+            self._read_envelope()
+        (length,) = struct.unpack("<I", self.inner[:3] + b"\x00")
+        seq = self.inner[3]
+        while len(self.inner) < 4 + length:
+            self._read_envelope()
+        payload = self.inner[4:4 + length]
+        self.inner = self.inner[4 + length:]
+        return seq, payload
+
+    def _read_envelope(self):
+        """One compressed envelope: u24 clen, u8 seq, u24 ulen, payload
+        (zlib when ulen > 0, raw when 0)."""
+        h = self._read(7)
+        clen = h[0] | (h[1] << 8) | (h[2] << 16)
+        self.cseq = h[3] + 1
+        ulen = h[4] | (h[5] << 8) | (h[6] << 16)
+        payload = self._read(clen)
+        if ulen:
+            payload = zlib.decompress(payload)
+            assert len(payload) == ulen, "bad uncompressed length"
+        self.inner += payload
 
     def write_packet(self, seq, payload):
-        self.sock.sendall(struct.pack("<I", len(payload))[:3] + bytes([seq]) + payload)
+        pkt = struct.pack("<I", len(payload))[:3] + bytes([seq]) + payload
+        if not self.compress:
+            self.sock.sendall(pkt)
+            return
+        # a new command resets the compressed sequence (MySQL contract)
+        if seq == 0:
+            self.cseq = 0
+        if len(pkt) >= MIN_COMPRESS:
+            comp = zlib.compress(pkt)
+            hdr = struct.pack("<I", len(comp))[:3] + bytes([self.cseq]) \
+                + struct.pack("<I", len(pkt))[:3]
+            self.sock.sendall(hdr + comp)
+        else:
+            hdr = struct.pack("<I", len(pkt))[:3] + bytes([self.cseq]) \
+                + b"\x00\x00\x00"
+            self.sock.sendall(hdr + pkt)
+        self.cseq += 1
 
     def _read(self, n):
         while len(self.buf) < n:
@@ -70,14 +121,22 @@ def is_eof(p):
     return len(p) < 9 and p[0] == 0xFE
 
 
-def handshake(conn):
+def handshake(conn, compress=False):
     seq, greeting = conn.read_packet()
     if greeting[0] != 10:
         raise ValueError(f"unexpected protocol version {greeting[0]}")
+    # server must advertise CLIENT_COMPRESS before the client may use it
+    caps_lo = struct.unpack_from("<H", greeting,
+                                 greeting.index(b"\x00", 1) + 1 + 4 + 9)[0]
+    if compress and not (caps_lo & CLIENT_COMPRESS):
+        raise ValueError("server did not advertise CLIENT_COMPRESS")
+    caps = CLIENT_PROTOCOL_41 | CLIENT_SECURE_CONNECTION
+    if compress:
+        caps |= CLIENT_COMPRESS
     # HandshakeResponse41: caps, max packet, charset, 23 reserved,
     # user NUL, lenenc auth (empty)
     resp = (
-        struct.pack("<I", CLIENT_PROTOCOL_41 | CLIENT_SECURE_CONNECTION)
+        struct.pack("<I", caps)
         + struct.pack("<I", 1 << 24)
         + bytes([33])
         + b"\x00" * 23
@@ -88,6 +147,8 @@ def handshake(conn):
     _, ok = conn.read_packet()
     if ok[0] != 0x00:
         raise ValueError(f"auth not OK: 0x{ok[0]:02x}")
+    if compress:
+        conn.enable_compress()
 
 
 def query(conn, sql):
@@ -296,23 +357,29 @@ def prepared(conn, sql, params):
 
 
 def main():
-    port = int(sys.argv[1])
+    args = sys.argv[1:]
+    compress = "--compress" in args
+    if compress:
+        args.remove("--compress")
+    port = int(args[0])
     conn = Conn(port)
-    handshake(conn)
-    if len(sys.argv) > 2 and sys.argv[2] == "--prepared":
-        # argv[3] = sql with ?s, argv[4:] = params (int:/float:/str:/null)
-        sql = sys.argv[3]
+    handshake(conn, compress=compress)
+    if len(args) > 1 and args[1] == "--prepared":
+        # args[2] = sql with ?s, args[3:] = params (int:/float:/str:/null)
+        sql = args[2]
         params = []
-        for a in sys.argv[4:]:
+        for a in args[3:]:
             kind, _, v = a.partition(":")
             params.append(None if kind == "null" else
                           int(v) if kind == "int" else
                           float(v) if kind == "float" else
                           tuple(int(x) for x in v.split("-")) if kind == "date"
                           else v)
-        print(json.dumps({"results": [prepared(conn, sql, params)]}))
+        print(json.dumps({"results": [prepared(conn, sql, params)],
+                          "compressed": compress}))
         return
-    print(json.dumps({"results": [query(conn, sql) for sql in sys.argv[2:]]}))
+    print(json.dumps({"results": [query(conn, sql) for sql in args[1:]],
+                      "compressed": compress}))
 
 
 if __name__ == "__main__":

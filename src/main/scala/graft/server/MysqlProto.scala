@@ -29,9 +29,116 @@ object MysqlProto {
   // capability flags (the subset we speak)
   val ClientLongPassword = 0x1L
   val ClientConnectWithDb = 0x8L
+  val ClientCompress = 0x20L
   val ClientProtocol41 = 0x200L
   val ClientSecureConnection = 0x8000L
   val ClientPluginAuth = 0x80000L
+
+  /** MySQL's compressed-protocol threshold: envelopes smaller than this
+    * ship raw (uncompressed-length field = 0), matching real servers.
+    */
+  val MinCompressLength = 50
+
+  /** Reader half of the MySQL compressed protocol (engaged after a
+    * successful handshake when the client set CLIENT_COMPRESS): each
+    * envelope is `u24 compressed-length, u8 seq, u24 uncompressed-length`
+    * then the payload — zlib-deflated when uncompressed-length > 0, raw
+    * when 0. The inner byte stream is the ordinary packet stream.
+    */
+  final class CompressedIn(raw: java.io.InputStream)
+      extends java.io.InputStream {
+    private var buf: Array[Byte] = Array.emptyByteArray
+    private var pos = 0
+    /** Sequence id of the last envelope read — the response's compressed
+      * sequence continues from it (MySQL resets per command).
+      */
+    @volatile var lastSeq: Int = 0
+    private def fill(): Boolean = {
+      val h = raw.readNBytes(7)
+      if (h.length < 7) return false
+      val clen = (h(0) & 0xff) | ((h(1) & 0xff) << 8) | ((h(2) & 0xff) << 16)
+      lastSeq = h(3) & 0xff
+      val ulen = (h(4) & 0xff) | ((h(5) & 0xff) << 8) | ((h(6) & 0xff) << 16)
+      val payload = raw.readNBytes(clen)
+      if (payload.length < clen) return false
+      buf =
+        if (ulen == 0) payload
+        else {
+          val inf = new java.util.zip.Inflater()
+          inf.setInput(payload)
+          val out = new Array[Byte](ulen)
+          var off = 0
+          while (off < ulen && !inf.finished())
+            off += inf.inflate(out, off, ulen - off)
+          inf.end()
+          require(off == ulen,
+            s"compressed envelope inflated to $off of declared $ulen bytes")
+          out
+        }
+      pos = 0
+      true
+    }
+    override def read(): Int = {
+      while (pos >= buf.length) if (!fill()) return -1
+      val b = buf(pos) & 0xff; pos += 1; b
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (len == 0) return 0
+      while (pos >= buf.length) if (!fill()) return -1
+      val n = math.min(len, buf.length - pos)
+      System.arraycopy(buf, pos, b, off, n)
+      pos += n
+      n
+    }
+  }
+
+  /** Writer half: buffers ordinary packet bytes; flush() wraps everything
+    * pending into compressed envelopes (deflated past
+    * [[MinCompressLength]], raw below it or when deflate doesn't shrink).
+    */
+  final class CompressedOut(raw: java.io.OutputStream)
+      extends java.io.OutputStream {
+    private val pending = new java.io.ByteArrayOutputStream()
+    /** Next envelope sequence — the serve loop sets it to the command
+      * envelope's seq + 1 before responding.
+      */
+    @volatile var seq: Int = 0
+    override def write(b: Int): Unit = pending.write(b)
+    override def write(b: Array[Byte], off: Int, len: Int): Unit =
+      pending.write(b, off, len)
+    override def flush(): Unit = {
+      val data = pending.toByteArray
+      pending.reset()
+      var i = 0
+      while (i < data.length) {
+        val n = math.min(data.length - i, 0xffffff)
+        val chunk = java.util.Arrays.copyOfRange(data, i, i + n)
+        val deflated: Option[Array[Byte]] =
+          if (chunk.length < MinCompressLength) None
+          else {
+            val d = new java.util.zip.Deflater()
+            d.setInput(chunk); d.finish()
+            val out = new java.io.ByteArrayOutputStream(chunk.length)
+            val tmp = new Array[Byte](8192)
+            while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+            d.end()
+            Some(out.toByteArray).filter(_.length < chunk.length)
+          }
+        val (payload, ulen) = deflated.map((_, chunk.length)).getOrElse((chunk, 0))
+        raw.write(payload.length & 0xff)
+        raw.write((payload.length >>> 8) & 0xff)
+        raw.write((payload.length >>> 16) & 0xff)
+        raw.write(seq & 0xff)
+        seq += 1
+        raw.write(ulen & 0xff)
+        raw.write((ulen >>> 8) & 0xff)
+        raw.write((ulen >>> 16) & 0xff)
+        raw.write(payload)
+        i += n
+      }
+      raw.flush()
+    }
+  }
 
   // MySQL column type codes (mysql/mod.rs:346-360 target set)
   val TypeTiny = 0x01

@@ -51,8 +51,12 @@ final class MysqlWireServer(spark: SparkSession, port: Int = 0) {
   def stop(): Unit = { running.set(false); socket.close() }
 
   private def serve(conn: Socket): Unit = {
-    val in = new BufferedInputStream(conn.getInputStream)
-    val out = new BufferedOutputStream(conn.getOutputStream)
+    val rawIn = new BufferedInputStream(conn.getInputStream)
+    val rawOut = new BufferedOutputStream(conn.getOutputStream)
+    var in: InputStream = rawIn
+    var out: OutputStream = rawOut
+    var compIn: CompressedIn = null
+    var compOut: CompressedOut = null
     // isolated per-connection session: USE/current-database must not leak
     // across connections or into the host session
     val session = new GraftSession(spark.newSession())
@@ -63,12 +67,23 @@ final class MysqlWireServer(spark: SparkSession, port: Int = 0) {
     val stmts = scala.collection.mutable.Map.empty[Int, Prepared]
     var nextStmtId = 1
     try {
-      handshake(in, out, session)
+      val clientCaps = handshake(in, out, session)
+      // CLIENT_COMPRESS: from the first command on, both directions speak
+      // the compressed framing (the handshake itself is always plain —
+      // MySQL's contract). The response envelopes continue the command
+      // envelope's sequence.
+      if ((clientCaps & ClientCompress) != 0) {
+        compIn = new CompressedIn(rawIn)
+        compOut = new CompressedOut(rawOut)
+        in = compIn
+        out = compOut
+      }
       var open = true
       while (open && running.get) {
         val (_, payload) =
           try readPacket(in)
           catch { case _: java.io.EOFException => open = false; (0, Array.empty[Byte]) }
+        if (compOut != null) compOut.seq = compIn.lastSeq + 1
         if (open && payload.nonEmpty) {
           val p = new In(payload)
           p.u8() match {
@@ -142,11 +157,12 @@ final class MysqlWireServer(spark: SparkSession, port: Int = 0) {
   }
 
   /** HandshakeV10 → HandshakeResponse41 → OK; credentials accepted as-is
-    * and an initial database becomes `USE`.
+    * and an initial database becomes `USE`. Returns the client's
+    * capability flags (CLIENT_COMPRESS switches the framing afterwards).
     */
-  private def handshake(in: InputStream, out: OutputStream, session: GraftSession): Unit = {
-    val caps = ClientLongPassword | ClientConnectWithDb | ClientProtocol41 |
-      ClientSecureConnection | ClientPluginAuth
+  private def handshake(in: InputStream, out: OutputStream, session: GraftSession): Long = {
+    val caps = ClientLongPassword | ClientConnectWithDb | ClientCompress |
+      ClientProtocol41 | ClientSecureConnection | ClientPluginAuth
     val greeting = new Out()
       .u8(10) // protocol version
       .nulStr("8.0.0-graft-spark")
@@ -181,6 +197,7 @@ final class MysqlWireServer(spark: SparkSession, port: Int = 0) {
     }
     writePacket(out, 2, okPacket())
     out.flush()
+    clientCaps
   }
 
   /** Run one statement, write an OK (no result schema) or a resultset:

@@ -283,4 +283,42 @@ class MysqlWireSpec extends AnyFunSuite {
       server.stop()
     }
   }
+
+  test("CLIENT_COMPRESS: text queries AND prepared statements over the " +
+    "zlib-compressed transport (VERDICT r17 task #9; python probe, no " +
+    "shared code — envelopes verified by zlib round-trip on both sides)") {
+    val server = new MysqlWireServer(spark).start()
+    try {
+      def run(cmd: Seq[String]): String = {
+        val proc = new ProcessBuilder(cmd: _*)
+          .redirectErrorStream(true).start()
+        val out = new String(proc.getInputStream.readAllBytes(), UTF_8)
+        assert(proc.waitFor() === 0, s"probe failed:\n$out")
+        out.linesIterator.find(_.startsWith("{"))
+          .getOrElse(fail(s"no JSON line in:\n$out"))
+      }
+      // text path: a result wide enough to force a deflated envelope
+      // (> MinCompressLength) plus small OK packets that ship raw
+      val j1 = run(Seq("python3", "scripts/mysql_wire_probe.py",
+        "--compress", server.boundPort.toString,
+        "DROP TABLE IF EXISTS py_z_tab",
+        "CREATE TABLE py_z_tab(a Int64, s String)",
+        "INSERT INTO py_z_tab VALUES (1, repeat('x', 200)), (2, 'y')",
+        "SELECT a, s FROM py_z_tab ORDER BY a"))
+      assert(j1.contains(""""compressed": true"""), j1)
+      assert(j1.contains("\"" + "x" * 200 + "\""), j1)
+      assert(j1.contains("""["2", "y"]"""), j1)
+      // prepared statements over the same compressed connection: typed
+      // binary params in, binary rows back, types cached across executes
+      val j2 = run(Seq("python3", "scripts/mysql_wire_probe.py",
+        "--compress", server.boundPort.toString, "--prepared",
+        "SELECT a, s FROM py_z_tab WHERE a = ? ORDER BY a", "int:2"))
+      assert(j2.contains(""""compressed": true"""), j2)
+      assert(j2.contains("""[2, "y"]"""), j2)
+      assert(!j2.contains("x" * 200), s"a = 2 must filter row 1: $j2")
+      assert(j2.contains(""""reexec_equal": true"""), j2)
+      run(Seq("python3", "scripts/mysql_wire_probe.py",
+        "--compress", server.boundPort.toString, "DROP TABLE py_z_tab"))
+    } finally server.stop()
+  }
 }
