@@ -6,7 +6,7 @@ import java.util.concurrent.atomic.AtomicBoolean
 
 import scala.util.control.NonFatal
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Row, SparkSession}
 
 import graft.exec.GraftSession
 
@@ -195,6 +195,24 @@ final class ChWireServer(spark: SparkSession, port: Int = 0) {
           var open = true
           var cancelled = false
           var applyError: Throwable = null
+          // Received blocks BUFFER before landing: each append pays a
+          // full Spark local-relation job + Hadoop-committer parquet
+          // rename (~0.8 s regardless of block size — PERF.md r18), so
+          // per-block appends cap one connection near 50k rows/s while
+          // decode costs almost nothing. Buffered rows flush at
+          // FlushRows, at the stream terminator, and on Cancel — every
+          // block the client SENT still lands (same contract as the
+          // per-block appends; the reference also batches into memtables
+          // before its part writes). Error semantics unchanged: a flush
+          // failure records the apply error and the remaining stream
+          // drains to the terminator.
+          val buffered = scala.collection.mutable.ArrayBuffer.empty[Row]
+          def flushBuffered(): Unit =
+            if (buffered.nonEmpty && applyError == null) {
+              try session.insertBlock(f.db, f.name, buffered.toSeq, schema)
+              catch { case NonFatal(e) => applyError = e }
+              buffered.clear()
+            } else buffered.clear()
           while (open) {
             ChProto.readVarint(in) match {
               case ChProto.Client.Data =>
@@ -204,19 +222,21 @@ final class ChWireServer(spark: SparkSession, port: Int = 0) {
                     throw new ChWireServer.ProtocolDesync(
                       s"undecodable Data block during INSERT: $e")
                   }
-                if (block.nRows == 0) open = false
+                if (block.nRows == 0) { flushBuffered(); open = false }
                 else if (applyError == null) {
-                  try session.insertBlock(f.db, f.name,
-                    ChProto.blockToRows(block, schema), schema)
+                  try buffered ++= ChProto.blockToRows(block, schema)
                   catch { case NonFatal(e) => applyError = e }
+                  if (buffered.length >= ChWireServer.FlushRows)
+                    flushBuffered()
                 }
               case ChProto.Client.Cancel =>
                 // client aborted the stream (Ctrl+C). Blocks already
-                // appended stay applied — the reference applies each block
+                // received stay applied — the reference applies each block
                 // on arrival too (messages.rs:180-203) — and the client
                 // sends nothing further for this query, so acknowledging
                 // with EndOfStream leaves the connection in sync — even if
                 // an earlier block was rejected: the abort moots the error
+                flushBuffered()
                 cancelled = true
                 open = false
               case other =>
@@ -293,6 +313,11 @@ final class ChWireServer(spark: SparkSession, port: Int = 0) {
 }
 
 object ChWireServer {
+  /** Rows buffered per INSERT stream before an append lands (the append
+    * is commit-bound, not size-bound — see PERF.md r18).
+    */
+  private[server] val FlushRows = 262144
+
   /** The connection's packet framing is lost — close, don't answer. */
   private[server] final class ProtocolDesync(msg: String)
     extends RuntimeException(msg)
