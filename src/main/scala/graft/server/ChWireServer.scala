@@ -259,8 +259,9 @@ final class ChWireServer(spark: SparkSession, port: Int = 0) {
             // may take the u64 wire form
             val u64 = WireTypes.uint64Positions(df)
             // identity-lineage Enum columns ship as Enum8/16 with int
-            // codes (CH's native form) instead of a String column
-            val enums = WireTypes.declaredEnums(df)
+            // codes and LowCardinality columns with dict-block framing
+            // (CH's native forms) instead of plain String columns
+            val enums = WireTypes.declaredWireTypes(df)
             // leading zero-row header block: clients (incl. our remote())
             // learn the result structure even when no rows come back
             ChProto.writeDataBlock(out, schema, Seq.empty,

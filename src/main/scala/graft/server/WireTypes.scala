@@ -86,15 +86,17 @@ object WireTypes {
     }.toSet
   }
 
-  /** Declared Enum types for query-result columns, by the same identity
-    * lineage as [[uint64Positions]] (aliases/projections only — an
-    * expression OVER an enum column is a plain String again). Feeds the
-    * wire writer's `declared` hook so `SELECT enum_col FROM t` ships as
-    * Enum8/16('name' = code, ...) with int codes — CH's native Enum wire
-    * form — instead of a String column. Nullability comes from the
-    * OUTPUT attribute (an outer join can null a NOT NULL source column).
+  /** Declared Enum and LowCardinality types for query-result columns, by
+    * the same identity lineage as [[uint64Positions]] (aliases/projections
+    * only — an expression OVER such a column is a plain String again).
+    * Feeds the wire writer's `declared` hook so `SELECT enum_col FROM t`
+    * ships as Enum8/16('name' = code, ...) with int codes and
+    * `SELECT lc_col FROM t` ships with CH's dict-block framing — exactly
+    * what a real ClickHouse server sends for those declared types.
+    * Nullability comes from the OUTPUT attribute (an outer join can null
+    * a NOT NULL source column).
     */
-  def declaredEnums(df: DataFrame): Int => Option[graft.types.BqlType] = {
+  def declaredWireTypes(df: DataFrame): Int => Option[graft.types.BqlType] = {
     val plan = df.queryExecution.analyzed
     val declared = mutable.Map.empty[ExprId, String]
     val poisoned = mutable.Set.empty[ExprId]
@@ -133,18 +135,27 @@ object WireTypes {
       case _ => None
     }
     import graft.types.BqlType
-    def enumOf(t: BqlType): Option[BqlType.Enum] = t match {
-      case e: BqlType.Enum => Some(e)
-      case BqlType.Nullable(e: BqlType.Enum) => Some(e)
-      case BqlType.LowCardinality(e: BqlType.Enum) => Some(e)
+    // Enum ships Nullable-wrapped when the output attribute is nullable;
+    // LowCardinality instead wraps its INNER type (CH has no
+    // Nullable(LowCardinality) — the null slot lives in the dictionary)
+    def wireOf(t: BqlType, nullable: Boolean): Option[BqlType] = t match {
+      case e: BqlType.Enum =>
+        Some(if (nullable) BqlType.Nullable(e) else e)
+      case BqlType.Nullable(e: BqlType.Enum) => Some(BqlType.Nullable(e))
+      case BqlType.LowCardinality(inner) =>
+        val in2 = inner match {
+          case n: BqlType.Nullable => n
+          case other => if (nullable) BqlType.Nullable(other) else other
+        }
+        Some(BqlType.LowCardinality(in2))
       case _ => None
     }
     val byPos: Map[Int, BqlType] =
       plan.output.zipWithIndex.flatMap { case (a, i) =>
         declaredOf(a, 0)
           .flatMap(BqlType.parse(_).toOption)
-          .flatMap(enumOf)
-          .map(en => i -> (if (a.nullable) BqlType.Nullable(en) else en: BqlType))
+          .flatMap(wireOf(_, a.nullable))
+          .map(i -> _)
       }.toMap
     byPos.get _
   }

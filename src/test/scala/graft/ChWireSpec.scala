@@ -450,6 +450,15 @@ class ChWireSpec extends AnyFunSuite {
       val got = client.rows("SELECT id, lc FROM wire_lc_tab ORDER BY id")
       assert(got(0).values === Vector(1, 2, 3, 4))
       assert(got(1).values === Vector("aa", "bb", "aa", "cc"))
+      // SELECT results ship LC columns with dict-block framing too (what
+      // a real CH server sends for the declared type); the inner wraps
+      // Nullable because the query output attribute is nullable
+      assert(got(1).chType === "LowCardinality(Nullable(String))",
+        got(1).chType)
+      // an expression over the LC column degrades to plain String
+      val up = client.rows(
+        "SELECT upper(lc) AS u FROM wire_lc_tab ORDER BY id")
+      assert(up(0).chType === "Nullable(String)", up(0).chType)
       client.query("DROP TABLE wire_lc_tab")
     } finally {
       client.close()
