@@ -440,6 +440,23 @@ class GraftSession(val spark: SparkSession) {
         s"ALTER TABLE ADD COLUMN: Nested(...) is only supported in " +
           "CREATE TABLE; add the flattened `name.field Array(T)` columns")
       val rdb = a.db.getOrElse(spark.catalog.currentDatabase)
+      // a dotted name extends an EXISTING Nested family: `ADD COLUMN
+      // n.c Array(T)` joins family n (and its equal-length CHECK) — CH's
+      // nested-extension form. A dotted name with no family is rejected
+      // rather than silently creating an orphan member.
+      val famOpt: Option[(String, Seq[String])] =
+        if (!a.col.name.contains(".")) None
+        else {
+          val fam = a.col.name.substring(0, a.col.name.lastIndexOf('.'))
+          val fams = nestedFamilies(a.db, a.name)
+          require(fams.contains(fam),
+            s"ADD COLUMN ${a.col.name}: no Nested family `$fam` on " +
+              s"${a.name} (declare the family in CREATE TABLE first)")
+          require(a.col.tpe.isInstanceOf[BqlType.Arr],
+            s"ADD COLUMN ${a.col.name}: a Nested member must be an " +
+              s"Array type, got ${a.col.tpe.chName}")
+          Some(fam -> fams(fam))
+        }
       val exists = spark.table(fullName(a.db, a.name)).schema
         .fieldNames.contains(a.col.name)
       if (exists && a.ifNotExists) emptyOk
@@ -460,6 +477,11 @@ class GraftSession(val spark: SparkSession) {
         }.getOrElse("")
         spark.sql(s"ALTER TABLE `$rdb`.`${a.name}` SET TBLPROPERTIES (" +
           s"'graft.ch.types'='${typesProp.replace("'", "''")}'$defProp)")
+        famOpt.foreach { case (fam, members) =>
+          writeNestedFamilies(a.db, a.name,
+            nestedFamilies(a.db, a.name)
+              .updated(fam, members :+ a.col.name))
+        }
         recordNormalizedScript(rdb, a.name)
         emptyOk
       }
@@ -2503,6 +2525,41 @@ class GraftSession(val spark: SparkSession) {
     (rdb, full, meta)
   }
 
+  /** Decoded `graft.nested` prop: family -> flattened member names. */
+  private def nestedFamilies(db: Option[String],
+                             name: String): Map[String, Seq[String]] =
+    tableProp(db, name, "graft.nested").map {
+      _.split("\u0001").filter(_.nonEmpty).map { kv =>
+        val Array(k, v) = kv.split("\u0002", 2)
+        k -> v.split(",").filter(_.nonEmpty).toSeq
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  /** Rewrite a table's Nested-family metadata after an ALTER: the
+    * `graft.nested` prop, the implicit `__nested_*` equal-length CHECKs
+    * (regenerated from the new member lists), and the JVM registry.
+    */
+  private def writeNestedFamilies(db: Option[String], name: String,
+                                  fams: Map[String, Seq[String]]): Unit = {
+    val rdb = db.getOrElse(spark.catalog.currentDatabase)
+    val full = fullName(db, name)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(name, Some(rdb)))
+    val live = fams.filter(_._2.nonEmpty)
+    val checks = propMap(meta, "graft.checks")
+      .filterNot(_._1.startsWith("__nested_")) ++
+      live.collect { case (f, ms) if ms.size >= 2 =>
+        s"__nested_$f" -> ms.tail.map(m =>
+          s"size(`${ms.head}`) = size(`$m`)").mkString(" AND ")
+      }
+    setProps(full,
+      "graft.nested" -> live.map { case (f, ms) =>
+        s"$f\u0002${ms.mkString(",")}" }.mkString("\u0001"),
+      "graft.checks" -> encodePropMap(checks))
+    GraftSession.nestedRegistry.put((rdb, name), live)
+    spark.catalog.refreshTable(full)
+  }
+
   /** `ALTER TABLE t DROP COLUMN c` — metadata-NOW: the catalog schema
     * loses the field and every subsequent scan prunes it (the bytes on
     * disk are never read again); the next OPTIMIZE rewrites files against
@@ -2514,6 +2571,23 @@ class GraftSession(val spark: SparkSession) {
     */
   private def alterDropColumn(a: AlterDropColumn): Unit = {
     val rdb0 = a.db.getOrElse(spark.catalog.currentDatabase)
+    val fams = nestedFamilies(a.db, a.name)
+    // `DROP COLUMN n` where n is a Nested FAMILY drops every member (CH
+    // semantics). The implicit equal-length CHECK goes first — the
+    // column-DDL guards rightly refuse to drop a check-referenced column.
+    fams.get(a.col) match {
+      case Some(members) =>
+        writeNestedFamilies(a.db, a.name, fams - a.col)
+        members.foreach(m => alterDropColumn(a.copy(col = m)))
+        return
+      case None => ()
+    }
+    // dropping a single MEMBER shrinks its family first (and with it the
+    // regenerated CHECK), so the guards see the post-drop constraint set
+    fams.find(_._2.contains(a.col)).foreach { case (f, ms) =>
+      writeNestedFamilies(a.db, a.name,
+        fams.updated(f, ms.filterNot(_ == a.col)))
+    }
     val exists = spark.table(fullName(a.db, a.name)).schema
       .fieldNames.contains(a.col)
     if (!exists && a.ifExists) return

@@ -475,9 +475,25 @@ object ChParser {
     BqlType.parse(sb.toString)
   }
 
+  /** An identifier, possibly dotted (`n.a`): Nested members are spelled
+    * with the flattened dotted name in column lists, ALTERs and INSERTs.
+    */
+  private def dottedIdent(p: P): Either[String, String] =
+    p.ident().map { first =>
+      var full = first
+      while (p.isPunct(".")) {
+        p.next()
+        p.ident() match {
+          case Right(part) => full = s"$full.$part"
+          case Left(_) => ()
+        }
+      }
+      full
+    }
+
   private def columnDef(p: P): Either[String, ColDef] =
     for {
-      name <- p.ident()
+      name <- dottedIdent(p)
       tpe <- typeName(p)
     } yield {
       var pk = false; var nn = false; var dflt: Option[String] = None
@@ -1663,7 +1679,7 @@ object ChParser {
               AlterProjection(db, tab, "drop", pn, None, ifExists = ie))
           } else if (p.eatKw("column")) {
             val ie = parseIfNotExists(p)
-            p.ident().map(c => AlterDropColumn(db, tab, c, ie))
+            dottedIdent(p).map(c => AlterDropColumn(db, tab, c, ie))
           } else for {
             _ <- p.expectKw("partition")
             v <- partitionValue(p)

@@ -98,6 +98,44 @@ class NestedSpec extends AnyFunSuite {
     }
   }
 
+  test("ALTER ADD COLUMN n.c extends the family; DROP COLUMN shrinks or " +
+    "removes it (CH's nested lifecycle)") {
+    mk()
+    g.sql("INSERT INTO nst_t VALUES (1, ['a','b'], [10,20])")
+    // extend: new member joins the family AND the equal-length check
+    g.sql("ALTER TABLE nst_t ADD COLUMN n.w Array(Float64)")
+    val desc = g.sql("DESC nst_t").collect().map(_.getString(0)).toSeq
+    assert(desc.contains("n.w"))
+    val sc = g.sql("SHOW CREATE TABLE nst_t").collect()(0).getString(0)
+    assert(sc.contains("Nested(k String, v Int64, w Float64)"), sc)
+    intercept[Exception] { // ragged against the NEW member
+      g.sql("INSERT INTO nst_t VALUES (2, ['x'], [1], [0.5, 0.6])")
+    }
+    g.sql("INSERT INTO nst_t VALUES (2, ['x'], [1], [0.5])")
+    val zipped = g.sql("SELECT id, n.k AS k, n.w AS w FROM nst_t " +
+      "ARRAY JOIN n WHERE id = 2").collect()
+    assert(zipped.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((2L, "x")))
+    // a dotted add with no family, or a non-Array type, is rejected
+    intercept[Exception] {
+      g.sql("ALTER TABLE nst_t ADD COLUMN zz.q Array(Int64)") }
+    intercept[Exception] {
+      g.sql("ALTER TABLE nst_t ADD COLUMN n.bad Int64") }
+    // drop one member: family shrinks, check regenerates over the rest
+    g.sql("ALTER TABLE nst_t DROP COLUMN n.w")
+    intercept[Exception] { // k/v raggedness still enforced
+      g.sql("INSERT INTO nst_t VALUES (3, ['y','z'], [7])")
+    }
+    g.sql("INSERT INTO nst_t VALUES (3, ['y'], [7])")
+    // drop the whole family by its name
+    g.sql("ALTER TABLE nst_t DROP COLUMN n")
+    val after = g.sql("DESC nst_t").collect().map(_.getString(0)).toSeq
+    assert(after === Seq("id"))
+    g.sql("INSERT INTO nst_t VALUES (4)")
+    assert(g.sql("SELECT count() AS c FROM nst_t")
+      .collect()(0).getLong(0) === 4L)
+  }
+
   test("Nested rejected outside top level and in ALTER ADD COLUMN") {
     intercept[Exception] {
       g.sql("DROP TABLE IF EXISTS nst_bad; " +
