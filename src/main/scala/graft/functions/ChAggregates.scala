@@ -323,6 +323,22 @@ object ChAggregates {
         new TDigest.MergeQAgg(p), ExpressionEncoder[TDigest.State](),
         Seq(state))
     },
+    // plural: `quantilesTDigestMerge(p1, p2, ...)(state)` — the parser
+    // rewrite delivers (state, array(p1, p2, ...)); one state fold,
+    // every quantile out
+    "quantilesTDigestMerge" -> two("quantilesTDigestMerge") { (state, pe) =>
+      val ps = pe match {
+        case CreateArray(children, _) if children.nonEmpty &&
+            children.forall(_.isInstanceOf[Literal]) =>
+          children.map(_.asInstanceOf[Literal].value.toString.toDouble)
+        case other => throw new IllegalArgumentException(
+          "quantilesTDigestMerge: quantile levels must be literals, got " +
+            other)
+      }
+      org.apache.spark.sql.GraftSqlBridge.typedAggExpression(
+        new TDigest.MergeQsAgg(ps), ExpressionEncoder[TDigest.State](),
+        Seq(state))
+    },
     // -If combinators: the aggregate with a Catalyst FILTER clause.
     "countIf" -> one("countIf")(cond =>
       Count(Literal(1)).toAggregateExpression(isDistinct = false, filter = Some(cond))),

@@ -127,4 +127,22 @@ object TDigest {
     override def bufferEncoder: Encoder[State] = ExpressionEncoder[State]()
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
+
+  /** `quantilesTDigestMerge(p1, p2, …)(state)` — the plural form: one
+    * state fold, every requested quantile out (CH's quantiles- family
+    * contract: cheaper than N separate merges).
+    */
+  final class MergeQsAgg(ps: Seq[Double])
+      extends Aggregator[State, State, Seq[Double]] {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"quantile levels out of [0, 1]: $ps")
+    override def zero: State = Nil
+    override def reduce(b: State, a: State): State =
+      if (a == null) b else compact(b ++ a)
+    override def merge(b1: State, b2: State): State = compact(b1 ++ b2)
+    override def finish(b: State): Seq[Double] = ps.map(quantile(b, _))
+    override def bufferEncoder: Encoder[State] = ExpressionEncoder[State]()
+    override def outputEncoder: Encoder[Seq[Double]] =
+      ExpressionEncoder[Seq[Double]]()
+  }
 }

@@ -2311,7 +2311,8 @@ object ChParser {
       "quantilesexact" -> "percentile", "quantilestdigest" -> "percentile_approx",
       // the mergeable-state reader keeps its own name — the builder in
       // ChAggregates folds stored digest states and reads the p-quantile
-      "quantiletdigestmerge" -> "quantileTDigestMerge")
+      "quantiletdigestmerge" -> "quantileTDigestMerge",
+      "quantilestdigestmerge" -> "quantilesTDigestMerge")
     var sql = sql0
     var changed = true
     var guard = 0

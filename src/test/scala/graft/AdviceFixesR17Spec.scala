@@ -54,27 +54,29 @@ class AdviceFixesR17Spec extends AnyFunSuite {
 
   test("CREATE MATERIALIZED VIEW TO rejects a duplicate name instead of " +
     "silently repointing (old target would keep receiving fanout)") {
-    g.sql("USE default")
-    g.sql("DROP TABLE IF EXISTS amv_t1; DROP TABLE IF EXISTS amv_t2; " +
-      "DROP TABLE IF EXISTS amv_src")
-    g.sql("DROP VIEW IF EXISTS amv_v")
-    g.sql("CREATE TABLE amv_src(a Int64)")
-    g.sql("CREATE TABLE amv_t1(a Int64)")
-    g.sql("CREATE TABLE amv_t2(a Int64)")
-    g.sql("CREATE MATERIALIZED VIEW amv_v TO amv_t1 AS " +
-      "SELECT a FROM amv_src")
+    // suites run in PARALLEL on the shared session: every name is
+    // db-qualified so a concurrent suite's USE cannot re-point resolution
+    g.sql("DROP TABLE IF EXISTS default.amv_t1; " +
+      "DROP TABLE IF EXISTS default.amv_t2; " +
+      "DROP TABLE IF EXISTS default.amv_src")
+    g.sql("DROP VIEW IF EXISTS default.amv_v")
+    g.sql("CREATE TABLE default.amv_src(a Int64)")
+    g.sql("CREATE TABLE default.amv_t1(a Int64)")
+    g.sql("CREATE TABLE default.amv_t2(a Int64)")
+    g.sql("CREATE MATERIALIZED VIEW default.amv_v TO default.amv_t1 AS " +
+      "SELECT a FROM default.amv_src")
     val e = intercept[Exception] {
-      g.sql("CREATE MATERIALIZED VIEW amv_v TO amv_t2 AS " +
-        "SELECT a FROM amv_src")
+      g.sql("CREATE MATERIALIZED VIEW default.amv_v TO default.amv_t2 AS " +
+        "SELECT a FROM default.amv_src")
     }
     assert(e.getMessage.contains("already exists"))
     // IF NOT EXISTS stays a no-op; fanout still reaches ONLY t1
-    g.sql("CREATE MATERIALIZED VIEW IF NOT EXISTS amv_v TO amv_t2 AS " +
-      "SELECT a FROM amv_src")
-    g.sql("INSERT INTO amv_src VALUES (7)")
-    assert(g.sql("SELECT count() AS n FROM amv_t1")
+    g.sql("CREATE MATERIALIZED VIEW IF NOT EXISTS default.amv_v " +
+      "TO default.amv_t2 AS SELECT a FROM default.amv_src")
+    g.sql("INSERT INTO default.amv_src VALUES (7)")
+    assert(g.sql("SELECT count() AS n FROM default.amv_t1")
       .collect()(0).getLong(0) === 1L)
-    assert(g.sql("SELECT count() AS n FROM amv_t2")
+    assert(g.sql("SELECT count() AS n FROM default.amv_t2")
       .collect()(0).getLong(0) === 0L)
   }
 
@@ -119,17 +121,17 @@ class AdviceFixesR17Spec extends AnyFunSuite {
 
   test("merge() unions only TABLES (views excluded) and _table inside a " +
     "string literal is not a reference") {
-    g.sql("USE default")
-    g.sql("DROP TABLE IF EXISTS amg_a1; DROP TABLE IF EXISTS amg_a2")
-    g.sql("DROP VIEW IF EXISTS amg_a3")
-    g.sql("CREATE TABLE amg_a1(x Int64)")
-    g.sql("CREATE TABLE amg_a2(x Int64)")
-    g.sql("INSERT INTO amg_a1 VALUES (1)")
-    g.sql("INSERT INTO amg_a2 VALUES (2)")
+    g.sql("DROP TABLE IF EXISTS default.amg_a1; " +
+      "DROP TABLE IF EXISTS default.amg_a2")
+    g.sql("DROP VIEW IF EXISTS default.amg_a3")
+    g.sql("CREATE TABLE default.amg_a1(x Int64)")
+    g.sql("CREATE TABLE default.amg_a2(x Int64)")
+    g.sql("INSERT INTO default.amg_a1 VALUES (1)")
+    g.sql("INSERT INTO default.amg_a2 VALUES (2)")
     // a persistent VIEW matching the pattern must NOT join the union
     // (it reads amg_a1 — including it would double-count)
-    g.sql("CREATE VIEW amg_a3 AS SELECT x FROM amg_a1")
-    val db = spark.catalog.currentDatabase
+    g.sql("CREATE VIEW default.amg_a3 AS SELECT x FROM default.amg_a1")
+    val db = "default"
     val n = g.sql(s"SELECT count() AS n FROM merge('$db', '^amg_a')")
       .collect()(0).getLong(0)
     assert(n === 2L)

@@ -266,6 +266,17 @@ class AggStateSpec extends AnyFunSuite {
       val med = row.getDouble(1)
       assert(med >= 479.0 && med <= 520.0, s"k=${row.getLong(0)} med=$med")
     }
+    // plural form: one fold, every quantile out, same rank bounds
+    val rs = g.sql("SELECT k, quantilesTDigestMerge(0.1, 0.5, 0.9)(q) AS qs " +
+      "FROM ags_q_t GROUP BY k ORDER BY k").collect()
+    rs.foreach { row =>
+      val qs = row.getSeq[Double](1)
+      assert(qs.length === 3)
+      assert(qs(0) >= 79 && qs(0) <= 120, s"q10=$qs")
+      assert(qs(1) >= 479 && qs(1) <= 520, s"q50=$qs")
+      assert(qs(2) >= 879 && qs(2) <= 920, s"q90=$qs")
+      assert(qs(0) <= qs(1) && qs(1) <= qs(2))
+    }
     g.sql("DROP TABLE ags_q_mv; DROP TABLE ags_q_t; DROP TABLE ags_q_raw")
   }
 }
