@@ -2619,6 +2619,16 @@ class GraftSession(val spark: SparkSession) {
     * every scan forever — taxes the 100 TB read path to spare a rare DDL.
     */
   private def alterRenameColumn(a: AlterRenameColumn): Unit = {
+    // renaming a Nested member (or onto a member/family name) would
+    // desynchronize the family metadata and its equal-length CHECK —
+    // reject, like the other structural-column guards
+    val famsR = nestedFamilies(a.db, a.name)
+    require(!famsR.valuesIterator.exists(_.contains(a.from)) &&
+        !famsR.contains(a.from),
+      s"RENAME COLUMN: ${a.from} belongs to a Nested family " +
+        "(DROP the member or the family instead)")
+    require(!a.to.contains("."),
+      s"RENAME COLUMN: cannot rename onto a Nested member name ${a.to}")
     val (rdb, full, meta) = columnDdlChecks(a.db, a.name, a.from, "RENAME COLUMN")
     val schema = spark.table(full).schema
     require(schema.fieldNames.contains(a.from),
@@ -3719,9 +3729,13 @@ class GraftSession(val spark: SparkSession) {
       s"'graft.mv.select'='${mv.selectSql.replace("'", "''")}', " +
       s"'graft.mv.via'='${mv.name.replace("'", "''")}')")
     // reads of the view see the target's contents; the replay metaFile
-    // carries the ORIGINAL MV script, so a restart re-runs this method
+    // carries the ORIGINAL MV script, so a restart re-runs this method.
+    // The wrapper's FROM is db-QUALIFIED: the wrapper is a temp view, so
+    // an unqualified name would re-resolve against whatever the CURRENT
+    // database is at read time (or at creation under a concurrent
+    // session's USE) — r18 parallel-suite runs caught exactly that.
     createView(CreateView(Some(rdb), mv.name,
-      selectSql = s"SELECT * FROM `$target`", orReplace = true,
+      selectSql = s"SELECT * FROM `$rdb`.`$target`", orReplace = true,
       ifNotExists = false, createScript = mv.createScript))
   }
 

@@ -54,29 +54,31 @@ class AdviceFixesR17Spec extends AnyFunSuite {
 
   test("CREATE MATERIALIZED VIEW TO rejects a duplicate name instead of " +
     "silently repointing (old target would keep receiving fanout)") {
-    // suites run in PARALLEL on the shared session: every name is
-    // db-qualified so a concurrent suite's USE cannot re-point resolution
-    g.sql("DROP TABLE IF EXISTS default.amv_t1; " +
-      "DROP TABLE IF EXISTS default.amv_t2; " +
-      "DROP TABLE IF EXISTS default.amv_src")
-    g.sql("DROP VIEW IF EXISTS default.amv_v")
-    g.sql("CREATE TABLE default.amv_src(a Int64)")
-    g.sql("CREATE TABLE default.amv_t1(a Int64)")
-    g.sql("CREATE TABLE default.amv_t2(a Int64)")
-    g.sql("CREATE MATERIALIZED VIEW default.amv_v TO default.amv_t1 AS " +
-      "SELECT a FROM default.amv_src")
+    // suites run in PARALLEL on the shared session: these tests live in
+    // their OWN database with every name qualified, so a concurrent
+    // suite's USE / catalog churn cannot re-point resolution
+    g.sql("CREATE DATABASE IF NOT EXISTS adv17")
+    g.sql("DROP TABLE IF EXISTS adv17.amv_t1; " +
+      "DROP TABLE IF EXISTS adv17.amv_t2; " +
+      "DROP TABLE IF EXISTS adv17.amv_src")
+    g.sql("DROP VIEW IF EXISTS adv17.amv_v")
+    g.sql("CREATE TABLE adv17.amv_src(a Int64)")
+    g.sql("CREATE TABLE adv17.amv_t1(a Int64)")
+    g.sql("CREATE TABLE adv17.amv_t2(a Int64)")
+    g.sql("CREATE MATERIALIZED VIEW adv17.amv_v TO adv17.amv_t1 AS " +
+      "SELECT a FROM adv17.amv_src")
     val e = intercept[Exception] {
-      g.sql("CREATE MATERIALIZED VIEW default.amv_v TO default.amv_t2 AS " +
-        "SELECT a FROM default.amv_src")
+      g.sql("CREATE MATERIALIZED VIEW adv17.amv_v TO adv17.amv_t2 AS " +
+        "SELECT a FROM adv17.amv_src")
     }
     assert(e.getMessage.contains("already exists"))
     // IF NOT EXISTS stays a no-op; fanout still reaches ONLY t1
-    g.sql("CREATE MATERIALIZED VIEW IF NOT EXISTS default.amv_v " +
-      "TO default.amv_t2 AS SELECT a FROM default.amv_src")
-    g.sql("INSERT INTO default.amv_src VALUES (7)")
-    assert(g.sql("SELECT count() AS n FROM default.amv_t1")
+    g.sql("CREATE MATERIALIZED VIEW IF NOT EXISTS adv17.amv_v " +
+      "TO adv17.amv_t2 AS SELECT a FROM adv17.amv_src")
+    g.sql("INSERT INTO adv17.amv_src VALUES (7)")
+    assert(g.sql("SELECT count() AS n FROM adv17.amv_t1")
       .collect()(0).getLong(0) === 1L)
-    assert(g.sql("SELECT count() AS n FROM default.amv_t2")
+    assert(g.sql("SELECT count() AS n FROM adv17.amv_t2")
       .collect()(0).getLong(0) === 0L)
   }
 
@@ -121,17 +123,18 @@ class AdviceFixesR17Spec extends AnyFunSuite {
 
   test("merge() unions only TABLES (views excluded) and _table inside a " +
     "string literal is not a reference") {
-    g.sql("DROP TABLE IF EXISTS default.amg_a1; " +
-      "DROP TABLE IF EXISTS default.amg_a2")
-    g.sql("DROP VIEW IF EXISTS default.amg_a3")
-    g.sql("CREATE TABLE default.amg_a1(x Int64)")
-    g.sql("CREATE TABLE default.amg_a2(x Int64)")
-    g.sql("INSERT INTO default.amg_a1 VALUES (1)")
-    g.sql("INSERT INTO default.amg_a2 VALUES (2)")
+    g.sql("CREATE DATABASE IF NOT EXISTS adv17")
+    g.sql("DROP TABLE IF EXISTS adv17.amg_a1; " +
+      "DROP TABLE IF EXISTS adv17.amg_a2")
+    g.sql("DROP VIEW IF EXISTS adv17.amg_a3")
+    g.sql("CREATE TABLE adv17.amg_a1(x Int64)")
+    g.sql("CREATE TABLE adv17.amg_a2(x Int64)")
+    g.sql("INSERT INTO adv17.amg_a1 VALUES (1)")
+    g.sql("INSERT INTO adv17.amg_a2 VALUES (2)")
     // a persistent VIEW matching the pattern must NOT join the union
     // (it reads amg_a1 — including it would double-count)
-    g.sql("CREATE VIEW default.amg_a3 AS SELECT x FROM default.amg_a1")
-    val db = "default"
+    g.sql("CREATE VIEW adv17.amg_a3 AS SELECT x FROM adv17.amg_a1")
+    val db = "adv17"
     val n = g.sql(s"SELECT count() AS n FROM merge('$db', '^amg_a')")
       .collect()(0).getLong(0)
     assert(n === 2L)
