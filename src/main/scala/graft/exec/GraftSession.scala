@@ -4024,8 +4024,19 @@ class GraftSession(val spark: SparkSession) {
             .matcher(sql).find()) {
         seen += name
         refreshReferencedViews(sel, seen)
-        spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW `$name` AS " +
+        // fault-isolated per view: a stored view whose SOURCE has vanished
+        // must not poison an unrelated statement that merely MENTIONS its
+        // name — `DROP VIEW stale_v` itself used to die re-analyzing
+        // stale_v's SELECT over the dropped table (r18 parallel-suite
+        // hunt). On failure the temp view is dropped so a statement that
+        // actually READS it fails loudly with "not found" instead of
+        // silently serving a stale definition — CH's read-time
+        // substitution errors there too.
+        try spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW `$name` AS " +
           rewriteSelect(sel))
+        catch { case scala.util.control.NonFatal(_) =>
+          scala.util.Try(spark.catalog.dropTempView(name)): Unit
+        }
       }
     }
 

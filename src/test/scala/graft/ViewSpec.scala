@@ -148,4 +148,24 @@ class ViewSpec extends AnyFunSuite {
     // clean up the stale meta so later suites boot clean
     g2.sql("DROP VIEW IF EXISTS vw_orphan")
   }
+
+  test("a stale view (source dropped) does not poison statements that " +
+    "merely MENTION its name; reads of it fail loudly (r18 hunt)") {
+    g.sql("DROP VIEW IF EXISTS vw_stale; DROP TABLE IF EXISTS vw_src9")
+    g.sql("CREATE TABLE vw_src9(a Int64)")
+    g.sql("CREATE VIEW vw_stale AS SELECT a FROM vw_src9")
+    g.sql("DROP TABLE vw_src9") // the view's source vanishes
+    // this statement mentions vw_stale, so the per-statement view refresh
+    // re-analyzes its stored SELECT — which must not kill the DROP itself
+    // (it used to throw TABLE_OR_VIEW_NOT_FOUND for vw_src9 here)
+    g.sql("DROP VIEW vw_stale")
+    // a read of a stale-but-registered view errors loudly instead of
+    // serving a stale definition
+    g.sql("CREATE TABLE vw_src9(a Int64)")
+    g.sql("INSERT INTO vw_src9 VALUES (1)")
+    g.sql("CREATE VIEW vw_stale AS SELECT a FROM vw_src9")
+    g.sql("DROP TABLE vw_src9")
+    intercept[Exception] { g.sql("SELECT a FROM vw_stale").collect() }
+    g.sql("DROP VIEW vw_stale")
+  }
 }
