@@ -162,4 +162,36 @@ class ChRemoteSpec extends AnyFunSuite {
       server.stop()
     }
   }
+
+  test("rich types federate: Enum/Map/Tuple/LowCardinality columns survive " +
+    "the remote('ch://...') round-trip (r18 wire codecs end-to-end)") {
+    val server = new ChWireServer(spark).start()
+    val g = new GraftSession(spark)
+    try {
+      g.sql("DROP TABLE IF EXISTS rmt_rich")
+      g.sql("CREATE TABLE rmt_rich(k Int64, " +
+        "st Enum8('low' = 1, 'high' = 2), tags Map(String, Int64), " +
+        "pos Tuple(x Int64, y String), lc LowCardinality(String))")
+      g.sql("INSERT INTO rmt_rich SELECT 1, 'high', " +
+        "map('a', CAST(10 AS BIGINT)), " +
+        "named_struct('x', CAST(7 AS BIGINT), 'y', 'p1'), 'aa' " +
+        "UNION ALL SELECT 2, 'low', map('b', CAST(5 AS BIGINT)), " +
+        "named_struct('x', CAST(-3 AS BIGINT), 'y', 'p2'), 'aa'")
+
+      val url = s"ch://127.0.0.1:${server.boundPort}"
+      val got = g.sql(s"SELECT k, st, tags, pos, lc FROM " +
+        s"remote('$url', 'rmt_rich') ORDER BY k").collect()
+      assert(got.length === 2)
+      // enum arrives as its NAME (decoded through the wire entry table)
+      assert(got.map(_.getString(1)).toSeq === Seq("high", "low"))
+      assert(got(0).getMap[String, Long](2) === Map("a" -> 10L))
+      val pos = got(1).getStruct(3)
+      assert((pos.getLong(0), pos.getString(1)) === (-3L, "p2"))
+      assert(got.map(_.getString(4)).toSeq === Seq("aa", "aa"))
+      g.sql("DROP TABLE rmt_rich")
+    } finally {
+      ChNativeClient.clearPool()
+      server.stop()
+    }
+  }
 }
