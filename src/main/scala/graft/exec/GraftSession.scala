@@ -193,9 +193,23 @@ class GraftSession(val spark: SparkSession) {
       val db = dbDir.getName
       if (!spark.catalog.databaseExists(db))
         spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+      val metaFiles =
+        Option(dbDir.listFiles).getOrElse(Array.empty[java.io.File]).toSeq
+          .filter(_.getName.endsWith(".sql"))
+      // Tables the catalog still knows (persistent metastore across a JVM
+      // restart) skip replay below — but CREATE is the only thing that
+      // populates the JVM-wide Nested registry, so seed it here from the
+      // recorded graft.nested prop or `SELECT n.a` / `ARRAY JOIN n`
+      // silently stop rewriting after such a restart (ADVICE r18).
+      for (f <- metaFiles; table = f.getName.stripSuffix(".sql")
+           if spark.catalog.tableExists(s"$db.$table"))
+        scala.util.Try {
+          val fams = nestedFamilies(Some(db), table)
+          if (fams.nonEmpty)
+            GraftSession.nestedRegistry.putIfAbsent((db, table), fams): Unit
+        }: Unit
       val scripts =
-        for (f <- Option(dbDir.listFiles).getOrElse(Array.empty[java.io.File]).toSeq
-             if f.getName.endsWith(".sql");
+        for (f <- metaFiles;
              table = f.getName.stripSuffix(".sql")
              if !spark.catalog.tableExists(s"$db.$table");
              stmt <- ChParser.parse(
@@ -891,13 +905,26 @@ class GraftSession(val spark: SparkSession) {
   /** CH SQL says `n.a`; the flattened Nested storage column is literally
     * named "n.a", which Spark only resolves backticked. Innermost rewrite
     * (runs before anything that ANALYZES subquery text). No registered
-    * nested families → identity, zero tokenization cost.
+    * nested families → identity, zero tokenization cost. Scoped two ways
+    * (ADVICE r18): only families of tables the statement actually
+    * MENTIONS contribute members, and a family name the statement
+    * defines itself (table alias, CTE, subquery alias) never rewrites —
+    * `SELECT tag.name FROM t AS tag` stays a qualified column ref even
+    * when some other table declares a Nested family `tag`.
     */
   private def rewriteNestedRefs(sql: String): String = {
     if (GraftSession.nestedRegistry.isEmpty) return sql
     import scala.jdk.CollectionConverters._
-    val members = GraftSession.nestedRegistry.values.asScala
-      .flatMap(_.values).flatten.toSet
+    val lower = (s: String) => s.toLowerCase(java.util.Locale.ROOT)
+    val idents = ChParser.tokenizedIdents(sql).map(lower).toSet
+    val referenced = GraftSession.nestedRegistry.asScala.collect {
+      case ((_, t), fams) if idents.contains(lower(t)) => fams
+    }
+    if (referenced.isEmpty) return sql
+    val shadowed = ChParser.definedNames(sql)
+    val members = referenced.iterator.flatMap(_.collect {
+      case (fam, ms) if !shadowed.contains(lower(fam)) => ms
+    }).flatten.toSet
     if (members.isEmpty) sql else ChParser.backquoteDotted(sql, members)
   }
 
@@ -1408,14 +1435,17 @@ class GraftSession(val spark: SparkSession) {
       (n, bt)
     }
     import graft.types.BqlType
-    // one SQL expression per column, fully deterministic in (id, seed, i)
-    def gen(h: String, salt: String, t: BqlType): String = t match {
+    // one SQL expression per column, fully deterministic in (id, seed, i);
+    // depth suffixes the transform lambda variable so Array(Array(T))
+    // inner elements hash the OUTER index too (a reused name would make
+    // every outer element's inner array identical — ADVICE r18)
+    def gen(h: String, salt: String, t: BqlType, depth: Int = 0): String = t match {
       case BqlType.Nullable(inner) =>
         s"CASE WHEN pmod(xxhash64($h, 97), 10) = 0 THEN NULL " +
-          s"ELSE ${gen(h, salt, inner)} END"
+          s"ELSE ${gen(h, salt, inner, depth)} END"
       case BqlType.LowCardinality(inner) =>
         // low-cardinality by construction: a 16-value domain
-        gen(s"pmod($h, 16)", salt, inner)
+        gen(s"pmod($h, 16)", salt, inner, depth)
       case BqlType.Int8 => s"CAST(pmod($h, 256) - 128 AS TINYINT)"
       case BqlType.Int16 => s"CAST(pmod($h, 65536) - 32768 AS SMALLINT)"
       case BqlType.Int32 =>
@@ -1459,9 +1489,10 @@ class GraftSession(val spark: SparkSession) {
       case BqlType.Arr(inner) =>
         // generate maxArr candidates, slice to the per-row length (a
         // direct sequence(1, len) would go DESCENDING for len 0)
-        val elem = gen(s"xxhash64($h, __gj)", salt, inner)
+        val v = s"__gj$depth"
+        val elem = gen(s"xxhash64($h, $v)", salt, inner, depth + 1)
         s"slice(transform(sequence(1, ${math.max(maxArr, 1)}), " +
-          s"__gj -> $elem), 1, CAST(pmod(xxhash64($h, 3), ${maxArr + 1}) AS INT))"
+          s"$v -> $elem), 1, CAST(pmod(xxhash64($h, 3), ${maxArr + 1}) AS INT))"
       case other => throw new IllegalArgumentException(
         s"generateRandom: unsupported type ${other.chName} " +
           "(scalars, Nullable, LowCardinality, Enum and Array(...) of " +
@@ -4509,9 +4540,10 @@ object GraftSession {
     * member column names ("n" -> Seq("n.a", "n.b")). Populated at CREATE
     * (and therefore at restore replay, which runs the same path); dropped
     * entries only ever cause a no-op backtick rewrite against a table
-    * that no longer resolves, so staleness is harmless. Lazily seeded
-    * from `graft.nested` table props for tables created by OTHER
-    * sessions/JVMs ([[GraftSession.nestedMemberNames]]).
+    * that no longer resolves, so staleness is harmless. Tables that
+    * survive a JVM restart through a persistent metastore (replay
+    * skipped) are seeded from their `graft.nested` prop during
+    * [[GraftSession.restoreCatalog]].
     */
   private[exec] val nestedRegistry = new java.util.concurrent.ConcurrentHashMap[
     (String, String), Map[String, Seq[String]]]()

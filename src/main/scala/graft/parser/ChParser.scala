@@ -2839,6 +2839,82 @@ object ChParser {
       case Ident(w, _) => w
     })
 
+  /** Keywords that may directly follow a table ref — never bare aliases. */
+  private val postTableKeywords: Set[String] = Set(
+    "where", "group", "order", "having", "limit", "offset", "union",
+    "intersect", "except", "join", "left", "right", "inner", "full",
+    "cross", "outer", "semi", "anti", "on", "using", "as", "array",
+    "settings", "asof", "any", "all", "global", "sample", "final",
+    "prewhere", "with", "window", "qualify", "format", "into", "values",
+    "select", "from", "when", "then", "else", "end", "and", "or", "not",
+    "between", "in", "like", "ilike", "is", "null", "by", "ties",
+    "distinct", "desc", "asc", "nulls", "first", "last", "interpolate")
+
+  /** Names a statement DEFINES in table position rather than reads:
+    * CTE/window names (`x AS (`), subquery aliases (`) [AS] x`) and
+    * table aliases (`FROM t [AS] x`, `JOIN t [AS] x`). Select-list
+    * `expr AS x` aliases are deliberately NOT collected — they don't
+    * shadow FROM-scope columns. Used to scope the Nested-member rewrite
+    * (ADVICE r18: `SELECT tag.name FROM t AS tag` must not backquote
+    * `tag.name` just because some table declares a Nested family `tag`).
+    */
+  def definedNames(sql: String): Set[String] = tokenize(sql) match {
+    case Left(_) => Set.empty
+    case Right(toks) =>
+      val out = scala.collection.mutable.Set.empty[String]
+      def idt(i: Int): Option[String] = toks.lift(i).collect {
+        case Ident(w, _) => w
+      }
+      def punct(i: Int, p: String): Boolean = toks.lift(i).exists {
+        case Punct(t, _) => t == p; case _ => false
+      }
+      var i = 0
+      while (i < toks.length) {
+        toks(i) match {
+          // CTE / WINDOW definition: `x AS (`
+          case Ident(x, _)
+              if idt(i + 1).exists(_.equalsIgnoreCase("as")) &&
+                punct(i + 2, "(") =>
+            out += x.toLowerCase(java.util.Locale.ROOT)
+          // subquery alias: `) [AS] x`
+          case Punct(")", _) =>
+            idt(i + 1) match {
+              case Some(a) if a.equalsIgnoreCase("as") =>
+                idt(i + 2).foreach(x =>
+                  out += x.toLowerCase(java.util.Locale.ROOT))
+              case Some(x)
+                  if !postTableKeywords(x.toLowerCase(java.util.Locale.ROOT)) =>
+                out += x.toLowerCase(java.util.Locale.ROOT)
+              case _ => ()
+            }
+          // table alias: FROM/JOIN t[.u] [AS] x
+          case Ident(kw, _)
+              if kw.equalsIgnoreCase("from") || kw.equalsIgnoreCase("join") =>
+            idt(i + 1) match {
+              case Some(_) =>
+                // consume the dotted table chain
+                var j = i + 1
+                while (punct(j + 1, ".") && idt(j + 2).isDefined) j += 2
+                idt(j + 1) match {
+                  case Some(a) if a.equalsIgnoreCase("as") =>
+                    idt(j + 2).foreach(x =>
+                      out += x.toLowerCase(java.util.Locale.ROOT))
+                  case Some(x)
+                      if !postTableKeywords(
+                        x.toLowerCase(java.util.Locale.ROOT)) &&
+                        !punct(j + 2, "(") => // `FROM f(...)` is a call
+                    out += x.toLowerCase(java.util.Locale.ROOT)
+                  case _ => ()
+                }
+              case None => ()
+            }
+          case _ => ()
+        }
+        i += 1
+      }
+      out.toSet
+  }
+
   /** A `FINAL` token following a JOIN-side table ref — a shape
     * [[splitFinal]] (top-level FROM only) never matches, which previously
     * let the token fall through as a Spark alias and read un-merged rows

@@ -573,9 +573,13 @@ object ChProto {
                 // sign-extend the narrow reads (Enum8 codes are i8)
                 val signed = if (en.width == 8) code.toByte.toInt
                              else code.toShort.toInt
-                val v = byCode.getOrElse(signed, throw new java.io.IOException(
+                // null slots of Nullable(Enum) carry the BASE column
+                // default (0 bytes) on a real CH server — consume the
+                // bytes but never validate them against the declared
+                // entries (ADVICE r18: 0 need not be an entry)
+                if (nulls(r)) null
+                else byCode.getOrElse(signed, throw new java.io.IOException(
                   s"enum code $signed is not an entry of ${en.chName}"))
-                if (nulls(r)) null else v
               }
             case _ => Vector.tabulate(nRows) { r =>
               val v = readValue(in, base)

@@ -213,6 +213,13 @@ final class ChWireServer(spark: SparkSession, port: Int = 0) {
               catch { case NonFatal(e) => applyError = e }
               buffered.clear()
             } else buffered.clear()
+          // buffering must not weaken durability vs the reference's
+          // apply-on-arrival (ADVICE r18): blocks FULLY received before a
+          // desync / unexpected packet still land — the finally flush
+          // covers every abnormal exit from the loop (normal exits have
+          // already flushed and cleared). A flush failure here must not
+          // mask the original error.
+          try {
           while (open) {
             ChProto.readVarint(in) match {
               case ChProto.Client.Data =>
@@ -245,6 +252,11 @@ final class ChWireServer(spark: SparkSession, port: Int = 0) {
                 // the client's buffered blocks as packet codes — sever
                 throw new ChWireServer.ProtocolDesync(
                   s"expected Data/Cancel during INSERT, got $other")
+            }
+          }
+          } finally {
+            if (open) { // abnormal exit: loop left by exception
+              try flushBuffered() catch { case NonFatal(_) => () }
             }
           }
           if (!cancelled && applyError != null) throw applyError

@@ -187,8 +187,9 @@ final class WireTestClient(port: Int, compression: Boolean = false) {
     * and must sever the connection without answering; returns true if the
     * next read hit EOF (clean close, no Exception packet).
     */
-  def insertStreamGarbage(sql: String, schema: StructType): Boolean = {
-    streamBlocks(sql, schema, Nil)
+  def insertStreamGarbage(sql: String, schema: StructType,
+                          batches: Seq[Seq[Row]] = Nil): Boolean = {
+    streamBlocks(sql, schema, batches)
     ChProto.writeVarint(out, ChProto.Client.Data)
     ChProto.writeStr(out, "") // temporary table name
     ChProto.writeVarint(out, 99L) // unknown block-info field -> decode error
