@@ -27,7 +27,8 @@ import graft.types.BqlType
   * append-only parquet per partition directory, reads prune directories then
   * row groups; no single-writer bottleneck beyond the catalog commit.
   */
-class GraftSession(val spark: SparkSession) {
+class GraftSession(val spark: SparkSession,
+                   skipRestore: Boolean = false) {
   import ChStatement._
 
   // Register EVERY function pack before the catalog replay below: a
@@ -96,6 +97,15 @@ class GraftSession(val spark: SparkSession) {
 
   def restoreErrors: Seq[(String, String, String, String)] = restoreErrorRows.toSeq
 
+  /** Adopt another session's boot-restore failures — wire servers restore
+    * once at SERVER construction and hand each per-connection session
+    * (skipRestore=true) that outcome, so `system.restore_errors` still
+    * answers "what failed at boot" on every connection.
+    */
+  private[graft] def adoptRestoreErrors(
+      es: Seq[(String, String, String, String)]): Unit =
+    restoreErrorRows ++= es.filterNot(restoreErrorRows.contains): Unit
+
   /** Plain (non-materialized) views: name → (database, stored SELECT in
     * CH dialect, full create script). CH stores the QUERY, not data, and
     * substitutes it on every read — here each view lives as a Spark
@@ -158,8 +168,11 @@ class GraftSession(val spark: SparkSession) {
   // the table itself is created WITH an explicit LOCATION, so a fresh
   // process against the same warehouse replays the scripts and reattaches
   // the surviving parquet data — SHOW CREATE / DESC / INSERT / SELECT all
-  // work after a restart.
-  restoreCatalog()
+  // work after a restart. Wire servers pass skipRestore=true for their
+  // PER-CONNECTION sessions: the host session already restored this
+  // JVM's shared catalog, and re-scanning the meta root per accept put
+  // 2-3 s of metastore round-trips on every connect (PERF.md r19).
+  if (!skipRestore) restoreCatalog()
 
   private def warehousePath: java.nio.file.Path = {
     val w = spark.conf.get("spark.sql.warehouse.dir")
@@ -200,8 +213,13 @@ class GraftSession(val spark: SparkSession) {
       // restart) skip replay below — but CREATE is the only thing that
       // populates the JVM-wide Nested registry, so seed it here from the
       // recorded graft.nested prop or `SELECT n.a` / `ARRAY JOIN n`
-      // silently stop rewriting after such a restart (ADVICE r18).
+      // silently stop rewriting after such a restart (ADVICE r18). The
+      // script-text gate keeps this pass free of catalog round-trips for
+      // the overwhelmingly common Nested-free tables.
       for (f <- metaFiles; table = f.getName.stripSuffix(".sql")
+           if scala.util.Try(java.nio.file.Files.readString(f.toPath))
+             .toOption.exists(_.toLowerCase(java.util.Locale.ROOT)
+               .contains("nested("))
            if spark.catalog.tableExists(s"$db.$table"))
         scala.util.Try {
           val fams = nestedFamilies(Some(db), table)
@@ -319,6 +337,15 @@ class GraftSession(val spark: SparkSession) {
             stmt match {
               case _: CreateView => ()
               case _ => refreshReferencedViews(part)
+            }
+            // any statement that can change a table's shape, engine,
+            // constraints, partitioning, temp status or MV subscriptions
+            // invalidates the cached wire-ingest fast-path verdicts
+            // (reads and plain inserts change none of those facts)
+            stmt match {
+              case _: Select | _: InsertValues | _: InsertSelect |
+                   _: InsertFormat | _: InsertFile | _: InsertRemote => ()
+              case _ => GraftSession.directRecipes.clear()
             }
             anySelect ||= stmt.isInstanceOf[Select]
             run(stmt, payload)
@@ -1171,12 +1198,20 @@ class GraftSession(val spark: SparkSession) {
       // sum/min/max/count fold with their own function, avg adds the
       // (s, c) components, uniqExact unions the sorted distinct arrays.
       def stateMergeSql(c: String, fn: String, sqlType: String): String = fn match {
-        case "sum" => s"CAST(sum(${q(c)}) AS $sqlType) AS ${q(c)}"
-        case "count" => s"CAST(sum(${q(c)}) AS $sqlType) AS ${q(c)}"
+        case "sum" | "sumIf" => s"CAST(sum(${q(c)}) AS $sqlType) AS ${q(c)}"
+        case "count" | "countIf" =>
+          s"CAST(sum(${q(c)}) AS $sqlType) AS ${q(c)}"
         case "min" => s"CAST(min(${q(c)}) AS $sqlType) AS ${q(c)}"
         case "max" => s"CAST(max(${q(c)}) AS $sqlType) AS ${q(c)}"
+        // argMax/argMin states are struct(o, a) with the ordering value
+        // FIRST — lexicographic max/min over the struct IS the merge
+        case "argMax" => s"CAST(max(${q(c)}) AS $sqlType) AS ${q(c)}"
+        case "argMin" => s"CAST(min(${q(c)}) AS $sqlType) AS ${q(c)}"
         case "avg" =>
           s"CAST(named_struct('s', sum(${q(c)}.s), 'c', sum(${q(c)}.c)) " +
+            s"AS $sqlType) AS ${q(c)}"
+        case "avgWeighted" =>
+          s"CAST(named_struct('s', sum(${q(c)}.s), 'w', sum(${q(c)}.w)) " +
             s"AS $sqlType) AS ${q(c)}"
         case "uniqExact" =>
           s"CAST(array_sort(array_distinct(flatten(collect_list(${q(c)})))) " +
@@ -1184,6 +1219,9 @@ class GraftSession(val spark: SparkSession) {
         case "uniq" => s"hll_union_agg(${q(c)}) AS ${q(c)}"
         case "quantileTDigest" =>
           s"CAST(tdigest_state_merge_agg(${q(c)}) AS $sqlType) AS ${q(c)}"
+        case pf if pf.startsWith("topK(") && pf.endsWith(")") =>
+          val k = pf.stripPrefix("topK(").stripSuffix(")").trim
+          s"CAST(topKStateMerge(${q(c)}, $k) AS $sqlType) AS ${q(c)}"
       }
       def aggFnOf(c: String): Option[String] =
         declared.get(c).flatMap(t => graft.types.BqlType.parse(t).toOption)
@@ -4351,11 +4389,169 @@ class GraftSession(val spark: SparkSession) {
   /** Append an already-typed block of rows to a table — the wire-ingest
     * entry (client-streamed Data blocks over the CH native protocol; the
     * reference's write-block path, write.rs:26-67).
+    *
+    * GROUP COMMIT: each append pays a fixed ~0.8 s Spark-job +
+    * Hadoop-committer cost regardless of block size (PERF.md r18), so
+    * concurrent flushes against one table MERGE — while a leader thread
+    * is writing, later flushes queue their rows and the leader lands the
+    * whole queue in its next single append (the reference batches
+    * concurrent connections into shared memtable parts the same way,
+    * write.rs:26-67). Every row still lands exactly once and a flush
+    * only returns after a commit that includes its rows; the one
+    * granularity change is error attribution — a rejected row (CHECK
+    * violation) fails every flush merged into its batch, not only the
+    * connection that sent it.
     */
   def insertBlock(db: Option[String], name: String, rows: Seq[Row],
-                  schema: StructType): Unit = {
-    val src = spark.createDataFrame(rows.asJava, schema)
-    appendToTable(db, name, src, srcIsRaw = false)
+                  schema: StructType): Unit =
+    insertBlockInternal(db, name,
+      rows.map(org.apache.spark.sql.GraftSqlBridge.rowSerializer(schema)),
+      schema)
+
+  /** [[insertBlock]] over already-Catalyst rows — the wire server decodes
+    * straight to `InternalRow` on its per-connection threads, so the
+    * driver-side `createDataFrame` conversion (the measured bottleneck)
+    * never runs on the serialized append path.
+    */
+  def insertBlockInternal(db: Option[String], name: String,
+                          rows: Seq[org.apache.spark.sql.catalyst.InternalRow],
+                          schema: StructType): Unit = {
+    val rdb = db.getOrElse(spark.sessionState.catalog.getCurrentDatabase)
+    // plain tables take the direct part-write path: the block encodes to
+    // ONE parquet file on THIS thread (concurrent connections encode in
+    // parallel) and only the rename serializes — no Spark job at all
+    if (directPartAppend(rdb, name, rows, schema)) return
+    val gc = GraftSession.groupCommits
+      .computeIfAbsent(rdb + "." + name, _ => new GraftSession.GroupCommit)
+    val me = new GraftSession.GroupWaiter
+    val leader = gc.synchronized {
+      gc.queue += ((rows, me))
+      if (!gc.writing) { gc.writing = true; true } else false
+    }
+    if (leader) {
+      var batch = gc.synchronized {
+        val b = gc.queue.toVector; gc.queue.clear(); b
+      }
+      try {
+        while (batch.nonEmpty) {
+          val err =
+            try {
+              val all =
+                if (batch.length == 1) batch.head._1
+                else batch.iterator.flatMap(_._1).toVector
+              val src = org.apache.spark.sql.GraftSqlBridge
+                .internalLocalDf(spark, schema, all)
+              appendToTable(Some(rdb), name, src, srcIsRaw = false)
+              null
+            } catch { case scala.util.control.NonFatal(e) => e }
+          batch.foreach(_._2.complete(err))
+          batch = gc.synchronized {
+            val b = gc.queue.toVector; gc.queue.clear()
+            if (b.isEmpty) gc.writing = false
+            b
+          }
+        }
+      } catch { case t: Throwable =>
+        // fatal error mid-drain: fail the in-flight batch AND anything
+        // already queued (a future flush would adopt the queue, but none
+        // may ever come), then hand leadership back
+        val stranded = gc.synchronized {
+          gc.writing = false
+          val b = gc.queue.toVector; gc.queue.clear(); b
+        }
+        (batch ++ stranded).foreach(_._2.complete(t))
+        throw t
+      }
+    } else me.await()
+    if (me.error != null) throw me.error
+  }
+
+  /** Wire-flush fast path: encode the block as ONE parquet part file on
+    * the CALLING thread and atomically publish it into the table
+    * directory — no Spark job, no Hadoop commit cycle. A streamed block
+    * is already materialized on one server thread, so a distributed
+    * write buys nothing and pays task serialization of every row
+    * (~1.3 s/600k rows measured — PERF.md r19); with this path
+    * concurrent connections ENCODE in parallel and only the rename
+    * serializes under the table's write lock. The file is written by
+    * Spark's own ParquetWriteSupport (identical encoding to an
+    * insertInto part), pre-sorted in memory by the table's sorting key
+    * and carrying its declared bloom filters — the same part physics
+    * every other write path maintains. This is the reference's
+    * memtable->part flush (crates/meta/src/store/parts.rs:174-235)
+    * re-expressed on Spark's storage layout. Tables needing more than a
+    * plain append — partitioning (`__ptk`), MV/projection fanout, CHECK
+    * constraints, buckets, ENGINE=Null, temp tables, or a schema
+    * mismatch — return false and take the full [[appendToTable]] path.
+    */
+  private def directPartAppend(rdb: String, name: String,
+      rows: Seq[org.apache.spark.sql.catalyst.InternalRow],
+      schema: StructType): Boolean = {
+    if (rows.isEmpty) return true
+    // the verdict + write recipe cache makes the steady-state flush pay
+    // ZERO catalog round-trips (the uncached check costs ~0.4 s — mostly
+    // the mvsFor catalog scan — which would re-serialize the whole path);
+    // every shape-changing statement clears the cache (see sql())
+    val key = rdb + "." + name
+    val recipe = GraftSession.directRecipes
+      .computeIfAbsent(key, _ => directRecipe(rdb, name))
+    recipe match {
+      case None => false
+      case Some(r) =>
+        val dataCols = r.dataSchema.fields
+        if (dataCols.length != schema.fields.length ||
+            !dataCols.zip(schema.fields).forall { case (a, b) =>
+              a.name == b.name && a.dataType == b.dataType }) return false
+        // MergeTree parts are sorted by the sorting key — in-memory sort
+        // on this thread (the rows are RAM-resident already)
+        val sorted =
+          if (r.pks.isEmpty) rows
+          else rows.sorted(org.apache.spark.sql.GraftSqlBridge
+            .internalOrdering(r.dataSchema, r.pks))
+        val (tmp, _) = org.apache.spark.sql.execution.datasources.parquet
+          .GraftDirectParquet.writeHidden(spark,
+            new org.apache.hadoop.fs.Path(new java.net.URI(r.location)),
+            r.dataSchema, sorted.iterator, r.bloomCols)
+        val lock = GraftSession.tableWriteLocks
+          .computeIfAbsent(key, _ => new Object)
+        lock.synchronized {
+          org.apache.spark.sql.execution.datasources.parquet
+            .GraftDirectParquet.publish(spark, tmp): Unit
+          // invalidate the cached relation + file listing so the next
+          // read (this session or the wire SELECT path) sees the part
+          spark.sessionState.catalog.refreshTable(
+            org.apache.spark.sql.catalyst.TableIdentifier(name, Some(rdb)))
+        }
+        true
+    }
+  }
+
+  /** The frozen facts [[directPartAppend]] needs, or None when the table
+    * requires the full [[appendToTable]] semantics.
+    */
+  private def directRecipe(rdb: String,
+      name: String): Option[GraftSession.DirectRecipe] = {
+    if (tempDef(Some(rdb), name).isDefined) return None
+    val metaOpt = scala.util.Try(spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(name, Some(rdb)))).toOption
+    if (metaOpt.isEmpty) return None
+    val meta = metaOpt.get
+    if (meta.bucketSpec.isDefined) return None
+    if (meta.properties.get("graft.engine").exists(_.equalsIgnoreCase("Null")))
+      return None
+    val (tschema, _, ptkExpr) = tableMeta(Some(rdb), name)
+    if (ptkExpr.isDefined) return None
+    if (checkConstraints(Some(rdb), name).nonEmpty) return None
+    if (mvsFor(rdb, name).nonEmpty) return None
+    val dataCols = tschema.fields.filter(_.name != PtkCol)
+    val pks = meta.properties.get("graft.pks")
+      .map(_.split("").filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      .filter(k => dataCols.exists(_.name == k))
+    val bloomCols = meta.properties.get("graft.bloom").toSeq
+      .flatMap(_.split(",").filter(_.nonEmpty))
+      .filter(c => dataCols.exists(_.name == c))
+    Some(GraftSession.DirectRecipe(StructType(dataCols.toIndexedSeq), pks,
+      bloomCols, meta.location.toString))
   }
 
   /** The table's declared data schema (without the hidden partition key) —
@@ -4535,6 +4731,38 @@ object GraftSession {
   /** JVM-wide per-table append locks (see appendToTable). */
   private[exec] val tableWriteLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Per-table group-commit state for [[GraftSession.insertBlock]]: while
+    * one flush is paying the append job + Hadoop-commit, later flushes
+    * for the same table queue their rows; the leader drains the queue and
+    * lands EVERYTHING in one append. Throughput then scales with rows,
+    * not with the number of connections serializing ~0.8 s commits
+    * (PERF.md r18: the commit dominates regardless of block size).
+    */
+  private[exec] final class GroupCommit {
+    val queue = scala.collection.mutable.ArrayBuffer
+      .empty[(Seq[org.apache.spark.sql.catalyst.InternalRow], GroupWaiter)]
+    var writing = false
+  }
+  private[exec] final class GroupWaiter {
+    private val latch = new java.util.concurrent.CountDownLatch(1)
+    @volatile var error: Throwable = null
+    def complete(e: Throwable): Unit = { error = e; latch.countDown() }
+    def await(): Unit = latch.await()
+  }
+  private[exec] val groupCommits =
+    new java.util.concurrent.ConcurrentHashMap[String, GroupCommit]()
+
+  /** Cached wire-ingest fast-path verdicts: "db.table" -> Some(frozen
+    * write recipe) | None (needs full appendToTable semantics). Cleared
+    * by [[GraftSession.sql]] on every statement that can change the
+    * frozen facts (DDL, ALTER, OPTIMIZE target swaps, MV churn).
+    */
+  private[exec] final case class DirectRecipe(
+      dataSchema: org.apache.spark.sql.types.StructType,
+      pks: Seq[String], bloomCols: Seq[String], location: String)
+  private[exec] val directRecipes =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[DirectRecipe]]()
 
   /** JVM-wide Nested-family registry: (db, table) -> family -> flattened
     * member column names ("n" -> Seq("n.a", "n.b")). Populated at CREATE

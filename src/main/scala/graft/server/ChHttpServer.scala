@@ -69,8 +69,11 @@ final class ChHttpServer(spark: SparkSession, port: Int = 0) {
   private def sessionFor(id: Option[String]): GraftSession =
     id.fold(session) { sid =>
       sessions.synchronized {
-        sessions.computeIfAbsent(sid,
-          _ => new GraftSession(spark.newSession()))
+        sessions.computeIfAbsent(sid, { _ =>
+          val s = new GraftSession(spark.newSession(), skipRestore = true)
+          s.adoptRestoreErrors(session.restoreErrors)
+          s
+        })
       }
     }
 

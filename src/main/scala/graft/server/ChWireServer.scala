@@ -26,6 +26,12 @@ import graft.exec.GraftSession
   * multiple packets instead of one giant block.
   */
 final class ChWireServer(spark: SparkSession, port: Int = 0) {
+  // one catalog replay per SERVER, not per accept: the per-connection
+  // sessions pass skipRestore=true (re-scanning the meta root on every
+  // connect cost 2-3 s of metastore round-trips — PERF.md r19), so the
+  // restored-warehouse guarantee moves here and each connection adopts
+  // this boot's restore_errors
+  private val hostSession = new GraftSession(spark)
   private val socket = new ServerSocket(port)
   private val running = new AtomicBoolean(true)
 
@@ -64,7 +70,8 @@ final class ChWireServer(spark: SparkSession, port: Int = 0) {
     // private current-database and temp views): `USE db` is per-connection
     // state like the reference's ConnCtx, and must not leak into other
     // connections or the host session
-    val session = new GraftSession(spark.newSession())
+    val session = new GraftSession(spark.newSession(), skipRestore = true)
+    session.adoptRestoreErrors(hostSession.restoreErrors)
     try {
       var open = true
       while (open && running.get) {
@@ -196,8 +203,8 @@ final class ChWireServer(spark: SparkSession, port: Int = 0) {
           var cancelled = false
           var applyError: Throwable = null
           // Received blocks BUFFER before landing: each append pays a
-          // full Spark local-relation job + Hadoop-committer parquet
-          // rename (~0.8 s regardless of block size — PERF.md r18), so
+          // full Spark job + Hadoop-committer parquet rename
+          // (~0.8 s regardless of block size — PERF.md r18), so
           // per-block appends cap one connection near 50k rows/s while
           // decode costs almost nothing. Buffered rows flush at
           // FlushRows, at the stream terminator, and on Cancel — every
@@ -205,11 +212,19 @@ final class ChWireServer(spark: SparkSession, port: Int = 0) {
           // per-block appends; the reference also batches into memtables
           // before its part writes). Error semantics unchanged: a flush
           // failure records the apply error and the remaining stream
-          // drains to the terminator.
-          val buffered = scala.collection.mutable.ArrayBuffer.empty[Row]
+          // drains to the terminator. Rows buffer CONVERTED (InternalRow)
+          // so the external->Catalyst cost — the measured bottleneck of
+          // the flush itself (PERF.md r19) — is paid here on the parallel
+          // per-connection threads, and concurrent flushes group-commit
+          // inside insertBlockInternal.
+          val toInternal =
+            org.apache.spark.sql.GraftSqlBridge.rowSerializer(schema)
+          val buffered = scala.collection.mutable.ArrayBuffer
+            .empty[org.apache.spark.sql.catalyst.InternalRow]
           def flushBuffered(): Unit =
             if (buffered.nonEmpty && applyError == null) {
-              try session.insertBlock(f.db, f.name, buffered.toSeq, schema)
+              try session.insertBlockInternal(
+                f.db, f.name, buffered.toVector, schema)
               catch { case NonFatal(e) => applyError = e }
               buffered.clear()
             } else buffered.clear()
@@ -231,7 +246,8 @@ final class ChWireServer(spark: SparkSession, port: Int = 0) {
                   }
                 if (block.nRows == 0) { flushBuffered(); open = false }
                 else if (applyError == null) {
-                  try buffered ++= ChProto.blockToRows(block, schema)
+                  try buffered ++=
+                    ChProto.blockToRows(block, schema).map(toInternal)
                   catch { case NonFatal(e) => applyError = e }
                   if (buffered.length >= ChWireServer.FlushRows)
                     flushBuffered()
