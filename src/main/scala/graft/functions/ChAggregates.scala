@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{
   HyperLogLogPlusPlus, Kurtosis, Last, Max, MaxBy, Min, MinBy, Percentile,
   Skewness, StddevPop, StddevSamp, Sum, VariancePop, VarianceSamp}
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
 /** ClickHouse parametric-aggregate pack #2 — topK, quantileExactInclusive /
   * medianExact, argMin/argMax, and the `-If` combinator family.
@@ -144,6 +144,91 @@ object ChAggregates {
       base.outputEncoder
   }
 
+  /** The FULL SpaceSaving summary as a mergeable STATE, deterministically
+    * ordered by (count desc, value) — what an
+    * `AggregateFunction(topK(k), T)` column stores (d32). k bounds only
+    * the READ; the state keeps all `capacity` counters so re-merges stay
+    * within the Parallel SpaceSaving error contract (truncating to k
+    * between merges would discard the floor information the merge rule
+    * needs). In the exact regime (distinct ≤ capacity) state → state →
+    * read equals the direct aggregate exactly.
+    */
+  final class TopKStateAgg(capacity: Int)
+      extends Aggregator[String, Map[String, (Long, Long)],
+        Seq[(String, Long, Long)]] {
+    private val base = new TopK(1, capacity)
+    override def zero: Map[String, (Long, Long)] = Map.empty
+    override def reduce(b: Map[String, (Long, Long)],
+                        a: String): Map[String, (Long, Long)] =
+      if (a == null) b else base.reduce(b, a) // CH aggregates skip NULLs
+    override def merge(b1: Map[String, (Long, Long)],
+                       b2: Map[String, (Long, Long)]): Map[String, (Long, Long)] =
+      base.merge(b1, b2)
+    override def finish(r: Map[String, (Long, Long)]): Seq[(String, Long, Long)] =
+      r.toSeq.sortBy { case (v, (c, _)) => (-c, v) }
+        .map { case (v, (c, e)) => (v, c, e) }
+    override def bufferEncoder: Encoder[Map[String, (Long, Long)]] =
+      ExpressionEncoder[Map[String, (Long, Long)]]()
+    override def outputEncoder: Encoder[Seq[(String, Long, Long)]] =
+      ExpressionEncoder[Seq[(String, Long, Long)]]()
+  }
+
+  /** Folds stored [[TopKStateAgg]] summaries back together (the Parallel
+    * SpaceSaving merge) and reads the top-k VALUES out — CH's
+    * `topKMerge(k)(state)`.
+    */
+  final class TopKMergeAgg(k: Int, capacity: Int)
+      extends Aggregator[Seq[(String, Long, Long)],
+        Map[String, (Long, Long)], Seq[String]] {
+    private val base = new TopK(k, capacity)
+    override def zero: Map[String, (Long, Long)] = Map.empty
+    override def reduce(b: Map[String, (Long, Long)],
+                        st: Seq[(String, Long, Long)]): Map[String, (Long, Long)] =
+      if (st == null) b
+      else base.merge(b, st.map { case (v, c, e) => v -> (c, e) }.toMap)
+    override def merge(b1: Map[String, (Long, Long)],
+                       b2: Map[String, (Long, Long)]): Map[String, (Long, Long)] =
+      base.merge(b1, b2)
+    override def finish(r: Map[String, (Long, Long)]): Seq[String] =
+      r.toSeq.sortBy { case (v, (c, _)) => (-c, v) }.take(k).map(_._1)
+    override def bufferEncoder: Encoder[Map[String, (Long, Long)]] =
+      ExpressionEncoder[Map[String, (Long, Long)]]()
+    override def outputEncoder: Encoder[Seq[String]] =
+      ExpressionEncoder[Seq[String]]()
+  }
+
+  /** State → state re-merge for `AggregateFunction(topK(k), T)` columns —
+    * the AggregatingMergeTree FINAL / OPTIMIZE merge step (the FINAL row
+    * still holds a full summary, read later with `topKMerge`).
+    */
+  final class TopKStateMergeAgg(capacity: Int)
+      extends Aggregator[Seq[(String, Long, Long)],
+        Map[String, (Long, Long)], Seq[(String, Long, Long)]] {
+    private val base = new TopK(1, capacity)
+    override def zero: Map[String, (Long, Long)] = Map.empty
+    override def reduce(b: Map[String, (Long, Long)],
+                        st: Seq[(String, Long, Long)]): Map[String, (Long, Long)] =
+      if (st == null) b
+      else base.merge(b, st.map { case (v, c, e) => v -> (c, e) }.toMap)
+    override def merge(b1: Map[String, (Long, Long)],
+                       b2: Map[String, (Long, Long)]): Map[String, (Long, Long)] =
+      base.merge(b1, b2)
+    override def finish(r: Map[String, (Long, Long)]): Seq[(String, Long, Long)] =
+      r.toSeq.sortBy { case (v, (c, _)) => (-c, v) }
+        .map { case (v, (c, e)) => (v, c, e) }
+    override def bufferEncoder: Encoder[Map[String, (Long, Long)]] =
+      ExpressionEncoder[Map[String, (Long, Long)]]()
+    override def outputEncoder: Encoder[Seq[(String, Long, Long)]] =
+      ExpressionEncoder[Seq[(String, Long, Long)]]()
+  }
+
+  /** CH sizes a topK summary's reserved counters as load-factor × k; the
+    * ONE capacity formula every topK state/merge site shares — mixing
+    * capacities across State/Merge/FINAL would silently change the merge
+    * floors.
+    */
+  def topKCapacity(k: Int): Int = math.max(16, k * 5 + 1)
+
   private type Builder = Seq[Expression] => Expression
 
   private def one(name: String)(f: Expression => Expression): Builder = {
@@ -156,6 +241,17 @@ object ChAggregates {
     case Seq(a, b) => f(a, b)
     case exprs => throw new IllegalArgumentException(
       s"$name expects 2 arguments, got ${exprs.length}")
+  }
+
+  /** The k of a parametric aggregate — must be a positive integer
+    * literal (CH's parametric position; the parser rewrite moves
+    * `topKState(3)(x)` to `(x, 3)`).
+    */
+  private def litInt(e: Expression, name: String): Int = e match {
+    case Literal(v, _) if v != null && v.toString.forall(_.isDigit) &&
+        v.toString.nonEmpty => v.toString.toInt
+    case other => throw new IllegalArgumentException(
+      s"$name: k must be a positive integer literal, got $other")
   }
 
   /** name → builder over Catalyst's own aggregate expressions. All of
@@ -338,6 +434,65 @@ object ChAggregates {
       org.apache.spark.sql.GraftSqlBridge.typedAggExpression(
         new TDigest.MergeQsAgg(ps), ExpressionEncoder[TDigest.State](),
         Seq(state))
+    },
+    // argMax/argMin states (d32): struct(o, a) with the ORDERING value
+    // first — plain lexicographic Max/Min over the struct IS both the
+    // state aggregate and every later merge (one codegen'd HashAggregate;
+    // ties break on the arg deterministically, within CH's contract).
+    "argMaxState" -> two("argMaxState")((arg, ord) =>
+      Max(CreateNamedStruct(Seq(
+        Literal("o"), ord, Literal("a"), arg))).toAggregateExpression()),
+    "argMinState" -> two("argMinState")((arg, ord) =>
+      Min(CreateNamedStruct(Seq(
+        Literal("o"), ord, Literal("a"), arg))).toAggregateExpression()),
+    "argMaxMerge" -> one("argMaxMerge")(x =>
+      UnresolvedExtractValue(Max(x).toAggregateExpression(), Literal("a"))),
+    "argMinMerge" -> one("argMinMerge")(x =>
+      UnresolvedExtractValue(Min(x).toAggregateExpression(), Literal("a"))),
+    // avgWeighted state: both running sums exact in their own sum types;
+    // the division to Float64 happens ONCE, in avgWeightedMerge, so the
+    // merged weighted average is row- and partition-order independent
+    "avgWeightedState" -> two("avgWeightedState")((x, w) =>
+      CreateNamedStruct(Seq(
+        Literal("s"), Sum(Multiply(x, w)).toAggregateExpression(),
+        Literal("w"), Sum(w).toAggregateExpression()))),
+    "avgWeightedMerge" -> one("avgWeightedMerge")(x => Divide(
+      Cast(Sum(UnresolvedExtractValue(x, Literal("s")))
+        .toAggregateExpression(), DoubleType),
+      Cast(Sum(UnresolvedExtractValue(x, Literal("w")))
+        .toAggregateExpression(), DoubleType))),
+    // -If-composed states: the filtered sum/count IS the state (same
+    // representation as sum/count), so the merge is the unfiltered fold
+    "sumIfState" -> two("sumIfState")((x, cond) =>
+      Sum(x).toAggregateExpression(isDistinct = false, filter = Some(cond))),
+    "sumIfMerge" -> one("sumIfMerge")(x => Sum(x).toAggregateExpression()),
+    "countIfState" -> one("countIfState")(cond =>
+      Count(Literal(1)).toAggregateExpression(isDistinct = false,
+        filter = Some(cond))),
+    "countIfMerge" -> one("countIfMerge")(x => Coalesce(Seq(
+      Sum(x).toAggregateExpression(), Literal(0L)))),
+    // topK states (d32): `topKState(k)(x)` / `topKMerge(k)(state)` — the
+    // parser's parametric rewrite delivers (x, k). One shared capacity
+    // formula across State/Merge/FINAL keeps the SpaceSaving floors
+    // consistent (see [[topKCapacity]]).
+    "topKState" -> two("topKState") { (x, ke) =>
+      val k = litInt(ke, "topKState")
+      org.apache.spark.sql.GraftSqlBridge.typedAggExpression(
+        new TopKStateAgg(topKCapacity(k)), Encoders.STRING,
+        Seq(Cast(x, StringType)))
+    },
+    "topKMerge" -> two("topKMerge") { (state, ke) =>
+      val k = litInt(ke, "topKMerge")
+      org.apache.spark.sql.GraftSqlBridge.typedAggExpression(
+        new TopKMergeAgg(k, topKCapacity(k)),
+        ExpressionEncoder[Seq[(String, Long, Long)]](), Seq(state))
+    },
+    // state -> state re-merge (AggregatingMergeTree FINAL / OPTIMIZE)
+    "topKStateMerge" -> two("topKStateMerge") { (state, ke) =>
+      val k = litInt(ke, "topKStateMerge")
+      org.apache.spark.sql.GraftSqlBridge.typedAggExpression(
+        new TopKStateMergeAgg(topKCapacity(k)),
+        ExpressionEncoder[Seq[(String, Long, Long)]](), Seq(state))
     },
     // -If combinators: the aggregate with a Catalyst FILTER clause.
     "countIf" -> one("countIf")(cond =>

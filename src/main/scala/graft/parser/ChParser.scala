@@ -2312,7 +2312,12 @@ object ChParser {
       // the mergeable-state reader keeps its own name — the builder in
       // ChAggregates folds stored digest states and reads the p-quantile
       "quantiletdigestmerge" -> "quantileTDigestMerge",
-      "quantilestdigestmerge" -> "quantilesTDigestMerge")
+      "quantilestdigestmerge" -> "quantilesTDigestMerge",
+      // parametric topK states (d32): `topKState(k)(x)` /
+      // `topKMerge(k)(state)` — same (arg, k) delivery as the
+      // quantile-merge readers
+      "topkstate" -> "topKState",
+      "topkmerge" -> "topKMerge")
     var sql = sql0
     var changed = true
     var guard = 0

@@ -914,6 +914,50 @@ object DdlQueries {
         "  FROM d31_raw GROUP BY k) e ON a.k = e.k " +
         "GROUP BY a.k, e.ex50, e.ex90, e.lo50, e.hi50, e.lo90, e.hi90 " +
         "ORDER BY a.k")
+    },
+
+    // Broadened mergeable states (d32): argMax/argMin (struct(o, a)
+    // lexicographic states), avgWeighted (exact dual-sum state), the
+    // -If-composed sumIf/countIf (the filtered fold IS the state), and
+    // parametric topK(k) (the full SpaceSaving summary as the state,
+    // exact here since |event_type| = 5 ≪ capacity 16). Same d29
+    // discipline: MV TO writes per-block partial states across two
+    // insert waves, OPTIMIZE FINAL re-merges state -> state, the
+    // -Merge readers recover values the DuckDB oracle recomputes from
+    // the raw rows. 100 TB: every state is hard-bounded (structs,
+    // scalars, a capacity-bounded summary); all merges are one hash
+    // aggregate.
+    "d32_arg_topk_state_merge" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("DROP TABLE IF EXISTS d32_mv; DROP TABLE IF EXISTS d32_agg; " +
+        "DROP TABLE IF EXISTS d32_raw")
+      g.sql("CREATE TABLE d32_raw(k Int64, v Float64, et String, w Int64)")
+      g.sql("CREATE TABLE d32_agg(k Int64 PRIMARY KEY, " +
+        "am AggregateFunction(argMax, String, Float64), " +
+        "an AggregateFunction(argMin, String, Float64), " +
+        "aw AggregateFunction(avgWeighted, Decimal(18,6), Int64), " +
+        "si AggregateFunction(sumIf, Int64, UInt8), " +
+        "ci AggregateFunction(countIf, UInt8), " +
+        "tk AggregateFunction(topK(3), String)) " +
+        "ENGINE=AggregatingMergeTree")
+      g.sql("CREATE MATERIALIZED VIEW d32_mv TO d32_agg AS " +
+        "SELECT k, argMaxState(et, v) AS am, argMinState(et, v) AS an, " +
+        "avgWeightedState(CAST(v AS DECIMAL(18,6)), w) AS aw, " +
+        "sumIfState(w, v > 50) AS si, countIfState(v > 50) AS ci, " +
+        "topKState(3)(et) AS tk FROM d32_raw GROUP BY k")
+      g.sql("INSERT INTO d32_raw SELECT event_id % 200 AS k, value, " +
+        "event_type, event_id % 13 + 1 FROM events WHERE event_id % 2 = 0")
+      g.sql("INSERT INTO d32_raw SELECT event_id % 200 AS k, value, " +
+        "event_type, event_id % 13 + 1 FROM events WHERE event_id % 2 = 1")
+      g.sql("OPTIMIZE TABLE d32_agg FINAL")
+      g.sql("SELECT k, argMaxMerge(am) AS amx, argMinMerge(an) AS amn, " +
+        "CAST(round(CAST(avgWeightedMerge(aw) AS DECIMAL(18,6)), 4) " +
+        "  AS DOUBLE) AS awv, " +
+        "CAST(coalesce(sumIfMerge(si), 0) AS BIGINT) AS siv, " +
+        "countIfMerge(ci) AS civ, " +
+        "concat_ws(',', topKMerge(3)(tk)) AS tkv " +
+        "FROM d32_agg GROUP BY k ORDER BY k")
     }
   )
 
@@ -1326,6 +1370,36 @@ object DdlQueries {
       """SELECT CAST(event_id % 97 AS BIGINT) AS id, event_type AS name,
         |  CAST(round(value, 3) AS DOUBLE) AS v
         |FROM events ORDER BY id, name, v""".stripMargin,
+
+    // d32 recomputes every merged value from the raw rows: argMax/argMin
+    // via deterministic (v, et) windows, avgWeighted as exact decimal
+    // sums divided once, sumIf/countIf as FILTER aggregates, topK(3) as
+    // the exact per-key count ranking (the summary is exact here —
+    // 5 distinct event_types, capacity 16)
+    "d32_arg_topk_state_merge" ->
+      """WITH r AS (SELECT event_id % 200 AS k, value AS v,
+        |    event_type AS et, event_id % 13 + 1 AS w FROM events),
+        |mx AS (SELECT k, et AS amx FROM (SELECT k, et, row_number()
+        |  OVER (PARTITION BY k ORDER BY v DESC, et DESC) AS rn FROM r)
+        |  WHERE rn = 1),
+        |mn AS (SELECT k, et AS amn FROM (SELECT k, et, row_number()
+        |  OVER (PARTITION BY k ORDER BY v ASC, et ASC) AS rn FROM r)
+        |  WHERE rn = 1),
+        |ag AS (SELECT k,
+        |  CAST(round(CAST(CAST(sum(CAST(v AS DECIMAL(18,6)) * w) AS DOUBLE)
+        |    / CAST(sum(w) AS DOUBLE) AS DECIMAL(18,6)), 4) AS DOUBLE) AS awv,
+        |  CAST(coalesce(sum(w) FILTER (WHERE v > 50), 0) AS BIGINT) AS siv,
+        |  CAST(count(*) FILTER (WHERE v > 50) AS BIGINT) AS civ
+        |  FROM r GROUP BY k),
+        |tc AS (SELECT k, et, count(*) AS c FROM r GROUP BY k, et),
+        |tk AS (SELECT k, string_agg(et, ',' ORDER BY c DESC, et) AS tkv
+        |  FROM (SELECT k, et, c, row_number() OVER (PARTITION BY k
+        |    ORDER BY c DESC, et) AS rn FROM tc) WHERE rn <= 3 GROUP BY k)
+        |SELECT CAST(ag.k AS BIGINT) AS k, mx.amx, mn.amn, ag.awv, ag.siv,
+        |  ag.civ, tk.tkv
+        |FROM ag JOIN mx ON ag.k = mx.k JOIN mn ON ag.k = mn.k
+        |  JOIN tk ON ag.k = tk.k
+        |ORDER BY k""".stripMargin,
 
     // d31: exact quantiles are cross-engine-stable; the ok flags gate
     // each engine's own sketch inside the same ±1%-rank exact bounds

@@ -143,33 +143,72 @@ object BqlType {
     val sparkType = inner.sparkType
   }
 
-  /** ClickHouse AggregateFunction(f, T) — a column holding the aggregate
+  /** ClickHouse AggregateFunction(f, T…) — a column holding the aggregate
     * function's STATE (CH serializes an opaque internal state; here each
     * state is a TRANSPARENT Spark value chosen so plain Catalyst
     * aggregates implement `fState` / `fMerge` / the FINAL merge exactly):
     * sum/min/max → the running value, count → the running count,
     * avg → struct(s Float64, c Int64), uniqExact → the sorted
-    * distinct-value array (exact by construction; set-union merge).
+    * distinct-value array (exact by construction; set-union merge),
+    * argMax/argMin(T, U) → struct(o U, a T) with lexicographic
+    * min/max merge, avgWeighted(T, W) → struct(s sumT, w sumW),
+    * sumIf/countIf → the running (filtered) sum/count, topK(k)(T) → the
+    * full SpaceSaving summary array<struct(value, count, error)>.
     */
-  final case class AggFn(func: String, inner: Option[BqlType])
+  final case class AggFn(func: String, inners: Seq[BqlType])
       extends BqlType(
-        s"AggregateFunction($func${inner.map(", " + _.chName).getOrElse("")})") {
-    val sparkType = AggFn.stateType(func, inner)
+        s"AggregateFunction($func${inners.map(", " + _.chName).mkString})") {
+    val sparkType = AggFn.stateType(func, inners)
+    def inner: Option[BqlType] = inners.headOption
   }
 
   object AggFn {
     val supported: Set[String] =
       Set("sum", "count", "min", "max", "avg", "uniqExact", "uniq",
-        "quantileTDigest")
+        "quantileTDigest", "argMax", "argMin", "avgWeighted", "sumIf",
+        "countIf")
 
-    private[BqlType] def stateType(func: String, inner: Option[BqlType]): DataType =
+    /** Parametric functions accepted as the f of AggregateFunction(f, T):
+      * name(base) extracted, integer params preserved in chName.
+      */
+    private[types] def parametricBase(f: String): Option[(String, Seq[Int])] = {
+      val i = f.indexOf('(')
+      if (i < 0 || !f.endsWith(")")) None
+      else {
+        val base = f.substring(0, i).trim
+        val args = f.substring(i + 1, f.length - 1).split(",").map(_.trim)
+        if (base == "topK" && args.length == 1 && args(0).forall(_.isDigit)
+            && args(0).nonEmpty)
+          Some((base, Seq(args(0).toInt)))
+        else None
+      }
+    }
+
+    private[BqlType] def stateType(func: String, inners: Seq[BqlType]): DataType = {
+      val inner = inners.headOption
       func match {
-        case "count" => LongType
+        case "count" | "countIf" => LongType
         // avg state keeps the sum in the INPUT's exact sum type (decimal
         // stays decimal) so merge results cannot depend on row order
         case "avg" => StructType(Seq(
-          StructField("s", stateType("sum", inner), nullable = true),
+          StructField("s", stateType("sum", inners), nullable = true),
           StructField("c", LongType, nullable = true)))
+        // avgWeighted(T, W) keeps BOTH running sums exact in their own
+        // sum types (Σ x·w in T's sum type, Σ w in W's); the division to
+        // Float64 happens once, in avgWeightedMerge — merged averages
+        // cannot drift with row or partition order
+        case "avgWeighted" => StructType(Seq(
+          StructField("s", stateType("sum", inners.take(1)), nullable = true),
+          StructField("w", stateType("sum", inners.drop(1)), nullable = true)))
+        // argMax/argMin(T, U): struct(o U, a T) — the ORDERING value
+        // first, so plain lexicographic min/max over the struct IS the
+        // state merge (deterministic tie-break on the arg, within CH's
+        // any-of-the-tied contract)
+        case "argMax" | "argMin" => StructType(Seq(
+          StructField("o", inners.drop(1).headOption.map(_.sparkType)
+            .getOrElse(StringType), nullable = true),
+          StructField("a", inner.map(_.sparkType).getOrElse(StringType),
+            nullable = true)))
         case "uniqExact" =>
           ArrayType(inner.map(_.sparkType).getOrElse(StringType),
             containsNull = false)
@@ -182,16 +221,27 @@ object BqlType {
           StructField("_2", DoubleType, nullable = false))),
           containsNull = false)
         case "min" | "max" => inner.map(_.sparkType).getOrElse(StringType)
-        case "sum" => inner.map(_.sparkType) match {
+        case "sum" | "sumIf" => inner.map(_.sparkType) match {
           case Some(_: DecimalType) =>
             val d = inner.get.sparkType.asInstanceOf[DecimalType]
             DecimalType(math.min(38, d.precision + 10), d.scale)
           case Some(FloatType | DoubleType) => DoubleType
           case _ => LongType // CH sums integrals into Int64/UInt64
         }
+        case pf if parametricBase(pf).exists(_._1 == "topK") =>
+          // the FULL SpaceSaving summary (value, count, error) — k only
+          // bounds the READ; the state carries the whole bounded summary
+          // so merges stay within the Parallel SpaceSaving error contract
+          ArrayType(StructType(Seq(
+            StructField("_1", inner.map(_.sparkType).getOrElse(StringType),
+              nullable = true),
+            StructField("_2", LongType, nullable = false),
+            StructField("_3", LongType, nullable = false))),
+            containsNull = false)
         case other => throw new IllegalArgumentException(
           s"AggregateFunction: unsupported function $other")
       }
+    }
   }
 
   /** Max decimal precision the reference's storage accepts
@@ -323,16 +373,26 @@ object BqlType {
           .orElse(if (s == "IPv4") Some(Right(IPv4)) else None)
           .orElse(if (s == "IPv6") Some(Right(IPv6)) else None)
           .orElse(withArgs("AggregateFunction").map { a =>
+            def ok(f: String): Boolean =
+              AggFn.supported.contains(f) || AggFn.parametricBase(f).isDefined
+            def norm(f: String): String =
+              AggFn.parametricBase(f)
+                .map { case (b, ps) => s"$b(${ps.mkString(",")})" }
+                .getOrElse(f)
             splitTopLevel(a) match {
-              case Seq(f) if AggFn.supported.contains(f.trim) =>
-                Right(AggFn(f.trim, None))
-              case Seq(f, t) if AggFn.supported.contains(f.trim) =>
-                parse(t).map(bt => AggFn(f.trim, Some(bt)))
+              case Seq(f) if ok(f.trim) =>
+                Right(AggFn(norm(f.trim), Nil))
+              case Seq(f, t) if ok(f.trim) =>
+                parse(t).map(bt => AggFn(norm(f.trim), Seq(bt)))
+              case Seq(f, t1, t2) if ok(f.trim) =>
+                for (b1 <- parse(t1); b2 <- parse(t2))
+                  yield AggFn(norm(f.trim), Seq(b1, b2))
               case Seq(f, _*) =>
                 Left(s"AggregateFunction: unsupported function ${f.trim} " +
-                  s"(supported: ${AggFn.supported.toSeq.sorted.mkString(", ")})")
+                  s"(supported: ${AggFn.supported.toSeq.sorted.mkString(", ")}" +
+                  ", topK(k))")
               case _ =>
-                Left(s"AggregateFunction expects (func[, T]): $input")
+                Left(s"AggregateFunction expects (func[, T…]): $input")
             }
           })
           .orElse(withArgs("SimpleAggregateFunction").map { a =>

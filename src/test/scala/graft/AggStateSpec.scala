@@ -279,4 +279,81 @@ class AggStateSpec extends AnyFunSuite {
     }
     g.sql("DROP TABLE ags_q_mv; DROP TABLE ags_q_t; DROP TABLE ags_q_raw")
   }
+
+  test("d32 states (argMax/argMin/avgWeighted/sumIf/countIf/topK): type " +
+    "round-trip, merge == direct across waves, FINAL re-merge invariant") {
+    g.sql("DROP TABLE IF EXISTS ags32_mv; DROP TABLE IF EXISTS ags32_t; " +
+      "DROP TABLE IF EXISTS ags32_raw")
+    g.sql("CREATE TABLE ags32_raw(k Int64, v Float64, et String, w Int64)")
+    g.sql("CREATE TABLE ags32_t(k Int64 PRIMARY KEY, " +
+      "am AggregateFunction(argMax, String, Float64), " +
+      "an AggregateFunction(argMin, String, Float64), " +
+      "aw AggregateFunction(avgWeighted, Decimal(18,6), Int64), " +
+      "si AggregateFunction(sumIf, Int64, UInt8), " +
+      "ci AggregateFunction(countIf, UInt8), " +
+      "tk AggregateFunction(topK(2), String)) ENGINE=AggregatingMergeTree")
+    g.sql("CREATE MATERIALIZED VIEW ags32_mv TO ags32_t AS " +
+      "SELECT k, argMaxState(et, v) AS am, argMinState(et, v) AS an, " +
+      "avgWeightedState(CAST(v AS DECIMAL(18,6)), w) AS aw, " +
+      "sumIfState(w, v > 10) AS si, countIfState(v > 10) AS ci, " +
+      "topKState(2)(et) AS tk FROM ags32_raw GROUP BY k")
+    // declared multi-param / parametric types survive DESC verbatim
+    val desc = g.sql("DESC ags32_t").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(desc.contains(("am", "AggregateFunction(argMax, String, Float64)")))
+    assert(desc.contains(
+      ("aw", "AggregateFunction(avgWeighted, Decimal(18, 6), Int64)")) ||
+      desc.contains(
+        ("aw", "AggregateFunction(avgWeighted, Decimal(18,6), Int64)")))
+    assert(desc.contains(("tk", "AggregateFunction(topK(2), String)")))
+    // wave 1 includes a TIE on the max v of k=1 (a vs c at v=20): the
+    // state's (o, a) lexicographic order must break it to the max arg
+    g.sql("INSERT INTO ags32_raw VALUES " +
+      "(1, 20.0, 'a', 2), (1, 20.0, 'c', 3), (1, 5.0, 'b', 1), " +
+      "(2, 7.0, 'x', 4), (2, 11.0, 'y', 5)")
+    g.sql("INSERT INTO ags32_raw VALUES " +
+      "(1, 15.0, 'b', 2), (1, 3.0, 'a', 6), " +
+      "(2, 11.0, 'x', 1), (2, 2.0, 'z', 7)")
+    def readMerged(): Seq[(Long, String, String, Double, Long, Long, String)] =
+      g.sql("SELECT k, argMaxMerge(am) AS amx, argMinMerge(an) AS amn, " +
+        "CAST(round(CAST(avgWeightedMerge(aw) AS DECIMAL(18,6)), 4) " +
+        "AS DOUBLE) AS awv, " +
+        "CAST(coalesce(sumIfMerge(si), 0) AS BIGINT) AS siv, " +
+        "countIfMerge(ci) AS civ, concat_ws(',', topKMerge(2)(tk)) AS tkv " +
+        "FROM ags32_t GROUP BY k ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getDouble(3), r.getLong(4), r.getLong(5), r.getString(6))).toSeq
+    val direct =
+      g.sql("SELECT r.k, mx.amx, mn.amn, " +
+        "CAST(round(CAST(CAST(sum(CAST(r.v AS DECIMAL(18,6)) * r.w) " +
+        "AS DOUBLE) / CAST(sum(r.w) AS DOUBLE) AS DECIMAL(18,6)), 4) " +
+        "AS DOUBLE) AS awv, " +
+        "CAST(coalesce(sum(r.w) FILTER (WHERE r.v > 10), 0) AS BIGINT) " +
+        "AS siv, count(*) FILTER (WHERE r.v > 10) AS civ, tk.tkv " +
+        "FROM ags32_raw r " +
+        "JOIN (SELECT k, max_by(et, struct(v, et)) AS amx " +
+        "  FROM ags32_raw GROUP BY k) mx ON r.k = mx.k " +
+        "JOIN (SELECT k, min_by(et, struct(v, et)) AS amn " +
+        "  FROM ags32_raw GROUP BY k) mn ON r.k = mn.k " +
+        "JOIN (SELECT k, concat_ws(',', transform(slice(sort_array(" +
+        "    collect_list(struct(-c AS nc, et AS e))), 1, 2), x -> x.e)) " +
+        "  AS tkv FROM (SELECT k, et, count(*) AS c FROM ags32_raw " +
+        "  GROUP BY k, et) GROUP BY k) tk ON r.k = tk.k " +
+        "GROUP BY r.k, mx.amx, mn.amn, tk.tkv ORDER BY r.k").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getDouble(3), r.getLong(4), r.getLong(5), r.getString(6))).toSeq
+    val pre = readMerged()
+    assert(pre === direct, "merge over partial states must equal direct")
+    // tie pinned: k=1 argMax is 'c' (max v 20.0, tie -> max arg)
+    assert(pre.head._2 === "c")
+    // two waves -> two partial rows per key; FINAL folds to one
+    assert(g.sql("SELECT count() AS n FROM ags32_t")
+      .collect()(0).getLong(0) === 4L)
+    g.sql("OPTIMIZE TABLE ags32_t FINAL")
+    assert(g.sql("SELECT count() AS n FROM ags32_t")
+      .collect()(0).getLong(0) === 2L)
+    assert(readMerged() === direct, "FINAL state->state re-merge must be " +
+      "value-preserving")
+    g.sql("DROP TABLE ags32_mv; DROP TABLE ags32_t; DROP TABLE ags32_raw")
+  }
 }
