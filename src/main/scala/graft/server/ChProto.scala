@@ -282,10 +282,16 @@ object ChProto {
               writeTupleColumn(out, tp, rows.map(r =>
                 if (r.isNullAt(i)) null else r.get(i)))
             case base =>
-              if (f.nullable)
-                rows.foreach(r => out.write(if (r.isNullAt(i)) 1 else 0))
-              rows.foreach(r =>
-                writeScalar(out, base, if (r.isNullAt(i)) null else r.get(i)))
+              if (f.nullable) {
+                // bulk null map: one stream write, not one per row
+                val nm = new Array[Byte](rows.length)
+                var r = 0
+                rows.foreach { row =>
+                  nm(r) = if (row.isNullAt(i)) 1 else 0; r += 1
+                }
+                out.write(nm)
+              }
+              writeScalarColumn(out, base, rows, i)
           }
       }
     }
@@ -420,6 +426,110 @@ object ChProto {
     * (Row getters and array elements both produce these). Null writes the
     * type's zero default — the null map has already said it's null.
     */
+  /** Wire width in bytes of a fixed-width scalar type, or -1 when the
+    * type is variable-width (String/UUID/…). Gates the BULK column
+    * encode/decode below: per-value `OutputStream.write`/`readBytes`
+    * calls were the measured wire-ingest hot spot (one virtual call and
+    * one small allocation per VALUE — ~11M of each for a 600k-row
+    * 3-column block; PERF.md r19), so fixed-width columns move through
+    * one contiguous byte array per column instead. The bytes produced
+    * and consumed are identical to the per-value path.
+    */
+  private def fixedWidth(t: BqlType): Int = {
+    import BqlType._
+    t match {
+      case Int8 | UInt8 => 1
+      case Int16 | UInt16 | Date => 2
+      case Int32 | UInt32 | Float32 | Date32 | DateTime(_) => 4
+      case Int64 | UInt64 | Float64 | DateTime64(_, _) => 8
+      case Decimal(p, _) => if (p <= 9) 4 else 8
+      case _ => -1
+    }
+  }
+
+  /** The Long whose low [[fixedWidth]] bytes are the value's wire
+    * encoding — the exact argument [[writeScalar]] hands writeLongLe,
+    * factored out so the bulk path shares the conversion logic.
+    */
+  private def scalarBits(t: BqlType, v: Any): Long = {
+    import BqlType._
+    val isNull = v == null
+    t match {
+      case Int8 => if (isNull) 0L else v.asInstanceOf[Byte].toLong
+      case Int16 => if (isNull) 0L else v.asInstanceOf[Short].toLong
+      case Int32 => if (isNull) 0L else v.asInstanceOf[Int].toLong
+      case Int64 => if (isNull) 0L else v.asInstanceOf[Long]
+      case UInt8 => if (isNull) 0L else v.asInstanceOf[Short].toLong
+      case UInt16 => if (isNull) 0L else v.asInstanceOf[Int].toLong
+      case UInt32 => if (isNull) 0L else v.asInstanceOf[Long]
+      case UInt64 => v match {
+        case null => 0L
+        case d: java.math.BigDecimal => d.toBigInteger.longValue()
+        case d: scala.math.BigDecimal => d.underlying().toBigInteger.longValue()
+      }
+      case Float32 => java.lang.Float.floatToIntBits(
+        if (isNull) 0f else v.asInstanceOf[Float]).toLong
+      case Float64 => java.lang.Double.doubleToLongBits(
+        if (isNull) 0d else v.asInstanceOf[Double])
+      case Decimal(_, _) => v match {
+        case null => 0L
+        case d: java.math.BigDecimal => d.unscaledValue().longValueExact()
+        case d: scala.math.BigDecimal =>
+          d.underlying().unscaledValue().longValueExact()
+      }
+      case Date | Date32 => v match {
+        case null => 0L
+        case d: java.sql.Date => d.toLocalDate.toEpochDay
+        case d: java.time.LocalDate => d.toEpochDay
+      }
+      case DateTime(_) => v match {
+        case null => 0L
+        case ts: java.sql.Timestamp => ts.getTime / 1000L
+        case ts: java.time.Instant => ts.getEpochSecond
+        case ts: java.time.LocalDateTime =>
+          ts.toEpochSecond(java.time.ZoneOffset.UTC)
+      }
+      case DateTime64(p, _) =>
+        val micros = v match {
+          case null => 0L
+          case ts: java.sql.Timestamp =>
+            ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+          case ts: java.time.Instant =>
+            ts.getEpochSecond * 1000000L + ts.getNano / 1000L
+          case ts: java.time.LocalDateTime =>
+            val inst = ts.toInstant(java.time.ZoneOffset.UTC)
+            inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+        }
+        if (p <= 6) micros / math.pow(10, 6 - p).toLong
+        else micros * math.pow(10, p - 6).toLong
+      case other => throw new IllegalStateException(
+        s"scalarBits on variable-width type $other")
+    }
+  }
+
+  /** Bulk column encode: fixed-width scalars land in one contiguous
+    * array (one stream write per COLUMN); variable-width types keep the
+    * per-value [[writeScalar]] loop.
+    */
+  private def writeScalarColumn(out: OutputStream, base: BqlType,
+                                rows: Seq[Row], i: Int): Unit = {
+    val w = fixedWidth(base)
+    if (w < 0) {
+      rows.foreach(r =>
+        writeScalar(out, base, if (r.isNullAt(i)) null else r.get(i)))
+      return
+    }
+    val arr = new Array[Byte](rows.length * w)
+    var off = 0
+    rows.foreach { r =>
+      var bits = scalarBits(base, if (r.isNullAt(i)) null else r.get(i))
+      var j = 0
+      while (j < w) { arr(off + j) = (bits & 0xff).toByte; bits >>>= 8; j += 1 }
+      off += w
+    }
+    out.write(arr)
+  }
+
   private[graft] def writeScalar(out: OutputStream, t: BqlType, v: Any): Unit = {
     import BqlType._
     val isNull = v == null
@@ -581,10 +691,7 @@ object ChProto {
                 else byCode.getOrElse(signed, throw new java.io.IOException(
                   s"enum code $signed is not an entry of ${en.chName}"))
               }
-            case _ => Vector.tabulate(nRows) { r =>
-              val v = readValue(in, base)
-              if (nulls(r)) null else v
-            }
+            case _ => readScalarColumn(in, base, nRows, nulls)
           }
       }
       WireColumn(name, typeName, values)
@@ -602,27 +709,67 @@ object ChProto {
     import org.apache.spark.sql.types._
     require(block.columns.length == schema.fields.length,
       s"wire block arity ${block.columns.length} != table arity ${schema.fields.length}")
-    def convert(v: Any, dt: DataType): Any = (v, dt) match {
-      case (null, _) => null
-      case (v: java.time.LocalDate, DateType) => java.sql.Date.valueOf(v)
-      case (v: java.time.Instant, TimestampType) => java.sql.Timestamp.from(v)
-      case (v: scala.math.BigDecimal, _: DecimalType) => v.underlying()
-      case (v: java.math.BigInteger, _: DecimalType) => new java.math.BigDecimal(v)
-      case (v: String, _: DecimalType) => new java.math.BigDecimal(v) // wide-decimal wire form
-      case (v: String, BinaryType) => v.getBytes("UTF-8") // FixedString rides as varbytes
-      case (v: scala.collection.Seq[_], ArrayType(et, _)) =>
-        v.toSeq.map(convert(_, et))
-      case (v: scala.collection.Map[_, _], MapType(kt, vt, _)) =>
-        v.map { case (k, vv) => convert(k, kt) -> convert(vv, vt) }.toMap
-      case (v: Row, st: StructType) =>
-        Row.fromSeq(st.fields.toSeq.zipWithIndex.map { case (f, j) =>
-          convert(v.get(j), f.dataType) })
-      case (v, _) => v
+    // one type dispatch per COLUMN, not per value (the per-value
+    // `(v, dt) match` allocated a Tuple2 for every cell — a measured
+    // decode hot spot at 600k-row blocks, PERF.md r19); scalar columns
+    // whose wire value already IS the external type get the identity
+    def converterFor(dt: DataType): Any => Any = dt match {
+      case DateType => {
+        case v: java.time.LocalDate => java.sql.Date.valueOf(v)
+        case v => v
+      }
+      case TimestampType => {
+        case v: java.time.Instant => java.sql.Timestamp.from(v)
+        case v => v
+      }
+      case _: DecimalType => {
+        case v: scala.math.BigDecimal => v.underlying()
+        case v: java.math.BigInteger => new java.math.BigDecimal(v)
+        case v: String => new java.math.BigDecimal(v) // wide-decimal wire form
+        case v => v
+      }
+      case BinaryType => {
+        case v: String => v.getBytes("UTF-8") // FixedString rides as varbytes
+        case v => v
+      }
+      case ArrayType(et, _) =>
+        val ec = converterFor(et)
+        v => v.asInstanceOf[scala.collection.Seq[Any]].toSeq
+          .map(x => if (x == null) null else ec(x))
+      case MapType(kt, vt, _) =>
+        val kc = converterFor(kt)
+        val vc = converterFor(vt)
+        v => v.asInstanceOf[scala.collection.Map[Any, Any]].map {
+          case (k, vv) =>
+            (if (k == null) null else kc(k)) ->
+              (if (vv == null) null else vc(vv))
+        }.toMap
+      case st: StructType =>
+        val fcs = st.fields.map(f => converterFor(f.dataType))
+        v => {
+          val row = v.asInstanceOf[Row]
+          val arr = new Array[Any](fcs.length)
+          var j = 0
+          while (j < fcs.length) {
+            val x = row.get(j)
+            arr(j) = if (x == null) null else fcs(j)(x)
+            j += 1
+          }
+          Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
+        }
+      case _ => identity
     }
+    val convs = schema.fields.map(f => converterFor(f.dataType))
+    val nCols = convs.length
     (0 until block.nRows).map { r =>
-      Row.fromSeq(schema.fields.zipWithIndex.map { case (f, c) =>
-        convert(block.columns(c).values(r), f.dataType)
-      }.toIndexedSeq)
+      val arr = new Array[Any](nCols)
+      var c = 0
+      while (c < nCols) {
+        val v = block.columns(c).values(r)
+        arr(c) = if (v == null) null else convs(c)(v)
+        c += 1
+      }
+      Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
     }
   }
 
@@ -746,6 +893,61 @@ object ChProto {
     val colsByField = tp.fields.map { case (_, ft) =>
       readElements(in, ft, nRows) }
     Vector.tabulate(nRows)(r => Row.fromSeq(colsByField.map(_(r))))
+  }
+
+  /** Bulk column decode: fixed-width scalars come off the stream as one
+    * contiguous read (the per-value `readBytes` allocation was the
+    * decode hot spot — see [[fixedWidth]]); variable-width types keep
+    * the per-value [[readValue]] loop. Value-for-value identical to the
+    * per-value path.
+    */
+  private def readScalarColumn(in: InputStream, base: BqlType, nRows: Int,
+                               nulls: Array[Boolean]): Vector[Any] = {
+    import BqlType._
+    val w = fixedWidth(base)
+    if (w < 0)
+      return Vector.tabulate(nRows) { r =>
+        val v = readValue(in, base)
+        if (nulls(r)) null else v
+      }
+    val bytes = readBytes(in, nRows * w)
+    // unsigned little-endian assembly — readLongLe's contract
+    def bits(r: Int): Long = {
+      val off = r * w
+      var v = 0L
+      var j = w - 1
+      while (j >= 0) { v = (v << 8) | (bytes(off + j) & 0xffL); j -= 1 }
+      v
+    }
+    def decode(r: Int): Any = base match {
+      case Int8 => bits(r).toByte
+      case Int16 => bits(r).toShort
+      case Int32 => bits(r).toInt
+      case Int64 => bits(r)
+      case UInt8 => bits(r).toShort
+      case UInt16 => bits(r).toInt
+      case UInt32 => bits(r)
+      case UInt64 => new BigInteger(java.lang.Long.toUnsignedString(bits(r)))
+      case Float32 => java.lang.Float.intBitsToFloat(bits(r).toInt)
+      case Float64 => java.lang.Double.longBitsToDouble(bits(r))
+      case Decimal(p, s) =>
+        val unscaled = if (p <= 9) bits(r).toInt.toLong else bits(r)
+        BigDecimal(BigInt(unscaled), s)
+      case Date => java.time.LocalDate.ofEpochDay(bits(r))
+      case Date32 => java.time.LocalDate.ofEpochDay(bits(r).toInt.toLong)
+      case DateTime(_) => java.time.Instant.ofEpochSecond(bits(r))
+      case DateTime64(p, _) =>
+        val ticks = bits(r)
+        val micros =
+          if (p <= 6) ticks * math.pow(10, 6 - p).toLong
+          else ticks / math.pow(10, p - 6).toLong
+        java.time.Instant.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          Math.floorMod(micros, 1000000L) * 1000L)
+      case other => throw new IllegalStateException(
+        s"readScalarColumn on variable-width type $other")
+    }
+    Vector.tabulate(nRows)(r => if (nulls(r)) null else decode(r))
   }
 
   private[graft] def readValue(in: InputStream, t: BqlType): Any = {
