@@ -4568,6 +4568,13 @@ class GraftSession(val spark: SparkSession,
     val byPos: Vector[Option[BqlType]] = schema.fields.toVector.map { f =>
       types.get(f.name).flatMap(s => BqlType.parse(s).toOption).collect {
         case lc: BqlType.LowCardinality => lc
+        // Enum columns advertise their declared entries too, so a
+        // conforming client (ours honors the header — r19) streams base
+        // ints with the entry metadata and non-entry values fail the
+        // WRITE loudly at encode; clients that ship plain String still
+        // land (the block carries its own column types)
+        case en: BqlType.Enum => en
+        case ne @ BqlType.Nullable(_: BqlType.Enum) => ne
       }
     }
     i => if (i >= 0 && i < byPos.length) byPos(i) else None

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
-import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, Cast, Coalesce, CreateArray, CreateNamedStruct, CreateStruct, Divide, Expression, Flatten, Literal, Multiply, Size, SortArray}
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayDistinct, ArrayMax, ArrayMin, Cast, Coalesce, CreateArray, CreateNamedStruct, CreateStruct, Divide, Expression, Flatten, LambdaFunction, Literal, Multiply, Size, SortArray, UnresolvedNamedLambdaVariable}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   ApproximatePercentile, Average, BitAndAgg, BitOrAgg, BitXorAgg,
   CollectList, CollectSet, Count, CovPopulation, CovSample, First,
@@ -241,6 +241,20 @@ object ChAggregates {
     case Seq(a, b) => f(a, b)
     case exprs => throw new IllegalArgumentException(
       s"$name expects 2 arguments, got ${exprs.length}")
+  }
+
+  /** Per-row element sum of a numeric array as a Float64 — the
+    * higher-order `aggregate(arr, 0.0, (acc, x) -> acc + x)` the parser
+    * would build for the same SQL, codegen'd by Catalyst.
+    */
+  private def elemSum(arr: Expression): Expression = {
+    val acc = UnresolvedNamedLambdaVariable(Seq("__gacc"))
+    val el = UnresolvedNamedLambdaVariable(Seq("__gel"))
+    org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+      Seq("aggregate"),
+      Seq(arr, Literal(0.0d),
+        LambdaFunction(Add(acc, el), Seq(acc, el))),
+      isDistinct = false)
   }
 
   /** The k of a parametric aggregate — must be a positive integer
@@ -493,6 +507,53 @@ object ChAggregates {
       org.apache.spark.sql.GraftSqlBridge.typedAggExpression(
         new TopKStateMergeAgg(topKCapacity(k)),
         ExpressionEncoder[Seq[(String, Long, Long)]](), Seq(state))
+    },
+    // -Array combinators (f22): the aggregate applied to the ELEMENTS of
+    // an array column across all rows — CH's sumArray/minArray/… . Each
+    // stays one hash aggregate: the per-row element fold is a codegen'd
+    // higher-order expression (aggregate/array_min/array_max/size), the
+    // cross-row fold the matching Catalyst aggregate. sumArray/avgArray
+    // accumulate Float64 (CH keeps integer sums integral — pinned
+    // divergence, same family as avgWeighted's Float64 contract).
+    "sumArray" -> one("sumArray")(x =>
+      Sum(elemSum(x)).toAggregateExpression()),
+    "minArray" -> one("minArray")(x =>
+      Min(ArrayMin(x)).toAggregateExpression()),
+    "maxArray" -> one("maxArray")(x =>
+      Max(ArrayMax(x)).toAggregateExpression()),
+    "avgArray" -> one("avgArray")(x => Divide(
+      Cast(Sum(elemSum(x)).toAggregateExpression(), DoubleType),
+      Cast(Sum(Size(x)).toAggregateExpression(), DoubleType))),
+    "countArray" -> one("countArray")(x => Coalesce(Seq(
+      Cast(Sum(Size(x)).toAggregateExpression(), LongType), Literal(0L)))),
+    // uniqArray: exact distinct over all elements (the uniqExactMerge
+    // set-union shape; unbounded state is the exact-distinct cost)
+    "uniqArray" -> one("uniqArray")(x => Cast(
+      Size(ArrayDistinct(Flatten(CollectList(x).toAggregateExpression()))),
+      LongType)),
+    // -Distinct combinators: the aggregate over the distinct value set
+    "sumDistinct" -> one("sumDistinct")(x =>
+      Sum(x).toAggregateExpression(isDistinct = true)),
+    "avgDistinct" -> one("avgDistinct")(x =>
+      Average(x).toAggregateExpression(isDistinct = true)),
+    "countDistinct" -> one("countDistinct")(x =>
+      Count(x).toAggregateExpression(isDistinct = true)),
+    // -OrNull combinators: NULL on the empty set instead of the default.
+    // Spark's aggregates already return NULL over zero rows (CH's sum
+    // returns 0, count 0), so most -OrNull forms ARE the plain Spark
+    // aggregate; count needs the explicit 0 -> NULL.
+    "sumOrNull" -> one("sumOrNull")(x => Sum(x).toAggregateExpression()),
+    "avgOrNull" -> one("avgOrNull")(x => Average(x).toAggregateExpression()),
+    "minOrNull" -> one("minOrNull")(x => Min(x).toAggregateExpression()),
+    "maxOrNull" -> one("maxOrNull")(x => Max(x).toAggregateExpression()),
+    "anyOrNull" -> one("anyOrNull")(x =>
+      First(x, ignoreNulls = true).toAggregateExpression()),
+    "countOrNull" -> { exprs =>
+      val c =
+        if (exprs.isEmpty) Count(Literal(1)).toAggregateExpression()
+        else Count(exprs.head).toAggregateExpression()
+      org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+        Seq("nullif"), Seq(c, Literal(0L)), isDistinct = false)
     },
     // -If combinators: the aggregate with a Catalyst FILTER clause.
     "countIf" -> one("countIf")(cond =>

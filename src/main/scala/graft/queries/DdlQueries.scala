@@ -958,6 +958,24 @@ object DdlQueries {
         "countIfMerge(ci) AS civ, " +
         "concat_ws(',', topKMerge(3)(tk)) AS tkv " +
         "FROM d32_agg GROUP BY k ORDER BY k")
+    },
+
+    // Float16 accept-and-widen (d33): the reference PARSES Float16 but
+    // cannot execute it (no Arrow array for f16 in its fork —
+    // crates/engine/src/datafusions.rs:237-240); here it widens to Spark
+    // FloatType with the CH name preserved in graft.ch.types (the same
+    // discipline as the UInt widenings), making this a strict-superset
+    // line: declare, insert, and read back. Values chosen exactly
+    // representable in binary16 so the readback is bit-stable.
+    "d33_float16" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("DROP TABLE IF EXISTS d33_h")
+      g.sql("CREATE TABLE d33_h(k Int64, h Float16, hn Nullable(Float16))")
+      g.sql("INSERT INTO d33_h VALUES (1, 0.5, 0.25), (2, -1.25, NULL), " +
+        "(3, 100.0, 2048.0), (4, -0.0625, 7.5)")
+      g.sql("SELECT k, CAST(h AS DOUBLE) AS hv, CAST(hn AS DOUBLE) AS hnv " +
+        "FROM d33_h ORDER BY k")
     }
   )
 
@@ -1399,6 +1417,15 @@ object DdlQueries {
         |  ag.civ, tk.tkv
         |FROM ag JOIN mx ON ag.k = mx.k JOIN mn ON ag.k = mn.k
         |  JOIN tk ON ag.k = tk.k
+        |ORDER BY k""".stripMargin,
+
+    // d33: every literal is exactly representable in binary16/32, so the
+    // widened-float readback equals the plain double values
+    "d33_float16" ->
+      """SELECT CAST(k AS BIGINT) AS k, CAST(hv AS DOUBLE) AS hv,
+        |  CAST(hnv AS DOUBLE) AS hnv
+        |FROM (VALUES (1, 0.5, 0.25), (2, -1.25, NULL),
+        |             (3, 100.0, 2048.0), (4, -0.0625, 7.5)) AS t(k, hv, hnv)
         |ORDER BY k""".stripMargin,
 
     // d31: exact quantiles are cross-engine-stable; the ok flags gate

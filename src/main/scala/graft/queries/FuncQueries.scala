@@ -451,6 +451,44 @@ object FuncQueries {
     // dateDiff (boundary-crossing counts, CH/DuckDB shared semantics) +
     // the relative-ordinal family + fromUnixTimestamp/monthName/dateName/
     // timeSlot/toISOYear. Week diffs pin the Monday-start convention.
+    // CH aggregate COMBINATORS (f22, VERDICT r18 task #5): -Array applies
+    // the aggregate to array ELEMENTS (per-row element fold is a
+    // codegen'd higher-order expression, cross-row fold the matching
+    // Catalyst aggregate — one hash aggregate, no explode/shuffle),
+    // -Distinct is the DISTINCT aggregate form, -OrNull returns NULL on
+    // the empty set. The oracle recomputes everything FLAT from the raw
+    // rows — an independent path to the same values.
+    "f22_combinators" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      ClickHouseFunctions.register(s)
+      new graft.exec.GraftSession(s).sql(
+        """WITH a AS (SELECT user_id % 40 AS u, CAST(ts AS DATE) AS d,
+          |    collect_list(round(value * 100)) AS vs,
+          |    collect_list(event_type) AS ets
+          |  FROM events GROUP BY user_id % 40, CAST(ts AS DATE)),
+          |g AS (SELECT u,
+          |    CAST(sumArray(vs) AS DOUBLE) AS sa,
+          |    CAST(minArray(vs) AS DOUBLE) AS mna,
+          |    CAST(maxArray(vs) AS DOUBLE) AS mxa,
+          |    CAST(round(avgArray(vs), 4) AS DOUBLE) AS ava,
+          |    countArray(vs) AS ca,
+          |    uniqArray(ets) AS ua
+          |  FROM a GROUP BY u)
+          |SELECT g.u, g.sa, g.mna, g.mxa, g.ava, g.ca, g.ua,
+          |  (SELECT CAST(sumDistinct(event_id % 97) AS BIGINT)
+          |    FROM events) AS sd,
+          |  (SELECT countDistinct(event_type) FROM events) AS cd,
+          |  (SELECT CAST(round(avgDistinct(event_id % 11), 4) AS DOUBLE)
+          |    FROM events) AS ad,
+          |  (SELECT CAST(sumOrNull(value) AS DOUBLE) FROM events
+          |    WHERE event_id < 0) AS so,
+          |  (SELECT countOrNull(event_id) FROM events
+          |    WHERE event_id < 0) AS co,
+          |  (SELECT anyOrNull(event_type) FROM events
+          |    WHERE event_id < 0) AS ao
+          |FROM g ORDER BY u""".stripMargin)
+    },
+
     "f21_datediff_pack" -> { (s, dir) =>
       Tables.registerAll(s, dir)
       ClickHouseFunctions.register(s)
@@ -598,6 +636,34 @@ object FuncQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // f22: the array layer is the Spark-side mechanism under test; the
+    // element multiset per u equals the flat rows per u, so the oracle
+    // recomputes flat. avgArray is expressed sum/count (exact
+    // integer-valued doubles, one division) to stay order-independent.
+    "f22_combinators" ->
+      """WITH g AS (SELECT user_id % 40 AS u,
+        |    CAST(sum(round(value * 100)) AS DOUBLE) AS sa,
+        |    CAST(min(round(value * 100)) AS DOUBLE) AS mna,
+        |    CAST(max(round(value * 100)) AS DOUBLE) AS mxa,
+        |    CAST(round(sum(round(value * 100)) / count(*), 4) AS DOUBLE)
+        |      AS ava,
+        |    CAST(count(*) AS BIGINT) AS ca,
+        |    CAST(count(DISTINCT event_type) AS BIGINT) AS ua
+        |  FROM events GROUP BY 1)
+        |SELECT g.u, g.sa, g.mna, g.mxa, g.ava, g.ca, g.ua,
+        |  (SELECT CAST(sum(DISTINCT event_id % 97) AS BIGINT)
+        |    FROM events) AS sd,
+        |  (SELECT CAST(count(DISTINCT event_type) AS BIGINT)
+        |    FROM events) AS cd,
+        |  (SELECT CAST(round(avg(DISTINCT event_id % 11), 4) AS DOUBLE)
+        |    FROM events) AS ad,
+        |  (SELECT CAST(sum(value) AS DOUBLE) FROM events
+        |    WHERE event_id < 0) AS so,
+        |  (SELECT CAST(NULLIF(count(event_id), 0) AS BIGINT) FROM events
+        |    WHERE event_id < 0) AS co,
+        |  (SELECT min(event_type) FROM events WHERE event_id < 0) AS ao
+        |FROM g ORDER BY u""".stripMargin,
+
     "f21_datediff_pack" ->
       """SELECT CAST(extract(year FROM o_orderdate) * 100 +
         |    extract(month FROM o_orderdate) AS BIGINT) AS ym,

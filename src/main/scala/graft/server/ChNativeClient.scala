@@ -144,12 +144,16 @@ final class ChNativeClient(host: String, port: Int,
     if (first == ChProto.Server.Exception) throw readException()
     require(first == ChProto.Server.Data, s"expected header block, got $first")
     val header = ChProto.readDataBlock(in, compressed = compression)
-    // honor the server's declared LowCardinality columns: a conforming
-    // server expects those streamed back with the dict-block framing its
-    // header advertised
+    // honor the server's declared LowCardinality AND Enum columns: a
+    // conforming server expects LC streamed back with the dict-block
+    // framing its header advertised, and Enum as base ints with the
+    // entries metadata (shipping an Enum column as plain String would be
+    // rejected by a real ClickHouse server — r19, write-side federation)
     val lcByPos: Vector[Option[BqlType]] = header.columns.map(c =>
       BqlType.parse(c.chType).toOption.collect {
         case lc: BqlType.LowCardinality => lc
+        case en: BqlType.Enum => en
+        case ne @ BqlType.Nullable(_: BqlType.Enum) => ne
       })
     val declared: Int => Option[BqlType] =
       i => if (i >= 0 && i < lcByPos.length) lcByPos(i) else None

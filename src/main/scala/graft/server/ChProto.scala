@@ -726,6 +726,36 @@ object ChProto {
         case v: scala.math.BigDecimal => v.underlying()
         case v: java.math.BigInteger => new java.math.BigDecimal(v)
         case v: String => new java.math.BigDecimal(v) // wide-decimal wire form
+        case v: java.lang.Number => new java.math.BigDecimal(v.toString)
+        case v => v
+      }
+      // numeric widenings: a client block may declare a NARROWER type
+      // than the table column (INSERT ... SELECT 3 ships Int32 into an
+      // Int64 column) — real ClickHouse casts client blocks to the table
+      // types on insert, so the decode side widens here too
+      case LongType => {
+        case v: java.lang.Long => v
+        case v: java.lang.Number => java.lang.Long.valueOf(v.longValue())
+        case v => v
+      }
+      case IntegerType => {
+        case v: java.lang.Integer => v
+        case v: java.lang.Number => java.lang.Integer.valueOf(v.intValue())
+        case v => v
+      }
+      case ShortType => {
+        case v: java.lang.Short => v
+        case v: java.lang.Number => java.lang.Short.valueOf(v.shortValue())
+        case v => v
+      }
+      case DoubleType => {
+        case v: java.lang.Double => v
+        case v: java.lang.Number => java.lang.Double.valueOf(v.doubleValue())
+        case v => v
+      }
+      case FloatType => {
+        case v: java.lang.Float => v
+        case v: java.lang.Number => java.lang.Float.valueOf(v.floatValue())
         case v => v
       }
       case BinaryType => {

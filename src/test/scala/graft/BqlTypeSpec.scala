@@ -78,4 +78,42 @@ class BqlTypeSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("Float16 parses, widens to Spark Float, and keeps its CH name " +
+    "(the reference parses it but cannot execute it — " +
+    "crates/engine/src/datafusions.rs:237-240; strict superset here)") {
+    assert(parse("Float16") === Right(Float16))
+    assert(Float16.sparkType === FloatType)
+    assert(Float16.chName === "Float16")
+    assert(parse("Nullable(Float16)") === Right(Nullable(Float16)))
+    assert(parse(Nullable(Float16).chName) === Right(Nullable(Float16)))
+  }
+
+  test("AggregateFunction multi-param and parametric forms round-trip " +
+    "(d32: argMax/avgWeighted/sumIf two-type params, topK(k) parametric)") {
+    assert(parse("AggregateFunction(argMax, String, Float64)") ===
+      Right(AggFn("argMax", Seq(Str, Float64))))
+    assert(parse("AggregateFunction(avgWeighted, Decimal(18, 6), Int64)") ===
+      Right(AggFn("avgWeighted", Seq(Decimal(18, 6), Int64))))
+    assert(parse("AggregateFunction(sumIf, Int64, UInt8)") ===
+      Right(AggFn("sumIf", Seq(Int64, UInt8))))
+    assert(parse("AggregateFunction(topK(3), String)") ===
+      Right(AggFn("topK(3)", Seq(Str))))
+    // chName round-trips
+    Seq(AggFn("argMax", Seq(Str, Float64)),
+        AggFn("avgWeighted", Seq(Decimal(18, 6), Int64)),
+        AggFn("topK(3)", Seq(Str))).foreach { t =>
+      assert(parse(t.chName) === Right(t), s"round-trip failed for $t")
+    }
+    // the state shapes that make plain Catalyst aggregates the merges
+    assert(AggFn("argMax", Seq(Str, Float64)).sparkType ===
+      StructType(Seq(StructField("o", DoubleType), StructField("a", StringType))))
+    assert(AggFn("topK(3)", Seq(Str)).sparkType ===
+      ArrayType(StructType(Seq(
+        StructField("_1", StringType),
+        StructField("_2", LongType, nullable = false),
+        StructField("_3", LongType, nullable = false))), containsNull = false))
+    // unknown parametric functions still reject loudly
+    assert(parse("AggregateFunction(topQ(3), String)").isLeft)
+  }
 }

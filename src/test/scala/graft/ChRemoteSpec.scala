@@ -194,4 +194,60 @@ class ChRemoteSpec extends AnyFunSuite {
       server.stop()
     }
   }
+
+  test("rich types federate on the WRITE side: INSERT INTO FUNCTION " +
+    "remote() ships Enum/Map/Tuple/LowCardinality out, and the data reads " +
+    "back identically through remote() (VERDICT r18 task #3)") {
+    val server = new ChWireServer(spark).start()
+    val g = new GraftSession(spark)
+    try {
+      val ddl = "(k Int64, st Enum8('low' = 1, 'high' = 2), " +
+        "tags Map(String, Int64), pos Tuple(x Int64, y String), " +
+        "lc LowCardinality(String))"
+      g.sql("DROP TABLE IF EXISTS rmt_richw_sink; " +
+        "DROP TABLE IF EXISTS rmt_richw_src")
+      g.sql(s"CREATE TABLE rmt_richw_sink$ddl")
+      g.sql(s"CREATE TABLE rmt_richw_src$ddl")
+      g.sql("INSERT INTO rmt_richw_src SELECT 1, 'high', " +
+        "map('a', CAST(10 AS BIGINT)), " +
+        "named_struct('x', CAST(7 AS BIGINT), 'y', 'p1'), 'aa' " +
+        "UNION ALL SELECT 2, 'low', map('b', CAST(5 AS BIGINT)), " +
+        "named_struct('x', CAST(-3 AS BIGINT), 'y', 'p2'), 'bb'")
+
+      val url = s"ch://127.0.0.1:${server.boundPort}"
+      // the write crosses the wire: Enum ships as base ints with entry
+      // metadata (the header advertises the declared type and the client
+      // honors it), Map/Tuple/LC with their native framings
+      g.sql(s"INSERT INTO FUNCTION remote('$url', 'rmt_richw_sink') " +
+        "SELECT k, st, tags, pos, lc FROM rmt_richw_src")
+      // and a literal-SELECT write through the same path
+      g.sql(s"INSERT INTO FUNCTION remote('$url', 'rmt_richw_sink') " +
+        "SELECT 3, 'high', map('c', CAST(1 AS BIGINT)), " +
+        "named_struct('x', CAST(9 AS BIGINT), 'y', 'p3'), 'aa'")
+
+      val got = g.sql(s"SELECT k, st, tags, pos, lc FROM " +
+        s"remote('$url', 'rmt_richw_sink') ORDER BY k").collect()
+      assert(got.length === 3)
+      assert(got.map(_.getString(1)).toSeq === Seq("high", "low", "high"))
+      assert(got(0).getMap[String, Long](2) === Map("a" -> 10L))
+      assert(got(2).getMap[String, Long](2) === Map("c" -> 1L))
+      val pos = got(1).getStruct(3)
+      assert((pos.getLong(0), pos.getString(1)) === (-3L, "p2"))
+      assert(got.map(_.getString(4)).toSeq === Seq("aa", "bb", "aa"))
+      // a value outside the Enum's declared entries fails the WRITE
+      // loudly (the encoder validates against the entry table)
+      val e = intercept[Exception] {
+        g.sql(s"INSERT INTO FUNCTION remote('$url', 'rmt_richw_sink') " +
+          "SELECT 4, 'bogus', map('d', CAST(1 AS BIGINT)), " +
+          "named_struct('x', CAST(0 AS BIGINT), 'y', 'p4'), 'cc'")
+      }
+      assert(e.getMessage != null)
+      assert(g.sql("SELECT count() AS n FROM rmt_richw_sink " +
+        "WHERE st = 'bogus'").collect()(0).get(0).toString === "0")
+      g.sql("DROP TABLE rmt_richw_sink; DROP TABLE rmt_richw_src")
+    } finally {
+      ChNativeClient.clearPool()
+      server.stop()
+    }
+  }
 }
