@@ -364,6 +364,26 @@ def main():
     port = int(args[0])
     conn = Conn(port)
     handshake(conn, compress=compress)
+    if len(args) > 1 and args[1] == "--mixed":
+        # ONE connection mixing text and prepared statements (r19 canary:
+        # prepared + rich types over the compressed transport in one
+        # session). "P:<sql>|<kind:param>..." runs prepared; anything else
+        # runs as a text COM_QUERY.
+        results = []
+        for a in args[2:]:
+            if a.startswith("P:"):
+                parts = a[2:].split("|")
+                params = []
+                for pr in parts[1:]:
+                    kind, _, v = pr.partition(":")
+                    params.append(None if kind == "null" else
+                                  int(v) if kind == "int" else
+                                  float(v) if kind == "float" else v)
+                results.append(prepared(conn, parts[0], params))
+            else:
+                results.append(query(conn, a))
+        print(json.dumps({"results": results, "compressed": compress}))
+        return
     if len(args) > 1 and args[1] == "--prepared":
         # args[2] = sql with ?s, args[3:] = params (int:/float:/str:/null)
         sql = args[2]

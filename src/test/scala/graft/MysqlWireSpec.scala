@@ -321,4 +321,50 @@ class MysqlWireSpec extends AnyFunSuite {
         "--compress", server.boundPort.toString, "DROP TABLE py_z_tab"))
     } finally server.stop()
   }
+
+  test("r19 canary: ONE compressed session mixes text and prepared " +
+    "statements over rich-typed columns (Enum/Map/Tuple/LC/Decimal) — " +
+    "the VERDICT r18 task #9 growth step") {
+    val server = new MysqlWireServer(spark).start()
+    try {
+      def run(cmd: Seq[String]): String = {
+        val proc = new ProcessBuilder(cmd: _*)
+          .redirectErrorStream(true).start()
+        val out = new String(proc.getInputStream.readAllBytes(), UTF_8)
+        assert(proc.waitFor() === 0, s"probe failed:\n$out")
+        out.linesIterator.find(_.startsWith("{"))
+          .getOrElse(fail(s"no JSON line in:\n$out"))
+      }
+      val j = run(Seq("python3", "scripts/mysql_wire_probe.py",
+        "--compress", server.boundPort.toString, "--mixed",
+        "DROP TABLE IF EXISTS py_mix_rich",
+        "CREATE TABLE py_mix_rich(k Int64, " +
+          "st Enum8('low' = 1, 'high' = 2), m Map(String, Int64), " +
+          "tp Tuple(x Int64, y String), lc LowCardinality(String), " +
+          "d Decimal(12,4))",
+        "INSERT INTO py_mix_rich SELECT 1, 'high', " +
+          "map('a', CAST(10 AS BIGINT)), " +
+          "named_struct('x', CAST(7 AS BIGINT), 'y', 'p1'), 'aa', " +
+          "CAST(1.5 AS DECIMAL(12,4)) " +
+          "UNION ALL SELECT 2, 'low', map('b', CAST(5 AS BIGINT)), " +
+          "named_struct('x', CAST(-3 AS BIGINT), 'y', 'p2'), 'bb', " +
+          "CAST(-2.25 AS DECIMAL(12,4))",
+        "SELECT k, st, m, tp, lc, d FROM py_mix_rich ORDER BY k",
+        "P:SELECT k, st, lc, CAST(d AS STRING) AS ds " +
+          "FROM py_mix_rich WHERE k = ?|int:2",
+        "DROP TABLE py_mix_rich"))
+      assert(j.contains(""""compressed": true"""), j)
+      // text resultset: Enum as its name, Map/Tuple in their scala
+      // rendering (the text protocol ships String.valueOf), Decimal at
+      // declared scale
+      assert(j.contains("high"), j)
+      assert(j.contains("Map(a -> 10)"), j)
+      assert(j.contains("1.5000"), j)
+      // prepared over the SAME compressed connection: typed binary
+      // params, binary rows, type cache across executes
+      assert(j.contains("""[2, "low", "bb", "-2.2500"]"""), j)
+      assert(j.contains(""""reexec_equal": true"""), j)
+      assert(!j.contains("\"error\""), j)
+    } finally server.stop()
+  }
 }
