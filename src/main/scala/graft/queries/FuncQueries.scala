@@ -461,6 +461,9 @@ object FuncQueries {
     "f22_combinators" -> { (s, dir) =>
       Tables.registerAll(s, dir)
       ClickHouseFunctions.register(s)
+      // scan discipline: the -Distinct trio shares ONE aggregate (one
+      // scan + Expand), the -OrNull trio one empty-filtered aggregate —
+      // 3 events scans total where per-scalar subqueries would pay 14
       new graft.exec.GraftSession(s).sql(
         """WITH a AS (SELECT user_id % 40 AS u, CAST(ts AS DATE) AS d,
           |    collect_list(round(value * 100)) AS vs,
@@ -473,20 +476,18 @@ object FuncQueries {
           |    CAST(round(avgArray(vs), 4) AS DOUBLE) AS ava,
           |    countArray(vs) AS ca,
           |    uniqArray(ets) AS ua
-          |  FROM a GROUP BY u)
+          |  FROM a GROUP BY u),
+          |s AS (SELECT CAST(sumDistinct(event_id % 97) AS BIGINT) AS sd,
+          |    countDistinct(event_type) AS cd,
+          |    CAST(round(avgDistinct(event_id % 11), 4) AS DOUBLE) AS ad
+          |  FROM events),
+          |z AS (SELECT CAST(sumOrNull(value) AS DOUBLE) AS so,
+          |    countOrNull(event_id) AS co,
+          |    anyOrNull(event_type) AS ao
+          |  FROM events WHERE event_id < 0)
           |SELECT g.u, g.sa, g.mna, g.mxa, g.ava, g.ca, g.ua,
-          |  (SELECT CAST(sumDistinct(event_id % 97) AS BIGINT)
-          |    FROM events) AS sd,
-          |  (SELECT countDistinct(event_type) FROM events) AS cd,
-          |  (SELECT CAST(round(avgDistinct(event_id % 11), 4) AS DOUBLE)
-          |    FROM events) AS ad,
-          |  (SELECT CAST(sumOrNull(value) AS DOUBLE) FROM events
-          |    WHERE event_id < 0) AS so,
-          |  (SELECT countOrNull(event_id) FROM events
-          |    WHERE event_id < 0) AS co,
-          |  (SELECT anyOrNull(event_type) FROM events
-          |    WHERE event_id < 0) AS ao
-          |FROM g ORDER BY u""".stripMargin)
+          |  s.sd, s.cd, s.ad, z.so, z.co, z.ao
+          |FROM g CROSS JOIN s CROSS JOIN z ORDER BY g.u""".stripMargin)
     },
 
     "f21_datediff_pack" -> { (s, dir) =>
@@ -649,20 +650,18 @@ object FuncQueries {
         |      AS ava,
         |    CAST(count(*) AS BIGINT) AS ca,
         |    CAST(count(DISTINCT event_type) AS BIGINT) AS ua
-        |  FROM events GROUP BY 1)
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT CAST(sum(DISTINCT event_id % 97) AS BIGINT) AS sd,
+        |    CAST(count(DISTINCT event_type) AS BIGINT) AS cd,
+        |    CAST(round(avg(DISTINCT event_id % 11), 4) AS DOUBLE) AS ad
+        |  FROM events),
+        |z AS (SELECT CAST(sum(value) AS DOUBLE) AS so,
+        |    CAST(NULLIF(count(event_id), 0) AS BIGINT) AS co,
+        |    min(event_type) AS ao
+        |  FROM events WHERE event_id < 0)
         |SELECT g.u, g.sa, g.mna, g.mxa, g.ava, g.ca, g.ua,
-        |  (SELECT CAST(sum(DISTINCT event_id % 97) AS BIGINT)
-        |    FROM events) AS sd,
-        |  (SELECT CAST(count(DISTINCT event_type) AS BIGINT)
-        |    FROM events) AS cd,
-        |  (SELECT CAST(round(avg(DISTINCT event_id % 11), 4) AS DOUBLE)
-        |    FROM events) AS ad,
-        |  (SELECT CAST(sum(value) AS DOUBLE) FROM events
-        |    WHERE event_id < 0) AS so,
-        |  (SELECT CAST(NULLIF(count(event_id), 0) AS BIGINT) FROM events
-        |    WHERE event_id < 0) AS co,
-        |  (SELECT min(event_type) FROM events WHERE event_id < 0) AS ao
-        |FROM g ORDER BY u""".stripMargin,
+        |  s.sd, s.cd, s.ad, z.so, z.co, z.ao
+        |FROM g CROSS JOIN s CROSS JOIN z ORDER BY g.u""".stripMargin,
 
     "f21_datediff_pack" ->
       """SELECT CAST(extract(year FROM o_orderdate) * 100 +
