@@ -360,9 +360,26 @@ object ChProto {
     */
   private def writeArrayColumn(out: OutputStream, inner: BqlType,
                                arrays: Seq[Seq[Any]]): Unit = {
-    var cum = 0L
-    arrays.foreach { a => cum += a.length; writeLongLe(out, cum, 8) }
+    writeCumOffsets(out, arrays.iterator.map(_.length), arrays.length)
     writeElements(out, inner, arrays.flatten)
+  }
+
+  /** Bulk UInt64 cumulative-offset run (one stream write) — identical
+    * bytes to the per-row writeLongLe loop.
+    */
+  private def writeCumOffsets(out: OutputStream, lens: Iterator[Int],
+                              n: Int): Unit = {
+    val arr = new Array[Byte](n * 8)
+    var cum = 0L
+    var off = 0
+    lens.foreach { l =>
+      cum += l
+      var b = cum
+      var j = 0
+      while (j < 8) { arr(off + j) = (b & 0xff).toByte; b >>>= 8; j += 1 }
+      off += 8
+    }
+    out.write(arr)
   }
 
   private def writeElements(out: OutputStream, t: BqlType, vs: Seq[Any]): Unit =
@@ -380,7 +397,24 @@ object ChProto {
       case BqlType.LowCardinality(inner) => writeElements(out, inner, vs)
       case m: BqlType.ChMap => writeMapColumn(out, m, vs)
       case tp: BqlType.ChTuple => writeTupleColumn(out, tp, vs)
-      case base => vs.foreach(v => writeScalar(out, base, v))
+      case base =>
+        val w = fixedWidth(base)
+        if (w < 0) vs.foreach(v => writeScalar(out, base, v))
+        else {
+          // bulk fixed-width element encode — same bytes as the
+          // per-value writeScalar loop, one stream write per run
+          val arr = new Array[Byte](vs.length * w)
+          var off = 0
+          vs.foreach { v =>
+            var bits = scalarBits(base, v)
+            var j = 0
+            while (j < w) {
+              arr(off + j) = (bits & 0xff).toByte; bits >>>= 8; j += 1
+            }
+            off += w
+          }
+          out.write(arr)
+        }
     }
 
   /** CH native Map(K, V) layout — the Nested(keys K, values V) framing:
@@ -399,8 +433,7 @@ object ChProto {
       case other => throw new IllegalArgumentException(
         s"Map column value is not a Map: $other")
     }
-    var cum = 0L
-    entries.foreach { a => cum += a.length; writeLongLe(out, cum, 8) }
+    writeCumOffsets(out, entries.iterator.map(_.length), entries.length)
     val flat = entries.flatten
     writeElements(out, m.k, flat.map(_._1))
     writeElements(out, m.v, flat.map(_._2))
@@ -806,13 +839,27 @@ object ChProto {
   /** Inverse of [[writeArrayColumn]]: cumulative UInt64 offsets, then the
     * flattened inner column, sliced back per row.
     */
+  /** Bulk UInt64 cumulative-offset read (one contiguous readBytes) —
+    * value-identical to Vector.fill(n)(readLongLe(in, 8)).
+    */
+  private def readCumOffsets(in: InputStream, n: Int): Vector[Long] = {
+    val bytes = readBytes(in, n * 8)
+    Vector.tabulate(n) { i =>
+      val off = i * 8
+      var v = 0L
+      var j = 7
+      while (j >= 0) { v = (v << 8) | (bytes(off + j) & 0xffL); j -= 1 }
+      v
+    }
+  }
+
   private def readArrayColumn(in: InputStream, inner: BqlType,
                               nRows: Int): Vector[Any] = {
     // keep the UInt64 cumulative offsets as Long and validate before
     // narrowing: a block whose flattened element count exceeds
     // Int.MaxValue must fail loudly, not wrap negative and mis-slice
     // every row
-    val offsets = Vector.fill(nRows)(readLongLe(in, 8))
+    val offsets = readCumOffsets(in, nRows)
     var prevL = 0L
     offsets.foreach { o =>
       if (o < prevL || o > Int.MaxValue.toLong)
@@ -887,7 +934,12 @@ object ChProto {
       case BqlType.LowCardinality(inner) => readElements(in, inner, n)
       case m: BqlType.ChMap => readMapColumn(in, m, n)
       case tp: BqlType.ChTuple => readTupleColumn(in, tp, n)
-      case base => Vector.fill(n)(readValue(in, base))
+      case base =>
+        // flattened array/map/tuple element runs get the same bulk
+        // fixed-width decode as top-level columns (embedding vectors are
+        // Array(Float32/64) — the dominant federation payload)
+        if (fixedWidth(base) >= 0) readScalars(in, base, n)
+        else Vector.fill(n)(readValue(in, base))
     }
 
   /** Inverse of [[writeMapColumn]]: cumulative offsets, flattened keys
@@ -895,7 +947,7 @@ object ChProto {
     */
   private def readMapColumn(in: InputStream, m: BqlType.ChMap,
                             nRows: Int): Vector[Any] = {
-    val offsets = Vector.fill(nRows)(readLongLe(in, 8))
+    val offsets = readCumOffsets(in, nRows)
     var prevL = 0L
     offsets.foreach { o =>
       if (o < prevL || o > Int.MaxValue.toLong)
@@ -933,13 +985,25 @@ object ChProto {
     */
   private def readScalarColumn(in: InputStream, base: BqlType, nRows: Int,
                                nulls: Array[Boolean]): Vector[Any] = {
-    import BqlType._
-    val w = fixedWidth(base)
-    if (w < 0)
+    if (fixedWidth(base) < 0)
       return Vector.tabulate(nRows) { r =>
         val v = readValue(in, base)
         if (nulls(r)) null else v
       }
+    val vs = readScalars(in, base, nRows)
+    if (nulls.exists(identity))
+      Vector.tabulate(nRows)(r => if (nulls(r)) null else vs(r))
+    else vs
+  }
+
+  /** Bulk decode of `n` fixed-width scalars: one contiguous read, then
+    * per-row assembly from the array — value-for-value identical to
+    * `Vector.fill(n)(readValue(in, base))`. Callers must have checked
+    * [[fixedWidth]] >= 0.
+    */
+  private def readScalars(in: InputStream, base: BqlType, nRows: Int): Vector[Any] = {
+    import BqlType._
+    val w = fixedWidth(base)
     val bytes = readBytes(in, nRows * w)
     // unsigned little-endian assembly — readLongLe's contract
     def bits(r: Int): Long = {
@@ -975,9 +1039,9 @@ object ChProto {
           Math.floorDiv(micros, 1000000L),
           Math.floorMod(micros, 1000000L) * 1000L)
       case other => throw new IllegalStateException(
-        s"readScalarColumn on variable-width type $other")
+        s"readScalars on variable-width type $other")
     }
-    Vector.tabulate(nRows)(r => if (nulls(r)) null else decode(r))
+    Vector.tabulate(nRows)(decode)
   }
 
   private[graft] def readValue(in: InputStream, t: BqlType): Any = {
