@@ -705,6 +705,7 @@ class GraftSession(val spark: SparkSession,
     case a: AlterTtl => alterTtl(a); emptyOk
     case ap: AlterProjection => alterProjection(ap)
     case ai: AlterIndex => alterIndex(ai)
+    case ac: AlterConstraint => alterConstraint(ac); emptyOk
     case ShowProcesslist => processesDf
     case KillQuery(qid) =>
       val e = GraftSession.processes.remove(qid)
@@ -3480,6 +3481,55 @@ class GraftSession(val spark: SparkSession,
     * or the normalized `bf_<col>` (original creation names are not
     * persisted — the normalized replay script re-emits bf_<col>).
     */
+  /** `ALTER TABLE t ADD CONSTRAINT n CHECK e` / `DROP CONSTRAINT n` —
+    * CH's constraint lifecycle (MergeTree mutations docs): ADD applies
+    * to FUTURE inserts only (existing rows are NOT re-validated — CH
+    * parity), DROP stops enforcing immediately. The expression must
+    * analyze against the table now, so later INSERTs fail on DATA, not
+    * on an unresolvable guard. Constraints ride the `graft.checks` prop
+    * (the same store CREATE-time CONSTRAINT clauses use), so every
+    * insert path — SQL, wire blocks, MV fanout — enforces them, and the
+    * normalized replay script re-emits them.
+    */
+  private[graft] def alterConstraint(ac: AlterConstraint): Unit = {
+    val rdb = ac.db.getOrElse(spark.sessionState.catalog.getCurrentDatabase)
+    val full = fullName(ac.db, ac.name)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(ac.name, Some(rdb)))
+    val checks = propMap(meta, "graft.checks")
+    ac.op match {
+      case "add" =>
+        require(!ac.cname.startsWith("__nested_"),
+          "ADD CONSTRAINT: the __nested_ name prefix is reserved for " +
+            "implicit Nested equal-length checks")
+        if (checks.contains(ac.cname)) {
+          if (!ac.ifNotExists) throw new IllegalArgumentException(
+            s"ADD CONSTRAINT: constraint ${ac.cname} already exists on " +
+              s"${ac.name}")
+        } else {
+          val e = ac.expr.get
+          // analyze the guard against the table NOW (same expression
+          // form appendToTable evaluates per insert)
+          spark.table(full.replace("`", ""))
+            .select(coalesce(expr(e).cast(BooleanType), lit(true)))
+            .queryExecution.analyzed: Unit
+          setProps(full,
+            "graft.checks" -> encodePropMap(checks + (ac.cname -> e)))
+          recordNormalizedScript(rdb, ac.name)
+        }
+      case "drop" =>
+        if (!checks.contains(ac.cname)) {
+          if (!ac.ifExists) throw new IllegalArgumentException(
+            s"DROP CONSTRAINT: no constraint ${ac.cname} on ${ac.name}")
+        } else {
+          setProps(full,
+            "graft.checks" -> encodePropMap(checks - ac.cname))
+          recordNormalizedScript(rdb, ac.name)
+        }
+    }
+    spark.catalog.refreshTable(full.replace("`", ""))
+  }
+
   private[graft] def alterIndex(ai: AlterIndex): DataFrame = {
     val rdb = ai.db.getOrElse(spark.catalog.currentDatabase)
     val tid = org.apache.spark.sql.catalyst.TableIdentifier(ai.name, Some(rdb))
@@ -4187,7 +4237,15 @@ class GraftSession(val spark: SparkSession,
       .map(_.split(",").filter(_.nonEmpty).toSeq).getOrElse(Nil)
       .map(c => s", INDEX bf_$c `$c` TYPE bloom_filter GRANULARITY 1")
       .mkString
-    val script = s"CREATE TABLE $table($colsDdl$idxDdl)" +
+    // USER CHECK constraints must survive normalization too (r19 fix:
+    // they silently vanished from the replay script after any
+    // normalizing ALTER + restart); the implicit __nested_ equal-length
+    // checks regenerate from the Nested clause at CREATE and must NOT
+    // be re-emitted or they would double up
+    val checksDdl = dec("graft.checks").toSeq
+      .filterNot(_._1.startsWith("__nested_")).sortBy(_._1)
+      .map { case (n, e) => s", CONSTRAINT $n CHECK $e" }.mkString
+    val script = s"CREATE TABLE $table($colsDdl$checksDdl$idxDdl)" +
       meta.properties.get("graft.engine").map(e => s" ENGINE=$e" +
         meta.properties.get("graft.engine_args")
           .map(a => s"($a)").getOrElse("")).getOrElse("") +

@@ -185,6 +185,18 @@ object ChStatement {
                                    ifExists: Boolean = false)
       extends ChStatement
 
+  /** `ALTER TABLE t ADD CONSTRAINT [IF NOT EXISTS] n CHECK expr` /
+    * `ALTER TABLE t DROP CONSTRAINT [IF EXISTS] n` — CH's constraint
+    * DDL (its ADD applies to FUTURE inserts only; existing rows are not
+    * re-validated).
+    */
+  final case class AlterConstraint(db: Option[String], name: String,
+                                   op: String, cname: String,
+                                   expr: Option[String] = None,
+                                   ifNotExists: Boolean = false,
+                                   ifExists: Boolean = false)
+      extends ChStatement
+
   /** CREATE MATERIALIZED VIEW — ClickHouse's insert-triggered
     * transformation: every block inserted into the SELECT's source table
     * runs through the SELECT and appends to the view's own storage.
@@ -1663,6 +1675,18 @@ object ChParser {
                  else Left(s"ADD PROJECTION: empty body at ${p.posText}")
           } yield AlterProjection(db, tab, "add", pn, Some(body),
             ifNotExists = ine)
+          else if (p.eatKw("constraint")) for {
+            ine <- Right(parseIfNotExists(p))
+            cn <- p.ident()
+            _ <- p.expectKw("check")
+            body <- {
+              val b = p.sliceBalancedUntil(_.isPunct(";")).trim
+              if (b.isEmpty)
+                Left(s"ADD CONSTRAINT: expected a CHECK expression at ${p.posText}")
+              else Right(b)
+            }
+          } yield AlterConstraint(db, tab, "add", cn, Some(body),
+            ifNotExists = ine)
           else for {
             _ <- p.expectKw("column")
             ine <- Right(parseIfNotExists(p))
@@ -1677,6 +1701,10 @@ object ChParser {
             val ie = parseIfNotExists(p)
             p.ident().map(pn =>
               AlterProjection(db, tab, "drop", pn, None, ifExists = ie))
+          } else if (p.eatKw("constraint")) {
+            val ie = parseIfNotExists(p)
+            p.ident().map(n =>
+              AlterConstraint(db, tab, "drop", n, ifExists = ie))
           } else if (p.eatKw("column")) {
             val ie = parseIfNotExists(p)
             dottedIdent(p).map(c => AlterDropColumn(db, tab, c, ie))

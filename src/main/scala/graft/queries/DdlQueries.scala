@@ -804,6 +804,37 @@ object DdlQueries {
         "FROM o07_ev GROUP BY et ORDER BY et")
     },
 
+    // ALTER ADD/DROP CONSTRAINT (o08, r19): CH's constraint lifecycle —
+    // a constraint added mid-stream guards FUTURE inserts only, a
+    // violating block is rejected whole (observable in the `rej` flag),
+    // and DROP stops enforcement so the held-back rows land. The final
+    // table holds exactly the full events projection, which the oracle
+    // recomputes flat.
+    "o08_alter_constraint" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val g = new GraftSession(s)
+      g.sql("DROP TABLE IF EXISTS o08_ev")
+      g.sql("CREATE TABLE o08_ev(k Int64, et String, v Float64)")
+      g.sql("INSERT INTO o08_ev SELECT event_id % 100, event_type, value " +
+        "FROM events WHERE event_id % 2 = 0")
+      g.sql("ALTER TABLE o08_ev ADD CONSTRAINT capped CHECK v <= 100")
+      // a violating block is rejected WHOLE — CH's INSERT-time CHECK
+      val rejected =
+        try { g.sql("INSERT INTO o08_ev SELECT 0, 'x', 500.0"); 0 }
+        catch { case _: Exception => 1 }
+      // the guarded wave pre-filters to pass the constraint
+      g.sql("INSERT INTO o08_ev SELECT event_id % 100, event_type, value " +
+        "FROM events WHERE event_id % 2 = 1 AND value <= 100")
+      g.sql("ALTER TABLE o08_ev DROP CONSTRAINT capped")
+      // constraint dropped: the held-back high-value rows land
+      g.sql("INSERT INTO o08_ev SELECT event_id % 100, event_type, value " +
+        "FROM events WHERE event_id % 2 = 1 AND value > 100")
+      g.sql("SELECT et, count(*) AS n, " +
+        "CAST(round(sum(CAST(v AS DECIMAL(18,6))), 2) AS DOUBLE) AS sv, " +
+        s"CAST($rejected AS INT) AS rej " +
+        "FROM o08_ev GROUP BY et ORDER BY et")
+    },
+
     // AggregateFunction(f, T) + -State/-Merge (d29): the full CH
     // pre-aggregation pattern — a target table declares aggregate-STATE
     // columns in an AggregatingMergeTree, a `CREATE MATERIALIZED VIEW …
@@ -1357,6 +1388,15 @@ object DdlQueries {
         |  CAST(max(user_id) AS BIGINT) AS xu
         |FROM events WHERE event_type <> 'purchase'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // o08: after add -> reject -> pre-filtered wave -> drop -> remainder,
+    // the table is exactly the full events projection; rej pins that the
+    // violating block really was refused
+    "o08_alter_constraint" ->
+      """SELECT event_type AS et, count(*) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sv,
+        |  CAST(1 AS INT) AS rej
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "o07_dedup_by" ->
       """WITH src AS (
