@@ -159,9 +159,22 @@ object Tables {
   /** The SQL hint fragment the l-queries interpolate before their gram/
     * token/codec map stages: a round-robin exchange when the layout needs
     * one, empty otherwise (so the 100× plan has NO full-corpus shuffle).
+    *
+    * The partition count is EXPLICIT (core count), not left to AQE: a
+    * bare `REPARTITION` is advisory-sized, and AQE's byte-based
+    * coalescing folds a small-byte shuffle back to ONE partition — which
+    * serializes exactly the expensive per-row map work (codec/gram/hash)
+    * the spread exists to parallelize (measured at sf0.1: minhash_sigs
+    * over documents 1.46 s at 1 post-coalesce partition vs 0.31 s at an
+    * explicit core-count spread — guide §2.5 "synthetic partitioning":
+    * bytes are the wrong coalesce signal when compute is per-row). The
+    * count tracks `defaultParallelism`, so it scales with the session's
+    * cores/executors rather than pinning a local constant.
     */
   def spreadHint(spark: SparkSession): String =
-    if (spreadOn(spark)) "/*+ REPARTITION */" else ""
+    if (spreadOn(spark))
+      s"/*+ REPARTITION(${spark.sparkContext.defaultParallelism}) */"
+    else ""
 
   /** DataFrame-side twin of [[spreadHint]] for the multimodal operators.
     *
@@ -184,6 +197,9 @@ object Tables {
     }.getOrElse {
       df.rdd.getNumPartitions < spark.sparkContext.defaultParallelism / 2
     }
-    if (spread) df.repartition() else df
+    // explicit core-count partitioning: a bare repartition() is AQE-
+    // coalescable and folds back to 1 partition on small-byte input,
+    // serializing the per-row codec work (see spreadHint's note)
+    if (spread) df.repartition(spark.sparkContext.defaultParallelism) else df
   }
 }

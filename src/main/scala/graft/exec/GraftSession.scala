@@ -345,7 +345,9 @@ class GraftSession(val spark: SparkSession,
             stmt match {
               case _: Select | _: InsertValues | _: InsertSelect |
                    _: InsertFormat | _: InsertFile | _: InsertRemote => ()
-              case _ => GraftSession.directRecipes.clear()
+              case _ =>
+                GraftSession.directRecipes.clear()
+                GraftSession.mvSubs.clear()
             }
             anySelect ||= stmt.isInstanceOf[Select]
             run(stmt, payload)
@@ -4262,18 +4264,19 @@ class GraftSession(val spark: SparkSession,
     * registry; the live scan is always-correct and cheap at catalog
     * scale (it reads table METADATA, never data).
     */
-  private def mvsFor(rdb: String, table: String): Seq[(String, String)] = {
-    val cat = spark.sessionState.catalog
-    cat.listTables(rdb).flatMap { tid =>
-      scala.util.Try(cat.getTableMetadata(tid)).toOption.toSeq.flatMap { meta =>
-        (meta.properties.get("graft.mv.src"), meta.properties.get("graft.mv.select")) match {
-          case (Some(src), Some(sel)) if src == s"$rdb.$table" =>
-            Seq((tid.table, sel))
-          case _ => Nil
+  private def mvsFor(rdb: String, table: String): Seq[(String, String)] =
+    GraftSession.mvSubs.computeIfAbsent(s"$rdb.$table", _ => {
+      val cat = spark.sessionState.catalog
+      cat.listTables(rdb).flatMap { tid =>
+        scala.util.Try(cat.getTableMetadata(tid)).toOption.toSeq.flatMap { meta =>
+          (meta.properties.get("graft.mv.src"), meta.properties.get("graft.mv.select")) match {
+            case (Some(src), Some(sel)) if src == s"$rdb.$table" =>
+              Seq((tid.table, sel))
+            case _ => Nil
+          }
         }
       }
-    }
-  }
+    })
 
   /** Push one inserted block through every materialized view on the
     * table: substitute a temp view of the block for the SELECT's source
@@ -4398,6 +4401,24 @@ class GraftSession(val spark: SparkSession,
     // ingest-transform idiom (INSERT INTO null_table; MVs fan out)
     val isNull = tableProp(db, name, "graft.engine")
       .exists(_.equalsIgnoreCase("Null"))
+    // Driver-resident blocks (INSERT ... VALUES / FORMAT payloads — the
+    // optimizer folds the typed projection into the LocalRelation) take
+    // the same committer-free single-part write the wire path uses: the
+    // rows are ALREADY materialized on this thread, so an insertInto
+    // Spark job buys zero parallelism and pays task scheduling + the
+    // Hadoop _temporary+rename cycle (~0.5 s/statement measured, PERF.md
+    // r19-opt). directPartAppend re-checks the frozen facts (no MV, no
+    // __ptk, no CHECK, no buckets, not Null) and falls through here when
+    // the table needs full semantics. Scale posture unchanged:
+    // distributed sources never fold to LocalRelation.
+    if (!isNull && !hasMvs && ptkExpr.isEmpty) {
+      withPtk.queryExecution.optimizedPlan match {
+        case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          val tblSchema = StructType(dataCols.toIndexedSeq)
+          if (directPartAppend(rdbName, name, lr.data, tblSchema)) return
+        case _ => ()
+      }
+    }
     // serialize appends per table: concurrent wire connections (or remote()
     // shard streams) appending to one table would race in the Hadoop
     // committer's shared _temporary dir — the reference takes a per-table
@@ -4828,6 +4849,17 @@ object GraftSession {
       pks: Seq[String], bloomCols: Seq[String], location: String)
   private[exec] val directRecipes =
     new java.util.concurrent.ConcurrentHashMap[String, Option[DirectRecipe]]()
+
+  /** Cached MV-subscription lookups: "db.table" -> the (mvName, select)
+    * pairs subscribed to it. [[mvsFor]] is a full listTables +
+    * getTableMetadata scan of the database — O(tables) catalog calls —
+    * and [[appendToTable]] consults it on EVERY insert, so a bench/wire
+    * session paid the scan per statement. Same lifecycle as
+    * [[directRecipes]]: cleared by [[GraftSession.sql]] on every
+    * shape-changing statement (CREATE/DROP MATERIALIZED VIEW is one).
+    */
+  private[exec] val mvSubs =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
 
   /** JVM-wide Nested-family registry: (db, table) -> family -> flattened
     * member column names ("n" -> Seq("n.a", "n.b")). Populated at CREATE

@@ -928,6 +928,13 @@ object DdlQueries {
       g.sql("INSERT INTO d31_raw SELECT event_id % 7 AS k, value " +
         "FROM events WHERE event_id % 2 = 1")
       g.sql("OPTIMIZE TABLE d31_agg FINAL")
+      // The six exact rank bounds come from ONE quantilesExactInclusive
+      // array state (Catalyst Percentile with a percentage array), not
+      // six independent quantileExactInclusive aggregates — identical
+      // values (same Percentile interpolation, same per-group sort),
+      // ~6x less aggregation state/work (guide §1.2 per-task work;
+      // measured: the six-state form carried ~1.8 s of task time at
+      // sf0.1). Equivalence oracle-gated (hash unchanged).
       g.sql("SELECT a.k, " +
         "CAST(round(e.ex50, 6) AS DOUBLE) AS ex50, " +
         "CAST(round(e.ex90, 6) AS DOUBLE) AS ex90, " +
@@ -936,13 +943,11 @@ object DdlQueries {
         "CAST(quantileTDigestMerge(0.9)(a.q) " +
         "  BETWEEN e.lo90 AND e.hi90 AS INT) AS ok90 " +
         "FROM d31_agg a JOIN (SELECT k, " +
-        "  quantileExactInclusive(v, 0.5d) AS ex50, " +
-        "  quantileExactInclusive(v, 0.9d) AS ex90, " +
-        "  quantileExactInclusive(v, 0.49d) AS lo50, " +
-        "  quantileExactInclusive(v, 0.51d) AS hi50, " +
-        "  quantileExactInclusive(v, 0.89d) AS lo90, " +
-        "  quantileExactInclusive(v, 0.91d) AS hi90 " +
-        "  FROM d31_raw GROUP BY k) e ON a.k = e.k " +
+        "  qs[0] AS ex50, qs[1] AS ex90, qs[2] AS lo50, " +
+        "  qs[3] AS hi50, qs[4] AS lo90, qs[5] AS hi90 FROM (" +
+        "    SELECT k, quantilesExactInclusive(v, " +
+        "      0.5d, 0.9d, 0.49d, 0.51d, 0.89d, 0.91d) AS qs " +
+        "    FROM d31_raw GROUP BY k)) e ON a.k = e.k " +
         "GROUP BY a.k, e.ex50, e.ex90, e.lo50, e.hi50, e.lo90, e.hi90 " +
         "ORDER BY a.k")
     },

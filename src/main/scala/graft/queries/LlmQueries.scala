@@ -221,9 +221,15 @@ object LlmQueries {
     // below is byte-identical either way; only the leaf relations differ.
     val lead =
       if (staged)
-        """WITH c2 AS (SELECT * FROM l40_c2),
+        // BROADCAST hints on the BOUNDED relations (guide §3.1): the
+        // checkpointed views are LogicalRDDs with no stats, so Catalyst
+        // assumes them huge and plans SortMergeJoin + Exchange for every
+        // join touching them; c2 is k=8 centroids and qs the fixed query
+        // panel — broadcast is the right plan at any corpus size (the
+        // corpus-sized relations, assigned/sims, stay unhinted).
+        """WITH c2 AS (SELECT /*+ BROADCAST(l40_c2) */ * FROM l40_c2),
           |assigned AS (SELECT * FROM l40_assigned),
-          |qs AS (SELECT * FROM l40_qs),
+          |qs AS (SELECT /*+ BROADCAST(l40_qs) */ * FROM l40_qs),
           |""".stripMargin + np + """, sims AS (
           |  SELECT * FROM l40_sims
           |), truth AS (""".stripMargin
@@ -247,10 +253,20 @@ object LlmQueries {
        |      ${cos("q.qe", "c.ce")} AS csim
        |    FROM qs q CROSS JOIN c2 c) y
        |), cand AS (
-       |  SELECT cr.qid, np.np, a.vec_id
-       |  FROM crank cr JOIN np ON cr.crk <= np.np
-       |  JOIN assigned a ON a.cell = cr.cid
-       |  WHERE a.vec_id <> cr.qid
+       |${if (spark)
+        // (crank × np) is |panel| × 4 rows — bounded; broadcast THAT
+        // composite against corpus-sized `assigned` (the hint must name
+        // the immediate join child, hence the aliased subquery)
+        """  SELECT /*+ BROADCAST(cn) */ cn.qid, cn.np, a.vec_id
+          |  FROM (SELECT cr.qid, np.np, cr.cid
+          |        FROM crank cr JOIN np ON cr.crk <= np.np) cn
+          |  JOIN assigned a ON a.cell = cn.cid
+          |  WHERE a.vec_id <> cn.qid""".stripMargin
+      else
+        """  SELECT cr.qid, np.np, a.vec_id
+          |  FROM crank cr JOIN np ON cr.crk <= np.np
+          |  JOIN assigned a ON a.cell = cr.cid
+          |  WHERE a.vec_id <> cr.qid""".stripMargin}
        |), ret AS (
        |  SELECT qid, np, vec_id FROM (
        |    SELECT c.qid, c.np, c.vec_id, row_number() OVER (
@@ -258,7 +274,7 @@ object LlmQueries {
        |    FROM cand c JOIN sims s ON s.qid = c.qid AND s.vec_id = c.vec_id) x
        |  WHERE rn <= 10
        |), rec AS (
-       |  SELECT r.np, count(t.vec_id) AS n_hit
+       |  SELECT ${if (spark) "/*+ BROADCAST(t) */ " else ""}r.np, count(t.vec_id) AS n_hit
        |  FROM ret r LEFT JOIN truth t
        |    ON t.qid = r.qid AND t.vec_id = r.vec_id
        |  GROUP BY r.np
@@ -3207,6 +3223,38 @@ object LlmQueries {
           |    i -> array_to_string(t[i:i+2], ' '))) AS sh FROM p""".stripMargin
     val sig = (0 until 8).map(k =>
       s"min(substr(md5(concat(sh, '#$k')), 1, 8)) AS h$k").mkString(",\n       |    ")
+    // spark arm: map-side codegen'd signatures + broadcasts of the
+    // panel-bounded sides (same rationale as lshAutoTuneSql — the
+    // min-hash formula equivalence is the l02/l02b oracle-gated one)
+    val mh =
+      if (spark)
+        """mh AS (
+          |  SELECT doc_id, minhash_sigs(array_join(t, ' '), 3, 8) AS hs
+          |  FROM p
+          |)""".stripMargin
+      else
+        s"""mh AS (
+          |  SELECT doc_id,
+          |    $sig
+          |  FROM sh GROUP BY doc_id
+          |)""".stripMargin
+    val bandsCte =
+      if (spark)
+        """bands AS (
+          |  SELECT doc_id, bd.k, bd.sig
+          |  FROM mh
+          |  LATERAL VIEW explode(transform(sequence(0, 3), j ->
+          |    named_struct('k', j, 'sig',
+          |      array_join(slice(hs, j * 2 + 1, 2), '')))) t AS bd
+          |)""".stripMargin
+      else
+        """bands AS (
+          |  SELECT doc_id, 0 AS k, concat(h0, h1) AS sig FROM mh
+          |  UNION ALL SELECT doc_id, 1, concat(h2, h3) FROM mh
+          |  UNION ALL SELECT doc_id, 2, concat(h4, h5) FROM mh
+          |  UNION ALL SELECT doc_id, 3, concat(h6, h7) FROM mh
+          |)""".stripMargin
+    val bc = (n: String) => if (spark) s"/*+ BROADCAST($n) */ " else ""
     val tail =
       if (spark)
         "IF(doc_id % 2 = 0, slice(t, 3, size(t)), " +
@@ -3232,29 +3280,20 @@ object LlmQueries {
        |), sz AS (
        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
        |), inter AS (
-       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS iw
+       |  SELECT ${bc("b")}a.doc_id AS d1, b.doc_id AS d2, count(*) AS iw
        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |  GROUP BY a.doc_id, b.doc_id
        |), truth AS (
-       |  SELECT d1, d2 FROM inter
+       |  SELECT ${bc("sa")}${bc("sb")}d1, d2 FROM inter
        |  JOIN sz sa ON sa.doc_id = d1
        |  JOIN sz sb ON sb.doc_id = d2
        |  WHERE CAST(iw AS DOUBLE) / (sa.n + sb.n - iw) >= 0.3
-       |), mh AS (
-       |  SELECT doc_id,
-       |    $sig
-       |  FROM sh GROUP BY doc_id
-       |), bands AS (
-       |  SELECT doc_id, 0 AS k, concat(h0, h1) AS sig FROM mh
-       |  UNION ALL SELECT doc_id, 1, concat(h2, h3) FROM mh
-       |  UNION ALL SELECT doc_id, 2, concat(h4, h5) FROM mh
-       |  UNION ALL SELECT doc_id, 3, concat(h6, h7) FROM mh
-       |), cand AS (
-       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |), $mh, $bandsCte, cand AS (
+       |  SELECT ${bc("b")}DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |  FROM bands a JOIN bands b
        |    ON a.k = b.k AND a.sig = b.sig AND a.doc_id < b.doc_id
        |), hit AS (
-       |  SELECT c.d1, c.d2 FROM cand c JOIN truth t
+       |  SELECT ${bc("t")}c.d1, c.d2 FROM cand c JOIN truth t
        |    ON c.d1 = t.d1 AND c.d2 = t.d2
        |)
        |SELECT CAST((SELECT count(*) FROM p) AS BIGINT) AS n_panel,
@@ -3322,11 +3361,17 @@ object LlmQueries {
           |)""".stripMargin
     val hl =
       if (spark)
+        // Map-side signatures: the codegen'd minhash_sigs computes the
+        // SAME min(substr(md5(shingle || '#' || k), 1, 8)) per k inside
+        // the row (the l02/l02b-proven equivalence, oracle-gated), so
+        // the sweep's signature arm needs NO shingle explode + 16-way
+        // cross join + re-aggregation shuffle. The panel docs are
+        // re-joined to text via array_join(t, ' ') — t came from
+        // split(text, ' '), and the variants are slices of it, so the
+        // round-trip is token-exact.
         """hl AS (
-          |  SELECT doc_id, k,
-          |    min(substr(md5(concat(sh, '#', CAST(k AS STRING))), 1, 8)) AS h
-          |  FROM sh CROSS JOIN (SELECT explode(sequence(0, 15)) AS k) ks
-          |  GROUP BY doc_id, k
+          |  SELECT doc_id, minhash_sigs(array_join(t, ' '), 3, 16) AS hs
+          |  FROM p
           |)""".stripMargin
       else
         """hl AS (
@@ -3345,13 +3390,15 @@ object LlmQueries {
     // concatenation
     val bands =
       if (spark)
+        // band j of config (b, r) = k-ordered concat of hashes
+        // [j*r, (j+1)*r) — sliced straight off the per-doc signature
+        // array (slice() is 1-based), no collect_list/GROUP BY shuffle
         """bands AS (
-          |  SELECT doc_id, c.b, c.r, k DIV c.r AS band,
-          |    array_join(transform(array_sort(collect_list(struct(k, h))),
-          |      x -> x.h), '') AS sig
+          |  SELECT doc_id, c.b, c.r, bd.band, bd.sig
           |  FROM hl CROSS JOIN cfg c
-          |  WHERE k < c.b * c.r
-          |  GROUP BY doc_id, c.b, c.r, k DIV c.r
+          |  LATERAL VIEW explode(transform(sequence(0, c.b - 1), j ->
+          |    named_struct('band', j, 'sig',
+          |      array_join(slice(hs, j * c.r + 1, c.r), '')))) t AS bd
           |)""".stripMargin
       else
         """bands AS (
@@ -3361,26 +3408,33 @@ object LlmQueries {
           |  WHERE hl.k < c.b * c.r
           |  GROUP BY hl.doc_id, c.b, c.r, CAST(hl.k // c.r AS INT)
           |)""".stripMargin
+    // BROADCAST hints (spark arm only — comment-no-ops to DuckDB are
+    // avoided by interpolating them conditionally): every hinted side is
+    // PANEL-bounded (the fixed ~200-doc evaluation panel and relations
+    // derived from it), so the hint is the correct plan at any corpus
+    // size — it removes the SortMergeJoin exchange+sort pairs Catalyst
+    // otherwise plans for these stat-less tiny relations (guide §3.1).
+    val bc = (n: String) => if (spark) s"/*+ BROADCAST($n) */ " else ""
     s"""WITH $panel, sz AS (
        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
        |), inter AS (
-       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS iw
+       |  SELECT ${bc("b")}a.doc_id AS d1, b.doc_id AS d2, count(*) AS iw
        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |  GROUP BY a.doc_id, b.doc_id
        |), truth AS (
-       |  SELECT d1, d2 FROM inter
+       |  SELECT ${bc("sa")}${bc("sb")}d1, d2 FROM inter
        |  JOIN sz sa ON sa.doc_id = d1
        |  JOIN sz sb ON sb.doc_id = d2
        |  WHERE CAST(iw AS DOUBLE) / (sa.n + sb.n - iw) >= 0.3
        |), $hl, $cfg, $bands, cand AS (
-       |  SELECT DISTINCT a.b, a.r, a.doc_id AS d1, b2.doc_id AS d2
+       |  SELECT ${bc("b2")}DISTINCT a.b, a.r, a.doc_id AS d1, b2.doc_id AS d2
        |  FROM bands a JOIN bands b2 ON a.b = b2.b AND a.r = b2.r
        |    AND a.band = b2.band AND a.sig = b2.sig AND a.doc_id < b2.doc_id
        |), agg AS (
        |  SELECT cfg.b, cfg.r, coalesce(x.n_cand, 0) AS n_cand,
        |    coalesce(x.n_hit, 0) AS n_hit
        |  FROM cfg LEFT JOIN (
-       |    SELECT c.b, c.r, count(*) AS n_cand, count(t.d1) AS n_hit
+       |    SELECT ${bc("t")}c.b, c.r, count(*) AS n_cand, count(t.d1) AS n_hit
        |    FROM cand c LEFT JOIN truth t ON c.d1 = t.d1 AND c.d2 = t.d2
        |    GROUP BY c.b, c.r) x ON x.b = cfg.b AND x.r = cfg.r
        |), nt AS (
@@ -3559,6 +3613,7 @@ object LlmQueries {
     // ---- l33: LSH recall/precision evaluation -------------------------
     "l33_lsh_eval" -> { (s, dir) =>
       Tables.registerAll(s, dir)
+      graft.functions.NGramFunctions.register(s) // minhash_sigs
       s.sql(lshEvalSql(spark = true))
     },
 
@@ -3567,6 +3622,7 @@ object LlmQueries {
     // AND the winner flag (see lshAutoTuneSql — VERDICT r10 task #6).
     "l33b_lsh_autotune" -> { (s, dir) =>
       Tables.registerAll(s, dir)
+      graft.functions.NGramFunctions.register(s) // minhash_sigs
       s.sql(lshAutoTuneSql(spark = true))
     },
 

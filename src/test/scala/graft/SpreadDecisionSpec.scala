@@ -69,6 +69,20 @@ class SpreadDecisionSpec extends AnyFunSuite {
       "a one-partition input still starves the cores and should spread")
   }
 
+  test("spread pins an explicit partition count AQE cannot coalesce away " +
+    "(r19-opt: a bare REPARTITION folded back to 1 partition on small-byte " +
+    "input, serializing the per-row codec work it exists to parallelize)") {
+    val cores = spark.sparkContext.defaultParallelism
+    Tables.registerAll(spark, sf)
+    val hint = withSpread("on")(Tables.spreadHint(spark))
+    assert(hint.contains(s"REPARTITION($cores)"),
+      s"spreadHint must carry an explicit core-count width, got '$hint'")
+    val df = withSpread("on")(Tables.maybeSpread(spark.range(10).toDF("doc_id")))
+    // user-specified counts survive AQE; rdd materializes the final plan
+    assert(df.rdd.getNumPartitions == cores,
+      "maybeSpread's exchange must execute at core-count width under AQE")
+  }
+
   test("maybeSpread follows the same decision") {
     val df = spark.range(10).toDF("doc_id")
     val on = withSpread("on")(Tables.maybeSpread(df))
