@@ -4440,13 +4440,29 @@ class GraftSession(val spark: SparkSession,
         org.apache.spark.sql.catalyst.TableIdentifier(name,
           Some(db.getOrElse(spark.sessionState.catalog.getCurrentDatabase))))
         .bucketSpec.isDefined
+      // Partitioned inserts hash-distribute by the partition key before
+      // the write (guide §6 / Iceberg write.distribution-mode=hash): a
+      // task holding every partition value writes one file PER value —
+      // N tasks x P dirs files, the many-small-files problem — while the
+      // clustered write lands P files and encodes partition values in
+      // parallel (a clumped single-task source serialized the whole
+      // encode: the sf0.1 ingest anchor measured 0.73 s single-task).
+      // Explicit width so AQE's byte-based coalescing cannot fold the
+      // tiny-byte exchange back to one task (the spreadHint lesson).
+      // `graft.insert.distribute=off` restores the straight-through plan.
+      val distributed =
+        if (ptkExpr.isDefined && !bucketed &&
+            spark.conf.getOption("graft.insert.distribute").forall(_ != "off"))
+          withPtk.repartition(spark.sparkContext.defaultParallelism,
+            col(s"`$PtkCol`"))
+        else withPtk
       val block2 =
-        if (sortKeys.isEmpty || bucketed) withPtk
+        if (sortKeys.isEmpty || bucketed) distributed
         else {
           val order =
-            (if (withPtk.columns.contains(PtkCol)) Seq(PtkCol) else Nil) ++
+            (if (distributed.columns.contains(PtkCol)) Seq(PtkCol) else Nil) ++
               sortKeys
-          withPtk.sortWithinPartitions(order.map(c => col(s"`$c`")): _*)
+          distributed.sortWithinPartitions(order.map(c => col(s"`$c`")): _*)
         }
       val lockKey =
         db.getOrElse(spark.sessionState.catalog.getCurrentDatabase) + "." + name

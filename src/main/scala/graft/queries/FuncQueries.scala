@@ -107,12 +107,20 @@ object FuncQueries {
       // fill). This entry keeps the TRY_CAST coverage semantics; the
       // scale shape is f07b below (RLIKE prefilter, measured 9× at
       // sf0.1 — PERF.md r7)
+      // layout-conditional spread (r19-opt): the TRY throw/catch work is
+      // ~10 µs/row, so a clumped single-row-group layout serializes the
+      // whole pass on one task (measured 2.2 s -> 0.7-0.9 s spread at
+      // sf0.1); on a well-split production layout the hint is empty.
+      // Cheap-expression aggregates do NOT get this treatment — for them
+      // the exchange costs more than the parallelism saves (measured:
+      // f21-shaped datediff pack 0.35 s plain vs 0.7-0.8 s spread).
       s.sql(
-        """SELECT
+        s"""SELECT
           |  CAST(sum(CASE WHEN NULLIF(o_orderstatus, 'F') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
           |  CAST(sum(TRY_CAST(substr(o_orderpriority, 1, 1) AS INT)) AS BIGINT) AS prio_sum,
           |  CAST(sum(CASE WHEN TRY_CAST(o_orderstatus AS INT) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_uncastable
-          |FROM orders""".stripMargin)
+          |FROM (SELECT ${Tables.spreadHint(s)} o_orderstatus, o_orderpriority
+          |      FROM orders)""".stripMargin)
     },
 
     // The scale shape PERF.md's f07 note prescribes, as executable code

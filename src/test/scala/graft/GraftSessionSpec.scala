@@ -320,6 +320,22 @@ class GraftSessionSpec extends AnyFunSuite {
     g.sql("DROP TABLE opt_frag")
   }
 
+  test("partitioned INSERT hash-distributes by the partition key (r19-opt) " +
+    "and lands identical rows with the distribution on or off") {
+    g.sql("DROP TABLE IF EXISTS ins_dist")
+    g.sql("CREATE TABLE ins_dist(id Int64, d Date) ENGINE=BaseStorage " +
+      "PARTITION BY toYear(d)")
+    g.sql("INSERT INTO ins_dist VALUES (1, '2020-01-01'), (2, '2021-02-02'), " +
+      "(3, '2020-03-03')")
+    spark.conf.set("graft.insert.distribute", "off")
+    try g.sql("INSERT INTO ins_dist VALUES (4, '2021-04-04'), (5, '2020-05-05')")
+    finally spark.conf.unset("graft.insert.distribute")
+    assert(g.sql("SELECT CAST(sum(id) AS BIGINT) AS s, count(*) AS n, " +
+        "CAST(count(DISTINCT year(d)) AS BIGINT) AS y FROM ins_dist")
+      .collect()(0).toSeq === Seq(15L, 5L, 2L))
+    g.sql("DROP TABLE ins_dist")
+  }
+
   test("OPTIMIZE TABLE compacts unpartitioned tables too") {
     g.sql("DROP TABLE IF EXISTS opt_flat")
     g.sql("CREATE TABLE opt_flat(a Int64)")
