@@ -580,7 +580,8 @@ object LlmQueries {
       * decimal discipline — a raw double avg() is partition-order-
       * dependent in Spark and would diverge from DuckDB.
       */
-    def featuresCte(spark: Boolean, carry: Seq[String] = Nil): String = {
+    def featuresCte(spark: Boolean, carry: Seq[String] = Nil,
+                    hint: String = ""): String = {
       val nw = if (spark) "size(split(text, ' '))" else "len(string_split(text, ' '))"
       val ndw = if (spark) "size(array_distinct(split(text, ' ')))"
                 else "len(list_distinct(string_split(text, ' ')))"
@@ -604,7 +605,8 @@ object LlmQueries {
          |    CAST(ndw AS DOUBLE) / nw AS f3,
          |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / (10 * nw) AS f4,
          |    CASE WHEN nw >= 30 AND ndw * 10 >= 4 * nw THEN 1 ELSE 0 END AS y
-         |  FROM (SELECT ${carryRaw}text, $nw AS nw, $ndw AS ndw FROM documents) d
+         |  FROM (SELECT ${carryRaw}text, $nw AS nw, $ndw AS ndw
+         |        FROM (SELECT $hint * FROM documents)) d
          |  WHERE nw > 0
          |), st AS (
          |  SELECT $moments,
@@ -710,7 +712,7 @@ object LlmQueries {
       val p = p9(w._1.toString, w._2.toString, w._3.toString,
         w._4.toString, w._5.toString)
       val r = s.sql(
-        s"""WITH ${featuresCte(spark = true)}
+        s"""WITH ${featuresCte(spark = true, hint = Tables.spreadHint(s))}
            |SELECT ${gsum(p, "1")} AS gb, ${gsum(p, "x1")} AS g1,
            |  ${gsum(p, "x2")} AS g2, ${gsum(p, "x3")} AS g3,
            |  ${gsum(p, "x4")} AS g4,
@@ -3680,7 +3682,8 @@ object LlmQueries {
       val p = p9(round9(w._1).toString, round9(w._2).toString,
         round9(w._3).toString, round9(w._4).toString, round9(w._5).toString)
       s.sql(
-        s"""WITH ${featuresCte(spark = true, carry = Seq("source"))}
+        s"""WITH ${featuresCte(spark = true, carry = Seq("source"),
+              hint = Tables.spreadHint(s))}
            |${qualityApplyCensus(p, "f")}""".stripMargin)
     },
 
