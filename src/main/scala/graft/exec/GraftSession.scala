@@ -4411,7 +4411,18 @@ class GraftSession(val spark: SparkSession,
     // __ptk, no CHECK, no buckets, not Null) and falls through here when
     // the table needs full semantics. Scale posture unchanged:
     // distributed sources never fold to LocalRelation.
-    if (!isNull && !hasMvs && ptkExpr.isEmpty) {
+    // Cheap pre-gate: only consult the OPTIMIZED plan (a full Catalyst
+    // optimization pass, ~50-150 ms) when every leaf of the already-built
+    // logical plan is driver-resident — an INSERT...SELECT over real
+    // tables can never fold to LocalRelation, and paying the extra
+    // optimization pass per insert taxed the MV-heavy entries (~+0.2 s
+    // each, d11/d29 A/B).
+    def allLocalLeaves = withPtk.queryExecution.logical.collectLeaves().forall {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.OneRowRelation => true
+      case _ => false
+    }
+    if (!isNull && !hasMvs && ptkExpr.isEmpty && allLocalLeaves) {
       withPtk.queryExecution.optimizedPlan match {
         case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
           val tblSchema = StructType(dataCols.toIndexedSeq)
