@@ -29,6 +29,16 @@ object Sessions {
       .config("spark.sql.warehouse.dir",
         sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/tmp/graft-warehouse"))
       .config("spark.ui.enabled", "false")
+      // Commit protocol (guide §6 small-files / §1.2 fixed costs): v1
+      // renames every task file twice (task dir → job dir → table) and the
+      // job-commit pass is a serial driver-side listing+rename; v2 renames
+      // once at task commit and job commit is O(1). Each insert statement
+      // pays this fixed cost, and a DDL-heavy workload (MV propagation,
+      // OPTIMIZE staging) pays it per write. _SUCCESS markers are pure
+      // overhead for managed engine tables (the engine's own intent files
+      // carry crash-safety where it matters — stagedReplace).
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     // Fixed-zone civil-field collapse (year/month/day over timestamps as

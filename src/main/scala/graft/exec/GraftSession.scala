@@ -4384,14 +4384,24 @@ class GraftSession(val spark: SparkSession,
       typed.withColumn(f,
         when(assert_true(allOk, lit(msg)).isNull, col(s"`$f`")))
     }
-    // When a materialized view subscribes, pin the block ONCE before the
-    // append commits: re-running `typed`'s lineage after the commit would
-    // let `INSERT INTO t SELECT ... FROM t` rescan its own just-landed
-    // rows, feed nondeterministic sources (remote(), rand()) different
-    // rows to the MV than what landed, and pay the source query twice.
+    // When a materialized view subscribes, the block handed to the views
+    // must be EXACTLY the rows the base append landed. Historically that
+    // was a localCheckpoint pin — but the pin costs a full extra
+    // materialization job per insert (measured 0.08-0.15 s/statement at
+    // sf0.1, 13% of the MV-insert wall) and pins the whole block in
+    // executor storage, which at 100 TB block sizes is itself a memory
+    // hazard (guide §5). When re-executing the block's plan provably
+    // yields the same rows — every leaf a file-based relation or
+    // driver-resident rows, no nondeterministic expression anywhere, and
+    // no leaf reading the TARGET table (an `INSERT INTO t SELECT ... FROM
+    // t` would rescan its own just-landed rows; OTHER tables' file-index
+    // snapshots are pinned inside the analyzed plan) — the MV pass re-runs
+    // the plan instead: one fewer job, no storage pin, same rows.
+    // `graft.mv.rescan=off` restores the unconditional checkpoint.
     val rdbName = db.getOrElse(spark.sessionState.catalog.getCurrentDatabase)
     val hasMvs = mvsFor(rdbName, name).nonEmpty
-    val block = if (hasMvs) checked.localCheckpoint(eager = true) else checked
+    val mustPin = hasMvs && !mvRescanSafe(checked, rdbName, name)
+    val block = if (mustPin) checked.localCheckpoint(eager = true) else checked
     val withPtk = ptkExpr match {
       case Some(e) => block.withColumn(PtkCol, expr(e).cast(StringType))
       case None => block
@@ -4485,11 +4495,44 @@ class GraftSession(val spark: SparkSession,
     }
     // insert-triggered materialized views see the TYPED block (CH runs
     // the view's SELECT over each inserted block, mgmt-analog; the block
-    // here — checkpointed above — is exactly what landed, minus the
-    // hidden partition key)
+    // here — pinned or provably re-executable, see above — is exactly
+    // what landed, minus the hidden partition key). Only a block WE
+    // pinned is released: a rescan-safe block's leaves may include an
+    // upstream consumer's own live checkpoint.
     if (hasMvs)
       try propagateToMvs(rdbName, name, block, mvDepth)
-      finally releaseCheckpoint(block)
+      finally if (mustPin) releaseCheckpoint(block)
+  }
+
+  /** True when `df`'s plan can be re-executed for MV propagation in place
+    * of a localCheckpoint pin and provably produce the identical block:
+    * all expressions deterministic, every leaf either driver-resident
+    * rows or a file-based relation, and no leaf reading the insert's own
+    * target table (its file listing is the one thing the append itself
+    * changes). Anything else — RDD-backed leaves, streaming, remote(),
+    * nondeterministic generators — keeps the checkpoint.
+    */
+  private def mvRescanSafe(df: DataFrame, rdb: String,
+                           target: String): Boolean = {
+    if (spark.conf.getOption("graft.mv.rescan").exists(_ == "off")) return false
+    // subquery plans too: collectLeaves does not descend into them, and a
+    // scalar subquery scanning the target table is just as unsafe
+    val plans = df.queryExecution.analyzed +:
+      df.queryExecution.analyzed.subqueriesAll
+    val deterministic =
+      !plans.exists(_.exists(p => p.expressions.exists(!_.deterministic)))
+    deterministic && plans.flatMap(_.collectLeaves()).forall {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.OneRowRelation => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Range => true
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation.isInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+          !lr.catalogTable.exists(ct =>
+            ct.identifier.table.equalsIgnoreCase(target) &&
+              ct.identifier.database.forall(_.equalsIgnoreCase(rdb)))
+      case _ => false
+    }
   }
 
   /** Append an already-typed block of rows to a table — the wire-ingest

@@ -1074,4 +1074,44 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(g.sql("SELECT count(*) AS n FROM selfmv_t").head().getLong(0) === 4L)
     g.sql("DROP TABLE selfmv_v; DROP TABLE selfmv_t")
   }
+
+  test("MV rescan fast path delivers the identical block (deterministic source)") {
+    // r20: a deterministic file-backed INSERT..SELECT skips the
+    // localCheckpoint pin and re-executes the block plan for the MV pass —
+    // the view must land exactly the base rows, identical to rescan=off
+    g.sql("DROP TABLE IF EXISTS rsc_v; DROP TABLE IF EXISTS rsc_t; " +
+      "DROP TABLE IF EXISTS rsc_src")
+    g.sql("CREATE TABLE rsc_src(k Int32)")
+    g.sql("INSERT INTO rsc_src VALUES (1), (2), (3), (4)")
+    g.sql("CREATE TABLE rsc_t(k Int32)")
+    g.sql("CREATE MATERIALIZED VIEW rsc_v AS SELECT k FROM rsc_t")
+    g.sql("INSERT INTO rsc_t SELECT k * 10 FROM rsc_src WHERE k % 2 = 0")
+    assert(g.sql("SELECT k FROM rsc_v ORDER BY k")
+      .collect().map(_.getInt(0)).toSeq === Seq(20, 40))
+    // rescan=off (unconditional pin) lands the same rows
+    spark.conf.set("graft.mv.rescan", "off")
+    try g.sql("INSERT INTO rsc_t SELECT k * 100 FROM rsc_src WHERE k = 1")
+    finally spark.conf.unset("graft.mv.rescan")
+    assert(g.sql("SELECT k FROM rsc_v ORDER BY k")
+      .collect().map(_.getInt(0)).toSeq === Seq(20, 40, 100))
+    g.sql("DROP TABLE rsc_v; DROP TABLE rsc_t; DROP TABLE rsc_src")
+  }
+
+  test("MV propagation still pins a nondeterministic block") {
+    // a rand()-derived block must reach the view as the EXACT rows that
+    // landed — a plan re-run would draw fresh values and diverge
+    g.sql("DROP TABLE IF EXISTS nd_v; DROP TABLE IF EXISTS nd_t; " +
+      "DROP TABLE IF EXISTS nd_src")
+    g.sql("CREATE TABLE nd_src(k Int64)")
+    g.sql("INSERT INTO nd_src SELECT id FROM range(1000)")
+    g.sql("CREATE TABLE nd_t(k Int64, v Float64)")
+    g.sql("CREATE MATERIALIZED VIEW nd_v AS SELECT k, v FROM nd_t")
+    g.sql("INSERT INTO nd_t SELECT k, rand() AS v FROM nd_src")
+    val base = g.sql("SELECT k, v FROM nd_t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val mv = g.sql("SELECT k, v FROM nd_v ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(mv === base)
+    g.sql("DROP TABLE nd_v; DROP TABLE nd_t; DROP TABLE nd_src")
+  }
 }
