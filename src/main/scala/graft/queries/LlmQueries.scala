@@ -2941,16 +2941,24 @@ object LlmQueries {
     * pair fan-out bounded by shingle frequency); at petabyte scale one
     * drops the audit and keeps the signature estimate.
     */
-  private def overlapSql(spark: Boolean, spread: String = ""): String = {
+  /** l29's distinct (source, window-hash) token relation as a standalone
+    * SELECT (spark arm) — consumed four times downstream (sig, sizes, and
+    * both sides of the exact-intersection self-join), each consumer
+    * otherwise re-running the hash pass AND the DISTINCT shuffle. */
+  private[graft] def overlapTokSelect(spread: String): String =
+    s"""SELECT DISTINCT source, h FROM (
+       |  SELECT source, md5(substr(text, 1 + i * 10, 40)) AS h
+       |  FROM (SELECT $spread source, text FROM documents WHERE length(text) >= 40) d
+       |  LATERAL VIEW explode(
+       |    sequence(0, CAST(floor((length(text) - 40) / 10) AS INT))) t AS i
+       |) x""".stripMargin
+
+  private def overlapSql(spark: Boolean, spread: String = "",
+                         tokRef: Option[String] = None): String = {
     val wnd =
       if (spark)
         s"""tok AS (
-          |  SELECT DISTINCT source, h FROM (
-          |    SELECT source, md5(substr(text, 1 + i * 10, 40)) AS h
-          |    FROM (SELECT $spread source, text FROM documents WHERE length(text) >= 40) d
-          |    LATERAL VIEW explode(
-          |      sequence(0, CAST(floor((length(text) - 40) / 10) AS INT))) t AS i
-          |  ) x
+          |  ${overlapTokSelect(spread).replace("\n", "\n  ")}
           |)""".stripMargin
       else
         """tok AS (
@@ -2972,9 +2980,11 @@ object LlmQueries {
     // every post-aggregation relation here is <= |sources|^2 rows — hint
     // them broadcast on the Spark side so the final assembly never sorts
     val finalHint = if (spark) "/*+ BROADCAST(i, sa, sb) */ " else ""
-    s"""WITH $wnd, $perm, sig AS (
+    val tk = tokRef.getOrElse("tok")
+    val withHead = if (tokRef.isDefined) "WITH " else s"WITH $wnd, "
+    s"""$withHead$perm, sig AS (
        |  SELECT source, i, min($salted) AS mh
-       |  FROM tok CROSS JOIN perm
+       |  FROM $tk CROSS JOIN perm
        |  GROUP BY source, i
        |), est AS (
        |  SELECT a.source AS s1, b.source AS s2,
@@ -2983,10 +2993,10 @@ object LlmQueries {
        |  FROM sig a JOIN sig b ON a.i = b.i AND a.source < b.source
        |  GROUP BY a.source, b.source
        |), sizes AS (
-       |  SELECT source, count(*) AS nw FROM tok GROUP BY source
+       |  SELECT source, count(*) AS nw FROM $tk GROUP BY source
        |), inter AS (
        |  SELECT a.source AS s1, b.source AS s2, count(*) AS iw
-       |  FROM tok a JOIN tok b ON a.h = b.h AND a.source < b.source
+       |  FROM $tk a JOIN $tk b ON a.h = b.h AND a.source < b.source
        |  GROUP BY a.source, b.source
        |)
        |SELECT ${finalHint}e.s1, e.s2, e.est_jaccard,
@@ -3819,7 +3829,11 @@ object LlmQueries {
     // ---- l29: cross-source MinHash overlap matrix ---------------------
     "l29_source_overlap" -> { (s, dir) =>
       Tables.registerAll(s, dir)
-      s.sql(overlapSql(spark = true, spread = Tables.spreadHint(s)))
+      // the distinct token relation feeds 4 consumers (each re-running
+      // hash pass + DISTINCT shuffle inline) — persist it once
+      materialize(s.sql(overlapTokSelect(Tables.spreadHint(s))))
+        .createOrReplaceTempView("l29_tok")
+      s.sql(overlapSql(spark = true, tokRef = Some("l29_tok")))
     },
 
     // ---- l26: product-quantization ANN (ADC + exact rerank) -----------
