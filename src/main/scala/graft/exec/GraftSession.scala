@@ -77,8 +77,14 @@ class GraftSession(val spark: SparkSession,
 
   // Reference boot: `system` and `default` databases pre-created
   // (mgmt.rs:233-267); Spark's catalog ships `default`, so only `system`
-  // needs creating.
-  spark.sql("CREATE DATABASE IF NOT EXISTS `system`")
+  // needs creating. Existence-gated: the DDL command itself costs ~8 ms
+  // of parse/command execution per construction on a warm JVM.
+  if (!spark.catalog.databaseExists("system"))
+    spark.sql("CREATE DATABASE IF NOT EXISTS `system`"): Unit
+
+  /** Key prefix for this SparkSession in the JVM-wide restore registries. */
+  private def sessionKey(name: String): String =
+    System.identityHashCode(spark).toString + "/" + name
 
   /** Restore failures, surfaced as `system.restore_errors` (db, table,
     * kind, error). `restoreCatalog` is fault-isolated — one poisoned entry
@@ -199,8 +205,8 @@ class GraftSession(val spark: SparkSession,
     if (!root.exists) return
     // plain views replay LAST and across all databases at once (a view
     // may read tables or other views; nested views converge by fixpoint)
-    val pendingViews =
-      scala.collection.mutable.ArrayBuffer.empty[(String, String, CreateView)]
+    val pendingViews = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, CreateView, String)]
     for (dbDir <- Option(root.listFiles).getOrElse(Array.empty[java.io.File])
          if dbDir.isDirectory) {
       val db = dbDir.getName
@@ -216,11 +222,16 @@ class GraftSession(val spark: SparkSession,
       // silently stop rewriting after such a restart (ADVICE r18). The
       // script-text gate keeps this pass free of catalog round-trips for
       // the overwhelmingly common Nested-free tables.
+      // direct catalog existence check: the public Catalog API re-parses
+      // the identifier per call (~2 ms warm), and this scan makes one
+      // call per recorded script per construction
+      def tableKnown(table: String): Boolean =
+        spark.sessionState.catalog.tableExists(
+          org.apache.spark.sql.catalyst.TableIdentifier(table, Some(db)))
       for (f <- metaFiles; table = f.getName.stripSuffix(".sql")
-           if scala.util.Try(java.nio.file.Files.readString(f.toPath))
-             .toOption.exists(_.toLowerCase(java.util.Locale.ROOT)
-               .contains("nested("))
-           if spark.catalog.tableExists(s"$db.$table"))
+           if metaScript(f).text.toLowerCase(java.util.Locale.ROOT)
+             .contains("nested(")
+           if tableKnown(table))
         scala.util.Try {
           val fams = nestedFamilies(Some(db), table)
           if (fams.nonEmpty)
@@ -229,14 +240,14 @@ class GraftSession(val spark: SparkSession,
       val scripts =
         for (f <- metaFiles;
              table = f.getName.stripSuffix(".sql")
-             if !spark.catalog.tableExists(s"$db.$table");
-             stmt <- ChParser.parse(
-               java.nio.file.Files.readString(f.toPath)).toOption)
-          yield (table, stmt)
+             if !tableKnown(table);
+             ms = metaScript(f);
+             stmt <- ms.stmt)
+          yield (table, stmt, ms.text)
       // plain tables first: a materialized view's schema derivation reads
       // its source table, which may be restoring in the same pass
       scripts.foreach {
-        case (table, ct: CreateTable) =>
+        case (table, ct: CreateTable, _) =>
           scala.util.Try {
             // restart replay reattaches existing data — never re-run a CTAS insert
             createTable(ct.copy(db = Some(db), ifNotExists = true), runCtasInsert = false)
@@ -247,18 +258,34 @@ class GraftSession(val spark: SparkSession,
         case _ => ()
       }
       scripts.foreach {
-        case (table, mv: CreateMaterializedView) =>
+        case (table, mv: CreateMaterializedView, text) =>
           // reattach the view's surviving storage; never re-backfill.
           // Fault-isolated: a view whose source vanished must not kill
           // session boot (the registerAll discipline).
-          scala.util.Try {
+          // Warm-JVM adopt for TO-form views (their name never backs a
+          // table, so the tableExists gate above can't skip them): when
+          // the wrapper temp view is still registered from this exact
+          // script and the target still carries this view's subscription
+          // props, the replay would be a byte-identical no-op — skip the
+          // per-construction SELECT re-analysis + catalog prop write.
+          val adoptedTo = mv.to.exists { case (_, target) =>
+            Option(GraftSession.viewMemos.get(sessionKey(mv.name)))
+              .contains(text) &&
+              spark.sessionState.catalog.getTempView(mv.name).isDefined &&
+              tableProp(Some(db), target, "graft.mv.via").contains(mv.name)
+          }
+          if (adoptedTo) {
+            val target = mv.to.get._2
+            viewDefs(mv.name) =
+              (db, s"SELECT * FROM `$db`.`$target`", mv.createScript)
+          } else scala.util.Try {
             createMaterializedView(
               mv.copy(db = Some(db), ifNotExists = true, populate = false))
             if (mv.partitionBy.isDefined)
               spark.sql(s"ALTER TABLE `$db`.`$table` RECOVER PARTITIONS")
           }.failed.foreach(e =>
             recordRestoreError(db, table, "materialized view", e))
-        case (table, apx: AlterProjection) if apx.op == "add" =>
+        case (table, apx: AlterProjection, _) if apx.op == "add" =>
           // a projection's hidden table replays from its recorded ALTER
           // script: re-add the parent props and REATTACH the hidden
           // storage (populate=false — its data survived on disk). The
@@ -272,23 +299,51 @@ class GraftSession(val spark: SparkSession,
               populate = false)
             finally spark.catalog.setCurrentDatabase(prevDb)
           }.failed.foreach(e => recordRestoreError(db, table, "projection", e))
-        case (table, cv: CreateView) => pendingViews += ((db, table, cv))
-        case (nm, cd: CreateDictionary) =>
+        case (table, cv: CreateView, text) =>
+          pendingViews += ((db, table, cv, text))
+        case (nm, cd: CreateDictionary, text) =>
           // dictionaries load after this database's tables (their source
-          // snapshot); a vanished source surfaces, never kills boot
-          scala.util.Try(
-            createDictionary(cd.copy(db = Some(db), ifNotExists = true)))
-            .failed.foreach(e => recordRestoreError(db, nm, "dictionary", e))
+          // snapshot); a vanished source surfaces, never kills boot.
+          // Warm-JVM adopt: when the recorded script is byte-identical to
+          // what this SparkSession last LOADED under this name, the loaded
+          // state (broadcast hash / join-mode verdict, and the bound
+          // lookup UDF) is still live — re-collecting the source per
+          // construction was a full Spark job each time. CH dictionaries
+          // are server-global and stale-until-reload; this IS that model.
+          Option(GraftSession.dictMemos.get(sessionKey(nm)))
+            .filter(_.script == text) match {
+            case Some(m) =>
+              dictDefs(nm) = m.cd
+              if (m.joinMode) dictJoinMode += nm
+              m.bc.foreach(b => dictBroadcasts(nm) = b)
+            case None =>
+              scala.util.Try(
+                createDictionary(cd.copy(db = Some(db), ifNotExists = true)))
+                .failed.foreach(e =>
+                  recordRestoreError(db, nm, "dictionary", e))
+          }
         case _ => () // damaged meta entry: leave the files alone
       }
+    }
+    // Warm-JVM adopt for plain views: the temp view is still registered
+    // from this exact script text — repopulate the instance registry
+    // without the per-view re-analysis (refreshReferencedViews re-resolves
+    // it before any read regardless).
+    val (adopted, toReplay) = pendingViews.partition {
+      case (_, name, _, text) =>
+        Option(GraftSession.viewMemos.get(sessionKey(name))).contains(text) &&
+          spark.sessionState.catalog.getTempView(name).isDefined
+    }
+    adopted.foreach { case (db, name, cv, _) =>
+      viewDefs(name) = (db, cv.selectSql, cv.createScript)
     }
     // nested views restore in dependency order by fixpoint: each round
     // registers every view whose sources now resolve; a round with no
     // progress stops, and the stragglers surface in system.restore_errors
-    var remaining = pendingViews.toList
+    var remaining = toReplay.toList
     var progressed = true
     while (remaining.nonEmpty && progressed) {
-      val (ok, bad) = remaining.partition { case (db, _, cv) =>
+      val (ok, bad) = remaining.partition { case (db, _, cv, _) =>
         scala.util.Try(
           createView(cv.copy(db = Some(db), orReplace = true,
             ifNotExists = false))).isSuccess
@@ -296,10 +351,29 @@ class GraftSession(val spark: SparkSession,
       progressed = ok.nonEmpty
       remaining = bad
     }
-    remaining.foreach { case (db, table, cv) =>
+    remaining.foreach { case (db, table, cv, _) =>
       scala.util.Try(createView(cv.copy(db = Some(db), orReplace = true,
           ifNotExists = false)))
         .failed.foreach(e => recordRestoreError(db, table, "view", e))
+    }
+  }
+
+  /** Cached read+parse of one recorded meta script, keyed by
+    * (path, mtime, size) — a warm JVM re-scans the whole meta root per
+    * GraftSession construction, and the bytes rarely change.
+    */
+  private def metaScript(f: java.io.File): GraftSession.MetaScript = {
+    val key = f.getAbsolutePath
+    val (mt, sz) = (f.lastModified, f.length)
+    val cached = GraftSession.metaScriptCache.get(key)
+    if (cached != null && cached.mtime == mt && cached.size == sz) cached
+    else {
+      val text = scala.util.Try(
+        java.nio.file.Files.readString(f.toPath)).getOrElse("")
+      val ms = GraftSession.MetaScript(mt, sz, text,
+        ChParser.parse(text).toOption)
+      GraftSession.metaScriptCache.put(key, ms)
+      ms
     }
   }
 
@@ -3861,6 +3935,12 @@ class GraftSession(val spark: SparkSession,
   }
 
   private def createMaterializedView(mv: CreateMaterializedView): DataFrame = {
+    // a new subscription changes the wire fast-path facts even when the
+    // CREATE arrives outside sql() — restoreCatalog replays and the spec
+    // surface construct MVs directly (ADVICE r19 #2: a warm JVM's stale
+    // NEGATIVE mvSubs entry would make inserts skip a replayed MV)
+    GraftSession.directRecipes.clear()
+    GraftSession.mvSubs.clear()
     if (mv.to.isDefined) return createMvTo(mv)
     val rdb = mv.db.getOrElse(spark.catalog.currentDatabase)
     val src = ChParser.firstFromTable(mv.selectSql).getOrElse(
@@ -3912,8 +3992,15 @@ class GraftSession(val spark: SparkSession,
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW `${cv.name}` AS " +
       rewriteSelect(cv.selectSql))
     viewDefs(cv.name) = (rdb, cv.selectSql, cv.createScript)
-    java.nio.file.Files.createDirectories(metaFile(rdb, cv.name).getParent)
-    java.nio.file.Files.writeString(metaFile(rdb, cv.name), cv.createScript)
+    GraftSession.viewMemos.put(sessionKey(cv.name), cv.createScript): Unit
+    val mf = metaFile(rdb, cv.name)
+    // skip the rewrite when the recorded script is already this text —
+    // keeps the meta mtime stable for the warm-restore script cache
+    if (!java.nio.file.Files.exists(mf) ||
+        java.nio.file.Files.readString(mf) != cv.createScript) {
+      java.nio.file.Files.createDirectories(mf.getParent)
+      java.nio.file.Files.writeString(mf, cv.createScript): Unit
+    }
     emptyOk
   }
 
@@ -3932,12 +4019,14 @@ class GraftSession(val spark: SparkSession,
       // the next boot stops reporting it
       val hadMeta = java.nio.file.Files.deleteIfExists(metaFile(rdb, name))
       if (hadMeta) scala.util.Try(spark.catalog.dropTempView(name))
+      if (hadMeta) GraftSession.viewMemos.remove(sessionKey(name)): Unit
       require(ifExists || hadMeta, s"DROP VIEW: view $name does not exist")
       return emptyOk
     }
     val vdb = viewDefs(name)._1
     spark.catalog.dropTempView(name)
     viewDefs.remove(name)
+    GraftSession.viewMemos.remove(sessionKey(name)): Unit
     java.nio.file.Files.deleteIfExists(metaFile(vdb, name))
     // a TO-form materialized view's insert subscription lives on its
     // TARGET table (graft.mv.via names this view) — detach it, or the
@@ -3980,6 +4069,7 @@ class GraftSession(val spark: SparkSession,
     dictDefs.remove(name)
     dictJoinMode -= name
     dictBroadcasts.remove(name).foreach(_.unpersist(false))
+    GraftSession.dictMemos.remove(sessionKey(name)): Unit
     java.nio.file.Files.deleteIfExists(metaFile(rdb, name))
     emptyOk
   }
@@ -4004,6 +4094,8 @@ class GraftSession(val spark: SparkSession,
       // is untouched.
       dictJoinMode += name
       dictBroadcasts.remove(name).foreach(_.unpersist(false))
+      GraftSession.dictMemos.put(sessionKey(name), GraftSession.DictMemo(
+        cd.createScript, cd, joinMode = true, bc = None)): Unit
       return
     }
     dictJoinMode -= name
@@ -4036,6 +4128,8 @@ class GraftSession(val spark: SparkSession,
           }
         }
       }): Unit
+    GraftSession.dictMemos.put(sessionKey(name), GraftSession.DictMemo(
+      cd.createScript, cd, joinMode = false, bc = Some(bc))): Unit
   }
 
   /** dictGet / dictGetOrDefault / dictHas → the broadcast-hash lookup
@@ -4157,6 +4251,7 @@ class GraftSession(val spark: SparkSession,
           rewriteSelect(sel))
         catch { case scala.util.control.NonFatal(_) =>
           scala.util.Try(spark.catalog.dropTempView(name)): Unit
+          GraftSession.viewMemos.remove(sessionKey(name)): Unit
         }
       }
     }
@@ -4952,6 +5047,38 @@ object GraftSession {
       .matcher(body)
     if (m.matches()) Some(m.group(1)) else None
   }
+
+  /** Restore fast-path registries (r20, guide §1.2 fixed costs): a warm
+    * JVM constructs a GraftSession per query entry, and the restore scan
+    * paid file reads + parses per meta script, a temp-view re-analysis
+    * per plain view, and a full source COLLECT per dictionary — ~126 ms
+    * per construction measured at a 110-script warehouse, all of it
+    * re-deriving state the JVM already holds. Each registry is keyed by
+    * (SparkSession identity, name) and maintained by the mutating
+    * statements themselves, so a script-text mismatch (file changed on
+    * disk — a real restart or an external edit) always falls back to the
+    * full replay path.
+    */
+  private[exec] final case class MetaScript(mtime: Long, size: Long,
+      text: String, stmt: Option[ChStatement])
+  private[exec] val metaScriptCache =
+    new java.util.concurrent.ConcurrentHashMap[String, MetaScript]()
+
+  /** (sessionId/viewName) -> the script text whose SELECT is currently
+    * registered as the temp view. */
+  private[exec] val viewMemos =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** (sessionId/dictName) -> loaded dictionary state. CH dictionaries are
+    * server-global and stale-until-reload by design; adopting the loaded
+    * broadcast instead of re-collecting the source per construction is
+    * the CH model, not a shortcut. */
+  private[exec] final case class DictMemo(script: String,
+      cd: ChStatement.CreateDictionary, joinMode: Boolean,
+      bc: Option[org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[String, Array[String]]]])
+  private[exec] val dictMemos =
+    new java.util.concurrent.ConcurrentHashMap[String, DictMemo]()
 
   /** A running statement, for SHOW PROCESSLIST / system.processes /
     * KILL QUERY. The query id doubles as the Spark job group, so a kill
